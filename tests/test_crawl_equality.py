@@ -1,0 +1,82 @@
+"""North-rule correctness gate: the Spark engine must equal the
+reference-oracle simulator bit-for-bit — crawl order, URL-seen set,
+pages, edges, and span documents — under the same seeds and politeness
+budget (BASELINE.json north_rule / north_star)."""
+
+from __future__ import annotations
+
+import pytest
+
+from web_graph_spark import fixtures, oracle
+from web_graph_spark.crawler import SparkCrawler, load_web
+
+
+def run_engine(spark, fixture_dir, state_dir, default_budget=None,
+               max_waves=500):
+    from web_graph_spark.crawler import UNBOUNDED
+
+    web = load_web(spark, fixture_dir)
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+    c = SparkCrawler(spark, str(state_dir), web,
+                     default_budget=default_budget or UNBOUNDED,
+                     max_waves=max_waves)
+    c.init_from_seeds(seeds)
+    c.run()
+    return c
+
+
+def run_oracle(fixture_dir, default_budget=None, max_waves=500):
+    web = fixtures.load_web_py(fixture_dir)
+    seeds = fixtures.load_seeds_py(fixture_dir)
+    return oracle.simulate_crawl(
+        web, seeds, default_budget=default_budget or (1 << 60),
+        max_waves=max_waves)
+
+
+def assert_equal_states(c: SparkCrawler, o: oracle.CrawlResult):
+    store = c.store
+    # crawl order is (wave, seq)-lexicographic: carryover rows keep
+    # their seq but run in a later wave.
+    got_order = [(r["wave"], r["seq"], r["page_id"]) for r in
+                 store.read("crawl_order").orderBy("wave", "seq")
+                 .select("wave", "seq", "page_id").collect()]
+    assert got_order == o.crawl_order
+
+    got_seen = {r["page_id"] for r in store.read("seen").collect()}
+    assert got_seen == o.seen
+
+    got_pages = {r["page_id"]: (r["host"], r["path"], r["url"]) for r in
+                 store.read("pages").collect()}
+    assert got_pages == o.pages
+
+    got_edges = {(r["from_page_id"], r["to_page_id"]): r["text"] for r in
+                 store.read("edges").collect()}
+    assert got_edges == o.edges
+
+    got_docs = {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in
+                store.read("docs_out").collect()}
+    # span-sequence equality (kind, text, media_ref, order) — input_hint
+    assert set(got_docs) == set(o.docs)
+    for pid, spans in o.docs.items():
+        g = got_docs[pid]
+        assert [(s["kind"], s["text"], s["media_ref"]) for s in g] == \
+               [(s["kind"], s["text"], s["media_ref"]) for s in spans], pid
+
+
+@pytest.mark.spark
+def test_engine_matches_oracle_unbounded(spark, fixture_dir, tmp_path):
+    c = run_engine(spark, fixture_dir, tmp_path / "state")
+    o = run_oracle(fixture_dir)
+    assert_equal_states(c, o)
+
+
+@pytest.mark.spark
+def test_engine_matches_oracle_tight_budget(spark, tmp_path):
+    """Politeness budget = 3 pages/host/wave — carryover rule must agree.
+    Smaller fixture: the tight budget multiplies wave count ~4×."""
+    fd = tmp_path / "fix"
+    fd.mkdir()
+    fixtures.generate_fixtures(str(fd), seed=42, n_pages=120, n_hosts=10)
+    c = run_engine(spark, str(fd), tmp_path / "state", default_budget=3)
+    o = run_oracle(str(fd), default_budget=3)
+    assert_equal_states(c, o)

@@ -1,0 +1,259 @@
+"""The crawl wave loop — Structured-Streaming-style batch iteration.
+
+Spark rebuild of the reference's unbounded select loop
+(/root/reference/cmd/link-processor/main.go:208-224 +
+pkg/linkprocessor/linkprocessor.go:172-216), per the logical spec in
+``oracle.py`` (the two must stay bit-identical; tests/test_crawl_equality.py
+asserts it).  One wave =
+
+  pending = frontier_log ⟕̸ seen            (left-anti: D1 seen-check)
+  scheduled = politeness window rank        (O4; WindowGroupLimit)
+  seen     += scheduled                     (D2 mark-visited)
+  fetched  = scheduled ⋈ web on page_id     (J7 synthetic fetch)
+  links    = posexplode(spans) → resolve+admission pandas UDF (S5, F1-F7)
+  edges    += first-wins dedupe → anti-join  (S7/D4)
+  pages    += event-ordered first-wins       (S6/D5)
+  frontier += unseen targets, dense seq via ordered_seq (S3/D3, O1)
+  commit manifest                            (T5 checkpoint)
+
+All shuffles are keyed on page_id (sha1 → uniform, no key skew by
+construction); the only skew-prone stage is the per-host politeness
+window, mitigated by WindowGroupLimit (map-side top-K).  Small dims
+(budgets) broadcast.  The loop is driver-orchestrated but every data
+operation is a distributed DataFrame op — no collect() of row data.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .canon import canonicalize_df
+from .operators import frontier as fseq
+from .operators.extract import extract_links
+from .operators.politeness import schedule_wave
+from .oracle import HTML_CTYPES
+from .storage import WaveStore
+
+UNBOUNDED = 1 << 60
+
+
+def load_web(spark: SparkSession, fixture_dir: str) -> DataFrame:
+    """Join page_urls + web_documents into the synthetic fetchable web:
+    (page_id, url, host, path, content_type, fetch_ok, spans)."""
+    pages = spark.read.parquet(f"{fixture_dir}/page_urls.parquet")
+    docs = spark.read.parquet(f"{fixture_dir}/web_documents.parquet")
+    return pages.join(docs, pages.page_id == docs.doc_id, "left").drop("doc_id")
+
+
+@dataclass
+class WaveMetrics:
+    wave: int
+    n_pending: int
+    n_scheduled: int
+    n_expanded: int
+    n_links: int
+    n_edges_new: int
+    n_pages_new: int
+    n_enqueued: int
+    wall_ms: float
+
+
+class SparkCrawler:
+    def __init__(self, spark: SparkSession, state_dir: str, web: DataFrame,
+                 budgets: DataFrame | None = None,
+                 default_budget: int = UNBOUNDED, max_waves: int = 100):
+        self.spark = spark
+        self.store = WaveStore(spark, state_dir)
+        self.web = web
+        self.budgets = budgets
+        self.default_budget = default_budget
+        self.max_waves = max_waves
+        self.metrics: list[WaveMetrics] = []
+
+    # ------------------------------------------------------------------
+    def init_from_seeds(self, seeds: DataFrame) -> None:
+        """Wave -1: canonicalize seeds in seed order, drop inadmissible
+        (ParseURL, linkutils.go:75-85), dedupe first-seed-wins, dense seq."""
+        if self.store.committed_wave() >= -1:
+            return  # resuming — queue already seeded (main.go:197-201)
+        c = canonicalize_df(seeds, url_col="url", mode="pandas")
+        rows = (c.filter(F.col("canon.page_id").isNotNull()
+                         & F.col("canon.admissible"))
+                 .select(F.col("canon.page_id").alias("page_id"),
+                         F.col("canon.url_norm").alias("url"),
+                         F.col("canon.host").alias("host"),
+                         F.col("canon.path").alias("path"),
+                         F.col("seq").alias("seed_seq"))
+                 .groupBy("page_id")
+                 .agg(F.min(F.struct("seed_seq", "url", "host", "path"))
+                       .alias("m"))
+                 .select("page_id", F.col("m.url").alias("url"),
+                         F.col("m.host").alias("host"),
+                         F.col("m.path").alias("path"),
+                         F.col("m.seed_seq").alias("seed_seq"),
+                         F.lit(0).alias("depth"),
+                         F.lit(None).cast("string").alias("parent_page_id")))
+        rows = fseq.ordered_seq(rows, ["seed_seq"], start=0)
+        out = rows.select("page_id", "url", "host", "path", "depth", "seq",
+                          "parent_page_id")
+        self.store.write("frontier_log", out, wave=-1)
+        n = self.store.read("frontier_log", max_wave=-1).count()
+        fseq.release(rows)
+        self.store.commit(-1, phase="init", next_seq=n)
+
+    # ------------------------------------------------------------------
+    def run(self) -> int:
+        """Run waves until the frontier drains or max_waves; returns the
+        number of completed waves (resumable at any point)."""
+        start_wave = self.store.committed_wave() + 1
+        assert start_wave >= 0, "call init_from_seeds first"
+        next_seq = self.store.manifest(self.store.committed_wave())["next_seq"]
+        wave = start_wave
+        while wave < self.max_waves:
+            n_sched, next_seq = self._run_wave(wave, next_seq)
+            if n_sched == 0:
+                break
+            wave += 1
+        return wave
+
+    # ------------------------------------------------------------------
+    def _run_wave(self, wave: int, next_seq: int) -> tuple[int, int]:
+        t0 = time.monotonic()
+        store = self.store
+        seen = store.read("seen", max_wave=wave - 1).select("page_id")
+        flog = store.read("frontier_log", max_wave=wave - 1)
+
+        pending = flog.join(seen, "page_id", "left_anti")
+        scheduled, _cap = schedule_wave(pending, self.budgets,
+                                        self.default_budget)
+        scheduled = scheduled.persist()
+        n_sched = scheduled.count()
+        n_pending = pending.count()
+        if n_sched == 0:
+            scheduled.unpersist()
+            return 0, next_seq
+
+        # crawl order + seen (D2)
+        store.write("crawl_order", scheduled.select("seq", "page_id"), wave)
+        store.write("seen", scheduled.select("page_id"), wave)
+
+        # synthetic fetch (J7): frontier ⋈ web on the uniform sha1 key
+        web = self.web
+        fetched = (scheduled.alias("s")
+                   .join(web.alias("w"), "page_id", "left")
+                   .select("page_id", F.col("s.url").alias("url"),
+                           F.col("s.host").alias("host"),
+                           F.col("s.path").alias("path"),
+                           F.col("s.seq").alias("seq"),
+                           F.col("s.depth").alias("depth"),
+                           "content_type", "fetch_ok", "spans"))
+        expandable = (fetched.filter(
+            F.col("fetch_ok")
+            & F.split(F.col("content_type"), ";").getItem(0).isin(*HTML_CTYPES)
+            & F.col("spans").isNotNull()))
+
+        # emit span documents for expanded pages (input_hint invariant)
+        store.write("docs_out",
+                    expandable.select(F.col("page_id").alias("doc_id"),
+                                      "spans"), wave)
+
+        links = extract_links(expandable, carry_cols=("seq", "depth"))
+        links = links.select(
+            F.col("page_id").alias("from_page_id"),
+            F.col("seq").alias("parent_seq"),
+            F.col("depth").alias("parent_depth"),
+            "link_index", "anchor_text",
+            F.col("canon.page_id").alias("to_page_id"),
+            F.col("canon.url_norm").alias("to_url"),
+            F.col("canon.host").alias("to_host"),
+            F.col("canon.path").alias("to_path"),
+        ).persist()
+        n_links = links.count()
+
+        # ---- edges: first (from,to) wins within wave, existing win across
+        prev_edges = store.read("edges", max_wave=wave - 1)
+        new_edges = (
+            links.groupBy("from_page_id", "to_page_id")
+            .agg(F.min(F.struct("parent_seq", "link_index", "anchor_text"))
+                  .alias("m"))
+            .select("from_page_id", "to_page_id",
+                    F.col("m.anchor_text").alias("text"))
+            .join(prev_edges.select("from_page_id", "to_page_id"),
+                  ["from_page_id", "to_page_id"], "left_anti"))
+        store.write("edges", new_edges, wave)
+
+        # ---- newly enqueued targets: unseen ∧ ∉ frontier_log (covers
+        # pending carryover AND scheduled-this-wave AND seen pages, since
+        # every seen page is in frontier_log by construction)
+        targets = (
+            links.join(flog.select("page_id").withColumnRenamed(
+                           "page_id", "to_page_id"),
+                       "to_page_id", "left_anti")
+            .groupBy("to_page_id")
+            .agg(F.min(F.struct("parent_seq", "link_index", "to_url",
+                                "to_host", "to_path", "parent_depth",
+                                "from_page_id")).alias("m"))
+            .select(F.col("to_page_id").alias("page_id"),
+                    F.col("m.to_url").alias("url"),
+                    F.col("m.to_host").alias("host"),
+                    F.col("m.to_path").alias("path"),
+                    (F.col("m.parent_depth") + 1).alias("depth"),
+                    F.col("m.parent_seq").alias("parent_seq"),
+                    F.col("m.link_index").alias("link_index"),
+                    F.col("m.from_page_id").alias("parent_page_id")))
+        targets = fseq.ordered_seq(targets, ["parent_seq", "link_index"],
+                                   start=next_seq)
+        targets = targets.persist()
+        n_enqueued = targets.count()
+        store.write("frontier_log",
+                    targets.select("page_id", "url", "host", "path", "depth",
+                                   "seq", "parent_page_id"), wave)
+
+        # ---- pages: event-ordered first-wins (crawl write (seq,0,0)
+        # before discovery writes (parent_seq,1,link_index))
+        prev_pages = store.read("pages", max_wave=wave - 1)
+        crawl_rows = scheduled.select(
+            "page_id", "host", "path", "url",
+            F.col("seq").alias("a"), F.lit(0).alias("b"), F.lit(0).alias("c"))
+        disc_rows = targets.select(
+            "page_id", "host", "path", "url",
+            F.col("parent_seq").alias("a"), F.lit(1).alias("b"),
+            F.col("link_index").alias("c"))
+        new_pages = (
+            crawl_rows.unionByName(disc_rows)
+            .groupBy("page_id")
+            .agg(F.min(F.struct("a", "b", "c", "host", "path", "url")).alias("m"))
+            .select("page_id", F.col("m.host").alias("host"),
+                    F.col("m.path").alias("path"), F.col("m.url").alias("url"))
+            .join(prev_pages.select("page_id"), "page_id", "left_anti"))
+        store.write("pages", new_pages, wave)
+
+        # ---- metrics + commit
+        n_expanded = expandable.count()
+        n_edges_new = store.read("edges", max_wave=wave).filter(
+            F.col("wave") == wave).count()
+        n_pages_new = store.read("pages", max_wave=wave).filter(
+            F.col("wave") == wave).count()
+        wall_ms = (time.monotonic() - t0) * 1000
+        m = WaveMetrics(wave, n_pending, n_sched, n_expanded, n_links,
+                        n_edges_new, n_pages_new, n_enqueued, wall_ms)
+        self.metrics.append(m)
+        mrows = [("wave", -1, k, float(v)) for k, v in vars(m).items()
+                 if k != "wave"]
+        store.write("metrics",
+                    self.spark.createDataFrame(mrows,
+                                               "scope string, partition_id int,"
+                                               " key string, value double"),
+                    wave)
+        next_seq += n_enqueued
+        store.commit(wave, next_seq=next_seq, scheduled=n_sched,
+                     enqueued=n_enqueued, wall_ms=wall_ms)
+        fseq.release(targets)
+        targets.unpersist()
+        links.unpersist()
+        scheduled.unpersist()
+        return n_sched, next_seq

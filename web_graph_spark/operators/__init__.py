@@ -1,0 +1,8 @@
+"""Crawl-loop operators (SURVEY.md §2), each Spark-first:
+
+frontier    deterministic dense sequence assignment (no global window)
+extract     span-document link extraction (S5) via posexplode + UDF
+politeness  per-host budget scheduling (O4) via window group-limit
+dedupe      seen-set membership: anti-join + bloom/cuckoo pre-filters
+robots      broadcast robots.txt prefix rules, vectorized evaluation
+"""

@@ -1,0 +1,71 @@
+"""Deterministic frontier sequencing.
+
+The crawl-order spec keys every frontier row with a dense global
+``seq`` assigned in (parent_seq, link_index) discovery order
+(SURVEY.md §3.1 — equal to the Go loop run with numConsumers=1,
+/root/reference/pkg/linkqueue/linkqueue.go:50,72 FIFO).
+
+A naive ``row_number() over (ORDER BY ...)`` collapses to a single
+partition — a non-starter at 10^10 rows.  :func:`ordered_seq` instead
+range-partitions by the order key, sorts within partitions, counts per
+partition (tiny driver-side array), and assigns ``offset + local rank``
+in ``mapInPandas`` — a fully parallel, deterministic dense rank.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ordered_seq(df: DataFrame, order_cols: list[str], start: int = 0,
+                out_col: str = "seq", num_partitions: int | None = None) -> DataFrame:
+    """Assign ``out_col`` = start, start+1, … densely in the total order
+    of ``order_cols`` (which must be a unique key), without a global
+    single-partition sort."""
+    if num_partitions is None:
+        num_partitions = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        num_partitions = int(num_partitions)
+    parted = (df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+                .sortWithinPartitions(*order_cols))
+    parted = parted.withColumn("__pid", F.spark_partition_id())
+    # cache so the count pass and the assignment pass see identical
+    # partitioning (repartitionByRange samples — must not re-plan).
+    parted = parted.persist()
+    counts = {r["__pid"]: r["n"] for r in
+              parted.groupBy("__pid").agg(F.count("*").alias("n")).collect()}
+    offsets = {}
+    acc = start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    schema = parted.drop("__pid").schema.add(out_col, "long")
+    cols = [f.name for f in schema.fields]
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            base = offsets[pid] + local
+            out = pdf.drop(columns="__pid")
+            out[out_col] = range(base, base + len(pdf))
+            local += len(pdf)
+            yield out[cols]
+
+    result = parted.mapInPandas(assign, schema=schema)
+    # materialization note: caller should act on `result` before long
+    # chains; `parted` stays cached until then.
+    result._wgs_cached_parent = parted  # keep a handle for unpersist
+    return result
+
+
+def release(df: DataFrame) -> None:
+    parent = getattr(df, "_wgs_cached_parent", None)
+    if parent is not None:
+        parent.unpersist()

@@ -1,0 +1,51 @@
+"""Per-host politeness scheduling (operator O4, north_star extension).
+
+Each wave may crawl at most ``budget[host]`` pages per host; within a
+host, lowest ``seq`` first (FIFO, O1).  Unscheduled rows carry over
+with their seq unchanged — the oracle implements the identical rule so
+crawl-order equality stays well-defined under any budget.
+
+Physical shape: ``row_number() OVER (PARTITION BY host ORDER BY seq)``
+filtered by a rank bound.  Spark ≥3.5 rewrites the constant-bound rank
+filter into ``WindowGroupLimit`` — a map-side partial top-K per host
+BEFORE the shuffle — so a hot host with 10^7 pending URLs ships only
+``limit`` rows to the window stage instead of all of them
+(tests/test_plans.py pins this).  The per-host exact budget (from the
+broadcast budgets dim) is applied after the cheap global cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def schedule_wave(pending: DataFrame, budgets: DataFrame | None,
+                  default_budget: int, host_col: str = "host",
+                  seq_col: str = "seq") -> tuple[DataFrame, int]:
+    """Split pending frontier into (scheduled, cap) for this wave.
+
+    budgets: small dim (host, max_pages_per_wave) — broadcast joined.
+    Returns the scheduled DataFrame with a ``host_rank`` column.
+    """
+    w = Window.partitionBy(host_col).orderBy(seq_col)
+    ranked = pending.withColumn("host_rank", F.row_number().over(w))
+    # A constant rank bound must dominate every host's effective budget
+    # (dim value, or default for hosts missing from the dim).
+    cap = default_budget
+    if budgets is not None and default_budget < (1 << 40):
+        m = budgets.agg(F.max("max_pages_per_wave")).collect()[0][0]
+        if m is not None:
+            cap = max(int(m), default_budget)
+    if cap < (1 << 40):
+        # constant bound → WindowGroupLimit (map-side top-K per host)
+        ranked = ranked.filter(F.col("host_rank") <= F.lit(cap))
+    if budgets is not None:
+        ranked = (ranked.join(F.broadcast(budgets), on=host_col, how="left")
+                  .filter(F.col("host_rank") <=
+                          F.coalesce(F.col("max_pages_per_wave"),
+                                     F.lit(default_budget)))
+                  .drop("max_pages_per_wave"))
+    elif default_budget < (1 << 40):
+        ranked = ranked.filter(F.col("host_rank") <= F.lit(default_budget))
+    return ranked, cap
