@@ -208,6 +208,193 @@ def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("in_deg", F.lit(0)).alias("in_deg")))
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (dedup / similarity / text / media)
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish) — JVM regexp_count."""
+    from web_graph_spark.functions.text import bpe_ish_token_count, token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_pieces"),
+        F.length("text").cast("long").alias("n_chars_m"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from web_graph_spark.functions.text import with_quality
+
+    return with_quality(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars", "n_tokens", "punct_ratio_bp",
+        "digit_ratio_bp", "stopword_ratio_bp", "quality_score")
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from web_graph_spark.functions.text import with_lang_guess
+
+    return with_lang_guess(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "lang_guess")
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from web_graph_spark.functions.text import with_fingerprint
+
+    return with_fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", "fingerprint")
+
+
+def _docs_with_dups(spark, sf_dir):
+    """documents ∪ deterministic near/exact copies (dedupe test corpus)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    exact = (d.filter(F.col("doc_id") % 50 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"),
+                     F.upper(F.col("text")).alias("text")))
+    near = (d.filter(F.col("doc_id") % 50 == 1)
+            .select((F.col("doc_id") + 200000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" zz qq ww")).alias("text")))
+    return d.unionByName(exact).unionByName(near)
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedupe (hash groupBy on normal-form md5)."""
+    from web_graph_spark.functions.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs_with_dups(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-shingle Jaccard pairs (n=1), sim ≥ 0.2, doc_id < 100."""
+    from web_graph_spark.functions.dedup import jaccard_pairs
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return jaccard_pairs(d, threshold=0.2, n=1)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dups (xxhash64 signatures — no SQL oracle;
+    validated against brute-force Jaccard in tests/test_functions.py)."""
+    from web_graph_spark.functions.dedup import minhash_near_dups
+
+    return minhash_near_dups(_docs_with_dups(spark, sf_dir), threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (pandas-UDF fingerprints; rows-only check)."""
+    from web_graph_spark.functions.dedup import simhash_pairs
+
+    return simhash_pairs(_docs_with_dups(spark, sf_dir), max_dist=6)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for queries vec_id<5; rank by the
+    µ-rounded similarity so Spark and DuckDB order identically."""
+    from web_graph_spark.functions.similarity import cosine
+
+    emb = _emb(spark, sf_dir)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    j = (emb.crossJoin(F.broadcast(q))
+         .filter(F.col("vec_id") != F.col("q_id"))
+         .withColumn("sim_ppm",
+                     F.floor(cosine(F.col("embedding"), F.col("q_vec"))
+                             * 1000000).cast("long")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_ppm"), F.col("vec_id"))
+    return (j.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("q_id", "rank", "vec_id", "sim_ppm"))
+
+
+def q_embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact pairwise ≥ 0.80)."""
+    from web_graph_spark.functions.similarity import cosine
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("v_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("v_b"))
+    j = (a.join(b, F.col("id_a") < F.col("id_b"))
+         .withColumn("sim_ppm", F.floor(cosine(F.col("v_a"), F.col("v_b"))
+                                        * 1000000).cast("long")))
+    return (j.filter(F.col("sim_ppm") >= 800000)
+            .select("id_a", "id_b", "sim_ppm"))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: derived media table → mapInPandas feature
+    extraction (deterministic stub decode; rows-only check)."""
+    from web_graph_spark.functions.media import extract_features, make_media_df
+
+    media = make_media_df(spark, _docs(spark, sf_dir))
+    return (extract_features(media, mode="fake", feat_dim=8)
+            .select("media_id", "kind", "n_bytes", "sha",
+                    F.floor(F.element_at("feat", 1) * 1000000).cast("long")
+                     .alias("feat0_ppm")))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user 30-min-gap sessions via lag window."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts")
+           - F.unix_timestamp(F.lag("ts").over(w)))
+    marked = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = marked.withColumn(
+        "session_id", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id")
+            .agg(F.max("session_id").cast("long").alias("n_sessions"),
+                 F.count("*").alias("n_events")))
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate (batch view of T1 streaming agg)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                       "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.floor(F.sum("value") * 100).cast("long")
+                  .alias("sum_value_c")))
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (agg pushdown + codegen)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.floor(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+                 F.floor(F.sum("l_extendedprice") * 100).cast("long")
+                  .alias("sum_base_c"),
+                 F.floor(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))) * 100)
+                  .cast("long").alias("sum_disc_c"),
+                 F.count("*").alias("count_order")))
+
+
+def q_topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer (WindowGroupLimit top-k)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (o.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("o_custkey", "rank", "o_orderkey",
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                     .alias("price_c")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_canonicalize": q_crawl_canonicalize,
@@ -219,6 +406,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_page_composite": q_graph_page_composite,
         "graph_counts": q_graph_counts,
         "graph_degrees": q_graph_degrees,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embed_near_dup_pairs": q_embed_near_dup_pairs,
+        "media_features": q_media_features,
+        "events_sessionize": q_events_sessionize,
+        "events_hourly": q_events_hourly,
+        "tpch_q1": q_tpch_q1,
+        "topk_orders_per_cust": q_topk_orders_per_cust,
     }
 
 
@@ -288,4 +490,166 @@ LEFT JOIN (SELECT src_doc_id, count(*) AS n FROM e GROUP BY 1) o
        ON o.src_doc_id = p.doc_id
 LEFT JOIN (SELECT tgt_doc_id, count(*) AS n FROM e GROUP BY 1) i
        ON i.tgt_doc_id = p.doc_id"""),
+        **_pipeline_oracles(),
+    }
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    from web_graph_spark.functions.text import (count_sql, lang_guess_sql,
+                                                normalize_sql,
+                                                stopword_count_sql)
+
+    norm = normalize_sql("text")
+    n_tok = count_sql("text", r"\S+")
+    n_punct = count_sql("text", "[.,;:!?]")
+    n_digit = count_sql("text", "[0-9]")
+    dups_cte = """
+docs_dups AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, upper(text) FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zz qq ww' FROM documents
+  WHERE doc_id % 50 = 1
+)"""
+    return {
+        "text_token_stats": f"""
+SELECT doc_id,
+       CAST({n_tok} AS BIGINT) AS n_tokens,
+       CAST({count_sql('text', '[A-Za-z0-9]{1,4}')} AS BIGINT) AS n_pieces,
+       CAST(length(text) AS BIGINT) AS n_chars_m
+FROM documents""",
+        "text_quality": f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST({n_tok} AS BIGINT) AS n_tokens,
+       CAST(floor({n_punct} * 10000.0 / greatest(length(text), 1))
+            AS BIGINT) AS punct_ratio_bp,
+       CAST(floor({n_digit} * 10000.0 / greatest(length(text), 1))
+            AS BIGINT) AS digit_ratio_bp,
+       CAST(floor(({stopword_count_sql('text')}) * 10000.0
+                  / greatest({n_tok}, 1)) AS BIGINT) AS stopword_ratio_bp,
+       CAST(greatest(
+           least({n_tok}, 200) * 20
+           + floor(({stopword_count_sql('text')}) * 10000.0
+                   / greatest({n_tok}, 1))
+           - floor({n_punct} * 10000.0 / greatest(length(text), 1))
+           - floor({n_digit} * 10000.0 / greatest(length(text), 1)),
+           0) AS BIGINT) AS quality_score
+FROM documents""",
+        "text_lang_id": f"""
+SELECT doc_id, lang, {lang_guess_sql('text')} AS lang_guess
+FROM documents""",
+        "text_fingerprint": f"""
+SELECT doc_id, md5({norm}) AS fingerprint FROM documents""",
+        "dedup_exact_groups": f"""
+WITH {dups_cte}
+SELECT md5({normalize_sql('text')}) AS fingerprint,
+       count(*) AS n_dups,
+       string_agg(CAST(doc_id AS VARCHAR), ','
+                  ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
+FROM docs_dups
+GROUP BY 1 HAVING count(*) > 1""",
+        "dedup_ngram_jaccard": f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(
+      regexp_extract_all({norm}, '\\S+'))) AS word
+  FROM documents WHERE doc_id < 100
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       CAST(floor(i.n_inter * 10000.0
+                  / (sa.sz + sb.sz - i.n_inter)) AS BIGINT) AS jaccard_bp
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE floor(i.n_inter * 10000.0 / (sa.sz + sb.sz - i.n_inter)) >= 2000""",
+        "ann_cosine_topk": """
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+  FROM embeddings WHERE vec_id < 5
+),
+sims AS (
+  SELECT q.q_id, e.vec_id,
+         CAST(floor(
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_vec)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.q_vec, q.q_vec)))
+           * 1000000) AS BIGINT) AS sim_ppm
+  FROM embeddings e, q WHERE e.vec_id <> q.q_id
+),
+r AS (
+  SELECT q_id, vec_id, sim_ppm,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY sim_ppm DESC, vec_id) AS INTEGER) AS rank
+  FROM sims
+)
+SELECT q_id, rank, vec_id, sim_ppm FROM r WHERE rank <= 5""",
+        "embed_near_dup_pairs": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(floor(
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[]))))
+         * 1000000) AS BIGINT) AS sim_ppm
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE floor(
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[]))))
+         * 1000000) >= 800000""",
+        "events_sessionize": """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM s GROUP BY 1""",
+        "events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+       CAST(floor(sum(value) * 100) AS BIGINT) AS sum_value_c
+FROM events GROUP BY 1, 2""",
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty,
+       CAST(floor(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_c,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100)
+            AS BIGINT) AS sum_disc_c,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2""",
+        "topk_orders_per_cust": """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+  FROM orders
+)
+SELECT o_custkey, rank, o_orderkey,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+FROM r WHERE rank <= 3""",
     }

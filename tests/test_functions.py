@@ -1,0 +1,216 @@
+"""Validate the pipeline functions against independent brute-force
+reference implementations (pure python/numpy)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def brute_jaccard(a: str, b: str, n: int = 1) -> float:
+    def sh(t):
+        w = re.findall(r"\S+", re.sub(r"\s+", " ", t.lower()).strip())
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+    sa, sb = sh(a), sh(b)
+    if not sa and not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+@pytest.mark.spark
+def test_quality_and_tokens(spark, docs):
+    from web_graph_spark.functions.text import with_quality
+
+    rows = with_quality(docs.limit(50)).collect()
+    for r in rows:
+        toks = re.findall(r"\S+", r["text"])
+        assert r["n_tokens"] == len(toks)
+        assert r["n_chars"] == len(r["text"])
+        punct = len(re.findall(r"[.,;:!?]", r["text"]))
+        assert r["punct_ratio_bp"] == (punct * 10000) // max(len(r["text"]), 1)
+        assert 0 <= r["quality_score"]
+
+
+@pytest.mark.spark
+def test_lang_guess_deterministic(spark, docs):
+    from web_graph_spark.functions.text import LANG_MARKERS, with_lang_guess
+
+    rows = with_lang_guess(docs.limit(80)).select("text", "lang_guess").collect()
+    for r in rows:
+        low = r["text"].lower()
+        scores = {lang: sum(len(re.findall(rf"\b{m}\b", low)) for m in ms)
+                  for lang, ms in LANG_MARKERS.items()}
+        scores["zh"] = 3 * len(re.findall(r"[一-鿿]", r["text"]))
+        best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        assert r["lang_guess"] == best, (r["text"][:40], scores)
+
+
+@pytest.mark.spark
+def test_exact_dup_groups(spark):
+    from web_graph_spark.functions.dedup import exact_dup_groups
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "unique text"),
+         (4, "HELLO WORLD\n")], "doc_id long, text string")
+    rows = exact_dup_groups(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_dups"] == 3
+    assert rows[0]["doc_ids"] == "1,2,4"
+
+
+@pytest.mark.spark
+def test_jaccard_pairs_vs_bruteforce(spark, docs):
+    from web_graph_spark.functions.dedup import jaccard_pairs
+
+    sub = docs.limit(30)
+    got = {(r["id_a"], r["id_b"]): r["jaccard_bp"]
+           for r in jaccard_pairs(sub, threshold=0.2, n=1).collect()}
+    texts = {r["doc_id"]: r["text"] for r in sub.collect()}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = brute_jaccard(texts[a], texts[b])
+            expect = int(j * 10000)  # floor
+            if expect >= 2000:
+                assert (a, b) in got, (a, b, j)
+                assert abs(got[(a, b)] - expect) <= 1
+            else:
+                assert (a, b) not in got or got[(a, b)] >= 2000
+
+
+def _perturb(text: str, frac: float, seed: int) -> str:
+    rng = np.random.RandomState(seed)
+    words = text.split()
+    k = max(1, int(len(words) * frac))
+    for i in rng.choice(len(words), k, replace=False):
+        words[i] = f"tok{rng.randint(1e6)}"
+    return " ".join(words)
+
+
+@pytest.mark.spark
+def test_minhash_near_dups_recall(spark, docs):
+    from web_graph_spark.functions.dedup import minhash_near_dups
+
+    base = [r["text"] for r in docs.limit(40).collect()]
+    rows, truth_pairs = [], []
+    for i, t in enumerate(base):
+        rows.append((i * 2, t))
+        rows.append((i * 2 + 1, _perturb(t, 0.05, seed=i)))  # near-dup
+        truth_pairs.append((i * 2, i * 2 + 1))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"])
+           for r in minhash_near_dups(df, threshold=0.5).collect()}
+    recall = sum(p in got for p in truth_pairs) / len(truth_pairs)
+    assert recall >= 0.9, recall
+    # precision: flagged pairs must be genuinely similar
+    texts = dict(rows)
+    for (a, b) in got:
+        assert brute_jaccard(texts[a], texts[b], n=3) >= 0.2, (a, b)
+
+
+@pytest.mark.spark
+def test_simhash_pairs(spark, docs):
+    from web_graph_spark.functions.dedup import simhash_pairs
+
+    base = [r["text"] for r in docs.limit(20).collect()]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 2, t))
+        rows.append((i * 2 + 1, _perturb(t, 0.02, seed=100 + i)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_pairs(df, max_dist=6).collect()}
+    hits = sum((i * 2, i * 2 + 1) in got for i in range(len(base)))
+    assert hits / len(base) >= 0.7, (hits, len(base))
+    for (a, b), d in got.items():
+        assert 0 <= d <= 6
+
+
+@pytest.mark.spark
+def test_cosine_topk_vs_numpy(spark):
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    got = cosine_topk(emb, queries, k=5).collect()
+    rows = emb.collect()
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"]))
+    for q in range(5):
+        qi = int(np.where(ids == q)[0][0])
+        sims = Mn @ Mn[qi]
+        order = sorted(zip(-sims, ids), key=lambda t: (t[0], t[1]))
+        expect = [int(i) for s, i in order if i != q][:5]
+        gotq = [v for _, v in sorted(by_q[q])]
+        assert gotq == expect, (q, gotq, expect)
+
+
+@pytest.mark.spark
+def test_lsh_ann_recall(spark):
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.similarity import cosine_topk, lsh_ann_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    exact = cosine_topk(emb, queries, k=10).collect()
+    # collision prob per table ≈ (1-θ/π)^n_bits — 4 bits × 16 tables
+    # gives high recall at moderate candidate volume on 500 items
+    approx = lsh_ann_topk(emb, queries, dim=64, k=10, n_bits=4,
+                          n_tables=16).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for r in approx:
+        ap.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+@pytest.mark.spark
+def test_media_plumbing(spark, docs):
+    from web_graph_spark.functions.media import (extract_features,
+                                                 frame_sample, make_media_df)
+
+    media = make_media_df(spark, docs.limit(30))
+    feats = extract_features(media, mode="fake", feat_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r["feat"]) == 8
+        assert all(0.0 <= v <= 1.0 for v in r["feat"])
+        assert len(r["sha"]) == 40 and r["n_bytes"] > 0
+    # determinism across runs
+    again = {r["media_id"]: r["feat"] for r in
+             extract_features(media, mode="fake", feat_dim=8).collect()}
+    assert all(again[r["media_id"]] == r["feat"] for r in rows)
+    # strict mode surfaces the stubbed codec boundary
+    import py4j.protocol
+    with pytest.raises(Exception) as ei:
+        extract_features(media, mode="strict").collect()
+    assert "NotImplementedError" in str(ei.value) or \
+           "media codecs" in str(ei.value)
+    fs = frame_sample(media, every_ms=500)
+    fr = fs.collect()
+    vids = [r for r in media.collect() if r["kind"] == "video"]
+    assert len(fr) == sum(r["meta"]["duration_ms"] // 500 + 1 for r in vids)

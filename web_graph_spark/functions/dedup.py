@@ -1,0 +1,202 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five tiers, from exact to fuzzy — each designed Spark-first:
+
+* exact          : md5 fingerprint groupBy (hash-shuffle on digest —
+                   uniform keys, no skew)
+* n-gram Jaccard : shingle-set self-join (exact pairwise similarity;
+                   the correctness baseline for the approximate tiers)
+* MinHash + LSH  : signatures with xxhash64 (JVM, codegen) → banded
+                   bucket join → verify.  The 100 TB path: candidate
+                   generation touches only same-bucket pairs, never the
+                   O(n²) cross product.
+* SimHash        : 64-bit fingerprints (vectorized pandas UDF, numpy) →
+                   pigeonhole chunk join → bit_count(xor) ≤ k (JVM).
+* embedding      : cosine near-dup over array<float> — see similarity.py
+                   for the shared kernels.
+
+All randomness is hash-derived (xxhash64 / seeded numpy) — fully
+deterministic across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text, with_fingerprint
+
+TOKEN_RE = r"\S+"
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(fingerprint, n_dups, doc_ids csv) for every duplicated normal
+    form (D5-style batch dedupe applied to documents)."""
+    fp = with_fingerprint(df, text_col)
+    return (fp.groupBy("fingerprint")
+            .agg(F.count("*").alias("n_dups"),
+                 F.array_join(F.sort_array(F.collect_list(
+                     F.col(id_col).cast("string"))), ",").alias("doc_ids"))
+            .filter(F.col("n_dups") > 1))
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    return F.regexp_extract_all(normalize_text(F.col(text_col)),
+                                F.lit(TOKEN_RE), 0)
+
+
+def shingles_col(n: int, text_col: str = "text") -> Column:
+    """Word n-gram shingles (distinct), built with higher-order array
+    functions — no UDF."""
+    w = tokens_col(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n))))
+
+
+def jaccard_pairs(df: DataFrame, threshold: float, n: int = 1,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle
+    (id_a < id_b, sim ≥ threshold).  Exact but O(pairs-sharing-a-
+    shingle) — the baseline the LSH tier is validated against."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingles_col(n, text_col).alias("sh"))
+    sizes = sh.select("id", F.size("sh").alias("sz"))
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("n_inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed("id", "id_a")
+                      .withColumnRenamed("sz", "sz_a"), "id_a")
+           .join(sizes.withColumnRenamed("id", "id_b")
+                      .withColumnRenamed("sz", "sz_b"), "id_b")
+           .withColumn("jaccard_bp",
+                       F.floor(F.col("n_inter") * 10000
+                               / (F.col("sz_a") + F.col("sz_b")
+                                  - F.col("n_inter"))).cast("long")))
+    return out.filter(F.col("jaccard_bp") >= int(threshold * 10000)) \
+              .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", "jaccard_bp")
+
+
+def minhash_signatures(df: DataFrame, n_hashes: int = 64, shingle_n: int = 3,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, sig: array<long>[n_hashes]) — sig[j] = min over shingles of
+    xxhash64(j, shingle).  Entirely JVM-side (codegen'd lambda)."""
+    sh = shingles_col(shingle_n, text_col)
+    sig = F.transform(
+        F.sequence(F.lit(1), F.lit(n_hashes)),
+        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(j, s))))
+    return df.select(F.col(id_col).alias("id"),
+                     F.when(F.size(sh) > 0, sig).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
+    """Band the signature, bucket-join: a pair is a candidate iff some
+    band hashes equal.  Shuffle key = (band_idx, band_hash) — uniform."""
+    n_hashes_col = F.size("sig")
+    rows_per_band = F.floor(n_hashes_col / bands).cast("int")
+    banded = (sigs.filter(F.col("sig").isNotNull())
+              .select("id", F.posexplode(F.transform(
+                  F.sequence(F.lit(0), F.lit(bands - 1)),
+                  lambda b: F.xxhash64(F.slice(
+                      "sig", b * rows_per_band + 1, rows_per_band))))
+                  .alias("band_idx", "band_hash")))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+
+
+def minhash_near_dups(df: DataFrame, threshold: float = 0.7,
+                      n_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """MinHash-LSH candidates verified by exact signature agreement
+    rate (estimates Jaccard): (id_a, id_b, est_jaccard_bp)."""
+    sigs = minhash_signatures(df, n_hashes, shingle_n, id_col, text_col)
+    cand = lsh_candidate_pairs(sigs, bands)
+    sa = sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
+    sb = sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
+    est = (cand.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("n_agree", F.size(F.filter(
+               F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+               lambda v: v)))
+           .withColumn("est_jaccard_bp",
+                       F.floor(F.col("n_agree") * 10000 / n_hashes)
+                        .cast("long")))
+    return (est.filter(F.col("est_jaccard_bp") >= int(threshold * 10000))
+            .select("id_a", "id_b", "est_jaccard_bp"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_udf():
+    """tokens array<string> → 64-bit simhash (vectorized numpy inside
+    an Arrow-batched pandas UDF; per-token hash = blake2b-derived)."""
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def _simhash(tokens: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for toks in tokens:
+            if toks is None or len(toks) == 0:
+                out.append(0)
+                continue
+            hs = np.array(
+                [int.from_bytes(hashlib.blake2b(
+                    t.encode(), digest_size=8).digest(), "big")
+                 for t in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+            v = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            sh = np.uint64(0)
+            for i in range(64):
+                if v[i] > 0:
+                    sh |= np.uint64(1) << np.uint64(i)
+            out.append(int(sh.astype(np.int64)))
+        return pd.Series(out)
+
+    return _simhash
+
+
+def simhash_pairs(df: DataFrame, max_dist: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_dist.  Candidate
+    generation by pigeonhole: split 64 bits into max_dist+1 chunks —
+    any pair within distance shares ≥1 exact chunk; join on chunk
+    (uniform key), verify with JVM bit_count(xor)."""
+    n_chunks = max_dist + 1
+    chunk_bits = 64 // n_chunks
+    sh = df.select(F.col(id_col).alias("id"),
+                   simhash_udf()(tokens_col(text_col)).alias("sh"))
+    mask = (1 << chunk_bits) - 1
+    chunk_exprs = [F.shiftrightunsigned(F.col("sh"), c * chunk_bits)
+                    .bitwiseAND(F.lit(mask)) for c in range(n_chunks)]
+    chunks = sh.select("id", "sh", F.posexplode(F.array(*chunk_exprs))
+                       .alias("chunk_idx", "chunk_val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+                   & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+            .distinct())
+    return (cand.withColumn("hamming", F.bit_count(
+                F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+            .filter(F.col("hamming") <= max_dist)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,147 @@
+"""Text analysis over the ``documents`` table — all JVM-side built-ins
+(whole-stage codegen; no Python in the hot path).
+
+Ratios are exposed as ``floor(ratio * 10000)`` integers so the DuckDB
+oracle compares exactly (no cross-engine float-rounding hazards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+# language marker words (word-boundary counted); text here is synthetic
+# word soup, so this is a deterministic heuristic, not a real classifier.
+LANG_MARKERS = {
+    "de": ("der", "und", "die", "das"),
+    "en": ("the", "and", "is", "of"),
+    "es": ("el", "la", "los", "las"),
+    "fr": ("le", "et", "les", "des"),
+}
+
+PUNCT_CLASS = r"[.,;:!?]"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization via non-overlapping \\S+ matches —
+    identical to DuckDB ``len(regexp_extract_all(text, '\\S+'))``."""
+    return F.regexp_count(text, F.lit(r"\S+"))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-ish sub-word proxy: count word pieces of ≤4 chars after
+    splitting on non-alphanumerics (deterministic, JVM-side)."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z0-9]{1,4}"))
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """length / punctuation / stopword / digit ratios → 0-10000 ints +
+    a composite quality score."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = F.regexp_count(t, F.lit(PUNCT_CLASS))
+    n_digit = F.regexp_count(t, F.lit(r"[0-9]"))
+    n_stop = sum((F.regexp_count(F.lower(t), F.lit(rf"\b{w}\b"))
+                  for w in STOPWORDS), F.lit(0))
+    r = lambda num, den: F.floor(num * 10000 / F.greatest(den, F.lit(1))) \
+        .cast("long")
+    out = (df.withColumn("n_chars", n_chars.cast("long"))
+             .withColumn("n_tokens", n_tokens.cast("long"))
+             .withColumn("punct_ratio_bp", r(n_punct, n_chars))
+             .withColumn("digit_ratio_bp", r(n_digit, n_chars))
+             .withColumn("stopword_ratio_bp", r(n_stop, n_tokens)))
+    # composite: reward stopword density + length, penalize punct/digit
+    score = (F.least(F.col("n_tokens"), F.lit(200)) * 20
+             + F.col("stopword_ratio_bp")
+             - F.col("punct_ratio_bp") - F.col("digit_ratio_bp"))
+    return out.withColumn("quality_score", F.greatest(score, F.lit(0))
+                          .cast("long"))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    low = F.lower(text)
+    scores = {
+        lang: sum((F.regexp_count(low, F.lit(rf"\b{m}\b")) for m in ms),
+                  F.lit(0))
+        for lang, ms in LANG_MARKERS.items()
+    }
+    scores["zh"] = F.regexp_count(text, F.lit(r"[一-鿿]")) * 3
+    return scores
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """argmax over marker-hit counts; ties break alphabetically
+    (identical CASE-chain semantics in the DuckDB oracle)."""
+    s = lang_scores(F.col(text_col))
+    langs = sorted(s)  # alphabetical precedence on ties
+    guess = None
+    for lang in langs:
+        # winner iff ≥ every later lang and > every earlier lang —
+        # exactly one lang satisfies this (argmax, alphabetical ties)
+        cond = F.lit(True)
+        for other in langs:
+            if other == lang:
+                continue
+            ge = (s[lang] >= s[other]) if other > lang else (s[lang] > s[other])
+            cond = cond & ge
+        guess = F.when(cond, F.lit(lang)) if guess is None \
+            else guess.when(cond, F.lit(lang))
+    return df.withColumn("lang_guess", guess)
+
+
+def normalize_text(text: Column) -> Column:
+    """lowercase + collapse whitespace + trim (dedupe normal form)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text",
+                     out_col: str = "fingerprint") -> DataFrame:
+    """Content fingerprint = md5 of the normal form (X1-style identity
+    for documents; md5 so the DuckDB oracle can reproduce it)."""
+    return df.withColumn(out_col, F.md5(normalize_text(F.col(text_col))))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL mirrors (generated from the same constants so the
+# two dialects cannot drift)
+# ---------------------------------------------------------------------------
+
+def count_sql(expr: str, pattern: str) -> str:
+    """DuckDB mirror of F.regexp_count."""
+    return f"len(regexp_extract_all({expr}, '{pattern}'))"
+
+
+def normalize_sql(expr: str = "text") -> str:
+    return f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+
+
+def stopword_count_sql(expr: str = "text") -> str:
+    return " + ".join(count_sql(f"lower({expr})", rf"\b{w}\b")
+                      for w in STOPWORDS)
+
+
+def lang_scores_sql(expr: str = "text") -> dict[str, str]:
+    s = {lang: "(" + " + ".join(count_sql(f"lower({expr})", rf"\b{m}\b")
+                                for m in ms) + ")"
+         for lang, ms in LANG_MARKERS.items()}
+    s["zh"] = f"(3 * {count_sql(expr, '[一-鿿]')})"
+    return s
+
+
+def lang_guess_sql(expr: str = "text") -> str:
+    """CASE chain mirroring with_lang_guess (argmax, alphabetical ties)."""
+    s = lang_scores_sql(expr)
+    langs = sorted(s)
+    whens = []
+    for lang in langs:
+        conds = []
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">=" if other > lang else ">"
+            conds.append(f"{s[lang]} {op} {s[other]}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " END"
