@@ -1,0 +1,121 @@
+"""Probabilistic seen-set tiers (operators/seen.py): no false
+negatives ever; FP rate within bound; bloom-accelerated anti-join is
+bit-identical to the exact anti-join (D1); cuckoo supports delete."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from web_graph_spark.operators.seen import (BloomFilter, CuckooFilter,
+                                            PartitionedCuckooSeen,
+                                            anti_join_bloom, build_bloom)
+
+
+def keys(prefix: str, n: int) -> pd.Series:
+    return pd.Series([f"{prefix}-{i:06d}" for i in range(n)])
+
+
+# ---------------------------------------------------------------------------
+# pure-python units
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    ins, probe = keys("in", 20000), keys("out", 20000)
+    bf = BloomFilter.sized(20000, fpp=0.01)
+    bf.add(ins)
+    assert bf.might_contain(ins).all()
+    fp_rate = bf.might_contain(probe).mean()
+    assert fp_rate < 0.02, fp_rate
+
+
+def test_bloom_merge_is_union():
+    a, b = BloomFilter.sized(1000, 0.01), BloomFilter.sized(1000, 0.01)
+    ka, kb = keys("a", 500), keys("b", 500)
+    a.add(ka)
+    b.add(kb)
+    a.merge(b)
+    assert a.might_contain(ka).all() and a.might_contain(kb).all()
+
+
+def test_cuckoo_membership_and_fp_bound():
+    ins, probe = keys("in", 30000), keys("out", 30000)
+    cf = CuckooFilter.sized(30000)
+    assert cf.insert(ins) == 0
+    assert cf.contains(ins).all()
+    fp_rate = cf.contains(probe).mean()
+    assert fp_rate < 0.002, fp_rate  # ~1.2e-4 expected
+
+
+def test_cuckoo_delete():
+    cf = CuckooFilter.sized(1000)
+    ks = keys("k", 1000)
+    assert cf.insert(ks) == 0
+    gone = ks[:300]
+    assert cf.delete(gone) == 300
+    # deleted keys may still FP via other keys' fingerprints, but the
+    # overwhelming majority must be gone; survivors must all remain.
+    assert cf.contains(ks[300:]).all()
+    assert cf.contains(gone).mean() < 0.01
+
+
+def test_cuckoo_idempotent_insert():
+    cf = CuckooFilter.sized(100)
+    ks = keys("k", 50)
+    cf.insert(ks)
+    before = cf.table.copy()
+    cf.insert(ks)  # duplicate insert is a no-op (already present)
+    assert (cf.table == before).all()
+
+
+# ---------------------------------------------------------------------------
+# spark integration
+# ---------------------------------------------------------------------------
+
+@pytest.mark.spark
+def test_anti_join_bloom_equals_exact(spark):
+    cand = spark.range(0, 5000).select(
+        F.sha1(F.col("id").cast("string")).alias("page_id"))
+    seen = spark.range(0, 3000, 2).select(  # every even id < 3000
+        F.sha1(F.col("id").cast("string")).alias("page_id"))
+    exact = {r["page_id"] for r in
+             cand.join(seen, "page_id", "left_anti").collect()}
+    fast = {r["page_id"] for r in
+            anti_join_bloom(spark, cand, seen, "page_id").collect()}
+    assert fast == exact
+    assert len(fast) == 5000 - 1500
+
+
+@pytest.mark.spark
+def test_build_bloom_distributed_matches_local(spark):
+    df = spark.range(0, 4000).select(
+        F.concat(F.lit("u-"), F.col("id")).alias("k")).repartition(8)
+    bf = build_bloom(df, "k", expected=4000, fpp=0.01)
+    local = pd.Series([f"u-{i}" for i in range(4000)])
+    assert bf.might_contain(local).all()
+    other = pd.Series([f"v-{i}" for i in range(4000)])
+    assert bf.might_contain(other).mean() < 0.02
+
+
+@pytest.mark.spark
+def test_partitioned_cuckoo_probe(spark):
+    seen = spark.range(0, 6000).select(
+        F.concat(F.lit("s-"), F.col("id")).alias("page_id")).repartition(8)
+    pc = PartitionedCuckooSeen(n_parts=8, expected_per_part=2000)
+    states = pc.build(seen, "page_id").persist()
+    st = states.collect()
+    assert {int(r["shard"]) for r in st} == set(range(8))
+    assert sum(r["n_keys"] for r in st) == 6000
+
+    cand = spark.range(0, 12000).select(
+        F.concat(F.lit("s-"), F.col("id")).alias("page_id"))
+    probed = pc.probe(spark, states, cand, "page_id").collect()
+    res = {r["page_id"]: r["maybe_seen"] for r in probed}
+    # no false negatives
+    assert all(res[f"s-{i}"] for i in range(6000))
+    # FP bound on the unseen half
+    fp = np.mean([res[f"s-{i}"] for i in range(6000, 12000)])
+    assert fp < 0.002, fp
+    states.unpersist()
