@@ -148,6 +148,23 @@ def q_crawl_frontier_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("seq", F.col("tgt_doc_id").alias("doc_id"), "check_id"))
 
 
+def q_crawl_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star robots gate: broadcast prefix rules (RFC 9309
+    longest-match, allow wins ties) evaluated for every derived page in
+    one Arrow-vectorized pandas UDF (operators/robots.py)."""
+    from web_graph_spark.operators.robots import with_robots_allowed
+
+    rules = spark.createDataFrame(
+        [("h00.example.test", "disallow", "/d/1", 0.5),
+         ("h00.example.test", "allow", "/d/12", 0.5),   # longer → overrides
+         ("h01.example.test", "disallow", "/d/", 1.0)],
+        "host string, rule_type string, path_prefix string, "
+        "crawl_delay double")
+    pages = webgen.pages_df(spark, sf_dir)
+    return (with_robots_allowed(spark, pages, rules)
+            .select("doc_id", "host", "path", "robots_allowed"))
+
+
 def q_graph_links_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 GetLinksFrom(41, 100): distinct out-neighbors, limit 100."""
     return (webgen.links_full_df(spark, sf_dir)
@@ -401,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_admission_stats": q_crawl_admission_stats,
         "crawl_seen_antijoin": q_crawl_seen_antijoin,
         "crawl_frontier_wave": q_crawl_frontier_wave,
+        "crawl_robots_eval": q_crawl_robots_eval,
         "graph_links_from": q_graph_links_from,
         "graph_links_to": q_graph_links_to,
         "graph_page_composite": q_graph_page_composite,
@@ -456,6 +474,13 @@ WHERE l.k % 4 <> 0
 SELECT CAST(row_number() OVER (ORDER BY ord) - 1 AS INTEGER) AS seq,
        tgt_doc_id AS doc_id, tgt_check_id AS check_id
 FROM first""", seeds=True),
+        "crawl_robots_eval": _oracle("""
+SELECT doc_id, host, path,
+       CASE WHEN host = 'h00.example.test' AND path LIKE '/d/12%' THEN TRUE
+            WHEN host = 'h00.example.test' AND path LIKE '/d/1%' THEN FALSE
+            WHEN host = 'h01.example.test' AND path LIKE '/d/%' THEN FALSE
+            ELSE TRUE END AS robots_allowed
+FROM web_pages"""),
         "graph_links_from": _oracle("""
 SELECT DISTINCT tgt_doc_id AS to_doc_id FROM web_links_full
 WHERE src_doc_id = 41 AND k % 4 <> 0 ORDER BY 1 LIMIT 100"""),

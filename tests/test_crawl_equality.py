@@ -12,25 +12,31 @@ from web_graph_spark.crawler import SparkCrawler, load_web
 
 
 def run_engine(spark, fixture_dir, state_dir, default_budget=None,
-               max_waves=500):
+               max_waves=500, with_robots=False):
     from web_graph_spark.crawler import UNBOUNDED
 
     web = load_web(spark, fixture_dir)
     seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+    robots = (spark.read.parquet(f"{fixture_dir}/robots_rules.parquet")
+              if with_robots else None)
     c = SparkCrawler(spark, str(state_dir), web,
                      default_budget=default_budget or UNBOUNDED,
-                     max_waves=max_waves)
+                     max_waves=max_waves, robots=robots)
     c.init_from_seeds(seeds)
     c.run()
     return c
 
 
-def run_oracle(fixture_dir, default_budget=None, max_waves=500):
+def run_oracle(fixture_dir, default_budget=None, max_waves=500,
+               with_robots=False):
+    from web_graph_spark.operators.robots import load_rules_py
+
     web = fixtures.load_web_py(fixture_dir)
     seeds = fixtures.load_seeds_py(fixture_dir)
+    robots = load_rules_py(fixture_dir) if with_robots else None
     return oracle.simulate_crawl(
         web, seeds, default_budget=default_budget or (1 << 60),
-        max_waves=max_waves)
+        max_waves=max_waves, robots=robots)
 
 
 def assert_equal_states(c: SparkCrawler, o: oracle.CrawlResult):

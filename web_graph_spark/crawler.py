@@ -59,13 +59,17 @@ class WaveMetrics:
     n_edges_new: int
     n_pages_new: int
     n_enqueued: int
+    n_blocked: int
     wall_ms: float
 
 
 class SparkCrawler:
     def __init__(self, spark: SparkSession, state_dir: str, web: DataFrame,
                  budgets: DataFrame | None = None,
-                 default_budget: int = UNBOUNDED, max_waves: int = 100):
+                 default_budget: int = UNBOUNDED, max_waves: int = 100,
+                 robots: DataFrame | None = None):
+        from .operators.robots import compile_rules
+
         self.spark = spark
         self.store = WaveStore(spark, state_dir)
         self.web = web
@@ -73,6 +77,10 @@ class SparkCrawler:
         self.default_budget = default_budget
         self.max_waves = max_waves
         self.metrics: list[WaveMetrics] = []
+        # robots is a broadcast dim by construction (≤ rules × hosts):
+        # compiled once driver-side, broadcast to executors per wave.
+        self._robots = (compile_rules(r.asDict() for r in robots.collect())
+                        if robots is not None else None)
 
     # ------------------------------------------------------------------
     def init_from_seeds(self, seeds: DataFrame) -> None:
@@ -128,18 +136,43 @@ class SparkCrawler:
         flog = store.read("frontier_log", max_wave=wave - 1)
 
         pending = flog.join(seen, "page_id", "left_anti")
+
+        # robots gate (north_star): broadcast rules, Arrow-vectorized
+        # verdict; disallowed rows leave the frontier into `seen`
+        # un-fetched (rule refresh between waves stays possible).
+        blocked = None
+        n_blocked = 0
+        if self._robots:
+            from .operators.robots import robots_eval_udf
+
+            ok = robots_eval_udf(self.spark, self._robots)
+            marked = pending.withColumn(
+                "__ok", ok(F.col("host"), F.col("path")))
+            blocked = marked.filter(~F.col("__ok")).select("page_id").persist()
+            n_blocked = blocked.count()
+            pending = marked.filter(F.col("__ok")).drop("__ok")
+
         scheduled, _cap = schedule_wave(pending, self.budgets,
                                         self.default_budget)
         scheduled = scheduled.persist()
         n_sched = scheduled.count()
         n_pending = pending.count()
         if n_sched == 0:
+            if n_blocked:
+                store.write("seen", blocked, wave)
+                store.commit(wave, next_seq=next_seq, scheduled=0,
+                             enqueued=0, blocked=n_blocked)
+            if blocked is not None:
+                blocked.unpersist()
             scheduled.unpersist()
             return 0, next_seq
 
-        # crawl order + seen (D2)
+        # crawl order + seen (D2; blocked ids join seen un-crawled)
         store.write("crawl_order", scheduled.select("seq", "page_id"), wave)
-        store.write("seen", scheduled.select("page_id"), wave)
+        seen_add = scheduled.select("page_id")
+        if blocked is not None:
+            seen_add = seen_add.unionByName(blocked)
+        store.write("seen", seen_add, wave)
 
         # synthetic fetch (J7): frontier ⋈ web on the uniform sha1 key
         web = self.web
@@ -240,7 +273,8 @@ class SparkCrawler:
             F.col("wave") == wave).count()
         wall_ms = (time.monotonic() - t0) * 1000
         m = WaveMetrics(wave, n_pending, n_sched, n_expanded, n_links,
-                        n_edges_new, n_pages_new, n_enqueued, wall_ms)
+                        n_edges_new, n_pages_new, n_enqueued, n_blocked,
+                        wall_ms)
         self.metrics.append(m)
         mrows = [("wave", -1, k, float(v)) for k, v in vars(m).items()
                  if k != "wave"]
@@ -256,4 +290,6 @@ class SparkCrawler:
         targets.unpersist()
         links.unpersist()
         scheduled.unpersist()
+        if blocked is not None:
+            blocked.unpersist()
         return n_sched, next_seq

@@ -78,6 +78,10 @@ def generate_fixtures(out_dir: str, seed: int = 42, n_pages: int = 500,
         dirs = rng.sample(DIRS, k=ndirs) if ndirs else []
         ext = rng.choices([".html", ".htm", ""], [0.60, 0.15, 0.25])[0]
         path = "/" + "/".join([*dirs, f"p{i:03d}{ext}"])
+        # rule-bearing hosts get a /private subtree (robots coverage);
+        # /private/news on hosts[0] is re-allowed by a longer rule.
+        if host in hosts[:4] and rng.random() < 0.18:
+            path = "/private" + path
         pid = page_id_of(host, path)
         if pid in pages:
             continue
@@ -180,6 +184,9 @@ def generate_fixtures(out_dir: str, seed: int = 42, n_pages: int = 500,
                                 path_prefix="/private", crawl_delay=1.0))
         robots_rows.append(dict(host=h, rule_type="allow",
                                 path_prefix="/", crawl_delay=1.0))
+    # longest-match override: /private/news re-allowed on hosts[0]
+    robots_rows.append(dict(host=hosts[0], rule_type="allow",
+                            path_prefix="/private/news", crawl_delay=1.0))
 
     # ---- write ---------------------------------------------------------
     pq.write_table(

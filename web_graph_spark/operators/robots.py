@@ -1,0 +1,125 @@
+"""Robots-rule evaluation: broadcast prefix rules, vectorized verdicts.
+
+The reference crawler has NO robots handling (its politeness surface is
+client timeouts + a 2-worker cap, /root/reference/pkg/linkprocessor/
+linkprocessor.go:51-75); robots evaluation is a north_star requirement:
+"robots.txt rules broadcast and evaluated in vectorized Arrow UDFs".
+
+Rules model (the ``robots_rules`` fixture table, FIXTURES.md):
+``(host, rule_type 'allow'|'disallow', path_prefix, crawl_delay)`` —
+one pre-parsed user-agent group per host (parsing robots.txt text is a
+fetch-side concern; the engine consumes the parsed rule relation, the
+same split the reference makes between fetching and storage).
+
+Decision semantics = RFC 9309 §2.2.2 longest-match:
+
+* among the host's rules whose ``path_prefix`` is a prefix of the
+  page path, the LONGEST prefix wins;
+* at equal length, ``allow`` wins;
+* no matching rule, or no rules for the host → allowed.
+
+Physical shape at 100 TB: the rule relation is tiny relative to the
+frontier (≤ a few rules × distinct hosts), so it is compiled to a
+``{host: [(prefix, allow)]}`` dict, broadcast once per wave, and probed
+in ONE Arrow-batched pandas UDF — per batch the work is
+(rules-of-host × batch-slice) vectorized ``str.startswith`` scans, no
+per-row Python, no shuffle, no join.  A frontier of 10^10 URLs pays
+only the map-side scan it already needed for canonicalization.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# host -> rules sorted (longest prefix first, allow before disallow at
+# equal length) so that FIRST match wins during evaluation.
+CompiledRules = dict[str, list[tuple[str, bool]]]
+
+
+def compile_rules(rows: Iterable[Mapping]) -> CompiledRules:
+    """rows: mappings with host / rule_type / path_prefix."""
+    by_host: CompiledRules = {}
+    for r in rows:
+        allow = str(r["rule_type"]).lower() == "allow"
+        by_host.setdefault(r["host"], []).append(
+            (str(r["path_prefix"]), allow))
+    for host in by_host:
+        by_host[host].sort(key=lambda pa: (-len(pa[0]), not pa[1]))
+    return by_host
+
+
+def allowed_py(rules: CompiledRules, host: str, path: str) -> bool:
+    """Scalar twin of the vectorized UDF — used by the oracle simulator
+    (tests assert the two tiers agree on every fixture page)."""
+    for prefix, allow in rules.get(host, ()):
+        if path.startswith(prefix):
+            return allow
+    return True
+
+
+def load_rules_py(fixture_dir: str) -> CompiledRules:
+    import pyarrow.parquet as pq
+
+    return compile_rules(
+        pq.read_table(f"{fixture_dir}/robots_rules.parquet").to_pylist())
+
+
+def _eval_batch(rules: CompiledRules, hosts: pd.Series,
+                paths: pd.Series) -> pd.Series:
+    verdict = np.ones(len(hosts), dtype=bool)
+    if not rules or not len(hosts):
+        return pd.Series(verdict)
+    h = hosts.to_numpy(dtype=object)
+    p = paths.astype(str).reset_index(drop=True)
+    # one slice per distinct host in the batch; per rule a vectorized
+    # startswith over that slice; first (longest) match wins.
+    for host in pd.unique(h):
+        host_rules = rules.get(host)
+        if not host_rules:
+            continue
+        pos = np.nonzero(h == host)[0]
+        ps = p.iloc[pos]
+        undecided = np.ones(len(pos), dtype=bool)
+        out = np.ones(len(pos), dtype=bool)
+        for prefix, allow in host_rules:
+            hit = undecided & ps.str.startswith(prefix).to_numpy()
+            if hit.any():
+                out[hit] = allow
+                undecided &= ~hit
+                if not undecided.any():
+                    break
+        verdict[pos] = out
+    return pd.Series(verdict)
+
+
+def robots_eval_udf(spark, rules: CompiledRules):
+    """Arrow-vectorized (host, path) -> allowed:boolean with the
+    compiled rules broadcast to every executor."""
+    b = spark.sparkContext.broadcast(rules)
+
+    @F.pandas_udf("boolean")
+    def allowed(hosts: pd.Series, paths: pd.Series) -> pd.Series:
+        return _eval_batch(b.value, hosts, paths)
+
+    return allowed
+
+
+def with_robots_allowed(spark, df: DataFrame, rules_df: DataFrame | None,
+                        host_col: str | Column = "host",
+                        path_col: str | Column = "path",
+                        out_col: str = "robots_allowed") -> DataFrame:
+    """Append the robots verdict column.  ``rules_df`` is the small rule
+    relation (collected driver-side once — it is a broadcast dim by
+    construction); None ≡ no rules ≡ everything allowed."""
+    if rules_df is None:
+        return df.withColumn(out_col, F.lit(True))
+    rules = compile_rules(r.asDict() for r in rules_df.collect())
+    udf = robots_eval_udf(spark, rules)
+    host = F.col(host_col) if isinstance(host_col, str) else host_col
+    path = F.col(path_col) if isinstance(path_col, str) else path_col
+    return df.withColumn(out_col, udf(host, path))

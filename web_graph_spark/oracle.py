@@ -68,9 +68,14 @@ class CrawlResult:
 def simulate_crawl(web: dict, seeds: list[dict],
                    budgets: dict[str, int] | None = None,
                    default_budget: int = 1 << 60,
-                   max_waves: int = 100) -> CrawlResult:
+                   max_waves: int = 100,
+                   robots: dict | None = None) -> CrawlResult:
     """web: {page_id: {url, host, path, content_type, fetch_ok, spans}};
-    seeds: [{seq, url}] sorted by seq."""
+    seeds: [{seq, url}] sorted by seq; robots: CompiledRules (evaluated
+    at schedule time — disallowed rows leave the frontier, join the
+    seen set, and are never fetched; rule set may change between waves)."""
+    from .operators.robots import allowed_py
+
     budgets = budgets or {}
     res = CrawlResult()
     frontier: dict[str, dict] = {}  # page_id -> row(seq,url,host,path,depth)
@@ -91,6 +96,12 @@ def simulate_crawl(web: dict, seeds: list[dict],
         if not frontier:
             break
         res.waves = wave + 1
+        if robots:
+            blocked = [pid for pid, row in frontier.items()
+                       if not allowed_py(robots, row["host"], row["path"])]
+            for pid in blocked:
+                res.seen.add(pid)
+                del frontier[pid]
         # politeness scheduling: per host, lowest-seq `budget` rows
         by_host: dict[str, list[tuple[str, dict]]] = {}
         for pid, row in frontier.items():
