@@ -1,0 +1,93 @@
+"""Checkpoint/resume (T5, north_rule): a crawl killed after wave k and
+resumed must reach exactly the final state of an uninterrupted run —
+manifests gate visibility, uncommitted partitions are swept on open,
+and re-running a finished crawl is a no-op.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from web_graph_spark import fixtures
+from web_graph_spark.crawler import SparkCrawler, load_web
+from web_graph_spark.storage import WaveStore
+from tests.test_crawl_equality import run_oracle, assert_equal_states
+
+
+@pytest.fixture(scope="module")
+def small_fix(tmp_path_factory):
+    d = tmp_path_factory.mktemp("resumefix")
+    fixtures.generate_fixtures(str(d), seed=42, n_pages=70, n_hosts=8)
+    return str(d)
+
+
+def _crawler(spark, small_fix, state_dir, max_waves=500):
+    web = load_web(spark, small_fix)
+    seeds = spark.read.parquet(f"{small_fix}/seeds.parquet")
+    c = SparkCrawler(spark, str(state_dir), web, default_budget=3,
+                     max_waves=max_waves)
+    c.init_from_seeds(seeds)
+    return c
+
+
+@pytest.mark.spark
+def test_kill_and_resume_equals_oracle(spark, small_fix, tmp_path):
+    state = tmp_path / "state"
+
+    # phase 1: run only 2 waves, then "die"
+    c1 = _crawler(spark, small_fix, state, max_waves=2)
+    c1.run()
+    assert c1.store.committed_wave() == 1
+
+    # simulate a crash mid-wave-2: leftover partition dirs with NO
+    # manifest must be swept when the store reopens
+    for table in ("seen", "frontier_log"):
+        src = os.path.join(state, table, "wave=1")
+        junk = os.path.join(state, table, "wave=2")
+        shutil.copytree(src, junk)
+    assert os.path.isdir(os.path.join(state, "seen", "wave=2"))
+
+    # phase 2: fresh crawler over the same state dir resumes at wave 2
+    c2 = _crawler(spark, small_fix, state, max_waves=500)
+    assert not os.path.isdir(os.path.join(state, "seen", "wave=2")) or \
+        c2.store.committed_wave() >= 2  # swept before any new commit
+    c2.run()
+
+    o = run_oracle(small_fix, default_budget=3)
+    assert_equal_states(c2, o)
+
+
+@pytest.mark.spark
+def test_rerun_finished_crawl_is_noop(spark, small_fix, tmp_path):
+    state = tmp_path / "state"
+    c1 = _crawler(spark, small_fix, state)
+    waves = c1.run()
+
+    c2 = _crawler(spark, small_fix, state)      # init_from_seeds: no-op
+    assert c2.store.committed_wave() == c1.store.committed_wave()
+    c2.run()
+    assert c2.store.committed_wave() <= waves   # at most the empty probe
+    o = run_oracle(small_fix, default_budget=3)
+    assert_equal_states(c2, o)
+
+
+@pytest.mark.spark
+def test_per_partition_metrics_written(spark, small_fix, tmp_path):
+    c = _crawler(spark, small_fix, tmp_path / "state", max_waves=1)
+    c.run()
+    met = c.store.read("metrics")
+    part = met.filter(met["scope"] == "partition").collect()
+    keys = {r["key"] for r in part}
+    assert {"fetch_urls_scheduled", "fetch_links_extracted",
+            "dedupe_enqueued"} <= keys
+    assert all(r["partition_id"] >= 0 for r in part)
+    # totals must reconcile with the wave-scope rows (lineage-auditable)
+    wave_rows = {r["key"]: r["value"] for r in
+                 met.filter((met["scope"] == "wave")
+                            & (met["wave"] == 0)).collect()}
+    got = sum(r["value"] for r in part
+              if r["key"] == "fetch_urls_scheduled" and r["wave"] == 0)
+    assert got == wave_rows["n_scheduled"]

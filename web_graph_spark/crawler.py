@@ -278,11 +278,22 @@ class SparkCrawler:
         self.metrics.append(m)
         mrows = [("wave", -1, k, float(v)) for k, v in vars(m).items()
                  if k != "wave"]
-        store.write("metrics",
-                    self.spark.createDataFrame(mrows,
-                                               "scope string, partition_id int,"
-                                               " key string, value double"),
-                    wave)
+        wave_rows = self.spark.createDataFrame(
+            mrows, "scope string, partition_id int, key string, value double")
+        # per-partition fetch/dedupe metrics (north_rule checkpoint
+        # payload): distributed groupBy over the already-persisted
+        # stage outputs — the per-task health signal a 1000-executor
+        # run needs to spot skewed/straggler partitions.
+        def _per_partition(df: DataFrame, key: str) -> DataFrame:
+            return (df.groupBy(F.spark_partition_id().alias("partition_id"))
+                    .agg(F.count("*").cast("double").alias("value"))
+                    .select(F.lit("partition").alias("scope"),
+                            "partition_id", F.lit(key).alias("key"), "value"))
+
+        part_rows = (_per_partition(scheduled, "fetch_urls_scheduled")
+                     .unionByName(_per_partition(links, "fetch_links_extracted"))
+                     .unionByName(_per_partition(targets, "dedupe_enqueued")))
+        store.write("metrics", wave_rows.unionByName(part_rows), wave)
         next_seq += n_enqueued
         store.commit(wave, next_seq=next_seq, scheduled=n_sched,
                      enqueued=n_enqueued, wall_ms=wall_ms)
