@@ -1,0 +1,103 @@
+"""Physical-plan pins — a plan regression is a perf bug at 100 TB even
+when sandbox results stay correct (SURVEY.md §4).
+
+Each test freezes one scale-critical optimizer behavior:
+WindowGroupLimit for the politeness top-K, parquet predicate pushdown +
+column pruning for the scan-heavy queries, broadcast for small dims,
+and JVM-only execution for the declared-codegen paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_graph_spark.plans import (assert_broadcast_join, assert_no_python_udf,
+                                   assert_pushed_filter,
+                                   assert_read_schema_only, physical_plan)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.mark.spark
+def test_politeness_uses_window_group_limit(spark):
+    """O4: a constant rank bound must compile to WindowGroupLimit —
+    map-side partial top-K per host BEFORE the shuffle, so a hot host
+    with 10^7 pending URLs ships only `budget` rows to the window."""
+    from web_graph_spark.operators.politeness import schedule_wave
+
+    pending = spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("host"),
+        F.col("id").alias("seq"))
+    scheduled, cap = schedule_wave(pending, None, default_budget=5)
+    assert cap == 5
+    plan = physical_plan(scheduled)
+    assert "WindowGroupLimit" in plan, plan
+
+
+@pytest.mark.spark
+def test_tpch_q1_pushdown_and_pruning(spark):
+    """The shipdate filter must reach the parquet scan and the scan must
+    not read beyond the 7 referenced lineitem columns."""
+    import __spark_entry__ as e
+
+    df = e.queries()["tpch_q1"](spark, SF_SMOKE)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_read_schema_only(df, {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate"})
+    assert_no_python_udf(df)
+
+
+@pytest.mark.spark
+def test_point_lookup_pushdown(spark):
+    """J1/J3 point lookups: the id predicate must be a PushedFilter, not
+    a post-scan filter (→ row-group pruning on a bucketed layout)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["graph_links_from"](spark, SF_SMOKE)
+    assert_pushed_filter(df, "doc_id")
+
+
+@pytest.mark.spark
+def test_ann_broadcasts_query_side(spark):
+    """Similarity search: the small query set must broadcast — the item
+    table never shuffles for the cross-score."""
+    import __spark_entry__ as e
+
+    df = e.queries()["ann_cosine_topk"](spark, SF_SMOKE)
+    assert_broadcast_join(df)
+    assert_no_python_udf(df)  # cosine is zip_with/aggregate, JVM-side
+
+
+@pytest.mark.spark
+def test_budget_dim_broadcasts(spark):
+    """Politeness budgets are a broadcast dim, never a shuffle join."""
+    from web_graph_spark.operators.politeness import schedule_wave
+
+    pending = spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("host"),
+        F.col("id").alias("seq"))
+    budgets = spark.createDataFrame(
+        [("0", 2), ("1", 3)], "host string, max_pages_per_wave int")
+    scheduled, _ = schedule_wave(pending, budgets, default_budget=5)
+    assert_broadcast_join(scheduled)
+
+
+@pytest.mark.spark
+def test_doc_projection_prunes_columns(spark):
+    """graph_degrees touches only doc_id of documents — ReadSchema must
+    show exactly that (column pruning through the derived-web views)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["graph_degrees"](spark, SF_SMOKE)
+    assert_read_schema_only(df, {"doc_id"})
+
+
+@pytest.mark.spark
+def test_token_stats_stays_jvm(spark):
+    """Text functions on the hot path are regexp/codegen, not Python."""
+    import __spark_entry__ as e
+
+    df = e.queries()["text_token_stats"](spark, SF_SMOKE)
+    assert_no_python_udf(df)
+    assert_read_schema_only(df, {"doc_id", "text"})
