@@ -1,0 +1,101 @@
+"""Structured Streaming operators: stateful streaming enqueue-dedupe
+(exactly-once across micro-batches and restarts) and the watermarked
+windowed event aggregate vs its batch twin."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from web_graph_spark import streaming
+
+TS = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _write_inbox(path: str, urls: list[str], minute: int) -> None:
+    ts = [TS + dt.timedelta(minutes=minute)] * len(urls)
+    pq.write_table(
+        pa.table({"url": pa.array(urls, pa.string()),
+                  "arrival_ts": pa.array(ts, pa.timestamp("us"))}),
+        path)
+
+
+@pytest.mark.spark
+def test_enqueue_stream_dedupes_across_batches(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    inbox.mkdir()
+
+    # batch 1: two pages (one via two alias URLs) + one inadmissible
+    _write_inbox(str(inbox / "b1.parquet"), [
+        "https://a.test/x.html",
+        "http://a.test/x.html?utm=1",          # same page_id as above
+        "https://b.test/y.htm",
+        "ftp://nope.test/z.html",              # scheme-filtered (F1)
+    ], minute=0)
+    q = streaming.enqueue_stream(spark, str(inbox), str(out), str(ckpt))
+    q.awaitTermination()
+
+    got1 = spark.read.parquet(str(out))
+    assert got1.count() == 2
+    assert {r["host"] for r in got1.collect()} == {"a.test", "b.test"}
+
+    # batch 2 (restart = new query, same checkpoint): replays one dup
+    # from batch 1 plus one genuinely new URL — state must hold
+    _write_inbox(str(inbox / "b2.parquet"), [
+        "https://a.test/x.html",               # already enqueued
+        "https://c.test/new.html",
+    ], minute=5)
+    q2 = streaming.enqueue_stream(spark, str(inbox), str(out), str(ckpt))
+    q2.awaitTermination()
+
+    rows = spark.read.parquet(str(out)).collect()
+    by_host = sorted(r["host"] for r in rows)
+    assert by_host == ["a.test", "b.test", "c.test"]
+    pids = [r["page_id"] for r in rows]
+    assert len(pids) == len(set(pids))
+
+
+@pytest.mark.spark
+def test_enqueue_stream_ttl_variant_runs(spark, tmp_path):
+    """dropDuplicatesWithinWatermark path (the 48h-TTL analog)."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    _write_inbox(str(inbox / "b1.parquet"),
+                 ["https://a.test/1.html", "https://a.test/1.html"], 0)
+    q = streaming.enqueue_stream(spark, str(inbox), str(tmp_path / "out"),
+                                 str(tmp_path / "ckpt"),
+                                 dedupe_ttl="48 hours")
+    q.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 1
+
+
+@pytest.mark.spark
+def test_hourly_stream_matches_batch(spark, tmp_path):
+    """Streaming windowed agg over the sf0.001 events == batch twin."""
+    from tests.conftest import SF_SMOKE
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    os.symlink(os.path.join(SF_SMOKE, "events.parquet"),
+               events_dir / "events.parquet")
+
+    sdf = streaming.hourly_events_stream(spark, str(events_dir))
+    q = (sdf.writeStream.format("memory").queryName("hourly_t")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["hour"], r["event_type"]): (r["n"], r["sum_value_c"])
+           for r in spark.sql("select * from hourly_t").collect()}
+
+    import __spark_entry__ as e
+    want = {(r["hour"], r["event_type"]): (r["n"], r["sum_value_c"])
+            for r in e.queries()["events_hourly"](spark, SF_SMOKE).collect()}
+    assert got == want

@@ -1,0 +1,98 @@
+"""Structured Streaming front-door to the crawl engine (SURVEY.md §2.8).
+
+The reference's runtime is an unbounded select loop over a persistent
+queue (/root/reference/cmd/link-processor/main.go:208-224); the wave
+loop in ``crawler.py`` is its deterministic batch-iteration rebuild.
+This module adds the genuinely-streaming pieces for deployments where
+URLs/events *arrive* continuously:
+
+* :func:`enqueue_stream` — the streaming enqueue path (S3 + D3):
+  URL files land in an inbox directory; each micro-batch canonicalizes
+  (vectorized pandas UDF tier), applies admission (F1-F7), and passes a
+  STATEFUL ``dropDuplicates("page_id")`` — the streaming twin of the
+  reference's enqueue-time LRU
+  (/root/reference/pkg/linkqueue/linkqueue.go:69-76), except exact:
+  state lives in the checkpoint, so restarts keep the dedupe guarantee
+  (goque persistence ≡ checkpointLocation).  Accepted rows append to a
+  parquet frontier-inbox table, exactly-once per the file-source +
+  checkpoint contract.
+* :func:`hourly_events_stream` — watermarked tumbling-window aggregate
+  over an event stream (the T1-style metrics feed): 1-hour windows,
+  late data bounded by the watermark, all JVM-side.
+
+Scale notes: the file source lists the inbox incrementally
+(``maxFilesPerTrigger`` bounds batch size); dedupe state is hash
+partitioned across executors by Spark's state store — at 10^10 URLs
+the retention window (``dedupe_ttl``) bounds state like the
+reference's 48h TTL cache
+(/root/reference/pkg/linkprocessor/linkprocessor.go:43).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .canon import canonicalize_df
+
+INBOX_SCHEMA = "url string, arrival_ts timestamp"
+
+
+def canonical_admissible(urls: DataFrame) -> DataFrame:
+    """Shared enqueue projection: canonicalize → admission → the
+    frontier-row shape (page_id, url, host, path)."""
+    c = canonicalize_df(urls, url_col="url", mode="pandas")
+    return (c.filter(F.col("canon.page_id").isNotNull()
+                     & F.col("canon.admissible"))
+            .select(F.col("canon.page_id").alias("page_id"),
+                    F.col("canon.url_norm").alias("url"),
+                    F.col("canon.host").alias("host"),
+                    F.col("canon.path").alias("path"),
+                    "arrival_ts"))
+
+
+def enqueue_stream(spark: SparkSession, inbox_dir: str, out_dir: str,
+                   checkpoint_dir: str, dedupe_ttl: str | None = None,
+                   max_files_per_trigger: int = 64) -> StreamingQuery:
+    """Start the streaming enqueue pipeline; returns the query handle.
+
+    dedupe_ttl (e.g. ``"48 hours"``): bound dedupe state with a
+    watermark on arrival time, mirroring the reference's TTL cache;
+    None keeps exact unbounded state (sandbox scale).
+    """
+    raw = (spark.readStream.schema(INBOX_SCHEMA)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(inbox_dir))
+    rows = canonical_admissible(raw)
+    if dedupe_ttl is not None:
+        rows = (rows.withWatermark("arrival_ts", dedupe_ttl)
+                .dropDuplicatesWithinWatermark(["page_id"]))
+    else:
+        rows = rows.dropDuplicates(["page_id"])
+    return (rows.writeStream
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
+
+
+def hourly_events_stream(spark: SparkSession, events_dir: str,
+                         schema: str | None = None,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Streaming tumbling-window aggregate: (window, event_type, n,
+    sum_value_c) with late data bounded by ``watermark``.  Batch twin:
+    ``__spark_entry__.q_events_hourly`` (same grouping/encoding)."""
+    if schema is None:
+        schema = ("event_id bigint, user_id bigint, ts timestamp, "
+                  "event_type string, value double")
+    ev = spark.readStream.schema(schema).parquet(events_dir)
+    return (ev.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.floor(F.sum("value") * 100).cast("long")
+                  .alias("sum_value_c"))
+            .select(F.col("w.start").alias("hour"), "event_type",
+                    "n", "sum_value_c"))
