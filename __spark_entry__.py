@@ -54,6 +54,12 @@ def _oracle(body: str, *, seeds: bool = False) -> str:
     return "WITH " + ",\n".join(p.strip().rstrip() for p in parts) + "\n" + body
 
 
+def _oracle_recursive(body: str) -> str:
+    """Same as _oracle but with WITH RECURSIVE (DuckDB accepts
+    non-recursive CTEs inside a RECURSIVE clause)."""
+    return "WITH RECURSIVE " + _oracle(body)[len("WITH "):]
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -143,9 +149,13 @@ def q_crawl_frontier_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = (l.withColumn("ord", F.col("src_doc_id") * 8 + F.col("k"))
              .groupBy("tgt_doc_id", "check_id")
              .agg(F.min("ord").alias("ord")))
-    w = Window.orderBy("ord")
-    return (first.withColumn("seq", F.row_number().over(w) - 1)
-            .select("seq", F.col("tgt_doc_id").alias("doc_id"), "check_id"))
+    # dense FIFO seq via the parallel range-partitioned rank (a global
+    # row_number() window would collapse to one partition at 10^10 rows)
+    from web_graph_spark.operators.frontier import ordered_seq
+
+    ranked = ordered_seq(first, ["ord"], out_col="seq")
+    return ranked.select(F.col("seq").cast("int").alias("seq"),
+                         F.col("tgt_doc_id").alias("doc_id"), "check_id")
 
 
 def q_crawl_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,6 +217,41 @@ def q_graph_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.countDistinct("host").alias("n_hosts"))
             .crossJoin(l.select("src_doc_id", "tgt_doc_id").distinct()
                        .agg(F.count("*").alias("n_links"))))
+
+
+def q_graph_pages_for_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 GetPageHashesFromHost('h07.example.test', 100) — host-pruned
+    scan (Iceberg bucket(host) partition at scale), deterministic order."""
+    return (webgen.pages_df(spark, sf_dir)
+            .filter(F.col("host") == "h07.example.test")
+            .select("doc_id", "check_id", "url")
+            .orderBy("doc_id").limit(100))
+
+
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (alternating large-star/small-star,
+    operators/graph_algos.py) over distinct admissible edges; label =
+    min doc_id of the component — oracle = recursive-CTE reachability."""
+    from web_graph_spark.operators.graph_algos import connected_components
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    v = webgen.pages_df(spark, sf_dir).select("doc_id")
+    return connected_components(v, e)
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 6 power iterations with dangling-mass redistribution
+    (operators/graph_algos.py).  Iterative → no SQL oracle; pinned
+    against a dense pure-Python reference in tests/test_graph_algos.py."""
+    from web_graph_spark.operators.graph_algos import pagerank
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    v = webgen.pages_df(spark, sf_dir).select("doc_id")
+    return pagerank(v, e, n_iter=6)
 
 
 def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,6 +377,54 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "rank", "vec_id", "sim_ppm"))
 
 
+def _sign_bucket(vec_col, n_bits: int = 4):
+    """Hyperoctant coarse quantizer: bucket = sign bits of the first
+    n_bits dims — a fixed-centroid IVF cell id, identical in DuckDB."""
+    b = F.lit(0)
+    for i in range(n_bits):
+        b = b + F.when(F.element_at(vec_col, i + 1) > 0,
+                       F.lit(1 << i)).otherwise(F.lit(0))
+    return b
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path, oracle-checkable: IVF with a deterministic
+    hyperoctant quantizer (sign of dims 1..4 → 16 cells).  Probe only
+    the query's own cell, exact cosine re-rank, top-5 — the O(Q·N/16)
+    replacement for the brute-force scan; at 100 TB cells become the
+    partition key so each probe prunes to one partition."""
+    from web_graph_spark.functions.similarity import cosine
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "bucket", _sign_bucket(F.col("embedding")))
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec"), "bucket"))
+    j = (emb.join(F.broadcast(q), "bucket")
+         .filter(F.col("vec_id") != F.col("q_id"))
+         .withColumn("sim_ppm",
+                     F.floor(cosine(F.col("embedding"), F.col("q_vec"))
+                             * 1000000).cast("long")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_ppm"), F.col("vec_id"))
+    return (j.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("q_id", "rank", "vec_id", "sim_ppm"))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2: random-hyperplane LSH (6 tables × 6 bits,
+    Arrow-batched signature UDF), exact re-rank within collisions.
+    Seeded-numpy hyperplanes aren't SQL-expressible → rows-only check;
+    recall vs brute force pinned in tests/test_functions.py."""
+    from web_graph_spark.functions.similarity import lsh_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    return lsh_ann_topk(emb, q, dim=64, k=5, n_bits=6, n_tables=6)
+
+
 def q_embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact pairwise ≥ 0.80)."""
     from web_graph_spark.functions.similarity import cosine
@@ -424,6 +517,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_page_composite": q_graph_page_composite,
         "graph_counts": q_graph_counts,
         "graph_degrees": q_graph_degrees,
+        "graph_pages_for_host": q_graph_pages_for_host,
+        "graph_components": q_graph_components,
+        "graph_pagerank": q_graph_pagerank,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -433,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "embed_near_dup_pairs": q_embed_near_dup_pairs,
         "media_features": q_media_features,
         "events_sessionize": q_events_sessionize,
@@ -515,6 +613,48 @@ LEFT JOIN (SELECT src_doc_id, count(*) AS n FROM e GROUP BY 1) o
        ON o.src_doc_id = p.doc_id
 LEFT JOIN (SELECT tgt_doc_id, count(*) AS n FROM e GROUP BY 1) i
        ON i.tgt_doc_id = p.doc_id"""),
+        "graph_pages_for_host": _oracle("""
+SELECT doc_id, check_id, url FROM web_pages
+WHERE host = 'h07.example.test' ORDER BY doc_id LIMIT 100"""),
+        "graph_components": _oracle_recursive("""
+, e AS (
+  SELECT DISTINCT src_doc_id AS a, tgt_doc_id AS b
+  FROM web_links_full WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id
+),
+und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM web_pages
+  UNION
+  SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
+)
+SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+FROM reach GROUP BY 1"""),
+        "ann_ivf_topk": """
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM b WHERE vec_id < 5),
+sims AS (
+  SELECT q.q_id, b.vec_id,
+         CAST(floor(
+           list_dot_product(b.v, q.q_vec)
+           / (sqrt(list_dot_product(b.v, b.v))
+              * sqrt(list_dot_product(q.q_vec, q.q_vec)))
+           * 1000000) AS BIGINT) AS sim_ppm
+  FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.q_id
+),
+r AS (
+  SELECT q_id, vec_id, sim_ppm,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY sim_ppm DESC, vec_id) AS INTEGER) AS rank
+  FROM sims
+)
+SELECT q_id, rank, vec_id, sim_ppm FROM r WHERE rank <= 5""",
         **_pipeline_oracles(),
     }
 

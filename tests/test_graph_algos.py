@@ -1,0 +1,103 @@
+"""connected_components (large-star/small-star) and pagerank vs pure
+Python references (union-find / dense power iteration)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _uf_components(n_ids, edges):
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in n_ids}
+
+
+def _ref_pagerank(ids, edges, n_iter=8, d=0.85):
+    n = len(ids)
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, set()).add(t)
+    rank = {i: 1.0 / n for i in ids}
+    for _ in range(n_iter):
+        dangling = sum(rank[i] for i in ids if i not in out)
+        base = (1 - d) / n + d * dangling / n
+        nxt = {i: 0.0 for i in ids}
+        for s, ts in out.items():
+            w = rank[s] / len(ts)
+            for t in ts:
+                nxt[t] += w
+        rank = {i: base + d * nxt[i] for i in ids}
+    return rank
+
+
+CASES = [
+    # chain + triangle + isolated vertex + self loop
+    ([0, 1, 2, 3, 4, 5, 6, 7],
+     [(0, 1), (1, 2), (3, 4), (4, 5), (5, 3), (7, 7)]),
+    # two stars joined by a bridge
+    ([10, 11, 12, 13, 20, 21, 22],
+     [(10, 11), (10, 12), (10, 13), (20, 21), (20, 22), (13, 20)]),
+]
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("ids,edges", CASES)
+def test_cc_small_graphs(spark, ids, edges):
+    from web_graph_spark.operators.graph_algos import connected_components
+
+    v = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    e = spark.createDataFrame(edges or [(ids[0], ids[0])],
+                              "src_doc_id long, tgt_doc_id long")
+    got = {r.doc_id: r.component
+           for r in connected_components(v, e).collect()}
+    want = _uf_components(ids, [t for t in edges if t[0] != t[1]])
+    assert got == want
+
+
+@pytest.mark.spark
+def test_cc_derived_web(spark):
+    from web_graph_spark import webgen
+    from web_graph_spark.operators.graph_algos import connected_components
+
+    e = (webgen.links_full_df(spark, SF_SMOKE)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    v = webgen.pages_df(spark, SF_SMOKE).select("doc_id")
+    got = {r.doc_id: r.component
+           for r in connected_components(v, e).collect()}
+    ids = [r.doc_id for r in v.collect()]
+    pairs = [(r.src_doc_id, r.tgt_doc_id) for r in e.collect()]
+    want = _uf_components(ids, pairs)
+    assert got == want
+
+
+@pytest.mark.spark
+def test_pagerank_matches_reference(spark):
+    from web_graph_spark import webgen
+    from web_graph_spark.operators.graph_algos import pagerank
+
+    e = (webgen.links_full_df(spark, SF_SMOKE)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    v = webgen.pages_df(spark, SF_SMOKE).select("doc_id")
+    got = {r.doc_id: r.rank for r in pagerank(v, e, n_iter=6).collect()}
+    ids = [r.doc_id for r in v.collect()]
+    pairs = [(r.src_doc_id, r.tgt_doc_id)
+             for r in e.collect() if r.src_doc_id != r.tgt_doc_id]
+    want = _ref_pagerank(ids, pairs, n_iter=6)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for i in ids:
+        assert got[i] == pytest.approx(want[i], rel=1e-9, abs=1e-12)

@@ -1,0 +1,146 @@
+"""Distributed graph algorithms over the page/link graph.
+
+The reference exposes only point lookups over its two graph tables
+(J1-J5, /root/reference/cmd/link-api/main.go:87-191); whole-graph
+analytics happen client-side in the force-graph UI
+(/root/reference/frontend/index.html:92-140).  At 100 TB the
+"explore the graph" capability has to move engine-side, so this module
+adds the two standard whole-graph operators, both expressed as
+DataFrame loops (no RDDs, no driver-side adjacency):
+
+* :func:`connected_components` — alternating large-star / small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14).  O(log^2 n) rounds, each round = one groupBy(min) + one
+  join, both shuffle-partitioned on the node key; converges to star
+  graphs rooted at each component's minimum node id, so the output
+  label is deterministic (= min doc_id of the component) and
+  oracle-checkable against a recursive-CTE reachability query.
+* :func:`pagerank` — classic power iteration as join + groupBy(sum),
+  with dangling-mass redistribution.  Out-degrees are computed once
+  and cached; each iteration shuffles on the destination key only.
+
+Scale notes: both loops truncate lineage with ``localCheckpoint``
+every few rounds (iterative plans otherwise grow unboundedly and
+re-plan from the source each round), and both converge on a
+DataFrame-side count rather than collecting state to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "pagerank"]
+
+
+def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set as (u, v) with u != v, deduplicated."""
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    return (e.filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"),
+                    F.greatest("u", "v").alias("v"))
+            .distinct())
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u}).  Input/output: directed pair list (u, v)."""
+    und = e.select("u", "v").unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (und.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m")))
+    return (und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges large→small; connect each node's smaller
+    neighborhood (and itself) to its minimum."""
+    o = e.select(F.greatest("u", "v").alias("u"),
+                 F.least("u", "v").alias("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = o.join(mins, "u").select(F.col("v").alias("n"), "m",
+                                    F.col("u").alias("center"))
+    selfs = mins.select(F.col("u").alias("n"), "m",
+                        F.col("u").alias("center"))
+    out = (nbrs.unionByName(selfs)
+           .select(F.col("n").alias("u"), F.col("m").alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .select(F.least("u", "v").alias("u"),
+                   F.greatest("u", "v").alias("v"))
+           .distinct())
+    return out
+
+
+def connected_components(vertices: DataFrame, edges: DataFrame,
+                         id_col: str = "doc_id",
+                         src: str = "src_doc_id", dst: str = "tgt_doc_id",
+                         max_rounds: int = 50) -> DataFrame:
+    """(id_col, component) — component = min vertex id reachable via
+    undirected edges.  Isolated vertices label themselves."""
+    e = _canon_edges(edges, src, dst).localCheckpoint()
+    for _ in range(max_rounds):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        # converged when the canonical edge set is stable
+        changed = e2.exceptAll(e).limit(1).count() + \
+            e.exceptAll(e2).limit(1).count()
+        e = e2
+        if changed == 0:
+            break
+    # stars: every surviving edge is (member, root); roots and
+    # isolated vertices label themselves.
+    labels = e.select(F.greatest("u", "v").alias(id_col),
+                      F.least("u", "v").alias("component"))
+    ids = vertices.select(F.col(id_col).cast("long").alias(id_col))
+    return (ids.join(labels, id_col, "left")
+            .select(id_col,
+                    F.coalesce("component", F.col(id_col))
+                     .alias("component")))
+
+
+def pagerank(vertices: DataFrame, edges: DataFrame,
+             id_col: str = "doc_id",
+             src: str = "src_doc_id", dst: str = "tgt_doc_id",
+             n_iter: int = 8, damping: float = 0.85) -> DataFrame:
+    """(id_col, rank) after ``n_iter`` power iterations; Σ rank = 1.
+
+    Dangling nodes' mass is redistributed uniformly each round (the
+    standard stochastic-matrix completion), so ranks stay a proper
+    distribution and the result matches a dense numpy reference.
+    """
+    ids = vertices.select(F.col(id_col).cast("long").alias("id"))
+    n = ids.count()
+    e = (edges.select(F.col(src).cast("long").alias("src"),
+                      F.col(dst).cast("long").alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # (src, dst, out_deg) is loop-invariant: compute once, keep hot.
+    adj = e.join(deg, "src").persist()
+    adj.count()
+    ranks = ids.select("id", F.lit(1.0 / n).alias("rank"))
+    for i in range(n_iter):
+        contrib = (adj.join(ranks.withColumnRenamed("id", "src"), "src")
+                   .select(F.col("dst").alias("id"),
+                           (F.col("rank") / F.col("out_deg"))
+                           .alias("w")))
+        summed = contrib.groupBy("id").agg(F.sum("w").alias("in_w"))
+        # dangling mass = 1 - Σ(forwarded) = Σ ranks of zero-out-deg nodes
+        dangling = (ranks.join(deg.withColumnRenamed("src", "id"),
+                               "id", "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .first()[0])
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (ids.join(summed, "id", "left")
+                 .select("id",
+                         (F.lit(base)
+                          + F.lit(damping)
+                          * F.coalesce("in_w", F.lit(0.0))).alias("rank")))
+        if (i + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint()
+    adj.unpersist()
+    return ranks.select(F.col("id").alias(id_col), "rank")
