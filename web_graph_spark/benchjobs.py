@@ -1,0 +1,145 @@
+"""Throughput-scale benchmark jobs for the north_rule scaling evidence.
+
+The end-to-end crawl at sf0.1 schedules only a few hundred URLs per
+wave — per-wave fixed cost (job scheduling, checkpoint commits)
+dominates, so it cannot evidence the ≥0.8 N→4N scaling criterion; that
+criterion is about throughput at 10^10-frontier scale where fixed cost
+amortizes to nothing.  These two jobs measure the actual per-URL /
+per-page dataflows at multi-million-row scale with fully distributed
+synthetic input (generated from ``spark.range`` on the executors — no
+driver materialization, no disk dependency), exactly the wave-loop hot
+stages:
+
+* :func:`frontier_throughput_job` — canonicalize (JVM tier) → seen-set
+  anti-join → per-host politeness window cut (WindowGroupLimit), over a
+  Zipf-skewed host distribution (3 hot hosts carry 30% of URLs).
+  Metric: frontier URLs deduped+scheduled per second.
+* :func:`fetch_throughput_job` — posexplode span documents → resolve +
+  admission in the Arrow-vectorized canonicalizer UDF → first-wins edge
+  dedupe agg.  Metric: pages fetch-extracted per second.
+
+Both are pure dataflow (one count() action at the end), so wall-clock
+scales with cores until the shuffle/HOF stages saturate — the honest
+proxy this sandbox has for N vs 4N executors.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .canon import canonicalize_df
+from .operators.extract import extract_links
+from .operators.politeness import schedule_wave
+
+
+SYNTH_PARTS = 64  # fixed input-split count: a real 100 TB table has a
+# file-determined partitioning that does NOT change with cluster size,
+# so the scaling runs must see identical task granularity.
+
+
+def synth_frontier(spark: SparkSession, n: int,
+                   n_hosts: int = 10007) -> DataFrame:
+    """n candidate URLs, Zipf-ish hosts: ids ≡ 0-2 (mod 10) land on 3
+    hot hosts (10% of traffic each), the rest spread over n_hosts.
+    Every 7th URL carries a query string + fragment (canonicalizer must
+    strip both); every 11th is an inadmissible .png."""
+    host_idx = (F.when(F.col("id") % 10 < 3, F.col("id") % 10)
+                .otherwise(F.col("id") % n_hosts))
+    host = F.concat(F.lit("h"), host_idx.cast("string"),
+                    F.lit(".example.test"))
+    ext = F.when(F.col("id") % 11 == 0, F.lit(".png")).otherwise(
+        F.lit(".html"))
+    path = F.concat(F.lit("/p/"), F.col("id").cast("string"), ext)
+    tail = F.when(F.col("id") % 7 == 0, F.lit("?b=2&a=1#frag")).otherwise(
+        F.lit(""))
+    return spark.range(0, n, 1, SYNTH_PARTS).select(
+        F.col("id").alias("seq"),
+        F.concat(F.lit("https://"), host, path, tail).alias("url"))
+
+
+def frontier_throughput_job(spark: SparkSession, n: int = 4_000_000,
+                            seen_mod: int = 3, budget: int = 5_000) -> dict:
+    """Dedupe+schedule ``n`` synthetic frontier URLs; returns metrics.
+
+    seen set = every ``seen_mod``-th URL's page_id, derived identically
+    (same expressions) so the anti-join does real hash matching.
+
+    ``budget`` is deliberately ≪ hot-host pending (realistic politeness:
+    a host never gets 10^5 fetches in one wave) — WindowGroupLimit then
+    prunes the 3 hot hosts map-side BEFORE the window shuffle, so the
+    skewed hosts can't serialize the reduce stage."""
+    cand = synth_frontier(spark, n)
+    c = canonicalize_df(cand, url_col="url", mode="sql")
+    pending = (c.filter(F.col("canon.admissible"))
+               .select("seq",
+                       F.col("canon.page_id").alias("page_id"),
+                       F.col("canon.host").alias("host")))
+    seen = (canonicalize_df(
+        synth_frontier(spark, n).filter(F.col("seq") % seen_mod == 0),
+        url_col="url", mode="sql")
+        .select(F.col("canon.page_id").alias("page_id")))
+    unseen = pending.join(seen, "page_id", "left_anti")
+    scheduled, _ = schedule_wave(unseen, None, default_budget=budget)
+    t0 = time.monotonic()
+    n_sched = scheduled.count()
+    wall = time.monotonic() - t0
+    return {"n_urls": n, "n_scheduled": n_sched,
+            "wall_sec": round(wall, 3),
+            "urls_per_sec": round(n / wall, 1)}
+
+
+def synth_span_web(spark: SparkSession, n_pages: int,
+                   links_per_page: int = 8) -> DataFrame:
+    """n_pages span documents in the BASELINE.json input_hint shape;
+    hrefs are a mix of absolute, query-string'd, root-relative, and
+    inadmissible .png — same variant scheme as webgen."""
+    host = F.concat(F.lit("h"), (F.col("id") % 997).cast("string"),
+                    F.lit(".example.test"))
+    url = F.concat(F.lit("https://"), host, F.lit("/d/"),
+                   F.col("id").cast("string"), F.lit(".html"))
+    spans = F.transform(
+        F.sequence(F.lit(1), F.lit(links_per_page)),
+        lambda k: F.struct(
+            F.lit("link").alias("kind"),
+            F.concat(F.lit("anchor-"), k.cast("string")).alias("text"),
+            F.when(k % 4 == 0,
+                   F.concat(F.lit("/img"), ((F.col("id") + k) % 1000000)
+                            .cast("string"), F.lit(".png")))
+            .when(k % 4 == 3,
+                  F.concat(F.lit("/d/"), ((F.col("id") * 31 + k) % 1000000)
+                           .cast("string"), F.lit(".html")))
+            .when(k % 4 == 2,
+                  F.concat(F.lit("https://h"),
+                           ((F.col("id") + k * 7) % 997).cast("string"),
+                           F.lit(".example.test/d/"),
+                           ((F.col("id") * 13 + k) % 1000000).cast("string"),
+                           F.lit(".html?x=1#f")))
+            .otherwise(
+                F.concat(F.lit("https://h"),
+                         ((F.col("id") + k) % 997).cast("string"),
+                         F.lit(".example.test/d/"),
+                         ((F.col("id") * 7 + k) % 1000000).cast("string"),
+                         F.lit(".html"))).alias("media_ref"),
+            k.cast("int").alias("offset")))
+    return spark.range(0, n_pages, 1, SYNTH_PARTS).select(
+        F.sha1(url).alias("page_id"), url.alias("url"), spans.alias("spans"))
+
+
+def fetch_throughput_job(spark: SparkSession, n_pages: int = 300_000,
+                         links_per_page: int = 8) -> dict:
+    """Fetch-extract ``n_pages`` span docs through the Arrow UDF path +
+    first-wins edge dedupe; returns metrics."""
+    web = synth_span_web(spark, n_pages, links_per_page)
+    links = extract_links(web)
+    edges = (links.groupBy(F.col("page_id").alias("from_page_id"),
+                           F.col("canon.page_id").alias("to_page_id"))
+             .agg(F.min("link_index").alias("first_idx")))
+    t0 = time.monotonic()
+    n_edges = edges.count()
+    wall = time.monotonic() - t0
+    return {"n_pages": n_pages, "n_links_per_page": links_per_page,
+            "n_edges": n_edges, "wall_sec": round(wall, 3),
+            "pages_per_sec": round(n_pages / wall, 1)}

@@ -270,8 +270,12 @@ def canonicalize_df(df, url_col: str = "url", out_col: str = "canon",
                     is simple, e.g. engine-generated frontiers).
     mode='pandas' : exact path only (handles everything).
     mode='auto'   : two-tier — JVM codegen for simple URLs, Arrow UDF
-                    for the remainder.  At 100 TB the simple tier is
-                    ~all rows and never leaves the JVM.
+                    only for the remainder (explicit filter-split +
+                    union: a `when(simple, sql).otherwise(udf)` would
+                    NOT short-circuit — Spark's ExtractPythonUDFs pulls
+                    the UDF into its own ArrowEvalPython node and runs
+                    it for every row, making the conditional the worst
+                    of both tiers).  Output row order is not preserved.
     """
     from pyspark.sql import functions as F
 
@@ -280,11 +284,10 @@ def canonicalize_df(df, url_col: str = "url", out_col: str = "canon",
     if mode == "pandas":
         return df.withColumn(out_col, canonicalize_udf()(F.col(url_col)))
     sql_part = with_canonical_sql(df, url_col, out_col)
-    return sql_part.withColumn(
-        out_col,
-        F.when(F.col(out_col).isNotNull(), F.col(out_col))
-         .otherwise(canonicalize_udf()(F.col(url_col))),
-    )
+    simple = sql_part.filter(F.col(out_col).isNotNull())
+    rest = (sql_part.filter(F.col(out_col).isNull()).drop(out_col)
+            .withColumn(out_col, canonicalize_udf()(F.col(url_col))))
+    return simple.unionByName(rest)
 
 
 def trim_ws(s: Optional[str]) -> Optional[str]:

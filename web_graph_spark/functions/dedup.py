@@ -91,13 +91,41 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 64, shingle_n: int = 3,
                        id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """(id, sig: array<long>[n_hashes]) — sig[j] = min over shingles of
-    xxhash64(j, shingle).  Entirely JVM-side (codegen'd lambda)."""
-    sh = shingles_col(shingle_n, text_col)
+    xxhash64(j, shingle).  Entirely JVM-side (codegen'd lambda).
+
+    Two scale tricks:
+
+    * Each shingle is hashed ONCE (xxhash64); the n_hashes "independent"
+      functions are affine permutations ``a_j*h + b_j`` of that base
+      hash (classic universal-hash MinHash) — 64 multiply-adds per
+      shingle instead of 64 full string rehashes.
+    * The hashed-shingle array is materialized below a hash-repartition
+      exchange: without the barrier Catalyst's CollapseProject inlines
+      the (regex-tokenize + n-gram + distinct + hash) expression into
+      all n_hashes lambda bodies — a 64× recompute — and a single small
+      parquet file would otherwise pin the whole stage to one task."""
+    spark = df.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    m32 = F.lit(0xFFFFFFFF)
+    hashed = (df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles_col(shingle_n, text_col),
+                    lambda s: F.xxhash64(s).bitwiseAND(m32)).alias("hs"))
+        .repartition(parts, "id"))
+    # deterministic per-j constants, derived in-plan (constant-folded):
+    # universal hash (a_j·h + b_j) mod 2^32 with a_j odd 31-bit keeps
+    # every product < 2^63 (ANSI-safe, no overflow) while the mod-2^32
+    # wrap breaks monotonicity between signature positions.
     sig = F.transform(
         F.sequence(F.lit(1), F.lit(n_hashes)),
-        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(j, s))))
-    return df.select(F.col(id_col).alias("id"),
-                     F.when(F.size(sh) > 0, sig).alias("sig"))
+        lambda j: F.array_min(F.transform(
+            "hs",
+            lambda h: (F.xxhash64(j, F.lit("a"))
+                       .bitwiseAND(F.lit(0x7FFFFFFF)).bitwiseOR(F.lit(1))
+                       * h + F.xxhash64(j, F.lit("b")).bitwiseAND(m32))
+            .bitwiseAND(m32))))
+    return hashed.select("id",
+                         F.when(F.size("hs") > 0, sig).alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
@@ -124,8 +152,13 @@ def minhash_near_dups(df: DataFrame, threshold: float = 0.7,
                       id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """MinHash-LSH candidates verified by exact signature agreement
-    rate (estimates Jaccard): (id_a, id_b, est_jaccard_bp)."""
-    sigs = minhash_signatures(df, n_hashes, shingle_n, id_col, text_col)
+    rate (estimates Jaccard): (id_a, id_b, est_jaccard_bp).
+
+    Signatures feed four plan branches (band self-join ×2, verify
+    join ×2) — localCheckpoint materializes them once instead of
+    re-running the tokenize+shingle+hash pipeline per branch."""
+    sigs = minhash_signatures(df, n_hashes, shingle_n, id_col, text_col) \
+        .localCheckpoint()
     cand = lsh_candidate_pairs(sigs, bands)
     sa = sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
     sb = sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
