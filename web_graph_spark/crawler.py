@@ -28,7 +28,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .canon import canonicalize_df
@@ -152,11 +152,25 @@ class SparkCrawler:
             n_blocked = blocked.count()
             pending = marked.filter(F.col("__ok")).drop("__ok")
 
+        # Row-count metrics ride the write actions via Observation
+        # where possible — each separate .count() is one more Spark job
+        # per wave, and per-wave fixed cost IS the sandbox bottleneck.
+        # Observe nodes must sit ABOVE any persist() boundary: metrics
+        # buried inside an InMemoryRelation's child plan are invisible
+        # to the action's listener (Observation.get then asserts).
         scheduled, _cap = schedule_wave(pending, self.budgets,
                                         self.default_budget)
         scheduled = scheduled.persist()
-        n_sched = scheduled.count()
         n_pending = pending.count()
+
+        # crawl order + seen (D2; blocked ids join seen un-crawled);
+        # this first write materializes `scheduled` and captures
+        # n_sched; an empty partition is harmless.
+        obs_sched = Observation()
+        store.write("crawl_order",
+                    scheduled.select("seq", "page_id")
+                    .observe(obs_sched, F.count(F.lit(1)).alias("n")), wave)
+        n_sched = int(obs_sched.get["n"])
         if n_sched == 0:
             if n_blocked:
                 store.write("seen", blocked, wave)
@@ -166,9 +180,6 @@ class SparkCrawler:
                 blocked.unpersist()
             scheduled.unpersist()
             return 0, next_seq
-
-        # crawl order + seen (D2; blocked ids join seen un-crawled)
-        store.write("crawl_order", scheduled.select("seq", "page_id"), wave)
         seen_add = scheduled.select("page_id")
         if blocked is not None:
             seen_add = seen_add.unionByName(blocked)
@@ -190,9 +201,12 @@ class SparkCrawler:
             & F.col("spans").isNotNull()))
 
         # emit span documents for expanded pages (input_hint invariant)
+        obs_expanded = Observation()
         store.write("docs_out",
-                    expandable.select(F.col("page_id").alias("doc_id"),
-                                      "spans"), wave)
+                    expandable.observe(obs_expanded,
+                                       F.count(F.lit(1)).alias("n"))
+                    .select(F.col("page_id").alias("doc_id"),
+                            "spans"), wave)
 
         links = extract_links(expandable, carry_cols=("seq", "depth"))
         links = links.select(
@@ -217,7 +231,9 @@ class SparkCrawler:
                     F.col("m.anchor_text").alias("text"))
             .join(prev_edges.select("from_page_id", "to_page_id"),
                   ["from_page_id", "to_page_id"], "left_anti"))
-        store.write("edges", new_edges, wave)
+        obs_edges = Observation()
+        store.write("edges", new_edges.observe(
+            obs_edges, F.count(F.lit(1)).alias("n")), wave)
 
         # ---- newly enqueued targets: unseen ∧ ∉ frontier_log (covers
         # pending carryover AND scheduled-this-wave AND seen pages, since
@@ -263,14 +279,14 @@ class SparkCrawler:
             .select("page_id", F.col("m.host").alias("host"),
                     F.col("m.path").alias("path"), F.col("m.url").alias("url"))
             .join(prev_pages.select("page_id"), "page_id", "left_anti"))
-        store.write("pages", new_pages, wave)
+        obs_pages = Observation()
+        store.write("pages", new_pages.observe(
+            obs_pages, F.count(F.lit(1)).alias("n")), wave)
 
-        # ---- metrics + commit
-        n_expanded = expandable.count()
-        n_edges_new = store.read("edges", max_wave=wave).filter(
-            F.col("wave") == wave).count()
-        n_pages_new = store.read("pages", max_wave=wave).filter(
-            F.col("wave") == wave).count()
+        # ---- metrics + commit (counts captured by the writes above)
+        n_expanded = int(obs_expanded.get["n"])
+        n_edges_new = int(obs_edges.get["n"])
+        n_pages_new = int(obs_pages.get["n"])
         wall_ms = (time.monotonic() - t0) * 1000
         m = WaveMetrics(wave, n_pending, n_sched, n_expanded, n_links,
                         n_edges_new, n_pages_new, n_enqueued, n_blocked,
