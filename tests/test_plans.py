@@ -70,6 +70,19 @@ def test_ann_broadcasts_query_side(spark):
 
 
 @pytest.mark.spark
+def test_ann_ivf_probe_plan(spark):
+    """IVF cell probe: query side broadcasts on the cell key, top-k
+    compiles to a map-side WindowGroupLimit, all JVM."""
+    import __spark_entry__ as e
+
+    df = e.queries()["ann_ivf_topk"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert_broadcast_join(df)
+    assert_no_python_udf(df)
+
+
+@pytest.mark.spark
 def test_budget_dim_broadcasts(spark):
     """Politeness budgets are a broadcast dim, never a shuffle join."""
     from web_graph_spark.operators.politeness import schedule_wave
