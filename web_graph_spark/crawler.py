@@ -67,7 +67,8 @@ class SparkCrawler:
     def __init__(self, spark: SparkSession, state_dir: str, web: DataFrame,
                  budgets: DataFrame | None = None,
                  default_budget: int = UNBOUNDED, max_waves: int = 100,
-                 robots: DataFrame | None = None):
+                 robots: DataFrame | None = None,
+                 priority: str = "fifo", fetch_salt_buckets: int = 8):
         from .operators.robots import compile_rules
 
         self.spark = spark
@@ -76,6 +77,14 @@ class SparkCrawler:
         self.budgets = budgets
         self.default_budget = default_budget
         self.max_waves = max_waves
+        # "fifo" = pure BFS (the Go-oracle mode); "depth" ranks each
+        # host's pending rows by depth before seq (north_star
+        # depth+host-budget priority) — shallow carryover beats deeper
+        # fresh discoveries when the budget cuts.
+        assert priority in ("fifo", "depth")
+        self.priority_col = None if priority == "fifo" else "depth"
+        # hot-host fan-out for the fetch stage (operators/skew.py)
+        self.fetch_salt_buckets = fetch_salt_buckets
         self.metrics: list[WaveMetrics] = []
         # robots is a broadcast dim by construction (≤ rules × hosts):
         # compiled once driver-side, broadcast to executors per wave.
@@ -159,7 +168,8 @@ class SparkCrawler:
         # buried inside an InMemoryRelation's child plan are invisible
         # to the action's listener (Observation.get then asserts).
         scheduled, _cap = schedule_wave(pending, self.budgets,
-                                        self.default_budget)
+                                        self.default_budget,
+                                        priority_col=self.priority_col)
         scheduled = scheduled.persist()
         n_pending = pending.count()
 
@@ -208,6 +218,18 @@ class SparkCrawler:
                     .select(F.col("page_id").alias("doc_id"),
                             "spans"), wave)
 
+        # The extract stage is where per-HOST work concentrates (real
+        # deployment: the applyInPandas fetch+parse partitions run
+        # here) — salt the already-budgeted wave so a hot host fans out
+        # over up to `fetch_salt_buckets` tasks instead of pinning one
+        # straggler; the repartition survives into the UDF stage (no
+        # shuffle in between), and budget was enforced BEFORE fan-out
+        # so politeness is unaffected (operators/skew.py).
+        from .operators.skew import salted_repartition
+
+        expandable = salted_repartition(
+            expandable, "host", "page_id",
+            salt_buckets=self.fetch_salt_buckets)
         links = extract_links(expandable, carry_cols=("seq", "depth"))
         links = links.select(
             F.col("page_id").alias("from_page_id"),

@@ -22,13 +22,20 @@ from pyspark.sql import functions as F
 
 def schedule_wave(pending: DataFrame, budgets: DataFrame | None,
                   default_budget: int, host_col: str = "host",
-                  seq_col: str = "seq") -> tuple[DataFrame, int]:
+                  seq_col: str = "seq",
+                  priority_col: str | None = None) -> tuple[DataFrame, int]:
     """Split pending frontier into (scheduled, cap) for this wave.
 
     budgets: small dim (host, max_pages_per_wave) — broadcast joined.
+    priority_col: optional score ranked ASCENDING before FIFO seq —
+    the north_star's "depth + host-budget priority" uses ``depth``, so
+    shallower carryover URLs win a budget-constrained wave over deeper
+    fresh discoveries (pure BFS ≡ priority None, the Go-oracle mode).
     Returns the scheduled DataFrame with a ``host_rank`` column.
     """
-    w = Window.partitionBy(host_col).orderBy(seq_col)
+    order = ([F.col(priority_col).asc(), F.col(seq_col).asc()]
+             if priority_col else [F.col(seq_col).asc()])
+    w = Window.partitionBy(host_col).orderBy(*order)
     ranked = pending.withColumn("host_rank", F.row_number().over(w))
     # A constant rank bound must dominate every host's effective budget
     # (dim value, or default for hosts missing from the dim).
