@@ -27,6 +27,9 @@ def main() -> None:
     ap.add_argument("--max-waves", type=int, default=100)
     ap.add_argument("--budget", type=int, default=None)
     ap.add_argument("--robots", action="store_true")
+    ap.add_argument("--priority", choices=("fifo", "depth"),
+                    default="fifo")
+    ap.add_argument("--salt-buckets", type=int, default=8)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -45,7 +48,9 @@ def main() -> None:
               if args.robots else None)
     c = SparkCrawler(spark, args.state, web,
                      default_budget=args.budget or UNBOUNDED,
-                     max_waves=args.max_waves, robots=robots)
+                     max_waves=args.max_waves, robots=robots,
+                     priority=args.priority,
+                     fetch_salt_buckets=args.salt_buckets)
     t0 = time.monotonic()
     c.init_from_seeds(seeds)
     c.run()

@@ -99,3 +99,43 @@ def test_hourly_stream_matches_batch(spark, tmp_path):
     want = {(r["hour"], r["event_type"]): (r["n"], r["sum_value_c"])
             for r in e.queries()["events_hourly"](spark, SF_SMOKE).collect()}
     assert got == want
+
+
+@pytest.mark.spark
+def test_host_budget_stream_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState per-host admission counter: budget holds
+    within a batch, across micro-batches, and across restarts."""
+    inbox = tmp_path / "inbox"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    inbox.mkdir()
+
+    # batch 1: host a has 4 candidates, budget 3 → admit 3 (FIFO by ts)
+    _write_inbox(str(inbox / "b1.parquet"), [
+        "https://a.test/1.html", "https://a.test/2.html",
+        "https://a.test/3.html", "https://a.test/4.html",
+        "https://b.test/1.html",
+    ], minute=0)
+    q = streaming.host_budget_stream(spark, str(inbox), str(out),
+                                     str(ckpt), budget=3)
+    q.awaitTermination()
+    got1 = spark.read.parquet(str(out))
+    assert got1.filter(F.col("host") == "a.test").count() == 3
+    assert got1.filter(F.col("host") == "b.test").count() == 1
+
+    # batch 2 after restart: a is exhausted (state persisted), b has 2
+    # left of its budget
+    _write_inbox(str(inbox / "b2.parquet"), [
+        "https://a.test/5.html",
+        "https://b.test/2.html", "https://b.test/3.html",
+        "https://b.test/4.html", "https://b.test/5.html",
+    ], minute=5)
+    q2 = streaming.host_budget_stream(spark, str(inbox), str(out),
+                                      str(ckpt), budget=3)
+    q2.awaitTermination()
+    rows = spark.read.parquet(str(out))
+    assert rows.filter(F.col("host") == "a.test").count() == 3  # unchanged
+    assert rows.filter(F.col("host") == "b.test").count() == 3  # capped
+    ranks = sorted(r["admit_rank"] for r in
+                   rows.filter(F.col("host") == "b.test").collect())
+    assert ranks == [0, 1, 2]

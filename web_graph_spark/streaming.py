@@ -79,6 +79,65 @@ def enqueue_stream(spark: SparkSession, inbox_dir: str, out_dir: str,
             .start())
 
 
+def host_budget_stream(spark: SparkSession, inbox_dir: str, out_dir: str,
+                       checkpoint_dir: str, budget: int = 100,
+                       max_files_per_trigger: int = 64) -> StreamingQuery:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    streaming per-host admission limiter — the streaming twin of the
+    batch politeness budget (operators/politeness.py, O4).
+
+    State per host = URLs admitted so far (a single int64).  Each
+    micro-batch admits a host's rows in ``arrival_ts, url`` order until
+    the lifetime budget is spent; the excess is dropped (a production
+    deployment would divert it to a backlog table).  Unlike the batch
+    window rank this bound survives across micro-batches AND restarts,
+    because the counter lives in the checkpointed state store —
+    semantics no built-in streaming operator expresses (stream-dedupe
+    keeps identity, not counts; windowed aggs emit aggregates, not
+    admitted rows).
+
+    Scale: state is one int per host, hash-partitioned by the group
+    key across executors; per-batch work is Arrow-batched pandas.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    raw = (spark.readStream.schema(INBOX_SCHEMA)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(inbox_dir))
+    rows = canonical_admissible(raw)
+
+    out_schema = ("page_id string, url string, host string, path string, "
+                  "arrival_ts timestamp, admit_rank long")
+    state_schema = "n_admitted long"
+
+    def admit(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if n >= budget:
+                break
+            pdf = pdf.sort_values(["arrival_ts", "url"],
+                                  kind="mergesort")
+            take = pdf.iloc[: max(budget - n, 0)].copy()
+            take["admit_rank"] = range(n, n + len(take))
+            n += len(take)
+            yield take[["page_id", "url", "host", "path", "arrival_ts",
+                        "admit_rank"]]
+        state.update((n,))
+
+    admitted = (rows.groupBy("host").applyInPandasWithState(
+        admit, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout))
+    return (admitted.writeStream
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
+
+
 def hourly_events_stream(spark: SparkSession, events_dir: str,
                          schema: str | None = None,
                          watermark: str = "1 hour") -> DataFrame:
