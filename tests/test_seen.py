@@ -119,3 +119,26 @@ def test_partitioned_cuckoo_probe(spark):
     fp = np.mean([res[f"s-{i}"] for i in range(6000, 12000)])
     assert fp < 0.002, fp
     states.unpersist()
+
+
+@pytest.mark.spark
+def test_crawler_bloom_seen_equals_exact(spark, fixture_dir, tmp_path):
+    """seen_mode='bloom' is a pure physical optimization: final
+    crawl_order, pages, edges, and seen set are bit-identical."""
+    from web_graph_spark.crawler import SparkCrawler, load_web
+
+    web = load_web(spark, fixture_dir)
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+
+    def run(mode, d):
+        c = SparkCrawler(spark, d, web, max_waves=3, seen_mode=mode)
+        c.init_from_seeds(seeds)
+        c.run()
+        return c.store
+
+    a = run("exact", str(tmp_path / "exact"))
+    b = run("bloom", str(tmp_path / "bloom"))
+    for t in ("crawl_order", "pages", "edges", "seen"):
+        ra = sorted(map(tuple, a.read(t).drop("wave").collect()))
+        rb = sorted(map(tuple, b.read(t).drop("wave").collect()))
+        assert ra == rb, t

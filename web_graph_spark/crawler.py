@@ -68,7 +68,8 @@ class SparkCrawler:
                  budgets: DataFrame | None = None,
                  default_budget: int = UNBOUNDED, max_waves: int = 100,
                  robots: DataFrame | None = None,
-                 priority: str = "fifo", fetch_salt_buckets: int = 8):
+                 priority: str = "fifo", fetch_salt_buckets: int = 8,
+                 seen_mode: str = "exact"):
         from .operators.robots import compile_rules
 
         self.spark = spark
@@ -85,6 +86,12 @@ class SparkCrawler:
         self.priority_col = None if priority == "fifo" else "depth"
         # hot-host fan-out for the fetch stage (operators/skew.py)
         self.fetch_salt_buckets = fetch_salt_buckets
+        # "exact" = plain left-anti; "bloom" = bloom pre-filter with
+        # the exact anti-join as backstop (operators/seen.py) — same
+        # result set, but definite-negatives skip the join shuffle (the
+        # 10^10-frontier hot path per the north_star).
+        assert seen_mode in ("exact", "bloom")
+        self.seen_mode = seen_mode
         self.metrics: list[WaveMetrics] = []
         # robots is a broadcast dim by construction (≤ rules × hosts):
         # compiled once driver-side, broadcast to executors per wave.
@@ -144,7 +151,12 @@ class SparkCrawler:
         seen = store.read("seen", max_wave=wave - 1).select("page_id")
         flog = store.read("frontier_log", max_wave=wave - 1)
 
-        pending = flog.join(seen, "page_id", "left_anti")
+        if self.seen_mode == "bloom":
+            from .operators.seen import anti_join_bloom
+
+            pending = anti_join_bloom(self.spark, flog, seen, "page_id")
+        else:
+            pending = flog.join(seen, "page_id", "left_anti")
 
         # robots gate (north_star): broadcast rules, Arrow-vectorized
         # verdict; disallowed rows leave the frontier into `seen`
