@@ -217,10 +217,12 @@ class SparkCrawler:
                            F.col("s.seq").alias("seq"),
                            F.col("s.depth").alias("depth"),
                            "content_type", "fetch_ok", "spans"))
+        # persisted: consumed by the docs_out write AND link extraction
+        # (without the cache the frontier⋈web join runs twice per wave)
         expandable = (fetched.filter(
             F.col("fetch_ok")
             & F.split(F.col("content_type"), ";").getItem(0).isin(*HTML_CTYPES)
-            & F.col("spans").isNotNull()))
+            & F.col("spans").isNotNull())).persist()
 
         # emit span documents for expanded pages (input_hint invariant)
         obs_expanded = Observation()
@@ -350,6 +352,7 @@ class SparkCrawler:
         fseq.release(targets)
         targets.unpersist()
         links.unpersist()
+        expandable.unpersist()
         scheduled.unpersist()
         if blocked is not None:
             blocked.unpersist()

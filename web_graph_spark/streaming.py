@@ -114,12 +114,14 @@ def host_budget_stream(spark: SparkSession, inbox_dir: str, out_dir: str,
 
     def admit(key, pdfs, state: GroupState):
         n = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            if n >= budget:
-                break
-            pdf = pdf.sort_values(["arrival_ts", "url"],
-                                  kind="mergesort")
-            take = pdf.iloc[: max(budget - n, 0)].copy()
+        # a group's rows may span several Arrow batches — concat before
+        # sorting so FIFO (arrival_ts, url) holds across the whole
+        # micro-batch, not per chunk.  Memory = one host's batch slice.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks and n < budget:
+            allr = (pd.concat(chunks, ignore_index=True)
+                    .sort_values(["arrival_ts", "url"], kind="mergesort"))
+            take = allr.iloc[: budget - n].copy()
             take["admit_rank"] = range(n, n + len(take))
             n += len(take)
             yield take[["page_id", "url", "host", "path", "arrival_ts",
