@@ -60,6 +60,22 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _warmup(spark, sf_dir: str) -> None:
+    """One tiny pass over each execution tier (scan, shuffle, Arrow
+    UDF) so JIT/codegen/Python-worker startup is excluded from the
+    per-query steady-state timings (same policy as --scaling)."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.canon import canonicalize_df
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2000)
+    urls = d.select(F.concat(F.lit("https://w.test/"),
+                             F.col("doc_id").cast("string"),
+                             F.lit(".html")).alias("url"))
+    _force(canonicalize_df(urls, mode="pandas")
+           .groupBy("canon.host").count())
+
+
 def run_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     import __spark_entry__ as entry
 
@@ -112,6 +128,7 @@ def bench_once(cores: int, sf_dir: str, queries: list[str] | None = None,
     spark = get_spark(app=f"wgs-bench-{cores}", cores=cores,
                       shuffle_partitions=max(cores, 8))
     try:
+        _warmup(spark, sf_dir)
         qtimes = run_queries(spark, sf_dir, queries or HEADLINE)
         crawl_stats = run_crawl_bench(spark, sf_dir) if crawl else {}
     finally:
