@@ -231,7 +231,23 @@ def main() -> None:
     ap.add_argument("--queries", default=None,
                     help="comma-separated query subset")
     ap.add_argument("--no-crawl", action="store_true")
+    ap.add_argument("--big-crawl", type=int, default=None, metavar="N_PAGES",
+                    help="run the end-to-end SparkCrawler over an "
+                         "N_PAGES-page consistent synthetic web and "
+                         "report aggregate URLs/s (BENCH/crawl_scale)")
     args = ap.parse_args()
+
+    if args.big_crawl:
+        from web_graph_spark.benchjobs import crawl_scale_job
+        from web_graph_spark.session import get_spark
+
+        spark = get_spark(app="wgs-bigcrawl", cores=args.cores,
+                          shuffle_partitions=max(args.cores, 8))
+        try:
+            print(json.dumps(crawl_scale_job(spark, n_pages=args.big_crawl)))
+        finally:
+            spark.stop()
+        return
 
     if args.scale_once is not None:
         from web_graph_spark.benchjobs import (fetch_throughput_job,

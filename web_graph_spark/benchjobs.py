@@ -128,6 +128,95 @@ def synth_span_web(spark: SparkSession, n_pages: int,
         F.sha1(url).alias("page_id"), url.alias("url"), spans.alias("spans"))
 
 
+def synth_consistent_web(spark: SparkSession, n_pages: int,
+                         links_per_page: int = 8) -> DataFrame:
+    """Internally-consistent crawlable web: every admissible href
+    resolves to a page that actually exists in the table (host =
+    h<target %997> — unlike :func:`synth_span_web`, whose hrefs
+    exercise the canonicalizer but mostly point nowhere).  Shape:
+    (page_id=sha1(host+path), url, host, path, content_type, fetch_ok,
+    spans) — the SparkCrawler web contract."""
+    primes = [7, 13, 31, 17, 23, 11, 19, 29]
+
+    def host_of(num):
+        return F.concat(F.lit("h"), (num % 997).cast("string"),
+                        F.lit(".example.test"))
+
+    def path_of(num):
+        return F.concat(F.lit("/d/"), num.cast("string"), F.lit(".html"))
+
+    pid = F.col("id")
+    host, path = host_of(pid), path_of(pid)
+    url = F.concat(F.lit("https://"), host, path)
+
+    def span_k(k):
+        p = primes[(k - 1) % len(primes)]
+        tgt = (pid * p + k) % n_pages
+        t_url = F.concat(F.lit("https://"), host_of(tgt), path_of(tgt))
+        href = (
+            # inadmissible media ref (filtered by F3)
+            F.when(F.lit(k % 4 == 0),
+                   F.concat(F.lit("https://"), host_of(tgt), F.lit("/img"),
+                            tgt.cast("string"), F.lit(".png")))
+            # root-relative only when same-host (else absolute)
+            .when(F.lit(k % 4 == 3),
+                  F.when(tgt % 997 == pid % 997, path_of(tgt))
+                   .otherwise(t_url))
+            # absolute with query+fragment (canonicalizer strips)
+            .when(F.lit(k % 4 == 2), F.concat(t_url, F.lit("?b=2&a=1#s")))
+            .otherwise(t_url))
+        return F.struct(
+            F.lit("link").alias("kind"),
+            F.concat(F.lit("anchor-"), F.lit(k).cast("string")).alias("text"),
+            href.alias("media_ref"), F.lit(k).cast("int").alias("offset"))
+
+    spans = F.array(*[span_k(k) for k in range(1, links_per_page + 1)])
+    return spark.range(0, n_pages, 1, SYNTH_PARTS).select(
+        F.sha1(F.concat(host, path)).alias("page_id"), url.alias("url"),
+        host.alias("host"), path.alias("path"),
+        F.lit("text/html").alias("content_type"),
+        F.lit(True).alias("fetch_ok"), spans.alias("spans"))
+
+
+def crawl_scale_job(spark: SparkSession, n_pages: int = 1_000_000,
+                    n_seeds: int = 1_000, max_waves: int = 4,
+                    links_per_page: int = 8, state_dir: str | None = None,
+                    budget: int | None = None) -> dict:
+    """End-to-end SparkCrawler throughput over a big synthetic span
+    web: the wave loop (dedupe → schedule → fetch-extract → append ×6
+    tables → checkpoint) at wave sizes where per-wave fixed cost
+    amortizes.  Returns aggregate URLs/s and pages/s — the
+    BASELINE.json headline metric measured through the REAL loop, not
+    the stage-level jobs."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .crawler import UNBOUNDED, SparkCrawler
+
+    web = synth_consistent_web(spark, n_pages, links_per_page)
+    doc_num = F.regexp_extract("url", r"/d/([0-9]+)\.html", 1).cast("long")
+    seeds = (web.withColumn("__n", doc_num)
+             .filter(F.col("__n") < n_seeds)
+             .select(F.col("__n").alias("seq"), "url"))
+    c = SparkCrawler(spark, state_dir or tempfile.mkdtemp(prefix="wgs_big_"),
+                     web, max_waves=max_waves,
+                     default_budget=budget or UNBOUNDED)
+    t0 = time.monotonic()
+    c.init_from_seeds(seeds)
+    c.run()
+    wall = time.monotonic() - t0
+    n_sched = sum(m.n_scheduled for m in c.metrics)
+    n_fetched = sum(m.n_expanded for m in c.metrics)
+    return {"n_pages_web": n_pages, "waves": len(c.metrics),
+            "urls_scheduled": n_sched, "pages_fetched": n_fetched,
+            "urls_enqueued": sum(m.n_enqueued for m in c.metrics),
+            "wall_sec": round(wall, 3),
+            "per_wave_sec": [round(m.wall_ms / 1000, 2) for m in c.metrics],
+            "frontier_urls_per_sec": round(n_sched / wall, 1),
+            "pages_per_sec": round(n_fetched / wall, 1)}
+
+
 def fetch_throughput_job(spark: SparkSession, n_pages: int = 300_000,
                          links_per_page: int = 8) -> dict:
     """Fetch-extract ``n_pages`` span docs through the Arrow UDF path +
