@@ -194,7 +194,10 @@ def crawl_scale_job(spark: SparkSession, n_pages: int = 1_000_000,
 
     from .crawler import UNBOUNDED, SparkCrawler
 
-    web = synth_consistent_web(spark, n_pages, links_per_page)
+    # persist ≙ the web being a stored table: without it the generator
+    # expressions (sha1 + 8 struct hrefs per row) re-run at every
+    # wave's fetch join.
+    web = synth_consistent_web(spark, n_pages, links_per_page).persist()
     doc_num = F.regexp_extract("url", r"/d/([0-9]+)\.html", 1).cast("long")
     seeds = (web.withColumn("__n", doc_num)
              .filter(F.col("__n") < n_seeds)
