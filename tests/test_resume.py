@@ -91,3 +91,26 @@ def test_per_partition_metrics_written(spark, small_fix, tmp_path):
     got = sum(r["value"] for r in part
               if r["key"] == "fetch_urls_scheduled" and r["wave"] == 0)
     assert got == wave_rows["n_scheduled"]
+
+
+@pytest.mark.spark
+def test_kill_and_resume_bloom_mode(spark, small_fix, tmp_path):
+    """Resume under the bloom seen-tier: kill after wave 1, resume with
+    seen_mode='bloom' — final state equals the oracle (the bloom is
+    rebuilt from the seen table, never from volatile state)."""
+    state = tmp_path / "state"
+    web = load_web(spark, small_fix)
+    seeds = spark.read.parquet(f"{small_fix}/seeds.parquet")
+
+    c1 = SparkCrawler(spark, str(state), web, default_budget=3,
+                      max_waves=2, seen_mode="bloom")
+    c1.init_from_seeds(seeds)
+    c1.run()
+    assert c1.store.committed_wave() == 1
+
+    c2 = SparkCrawler(spark, str(state), web, default_budget=3,
+                      max_waves=500, seen_mode="bloom")
+    c2.init_from_seeds(seeds)
+    c2.run()
+    o = run_oracle(small_fix, default_budget=3)
+    assert_equal_states(c2, o)
