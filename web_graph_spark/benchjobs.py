@@ -179,7 +179,7 @@ def synth_consistent_web(spark: SparkSession, n_pages: int,
 
 
 def crawl_scale_job(spark: SparkSession, n_pages: int = 1_000_000,
-                    n_seeds: int = 1_000, max_waves: int = 4,
+                    n_seeds: int = 500, max_waves: int = 5,
                     links_per_page: int = 8, state_dir: str | None = None,
                     budget: int | None = None) -> dict:
     """End-to-end SparkCrawler throughput over a big synthetic span
