@@ -114,3 +114,34 @@ def test_token_stats_stays_jvm(spark):
     df = e.queries()["text_token_stats"](spark, SF_SMOKE)
     assert_no_python_udf(df)
     assert_read_schema_only(df, {"doc_id", "text"})
+
+
+@pytest.mark.spark
+def test_bucketed_anti_join_has_no_exchange(spark, tmp_path):
+    """Seen-set anti-join over bucket(key)-stored tables must be
+    co-located: SortMergeJoin with ZERO Exchange nodes — the 10^10-row
+    answer to the shuffle the scaling bench identifies as the
+    single-box ceiling (BENCH/BASELINE.md)."""
+    from web_graph_spark.operators.bucketed import (bucketed_anti_join,
+                                                    save_bucketed)
+
+    seen = spark.range(20000).select(
+        F.sha1(F.col("id").cast("string")).alias("page_id"))
+    cand = spark.range(10000, 40000).select(
+        F.sha1(F.col("id").cast("string")).alias("page_id"))
+    save_bucketed(seen, "t_seen_b", n_buckets=8)
+    save_bucketed(cand, "t_cand_b", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # at 10^10 rows neither side broadcasts — force the big-table plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_anti_join(spark, "t_cand_b", "t_seen_b")
+        plan = physical_plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # semantics: identical to the plain anti-join
+        assert j.count() == cand.join(seen, "page_id", "left_anti").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_seen_b")
+        spark.sql("DROP TABLE IF EXISTS t_cand_b")
