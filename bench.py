@@ -222,8 +222,12 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=int(os.environ.get(
         "SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--scaling", action="store_true",
-                    help="run the throughput jobs at local[8] and "
-                         "local[32] and report scaling efficiency")
+                    help="run the throughput jobs at --lo and --hi "
+                         "cores (pinned subprocesses) and report "
+                         "scaling efficiency; default pair 2->8, the "
+                         "methodology recorded in BENCH/BASELINE.md")
+    ap.add_argument("--lo", type=int, default=2)
+    ap.add_argument("--hi", type=int, default=8)
     ap.add_argument("--scale-once", type=int, default=None,
                     help="(internal) warmup + run the throughput jobs "
                          "at this core count, print one JSON line")
@@ -276,7 +280,8 @@ def main() -> None:
         return
 
     if args.scaling:
-        result = bench_scaling(args.sf_dir, frontier_n=args.frontier_n,
+        result = bench_scaling(args.sf_dir, lo=args.lo, hi=args.hi,
+                               frontier_n=args.frontier_n,
                                fetch_pages=args.fetch_pages)
     else:
         qs = args.queries.split(",") if args.queries else None

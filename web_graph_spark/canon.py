@@ -276,6 +276,11 @@ def canonicalize_df(df, url_col: str = "url", out_col: str = "canon",
                     the UDF into its own ArrowEvalPython node and runs
                     it for every row, making the conditional the worst
                     of both tiers).  Output row order is not preserved.
+                    The source plan is evaluated twice (one branch per
+                    tier), so the input must be DETERMINISTIC — with a
+                    nondeterministic upstream column rows could migrate
+                    between branches and be duplicated or dropped;
+                    persist/localCheckpoint such inputs first.
     """
     from pyspark.sql import functions as F
 

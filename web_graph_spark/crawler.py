@@ -194,6 +194,9 @@ class SparkCrawler:
                     .observe(obs_sched, F.count(F.lit(1)).alias("n")), wave)
         n_sched = int(obs_sched.get["n"])
         if n_sched == 0:
+            # the just-written crawl_order partition is empty — drop it
+            # rather than couple correctness to cleanup_uncommitted
+            store.discard("crawl_order", wave)
             if n_blocked:
                 store.write("seen", blocked, wave)
                 store.commit(wave, next_seq=next_seq, scheduled=0,
@@ -218,8 +221,12 @@ class SparkCrawler:
                            F.col("s.depth").alias("depth"),
                            "content_type", "fetch_ok", "spans"))
         # persisted: consumed by the docs_out write AND link extraction
-        # (without the cache the frontier⋈web join runs twice per wave)
-        expandable = (fetched.filter(
+        # (without the cache the frontier⋈web join runs twice per wave).
+        # Keep the persisted handle separate from any derived plan —
+        # unpersist on a derived Repartition is a no-op (cascade=false
+        # needs sameResult on the cached root) and would leak one cache
+        # entry per wave over a long crawl.
+        expandable_cached = (fetched.filter(
             F.col("fetch_ok")
             & F.split(F.col("content_type"), ";").getItem(0).isin(*HTML_CTYPES)
             & F.col("spans").isNotNull())).persist()
@@ -227,8 +234,8 @@ class SparkCrawler:
         # emit span documents for expanded pages (input_hint invariant)
         obs_expanded = Observation()
         store.write("docs_out",
-                    expandable.observe(obs_expanded,
-                                       F.count(F.lit(1)).alias("n"))
+                    expandable_cached.observe(obs_expanded,
+                                              F.count(F.lit(1)).alias("n"))
                     .select(F.col("page_id").alias("doc_id"),
                             "spans"), wave)
 
@@ -242,7 +249,7 @@ class SparkCrawler:
         from .operators.skew import salted_repartition
 
         expandable = salted_repartition(
-            expandable, "host", "page_id",
+            expandable_cached, "host", "page_id",
             salt_buckets=self.fetch_salt_buckets)
         links = extract_links(expandable, carry_cols=("seq", "depth"))
         links = links.select(
@@ -352,7 +359,7 @@ class SparkCrawler:
         fseq.release(targets)
         targets.unpersist()
         links.unpersist()
-        expandable.unpersist()
+        expandable_cached.unpersist()
         scheduled.unpersist()
         if blocked is not None:
             blocked.unpersist()

@@ -77,21 +77,46 @@ def _small_star(e: DataFrame) -> DataFrame:
     return out
 
 
+def _edge_digest(e: DataFrame) -> tuple:
+    """(count, Σ xxhash64(u,v)) — an order-insensitive set digest.
+    One cheap agg job (map-side partial, 1-row shuffle) instead of the
+    two full exceptAll shuffles a set-equality check would cost.  The
+    edge set is canonical (u<v, distinct), so digest equality implies
+    set equality up to a 2^-64-ish hash-sum collision — and a false
+    "converged" is additionally guarded by the star-graph fixpoint
+    being idempotent (labels read from a converged e are stable)."""
+    r = e.agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.xxhash64("u", "v").cast("decimal(28,0)"))
+               .alias("h")).first()
+    return (r["n"], r["h"])
+
+
 def connected_components(vertices: DataFrame, edges: DataFrame,
                          id_col: str = "doc_id",
                          src: str = "src_doc_id", dst: str = "tgt_doc_id",
                          max_rounds: int = 50) -> DataFrame:
     """(id_col, component) — component = min vertex id reachable via
-    undirected edges.  Isolated vertices label themselves."""
+    undirected edges.  Isolated vertices label themselves.
+
+    Raises RuntimeError if the star-graph fixpoint is not reached in
+    ``max_rounds`` — a non-converged edge set could label one node into
+    several components, so silent truncation is never acceptable.
+    """
     e = _canon_edges(edges, src, dst).localCheckpoint()
+    digest = _edge_digest(e)
+    converged = False
     for _ in range(max_rounds):
         e2 = _small_star(_large_star(e)).localCheckpoint()
-        # converged when the canonical edge set is stable
-        changed = e2.exceptAll(e).limit(1).count() + \
-            e.exceptAll(e2).limit(1).count()
+        d2 = _edge_digest(e2)
         e = e2
-        if changed == 0:
+        if d2 == digest:
+            converged = True
             break
+        digest = d2
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            "rounds — raise max_rounds (O(log^2 n) expected)")
     # stars: every surviving edge is (member, root); roots and
     # isolated vertices label themselves.
     labels = e.select(F.greatest("u", "v").alias(id_col),
@@ -107,40 +132,66 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
              id_col: str = "doc_id",
              src: str = "src_doc_id", dst: str = "tgt_doc_id",
              n_iter: int = 8, damping: float = 0.85) -> DataFrame:
-    """(id_col, rank) after ``n_iter`` power iterations; Σ rank = 1.
+    """(id_col, rank) after ``n_iter`` power iterations; Σ rank ≈ 1.
 
     Dangling nodes' mass is redistributed uniformly each round (the
     standard stochastic-matrix completion), so ranks stay a proper
     distribution and the result matches a dense numpy reference.
+
+    Determinism: the loop runs in DECIMAL(38,18).  Decimal addition is
+    exact (associative/commutative), so groupBy sums give bit-identical
+    results regardless of partitioning, task order, or AQE re-plans —
+    unlike doubles, whose sum depends on reduction order.  Per-row
+    division/multiplication round HALF_UP at scale 18: deterministic.
+    That makes the output a fixed function of (graph, n_iter, damping),
+    safe to pin with a golden-parquet oracle.
+
+    Laziness: the dangling mass joins back as a 1-row crossJoin instead
+    of a per-iteration ``.first()`` — the only actions in the loop are
+    the lineage-truncating localCheckpoints (every 2 rounds), not one
+    driver round-trip per round.
     """
+    from decimal import Decimal
+
+    DEC = "decimal(38,18)"
     ids = vertices.select(F.col(id_col).cast("long").alias("id"))
     n = ids.count()
     e = (edges.select(F.col(src).cast("long").alias("src"),
                       F.col(dst).cast("long").alias("dst"))
          .filter(F.col("src") != F.col("dst")).distinct())
-    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    deg = e.groupBy("src").agg(F.count("*").cast("decimal(10,0)")
+                               .alias("out_deg"))
     # (src, dst, out_deg) is loop-invariant: compute once, keep hot.
     adj = e.join(deg, "src").persist()
     adj.count()
-    ranks = ids.select("id", F.lit(1.0 / n).alias("rank"))
+    d = F.lit(Decimal(str(damping)))
+    teleport = F.lit((Decimal(1) - Decimal(str(damping)))
+                     / Decimal(n)).cast(DEC)
+    init = F.lit(Decimal(1) / Decimal(n)).cast(DEC)
+    zero = F.lit(Decimal(0)).cast(DEC)
+    ranks = ids.select("id", init.alias("rank"))
     for i in range(n_iter):
         contrib = (adj.join(ranks.withColumnRenamed("id", "src"), "src")
                    .select(F.col("dst").alias("id"),
-                           (F.col("rank") / F.col("out_deg"))
+                           (F.col("rank") / F.col("out_deg")).cast(DEC)
                            .alias("w")))
         summed = contrib.groupBy("id").agg(F.sum("w").alias("in_w"))
-        # dangling mass = 1 - Σ(forwarded) = Σ ranks of zero-out-deg nodes
-        dangling = (ranks.join(deg.withColumnRenamed("src", "id"),
-                               "id", "left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                    .first()[0])
-        base = (1.0 - damping) / n + damping * dangling / n
+        # dangling mass = Σ ranks of zero-out-deg nodes, folded back
+        # in-plan: 1-row aggregate × ids (broadcast NL join of one row).
+        dang = (ranks.join(deg.select(F.col("src").alias("id")),
+                           "id", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), zero).alias("dangling")))
         ranks = (ids.join(summed, "id", "left")
+                 .crossJoin(dang)
                  .select("id",
-                         (F.lit(base)
-                          + F.lit(damping)
-                          * F.coalesce("in_w", F.lit(0.0))).alias("rank")))
-        if (i + 1) % 3 == 0:
+                         (teleport
+                          + (d * F.col("dangling") / F.lit(n)).cast(DEC)
+                          + (d * F.coalesce("in_w", zero)).cast(DEC))
+                         .cast(DEC).alias("rank")))
+        if (i + 1) % 2 == 0 and (i + 1) < n_iter:
             ranks = ranks.localCheckpoint()
+    out = ranks.select(F.col("id").alias(id_col),
+                       F.col("rank").cast("double").alias("rank"))
+    out = out.localCheckpoint()  # materialize before freeing adj
     adj.unpersist()
-    return ranks.select(F.col("id").alias(id_col), "rank")
+    return out

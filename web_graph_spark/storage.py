@@ -98,6 +98,13 @@ class WaveStore:
         out = os.path.join(self._dir(name), f"wave={wave}")
         df.write.mode("overwrite").parquet(out)
 
+    def discard(self, name: str, wave: int) -> None:
+        """Drop one (uncommitted) wave partition — used when a wave
+        aborts after its first write (e.g. nothing scheduled)."""
+        out = os.path.join(self._dir(name), f"wave={wave}")
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+
     def read(self, name: str, max_wave: Optional[int] = None) -> DataFrame:
         """Read a table across committed waves (with `wave` column).
         Empty DataFrame with the declared schema if nothing written."""
