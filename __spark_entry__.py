@@ -15,6 +15,7 @@ DuckDB 1.0 lacks sha1, so oracle-compared ids use md5(host||path)
 
 from __future__ import annotations
 
+import os
 import tempfile
 from collections.abc import Callable
 
@@ -243,15 +244,21 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, 6 power iterations with dangling-mass redistribution
-    (operators/graph_algos.py).  Iterative → no SQL oracle; pinned
-    against a dense pure-Python reference in tests/test_graph_algos.py."""
+    (operators/graph_algos.py).  The loop runs in DECIMAL(38,18), so
+    the output is bit-deterministic (aggregation-order-independent) —
+    pinned against a dense pure-Python reference in
+    tests/test_graph_algos.py AND against a golden parquet oracle
+    (scripts/make_golden.py; tests/test_golden.py guards drift).
+    rank_ppb = floor(rank · 10^9) keeps the oracle compare integral."""
     from web_graph_spark.operators.graph_algos import pagerank
 
     e = (webgen.links_full_df(spark, sf_dir)
          .filter(F.col("k") % 4 != 0)
          .select("src_doc_id", "tgt_doc_id").distinct())
     v = webgen.pages_df(spark, sf_dir).select("doc_id")
-    return pagerank(v, e, n_iter=6)
+    return (pagerank(v, e, n_iter=6)
+            .select("doc_id", F.floor(F.col("rank") * 1e9).cast("long")
+                    .alias("rank_ppb")))
 
 
 def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,11 +342,24 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-shingle Jaccard pairs (n=1), sim ≥ 0.2, doc_id < 100."""
+    """Exact word-TRIGRAM Jaccard pairs (n=3, sim ≥ 0.5) over docs
+    <100 plus constructed exact/near copies.  n=3 keeps the
+    explode-join key selective (word unigrams make stopwords quadratic
+    hot keys — the n=1 call survives only as the capped correctness
+    baseline inside tests); the dup copies make the green row
+    non-trivial."""
     from web_graph_spark.functions.dedup import jaccard_pairs
 
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
-    return jaccard_pairs(d, threshold=0.2, n=1)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100) \
+        .select("doc_id", "text")
+    exact = (d.filter(F.col("doc_id") % 10 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"),
+                     F.upper(F.col("text")).alias("text")))
+    near = (d.filter(F.col("doc_id") % 10 == 1)
+            .select((F.col("doc_id") + 200000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" zz qq ww")).alias("text")))
+    corpus = d.unionByName(exact).unionByName(near)
+    return jaccard_pairs(corpus, threshold=0.5, n=3)
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,20 +445,39 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, q, dim=64, k=5, n_bits=6, n_tables=6)
 
 
-def q_embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact pairwise ≥ 0.80)."""
-    from web_graph_spark.functions.similarity import cosine
+def _emb_with_dups(spark, sf_dir):
+    """embeddings ∪ deterministic near-copies (every 50th vector
+    shifted by +0.05 per dim → cosine ≈ 0.99+) — the near-dup test
+    corpus; all vectors cast to double so Spark and DuckDB do float
+    math on identical inputs."""
+    e = (_emb(spark, sf_dir)
+         .select("vec_id", F.transform("embedding",
+                                       lambda x: x.cast("double"))
+                 .alias("embedding")))
+    pert = (e.filter(F.col("vec_id") % 50 == 0)
+            .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                    F.transform("embedding", lambda x: x + F.lit(0.05))
+                    .alias("embedding")))
+    return e.unionByName(pert)
 
-    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    a = emb.select(F.col("vec_id").alias("id_a"),
-                   F.col("embedding").alias("v_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"),
-                   F.col("embedding").alias("v_b"))
-    j = (a.join(b, F.col("id_a") < F.col("id_b"))
-         .withColumn("sim_ppm", F.floor(cosine(F.col("v_a"), F.col("v_b"))
-                                        * 1000000).cast("long")))
-    return (j.filter(F.col("sim_ppm") >= 800000)
-            .select("id_a", "id_b", "sim_ppm"))
+
+def q_embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥ 0.80) via the LSH scale path
+    (functions/similarity.py: hyperplane buckets + exact verify) — the
+    oracle is the exact O(N²) pairwise SQL, so the green row certifies
+    the bucketed path finds EVERY qualifying pair on this corpus (the
+    all-pairs expression lives only in the DuckDB oracle and the recall
+    test, never in the Spark plan — pinned BNL/Cartesian-free in
+    tests/test_plans.py)."""
+    from web_graph_spark.functions.similarity import embedding_near_dup_pairs
+
+    # n_bits sizes buckets to the corpus (~2^6 buckets for ~500
+    # vectors keeps verify volume tiny; at 10^9 vectors raise bits so
+    # buckets stay bounded); n_tables=12 drives the per-pair miss
+    # probability below 10^-3 at cosine 0.92.
+    return embedding_near_dup_pairs(_emb_with_dups(spark, sf_dir),
+                                    tau=0.8, dim=64, n_bits=6,
+                                    n_tables=12, seed=7)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,6 +695,35 @@ r AS (
 )
 SELECT q_id, rank, vec_id, sim_ppm FROM r WHERE rank <= 5""",
         **_pipeline_oracles(),
+        **_golden_oracles(),
+    }
+
+
+def _golden_oracles() -> dict[str, str]:
+    """DuckDB oracles for queries whose semantics aren't SQL-expressible
+    (seeded numpy hyperplanes, xxhash64/blake2b, iterative decimal
+    PageRank): a golden parquet frozen from the independently
+    test-pinned path (scripts/make_golden.py; drift guarded by
+    tests/test_golden.py).  Sound because each output is a fully
+    deterministic function of the input — hash-derived randomness,
+    per-row fixed-order float math, exact decimal aggregation."""
+    g = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+    return {
+        "graph_pagerank": (
+            f"SELECT doc_id, rank_ppb "
+            f"FROM read_parquet('{g}/graph_pagerank.parquet')"),
+        "dedup_minhash": (
+            f"SELECT id_a, id_b, est_jaccard_bp "
+            f"FROM read_parquet('{g}/dedup_minhash.parquet')"),
+        "dedup_simhash": (
+            f"SELECT id_a, id_b, hamming "
+            f"FROM read_parquet('{g}/dedup_simhash.parquet')"),
+        "ann_lsh_topk": (
+            f"SELECT q_id, rank, vec_id, sim_ppm "
+            f"FROM read_parquet('{g}/ann_lsh_topk.parquet')"),
+        "media_features": (
+            f"SELECT media_id, kind, n_bytes, sha, feat0_ppm "
+            f"FROM read_parquet('{g}/media_features.parquet')"),
     }
 
 
@@ -716,10 +784,23 @@ SELECT md5({normalize_sql('text')}) AS fingerprint,
 FROM docs_dups
 GROUP BY 1 HAVING count(*) > 1""",
         "dedup_ngram_jaccard": f"""
-WITH w AS (
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 100000, upper(text) FROM documents
+  WHERE doc_id < 100 AND doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zz qq ww' FROM documents
+  WHERE doc_id < 100 AND doc_id % 10 = 1
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all({norm}, '\\S+') AS words FROM corpus
+),
+w AS (
   SELECT doc_id, unnest(list_distinct(
-      regexp_extract_all({norm}, '\\S+'))) AS word
-  FROM documents WHERE doc_id < 100
+    list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                   i -> array_to_string(words[i:i+2], ' ')))) AS word
+  FROM toks
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY 1),
 inter AS (
@@ -733,7 +814,7 @@ SELECT i.id_a, i.id_b, i.n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
-WHERE floor(i.n_inter * 10000.0 / (sa.sz + sb.sz - i.n_inter)) >= 2000""",
+WHERE floor(i.n_inter * 10000.0 / (sa.sz + sb.sz - i.n_inter)) >= 5000""",
         "ann_cosine_topk": """
 WITH q AS (
   SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
@@ -757,24 +838,22 @@ r AS (
 )
 SELECT q_id, rank, vec_id, sim_ppm FROM r WHERE rank <= 5""",
         "embed_near_dup_pairs": """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       CAST(floor(
-         list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                          CAST(b.embedding AS DOUBLE[]))
-         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                  CAST(a.embedding AS DOUBLE[])))
-            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[]))))
-         * 1000000) AS BIGINT) AS sim_ppm
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE floor(
-         list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                          CAST(b.embedding AS DOUBLE[]))
-         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                  CAST(a.embedding AS DOUBLE[])))
-            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[]))))
-         * 1000000) >= 800000""",
+WITH aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05)
+  FROM embeddings WHERE vec_id % 50 = 0
+)
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(floor(
+           list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v)))
+           * 1000000) AS BIGINT) AS sim_ppm
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+) WHERE sim_ppm >= 800000""",
         "events_sessionize": """
 WITH g AS (
   SELECT user_id, event_id, ts,

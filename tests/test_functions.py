@@ -137,6 +137,44 @@ def test_simhash_pairs(spark, docs):
 
 
 @pytest.mark.spark
+def test_embed_near_dup_recall_vs_exact(spark):
+    """E5 LSH path vs the exact all-pairs truth (the cartesian lives
+    ONLY here and in the DuckDB oracle — never in a production plan):
+    on a corpus with constructed near-copies the bucketed path must
+    recover every qualifying pair."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.similarity import (
+        cosine, embedding_near_dup_pairs)
+
+    emb = (spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+           .select("vec_id", F.transform("embedding",
+                                         lambda x: x.cast("double"))
+                   .alias("embedding")))
+    pert = (emb.filter(F.col("vec_id") % 20 == 0)
+            .select((F.col("vec_id") + 10000).alias("vec_id"),
+                    F.transform("embedding", lambda x: x + F.lit(0.05))
+                    .alias("embedding")))
+    aug = emb.unionByName(pert).localCheckpoint()
+    a = aug.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("v_a"))
+    b = aug.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("v_b"))
+    truth = {(r["id_a"], r["id_b"])
+             for r in a.join(b, F.col("id_a") < F.col("id_b"))
+             .withColumn("sim", cosine(F.col("v_a"), F.col("v_b")))
+             .filter(F.col("sim") >= 0.8).collect()}
+    assert truth, "corpus must contain qualifying pairs"
+    got = {(r["id_a"], r["id_b"])
+           for r in embedding_near_dup_pairs(
+               aug, tau=0.8, dim=64, n_bits=6, n_tables=12,
+               seed=7).collect()}
+    assert got <= truth          # verify step guarantees no false pairs
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, (recall, truth - got)
+
+
+@pytest.mark.spark
 def test_cosine_topk_vs_numpy(spark):
     from pyspark.sql import functions as F
 

@@ -117,6 +117,20 @@ def test_token_stats_stays_jvm(spark):
 
 
 @pytest.mark.spark
+def test_embed_near_dup_plan_is_bucketed(spark):
+    """E5: the contract near-dup query must run on the LSH bucket join —
+    never a BroadcastNestedLoop/Cartesian all-pairs (the O(N²) plan
+    that is fatal at 100×; the exact pairwise expression lives only in
+    the DuckDB oracle and the recall test)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["embed_near_dup_pairs"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.spark
 def test_bucketed_anti_join_has_no_exchange(spark, tmp_path):
     """Seen-set anti-join over bucket(key)-stored tables must be
     co-located: SortMergeJoin with ZERO Exchange nodes — the 10^10-row
