@@ -240,7 +240,28 @@ def main() -> None:
                     help="run the end-to-end SparkCrawler over an "
                          "N_PAGES-page consistent synthetic web and "
                          "report aggregate URLs/s (BENCH/crawl_scale)")
+    ap.add_argument("--seen-scale", type=int, default=None, metavar="N_SEEN",
+                    help="isolate the seen-set anti-join at mature-"
+                         "crawl scale (|seen| >> |wave|): plain vs "
+                         "bucketed layout per-wave wall")
+    ap.add_argument("--bucketed", action="store_true",
+                    help="with --big-crawl: store seen/frontier_log/"
+                         "pages/edges bucketed on their join key (the "
+                         "co-located anti-join layout)")
     args = ap.parse_args()
+
+    if args.seen_scale:
+        from web_graph_spark.benchjobs import seen_antijoin_scale_job
+        from web_graph_spark.session import get_spark
+
+        spark = get_spark(app="wgs-seenscale", cores=args.cores,
+                          shuffle_partitions=max(args.cores, 8))
+        try:
+            print(json.dumps(seen_antijoin_scale_job(
+                spark, n_seen=args.seen_scale)))
+        finally:
+            spark.stop()
+        return
 
     if args.big_crawl:
         from web_graph_spark.benchjobs import crawl_scale_job
@@ -249,7 +270,8 @@ def main() -> None:
         spark = get_spark(app="wgs-bigcrawl", cores=args.cores,
                           shuffle_partitions=max(args.cores, 8))
         try:
-            print(json.dumps(crawl_scale_job(spark, n_pages=args.big_crawl)))
+            print(json.dumps(crawl_scale_job(spark, n_pages=args.big_crawl,
+                                             bucketed_state=args.bucketed)))
         finally:
             spark.stop()
         return

@@ -181,7 +181,9 @@ def synth_consistent_web(spark: SparkSession, n_pages: int,
 def crawl_scale_job(spark: SparkSession, n_pages: int = 1_000_000,
                     n_seeds: int = 500, max_waves: int = 5,
                     links_per_page: int = 8, state_dir: str | None = None,
-                    budget: int | None = None) -> dict:
+                    budget: int | None = None,
+                    bucketed_state: bool = False,
+                    n_buckets: int = 32) -> dict:
     """End-to-end SparkCrawler throughput over a big synthetic span
     web: the wave loop (dedupe → schedule → fetch-extract → append ×6
     tables → checkpoint) at wave sizes where per-wave fixed cost
@@ -204,7 +206,8 @@ def crawl_scale_job(spark: SparkSession, n_pages: int = 1_000_000,
              .select(F.col("__n").alias("seq"), "url"))
     c = SparkCrawler(spark, state_dir or tempfile.mkdtemp(prefix="wgs_big_"),
                      web, max_waves=max_waves,
-                     default_budget=budget or UNBOUNDED)
+                     default_budget=budget or UNBOUNDED,
+                     bucketed_state=bucketed_state, n_buckets=n_buckets)
     t0 = time.monotonic()
     c.init_from_seeds(seeds)
     c.run()
@@ -212,12 +215,70 @@ def crawl_scale_job(spark: SparkSession, n_pages: int = 1_000_000,
     n_sched = sum(m.n_scheduled for m in c.metrics)
     n_fetched = sum(m.n_expanded for m in c.metrics)
     return {"n_pages_web": n_pages, "waves": len(c.metrics),
+            "bucketed_state": bucketed_state,
             "urls_scheduled": n_sched, "pages_fetched": n_fetched,
             "urls_enqueued": sum(m.n_enqueued for m in c.metrics),
             "wall_sec": round(wall, 3),
             "per_wave_sec": [round(m.wall_ms / 1000, 2) for m in c.metrics],
             "frontier_urls_per_sec": round(n_sched / wall, 1),
             "pages_per_sec": round(n_fetched / wall, 1)}
+
+
+def seen_antijoin_scale_job(spark: SparkSession, n_seen: int = 20_000_000,
+                            n_cand: int = 200_000, n_waves: int = 3,
+                            n_buckets: int = 32) -> dict:
+    """The layout decision isolated: candidates ⟕̸ seen at the regime
+    the bucketed layout exists for — |seen| ≫ |wave| (a mature crawl:
+    10^10 seen, 10^6/wave).  The end-to-end --big-crawl bench can't
+    show this (5 waves from seeds ⇒ state ≈ wave size, so the extra
+    bucket-aligned write shuffle costs more than the join saves — see
+    BENCH/BASELINE.md for both numbers and the crossover rule).
+
+    plain    : seen as plain parquet — every wave re-shuffles ALL of
+               seen into the anti-join (shuffle ∝ |seen|).
+    bucketed : seen bucketed+sorted on page_id — zero Exchange on the
+               seen side; per-wave shuffle ∝ |wave| only.
+
+    Reports per-wave anti-join wall (median of n_waves) per layout plus
+    the one-time write cost of each layout.
+    """
+    import statistics
+    import tempfile
+
+    from .storage import WaveStore
+
+    root = tempfile.mkdtemp(prefix="wgs_aj_")
+    seen_src = spark.range(0, n_seen, 1, SYNTH_PARTS).select(
+        F.sha1(F.col("id").cast("string")).alias("page_id"))
+    out: dict = {"n_seen": n_seen, "n_cand": n_cand,
+                 "n_buckets": n_buckets}
+    for layout, bucketed in (("plain", False), ("bucketed", True)):
+        store = WaveStore(spark, f"{root}/{layout}", bucketed=bucketed,
+                          n_buckets=n_buckets)
+        t0 = time.monotonic()
+        store.write("seen", seen_src, wave=0)
+        store.commit(0)
+        write_sec = time.monotonic() - t0
+        seen = store.read("seen").select("page_id")
+        walls = []
+        for w in range(n_waves):
+            # fresh candidate ids per wave (half seen, half new)
+            cand = spark.range(
+                n_seen - n_cand // 2 + w, n_seen + n_cand // 2 + w, 1,
+                SYNTH_PARTS).select(
+                F.sha1(F.col("id").cast("string")).alias("page_id"))
+            t0 = time.monotonic()
+            n_new = cand.join(seen, "page_id", "left_anti").count()
+            walls.append(time.monotonic() - t0)
+        out[layout] = {"write_sec": round(write_sec, 2),
+                       "antijoin_sec_per_wave": [round(x, 2) for x in walls],
+                       "antijoin_median_sec": round(
+                           statistics.median(walls), 2),
+                       "n_new_last": n_new}
+    out["speedup_antijoin"] = round(
+        out["plain"]["antijoin_median_sec"]
+        / out["bucketed"]["antijoin_median_sec"], 2)
+    return out
 
 
 def fetch_throughput_job(spark: SparkSession, n_pages: int = 300_000,

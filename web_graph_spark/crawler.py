@@ -69,11 +69,18 @@ class SparkCrawler:
                  default_budget: int = UNBOUNDED, max_waves: int = 100,
                  robots: DataFrame | None = None,
                  priority: str = "fifo", fetch_salt_buckets: int = 8,
-                 seen_mode: str = "exact"):
+                 seen_mode: str = "exact", bucketed_state: bool = False,
+                 n_buckets: int = 32):
         from .operators.robots import compile_rules
 
         self.spark = spark
-        self.store = WaveStore(spark, state_dir)
+        # bucketed_state: store the big immutable sides (seen,
+        # frontier_log, pages, edges) bucketed+sorted on their join key
+        # so the per-wave anti-joins run co-located — shuffle cost per
+        # wave stays proportional to the wave, not |accumulated state|
+        # (the 10^10-frontier layout; see storage.py docstring).
+        self.store = WaveStore(spark, state_dir, bucketed=bucketed_state,
+                               n_buckets=n_buckets)
         self.web = web
         self.budgets = budgets
         self.default_budget = default_budget
@@ -264,16 +271,20 @@ class SparkCrawler:
         ).persist()
         n_links = links.count()
 
-        # ---- edges: first (from,to) wins within wave, existing win across
+        # ---- edges: first (from,to) wins within wave, existing win across.
+        # The anti-join runs on the stored edge_id (= from||to, injective
+        # for fixed-width sha1 ids): a single stored column lets the
+        # bucketed layout satisfy the join's distribution with zero
+        # Exchange on the accumulated side.
         prev_edges = store.read("edges", max_wave=wave - 1)
         new_edges = (
             links.groupBy("from_page_id", "to_page_id")
             .agg(F.min(F.struct("parent_seq", "link_index", "anchor_text"))
                   .alias("m"))
             .select("from_page_id", "to_page_id",
-                    F.col("m.anchor_text").alias("text"))
-            .join(prev_edges.select("from_page_id", "to_page_id"),
-                  ["from_page_id", "to_page_id"], "left_anti"))
+                    F.col("m.anchor_text").alias("text"),
+                    F.concat("from_page_id", "to_page_id").alias("edge_id"))
+            .join(prev_edges.select("edge_id"), "edge_id", "left_anti"))
         obs_edges = Observation()
         store.write("edges", new_edges.observe(
             obs_edges, F.count(F.lit(1)).alias("n")), wave)
