@@ -1,0 +1,85 @@
+"""The fetch seam (S4): PandasFetcher ≡ JoinFetcher on the same web,
+and budget-before-salt ordering."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_graph_spark.plans import physical_plan
+
+N_PAGES = 2000
+
+
+def _web(spark):
+    from web_graph_spark.benchjobs import synth_consistent_web
+
+    return synth_consistent_web(spark, N_PAGES)
+
+
+def _seeds(spark):
+    web = _web(spark)
+    num = F.regexp_extract("url", r"/d/([0-9]+)\.html", 1).cast("long")
+    return (web.withColumn("__n", num).filter(F.col("__n") < 20)
+            .select(F.col("__n").alias("seq"), "url"))
+
+
+def _crawl(spark, d, **kw):
+    from web_graph_spark.crawler import SparkCrawler
+
+    c = SparkCrawler(spark, d, max_waves=3, default_budget=7, **kw)
+    c.init_from_seeds(_seeds(spark))
+    c.run()
+    return c.store
+
+
+@pytest.mark.spark
+def test_pandas_fetcher_equals_join_fetcher(spark, tmp_path):
+    """Crawl equality through the injectable applyInPandas fetch stage:
+    the fetch_fn computes the same web as the JoinFetcher's table, so
+    every state table must come out bit-identical."""
+    from web_graph_spark.operators.fetch import (PandasFetcher,
+                                                 consistent_web_fetch_fn)
+
+    a = _crawl(spark, str(tmp_path / "join"), web=_web(spark))
+    b = _crawl(spark, str(tmp_path / "pandas"),
+               fetcher=PandasFetcher(consistent_web_fetch_fn(N_PAGES)))
+    for t in ("crawl_order", "pages", "edges", "seen", "docs_out"):
+        ra = sorted(map(tuple, a.read(t).drop("wave").collect()))
+        rb = sorted(map(tuple, b.read(t).drop("wave").collect()))
+        assert ra == rb, t
+
+
+@pytest.mark.spark
+def test_budget_before_salt(spark):
+    """Politeness is enforced UPSTREAM of fetch fan-out: with a hot
+    host and budget B, the fetcher sees ≤ B rows per host, and the
+    physical plan stacks the grouped-fetch stage ABOVE the politeness
+    WindowGroupLimit (budget cut happens before salting)."""
+    from web_graph_spark.operators.fetch import (FetchConfig, PandasFetcher,
+                                                 consistent_web_fetch_fn)
+    from web_graph_spark.operators.politeness import schedule_wave
+
+    pending = spark.range(500).select(
+        F.sha1(F.col("id").cast("string")).alias("page_id"),
+        F.when(F.col("id") % 5 == 0, F.lit("hot.example.test"))
+         .otherwise(F.concat(F.lit("h"), (F.col("id") % 97).cast("string"),
+                             F.lit(".example.test"))).alias("host"),
+        F.concat(F.lit("/d/"), F.col("id").cast("string"),
+                 F.lit(".html")).alias("path"),
+        F.col("id").alias("seq"), F.lit(0).alias("depth"))
+    pending = pending.withColumn(
+        "url", F.concat(F.lit("https://"), "host", "path"))
+    scheduled, _ = schedule_wave(pending, None, default_budget=3)
+    fetcher = PandasFetcher(consistent_web_fetch_fn(1000),
+                            FetchConfig(), salt_buckets=4)
+    fetched = fetcher.fetch(scheduled)
+    per_host = {r["host"]: r["n"] for r in
+                fetched.groupBy("host").agg(F.count("*").alias("n"))
+                .collect()}
+    assert per_host["hot.example.test"] <= 3
+    assert max(per_host.values()) <= 3
+    plan = physical_plan(fetched)
+    fmg = plan.index("FlatMapGroupsInPandas")
+    wgl = plan.index("WindowGroupLimit")
+    assert fmg < wgl, plan  # fetch fan-out sits above the budget cut

@@ -64,16 +64,26 @@ class WaveMetrics:
 
 
 class SparkCrawler:
-    def __init__(self, spark: SparkSession, state_dir: str, web: DataFrame,
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 web: DataFrame | None = None,
                  budgets: DataFrame | None = None,
                  default_budget: int = UNBOUNDED, max_waves: int = 100,
                  robots: DataFrame | None = None,
                  priority: str = "fifo", fetch_salt_buckets: int = 8,
                  seen_mode: str = "exact", bucketed_state: bool = False,
-                 n_buckets: int = 32):
+                 n_buckets: int = 32, fetcher=None):
+        from .operators.fetch import JoinFetcher
         from .operators.robots import compile_rules
 
         self.spark = spark
+        # The fetch stage is a seam (operator S4, operators/fetch.py):
+        # default = JoinFetcher over the synthetic/replay web DataFrame;
+        # real deployments inject PandasFetcher(fetch_fn) for
+        # (host,salt)-partitioned HTTP fetching.
+        if fetcher is None:
+            assert web is not None, "pass either a web DataFrame or a fetcher"
+            fetcher = JoinFetcher(web)
+        self.fetcher = fetcher
         # bucketed_state: store the big immutable sides (seen,
         # frontier_log, pages, edges) bucketed+sorted on their join key
         # so the per-wave anti-joins run co-located — shuffle cost per
@@ -217,16 +227,10 @@ class SparkCrawler:
             seen_add = seen_add.unionByName(blocked)
         store.write("seen", seen_add, wave)
 
-        # synthetic fetch (J7): frontier ⋈ web on the uniform sha1 key
-        web = self.web
-        fetched = (scheduled.alias("s")
-                   .join(web.alias("w"), "page_id", "left")
-                   .select("page_id", F.col("s.url").alias("url"),
-                           F.col("s.host").alias("host"),
-                           F.col("s.path").alias("path"),
-                           F.col("s.seq").alias("seq"),
-                           F.col("s.depth").alias("depth"),
-                           "content_type", "fetch_ok", "spans"))
+        # fetch stage (S4 seam): JoinFetcher = frontier ⋈ web on the
+        # uniform sha1 key (J7); PandasFetcher = (host,salt)-grouped
+        # applyInPandas with an injected fetch_fn.
+        fetched = self.fetcher.fetch(scheduled)
         # persisted: consumed by the docs_out write AND link extraction
         # (without the cache the frontier⋈web join runs twice per wave).
         # Keep the persisted handle separate from any derived plan —

@@ -1,0 +1,203 @@
+"""Pluggable page-fetch stage (operator S4).
+
+The reference fetches with a shared HTTP client — custom User-Agent,
+client timeout, DoH resolver cache
+(/root/reference/pkg/linkprocessor/linkprocessor.go:51-75,104-121).
+The Spark rebuild makes the fetch a *seam*: the crawler consumes a
+:class:`Fetcher`, whose contract is
+
+    fetch(scheduled) -> scheduled + (content_type, fetch_ok, spans)
+
+with ``scheduled`` = the already-budgeted wave
+(page_id, url, host, path, seq, depth).  Politeness is enforced
+UPSTREAM in ``schedule_wave`` — a fetcher never sees more rows per
+host than the wave budget allows (budget-before-salt; pinned in
+tests/test_fetch.py).
+
+Two implementations:
+
+* :class:`JoinFetcher` — the synthetic web as a DataFrame, fetched by
+  an equi-join on the uniform sha1 ``page_id`` (J7).  This is the
+  sandbox/test mode and doubles as the replay mode for a stored crawl.
+* :class:`PandasFetcher` — the real-deployment shape: group the wave
+  by (host, salt) and run an injectable ``fetch_fn`` over each group
+  in one Arrow-batched ``applyInPandas`` task.  Grouping by host gives
+  connection/DNS reuse per host; the salt (on the uniform ``page_id``)
+  fans a hot host out over up to ``salt_buckets`` tasks so one
+  mega-host can't pin a straggler — safe precisely because the budget
+  was already enforced upstream.  A worker-process-global cache dict
+  is passed to every ``fetch_fn`` call for cross-group state (HTTP
+  sessions, resolver cache) — per-partition executor state, never on
+  the driver.
+
+``http_fetch_fn`` is the reference-parity real fetcher (stdlib
+urllib + UA + timeout + resolver memo); the sandbox has no network,
+so its coverage is the seam contract via deterministic fetch_fns
+(tests/test_fetch.py proves PandasFetcher ≡ JoinFetcher on the same
+synthetic web).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SPAN_TYPE = ("array<struct<kind:string,text:string,"
+             "media_ref:string,offset:int>>")
+
+FETCH_COLS = ["page_id", "url", "host", "path", "seq", "depth",
+              "content_type", "fetch_ok", "spans"]
+
+
+@dataclass(frozen=True)
+class FetchConfig:
+    """Per-request knobs, reference parity: UA and timeout
+    (linkprocessor.go:51-75); per_request_delay_s is the in-partition
+    pacing hook for crawl-delay compliance beyond the wave budget."""
+    user_agent: str = "web-graph-spark/2.0 (+https://example.test/bot)"
+    timeout_s: float = 10.0
+    per_request_delay_s: float = 0.0
+
+
+class JoinFetcher:
+    """Synthetic/replay fetch: scheduled ⋈ web on page_id (left join —
+    URLs missing from the web come back fetch_ok=null → not expandable,
+    exactly a 404)."""
+
+    def __init__(self, web: DataFrame):
+        self.web = web
+
+    def fetch(self, scheduled: DataFrame) -> DataFrame:
+        return (scheduled.alias("s")
+                .join(self.web.alias("w"), "page_id", "left")
+                .select("page_id", F.col("s.url").alias("url"),
+                        F.col("s.host").alias("host"),
+                        F.col("s.path").alias("path"),
+                        F.col("s.seq").alias("seq"),
+                        F.col("s.depth").alias("depth"),
+                        "content_type", "fetch_ok", "spans"))
+
+
+# one dict per python worker PROCESS: survives across groups/tasks, so
+# fetch_fns can keep HTTP sessions / resolver entries warm for a whole
+# executor slot (the Spark analog of the reference's shared client).
+_WORKER_CACHE: dict = {}
+
+
+class PandasFetcher:
+    """Real-deployment fetch: (host, salt)-grouped applyInPandas over an
+    injectable ``fetch_fn(pdf, cfg, cache) -> pd.DataFrame`` returning
+    (page_id, content_type, fetch_ok, spans) for every input row —
+    spans as a list of {kind,text,media_ref,offset} dicts or None."""
+
+    def __init__(self, fetch_fn: Callable, cfg: FetchConfig | None = None,
+                 salt_buckets: int = 8):
+        self.fetch_fn = fetch_fn
+        self.cfg = cfg or FetchConfig()
+        self.salt_buckets = salt_buckets
+
+    def fetch(self, scheduled: DataFrame) -> DataFrame:
+        fetch_fn, cfg = self.fetch_fn, self.cfg
+        out_schema = (
+            "page_id string, url string, host string, path string, "
+            f"seq long, depth int, content_type string, fetch_ok boolean, "
+            f"spans {SPAN_TYPE}")
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            res = fetch_fn(
+                pdf[["page_id", "url", "host", "path"]], cfg, _WORKER_CACHE)
+            merged = pdf[["page_id", "url", "host", "path", "seq",
+                          "depth"]].merge(
+                res[["page_id", "content_type", "fetch_ok", "spans"]],
+                on="page_id", how="left")
+            # a fetch_fn that dropped a row ≙ failed fetch
+            merged["fetch_ok"] = merged["fetch_ok"].fillna(False)
+            return merged
+
+        keyed = scheduled.withColumn(
+            "__salt", F.pmod(F.xxhash64("page_id"),
+                             F.lit(self.salt_buckets)))
+        return (keyed.groupBy("host", "__salt")
+                .applyInPandas(run, schema=out_schema))
+
+
+def http_fetch_fn(rows: pd.DataFrame, cfg: FetchConfig,
+                  cache: dict) -> pd.DataFrame:
+    """Reference-parity HTTP fetcher (UA, timeout, resolver memo,
+    optional pacing).  Page parsing into spans is the extract stage's
+    job — this returns raw HTML as a single text span; real
+    deployments swap in their own parser fetch_fn.  Untestable in this
+    sandbox (no network); the seam itself is covered by deterministic
+    fetch_fns in tests/test_fetch.py."""
+    import socket
+    import time
+    import urllib.request
+
+    resolver = cache.setdefault("dns", {})
+    out = []
+    for r in rows.itertuples(index=False):
+        if cfg.per_request_delay_s:
+            time.sleep(cfg.per_request_delay_s)
+        try:
+            if r.host not in resolver:  # warm per-worker resolver memo
+                resolver[r.host] = socket.getaddrinfo(r.host, 443)[0][4][0]
+            req = urllib.request.Request(
+                r.url, headers={"User-Agent": cfg.user_agent})
+            with urllib.request.urlopen(req, timeout=cfg.timeout_s) as resp:
+                ctype = resp.headers.get("Content-Type",
+                                         "application/octet-stream")
+                body = resp.read().decode("utf-8", "replace")
+            out.append((r.page_id, ctype, True,
+                        [{"kind": "text", "text": body,
+                          "media_ref": None, "offset": 0}]))
+        except Exception:
+            out.append((r.page_id, None, False, None))
+    return pd.DataFrame(
+        out, columns=["page_id", "content_type", "fetch_ok", "spans"])
+
+
+def consistent_web_fetch_fn(n_pages: int, links_per_page: int = 8):
+    """fetch_fn twin of benchjobs.synth_consistent_web: computes the
+    SAME spans from the URL alone, numpy-vectorized — so a PandasFetcher
+    crawl must equal a JoinFetcher crawl over the generated table
+    (tests/test_fetch.py pins the equality).  This is what a real
+    fetch_fn looks like when 'the web' is a pure function of the URL."""
+    import re
+
+    primes = [7, 13, 31, 17, 23, 11, 19, 29]
+
+    def fn(rows: pd.DataFrame, cfg: FetchConfig,
+           cache: dict) -> pd.DataFrame:
+        nums = rows["path"].map(
+            lambda p: int(re.search(r"/d/([0-9]+)\.html", p).group(1)))
+        spans = []
+        for num in nums:
+            doc = []
+            for k in range(1, links_per_page + 1):
+                tgt = (num * primes[(k - 1) % len(primes)] + k) % n_pages
+                t_host = f"h{tgt % 997}.example.test"
+                t_url = f"https://{t_host}/d/{tgt}.html"
+                if k % 4 == 0:
+                    href = f"https://{t_host}/img{tgt}.png"
+                elif k % 4 == 3:
+                    href = (f"/d/{tgt}.html" if tgt % 997 == num % 997
+                            else t_url)
+                elif k % 4 == 2:
+                    href = f"{t_url}?b=2&a=1#s"
+                else:
+                    href = t_url
+                doc.append({"kind": "link", "text": f"anchor-{k}",
+                            "media_ref": href, "offset": k})
+            spans.append(doc)
+        return pd.DataFrame({
+            "page_id": rows["page_id"].to_numpy(),
+            "content_type": "text/html",
+            "fetch_ok": True,
+            "spans": spans,
+        })
+
+    return fn
