@@ -122,6 +122,101 @@ def test_partitioned_cuckoo_probe(spark):
 
 
 @pytest.mark.spark
+def test_anti_join_bloom_sharded_equals_exact(spark):
+    """Slab tier (n_slabs>1): per-slab build/merge/probe with no
+    driver-side bitmap — result ≡ exact anti-join."""
+    cand = spark.range(0, 5000).select(
+        F.sha1(F.col("id").cast("string")).alias("page_id"))
+    seen = spark.range(0, 3000, 2).select(
+        F.sha1(F.col("id").cast("string")).alias("page_id"))
+    exact = {r["page_id"] for r in
+             cand.join(seen, "page_id", "left_anti").collect()}
+    fast = {r["page_id"] for r in
+            anti_join_bloom(spark, cand, seen, "page_id",
+                            n_slabs=4).collect()}
+    assert fast == exact
+    assert len(fast) == 5000 - 1500
+
+
+@pytest.mark.spark
+def test_cuckoo_update_incremental(spark):
+    """update() ≡ build() over the union, membership-wise: no false
+    negatives on old or new keys; FP bound holds on unseen keys."""
+    base = spark.range(0, 4000).select(
+        F.concat(F.lit("s-"), F.col("id")).alias("page_id"))
+    extra = spark.range(4000, 6000).select(
+        F.concat(F.lit("s-"), F.col("id")).alias("page_id"))
+    pc = PartitionedCuckooSeen(n_parts=4, expected_per_part=4000)
+    st0 = pc.build(base, "page_id").localCheckpoint()
+    st1 = pc.update(st0, extra, "page_id").localCheckpoint()
+    assert sum(r["n_keys"] for r in st1.collect()) == 6000
+    cand = spark.range(0, 12000).select(
+        F.concat(F.lit("s-"), F.col("id")).alias("page_id"))
+    res = {r["page_id"]: r["maybe_seen"] for r in
+           pc.probe(spark, st1, cand, "page_id").collect()}
+    assert all(res[f"s-{i}"] for i in range(6000))
+    fp = np.mean([res[f"s-{i}"] for i in range(6000, 12000)])
+    assert fp < 0.002, fp
+
+
+@pytest.mark.spark
+def test_crawler_cuckoo_seen_equals_exact(spark, fixture_dir, tmp_path):
+    """seen_mode='cuckoo' (persisted shard blobs, incremental update,
+    exact backstop) is a pure physical optimization."""
+    from web_graph_spark.crawler import SparkCrawler, load_web
+
+    web = load_web(spark, fixture_dir)
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+
+    def run(mode, d):
+        c = SparkCrawler(spark, d, web, max_waves=3, seen_mode=mode,
+                         cuckoo_shards=4)
+        c.init_from_seeds(seeds)
+        c.run()
+        return c.store
+
+    a = run("exact", str(tmp_path / "cx"))
+    b = run("cuckoo", str(tmp_path / "ck"))
+    for t in ("crawl_order", "pages", "edges", "seen"):
+        ra = sorted(map(tuple, a.read(t).drop("wave").collect()))
+        rb = sorted(map(tuple, b.read(t).drop("wave").collect()))
+        assert ra == rb, t
+    # blobs were persisted per committed wave
+    assert b.read("cuckoo_state").count() > 0
+
+
+@pytest.mark.spark
+def test_crawler_cuckoo_resume_missing_blobs(spark, fixture_dir,
+                                             tmp_path):
+    """Kill-and-resume with DELETED cuckoo blobs: the tier rebuilds its
+    shard states from the exact seen table and the finished crawl
+    matches an uninterrupted exact-mode run."""
+    import shutil as _sh
+
+    from web_graph_spark.crawler import SparkCrawler, load_web
+
+    web = load_web(spark, fixture_dir)
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+    d = str(tmp_path / "ckr")
+    c1 = SparkCrawler(spark, d, web, max_waves=2, seen_mode="cuckoo",
+                      cuckoo_shards=4)
+    c1.init_from_seeds(seeds)
+    c1.run()
+    _sh.rmtree(f"{d}/cuckoo_state")  # lose every blob
+    c2 = SparkCrawler(spark, d, web, max_waves=4, seen_mode="cuckoo",
+                      cuckoo_shards=4)
+    c2.init_from_seeds(seeds)  # no-op on resume
+    c2.run()
+    ref = SparkCrawler(spark, str(tmp_path / "ckref"), web, max_waves=4)
+    ref.init_from_seeds(seeds)
+    ref.run()
+    for t in ("crawl_order", "pages", "edges", "seen"):
+        ra = sorted(map(tuple, c2.store.read(t).drop("wave").collect()))
+        rb = sorted(map(tuple, ref.store.read(t).drop("wave").collect()))
+        assert ra == rb, t
+
+
+@pytest.mark.spark
 def test_crawler_bloom_seen_equals_exact(spark, fixture_dir, tmp_path):
     """seen_mode='bloom' is a pure physical optimization: final
     crawl_order, pages, edges, and seen set are bit-identical."""

@@ -71,7 +71,9 @@ class SparkCrawler:
                  robots: DataFrame | None = None,
                  priority: str = "fifo", fetch_salt_buckets: int = 8,
                  seen_mode: str = "exact", bucketed_state: bool = False,
-                 n_buckets: int = 32, fetcher=None):
+                 n_buckets: int = 32, fetcher=None, bloom_slabs: int = 1,
+                 cuckoo_shards: int = 8,
+                 cuckoo_expected_per_shard: int = 1 << 16):
         from .operators.fetch import JoinFetcher
         from .operators.robots import compile_rules
 
@@ -106,9 +108,23 @@ class SparkCrawler:
         # "exact" = plain left-anti; "bloom" = bloom pre-filter with
         # the exact anti-join as backstop (operators/seen.py) — same
         # result set, but definite-negatives skip the join shuffle (the
-        # 10^10-frontier hot path per the north_star).
-        assert seen_mode in ("exact", "bloom")
+        # 10^10-frontier hot path per the north_star); "cuckoo" = the
+        # partitioned cuckoo tier: shard states persisted as blobs in
+        # the WaveStore per wave (north_rule per-partition checkpoint
+        # state), updated incrementally, rebuilt from the exact seen
+        # table when blobs are missing — same exact-backstop contract.
+        assert seen_mode in ("exact", "bloom", "cuckoo")
         self.seen_mode = seen_mode
+        # bloom_slabs>1 shards the bloom bitmap so no single merge/
+        # broadcast exceeds one slab (seen.py slab tier).
+        self.bloom_slabs = bloom_slabs
+        if seen_mode == "cuckoo":
+            from .operators.seen import PartitionedCuckooSeen
+
+            self._cuckoo = PartitionedCuckooSeen(
+                n_parts=cuckoo_shards,
+                expected_per_part=cuckoo_expected_per_shard)
+            self._cuckoo_cache: tuple[int, DataFrame] | None = None
         self.metrics: list[WaveMetrics] = []
         # robots is a broadcast dim by construction (≤ rules × hosts):
         # compiled once driver-side, broadcast to executors per wave.
@@ -147,6 +163,36 @@ class SparkCrawler:
         self.store.commit(-1, phase="init", next_seq=n)
 
     # ------------------------------------------------------------------
+    def _cuckoo_states(self, wave: int):
+        """Latest persisted shard blobs (≤ wave-1); rebuilt distributed
+        from the exact seen table when blobs are missing (fresh store,
+        deleted checkpoint, or a crash between seen and cuckoo_state
+        writes — the exact table is always the source of truth)."""
+        if self._cuckoo_cache is not None and self._cuckoo_cache[0] == wave:
+            return self._cuckoo_cache[1]
+        df = self.store.read("cuckoo_state", max_wave=wave - 1)
+        mw = df.agg(F.max("wave")).first()[0]
+        if mw is None:
+            seen = self.store.read("seen",
+                                   max_wave=wave - 1).select("page_id")
+            states = self._cuckoo.build(seen, "page_id").localCheckpoint()
+        else:
+            states = df.filter(F.col("wave") == mw).drop("wave") \
+                       .localCheckpoint()
+        self._cuckoo_cache = (wave, states)
+        return states
+
+    def _cuckoo_write(self, wave: int, new_keys: DataFrame) -> None:
+        """Insert this wave's newly-seen keys into the shard states and
+        persist the full state set as this wave's blobs (a few 100 KiB
+        per shard — replacement, not delta, so resume needs only the
+        latest committed wave)."""
+        updated = self._cuckoo.update(self._cuckoo_states(wave),
+                                      new_keys, "page_id")
+        self.store.write("cuckoo_state", updated, wave)
+        self._cuckoo_cache = None
+
+    # ------------------------------------------------------------------
     def run(self) -> int:
         """Run waves until the frontier drains or max_waves; returns the
         number of completed waves (resumable at any point)."""
@@ -171,7 +217,20 @@ class SparkCrawler:
         if self.seen_mode == "bloom":
             from .operators.seen import anti_join_bloom
 
-            pending = anti_join_bloom(self.spark, flog, seen, "page_id")
+            pending = anti_join_bloom(self.spark, flog, seen, "page_id",
+                                      n_slabs=self.bloom_slabs)
+        elif self.seen_mode == "cuckoo":
+            # probe the shard blobs: definite-negatives skip the exact
+            # anti-join entirely; maybes go through the exact backstop
+            # (cuckoo has no false negatives → result ≡ exact).
+            states = self._cuckoo_states(wave)
+            marked = self._cuckoo.probe(self.spark, states, flog,
+                                        "page_id")
+            sure_new = marked.filter(~F.col("maybe_seen")) \
+                             .drop("maybe_seen")
+            maybe = marked.filter(F.col("maybe_seen")).drop("maybe_seen")
+            pending = sure_new.unionByName(
+                maybe.join(seen, "page_id", "left_anti"))
         else:
             pending = flog.join(seen, "page_id", "left_anti")
 
@@ -216,6 +275,8 @@ class SparkCrawler:
             store.discard("crawl_order", wave)
             if n_blocked:
                 store.write("seen", blocked, wave)
+                if self.seen_mode == "cuckoo":
+                    self._cuckoo_write(wave, blocked)
                 store.commit(wave, next_seq=next_seq, scheduled=0,
                              enqueued=0, blocked=n_blocked)
             if blocked is not None:
@@ -226,6 +287,8 @@ class SparkCrawler:
         if blocked is not None:
             seen_add = seen_add.unionByName(blocked)
         store.write("seen", seen_add, wave)
+        if self.seen_mode == "cuckoo":
+            self._cuckoo_write(wave, seen_add)
 
         # fetch stage (S4 seam): JoinFetcher = frontier ⋈ web on the
         # uniform sha1 key (J7); PandasFetcher = (host,salt)-grouped

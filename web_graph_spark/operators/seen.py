@@ -21,13 +21,18 @@ pandas UDF.  All hashing is ``pandas.util.hash_array`` (64-bit,
 seeded, deterministic across machines/runs) — no per-row Python.
 
 Scale notes (100 TB / 10^10 frontier): m = 10^10 URLs at 12 bits/key
-is ~15 GiB — too big for one broadcast, so the production layout
-shards the bloom by ``pmod(xxhash64(page_id), S)`` into S independent
-slabs; each wave probes only the slabs its candidate partitions hash
-to (the probe UDF below takes the slab map). The cuckoo tier is
-per-executor-partition state rebuilt from the ``seen`` table on resume
-(never shipped driver-side). At sandbox scale S=1 — semantics are
-unchanged.
+is ~15 GiB — too big for one broadcast, so the slab tier
+(``anti_join_bloom(..., n_slabs=S)`` → ``build_bloom_slabs`` /
+``bloom_partition_sharded``) shards the bitmap by
+``pmod(xxhash64(page_id), S)``: partial bitmaps are built per
+partition, OR-merged per slab in a grouped applyInPandas (never on
+the driver), and the probe cogroups candidates with their OWN slab's
+bitmap only — end to end no single process holds more than one slab
+(S≈256 keeps slabs under 64 MiB at 10^10 keys).  The cuckoo tier is
+per-executor-partition state persisted as shard blobs in the
+WaveStore and rebuilt from the exact ``seen`` table when blobs are
+missing (wired as ``seen_mode="cuckoo"`` in the crawler).  S=1 keeps
+the simple single-broadcast path — semantics identical in all tiers.
 """
 
 from __future__ import annotations
@@ -143,19 +148,123 @@ def bloom_partition(spark, bf: BloomFilter, candidates: DataFrame,
 
 def anti_join_bloom(spark, candidates: DataFrame, seen: DataFrame,
                     key_col: str, expected: int | None = None,
-                    fpp: float = 0.01) -> DataFrame:
+                    fpp: float = 0.01, n_slabs: int = 1) -> DataFrame:
     """Exact left-anti join with a bloom fast path (D1 at scale).
 
     Result ≡ ``candidates.join(seen, key, "left_anti")``: bloom
     negatives skip the shuffle; only the maybe-seen slice (|seen|·fpp
     of the new keys + all truly-seen keys) pays the exact join.
+
+    ``n_slabs > 1`` routes through the sharded tier (below): the
+    bitmap is split into S independent slabs by ``pmod(xxhash64(key),
+    S)``, built/merged/probed distributed — no single driver merge or
+    broadcast ever exceeds one slab (the 10^10-key layout promised in
+    the module docstring; at 12 bits/key and 10^10 keys, S≈256 keeps
+    every slab under 64 MiB).
     """
     if expected is None:
         expected = seen.count()
     if expected == 0:
         return candidates
+    if n_slabs > 1:
+        return anti_join_bloom_sharded(spark, candidates, seen, key_col,
+                                       expected, fpp, n_slabs)
     bf = build_bloom(seen, key_col, expected, fpp)
     new, maybe = bloom_partition(spark, bf, candidates, key_col)
+    checked = maybe.join(seen.select(key_col), key_col, "left_anti")
+    return new.unionByName(checked)
+
+
+# ---------------------------------------------------------------------------
+# Sharded bloom (slab tier)
+# ---------------------------------------------------------------------------
+
+def _with_slab(df: DataFrame, key_col: str, n_slabs: int,
+               out: str = "__slab") -> DataFrame:
+    """Slab routing on the JVM side (xxhash64 codegen) so build and
+    probe agree without shipping rows through Python for the hash."""
+    return df.withColumn(out, F.pmod(F.xxhash64(F.col(key_col)),
+                                     F.lit(n_slabs)).cast("int"))
+
+
+def build_bloom_slabs(seen: DataFrame, key_col: str, expected: int,
+                      fpp: float = 0.01, n_slabs: int = 4) -> DataFrame:
+    """→ DataFrame(slab int, words binary): one bloom bitmap per slab,
+    built AND merged distributed — each task holds at most the slabs
+    routed to its partition, and the OR-merge runs as a grouped
+    applyInPandas, so the driver never materializes a bitmap."""
+    proto = BloomFilter.sized(max(expected // n_slabs, 1), fpp)
+    n_bits, k = proto.n_bits, proto.k
+
+    def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        filters: dict[int, BloomFilter] = {}
+        for pdf in it:
+            for slab, grp in pdf.groupby("__slab"):
+                bf = filters.setdefault(int(slab), BloomFilter(n_bits, k))
+                bf.add(grp[key_col].astype(str))
+        for slab, bf in filters.items():
+            yield pd.DataFrame({"slab": [slab],
+                                "words": [bf.words.tobytes()]})
+
+    partials = (_with_slab(seen.select(key_col), key_col, n_slabs)
+                .repartition(n_slabs, "__slab")
+                .mapInPandas(partial, "slab int, words binary"))
+
+    def or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros((n_bits + 63) // 64, dtype=np.uint64)
+        for raw in pdf["words"]:
+            acc |= np.frombuffer(raw, dtype=np.uint64)
+        return pd.DataFrame({"slab": [int(pdf["slab"].iloc[0])],
+                             "words": [acc.tobytes()]})
+
+    merged = partials.groupBy("slab").applyInPandas(
+        or_merge, "slab int, words binary")
+    return merged.withColumn("n_bits", F.lit(n_bits)) \
+                 .withColumn("k", F.lit(k))
+
+
+def bloom_partition_sharded(slabs: DataFrame, candidates: DataFrame,
+                            key_col: str,
+                            n_slabs: int) -> tuple[DataFrame, DataFrame]:
+    """Split candidates into (definitely_new, maybe_seen) against the
+    slab table via cogroup — each probe task receives ONLY its slab's
+    bitmap (no all-slab broadcast, no driver round-trip)."""
+    cand = _with_slab(candidates, key_col, n_slabs)
+    out_schema = cand.drop("__slab").schema.add("__maybe", "boolean")
+    cols = [f.name for f in out_schema.fields]
+
+    def probe(cpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        out = cpdf.drop(columns="__slab")
+        if len(spdf) == 0:
+            out["__maybe"] = False
+        else:
+            bf = BloomFilter(
+                int(spdf["n_bits"].iloc[0]), int(spdf["k"].iloc[0]),
+                np.frombuffer(spdf["words"].iloc[0], dtype=np.uint64))
+            out["__maybe"] = bf.might_contain(cpdf[key_col].astype(str))
+        return out[cols]
+
+    marked = (cand.groupBy("__slab")
+              .cogroup(slabs.groupBy("slab"))
+              .applyInPandas(lambda left, right: probe(left, right),
+                             schema=out_schema))
+    return (marked.filter(~F.col("__maybe")).drop("__maybe"),
+            marked.filter(F.col("__maybe")).drop("__maybe"))
+
+
+def anti_join_bloom_sharded(spark, candidates: DataFrame, seen: DataFrame,
+                            key_col: str, expected: int,
+                            fpp: float = 0.01,
+                            n_slabs: int = 4) -> DataFrame:
+    """Sharded-bloom anti-join: ≡ exact left-anti, with per-slab
+    bounded state end to end (see anti_join_bloom)."""
+    slabs = build_bloom_slabs(seen, key_col, expected, fpp, n_slabs)
+    # slab table is tiny rows-wise (n_slabs rows) but each row carries
+    # a bitmap — localCheckpoint so the cogroup doesn't rebuild it per
+    # downstream branch.
+    slabs = slabs.localCheckpoint()
+    new, maybe = bloom_partition_sharded(slabs, candidates, key_col,
+                                         n_slabs)
     checked = maybe.join(seen.select(key_col), key_col, "left_anti")
     return new.unionByName(checked)
 
@@ -308,6 +417,46 @@ class PartitionedCuckooSeen:
 
         return sharded.mapInPandas(
             make, "shard int, n_keys long, state binary")
+
+    def update(self, states: DataFrame, new_keys: DataFrame,
+               key_col: str) -> DataFrame:
+        """Insert ``new_keys`` into the shard states → new state table
+        (same schema as :meth:`build`).  Runs as a cogroup by shard:
+        each task holds one shard's filter + its new keys; shards with
+        no new keys pass through, shards with keys but no prior state
+        start a fresh filter.  Insert overflow raises (honest capacity
+        failure — resize expected_per_part, don't silently degrade)."""
+        n_parts, expected = self.n_parts, self.expected
+
+        shard_udf = F.pandas_udf(
+            lambda s: pd.Series(self.shard_of(s.astype(str), n_parts)),
+            "int")
+        keyed = (new_keys.select(F.col(key_col).alias("k"))
+                 .withColumn("shard", shard_udf(F.col("k"))))
+        states_i = states.withColumn("shard", F.col("shard").cast("int"))
+
+        def upd(kpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+            if len(spdf):
+                sh = int(spdf["shard"].iloc[0])
+                tbl = np.frombuffer(spdf["state"].iloc[0],
+                                    dtype=np.uint16).reshape(
+                    -1, CuckooFilter.SLOTS).copy()
+                cf = CuckooFilter(tbl.shape[0], tbl)
+                n0 = int(spdf["n_keys"].iloc[0])
+            else:
+                sh = int(kpdf["shard"].iloc[0])
+                cf = CuckooFilter.sized(expected)
+                n0 = 0
+            if len(kpdf):
+                fails = cf.insert(kpdf["k"].astype(str))
+                assert fails == 0, "cuckoo shard over capacity"
+            return pd.DataFrame({"shard": [sh],
+                                 "n_keys": [n0 + len(kpdf)],
+                                 "state": [cf.table.tobytes()]})
+
+        return (keyed.groupBy("shard")
+                .cogroup(states_i.groupBy("shard"))
+                .applyInPandas(upd, "shard int, n_keys long, state binary"))
 
     def probe(self, spark, states: DataFrame, candidates: DataFrame,
               key_col: str) -> DataFrame:

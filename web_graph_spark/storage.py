@@ -59,6 +59,9 @@ SCHEMAS = {
     "docs_out": ("doc_id string, spans array<struct<kind:string,text:string,"
                  "media_ref:string,offset:int>>"),
     "metrics": ("scope string, partition_id int, key string, value double"),
+    # partitioned-cuckoo seen tier: full shard-blob state set per wave
+    # (replacement, not delta) — the per-partition checkpoint payload
+    "cuckoo_state": "shard int, n_keys long, state binary",
 }
 
 # join key each big table is bucketed on (edge_id = from||to — the
