@@ -252,3 +252,52 @@ def test_media_plumbing(spark, docs):
     fr = fs.collect()
     vids = [r for r in media.collect() if r["kind"] == "video"]
     assert len(fr) == sum(r["meta"]["duration_ms"] // 500 + 1 for r in vids)
+
+
+@pytest.mark.spark
+def test_media_real_decode_auto(spark):
+    """mode='auto' REALLY decodes decodable bytes — a genuine WAV
+    (stdlib wave writer) and a genuine P6 PPM — and falls back to the
+    deterministic stub for undecodable rows, flagging each via
+    ``decoded``."""
+    import io
+    import struct
+    import wave as wavmod
+
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.media import extract_features
+
+    # 1s 8kHz mono 16-bit sine-ish ramp WAV
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"".join(
+            struct.pack("<h", (i % 200 - 100) * 300) for i in range(8000)))
+    wav_bytes = buf.getvalue()
+    # 4x2 P6 PPM: left half red, right half blue
+    ppm_bytes = b"P6 4 2 255\n" + (b"\xff\x00\x00" * 2
+                                   + b"\x00\x00\xff" * 2) * 2
+    rows = [("m-wav", "audio", wav_bytes),
+            ("m-ppm", "image", ppm_bytes),
+            ("m-txt", "audio", b"not a wav at all")]
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, media binary").withColumn(
+        "meta", F.struct(F.lit(4).alias("width"), F.lit(2).alias("height"),
+                         F.lit(1000).alias("duration_ms"),
+                         F.lit("x").alias("mime")))
+    got = {r["media_id"]: r for r in
+           extract_features(media, mode="auto", feat_dim=8).collect()}
+    wav = got["m-wav"]
+    assert wav["decoded"]
+    assert wav["feat"][0] == pytest.approx(1.0 / 3600.0, rel=1e-3)  # 1s
+    assert wav["feat"][1] > 0.1                                     # rms
+    ppm = got["m-ppm"]
+    assert ppm["decoded"]
+    assert ppm["feat"][0] == pytest.approx(4 / 4096, rel=1e-6)
+    assert ppm["feat"][2] == pytest.approx(0.5, abs=0.01)  # mean red
+    assert ppm["feat"][4] == pytest.approx(0.5, abs=0.01)  # mean blue
+    assert not got["m-txt"]["decoded"]                     # stub fallback
+    assert len(got["m-txt"]["feat"]) == 8

@@ -84,3 +84,66 @@ def test_engine_matches_oracle_with_robots(spark, fixture_dir, tmp_path):
     assert o.seen - {pid for (_, _, pid) in o.crawl_order}, \
         "robots blocked nothing — fixture regression"
     assert_equal_states(c, o)
+
+
+@pytest.mark.spark
+def test_budgets_from_crawl_delay(spark):
+    """delay d sec + wave cadence W sec → budget floor(W/d), most
+    conservative rule per host wins, no positive delay → no row."""
+    from web_graph_spark.operators.robots import budgets_from_crawl_delay
+
+    rules = spark.createDataFrame(
+        [("h1.test", "disallow", "/a", 2.0),
+         ("h1.test", "allow", "/b", 5.0),     # max(2,5)=5 wins
+         ("h2.test", "disallow", "/", 0.5),
+         ("h3.test", "allow", "/", 0.0),      # no delay → default budget
+         ("h4.test", "allow", "/", 120.0)],   # delay > wave → floor→1
+        "host string, rule_type string, path_prefix string, "
+        "crawl_delay double")
+    got = {r["host"]: r["max_pages_per_wave"] for r in
+           budgets_from_crawl_delay(rules, wave_seconds=60.0).collect()}
+    assert got == {"h1.test": 12, "h2.test": 120, "h4.test": 1}
+
+
+@pytest.mark.spark
+def test_crawler_derived_budget_equals_explicit(spark, fixture_dir,
+                                                tmp_path):
+    """SparkCrawler(robots=…, wave_seconds=W) must crawl identically to
+    passing the derived dim by hand — politeness as a DERIVED dimension
+    of the robots relation, parameterized by crawl_delay."""
+    from web_graph_spark.crawler import SparkCrawler, load_web
+    from web_graph_spark.operators.robots import budgets_from_crawl_delay
+
+    web = load_web(spark, fixture_dir)
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+    # give every host a real, host-dependent delay (fixture delays are
+    # uniform 1.0 — too permissive to constrain a 3-wave crawl)
+    hosts = web.select(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host")
+    ).filter("host <> ''").distinct()
+    rules = hosts.select(
+        "host", F.lit("allow").alias("rule_type"),
+        F.lit("/").alias("path_prefix"),
+        (F.pmod(F.xxhash64("host"), F.lit(4)) * 10 + 10)
+        .cast("double").alias("crawl_delay"))
+
+    def run(d, **kw):
+        c = SparkCrawler(spark, str(d), web, max_waves=3, **kw)
+        c.init_from_seeds(seeds)
+        c.run()
+        return c.store
+
+    a = run(tmp_path / "derived", robots=rules, wave_seconds=60.0)
+    b = run(tmp_path / "explicit",
+            budgets=budgets_from_crawl_delay(rules, 60.0))
+    for t in ("crawl_order", "pages", "seen"):
+        ra = sorted(map(tuple, a.read(t).drop("wave").collect()))
+        rb = sorted(map(tuple, b.read(t).drop("wave").collect()))
+        assert ra == rb, t
+    # the budget must actually bind somewhere (hosts with delay 40s →
+    # 1-2 pages/wave)
+    per_host_wave = (a.read("crawl_order")
+                     .join(a.read("pages").select("page_id", "host"),
+                           "page_id")
+                     .groupBy("wave", "host").count())
+    assert per_host_wave.agg(F.max("count")).first()[0] <= 6

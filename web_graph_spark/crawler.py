@@ -73,7 +73,8 @@ class SparkCrawler:
                  seen_mode: str = "exact", bucketed_state: bool = False,
                  n_buckets: int = 32, fetcher=None, bloom_slabs: int = 1,
                  cuckoo_shards: int = 8,
-                 cuckoo_expected_per_shard: int = 1 << 16):
+                 cuckoo_expected_per_shard: int = 1 << 16,
+                 wave_seconds: float | None = None):
         from .operators.fetch import JoinFetcher
         from .operators.robots import compile_rules
 
@@ -94,6 +95,14 @@ class SparkCrawler:
         self.store = WaveStore(spark, state_dir, bucketed=bucketed_state,
                                n_buckets=n_buckets)
         self.web = web
+        # budgets: explicit dim wins; else derive from robots
+        # crawl_delay when a wave cadence is declared (delay d sec →
+        # ≤ wave_seconds/d fetches per wave) — politeness becomes a
+        # DERIVED dimension of the robots relation, not hand-fed.
+        if budgets is None and robots is not None and wave_seconds:
+            from .operators.robots import budgets_from_crawl_delay
+
+            budgets = budgets_from_crawl_delay(robots, wave_seconds)
         self.budgets = budgets
         self.default_budget = default_budget
         self.max_waves = max_waves

@@ -109,6 +109,25 @@ def robots_eval_udf(spark, rules: CompiledRules):
     return allowed
 
 
+def budgets_from_crawl_delay(rules_df: DataFrame,
+                             wave_seconds: float) -> DataFrame:
+    """Derive the politeness budget dim from robots ``crawl_delay``:
+    a host whose strictest (max) delay is d seconds may be fetched at
+    most ``max(1, floor(wave_seconds / d))`` times per wave — the
+    wave-batch translation of "one request every d seconds" (RFC 9309
+    has no crawl-delay; this is the de-facto extension the rules table
+    carries).  Hosts with no positive delay get no row: the crawler's
+    ``default_budget`` applies.  The result is a broadcast dim like any
+    hand-fed budgets table."""
+    per_host = (rules_df.groupBy("host")
+                .agg(F.max("crawl_delay").alias("d"))
+                .filter(F.col("d") > 0))
+    return per_host.select(
+        "host",
+        F.greatest(F.floor(F.lit(float(wave_seconds)) / F.col("d")),
+                   F.lit(1)).cast("int").alias("max_pages_per_wave"))
+
+
 def with_robots_allowed(spark, df: DataFrame, rules_df: DataFrame | None,
                         host_col: str | Column = "host",
                         path_col: str | Column = "path",
