@@ -176,6 +176,43 @@ def q_crawl_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "host", "path", "robots_allowed"))
 
 
+def _synthetic_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic robots-rules relation derived from the synthetic
+    web: one rule per page, crawl_delay = (doc_id % 13) * 2.5 s — so
+    per-host strictest-delay aggregation has real work to do."""
+    return webgen.pages_df(spark, sf_dir).select(
+        "host", F.lit("disallow").alias("rule_type"),
+        F.col("path").alias("path_prefix"),
+        ((F.col("doc_id") % 13) * 2.5).alias("crawl_delay"))
+
+
+def q_crawl_budget_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 derived politeness: robots crawl_delay → per-host wave budget
+    (operators/robots.budgets_from_crawl_delay — strictest delay wins,
+    budget = max(1, floor(wave_seconds / d))).  Reference semantics:
+    the de-facto Crawl-delay extension the robots table carries."""
+    from web_graph_spark.operators.robots import budgets_from_crawl_delay
+
+    return budgets_from_crawl_delay(_synthetic_rules(spark, sf_dir),
+                                    wave_seconds=60.0)
+
+
+def q_crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 politeness window: schedule_wave over a pending frontier with
+    the crawl-delay-derived budget dim — FIFO within host, per-host rank
+    capped by broadcast budget (WindowGroupLimit map-side top-k, pinned
+    in tests/test_plans.py)."""
+    from web_graph_spark.operators.politeness import schedule_wave
+    from web_graph_spark.operators.robots import budgets_from_crawl_delay
+
+    pending = webgen.pages_df(spark, sf_dir).select(
+        "doc_id", "host", F.col("doc_id").alias("seq"))
+    budgets = budgets_from_crawl_delay(_synthetic_rules(spark, sf_dir),
+                                       wave_seconds=60.0)
+    scheduled, _cap = schedule_wave(pending, budgets, default_budget=5)
+    return scheduled.select("doc_id", "host", "seq", "host_rank")
+
+
 def q_graph_links_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 GetLinksFrom(41, 100): distinct out-neighbors, limit 100."""
     return (webgen.links_full_df(spark, sf_dir)
@@ -551,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_seen_antijoin": q_crawl_seen_antijoin,
         "crawl_frontier_wave": q_crawl_frontier_wave,
         "crawl_robots_eval": q_crawl_robots_eval,
+        "crawl_budget_derive": q_crawl_budget_derive,
+        "crawl_politeness_schedule": q_crawl_politeness_schedule,
         "graph_links_from": q_graph_links_from,
         "graph_links_to": q_graph_links_to,
         "graph_page_composite": q_graph_page_composite,
@@ -618,6 +657,27 @@ SELECT doc_id, host, path,
             WHEN host = 'h01.example.test' AND path LIKE '/d/%' THEN FALSE
             ELSE TRUE END AS robots_allowed
 FROM web_pages"""),
+        "crawl_budget_derive": _oracle("""
+SELECT host,
+       CAST(GREATEST(FLOOR(60.0 / d), 1) AS INTEGER) AS max_pages_per_wave
+FROM (SELECT host, max((doc_id % 13) * 2.5) AS d
+      FROM web_pages GROUP BY host) t
+WHERE d > 0"""),
+        "crawl_politeness_schedule": _oracle("""
+, bud AS (
+  SELECT host, CAST(GREATEST(FLOOR(60.0 / d), 1) AS INTEGER) AS b
+  FROM (SELECT host, max((doc_id % 13) * 2.5) AS d
+        FROM web_pages GROUP BY host) t
+  WHERE d > 0
+), ranked AS (
+  SELECT doc_id, host, doc_id AS seq,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
+              AS INTEGER) AS host_rank
+  FROM web_pages
+)
+SELECT r.doc_id, r.host, r.seq, r.host_rank
+FROM ranked r LEFT JOIN bud USING (host)
+WHERE r.host_rank <= COALESCE(bud.b, 5)"""),
         "graph_links_from": _oracle("""
 SELECT DISTINCT tgt_doc_id AS to_doc_id FROM web_links_full
 WHERE src_doc_id = 41 AND k % 4 <> 0 ORDER BY 1 LIMIT 100"""),

@@ -17,9 +17,11 @@ Scaling-evidence mode (north_rule: throughput scaling efficiency ≥0.8
 from N to 4N executors; this sandbox has no real cluster, so evidence
 is the same job at two parallelism levels)::
 
-    python bench.py --scaling          # local[8] vs local[32]
+    python bench.py --scaling          # pinned 2 vs 8 cores (--lo/--hi)
 
-writes both throughputs + efficiency to stdout (and see BENCH.md).
+writes both throughputs + efficiency to stdout (and see
+BENCH/BASELINE.md for why the pinned 2->8 pair is the honest
+local-mode evidence).
 """
 
 from __future__ import annotations
