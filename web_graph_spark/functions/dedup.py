@@ -51,11 +51,29 @@ def tokens_col(text_col: str = "text") -> Column:
 
 def shingles_col(n: int, text_col: str = "text") -> Column:
     """Word n-gram shingles (distinct), built with higher-order array
-    functions — no UDF."""
+    functions — no UDF.
+
+    Shape matters: the obvious ``transform(sequence(1, n_sh),
+    i -> concat_ws(' ', slice(w, i, n)))`` puts the tokenizer ``w``
+    INSIDE the lambda body, and higher-order lambdas evaluate
+    interpreted with no common-subexpression elimination — the regex
+    tokenization reruns per element, O(tokens²) per row (measured 7 s
+    of an 8 s minhash stage at sf0.1).  ``zip_with`` over shifted
+    copies keeps every tokenizer evaluation at per-ROW granularity:
+    shingle_i = w[i] ++ w[i+1] ++ … ++ w[i+n-1], with zip_with's
+    null-padding marking the <n-token tail (nulls filtered before
+    distinct)."""
     w = tokens_col(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n))))
+    acc = w
+    for k in range(1, n):
+        # slice's child is a function ARGUMENT (per-row eval), not a
+        # lambda-body subexpression (per-element eval).
+        shifted = F.slice(w, k + 1, F.greatest(F.size(w) - k, F.lit(1)))
+        acc = F.zip_with(acc, shifted,
+                         lambda x, y: F.concat(x, F.lit(" "), y))
+    if n > 1:
+        acc = F.filter(acc, lambda x: x.isNotNull())
+    return F.array_distinct(acc)
 
 
 def jaccard_pairs(df: DataFrame, threshold: float, n: int = 1,
@@ -112,17 +130,30 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 64, shingle_n: int = 3,
         F.transform(shingles_col(shingle_n, text_col),
                     lambda s: F.xxhash64(s).bitwiseAND(m32)).alias("hs"))
         .repartition(parts, "id"))
-    # deterministic per-j constants, derived in-plan (constant-folded):
-    # universal hash (a_j·h + b_j) mod 2^32 with a_j odd 31-bit keeps
-    # every product < 2^63 (ANSI-safe, no overflow) while the mod-2^32
-    # wrap breaks monotonicity between signature positions.
+    # deterministic per-j constants: universal hash (a_j·h + b_j) mod
+    # 2^32 with a_j odd 31-bit keeps every product < 2^63 (ANSI-safe,
+    # no overflow) while the mod-2^32 wrap breaks monotonicity between
+    # signature positions.  The a_j/b_j seeds are xxhash64(j, "a"/"b")
+    # — but written inline inside the per-shingle lambda they would be
+    # re-hashed for every (j, shingle) pair (the lambda variable j
+    # blocks constant folding: +2 struct-hashes per element, measured
+    # ~2× the whole signature cost), so they're evaluated ONCE here via
+    # a 1-row jvm job and embedded as literal arrays.
+    consts = spark.range(1).select(
+        F.transform(F.sequence(F.lit(1), F.lit(n_hashes)),
+                    lambda j: F.xxhash64(j, F.lit("a"))
+                    .bitwiseAND(F.lit(0x7FFFFFFF)).bitwiseOR(F.lit(1)))
+        .alias("a"),
+        F.transform(F.sequence(F.lit(1), F.lit(n_hashes)),
+                    lambda j: F.xxhash64(j, F.lit("b")).bitwiseAND(m32))
+        .alias("b")).first()
+    a_arr = F.array(*[F.lit(int(v)) for v in consts["a"]])
+    b_arr = F.array(*[F.lit(int(v)) for v in consts["b"]])
     sig = F.transform(
         F.sequence(F.lit(1), F.lit(n_hashes)),
         lambda j: F.array_min(F.transform(
             "hs",
-            lambda h: (F.xxhash64(j, F.lit("a"))
-                       .bitwiseAND(F.lit(0x7FFFFFFF)).bitwiseOR(F.lit(1))
-                       * h + F.xxhash64(j, F.lit("b")).bitwiseAND(m32))
+            lambda h: (F.element_at(a_arr, j) * h + F.element_at(b_arr, j))
             .bitwiseAND(m32))))
     return hashed.select("id",
                          F.when(F.size("hs") > 0, sig).alias("sig"))
