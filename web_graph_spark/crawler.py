@@ -74,7 +74,8 @@ class SparkCrawler:
                  n_buckets: int = 32, fetcher=None, bloom_slabs: int = 1,
                  cuckoo_shards: int = 8,
                  cuckoo_expected_per_shard: int = 1 << 16,
-                 wave_seconds: float | None = None):
+                 wave_seconds: float | None = None,
+                 compact_every: int | None = None):
         from .operators.fetch import JoinFetcher
         from .operators.robots import compile_rules
 
@@ -106,6 +107,7 @@ class SparkCrawler:
         self.budgets = budgets
         self.default_budget = default_budget
         self.max_waves = max_waves
+        self.compact_every = compact_every
         # "fifo" = pure BFS (the Go-oracle mode); "depth" ranks each
         # host's pending rows by depth before seq (north_star
         # depth+host-budget priority) — shallow carryover beats deeper
@@ -213,8 +215,25 @@ class SparkCrawler:
             n_sched, next_seq = self._run_wave(wave, next_seq)
             if n_sched == 0:
                 break
+            if self.compact_every and (wave + 1) % self.compact_every == 0:
+                # between-waves state compaction (storage.py): fold the
+                # committed wave partitions into size-tiered segments so
+                # long crawls don't accrete one dir per table per wave.
+                # cuckoo_state is excluded — it is full-replacement per
+                # wave (old blobs are garbage, not history), so merging
+                # would rewrite dead bytes.
+                self.store.compact(
+                    upto=wave,
+                    names=[t for t in self.store_tables()
+                           if t != "cuckoo_state"])
             wave += 1
         return wave
+
+    @staticmethod
+    def store_tables() -> list[str]:
+        from .storage import SCHEMAS
+
+        return list(SCHEMAS)
 
     # ------------------------------------------------------------------
     def _run_wave(self, wave: int, next_seq: int) -> tuple[int, int]:

@@ -35,6 +35,28 @@ Reference analog: goque LevelDB queue persistence + Postgres
 idempotent inserts + indexes
 (/root/reference/pkg/linkqueue/linkqueue.go:26,
 /root/reference/pkg/linkstorage/linkstorage.go:119-131,412,493).
+
+**Compaction** (``compact()``): a long crawl accretes one partition
+dir per table per wave — at 10^4 waves that is ~10^4 dirs × files
+each, and every reader lists and opens all of them (file-listing and
+footer-read cost grows linearly with crawl age, the classic
+small-files problem).  Compaction rewrites a prefix of wave
+partitions into *segments* under ``<table>__segments/seg_<lo>_<hi>/``
+— plain parquet with ``wave`` as an ordinary column, so ``read()``
+(a union of segment scans + live wave dirs) returns bit-identical
+rows, and ``max_wave`` time travel still works via the wave column
+(parquet min/max prunes whole segments).  Segments are size-tiered
+LSM-style: each ``compact()`` folds the live tail into a new segment,
+then repeatedly merges the two newest segments while the newest has
+grown to within ``merge_factor`` of its neighbor — O(log waves)
+segments total, and each wave's bytes are rewritten O(log waves)
+times, never O(waves).  Crash-safe in the same manifest spirit: new
+segment written first, the ``_segments.json`` marker replaced
+atomically, sources deleted last; ``cleanup_uncommitted`` sweeps
+half-written segments and already-merged leftovers on open.  In
+bucketed mode segments are registered as bucketed catalog tables
+(``CLUSTERED BY (key) SORTED BY (key)``), so compacted state keeps
+the co-located join layout.
 """
 
 from __future__ import annotations
@@ -137,14 +159,28 @@ class WaveStore:
         committed wave unless told otherwise)."""
         committed = self.committed_wave()
         for t in SCHEMAS:
+            segs = self._segments(t)
+            seg_hi = segs[-1]["hi"] if segs else None
             d = os.path.join(self.root, t)
-            if not os.path.isdir(d):
-                continue
-            for sub in os.listdir(d):
-                if sub.startswith("wave="):
-                    w = int(sub.split("=", 1)[1])
-                    if w > committed:
-                        self._drop_partition(t, w)
+            if os.path.isdir(d):
+                for sub in os.listdir(d):
+                    if sub.startswith("wave="):
+                        w = int(sub.split("=", 1)[1])
+                        # > committed: crashed mid-wave; ≤ seg_hi:
+                        # compacted into a segment but the source
+                        # deletion crashed — both are re-droppable.
+                        if w > committed or (seg_hi is not None
+                                             and w <= seg_hi):
+                            self._drop_partition(t, w)
+            sroot = self._seg_root(t)
+            if os.path.isdir(sroot):
+                referenced = {s["dir"] for s in segs}
+                for sub in os.listdir(sroot):
+                    if sub.startswith("seg_") and sub not in referenced:
+                        # segment written (or half-written) but never
+                        # became visible in the marker, or was merged
+                        # away and the delete crashed
+                        self._drop_segment(t, {"dir": sub})
 
     # -- bucketed-catalog plumbing ----------------------------------------
 
@@ -229,21 +265,166 @@ class WaveStore:
         the canonical SCHEMAS column order — writers may reorder (e.g.
         a USING join moves its key first) and a re-registered catalog
         table uses the declared order, so readers get one stable
-        contract.  Empty DataFrame with the declared schema if nothing
-        written."""
+        contract.  Rows ≤ the compaction frontier come from segment
+        scans, the rest from live wave partitions.  Empty DataFrame
+        with the declared schema if nothing written."""
         cols = _schema_columns(SCHEMAS[name]) + ["wave"]
         if max_wave is None:
             max_wave = self.committed_wave()
-        if self._is_bucketed(name):
-            if self._ensure_registered(name):
+        segs = self._segments(name)
+        seg_hi = segs[-1]["hi"] if segs else None
+        parts = [self._read_segment(name, s).select(*cols) for s in segs]
+
+        live = self._live_waves(name)
+        if seg_hi is not None:
+            live = [w for w in live if w > seg_hi]
+        if live:
+            if self._is_bucketed(name) and self._ensure_registered(name):
                 t = self.spark.table(self._table_name(name))
-                return t.filter(t["wave"] <= max_wave).select(*cols)
+                lo = min(live)
+                parts.append(t.filter(t["wave"] >= lo).select(*cols))
+            elif not self._is_bucketed(name):
+                d = self._dir(name)
+                df = (self.spark.read.option("basePath", d)
+                      .parquet(*[os.path.join(d, f"wave={w}") for w in live]))
+                parts.append(df.select(*cols))
+        if not parts:
             return (self.spark.createDataFrame([], SCHEMAS[name])
                     .withColumn("wave", F.lit(None).cast("int")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.filter(out["wave"] <= max_wave)
+
+    # -- compaction -------------------------------------------------------
+
+    def _seg_root(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}__segments")
+
+    def _seg_marker_path(self, name: str) -> str:
+        return os.path.join(self._seg_root(name), "_segments.json")
+
+    def _segments(self, name: str) -> list[dict]:
+        p = self._seg_marker_path(name)
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)["segments"]
+
+    def _write_seg_marker(self, name: str, segments: list[dict]) -> None:
+        os.makedirs(self._seg_root(name), exist_ok=True)
+        tmp = self._seg_marker_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"segments": segments}, f)
+        os.replace(tmp, self._seg_marker_path(name))
+
+    @staticmethod
+    def _seg_slug(lo: int, hi: int) -> str:
+        return f"seg_{str(lo).replace('-', 'm')}_{str(hi).replace('-', 'm')}"
+
+    def _seg_dir(self, name: str, seg: dict) -> str:
+        return os.path.join(self._seg_root(name), seg["dir"])
+
+    def _seg_table(self, name: str, seg: dict) -> str:
+        return f"{self._tbl_prefix}{name}__{seg['dir']}"
+
+    def _read_segment(self, name: str, seg: dict) -> DataFrame:
+        """Segment scan; in bucketed mode through a (re)registered
+        bucketed catalog table so the co-located layout survives
+        compaction, else a plain parquet path read."""
+        loc = self._seg_dir(name, seg)
+        if not self._is_bucketed(name):
+            return self.spark.read.parquet(loc)
+        tbl = self._seg_table(name, seg)
+        if not self.spark.catalog.tableExists(tbl):
+            key = BUCKET_KEYS[name]
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({SCHEMAS[name]}, wave int) "
+                f"USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {self.n_buckets} BUCKETS "
+                f"LOCATION '{loc}'")
+        return self.spark.table(tbl)
+
+    def _write_segment(self, name: str, df: DataFrame, lo: int,
+                       hi: int) -> dict:
+        slug = self._seg_slug(lo, hi)
+        loc = os.path.join(self._seg_root(name), slug)
+        os.makedirs(self._seg_root(name), exist_ok=True)
+        cols = _schema_columns(SCHEMAS[name]) + ["wave"]
+        df = df.select(*cols)
+        if self._is_bucketed(name):
+            key = BUCKET_KEYS[name]
+            tbl = f"{self._tbl_prefix}{name}__{slug}"
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            if os.path.isdir(loc):
+                shutil.rmtree(loc)
+            (df.repartition(self.n_buckets, key)
+               .write.bucketBy(self.n_buckets, key).sortBy(key)
+               .option("path", loc).format("parquet")
+               .saveAsTable(tbl))
+        else:
+            df.write.mode("overwrite").parquet(loc)
+        size = sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(loc) for f in fs)
+        return {"dir": slug, "lo": lo, "hi": hi, "bytes": size}
+
+    def _drop_segment(self, name: str, seg: dict) -> None:
+        if self._is_bucketed(name):
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS {self._seg_table(name, seg)}")
+        d = self._seg_dir(name, seg)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+    def _live_waves(self, name: str) -> list[int]:
         d = self._dir(name)
-        if not os.path.isdir(d) or not any(
-                s.startswith("wave=") for s in os.listdir(d)):
-            return (self.spark.createDataFrame([], SCHEMAS[name])
-                    .withColumn("wave", F.lit(None).cast("int")))
-        df = self.spark.read.option("basePath", d).parquet(d)
-        return df.filter(df["wave"] <= max_wave).select(*cols)
+        if not os.path.isdir(d):
+            return []
+        return sorted(int(s.split("=", 1)[1]) for s in os.listdir(d)
+                      if s.startswith("wave="))
+
+    def compact(self, upto: Optional[int] = None,
+                names: Optional[list[str]] = None,
+                merge_factor: float = 2.0) -> None:
+        """Fold wave partitions ≤ ``upto`` (default: the committed
+        wave) into segments, then size-tier-merge.  Call only between
+        waves (after a commit) — never while a wave is mid-write."""
+        if upto is None:
+            upto = self.committed_wave()
+        for name in (names or list(SCHEMAS)):
+            self._compact_table(name, upto, merge_factor)
+
+    def _compact_table(self, name: str, upto: int,
+                       merge_factor: float) -> None:
+        segs = self._segments(name)
+        seg_hi = segs[-1]["hi"] if segs else None
+        live = [w for w in self._live_waves(name)
+                if w <= upto and (seg_hi is None or w > seg_hi)]
+        if live:
+            lo = live[0] if seg_hi is None else seg_hi + 1
+            if self._is_bucketed(name) and self._ensure_registered(name):
+                t = self.spark.table(self._table_name(name))
+                src = t.filter((t["wave"] >= min(live))
+                               & (t["wave"] <= upto))
+            else:
+                d = self._dir(name)
+                src = (self.spark.read.option("basePath", d)
+                       .parquet(*[os.path.join(d, f"wave={w}")
+                                  for w in live]))
+            new = self._write_segment(name, src, lo, upto)
+            segs = segs + [new]
+            self._write_seg_marker(name, segs)      # point of visibility
+            for w in live:                          # sources last
+                self._drop_partition(name, w)
+        # size-tiered merge: newest segment caught up to its neighbor
+        while len(segs) >= 2 and (segs[-1]["bytes"] * merge_factor
+                                  >= segs[-2]["bytes"]):
+            a, b = segs[-2], segs[-1]
+            merged_df = self._read_segment(name, a).unionByName(
+                self._read_segment(name, b))
+            merged = self._write_segment(name, merged_df, a["lo"], b["hi"])
+            segs = segs[:-2] + [merged]
+            self._write_seg_marker(name, segs)
+            for old in (a, b):
+                self._drop_segment(name, old)
