@@ -482,6 +482,23 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, q, dim=64, k=5, n_bits=6, n_tables=6)
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #3: product quantization (similarity.pq_ann_topk)
+    — 16 codebooks × 32 centroids trained on a hash-selected sample,
+    vectors scanned as 16-code rows with per-query ADC lookup tables,
+    k·refine candidates exact-re-ranked.  Deterministic end to end
+    (seeded k-means, hash sampling, fixed-order float math) → golden
+    parquet oracle; recall ≥0.9 vs brute force pinned in
+    tests/test_functions.py."""
+    from web_graph_spark.functions.similarity import pq_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    return pq_ann_topk(emb, q, dim=64, k=5, m=16, ksub=32, refine=8)
+
+
 def _emb_with_dups(spark, sf_dir):
     """embeddings ∪ deterministic near-copies (every 50th vector
     shifted by +0.05 per dim → cosine ≈ 0.99+) — the near-dup test
@@ -609,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "embed_near_dup_pairs": q_embed_near_dup_pairs,
         "media_features": q_media_features,
         "events_sessionize": q_events_sessionize,
@@ -781,6 +799,9 @@ def _golden_oracles() -> dict[str, str]:
         "ann_lsh_topk": (
             f"SELECT q_id, rank, vec_id, sim_ppm "
             f"FROM read_parquet('{g}/ann_lsh_topk.parquet')"),
+        "ann_pq_topk": (
+            f"SELECT q_id, rank, vec_id, sim_ppm "
+            f"FROM read_parquet('{g}/ann_pq_topk.parquet')"),
         "media_features": (
             f"SELECT media_id, kind, n_bytes, sha, feat0_ppm "
             f"FROM read_parquet('{g}/media_features.parquet')"),

@@ -35,6 +35,7 @@ GOLDEN_QUERIES = [
     "dedup_minhash",
     "dedup_simhash",
     "ann_lsh_topk",
+    "ann_pq_topk",
     "media_features",
 ]
 

@@ -9,7 +9,7 @@ import re
 import numpy as np
 import pytest
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 
 def brute_jaccard(a: str, b: str, n: int = 1) -> float:
@@ -223,6 +223,37 @@ def test_lsh_ann_recall(spark):
         ap.setdefault(r["q_id"], set()).add(r["vec_id"])
     recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+@pytest.mark.spark
+def test_pq_ann_recall_and_determinism(spark):
+    """PQ/ADC top-k must recover ≥0.9 of the exact top-10 at the
+    contract-query parameters (m=16, ksub=32, refine=8) AND be
+    bit-stable across runs — the property the golden-parquet oracle
+    relies on (seeded k-means, hash-selected training sample,
+    fixed-order float math)."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.similarity import cosine_topk, pq_ann_topk
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    exact = cosine_topk(emb, queries, k=10).collect()
+    approx = pq_ann_topk(emb, queries, dim=64, k=10,
+                         m=16, ksub=32, refine=8).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for r in approx:
+        ap.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    again = pq_ann_topk(emb, queries, dim=64, k=10,
+                        m=16, ksub=32, refine=8).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
 
 
 @pytest.mark.spark

@@ -1,8 +1,8 @@
 """Golden-parquet drift guard.
 
-The five contract queries whose semantics DuckDB SQL cannot express
+The six contract queries whose semantics DuckDB SQL cannot express
 (graph_pagerank, dedup_minhash, dedup_simhash, ann_lsh_topk,
-media_features) are oracle-checked against golden parquet files frozen
+ann_pq_topk, media_features) are oracle-checked against golden parquet files frozen
 by scripts/make_golden.py from the independently test-pinned paths.
 These tests re-run each query at sf0.01 and assert exact row-set
 equality with its golden — so any semantic change fails HERE first and
@@ -33,7 +33,7 @@ def _rowset(tbl) -> set[tuple]:
 @pytest.mark.spark
 @pytest.mark.parametrize("name", ["graph_pagerank", "dedup_minhash",
                                   "dedup_simhash", "ann_lsh_topk",
-                                  "media_features"])
+                                  "ann_pq_topk", "media_features"])
 def test_query_matches_golden(spark, name):
     import __spark_entry__ as entry
 

@@ -11,6 +11,12 @@
   Arrow-batched pandas UDF; candidates = bucket collisions across
   ``n_tables`` independent tables; exact re-rank within candidates.
   At 100 TB the bucket join replaces the O(Q·N) scan.
+* :func:`pq_ann_topk` — product quantization (FAISS-style): train
+  ``m × ksub`` codebooks on a driver-side hash-sample, encode every
+  vector to ``m`` bytes (16-64× compression), scan only the codes with
+  per-query ADC lookup tables, exact re-rank the ``k·refine`` best.
+  The memory-side scale path: the code table fits in cluster RAM when
+  the raw vectors never could.
 """
 
 from __future__ import annotations
@@ -137,5 +143,147 @@ def embedding_near_dup_pairs(items: DataFrame, tau: float = 0.95,
     out = cand.withColumn("sim", cosine(F.col("v_a"), F.col("v_b")))
     return (out.filter(F.col("sim") >= tau)
             .select("id_a", "id_b",
+                    F.floor(F.col("sim") * 1000000).cast("long")
+                     .alias("sim_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compression ANN tier
+# ---------------------------------------------------------------------------
+
+def pq_train(items: DataFrame, dim: int, m: int = 8, ksub: int = 16,
+             iters: int = 10, seed: int = 42, sample_cap: int = 65536,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Train PQ codebooks: split each (unit-normalized) vector into
+    ``m`` subvectors, k-means each subspace to ``ksub`` centroids.
+
+    Deterministic by construction — seeded init, fixed Lloyd iteration
+    count, and the training sample is hash-selected (`xxhash64(id) %
+    step == 0`) then sorted by id, never `limit()` (whose row choice
+    depends on partition order).  The sample is collected to the
+    driver: at 100 TB you train on ≤``sample_cap`` rows (a few MB),
+    exactly as FAISS does — training never scans the table.
+
+    Returns ``numpy (m, ksub, dim//m)`` float64 codebooks.
+    """
+    import numpy as np
+
+    assert dim % m == 0, (dim, m)
+    n = items.count()
+    step = max(1, n // sample_cap)
+    rows = (items.filter(F.pmod(F.xxhash64(F.col(id_col)),
+                                F.lit(step)) == 0)
+            .orderBy(id_col).select(vec_col).collect())
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rs = np.random.RandomState(seed)
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub))
+    for s in range(m):
+        xs = x[:, s * dsub:(s + 1) * dsub]
+        cent = xs[rs.choice(len(xs), size=ksub, replace=len(xs) < ksub)]
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():          # empty cluster keeps its centroid
+                    cent[c] = xs[mask].mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_encode(items: DataFrame, codebooks, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int>[m]) — each vector quantized to m centroid
+    ids: dim×4 bytes → m bytes (ksub ≤ 256) stored columnar.  One
+    Arrow-batched pass; the codebooks ride along as a closure
+    broadcast (a few KB)."""
+    import numpy as np
+
+    books = codebooks
+    m, ksub, dsub = books.shape
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = np.asarray([np.asarray(v, dtype=np.float64)
+                               for v in pdf[vec_col]])
+            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
+                               1e-12)
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for s in range(m):
+                xs = vecs[:, s * dsub:(s + 1) * dsub]
+                d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col],
+                                "codes": list(codes)})
+
+    return items.mapInPandas(enc, schema="id long, codes array<int>")
+
+
+def pq_ann_topk(items: DataFrame, queries: DataFrame, dim: int,
+                k: int = 10, m: int = 8, ksub: int = 16, refine: int = 4,
+                seed: int = 42, id_col: str = "vec_id",
+                vec_col: str = "embedding", q_id_col: str = "q_id",
+                q_vec_col: str = "q_vec") -> DataFrame:
+    """PQ + ADC top-k with exact re-rank: (q_id, rank, vec_id, sim_ppm).
+
+    Scan phase touches only the m-byte codes (16-64× fewer bytes than
+    the raw vectors — at 100 TB the codes fit where vectors don't) and
+    computes the asymmetric distance per (query, item) from a per-query
+    (m, ksub) lookup table; a WindowGroupLimit keeps the best
+    ``k·refine`` per query map-side, then ONLY those candidates join
+    back to the raw vectors for the exact cosine re-rank — the standard
+    IVF/PQ refine pipeline, minus the IVF cells (compose with the cell
+    bucket from q_ann_ivf_topk for the full FAISS shape)."""
+    import numpy as np
+
+    books = pq_train(items, dim, m, ksub, seed=seed,
+                     id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(items, books, id_col, vec_col)
+
+    qrows = queries.select(q_id_col, q_vec_col).orderBy(q_id_col).collect()
+    qv = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    dsub = dim // m
+    # luts[q] (m, ksub): squared L2 from query subvector to centroid
+    luts = np.stack([((books - q.reshape(m, 1, dsub)) ** 2).sum(axis=2)
+                     for q in qv])
+    qids = np.asarray([r[0] for r in qrows])
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            c = np.asarray(list(pdf["codes"]), dtype=np.int32)   # (b, m)
+            out_id, out_q, out_d = [], [], []
+            for qi, qid in enumerate(qids):
+                # Σ_s lut[s, code_s] — vectorized gather over the batch
+                d = luts[qi][np.arange(m)[None, :], c].sum(axis=1)
+                out_id.append(pdf["id"].to_numpy())
+                out_q.append(np.full(len(pdf), qid))
+                out_d.append(d)
+            yield pd.DataFrame({
+                "id": np.concatenate(out_id),
+                "q_id": np.concatenate(out_q),
+                "adc_d2": np.concatenate(out_d)})
+
+    scored = codes.mapInPandas(adc, schema="id long, q_id long, adc_d2 double")
+    w = Window.partitionBy("q_id").orderBy("adc_d2", "id")
+    cand = (scored.filter(F.col("id") != F.col("q_id"))
+            .withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= k * refine)
+            .drop("crank", "adc_d2"))
+    # exact re-rank on the raw vectors, candidates only
+    j = (cand.join(items.select(F.col(id_col).alias("id"), vec_col), "id")
+         .join(F.broadcast(queries.select(q_id_col, q_vec_col)
+                           .withColumnRenamed(q_id_col, "q_id")), "q_id")
+         .withColumn("sim", cosine(F.col(vec_col), F.col(q_vec_col))))
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col("id"))
+    return (j.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "rank", F.col("id").alias(id_col),
                     F.floor(F.col("sim") * 1000000).cast("long")
                      .alias("sim_ppm")))
