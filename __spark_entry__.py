@@ -371,6 +371,30 @@ def _docs_with_dups(spark, sf_dir):
     return d.unionByName(exact).unionByName(near)
 
 
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation over the dup-injected corpus:
+    quality features → admission thresholds → language guess →
+    fingerprint exact-dedupe keeping the lowest doc_id per normal form.
+    One declarative plan — Catalyst fuses the three feature stages into
+    a single codegen'd projection and the dedupe is one uniform-key
+    shuffle (md5 fingerprint), so the whole pipeline is one scan + one
+    exchange at any scale."""
+    from web_graph_spark.functions.text import (with_fingerprint,
+                                                with_lang_guess,
+                                                with_quality)
+
+    feats = with_fingerprint(with_lang_guess(with_quality(
+        _docs_with_dups(spark, sf_dir))))
+    kept = feats.filter((F.col("n_tokens") >= 10)
+                        & (F.col("quality_score") >= 2500)
+                        & (F.col("stopword_ratio_bp") >= 300))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (kept.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "n_tokens", "quality_score", "lang_guess",
+                    "fingerprint"))
+
+
 def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedupe (hash groupBy on normal-form md5)."""
     from web_graph_spark.functions.dedup import exact_dup_groups
@@ -619,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "corpus_curate": q_corpus_curate,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -856,6 +881,34 @@ SELECT doc_id, lang, {lang_guess_sql('text')} AS lang_guess
 FROM documents""",
         "text_fingerprint": f"""
 SELECT doc_id, md5({norm}) AS fingerprint FROM documents""",
+        "corpus_curate": f"""
+WITH {dups_cte},
+feat AS (
+  SELECT doc_id,
+         CAST({n_tok} AS BIGINT) AS n_tokens,
+         CAST(greatest(
+             least({n_tok}, 200) * 20
+             + floor(({stopword_count_sql('text')}) * 10000.0
+                     / greatest({n_tok}, 1))
+             - floor({n_punct} * 10000.0 / greatest(length(text), 1))
+             - floor({n_digit} * 10000.0 / greatest(length(text), 1)),
+             0) AS BIGINT) AS quality_score,
+         CAST(floor(({stopword_count_sql('text')}) * 10000.0
+                    / greatest({n_tok}, 1)) AS BIGINT)
+             AS stopword_ratio_bp,
+         {lang_guess_sql('text')} AS lang_guess,
+         md5({norm}) AS fingerprint
+  FROM docs_dups
+),
+kept AS (
+  SELECT * FROM feat
+  WHERE n_tokens >= 10 AND quality_score >= 2500
+    AND stopword_ratio_bp >= 300
+),
+rep AS (SELECT fingerprint, min(doc_id) AS doc_id FROM kept GROUP BY 1)
+SELECT k.doc_id, k.n_tokens, k.quality_score, k.lang_guess, k.fingerprint
+FROM kept k JOIN rep ON k.fingerprint = rep.fingerprint
+                    AND k.doc_id = rep.doc_id""",
         "dedup_exact_groups": f"""
 WITH {dups_cte}
 SELECT md5({normalize_sql('text')}) AS fingerprint,
