@@ -159,3 +159,21 @@ def test_bucketed_anti_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_seen_b")
         spark.sql("DROP TABLE IF EXISTS t_cand_b")
+
+
+@pytest.mark.spark
+def test_pq_ann_plan(spark):
+    """PQ/ADC: both candidate cuts compile to WindowGroupLimit
+    (map-side partial top-k — the Q·N ADC scores never shuffle in
+    full), the re-rank joins broadcast the small sides, and no
+    cartesian/BNL join appears anywhere."""
+    from web_graph_spark.functions.similarity import pq_ann_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    plan = physical_plan(pq_ann_topk(emb, q, dim=64, k=5))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
