@@ -105,6 +105,10 @@ def test_http_serving_routes(spark, store):
         st, body = get("/countLinks")
         assert json.loads(body) == {"countLinks": api.count_links()}
 
+        # S11 graph UI served dependency-free at /ui
+        st, body = get("/ui")
+        assert st == 200 and "<canvas" in body and "SHA-1" in body
+
         # 404s: missing page and unknown route
         with pytest.raises(urllib.error.HTTPError) as e:
             get("/page/no-such-hash")

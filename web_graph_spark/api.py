@@ -36,6 +36,7 @@ store; the DataFrame path here is the source of truth either way.
 from __future__ import annotations
 
 import json
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +54,7 @@ API paths (reference-parity, cmd/link-api/main.go:29-38):
 /linksTo/:id      - page hashes linking to :id
 /countLinks       - {"countLinks": n}
 /countPages       - {"countPages": n}
+/ui               - force-graph explorer (?url=... or ?id=<hash>)
 """
 
 
@@ -174,6 +176,21 @@ def serve(api: LinkApi, host: str = "127.0.0.1", port: int = 0):
             try:
                 if not parts:
                     return self._text(WELCOME)
+                if parts[0] == "ui":
+                    # S11 graph UI (static/graph.html): the force-graph
+                    # frontend rebuilt dependency-free — reference
+                    # frontend/index.html
+                    p = os.path.join(os.path.dirname(
+                        os.path.abspath(__file__)), "static", "graph.html")
+                    with open(p, "rb") as fh:
+                        body = fh.read()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return None
                 if parts[0] == "page" and len(parts) == 2:
                     out = api.page_composite(parts[1])
                     if out is None:
