@@ -7,7 +7,7 @@ Each such query is independently validated by a pytest pin (numpy
 dense PageRank, brute-force Jaccard recall, brute-force ANN recall,
 deterministic stub vectors) — the golden parquet freezes the output of
 that *already-pinned* path at sf0.01 so the driver's DuckDB oracle
-compare (row count + schema + value hash) closes for all 30 queries.
+compare (row count + schema + value hash) closes for every contract query.
 This is sound because every one of these outputs is a deterministic
 function of the input: all randomness is hash-derived or seeded, all
 floats are computed per-row in fixed array order, and PageRank runs in
