@@ -238,6 +238,17 @@ class SparkCrawler:
     # ------------------------------------------------------------------
     def _run_wave(self, wave: int, next_seq: int) -> tuple[int, int]:
         t0 = time.monotonic()
+        # wall per wave phase → metrics rows (scope='phase', ms): the
+        # per-wave fixed cost IS the small-scale bottleneck, so make it
+        # observable instead of guessing which stage owns it.
+        _phase_t: dict[str, float] = {}
+        _last = [t0]
+
+        def _tick(name: str) -> None:
+            now = time.monotonic()
+            _phase_t[name] = (now - _last[0]) * 1000
+            _last[0] = now
+
         store = self.store
         seen = store.read("seen", max_wave=wave - 1).select("page_id")
         flog = store.read("frontier_log", max_wave=wave - 1)
@@ -288,6 +299,7 @@ class SparkCrawler:
                                         priority_col=self.priority_col)
         scheduled = scheduled.persist()
         n_pending = pending.count()
+        _tick("pending_dedupe")
 
         # crawl order + seen (D2; blocked ids join seen un-crawled);
         # this first write materializes `scheduled` and captures
@@ -311,12 +323,10 @@ class SparkCrawler:
                 blocked.unpersist()
             scheduled.unpersist()
             return 0, next_seq
+        _tick("crawl_order_write")
         seen_add = scheduled.select("page_id")
         if blocked is not None:
             seen_add = seen_add.unionByName(blocked)
-        store.write("seen", seen_add, wave)
-        if self.seen_mode == "cuckoo":
-            self._cuckoo_write(wave, seen_add)
 
         # fetch stage (S4 seam): JoinFetcher = frontier ⋈ web on the
         # uniform sha1 key (J7); PandasFetcher = (host,salt)-grouped
@@ -333,13 +343,34 @@ class SparkCrawler:
             & F.split(F.col("content_type"), ";").getItem(0).isin(*HTML_CTYPES)
             & F.col("spans").isNotNull())).persist()
 
-        # emit span documents for expanded pages (input_hint invariant)
+        # emit span documents for expanded pages (input_hint invariant);
+        # the seen write only needs the already-persisted `scheduled`,
+        # so it runs concurrently with the fetch-join materialization
+        # (same driver-thread pattern as the state writes below).
         obs_expanded = Observation()
-        store.write("docs_out",
-                    expandable_cached.observe(obs_expanded,
-                                              F.count(F.lit(1)).alias("n"))
-                    .select(F.col("page_id").alias("doc_id"),
-                            "spans"), wave)
+
+        def _w_seen():
+            store.write("seen", seen_add, wave)
+            if self.seen_mode == "cuckoo":
+                self._cuckoo_write(wave, seen_add)
+
+        def _w_docs():
+            store.write("docs_out",
+                        expandable_cached.observe(
+                            obs_expanded, F.count(F.lit(1)).alias("n"))
+                        .select(F.col("page_id").alias("doc_id"),
+                                "spans"), wave)
+
+        if store.bucketed:
+            _w_seen()
+            _w_docs()
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(2) as ex:
+                for fut in [ex.submit(_w_seen), ex.submit(_w_docs)]:
+                    fut.result()
+        _tick("seen_fetch_docs_writes")
 
         # The extract stage is where per-HOST work concentrates (real
         # deployment: the applyInPandas fetch+parse partitions run
@@ -365,6 +396,7 @@ class SparkCrawler:
             F.col("canon.path").alias("to_path"),
         ).persist()
         n_links = links.count()
+        _tick("extract_links")
 
         # ---- edges: first (from,to) wins within wave, existing win across.
         # The anti-join runs on the stored edge_id (= from||to, injective
@@ -381,8 +413,8 @@ class SparkCrawler:
                     F.concat("from_page_id", "to_page_id").alias("edge_id"))
             .join(prev_edges.select("edge_id"), "edge_id", "left_anti"))
         obs_edges = Observation()
-        store.write("edges", new_edges.observe(
-            obs_edges, F.count(F.lit(1)).alias("n")), wave)
+        edges_to_write = new_edges.observe(obs_edges,
+                                           F.count(F.lit(1)).alias("n"))
 
         # ---- newly enqueued targets: unseen ∧ ∉ frontier_log (covers
         # pending carryover AND scheduled-this-wave AND seen pages, since
@@ -404,12 +436,12 @@ class SparkCrawler:
                     F.col("m.link_index").alias("link_index"),
                     F.col("m.from_page_id").alias("parent_page_id")))
         targets = fseq.ordered_seq(targets, ["parent_seq", "link_index"],
-                                   start=next_seq)
+                                   start=next_seq, small_hint=n_links)
         targets = targets.persist()
         n_enqueued = targets.count()
-        store.write("frontier_log",
-                    targets.select("page_id", "url", "host", "path", "depth",
-                                   "seq", "parent_page_id"), wave)
+        _tick("targets_seq")
+        flog_to_write = targets.select("page_id", "url", "host", "path",
+                                       "depth", "seq", "parent_page_id")
 
         # ---- pages: event-ordered first-wins (crawl write (seq,0,0)
         # before discovery writes (parent_seq,1,link_index))
@@ -429,8 +461,36 @@ class SparkCrawler:
                     F.col("m.path").alias("path"), F.col("m.url").alias("url"))
             .join(prev_pages.select("page_id"), "page_id", "left_anti"))
         obs_pages = Observation()
-        store.write("pages", new_pages.observe(
-            obs_pages, F.count(F.lit(1)).alias("n")), wave)
+        pages_to_write = new_pages.observe(obs_pages,
+                                           F.count(F.lit(1)).alias("n"))
+
+        # The three remaining state writes are mutually independent
+        # (each reads only the persisted wave intermediates + its own
+        # prior partitions), so submit them as concurrent Spark jobs
+        # from driver threads — per-wave wall becomes max(write) rather
+        # than Σ(write), which is the fixed-cost floor at small waves
+        # and free parallelism at large ones (the cluster schedules the
+        # stages fairly).  Visibility is unaffected: nothing is
+        # readable until the manifest commit below, and pages/edges
+        # ordering (J6) is a commit-level, not write-level, invariant.
+        # Bucketed stores stay sequential — their writes run catalog
+        # DDL (ALTER/CREATE TABLE), which is not guaranteed
+        # thread-safe.
+        writes = [
+            lambda: store.write("edges", edges_to_write, wave),
+            lambda: store.write("frontier_log", flog_to_write, wave),
+            lambda: store.write("pages", pages_to_write, wave),
+        ]
+        if store.bucketed:
+            for w_ in writes:
+                w_()
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(len(writes)) as ex:
+                for fut in [ex.submit(w_) for w_ in writes]:
+                    fut.result()
+        _tick("state_writes")
 
         # ---- metrics + commit (counts captured by the writes above)
         n_expanded = int(obs_expanded.get["n"])
@@ -443,6 +503,7 @@ class SparkCrawler:
         self.metrics.append(m)
         mrows = [("wave", -1, k, float(v)) for k, v in vars(m).items()
                  if k != "wave"]
+        mrows += [("phase", -1, k, float(v)) for k, v in _phase_t.items()]
         wave_rows = self.spark.createDataFrame(
             mrows, "scope string, partition_id int, key string, value double")
         # per-partition fetch/dedupe metrics (north_rule checkpoint

@@ -21,11 +21,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+SMALL_SEQ_THRESHOLD = 200_000
+
+
 def ordered_seq(df: DataFrame, order_cols: list[str], start: int = 0,
-                out_col: str = "seq", num_partitions: int | None = None) -> DataFrame:
+                out_col: str = "seq", num_partitions: int | None = None,
+                small_hint: int | None = None) -> DataFrame:
     """Assign ``out_col`` = start, start+1, … densely in the total order
     of ``order_cols`` (which must be a unique key), without a global
-    single-partition sort."""
+    single-partition sort.
+
+    ``small_hint``: an upper bound on ``df``'s row count when the
+    caller already knows one (the crawler passes the wave's link
+    count).  At or below :data:`SMALL_SEQ_THRESHOLD` the rank runs as a
+    plain global ``row_number()`` window — a single tiny partition IS
+    the right plan there, and it replaces the range-partition path's
+    sampling job + persist + per-partition count collect + Python
+    assign stage with one JVM window (the range path's fixed cost
+    dominates small waves).  Both paths produce the identical dense
+    sequence; only the physical strategy switches.
+    """
+    if small_hint is not None and small_hint <= SMALL_SEQ_THRESHOLD:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        return df.withColumn(
+            out_col, (F.row_number().over(w) - 1 + start).cast("long"))
     if num_partitions is None:
         num_partitions = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         num_partitions = int(num_partitions)
