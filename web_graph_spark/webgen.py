@@ -70,6 +70,19 @@ web_pages AS (
 """
 
 
+_N_DOCS_CACHE: dict[str, int] = {}
+
+
+def _n_docs(spark: SparkSession, sf_dir: str) -> int:
+    """|documents| per sf_dir, cached — every links_df caller was
+    paying one count job per query otherwise (testdata is immutable
+    for a session, so the cache is safe)."""
+    if sf_dir not in _N_DOCS_CACHE:
+        _N_DOCS_CACHE[sf_dir] = spark.read.parquet(
+            f"{sf_dir}/documents.parquet").count()
+    return _N_DOCS_CACHE[sf_dir]
+
+
 def links_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src_doc_id, k, tgt_doc_id, href, anchor) — out-links per page.
 
@@ -83,7 +96,7 @@ def links_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_df(spark, sf_dir).select(
         "doc_id", F.col("host").alias("src_host"),
         F.col("url").alias("src_url"))
-    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n = _n_docs(spark, sf_dir)
     # NB: Spark sequence(1, 0) is DESCENDING [1, 0] — guard out-deg 0.
     deg = (F.col("doc_id") % 6).cast("int")
     ks = F.when(deg >= 1, F.sequence(F.lit(1), deg)) \
