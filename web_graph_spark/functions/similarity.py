@@ -287,3 +287,149 @@ def pq_ann_topk(items: DataFrame, queries: DataFrame, dim: int,
             .select("q_id", "rank", F.col("id").alias(id_col),
                     F.floor(F.col("sim") * 1000000).cast("long")
                      .alias("sim_ppm")))
+
+
+def sign_cell(vec_col, n_bits: int = 4):
+    """Hyperoctant coarse quantizer: cell = sign bits of the first
+    ``n_bits`` dims — a fixed-centroid IVF cell id (deterministic and
+    SQL-expressible; at 100 TB the cell is the partition key, so a
+    probe prunes to n_probe/2^n_bits of the files before any vector is
+    read)."""
+    c = F.lit(0)
+    for i in range(n_bits):
+        c = c + F.when(F.element_at(vec_col, i + 1) > 0,
+                       F.lit(1 << i)).otherwise(F.lit(0))
+    return c
+
+
+def _coarse_train(items: DataFrame, dim: int, n_cells: int, iters: int,
+                  seed: int, id_col: str, vec_col: str):
+    """Seeded k-means coarse centroids over the unit-normalized
+    hash-sample (same sampling discipline as :func:`pq_train`)."""
+    import numpy as np
+
+    n = items.count()
+    step = max(1, n // 65536)
+    rows = (items.filter(F.pmod(F.xxhash64(F.col(id_col)),
+                                F.lit(step)) == 0)
+            .orderBy(id_col).select(vec_col).collect())
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rs = np.random.RandomState(seed)
+    cent = x[rs.choice(len(x), size=n_cells, replace=len(x) < n_cells)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            mask = assign == c
+            if mask.any():
+                cent[c] = x[mask].mean(axis=0)
+    return cent
+
+
+def ivf_pq_ann_topk(items: DataFrame, queries: DataFrame, dim: int,
+                    k: int = 10, m: int = 8, ksub: int = 16,
+                    refine: int = 4, n_cells: int = 16,
+                    n_probe: int = 4, seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    q_id_col: str = "q_id",
+                    q_vec_col: str = "q_vec") -> DataFrame:
+    """The composed FAISS shape — IVF coarse cells × PQ codes × exact
+    re-rank: (q_id, rank, vec_id, sim_ppm).
+
+    1. Coarse: seeded-k-means cells (:func:`_coarse_train`); items are
+       assigned to their nearest centroid, a query probes its
+       ``n_probe`` nearest cells.  At 100 TB the cell is the partition
+       key — a probe prunes to n_probe/n_cells of the files before any
+       code is read.
+    2. Fine: ADC over the PQ codes of the probed cells only.
+    3. Exact cosine re-rank of the ``k·refine`` best per query.
+
+    Fully deterministic (seeded k-means, hash sampling, fixed-order
+    float math) like :func:`pq_ann_topk`.
+
+    Recall note: IVF recall is bounded by how much of the true top-k
+    the probed cells contain.  On clusterable embeddings (the real
+    workload) neighbors co-locate and few probes recover nearly all of
+    them; on ISOTROPIC vectors (the synthetic test corpus — top-10
+    neighbors share a label at chance rate) the bound degrades toward
+    the probed fraction — the textbook IVF worst case (FAISS documents
+    the same).  tests/test_functions.py pins that the pipeline loses
+    almost nothing BEYOND that coarse bound (PQ + re-rank is
+    near-exact given the candidates).
+    """
+    import numpy as np
+
+    books = pq_train(items, dim, m, ksub, seed=seed,
+                     id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(items, books, id_col, vec_col)
+    coarse = _coarse_train(items, dim, n_cells, 10, seed + 1,
+                           id_col, vec_col)
+
+    def cell_assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            v = np.asarray([np.asarray(x, dtype=np.float64)
+                            for x in pdf[vec_col]])
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                            1e-12)
+            d2 = ((v[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame({"id": pdf[id_col],
+                                "cell": d2.argmin(axis=1).astype("int32")})
+
+    cells = items.select(id_col, vec_col).mapInPandas(
+        cell_assign, schema="id long, cell int")
+    coded = codes.join(cells, "id")
+
+    qrows = queries.select(q_id_col, q_vec_col).orderBy(q_id_col).collect()
+    qv = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    dsub = dim // m
+    luts = {int(r[0]): ((books - q.reshape(m, 1, dsub)) ** 2).sum(axis=2)
+            for r, q in zip(qrows, qn)}
+
+    # probe set: (q_id, cell) for the n_probe nearest coarse cells
+    probe_rows = []
+    for r, q in zip(qrows, qn):
+        d2 = ((coarse - q[None, :]) ** 2).sum(axis=1)
+        for cell in np.argsort(d2, kind="stable")[:n_probe]:
+            probe_rows.append((int(r[0]), int(cell)))
+    spark = items.sparkSession
+    probes = spark.createDataFrame(probe_rows, "q_id long, cell int")
+
+    cand_codes = coded.join(F.broadcast(probes), "cell")
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.asarray(list(pdf["codes"]), dtype=np.int32)
+            qid = pdf["q_id"].to_numpy()
+            d = np.empty(len(pdf))
+            for q in np.unique(qid):
+                mask = qid == q
+                d[mask] = luts[int(q)][np.arange(m)[None, :],
+                                       c[mask]].sum(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "q_id": pdf["q_id"],
+                                "adc_d2": d})
+
+    scored = cand_codes.select("id", "q_id", "codes").mapInPandas(
+        adc, schema="id long, q_id long, adc_d2 double")
+    w = Window.partitionBy("q_id").orderBy("adc_d2", "id")
+    cand = (scored.filter(F.col("id") != F.col("q_id"))
+            .withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= k * refine)
+            .drop("crank", "adc_d2"))
+    j = (cand.join(items.select(F.col(id_col).alias("id"), vec_col), "id")
+         .join(F.broadcast(queries.select(q_id_col, q_vec_col)
+                           .withColumnRenamed(q_id_col, "q_id")), "q_id")
+         .withColumn("sim", cosine(F.col(vec_col), F.col(q_vec_col))))
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col("id"))
+    return (j.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "rank", F.col("id").alias(id_col),
+                    F.floor(F.col("sim") * 1000000).cast("long")
+                     .alias("sim_ppm")))
