@@ -30,6 +30,15 @@ def main() -> None:
     ap.add_argument("--priority", choices=("fifo", "depth"),
                     default="fifo")
     ap.add_argument("--salt-buckets", type=int, default=8)
+    ap.add_argument("--seen-mode", choices=("exact", "bloom", "cuckoo"),
+                    default="exact")
+    ap.add_argument("--bucketed-state", action="store_true")
+    ap.add_argument("--compact-every", type=int, default=None,
+                    help="fold committed waves into size-tiered "
+                         "segments every N waves (long crawls)")
+    ap.add_argument("--wave-seconds", type=float, default=None,
+                    help="wave cadence: derive per-host budgets from "
+                         "robots crawl_delay (requires --robots)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -50,7 +59,11 @@ def main() -> None:
                      default_budget=args.budget or UNBOUNDED,
                      max_waves=args.max_waves, robots=robots,
                      priority=args.priority,
-                     fetch_salt_buckets=args.salt_buckets)
+                     fetch_salt_buckets=args.salt_buckets,
+                     seen_mode=args.seen_mode,
+                     bucketed_state=args.bucketed_state,
+                     compact_every=args.compact_every,
+                     wave_seconds=args.wave_seconds)
     t0 = time.monotonic()
     c.init_from_seeds(seeds)
     c.run()
