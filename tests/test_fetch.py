@@ -3,6 +3,7 @@ and budget-before-salt ordering."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -83,3 +84,54 @@ def test_budget_before_salt(spark):
     fmg = plan.index("FlatMapGroupsInPandas")
     wgl = plan.index("WindowGroupLimit")
     assert fmg < wgl, plan  # fetch fan-out sits above the budget cut
+
+
+@pytest.mark.spark
+def test_paced_fetch_fn_spacing_and_equality(spark):
+    """paced_fetch_fn must (a) keep same-host requests >= delay apart
+    on a fake clock and (b) change nothing about the results."""
+    from web_graph_spark.operators.fetch import (FetchConfig,
+                                                 paced_fetch_fn)
+
+    calls = []
+
+    def inner(rows, cfg, cache):
+        calls.append((rows["host"].iloc[0], clock_now[0]))
+        return pd.DataFrame({
+            "page_id": rows["page_id"].to_numpy(),
+            "content_type": "text/html",
+            "fetch_ok": True,
+            "spans": [None] * len(rows)})
+
+    clock_now = [100.0]
+
+    def fake_clock():
+        return clock_now[0]
+
+    def fake_sleep(s):
+        assert s > 0
+        clock_now[0] += s
+
+    paced = paced_fetch_fn(inner, crawl_delays={"a.test": 2.0},
+                           default_delay_s=0.0, clock=fake_clock,
+                           sleep=fake_sleep)
+    rows = pd.DataFrame({
+        "page_id": [f"p{i}" for i in range(4)],
+        "url": ["u"] * 4, "host": ["a.test"] * 4, "path": ["/"] * 4})
+    cache = {}
+    out = paced(rows, FetchConfig(), cache)
+    assert list(out["page_id"]) == [f"p{i}" for i in range(4)]
+    times = [t for (_h, t) in calls]
+    assert all(b - a >= 2.0 for a, b in zip(times, times[1:])), times
+    # un-delayed host goes straight through, single inner call
+    calls.clear()
+    rows_b = rows.assign(host="b.test")
+    paced(rows_b, FetchConfig(), cache)
+    assert len(calls) == 1
+    # cross-GROUP pacing: a second batch for a.test still honors the
+    # last-fetch timestamp kept in the worker cache
+    calls.clear()
+    t_before = clock_now[0]
+    paced(rows.iloc[:1], FetchConfig(), cache)
+    assert calls[0][1] - t_before >= 0 and \
+        cache["paced_last_fetch"]["a.test"] >= t_before

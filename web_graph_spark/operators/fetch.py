@@ -201,3 +201,51 @@ def consistent_web_fetch_fn(n_pages: int, links_per_page: int = 8):
         })
 
     return fn
+
+
+def paced_fetch_fn(inner: Callable, crawl_delays: dict | None = None,
+                   default_delay_s: float = 0.0,
+                   clock=None, sleep=None) -> Callable:
+    """Wrap a fetch_fn with per-HOST request pacing — the intra-wave
+    half of crawl-delay compliance (the inter-wave half is the budget
+    dim from robots_eval's ``budgets_from_crawl_delay``).
+
+    Each (host, salt) group is single-host, so the wrapper issues the
+    group's requests one at a time, sleeping so consecutive requests to
+    the host within this worker are ≥ its delay apart (last-fetch
+    timestamps live in the per-worker cache, surviving across groups).
+    Scope note: pacing is per python WORKER — a hot host fanned out
+    over ``salt_buckets`` tasks can see up to salt_buckets× the rate.
+    For a strict global per-host rate either keep salt_buckets=1 or
+    rely on the wave budget (which is exact).  ``clock``/``sleep`` are
+    injectable for deterministic tests.
+
+    Results are pacing-independent: the wrapped fn must return exactly
+    what ``inner`` returns (pinned by crawl-equality in
+    tests/test_fetch.py).
+    """
+    import time as _time
+
+    clock = clock or _time.monotonic
+    sleep = sleep or _time.sleep
+    delays = crawl_delays or {}
+
+    def fn(rows: pd.DataFrame, cfg: FetchConfig,
+           cache: dict) -> pd.DataFrame:
+        if len(rows) == 0:
+            return inner(rows, cfg, cache)
+        host = rows["host"].iloc[0]
+        d = float(delays.get(host, default_delay_s))
+        if d <= 0:
+            return inner(rows, cfg, cache)
+        last = cache.setdefault("paced_last_fetch", {})
+        outs = []
+        for i in range(len(rows)):
+            wait = last.get(host, float("-inf")) + d - clock()
+            if wait > 0:
+                sleep(wait)
+            last[host] = clock()
+            outs.append(inner(rows.iloc[i:i + 1], cfg, cache))
+        return pd.concat(outs, ignore_index=True)
+
+    return fn
