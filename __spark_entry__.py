@@ -570,6 +570,24 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("feat0_ppm")))
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 real decode: deterministic REAL P6-PPM/WAV bytes (stdlib
+    writers seeded from doc_id, every 3rd row undecodable junk) through
+    extract_features(mode='auto') — stdlib parsers decode, junk falls
+    back to the flagged stub.  Deterministic → golden parquet oracle."""
+    from web_graph_spark.functions.media import (extract_features,
+                                                 make_decodable_media_df)
+
+    media = make_decodable_media_df(spark, _docs(spark, sf_dir))
+    f = extract_features(media, mode="auto", feat_dim=8)
+    return f.select(
+        "media_id", "kind", "n_bytes", "sha", "decoded",
+        F.floor(F.element_at("feat", 1) * 1000000).cast("long")
+         .alias("feat0_ppm"),
+        F.floor(F.element_at("feat", 2) * 1000000).cast("long")
+         .alias("feat1_ppm"))
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: per-user 30-min-gap sessions via lag window."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -654,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "embed_near_dup_pairs": q_embed_near_dup_pairs,
         "media_features": q_media_features,
+        "media_decode": q_media_decode,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
@@ -830,6 +849,10 @@ def _golden_oracles() -> dict[str, str]:
         "media_features": (
             f"SELECT media_id, kind, n_bytes, sha, feat0_ppm "
             f"FROM read_parquet('{g}/media_features.parquet')"),
+        "media_decode": (
+            f"SELECT media_id, kind, n_bytes, sha, decoded, "
+            f"feat0_ppm, feat1_ppm "
+            f"FROM read_parquet('{g}/media_decode.parquet')"),
     }
 
 

@@ -37,6 +37,7 @@ GOLDEN_QUERIES = [
     "ann_lsh_topk",
     "ann_pq_topk",
     "media_features",
+    "media_decode",
 ]
 
 GOLDEN_DIR = os.path.join(REPO, "golden")

@@ -1,6 +1,6 @@
 """Golden-parquet drift guard.
 
-The six contract queries whose semantics DuckDB SQL cannot express
+The seven contract queries whose semantics DuckDB SQL cannot express
 (graph_pagerank, dedup_minhash, dedup_simhash, ann_lsh_topk,
 ann_pq_topk, media_features) are oracle-checked against golden parquet files frozen
 by scripts/make_golden.py from the independently test-pinned paths.
@@ -33,7 +33,8 @@ def _rowset(tbl) -> set[tuple]:
 @pytest.mark.spark
 @pytest.mark.parametrize("name", ["graph_pagerank", "dedup_minhash",
                                   "dedup_simhash", "ann_lsh_topk",
-                                  "ann_pq_topk", "media_features"])
+                                  "ann_pq_topk", "media_features",
+                                  "media_decode"])
 def test_query_matches_golden(spark, name):
     import __spark_entry__ as entry
 

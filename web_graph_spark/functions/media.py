@@ -51,6 +51,58 @@ def make_media_df(spark, docs: DataFrame, id_col: str = "doc_id",
                  F.lit("application/octet-stream").alias("mime")).alias("meta"))
 
 
+def make_decodable_media_df(spark, docs: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Derive a media table of REAL container bytes — genuine binary
+    P6-PPM images and PCM WAV audio synthesized deterministically from
+    the doc id (stdlib writers, content seeded by blake2b of the id) —
+    so ``extract_features(mode='auto')`` exercises real decoders end
+    to end, not just the stub fallback.  Every third row is
+    deliberately undecodable junk to keep the fallback path live in
+    the same plan."""
+    import io
+    import struct
+    import wave as wavmod
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_kind, out_bytes = [], [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                seed = hashlib.blake2b(str(did).encode(),
+                                       digest_size=8).digest()
+                mod = did % 3
+                if mod == 0:
+                    w, h = seed[0] % 7 + 1, seed[1] % 5 + 1
+                    px = bytes(seed[(2 + i) % 8] for i in range(w * h * 3))
+                    raw = b"P6 %d %d 255\n" % (w, h) + px
+                    kind = "image"
+                elif mod == 1:
+                    buf = io.BytesIO()
+                    with wavmod.open(buf, "wb") as wv:
+                        wv.setnchannels(1)
+                        wv.setsampwidth(2)
+                        wv.setframerate(8000)
+                        n = 200 + seed[2] % 300
+                        amp = 500 + seed[3] * 50
+                        wv.writeframes(b"".join(
+                            struct.pack("<h", (i % 50 - 25) * amp // 25)
+                            for i in range(n)))
+                    raw = buf.getvalue()
+                    kind = "audio"
+                else:
+                    raw = b"\x00junk-" + seed  # undecodable on purpose
+                    kind = "image"
+                out_id.append(f"m-{did}")
+                out_kind.append(kind)
+                out_bytes.append(raw)
+            yield pd.DataFrame({"media_id": out_id, "kind": out_kind,
+                                "media": out_bytes})
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema="media_id string, kind string, media binary")
+
+
 def _fake_decode(raw: bytes, n: int = 8) -> list[float]:
     """Deterministic feature vector from bytes (codec stand-in)."""
     d = hashlib.blake2b(raw or b"", digest_size=4 * n).digest()
