@@ -403,16 +403,15 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-TRIGRAM Jaccard pairs (n=3, sim ≥ 0.5) over docs
-    <100 plus constructed exact/near copies.  n=3 keeps the
+    """Exact word-TRIGRAM Jaccard pairs (n=3, sim ≥ 0.5) over the FULL
+    corpus plus constructed exact/near copies.  n=3 keeps the
     explode-join key selective (word unigrams make stopwords quadratic
     hot keys — the n=1 call survives only as the capped correctness
     baseline inside tests); the dup copies make the green row
     non-trivial."""
     from web_graph_spark.functions.dedup import jaccard_pairs
 
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100) \
-        .select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     exact = (d.filter(F.col("doc_id") % 10 == 0)
              .select((F.col("doc_id") + 100000).alias("doc_id"),
                      F.upper(F.col("text")).alias("text")))
@@ -942,13 +941,13 @@ FROM docs_dups
 GROUP BY 1 HAVING count(*) > 1""",
         "dedup_ngram_jaccard": f"""
 WITH corpus AS (
-  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 100000, upper(text) FROM documents
-  WHERE doc_id < 100 AND doc_id % 10 = 0
+  WHERE doc_id % 10 = 0
   UNION ALL
   SELECT doc_id + 200000, text || ' zz qq ww' FROM documents
-  WHERE doc_id < 100 AND doc_id % 10 = 1
+  WHERE doc_id % 10 = 1
 ),
 toks AS (
   SELECT doc_id, regexp_extract_all({norm}, '\\S+') AS words FROM corpus
