@@ -201,6 +201,15 @@ class SparkCrawler:
         updated = self._cuckoo.update(self._cuckoo_states(wave),
                                       new_keys, "page_id")
         self.store.write("cuckoo_state", updated, wave)
+        # GC superseded blob sets: each wave is a full replacement, so
+        # older partitions are dead bytes (one dir per wave forever on
+        # a long crawl otherwise).  Crash-safe: if this wave never
+        # commits, cleanup-on-open drops the new partition too and the
+        # next session rebuilds the filter from `seen`
+        # (tests/test_seen.py kill-and-resume covers the rebuild).
+        for w in self.store._live_waves("cuckoo_state"):
+            if w < wave:
+                self.store._drop_partition("cuckoo_state", w)
         self._cuckoo_cache = None
 
     # ------------------------------------------------------------------

@@ -133,6 +133,8 @@ def _decode_image(raw: bytes, n: int):
         try:  # P6 header: "P6 <w> <h> <maxval>\n" then raw RGB
             parts, idx, tok = [], 2, b""
             while len(parts) < 3:
+                if idx >= len(raw):  # truncated header: the bytes ran
+                    return None      # out before 3 ints (never loop)
                 c = raw[idx:idx + 1]
                 idx += 1
                 if c.isspace():
@@ -142,6 +144,8 @@ def _decode_image(raw: bytes, n: int):
                 else:
                     tok += c
             w, h, maxval = parts
+            if w <= 0 or h <= 0 or maxval <= 0:
+                return None
             arr = (np.frombuffer(raw, dtype=np.uint8, count=w * h * 3,
                                  offset=idx)
                    .reshape(h, w, 3).astype(np.float64) / maxval)

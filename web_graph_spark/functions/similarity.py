@@ -151,9 +151,29 @@ def embedding_near_dup_pairs(items: DataFrame, tau: float = 0.95,
 # Product quantization (PQ) — the memory-compression ANN tier
 # ---------------------------------------------------------------------------
 
+def _hash_sample(items: DataFrame, id_col: str, vec_col: str,
+                 cap: int = 65536):
+    """Deterministic unit-normalized training sample: hash-selected
+    (`xxhash64(id) % step == 0`) then id-sorted, never `limit()`
+    (whose row choice depends on partition order).  Collected to the
+    driver: at 100 TB training reads <=cap rows (a few MB), exactly as
+    FAISS does -- training never scans the table."""
+    import numpy as np
+
+    n = items.count()
+    step = max(1, n // cap)
+    rows = (items.filter(F.pmod(F.xxhash64(F.col(id_col)),
+                                F.lit(step)) == 0)
+            .orderBy(id_col).select(vec_col).collect())
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return x
+
+
 def pq_train(items: DataFrame, dim: int, m: int = 8, ksub: int = 16,
              iters: int = 10, seed: int = 42, sample_cap: int = 65536,
-             id_col: str = "vec_id", vec_col: str = "embedding"):
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             sample=None):
     """Train PQ codebooks: split each (unit-normalized) vector into
     ``m`` subvectors, k-means each subspace to ``ksub`` centroids.
 
@@ -165,17 +185,16 @@ def pq_train(items: DataFrame, dim: int, m: int = 8, ksub: int = 16,
     exactly as FAISS does — training never scans the table.
 
     Returns ``numpy (m, ksub, dim//m)`` float64 codebooks.
+
+    ``sample``: a pre-collected unit-normalized sample matrix (from
+    :func:`_hash_sample`) to reuse — callers composing several trained
+    stages (ivf_pq_ann_topk) collect once instead of per stage.
     """
     import numpy as np
 
     assert dim % m == 0, (dim, m)
-    n = items.count()
-    step = max(1, n // sample_cap)
-    rows = (items.filter(F.pmod(F.xxhash64(F.col(id_col)),
-                                F.lit(step)) == 0)
-            .orderBy(id_col).select(vec_col).collect())
-    x = np.asarray([r[0] for r in rows], dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    x = sample if sample is not None else _hash_sample(
+        items, id_col, vec_col, sample_cap)
     rs = np.random.RandomState(seed)
     dsub = dim // m
     books = np.empty((m, ksub, dsub))
@@ -303,18 +322,13 @@ def sign_cell(vec_col, n_bits: int = 4):
 
 
 def _coarse_train(items: DataFrame, dim: int, n_cells: int, iters: int,
-                  seed: int, id_col: str, vec_col: str):
+                  seed: int, id_col: str, vec_col: str, sample=None):
     """Seeded k-means coarse centroids over the unit-normalized
     hash-sample (same sampling discipline as :func:`pq_train`)."""
     import numpy as np
 
-    n = items.count()
-    step = max(1, n // 65536)
-    rows = (items.filter(F.pmod(F.xxhash64(F.col(id_col)),
-                                F.lit(step)) == 0)
-            .orderBy(id_col).select(vec_col).collect())
-    x = np.asarray([r[0] for r in rows], dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    x = sample if sample is not None else _hash_sample(
+        items, id_col, vec_col)
     rs = np.random.RandomState(seed)
     cent = x[rs.choice(len(x), size=n_cells, replace=len(x) < n_cells)]
     for _ in range(iters):
@@ -360,11 +374,12 @@ def ivf_pq_ann_topk(items: DataFrame, queries: DataFrame, dim: int,
     """
     import numpy as np
 
+    sample = _hash_sample(items, id_col, vec_col)  # one count+collect
     books = pq_train(items, dim, m, ksub, seed=seed,
-                     id_col=id_col, vec_col=vec_col)
+                     id_col=id_col, vec_col=vec_col, sample=sample)
     codes = pq_encode(items, books, id_col, vec_col)
     coarse = _coarse_train(items, dim, n_cells, 10, seed + 1,
-                           id_col, vec_col)
+                           id_col, vec_col, sample=sample)
 
     def cell_assign(batches):
         import pandas as pd

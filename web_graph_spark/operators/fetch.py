@@ -127,24 +127,23 @@ class PandasFetcher:
 
 def http_fetch_fn(rows: pd.DataFrame, cfg: FetchConfig,
                   cache: dict) -> pd.DataFrame:
-    """Reference-parity HTTP fetcher (UA, timeout, resolver memo,
-    optional pacing).  Page parsing into spans is the extract stage's
-    job — this returns raw HTML as a single text span; real
-    deployments swap in their own parser fetch_fn.  Untestable in this
-    sandbox (no network); the seam itself is covered by deterministic
-    fetch_fns in tests/test_fetch.py."""
-    import socket
+    """Reference-parity HTTP fetcher (UA, timeout, optional pacing).
+    Page parsing into spans is the extract stage's job — this returns
+    raw HTML as a single text span; real deployments swap in their own
+    parser fetch_fn (typically requests/httpx with per-worker
+    connection pooling + DNS caching through the ``cache`` dict —
+    urllib resolves per request, so there is deliberately no
+    half-measure resolver memo here).  Untestable in this sandbox (no
+    network); the seam itself is covered by deterministic fetch_fns in
+    tests/test_fetch.py."""
     import time
     import urllib.request
 
-    resolver = cache.setdefault("dns", {})
     out = []
     for r in rows.itertuples(index=False):
         if cfg.per_request_delay_s:
             time.sleep(cfg.per_request_delay_s)
         try:
-            if r.host not in resolver:  # warm per-worker resolver memo
-                resolver[r.host] = socket.getaddrinfo(r.host, 443)[0][4][0]
             req = urllib.request.Request(
                 r.url, headers={"User-Agent": cfg.user_agent})
             with urllib.request.urlopen(req, timeout=cfg.timeout_s) as resp:

@@ -78,17 +78,20 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _edge_digest(e: DataFrame) -> tuple:
-    """(count, Σ xxhash64(u,v)) — an order-insensitive set digest.
-    One cheap agg job (map-side partial, 1-row shuffle) instead of the
-    two full exceptAll shuffles a set-equality check would cost.  The
-    edge set is canonical (u<v, distinct), so digest equality implies
-    set equality up to a 2^-64-ish hash-sum collision — and a false
-    "converged" is additionally guarded by the star-graph fixpoint
-    being idempotent (labels read from a converged e are stable)."""
+    """(count, Σ xxhash64(u,v), Σ xxhash64(seed',u,v)) — an
+    order-insensitive set digest.  One cheap agg job (map-side
+    partial, 1-row shuffle) instead of the two full exceptAll shuffles
+    a set-equality check would cost.  The edge set is canonical (u<v,
+    distinct), so digest equality implies set equality up to a
+    collision of BOTH independent hash sums (~2^-128 per round —
+    beyond cosmic-ray territory; the second sum exists because a
+    single 2^-64 sum is at least arguable)."""
     r = e.agg(F.count(F.lit(1)).alias("n"),
               F.sum(F.xxhash64("u", "v").cast("decimal(28,0)"))
-               .alias("h")).first()
-    return (r["n"], r["h"])
+               .alias("h"),
+              F.sum(F.xxhash64(F.lit(0x5EED), "u", "v")
+                    .cast("decimal(28,0)")).alias("h2")).first()
+    return (r["n"], r["h"], r["h2"])
 
 
 def connected_components(vertices: DataFrame, edges: DataFrame,

@@ -408,7 +408,12 @@ class PartitionedCuckooSeen:
                     cf = filters.setdefault(
                         int(sh), CuckooFilter.sized(expected))
                     fails = cf.insert(grp["k"].astype(str))
-                    assert fails == 0, "cuckoo shard over capacity"
+                    if fails:  # raise, never assert: -O strips asserts
+                        raise RuntimeError(
+                            f"cuckoo shard over capacity ({fails} failed "
+                            "inserts) - raise expected_per_shard; a "
+                            "silent drop would break the no-false-"
+                            "negative contract")
                     counts[int(sh)] = counts.get(int(sh), 0) + len(grp)
             for sh, cf in filters.items():
                 yield pd.DataFrame({"shard": [sh],
@@ -449,7 +454,12 @@ class PartitionedCuckooSeen:
                 n0 = 0
             if len(kpdf):
                 fails = cf.insert(kpdf["k"].astype(str))
-                assert fails == 0, "cuckoo shard over capacity"
+                if fails:  # raise, never assert: -O strips asserts
+                    raise RuntimeError(
+                        f"cuckoo shard over capacity ({fails} failed "
+                        "inserts) - raise expected_per_shard; a silent "
+                        "drop would break the no-false-negative "
+                        "contract")
             return pd.DataFrame({"shard": [sh],
                                  "n_keys": [n0 + len(kpdf)],
                                  "state": [cf.table.tobytes()]})
