@@ -151,3 +151,37 @@ def test_resume_on_top_of_segments(spark, tmp_path):
     b2.run()
     for t in ("crawl_order", "pages", "edges", "seen", "frontier_log"):
         assert _rows(a.store.read(t)) == _rows(b2.store.read(t)), t
+
+
+@pytest.mark.spark
+def test_cuckoo_resume_rebuilds_from_compacted_seen(spark, tmp_path):
+    """seen_mode='cuckoo' + compact_every: kill after a compaction AND
+    delete the blob partitions — resume must rebuild the filter from
+    the SEGMENT-backed seen table and still match an exact-mode run."""
+    d = tmp_path / "fix"
+    d.mkdir()
+    fixtures.generate_fixtures(str(d), seed=42, n_pages=70, n_hosts=8)
+    web = load_web(spark, str(d))
+    seeds = spark.read.parquet(f"{d}/seeds.parquet")
+
+    def crawler(path, max_waves, **kw):
+        c = SparkCrawler(spark, str(path), web, max_waves=max_waves,
+                         default_budget=3, **kw)
+        c.init_from_seeds(seeds)
+        return c
+
+    a = crawler(tmp_path / "exact", 4)
+    a.run()
+
+    b1 = crawler(tmp_path / "ck", 2, seen_mode="cuckoo", compact_every=2)
+    b1.run()
+    assert b1.store._segments("seen"), "compaction never ran"
+    # blob GC keeps only the latest wave's cuckoo_state partitions
+    assert b1.store._live_waves("cuckoo_state") == [1]
+    # crash scenario: blobs lost entirely → rebuild-from-seen path,
+    # which now reads a segment, not wave dirs
+    shutil.rmtree(os.path.join(str(tmp_path / "ck"), "cuckoo_state"))
+    b2 = crawler(tmp_path / "ck", 4, seen_mode="cuckoo", compact_every=2)
+    b2.run()
+    for t in ("crawl_order", "pages", "edges", "seen", "frontier_log"):
+        assert _rows(a.store.read(t)) == _rows(b2.store.read(t)), t
