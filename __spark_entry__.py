@@ -522,6 +522,25 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ann_topk(emb, q, dim=64, k=5, m=16, ksub=32, refine=8)
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #4 — the composed FAISS shape
+    (similarity.ivf_pq_ann_topk): seeded-k-means IVF cells prune the
+    scan to n_probe/n_cells of the corpus BEFORE any code is read (at
+    100 TB the cell is the partition key), ADC over the PQ codes of
+    the probed cells only, exact cosine re-rank of k·refine
+    candidates.  Deterministic end to end (seeded k-means, hash
+    sampling, fixed-order float math) → golden parquet oracle; recall
+    + determinism pinned in tests/test_functions.py."""
+    from web_graph_spark.functions.similarity import ivf_pq_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    return ivf_pq_ann_topk(emb, q, dim=64, k=5, m=16, ksub=32, refine=8,
+                           n_cells=16, n_probe=4)
+
+
 def _emb_with_dups(spark, sf_dir):
     """embeddings ∪ deterministic near-copies (every 50th vector
     shifted by +0.05 per dim → cosine ≈ 0.99+) — the near-dup test
@@ -669,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "embed_near_dup_pairs": q_embed_near_dup_pairs,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
@@ -720,7 +740,8 @@ SELECT doc_id, host, path,
 FROM web_pages"""),
         "crawl_budget_derive": _oracle("""
 SELECT host,
-       CAST(GREATEST(FLOOR(60.0 / d), 1) AS INTEGER) AS max_pages_per_wave
+       CAST(GREATEST(FLOOR(60.0 / d), 1) AS INTEGER) AS max_pages_per_wave,
+       CAST(GREATEST(CEIL(d / 60.0), 1) AS INTEGER) AS wave_period
 FROM (SELECT host, max((doc_id % 13) * 2.5) AS d
       FROM web_pages GROUP BY host) t
 WHERE d > 0"""),
@@ -822,12 +843,22 @@ SELECT q_id, rank, vec_id, sim_ppm FROM r WHERE rank <= 5""",
 
 def _golden_oracles() -> dict[str, str]:
     """DuckDB oracles for queries whose semantics aren't SQL-expressible
-    (seeded numpy hyperplanes, xxhash64/blake2b, iterative decimal
+    (seeded numpy hyperplanes, xxhash64, iterative decimal
     PageRank): a golden parquet frozen from the independently
     test-pinned path (scripts/make_golden.py; drift guarded by
-    tests/test_golden.py).  Sound because each output is a fully
-    deterministic function of the input — hash-derived randomness,
-    per-row fixed-order float math, exact decimal aggregation."""
+    tests/test_golden.py).
+
+    Honest scope of these rows: the goldens are frozen from THIS
+    engine's own output, so the driver compare certifies determinism
+    and non-drift, NOT independent semantics.  The independent
+    correctness evidence for each lives in pytest pins that never read
+    a golden — dense-numpy PageRank (tests/test_graph_algos.py),
+    brute-force recall floors for every ANN/minhash/simhash tier and
+    byte-level decode checks for media (tests/test_functions.py).
+    Regenerating a golden (make_golden.py --only) is only sound while
+    those pins stay green.  Determinism itself is by construction:
+    hash-derived randomness, per-row fixed-order float math, exact
+    decimal aggregation."""
     g = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
     return {
         "graph_pagerank": (
@@ -845,6 +876,9 @@ def _golden_oracles() -> dict[str, str]:
         "ann_pq_topk": (
             f"SELECT q_id, rank, vec_id, sim_ppm "
             f"FROM read_parquet('{g}/ann_pq_topk.parquet')"),
+        "ann_ivfpq_topk": (
+            f"SELECT q_id, rank, vec_id, sim_ppm "
+            f"FROM read_parquet('{g}/ann_ivfpq_topk.parquet')"),
         "media_features": (
             f"SELECT media_id, kind, n_bytes, sha, feat0_ppm "
             f"FROM read_parquet('{g}/media_features.parquet')"),

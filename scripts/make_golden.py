@@ -36,6 +36,7 @@ GOLDEN_QUERIES = [
     "dedup_simhash",
     "ann_lsh_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "media_features",
     "media_decode",
 ]
@@ -46,6 +47,11 @@ GOLDEN_DIR = os.path.join(REPO, "golden")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="regenerate only these goldens (default: all); "
+                         "regenerating all masks drift the test guard "
+                         "would otherwise catch - prefer --only for "
+                         "incremental additions")
     args = ap.parse_args()
 
     import __spark_entry__ as entry
@@ -55,7 +61,8 @@ def main() -> None:
     spark = get_spark(app="wgs-golden", cores=8, shuffle_partitions=8)
     try:
         qs = entry.queries()
-        for name in GOLDEN_QUERIES:
+        for name in (args.only or GOLDEN_QUERIES):
+            assert name in GOLDEN_QUERIES, name
             df = qs[name](spark, args.sf_dir)
             tbl = df.toArrow()
             out = os.path.join(GOLDEN_DIR, f"{name}.parquet")

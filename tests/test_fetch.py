@@ -135,3 +135,86 @@ def test_paced_fetch_fn_spacing_and_equality(spark):
     paced(rows.iloc[:1], FetchConfig(), cache)
     assert calls[0][1] - t_before >= 0 and \
         cache["paced_last_fetch"]["a.test"] >= t_before
+
+
+def test_pooled_http_fetch_fn_keepalive_dns_and_retry():
+    """Reference-parity pooled fetcher against a real local socket:
+    N requests to one host ride ONE kept-alive connection (the
+    reference's pooled client, linkprocessor.go:51-75), the resolver
+    memo is populated and reused, a stale pooled connection is retried
+    once on a fresh socket, and an unreachable host degrades to
+    fetch_ok=False."""
+    import http.server
+    import socket
+    import threading
+
+    from web_graph_spark.operators.fetch import (FetchConfig,
+                                                 pooled_http_fetch_fn)
+
+    conns: list[int] = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # keep-alive
+
+        def setup(self):  # one handler instance per CONNECTION
+            conns.append(id(self))
+            super().setup()
+
+        def do_GET(self):
+            body = f"page:{self.path}".encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    cfg = FetchConfig(timeout_s=5.0)
+    try:
+        def batch(n):
+            return pd.DataFrame({
+                "page_id": [f"p{i}" for i in range(n)],
+                "url": [f"http://localhost:{port}/d/{i}.html"
+                        for i in range(n)],
+                "host": ["localhost"] * n,
+                "path": [f"/d/{i}.html" for i in range(n)]})
+
+        cache: dict = {}
+        out = pooled_http_fetch_fn(batch(8), cfg, cache)
+        assert list(out["fetch_ok"]) == [True] * 8
+        assert [s[0]["text"] for s in out["spans"]] == \
+            [f"page:/d/{i}.html" for i in range(8)]
+        assert len(conns) == 1, f"keep-alive broken: {len(conns)} conns"
+        assert "localhost" in cache["dns_memo"]
+
+        # a second group/wave reuses the pooled connection
+        out2 = pooled_http_fetch_fn(batch(3), cfg, cache)
+        assert list(out2["fetch_ok"]) == [True] * 3
+        assert len(conns) == 1
+
+        # stale keep-alive socket (server idled it out between waves):
+        # kill the pooled socket under the fetcher — the retry path
+        # must transparently reconnect
+        for conn in cache["http_pool"].values():
+            conn.sock.shutdown(socket.SHUT_RDWR)
+        out3 = pooled_http_fetch_fn(batch(2), cfg, cache)
+        assert list(out3["fetch_ok"]) == [True] * 2
+        assert len(conns) == 2  # exactly one fresh connection
+
+        # unreachable port → fetch_ok False rows, no raise
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        dead_port = s.getsockname()[1]
+        s.close()
+        bad = batch(2).assign(
+            url=[f"http://localhost:{dead_port}/x" for _ in range(2)])
+        out4 = pooled_http_fetch_fn(bad, FetchConfig(timeout_s=0.5), cache)
+        assert list(out4["fetch_ok"]) == [False, False]
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -33,8 +33,8 @@ def _rowset(tbl) -> set[tuple]:
 @pytest.mark.spark
 @pytest.mark.parametrize("name", ["graph_pagerank", "dedup_minhash",
                                   "dedup_simhash", "ann_lsh_topk",
-                                  "ann_pq_topk", "media_features",
-                                  "media_decode"])
+                                  "ann_pq_topk", "ann_ivfpq_topk",
+                                  "media_features", "media_decode"])
 def test_query_matches_golden(spark, name):
     import __spark_entry__ as entry
 

@@ -89,7 +89,9 @@ def test_engine_matches_oracle_with_robots(spark, fixture_dir, tmp_path):
 @pytest.mark.spark
 def test_budgets_from_crawl_delay(spark):
     """delay d sec + wave cadence W sec → budget floor(W/d), most
-    conservative rule per host wins, no positive delay → no row."""
+    conservative rule per host wins, no positive delay → no row;
+    delay > W → budget 1 AND wave_period ceil(d/W) (fetched only every
+    period-th wave, so the effective rate stays ≤ 1/d)."""
     from web_graph_spark.operators.robots import budgets_from_crawl_delay
 
     rules = spark.createDataFrame(
@@ -97,12 +99,54 @@ def test_budgets_from_crawl_delay(spark):
          ("h1.test", "allow", "/b", 5.0),     # max(2,5)=5 wins
          ("h2.test", "disallow", "/", 0.5),
          ("h3.test", "allow", "/", 0.0),      # no delay → default budget
-         ("h4.test", "allow", "/", 120.0)],   # delay > wave → floor→1
-        "host string, rule_type string, path_prefix string, "
+         ("h4.test", "allow", "/", 120.0)],   # delay > wave → budget 1,
+        "host string, rule_type string, path_prefix string, "  # period 2
         "crawl_delay double")
-    got = {r["host"]: r["max_pages_per_wave"] for r in
+    got = {r["host"]: (r["max_pages_per_wave"], r["wave_period"]) for r in
            budgets_from_crawl_delay(rules, wave_seconds=60.0).collect()}
-    assert got == {"h1.test": 12, "h2.test": 120, "h4.test": 1}
+    assert got == {"h1.test": (12, 1), "h2.test": (120, 1),
+                   "h4.test": (1, 2)}
+
+
+@pytest.mark.spark
+def test_wave_period_gate_defers_long_delay_hosts(spark, fixture_dir,
+                                                  tmp_path):
+    """A host with crawl_delay > wave_seconds is scheduled only on
+    waves matching its hash-stable phase — at most ceil(waves/period)
+    fetches over the crawl — and deferred-only waves do NOT terminate
+    the loop (run() keeps iterating until the frontier drains)."""
+    from web_graph_spark.crawler import SparkCrawler, load_web
+
+    web = load_web(spark, fixture_dir)
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+    hosts = web.select(
+        F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host")
+    ).filter("host <> ''").distinct()
+    # every host: 150s delay at a 60s cadence → budget 1, period 3
+    rules = hosts.select(
+        "host", F.lit("allow").alias("rule_type"),
+        F.lit("/").alias("path_prefix"),
+        F.lit(150.0).alias("crawl_delay"))
+    c = SparkCrawler(spark, str(tmp_path / "s"), web, max_waves=9,
+                     robots=rules, wave_seconds=60.0)
+    c.init_from_seeds(seeds)
+    c.run()
+    order = c.store.read("crawl_order")
+    pages = (order.join(
+        c.store.read("pages").select("page_id", "host"), "page_id")
+        # discovered offsite hosts carry no robots rule → ungated by
+        # design (default politeness); assert only over ruled hosts
+        .join(rules.select("host"), "host", "left_semi"))
+    per = (pages.groupBy("host").agg(
+        F.countDistinct("wave").alias("waves_hit"),
+        (F.max("wave") - F.min("wave")).alias("span"),
+        F.count("*").alias("n")).collect())
+    assert per, "nothing crawled"
+    for r in per:
+        # a host hit on k distinct waves must span ≥ (k-1)·period waves
+        assert r["span"] >= (r["waves_hit"] - 1) * 3, r
+        # budget 1 → one fetch per eligible wave
+        assert r["n"] == r["waves_hit"], r
 
 
 @pytest.mark.spark

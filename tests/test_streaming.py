@@ -139,3 +139,52 @@ def test_host_budget_stream_state_survives_restart(spark, tmp_path):
     ranks = sorted(r["admit_rank"] for r in
                    rows.filter(F.col("host") == "b.test").collect())
     assert ranks == [0, 1, 2]
+
+
+@pytest.mark.spark
+def test_streaming_inbox_feeds_wave_loop(spark, tmp_path):
+    """The streaming front-door reaches the engine (VERDICT r2 #5):
+    URL files streamed through enqueue_stream land in the frontier
+    inbox, a crawler started with ``inbox_dir`` drains them as wave-0
+    frontier rows, and the final crawl state is bit-identical to a
+    batch crawl seeded with the same URLs in the same order."""
+    from web_graph_spark.benchjobs import synth_consistent_web
+    from web_graph_spark.crawler import SparkCrawler
+
+    web = synth_consistent_web(spark, 2000)
+    num = F.regexp_extract("url", r"/d/([0-9]+)\.html", 1).cast("long")
+    seed_rows = (web.withColumn("__n", num).filter(F.col("__n") < 20)
+                 .select(F.col("__n").alias("seq"), "url")
+                 .orderBy("seq").collect())
+    urls = [r["url"] for r in seed_rows]
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    # two files; arrival_ts strictly increases with seed order, so the
+    # inbox (arrival_ts, url) sequence equals the batch seed sequence
+    for fi, lo in enumerate((0, 10)):
+        chunk = urls[lo:lo + 10]
+        ts = [TS + dt.timedelta(seconds=lo + i) for i in range(len(chunk))]
+        pq.write_table(
+            pa.table({"url": pa.array(chunk, pa.string()),
+                      "arrival_ts": pa.array(ts, pa.timestamp("us"))}),
+            str(inbox / f"b{fi}.parquet"))
+    q = streaming.enqueue_stream(spark, str(inbox),
+                                 str(tmp_path / "front"),
+                                 str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    a = SparkCrawler(spark, str(tmp_path / "a"), web, max_waves=3,
+                     default_budget=7, inbox_dir=str(tmp_path / "front"))
+    a.init_from_seeds(spark.createDataFrame([], "seq long, url string"))
+    a.run()
+    b = SparkCrawler(spark, str(tmp_path / "b"), web, max_waves=3,
+                     default_budget=7)
+    b.init_from_seeds(spark.createDataFrame(
+        [(r["seq"], r["url"]) for r in seed_rows], "seq long, url string"))
+    b.run()
+    for t in ("crawl_order", "pages", "edges", "seen", "docs_out",
+              "frontier_log"):
+        ra = sorted(map(tuple, a.store.read(t).drop("wave").collect()))
+        rb = sorted(map(tuple, b.store.read(t).drop("wave").collect()))
+        assert ra and ra == rb, t

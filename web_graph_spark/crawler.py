@@ -75,7 +75,8 @@ class SparkCrawler:
                  cuckoo_shards: int = 8,
                  cuckoo_expected_per_shard: int = 1 << 16,
                  wave_seconds: float | None = None,
-                 compact_every: int | None = None):
+                 compact_every: int | None = None,
+                 inbox_dir: str | None = None):
         from .operators.fetch import JoinFetcher
         from .operators.robots import compile_rules
 
@@ -108,6 +109,12 @@ class SparkCrawler:
         self.default_budget = default_budget
         self.max_waves = max_waves
         self.compact_every = compact_every
+        # streaming front-door (streaming.enqueue_stream out_dir): the
+        # frontier-inbox parquet table is drained into the wave loop —
+        # each wave ingests not-yet-known inbox rows as depth-0
+        # frontier entries, sequenced by arrival before the wave's own
+        # discoveries.  None = batch-only crawl.
+        self.inbox_dir = inbox_dir
         # "fifo" = pure BFS (the Go-oracle mode); "depth" ranks each
         # host's pending rows by depth before seq (north_star
         # depth+host-budget priority) — shallow carryover beats deeper
@@ -136,6 +143,11 @@ class SparkCrawler:
                 n_parts=cuckoo_shards,
                 expected_per_part=cuckoo_expected_per_shard)
             self._cuckoo_cache: tuple[int, DataFrame] | None = None
+        # |seen| tracked from manifest counters (bloom-filter sizing):
+        # lazily seeded from the committed manifests, then incremented
+        # in memory per wave — the bloom tier would otherwise pay a
+        # full seen.count() scan every wave just to size the filter.
+        self._seen_rows: int | None = None
         self.metrics: list[WaveMetrics] = []
         # robots is a broadcast dim by construction (≤ rules × hosts):
         # compiled once driver-side, broadcast to executors per wave.
@@ -172,6 +184,60 @@ class SparkCrawler:
         n = self.store.read("frontier_log", max_wave=-1).count()
         fseq.release(rows)
         self.store.commit(-1, phase="init", next_seq=n)
+
+    # ------------------------------------------------------------------
+    def _seen_rows_upto(self, upto: int) -> int:
+        """Exact |seen| at waves ≤ upto, reconstructed from manifest
+        counters instead of a table scan: each wave adds exactly
+        ``scheduled + blocked`` page_ids to ``seen`` (both slices come
+        out of the already-anti-joined pending set, so they are unique
+        within the wave and across all waves — the sum is exact, not
+        an estimate)."""
+        total = 0
+        for w in range(0, upto + 1):
+            m = self.store.manifest(w)
+            if m:
+                total += int(m.get("scheduled", 0)) + int(m.get("blocked", 0))
+        return total
+
+    # ------------------------------------------------------------------
+    def _ingest_inbox(self, flog: DataFrame, next_seq: int):
+        """Streaming front-door drain: read the frontier-inbox table
+        (``streaming.enqueue_stream``'s exactly-once output) and return
+        the not-yet-enqueued rows as depth-0 frontier entries sequenced
+        from ``next_seq`` in (arrival_ts, url) arrival order, or None
+        when the inbox is absent/unreadable.
+
+        The anti-join against frontier_log is the idempotence backstop:
+        rows committed by earlier waves drop out here, and a crashed
+        (uncommitted) wave re-ingests identically on re-run.  At 10^10
+        scale partition the inbox by arrival date so this read prunes
+        to the recent tail instead of scanning enqueue history.
+        """
+        from pyspark.errors import AnalysisException
+
+        try:
+            inbox = self.spark.read.parquet(self.inbox_dir)
+        except AnalysisException:
+            return None
+        first = (inbox.groupBy("page_id")
+                 .agg(F.min(F.struct("arrival_ts", "url", "host", "path"))
+                      .alias("m"))
+                 .select("page_id",
+                         F.col("m.arrival_ts").alias("arrival_ts"),
+                         F.col("m.url").alias("url"),
+                         F.col("m.host").alias("host"),
+                         F.col("m.path").alias("path"))
+                 .join(flog.select("page_id"), "page_id", "left_anti"))
+        rows = fseq.ordered_seq(first, ["arrival_ts", "url"],
+                                start=next_seq)
+        out = rows.select("page_id", "url", "host", "path",
+                          F.lit(0).alias("depth"), "seq",
+                          F.lit(None).cast("string")
+                          .alias("parent_page_id"))
+        # carry the range-partition cache handle for fseq.release()
+        out._wgs_cached_parent = getattr(rows, "_wgs_cached_parent", None)
+        return out
 
     # ------------------------------------------------------------------
     def _cuckoo_states(self, wave: int):
@@ -221,9 +287,12 @@ class SparkCrawler:
         next_seq = self.store.manifest(self.store.committed_wave())["next_seq"]
         wave = start_wave
         while wave < self.max_waves:
-            n_sched, next_seq = self._run_wave(wave, next_seq)
-            if n_sched == 0:
+            n_sched, next_seq, more = self._run_wave(wave, next_seq)
+            if n_sched == 0 and not more:
                 break
+            if n_sched == 0:
+                wave += 1
+                continue
             if self.compact_every and (wave + 1) % self.compact_every == 0:
                 # between-waves state compaction (storage.py): fold the
                 # committed wave partitions into size-tiered segments so
@@ -245,7 +314,11 @@ class SparkCrawler:
         return list(SCHEMAS)
 
     # ------------------------------------------------------------------
-    def _run_wave(self, wave: int, next_seq: int) -> tuple[int, int]:
+    def _run_wave(self, wave: int, next_seq: int) -> tuple[int, int, bool]:
+        """One crawl wave → (n_scheduled, next_seq, more) — ``more``
+        False only when the frontier is truly drained (no pending rows
+        left, as opposed to all-pending-deferred by the wave-period
+        politeness gate)."""
         t0 = time.monotonic()
         # wall per wave phase → metrics rows (scope='phase', ms): the
         # per-wave fixed cost IS the small-scale bottleneck, so make it
@@ -262,10 +335,37 @@ class SparkCrawler:
         seen = store.read("seen", max_wave=wave - 1).select("page_id")
         flog = store.read("frontier_log", max_wave=wave - 1)
 
+        # streaming front-door: drain newly-arrived inbox rows into
+        # this wave's frontier.  Injected rows are sequenced BEFORE the
+        # wave's own discoveries (arrival precedes discovery), join the
+        # pending set immediately, and are persisted with the wave's
+        # frontier_log write below (commit-atomic like every state).
+        injected = None
+        n_injected = 0
+        if self.inbox_dir is not None:
+            injected = self._ingest_inbox(flog, next_seq)
+            if injected is not None:
+                injected = injected.persist()
+                n_injected = injected.count()
+                fseq.release(injected)
+                if n_injected == 0:
+                    injected.unpersist()
+                    injected = None
+                else:
+                    next_seq += n_injected
+                    flog = flog.unionByName(
+                        injected.withColumn("wave", F.lit(wave)))
+
         if self.seen_mode == "bloom":
             from .operators.seen import anti_join_bloom
 
+            # size the filter from manifest counters, not a per-wave
+            # seen.count() scan (VERDICT r2 #3): one O(waves) JSON read
+            # at resume, then pure in-memory increments.
+            if self._seen_rows is None:
+                self._seen_rows = self._seen_rows_upto(wave - 1)
             pending = anti_join_bloom(self.spark, flog, seen, "page_id",
+                                      expected=self._seen_rows,
                                       n_slabs=self.bloom_slabs)
         elif self.seen_mode == "cuckoo":
             # probe the shard blobs: definite-negatives skip the exact
@@ -303,7 +403,27 @@ class SparkCrawler:
         # Observe nodes must sit ABOVE any persist() boundary: metrics
         # buried inside an InMemoryRelation's child plan are invisible
         # to the action's listener (Observation.get then asserts).
-        scheduled, _cap = schedule_wave(pending, self.budgets,
+        # wave-period gate (T7): a host whose crawl_delay exceeds the
+        # wave cadence must NOT be fetched every wave — its budget
+        # bottoms out at 1/wave, which over-fetches.  The derived dim
+        # carries wave_period = ceil(delay / wave_seconds); such hosts
+        # are eligible only on waves matching their (hash-stable)
+        # phase, and ineligible rows simply stay pending for a later
+        # wave (frontier carryover is the existing budget-cut path;
+        # run() keeps iterating on deferred-only waves).
+        eligible = pending
+        gate_active = (self.budgets is not None
+                       and "wave_period" in self.budgets.columns)
+        if gate_active:
+            gate = self.budgets.filter(F.col("wave_period") > 1) \
+                               .select("host", "wave_period")
+            eligible = (pending.join(F.broadcast(gate), "host", "left")
+                        .filter(F.col("wave_period").isNull()
+                                | (F.pmod(F.lit(wave), F.col("wave_period"))
+                                   == F.pmod(F.xxhash64("host"),
+                                             F.col("wave_period"))))
+                        .drop("wave_period"))
+        scheduled, _cap = schedule_wave(eligible, self.budgets,
                                         self.default_budget,
                                         priority_col=self.priority_col)
         scheduled = scheduled.persist()
@@ -322,16 +442,27 @@ class SparkCrawler:
             # the just-written crawl_order partition is empty — drop it
             # rather than couple correctness to cleanup_uncommitted
             store.discard("crawl_order", wave)
+            if n_injected:
+                # injected rows must survive even a no-fetch wave, or
+                # their seq range (already folded into next_seq) leaks
+                store.write("frontier_log", injected, wave)
             if n_blocked:
                 store.write("seen", blocked, wave)
                 if self.seen_mode == "cuckoo":
                     self._cuckoo_write(wave, blocked)
+            if n_blocked or n_injected:
                 store.commit(wave, next_seq=next_seq, scheduled=0,
-                             enqueued=0, blocked=n_blocked)
+                             enqueued=n_injected, blocked=n_blocked)
+                if self._seen_rows is not None:
+                    self._seen_rows += n_blocked
             if blocked is not None:
                 blocked.unpersist()
+            if injected is not None:
+                injected.unpersist()
             scheduled.unpersist()
-            return 0, next_seq
+            # more=True when rows exist but were all period-deferred:
+            # the crawl is not drained, later waves will schedule them
+            return 0, next_seq, (gate_active and n_pending > 0)
         _tick("crawl_order_write")
         seen_add = scheduled.select("page_id")
         if blocked is not None:
@@ -370,15 +501,11 @@ class SparkCrawler:
                         .select(F.col("page_id").alias("doc_id"),
                                 "spans"), wave)
 
-        if store.bucketed:
-            _w_seen()
-            _w_docs()
-        else:
-            from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(2) as ex:
-                for fut in [ex.submit(_w_seen), ex.submit(_w_docs)]:
-                    fut.result()
+        with ThreadPoolExecutor(2) as ex:
+            for fut in [ex.submit(_w_seen), ex.submit(_w_docs)]:
+                fut.result()
         _tick("seen_fetch_docs_writes")
 
         # The extract stage is where per-HOST work concentrates (real
@@ -451,6 +578,10 @@ class SparkCrawler:
         _tick("targets_seq")
         flog_to_write = targets.select("page_id", "url", "host", "path",
                                        "depth", "seq", "parent_page_id")
+        if injected is not None:
+            # inbox rows join the same wave partition (seq range
+            # precedes the discoveries', assigned above)
+            flog_to_write = injected.unionByName(flog_to_write)
 
         # ---- pages: event-ordered first-wins (crawl write (seq,0,0)
         # before discovery writes (parent_seq,1,link_index))
@@ -482,23 +613,18 @@ class SparkCrawler:
         # stages fairly).  Visibility is unaffected: nothing is
         # readable until the manifest commit below, and pages/edges
         # ordering (J6) is a commit-level, not write-level, invariant.
-        # Bucketed stores stay sequential — their writes run catalog
-        # DDL (ALTER/CREATE TABLE), which is not guaranteed
-        # thread-safe.
+        # Bucketed stores overlap too: tables are pre-registered at
+        # store init and catalog mutations are serialized under the
+        # store's DDL lock, so the threads only overlap in the data
+        # append (storage.py — VERDICT r2 #4).
         writes = [
             lambda: store.write("edges", edges_to_write, wave),
             lambda: store.write("frontier_log", flog_to_write, wave),
             lambda: store.write("pages", pages_to_write, wave),
         ]
-        if store.bucketed:
-            for w_ in writes:
-                w_()
-        else:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(len(writes)) as ex:
-                for fut in [ex.submit(w_) for w_ in writes]:
-                    fut.result()
+        with ThreadPoolExecutor(len(writes)) as ex:
+            for fut in [ex.submit(w_) for w_ in writes]:
+                fut.result()
         _tick("state_writes")
 
         # ---- metrics + commit (counts captured by the writes above)
@@ -530,8 +656,13 @@ class SparkCrawler:
                      .unionByName(_per_partition(targets, "dedupe_enqueued")))
         store.write("metrics", wave_rows.unionByName(part_rows), wave)
         next_seq += n_enqueued
+        # blocked is committed so a resumed crawl can reconstruct |seen|
+        # from manifests alone (_seen_rows_upto)
         store.commit(wave, next_seq=next_seq, scheduled=n_sched,
-                     enqueued=n_enqueued, wall_ms=wall_ms)
+                     enqueued=n_enqueued, blocked=n_blocked,
+                     injected=n_injected, wall_ms=wall_ms)
+        if self._seen_rows is not None:
+            self._seen_rows += n_sched + n_blocked
         fseq.release(targets)
         targets.unpersist()
         links.unpersist()
@@ -539,4 +670,6 @@ class SparkCrawler:
         scheduled.unpersist()
         if blocked is not None:
             blocked.unpersist()
-        return n_sched, next_seq
+        if injected is not None:
+            injected.unpersist()
+        return n_sched, next_seq, True

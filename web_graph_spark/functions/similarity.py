@@ -165,6 +165,15 @@ def _hash_sample(items: DataFrame, id_col: str, vec_col: str,
     rows = (items.filter(F.pmod(F.xxhash64(F.col(id_col)),
                                 F.lit(step)) == 0)
             .orderBy(id_col).select(vec_col).collect())
+    if not rows and n > 0:
+        # hash filter selected nothing (possible when n ≥ cap and the
+        # id distribution is adversarial) — fall back to the first
+        # `cap` rows in id order, still deterministic
+        rows = items.orderBy(id_col).select(vec_col).limit(cap).collect()
+    if not rows:
+        raise ValueError(
+            "empty ANN training sample: the items table has no rows - "
+            "train/encode need a non-empty corpus")
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     return x

@@ -110,10 +110,13 @@ class PandasFetcher:
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             res = fetch_fn(
                 pdf[["page_id", "url", "host", "path"]], cfg, _WORKER_CACHE)
+            # validate='many_to_one' fails loudly on a fetch_fn that
+            # returns duplicate page_id rows — an unchecked how='left'
+            # would silently multiply wave rows into pages/edges/docs
             merged = pdf[["page_id", "url", "host", "path", "seq",
                           "depth"]].merge(
                 res[["page_id", "content_type", "fetch_ok", "spans"]],
-                on="page_id", how="left")
+                on="page_id", how="left", validate="many_to_one")
             # a fetch_fn that dropped a row ≙ failed fetch
             merged["fetch_ok"] = merged["fetch_ok"].fillna(False)
             return merged
@@ -150,6 +153,116 @@ def http_fetch_fn(rows: pd.DataFrame, cfg: FetchConfig,
                 ctype = resp.headers.get("Content-Type",
                                          "application/octet-stream")
                 body = resp.read().decode("utf-8", "replace")
+            out.append((r.page_id, ctype, True,
+                        [{"kind": "text", "text": body,
+                          "media_ref": None, "offset": 0}]))
+        except Exception:
+            out.append((r.page_id, None, False, None))
+    return pd.DataFrame(
+        out, columns=["page_id", "content_type", "fetch_ok", "spans"])
+
+
+def pooled_http_fetch_fn(rows: pd.DataFrame, cfg: FetchConfig,
+                         cache: dict) -> pd.DataFrame:
+    """Reference-parity POOLED fetcher (closes the last S4 gap): the
+    reference shares one HTTP client with keep-alive, a DoH resolver
+    and a 1000-entry DNS cache across all workers
+    (/root/reference/pkg/linkprocessor/linkprocessor.go:51-75).  The
+    Spark analog keeps both in the per-worker ``cache`` dict, so they
+    survive across (host, salt) groups AND across waves for the
+    lifetime of the python worker:
+
+    * ``cache['http_pool']``: (scheme, host, port) → live
+      ``http.client`` connection, LRU-bounded to ``_POOL_MAX`` (evicted
+      connections are closed).  A stale kept-alive connection (server
+      closed it between waves) is retried once on a fresh one.
+    * ``cache['dns_memo']``: host → resolved address, LRU-bounded to
+      1000 entries like the reference.  Plain-HTTP connections dial
+      the memoized address directly (Host header carries the name);
+      HTTPS connections resolve through the OS (SNI/verification needs
+      the hostname — the keep-alive pool amortizes resolution there,
+      which is the honest stdlib translation of the DoH client).
+
+    Each (host, salt) group is single-host, so in steady state a group
+    costs ONE pooled connection however many rows it fetches."""
+    import http.client
+    import socket
+    from collections import OrderedDict
+    from urllib.parse import urlsplit
+
+    _POOL_MAX = 64
+    _DNS_MAX = 1000  # linkprocessor.go: lru.New(1000)
+    pool: OrderedDict = cache.setdefault("http_pool", OrderedDict())
+    dns: OrderedDict = cache.setdefault("dns_memo", OrderedDict())
+
+    def resolve(host: str, port: int) -> str:
+        if host in dns:
+            dns.move_to_end(host)
+            return dns[host]
+        addr = socket.getaddrinfo(host, port, proto=socket.IPPROTO_TCP)[0][4][0]
+        dns[host] = addr
+        while len(dns) > _DNS_MAX:
+            dns.popitem(last=False)
+        return addr
+
+    def connect(scheme: str, host: str, port: int):
+        key = (scheme, host, port)
+        conn = pool.pop(key, None)
+        if conn is not None:
+            return conn
+        if scheme == "https":
+            conn = http.client.HTTPSConnection(host, port,
+                                               timeout=cfg.timeout_s)
+        else:
+            conn = http.client.HTTPConnection(resolve(host, port), port,
+                                              timeout=cfg.timeout_s)
+            conn._wgs_host_header = host  # dialed by address
+        return conn
+
+    def put_back(scheme: str, host: str, port: int, conn) -> None:
+        pool[(scheme, host, port)] = conn
+        pool.move_to_end((scheme, host, port))
+        while len(pool) > _POOL_MAX:
+            _, old = pool.popitem(last=False)
+            old.close()
+
+    def one(url: str):
+        parts = urlsplit(url)
+        scheme = parts.scheme or "http"
+        host = parts.hostname or ""
+        port = parts.port or (443 if scheme == "https" else 80)
+        path = (parts.path or "/") + (f"?{parts.query}" if parts.query
+                                      else "")
+        headers = {"User-Agent": cfg.user_agent,
+                   "Host": host if port in (80, 443) else f"{host}:{port}",
+                   "Connection": "keep-alive"}
+        last_err = None
+        for attempt in range(2):  # retry once on a stale pooled conn
+            conn = connect(scheme, host, port)
+            try:
+                conn.request("GET", path, headers=headers)
+                resp = conn.getresponse()
+                body = resp.read()
+                ctype = resp.headers.get("Content-Type",
+                                         "application/octet-stream")
+                if resp.will_close:
+                    conn.close()
+                else:
+                    put_back(scheme, host, port, conn)
+                return ctype, body.decode("utf-8", "replace")
+            except Exception as e:  # noqa: BLE001 — fetch_ok=False path
+                conn.close()
+                last_err = e
+        raise last_err
+
+    import time
+
+    out = []
+    for r in rows.itertuples(index=False):
+        if cfg.per_request_delay_s:
+            time.sleep(cfg.per_request_delay_s)
+        try:
+            ctype, body = one(r.url)
             out.append((r.page_id, ctype, True,
                         [{"kind": "text", "text": body,
                           "media_ref": None, "offset": 0}]))

@@ -87,10 +87,16 @@ def _edge_digest(e: DataFrame) -> tuple:
     beyond cosmic-ray territory; the second sum exists because a
     single 2^-64 sum is at least arguable)."""
     r = e.agg(F.count(F.lit(1)).alias("n"),
-              F.sum(F.xxhash64("u", "v").cast("decimal(28,0)"))
+              F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
                .alias("h"),
               F.sum(F.xxhash64(F.lit(0x5EED), "u", "v")
-                    .cast("decimal(28,0)")).alias("h2")).first()
+                    .cast("decimal(38,0)")).alias("h2")).first()
+    if r["n"] and (r["h"] is None or r["h2"] is None):
+        # non-ANSI decimal overflow yields NULL; two NULL digests would
+        # compare equal across rounds and fake convergence.  At
+        # decimal(38,0) a same-sign worst case needs ~10^19 edges —
+        # unreachable — but fail loudly rather than silently converge.
+        raise ArithmeticError("edge digest overflowed decimal(38,0)")
     return (r["n"], r["h"], r["h2"])
 
 

@@ -48,7 +48,10 @@ def schedule_wave(pending: DataFrame, budgets: DataFrame | None,
         # constant bound → WindowGroupLimit (map-side top-K per host)
         ranked = ranked.filter(F.col("host_rank") <= F.lit(cap))
     if budgets is not None:
-        ranked = (ranked.join(F.broadcast(budgets), on=host_col, how="left")
+        # join only the budget column — the dim may carry extra columns
+        # (e.g. wave_period, consumed by the crawler's period gate)
+        bud = budgets.select(host_col, "max_pages_per_wave")
+        ranked = (ranked.join(F.broadcast(bud), on=host_col, how="left")
                   .filter(F.col("host_rank") <=
                           F.coalesce(F.col("max_pages_per_wave"),
                                      F.lit(default_budget)))

@@ -118,14 +118,27 @@ def budgets_from_crawl_delay(rules_df: DataFrame,
     has no crawl-delay; this is the de-facto extension the rules table
     carries).  Hosts with no positive delay get no row: the crawler's
     ``default_budget`` applies.  The result is a broadcast dim like any
-    hand-fed budgets table."""
+    hand-fed budgets table.
+
+    ``wave_period``: for hosts whose delay EXCEEDS the wave cadence a
+    per-wave budget cannot go below one-fetch-per-wave, so the dim also
+    carries ``ceil(d / wave_seconds)`` — fetch this host only every
+    that-many waves.  The crawler gates pending rows on
+    ``wave % period == hash(host) % period`` (host-stable phase, so a
+    long-delay host still progresses rather than starving); hosts with
+    d ≤ wave_seconds get period 1 (every wave, budget binds instead).
+    The effective rate is then ≤ 1/(period·wave_seconds) ≤ 1/d, honest
+    politeness instead of the old clamp-to-1 that over-fetched."""
     per_host = (rules_df.groupBy("host")
                 .agg(F.max("crawl_delay").alias("d"))
                 .filter(F.col("d") > 0))
+    ws = F.lit(float(wave_seconds))
     return per_host.select(
         "host",
-        F.greatest(F.floor(F.lit(float(wave_seconds)) / F.col("d")),
-                   F.lit(1)).cast("int").alias("max_pages_per_wave"))
+        F.greatest(F.floor(ws / F.col("d")),
+                   F.lit(1)).cast("int").alias("max_pages_per_wave"),
+        F.greatest(F.ceil(F.col("d") / ws),
+                   F.lit(1)).cast("int").alias("wave_period"))
 
 
 def with_robots_allowed(spark, df: DataFrame, rules_df: DataFrame | None,

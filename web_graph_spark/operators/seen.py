@@ -161,6 +161,10 @@ def anti_join_bloom(spark, candidates: DataFrame, seen: DataFrame,
     broadcast ever exceeds one slab (the 10^10-key layout promised in
     the module docstring; at 12 bits/key and 10^10 keys, S≈256 keeps
     every slab under 64 MiB).
+
+    ``expected=None`` falls back to a full ``seen.count()`` scan —
+    callers that track |seen| (the crawler keeps it from manifest
+    counters) should pass it to avoid one extra job per call.
     """
     if expected is None:
         expected = seen.count()
@@ -471,27 +475,46 @@ class PartitionedCuckooSeen:
     def probe(self, spark, states: DataFrame, candidates: DataFrame,
               key_col: str) -> DataFrame:
         """candidates + boolean ``maybe_seen`` column (no false
-        negatives).  States are compact (2 bytes/slot) → broadcast;
-        at 10^10 scale probe co-partitioned instead (join on shard)."""
-        blobs = {int(r["shard"]): r["state"] for r in states.collect()}
+        negatives).
+
+        Co-partitioned: candidates are routed to their shard and
+        cogrouped with the state table, so each probe task receives
+        ONLY its own shard's blob — no driver ``collect()``, no
+        all-shard broadcast.  At the 10^10-key target the full state
+        set is ~24 GiB; one shard is that / n_parts, which is what a
+        single task holds here (mirrors the bloom slab tier's
+        ``bloom_partition_sharded`` shape).  ``spark`` is unused —
+        kept for signature stability with the retired broadcast path.
+        """
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
         n_parts = self.n_parts
-        expected = self.expected
-        b = spark.sparkContext.broadcast(blobs)
+        shard_udf = F.pandas_udf(
+            lambda s: pd.Series(self.shard_of(s.astype(str), n_parts)),
+            "int")
+        cand = candidates.withColumn("__shard", shard_udf(F.col(key_col)))
+        out_schema = StructType(
+            list(candidates.schema.fields)
+            + [StructField("maybe_seen", BooleanType(), False)])
+        cols = [f.name for f in out_schema.fields]
+        states_i = states.withColumn("shard", F.col("shard").cast("int"))
 
-        @F.pandas_udf("boolean")
-        def maybe(keys: pd.Series) -> pd.Series:
-            ks = keys.astype(str)
-            shards = PartitionedCuckooSeen.shard_of(ks, n_parts)
-            out = np.zeros(len(ks), dtype=bool)
-            for sh in np.unique(shards):
-                blob = b.value.get(int(sh))
-                if blob is None:
-                    continue
-                tbl = np.frombuffer(blob, dtype=np.uint16).reshape(
-                    -1, CuckooFilter.SLOTS).copy()
+        def probe_grp(cpdf: pd.DataFrame,
+                      spdf: pd.DataFrame) -> pd.DataFrame:
+            out = cpdf.drop(columns="__shard")
+            if len(out) == 0:
+                # state-only group (shard with no candidates this wave)
+                return pd.DataFrame({c: [] for c in cols})
+            if len(spdf) == 0:
+                out["maybe_seen"] = False
+            else:
+                tbl = np.frombuffer(spdf["state"].iloc[0],
+                                    dtype=np.uint16).reshape(
+                    -1, CuckooFilter.SLOTS)
                 cf = CuckooFilter(tbl.shape[0], tbl)
-                m = shards == sh
-                out[m] = cf.contains(ks[m])
-            return pd.Series(out)
+                out["maybe_seen"] = cf.contains(out[key_col].astype(str))
+            return out[cols]
 
-        return candidates.withColumn("maybe_seen", maybe(F.col(key_col)))
+        return (cand.groupBy("__shard")
+                .cogroup(states_i.groupBy("shard"))
+                .applyInPandas(probe_grp, schema=out_schema))

@@ -65,6 +65,7 @@ import hashlib
 import json
 import os
 import shutil
+import threading
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -122,8 +123,21 @@ class WaveStore:
         self.n_buckets = n_buckets
         digest = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:10]
         self._tbl_prefix = f"wgs_{digest}_"
+        # Serializes catalog DDL (CREATE/ALTER/DROP TABLE/PARTITION) so
+        # concurrent per-wave writes from driver threads only ever
+        # overlap in the data-append stage, never in catalog mutation.
+        # RLock: _drop_partition runs both under write()'s critical
+        # section and standalone (cleanup, cuckoo GC).
+        self._ddl_lock = threading.RLock()
         os.makedirs(self._ckpt_dir, exist_ok=True)
         self.cleanup_uncommitted()
+        if self.bucketed:
+            # register every bucketed table up front: per-wave writes
+            # then run no CREATE DDL, so the three state writes can be
+            # submitted concurrently (max(write), not Σ(write) per
+            # wave — VERDICT r2 #4).
+            for name in BUCKET_KEYS:
+                self._ensure_registered(name)
 
     # -- checkpoints -----------------------------------------------------
 
@@ -191,42 +205,45 @@ class WaveStore:
         return self.bucketed and name in BUCKET_KEYS
 
     def _ensure_registered(self, name: str) -> bool:
-        """Make sure the catalog entry for a bucketed table exists and
-        points at live files; returns False if the table has no data
-        yet.  Handles fresh-session resume (re-create + repair) and
-        stale entries left by a deleted store root."""
+        """Make sure the catalog entry for a bucketed table exists
+        (created even before any data — per-wave writes are then pure
+        appends with no CREATE DDL, which is what lets them run from
+        concurrent driver threads); returns whether the table has wave
+        data.  Handles fresh-session resume (re-create + repair) and
+        stale entries left by a deleted store root (drop + re-create
+        clears dead partition metadata)."""
         tbl = self._table_name(name)
         loc = self._dir(name)
-        has_data = os.path.isdir(loc) and any(
-            s.startswith("wave=") for s in os.listdir(loc))
-        if self.spark.catalog.tableExists(tbl):
+        with self._ddl_lock:
+            has_data = os.path.isdir(loc) and any(
+                s.startswith("wave=") for s in os.listdir(loc))
+            if self.spark.catalog.tableExists(tbl):
+                if has_data:
+                    return True
+                self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            key = BUCKET_KEYS[name]
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({SCHEMAS[name]}) USING PARQUET "
+                f"PARTITIONED BY (wave int) "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {self.n_buckets} BUCKETS "
+                f"LOCATION '{loc}'")
             if has_data:
-                return True
-            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-            return False
-        if not has_data:
-            return False
-        key = BUCKET_KEYS[name]
-        self.spark.sql(
-            f"CREATE TABLE {tbl} ({SCHEMAS[name]}) USING PARQUET "
-            f"PARTITIONED BY (wave int) "
-            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-            f"INTO {self.n_buckets} BUCKETS "
-            f"LOCATION '{loc}'")
-        self.spark.sql(f"MSCK REPAIR TABLE {tbl}")
-        return True
+                self.spark.sql(f"MSCK REPAIR TABLE {tbl}")
+            return has_data
 
     def _drop_partition(self, name: str, wave: int) -> None:
         """Remove one wave partition: catalog metadata (if bucketed and
         registered) AND the files."""
-        if self._is_bucketed(name) and self.spark.catalog.tableExists(
-                self._table_name(name)):
-            self.spark.sql(
-                f"ALTER TABLE {self._table_name(name)} "
-                f"DROP IF EXISTS PARTITION (wave={wave})")
-        out = os.path.join(self._dir(name), f"wave={wave}")
-        if os.path.isdir(out):
-            shutil.rmtree(out)
+        with self._ddl_lock:
+            if self._is_bucketed(name) and self.spark.catalog.tableExists(
+                    self._table_name(name)):
+                self.spark.sql(
+                    f"ALTER TABLE {self._table_name(name)} "
+                    f"DROP IF EXISTS PARTITION (wave={wave})")
+            out = os.path.join(self._dir(name), f"wave={wave}")
+            if os.path.isdir(out):
+                shutil.rmtree(out)
 
     # -- table io --------------------------------------------------------
 
@@ -238,8 +255,12 @@ class WaveStore:
         crashed wave can simply be re-run."""
         if self._is_bucketed(name):
             key = BUCKET_KEYS[name]
-            self._ensure_registered(name)
-            self._drop_partition(name, wave)  # idempotent re-run
+            with self._ddl_lock:
+                # catalog mutation serialized; the data append below
+                # runs outside the lock so concurrent writes to
+                # different tables overlap in the expensive stage
+                self._ensure_registered(name)
+                self._drop_partition(name, wave)  # idempotent re-run
             # repartition on the bucket key first: each task then owns
             # whole buckets, so a wave adds n_buckets files, not
             # n_tasks × n_buckets (v1 bucketed writes don't shuffle on
@@ -336,14 +357,15 @@ class WaveStore:
         if not self._is_bucketed(name):
             return self.spark.read.parquet(loc)
         tbl = self._seg_table(name, seg)
-        if not self.spark.catalog.tableExists(tbl):
-            key = BUCKET_KEYS[name]
-            self.spark.sql(
-                f"CREATE TABLE {tbl} ({SCHEMAS[name]}, wave int) "
-                f"USING PARQUET "
-                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-                f"INTO {self.n_buckets} BUCKETS "
-                f"LOCATION '{loc}'")
+        with self._ddl_lock:
+            if not self.spark.catalog.tableExists(tbl):
+                key = BUCKET_KEYS[name]
+                self.spark.sql(
+                    f"CREATE TABLE {tbl} ({SCHEMAS[name]}, wave int) "
+                    f"USING PARQUET "
+                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                    f"INTO {self.n_buckets} BUCKETS "
+                    f"LOCATION '{loc}'")
         return self.spark.table(tbl)
 
     def _write_segment(self, name: str, df: DataFrame, lo: int,
