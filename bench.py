@@ -250,6 +250,9 @@ def main() -> None:
                     help="with --big-crawl: store seen/frontier_log/"
                          "pages/edges bucketed on their join key (the "
                          "co-located anti-join layout)")
+    ap.add_argument("--seen-mode", default="exact",
+                    choices=["exact", "bloom", "cuckoo"],
+                    help="with --big-crawl: the seen-check tier")
     args = ap.parse_args()
 
     if args.seen_scale:
@@ -273,7 +276,8 @@ def main() -> None:
                           shuffle_partitions=max(args.cores, 8))
         try:
             print(json.dumps(crawl_scale_job(spark, n_pages=args.big_crawl,
-                                             bucketed_state=args.bucketed)))
+                                             bucketed_state=args.bucketed,
+                                             seen_mode=args.seen_mode)))
         finally:
             spark.stop()
         return

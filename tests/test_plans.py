@@ -177,3 +177,23 @@ def test_pq_ann_plan(spark):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+@pytest.mark.spark
+def test_ivf_pq_ann_plan(spark):
+    """Composed IVF×PQ (contract query #36): the probe set joins as a
+    BROADCAST hash join on the cell key (pruning before any code is
+    read — at 100 TB the cell is the partition key), both candidate
+    cuts compile to WindowGroupLimit, and no cartesian/BNL appears."""
+    from web_graph_spark.functions.similarity import ivf_pq_ann_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    plan = physical_plan(ivf_pq_ann_topk(emb, q, dim=64, k=5,
+                                         n_cells=8, n_probe=2))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan      # probe-set cell join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

@@ -237,3 +237,37 @@ def test_crawler_bloom_seen_equals_exact(spark, fixture_dir, tmp_path):
         ra = sorted(map(tuple, a.read(t).drop("wave").collect()))
         rb = sorted(map(tuple, b.read(t).drop("wave").collect()))
         assert ra == rb, t
+
+
+@pytest.mark.spark
+def test_bloom_expected_from_manifests_matches_table(spark, tmp_path):
+    """The bloom tier sizes its filter from manifest counters instead
+    of a per-wave seen.count() scan (VERDICT r2 #3): the reconstruction
+    (scheduled + blocked per committed wave) must equal the actual seen
+    table count — including robots-blocked rows — both live (in-memory
+    increments) and on resume (fresh crawler, manifests only)."""
+    from web_graph_spark.benchjobs import synth_consistent_web
+    from web_graph_spark.crawler import SparkCrawler
+
+    web = synth_consistent_web(spark, 2000)
+    num = F.regexp_extract("url", r"/d/([0-9]+)\.html", 1).cast("long")
+    seeds = (web.withColumn("__n", num).filter(F.col("__n") < 20)
+             .select(F.col("__n").alias("seq"), "url"))
+    hosts = web.select(F.regexp_extract(
+        "url", r"https?://([^/]+)/", 1).alias("host")).distinct()
+    # block a path prefix on some hosts so blocked rows reach `seen`
+    rules = hosts.select(
+        "host", F.lit("disallow").alias("rule_type"),
+        F.lit("/d/1").alias("path_prefix"),
+        F.lit(0.0).alias("crawl_delay"))
+    c = SparkCrawler(spark, str(tmp_path / "s"), web, max_waves=3,
+                     default_budget=7, seen_mode="bloom", robots=rules)
+    c.init_from_seeds(seeds)
+    c.run()
+    n_table = c.store.read("seen").count()
+    assert n_table > 0
+    assert c._seen_rows == n_table          # live tracking
+    # resume path: fresh crawler reconstructs from manifests alone
+    c2 = SparkCrawler(spark, str(tmp_path / "s"), web, max_waves=3,
+                      default_budget=7, seen_mode="bloom", robots=rules)
+    assert c2._seen_rows_upto(c2.store.committed_wave()) == n_table

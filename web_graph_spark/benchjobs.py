@@ -183,7 +183,8 @@ def crawl_scale_job(spark: SparkSession, n_pages: int = 1_000_000,
                     links_per_page: int = 8, state_dir: str | None = None,
                     budget: int | None = None,
                     bucketed_state: bool = False,
-                    n_buckets: int = 32) -> dict:
+                    n_buckets: int = 32,
+                    seen_mode: str = "exact") -> dict:
     """End-to-end SparkCrawler throughput over a big synthetic span
     web: the wave loop (dedupe → schedule → fetch-extract → append ×6
     tables → checkpoint) at wave sizes where per-wave fixed cost
@@ -207,7 +208,8 @@ def crawl_scale_job(spark: SparkSession, n_pages: int = 1_000_000,
     c = SparkCrawler(spark, state_dir or tempfile.mkdtemp(prefix="wgs_big_"),
                      web, max_waves=max_waves,
                      default_budget=budget or UNBOUNDED,
-                     bucketed_state=bucketed_state, n_buckets=n_buckets)
+                     bucketed_state=bucketed_state, n_buckets=n_buckets,
+                     seen_mode=seen_mode)
     t0 = time.monotonic()
     c.init_from_seeds(seeds)
     c.run()
@@ -215,7 +217,7 @@ def crawl_scale_job(spark: SparkSession, n_pages: int = 1_000_000,
     n_sched = sum(m.n_scheduled for m in c.metrics)
     n_fetched = sum(m.n_expanded for m in c.metrics)
     return {"n_pages_web": n_pages, "waves": len(c.metrics),
-            "bucketed_state": bucketed_state,
+            "bucketed_state": bucketed_state, "seen_mode": seen_mode,
             "urls_scheduled": n_sched, "pages_fetched": n_fetched,
             "urls_enqueued": sum(m.n_enqueued for m in c.metrics),
             "wall_sec": round(wall, 3),
