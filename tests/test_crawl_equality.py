@@ -86,3 +86,33 @@ def test_engine_matches_oracle_tight_budget(spark, tmp_path):
     c = run_engine(spark, str(fd), tmp_path / "state", default_budget=3)
     o = run_oracle(str(fd), default_budget=3)
     assert_equal_states(c, o)
+
+
+@pytest.mark.spark
+def test_n_pending_metric_matches_table_recount(spark, fixture_dir,
+                                                tmp_path):
+    """n_pending is counter arithmetic (next_seq − |seen| − blocked),
+    not a per-wave count job (which re-ran the flog⟕̸seen anti-join a
+    second time purely for the metric).  Pin it wave-by-wave against
+    an independent table-level recount, robots-blocked rows included."""
+    from pyspark.sql import functions as F
+
+    c = run_engine(spark, fixture_dir, tmp_path / "s", default_budget=5,
+                   max_waves=4, with_robots=True)
+    store = c.store
+    metric = {}
+    for r in (store.read("metrics")
+              .filter((F.col("scope") == "wave")
+                      & (F.col("key") == "n_pending")).collect()):
+        metric[r["wave"]] = int(r["value"])
+    assert metric, "no waves ran"
+    blocked_any = False
+    for w in sorted(metric):
+        m = store.manifest(w)
+        n_blocked = int((m or {}).get("blocked", 0))
+        blocked_any = blocked_any or n_blocked > 0
+        flog = store.read("frontier_log", max_wave=w - 1)
+        seen = store.read("seen", max_wave=w - 1).select("page_id")
+        actual = flog.join(seen, "page_id", "left_anti").count() - n_blocked
+        assert metric[w] == actual, (w, metric[w], actual)
+    assert blocked_any, "fixture robots blocked nothing - weak test"

@@ -356,14 +356,15 @@ class SparkCrawler:
                     flog = flog.unionByName(
                         injected.withColumn("wave", F.lit(wave)))
 
+        # |seen| from manifest counters (VERDICT r2 #3): one O(waves)
+        # JSON read at resume, then pure in-memory increments.  Used to
+        # size the bloom filter AND to derive n_pending arithmetically.
+        if self._seen_rows is None:
+            self._seen_rows = self._seen_rows_upto(wave - 1)
+
         if self.seen_mode == "bloom":
             from .operators.seen import anti_join_bloom
 
-            # size the filter from manifest counters, not a per-wave
-            # seen.count() scan (VERDICT r2 #3): one O(waves) JSON read
-            # at resume, then pure in-memory increments.
-            if self._seen_rows is None:
-                self._seen_rows = self._seen_rows_upto(wave - 1)
             pending = anti_join_bloom(self.spark, flog, seen, "page_id",
                                       expected=self._seen_rows,
                                       n_slabs=self.bloom_slabs)
@@ -427,7 +428,16 @@ class SparkCrawler:
                                         self.default_budget,
                                         priority_col=self.priority_col)
         scheduled = scheduled.persist()
-        n_pending = pending.count()
+        # |pending| is pure counter arithmetic, not a job: flog
+        # page_ids are unique with dense seq (|flog| = next_seq,
+        # injected rows included), seen ⊆ flog by construction, and
+        # this wave's blocked rows left pending before scheduling —
+        #   n_pending = next_seq − |seen| − n_blocked.
+        # The count job this replaces RE-RAN the flog⟕̸seen anti-join
+        # (the wave's most expensive shuffle) a second time purely for
+        # the metric; equality with the table-level recount is pinned
+        # in tests/test_crawl_equality.py.
+        n_pending = next_seq - self._seen_rows - n_blocked
         _tick("pending_dedupe")
 
         # crawl order + seen (D2; blocked ids join seen un-crawled);
@@ -574,10 +584,15 @@ class SparkCrawler:
         targets = fseq.ordered_seq(targets, ["parent_seq", "link_index"],
                                    start=next_seq, small_hint=n_links)
         targets = targets.persist()
-        n_enqueued = targets.count()
         _tick("targets_seq")
-        flog_to_write = targets.select("page_id", "url", "host", "path",
-                                       "depth", "seq", "parent_page_id")
+        # n_enqueued rides the frontier write as an Observation (above
+        # the persist boundary) instead of a dedicated count job; the
+        # cache materializes under the concurrent writes below (Spark's
+        # BlockManager serializes per-partition cache computation).
+        obs_enq = Observation()
+        flog_to_write = (targets.select("page_id", "url", "host", "path",
+                                        "depth", "seq", "parent_page_id")
+                         .observe(obs_enq, F.count(F.lit(1)).alias("n")))
         if injected is not None:
             # inbox rows join the same wave partition (seq range
             # precedes the discoveries', assigned above)
@@ -631,6 +646,7 @@ class SparkCrawler:
         n_expanded = int(obs_expanded.get["n"])
         n_edges_new = int(obs_edges.get["n"])
         n_pages_new = int(obs_pages.get["n"])
+        n_enqueued = int(obs_enq.get["n"])
         wall_ms = (time.monotonic() - t0) * 1000
         m = WaveMetrics(wave, n_pending, n_sched, n_expanded, n_links,
                         n_edges_new, n_pages_new, n_enqueued, n_blocked,
