@@ -440,40 +440,6 @@ class SparkCrawler:
         n_pending = next_seq - self._seen_rows - n_blocked
         _tick("pending_dedupe")
 
-        # crawl order + seen (D2; blocked ids join seen un-crawled);
-        # this first write materializes `scheduled` and captures
-        # n_sched; an empty partition is harmless.
-        obs_sched = Observation()
-        store.write("crawl_order",
-                    scheduled.select("seq", "page_id")
-                    .observe(obs_sched, F.count(F.lit(1)).alias("n")), wave)
-        n_sched = int(obs_sched.get["n"])
-        if n_sched == 0:
-            # the just-written crawl_order partition is empty — drop it
-            # rather than couple correctness to cleanup_uncommitted
-            store.discard("crawl_order", wave)
-            if n_injected:
-                # injected rows must survive even a no-fetch wave, or
-                # their seq range (already folded into next_seq) leaks
-                store.write("frontier_log", injected, wave)
-            if n_blocked:
-                store.write("seen", blocked, wave)
-                if self.seen_mode == "cuckoo":
-                    self._cuckoo_write(wave, blocked)
-            if n_blocked or n_injected:
-                store.commit(wave, next_seq=next_seq, scheduled=0,
-                             enqueued=n_injected, blocked=n_blocked)
-                if self._seen_rows is not None:
-                    self._seen_rows += n_blocked
-            if blocked is not None:
-                blocked.unpersist()
-            if injected is not None:
-                injected.unpersist()
-            scheduled.unpersist()
-            # more=True when rows exist but were all period-deferred:
-            # the crawl is not drained, later waves will schedule them
-            return 0, next_seq, (gate_active and n_pending > 0)
-        _tick("crawl_order_write")
         seen_add = scheduled.select("page_id")
         if blocked is not None:
             seen_add = seen_add.unionByName(blocked)
@@ -493,11 +459,23 @@ class SparkCrawler:
             & F.split(F.col("content_type"), ";").getItem(0).isin(*HTML_CTYPES)
             & F.col("spans").isNotNull())).persist()
 
-        # emit span documents for expanded pages (input_hint invariant);
-        # the seen write only needs the already-persisted `scheduled`,
-        # so it runs concurrently with the fetch-join materialization
-        # (same driver-thread pattern as the state writes below).
+        # crawl order + seen (D2; blocked ids join seen un-crawled) +
+        # span documents (input_hint invariant): all three derive only
+        # from the persisted `scheduled` (+ blocked / the fetch join),
+        # so they run as ONE concurrent driver-thread group — wall =
+        # max(write) instead of crawl_order + max(seen, docs).  n_sched
+        # rides the crawl_order write; a zero wave discards the (empty)
+        # partitions afterwards — rare (terminal or all-deferred), two
+        # extra empty-partition discards there beat one serialized
+        # write on every productive wave.
+        obs_sched = Observation()
         obs_expanded = Observation()
+
+        def _w_order():
+            store.write("crawl_order",
+                        scheduled.select("seq", "page_id")
+                        .observe(obs_sched, F.count(F.lit(1)).alias("n")),
+                        wave)
 
         def _w_seen():
             store.write("seen", seen_add, wave)
@@ -513,10 +491,41 @@ class SparkCrawler:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(2) as ex:
-            for fut in [ex.submit(_w_seen), ex.submit(_w_docs)]:
+        with ThreadPoolExecutor(3) as ex:
+            for fut in [ex.submit(w) for w in (_w_order, _w_seen, _w_docs)]:
                 fut.result()
-        _tick("seen_fetch_docs_writes")
+        n_sched = int(obs_sched.get["n"])
+        _tick("order_seen_docs_writes")
+        if n_sched == 0:
+            # nothing fetched this wave: drop the empty partitions (the
+            # seen partition holds exactly the blocked rows, so it
+            # stays when blocked exist — same content the serialized
+            # path used to write).  cuckoo_state (if written) is a
+            # content-identical replacement; committed with blocked,
+            # swept by cleanup-on-open otherwise (rebuild-from-seen
+            # covers the gap).
+            store.discard("crawl_order", wave)
+            store.discard("docs_out", wave)
+            if n_injected:
+                # injected rows must survive even a no-fetch wave, or
+                # their seq range (already folded into next_seq) leaks
+                store.write("frontier_log", injected, wave)
+            if n_blocked or n_injected:
+                store.commit(wave, next_seq=next_seq, scheduled=0,
+                             enqueued=n_injected, blocked=n_blocked)
+                if self._seen_rows is not None:
+                    self._seen_rows += n_blocked
+            else:
+                store.discard("seen", wave)
+            if blocked is not None:
+                blocked.unpersist()
+            if injected is not None:
+                injected.unpersist()
+            expandable_cached.unpersist()
+            scheduled.unpersist()
+            # more=True when rows exist but were all period-deferred:
+            # the crawl is not drained, later waves will schedule them
+            return 0, next_seq, (gate_active and n_pending > 0)
 
         # The extract stage is where per-HOST work concentrates (real
         # deployment: the applyInPandas fetch+parse partitions run
