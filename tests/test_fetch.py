@@ -152,6 +152,7 @@ def test_pooled_http_fetch_fn_keepalive_dns_and_retry():
                                                  pooled_http_fetch_fn)
 
     conns: list[int] = []
+    requests: list[str] = []
 
     class H(http.server.BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # keep-alive
@@ -161,8 +162,19 @@ def test_pooled_http_fetch_fn_keepalive_dns_and_retry():
             super().setup()
 
         def do_GET(self):
-            body = f"page:{self.path}".encode()
-            self.send_response(200)
+            requests.append(self.path)
+            if self.path.startswith("/missing"):
+                body = b"not found page"
+                self.send_response(404)
+            elif self.path.startswith("/moved"):
+                self.send_response(301)
+                self.send_header("Location", "/d/0.html")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            else:
+                body = f"page:{self.path}".encode()
+                self.send_response(200)
             self.send_header("Content-Type", "text/html; charset=utf-8")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
@@ -206,15 +218,27 @@ def test_pooled_http_fetch_fn_keepalive_dns_and_retry():
         assert list(out3["fetch_ok"]) == [True] * 2
         assert len(conns) == 2  # exactly one fresh connection
 
-        # unreachable port → fetch_ok False rows, no raise
+        # status semantics: 404 → fetch_ok=False (error body is NOT
+        # page content); 301 → followed to the target page
+        mixed = batch(2).assign(
+            url=[f"http://localhost:{port}/missing.html",
+                 f"http://localhost:{port}/moved.html"])
+        out5 = pooled_http_fetch_fn(mixed, cfg, cache)
+        assert list(out5["fetch_ok"]) == [False, True]
+        assert out5["spans"][1][0]["text"] == "page:/d/0.html"
+
+        # unreachable port → fetch_ok False rows, no raise, and NO
+        # double requests (fresh-connection failures are not retried)
         s = socket.socket()
         s.bind(("127.0.0.1", 0))
         dead_port = s.getsockname()[1]
         s.close()
+        n_req_before = len(requests)
         bad = batch(2).assign(
             url=[f"http://localhost:{dead_port}/x" for _ in range(2)])
         out4 = pooled_http_fetch_fn(bad, FetchConfig(timeout_s=0.5), cache)
         assert list(out4["fetch_ok"]) == [False, False]
+        assert len(requests) == n_req_before  # dead host saw no retry
     finally:
         srv.shutdown()
         srv.server_close()

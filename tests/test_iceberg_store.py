@@ -54,3 +54,18 @@ def test_constructor_requires_iceberg_catalog(spark, tmp_path):
     with pytest.raises(RuntimeError, match="Iceberg catalog"):
         IcebergWaveStore(spark, catalog="nope", namespace="wg",
                          manifest_dir=str(tmp_path / "m"))
+
+
+def test_store_interface_complete_for_crawler():
+    """Every store method/attr the crawler touches must exist on BOTH
+    backends — the SparkCrawler(store=...) seam is only real if the
+    interfaces actually match (the cuckoo GC calls prune_waves every
+    wave)."""
+    from web_graph_spark.iceberg_store import IcebergWaveStore
+    from web_graph_spark.storage import WaveStore
+
+    needed = ["read", "write", "discard", "commit", "manifest",
+              "committed_wave", "compact", "prune_waves"]
+    for m in needed:
+        assert callable(getattr(IcebergWaveStore, m)), m
+        assert callable(getattr(WaveStore, m)), m

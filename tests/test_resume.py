@@ -114,3 +114,34 @@ def test_kill_and_resume_bloom_mode(spark, small_fix, tmp_path):
     c2.run()
     o = run_oracle(small_fix, default_budget=3)
     assert_equal_states(c2, o)
+
+
+@pytest.mark.spark
+def test_injected_store_seam(spark, tmp_path):
+    """SparkCrawler(store=...) uses the injected store verbatim — the
+    seam the Iceberg backend plugs into; results must equal the
+    default-constructed store's."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.benchjobs import synth_consistent_web
+    from web_graph_spark.crawler import SparkCrawler
+    from web_graph_spark.storage import WaveStore
+
+    web = synth_consistent_web(spark, 1000)
+    num = F.regexp_extract("url", r"/d/([0-9]+)\.html", 1).cast("long")
+    seeds = (web.withColumn("__n", num).filter(F.col("__n") < 10)
+             .select(F.col("__n").alias("seq"), "url"))
+    mine = WaveStore(spark, str(tmp_path / "injected"))
+    a = SparkCrawler(spark, "(ignored)", web, max_waves=2,
+                     default_budget=5, store=mine)
+    assert a.store is mine
+    a.init_from_seeds(seeds)
+    a.run()
+    b = SparkCrawler(spark, str(tmp_path / "default"), web, max_waves=2,
+                     default_budget=5)
+    b.init_from_seeds(seeds)
+    b.run()
+    for t in ("crawl_order", "pages", "seen", "edges"):
+        ra = sorted(map(tuple, a.store.read(t).collect()))
+        rb = sorted(map(tuple, b.store.read(t).collect()))
+        assert ra and ra == rb, t

@@ -191,3 +191,36 @@ def test_crawler_derived_budget_equals_explicit(spark, fixture_dir,
                            "page_id")
                      .groupBy("wave", "host").count())
     assert per_host_wave.agg(F.max("count")).first()[0] <= 6
+
+
+@pytest.mark.spark
+def test_pace_waves_enforces_cadence(spark, fixture_dir, tmp_path):
+    """pace_waves=True makes run() enforce the declared wave cadence
+    in wall-clock (the derived budgets/wave_period are rates per
+    wave_seconds, so un-paced fast waves over-fetch); crawl results
+    must be identical to the un-paced run."""
+    import time
+
+    from web_graph_spark.crawler import SparkCrawler, load_web
+
+    web = load_web(spark, fixture_dir)
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+
+    def run(d, **kw):
+        c = SparkCrawler(spark, str(d), web, max_waves=3,
+                         default_budget=5, **kw)
+        c.init_from_seeds(seeds)
+        t0 = time.monotonic()
+        waves = c.run()
+        return c, waves, time.monotonic() - t0
+
+    a, waves_a, wall_a = run(tmp_path / "paced", wave_seconds=3.0,
+                             pace_waves=True)
+    b, waves_b, _ = run(tmp_path / "plain")
+    assert waves_a == waves_b
+    # each wave slept out its remainder of the 3s cadence
+    assert wall_a >= waves_a * 3.0, (wall_a, waves_a)
+    for t in ("crawl_order", "pages", "seen"):
+        ra = sorted(map(tuple, a.store.read(t).drop("wave").collect()))
+        rb = sorted(map(tuple, b.store.read(t).drop("wave").collect()))
+        assert ra == rb, t

@@ -60,6 +60,7 @@ class WaveMetrics:
     n_pages_new: int
     n_enqueued: int
     n_blocked: int
+    n_injected: int
     wall_ms: float
 
 
@@ -76,7 +77,9 @@ class SparkCrawler:
                  cuckoo_expected_per_shard: int = 1 << 16,
                  wave_seconds: float | None = None,
                  compact_every: int | None = None,
-                 inbox_dir: str | None = None):
+                 inbox_dir: str | None = None,
+                 pace_waves: bool = False,
+                 store: WaveStore | None = None):
         from .operators.fetch import JoinFetcher
         from .operators.robots import compile_rules
 
@@ -94,8 +97,12 @@ class SparkCrawler:
         # so the per-wave anti-joins run co-located — shuffle cost per
         # wave stays proportional to the wave, not |accumulated state|
         # (the 10^10-frontier layout; see storage.py docstring).
-        self.store = WaveStore(spark, state_dir, bucketed=bucketed_state,
-                               n_buckets=n_buckets)
+        # store is a seam: pass any object with the WaveStore interface
+        # (read/write/discard/commit/manifest/committed_wave/compact/
+        # prune_waves + .bucketed) — e.g. iceberg_store.IcebergWaveStore
+        # on a deployment with the Iceberg runtime.
+        self.store = store if store is not None else WaveStore(
+            spark, state_dir, bucketed=bucketed_state, n_buckets=n_buckets)
         self.web = web
         # budgets: explicit dim wins; else derive from robots
         # crawl_delay when a wave cadence is declared (delay d sec →
@@ -106,6 +113,15 @@ class SparkCrawler:
 
             budgets = budgets_from_crawl_delay(robots, wave_seconds)
         self.budgets = budgets
+        # wave_seconds declares the intended wave CADENCE; the derived
+        # budgets/wave_period are rates *per wave_seconds*, so they are
+        # honest in wall-clock only if waves actually take that long.
+        # pace_waves=True makes run() enforce it (sleep out the
+        # remainder of each wave, deferred waves included) — turn it on
+        # in deployments that derive politeness from wave_seconds;
+        # tests/benches leave it off and exercise scheduling only.
+        self.wave_seconds = wave_seconds
+        self.pace_waves = pace_waves
         self.default_budget = default_budget
         self.max_waves = max_waves
         self.compact_every = compact_every
@@ -273,9 +289,7 @@ class SparkCrawler:
         # commits, cleanup-on-open drops the new partition too and the
         # next session rebuilds the filter from `seen`
         # (tests/test_seen.py kill-and-resume covers the rebuild).
-        for w in self.store._live_waves("cuckoo_state"):
-            if w < wave:
-                self.store._drop_partition("cuckoo_state", w)
+        self.store.prune_waves("cuckoo_state", before=wave)
         self._cuckoo_cache = None
 
     # ------------------------------------------------------------------
@@ -287,7 +301,16 @@ class SparkCrawler:
         next_seq = self.store.manifest(self.store.committed_wave())["next_seq"]
         wave = start_wave
         while wave < self.max_waves:
+            t_wave = time.monotonic()
             n_sched, next_seq, more = self._run_wave(wave, next_seq)
+            if self.pace_waves and self.wave_seconds:
+                # enforce the declared cadence — without this, the
+                # per-wave budgets/wave_period derived from
+                # wave_seconds over-fetch in wall-clock whenever waves
+                # (especially empty deferred ones) finish early.
+                remaining = self.wave_seconds - (time.monotonic() - t_wave)
+                if remaining > 0 and (n_sched > 0 or more):
+                    time.sleep(remaining)
             if n_sched == 0 and not more:
                 break
             if n_sched == 0:
@@ -510,9 +533,20 @@ class SparkCrawler:
                 # injected rows must survive even a no-fetch wave, or
                 # their seq range (already folded into next_seq) leaks
                 store.write("frontier_log", injected, wave)
+            # executed waves always get a WaveMetrics row — deferred/
+            # injected-only waves count toward wall-clock and wave
+            # totals (bench len(c.metrics)), so omitting them skews
+            # per-wave throughput
+            wall_ms = (time.monotonic() - t0) * 1000
+            self.metrics.append(WaveMetrics(
+                wave, n_pending, 0, 0, 0, 0, 0, 0, n_blocked,
+                n_injected, wall_ms))
             if n_blocked or n_injected:
+                # same manifest key meanings as productive waves:
+                # enqueued = discoveries (none here), injected = inbox
                 store.commit(wave, next_seq=next_seq, scheduled=0,
-                             enqueued=n_injected, blocked=n_blocked)
+                             enqueued=0, blocked=n_blocked,
+                             injected=n_injected, wall_ms=wall_ms)
                 if self._seen_rows is not None:
                     self._seen_rows += n_blocked
             else:
@@ -659,7 +693,7 @@ class SparkCrawler:
         wall_ms = (time.monotonic() - t0) * 1000
         m = WaveMetrics(wave, n_pending, n_sched, n_expanded, n_links,
                         n_edges_new, n_pages_new, n_enqueued, n_blocked,
-                        wall_ms)
+                        n_injected, wall_ms)
         self.metrics.append(m)
         mrows = [("wave", -1, k, float(v)) for k, v in vars(m).items()
                  if k != "wave"]

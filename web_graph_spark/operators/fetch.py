@@ -184,11 +184,17 @@ def pooled_http_fetch_fn(rows: pd.DataFrame, cfg: FetchConfig,
       which is the honest stdlib translation of the DoH client).
 
     Each (host, salt) group is single-host, so in steady state a group
-    costs ONE pooled connection however many rows it fetches."""
+    costs ONE pooled connection however many rows it fetches.
+
+    Status semantics match ``http_fetch_fn``/urllib: 3xx redirects are
+    followed (≤5 hops), status ≥400 is a FAILED fetch (an error page's
+    body must not become page content); a failure on a pooled socket is
+    retried once on a fresh one (idle-timeout staleness), a fresh
+    connection's failure is the host's answer and is not retried."""
     import http.client
     import socket
     from collections import OrderedDict
-    from urllib.parse import urlsplit
+    from urllib.parse import urljoin, urlsplit
 
     _POOL_MAX = 64
     _DNS_MAX = 1000  # linkprocessor.go: lru.New(1000)
@@ -206,18 +212,20 @@ def pooled_http_fetch_fn(rows: pd.DataFrame, cfg: FetchConfig,
         return addr
 
     def connect(scheme: str, host: str, port: int):
+        """→ (conn, from_pool): a pooled keep-alive connection if one
+        exists, else a fresh one (HTTP dials the memoized address; the
+        explicit Host header below carries the name)."""
         key = (scheme, host, port)
         conn = pool.pop(key, None)
         if conn is not None:
-            return conn
+            return conn, True
         if scheme == "https":
             conn = http.client.HTTPSConnection(host, port,
                                                timeout=cfg.timeout_s)
         else:
             conn = http.client.HTTPConnection(resolve(host, port), port,
                                               timeout=cfg.timeout_s)
-            conn._wgs_host_header = host  # dialed by address
-        return conn
+        return conn, False
 
     def put_back(scheme: str, host: str, port: int, conn) -> None:
         pool[(scheme, host, port)] = conn
@@ -226,34 +234,60 @@ def pooled_http_fetch_fn(rows: pd.DataFrame, cfg: FetchConfig,
             _, old = pool.popitem(last=False)
             old.close()
 
+    MAX_REDIRECTS = 5  # urllib's handler allows 10; 5 matches crawlers
+
     def one(url: str):
-        parts = urlsplit(url)
-        scheme = parts.scheme or "http"
-        host = parts.hostname or ""
-        port = parts.port or (443 if scheme == "https" else 80)
-        path = (parts.path or "/") + (f"?{parts.query}" if parts.query
-                                      else "")
-        headers = {"User-Agent": cfg.user_agent,
-                   "Host": host if port in (80, 443) else f"{host}:{port}",
-                   "Connection": "keep-alive"}
-        last_err = None
-        for attempt in range(2):  # retry once on a stale pooled conn
-            conn = connect(scheme, host, port)
-            try:
-                conn.request("GET", path, headers=headers)
-                resp = conn.getresponse()
-                body = resp.read()
-                ctype = resp.headers.get("Content-Type",
-                                         "application/octet-stream")
-                if resp.will_close:
+        for _hop in range(MAX_REDIRECTS + 1):
+            parts = urlsplit(url)
+            scheme = parts.scheme or "http"
+            host = parts.hostname or ""
+            port = parts.port or (443 if scheme == "https" else 80)
+            default_port = 443 if scheme == "https" else 80
+            path = (parts.path or "/") + (f"?{parts.query}" if parts.query
+                                          else "")
+            headers = {"User-Agent": cfg.user_agent,
+                       "Host": (host if port == default_port
+                                else f"{host}:{port}"),
+                       "Connection": "keep-alive"}
+            last_err = None
+            for _attempt in range(2):
+                conn, from_pool = connect(scheme, host, port)
+                try:
+                    conn.request("GET", path, headers=headers)
+                    resp = conn.getresponse()
+                    body = resp.read()
+                    status = resp.status
+                    ctype = resp.headers.get("Content-Type",
+                                             "application/octet-stream")
+                    location = resp.headers.get("Location")
+                    if resp.will_close:
+                        conn.close()
+                    else:
+                        put_back(scheme, host, port, conn)
+                except Exception as e:  # noqa: BLE001 — fetch_ok=False
                     conn.close()
-                else:
-                    put_back(scheme, host, port, conn)
-                return ctype, body.decode("utf-8", "replace")
-            except Exception as e:  # noqa: BLE001 — fetch_ok=False path
-                conn.close()
-                last_err = e
-        raise last_err
+                    last_err = e
+                    # retry ONLY when the failure came off a pooled
+                    # keep-alive socket (server may have idled it out);
+                    # a fresh connection's failure is the host's answer
+                    # — retrying doubles requests/timeouts to dead hosts
+                    if from_pool:
+                        continue
+                    raise
+                break
+            else:
+                raise last_err
+            if 300 <= status < 400 and location:
+                # follow redirects like urllib's default opener does
+                url = urljoin(url, location)
+                continue
+            if status >= 400:
+                # error pages are failed fetches, matching urllib's
+                # HTTPError behavior in http_fetch_fn — a 404 body must
+                # not become page content
+                raise RuntimeError(f"HTTP {status} for {url}")
+            return ctype, body.decode("utf-8", "replace")
+        raise RuntimeError(f"redirect loop (> {MAX_REDIRECTS}) for {url}")
 
     import time
 

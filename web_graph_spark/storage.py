@@ -281,6 +281,14 @@ class WaveStore:
         aborts after its first write (e.g. nothing scheduled)."""
         self._drop_partition(name, wave)
 
+    def prune_waves(self, name: str, before: int) -> None:
+        """Drop every wave partition < ``before`` — the GC hook for
+        full-replacement tables (cuckoo_state): each wave supersedes
+        all earlier ones, so older partitions are dead bytes."""
+        for w in self._live_waves(name):
+            if w < before:
+                self._drop_partition(name, w)
+
     def read(self, name: str, max_wave: Optional[int] = None) -> DataFrame:
         """Read a table across committed waves (with `wave` column) in
         the canonical SCHEMAS column order — writers may reorder (e.g.
