@@ -39,6 +39,15 @@ def main() -> None:
     ap.add_argument("--wave-seconds", type=float, default=None,
                     help="wave cadence: derive per-host budgets from "
                          "robots crawl_delay (requires --robots)")
+    ap.add_argument("--pace-waves", action="store_true",
+                    help="enforce --wave-seconds as a wall-clock "
+                         "cadence (sleep out each wave's remainder) — "
+                         "makes crawl-delay-derived politeness honest "
+                         "in real time")
+    ap.add_argument("--inbox-dir", default=None,
+                    help="streaming frontier-inbox table "
+                         "(streaming.enqueue_stream out_dir) drained "
+                         "into each wave as depth-0 frontier rows")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -63,7 +72,9 @@ def main() -> None:
                      seen_mode=args.seen_mode,
                      bucketed_state=args.bucketed_state,
                      compact_every=args.compact_every,
-                     wave_seconds=args.wave_seconds)
+                     wave_seconds=args.wave_seconds,
+                     pace_waves=args.pace_waves,
+                     inbox_dir=args.inbox_dir)
     t0 = time.monotonic()
     c.init_from_seeds(seeds)
     c.run()
