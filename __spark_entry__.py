@@ -402,15 +402,10 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_groups(_docs_with_dups(spark, sf_dir))
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-TRIGRAM Jaccard pairs (n=3, sim ≥ 0.5) over the FULL
-    corpus plus constructed exact/near copies.  n=3 keeps the
-    explode-join key selective (word unigrams make stopwords quadratic
-    hot keys — the n=1 call survives only as the capped correctness
-    baseline inside tests); the dup copies make the green row
-    non-trivial."""
-    from web_graph_spark.functions.dedup import jaccard_pairs
-
+def _jaccard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + constructed exact (upper-cased) and near (suffixed)
+    copies — the corpus the trigram-Jaccard queries run over (the dup
+    copies make the green rows non-trivial)."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     exact = (d.filter(F.col("doc_id") % 10 == 0)
              .select((F.col("doc_id") + 100000).alias("doc_id"),
@@ -418,8 +413,44 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = (d.filter(F.col("doc_id") % 10 == 1)
             .select((F.col("doc_id") + 200000).alias("doc_id"),
                     F.concat(F.col("text"), F.lit(" zz qq ww")).alias("text")))
-    corpus = d.unionByName(exact).unionByName(near)
-    return jaccard_pairs(corpus, threshold=0.5, n=3)
+    return d.unionByName(exact).unionByName(near)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-TRIGRAM Jaccard pairs (n=3, sim ≥ 0.5) over the FULL
+    corpus plus constructed exact/near copies.  n=3 keeps the
+    explode-join key selective (word unigrams make stopwords quadratic
+    hot keys — the n=1 call survives only as the capped correctness
+    baseline inside tests)."""
+    from web_graph_spark.functions.dedup import jaccard_pairs
+
+    return jaccard_pairs(_jaccard_corpus(spark, sf_dir),
+                         threshold=0.5, n=3)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING — the keep-list step an actual dedup
+    pipeline ends with: the exact trigram-Jaccard pair graph (same
+    corpus + threshold as dedup_ngram_jaccard) is clustered with
+    connected components (large-star/small-star, graph_algos.py) and
+    each cluster elects its min-doc_id canonical.  One row per doc in
+    a multi-doc cluster: (doc_id, canonical_id, cluster_size) —
+    production dedupe keeps exactly the rows where doc_id ==
+    canonical_id.  Oracle: the same pair graph + a recursive-CTE
+    min-label closure in DuckDB."""
+    from web_graph_spark.functions.dedup import jaccard_pairs
+    from web_graph_spark.operators.graph_algos import connected_components
+
+    corpus = _jaccard_corpus(spark, sf_dir)
+    pairs = jaccard_pairs(corpus, threshold=0.5, n=3)
+    comp = connected_components(corpus.select("doc_id"), pairs,
+                                id_col="doc_id", src="id_a", dst="id_b")
+    sizes = (comp.groupBy("component")
+             .agg(F.count("*").alias("cluster_size")))
+    return (comp.join(sizes, "component")
+            .filter(F.col("cluster_size") > 1)
+            .select("doc_id", F.col("component").alias("canonical_id"),
+                    "cluster_size"))
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -682,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": q_corpus_curate,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1005,6 +1037,54 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE floor(i.n_inter * 10000.0 / (sa.sz + sb.sz - i.n_inter)) >= 5000""",
+        "dedup_clusters": f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, upper(text) FROM documents
+  WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zz qq ww' FROM documents
+  WHERE doc_id % 10 = 1
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all({norm}, '\\S+') AS words FROM corpus
+),
+w AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                   i -> array_to_string(words[i:i+2], ' ')))) AS word
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE floor(i.n_inter * 10000.0 / (sa.sz + sb.sz - i.n_inter)) >= 5000
+),
+und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b AS a, id_a AS b FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS canonical_id
+         FROM reach GROUP BY 1),
+sz AS (SELECT canonical_id, count(*) AS cluster_size
+       FROM comp GROUP BY 1)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       CAST(c.canonical_id AS BIGINT) AS canonical_id,
+       sz.cluster_size
+FROM comp c JOIN sz USING (canonical_id)
+WHERE sz.cluster_size > 1""",
         "ann_cosine_topk": """
 WITH q AS (
   SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
