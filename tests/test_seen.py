@@ -271,3 +271,90 @@ def test_bloom_expected_from_manifests_matches_table(spark, tmp_path):
     c2 = SparkCrawler(spark, str(tmp_path / "s"), web, max_waves=3,
                       default_budget=7, seen_mode="bloom", robots=rules)
     assert c2._seen_rows_upto(c2.store.committed_wave()) == n_table
+
+
+@pytest.mark.spark
+def test_incremental_bloom_update_equals_rebuild(spark):
+    """IncrementalBloomSeen: OR-ing new keys into persisted slabs must
+    probe exactly like a fresh build over the union — no false
+    negatives ever, all slabs present even when empty, and
+    needs_rebuild fires only past capacity."""
+    from web_graph_spark.operators.seen import IncrementalBloomSeen
+
+    ib = IncrementalBloomSeen(n_slabs=4, headroom=4.0)
+    base = spark.range(0, 5000).select(
+        F.concat(F.lit("k-"), F.col("id")).alias("page_id"))
+    extra = spark.range(5000, 9000).select(
+        F.concat(F.lit("k-"), F.col("id")).alias("page_id"))
+
+    st0 = ib.build(base, "page_id", n_keys=5000).localCheckpoint()
+    assert st0.count() == 4                       # every slab has a row
+    assert not IncrementalBloomSeen.needs_rebuild(st0)
+    st1 = ib.update(st0, extra, "page_id").localCheckpoint()
+    assert st1.count() == 4
+    assert st1.agg(F.sum("n_keys")).first()[0] == 9000
+
+    cand = spark.range(0, 12000).select(
+        F.concat(F.lit("k-"), F.col("id")).alias("page_id"))
+    new, maybe = ib.partition(st1, cand, "page_id")
+    maybe_ids = {r["page_id"] for r in maybe.collect()}
+    # no false negatives: every inserted key is in maybe
+    for i in (0, 4999, 5000, 8999):
+        assert f"k-{i}" in maybe_ids, i
+    assert new.count() + len(maybe_ids) == 12000
+    # fp rate among the 3000 never-inserted keys stays near target
+    fp = sum(1 for r in maybe_ids if int(r[2:]) >= 9000) / 3000
+    assert fp < 0.05, fp
+
+    # probing the incrementally-updated state == probing a fresh build
+    st_fresh = ib.build(base.unionByName(extra), "page_id",
+                        n_keys=9000)
+    # (different capacity ⇒ different bitmaps; compare CONTRACT, not
+    # bits: both must contain all inserted keys)
+    _, maybe_f = ib.partition(st_fresh, cand, "page_id")
+    inserted = {f"k-{i}" for i in range(9000)}
+    assert inserted <= {r["page_id"] for r in maybe_f.collect()}
+    assert inserted <= maybe_ids
+
+    # capacity: push past headroom*build size → rebuild flag
+    tiny = IncrementalBloomSeen(n_slabs=2, headroom=1.0)
+    st = tiny.build(base.limit(100), "page_id", n_keys=100)
+    st = tiny.update(st, extra, "page_id")
+    assert IncrementalBloomSeen.needs_rebuild(st)
+
+
+@pytest.mark.spark
+def test_crawler_bloom_state_persists_and_rebuilds(spark, fixture_dir,
+                                                   tmp_path):
+    """The bloom tier's state is persisted per wave (no O(|seen|)
+    rebuild scan in steady state) and rebuilt from the exact seen
+    table when the blobs are deleted — final state identical either
+    way."""
+    import shutil
+
+    from web_graph_spark.crawler import SparkCrawler, load_web
+
+    web = load_web(spark, fixture_dir)
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+
+    def crawl(d, waves, **kw):
+        c = SparkCrawler(spark, str(d), web, max_waves=waves,
+                         default_budget=5, seen_mode="bloom", **kw)
+        c.init_from_seeds(seeds)
+        c.run()
+        return c
+
+    a = crawl(tmp_path / "a", 2)
+    # state blobs exist for the latest committed wave only (pruned)
+    st = a.store.read("bloom_state")
+    waves = {r["wave"] for r in st.select("wave").distinct().collect()}
+    assert waves == {a.store.committed_wave()}, waves
+    # kill the filter state; resume must rebuild from `seen` and end
+    # bit-identical to an uninterrupted crawl
+    shutil.rmtree(tmp_path / "a" / "bloom_state")
+    a2 = crawl(tmp_path / "a", 4)
+    b = crawl(tmp_path / "b", 4)
+    for t in ("crawl_order", "pages", "seen", "edges"):
+        ra = sorted(map(tuple, a2.store.read(t).collect()))
+        rb = sorted(map(tuple, b.store.read(t).collect()))
+        assert ra == rb, t

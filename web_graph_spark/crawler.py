@@ -159,6 +159,16 @@ class SparkCrawler:
                 n_parts=cuckoo_shards,
                 expected_per_part=cuckoo_expected_per_shard)
             self._cuckoo_cache: tuple[int, DataFrame] | None = None
+        elif seen_mode == "bloom":
+            from .operators.seen import IncrementalBloomSeen
+
+            # incremental persisted slab blooms: per-wave cost O(wave)
+            # (OR-in the new keys), never an O(|seen|) rebuild scan;
+            # resized by full rebuild (amortized doubling) when a slab
+            # outgrows its headroom capacity.
+            self._bloom = IncrementalBloomSeen(
+                n_slabs=max(1, bloom_slabs))
+            self._bloom_cache: tuple[int, DataFrame] | None = None
         # |seen| tracked from manifest counters (bloom-filter sizing):
         # lazily seeded from the committed manifests, then incremented
         # in memory per wave — the bloom tier would otherwise pay a
@@ -256,6 +266,47 @@ class SparkCrawler:
         return out
 
     # ------------------------------------------------------------------
+    def _bloom_states(self, wave: int):
+        """Latest persisted slab bitmaps (≤ wave-1); rebuilt
+        distributed from the exact seen table when blobs are missing
+        (fresh store, deleted checkpoint, crash between writes) OR
+        when a slab outgrew the capacity it was sized for (amortized-
+        doubling resize) — the exact table is always the source of
+        truth."""
+        from .operators.seen import IncrementalBloomSeen
+
+        if self._bloom_cache is not None and self._bloom_cache[0] == wave:
+            return self._bloom_cache[1]
+        df = self.store.read("bloom_state", max_wave=wave - 1)
+        mw = df.agg(F.max("wave")).first()[0]
+        states = None
+        if mw is not None:
+            states = df.filter(F.col("wave") == mw).drop("wave")
+            if IncrementalBloomSeen.needs_rebuild(states):
+                states = None
+        if states is None:
+            seen = self.store.read("seen",
+                                   max_wave=wave - 1).select("page_id")
+            if self._seen_rows is None:
+                self._seen_rows = self._seen_rows_upto(wave - 1)
+            states = self._bloom.build(seen, "page_id",
+                                       n_keys=self._seen_rows)
+        states = states.localCheckpoint()
+        self._bloom_cache = (wave, states)
+        return states
+
+    def _bloom_write(self, wave: int, new_keys: DataFrame) -> None:
+        """OR this wave's newly-seen keys into the slab bitmaps and
+        persist the full state set as this wave's rows (replacement,
+        like cuckoo_state — resume needs only the latest committed
+        wave; superseded partitions are pruned)."""
+        updated = self._bloom.update(self._bloom_states(wave),
+                                     new_keys, "page_id")
+        self.store.write("bloom_state", updated, wave)
+        self.store.prune_waves("bloom_state", before=wave)
+        self._bloom_cache = None
+
+    # ------------------------------------------------------------------
     def _cuckoo_states(self, wave: int):
         """Latest persisted shard blobs (≤ wave-1); rebuilt distributed
         from the exact seen table when blobs are missing (fresh store,
@@ -320,13 +371,13 @@ class SparkCrawler:
                 # between-waves state compaction (storage.py): fold the
                 # committed wave partitions into size-tiered segments so
                 # long crawls don't accrete one dir per table per wave.
-                # cuckoo_state is excluded — it is full-replacement per
-                # wave (old blobs are garbage, not history), so merging
-                # would rewrite dead bytes.
+                # cuckoo_state/bloom_state are excluded — they are
+                # full-replacement per wave (old blobs are garbage,
+                # not history), so merging would rewrite dead bytes.
                 self.store.compact(
                     upto=wave,
                     names=[t for t in self.store_tables()
-                           if t != "cuckoo_state"])
+                           if t not in ("cuckoo_state", "bloom_state")])
             wave += 1
         return wave
 
@@ -386,11 +437,18 @@ class SparkCrawler:
             self._seen_rows = self._seen_rows_upto(wave - 1)
 
         if self.seen_mode == "bloom":
-            from .operators.seen import anti_join_bloom
-
-            pending = anti_join_bloom(self.spark, flog, seen, "page_id",
-                                      expected=self._seen_rows,
-                                      n_slabs=self.bloom_slabs)
+            # incremental persisted slab blooms (seen.py
+            # IncrementalBloomSeen): probe cogroups candidates with
+            # their own slab's bitmap; definite-negatives skip the
+            # exact anti-join, maybes go through the exact backstop —
+            # result ≡ exact, per-wave filter cost O(wave) not
+            # O(|seen|) (the old anti_join_bloom rebuilt the filter
+            # from the full seen table every wave).
+            states = self._bloom_states(wave)
+            sure_new, maybe = self._bloom.partition(states, flog,
+                                                    "page_id")
+            pending = sure_new.unionByName(
+                maybe.join(seen, "page_id", "left_anti"))
         elif self.seen_mode == "cuckoo":
             # probe the shard blobs: definite-negatives skip the exact
             # anti-join entirely; maybes go through the exact backstop
@@ -504,6 +562,8 @@ class SparkCrawler:
             store.write("seen", seen_add, wave)
             if self.seen_mode == "cuckoo":
                 self._cuckoo_write(wave, seen_add)
+            elif self.seen_mode == "bloom":
+                self._bloom_write(wave, seen_add)
 
         def _w_docs():
             store.write("docs_out",

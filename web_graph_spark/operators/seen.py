@@ -273,6 +273,114 @@ def anti_join_bloom_sharded(spark, candidates: DataFrame, seen: DataFrame,
     return new.unionByName(checked)
 
 
+class IncrementalBloomSeen:
+    """Persisted slab-bloom membership tier, updated INCREMENTALLY.
+
+    ``anti_join_bloom`` rebuilds its filter from the full ``seen``
+    table on every call — an O(|seen|) scan per wave, the same class
+    of per-wave-full-state cost as the retired cuckoo broadcast.  This
+    tier mirrors :class:`PartitionedCuckooSeen` instead: slab bitmaps
+    are built ONCE (distributed, sized with ``headroom``× growth
+    room), persisted as one blob row per slab, and each wave OR-s only
+    the wave's new keys into its slabs via a cogroup — per-wave cost
+    O(wave), not O(|seen|).  Probing reuses
+    :func:`bloom_partition_sharded` (each task receives only its own
+    slab's bitmap).
+
+    Capacity: fpp is guaranteed while a slab's ``n_keys ≤ capacity``
+    (the size the bitmap was dimensioned for).  The caller checks
+    :meth:`needs_rebuild` on the (tiny, words-pruned) state metadata
+    and rebuilds at the next-larger size when exceeded — amortized
+    doubling, exactly how a growing crawl should resize.  Blooms can't
+    delete; retention windows stay the cuckoo tier's job.
+    """
+
+    def __init__(self, n_slabs: int = 8, fpp: float = 0.01,
+                 headroom: float = 4.0):
+        self.n_slabs = max(1, int(n_slabs))
+        self.fpp = fpp
+        self.headroom = headroom
+
+    STATE_SCHEMA = ("slab int, n_keys long, capacity long, "
+                    "n_bits long, k int, words binary")
+
+    def build(self, seen: DataFrame, key_col: str,
+              n_keys: int) -> DataFrame:
+        """→ state DataFrame (one row per slab, ALL slabs present even
+        when empty — update/probe need every slab's parameters).
+        Sized for ``headroom × max(n_keys, 1)`` total keys."""
+        n_slabs = self.n_slabs
+        per_slab_cap = max(int(self.headroom * max(n_keys, 1)
+                               / n_slabs) + 1, 64)
+        proto = BloomFilter.sized(per_slab_cap, self.fpp)
+        n_bits, k = proto.n_bits, proto.k
+        spark = seen.sparkSession
+        slabs = spark.range(n_slabs).select(
+            F.col("id").cast("int").alias("slab"))
+        keyed = _with_slab(seen.select(key_col), key_col, n_slabs)
+
+        def make(kpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+            sh = int(spdf["slab"].iloc[0]) if len(spdf) else \
+                int(kpdf["__slab"].iloc[0])
+            bf = BloomFilter(n_bits, k)
+            if len(kpdf):
+                bf.add(kpdf[key_col].astype(str))
+            return pd.DataFrame({"slab": [sh], "n_keys": [len(kpdf)],
+                                 "capacity": [per_slab_cap],
+                                 "n_bits": [n_bits], "k": [k],
+                                 "words": [bf.words.tobytes()]})
+
+        return (keyed.groupBy("__slab")
+                .cogroup(slabs.groupBy("slab"))
+                .applyInPandas(make, self.STATE_SCHEMA))
+
+    def update(self, states: DataFrame, new_keys: DataFrame,
+               key_col: str) -> DataFrame:
+        """OR this wave's new keys into their slabs → new state table
+        (full replacement, same schema).  Cogroup by slab: a task
+        holds one slab's bitmap + its new keys; slabs with no new keys
+        pass through untouched."""
+        n_slabs = self.n_slabs
+        keyed = _with_slab(new_keys.select(key_col), key_col, n_slabs)
+
+        def upd(kpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(spdf):
+                raise RuntimeError(
+                    f"bloom slab {int(kpdf['__slab'].iloc[0])} has keys "
+                    "but no persisted state - the build must emit every "
+                    "slab; rebuild from the exact seen table")
+            out = spdf.copy()
+            if len(kpdf):
+                bf = BloomFilter(
+                    int(spdf["n_bits"].iloc[0]), int(spdf["k"].iloc[0]),
+                    np.frombuffer(spdf["words"].iloc[0],
+                                  dtype=np.uint64).copy())
+                bf.add(kpdf[key_col].astype(str))
+                out["words"] = [bf.words.tobytes()]
+                out["n_keys"] = int(spdf["n_keys"].iloc[0]) + len(kpdf)
+            return out
+
+        return (keyed.groupBy("__slab")
+                .cogroup(states.groupBy("slab"))
+                .applyInPandas(upd, self.STATE_SCHEMA))
+
+    @staticmethod
+    def needs_rebuild(states: DataFrame) -> bool:
+        """True when any slab outgrew the capacity its bitmap was
+        sized for (fpp no longer bounded).  Reads only the int columns
+        — the binary blobs are column-pruned away."""
+        r = (states.select("n_keys", "capacity")
+             .agg(F.max(F.col("n_keys") - F.col("capacity")).alias("d"))
+             .first())
+        return r["d"] is not None and r["d"] > 0
+
+    def partition(self, states: DataFrame, candidates: DataFrame,
+                  key_col: str) -> tuple[DataFrame, DataFrame]:
+        """(definitely_new, maybe_seen) — no false negatives."""
+        return bloom_partition_sharded(states, candidates, key_col,
+                                       self.n_slabs)
+
+
 # ---------------------------------------------------------------------------
 # Partitioned cuckoo filter
 # ---------------------------------------------------------------------------

@@ -85,6 +85,10 @@ SCHEMAS = {
     # partitioned-cuckoo seen tier: full shard-blob state set per wave
     # (replacement, not delta) — the per-partition checkpoint payload
     "cuckoo_state": "shard int, n_keys long, state binary",
+    # incremental slab-bloom seen tier: one bitmap row per slab, full
+    # replacement per wave (seen.py IncrementalBloomSeen)
+    "bloom_state": ("slab int, n_keys long, capacity long, "
+                    "n_bits long, k int, words binary"),
 }
 
 # join key each big table is bucketed on (edge_id = from||to — the
