@@ -358,3 +358,241 @@ def test_crawler_bloom_state_persists_and_rebuilds(spark, fixture_dir,
         ra = sorted(map(tuple, a2.store.read(t).collect()))
         rb = sorted(map(tuple, b.store.read(t).collect()))
         assert ra == rb, t
+
+
+# ---------------------------------------------------------------------------
+# round-4: shard-count safety + auto-sizing (ADVICE r3 #1, VERDICT r3 #2)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.spark
+def test_crawler_bloom_resume_with_different_slabs_rebuilds(
+        spark, fixture_dir, tmp_path):
+    """Resuming with a DIFFERENT explicit bloom_slabs must rebuild the
+    filter (persisted n_slabs mismatch), never route keys into the
+    wrong slab's bitmap — a mis-route would emit false 'definitely
+    new' verdicts and re-crawl seen pages (ADVICE r3 #1)."""
+    from web_graph_spark.crawler import SparkCrawler, load_web
+
+    web = load_web(spark, fixture_dir)
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+
+    def crawl(d, waves, slabs):
+        c = SparkCrawler(spark, str(d), web, max_waves=waves,
+                         default_budget=5, seen_mode="bloom",
+                         bloom_slabs=slabs)
+        c.init_from_seeds(seeds)
+        c.run()
+        return c
+
+    crawl(tmp_path / "a", 2, 2)
+    a = crawl(tmp_path / "a", 4, 4)          # resume, different slabs
+    assert {int(r["n_slabs"]) for r in
+            a.store.read("bloom_state").select("n_slabs").collect()} == {4}
+    b = crawl(tmp_path / "b", 4, 4)          # uninterrupted reference
+    for t in ("crawl_order", "pages", "seen", "edges"):
+        ra = sorted(map(tuple, a.store.read(t).drop("wave").collect()))
+        rb = sorted(map(tuple, b.store.read(t).drop("wave").collect()))
+        assert ra == rb, t
+
+
+@pytest.mark.spark
+def test_crawler_cuckoo_resume_with_different_shards_rebuilds(
+        spark, fixture_dir, tmp_path):
+    """Same contract for the cuckoo tier: persisted n_parts wins over a
+    mismatching config by forcing a rebuild at the new count."""
+    from web_graph_spark.crawler import SparkCrawler, load_web
+
+    web = load_web(spark, fixture_dir)
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+
+    def crawl(d, waves, shards):
+        c = SparkCrawler(spark, str(d), web, max_waves=waves,
+                         default_budget=5, seen_mode="cuckoo",
+                         cuckoo_shards=shards)
+        c.init_from_seeds(seeds)
+        c.run()
+        return c
+
+    crawl(tmp_path / "a", 2, 4)
+    a = crawl(tmp_path / "a", 4, 2)          # resume, different shards
+    assert {int(r["n_parts"]) for r in
+            a.store.read("cuckoo_state").select("n_parts").collect()} == {2}
+    ref = SparkCrawler(spark, str(tmp_path / "ref"), web, max_waves=4,
+                       default_budget=5)
+    ref.init_from_seeds(seeds)
+    ref.run()
+    for t in ("crawl_order", "pages", "seen", "edges"):
+        ra = sorted(map(tuple, a.store.read(t).drop("wave").collect()))
+        rb = sorted(map(tuple, ref.store.read(t).drop("wave").collect()))
+        assert ra == rb, t
+
+
+@pytest.mark.spark
+def test_bloom_auto_slab_count_grows_with_seen(spark, monkeypatch,
+                                               tmp_path):
+    """Default (auto) slab sizing: as |seen| grows past the capacity a
+    state set was built for, the rebuild re-derives the slab COUNT so
+    no persisted bitmap ever exceeds SLAB_BYTES_BOUND (VERDICT r3 #2 —
+    a fixed count would make slabs grow into 12 GiB single-task blobs
+    at 10^10 keys).  Bound shrunk + headroom 1× here so a 5-wave
+    fixture crawl crosses several resizes; results stay ≡ exact."""
+    from web_graph_spark.benchjobs import synth_consistent_web
+    from web_graph_spark.crawler import SparkCrawler
+    from web_graph_spark.operators.seen import IncrementalBloomSeen
+
+    monkeypatch.setattr(IncrementalBloomSeen, "SLAB_BYTES_BOUND", 64)
+    web = synth_consistent_web(spark, 2000)
+    num = F.regexp_extract("url", r"/d/([0-9]+)\.html", 1).cast("long")
+    seeds = (web.withColumn("__n", num).filter(F.col("__n") < 10)
+             .select(F.col("__n").alias("seq"), "url"))
+
+    c = SparkCrawler(spark, str(tmp_path / "a"), web, max_waves=2,
+                     seen_mode="bloom")
+    c._bloom.headroom = 1.0
+    c.init_from_seeds(seeds)
+    c.run()
+    st0 = c.store.read("bloom_state").collect()
+    slabs0 = {int(r["n_slabs"]) for r in st0}
+
+    c2 = SparkCrawler(spark, str(tmp_path / "a"), web, max_waves=5,
+                      seen_mode="bloom")
+    c2._bloom.headroom = 1.0
+    c2.init_from_seeds(seeds)
+    c2.run()
+    st1 = c2.store.read("bloom_state").collect()
+    slabs1 = {int(r["n_slabs"]) for r in st1}
+    assert len(slabs0) == 1 and len(slabs1) == 1
+    assert slabs1.pop() > slabs0.pop()       # count grew with |seen|
+    # every persisted bitmap respects the blob bound (+pad: the 64-bit
+    # word floor and the +1 capacity round-up)
+    assert max(len(r["words"]) for r in st1) <= 64 + 16
+
+    ref = SparkCrawler(spark, str(tmp_path / "ref"), web, max_waves=5)
+    ref.init_from_seeds(seeds)
+    ref.run()
+    for t in ("crawl_order", "pages", "seen", "edges"):
+        ra = sorted(map(tuple, c2.store.read(t).drop("wave").collect()))
+        rb = sorted(map(tuple, ref.store.read(t).drop("wave").collect()))
+        assert ra == rb, t
+
+
+@pytest.mark.spark
+def test_cuckoo_auto_shard_count_grows_with_seen(spark, tmp_path):
+    """Auto cuckoo sharding: a crawl whose |seen| outgrows the shard
+    set's design capacity (n_parts × expected_per_part) rebuilds with
+    more shards instead of overflowing — blobs stay bounded by
+    construction (each shard is sized for expected_per_part keys)."""
+    from web_graph_spark.benchjobs import synth_consistent_web
+    from web_graph_spark.crawler import SparkCrawler
+
+    web = synth_consistent_web(spark, 2000)
+    num = F.regexp_extract("url", r"/d/([0-9]+)\.html", 1).cast("long")
+    seeds = (web.withColumn("__n", num).filter(F.col("__n") < 10)
+             .select(F.col("__n").alias("seq"), "url"))
+
+    def crawl(waves):
+        c = SparkCrawler(spark, str(tmp_path / "a"), web,
+                         max_waves=waves, seen_mode="cuckoo",
+                         cuckoo_expected_per_shard=32)
+        c.init_from_seeds(seeds)
+        c.run()
+        return c
+
+    c = crawl(2)
+    parts0 = {int(r["n_parts"]) for r in
+              c.store.read("cuckoo_state").select("n_parts").collect()}
+    c2 = crawl(5)
+    st = c2.store.read("cuckoo_state").collect()
+    parts1 = {int(r["n_parts"]) for r in st}
+    assert len(parts0) == 1 and len(parts1) == 1
+    assert parts1.pop() > parts0.pop()
+    # per-shard key load stays near the designed capacity (rebuild is
+    # amortized — between rebuilds a shard may run somewhat past
+    # expected_per_part, but never to the physical slot count)
+    assert max(int(r["n_keys"]) for r in st) <= 64
+
+    ref = SparkCrawler(spark, str(tmp_path / "ref"), web, max_waves=5)
+    ref.init_from_seeds(seeds)
+    ref.run()
+    for t in ("crawl_order", "pages", "seen", "edges"):
+        ra = sorted(map(tuple, c2.store.read(t).drop("wave").collect()))
+        rb = sorted(map(tuple, ref.store.read(t).drop("wave").collect()))
+        assert ra == rb, t
+
+
+@pytest.mark.spark
+def test_seen_rows_upto_falls_back_on_legacy_manifest(spark, fixture_dir,
+                                                      tmp_path):
+    """A manifest missing the 'scheduled'/'blocked' counter keys (older
+    engine version / foreign writer) must NOT be silently counted as 0
+    — |seen| reconstruction falls back to one exact table scan
+    (ADVICE r3 #4)."""
+    import json
+    import os
+
+    from web_graph_spark.crawler import SparkCrawler, load_web
+
+    web = load_web(spark, fixture_dir)
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+    d = str(tmp_path / "s")
+    c = SparkCrawler(spark, d, web, max_waves=2, seen_mode="bloom")
+    c.init_from_seeds(seeds)
+    c.run()
+    n_table = c.store.read("seen").count()
+    assert n_table > 0
+
+    # strip the counters from wave-0's manifest (legacy format)
+    p = os.path.join(d, "_checkpoints", "wave-0.json")
+    with open(p) as f:
+        m = json.load(f)
+    m.pop("blocked", None)
+    with open(p, "w") as f:
+        json.dump(m, f)
+
+    c2 = SparkCrawler(spark, d, web, max_waves=2, seen_mode="bloom")
+    assert c2._seen_rows_upto(c2.store.committed_wave()) == n_table
+
+
+@pytest.mark.spark
+def test_filter_state_prune_deferred_until_commit(spark, fixture_dir,
+                                                  tmp_path):
+    """The previous wave's committed filter state must survive a crash
+    between the new state's write and the wave's manifest commit —
+    pruning at write time would force a full O(|seen|) rebuild on
+    every such resume (ADVICE r3 #3)."""
+    from web_graph_spark.crawler import SparkCrawler, load_web
+
+    web = load_web(spark, fixture_dir)
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+    d = str(tmp_path / "s")
+    c = SparkCrawler(spark, d, web, max_waves=2, seen_mode="cuckoo")
+    c.init_from_seeds(seeds)
+    c.run()
+    committed = c.store.committed_wave()
+    assert {r["wave"] for r in c.store.read("cuckoo_state")
+            .select("wave").distinct().collect()} == {committed}
+
+    c2 = SparkCrawler(spark, d, web, max_waves=4, seen_mode="cuckoo")
+    real_commit = c2.store.commit
+    def boom(wave, **extra):
+        raise RuntimeError("crash before commit")
+    c2.store.commit = boom
+    with pytest.raises(RuntimeError, match="crash before commit"):
+        c2.run()
+    c2.store.commit = real_commit
+    # the last COMMITTED state partition is still on disk — the
+    # crashed wave's write did not prune it
+    import os
+    assert os.path.isdir(os.path.join(d, "cuckoo_state",
+                                      f"wave={committed}"))
+    # and a clean resume finishes ≡ an uninterrupted exact run
+    c3 = SparkCrawler(spark, d, web, max_waves=4, seen_mode="cuckoo")
+    c3.init_from_seeds(seeds)
+    c3.run()
+    ref = SparkCrawler(spark, str(tmp_path / "ref"), web, max_waves=4)
+    ref.init_from_seeds(seeds)
+    ref.run()
+    for t in ("crawl_order", "pages", "seen", "edges"):
+        ra = sorted(map(tuple, c3.store.read(t).drop("wave").collect()))
+        rb = sorted(map(tuple, ref.store.read(t).drop("wave").collect()))
+        assert ra == rb, t

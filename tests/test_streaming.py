@@ -188,3 +188,58 @@ def test_streaming_inbox_feeds_wave_loop(spark, tmp_path):
         ra = sorted(map(tuple, a.store.read(t).drop("wave").collect()))
         rb = sorted(map(tuple, b.store.read(t).drop("wave").collect()))
         assert ra and ra == rb, t
+
+
+@pytest.mark.spark
+def test_inbox_follow_mode_keeps_polling(spark, tmp_path):
+    """inbox_mode='follow' (ADVICE r3 #2): a continuous front-door
+    crawler must NOT terminate the first time frontier and inbox are
+    both drained — empty waves defer and the loop keeps polling until
+    max_waves, picking up arrivals that land between waves."""
+    from web_graph_spark.benchjobs import synth_consistent_web
+    from web_graph_spark.crawler import SparkCrawler
+
+    web = synth_consistent_web(spark, 500)
+    num = F.regexp_extract("url", r"/d/([0-9]+)\.html", 1).cast("long")
+    urls = [r["url"] for r in
+            (web.withColumn("__n", num).filter(F.col("__n") < 4)
+             .select("__n", "url").orderBy("__n").collect())]
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    front, ckpt = str(tmp_path / "front"), str(tmp_path / "ckpt")
+    _write_inbox(str(raw / "b1.parquet"), urls[:2], minute=0)
+    q = streaming.enqueue_stream(spark, str(raw), front, ckpt)
+    q.awaitTermination()
+
+    # drain mode (default): stops as soon as frontier + inbox empty
+    a = SparkCrawler(spark, str(tmp_path / "a"), web, max_waves=8,
+                     default_budget=100, inbox_dir=front)
+    a.init_from_seeds(spark.createDataFrame([], "seq long, url string"))
+    waves_a = a.run()
+    assert waves_a < 8
+
+    # follow mode: runs to max_waves even when idle...
+    b = SparkCrawler(spark, str(tmp_path / "b"), web, max_waves=4,
+                     default_budget=100, inbox_dir=front,
+                     inbox_mode="follow")
+    b.init_from_seeds(spark.createDataFrame([], "seq long, url string"))
+    assert b.run() == 4
+    seen_before = b.store.read("seen").count()
+    # ...and a later session picks up arrivals written after the first
+    # drain (the idempotence anti-join skips everything already known)
+    _write_inbox(str(raw / "b2.parquet"), urls[2:], minute=5)
+    q2 = streaming.enqueue_stream(spark, str(raw), front, ckpt)
+    q2.awaitTermination()
+    b.max_waves = 10
+    assert b.run() == 10
+    assert b.store.read("seen").count() > seen_before
+    from web_graph_spark.canon import canonicalize_df
+
+    late_ids = {r["canon"]["page_id"] for r in canonicalize_df(
+        spark.createDataFrame([(i, u) for i, u in enumerate(urls[2:])],
+                              "seq long, url string"),
+        url_col="url").select("canon").collect()}
+    crawled = {r["page_id"] for r in
+               b.store.read("crawl_order").select("page_id").collect()}
+    assert late_ids <= crawled               # late arrivals were crawled

@@ -72,12 +72,14 @@ class SparkCrawler:
                  robots: DataFrame | None = None,
                  priority: str = "fifo", fetch_salt_buckets: int = 8,
                  seen_mode: str = "exact", bucketed_state: bool = False,
-                 n_buckets: int = 32, fetcher=None, bloom_slabs: int = 1,
-                 cuckoo_shards: int = 8,
+                 n_buckets: int = 32, fetcher=None,
+                 bloom_slabs: int | None = None,
+                 cuckoo_shards: int | None = None,
                  cuckoo_expected_per_shard: int = 1 << 16,
                  wave_seconds: float | None = None,
                  compact_every: int | None = None,
                  inbox_dir: str | None = None,
+                 inbox_mode: str = "drain",
                  pace_waves: bool = False,
                  store: WaveStore | None = None):
         from .operators.fetch import JoinFetcher
@@ -130,7 +132,14 @@ class SparkCrawler:
         # each wave ingests not-yet-known inbox rows as depth-0
         # frontier entries, sequenced by arrival before the wave's own
         # discoveries.  None = batch-only crawl.
+        # inbox_mode: "drain" stops once frontier AND inbox are empty
+        # (batch semantics); "follow" treats empty waves as deferred —
+        # the loop keeps polling the inbox until max_waves (pair with
+        # pace_waves/wave_seconds so empty polls sleep, not spin) — the
+        # continuous front-door deployment (ADVICE r3 #2).
+        assert inbox_mode in ("drain", "follow")
         self.inbox_dir = inbox_dir
+        self.inbox_mode = inbox_mode
         # "fifo" = pure BFS (the Go-oracle mode); "depth" ranks each
         # host's pending rows by depth before seq (north_star
         # depth+host-budget priority) — shallow carryover beats deeper
@@ -155,25 +164,36 @@ class SparkCrawler:
         if seen_mode == "cuckoo":
             from .operators.seen import PartitionedCuckooSeen
 
+            # cuckoo_shards=None (default) auto-sizes the shard count
+            # from manifest |seen| at every (re)build, so blobs stay
+            # bounded at any crawl size (VERDICT r3 #2); an explicit
+            # int pins it (resume with a different pin → rebuild, never
+            # mis-route — ADVICE r3 #1).
             self._cuckoo = PartitionedCuckooSeen(
                 n_parts=cuckoo_shards,
                 expected_per_part=cuckoo_expected_per_shard)
-            self._cuckoo_cache: tuple[int, DataFrame] | None = None
+            self._cuckoo_cache: tuple[int, DataFrame, int] | None = None
         elif seen_mode == "bloom":
             from .operators.seen import IncrementalBloomSeen
 
             # incremental persisted slab blooms: per-wave cost O(wave)
             # (OR-in the new keys), never an O(|seen|) rebuild scan;
             # resized by full rebuild (amortized doubling) when a slab
-            # outgrows its headroom capacity.
-            self._bloom = IncrementalBloomSeen(
-                n_slabs=max(1, bloom_slabs))
-            self._bloom_cache: tuple[int, DataFrame] | None = None
+            # outgrows its headroom capacity — with the default
+            # bloom_slabs=None the rebuild ALSO re-derives the slab
+            # count from |seen|, keeping every bitmap blob under
+            # IncrementalBloomSeen.SLAB_BYTES_BOUND at any scale.
+            self._bloom = IncrementalBloomSeen(n_slabs=bloom_slabs)
+            self._bloom_cache: tuple[int, DataFrame, int] | None = None
         # |seen| tracked from manifest counters (bloom-filter sizing):
         # lazily seeded from the committed manifests, then incremented
         # in memory per wave — the bloom tier would otherwise pay a
         # full seen.count() scan every wave just to size the filter.
         self._seen_rows: int | None = None
+        # filter-state partitions superseded this wave, pruned only
+        # AFTER the wave's manifest commit (ADVICE r3 #3) — see
+        # _cuckoo_write / _flush_prunes.
+        self._prune_after_commit: list[tuple[str, int]] = []
         self.metrics: list[WaveMetrics] = []
         # robots is a broadcast dim by construction (≤ rules × hosts):
         # compiled once driver-side, broadcast to executors per wave.
@@ -218,12 +238,21 @@ class SparkCrawler:
         ``scheduled + blocked`` page_ids to ``seen`` (both slices come
         out of the already-anti-joined pending set, so they are unique
         within the wave and across all waves — the sum is exact, not
-        an estimate)."""
+        an estimate).
+
+        Manifests written by other/older engine versions may lack the
+        counter keys; silently treating a missing key as 0 would
+        undercount |seen| (undersized bloom → fpp drift, inflated
+        n_pending) — fall back to ONE exact table scan instead
+        (ADVICE r3 #4)."""
         total = 0
         for w in range(0, upto + 1):
             m = self.store.manifest(w)
-            if m:
-                total += int(m.get("scheduled", 0)) + int(m.get("blocked", 0))
+            if m is None:
+                continue
+            if "scheduled" not in m or "blocked" not in m:
+                return self.store.read("seen", max_wave=upto).count()
+            total += int(m["scheduled"]) + int(m["blocked"])
         return total
 
     # ------------------------------------------------------------------
@@ -267,23 +296,30 @@ class SparkCrawler:
 
     # ------------------------------------------------------------------
     def _bloom_states(self, wave: int):
-        """Latest persisted slab bitmaps (≤ wave-1); rebuilt
-        distributed from the exact seen table when blobs are missing
-        (fresh store, deleted checkpoint, crash between writes) OR
-        when a slab outgrew the capacity it was sized for (amortized-
-        doubling resize) — the exact table is always the source of
-        truth."""
+        """Latest persisted slab bitmaps (≤ wave-1) plus their slab
+        count → (states, n_slabs); rebuilt distributed from the exact
+        seen table when blobs are missing (fresh store, deleted
+        checkpoint, crash between writes), internally inconsistent, a
+        different slab count was explicitly configured (never
+        mis-route — ADVICE r3 #1), OR a slab outgrew the capacity it
+        was sized for (amortized-doubling resize; with auto slabs the
+        rebuild re-derives the count from |seen|, so the slab COUNT
+        grows with the crawl) — the exact table is always the source
+        of truth."""
         from .operators.seen import IncrementalBloomSeen
 
         if self._bloom_cache is not None and self._bloom_cache[0] == wave:
-            return self._bloom_cache[1]
+            return self._bloom_cache[1], self._bloom_cache[2]
         df = self.store.read("bloom_state", max_wave=wave - 1)
         mw = df.agg(F.max("wave")).first()[0]
-        states = None
+        states = n_slabs = None
         if mw is not None:
             states = df.filter(F.col("wave") == mw).drop("wave")
-            if IncrementalBloomSeen.needs_rebuild(states):
+            if IncrementalBloomSeen.needs_rebuild(
+                    states, want_slabs=self._bloom.n_slabs):
                 states = None
+            else:
+                n_slabs = IncrementalBloomSeen.state_slabs(states)
         if states is None:
             seen = self.store.read("seen",
                                    max_wave=wave - 1).select("page_id")
@@ -291,56 +327,106 @@ class SparkCrawler:
                 self._seen_rows = self._seen_rows_upto(wave - 1)
             states = self._bloom.build(seen, "page_id",
                                        n_keys=self._seen_rows)
+            n_slabs = self._bloom.slabs_for(self._seen_rows)
         states = states.localCheckpoint()
-        self._bloom_cache = (wave, states)
-        return states
+        self._bloom_cache = (wave, states, n_slabs)
+        return states, n_slabs
 
     def _bloom_write(self, wave: int, new_keys: DataFrame) -> None:
         """OR this wave's newly-seen keys into the slab bitmaps and
         persist the full state set as this wave's rows (replacement,
         like cuckoo_state — resume needs only the latest committed
-        wave; superseded partitions are pruned)."""
-        updated = self._bloom.update(self._bloom_states(wave),
-                                     new_keys, "page_id")
+        wave; superseded partitions are pruned AFTER the wave's
+        manifest commit, so a crash mid-wave still has a committed
+        state to resume from — ADVICE r3 #3)."""
+        states, n_slabs = self._bloom_states(wave)
+        updated = self._bloom.update(states, new_keys, "page_id",
+                                     n_slabs=n_slabs)
         self.store.write("bloom_state", updated, wave)
-        self.store.prune_waves("bloom_state", before=wave)
+        self._prune_after_commit.append(("bloom_state", wave))
         self._bloom_cache = None
 
     # ------------------------------------------------------------------
     def _cuckoo_states(self, wave: int):
-        """Latest persisted shard blobs (≤ wave-1); rebuilt distributed
-        from the exact seen table when blobs are missing (fresh store,
-        deleted checkpoint, or a crash between seen and cuckoo_state
-        writes — the exact table is always the source of truth)."""
+        """Latest persisted shard blobs (≤ wave-1) plus their shard
+        count → (states, n_parts); rebuilt distributed from the exact
+        seen table when blobs are missing (fresh store, deleted
+        checkpoint, crash between seen and cuckoo_state writes), a
+        different shard count was explicitly configured (rebuild, never
+        mis-route — ADVICE r3 #1), or — in auto-shard mode — |seen|
+        reached the capacity the shard set was built for (the rebuild
+        re-derives the count with headroom, amortized doubling) — the
+        exact table is always the source of truth."""
         if self._cuckoo_cache is not None and self._cuckoo_cache[0] == wave:
-            return self._cuckoo_cache[1]
+            return self._cuckoo_cache[1], self._cuckoo_cache[2]
         df = self.store.read("cuckoo_state", max_wave=wave - 1)
         mw = df.agg(F.max("wave")).first()[0]
-        if mw is None:
+        states = n_parts = None
+        if mw is not None:
+            states = df.filter(F.col("wave") == mw).drop("wave")
+            meta = states.select("n_parts").collect()
+            n_parts = int(meta[0]["n_parts"]) if meta else None
+            want = self._cuckoo.n_parts
+            if self._seen_rows is None:
+                self._seen_rows = self._seen_rows_upto(wave - 1)
+            stale = (
+                n_parts is None
+                or any(int(r["n_parts"]) != n_parts for r in meta)
+                or (want is not None and want != n_parts)
+                # auto mode: |seen| at/past design capacity → regrow
+                or (want is None
+                    and self._seen_rows >= n_parts * self._cuckoo.expected))
+            if stale:
+                states = n_parts = None
+        if states is None:
             seen = self.store.read("seen",
                                    max_wave=wave - 1).select("page_id")
-            states = self._cuckoo.build(seen, "page_id").localCheckpoint()
-        else:
-            states = df.filter(F.col("wave") == mw).drop("wave") \
-                       .localCheckpoint()
-        self._cuckoo_cache = (wave, states)
-        return states
+            if self._seen_rows is None:
+                self._seen_rows = self._seen_rows_upto(wave - 1)
+            states = self._cuckoo.build(seen, "page_id",
+                                        n_keys=self._seen_rows)
+            n_parts = self._cuckoo.parts_for(self._seen_rows)
+        states = states.localCheckpoint()
+        self._cuckoo_cache = (wave, states, n_parts)
+        return states, n_parts
 
     def _cuckoo_write(self, wave: int, new_keys: DataFrame) -> None:
         """Insert this wave's newly-seen keys into the shard states and
         persist the full state set as this wave's blobs (a few 100 KiB
         per shard — replacement, not delta, so resume needs only the
-        latest committed wave)."""
-        updated = self._cuckoo.update(self._cuckoo_states(wave),
-                                      new_keys, "page_id")
-        self.store.write("cuckoo_state", updated, wave)
-        # GC superseded blob sets: each wave is a full replacement, so
-        # older partitions are dead bytes (one dir per wave forever on
-        # a long crawl otherwise).  Crash-safe: if this wave never
-        # commits, cleanup-on-open drops the new partition too and the
-        # next session rebuilds the filter from `seen`
-        # (tests/test_seen.py kill-and-resume covers the rebuild).
-        self.store.prune_waves("cuckoo_state", before=wave)
+        latest committed wave).
+
+        GC of superseded blob sets is DEFERRED until after the wave's
+        manifest commit (ADVICE r3 #3): pruning at write time would
+        leave a crash-between-write-and-commit with no committed filter
+        state at all, forcing a full O(|seen|) rebuild on every such
+        resume.  Crash-safe either way: an uncommitted wave partition
+        is swept by cleanup-on-open and the next session rebuilds from
+        `seen` (tests/test_seen.py kill-and-resume covers the rebuild).
+        """
+        states, n_parts = self._cuckoo_states(wave)
+        updated = self._cuckoo.update(states, new_keys, "page_id",
+                                      n_parts=n_parts)
+        try:
+            self.store.write("cuckoo_state", updated, wave)
+        except Exception as e:
+            # Auto-shard mode: a young crawl's BFS waves can grow
+            # faster than the pre-wave doubling check anticipated, so
+            # the incremental insert can overflow mid-update.  The
+            # exact `seen` table (written just before, same wave) is
+            # the source of truth — rebuild at the re-derived count.
+            # Explicit n_parts keeps the honest raise: a pinned shard
+            # count cannot absorb more keys by rebuilding.
+            if (self._cuckoo.n_parts is not None
+                    or "over capacity" not in str(e)):
+                raise
+            seen_now = self.store.read(
+                "seen", max_wave=wave).select("page_id")
+            n_now = seen_now.count()
+            rebuilt = self._cuckoo.build(seen_now, "page_id",
+                                         n_keys=n_now)
+            self.store.write("cuckoo_state", rebuilt, wave)
+        self._prune_after_commit.append(("cuckoo_state", wave))
         self._cuckoo_cache = None
 
     # ------------------------------------------------------------------
@@ -388,12 +474,25 @@ class SparkCrawler:
         return list(SCHEMAS)
 
     # ------------------------------------------------------------------
+    def _flush_prunes(self) -> None:
+        """GC filter-state partitions superseded by this wave's write —
+        called only after the wave's manifest commit, so the last
+        COMMITTED state always survives a mid-wave crash."""
+        for name, w in self._prune_after_commit:
+            self.store.prune_waves(name, before=w)
+        self._prune_after_commit.clear()
+
+    # ------------------------------------------------------------------
     def _run_wave(self, wave: int, next_seq: int) -> tuple[int, int, bool]:
         """One crawl wave → (n_scheduled, next_seq, more) — ``more``
         False only when the frontier is truly drained (no pending rows
         left, as opposed to all-pending-deferred by the wave-period
         politeness gate)."""
         t0 = time.monotonic()
+        # stale (never-flushed) prune entries from a wave that didn't
+        # commit must not survive into this wave — flushing them after
+        # THIS wave's commit could GC the last committed filter state.
+        self._prune_after_commit.clear()
         # wall per wave phase → metrics rows (scope='phase', ms): the
         # per-wave fixed cost IS the small-scale bottleneck, so make it
         # observable instead of guessing which stage owns it.
@@ -444,18 +543,19 @@ class SparkCrawler:
             # result ≡ exact, per-wave filter cost O(wave) not
             # O(|seen|) (the old anti_join_bloom rebuilt the filter
             # from the full seen table every wave).
-            states = self._bloom_states(wave)
+            states, n_slabs = self._bloom_states(wave)
             sure_new, maybe = self._bloom.partition(states, flog,
-                                                    "page_id")
+                                                    "page_id",
+                                                    n_slabs=n_slabs)
             pending = sure_new.unionByName(
                 maybe.join(seen, "page_id", "left_anti"))
         elif self.seen_mode == "cuckoo":
             # probe the shard blobs: definite-negatives skip the exact
             # anti-join entirely; maybes go through the exact backstop
             # (cuckoo has no false negatives → result ≡ exact).
-            states = self._cuckoo_states(wave)
+            states, n_parts = self._cuckoo_states(wave)
             marked = self._cuckoo.probe(self.spark, states, flog,
-                                        "page_id")
+                                        "page_id", n_parts=n_parts)
             sure_new = marked.filter(~F.col("maybe_seen")) \
                              .drop("maybe_seen")
             maybe = marked.filter(F.col("maybe_seen")).drop("maybe_seen")
@@ -607,19 +707,26 @@ class SparkCrawler:
                 store.commit(wave, next_seq=next_seq, scheduled=0,
                              enqueued=0, blocked=n_blocked,
                              injected=n_injected, wall_ms=wall_ms)
+                self._flush_prunes()
                 if self._seen_rows is not None:
                     self._seen_rows += n_blocked
             else:
                 store.discard("seen", wave)
+                self._prune_after_commit.clear()
             if blocked is not None:
                 blocked.unpersist()
             if injected is not None:
                 injected.unpersist()
             expandable_cached.unpersist()
             scheduled.unpersist()
-            # more=True when rows exist but were all period-deferred:
-            # the crawl is not drained, later waves will schedule them
-            return 0, next_seq, (gate_active and n_pending > 0)
+            # more=True when rows exist but were all period-deferred
+            # (later waves will schedule them) or when a follow-mode
+            # inbox may still deliver arrivals (continuous front-door:
+            # keep polling until max_waves — ADVICE r3 #2)
+            more = ((gate_active and n_pending > 0)
+                    or (self.inbox_mode == "follow"
+                        and self.inbox_dir is not None))
+            return 0, next_seq, more
 
         # The extract stage is where per-HOST work concentrates (real
         # deployment: the applyInPandas fetch+parse partitions run
@@ -780,6 +887,7 @@ class SparkCrawler:
         store.commit(wave, next_seq=next_seq, scheduled=n_sched,
                      enqueued=n_enqueued, blocked=n_blocked,
                      injected=n_injected, wall_ms=wall_ms)
+        self._flush_prunes()
         if self._seen_rows is not None:
             self._seen_rows += n_sched + n_blocked
         fseq.release(targets)

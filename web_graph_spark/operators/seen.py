@@ -295,21 +295,45 @@ class IncrementalBloomSeen:
     delete; retention windows stay the cuckoo tier's job.
     """
 
-    def __init__(self, n_slabs: int = 8, fpp: float = 0.01,
+    # auto-sizing bound: a rebuild picks enough slabs that no single
+    # persisted bitmap exceeds this (64 MiB keeps one slab well inside
+    # a task's memory at any |seen| — ~10^10 keys × 12 bits × 4×
+    # headroom lands at ~1800 slabs).
+    SLAB_BYTES_BOUND = 64 << 20
+
+    def __init__(self, n_slabs: int | None = None, fpp: float = 0.01,
                  headroom: float = 4.0):
-        self.n_slabs = max(1, int(n_slabs))
+        # n_slabs=None = auto: derive the slab count from |seen| at
+        # every (re)build so the count GROWS with the crawl — a fixed
+        # count picked at construction is the 10^10-key footgun
+        # (VERDICT r3 #2).  An explicit int pins it (tests).
+        self.n_slabs = None if n_slabs is None else max(1, int(n_slabs))
         self.fpp = fpp
         self.headroom = headroom
 
-    STATE_SCHEMA = ("slab int, n_keys long, capacity long, "
+    STATE_SCHEMA = ("slab int, n_slabs int, n_keys long, capacity long, "
                     "n_bits long, k int, words binary")
+
+    def slabs_for(self, n_keys: int) -> int:
+        """Slab count for a (re)build at |seen|=n_keys: the explicit
+        n_slabs if configured, else the smallest count keeping every
+        slab bitmap ≤ SLAB_BYTES_BOUND."""
+        if self.n_slabs is not None:
+            return self.n_slabs
+        total_bits = BloomFilter.sized(
+            int(self.headroom * max(n_keys, 1)), self.fpp).n_bits
+        return max(1, -(-total_bits // (self.SLAB_BYTES_BOUND * 8)))
 
     def build(self, seen: DataFrame, key_col: str,
               n_keys: int) -> DataFrame:
         """→ state DataFrame (one row per slab, ALL slabs present even
         when empty — update/probe need every slab's parameters).
-        Sized for ``headroom × max(n_keys, 1)`` total keys."""
-        n_slabs = self.n_slabs
+        Sized for ``headroom × max(n_keys, 1)`` total keys.  The slab
+        count is persisted in the state rows: probe/update route by the
+        STATE's count, never the instance config, so a resume with a
+        different configuration can never route keys to the wrong
+        slab's bitmap (ADVICE r3 #1)."""
+        n_slabs = self.slabs_for(n_keys)
         per_slab_cap = max(int(self.headroom * max(n_keys, 1)
                                / n_slabs) + 1, 64)
         proto = BloomFilter.sized(per_slab_cap, self.fpp)
@@ -325,7 +349,8 @@ class IncrementalBloomSeen:
             bf = BloomFilter(n_bits, k)
             if len(kpdf):
                 bf.add(kpdf[key_col].astype(str))
-            return pd.DataFrame({"slab": [sh], "n_keys": [len(kpdf)],
+            return pd.DataFrame({"slab": [sh], "n_slabs": [n_slabs],
+                                 "n_keys": [len(kpdf)],
                                  "capacity": [per_slab_cap],
                                  "n_bits": [n_bits], "k": [k],
                                  "words": [bf.words.tobytes()]})
@@ -334,13 +359,26 @@ class IncrementalBloomSeen:
                 .cogroup(slabs.groupBy("slab"))
                 .applyInPandas(make, self.STATE_SCHEMA))
 
+    @staticmethod
+    def state_slabs(states: DataFrame) -> int:
+        """Slab count a persisted state set was built with.  Routing
+        MUST use this, not the instance config — a resume configured
+        with a different slab count would otherwise probe the wrong
+        slab's bitmap and emit false 'definitely new' verdicts
+        (ADVICE r3 #1)."""
+        r = states.select("n_slabs").first()
+        return int(r["n_slabs"]) if r is not None else 0
+
     def update(self, states: DataFrame, new_keys: DataFrame,
-               key_col: str) -> DataFrame:
+               key_col: str, n_slabs: int | None = None) -> DataFrame:
         """OR this wave's new keys into their slabs → new state table
         (full replacement, same schema).  Cogroup by slab: a task
         holds one slab's bitmap + its new keys; slabs with no new keys
-        pass through untouched."""
-        n_slabs = self.n_slabs
+        pass through untouched.  ``n_slabs``: the state's slab count
+        when the caller already read it (saves one metadata job);
+        None = look it up from ``states``."""
+        if n_slabs is None:
+            n_slabs = self.state_slabs(states)
         keyed = _with_slab(new_keys.select(key_col), key_col, n_slabs)
 
         def upd(kpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
@@ -365,20 +403,40 @@ class IncrementalBloomSeen:
                 .applyInPandas(upd, self.STATE_SCHEMA))
 
     @staticmethod
-    def needs_rebuild(states: DataFrame) -> bool:
-        """True when any slab outgrew the capacity its bitmap was
-        sized for (fpp no longer bounded).  Reads only the int columns
-        — the binary blobs are column-pruned away."""
-        r = (states.select("n_keys", "capacity")
-             .agg(F.max(F.col("n_keys") - F.col("capacity")).alias("d"))
-             .first())
-        return r["d"] is not None and r["d"] > 0
+    def needs_rebuild(states: DataFrame,
+                      want_slabs: int | None = None) -> bool:
+        """True when the persisted state can no longer be trusted or
+        extended in place:
+
+        * any slab outgrew the capacity its bitmap was sized for (fpp
+          no longer bounded) — the amortized-doubling resize trigger;
+        * the state set is internally inconsistent (row count != the
+          persisted ``n_slabs``, e.g. a partial write);
+        * ``want_slabs`` (an explicitly-configured slab count) differs
+          from the persisted one — rebuild rather than mis-route.
+
+        Reads only the tiny int columns — the binary blobs are
+        column-pruned away."""
+        rows = states.select("n_slabs", "n_keys", "capacity").collect()
+        if not rows:
+            return True
+        n = len(rows)
+        if any(int(r["n_slabs"]) != n for r in rows):
+            return True
+        if want_slabs is not None and want_slabs != n:
+            return True
+        return any(r["n_keys"] > r["capacity"] for r in rows)
 
     def partition(self, states: DataFrame, candidates: DataFrame,
-                  key_col: str) -> tuple[DataFrame, DataFrame]:
-        """(definitely_new, maybe_seen) — no false negatives."""
+                  key_col: str,
+                  n_slabs: int | None = None) -> tuple[DataFrame,
+                                                       DataFrame]:
+        """(definitely_new, maybe_seen) — no false negatives.  Routes
+        by the STATE's slab count (see :meth:`state_slabs`)."""
+        if n_slabs is None:
+            n_slabs = self.state_slabs(states)
         return bloom_partition_sharded(states, candidates, key_col,
-                                       self.n_slabs)
+                                       n_slabs)
 
 
 # ---------------------------------------------------------------------------
@@ -492,18 +550,51 @@ class PartitionedCuckooSeen:
     reload blobs; rebuild from the exact ``seen`` table if absent).
     """
 
-    def __init__(self, n_parts: int, expected_per_part: int):
-        self.n_parts = n_parts
+    def __init__(self, n_parts: int | None = None,
+                 expected_per_part: int = 1 << 16,
+                 headroom: float = 2.0):
+        # n_parts=None = auto: derive the shard count from |seen| at
+        # every (re)build (headroom× growth room), so a growing crawl
+        # adds shards instead of overflowing a fixed count (VERDICT r3
+        # #2).  Each shard is sized for expected_per_part keys, so the
+        # per-blob bound holds at ANY |seen| by construction
+        # (~2.4 bytes/key: the sandbox default 2^16 keys ≈ 256 KiB;
+        # a 10^10-key deployment sets expected_per_part ≈ 2^22 for
+        # ~16 MiB blobs / ~5k shards).  An explicit int pins it.
+        self.n_parts = None if n_parts is None else int(n_parts)
         self.expected = expected_per_part
+        self.headroom = headroom
+
+    def parts_for(self, n_keys: int) -> int:
+        """Shard count for a (re)build at |seen|=n_keys: the explicit
+        n_parts if configured, else headroom×n_keys over the per-shard
+        capacity."""
+        if self.n_parts is not None:
+            return self.n_parts
+        return max(1, -(-int(self.headroom * max(n_keys, 1))
+                        // self.expected))
+
+    @staticmethod
+    def state_parts(states: DataFrame) -> int:
+        """Shard count a persisted state set was built with — probe/
+        update routing MUST use this, never the instance config
+        (ADVICE r3 #1: mis-routed keys would probe the wrong shard's
+        filter and skip the exact backstop)."""
+        r = states.select("n_parts").first()
+        return int(r["n_parts"]) if r is not None else 0
 
     @staticmethod
     def shard_of(keys: pd.Series, n_parts: int) -> np.ndarray:
         return (_h64(keys, "shardshardshards") % np.uint64(n_parts)).astype(
             np.int64)
 
-    def build(self, seen: DataFrame, key_col: str) -> DataFrame:
-        """→ DataFrame(shard int, n_keys long, state binary)."""
-        n_parts, expected = self.n_parts, self.expected
+    def build(self, seen: DataFrame, key_col: str,
+              n_keys: int = 0) -> DataFrame:
+        """→ DataFrame(shard int, n_parts int, n_keys long, state
+        binary).  ``n_keys``: |seen| for auto shard sizing (callers
+        tracking it from manifest counters pass it; 0 with explicit
+        n_parts keeps the pinned count)."""
+        n_parts, expected = self.parts_for(n_keys), self.expected
 
         shard_udf = F.pandas_udf(
             lambda s: pd.Series(self.shard_of(s.astype(str), n_parts)),
@@ -528,22 +619,26 @@ class PartitionedCuckooSeen:
                             "negative contract")
                     counts[int(sh)] = counts.get(int(sh), 0) + len(grp)
             for sh, cf in filters.items():
-                yield pd.DataFrame({"shard": [sh],
+                yield pd.DataFrame({"shard": [sh], "n_parts": [n_parts],
                                     "n_keys": [counts[sh]],
                                     "state": [cf.table.tobytes()]})
 
         return sharded.mapInPandas(
-            make, "shard int, n_keys long, state binary")
+            make, "shard int, n_parts int, n_keys long, state binary")
 
     def update(self, states: DataFrame, new_keys: DataFrame,
-               key_col: str) -> DataFrame:
+               key_col: str, n_parts: int | None = None) -> DataFrame:
         """Insert ``new_keys`` into the shard states → new state table
         (same schema as :meth:`build`).  Runs as a cogroup by shard:
         each task holds one shard's filter + its new keys; shards with
         no new keys pass through, shards with keys but no prior state
         start a fresh filter.  Insert overflow raises (honest capacity
-        failure — resize expected_per_part, don't silently degrade)."""
-        n_parts, expected = self.n_parts, self.expected
+        failure — resize expected_per_part, don't silently degrade).
+        Routing uses the STATE's shard count (see :meth:`state_parts`);
+        ``n_parts`` skips the lookup when the caller already read it."""
+        if n_parts is None:
+            n_parts = self.state_parts(states)
+        expected = self.expected
 
         shard_udf = F.pandas_udf(
             lambda s: pd.Series(self.shard_of(s.astype(str), n_parts)),
@@ -572,16 +667,18 @@ class PartitionedCuckooSeen:
                         "inserts) - raise expected_per_shard; a silent "
                         "drop would break the no-false-negative "
                         "contract")
-            return pd.DataFrame({"shard": [sh],
+            return pd.DataFrame({"shard": [sh], "n_parts": [n_parts],
                                  "n_keys": [n0 + len(kpdf)],
                                  "state": [cf.table.tobytes()]})
 
         return (keyed.groupBy("shard")
                 .cogroup(states_i.groupBy("shard"))
-                .applyInPandas(upd, "shard int, n_keys long, state binary"))
+                .applyInPandas(
+                    upd, "shard int, n_parts int, n_keys long, "
+                         "state binary"))
 
     def probe(self, spark, states: DataFrame, candidates: DataFrame,
-              key_col: str) -> DataFrame:
+              key_col: str, n_parts: int | None = None) -> DataFrame:
         """candidates + boolean ``maybe_seen`` column (no false
         negatives).
 
@@ -596,7 +693,8 @@ class PartitionedCuckooSeen:
         """
         from pyspark.sql.types import BooleanType, StructField, StructType
 
-        n_parts = self.n_parts
+        if n_parts is None:
+            n_parts = self.state_parts(states)
         shard_udf = F.pandas_udf(
             lambda s: pd.Series(self.shard_of(s.astype(str), n_parts)),
             "int")

@@ -83,11 +83,15 @@ SCHEMAS = {
                  "media_ref:string,offset:int>>"),
     "metrics": ("scope string, partition_id int, key string, value double"),
     # partitioned-cuckoo seen tier: full shard-blob state set per wave
-    # (replacement, not delta) — the per-partition checkpoint payload
-    "cuckoo_state": "shard int, n_keys long, state binary",
+    # (replacement, not delta) — the per-partition checkpoint payload.
+    # n_parts is persisted so probe/update route by the state's OWN
+    # shard count (resume with a different config rebuilds instead of
+    # mis-routing — ADVICE r3 #1).
+    "cuckoo_state": "shard int, n_parts int, n_keys long, state binary",
     # incremental slab-bloom seen tier: one bitmap row per slab, full
-    # replacement per wave (seen.py IncrementalBloomSeen)
-    "bloom_state": ("slab int, n_keys long, capacity long, "
+    # replacement per wave (seen.py IncrementalBloomSeen); n_slabs
+    # persisted for the same routing-safety reason as cuckoo n_parts
+    "bloom_state": ("slab int, n_slabs int, n_keys long, capacity long, "
                     "n_bits long, k int, words binary"),
 }
 
