@@ -224,3 +224,79 @@ def test_pace_waves_enforces_cadence(spark, fixture_dir, tmp_path):
         ra = sorted(map(tuple, a.store.read(t).drop("wave").collect()))
         rb = sorted(map(tuple, b.store.read(t).drop("wave").collect()))
         assert ra == rb, t
+
+
+@pytest.mark.spark
+def test_robots_wave_scope_equals_full_and_never_overcollects(
+        spark, fixture_dir, tmp_path):
+    """Scale-safe robots evaluation (VERDICT r3 #1): robots_scope
+    ='wave' prunes the rules relation to each wave's distinct pending
+    hosts before any driver collect/compile.  Crawl state must be
+    bit-identical to the full-broadcast path, and the compiled slice
+    must never contain a host absent from that wave's pending set."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.crawler import SparkCrawler, load_web
+
+    web = load_web(spark, fixture_dir)
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+    rules = spark.read.parquet(f"{fixture_dir}/robots_rules.parquet")
+    # pad the relation with rules for hosts the crawl never touches —
+    # the wave path must prune them out before the collect
+    ghost = spark.range(500).select(
+        F.concat(F.lit("ghost-"), F.col("id"), F.lit(".test")).alias("host"),
+        F.lit("disallow").alias("rule_type"),
+        F.lit("/").alias("path_prefix"),
+        F.lit(0.0).alias("crawl_delay"))
+    padded = rules.unionByName(ghost)
+
+    def crawl(d, scope):
+        c = SparkCrawler(spark, str(d), web, max_waves=3,
+                         default_budget=5, robots=padded,
+                         robots_scope=scope)
+        if scope == "wave":
+            assert c._robots is None        # nothing compiled at init
+            orig = c._wave_rules
+            collected = []
+
+            def spy(pending):
+                r = orig(pending)
+                hosts = {row["host"] for row in
+                         pending.select("host").distinct().collect()}
+                collected.append((set(r), hosts))
+                return r
+            c._wave_rules = spy
+            c._spy = collected
+        c.init_from_seeds(seeds)
+        c.run()
+        return c
+
+    a = crawl(tmp_path / "full", "full")
+    b = crawl(tmp_path / "wave", "wave")
+    for t in ("crawl_order", "pages", "seen", "edges", "frontier_log"):
+        ra = sorted(map(tuple, a.store.read(t).drop("wave").collect()))
+        rb = sorted(map(tuple, b.store.read(t).drop("wave").collect()))
+        assert ra == rb, t
+    assert b._spy, "wave path never ran"
+    for rule_hosts, wave_hosts in b._spy:
+        assert rule_hosts <= wave_hosts      # no over-collection
+        assert not any(h.startswith("ghost-") for h in rule_hosts)
+
+
+@pytest.mark.spark
+def test_robots_scope_auto_picks_by_rule_count(spark, fixture_dir,
+                                               tmp_path):
+    """auto = full broadcast for small rule dims (zero per-wave jobs),
+    wave pruning past the threshold."""
+    from web_graph_spark.crawler import SparkCrawler, load_web
+
+    web = load_web(spark, fixture_dir)
+    rules = spark.read.parquet(f"{fixture_dir}/robots_rules.parquet")
+    small = SparkCrawler(spark, str(tmp_path / "a"), web, robots=rules)
+    assert small.robots_scope == "full" and small._robots is not None
+    try:
+        SparkCrawler.ROBOTS_FULL_BROADCAST_MAX = 1
+        big = SparkCrawler(spark, str(tmp_path / "b"), web, robots=rules)
+        assert big.robots_scope == "wave" and big._robots is None
+    finally:
+        SparkCrawler.ROBOTS_FULL_BROADCAST_MAX = 200_000

@@ -76,6 +76,8 @@ def test_cuckoo_idempotent_insert():
 
 @pytest.mark.spark
 def test_anti_join_bloom_equals_exact(spark):
+    """Default path (now sharded — VERDICT r3 #6) and the explicit
+    legacy single-bitmap path both ≡ the exact anti-join."""
     cand = spark.range(0, 5000).select(
         F.sha1(F.col("id").cast("string")).alias("page_id"))
     seen = spark.range(0, 3000, 2).select(  # every even id < 3000
@@ -86,6 +88,10 @@ def test_anti_join_bloom_equals_exact(spark):
             anti_join_bloom(spark, cand, seen, "page_id").collect()}
     assert fast == exact
     assert len(fast) == 5000 - 1500
+    legacy = {r["page_id"] for r in
+              anti_join_bloom(spark, cand, seen, "page_id",
+                              n_slabs=1).collect()}
+    assert legacy == exact
 
 
 @pytest.mark.spark

