@@ -572,6 +572,37 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            n_cells=16, n_probe=4)
 
 
+def q_ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #5 (round 4, E19) — the PERSISTED IVF×PQ index:
+    codes are written parquet-partitioned BY COARSE CELL
+    (similarity.ivf_pq_write_index) and the probe's cell set becomes a
+    scan PartitionFilter (similarity.ivf_pq_probe_index), so non-probed
+    cell DIRECTORIES are pruned at file-listing time — the physical
+    version of q_ann_ivfpq_topk's logical cell join (plan-pinned in
+    tests/test_plans.py::test_ivf_pq_index_partition_pruning).  Same
+    seeds/params as the inline pipeline → bit-identical output → the
+    same golden oracle.  The index is built once per sf_dir under the
+    system tmp dir and reused across calls (rebuild = delete the dir).
+    """
+    import hashlib
+    import tempfile
+
+    from web_graph_spark.functions.similarity import (ivf_pq_probe_index,
+                                                      ivf_pq_write_index)
+
+    emb = _emb(spark, sf_dir)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"wgs_ivfpq_idx_{tag}")
+    if not os.path.isdir(os.path.join(idx, "meta")):
+        ivf_pq_write_index(emb, dim=64, path=idx, m=16, ksub=32,
+                           n_cells=16)
+    return ivf_pq_probe_index(spark, idx, emb, q, k=5, refine=8,
+                              n_probe=4)
+
+
 def _emb_with_dups(spark, sf_dir):
     """embeddings ∪ deterministic near-copies (every 50th vector
     shifted by +0.05 per dim → cosine ≈ 0.99+) — the near-dup test
@@ -721,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_ivfpq_index_topk": q_ann_ivfpq_index_topk,
         "embed_near_dup_pairs": q_embed_near_dup_pairs,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
@@ -909,6 +941,13 @@ def _golden_oracles() -> dict[str, str]:
             f"SELECT q_id, rank, vec_id, sim_ppm "
             f"FROM read_parquet('{g}/ann_pq_topk.parquet')"),
         "ann_ivfpq_topk": (
+            f"SELECT q_id, rank, vec_id, sim_ppm "
+            f"FROM read_parquet('{g}/ann_ivfpq_topk.parquet')"),
+        # the persisted index is bit-identical to the inline pipeline
+        # (same seeds, same hash sample, shared ADC/re-rank tail), so
+        # it shares the inline golden — the pytest plan pin + equality
+        # test carry the physical-layout evidence
+        "ann_ivfpq_index_topk": (
             f"SELECT q_id, rank, vec_id, sim_ppm "
             f"FROM read_parquet('{g}/ann_ivfpq_topk.parquet')"),
         "media_features": (

@@ -57,10 +57,19 @@ FETCH_COLS = ["page_id", "url", "host", "path", "seq", "depth",
 class FetchConfig:
     """Per-request knobs, reference parity: UA and timeout
     (linkprocessor.go:51-75); per_request_delay_s is the in-partition
-    pacing hook for crawl-delay compliance beyond the wave budget."""
+    pacing hook for crawl-delay compliance beyond the wave budget.
+
+    doh_url: RFC 8484 DNS-over-HTTPS endpoint (e.g.
+    ``https://cloudflare-dns.com/dns-query`` — the reference resolves
+    through exactly that with a 1000-entry cache,
+    linkprocessor.go:52-56).  When set, the pooled fetcher resolves
+    hosts via wire-format DoH GETs (same LRU bound) and falls back to
+    the OS resolver if the endpoint errs; None keeps the plain OS
+    resolver."""
     user_agent: str = "web-graph-spark/2.0 (+https://example.test/bot)"
     timeout_s: float = 10.0
     per_request_delay_s: float = 0.0
+    doh_url: str | None = None
 
 
 class JoinFetcher:
@@ -162,6 +171,76 @@ def http_fetch_fn(rows: pd.DataFrame, cfg: FetchConfig,
         out, columns=["page_id", "content_type", "fetch_ok", "spans"])
 
 
+def _dns_wire_query(host: str, qtype: int = 1) -> bytes:
+    """Minimal RFC 1035 wire-format query (A by default).  ID=0 as RFC
+    8484 §4.1 recommends for HTTP-cache-friendly DoH GETs; RD=1."""
+    hdr = b"\x00\x00" + b"\x01\x00" + b"\x00\x01" + b"\x00\x00" * 3
+    qname = b"".join(
+        bytes([len(label)]) + label.encode("idna" if any(
+            ord(c) > 127 for c in label) else "ascii")
+        for label in host.rstrip(".").split("."))
+    return hdr + qname + b"\x00" + qtype.to_bytes(2, "big") + b"\x00\x01"
+
+
+def _dns_wire_parse(resp: bytes, qtype: int = 1) -> list[str]:
+    """Extract the A (or AAAA with qtype=28) record addresses from a
+    wire-format DNS response — name compression handled by skipping
+    (we never need the owner names, only RDATA)."""
+    import socket
+    import struct
+
+    def skip_name(off: int) -> int:
+        while True:
+            ln = resp[off]
+            if ln == 0:
+                return off + 1
+            if ln & 0xC0 == 0xC0:       # compression pointer
+                return off + 2
+            off += 1 + ln
+
+    qd, an = struct.unpack(">HH", resp[4:8])
+    off = 12
+    for _ in range(qd):
+        off = skip_name(off)
+        off += 4                        # QTYPE + QCLASS
+    out = []
+    for _ in range(an):
+        off = skip_name(off)
+        rtype, rclass, _ttl, rdlen = struct.unpack(
+            ">HHIH", resp[off:off + 10])
+        off += 10
+        rdata = resp[off:off + rdlen]
+        off += rdlen
+        if rclass == 1 and rtype == qtype == 1 and rdlen == 4:
+            out.append(socket.inet_ntoa(rdata))
+        elif rclass == 1 and rtype == qtype == 28 and rdlen == 16:
+            out.append(socket.inet_ntop(socket.AF_INET6, rdata))
+    return out
+
+
+def doh_resolve(host: str, doh_url: str, timeout_s: float) -> str:
+    """One RFC 8484 DoH GET (``?dns=<base64url(wire query)>``,
+    ``accept: application/dns-message``) → first A record.  Raises on
+    transport errors, non-200, or an empty answer section — callers
+    fall back to the OS resolver (the stdlib analog of the reference's
+    hardcoded fallback addresses, linkprocessor.go:54)."""
+    import base64
+    import urllib.request
+
+    q = base64.urlsafe_b64encode(_dns_wire_query(host)).rstrip(b"=")
+    sep = "&" if "?" in doh_url else "?"
+    req = urllib.request.Request(
+        f"{doh_url}{sep}dns={q.decode('ascii')}",
+        headers={"Accept": "application/dns-message"})
+    with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+        if resp.status != 200:
+            raise RuntimeError(f"DoH status {resp.status}")
+        addrs = _dns_wire_parse(resp.read())
+    if not addrs:
+        raise RuntimeError(f"DoH empty answer for {host}")
+    return addrs[0]
+
+
 def pooled_http_fetch_fn(rows: pd.DataFrame, cfg: FetchConfig,
                          cache: dict) -> pd.DataFrame:
     """Reference-parity POOLED fetcher (closes the last S4 gap): the
@@ -177,11 +256,14 @@ def pooled_http_fetch_fn(rows: pd.DataFrame, cfg: FetchConfig,
       connections are closed).  A stale kept-alive connection (server
       closed it between waves) is retried once on a fresh one.
     * ``cache['dns_memo']``: host → resolved address, LRU-bounded to
-      1000 entries like the reference.  Plain-HTTP connections dial
-      the memoized address directly (Host header carries the name);
-      HTTPS connections resolve through the OS (SNI/verification needs
-      the hostname — the keep-alive pool amortizes resolution there,
-      which is the honest stdlib translation of the DoH client).
+      1000 entries like the reference.  With ``cfg.doh_url`` set the
+      lookup itself is RFC 8484 DNS-over-HTTPS (:func:`doh_resolve` —
+      full reference parity with linkprocessor.go:52-56, OS resolver
+      as the fallback path); otherwise the OS resolver.  Plain-HTTP
+      connections dial the memoized address directly (Host header
+      carries the name); HTTPS connections still resolve through the
+      OS (SNI/verification needs the hostname — the keep-alive pool
+      amortizes resolution there; documented stdlib deviation).
 
     Each (host, salt) group is single-host, so in steady state a group
     costs ONE pooled connection however many rows it fetches.
@@ -205,7 +287,17 @@ def pooled_http_fetch_fn(rows: pd.DataFrame, cfg: FetchConfig,
         if host in dns:
             dns.move_to_end(host)
             return dns[host]
-        addr = socket.getaddrinfo(host, port, proto=socket.IPPROTO_TCP)[0][4][0]
+        addr = None
+        if cfg.doh_url:
+            # reference parity: DoH first (linkprocessor.go:52-56),
+            # OS resolver as the fallback path
+            try:
+                addr = doh_resolve(host, cfg.doh_url, cfg.timeout_s)
+            except Exception:  # noqa: BLE001 — any DoH failure falls back
+                addr = None
+        if addr is None:
+            addr = socket.getaddrinfo(
+                host, port, proto=socket.IPPROTO_TCP)[0][4][0]
         dns[host] = addr
         while len(dns) > _DNS_MAX:
             dns.popitem(last=False)
