@@ -775,14 +775,19 @@ class SparkCrawler:
 
         n_links_box = [0]
 
-        def _w_links():
+        def _w_docs_then_links():
+            # extract reads the expandable cache the docs write
+            # materializes — chaining avoids two jobs contending on
+            # the same uncomputed cache blocks; the chain still
+            # overlaps the order/seen writes
+            _w_docs()
             n_links_box[0] = links.count()
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(4) as ex:
+        with ThreadPoolExecutor(3) as ex:
             for fut in [ex.submit(w) for w in
-                        (_w_order, _w_seen, _w_docs, _w_links)]:
+                        (_w_order, _w_seen, _w_docs_then_links)]:
                 fut.result()
         n_sched = int(obs_sched.get["n"])
         n_links = n_links_box[0]
