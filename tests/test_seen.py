@@ -602,3 +602,18 @@ def test_filter_state_prune_deferred_until_commit(spark, fixture_dir,
         ra = sorted(map(tuple, c3.store.read(t).drop("wave").collect()))
         rb = sorted(map(tuple, ref.store.read(t).drop("wave").collect()))
         assert ra == rb, t
+
+
+def test_cuckoo_fill_check_raises_before_thrash():
+    """Inserting past the design load must raise via the CHEAP
+    pre-check — the kick-chain fallback near capacity costs a pandas
+    hash per kick and can spend minutes before the overflow raise
+    (observed: a 250 s crawl wave).  The message matches the insert
+    raise so rebuild handling covers both."""
+    cf = CuckooFilter.sized(1000)
+    cap = int(cf.DESIGN_LOAD * cf.n_buckets * cf.SLOTS)
+    cf.fill_check(0, cap)                    # at design load: fine
+    with pytest.raises(RuntimeError, match="over capacity"):
+        cf.fill_check(0, cap + 1)
+    with pytest.raises(RuntimeError, match="over capacity"):
+        cf.fill_check(cap, 1)

@@ -468,6 +468,12 @@ class CuckooFilter:
 
     SLOTS = 4
     MAX_KICKS = 500
+    # design load factor: inserts beyond this thrash the kick chain
+    # (each kick pays a pandas hash call) long before they fail — the
+    # fill pre-check below raises instead, so callers rebuild bigger
+    # immediately rather than after minutes of kicking (round-4 fix:
+    # a near-capacity 1M-crawl wave spent 250 s kicking)
+    DESIGN_LOAD = 0.84
 
     def __init__(self, n_buckets: int, table: np.ndarray | None = None):
         # power of two for cheap masking
@@ -475,6 +481,19 @@ class CuckooFilter:
         self.table = (table if table is not None else
                       np.zeros((self.n_buckets, self.SLOTS), dtype=np.uint16))
         self._rng = np.random.default_rng(42)
+
+    def fill_check(self, n_existing: int, n_new: int) -> None:
+        """Raise (cheaply, BEFORE any insert) when adding ``n_new``
+        keys to ``n_existing`` would push the table past its design
+        load — message matches the insert-overflow raise so callers'
+        rebuild handling covers both."""
+        cap = int(self.DESIGN_LOAD * self.n_buckets * self.SLOTS)
+        if n_existing + n_new > cap:
+            raise RuntimeError(
+                f"cuckoo shard over capacity ({n_existing}+{n_new} keys "
+                f"> {cap} design slots) - raise expected_per_shard or "
+                "rebuild with more shards; inserting past design load "
+                "thrashes the kick chain and risks false negatives")
 
     @classmethod
     def sized(cls, expected: int, load: float = 0.84) -> "CuckooFilter":
@@ -621,6 +640,7 @@ class PartitionedCuckooSeen:
                 for sh, grp in pdf.groupby("shard"):
                     cf = filters.setdefault(
                         int(sh), CuckooFilter.sized(expected))
+                    cf.fill_check(counts.get(int(sh), 0), len(grp))
                     fails = cf.insert(grp["k"].astype(str))
                     if fails:  # raise, never assert: -O strips asserts
                         raise RuntimeError(
@@ -671,6 +691,7 @@ class PartitionedCuckooSeen:
                 cf = CuckooFilter.sized(expected)
                 n0 = 0
             if len(kpdf):
+                cf.fill_check(n0, len(kpdf))
                 fails = cf.insert(kpdf["k"].astype(str))
                 if fails:  # raise, never assert: -O strips asserts
                     raise RuntimeError(
