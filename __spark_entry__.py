@@ -395,6 +395,59 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "fingerprint"))
 
 
+def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus MIXING (round 4) — the weighted-sampling step
+    that turns a curated pool into a training mix: documents are
+    bucketed by quality band (high ≥2000 / mid ≥1200 / low) and each
+    bucket keeps a different deterministic fraction (1.0 / 0.5 / 0.1).
+    The coin is ``substr(md5(doc_id), 1, 4) < hex-threshold`` — a pure
+    lexicographic compare on the hex digest, bit-identical in Spark
+    and DuckDB, reproducible across runs/cluster sizes, and embarrass-
+    ingly parallel (no shuffle at all: one scan, codegen'd projection
+    + filter; sampling 100 TB costs exactly one pass)."""
+    from web_graph_spark.functions.text import with_quality
+
+    feats = with_quality(_docs(spark, sf_dir))
+    bucket = (F.when(F.col("quality_score") >= 2000, "high")
+              .when(F.col("quality_score") >= 1200, "mid")
+              .otherwise("low"))
+    coin = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    keep = ((bucket == "high")
+            | ((bucket == "mid") & (coin < "8000"))
+            | ((bucket == "low") & (coin < "1999")))
+    return (feats.withColumn("bucket", bucket).filter(keep)
+            .select("doc_id", "bucket", "n_tokens", "quality_score"))
+
+
+def _decontam_corpus(spark: SparkSession, sf_dir: str):
+    """(corpus, benchmark) for the decontamination query: benchmark =
+    every 97th doc; corpus = documents + an injected verbatim-overlap
+    copy of each benchmark doc (id+500000, fresh preamble) so the
+    green row is non-trivial by construction."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    injected = bench.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.lit("totally novel preamble tokens then "),
+                 F.col("text")).alias("text"))
+    return d.unionByName(injected), bench
+
+
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (round 4, functions/dedup.py
+    contaminated_docs): flag corpus docs sharing any word 5-gram with
+    the benchmark set — benchmark shingles broadcast, corpus pays one
+    map-side explode + broadcast join, only hits shuffle.  Benchmark
+    docs themselves are excluded from the scan (they'd trivially
+    self-hit)."""
+    from web_graph_spark.functions.dedup import contaminated_docs
+
+    corpus, bench = _decontam_corpus(spark, sf_dir)
+    scan = corpus.filter(~((F.col("doc_id") % 97 == 0)
+                           & (F.col("doc_id") < 500000)))
+    return contaminated_docs(scan, bench, n=5)
+
+
 def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedupe (hash groupBy on normal-form md5)."""
     from web_graph_spark.functions.dedup import exact_dup_groups
@@ -742,6 +795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "corpus_curate": q_corpus_curate,
+        "corpus_sample_mix": q_corpus_sample_mix,
+        "corpus_decontaminate": q_corpus_decontaminate,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -1006,6 +1061,67 @@ FROM documents""",
         "text_lang_id": f"""
 SELECT doc_id, lang, {lang_guess_sql('text')} AS lang_guess
 FROM documents""",
+        "corpus_sample_mix": f"""
+WITH feat AS (
+  SELECT doc_id,
+         CAST({n_tok} AS BIGINT) AS n_tokens,
+         CAST(greatest(
+             least({n_tok}, 200) * 20
+             + floor(({stopword_count_sql('text')}) * 10000.0
+                     / greatest({n_tok}, 1))
+             - floor({n_punct} * 10000.0 / greatest(length(text), 1))
+             - floor({n_digit} * 10000.0 / greatest(length(text), 1)),
+             0) AS BIGINT) AS quality_score
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens, quality_score,
+         CASE WHEN quality_score >= 2000 THEN 'high'
+              WHEN quality_score >= 1200 THEN 'mid'
+              ELSE 'low' END AS bucket,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS coin
+  FROM feat
+)
+SELECT doc_id, bucket, n_tokens, quality_score FROM b
+WHERE bucket = 'high'
+   OR (bucket = 'mid' AND coin < '8000')
+   OR (bucket = 'low' AND coin < '1999')""",
+        "corpus_decontaminate": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000,
+         'totally novel preamble tokens then ' || text FROM documents
+  WHERE doc_id % 97 = 0
+),
+scan AS (
+  SELECT * FROM corpus
+  WHERE NOT (doc_id % 97 = 0 AND doc_id < 500000)
+),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+ctoks AS (
+  SELECT doc_id, regexp_extract_all({norm}, '\\S+') AS words FROM scan
+),
+btoks AS (
+  SELECT doc_id, regexp_extract_all({norm}, '\\S+') AS words FROM bench
+),
+csh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(words) - 4, 0)),
+                   i -> array_to_string(words[i:i+4], ' ')))) AS s
+  FROM ctoks
+),
+bsh AS (
+  SELECT doc_id AS bench_doc, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(words) - 4, 0)),
+                   i -> array_to_string(words[i:i+4], ' ')))) AS s
+  FROM btoks
+)
+SELECT c.doc_id,
+       CAST(count(DISTINCT c.s) AS BIGINT) AS n_hit_shingles,
+       CAST(count(DISTINCT b.bench_doc) AS BIGINT) AS n_benchmark_docs
+FROM csh c JOIN bsh b ON c.s = b.s
+GROUP BY c.doc_id""",
         "text_fingerprint": f"""
 SELECT doc_id, md5({norm}) AS fingerprint FROM documents""",
         "corpus_curate": f"""

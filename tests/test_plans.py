@@ -291,3 +291,31 @@ def test_ivf_pq_index_partition_pruning(spark, tmp_path):
     cells = [d for d in os.listdir(os.path.join(idx, "codes"))
              if d.startswith("cell=")]
     assert len(cells) == 8, cells
+
+
+@pytest.mark.spark
+def test_decontaminate_broadcasts_benchmark(spark):
+    """Decontamination: the benchmark shingle side broadcasts (eval
+    sets ≪ corpus) and nothing goes cartesian — the corpus pays one
+    map-side explode, never a shuffle of itself."""
+    import __spark_entry__ as e
+
+    df = e.queries()["corpus_decontaminate"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert_no_python_udf(df)
+
+
+@pytest.mark.spark
+def test_sample_mix_is_single_scan(spark):
+    """Stratified mixing: deterministic md5-coin sampling is a pure
+    projection+filter — ZERO Exchange nodes (one pass at any scale),
+    no Python UDF."""
+    import __spark_entry__ as e
+
+    df = e.queries()["corpus_sample_mix"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan, plan
+    assert_no_python_udf(df)

@@ -268,3 +268,34 @@ def simhash_pairs(df: DataFrame, max_dist: int = 3,
                 F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
             .filter(F.col("hamming") <= max_dist)
             .select("id_a", "id_b", "hamming"))
+
+
+def contaminated_docs(corpus: DataFrame, benchmark: DataFrame,
+                      n: int = 5, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Benchmark DECONTAMINATION — flag corpus documents sharing any
+    word ``n``-gram with an eval/benchmark set (the step a training
+    pipeline runs before anything ships to a trainer; the standard
+    n≈8..13 exact-substring check reduced to shingle membership).
+
+    → (doc_id, n_hit_shingles, n_benchmark_docs): one row per
+    contaminated corpus doc, with how many distinct shingles hit and
+    how many distinct benchmark docs they came from.
+
+    Physical shape at 100 TB: the benchmark side is SMALL by nature
+    (eval sets ≪ corpus), so its exploded (shingle, bench_doc) pairs
+    broadcast; the corpus pays one map-side shingle explode (the same
+    O(tokens) zip_with tokenization as the dedup tiers — no UDF) and
+    a broadcast-hash join, with only the HIT rows shuffling into the
+    per-doc aggregate — the corpus itself never shuffles.  Plan-pinned
+    broadcast + no cartesian in tests/test_plans.py.
+    """
+    bsh = (benchmark
+           .select(F.col(id_col).alias("bench_doc"),
+                   F.explode(shingles_col(n, text_col)).alias("s")))
+    csh = corpus.select(F.col(id_col).alias("doc_id"),
+                        F.explode(shingles_col(n, text_col)).alias("s"))
+    return (csh.join(F.broadcast(bsh), "s")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("s").alias("n_hit_shingles"),
+                 F.count_distinct("bench_doc").alias("n_benchmark_docs")))
