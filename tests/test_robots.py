@@ -300,3 +300,32 @@ def test_robots_scope_auto_picks_by_rule_count(spark, fixture_dir,
         assert big.robots_scope == "wave" and big._robots is None
     finally:
         SparkCrawler.ROBOTS_FULL_BROADCAST_MAX = 200_000
+
+
+@pytest.mark.spark
+def test_robots_cogroup_scope_equals_full(spark, fixture_dir, tmp_path):
+    """Third tier (robots_scope='cogroup'): host-cogrouped evaluation
+    with zero driver materialization must crawl bit-identically to the
+    full-broadcast path."""
+    from web_graph_spark.crawler import SparkCrawler, load_web
+
+    web = load_web(spark, fixture_dir)
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+    rules = spark.read.parquet(f"{fixture_dir}/robots_rules.parquet")
+
+    def crawl(d, scope):
+        c = SparkCrawler(spark, str(d), web, max_waves=3,
+                         default_budget=5, robots=rules,
+                         robots_scope=scope)
+        c.init_from_seeds(seeds)
+        c.run()
+        return c
+
+    a = crawl(tmp_path / "full", "full")
+    b = crawl(tmp_path / "cg", "cogroup")
+    assert b._robots is None                 # nothing compiled driver-side
+    assert sum(m.n_blocked for m in b.metrics) > 0
+    for t in ("crawl_order", "pages", "seen", "edges", "frontier_log"):
+        ra = sorted(map(tuple, a.store.read(t).drop("wave").collect()))
+        rb = sorted(map(tuple, b.store.read(t).drop("wave").collect()))
+        assert ra == rb, t

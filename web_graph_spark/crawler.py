@@ -234,7 +234,13 @@ class SparkCrawler:
         # distributed) before collecting/compiling — the driver only
         # ever holds rules for hosts the wave actually touches; "auto"
         # picks by rule count (one count job at init).
-        assert robots_scope in ("auto", "full", "wave")
+        # "cogroup" is the third tier: host-keyed cogroup evaluation
+        # with ZERO driver materialization at any rules/wave size —
+        # for deployments where even one wave's distinct hosts × rules
+        # exceeds the driver (robots.py robots_gate_cogroup).  auto
+        # never picks it (the extra wave shuffle isn't free); opt in
+        # explicitly at the 10^6-hosts-per-wave regime.
+        assert robots_scope in ("auto", "full", "wave", "cogroup")
         self._robots_df = robots
         if robots is None:
             self.robots_scope = "full"
@@ -640,16 +646,22 @@ class SparkCrawler:
         blocked = None
         n_blocked = 0
         pending_cache = None
+        marked = None
         rules = self._robots
         if self._robots_df is not None and self.robots_scope == "wave":
             pending = pending_cache = pending.persist()
             rules = self._wave_rules(pending)
-        if rules:
+        if self._robots_df is not None and self.robots_scope == "cogroup":
+            from .operators.robots import robots_gate_cogroup
+
+            marked = robots_gate_cogroup(pending, self._robots_df)
+        elif rules:
             from .operators.robots import robots_eval_udf
 
             ok = robots_eval_udf(self.spark, rules)
             marked = pending.withColumn(
                 "__ok", ok(F.col("host"), F.col("path")))
+        if marked is not None:
             # n_blocked rides the seen write as an Observation (below)
             # instead of a dedicated count job — one Spark job less per
             # wave (VERDICT r3 #8)

@@ -141,6 +141,44 @@ def budgets_from_crawl_delay(rules_df: DataFrame,
                    F.lit(1)).cast("int").alias("wave_period"))
 
 
+def robots_gate_cogroup(pending: DataFrame, rules_df: DataFrame,
+                        host_col: str = "host", path_col: str = "path",
+                        out_col: str = "__ok") -> DataFrame:
+    """Append the robots verdict via a host-keyed COGROUP — zero
+    driver materialization at ANY rules/wave size (the third tier
+    above full-broadcast and wave-host pruning): each task receives
+    one host group's pending rows plus exactly that host's rules,
+    compiles them locally, and evaluates the same vectorized
+    ``_eval_batch`` the broadcast path uses.  Pick this when even one
+    WAVE's distinct hosts × rules won't fit through the driver
+    (10^6+ hosts/wave); it costs one extra host-shuffle of the wave
+    plus an Arrow round-trip, which the politeness host-window was
+    about to pay anyway.  Result ≡ the broadcast path by construction
+    (same rule compilation + evaluator); equality is test-pinned."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    # copy, don't .add() in place — DataFrame.schema is a cached object
+    # and mutating it corrupts the source frame's resolved columns
+    out_schema = StructType(list(pending.schema.fields)
+                            + [StructField(out_col, BooleanType())])
+    cols = [f.name for f in out_schema.fields]
+
+    def gate(ppdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(ppdf) == 0:
+            # rules-only host group (no pending rows this wave)
+            return pd.DataFrame({c: [] for c in cols})
+        rules = (compile_rules(rpdf.to_dict("records"))
+                 if len(rpdf) else {})
+        out = ppdf.copy()
+        out[out_col] = _eval_batch(rules, ppdf[host_col],
+                                   ppdf[path_col]).to_numpy()
+        return out[cols]
+
+    return (pending.groupBy(host_col)
+            .cogroup(rules_df.groupBy(F.col("host").alias(host_col)))
+            .applyInPandas(gate, schema=out_schema))
+
+
 def with_robots_allowed(spark, df: DataFrame, rules_df: DataFrame | None,
                         host_col: str | Column = "host",
                         path_col: str | Column = "path",
