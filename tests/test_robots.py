@@ -284,6 +284,63 @@ def test_robots_wave_scope_equals_full_and_never_overcollects(
 
 
 @pytest.mark.spark
+def test_robots_rules_lru_cache(spark, fixture_dir, tmp_path):
+    """Cross-wave compiled-rules LRU: crawls with the cache on and off
+    are bit-identical; a wave whose hosts are all cached never touches
+    the rules relation; the cache honours its size bound and serves
+    evicted hosts correctly by re-collecting them."""
+    from web_graph_spark.crawler import SparkCrawler, load_web
+
+    web = load_web(spark, fixture_dir)
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+    rules = spark.read.parquet(f"{fixture_dir}/robots_rules.parquet")
+
+    def crawl(d, **kw):
+        c = SparkCrawler(spark, str(d), web, max_waves=3,
+                         default_budget=5, robots=rules,
+                         robots_scope="wave", **kw)
+        c.init_from_seeds(seeds)
+        c.run()
+        return c
+
+    a = crawl(tmp_path / "cached")                      # LRU default-on
+    b = crawl(tmp_path / "uncached", robots_cache_hosts=0)
+    for t in ("crawl_order", "pages", "seen", "edges", "frontier_log"):
+        ra = sorted(map(tuple, a.store.read(t).drop("wave").collect()))
+        rb = sorted(map(tuple, b.store.read(t).drop("wave").collect()))
+        assert ra == rb, t
+    assert a._rules_cache and not b._rules_cache
+
+    hosts = [r[0] for r in rules.select("host").distinct().collect()]
+    ruled, extra = hosts[0], hosts[1]
+    c = SparkCrawler(spark, str(tmp_path / "probe"), web, robots=rules,
+                     robots_scope="wave")
+    pend = spark.createDataFrame([(ruled, "/x")], "host string, path string")
+    first = c._wave_rules(pend)
+    assert ruled in first
+    c._robots_df = None          # poison: any touch now raises
+    assert c._wave_rules(pend) == first     # pure cache hit
+    with pytest.raises(AttributeError):     # a MISS must still touch it
+        c._wave_rules(spark.createDataFrame(
+            [(extra, "/x")], "host string, path string"))
+
+    d = SparkCrawler(spark, str(tmp_path / "lru"), web, robots=rules,
+                     robots_scope="wave", robots_cache_hosts=2)
+    for h in hosts[:3]:
+        d._wave_rules(spark.createDataFrame(
+            [(h, "/x")], "host string, path string"))
+    assert len(d._rules_cache) == 2
+    assert hosts[0] not in d._rules_cache   # LRU evicted the oldest
+    # the evicted host is re-collected, not wrongly served as ruleless:
+    # result must equal an uncached compile of the same slice
+    p0 = spark.createDataFrame([(hosts[0], "/x")], "host string, path string")
+    again = d._wave_rules(p0)
+    d2 = SparkCrawler(spark, str(tmp_path / "ref"), web, robots=rules,
+                      robots_scope="wave", robots_cache_hosts=0)
+    assert again == d2._wave_rules(p0)
+
+
+@pytest.mark.spark
 def test_robots_scope_auto_picks_by_rule_count(spark, fixture_dir,
                                                tmp_path):
     """auto = full broadcast for small rule dims (zero per-wave jobs),

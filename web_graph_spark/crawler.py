@@ -26,6 +26,7 @@ operation is a distributed DataFrame op — no collect() of row data.
 from __future__ import annotations
 
 import time
+from collections import OrderedDict
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -92,6 +93,7 @@ class SparkCrawler:
                  inbox_mode: str = "drain",
                  pace_waves: bool = False,
                  robots_scope: str = "auto",
+                 robots_cache_hosts: int = 1 << 18,
                  store: WaveStore | None = None):
         from .operators.fetch import JoinFetcher
         from .operators.robots import compile_rules
@@ -242,6 +244,18 @@ class SparkCrawler:
         # explicitly at the 10^6-hosts-per-wave regime.
         assert robots_scope in ("auto", "full", "wave", "cogroup")
         self._robots_df = robots
+        # wave-scope compiled-rules LRU: consecutive waves revisit many
+        # of the same hosts (links stay host-local), so the per-wave
+        # rules collect only needs the hosts NOT already compiled.
+        # Bounded (robots_cache_hosts entries, LRU eviction) so driver
+        # memory stays O(cache cap) however many hosts the crawl
+        # touches; 0 disables (every wave re-collects its full slice).
+        # Entries are host -> sorted (prefix, allow) list; an EMPTY
+        # list is a cached "no rules for this host" verdict — without
+        # it every wave would re-query the rules relation for ruleless
+        # hosts (the common case) and the cache would never pay off.
+        self.robots_cache_hosts = robots_cache_hosts
+        self._rules_cache: "OrderedDict[str, list]" = OrderedDict()
         if robots is None:
             self.robots_scope = "full"
             self._robots = None
@@ -548,12 +562,55 @@ class SparkCrawler:
         collect+broadcast at crawler.py init is the small-dim fast
         path; this is the 10^8-host scale path — VERDICT r3 #1).
         ``pending`` must be persisted by the caller (the distinct-hosts
-        job and the later scheduling both read it)."""
+        job and the later scheduling both read it).
+
+        Cross-wave LRU (robots_cache_hosts > 0): consecutive waves
+        share most hosts (discovered links are predominantly
+        host-local), so compiled rules are kept in a bounded driver
+        LRU and the distributed prune + collect runs only for the
+        wave's cache-MISS hosts — steady-state waves touch the rules
+        relation not at all.  Rules are immutable for the crawl's
+        lifetime (refresh goes through set_robots, which clears the
+        cache), so a hit can never be stale."""
         from .operators.robots import compile_rules
 
-        hosts = pending.select("host").distinct()
-        pruned = self._robots_df.join(hosts, "host", "left_semi")
-        return compile_rules(r.asDict() for r in pruned.collect())
+        if self.robots_cache_hosts <= 0:
+            hosts = pending.select("host").distinct()
+            pruned = self._robots_df.join(hosts, "host", "left_semi")
+            return compile_rules(r.asDict() for r in pruned.collect())
+
+        cache = self._rules_cache
+        hosts = [r[0] for r in pending.select("host").distinct().collect()]
+        missing = [h for h in hosts if h not in cache]
+        if missing:
+            mdf = self.spark.createDataFrame(
+                [(h,) for h in missing], "host string")
+            pruned = self._robots_df.join(
+                F.broadcast(mdf), "host", "left_semi")
+            fresh = compile_rules(r.asDict() for r in pruned.collect())
+            for h in missing:  # empty list = cached "no rules" verdict
+                cache[h] = fresh.get(h, [])
+        out = {}
+        for h in hosts:
+            cache.move_to_end(h)
+            if cache[h]:
+                out[h] = cache[h]
+        while len(cache) > self.robots_cache_hosts:
+            cache.popitem(last=False)
+        return out
+
+    def set_robots(self, robots: DataFrame | None) -> None:
+        """Replace the robots relation between waves (rule refresh).
+        Clears the compiled-rules LRU so no stale verdict survives;
+        full scope recompiles its broadcast dict immediately."""
+        from .operators.robots import compile_rules
+
+        self._robots_df = robots
+        self._rules_cache.clear()
+        if self.robots_scope == "full":
+            self._robots = (
+                compile_rules(r.asDict() for r in robots.collect())
+                if robots is not None else None)
 
     # ------------------------------------------------------------------
     def _run_wave(self, wave: int, next_seq: int) -> tuple[int, int, bool]:
