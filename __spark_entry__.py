@@ -314,6 +314,27 @@ def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("in_deg", F.lit(0)).alias("in_deg")))
 
 
+def q_graph_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph: collapse the page graph to weighted
+    host→host edges (the granularity crawl scheduling, politeness, and
+    spam analysis actually operate at).  Two shuffle joins on doc_id
+    (uniform key) then one agg on (src_host, tgt_host); hot-host skew
+    in the agg is absorbed by map-side partial aggregation + AQE —
+    never a driver materialization, so the plan survives 10^10 edges."""
+    e = (webgen.links_full_df(spark, sf_dir).filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    p = webgen.pages_df(spark, sf_dir).select("doc_id", "host")
+    return (e
+            .join(p.select(F.col("doc_id").alias("src_doc_id"),
+                           F.col("host").alias("src_host")), "src_doc_id")
+            .join(p.select(F.col("doc_id").alias("tgt_doc_id"),
+                           F.col("host").alias("tgt_host")), "tgt_doc_id")
+            .groupBy("src_host", "tgt_host")
+            .agg(F.count("*").alias("n_edges"),
+                 F.countDistinct("src_doc_id").alias("n_src_pages"),
+                 F.countDistinct("tgt_doc_id").alias("n_tgt_pages")))
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (dedup / similarity / text / media)
 # ---------------------------------------------------------------------------
@@ -357,6 +378,16 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return with_fingerprint(_docs(spark, sf_dir)).select(
         "doc_id", "fingerprint")
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (type/token ratio, top
+    bigram mass, duplicated trigram mass) — the filter family a
+    pre-training corpus applies before dedupe (Rae et al. 2021 A1.1).
+    Explode → two uniform-key shuffles, no Python, length-linear."""
+    from web_graph_spark.functions.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
 
 
 def _docs_with_dups(spark, sf_dir):
@@ -788,11 +819,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_counts": q_graph_counts,
         "graph_degrees": q_graph_degrees,
         "graph_pages_for_host": q_graph_pages_for_host,
+        "graph_host_graph": q_graph_host_graph,
         "graph_components": q_graph_components,
         "graph_pagerank": q_graph_pagerank,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
+        "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
         "corpus_curate": q_corpus_curate,
         "corpus_sample_mix": q_corpus_sample_mix,
@@ -916,6 +949,17 @@ LEFT JOIN (SELECT tgt_doc_id, count(*) AS n FROM e GROUP BY 1) i
         "graph_pages_for_host": _oracle("""
 SELECT doc_id, check_id, url FROM web_pages
 WHERE host = 'h07.example.test' ORDER BY doc_id LIMIT 100"""),
+        "graph_host_graph": _oracle("""
+, e AS (SELECT DISTINCT src_doc_id, tgt_doc_id FROM web_links_full
+        WHERE k % 4 <> 0)
+SELECT ps.host AS src_host, pt.host AS tgt_host,
+       count(*) AS n_edges,
+       count(DISTINCT e.src_doc_id) AS n_src_pages,
+       count(DISTINCT e.tgt_doc_id) AS n_tgt_pages
+FROM e
+JOIN web_pages ps ON ps.doc_id = e.src_doc_id
+JOIN web_pages pt ON pt.doc_id = e.tgt_doc_id
+GROUP BY 1, 2"""),
         "graph_components": _oracle_recursive("""
 , e AS (
   SELECT DISTINCT src_doc_id AS a, tgt_doc_id AS b
@@ -1124,6 +1168,44 @@ FROM csh c JOIN bsh b ON c.s = b.s
 GROUP BY c.doc_id""",
         "text_fingerprint": f"""
 SELECT doc_id, md5({norm}) AS fingerprint FROM documents""",
+        "text_repetition": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+tstat AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT g) AS n_distinct
+  FROM uni GROUP BY 1
+),
+bi AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+),
+bcnt AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+bstat AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bcnt GROUP BY 1),
+tri AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+),
+tcnt AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+dstat AS (
+  SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+         sum(c) AS tot
+  FROM tcnt GROUP BY 1
+)
+SELECT ts.doc_id,
+       CAST(ts.n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(ts.n_distinct * 10000.0 / greatest(ts.n_tokens, 1))
+            AS BIGINT) AS distinct_token_bp,
+       CAST(floor(coalesce(bs.mx, 0) * 10000.0
+                  / greatest(coalesce(bs.tot, 0), 1))
+            AS BIGINT) AS top_bigram_bp,
+       CAST(floor(coalesce(ds.dup, 0) * 10000.0
+                  / greatest(coalesce(ds.tot, 0), 1))
+            AS BIGINT) AS dup_trigram_bp
+FROM tstat ts
+LEFT JOIN bstat bs ON bs.doc_id = ts.doc_id
+LEFT JOIN dstat ds ON ds.doc_id = ts.doc_id""",
         "corpus_curate": f"""
 WITH {dups_cte},
 feat AS (

@@ -42,6 +42,29 @@ def test_quality_and_tokens(spark, docs):
 
 
 @pytest.mark.spark
+def test_repetition_stats_known_values_and_short_docs(spark):
+    """Hand-computed repetition signals, including the 1- and 2-token
+    documents that would break a sequence(0, size-n) gram builder
+    (Spark's sequence() runs DESCENDING when start > stop)."""
+    from web_graph_spark.functions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(0, "x"), (1, "x y"), (2, "x y z"), (3, "w w w w")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert got[0] == dict(doc_id=0, n_tokens=1, distinct_token_bp=10000,
+                          top_bigram_bp=0, dup_trigram_bp=0)
+    assert got[1] == dict(doc_id=1, n_tokens=2, distinct_token_bp=10000,
+                          top_bigram_bp=10000, dup_trigram_bp=0)
+    assert got[2] == dict(doc_id=2, n_tokens=3, distinct_token_bp=10000,
+                          top_bigram_bp=5000, dup_trigram_bp=0)
+    # "w w w w": 1/4 distinct, bigram "w w" x3 of 3, trigram "w w w"
+    # x2 of 2 -> every trigram occurrence is duplicated
+    assert got[3] == dict(doc_id=3, n_tokens=4, distinct_token_bp=2500,
+                          top_bigram_bp=10000, dup_trigram_bp=10000)
+
+
+@pytest.mark.spark
 def test_lang_guess_deterministic(spark, docs):
     from web_graph_spark.functions.text import LANG_MARKERS, with_lang_guess
 

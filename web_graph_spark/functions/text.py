@@ -104,6 +104,68 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, F.md5(normalize_text(F.col(text_col))))
 
 
+# word n-gram arrays via transform-with-index over a SLICE of the token
+# array — NOT transform(sequence(0, size-n), ...): Spark's sequence()
+# generates a DESCENDING range when start > stop, so docs shorter than
+# n tokens would produce garbage grams instead of an empty array.
+_BIGRAMS = ("transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+            "(x, i) -> concat(x, ' ', t[i + 1]))")
+_TRIGRAMS = ("transform(slice(t, 1, greatest(size(t) - 2, 0)), "
+             "(x, i) -> concat(x, ' ', t[i + 1], ' ', t[i + 2]))")
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1 'repetitious documents are poor training text'):
+
+    * ``distinct_token_bp`` — type/token ratio (low = repetitious)
+    * ``top_bigram_bp``     — fraction of bigram occurrences taken by
+      the single most frequent bigram
+    * ``dup_trigram_bp``    — fraction of trigram occurrences whose
+      trigram appears more than once
+
+    All ratios are ``floor(r * 10000)`` ints (cross-engine exact).
+    Physical shape: explode n-grams → count per (doc, gram) → fold per
+    doc.  Both shuffles key on (doc_id[, gram]) — high-cardinality,
+    uniform, map-side partial aggregation applies; nothing is
+    quadratic in document length and no Python runs anywhere.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.split(F.col(text_col), " ").alias("t"))
+
+    def grams(expr: str) -> DataFrame:
+        g = toks.select("doc_id", F.explode(F.expr(expr)).alias("g"))
+        return g.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+
+    tstat = (grams("t")
+             .groupBy("doc_id")
+             .agg(F.sum("c").alias("n_tokens"),
+                  F.count("*").alias("n_distinct")))
+    bstat = (grams(_BIGRAMS)
+             .groupBy("doc_id")
+             .agg(F.max("c").alias("mx"), F.sum("c").alias("tot")))
+    dstat = (grams(_TRIGRAMS)
+             .groupBy("doc_id")
+             .agg(F.sum(F.when(F.col("c") > 1, F.col("c"))
+                        .otherwise(F.lit(0))).alias("dup"),
+                  F.sum("c").alias("tot")))
+    bp = lambda num, den: F.floor(num * 10000.0
+                                  / F.greatest(den, F.lit(1))).cast("long")
+    z = lambda c: F.coalesce(c, F.lit(0))
+    return (tstat
+            .join(bstat, "doc_id", "left")
+            .join(dstat.withColumnRenamed("tot", "ttot"), "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    bp(F.col("n_distinct"), F.col("n_tokens"))
+                    .alias("distinct_token_bp"),
+                    bp(z(F.col("mx")), z(F.col("tot")))
+                    .alias("top_bigram_bp"),
+                    bp(z(F.col("dup")), z(F.col("ttot")))
+                    .alias("dup_trigram_bp")))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL mirrors (generated from the same constants so the
 # two dialects cannot drift)
