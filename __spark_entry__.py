@@ -722,6 +722,39 @@ def q_embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     n_tables=12, seed=7)
 
 
+def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-list over the dup-injected embedding corpus:
+    hyperoctant cells bound the pairwise cosine to within-cluster
+    (functions/similarity.py:semdedup), drop-if-smaller-id-neighbour
+    ≥ 0.90.  The oracle replays the identical cell + threshold rule in
+    SQL, so the green row certifies every drop decision, including the
+    documented cluster-boundary misses (a shifted copy whose sign bits
+    flipped lands in another cell and is rightly kept)."""
+    from web_graph_spark.functions.similarity import semdedup
+
+    return semdedup(_emb_with_dups(spark, sf_dir), tau_ppm=900000,
+                    n_bits=4)
+
+
+def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet-style duplicated-line removal over the
+    dup-injected corpus.  Documents are deterministically re-lined
+    (one line per 12 tokens — the synthetic corpus has no newlines;
+    the oracle mirrors the same chunking) and every line occurring in
+    ≥ 2 distinct documents is dropped corpus-wide, leaving the
+    reassembled clean text per doc."""
+    from web_graph_spark.functions.text import line_dedup
+
+    lined = _docs_with_dups(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws("\n", F.expr(
+            "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 12.0)"
+            " as int) - 1), "
+            "i -> concat_ws(' ', slice(split(text, ' '), i * 12 + 1, 12)))"
+        )).alias("text"))
+    return line_dedup(lined, min_docs=2)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: derived media table → mapInPandas feature
     extraction (deterministic stub decode; rows-only check)."""
@@ -830,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": q_corpus_curate,
         "corpus_sample_mix": q_corpus_sample_mix,
         "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_line_dedup": q_corpus_line_dedup,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -842,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivfpq_index_topk": q_ann_ivfpq_index_topk,
         "embed_near_dup_pairs": q_embed_near_dup_pairs,
+        "embed_semdedup": q_embed_semdedup,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
         "events_sessionize": q_events_sessionize,
@@ -1166,6 +1201,31 @@ SELECT c.doc_id,
        CAST(count(DISTINCT b.bench_doc) AS BIGINT) AS n_benchmark_docs
 FROM csh c JOIN bsh b ON c.s = b.s
 GROUP BY c.doc_id""",
+        "corpus_line_dedup": f"""
+WITH {dups_cte},
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs_dups),
+ln AS (
+  SELECT doc_id, li,
+         array_to_string(list_slice(t, li * 12 + 1, li * 12 + 12),
+                         ' ') AS line
+  FROM toks,
+       unnest(range(0, CAST(ceil(len(t) / 12.0) AS INT))) AS r(li)
+),
+hl AS (SELECT doc_id, li, line, md5(trim(line)) AS lh FROM ln),
+boiler AS (
+  SELECT lh FROM hl GROUP BY lh HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (SELECT * FROM hl WHERE lh NOT IN (SELECT lh FROM boiler)),
+totals AS (SELECT doc_id, count(*) AS n_lines FROM hl GROUP BY 1),
+folded AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY li) AS clean_text
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(coalesce(f.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(f.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN folded f ON f.doc_id = t.doc_id""",
         "text_fingerprint": f"""
 SELECT doc_id, md5({norm}) AS fingerprint FROM documents""",
         "text_repetition": """
@@ -1361,6 +1421,34 @@ SELECT * FROM (
            * 1000000) AS BIGINT) AS sim_ppm
   FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 ) WHERE sim_ppm >= 800000""",
+        "embed_semdedup": """
+WITH aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05)
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (
+  SELECT vec_id, v,
+           (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS cell
+  FROM aug
+),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE CAST(floor(
+          list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v)))
+          * 1000000) AS BIGINT) >= 900000
+),
+dup AS (SELECT b_id AS vec_id, min(a_id) AS dup_of FROM pairs GROUP BY 1)
+SELECT c.vec_id, c.cell, d.dup_of IS NULL AS keep, d.dup_of
+FROM c LEFT JOIN dup d ON d.vec_id = c.vec_id""",
         "events_sessionize": """
 WITH g AS (
   SELECT user_id, event_id, ts,

@@ -389,3 +389,57 @@ def test_media_real_decode_auto(spark):
     assert ppm["feat"][4] == pytest.approx(0.5, abs=0.01)  # mean blue
     assert not got["m-txt"]["decoded"]                     # stub fallback
     assert len(got["m-txt"]["feat"]) == 8
+
+
+@pytest.mark.spark
+def test_line_dedup_drops_cross_doc_lines_only(spark):
+    """A line in >= min_docs distinct docs disappears from every doc;
+    unique lines survive in original order; an all-boilerplate doc
+    keeps its row with empty clean_text."""
+    from web_graph_spark.functions.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b\nshared line\nc d"),
+         (2, "shared line\ne f"),
+         (3, "g h"),
+         (4, "shared line")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in line_dedup(docs).collect()}
+    assert got[1] == dict(doc_id=1, n_lines=3, n_kept=2,
+                          clean_text="a b\nc d")
+    assert got[2] == dict(doc_id=2, n_lines=2, n_kept=1, clean_text="e f")
+    assert got[3] == dict(doc_id=3, n_lines=1, n_kept=1, clean_text="g h")
+    assert got[4] == dict(doc_id=4, n_lines=1, n_kept=0, clean_text="")
+
+
+@pytest.mark.spark
+def test_line_dedup_same_doc_repeat_not_boilerplate(spark):
+    """count is DISTINCT docs: a line repeated within ONE doc is not
+    boilerplate."""
+    from web_graph_spark.functions.text import line_dedup
+
+    docs = spark.createDataFrame([(1, "x y\nx y"), (2, "p q")],
+                                 "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in line_dedup(docs).collect()}
+    assert got[1]["n_kept"] == 2 and got[1]["clean_text"] == "x y\nx y"
+
+
+@pytest.mark.spark
+def test_semdedup_drop_rule_and_cell_boundary_miss(spark):
+    """Hand-built corpus: exact copy and a 0.935-cosine neighbour in
+    the same cell are dropped (dup_of = min id); a 0.935-cosine
+    neighbour whose first sign bit flipped lands in another cell and
+    is kept — the documented SemDeDup cluster-boundary miss."""
+    from web_graph_spark.functions.similarity import semdedup
+
+    rows = [(1, [1.0] * 8),
+            (2, [1.0] * 8),                                  # identical
+            (3, [1.0] * 7 + [0.0]),                          # cos .9354
+            (4, [-0.001] + [1.0] * 7)]                       # cos .9353, cell flip
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r.asDict()
+           for r in semdedup(df, tau_ppm=900000, n_bits=4).collect()}
+    assert got[1]["keep"] and got[1]["dup_of"] is None
+    assert not got[2]["keep"] and got[2]["dup_of"] == 1
+    assert not got[3]["keep"] and got[3]["dup_of"] == 1
+    assert got[4]["keep"] and got[4]["cell"] != got[1]["cell"]

@@ -330,6 +330,45 @@ def sign_cell(vec_col, n_bits: int = 4):
     return c
 
 
+def semdedup(items: DataFrame, tau_ppm: int = 900000, n_bits: int = 4,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Semantic deduplication of an embedding corpus (SemDeDup, Abbas
+    et al. 2023): coarse-cluster every vector, compare pairs ONLY
+    within a cluster, and drop an item when a same-cell neighbour with
+    a smaller id reaches cosine ``tau_ppm/1e6`` (min-id is the
+    deterministic stand-in for the paper's keep-closest-to-centroid
+    tie-break).  Returns ``(id, cell, keep, dup_of)`` for every input
+    item, ``dup_of`` = the smallest qualifying neighbour id.
+
+    The threshold compares ``floor(cosine · 1e6)`` as an integer so an
+    oracle in another engine cannot flip a boundary pair on float
+    summation order.
+
+    Scale shape: the cell id bounds the quadratic — the self-join keys
+    on ``cell`` (a shuffle hash join; both sides are the corpus, never
+    a broadcast), so pair volume is Σ|cell|², the SemDeDup design
+    point.  At 10^9+ vectors raise ``n_bits`` (or swap
+    :func:`sign_cell` for trained centroids via ``cell_col``) so cells
+    stay bounded, and write the corpus partitioned by cell to make the
+    join zero-Exchange — exactly the layout
+    :func:`ivf_pq_write_index` produces.
+    """
+    t = items.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     sign_cell(F.col(vec_col), n_bits).alias("cell"))
+    a = t.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"), "cell")
+    b = t.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"), "cell")
+    pairs = (a.join(b, "cell")
+             .filter(F.col("a_id") < F.col("b_id"))
+             .filter(F.floor(cosine(F.col("a_v"), F.col("b_v")) * 1000000)
+                     .cast("long") >= tau_ppm))
+    dup = (pairs.groupBy(F.col("b_id").alias("id"))
+           .agg(F.min("a_id").alias("dup_of")))
+    return (t.join(dup, "id", "left")
+            .select(F.col("id").alias(id_col), "cell",
+                    F.col("dup_of").isNull().alias("keep"), "dup_of"))
+
+
 def _coarse_train(items: DataFrame, dim: int, n_cells: int, iters: int,
                   seed: int, id_col: str, vec_col: str, sample=None):
     """Seeded k-means coarse centroids over the unit-normalized

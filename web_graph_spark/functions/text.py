@@ -166,6 +166,51 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                     .alias("dup_trigram_bp")))
 
 
+def line_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", min_docs: int = 2) -> DataFrame:
+    """Corpus-level duplicated-line removal (the RefinedWeb / CCNet
+    boilerplate pass): a line whose trimmed md5 occurs in at least
+    ``min_docs`` DISTINCT documents is dropped from EVERY document;
+    surviving lines are reassembled in original order.  Returns
+    ``(doc_id, n_lines, n_kept, clean_text)`` — one row per input doc,
+    ``clean_text = ''`` when everything was boilerplate.
+
+    Physical shape: posexplode lines → distinct-doc count per line
+    hash → anti-join → fold per doc.  The line-hash key is where web
+    boilerplate skews hard ('| privacy policy |' in 10^8 docs), which
+    is why the count is an aggregation (map-side partials absorb the
+    hot keys) and the removal is an anti-join against the SMALL
+    boilerplate set (AQE broadcasts it when it fits) — never a join
+    against the raw line table.  Reassembly shuffles on doc_id,
+    uniform by construction.
+    """
+    lines = (df.select(F.col(id_col).alias("doc_id"),
+                       F.posexplode(F.split(F.col(text_col), "\n"))
+                       .alias("pos", "line"))
+             .withColumn("lh", F.md5(F.trim(F.col("line")))))
+    boiler = (lines.groupBy("lh")
+              .agg(F.countDistinct("doc_id").alias("nd"))
+              .filter(F.col("nd") >= min_docs)
+              .select("lh"))
+    kept = lines.join(boiler, "lh", "left_anti")
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    folded = (kept.groupBy("doc_id")
+              .agg(F.count("*").alias("n_kept"),
+                   F.concat_ws(
+                       "\n",
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct("pos", "line"))),
+                           lambda s: s["line"])).alias("clean_text")))
+    return (totals.join(folded, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_lines").cast("long").alias("n_lines"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    F.coalesce("clean_text", F.lit(""))
+                    .alias("clean_text")))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL mirrors (generated from the same constants so the
 # two dialects cannot drift)
