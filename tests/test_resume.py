@@ -145,3 +145,34 @@ def test_injected_store_seam(spark, tmp_path):
         ra = sorted(map(tuple, a.store.read(t).collect()))
         rb = sorted(map(tuple, b.store.read(t).collect()))
         assert ra and ra == rb, t
+
+
+@pytest.mark.spark
+def test_metrics_backfill_after_crash_window(spark, small_fix, tmp_path):
+    """The metrics table write is async (post-commit): simulate a crash
+    that lost one committed wave's metrics partition and check resume
+    re-derives the wave-scope counter rows from the manifest, keeping
+    the read API's no-scan counts exact."""
+    import shutil
+
+    from web_graph_spark.api import LinkApi
+
+    state = tmp_path / "state"
+    c1 = _crawler(spark, small_fix, state, max_waves=3)
+    c1.run()
+    lost = c1.store.committed_wave()
+    man = c1.store.manifest(lost)
+    assert man["scheduled"] > 0 and "pages_new" in man
+    shutil.rmtree(state / "metrics" / f"wave={lost}")
+
+    c2 = _crawler(spark, small_fix, state, max_waves=3)  # no new waves
+    c2.run()
+    met = c2.store.read("metrics")
+    back = {r["key"]: r["value"] for r in
+            met.filter((met["scope"] == "wave")
+                       & (met["wave"] == lost)).collect()}
+    assert back["n_scheduled"] == man["scheduled"]
+    assert back["n_pages_new"] == man["pages_new"]
+    api = LinkApi.from_store(c2.store)
+    assert api.count_pages() == c2.store.read("pages").count()
+    assert api.count_links() == c2.store.read("edges").count()

@@ -227,6 +227,19 @@ class SparkCrawler:
         # _cuckoo_write / _flush_prunes.
         self._prune_after_commit: list[tuple[str, int]] = []
         self.metrics: list[WaveMetrics] = []
+        # The per-wave metrics table write is observability data nothing
+        # in the wave loop reads back, so it rides a single background
+        # writer thread and overlaps the manifest commit + the next
+        # wave's planning instead of serializing one extra Spark job per
+        # wave.  At most one wave's write is in flight (submitting wave
+        # N first joins wave N-1's future, which also bounds the cached
+        # DataFrames kept alive for it); run() joins the writer before
+        # compaction and on exit.  A crash inside the commit→metrics
+        # window can lose only advisory rows: the counters the read API
+        # needs (pages_new/edges_new) are duplicated into the manifest
+        # and re-derived on resume (_backfill_metrics).
+        self._metrics_fut = None
+        self._metrics_ex = None
         # Robots evaluation scope (VERDICT r3 #1): at the 10^10-URL
         # frontier the rules dim is per-host — 10^7-10^8 hosts of
         # compiled prefix lists do NOT fit through the driver or one
@@ -504,36 +517,47 @@ class SparkCrawler:
         number of completed waves (resumable at any point)."""
         start_wave = self.store.committed_wave() + 1
         assert start_wave >= 0, "call init_from_seeds first"
+        self._backfill_metrics()
         next_seq = self.store.manifest(self.store.committed_wave())["next_seq"]
         wave = start_wave
-        while wave < self.max_waves:
-            t_wave = time.monotonic()
-            n_sched, next_seq, more = self._run_wave(wave, next_seq)
-            if self.pace_waves and self.wave_seconds:
-                # enforce the declared cadence — without this, the
-                # per-wave budgets/wave_period derived from
-                # wave_seconds over-fetch in wall-clock whenever waves
-                # (especially empty deferred ones) finish early.
-                remaining = self.wave_seconds - (time.monotonic() - t_wave)
-                if remaining > 0 and (n_sched > 0 or more):
-                    time.sleep(remaining)
-            if n_sched == 0 and not more:
-                break
-            if n_sched == 0:
+        try:
+            while wave < self.max_waves:
+                t_wave = time.monotonic()
+                n_sched, next_seq, more = self._run_wave(wave, next_seq)
+                if self.pace_waves and self.wave_seconds:
+                    # enforce the declared cadence — without this, the
+                    # per-wave budgets/wave_period derived from
+                    # wave_seconds over-fetch in wall-clock whenever waves
+                    # (especially empty deferred ones) finish early.
+                    remaining = self.wave_seconds - (time.monotonic() - t_wave)
+                    if remaining > 0 and (n_sched > 0 or more):
+                        time.sleep(remaining)
+                if n_sched == 0 and not more:
+                    break
+                if n_sched == 0:
+                    wave += 1
+                    continue
+                if self.compact_every and (wave + 1) % self.compact_every == 0:
+                    # between-waves state compaction (storage.py): fold the
+                    # committed wave partitions into size-tiered segments so
+                    # long crawls don't accrete one dir per table per wave.
+                    # cuckoo_state/bloom_state are excluded — they are
+                    # full-replacement per wave (old blobs are garbage,
+                    # not history), so merging would rewrite dead bytes.
+                    # compaction rewrites the metrics table too → the
+                    # in-flight background write must land first.
+                    self._await_metrics()
+                    self.store.compact(
+                        upto=wave,
+                        names=[t for t in self.store_tables()
+                               if t not in ("cuckoo_state", "bloom_state")])
                 wave += 1
-                continue
-            if self.compact_every and (wave + 1) % self.compact_every == 0:
-                # between-waves state compaction (storage.py): fold the
-                # committed wave partitions into size-tiered segments so
-                # long crawls don't accrete one dir per table per wave.
-                # cuckoo_state/bloom_state are excluded — they are
-                # full-replacement per wave (old blobs are garbage,
-                # not history), so merging would rewrite dead bytes.
-                self.store.compact(
-                    upto=wave,
-                    names=[t for t in self.store_tables()
-                           if t not in ("cuckoo_state", "bloom_state")])
-            wave += 1
+        finally:
+            # join the background metrics writer before returning so
+            # callers (API serving, tests, a process exit) observe a
+            # fully-written metrics table — and writer errors surface
+            # here rather than vanishing with the thread.
+            self._await_metrics()
         return wave
 
     @staticmethod
@@ -541,6 +565,68 @@ class SparkCrawler:
         from .storage import SCHEMAS
 
         return list(SCHEMAS)
+
+    # ------------------------------------------------------------------
+    def _await_metrics(self) -> None:
+        """Join the in-flight background metrics write, surfacing any
+        writer exception on the caller's thread."""
+        fut, self._metrics_fut = self._metrics_fut, None
+        if fut is not None:
+            fut.result()
+
+    def _submit_metrics(self, task) -> None:
+        """Queue one wave's metrics write on the single writer thread.
+        Joins the previous wave's write first, so at most one wave's
+        write (and its pinned caches) is ever in flight."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._await_metrics()
+        if self._metrics_ex is None:
+            self._metrics_ex = ThreadPoolExecutor(
+                1, thread_name_prefix="wgs-metrics")
+        self._metrics_fut = self._metrics_ex.submit(task)
+
+    def _backfill_metrics(self) -> None:
+        """Resume guard for the async metrics writer: a crash inside
+        the commit→metrics window leaves a committed productive wave
+        without (or with a partial) metrics partition.  Re-derive that
+        wave's wave-scope counter rows from its manifest — pages_new/
+        edges_new ride the commit for exactly this — so the read API's
+        no-scan counts stay exact.  Phase timings and per-partition
+        rows are advisory and stay lost for such a wave (a rewrite
+        replaces any partial partition, keeping reads unambiguous)."""
+        last = self.store.committed_wave()
+        if last < 0:
+            return
+        have = {
+            r["wave"]
+            for r in (self.store.read("metrics")
+                      .filter((F.col("scope") == "wave")
+                              & (F.col("key") == "n_scheduled"))
+                      .select("wave").distinct().collect())}
+        for w in range(last + 1):
+            man = self.store.manifest(w)
+            if (man is None or w in have or not man.get("scheduled")
+                    or "pages_new" not in man):
+                # deferred waves never write metrics; pre-pages_new
+                # manifests predate the async writer (their metrics
+                # were written synchronously, before commit)
+                continue
+            keys = {"n_scheduled": man["scheduled"],
+                    "n_enqueued": man["enqueued"],
+                    "n_blocked": man["blocked"],
+                    "n_injected": man["injected"],
+                    "n_pages_new": man["pages_new"],
+                    "n_edges_new": man["edges_new"],
+                    "wall_ms": man["wall_ms"]}
+            rows = [("wave", -1, k, float(v)) for k, v in keys.items()]
+            self.store.write(
+                "metrics",
+                self.spark.createDataFrame(
+                    rows,
+                    "scope string, partition_id int, key string, "
+                    "value double"),
+                w)
 
     # ------------------------------------------------------------------
     def _flush_prunes(self) -> None:
@@ -1050,25 +1136,30 @@ class SparkCrawler:
         part_rows = (_per_partition(scheduled, "fetch_urls_scheduled")
                      .unionByName(_per_partition(links, "fetch_links_extracted"))
                      .unionByName(_per_partition(targets, "dedupe_enqueued")))
-        store.write("metrics", wave_rows.unionByName(part_rows), wave)
+        metrics_df = wave_rows.unionByName(part_rows)
+        extra_caches = [c for c in (blocked, injected, pending_cache)
+                        if c is not None]
+
+        def _metrics_task():
+            # the unpersists must FOLLOW the write: part_rows scans the
+            # cached stage outputs, and an eager unpersist would force a
+            # lineage recompute through the (side-effectful) fetch
+            store.write("metrics", metrics_df, wave)
+            fseq.release(targets)
+            for c in (targets, links, expandable_cached, scheduled,
+                      *extra_caches):
+                c.unpersist()
+
+        self._submit_metrics(_metrics_task)
         next_seq += n_enqueued
         # blocked is committed so a resumed crawl can reconstruct |seen|
-        # from manifests alone (_seen_rows_upto)
+        # from manifests alone (_seen_rows_upto); pages_new/edges_new so
+        # a crash before the async metrics write lands can be backfilled
         store.commit(wave, next_seq=next_seq, scheduled=n_sched,
                      enqueued=n_enqueued, blocked=n_blocked,
-                     injected=n_injected, wall_ms=wall_ms)
+                     injected=n_injected, wall_ms=wall_ms,
+                     pages_new=n_pages_new, edges_new=n_edges_new)
         self._flush_prunes()
         if self._seen_rows is not None:
             self._seen_rows += n_sched + n_blocked
-        fseq.release(targets)
-        targets.unpersist()
-        links.unpersist()
-        expandable_cached.unpersist()
-        scheduled.unpersist()
-        if blocked is not None:
-            blocked.unpersist()
-        if injected is not None:
-            injected.unpersist()
-        if pending_cache is not None:
-            pending_cache.unpersist()
         return n_sched, next_seq, True
