@@ -755,6 +755,20 @@ def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(lined, min_docs=2)
 
 
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: cut the corpus token stream (doc_id
+    order) every 512 tokens; per doc → pack id / offset / packs
+    spanned.  Deliberately runs the 10^10-safe SCALE path (range
+    partition + per-partition token totals + mapInPandas running sum —
+    functions/text.py:pack_sequences), so the oracle's exact global
+    window certifies the distributed prefix sum itself."""
+    from web_graph_spark.functions.text import pack_sequences, token_count
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+    return pack_sequences(d, budget=512)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: derived media table → mapInPandas feature
     extraction (deterministic stub decode; rows-only check)."""
@@ -864,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_mix": q_corpus_sample_mix,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_line_dedup": q_corpus_line_dedup,
+        "corpus_pack_sequences": q_corpus_pack_sequences,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -1226,6 +1241,23 @@ SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
        CAST(coalesce(f.n_kept, 0) AS BIGINT) AS n_kept,
        coalesce(f.clean_text, '') AS clean_text
 FROM totals t LEFT JOIN folded f ON f.doc_id = t.doc_id""",
+        "corpus_pack_sequences": f"""
+WITH t AS (
+  SELECT doc_id, CAST({n_tok} AS BIGINT) AS n_tokens FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS off
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(off // 512 AS BIGINT) AS pack_id,
+       CAST(off % 512 AS BIGINT) AS offset_in_pack,
+       CAST((off + greatest(n_tokens, 1) - 1) // 512 - off // 512 + 1
+            AS BIGINT) AS n_packs_spanned
+FROM o""",
         "text_fingerprint": f"""
 SELECT doc_id, md5({norm}) AS fingerprint FROM documents""",
         "text_repetition": """

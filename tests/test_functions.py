@@ -443,3 +443,51 @@ def test_semdedup_drop_rule_and_cell_boundary_miss(spark):
     assert not got[2]["keep"] and got[2]["dup_of"] == 1
     assert not got[3]["keep"] and got[3]["dup_of"] == 1
     assert got[4]["keep"] and got[4]["cell"] != got[1]["cell"]
+
+
+@pytest.mark.spark
+def test_pack_sequences_hand_case_both_paths(spark):
+    """Hand-computed packing, run through BOTH physical paths (global
+    window vs range-partition + mapInPandas prefix sum) — identical
+    packs is the whole contract of the scale path."""
+    from web_graph_spark.functions.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 600), (4, 10)],
+        "doc_id long, n_tokens long")
+    expect = {1: (0, 0, 1), 2: (0, 300, 2), 3: (1, 88, 2), 4: (2, 176, 1)}
+    for small_hint in (4, None):          # window path, then scale path
+        got = {r["doc_id"]: (r["pack_id"], r["offset_in_pack"],
+                             r["n_packs_spanned"])
+               for r in pack_sequences(docs, budget=512,
+                                       small_hint=small_hint,
+                                       num_partitions=3).collect()}
+        assert got == expect, f"small_hint={small_hint}"
+
+
+@pytest.mark.spark
+def test_pack_sequences_paths_agree_and_zero_tokens(spark):
+    """200-doc deterministic corpus with zero-token docs: the two
+    physical paths agree row-for-row, offsets are contiguous, and a
+    0-token doc spans exactly 1 pack at its start offset."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.text import pack_sequences
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.when(F.col("id") % 17 == 0, 0)
+         .otherwise((F.col("id") * 37) % 97 + 1)).alias("n_tokens"))
+    a = pack_sequences(docs, budget=64, small_hint=200).collect()
+    b = pack_sequences(docs, budget=64, num_partitions=7).collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(a) == key(b)
+    rows = {r["doc_id"]: r for r in a}
+    assert all(rows[i]["n_packs_spanned"] == 1
+               for i in range(0, 200, 17))
+    # offsets reconstruct the exclusive prefix sum exactly
+    off = 0
+    for i in range(200):
+        r = rows[i]
+        assert r["pack_id"] * 64 + r["offset_in_pack"] == off
+        off += r["n_tokens"]

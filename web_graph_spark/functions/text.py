@@ -211,6 +211,98 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
                     .alias("clean_text")))
 
 
+SMALL_PACK_THRESHOLD = 200_000
+
+
+def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
+                   tokens_col: str = "n_tokens",
+                   num_partitions: int | None = None,
+                   small_hint: int | None = None) -> DataFrame:
+    """Training-sequence packing: concatenate the corpus token stream
+    in ``id_col`` order and cut it every ``budget`` tokens (the
+    GPT-style packed-batch layout).  Per document:
+
+    * ``pack_id``          — pack its first token lands in
+    * ``offset_in_pack``   — its start offset inside that pack
+    * ``n_packs_spanned``  — packs it touches (1 = no boundary cross)
+
+    Everything derives from the EXCLUSIVE prefix sum of token counts.
+    A global ``sum() over (order by id)`` window collapses to one
+    partition — a non-starter at 10^10 docs — so past ``small_hint``
+    the sum runs as the weighted analog of
+    :func:`web_graph_spark.operators.frontier.ordered_seq`:
+    range-partition by id, per-partition token totals (a tiny
+    driver-side array; the persist pins the sampled range boundaries so
+    both passes see identical partitioning), then ``offset +
+    local running sum`` assigned in ``mapInPandas`` — fully parallel
+    and deterministic.  Small corpora take the one-window plan (a
+    single tiny partition IS the right plan there); both paths produce
+    identical packs (pinned by test).
+    """
+    d = df.select(F.col(id_col).alias("__id"),
+                  F.col(tokens_col).cast("long").alias("n_tokens"))
+    cached = None
+    if small_hint is not None and small_hint <= SMALL_PACK_THRESHOLD:
+        from pyspark.sql import Window
+
+        w = (Window.orderBy("__id")
+             .rowsBetween(Window.unboundedPreceding, -1))
+        body = d.withColumn("__off",
+                            F.coalesce(F.sum("n_tokens").over(w),
+                                       F.lit(0)))
+    else:
+        from typing import Iterator
+
+        import pandas as pd
+
+        if num_partitions is None:
+            num_partitions = int(d.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+        parted = (d.repartitionByRange(num_partitions, "__id")
+                  .sortWithinPartitions("__id")
+                  .withColumn("__pid", F.spark_partition_id())
+                  .persist())
+        sums = {r["__pid"]: r["s"] for r in
+                parted.groupBy("__pid")
+                .agg(F.sum("n_tokens").alias("s")).collect()}
+        offsets, acc = {}, 0
+        for pid in sorted(sums):
+            offsets[pid] = acc
+            acc += int(sums[pid])
+
+        schema = parted.drop("__pid").schema.add("__off", "long")
+        cols = [f.name for f in schema.fields]
+
+        def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            local = 0
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                pid = int(pdf["__pid"].iloc[0])
+                out = pdf.drop(columns="__pid")
+                out["__off"] = (offsets[pid] + local
+                                + (pdf["n_tokens"].cumsum()
+                                   - pdf["n_tokens"]))
+                local += int(pdf["n_tokens"].sum())
+                yield out[cols]
+
+        body = parted.mapInPandas(assign, schema=schema)
+        cached = parted
+    b = int(budget)
+    # integer DIV keeps the arithmetic exact at any corpus size (no
+    # double-precision detour past 2^53 tokens)
+    last = f"(__off + greatest(n_tokens, 1L) - 1L)"
+    out = body.select(
+        F.col("__id").alias(id_col), "n_tokens",
+        F.expr(f"__off DIV {b}").cast("long").alias("pack_id"),
+        (F.col("__off") % F.lit(b)).cast("long").alias("offset_in_pack"),
+        F.expr(f"{last} DIV {b} - __off DIV {b} + 1L").cast("long")
+        .alias("n_packs_spanned"))
+    if cached is not None:
+        out._wgs_cached_parent = cached  # frontier.release-compatible
+    return out
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL mirrors (generated from the same constants so the
 # two dialects cannot drift)
