@@ -213,6 +213,34 @@ def q_crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scheduled.select("doc_id", "host", "seq", "host_rank")
 
 
+def q_crawl_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority-guided frontier scheduling (round 4): pending URLs are
+    prioritized by their page in-degree in the link graph (the
+    OPIC-style upgrade from pure BFS — fetch what the web points at
+    first), then budget-capped per host through the same
+    `schedule_wave` the crawler uses.  This certifies the operator's
+    ``priority_col`` path against an oracle (the politeness contract
+    query covers the FIFO path).  Physical shape: in-degree is one
+    uniform-key agg with map-side partials, the authority join keys on
+    doc_id (uniform), and the per-host cap is a constant-bound
+    WindowGroupLimit — map-side top-K, no global sort anywhere."""
+    from web_graph_spark.operators.politeness import schedule_wave
+
+    links = webgen.links_full_df(spark, sf_dir).filter(F.col("k") % 4 != 0)
+    indeg = (links.select("src_doc_id", "tgt_doc_id").distinct()
+             .groupBy("tgt_doc_id").agg(F.count("*").alias("indeg")))
+    pending = (webgen.pages_df(spark, sf_dir)
+               .select("doc_id", "host", F.col("doc_id").alias("seq"))
+               .join(indeg.withColumnRenamed("tgt_doc_id", "doc_id"),
+                     "doc_id", "left")
+               .withColumn("indeg",
+                           F.coalesce("indeg", F.lit(0)).cast("long"))
+               .withColumn("neg_auth", -F.col("indeg")))
+    scheduled, _cap = schedule_wave(pending, None, default_budget=3,
+                                    priority_col="neg_auth")
+    return scheduled.select("doc_id", "host", "seq", "indeg", "host_rank")
+
+
 def q_graph_links_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 GetLinksFrom(41, 100): distinct out-neighbors, limit 100."""
     return (webgen.links_full_df(spark, sf_dir)
@@ -448,6 +476,21 @@ def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((bucket == "low") & (coin < "1999")))
     return (feats.withColumn("bucket", bucket).filter(keep)
             .select("doc_id", "bucket", "n_tokens", "quality_score"))
+
+
+def q_corpus_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-n-gram importance weighting (round 4) — score
+    every document by how target-like its token distribution is
+    (target = the English slice of the corpus).  The heavy lifting is
+    `importance_weights` (functions/text.py): md5-prefix hashed
+    buckets so Spark and DuckDB agree bit-for-bit, integer rational
+    likelihood ratios instead of float logs, corpus scanned exactly
+    twice, weight dim ≤4096 rows (always a broadcast)."""
+    from web_graph_spark.functions.text import importance_weights
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    return importance_weights(docs.select("doc_id", "text"), target)
 
 
 def _decontam_corpus(spark: SparkSession, sf_dir: str):
@@ -860,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_eval": q_crawl_robots_eval,
         "crawl_budget_derive": q_crawl_budget_derive,
         "crawl_politeness_schedule": q_crawl_politeness_schedule,
+        "crawl_priority_rank": q_crawl_priority_rank,
         "graph_links_from": q_graph_links_from,
         "graph_links_to": q_graph_links_to,
         "graph_page_composite": q_graph_page_composite,
@@ -876,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "corpus_curate": q_corpus_curate,
         "corpus_sample_mix": q_corpus_sample_mix,
+        "corpus_importance": q_corpus_importance,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_pack_sequences": q_corpus_pack_sequences,
@@ -962,6 +1007,24 @@ WHERE d > 0"""),
 SELECT r.doc_id, r.host, r.seq, r.host_rank
 FROM ranked r LEFT JOIN bud USING (host)
 WHERE r.host_rank <= COALESCE(bud.b, 5)"""),
+        "crawl_priority_rank": _oracle("""
+, indeg AS (
+  SELECT tgt_doc_id AS doc_id, count(*) AS indeg
+  FROM (SELECT DISTINCT src_doc_id, tgt_doc_id
+        FROM web_links_full WHERE k % 4 <> 0)
+  GROUP BY 1
+), pending AS (
+  SELECT p.doc_id, p.host, p.doc_id AS seq,
+         CAST(coalesce(i.indeg, 0) AS BIGINT) AS indeg
+  FROM web_pages p LEFT JOIN indeg i USING (doc_id)
+), ranked AS (
+  SELECT doc_id, host, seq, indeg,
+         CAST(row_number() OVER (PARTITION BY host
+              ORDER BY -indeg, seq) AS INTEGER) AS host_rank
+  FROM pending
+)
+SELECT doc_id, host, seq, indeg, host_rank
+FROM ranked WHERE host_rank <= 3"""),
         "graph_links_from": _oracle("""
 SELECT DISTINCT tgt_doc_id AS to_doc_id FROM web_links_full
 WHERE src_doc_id = 41 AND k % 4 <> 0 ORDER BY 1 LIMIT 100"""),
@@ -1180,6 +1243,40 @@ SELECT doc_id, bucket, n_tokens, quality_score FROM b
 WHERE bucket = 'high'
    OR (bucket = 'mid' AND coin < '8000')
    OR (bucket = 'low' AND coin < '1999')""",
+        "corpus_importance": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+bi AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+),
+cg AS (
+  SELECT doc_id, substr(md5(g), 1, 3) AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+tg AS (
+  SELECT c.b
+  FROM cg c JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en'
+),
+ctr AS (SELECT b, count(*) AS ct_r FROM cg GROUP BY 1),
+ctt AS (SELECT b, count(*) AS ct_t FROM tg GROUP BY 1),
+totr AS (SELECT sum(ct_r) AS tot_r FROM ctr),
+tott AS (SELECT coalesce(sum(ct_t), 0) AS tot_t FROM ctt),
+w AS (
+  SELECT ctr.b,
+         ((coalesce(ct_t, 0) + 1) * (tot_r + 4096) * 10000)
+         // ((ct_r + 1) * (tot_t + 4096)) AS w
+  FROM ctr LEFT JOIN ctt USING (b), totr, tott
+)
+SELECT cg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(w.w) AS BIGINT) AS imp_sum,
+       CAST(sum(w.w) // count(*) AS BIGINT) AS imp_avg_bp
+FROM cg JOIN w USING (b)
+GROUP BY 1""",
         "corpus_decontaminate": f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents

@@ -65,6 +65,35 @@ def test_repetition_stats_known_values_and_short_docs(spark):
 
 
 @pytest.mark.spark
+def test_importance_weights_identity_and_ranking(spark):
+    """DSIR importance weights: when target == corpus every bucket's
+    likelihood ratio is exactly 1 (10000 bp) — the add-one smoothing
+    terms cancel — and a target drawn from one doc's vocabulary ranks
+    that doc above a vocabulary-disjoint doc."""
+    from web_graph_spark.functions.text import importance_weights
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"),
+         (1, "the dog ran to the mat"),
+         (2, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    same = importance_weights(docs, docs)
+    assert {r["imp_avg_bp"] for r in same.collect()} == {10000}
+
+    tgt = docs.filter("doc_id = 0").select("doc_id", "text")
+    got = {r["doc_id"]: r.asDict()
+           for r in importance_weights(docs, tgt).collect()}
+    assert got[0]["imp_sum"] > got[2]["imp_sum"]
+    # grams disjoint from the target sit below neutral (ct_T = 0
+    # buckets); add-one smoothing over 4096 buckets keeps every value
+    # well away from the unsmoothed extremes on a corpus this tiny
+    assert got[0]["imp_avg_bp"] > got[1]["imp_avg_bp"] > got[2]["imp_avg_bp"]
+    assert got[2]["imp_avg_bp"] < 10000
+    # n_grams = tokens + bigrams = 2 * n_tokens - 1
+    assert got[0]["n_grams"] == 11 and got[2]["n_grams"] == 11
+
+
+@pytest.mark.spark
 def test_lang_guess_deterministic(spark, docs):
     from web_graph_spark.functions.text import LANG_MARKERS, with_lang_guess
 

@@ -166,6 +166,84 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                     .alias("dup_trigram_bp")))
 
 
+def importance_weights(corpus: DataFrame, target: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       bucket_hex: int = 3) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every corpus document by how much its token distribution
+    resembles a TARGET corpus relative to the raw corpus — the
+    data-selection step that picks pre-training data to match a
+    high-quality domain.
+
+    Grams (unigrams + bigrams) hash into ``B = 16**bucket_hex``
+    buckets keyed by the first ``bucket_hex`` hex chars of md5 — the
+    digest string is identical in every engine, so the whole statistic
+    is cross-engine exact.  Where the paper sums ``log(p_T/p_R)``
+    (float log is the one step two engines can disagree on at the
+    ulp), each bucket instead carries the integer rational likelihood
+    ratio in basis points::
+
+        w(b) = ((ct_T(b)+1) * (tot_R+B) * 10000)
+               DIV ((ct_R(b)+1) * (tot_T+B))
+
+    (add-one smoothing over the B buckets) and a document's score is
+    the SUM of ``w`` over its gram occurrences — a monotone
+    likelihood-ratio statistic with the same selection behaviour,
+    reproducible bit-for-bit.  bigint is exact up to ~10^9-gram
+    corpora at the default B; past that cast the two products to
+    decimal(38,0) (same discipline as the components digest).
+
+    Physical shape: one explode over the corpus → bucket-count agg
+    (≤B distinct keys, map-side partials absorb everything), the same
+    over the target; the two ≤B-row count tables meet the scoring join
+    as a broadcast dim, and the per-doc score is one agg on doc_id.
+    At 100 TB the corpus is scanned exactly twice (once for ct_R, once
+    to score) and the weight dim never exceeds B rows — nothing scales
+    with corpus size except the two linear passes.
+
+    Returns ``(doc_id, n_grams, imp_sum, imp_avg_bp)``; 10000 bp =
+    "this doc's grams are distribution-neutral", higher = target-like.
+    """
+    n_buckets = 16 ** bucket_hex
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = df.select(F.col(id_col).alias("doc_id"),
+                         F.split(F.col(text_col), " ").alias("t"))
+        uni = toks.select("doc_id", F.explode("t").alias("g"))
+        bi = toks.select("doc_id", F.explode(F.expr(_BIGRAMS)).alias("g"))
+        return (uni.unionByName(bi)
+                .withColumn("b", F.substring(F.md5(F.col("g")), 1,
+                                             bucket_hex)))
+
+    def bucket_counts(g: DataFrame, out: str) -> DataFrame:
+        return g.groupBy("b").agg(F.count("*").cast("long").alias(out))
+
+    corpus_grams = grams(corpus)
+    ct_r = bucket_counts(corpus_grams, "ct_r")
+    ct_t = bucket_counts(grams(target), "ct_t")
+    tot_r = ct_r.agg(F.sum("ct_r").alias("tot_r"))
+    tot_t = ct_t.agg(F.coalesce(F.sum("ct_t"), F.lit(0)).alias("tot_t"))
+
+    weights = (ct_r
+               .join(ct_t, "b", "left")
+               .crossJoin(F.broadcast(tot_r))
+               .crossJoin(F.broadcast(tot_t))
+               .select("b", F.expr(
+                   f"((coalesce(ct_t, 0) + 1) * (tot_r + {n_buckets})"
+                   f" * 10000) div ((ct_r + 1) * (tot_t + {n_buckets}))")
+                   .cast("long").alias("w")))
+
+    return (corpus_grams
+            .join(F.broadcast(weights), "b")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_grams"),
+                 F.sum("w").cast("long").alias("imp_sum"))
+            .select("doc_id", "n_grams", "imp_sum",
+                    F.expr("imp_sum div n_grams").cast("long")
+                    .alias("imp_avg_bp")))
+
+
 def line_dedup(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", min_docs: int = 2) -> DataFrame:
     """Corpus-level duplicated-line removal (the RefinedWeb / CCNet
