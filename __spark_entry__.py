@@ -798,6 +798,19 @@ def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(lined, min_docs=2)
 
 
+def q_corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (duplicated-span) dedup at 5-gram granularity —
+    Lee et al. 2022 without the suffix array: tokens covered by any
+    corpus-duplicated word 5-gram are masked, maximal masked runs
+    merge into spans, survivors reassemble in order.  Runs over the
+    raw documents table (its built-in shared boilerplate is the
+    duplication source)."""
+    from web_graph_spark.functions.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir).select("doc_id", "text"),
+                      n=5, min_count=2)
+
+
 def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing: cut the corpus token stream (doc_id
     order) every 512 tokens; per doc → pack id / offset / packs
@@ -923,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_importance": q_corpus_importance,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_line_dedup": q_corpus_line_dedup,
+        "corpus_span_dedup": q_corpus_span_dedup,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1313,6 +1327,52 @@ SELECT c.doc_id,
        CAST(count(DISTINCT b.bench_doc) AS BIGINT) AS n_benchmark_docs
 FROM csh c JOIN bsh b ON c.s = b.s
 GROUP BY c.doc_id""",
+        "corpus_span_dedup": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS p, array_to_string(t[i:i+4], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - 3)) AS r(i)
+),
+dupg AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT gg.doc_id, gg.p + j AS pos
+  FROM g gg JOIN dupg USING (g), unnest(range(0, 5)) AS rr(j)
+),
+runs AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   = pos - 1 THEN 0 ELSE 1 END AS nr
+  FROM cov
+),
+cstat AS (
+  SELECT doc_id, count(*) AS dup_tokens, sum(nr) AS dup_spans
+  FROM runs GROUP BY 1
+),
+tp AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+  WHERE NOT EXISTS (SELECT 1 FROM cov
+                    WHERE cov.doc_id = tp.doc_id AND cov.pos = tp.pos)
+),
+cl AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY 1
+)
+SELECT tt.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(cs.dup_spans, 0) AS BIGINT) AS dup_spans,
+       CAST(coalesce(cs.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(floor(coalesce(cs.dup_tokens, 0) * 10000.0
+                  / greatest(len(t), 1)) AS BIGINT) AS dup_bp,
+       coalesce(cl.clean_text, '') AS clean_text
+FROM toks tt
+LEFT JOIN cstat cs USING (doc_id)
+LEFT JOIN cl USING (doc_id)""",
         "corpus_line_dedup": f"""
 WITH {dups_cte},
 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs_dups),

@@ -65,6 +65,33 @@ def test_repetition_stats_known_values_and_short_docs(spark):
 
 
 @pytest.mark.spark
+def test_span_dedup_hand_cases(spark):
+    """Exact-substring span dedup on hand-built docs: a cross-doc
+    shared 5-gram masks both sides, a within-doc repeat masks the
+    whole doc as ONE merged span, unique docs pass through intact."""
+    from web_graph_spark.functions.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h"),
+         (1, "x a b c d e y z"),
+         (2, "p q r s t u"),
+         (3, "m n o p q m n o p q")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in span_dedup(docs, n=5, min_count=2).collect()}
+    assert got[0] == dict(doc_id=0, n_tokens=8, dup_spans=1, dup_tokens=5,
+                          dup_bp=6250, clean_text="f g h")
+    assert got[1] == dict(doc_id=1, n_tokens=8, dup_spans=1, dup_tokens=5,
+                          dup_bp=6250, clean_text="x y z")
+    assert got[2] == dict(doc_id=2, n_tokens=6, dup_spans=0, dup_tokens=0,
+                          dup_bp=0, clean_text="p q r s t u")
+    # "m n o p q" repeats at pos 0 and 5 -> covered runs 0-4 and 5-9
+    # are adjacent -> merged into a single span covering everything
+    assert got[3] == dict(doc_id=3, n_tokens=10, dup_spans=1,
+                          dup_tokens=10, dup_bp=10000, clean_text="")
+
+
+@pytest.mark.spark
 def test_importance_weights_identity_and_ranking(spark):
     """DSIR importance weights: when target == corpus every bucket's
     likelihood ratio is exactly 1 (10000 bp) — the add-one smoothing

@@ -24,7 +24,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import normalize_text, with_fingerprint
@@ -268,6 +268,75 @@ def simhash_pairs(df: DataFrame, max_dist: int = 3,
                 F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
             .filter(F.col("hamming") <= max_dist)
             .select("id_a", "id_b", "hamming"))
+
+
+def span_dedup(df: DataFrame, n: int = 5, min_count: int = 2,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Duplicated-SPAN removal — the exact-substring dedup of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") at word ``n``-gram granularity: every token covered by an
+    ``n``-gram that occurs at least ``min_count`` times in the WHOLE
+    corpus is masked, maximal masked runs are merged into spans, and
+    the surviving tokens are reassembled in order.  Catches the
+    partially-copied documents (shared boilerplate paragraphs, quoted
+    chunks) that document-level dedup can't touch, without the suffix
+    array — adjacent duplicated n-grams merge into exactly the long
+    duplicated substrings the suffix array would find, modulo the
+    < n-token tail of each span.
+
+    → (doc_id, n_tokens, dup_spans, dup_tokens, dup_bp, clean_text);
+    docs shorter than n tokens pass through untouched.
+
+    Physical shape at 100 TB: positional n-grams are one map-side
+    explode (O(tokens), no Python); the duplicate set is a uniform
+    gram-key agg with map-side partials absorbing hot boilerplate
+    grams; flagging joins the gram table back on the gram key (the
+    duplicate side is the small one — AQE broadcasts it when it
+    fits); span merge is a lag window PARTITIONED BY doc_id (never
+    global); reassembly groups on doc_id, uniform by construction.
+    Nothing is pairwise — cost is linear in corpus tokens.
+    """
+    lgrams = (f"transform(slice(t, 1, greatest(size(t) - {n - 1}, 0)), "
+              f"(x, i) -> concat_ws(' ', slice(t, i + 1, {n})))")
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.split(F.col(text_col), " ").alias("t"))
+    grams = toks.select("doc_id",
+                        F.posexplode(F.expr(lgrams)).alias("p", "g"))
+    dup_g = (grams.groupBy("g").agg(F.count("*").alias("c"))
+             .filter(F.col("c") >= min_count).select("g"))
+    cov = (grams.join(dup_g, "g")
+           .select("doc_id", F.explode(
+               F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("pos"))
+           .distinct())
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = cov.withColumn(
+        "nr", F.when(F.lag("pos").over(w) == F.col("pos") - 1,
+                     F.lit(0)).otherwise(F.lit(1)))
+    cstat = (runs.groupBy("doc_id")
+             .agg(F.count("*").alias("dup_tokens"),
+                  F.sum("nr").alias("dup_spans")))
+    tp = toks.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    kept = tp.join(cov, ["doc_id", "pos"], "left_anti")
+    clean = (kept.groupBy("doc_id")
+             .agg(F.concat_ws(
+                 " ",
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                     lambda s: s["tok"])).alias("clean_text")))
+    totals = toks.select("doc_id", F.size("t").alias("n_tokens"))
+    bp = F.floor(F.col("dup_tokens") * 10000.0
+                 / F.greatest(F.col("n_tokens"), F.lit(1)))
+    z = lambda c: F.coalesce(c, F.lit(0))
+    return (totals
+            .join(cstat, "doc_id", "left")
+            .join(clean, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    z(F.col("dup_spans")).cast("long").alias("dup_spans"),
+                    z(F.col("dup_tokens")).cast("long").alias("dup_tokens"),
+                    F.coalesce(bp, F.lit(0)).cast("long").alias("dup_bp"),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text")))
 
 
 def contaminated_docs(corpus: DataFrame, benchmark: DataFrame,
