@@ -307,6 +307,21 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(v, e)
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page triangle counts + local clustering coefficient over
+    the admissible link graph — the community-structure signal (spam
+    farms cluster; organic link neighborhoods don't).  Degree-ordered
+    compact-forward orientation keeps the wedge join's fan-out
+    O(sqrt(m)) per key on power-law graphs (operators/graph_algos.py:
+    triangle_counts); integer-bp coefficient so the oracle is exact."""
+    from web_graph_spark.operators.graph_algos import triangle_counts
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    return triangle_counts(e)
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, 6 power iterations with dangling-mass redistribution
     (operators/graph_algos.py).  The loop runs in DECIMAL(38,18), so
@@ -925,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pages_for_host": q_graph_pages_for_host,
         "graph_host_graph": q_graph_host_graph,
         "graph_components": q_graph_components,
+        "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -1087,6 +1103,41 @@ FROM e
 JOIN web_pages ps ON ps.doc_id = e.src_doc_id
 JOIN web_pages pt ON pt.doc_id = e.tgt_doc_id
 GROUP BY 1, 2"""),
+        "graph_triangles": _oracle("""
+, und AS (
+  SELECT DISTINCT least(src_doc_id, tgt_doc_id) AS a,
+                  greatest(src_doc_id, tgt_doc_id) AS b
+  FROM web_links_full
+  WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id
+), deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+  GROUP BY 1
+), fwd AS (
+  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+         CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+  FROM (SELECT und.a, und.b, x.d AS da, y.d AS db
+        FROM und JOIN deg x ON x.v = und.a JOIN deg y ON y.v = und.b)
+), tri AS (
+  SELECT e1.u, e1.v AS x, e2.v AS y
+  FROM fwd e1
+  JOIN fwd e2 ON e1.u = e2.u
+  JOIN fwd e3 ON e3.u = e1.v AND e3.v = e2.v
+  WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)
+), pern AS (
+  SELECT doc_id, count(*) AS n_triangles
+  FROM (SELECT u AS doc_id FROM tri
+        UNION ALL SELECT x FROM tri
+        UNION ALL SELECT y FROM tri)
+  GROUP BY 1
+)
+SELECT deg.v AS doc_id,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(coalesce(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST((coalesce(p.n_triangles, 0) * 20000)
+            // greatest(deg.d * (deg.d - 1), 1) AS BIGINT) AS cc_bp
+FROM deg LEFT JOIN pern p ON p.doc_id = deg.v"""),
         "graph_components": _oracle_recursive("""
 , e AS (
   SELECT DISTINCT src_doc_id AS a, tgt_doc_id AS b

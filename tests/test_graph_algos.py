@@ -101,3 +101,27 @@ def test_pagerank_matches_reference(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for i in ids:
         assert got[i] == pytest.approx(want[i], rel=1e-9, abs=1e-12)
+
+
+@pytest.mark.spark
+def test_triangle_counts_hand_graph(spark):
+    """K4 + a pendant + a disconnected edge, fed as DIRTY input
+    (duplicate reversed edges, a self-loop): every K4 vertex sits in 3
+    triangles; vertex 3 also carries the pendant so its coefficient
+    halves; non-triangle vertices report 0 with their true degree."""
+    from web_graph_spark.operators.graph_algos import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),  # K4
+         (3, 4),                                           # pendant
+         (5, 6),                                           # far away
+         (1, 0), (2, 2)],                                  # dupe + loop
+        "src_doc_id long, tgt_doc_id long")
+    got = {r["doc_id"]: r.asDict() for r in triangle_counts(edges).collect()}
+    assert len(got) == 7
+    for v in (0, 1, 2):
+        assert got[v] == dict(doc_id=v, degree=3, n_triangles=3,
+                              cc_bp=10000)
+    assert got[3] == dict(doc_id=3, degree=4, n_triangles=3, cc_bp=5000)
+    for v in (4, 5, 6):
+        assert got[v] == dict(doc_id=v, degree=1, n_triangles=0, cc_bp=0)

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "pagerank"]
+__all__ = ["connected_components", "pagerank", "triangle_counts"]
 
 
 def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -204,3 +204,63 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
     out = out.localCheckpoint()  # materialize before freeing adj
     adj.unpersist()
     return out
+
+
+def triangle_counts(edges: DataFrame, src: str = "src_doc_id",
+                    dst: str = "tgt_doc_id") -> DataFrame:
+    """Per-vertex triangle counts + local clustering coefficient via
+    degree-ordered edge orientation (the compact-forward algorithm,
+    Latapy 2008 — the standard way to count triangles on power-law
+    graphs without a skew blowup).
+
+    Every undirected edge is oriented from its lower-ranked to its
+    higher-ranked endpoint, rank = (degree, id).  Under that
+    orientation each vertex's OUT-neighborhood is O(sqrt(m)) even when
+    its degree is huge — the hub that would explode a naive id-ordered
+    wedge self-join holds almost no out-edges — so the wedge join's
+    per-key fan-out is bounded and each triangle is found exactly once
+    (at its lowest-ranked vertex).  Three shuffles total: the degree
+    agg, the wedge self-join on u, and the closing join on (x, y);
+    every key is uniform-or-bounded by construction.
+
+    → (doc_id, degree, n_triangles, cc_bp) for every vertex incident
+    to at least one edge; cc_bp = floor(2T/(d(d-1)) * 10000), exact
+    integer arithmetic so any SQL engine reproduces it bit-for-bit.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (edges.select(F.least(a, b).alias("a"),
+                        F.greatest(a, b).alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    deg = (und.select(F.col("a").alias("v"))
+           .unionByName(und.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count("*").alias("d")))
+    ed = (und
+          .join(deg.select(F.col("v").alias("a"),
+                           F.col("d").alias("da")), "a")
+          .join(deg.select(F.col("v").alias("b"),
+                           F.col("d").alias("db")), "b"))
+    a_first = ((F.col("da") < F.col("db")) |
+               ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))))
+    fwd = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"))
+    e1 = fwd.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    e2 = fwd.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = (e1.join(e2, "u")
+              .filter((F.col("dx") < F.col("dy")) |
+                      ((F.col("dx") == F.col("dy"))
+                       & (F.col("x") < F.col("y")))))
+    tri = wedges.join(fwd.select(F.col("u").alias("x"),
+                                 F.col("v").alias("y")), ["x", "y"])
+    per = (tri.select(F.explode(F.array("u", "x", "y")).alias("doc_id"))
+           .groupBy("doc_id").agg(F.count("*").alias("n_triangles")))
+    return (deg
+            .join(per, deg["v"] == per["doc_id"], "left")
+            .select(F.col("v").alias("doc_id"),
+                    F.col("d").cast("long").alias("degree"),
+                    F.coalesce("n_triangles", F.lit(0)).cast("long")
+                    .alias("n_triangles"),
+                    F.expr("coalesce(n_triangles, 0) * 20000 div "
+                           "greatest(d * (d - 1), 1)").cast("long")
+                    .alias("cc_bp")))
