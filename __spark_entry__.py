@@ -813,6 +813,16 @@ def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(lined, min_docs=2)
 
 
+def q_corpus_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the md5 coin is keyed on the
+    SOURCE, not the document, so same-site near-duplicates can never
+    straddle train and validation.  Zero-shuffle single scan."""
+    from web_graph_spark.functions.text import grouped_split
+
+    return grouped_split(
+        _docs(spark, sf_dir).select("doc_id", "source"))
+
+
 def q_corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring (duplicated-span) dedup at 5-gram granularity —
     Lee et al. 2022 without the suffix array: tokens covered by any
@@ -953,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_span_dedup": q_corpus_span_dedup,
+        "corpus_holdout_split": q_corpus_holdout_split,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1378,6 +1389,12 @@ SELECT c.doc_id,
        CAST(count(DISTINCT b.bench_doc) AS BIGINT) AS n_benchmark_docs
 FROM csh c JOIN bsh b ON c.s = b.s
 GROUP BY c.doc_id""",
+        "corpus_holdout_split": """
+SELECT doc_id, source,
+       CASE WHEN substr(md5(source), 1, 4) < '1999' THEN 'val'
+            WHEN substr(md5(source), 1, 4) < '3332' THEN 'test'
+            ELSE 'train' END AS split
+FROM documents""",
         "corpus_span_dedup": """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents

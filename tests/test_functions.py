@@ -547,3 +547,20 @@ def test_pack_sequences_paths_agree_and_zero_tokens(spark):
         r = rows[i]
         assert r["pack_id"] * 64 + r["offset_in_pack"] == off
         off += r["n_tokens"]
+
+
+@pytest.mark.spark
+def test_grouped_split_is_group_stable(spark):
+    """Every document from one group lands in the same split (the
+    leakage-safety property), and the assignment is deterministic."""
+    from web_graph_spark.functions.text import grouped_split
+
+    df = spark.createDataFrame([(i, f"site{i % 7}") for i in range(100)],
+                               "doc_id long, source string")
+    rows = grouped_split(df).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(v) == 1 for v in per.values())
+    again = {(r["doc_id"], r["split"]) for r in grouped_split(df).collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in rows}

@@ -166,6 +166,30 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                     .alias("dup_trigram_bp")))
 
 
+def grouped_split(df: DataFrame, group_col: str = "source",
+                  bounds: tuple[tuple[str, str], ...] = (("val", "1999"),
+                                                         ("test", "3332")),
+                  out_col: str = "split") -> DataFrame:
+    """Leakage-safe train/val/test assignment: the sampling coin is
+    ``substr(md5(GROUP), 1, 4)`` — keyed on the group (source / host /
+    domain), NOT the document — so every document from one group lands
+    in the same split and near-duplicates within a site can never
+    straddle train and validation (the contamination mode a doc-level
+    coin like `corpus_sample_mix`'s cannot prevent).
+
+    ``bounds`` = ordered (name, hex-upper-bound-exclusive) pairs over
+    the 4-hex-char coin; anything past the last bound is ``train``.
+    The defaults carve ≈9.8% val and ≈9.8% test.  Pure lexicographic
+    hex compare → bit-identical in any engine, reproducible across
+    runs and cluster sizes, zero-shuffle (one scan, codegen'd
+    projection — splitting 100 TB costs exactly one pass)."""
+    coin = F.substring(F.md5(F.col(group_col).cast("string")), 1, 4)
+    expr = F.lit("train")
+    for name, hi in reversed(bounds):
+        expr = F.when(coin < hi, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
 def importance_weights(corpus: DataFrame, target: DataFrame,
                        id_col: str = "doc_id", text_col: str = "text",
                        bucket_hex: int = 3) -> DataFrame:
