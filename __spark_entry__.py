@@ -322,6 +322,25 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(e)
 
 
+def q_graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance from the seed set over the directed
+    admissible link graph (operators/graph_algos.py:bfs_depths) — the
+    crawl-depth analysis query (depth = first wave that can reach a
+    page under an unbounded budget; reference analog: BFS order of the
+    frontier, linkprocessor.go wave loop).  Level-synchronous
+    expansion: edges hash-partitioned on src once + persisted, one
+    frontier shuffle per level, flat lineage via localCheckpoint.
+    Oracle = recursive CTE with min-depth fold."""
+    from web_graph_spark.operators.graph_algos import bfs_depths
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    seeds = (webgen.pages_df(spark, sf_dir)
+             .filter(F.col("doc_id") % 97 == 0).select("doc_id"))
+    return bfs_depths(e, seeds)
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, 6 power iterations with dangling-mass redistribution
     (operators/graph_algos.py).  The loop runs in DECIMAL(38,18), so
@@ -431,6 +450,49 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from web_graph_spark.functions.text import repetition_stats
 
     return repetition_stats(_docs(spark, sf_dir))
+
+
+# tf-idf search terms for the contract query: one rare term ("dup",
+# df≈5% of docs) + three common ones — the integer idf spread makes
+# rare-term hits dominate the ranking, which is the property the
+# query demonstrates.
+SEARCH_TERMS = ("dup", "hash", "vector", "merge")
+
+
+def q_text_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic tf-idf top-20 keyword search over the corpus
+    (functions/text.py:tfidf_topk) — all-integer idf arithmetic (no
+    float logs), so Spark and DuckDB rank bit-identically.  Plan: one
+    codegen'd tf scan, a 1-row stats broadcast, TakeOrdered top-k —
+    no global sort at any corpus size."""
+    from web_graph_spark.functions.text import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), SEARCH_TERMS, k=20)
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (functions/text.py:pii_scrub) over the
+    corpus with deterministic synthetic PII injected (emails / IPv4 /
+    phone numbers appended by doc_id congruence — the synthetic corpus
+    contains none naturally, and the oracle injects identically).
+    Zero shuffles: a single codegen'd regexp projection."""
+    from web_graph_spark.functions.text import pii_scrub
+
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" contact user"), did.cast("string"),
+                        F.lit("@mail.example.com"))).otherwise(F.lit("")),
+        F.when(did % 11 == 0,
+               F.concat(F.lit(" server 10.0."), (did % 200).cast("string"),
+                        F.lit(".25 up"))).otherwise(F.lit("")),
+        F.when(did % 13 == 0,
+               F.concat(F.lit(" call +1 555 010-"),
+                        F.lpad((did % 100).cast("string"), 2, "0")))
+        .otherwise(F.lit("")))
+    return pii_scrub(
+        _docs(spark, sf_dir).select("doc_id", injected.alias("text")))
 
 
 def _docs_with_dups(spark, sf_dir):
@@ -951,12 +1013,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_host_graph": q_graph_host_graph,
         "graph_components": q_graph_components,
         "graph_triangles": q_graph_triangles,
+        "graph_bfs_depths": q_graph_bfs_depths,
         "graph_pagerank": q_graph_pagerank,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
+        "text_search_topk": q_text_search_topk,
+        "text_pii_scrub": q_text_pii_scrub,
         "corpus_curate": q_corpus_curate,
         "corpus_sample_mix": q_corpus_sample_mix,
         "corpus_importance": q_corpus_importance,
@@ -1149,6 +1214,19 @@ SELECT deg.v AS doc_id,
        CAST((coalesce(p.n_triangles, 0) * 20000)
             // greatest(deg.d * (deg.d - 1), 1) AS BIGINT) AS cc_bp
 FROM deg LEFT JOIN pern p ON p.doc_id = deg.v"""),
+        "graph_bfs_depths": _oracle_recursive("""
+, e AS (
+  SELECT DISTINCT src_doc_id AS s, tgt_doc_id AS t
+  FROM web_links_full WHERE k % 4 <> 0
+),
+bfs(node, depth) AS (
+  SELECT doc_id, 0 FROM web_pages WHERE doc_id % 97 = 0
+  UNION
+  SELECT e.t, b.depth + 1 FROM bfs b JOIN e ON e.s = b.node
+  WHERE b.depth < 64
+)
+SELECT node AS doc_id, CAST(min(depth) AS BIGINT) AS depth
+FROM bfs GROUP BY 1"""),
         "graph_components": _oracle_recursive("""
 , e AS (
   SELECT DISTINCT src_doc_id AS a, tgt_doc_id AS b
@@ -1251,7 +1329,9 @@ def _golden_oracles() -> dict[str, str]:
 def _pipeline_oracles() -> dict[str, str]:
     from web_graph_spark.functions.text import (count_sql, lang_guess_sql,
                                                 normalize_sql,
-                                                stopword_count_sql)
+                                                pii_scrub_sql,
+                                                stopword_count_sql,
+                                                tfidf_sql)
 
     norm = normalize_sql("text")
     n_tok = count_sql("text", r"\S+")
@@ -1266,7 +1346,32 @@ docs_dups AS (
   SELECT doc_id + 200000, text || ' zz qq ww' FROM documents
   WHERE doc_id % 50 = 1
 )"""
+    pii = pii_scrub_sql("text")
     return {
+        "text_search_topk": tfidf_sql(SEARCH_TERMS, k=20),
+        "text_pii_scrub": f"""
+WITH inj AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example.com' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' server 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+                 || '.25 up' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' call +1 555 010-'
+                 || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+            ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       {pii['n_email']} AS n_email,
+       {pii['n_ipv4']} AS n_ipv4,
+       {pii['n_phone']} AS n_phone,
+       CAST(length({pii['clean']}) AS BIGINT) AS clean_len,
+       md5({pii['clean']}) AS clean_hash
+FROM inj""",
         "text_token_stats": f"""
 SELECT doc_id,
        CAST({n_tok} AS BIGINT) AS n_tokens,

@@ -564,3 +564,47 @@ def test_grouped_split_is_group_stable(spark):
     assert all(len(v) == 1 for v in per.values())
     again = {(r["doc_id"], r["split"]) for r in grouped_split(df).collect()}
     assert again == {(r["doc_id"], r["split"]) for r in rows}
+
+
+@pytest.mark.spark
+def test_pii_scrub_counts_and_redaction(spark):
+    from web_graph_spark.functions.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-y.example.org and 10.0.200.25 then "
+             "+1 (555) 010-7788 done"),
+         (2, "no pii here"),
+         (3, "two mails p@q.io r@s.co and ip 1.2.3.4")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) \
+        == (1, 1, 1)
+    assert got[2] == dict(doc_id=2, n_email=0, n_ipv4=0, n_phone=0,
+                          clean_len=len("no pii here"),
+                          clean_hash=hashlib.md5(b"no pii here").hexdigest())
+    assert (got[3]["n_email"], got[3]["n_ipv4"]) == (2, 1)
+    clean1 = "mail <EMAIL> and <IP> then <PHONE> done"
+    assert got[1]["clean_len"] == len(clean1)
+    assert got[1]["clean_hash"] == hashlib.md5(clean1.encode()).hexdigest()
+
+
+@pytest.mark.spark
+def test_tfidf_topk_ranking(spark):
+    """Rare-term hits must outrank many common-term hits (integer idf:
+    (N*SCALE) div (df+1)); ties break on doc_id; zero-score docs are
+    absent; ranks are dense 1..k."""
+    from web_graph_spark.functions.text import TFIDF_SCALE, tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, "rare word"), (2, "common common common common"),
+         (3, "common"), (4, "nothing else"), (5, "rare common")],
+        "doc_id long, text string")
+    rows = tfidf_topk(df, ("rare", "common"), k=10).collect()
+    got = [(r["rank"], r["doc_id"], r["score"]) for r in rows]
+    idf_rare = (5 * TFIDF_SCALE) // 3    # df=2
+    idf_common = (5 * TFIDF_SCALE) // 4  # df=3
+    want = sorted(
+        [(1, 1 * idf_rare), (2, 4 * idf_common), (3, 1 * idf_common),
+         (5, 1 * idf_rare + 1 * idf_common)],
+        key=lambda t: (-t[1], t[0]))
+    assert got == [(i + 1, d, s) for i, (d, s) in enumerate(want)]

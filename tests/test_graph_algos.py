@@ -125,3 +125,31 @@ def test_triangle_counts_hand_graph(spark):
     assert got[3] == dict(doc_id=3, degree=4, n_triangles=3, cc_bp=5000)
     for v in (4, 5, 6):
         assert got[v] == dict(doc_id=v, degree=1, n_triangles=0, cc_bp=0)
+
+
+@pytest.mark.spark
+def test_bfs_depths_hand_graph(spark):
+    """Chain 0→1→2→3, a cycle 2→0 (must not loop), a shortcut 0→3
+    (min-depth wins), an unreachable island 8→9, and a second seed 5
+    with its own branch 5→6.  Directed: 1→0 absent, so nothing gains
+    depth via reverse edges."""
+    from web_graph_spark.operators.graph_algos import bfs_depths
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (2, 0), (0, 3), (8, 9), (5, 6), (6, 2)],
+        "src_doc_id long, tgt_doc_id long")
+    seeds = spark.createDataFrame([(0,), (5,)], "doc_id long")
+    got = {r["doc_id"]: r["depth"] for r in bfs_depths(edges, seeds).collect()}
+    assert got == {0: 0, 5: 0, 1: 1, 3: 1, 6: 1, 2: 2}
+
+
+@pytest.mark.spark
+def test_bfs_depths_max_depth_guard(spark):
+    """A 5-chain with max_depth=2 must raise, not silently truncate."""
+    from web_graph_spark.operators.graph_algos import bfs_depths
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src_doc_id long, tgt_doc_id long")
+    seeds = spark.createDataFrame([(0,)], "doc_id long")
+    with pytest.raises(RuntimeError, match="max_depth"):
+        bfs_depths(edges, seeds, max_depth=2)

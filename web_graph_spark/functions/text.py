@@ -405,6 +405,90 @@ def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
     return out
 
 
+# PII scrubbing rules: (name, pattern, replacement).  Patterns are
+# deliberately restricted to the Java-regex ∩ RE2 common subset (no
+# backreferences / lookaround) with identical leftmost-first match
+# semantics, so the Spark pass and the DuckDB oracle redact
+# byte-identically.  Order matters (applied sequentially): an address
+# inside an already-redacted span is never double-counted — both
+# engines apply the same order.
+PII_RULES = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d ()-]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """PII detection + redaction — the privacy pass every production
+    training corpus runs before release (e.g. the email/IP/phone regex
+    family in Dolma / RefinedWeb / CCNet pipelines).
+
+    Per document: ``n_email`` / ``n_ipv4`` / ``n_phone`` match counts
+    (on the original text), ``clean_len`` and ``clean_hash`` of the
+    redacted text (hash, not the text itself, so the contract result
+    stays narrow).  Entirely JVM ``regexp_count`` / ``regexp_replace``
+    inside one codegen'd projection: zero shuffles, zero Python — at
+    100 TB this is a single pass at scan speed, embarrassingly
+    parallel."""
+    t = F.col(text_col)
+    counts = [F.regexp_count(t, F.lit(p)).cast("long").alias(f"n_{name}")
+              for name, p, _ in PII_RULES]
+    clean = t
+    for _, p, repl in PII_RULES:
+        clean = F.regexp_replace(clean, p, repl)
+    return df.select(
+        F.col(id_col), *counts,
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_hash"))
+
+
+# tf-idf scoring scale: idf_t = (N * TFIDF_SCALE) div (df_t + 1) —
+# integer floor division, exact in any engine at any corpus size (no
+# float logs to drift across platforms; the div-based idf preserves the
+# rare-term-wins ordering that matters for retrieval).
+TFIDF_SCALE = 1_000_000
+
+
+def tfidf_topk(df: DataFrame, terms: tuple[str, ...], k: int = 20,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic tf-idf top-k keyword search over the corpus —
+    the retrieval primitive behind corpus exploration / targeted
+    subset extraction ("find the k docs most about X").
+
+    score(d) = Σ_t tf_t(d) · ((N · SCALE) div (df_t + 1)), all-integer.
+
+    Physical shape (the 100 TB plan): tf columns are word-boundary
+    ``regexp_count`` in one codegen'd scan; the df/N statistics are ONE
+    tiny single-row aggregate broadcast back over the scored rows; the
+    top-k cut is ``orderBy().limit(k)`` — Spark plans TakeOrdered, a
+    map-side per-partition heap + driver merge of k·P rows, never a
+    global sort.  Ranks are then assigned over exactly k rows."""
+    from pyspark.sql import Window
+
+    low = F.lower(F.col(text_col))
+    tf_cols = [F.regexp_count(low, F.lit(rf"\b{t}\b")).cast("long")
+               .alias(f"tf_{t}") for t in terms]
+    tf = df.select(F.col(id_col), *tf_cols)
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+          for t in terms])
+    scored = tf.crossJoin(F.broadcast(stats))
+    score = None
+    for t in terms:
+        c = F.expr(f"tf_{t} * ((n_docs * {TFIDF_SCALE}L) div (df_{t} + 1L))")
+        score = c if score is None else score + c
+    scored = (scored.withColumn("score", score.cast("long"))
+              .filter(F.col("score") > 0))
+    top = scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score"), F.col(id_col))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", id_col, "score",
+                    *[f"tf_{t}" for t in terms]))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL mirrors (generated from the same constants so the
 # two dialects cannot drift)
@@ -430,6 +514,58 @@ def lang_scores_sql(expr: str = "text") -> dict[str, str]:
          for lang, ms in LANG_MARKERS.items()}
     s["zh"] = f"(3 * {count_sql(expr, '[一-鿿]')})"
     return s
+
+
+def pii_scrub_sql(expr: str = "text") -> dict[str, str]:
+    """DuckDB mirrors of pii_scrub, generated from PII_RULES: count
+    expressions per rule plus the sequentially-redacted text."""
+    out = {f"n_{name}": f"CAST({count_sql(expr, pat)} AS BIGINT)"
+           for name, pat, _ in PII_RULES}
+    clean = expr
+    for _, pat, repl in PII_RULES:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    out["clean"] = clean
+    return out
+
+
+def tfidf_sql(terms: tuple[str, ...], k: int = 20,
+              id_col: str = "doc_id", expr: str = "text",
+              table: str = "documents") -> str:
+    """DuckDB mirror of tfidf_topk (same integer idf arithmetic)."""
+    def _tf(t: str) -> str:
+        pat = "\\b" + t + "\\b"
+        return (f"CAST({count_sql(f'lower({expr})', pat)} AS BIGINT)"
+                f" AS tf_{t}")
+
+    tf_cols = ",\n    ".join(_tf(t) for t in terms)
+    df_cols = ",\n    ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in terms)
+    score = " + ".join(
+        f"tf_{t} * ((n_docs * {TFIDF_SCALE}) // (df_{t} + 1))"
+        for t in terms)
+    tf_out = ", ".join(f"tf_{t}" for t in terms)
+    return f"""
+WITH tf AS (
+  SELECT {id_col},
+    {tf_cols}
+  FROM {table}
+),
+d AS (
+  SELECT count(*) AS n_docs,
+    {df_cols}
+  FROM tf
+),
+s AS (
+  SELECT tf.{id_col}, CAST({score} AS BIGINT) AS score, {tf_out}
+  FROM tf, d
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, {id_col})
+                 AS INTEGER) AS rank
+  FROM s WHERE score > 0
+)
+SELECT rank, {id_col}, score, {tf_out} FROM r WHERE rank <= {k}"""
 
 
 def lang_guess_sql(expr: str = "text") -> str:

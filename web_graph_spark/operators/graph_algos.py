@@ -137,6 +137,68 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                      .alias("component")))
 
 
+def bfs_depths(edges: DataFrame, seeds: DataFrame,
+               src: str = "src_doc_id", dst: str = "tgt_doc_id",
+               id_col: str = "doc_id", max_depth: int = 64) -> DataFrame:
+    """(id_col, depth) — minimum DIRECTED hop distance from the seed
+    set; unreachable vertices are absent.  The crawl-analysis query
+    behind "how deep does wave-N reach" / frontier-depth histograms
+    (the reference's BFS order makes depth = wave for an unbounded
+    budget, crawler.py O1).
+
+    Level-synchronous frontier expansion — exactly one edges⋈frontier
+    shuffle per level:
+
+    * the edge set is hash-repartitioned on ``src`` ONCE and persisted;
+      every level's equi-join on ``src`` reuses that output
+      partitioning, so only the (small) frontier side shuffles per
+      round,
+    * each new frontier is ``localCheckpoint``ed — lineage stays flat
+      (plans never re-derive earlier levels), and the visited set is a
+      union of already-materialized level DataFrames, not a recursive
+      plan,
+    * termination = empty frontier (``isEmpty`` on a checkpointed
+      handle is a metadata peek, not a recompute).  ``max_depth`` is a
+      guard against adversarial diameters, raised loudly rather than
+      silently truncated.
+
+    At 10^10 edges a deployment would keep ``visited`` in a bucketed
+    table (the crawler's frontier_log layout) instead of a k-way
+    union; semantics are identical and tests pin this implementation
+    against a recursive-CTE oracle."""
+    e = (edges.select(F.col(src).cast("long").alias("__s"),
+                      F.col(dst).cast("long").alias("__t"))
+         .distinct().repartition("__s").persist())
+    level = (seeds.select(F.col(id_col).cast("long").alias(id_col))
+             .distinct()
+             .withColumn("depth", F.lit(0).cast("long"))
+             .localCheckpoint())
+    levels = [level]
+    visited = level.select(id_col)
+    d = 0
+    while not level.isEmpty():
+        d += 1
+        if d > max_depth:
+            e.unpersist()
+            raise RuntimeError(
+                f"bfs_depths exceeded max_depth={max_depth} levels — "
+                "raise the guard for high-diameter graphs")
+        level = (e.join(level.select(F.col(id_col).alias("__s")), "__s")
+                 .select(F.col("__t").alias(id_col)).distinct()
+                 .join(visited, id_col, "left_anti")
+                 .withColumn("depth", F.lit(d).cast("long"))
+                 .localCheckpoint())
+        if level.isEmpty():
+            break
+        levels.append(level)
+        visited = visited.unionByName(level.select(id_col))
+    e.unpersist()
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
 def pagerank(vertices: DataFrame, edges: DataFrame,
              id_col: str = "doc_id",
              src: str = "src_doc_id", dst: str = "tgt_doc_id",
