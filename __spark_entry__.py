@@ -159,6 +159,52 @@ def q_crawl_frontier_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("tgt_doc_id").alias("doc_id"), "check_id")
 
 
+def q_crawl_trap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap signal per host (canon.py:trap_stats): distinct
+    canonicalized link-target paths vs distinct path TEMPLATES (digit
+    runs collapsed) — hosts whose URL space explodes inside a tiny
+    structure get flagged for frontier capping.  The inadmissible
+    ``/imgN.png`` targets stay in deliberately: a trap scan looks at
+    everything a host emits, not just what admission keeps."""
+    from web_graph_spark.canon import trap_stats
+
+    return trap_stats(_links_canon(spark, sf_dir))
+
+
+def q_crawl_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw robots.txt bodies → the engine's rule relation
+    (operators/robots.py:parse_robots_txt): per-host synthetic bodies
+    with three user-agent groups (the generic ``*`` group, an
+    always-ignored ``otherbot`` group, and — on every third host — a
+    specific group for our agent that must SHADOW the ``*`` group per
+    RFC 9309 §2.2.1), plus parse noise (comments, a non-directive
+    line, an empty ``Disallow:`` that must match nothing).  The oracle
+    derives the expected rows analytically from the synthesis rule —
+    an independent check on the parser's group/precedence semantics,
+    not a SQL re-implementation of it."""
+    from web_graph_spark.operators.robots import parse_robots_txt
+
+    hosts = webgen.pages_df(spark, sf_dir).select("host").distinct()
+    i = F.substring("host", 2, 2).cast("int")
+    x = (i % 10).cast("string")
+    body = F.concat_ws(
+        "\n",
+        F.lit("# synthetic robots"),
+        F.lit("User-agent: *"),
+        F.concat(F.lit("Disallow: /d/1"), x),
+        F.concat(F.lit("Allow: /d/1"), x, F.lit("2")),
+        F.concat(F.lit("Crawl-delay: "), (i % 4).cast("string")),
+        F.lit("Disallow:"),
+        F.lit("not a directive line"),
+        F.lit("User-agent: otherbot"),
+        F.lit("Disallow: /"),
+        F.when(i % 3 == 0,
+               F.lit("User-agent: Spark-Crawler\nDisallow: /d/\n"
+                     "Crawl-delay: 7")).otherwise(F.lit("")))
+    bodies = hosts.select("host", body.alias("robots_txt"))
+    return parse_robots_txt(bodies, agent="spark-crawler")
+
+
 def q_crawl_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star robots gate: broadcast prefix rules (RFC 9309
     longest-match, allow wins ties) evaluated for every derived page in
@@ -358,6 +404,27 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pagerank(v, e, n_iter=6)
             .select("doc_id", F.floor(F.col("rank") * 1e9).cast("long")
                     .alias("rank_ppb")))
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities, 6 L1-normalized iterations in
+    DECIMAL(38,18) (operators/graph_algos.py:hits) — the
+    complementary centrality to PageRank (authorities = fetch
+    priority, hubs = re-crawl-for-discovery priority).  Pinned against
+    a dense pure-Python reference in tests/test_graph_algos.py AND a
+    golden parquet oracle; ppb ints keep the compare integral."""
+    from web_graph_spark.operators.graph_algos import hits
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    v = webgen.pages_df(spark, sf_dir).select("doc_id")
+    return (hits(v, e, n_iter=6)
+            .select("doc_id",
+                    F.floor(F.col("hub") * 1e9).cast("long")
+                    .alias("hub_ppb"),
+                    F.floor(F.col("auth") * 1e9).cast("long")
+                    .alias("auth_ppb")))
 
 
 def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1000,6 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_admission_stats": q_crawl_admission_stats,
         "crawl_seen_antijoin": q_crawl_seen_antijoin,
         "crawl_frontier_wave": q_crawl_frontier_wave,
+        "crawl_trap_stats": q_crawl_trap_stats,
+        "crawl_robots_parse": q_crawl_robots_parse,
         "crawl_robots_eval": q_crawl_robots_eval,
         "crawl_budget_derive": q_crawl_budget_derive,
         "crawl_politeness_schedule": q_crawl_politeness_schedule,
@@ -1015,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_bfs_depths": q_graph_bfs_depths,
         "graph_pagerank": q_graph_pagerank,
+        "graph_hits": q_graph_hits,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -1084,6 +1154,37 @@ WHERE l.k % 4 <> 0
 SELECT CAST(row_number() OVER (ORDER BY ord) - 1 AS INTEGER) AS seq,
        tgt_doc_id AS doc_id, tgt_check_id AS check_id
 FROM first""", seeds=True),
+        "crawl_trap_stats": _oracle(f"""
+, t AS (
+  SELECT DISTINCT tgt_host AS host, {canon_path} AS path
+  FROM web_links_full l
+),
+a AS (
+  SELECT host,
+         CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+         CAST(count(DISTINCT regexp_replace(path, '[0-9]+', 'N', 'g'))
+              AS BIGINT) AS n_templates
+  FROM t GROUP BY 1
+)
+SELECT host, n_paths, n_templates,
+       CAST(floor(n_paths * 10000.0 / n_templates) AS BIGINT)
+         AS paths_per_template_bp,
+       floor(n_paths * 10000.0 / n_templates) >= 500000 AS trap_suspect
+FROM a"""),
+        "crawl_robots_parse": _oracle("""
+, h AS (
+  SELECT DISTINCT host, CAST(substr(host, 2, 2) AS INTEGER) AS i
+  FROM web_pages
+)
+SELECT host, 'disallow' AS rule_type, '/d/' AS path_prefix,
+       7 AS crawl_delay
+FROM h WHERE i % 3 = 0
+UNION ALL
+SELECT host, 'disallow', '/d/1' || CAST(i % 10 AS VARCHAR), i % 4
+FROM h WHERE i % 3 <> 0
+UNION ALL
+SELECT host, 'allow', '/d/1' || CAST(i % 10 AS VARCHAR) || '2', i % 4
+FROM h WHERE i % 3 <> 0"""),
         "crawl_robots_eval": _oracle("""
 SELECT doc_id, host, path,
        CASE WHEN host = 'h00.example.test' AND path LIKE '/d/12%' THEN TRUE
@@ -1294,6 +1395,9 @@ def _golden_oracles() -> dict[str, str]:
         "graph_pagerank": (
             f"SELECT doc_id, rank_ppb "
             f"FROM read_parquet('{g}/graph_pagerank.parquet')"),
+        "graph_hits": (
+            f"SELECT doc_id, hub_ppb, auth_ppb "
+            f"FROM read_parquet('{g}/graph_hits.parquet')"),
         "dedup_minhash": (
             f"SELECT id_a, id_b, est_jaccard_bp "
             f"FROM read_parquet('{g}/dedup_minhash.parquet')"),

@@ -32,6 +32,7 @@ sys.path.insert(0, REPO)
 
 GOLDEN_QUERIES = [
     "graph_pagerank",
+    "graph_hits",
     "dedup_minhash",
     "dedup_simhash",
     "ann_lsh_topk",

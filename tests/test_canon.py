@@ -160,3 +160,23 @@ def test_hypothesis_canonicalize_total():
             assert isinstance(r["page_id"], str) and len(r["page_id"]) == 40
 
     run()
+
+
+@pytest.mark.spark
+def test_trap_stats_flags_template_explosion(spark):
+    """A calendar-trap host (many digit-varying paths, one template)
+    must flag; a structurally diverse host must not; ratio is exact
+    integer bp."""
+    from web_graph_spark.canon import trap_stats
+
+    rows = [("trap.test", f"/cal/2026/08/{d}") for d in range(60)]
+    rows += [("ok.test", p) for p in ("/about", "/blog/post-a", "/contact")]
+    rows += [("trap.test", "/cal/2026/08/1")]          # dup path
+    df = spark.createDataFrame(rows, "host string, path string")
+    got = {r["host"]: r.asDict()
+           for r in trap_stats(df, threshold_bp=100_000).collect()}
+    assert got["trap.test"] == dict(
+        host="trap.test", n_paths=60, n_templates=1,
+        paths_per_template_bp=600000, trap_suspect=True)
+    assert got["ok.test"]["n_templates"] == 3
+    assert got["ok.test"]["trap_suspect"] is False

@@ -31,7 +31,8 @@ def _rowset(tbl) -> set[tuple]:
 
 
 @pytest.mark.spark
-@pytest.mark.parametrize("name", ["graph_pagerank", "dedup_minhash",
+@pytest.mark.parametrize("name", ["graph_pagerank", "graph_hits",
+                                  "dedup_minhash",
                                   "dedup_simhash", "ann_lsh_topk",
                                   "ann_pq_topk", "ann_ivfpq_topk",
                                   "media_features", "media_decode"])

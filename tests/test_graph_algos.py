@@ -153,3 +153,44 @@ def test_bfs_depths_max_depth_guard(spark):
     seeds = spark.createDataFrame([(0,)], "doc_id long")
     with pytest.raises(RuntimeError, match="max_depth"):
         bfs_depths(edges, seeds, max_depth=2)
+
+
+def _ref_hits(ids, pairs, n_iter):
+    """Dense pure-Python HITS with L1 normalization (float)."""
+    pairs = sorted({(u, v) for u, v in pairs if u != v})
+    hub = {i: 1.0 / len(ids) for i in ids}
+    auth = {i: 0.0 for i in ids}
+    for _ in range(n_iter):
+        auth = {i: 0.0 for i in ids}
+        for u, v in pairs:
+            auth[v] += hub[u]
+        s = sum(auth.values())
+        if s > 0:
+            auth = {i: x / s for i, x in auth.items()}
+        hub = {i: 0.0 for i in ids}
+        for u, v in pairs:
+            hub[u] += auth[v]
+        s = sum(hub.values())
+        if s > 0:
+            hub = {i: x / s for i, x in hub.items()}
+    return hub, auth
+
+
+@pytest.mark.spark
+def test_hits_matches_reference(spark):
+    from web_graph_spark import webgen
+    from web_graph_spark.operators.graph_algos import hits
+
+    e = (webgen.links_full_df(spark, SF_SMOKE)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    v = webgen.pages_df(spark, SF_SMOKE).select("doc_id")
+    got = {r.doc_id: (r.hub, r.auth) for r in hits(v, e, n_iter=6).collect()}
+    ids = [r.doc_id for r in v.collect()]
+    pairs = [(r.src_doc_id, r.tgt_doc_id) for r in e.collect()]
+    want_h, want_a = _ref_hits(ids, pairs, n_iter=6)
+    assert abs(sum(h for h, _ in got.values()) - 1.0) < 1e-9
+    assert abs(sum(a for _, a in got.values()) - 1.0) < 1e-9
+    for i in ids:
+        assert got[i][0] == pytest.approx(want_h[i], rel=1e-9, abs=1e-12)
+        assert got[i][1] == pytest.approx(want_a[i], rel=1e-9, abs=1e-12)

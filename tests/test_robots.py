@@ -386,3 +386,65 @@ def test_robots_cogroup_scope_equals_full(spark, fixture_dir, tmp_path):
         ra = sorted(map(tuple, a.store.read(t).drop("wave").collect()))
         rb = sorted(map(tuple, b.store.read(t).drop("wave").collect()))
         assert ra == rb, t
+
+
+ROBOTS_BODY = """# demo
+User-agent: *
+Disallow: /tmp
+Allow: /tmp/ok
+Crawl-delay: 3
+
+User-agent: OtherBot
+Disallow: /
+
+User-agent: Spark-Crawler
+User-agent: friendbot
+Disallow: /secret
+Crawl-delay: 9
+junk line without a colon directive
+Disallow:
+"""
+
+
+@pytest.mark.spark
+def test_parse_robots_txt_groups_and_precedence(spark):
+    """Specific-agent group shadows '*' (RFC 9309 §2.2.1); the
+    OtherBot group never leaks; consecutive ua lines share one group;
+    empty Disallow and junk lines are ignored; case-insensitive agent
+    match; delay folds to the applicable groups' max."""
+    from web_graph_spark.operators.robots import parse_robots_txt
+
+    df = spark.createDataFrame([("h1", ROBOTS_BODY)],
+                               "host string, robots_txt string")
+    spec = {(r["rule_type"], r["path_prefix"], r["crawl_delay"])
+            for r in parse_robots_txt(df, agent="spark-crawler").collect()}
+    assert spec == {("disallow", "/secret", 9)}
+    star = {(r["rule_type"], r["path_prefix"], r["crawl_delay"])
+            for r in parse_robots_txt(df, agent="unknownbot").collect()}
+    assert star == {("disallow", "/tmp", 3), ("allow", "/tmp/ok", 3)}
+
+
+@pytest.mark.spark
+def test_parse_robots_txt_feeds_compile_and_budgets(spark):
+    """End-to-end raw text → rules → verdicts + budget dim, including
+    a delay-only host whose carrier row must not poison compile_rules
+    (empty-prefix rows match nothing)."""
+    from web_graph_spark.operators.robots import (budgets_from_crawl_delay,
+                                                  parse_robots_txt)
+
+    df = spark.createDataFrame(
+        [("h1", ROBOTS_BODY),
+         ("h2", "User-agent: *\nCrawl-delay: 5")],   # delay, no rules
+        "host string, robots_txt string")
+    out = parse_robots_txt(df, agent="spark-crawler")
+    rows = out.collect()
+    h2 = [r for r in rows if r["host"] == "h2"]
+    assert [(r["rule_type"], r["path_prefix"], r["crawl_delay"])
+            for r in h2] == [("crawl-delay", None, 5)]
+    rules = compile_rules(r.asDict() for r in rows)
+    assert "h2" not in rules                      # carrier row skipped
+    assert allowed_py(rules, "h1", "/secret/x") is False
+    assert allowed_py(rules, "h1", "/tmp") is True   # '*' group shadowed
+    bud = {r["host"]: (r["max_pages_per_wave"], r["wave_period"])
+           for r in budgets_from_crawl_delay(out, 10.0).collect()}
+    assert bud == {"h1": (1, 1), "h2": (2, 1)}

@@ -307,3 +307,38 @@ def to_valid_utf8(s: Optional[str]) -> Optional[str]:
     if s is None:
         return None
     return s.encode("utf-8", "ignore").decode("utf-8", "ignore")
+
+
+def trap_stats(df, host_col: str = "host", path_col: str = "path",
+               threshold_bp: int = 500_000):
+    """Crawler-trap detection per host: the classic signal is a host
+    whose distinct-path count explodes while its path STRUCTURE stays
+    tiny (calendar pages, session ids, faceted-search permutations —
+    infinite URLs, finite templates).  Template = path with every
+    digit run collapsed to ``N``; a high paths-per-template ratio
+    flags the host for frontier capping before it eats the crawl
+    budget (the reference has no such guard — its frontier would walk
+    a calendar forever; this is the scale hardening a 10^10 frontier
+    needs).
+
+    Output per host: ``n_paths``, ``n_templates``,
+    ``paths_per_template_bp`` (floor(n_paths·10⁴/n_templates)) and
+    ``trap_suspect``.  Physical shape: one distinct on the uniform
+    (host, path) composite key, then a per-host agg with partial
+    (map-side) combines — two shuffles total, no skew (path sha
+    spreads hot hosts), exact-SQL-oracle comparable."""
+    from pyspark.sql import functions as F
+
+    t = df.select(F.col(host_col).alias("host"),
+                  F.col(path_col).alias("path")).distinct()
+    tpl = F.regexp_replace("path", "[0-9]+", "N")
+    agg = (t.groupBy("host")
+           .agg(F.countDistinct("path").alias("n_paths"),
+                F.countDistinct(tpl).alias("n_templates")))
+    bp = F.floor(F.col("n_paths") * 10000 / F.col("n_templates")) \
+        .cast("long")
+    return agg.select(
+        "host", F.col("n_paths").cast("long").alias("n_paths"),
+        F.col("n_templates").cast("long").alias("n_templates"),
+        bp.alias("paths_per_template_bp"),
+        (bp >= threshold_bp).alias("trap_suspect"))

@@ -268,6 +268,79 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
     return out
 
 
+def hits(vertices: DataFrame, edges: DataFrame,
+         id_col: str = "doc_id",
+         src: str = "src_doc_id", dst: str = "tgt_doc_id",
+         n_iter: int = 8) -> DataFrame:
+    """(id_col, hub, auth) after ``n_iter`` HITS iterations
+    (Kleinberg 1999): auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v}
+    auth(v), each L1-normalized per half-step.  The complementary
+    centrality to PageRank for crawl analysis: authorities are the
+    pages good hubs point AT (fetch-priority candidates), hubs are the
+    link-list pages worth re-crawling for discovery.
+
+    Same determinism contract as :func:`pagerank`: score SUMS run in
+    DECIMAL(38,18) (exact, aggregation-order-independent); the
+    normalizing division is per-row double math by one scalar (see
+    inline note), deterministic regardless of partitioning — the
+    output is a fixed function of (graph, n_iter) and safe to freeze
+    as a golden oracle.  L1 rather
+    than the textbook L2 normalization keeps the arithmetic inside
+    decimal (no sqrt) — scores are scale-factors of the L2 variant
+    with identical RANKING per half-step.  The normalizer folds back
+    as a 1-row crossJoin (no per-iteration driver action); lineage is
+    truncated every 2 rounds.  Two shuffles per half-step, both keyed
+    on uniform vertex ids."""
+    from decimal import Decimal
+
+    DEC = "decimal(38,18)"
+    ids = vertices.select(F.col(id_col).cast("long").alias("id"))
+    n = ids.count()
+    e = (edges.select(F.col(src).cast("long").alias("src"),
+                      F.col(dst).cast("long").alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct().persist())
+    e.count()
+    init = F.lit(Decimal(1) / Decimal(n)).cast(DEC)
+    zero = F.lit(Decimal(0)).cast(DEC)
+    hub = ids.select("id", init.alias("hub"))
+    auth = ids.select("id", zero.alias("auth"))
+
+    def _half(scores, val, edge_key, group_key, out):
+        raw = (e.join(scores.withColumnRenamed("id", edge_key)
+                      .withColumnRenamed(val, "__v"), edge_key)
+               .groupBy(group_key).agg(F.sum("__v").alias("raw")))
+        tot = raw.agg(F.coalesce(F.sum("raw"), zero).alias("tot"))
+        # The normalizing division runs in DOUBLE, not decimal: Spark's
+        # decimal-division type rule truncates a (38,18)/(38,18)
+        # quotient to scale 6 (precision overflow), a ppm-level
+        # quantization.  Per-row IEEE division by a single scalar is
+        # still a deterministic function of the inputs (the SUMS stay
+        # exact decimal — that is where aggregation order lived), so
+        # the golden-oracle contract holds.
+        ratio = (F.coalesce("raw", zero).cast("double")
+                 / F.col("tot").cast("double"))
+        return (ids.join(raw.withColumnRenamed(group_key, "id"),
+                         "id", "left")
+                .crossJoin(tot)
+                .select("id",
+                        F.when(F.col("tot") > 0, ratio.cast(DEC))
+                        .otherwise(zero).alias(out)))
+
+    for i in range(n_iter):
+        auth = _half(hub, "hub", "src", "dst", "auth")
+        hub = _half(auth, "auth", "dst", "src", "hub")
+        if (i + 1) % 2 == 0 and (i + 1) < n_iter:
+            hub = hub.localCheckpoint()
+            auth = auth.localCheckpoint()
+    out = (hub.join(auth, "id")
+           .select(F.col("id").alias(id_col),
+                   F.col("hub").cast("double").alias("hub"),
+                   F.col("auth").cast("double").alias("auth")))
+    out = out.localCheckpoint()  # materialize before freeing e
+    e.unpersist()
+    return out
+
+
 def triangle_counts(edges: DataFrame, src: str = "src_doc_id",
                     dst: str = "tgt_doc_id") -> DataFrame:
     """Per-vertex triangle counts + local clustering coefficient via
