@@ -159,6 +159,44 @@ def q_crawl_frontier_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("tgt_doc_id").alias("doc_id"), "check_id")
 
 
+def q_crawl_media_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media half of the interleaved payload: every inadmissible
+    file-type target (the ``.png`` family admission F3 keeps OUT of
+    the page frontier) is exactly what the MEDIA fetch pipeline wants
+    — dedupe refs into one row per asset with referrer stats and a
+    first-reference order (the media frontier's FIFO seq, same
+    ordering rule as the page frontier).  One uniform-key groupBy;
+    at 10^10 refs this is a single shuffle on (host, path)."""
+    l = _links_canon(spark, sf_dir).filter(~F.col("admissible"))
+    return (l.groupBy("host", "path")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_refs"),
+                 F.countDistinct("src_doc_id").cast("long")
+                 .alias("n_referrers"),
+                 F.min(F.col("src_doc_id") * 8 + F.col("k")).cast("long")
+                 .alias("first_ref_ord"))
+            .withColumn("media_id", F.md5(F.concat("host", "path"))))
+
+
+def q_docs_span_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document span-sequence digest over the BASELINE input_hint
+    shape: md5 of the (kind|text|media_ref|offset) sequence in offset
+    order, from ``build_span_web``'s actual spans arrays.  The oracle
+    re-derives the same digest with an independent ``string_agg ...
+    ORDER BY`` construction — a hash-match certifies the per-row
+    span-sequence-equality invariant (kind, text, media_ref, order)
+    the north rule demands, for every document at once.  JVM-only:
+    sort_array + transform + array_join inside one projection."""
+    web = build_span_web(spark, sf_dir)
+    line = lambda x: F.concat_ws(  # noqa: E731
+        "|", x["kind"], x["text"], x["media_ref"],
+        x["offset"].cast("string"))
+    return web.select(
+        F.md5(F.concat("host", "path")).alias("check_id"),
+        F.size("spans").cast("long").alias("n_spans"),
+        F.md5(F.array_join(F.transform("spans", line), "\x1f"))
+        .alias("spans_digest"))
+
+
 def q_crawl_trap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawler-trap signal per host (canon.py:trap_stats): distinct
     canonicalized link-target paths vs distinct path TEMPLATES (digit
@@ -1067,6 +1105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_admission_stats": q_crawl_admission_stats,
         "crawl_seen_antijoin": q_crawl_seen_antijoin,
         "crawl_frontier_wave": q_crawl_frontier_wave,
+        "crawl_media_frontier": q_crawl_media_frontier,
+        "docs_span_digest": q_docs_span_digest,
         "crawl_trap_stats": q_crawl_trap_stats,
         "crawl_robots_parse": q_crawl_robots_parse,
         "crawl_robots_eval": q_crawl_robots_eval,
@@ -1154,6 +1194,29 @@ WHERE l.k % 4 <> 0
 SELECT CAST(row_number() OVER (ORDER BY ord) - 1 AS INTEGER) AS seq,
        tgt_doc_id AS doc_id, tgt_check_id AS check_id
 FROM first""", seeds=True),
+        "crawl_media_frontier": _oracle("""
+, m AS (
+  SELECT tgt_host AS host,
+         '/img' || CAST(tgt_doc_id AS VARCHAR) || '.png' AS path,
+         CAST(count(*) AS BIGINT) AS n_refs,
+         CAST(count(DISTINCT src_doc_id) AS BIGINT) AS n_referrers,
+         CAST(min(src_doc_id * 8 + k) AS BIGINT) AS first_ref_ord
+  FROM web_links_full WHERE k % 4 = 0
+  GROUP BY 1, 2
+)
+SELECT host, path, n_refs, n_referrers, first_ref_ord,
+       md5(host || path) AS media_id
+FROM m"""),
+        "docs_span_digest": _oracle("""
+SELECT p.check_id,
+       CAST(count(l.k) AS BIGINT) AS n_spans,
+       md5(coalesce(string_agg(
+             'link' || '|' || l.anchor || '|' || l.href || '|'
+                    || CAST(l.k AS VARCHAR),
+             chr(31) ORDER BY l.k), '')) AS spans_digest
+FROM web_pages p
+LEFT JOIN web_links_full l ON l.src_doc_id = p.doc_id
+GROUP BY 1"""),
         "crawl_trap_stats": _oracle(f"""
 , t AS (
   SELECT DISTINCT tgt_host AS host, {canon_path} AS path
