@@ -194,3 +194,17 @@ def test_hits_matches_reference(spark):
     for i in ids:
         assert got[i][0] == pytest.approx(want_h[i], rel=1e-9, abs=1e-12)
         assert got[i][1] == pytest.approx(want_a[i], rel=1e-9, abs=1e-12)
+
+
+@pytest.mark.spark
+def test_bfs_depths_exact_max_depth_completes(spark):
+    """Deepest level == max_depth must complete (the guard fires only
+    when an unvisited frontier exists BEYOND the cap)."""
+    from web_graph_spark.operators.graph_algos import bfs_depths
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src_doc_id long, tgt_doc_id long")
+    seeds = spark.createDataFrame([(0,)], "doc_id long")
+    got = {r["doc_id"]: r["depth"]
+           for r in bfs_depths(edges, seeds, max_depth=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}

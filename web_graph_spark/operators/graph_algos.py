@@ -178,11 +178,6 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame,
     d = 0
     while not level.isEmpty():
         d += 1
-        if d > max_depth:
-            e.unpersist()
-            raise RuntimeError(
-                f"bfs_depths exceeded max_depth={max_depth} levels — "
-                "raise the guard for high-diameter graphs")
         level = (e.join(level.select(F.col(id_col).alias("__s")), "__s")
                  .select(F.col("__t").alias(id_col)).distinct()
                  .join(visited, id_col, "left_anti")
@@ -190,6 +185,14 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame,
                  .localCheckpoint())
         if level.isEmpty():
             break
+        # guard AFTER computing the level: a graph whose deepest level
+        # is exactly max_depth must complete, not raise — only an
+        # unvisited frontier BEYOND the cap is an error
+        if d > max_depth:
+            e.unpersist()
+            raise RuntimeError(
+                f"bfs_depths exceeded max_depth={max_depth} levels — "
+                "raise the guard for high-diameter graphs")
         levels.append(level)
         visited = visited.unionByName(level.select(id_col))
     e.unpersist()
