@@ -103,6 +103,7 @@ class SparkCrawler:
         # default = JoinFetcher over the synthetic/replay web DataFrame;
         # real deployments inject PandasFetcher(fetch_fn) for
         # (host,salt)-partitioned HTTP fetching.
+        self._owns_fetcher = fetcher is None
         if fetcher is None:
             assert web is not None, "pass either a web DataFrame or a fetcher"
             fetcher = JoinFetcher(web)
@@ -558,6 +559,13 @@ class SparkCrawler:
             # fully-written metrics table — and writer errors surface
             # here rather than vanishing with the thread.
             self._await_metrics()
+            # release the replay-web cache for fetchers this crawler
+            # constructed itself (a re-run re-materializes lazily);
+            # injected fetchers own their own lifecycle.
+            if self._owns_fetcher:
+                close = getattr(self.fetcher, "close", None)
+                if close is not None:
+                    close()
         return wave
 
     @staticmethod

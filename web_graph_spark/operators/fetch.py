@@ -75,12 +75,27 @@ class FetchConfig:
 class JoinFetcher:
     """Synthetic/replay fetch: scheduled ⋈ web on page_id (left join —
     URLs missing from the web come back fetch_ok=null → not expandable,
-    exactly a 404)."""
+    exactly a 404).
 
-    def __init__(self, web: DataFrame):
+    cache=True (default) persists the web side (MEMORY_AND_DISK) on
+    first fetch: a multi-wave crawl otherwise RE-DERIVES the web's
+    whole plan every wave — for a span web built from parquet that is
+    a per-wave groupBy/sort_array re-aggregation the phase metrics
+    showed dominating the write group.  Spill-safe (disk overflow) at
+    replay scale; ``close()`` releases the cache (the crawler calls it
+    for fetchers it constructed itself)."""
+
+    def __init__(self, web: DataFrame, cache: bool = True):
         self.web = web
+        self._cache = cache
+        self._materialized = False
 
     def fetch(self, scheduled: DataFrame) -> DataFrame:
+        if self._cache and not self._materialized:
+            from pyspark import StorageLevel
+
+            self.web = self.web.persist(StorageLevel.MEMORY_AND_DISK)
+            self._materialized = True
         return (scheduled.alias("s")
                 .join(self.web.alias("w"), "page_id", "left")
                 .select("page_id", F.col("s.url").alias("url"),
@@ -89,6 +104,11 @@ class JoinFetcher:
                         F.col("s.seq").alias("seq"),
                         F.col("s.depth").alias("depth"),
                         "content_type", "fetch_ok", "spans"))
+
+    def close(self) -> None:
+        if self._materialized:
+            self.web.unpersist()
+            self._materialized = False
 
 
 # one dict per python worker PROCESS: survives across groups/tasks, so
