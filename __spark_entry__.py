@@ -502,6 +502,70 @@ def q_graph_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("tgt_doc_id").alias("n_tgt_pages")))
 
 
+def q_graph_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation related-pages: target pairs (a < b) linked FROM the
+    same source page, weighted by how many sources cite both — the
+    classic related-page/similarity signal a ranking pipeline derives
+    from a web graph (Small 1973; the HITS-adjacent companion to
+    E40's hubs/authorities).
+
+    Scale shape: the pair explosion is a per-source self-join, so its
+    output is sum(out_deg²) — bounded by the out-degree cap the
+    crawler's extractor enforces, NOT by |graph| (here deg ≤ 5, at
+    production 100-200); the join key src_doc_id is uniform, the final
+    (a, b) agg is map-side-combined.  min_support prunes the long tail
+    BEFORE the result materializes.  Top-1000 via TakeOrderedAndProject
+    (map-side heap), never a global sort."""
+    e = (webgen.links_full_df(spark, sf_dir).filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    a = e.select("src_doc_id", F.col("tgt_doc_id").alias("a"))
+    b = e.select("src_doc_id", F.col("tgt_doc_id").alias("b"))
+    pairs = (a.join(b, "src_doc_id")
+             .filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b")
+             .agg(F.count("*").alias("n_cociting")))
+    return (pairs.filter(F.col("n_cociting") >= 2)
+            .orderBy(F.desc("n_cociting"), F.asc("a"), F.asc("b"))
+            .limit(1000))
+
+
+def q_graph_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per target page — what a search/ranking
+    pipeline derives from a web graph (the edge `text` is often a
+    better description of the TARGET than the target's own content;
+    reference stores it per edge, `linkstorage.go` links.text).
+
+    Per target: total in-refs, referring-host diversity, distinct
+    anchor vocabulary, and the modal anchor (ties → lexicographically
+    smallest, so the answer is deterministic).  Shape at scale: two
+    hash aggs keyed on tgt_doc_id / (tgt_doc_id, anchor) — uniform
+    keys, map-side partial agg absorbs hot targets; the modal anchor
+    is a `min_by` over (-n, anchor) INSIDE the second agg — no window
+    anywhere, so no per-target data sort; min_by's struct buffer makes
+    that agg a SortAggregate (sorted by GROUP KEY within partitions,
+    post-shuffle — plan-dumped in BENCH/plans/graph_anchor_text.txt).
+    The host-diversity branch re-scans the edge table (Catalyst does
+    not dedupe subplans); both branches prune to 3 columns at scan."""
+    l = (webgen.links_full_df(spark, sf_dir).filter(F.col("k") % 4 != 0)
+         .select("tgt_doc_id", "anchor", "src_host"))
+    per_anchor = (l.groupBy("tgt_doc_id", "anchor")
+                  .agg(F.count("*").alias("n")))
+    top = (per_anchor.groupBy("tgt_doc_id")
+           .agg(F.sum("n").alias("n_refs"),
+                F.count("*").alias("n_anchors"),
+                F.max("n").alias("top_anchor_n"),
+                F.min_by("anchor",
+                         F.struct((-F.col("n")).alias("neg_n"),
+                                  F.col("anchor").alias("a")))
+                 .alias("top_anchor")))
+    hosts = (l.groupBy("tgt_doc_id")
+             .agg(F.countDistinct("src_host").alias("n_src_hosts")))
+    return (top.join(hosts, "tgt_doc_id")
+            .select(F.col("tgt_doc_id").alias("doc_id"), "n_refs",
+                    "n_src_hosts", "n_anchors", "top_anchor",
+                    "top_anchor_n"))
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (dedup / similarity / text / media)
 # ---------------------------------------------------------------------------
@@ -1120,6 +1184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_pages_for_host": q_graph_pages_for_host,
         "graph_host_graph": q_graph_host_graph,
+        "graph_anchor_text": q_graph_anchor_text,
+        "graph_cocitation": q_graph_cocitation,
         "graph_components": q_graph_components,
         "graph_triangles": q_graph_triangles,
         "graph_bfs_depths": q_graph_bfs_depths,
@@ -1343,6 +1409,35 @@ FROM e
 JOIN web_pages ps ON ps.doc_id = e.src_doc_id
 JOIN web_pages pt ON pt.doc_id = e.tgt_doc_id
 GROUP BY 1, 2"""),
+        "graph_cocitation": _oracle("""
+, e AS (SELECT DISTINCT src_doc_id, tgt_doc_id FROM web_links_full
+        WHERE k % 4 <> 0)
+SELECT x.tgt_doc_id AS a, y.tgt_doc_id AS b,
+       count(*) AS n_cociting
+FROM e x JOIN e y ON y.src_doc_id = x.src_doc_id
+WHERE x.tgt_doc_id < y.tgt_doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+ORDER BY n_cociting DESC, a ASC, b ASC
+LIMIT 1000"""),
+        "graph_anchor_text": _oracle("""
+, l AS (SELECT tgt_doc_id, anchor, src_host FROM web_links_full
+        WHERE k % 4 <> 0),
+pa AS (SELECT tgt_doc_id, anchor, count(*) AS n FROM l GROUP BY 1, 2),
+top1 AS (
+  SELECT tgt_doc_id, anchor, n,
+         row_number() OVER (PARTITION BY tgt_doc_id
+                            ORDER BY n DESC, anchor ASC) AS rn
+  FROM pa)
+SELECT a.tgt_doc_id AS doc_id,
+       a.n_refs, h.n_src_hosts, a.n_anchors,
+       t.anchor AS top_anchor, a.top_anchor_n
+FROM (SELECT tgt_doc_id, sum(n) AS n_refs, count(*) AS n_anchors,
+             max(n) AS top_anchor_n
+      FROM pa GROUP BY 1) a
+JOIN (SELECT tgt_doc_id, count(DISTINCT src_host) AS n_src_hosts
+      FROM l GROUP BY 1) h ON h.tgt_doc_id = a.tgt_doc_id
+JOIN top1 t ON t.tgt_doc_id = a.tgt_doc_id AND t.rn = 1"""),
         "graph_triangles": _oracle("""
 , und AS (
   SELECT DISTINCT least(src_doc_id, tgt_doc_id) AS a,
