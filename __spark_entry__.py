@@ -297,6 +297,29 @@ def q_crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scheduled.select("doc_id", "host", "seq", "host_rank")
 
 
+def q_crawl_wave_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global wave admission cap (round 4): after the per-host budget
+    cut, only the K lowest-seq rows enter the wave — the cut that
+    bounds a wave's fetch/write working set at a 10^10-URL frontier,
+    where per-host budgets alone scale with |hosts| and one wave could
+    otherwise schedule the whole planet.  Exact and SORT-FREE:
+    ``fseq.take_global`` range-partitions on the order key, counts per
+    partition (tiny driver array), passes whole partitions below the
+    boundary through untouched and takes a streaming head of the single
+    boundary partition — per-task memory stays one partition at any
+    |schedule| or K, unlike ``ORDER BY .. LIMIT K``'s single-reducer
+    merge.  Deferred rows keep their seq (carryover ≡ budget cut).
+    The oracle states the same cut declaratively with two windows."""
+    from web_graph_spark.operators.frontier import take_global
+    from web_graph_spark.operators.politeness import schedule_wave
+
+    pending = webgen.pages_df(spark, sf_dir).select(
+        "doc_id", "host", F.col("doc_id").alias("seq"))
+    scheduled, _cap = schedule_wave(pending, None, default_budget=5)
+    admitted = take_global(scheduled, 37, ["seq"])
+    return admitted.select("doc_id", "host", "seq", "host_rank")
+
+
 def q_crawl_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Authority-guided frontier scheduling (round 4): pending URLs are
     prioritized by their page in-degree in the link graph (the
@@ -1176,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_eval": q_crawl_robots_eval,
         "crawl_budget_derive": q_crawl_budget_derive,
         "crawl_politeness_schedule": q_crawl_politeness_schedule,
+        "crawl_wave_cap": q_crawl_wave_cap,
         "crawl_priority_rank": q_crawl_priority_rank,
         "graph_links_from": q_graph_links_from,
         "graph_links_to": q_graph_links_to,
@@ -1343,6 +1367,18 @@ WHERE d > 0"""),
 SELECT r.doc_id, r.host, r.seq, r.host_rank
 FROM ranked r LEFT JOIN bud USING (host)
 WHERE r.host_rank <= COALESCE(bud.b, 5)"""),
+        "crawl_wave_cap": _oracle("""
+, ranked AS (
+  SELECT doc_id, host, doc_id AS seq,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
+              AS INTEGER) AS host_rank
+  FROM web_pages
+), cut AS (
+  SELECT * FROM ranked WHERE host_rank <= 5
+)
+SELECT doc_id, host, seq, host_rank
+FROM (SELECT *, row_number() OVER (ORDER BY seq) AS rn FROM cut)
+WHERE rn <= 37"""),
         "crawl_priority_rank": _oracle("""
 , indeg AS (
   SELECT tgt_doc_id AS doc_id, count(*) AS indeg

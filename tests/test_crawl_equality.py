@@ -116,3 +116,59 @@ def test_n_pending_metric_matches_table_recount(spark, fixture_dir,
         actual = flog.join(seen, "page_id", "left_anti").count() - n_blocked
         assert metric[w] == actual, (w, metric[w], actual)
     assert blocked_any, "fixture robots blocked nothing - weak test"
+
+
+@pytest.mark.spark
+def test_engine_matches_oracle_wave_cap(spark, tmp_path):
+    """Global per-wave admission cap (max_wave_urls=17, unbounded host
+    budget): engine ≡ oracle bit-for-bit — the cap changes which wave a
+    URL runs in, and both sides must agree on every (wave, seq) pair.
+    take_global's scale path runs here (no small_hint), so the
+    range-partition + boundary-head machinery is what's being pinned."""
+    fd = tmp_path / "fix"
+    fd.mkdir()
+    fixtures.generate_fixtures(str(fd), seed=7, n_pages=150, n_hosts=8)
+    web = load_web(spark, str(fd))
+    seeds = spark.read.parquet(f"{fd}/seeds.parquet")
+    c = SparkCrawler(spark, str(tmp_path / "state"), web, max_waves=500,
+                     max_wave_urls=17)
+    c.init_from_seeds(seeds)
+    c.run()
+    o = oracle.simulate_crawl(fixtures.load_web_py(str(fd)),
+                              fixtures.load_seeds_py(str(fd)),
+                              max_wave_urls=17)
+    assert_equal_states(c, o)
+    per_wave = {r["wave"]: r["count"] for r in
+                c.store.read("crawl_order").groupBy("wave").count()
+                .collect()}
+    assert all(n <= 17 for n in per_wave.values()), per_wave
+    assert any(n == 17 for n in per_wave.values()), \
+        f"cap never binding - weak test: {per_wave}"
+
+
+@pytest.mark.spark
+def test_wave_cap_final_state_equals_uncapped(spark, tmp_path):
+    """The cap changes WHEN a URL is crawled, never WHETHER: a capped
+    run converges to the identical seen / pages / edges sets as the
+    uncapped oracle over the same web (more waves, same fixpoint)."""
+    fd = tmp_path / "fix"
+    fd.mkdir()
+    fixtures.generate_fixtures(str(fd), seed=11, n_pages=120, n_hosts=6)
+    web = load_web(spark, str(fd))
+    seeds = spark.read.parquet(f"{fd}/seeds.parquet")
+    c = SparkCrawler(spark, str(tmp_path / "state"), web, max_waves=500,
+                     max_wave_urls=13)
+    c.init_from_seeds(seeds)
+    c.run()
+    o = run_oracle(str(fd))  # uncapped
+    store = c.store
+    assert {r["page_id"] for r in store.read("seen").collect()} == o.seen
+    got_pages = {r["page_id"]: (r["host"], r["path"], r["url"]) for r in
+                 store.read("pages").collect()}
+    assert got_pages == o.pages
+    got_edges = {(r["from_page_id"], r["to_page_id"]): r["text"] for r in
+                 store.read("edges").collect()}
+    assert got_edges == o.edges
+    capped_waves = store.read("crawl_order").agg(
+        {"wave": "max"}).first()[0] + 1
+    assert capped_waves > o.waves, "cap never deferred anything - weak"

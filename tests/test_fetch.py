@@ -363,3 +363,34 @@ def test_pooled_fetch_doh_resolution_and_fallback():
     finally:
         for s in (doh_srv, web_srv):
             s.shutdown(); s.server_close()
+
+
+@pytest.mark.spark
+def test_join_fetcher_cache_ownership(spark):
+    """JoinFetcher persists the web on first fetch and releases it on
+    close() — but NEVER unpersists a web the caller cached themselves
+    (close() evicting a caller-owned cache would drop their state
+    mid-session)."""
+    from web_graph_spark.operators.fetch import JoinFetcher
+
+    sched = _seeds(spark).select(
+        F.sha1(F.col("url")).alias("page_id"), "url",
+        F.lit("h.test").alias("host"), F.lit("/p").alias("path"),
+        "seq", F.lit(0).alias("depth"))
+
+    # fetcher-owned: persist on fetch, release on close
+    own = _web(spark)
+    f = JoinFetcher(own)
+    f.fetch(sched).count()
+    assert f.web.is_cached
+    f.close()
+    assert not f.web.is_cached
+
+    # caller-owned: fetch must not re-persist, close must not evict
+    theirs = _web(spark).persist()
+    theirs.count()
+    g = JoinFetcher(theirs)
+    g.fetch(sched).count()
+    g.close()
+    assert theirs.is_cached
+    theirs.unpersist()

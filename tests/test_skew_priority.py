@@ -87,3 +87,46 @@ def test_crawler_depth_priority_mode(spark, fixture_dir, tmp_path):
     c2 = SparkCrawler(spark, str(tmp_path / "st"), web, default_budget=2,
                       max_waves=4, priority="depth")
     assert c2.store.committed_wave() == c.store.committed_wave()
+
+
+@pytest.mark.spark
+def test_take_global_exact_topk(spark):
+    """take_global (the max_wave_urls cut) returns exactly the K
+    smallest rows in the total order — equal to the single-partition
+    row_number reference on both the scale path and the small-hint
+    window path, including K larger than |df| and a K that lands
+    exactly on a partition boundary."""
+    from web_graph_spark.operators.frontier import release, take_global
+
+    # odd multiplier mod 2^31 is injective on [0,1000) → unique seqs
+    # in a scrambled order (take_global requires a unique order key)
+    df = (spark.range(0, 1000)
+          .select(F.pmod(F.col("id") * 2654435761, F.lit(1 << 31))
+                  .alias("seq"),
+                  F.col("id").alias("payload"))
+          .repartition(16))
+    want = [tuple(r) for r in
+            df.orderBy("seq").limit(137).collect()]
+
+    got = take_global(df, 137, ["seq"], num_partitions=8)
+    rows = sorted(tuple(r) for r in got.collect())
+    release(got)
+    assert rows == sorted(want)
+
+    small = take_global(df, 137, ["seq"], small_hint=1000)
+    assert sorted(tuple(r) for r in small.collect()) == sorted(want)
+
+    # K >= |df|: identity (and no residual cache)
+    allof = take_global(df, 5000, ["seq"], num_partitions=8)
+    assert allof.count() == 1000
+
+    # K exactly at a partition boundary: boundary head takes 0 rows
+    counts = (df.repartitionByRange(8, F.col("seq"))
+              .groupBy(F.spark_partition_id().alias("p")).count()
+              .orderBy("p").collect())
+    k_edge = int(counts[0]["count"])
+    edge = take_global(df, k_edge, ["seq"], num_partitions=8)
+    got_edge = sorted(tuple(r) for r in edge.collect())
+    release(edge)
+    assert got_edge == sorted(
+        tuple(r) for r in df.orderBy("seq").limit(k_edge).collect())

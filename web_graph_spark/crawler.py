@@ -94,6 +94,7 @@ class SparkCrawler:
                  pace_waves: bool = False,
                  robots_scope: str = "auto",
                  robots_cache_hosts: int = 1 << 18,
+                 max_wave_urls: int | None = None,
                  store: WaveStore | None = None):
         from .operators.fetch import JoinFetcher
         from .operators.robots import compile_rules
@@ -179,6 +180,18 @@ class SparkCrawler:
         # fresh discoveries when the budget cuts.
         assert priority in ("fifo", "depth")
         self.priority_col = None if priority == "fifo" else "depth"
+        # global per-wave admission cap: after the per-host budget cut,
+        # only the max_wave_urls first rows in (priority?, seq) order
+        # are crawled this wave; the rest stay pending with seq
+        # unchanged (dedupe-side carryover).  This is what bounds a
+        # wave's fetch/write working set at a 10^10-URL frontier —
+        # per-host budgets alone scale with |hosts|.  Exact and
+        # sort-free via fseq.take_global (range partition + boundary
+        # head), oracle-pinned in tests/test_crawl_equality.py.
+        if max_wave_urls is not None and max_wave_urls < 1:
+            raise ValueError("max_wave_urls must be >= 1 (a 0-URL wave "
+                             "would spin forever without progress)")
+        self.max_wave_urls = max_wave_urls
         # hot-host fan-out for the fetch stage (operators/skew.py)
         self.fetch_salt_buckets = fetch_salt_buckets
         # "exact" = plain left-anti; "bloom" = bloom pre-filter with
@@ -852,6 +865,14 @@ class SparkCrawler:
             priority_col=self.priority_col,
             broadcast_budgets=self._budgets_broadcast_ok,
             max_budget=self._budgets_max)
+        if self.max_wave_urls is not None:
+            # global admission cut AFTER politeness (budgets bound each
+            # host; the cap bounds the wave) — rows past the cap simply
+            # stay pending, same carryover as a budget cut.
+            order = ([self.priority_col, "seq"] if self.priority_col
+                     else ["seq"])
+            scheduled = fseq.take_global(scheduled, self.max_wave_urls,
+                                         order)
         scheduled = scheduled.persist()
         _tick("pending_dedupe")
 
@@ -1008,6 +1029,7 @@ class SparkCrawler:
                 pending_cache.unpersist()
             links.unpersist()
             expandable_cached.unpersist()
+            fseq.release(scheduled)
             scheduled.unpersist()
             # more=True when rows exist but were all period-deferred
             # (later waves will schedule them) or when a follow-mode
@@ -1154,6 +1176,7 @@ class SparkCrawler:
             # lineage recompute through the (side-effectful) fetch
             store.write("metrics", metrics_df, wave)
             fseq.release(targets)
+            fseq.release(scheduled)  # take_global's range-partition cache
             for c in (targets, links, expandable_cached, scheduled,
                       *extra_caches):
                 c.unpersist()

@@ -92,10 +92,16 @@ class JoinFetcher:
 
     def fetch(self, scheduled: DataFrame) -> DataFrame:
         if self._cache and not self._materialized:
-            from pyspark import StorageLevel
+            # skip (and never later unpersist) a web the CALLER already
+            # cached — persist-on-persisted is a no-op warning in Spark,
+            # but close() unpersisting a caller-owned cache would evict
+            # state out from under them mid-session.
+            if not self.web.is_cached:
+                from pyspark import StorageLevel
 
-            self.web = self.web.persist(StorageLevel.MEMORY_AND_DISK)
-            self._materialized = True
+                self.web = self.web.persist(StorageLevel.MEMORY_AND_DISK)
+                self._materialized = True
+            self._cache = False
         return (scheduled.alias("s")
                 .join(self.web.alias("w"), "page_id", "left")
                 .select("page_id", F.col("s.url").alias("url"),

@@ -69,11 +69,16 @@ def simulate_crawl(web: dict, seeds: list[dict],
                    budgets: dict[str, int] | None = None,
                    default_budget: int = 1 << 60,
                    max_waves: int = 100,
-                   robots: dict | None = None) -> CrawlResult:
+                   robots: dict | None = None,
+                   max_wave_urls: int | None = None) -> CrawlResult:
     """web: {page_id: {url, host, path, content_type, fetch_ok, spans}};
     seeds: [{seq, url}] sorted by seq; robots: CompiledRules (evaluated
     at schedule time — disallowed rows leave the frontier, join the
-    seen set, and are never fetched; rule set may change between waves)."""
+    seen set, and are never fetched; rule set may change between waves).
+    max_wave_urls: global per-wave admission cap — after the per-host
+    budget cut, only the ``max_wave_urls`` lowest-seq rows are crawled
+    this wave; the rest stay pending with seq unchanged (the engine's
+    ``SparkCrawler(max_wave_urls=)`` / ``take_global`` semantics)."""
     from .operators.robots import allowed_py
 
     budgets = budgets or {}
@@ -112,6 +117,8 @@ def simulate_crawl(web: dict, seeds: list[dict],
             b = budgets.get(host, default_budget)
             scheduled.extend(rows[:b])
         scheduled.sort(key=lambda pr: pr[1]["seq"])
+        if max_wave_urls is not None:
+            scheduled = scheduled[:max_wave_urls]
         scheduled_ids = {pid for pid, _ in scheduled}
         for pid, _ in scheduled:
             del frontier[pid]
