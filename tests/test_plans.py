@@ -319,3 +319,29 @@ def test_sample_mix_is_single_scan(spark):
     plan = physical_plan(df)
     assert "Exchange" not in plan, plan
     assert_no_python_udf(df)
+
+
+@pytest.mark.spark
+def test_take_global_plan_has_no_global_sort(spark):
+    """E45 wave cap: the take_global scale path must contain NO global
+    sort and NO single-partition Exchange — the admission cut is a
+    range partition + per-partition counts + a boundary head, so no
+    node ever converges the schedule on one task (the failure mode of
+    ORDER BY .. LIMIT K at 10^10 rows).  The small-hint path is the
+    deliberate single-window exception (tiny waves)."""
+    from web_graph_spark.operators.frontier import release, take_global
+
+    df = spark.range(100_000).select(F.col("id").alias("seq"),
+                                     (F.col("id") * 2).alias("x"))
+    got = take_global(df, 1_000, ["seq"], num_partitions=8)
+    plan = physical_plan(got)
+    release(got)
+    assert "Exchange SinglePartition" not in plan, plan
+    # rangepartitioning Exchange is the expected shuffle; a global
+    # Sort would show as "Sort [seq ... ASC" NOT followed by a
+    # partial/local marker — pin the absence of TakeOrderedAndProject
+    # and of any Window (the small path's shape) instead, which are
+    # the two single-task shapes this operator exists to avoid.
+    assert "TakeOrderedAndProject" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" in plan, plan
