@@ -320,6 +320,35 @@ def q_crawl_wave_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return admitted.select("doc_id", "host", "seq", "host_rank")
 
 
+def q_crawl_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl freshness scheduling (E46, Cho & Garcia-Molina SIGMOD
+    2000): estimate each page's change rate from its fetch history
+    (digest transitions under a per-page lag window — uniform keys, no
+    skew), then score staleness as integer ``change_ppm * age_s`` — no
+    float logs to drift between engines.  The fetch history is derived
+    deterministically from the events table (event → an observation of
+    page ``event_id mod 211`` at ``ts`` with content version
+    ``floor(value*10) mod 5``); ``now`` is the corpus max ts.  The
+    score feeds ``schedule_wave(priority_col=...)`` so politeness
+    budgets apply to re-crawls exactly as to discoveries
+    (tests/test_skew_priority.py)."""
+    from web_graph_spark.operators.recrawl import (change_stats,
+                                                   recrawl_priority)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hist = ev.select(
+        F.pmod(F.col("event_id"), F.lit(211)).cast("long")
+        .alias("page_id"),
+        F.col("ts").alias("fetched_at"),
+        F.pmod(F.floor(F.col("value") * 10), F.lit(5)).cast("string")
+        .alias("content_digest"))
+    stats = change_stats(hist)
+    now = ev.agg(F.max("ts")).first()[0]  # 1-row driver action
+    return (recrawl_priority(stats, now)
+            .select("page_id", "n_obs", "n_changes", "change_ppm",
+                    "age_s", "recrawl_score"))
+
+
 def q_crawl_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Authority-guided frontier scheduling (round 4): pending URLs are
     prioritized by their page in-degree in the link graph (the
@@ -1200,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget_derive": q_crawl_budget_derive,
         "crawl_politeness_schedule": q_crawl_politeness_schedule,
         "crawl_wave_cap": q_crawl_wave_cap,
+        "crawl_recrawl_schedule": q_crawl_recrawl_schedule,
         "crawl_priority_rank": q_crawl_priority_rank,
         "graph_links_from": q_graph_links_from,
         "graph_links_to": q_graph_links_to,
@@ -1379,6 +1409,35 @@ WHERE r.host_rank <= COALESCE(bud.b, 5)"""),
 SELECT doc_id, host, seq, host_rank
 FROM (SELECT *, row_number() OVER (ORDER BY seq) AS rn FROM cut)
 WHERE rn <= 37"""),
+        "crawl_recrawl_schedule": _oracle("""
+, hist AS (
+  SELECT event_id % 211 AS page_id, ts AS fetched_at,
+         CAST(CAST(floor(value * 10) AS BIGINT) % 5 AS VARCHAR)
+           AS content_digest
+  FROM events
+), marked AS (
+  SELECT page_id, fetched_at, content_digest,
+         lag(content_digest) OVER (PARTITION BY page_id
+                                   ORDER BY fetched_at) AS prev
+  FROM hist
+), stats AS (
+  SELECT page_id, CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(coalesce(sum(CASE WHEN prev IS NOT NULL
+                                 AND prev <> content_digest
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_changes,
+         max(fetched_at) AS last_fetch
+  FROM marked GROUP BY 1
+), now_t AS (SELECT max(ts) AS now_ts FROM events)
+SELECT page_id, n_obs, n_changes,
+       CAST(floor((n_changes + 1) * 1000000.0 / (n_obs + 1)) AS BIGINT)
+         AS change_ppm,
+       CAST(floor(epoch(now_ts)) - floor(epoch(last_fetch)) AS BIGINT)
+         AS age_s,
+       CAST(floor((n_changes + 1) * 1000000.0 / (n_obs + 1))
+            * (floor(epoch(now_ts)) - floor(epoch(last_fetch)))
+            AS BIGINT) AS recrawl_score
+FROM stats, now_t"""),
         "crawl_priority_rank": _oracle("""
 , indeg AS (
   SELECT tgt_doc_id AS doc_id, count(*) AS indeg

@@ -130,3 +130,43 @@ def test_take_global_exact_topk(spark):
     release(edge)
     assert got_edge == sorted(
         tuple(r) for r in df.orderBy("seq").limit(k_edge).collect())
+
+
+@pytest.mark.spark
+def test_recrawl_priority_feeds_schedule_wave(spark):
+    """E46 freshness scheduling: change-rate stats are exact integers
+    (hand-computed ppm), and the score drives schedule_wave's priority
+    path — the frequently-changing page wins a budget-1 re-crawl wave
+    over the static one on the same host."""
+    from web_graph_spark.operators.politeness import schedule_wave
+    from web_graph_spark.operators.recrawl import (change_stats,
+                                                   recrawl_priority)
+
+    rows = [  # A: digest flips every fetch; B: never changes
+        ("A", "2024-01-01 00:00:00", "d1"),
+        ("A", "2024-01-02 00:00:00", "d2"),
+        ("A", "2024-01-03 00:00:00", "d3"),
+        ("B", "2024-01-01 00:00:00", "x"),
+        ("B", "2024-01-02 00:00:00", "x"),
+        ("B", "2024-01-03 00:00:00", "x"),
+    ]
+    hist = spark.createDataFrame(
+        rows, "page_id string, fetched_at string, content_digest string"
+    ).withColumn("fetched_at", F.to_timestamp("fetched_at"))
+    scored = recrawl_priority(change_stats(hist), "2024-01-04 00:00:00")
+    got = {r["page_id"]: r.asDict() for r in scored.collect()}
+    assert got["A"]["n_obs"] == 3 and got["A"]["n_changes"] == 2
+    assert got["B"]["n_obs"] == 3 and got["B"]["n_changes"] == 0
+    assert got["A"]["change_ppm"] == 750_000   # (2+1)*1e6 // (3+1)
+    assert got["B"]["change_ppm"] == 250_000   # (0+1)*1e6 // (3+1)
+    assert got["A"]["age_s"] == got["B"]["age_s"] == 86_400
+    assert got["A"]["recrawl_score"] > got["B"]["recrawl_score"]
+
+    pending = (scored
+               .withColumn("host", F.lit("h.example.test"))
+               .withColumn("seq", F.when(F.col("page_id") == "A", 1)
+                           .otherwise(0))  # FIFO alone would pick B
+               .withColumn("prio", -F.col("recrawl_score")))
+    wave, _cap = schedule_wave(pending, None, default_budget=1,
+                               priority_col="prio")
+    assert [r["page_id"] for r in wave.collect()] == ["A"]
