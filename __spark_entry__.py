@@ -886,6 +886,34 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(_docs_with_dups(spark, sf_dir), threshold=0.5)
 
 
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E47 incremental MinHash index — the cross-dump dedup step of a
+    training pipeline (dedupe each new crawl dump against ALL prior
+    dumps at O(dump), not O(corpus)): the dup-seeded corpus splits
+    into two "dumps" (even/odd doc_id); dump 1's signatures + LSH band
+    buckets are persisted once (sigs/bands parquet under a per-sf tmp
+    dir), dump 2 is then deduped against the index AND itself without
+    recomputing a single dump-1 signature.  Seeded hash constants make
+    the split bit-exact vs a full recompute — pinned by
+    tests/test_functions.py::test_minhash_incremental_equals_full;
+    the golden oracle certifies this split's output here.  scope =
+    'index' (cross-dump pair) or 'batch' (both in dump 2)."""
+    import hashlib
+    import tempfile
+
+    from web_graph_spark.functions.dedup import (minhash_dedup_incremental,
+                                                 minhash_index_add)
+
+    docs = _docs_with_dups(spark, sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"wgs_mh_idx_{tag}")
+    if not os.path.isdir(os.path.join(idx, "bands")):  # bands written last
+        minhash_index_add(b1, idx)
+    return minhash_dedup_incremental(b2, idx, threshold=0.5)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups (pandas-UDF fingerprints; rows-only check)."""
     from web_graph_spark.functions.dedup import simhash_pairs
@@ -1264,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1657,6 +1686,9 @@ def _golden_oracles() -> dict[str, str]:
         "dedup_simhash": (
             f"SELECT id_a, id_b, hamming "
             f"FROM read_parquet('{g}/dedup_simhash.parquet')"),
+        "dedup_minhash_incremental": (
+            f"SELECT id_a, id_b, est_jaccard_bp, scope "
+            f"FROM read_parquet('{g}/dedup_minhash_incremental.parquet')"),
         "ann_lsh_topk": (
             f"SELECT q_id, rank, vec_id, sim_ppm "
             f"FROM read_parquet('{g}/ann_lsh_topk.parquet')"),

@@ -34,6 +34,7 @@ GOLDEN_QUERIES = [
     "graph_pagerank",
     "graph_hits",
     "dedup_minhash",
+    "dedup_minhash_incremental",
     "dedup_simhash",
     "ann_lsh_topk",
     "ann_pq_topk",

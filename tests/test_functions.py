@@ -608,3 +608,51 @@ def test_tfidf_topk_ranking(spark):
          (5, 1 * idf_rare + 1 * idf_common)],
         key=lambda t: (-t[1], t[0]))
     assert got == [(i + 1, d, s) for i, (d, s) in enumerate(want)]
+
+
+@pytest.mark.spark
+def test_minhash_incremental_equals_full(spark, docs, tmp_path):
+    """E47: deduping a new batch against a persisted signature index
+    (old signatures never recomputed) finds EXACTLY the pairs of a
+    full-corpus recompute — seeded signature constants make the split
+    bit-exact, the property that licenses O(dump) per-dump cost."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.dedup import (minhash_dedup_incremental,
+                                                 minhash_near_dups)
+
+    base = [r["text"] for r in docs.limit(30).collect()]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 2, t))
+        rows.append((i * 2 + 1, _perturb(t, 0.05, seed=1000 + i)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # split so most near-dup pairs STRADDLE the batches (even/odd)
+    b1 = df.filter(F.col("doc_id") % 2 == 0)
+    b2 = df.filter(F.col("doc_id") % 2 == 1)
+
+    full = {(r["id_a"], r["id_b"]): r["est_jaccard_bp"]
+            for r in minhash_near_dups(df, threshold=0.5).collect()}
+
+    idx = str(tmp_path / "mh_idx")
+    # first dump: no index yet -> batch-only pairs, then appended
+    first = minhash_dedup_incremental(b1, idx, threshold=0.5, add=True)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard_bp"]
+           for r in first.collect()}
+    assert all(r["scope"] == "batch" for r in first.collect())
+    # second dump: probes the persisted index
+    second = minhash_dedup_incremental(b2, idx, threshold=0.5,
+                                       add=True).collect()
+    scopes = {r["scope"] for r in second}
+    assert "index" in scopes, "no cross-dump pair - weak split"
+    for r in second:
+        got[(r["id_a"], r["id_b"])] = r["est_jaccard_bp"]
+    assert got == full
+
+    # the index now holds both dumps: a third, empty-overlap batch
+    # sees its own dup against the index
+    b3 = spark.createDataFrame([(9001, base[0])],
+                               "doc_id long, text string")
+    third = minhash_dedup_incremental(b3, idx, threshold=0.5).collect()
+    assert any(r["scope"] == "index"
+               and {r["id_a"], r["id_b"]} & {0, 1} for r in third)

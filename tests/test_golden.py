@@ -1,8 +1,9 @@
 """Golden-parquet drift guard.
 
-The seven contract queries whose semantics DuckDB SQL cannot express
-(graph_pagerank, dedup_minhash, dedup_simhash, ann_lsh_topk,
-ann_pq_topk, media_features) are oracle-checked against golden parquet files frozen
+The contract queries whose semantics DuckDB SQL cannot express
+(xxhash64/decimal-iteration families: pagerank, hits, minhash ×2,
+simhash, ann lsh/pq/ivfpq, media ×2 — see the parametrize list
+below) are oracle-checked against golden parquet files frozen
 by scripts/make_golden.py from the independently test-pinned paths.
 These tests re-run each query at sf0.01 and assert exact row-set
 equality with its golden — so any semantic change fails HERE first and
@@ -33,6 +34,7 @@ def _rowset(tbl) -> set[tuple]:
 @pytest.mark.spark
 @pytest.mark.parametrize("name", ["graph_pagerank", "graph_hits",
                                   "dedup_minhash",
+                                  "dedup_minhash_incremental",
                                   "dedup_simhash", "ann_lsh_topk",
                                   "ann_pq_topk", "ann_ivfpq_topk",
                                   "media_features", "media_decode"])

@@ -159,17 +159,24 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 64, shingle_n: int = 3,
                          F.when(F.size("hs") > 0, sig).alias("sig"))
 
 
+def banded_rows(sigs: DataFrame, bands: int = 16) -> DataFrame:
+    """LSH bucket rows ``(id, band_idx, band_hash)`` of a signature
+    set — the unit both the self-join dedup and the persisted
+    incremental index store and join on."""
+    n_hashes_col = F.size("sig")
+    rows_per_band = F.floor(n_hashes_col / bands).cast("int")
+    return (sigs.filter(F.col("sig").isNotNull())
+            .select("id", F.posexplode(F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.slice(
+                    "sig", b * rows_per_band + 1, rows_per_band))))
+                .alias("band_idx", "band_hash")))
+
+
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
     """Band the signature, bucket-join: a pair is a candidate iff some
     band hashes equal.  Shuffle key = (band_idx, band_hash) — uniform."""
-    n_hashes_col = F.size("sig")
-    rows_per_band = F.floor(n_hashes_col / bands).cast("int")
-    banded = (sigs.filter(F.col("sig").isNotNull())
-              .select("id", F.posexplode(F.transform(
-                  F.sequence(F.lit(0), F.lit(bands - 1)),
-                  lambda b: F.xxhash64(F.slice(
-                      "sig", b * rows_per_band + 1, rows_per_band))))
-                  .alias("band_idx", "band_hash")))
+    banded = banded_rows(sigs, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                    & (F.col("a.band_hash") == F.col("b.band_hash"))
@@ -368,3 +375,107 @@ def contaminated_docs(corpus: DataFrame, benchmark: DataFrame,
             .groupBy("doc_id")
             .agg(F.count_distinct("s").alias("n_hit_shingles"),
                  F.count_distinct("bench_doc").alias("n_benchmark_docs")))
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash index (E47)
+# ---------------------------------------------------------------------------
+
+def _verify_pairs(cand: DataFrame, sigs_a: DataFrame, sigs_b: DataFrame,
+                  n_hashes: int, threshold: float) -> DataFrame:
+    """Signature-agreement verify of candidate (id_a, id_b) pairs —
+    identical math to minhash_near_dups (est Jaccard = agreeing
+    positions / n_hashes, in basis points)."""
+    sa = sigs_a.select(F.col("id").alias("id_a"),
+                       F.col("sig").alias("sig_a"))
+    sb = sigs_b.select(F.col("id").alias("id_b"),
+                       F.col("sig").alias("sig_b"))
+    est = (cand.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("n_agree", F.size(F.filter(
+               F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+               lambda v: v)))
+           .withColumn("est_jaccard_bp",
+                       F.floor(F.col("n_agree") * 10000 / n_hashes)
+                        .cast("long")))
+    return (est.filter(F.col("est_jaccard_bp") >= int(threshold * 10000))
+            .select("id_a", "id_b", "est_jaccard_bp"))
+
+
+def minhash_index_add(df: DataFrame, index_dir: str, n_hashes: int = 64,
+                      bands: int = 16, shingle_n: int = 3,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> None:
+    """Append one document batch to a persisted MinHash index: two
+    parquet tables under ``index_dir`` — ``sigs(id, sig)`` and
+    ``bands(id, band_idx, band_hash)``.
+
+    The signature constants are seeded (minhash_signatures), so rows
+    appended across any batch split are BIT-IDENTICAL to a full-corpus
+    recompute — the property that makes incremental dedup exact
+    (pinned in tests/test_functions.py).  At 10^10 docs the bands
+    table's (band_idx, band_hash) keys stay uniform (hash values), so
+    the probe join shuffles evenly; old signatures are never
+    recomputed — per-dump cost is O(new batch), the same shape as the
+    crawler's IncrementalBloomSeen."""
+    sigs = minhash_signatures(df, n_hashes, shingle_n, id_col, text_col) \
+        .localCheckpoint()
+    sigs.write.mode("append").parquet(f"{index_dir}/sigs")
+    banded_rows(sigs, bands).write.mode("append") \
+        .parquet(f"{index_dir}/bands")
+
+
+def minhash_dedup_incremental(df_new: DataFrame, index_dir: str | None,
+                              threshold: float = 0.7, n_hashes: int = 64,
+                              bands: int = 16, shingle_n: int = 3,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              add: bool = False) -> DataFrame:
+    """Near-dup pairs of a NEW batch against (persisted index ∪ the
+    batch itself), computing signatures only for the new rows — the
+    cross-dump dedup step of a training pipeline (CCNet/RefinedWeb
+    dedupe each crawl dump against all prior dumps; recomputing prior
+    signatures per dump would be O(corpus) instead of O(dump)).
+
+    Returns ``(id_a, id_b, est_jaccard_bp, scope)`` with id_a < id_b;
+    scope = 'index' (new vs indexed doc) or 'batch' (both new).
+    ``index_dir=None`` or a missing index ⇒ batch-only pairs (first
+    dump).  ``add=True`` appends the batch to the index afterwards
+    (from the already-computed signatures — no second pass)."""
+    spark = df_new.sparkSession
+    new_sigs = minhash_signatures(df_new, n_hashes, shingle_n,
+                                  id_col, text_col).localCheckpoint()
+    within = _verify_pairs(lsh_candidate_pairs(new_sigs, bands),
+                           new_sigs, new_sigs, n_hashes, threshold) \
+        .withColumn("scope", F.lit("batch"))
+    old_sigs = old_bands = None
+    if index_dir is not None:
+        try:
+            old_sigs = spark.read.parquet(f"{index_dir}/sigs")
+            old_bands = spark.read.parquet(f"{index_dir}/bands")
+        except Exception:
+            old_sigs = old_bands = None  # first dump: no index yet
+    if old_bands is not None:
+        new_bands = banded_rows(new_sigs, bands)
+        cross = (new_bands.alias("n")
+                 .join(old_bands.alias("o"), ["band_idx", "band_hash"])
+                 .select(F.col("n.id").alias("id_new"),
+                         F.col("o.id").alias("id_old"))
+                 .filter(F.col("id_new") != F.col("id_old"))
+                 .distinct())
+        cand = cross.select(F.col("id_new").alias("id_a"),
+                            F.col("id_old").alias("id_b"))
+        verified = _verify_pairs(cand, new_sigs, old_sigs,
+                                 n_hashes, threshold)
+        # normalize id_a < id_b for a stable pair identity
+        verified = verified.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "est_jaccard_bp").withColumn("scope", F.lit("index"))
+        out = within.unionByName(verified)
+    else:
+        out = within
+    if add:
+        new_sigs.write.mode("append").parquet(f"{index_dir}/sigs")
+        banded_rows(new_sigs, bands).write.mode("append") \
+            .parquet(f"{index_dir}/bands")
+    return out
