@@ -649,6 +649,21 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digit_ratio_bp", "stopword_ratio_bp", "quality_score")
 
 
+def q_corpus_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E48 domain-reputation filter (C4 §2.2 / RefinedWeb §3.1's
+    URL-and-domain filtering at source granularity): per-source doc
+    count, mean composite quality, and the bp share of docs under the
+    quality floor — a domain that is mostly junk drops ALL its pages,
+    including the above-floor ones (spam farms poison by association).
+    One codegen projection + one uniform-key agg over |sources| keys;
+    the verdict dim then semi-joins the corpus (source_filter)."""
+    from web_graph_spark.functions.text import source_reputation
+
+    return (source_reputation(_docs(spark, sf_dir))
+            .select("source", "n_docs", "avg_quality",
+                    "low_quality_share_bp", "keep"))
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from web_graph_spark.functions.text import with_lang_guess
 
@@ -1275,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
+        "corpus_source_reputation": q_corpus_source_reputation,
         "text_lang_id": q_text_lang_id,
         "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
@@ -1788,6 +1804,28 @@ FROM documents""",
         "text_lang_id": f"""
 SELECT doc_id, lang, {lang_guess_sql('text')} AS lang_guess
 FROM documents""",
+        "corpus_source_reputation": f"""
+WITH q AS (
+  SELECT source,
+         CAST(greatest(
+             least({n_tok}, 200) * 20
+             + floor(({stopword_count_sql('text')}) * 10000.0
+                     / greatest({n_tok}, 1))
+             - floor({n_punct} * 10000.0 / greatest(length(text), 1))
+             - floor({n_digit} * 10000.0 / greatest(length(text), 1)),
+             0) AS BIGINT) AS quality_score
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(floor(sum(quality_score) * 1.0 / count(*)) AS BIGINT)
+         AS avg_quality,
+       CAST(floor(sum(CASE WHEN quality_score < 2000 THEN 1 ELSE 0 END)
+                  * 10000.0 / count(*)) AS BIGINT)
+         AS low_quality_share_bp,
+       count(*) >= 3
+         AND floor(sum(CASE WHEN quality_score < 2000 THEN 1 ELSE 0 END)
+                   * 10000.0 / count(*)) <= 5000 AS keep
+FROM q GROUP BY source""",
         "corpus_sample_mix": f"""
 WITH feat AS (
   SELECT doc_id,

@@ -656,3 +656,31 @@ def test_minhash_incremental_equals_full(spark, docs, tmp_path):
     third = minhash_dedup_incremental(b3, idx, threshold=0.5).collect()
     assert any(r["scope"] == "index"
                and {r["id_a"], r["id_b"]} & {0, 1} for r in third)
+
+
+@pytest.mark.spark
+def test_source_reputation_filter(spark):
+    """E48 domain-reputation cut: a mostly-junk source drops ALL its
+    docs (poison-by-association, including its one above-floor page);
+    a too-small source can't be judged and drops; a healthy source
+    keeps everything."""
+    from web_graph_spark.functions.text import (source_filter,
+                                                source_reputation)
+
+    good = "the and is a of " * 30          # stopword-rich, 150 tokens
+    junk = "1234!!! 5678??? 90&&& " * 5     # digits + punct, few tokens
+    rows = ([(i, good, "good.src") for i in range(3)]
+            + [(10 + i, junk, "bad.src") for i in range(3)]
+            + [(20, good, "bad.src")]       # above-floor page, bad host
+            + [(30, good, "tiny.src")])     # below min_docs
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    rep = {r["source"]: r.asDict()
+           for r in source_reputation(df).collect()}
+    assert rep["good.src"]["keep"] is True
+    assert rep["bad.src"]["keep"] is False      # 3/4 junk > 50% bp
+    assert rep["bad.src"]["low_quality_share_bp"] == 7500
+    assert rep["tiny.src"]["keep"] is False     # n_docs < 3
+
+    kept = sorted(r["doc_id"] for r in source_filter(df).collect())
+    assert kept == [0, 1, 2]                    # doc 20 dies with its host

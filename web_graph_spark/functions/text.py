@@ -166,6 +166,55 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                     .alias("dup_trigram_bp")))
 
 
+def source_reputation(df: DataFrame, min_docs: int = 3,
+                      quality_floor: int = 2000,
+                      bad_share_max_bp: int = 5000,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      group_col: str = "source") -> DataFrame:
+    """Domain-level reputation filter — the "URL/domain filtering"
+    stage of C4 (Raffel et al. 2020 §2.2) and RefinedWeb (Penedo et
+    al. 2023 §3.1), applied at the ``source``/host granularity: a
+    domain whose documents are MOSTLY junk poisons even its
+    above-floor pages (boilerplate farms, SEO spam), so the unit of
+    the keep/drop decision is the domain, not the page.
+
+    Per source: doc count, mean composite quality (floored int), and
+    the basis-point share of docs under ``quality_floor``; verdict
+    ``keep`` = enough docs to judge (``min_docs``) AND low-quality
+    share ≤ ``bad_share_max_bp``.  All signals are the existing
+    integer with_quality ratios — one codegen'd projection + one
+    uniform-key agg (|sources| keys), no Python, no skew.  Compose
+    with :func:`corpus source filter <source_filter>` for the kept
+    docs."""
+    q = with_quality(df, text_col)
+    agg = (q.groupBy(group_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.floor(F.sum("quality_score") / F.count(F.lit(1)))
+                .cast("long").alias("avg_quality"),
+                F.floor(F.sum((F.col("quality_score") < quality_floor)
+                              .cast("long")) * 10000
+                        / F.count(F.lit(1)))
+                .cast("long").alias("low_quality_share_bp")))
+    return agg.withColumn(
+        "keep", (F.col("n_docs") >= min_docs)
+        & (F.col("low_quality_share_bp") <= bad_share_max_bp))
+
+
+def source_filter(df: DataFrame, min_docs: int = 3,
+                  quality_floor: int = 2000,
+                  bad_share_max_bp: int = 5000,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  group_col: str = "source") -> DataFrame:
+    """Docs surviving the domain-reputation cut: semi-join against the
+    kept sources (the reputation dim is |sources|-sized — broadcast at
+    sane domain counts, plain shuffle join beyond)."""
+    rep = source_reputation(df, min_docs, quality_floor,
+                            bad_share_max_bp, id_col, text_col,
+                            group_col)
+    return df.join(rep.filter("keep").select(group_col), group_col,
+                   "left_semi")
+
+
 def grouped_split(df: DataFrame, group_col: str = "source",
                   bounds: tuple[tuple[str, str], ...] = (("val", "1999"),
                                                          ("test", "3332")),

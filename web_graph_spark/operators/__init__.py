@@ -5,4 +5,5 @@ extract     span-document link extraction (S5) via posexplode + UDF
 politeness  per-host budget scheduling (O4) via window group-limit
 dedupe      seen-set membership: anti-join + bloom/cuckoo pre-filters
 robots      broadcast robots.txt prefix rules, vectorized evaluation
+recrawl     freshness re-visit scheduling from observed change rates
 """

@@ -140,6 +140,97 @@ def host_budget_stream(spark: SparkSession, inbox_dir: str, out_dir: str,
             .start())
 
 
+def host_rate_stream(spark: SparkSession, inbox_dir: str, out_dir: str,
+                     checkpoint_dir: str, rate_per_s: float = 1.0,
+                     burst: int = 1,
+                     max_files_per_trigger: int = 64) -> StreamingQuery:
+    """Streaming per-host RATE limiter — an event-time token bucket in
+    ``applyInPandasWithState``: the streaming twin of the batch
+    crawl-delay budgets (robots.py budgets_from_crawl_delay derives
+    pages/wave from delay; here the delay is enforced continuously).
+
+    State per host = ``(tokens_µ, last_ts_µs)``: tokens refill at
+    ``rate_per_s`` per EVENT-TIME second (integer micro-tokens — the
+    arithmetic is exact and replays identically on restart, unlike
+    wall-clock buckets), capped at ``burst`` whole tokens; a row is
+    admitted iff a whole token is available, which then drains.  Rows
+    are processed in (arrival_ts, url) order, so the admit/drop
+    decision is a pure function of the input stream — checkpoint
+    resume or full replay reproduces it bit-for-bit (hand-computed
+    admits + restart continuation pinned in tests/test_streaming.py).
+
+    host_budget_stream bounds LIFETIME pages per host; this bounds the
+    page RATE — the two compose (budget upstream, rate downstream) the
+    same way the batch loop stacks budget and wave_period.  Scale:
+    state is two int64s per host, hash-partitioned by group key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    raw = (spark.readStream.schema(INBOX_SCHEMA)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(inbox_dir))
+    rows = canonical_admissible(raw)
+
+    out_schema = ("page_id string, url string, host string, path string, "
+                  "arrival_ts timestamp, tokens_left_u long")
+    state_schema = "tokens_u long, last_ts_us long"
+    token_u = 1_000_000
+    rate_u_per_s = int(rate_per_s * token_u)  # µtokens per second
+    burst_u = burst * token_u
+
+    def admit(key, pdfs, state: GroupState):
+        if state.exists:
+            tokens_u, last_us = state.get
+        else:
+            tokens_u, last_us = burst_u, None  # bucket starts full
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allr = (pd.concat(chunks, ignore_index=True)
+                    .sort_values(["arrival_ts", "url"], kind="mergesort"))
+            # epoch µs regardless of the Arrow/pandas datetime unit
+            ts_us = (allr["arrival_ts"].values
+                     .astype("datetime64[us]").astype("int64"))
+            keep, left = [], []
+            for t in ts_us:
+                if last_us is not None and t > last_us:
+                    # integer refill: µtokens = Δµs · rate_µ/s ÷ 10^6
+                    tokens_u = min(burst_u, tokens_u
+                                   + (int(t - last_us) * rate_u_per_s)
+                                   // token_u)
+                # the bucket clock is MONOTONE: a late row (event time
+                # below the high-water mark) draws from the current
+                # bucket without refilling it — the conservative
+                # choice, and it keeps resumed runs from double-
+                # counting refill across a regression.
+                last_us = max(int(t), last_us or 0)
+                if tokens_u >= token_u:
+                    tokens_u -= token_u
+                    keep.append(True)
+                    left.append(tokens_u)
+                else:
+                    keep.append(False)
+                    left.append(-1)
+            allr["tokens_left_u"] = left
+            out = allr[pd.Series(keep).values]
+            if len(out):
+                yield out[["page_id", "url", "host", "path",
+                           "arrival_ts", "tokens_left_u"]]
+        state.update((int(tokens_u), int(last_us or 0)))
+
+    admitted = (rows.groupBy("host").applyInPandasWithState(
+        admit, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout))
+    return (admitted.writeStream
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
+
+
 def hourly_events_stream(spark: SparkSession, events_dir: str,
                          schema: str | None = None,
                          watermark: str = "1 hour") -> DataFrame:
