@@ -61,6 +61,44 @@ def _oracle_recursive(body: str) -> str:
     return "WITH RECURSIVE " + _oracle(body)[len("WITH "):]
 
 
+def _lpa_unrolled_sql(iters: int) -> str:
+    """Synchronous label propagation unrolled to ``iters`` rounds of
+    plain SQL — the oracle for q_graph_label_prop.  Each round mirrors
+    operators/graph_algos.py:label_propagation exactly: votes = one
+    label per distinct undirected neighbor edge, winner = highest
+    count then smallest label, isolated vertices keep their label."""
+    parts = ["""
+, e AS (
+  SELECT DISTINCT least(src_doc_id, tgt_doc_id) AS u,
+         greatest(src_doc_id, tgt_doc_id) AS v
+  FROM web_links_full WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id
+),
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM web_pages)"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f""",
+v{i} AS (
+  SELECT und.u AS id, p.lbl, count(*) AS n
+  FROM und JOIN l{p} p ON p.id = und.v
+  GROUP BY 1, 2
+),
+b{i} AS (
+  SELECT id, lbl AS new_lbl FROM (
+    SELECT id, lbl,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY n DESC, lbl ASC) AS rn
+    FROM v{i}) WHERE rn = 1
+),
+l{i} AS (
+  SELECT p.id, coalesce(b.new_lbl, p.lbl) AS lbl
+  FROM l{p} p LEFT JOIN b{i} b ON b.id = p.id
+)""")
+    parts.append(f"""
+SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community FROM l{iters}""")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -515,6 +553,22 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("hub_ppb"),
                     F.floor(F.col("auth") * 1e9).cast("long")
                     .alias("auth_ppb")))
+
+
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (4 synchronous mode-of-neighbors
+    rounds, smallest-label tie-break — operators/graph_algos.py:
+    label_propagation) over the undirected admissible edge set: the
+    mirror-farm / site-family detector a corpus pipeline runs before
+    per-community dedup.  Deterministic by construction, so the oracle
+    is the SAME 4 rounds unrolled in SQL — no golden parquet."""
+    from web_graph_spark.operators.graph_algos import label_propagation
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    v = webgen.pages_df(spark, sf_dir).select("doc_id")
+    return label_propagation(v, e, iters=4)
 
 
 def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1288,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_depths": q_graph_bfs_depths,
         "graph_pagerank": q_graph_pagerank,
         "graph_hits": q_graph_hits,
+        "graph_label_prop": q_graph_label_prop,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "corpus_source_reputation": q_corpus_source_reputation,
@@ -1639,6 +1694,7 @@ reach(node, lbl) AS (
 )
 SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component
 FROM reach GROUP BY 1"""),
+        "graph_label_prop": _oracle(_lpa_unrolled_sql(iters=4)),
         "ann_ivf_topk": """
 WITH b AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -30,7 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "pagerank", "triangle_counts"]
+__all__ = ["connected_components", "pagerank", "triangle_counts",
+           "label_propagation"]
 
 
 def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -402,3 +403,54 @@ def triangle_counts(edges: DataFrame, src: str = "src_doc_id",
                     F.expr("coalesce(n_triangles, 0) * 20000 div "
                            "greatest(d * (d - 1), 1)").cast("long")
                     .alias("cc_bp")))
+
+
+def label_propagation(vertices: DataFrame, edges: DataFrame,
+                      id_col: str = "doc_id",
+                      src: str = "src_doc_id", dst: str = "tgt_doc_id",
+                      iters: int = 4) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, the
+    GraphFrames/Pregel formulation) → (id_col, community).
+
+    Every vertex starts labelled with its own id; each of the
+    ``iters`` synchronous rounds relabels every non-isolated vertex
+    with the MODE of its neighbors' previous-round labels, ties broken
+    by the SMALLEST label.  The deterministic tie-break (instead of
+    the random pick of the original paper) makes the result
+    reproducible and oracle-checkable by unrolling the same K rounds
+    in SQL.  Isolated vertices keep their own label.
+
+    The reference keeps no community structure at all (its graph
+    analytics are client-side, frontend/index.html:92-140); this is
+    the engine-side mirror-farm / site-family detector a corpus
+    pipeline runs before per-community dedup.
+
+    Physical shape per round: one shuffle join (labels ⋈ undirected
+    edges on the neighbor key) + two hash aggregations — the
+    (vertex, label) count collapses duplicate votes map-side, and the
+    per-vertex argmax is ``max_by(lbl, (n, -lbl))``, an agg rather
+    than a window, so there is no per-vertex sort and no skew blowup
+    on hub vertices.  Labels are ``localCheckpoint``ed each round:
+    fixed iteration count, flat lineage.
+    """
+    und = (_canon_edges(edges, src, dst)
+           .select("u", "v")
+           .unionByName(_canon_edges(edges, src, dst)
+                        .select(F.col("v").alias("u"),
+                                F.col("u").alias("v")))
+           .localCheckpoint())
+    ids = vertices.select(F.col(id_col).cast("long").alias("id"))
+    lbl = ids.select("id", F.col("id").alias("lbl"))
+    for _ in range(iters):
+        votes = (und.join(lbl.withColumnRenamed("id", "v"), "v")
+                 .groupBy(F.col("u").alias("id"), "lbl")
+                 .agg(F.count("*").alias("n")))
+        best = (votes.groupBy("id")
+                .agg(F.max_by(
+                    "lbl", F.struct(F.col("n"), (-F.col("lbl")).alias("t"))
+                ).alias("new_lbl")))
+        lbl = (lbl.join(best, "id", "left")
+               .select("id", F.coalesce("new_lbl", "lbl").alias("lbl"))
+               .localCheckpoint())
+    return lbl.select(F.col("id").alias(id_col),
+                      F.col("lbl").cast("long").alias("community"))
