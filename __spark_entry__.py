@@ -785,6 +785,41 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir).select("doc_id", injected.alias("text")))
 
 
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-scoped boilerplate removal (functions/text.py:
+    host_boilerplate) — the site-template pass: a line is dropped when
+    it repeats across ≥ 50% (and ≥ 2) of its SOURCE's documents, never
+    across sources.  Deterministic site furniture is injected per
+    source (the synthetic corpus has none naturally; the oracle
+    injects identically): a NAV line in 100% of a source's docs
+    (always dropped), a FOOTER in docs with even doc_id — 13/25 =
+    5200 bp for even sources, 12/25 = 4800 bp for odd ones, so the
+    same line lands on BOTH sides of the 5000 bp threshold — and a
+    COOKIE line in doc_id % 3 == 0 docs (~3333 bp, always kept).
+    Content is re-lined at 12 tokens/line like corpus_line_dedup."""
+    from web_graph_spark.functions.text import host_boilerplate
+
+    did = F.col("doc_id")
+    lined = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("NAV "), F.col("source"),
+                     F.lit(" home about contact")),
+            F.when(did % 2 == 0,
+                   F.concat(F.lit("FOOTER "), F.col("source"),
+                            F.lit(" copyright"))),
+            F.when(did % 3 == 0, F.lit("COOKIE consent banner")),
+            F.expr(
+                "concat_ws('\\n', transform(sequence(0, "
+                "cast(ceil(size(split(text, ' ')) / 12.0) as int) - 1), "
+                "i -> concat_ws(' ', slice(split(text, ' '), "
+                "i * 12 + 1, 12))))")
+        ).alias("text"))
+    return host_boilerplate(lined, group_col="source",
+                            min_frac_bp=5000, min_docs=2)
+
+
 def _docs_with_dups(spark, sf_dir):
     """documents ∪ deterministic near/exact copies (dedupe test corpus)."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -1351,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_search_topk": q_text_search_topk,
         "text_pii_scrub": q_text_pii_scrub,
+        "text_boilerplate": q_text_boilerplate,
         "corpus_curate": q_corpus_curate,
         "corpus_sample_mix": q_corpus_sample_mix,
         "corpus_importance": q_corpus_importance,
@@ -2029,6 +2065,60 @@ SELECT tt.doc_id,
 FROM toks tt
 LEFT JOIN cstat cs USING (doc_id)
 LEFT JOIN cl USING (doc_id)""",
+        "text_boilerplate": """
+WITH base AS (SELECT doc_id, source, text FROM documents),
+btoks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM base),
+content AS (
+  SELECT doc_id, source,
+         CAST(li AS INT) + 1
+           + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS pos,
+         array_to_string(list_slice(t, li * 12 + 1, li * 12 + 12),
+                         ' ') AS line
+  FROM btoks,
+       unnest(range(0, CAST(ceil(len(t) / 12.0) AS INT))) AS r(li)
+),
+inj AS (
+  SELECT doc_id, source, 0 AS pos,
+         'NAV ' || source || ' home about contact' AS line FROM base
+  UNION ALL
+  SELECT doc_id, source, 1, 'FOOTER ' || source || ' copyright'
+  FROM base WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, source,
+         1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END,
+         'COOKIE consent banner'
+  FROM base WHERE doc_id % 3 = 0
+),
+hl AS (
+  SELECT doc_id, source AS grp, pos, line, md5(trim(line)) AS lh
+  FROM (SELECT * FROM inj UNION ALL SELECT * FROM content)
+),
+gd AS (SELECT source AS grp, count(DISTINCT doc_id) AS g_docs
+       FROM base GROUP BY 1),
+cnt AS (SELECT grp, lh, count(DISTINCT doc_id) AS nd
+        FROM hl GROUP BY 1, 2),
+boiler AS (
+  SELECT c.grp, c.lh FROM cnt c JOIN gd USING (grp)
+  WHERE nd >= 2 AND nd * 10000 >= 5000 * g_docs
+),
+kept AS (
+  SELECT h.* FROM hl h
+  LEFT JOIN boiler b ON b.grp = h.grp AND b.lh = h.lh
+  WHERE b.lh IS NULL
+),
+totals AS (SELECT doc_id, count(*) AS n_lines FROM hl GROUP BY 1),
+folded AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(coalesce(f.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST((t.n_lines - coalesce(f.n_kept, 0)) * 10000 // t.n_lines
+            AS BIGINT) AS boiler_bp,
+       coalesce(f.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN folded f ON f.doc_id = t.doc_id""",
         "corpus_line_dedup": f"""
 WITH {dups_cte},
 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs_dups),

@@ -684,3 +684,47 @@ def test_source_reputation_filter(spark):
 
     kept = sorted(r["doc_id"] for r in source_filter(df).collect())
     assert kept == [0, 1, 2]                    # doc 20 dies with its host
+
+
+@pytest.mark.spark
+def test_host_boilerplate_scoped_to_group(spark):
+    """The template line repeats in BOTH of site A's docs (dropped
+    there) and appears once in site B (kept there — host scoping is
+    the whole point vs line_dedup); the 50% threshold is integer-bp
+    exact."""
+    from web_graph_spark.functions.text import host_boilerplate
+
+    rows = [
+        (0, "a.test", "NAV home\nalpha body zero"),
+        (1, "a.test", "NAV home\nalpha body one"),
+        (2, "b.test", "NAV home\nbeta body two"),
+        (3, "b.test", "beta body three\nunique footer"),
+        (4, "b.test", "beta body four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in host_boilerplate(df, min_frac_bp=5000,
+                                     min_docs=2).collect()}
+    # a.test: NAV in 2/2 docs = 10000bp >= 5000 -> dropped
+    assert got[0]["clean_text"] == "alpha body zero"
+    assert got[1]["clean_text"] == "alpha body one"
+    assert got[0]["n_lines"] == 2 and got[0]["n_kept"] == 1
+    assert got[0]["boiler_bp"] == 5000
+    # b.test: NAV in 1/3 docs -> kept (scoped: a.test's verdict
+    # doesn't leak); every b.test line survives
+    assert got[2]["clean_text"] == "NAV home\nbeta body two"
+    assert got[3]["clean_text"] == "beta body three\nunique footer"
+    assert got[4]["boiler_bp"] == 0
+
+
+@pytest.mark.spark
+def test_host_boilerplate_min_docs_guard(spark):
+    """min_docs=2: a single-doc source can never self-boilerplate
+    even at 100% frequency."""
+    from web_graph_spark.functions.text import host_boilerplate
+
+    df = spark.createDataFrame(
+        [(0, "solo.test", "only line")],
+        "doc_id long, source string, text string")
+    r = host_boilerplate(df).collect()[0]
+    assert r["n_kept"] == 1 and r["clean_text"] == "only line"

@@ -362,6 +362,69 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
                     .alias("clean_text")))
 
 
+def host_boilerplate(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", group_col: str = "source",
+                     min_frac_bp: int = 5000,
+                     min_docs: int = 2) -> DataFrame:
+    """HOST-scoped boilerplate removal — the site-template pass
+    (trafilatura / Pomikálek "justext" family, distributed): a line is
+    boilerplate for a given ``group_col`` (host / source) when it
+    appears in at least ``min_frac_bp``/10000 of THAT group's
+    documents (and in ≥ ``min_docs`` of them) — nav bars, cookie
+    banners, footers repeat across one site's pages, not across the
+    corpus, which is exactly what :func:`line_dedup`'s corpus-wide
+    rule cannot express without also deleting legitimately-quoted
+    text between unrelated sites.  Thresholding is integer basis
+    points (``nd * 10000 >= min_frac_bp * group_docs``) so any SQL
+    engine reproduces the verdict bit-for-bit.
+
+    Returns ``(doc_id, n_lines, n_kept, boiler_bp, clean_text)`` —
+    ``boiler_bp`` = dropped-line share of the doc in basis points.
+
+    Physical shape: one posexplode scan → per-(group, line-hash)
+    distinct-doc agg (map-side partials absorb the hot template
+    lines) joined to the tiny per-group doc-count dim (broadcast) →
+    the per-group boilerplate set anti-joins the line table on
+    (group, lh) — a key that CANNOT collide across sites, so one
+    mega-site's templates never fan out to other groups' partitions.
+    Reassembly shuffles on doc_id, uniform by construction.
+    """
+    lines = (df.select(F.col(id_col).alias("doc_id"),
+                       F.col(group_col).alias("grp"),
+                       F.posexplode(F.split(F.col(text_col), "\n"))
+                       .alias("pos", "line"))
+             .withColumn("lh", F.md5(F.trim(F.col("line")))))
+    group_docs = (df.groupBy(F.col(group_col).alias("grp"))
+                  .agg(F.countDistinct(id_col).alias("g_docs")))
+    boiler = (lines.groupBy("grp", "lh")
+              .agg(F.countDistinct("doc_id").alias("nd"))
+              .join(F.broadcast(group_docs), "grp")
+              .filter((F.col("nd") >= min_docs) &
+                      (F.col("nd") * 10000 >=
+                       F.lit(min_frac_bp) * F.col("g_docs")))
+              .select("grp", "lh"))
+    kept = lines.join(boiler, ["grp", "lh"], "left_anti")
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    folded = (kept.groupBy("doc_id")
+              .agg(F.count("*").alias("n_kept"),
+                   F.concat_ws(
+                       "\n",
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct("pos", "line"))),
+                           lambda s: s["line"])).alias("clean_text")))
+    return (totals.join(folded, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_lines").cast("long").alias("n_lines"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    F.expr("(n_lines - coalesce(n_kept, 0)) * 10000"
+                           " div n_lines").cast("long")
+                    .alias("boiler_bp"),
+                    F.coalesce("clean_text", F.lit(""))
+                    .alias("clean_text")))
+
+
 SMALL_PACK_THRESHOLD = 200_000
 
 
