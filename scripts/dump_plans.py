@@ -1,0 +1,167 @@
+"""Dump the formatted physical plan of EVERY driver-contract query to
+BENCH/plans/<name>.txt and audit the whole set for scale anti-patterns.
+
+Run:  python scripts/dump_plans.py [--sf DIR]
+
+The audit is the mechanical version of the per-round "anti-pattern
+sweep": for each query's final plan it records any occurrence of
+
+* ``CartesianProduct``            — all-pairs; never acceptable
+* ``BroadcastNestedLoopJoin``     — unbounded probe; allowlisted only
+                                    where a tiny literal side is proven
+* ``Exchange SinglePartition``    — one-task convergence; allowlisted
+                                    only for 1-row global aggregates
+* Python stages (``ArrowEvalPython`` / ``BatchEvalPython`` /
+  ``MapInPandas`` / ``FlatMapGroupsInPandas``) — allowlisted only for
+  operators whose semantics genuinely need Python (media decode, PQ
+  distance tables, signature bit-votes)
+
+Exit code is non-zero when a pattern appears OUTSIDE its allowlist, so
+the sweep can gate a round.  The allowlists are documented inline —
+every entry names WHY the shape is safe at 10^10 rows.
+
+Note: building a query's DataFrame may run driver-side preparation
+(codebook training on a capped sample, iterative graph rounds); this
+script therefore runs at sf0.001 by default — the PLAN shapes are
+scale-invariant, only the data volume changes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (query, pattern) pairs that are DELIBERATE, with the scale argument.
+ALLOW: dict[tuple[str, str], str] = {
+    # brute-force ANN baseline: the query side is 5 literal rows,
+    # broadcast; the scan side streams once.  This is the recall
+    # yardstick the approximate tiers are certified against, not a
+    # scale path (ann_lsh/ivf/pq/ivfpq are).
+    ("ann_cosine_topk", "BroadcastNestedLoopJoin"):
+        "5-row broadcast query side; deliberate exact baseline",
+    # embed_near_dup exact tier inside the contract query joins the
+    # tiny (≤5-row) sampled probe set the same way.
+    ("embed_semdedup", "BroadcastNestedLoopJoin"):
+        "centroid dim is k rows (k=8), broadcast by construction",
+    # 1-row global aggregates: a single output row must land on one
+    # task; input to the final exchange is the per-partition partials
+    # (bytes), not the relation.
+    ("graph_counts", "Exchange SinglePartition"):
+        "1-row COUNT aggregate; partial aggs upstream",
+    ("corpus_pack_sequences", "Exchange SinglePartition"):
+        "global running prefix-sum boundary: per-partition totals "
+        "(1 row each) only; the row stream itself is range-partitioned",
+    # Cross joins whose build side is a 1-row aggregate (IdentityBroad-
+    # castMode over a single count/total row) — constant-size build at
+    # any input scale:
+    ("graph_counts", "BroadcastNestedLoopJoin"):
+        "count(pages) x count(links): both sides 1-row HashAggregates",
+    ("text_search_topk", "BroadcastNestedLoopJoin"):
+        "1-row corpus-stats dim (N docs) joined onto the tf scan",
+    ("corpus_importance", "BroadcastNestedLoopJoin"):
+        "two 1-row bucket-total dims (raw/target gram counts)",
+    # Python stages where Python is the point:
+    ("media_features", "python"): "binary codec feature extraction",
+    ("media_decode", "python"): "P6/WAV decode is bytes-in-Python",
+    ("dedup_minhash", "python"): "bit-vote/banding tail on hashed ints",
+    ("dedup_minhash_incremental", "python"): "same minhash tail",
+    ("dedup_simhash", "python"): "64-bit bit-vote tail (hashing is JVM)",
+    ("ann_lsh_topk", "python"): "Arrow-batched signature projection",
+    ("ann_pq_topk", "python"): "ADC lookup over m-byte codes",
+    ("ann_ivfpq_topk", "python"): "ADC lookup over m-byte codes",
+    ("ann_ivfpq_index_topk", "python"): "ADC lookup over m-byte codes",
+    ("embed_semdedup", "python"): "centroid-assign dot products",
+    ("embed_near_dup_pairs", "python"): "bucketed cosine verify",
+    ("ann_cosine_topk", "python"): "vectorized cosine over array cols",
+    ("ann_ivf_topk", "python"): "vectorized cosine over array cols",
+    ("crawl_canonicalize", "python"): "two-tier URL canon: Arrow tier "
+        "for the non-trivial tail only (JVM tier handles the bulk)",
+    ("crawl_frontier_wave", "python"): "FIFO ordinal assignment: the "
+        "10^10-safe range-partition + per-partition-offset MapInPandas "
+        "path (frontier.py; the global-window fast path only below "
+        "small_hint)",
+    ("crawl_wave_cap", "python"): "take_global boundary partition: "
+        "MapInPandas streams the head of ONE partition; whole "
+        "partitions below the cut bypass Python entirely",
+    ("crawl_robots_eval", "python"): "robots rule evaluation is an "
+        "Arrow-batched broadcast UDF by design (U3; regex matching "
+        "on compiled per-host rules)",
+    ("corpus_pack_sequences", "python"): "distributed weighted prefix "
+        "sum: per-partition offsets via MapInPandas over range-"
+        "partitioned token counts (the exclusive-scan primitive)",
+}
+
+PY_MARKERS = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+              "FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas")
+
+
+def audit(name: str, plan: str) -> list[str]:
+    hits = []
+    for pat in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "Exchange SinglePartition"):
+        if re.search(re.escape(pat), plan) and (name, pat) not in ALLOW:
+            hits.append(pat)
+    if any(m in plan for m in PY_MARKERS) and (name, "python") not in ALLOW:
+        hits.append("python-stage")
+    return hits
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from web_graph_spark.plans import physical_plan
+    from web_graph_spark.session import get_spark
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = args.out or os.path.join(repo, "BENCH", "plans")
+    os.makedirs(out_dir, exist_ok=True)
+
+    spark = get_spark(app="plan-sweep", cores=8, shuffle_partitions=8)
+    queries = entry.queries()
+    names = args.only or sorted(queries)
+    report: dict[str, dict] = {}
+    bad = 0
+    for name in names:
+        try:
+            df = queries[name](spark, args.sf)
+            plan = physical_plan(df)
+        except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+            report[name] = {"error": str(exc)[:200]}
+            bad += 1
+            print(f"ERROR {name}: {exc}", file=sys.stderr)
+            continue
+        with open(os.path.join(out_dir, f"{name}.txt"), "w") as fh:
+            fh.write(plan)
+        hits = audit(name, plan)
+        report[name] = {"hits": hits}
+        if hits:
+            bad += 1
+            print(f"FLAG  {name}: {hits}", file=sys.stderr)
+        else:
+            print(f"ok    {name}")
+    spark.stop()
+
+    with open(os.path.join(repo, "BENCH", "plan_audit.json"), "w") as fh:
+        json.dump({"sf": args.sf, "n_queries": len(names),
+                   "flagged": {k: v for k, v in report.items()
+                               if v.get("hits") or v.get("error")},
+                   "allowlist": {f"{q}::{p}": why
+                                 for (q, p), why in ALLOW.items()}},
+                  fh, indent=1, sort_keys=True)
+    print(f"\n{len(names) - bad}/{len(names)} clean; "
+          f"audit → BENCH/plan_audit.json")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
