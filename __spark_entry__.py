@@ -387,6 +387,32 @@ def q_crawl_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "age_s", "recrawl_score"))
 
 
+def q_crawl_backoff_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-host backoff budgets (E52,
+    operators/backoff.py): HTTP 429/5xx outcomes shrink the host's
+    next-wave budget — a proportional penalty for lifetime error share
+    times a halving per trailing-failure streak, floored at one probe
+    fetch.  Outcomes are derived deterministically from the events
+    table (event → a fetch of host ``event_id mod 40`` at ``ts`` with
+    status from ``floor(value*100) mod 25``: 0→429, 1→503, 2→500,
+    else 200 — ~12% errors); all-integer scoring, so the oracle
+    reproduces budgets bit-for-bit.  The budget dim feeds
+    ``schedule_wave(budgets=...)`` unchanged."""
+    from web_graph_spark.operators.backoff import backoff_budgets
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    st = F.pmod(F.floor(F.col("value") * 100).cast("long"), F.lit(25))
+    outcomes = ev.select(
+        F.concat(F.lit("h"),
+                 F.lpad(F.pmod(F.col("event_id"), F.lit(40))
+                        .cast("string"), 2, "0"),
+                 F.lit(".example.test")).alias("host"),
+        F.col("ts").alias("fetched_at"),
+        F.when(st == 0, 429).when(st == 1, 503).when(st == 2, 500)
+        .otherwise(200).alias("status"))
+    return backoff_budgets(outcomes, base_budget=16)
+
+
 def q_crawl_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Authority-guided frontier scheduling (round 4): pending URLs are
     prioritized by their page in-degree in the link graph (the
@@ -1362,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_politeness_schedule": q_crawl_politeness_schedule,
         "crawl_wave_cap": q_crawl_wave_cap,
         "crawl_recrawl_schedule": q_crawl_recrawl_schedule,
+        "crawl_backoff_budget": q_crawl_backoff_budget,
         "crawl_priority_rank": q_crawl_priority_rank,
         "graph_links_from": q_graph_links_from,
         "graph_links_to": q_graph_links_to,
@@ -1574,6 +1601,40 @@ SELECT page_id, n_obs, n_changes,
             * (floor(epoch(now_ts)) - floor(epoch(last_fetch)))
             AS BIGINT) AS recrawl_score
 FROM stats, now_t"""),
+        "crawl_backoff_budget": """
+WITH outcomes AS (
+  SELECT 'h' || lpad(CAST(event_id % 40 AS VARCHAR), 2, '0')
+           || '.example.test' AS host,
+         ts AS fetched_at,
+         CASE CAST(floor(value * 100) AS BIGINT) % 25
+           WHEN 0 THEN 429 WHEN 1 THEN 503 WHEN 2 THEN 500
+           ELSE 200 END AS status
+  FROM events
+),
+per AS (
+  SELECT host, count(*) AS n_obs,
+         sum(CASE WHEN status IN (429, 500, 502, 503, 504)
+             THEN 1 ELSE 0 END) AS n_err,
+         max(CASE WHEN status NOT IN (429, 500, 502, 503, 504)
+             THEN fetched_at END) AS last_ok_ts
+  FROM outcomes GROUP BY 1
+),
+st AS (
+  SELECT o.host,
+         sum(CASE WHEN p.last_ok_ts IS NULL
+                    OR o.fetched_at > p.last_ok_ts
+             THEN 1 ELSE 0 END) AS trail_streak
+  FROM outcomes o JOIN per p USING (host) GROUP BY 1
+)
+SELECT p.host, CAST(p.n_obs AS BIGINT) AS n_obs,
+       CAST(p.n_err AS BIGINT) AS n_err,
+       CAST(p.n_err * 10000 // p.n_obs AS BIGINT) AS err_bp,
+       CAST(s.trail_streak AS BIGINT) AS trail_streak,
+       CAST(greatest(1, (16 * (10000 - p.n_err * 10000 // p.n_obs)
+                         // 10000)
+                        // (1 << CAST(least(s.trail_streak, 6) AS INT)))
+            AS BIGINT) AS budget
+FROM per p JOIN st s USING (host)""",
         "crawl_priority_rank": _oracle("""
 , indeg AS (
   SELECT tgt_doc_id AS doc_id, count(*) AS indeg

@@ -170,3 +170,71 @@ def test_recrawl_priority_feeds_schedule_wave(spark):
     wave, _cap = schedule_wave(pending, None, default_budget=1,
                                priority_col="prio")
     assert [r["page_id"] for r in wave.collect()] == ["A"]
+
+
+@pytest.mark.spark
+def test_backoff_budgets_hand_history(spark):
+    """AIMD semantics pinned by hand: healthy host keeps the base,
+    50%-error host that just recovered gets the proportional half (no
+    halving — streak 0), a host with 6 trailing errors collapses to
+    the 1-probe floor, a never-succeeded host likewise."""
+    from web_graph_spark.operators.backoff import backoff_budgets
+
+    rows = ([("good.test", t, 200) for t in range(10)]
+            + [("flaky.test", t, 200 if t % 2 else 503)
+               for t in range(10)]
+            + [("dying.test", t, 200 if t < 4 else 429)
+               for t in range(10)]
+            + [("dead.test", t, 503) for t in range(4)])
+    df = spark.createDataFrame(
+        rows, "host string, fetched_at long, status int")
+    got = {r["host"]: r.asDict()
+           for r in backoff_budgets(df, base_budget=64).collect()}
+    assert got["good.test"]["budget"] == 64
+    assert got["good.test"]["trail_streak"] == 0
+    assert got["flaky.test"]["err_bp"] == 5000
+    assert got["flaky.test"]["budget"] == 32      # 64 * 0.5, streak 0
+    assert got["dying.test"]["trail_streak"] == 6
+    assert got["dying.test"]["budget"] == 1       # halved 6x -> floor
+    assert got["dead.test"]["err_bp"] == 10000
+    assert got["dead.test"]["budget"] == 1        # never ok -> probe
+
+
+@pytest.mark.spark
+def test_backoff_budgets_404_is_not_backoff(spark):
+    """A 404 is a bad URL, not a struggling host — it must not shrink
+    the budget (only 429/5xx do)."""
+    from web_graph_spark.operators.backoff import backoff_budgets
+
+    df = spark.createDataFrame(
+        [("a.test", 0, 200), ("a.test", 1, 404), ("a.test", 2, 404)],
+        "host string, fetched_at long, status int")
+    r = backoff_budgets(df, base_budget=8).collect()[0]
+    assert r["n_err"] == 0 and r["budget"] == 8 and r["trail_streak"] == 0
+
+
+@pytest.mark.spark
+def test_backoff_budgets_feed_schedule_wave(spark):
+    """Composition pin: the backoff dim plugs into schedule_wave as
+    (host, max_pages_per_wave) and the struggling host is squeezed to
+    its probe fetch while the healthy host keeps the default."""
+    from web_graph_spark.operators.backoff import backoff_budgets
+    from web_graph_spark.operators.politeness import schedule_wave
+
+    hist = ([("slow.test", t, 503) for t in range(5)]
+            + [("fast.test", t, 200) for t in range(5)])
+    outcomes = spark.createDataFrame(
+        hist, "host string, fetched_at long, status int")
+    budgets = (backoff_budgets(outcomes, base_budget=10)
+               .select("host",
+                       F.col("budget").alias("max_pages_per_wave")))
+    pending = spark.createDataFrame(
+        [(f"u{h}{i}", h, i) for h in ("slow.test", "fast.test")
+         for i in range(8)],
+        "page_id string, host string, seq long")
+    sched, _ = schedule_wave(pending, budgets, default_budget=10)
+    per_host = {r["host"]: r["n"] for r in
+                sched.groupBy("host").agg(F.count("*").alias("n"))
+                .collect()}
+    assert per_host["slow.test"] == 1      # probe only
+    assert per_host["fast.test"] == 8      # under its budget of 10

@@ -1,0 +1,85 @@
+"""Adaptive per-host backoff budgets — operator E52.
+
+A polite crawler reacts to what hosts tell it: HTTP 429 / 5xx mean
+"slow down", and a host that keeps failing should cost one probe per
+wave, not a full budget of doomed fetches.  The reference's politeness
+is static (one queue consumer per host shard,
+/root/reference/pkg/linkprocessor/linkprocessor.go:80-121); this
+extension derives the per-host wave budget from the observed fetch
+outcomes, in the AIMD spirit of TCP congestion control (multiplicative
+decrease on failure streaks, recovery to the base budget as soon as a
+fetch succeeds).
+
+All-integer scoring, so any SQL engine reproduces the budgets
+bit-for-bit:
+
+* ``err_bp``        — failure share of the host's history in basis
+                      points: ``n_err * 10000 div n_obs``.
+* ``trail_streak``  — consecutive failures at the END of the history:
+                      the count of outcomes strictly newer than the
+                      host's last success (the whole history when it
+                      never succeeded).
+* ``budget``        — ``max(1, (base * (10000 - err_bp) div 10000)
+                      >> min(trail_streak, 6))``: a proportional
+                      penalty for chronic flakiness times a halving
+                      per trailing failure, floored at one probe so a
+                      recovering host is always re-tested.
+
+Physical shape: two uniform-key aggregations over the outcomes
+relation (host keys; the conditional-max for ``last_ok_ts`` and the
+conditional counts fold into ONE groupBy via ``max(when)`` /
+``sum(when)``) — no window, no sort, no skew: a hot host contributes
+more ROWS to the agg's map-side partials, never more KEYS.  The output
+dim feeds ``schedule_wave(budgets=...)`` unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["backoff_budgets", "ERROR_STATUSES"]
+
+# "slow down" signals: rate limiting + server-side failure.  4xx other
+# than 429 means the URL is bad, not the host — it does not back off.
+ERROR_STATUSES = (429, 500, 502, 503, 504)
+
+
+def backoff_budgets(outcomes: DataFrame, base_budget: int,
+                    host_col: str = "host", ts_col: str = "fetched_at",
+                    status_col: str = "status") -> DataFrame:
+    """(host, n_obs, n_err, err_bp, trail_streak, budget) from a fetch
+    outcome relation ``(host, fetched_at, status)``.
+
+    ``budget`` is the per-wave page budget for ``schedule_wave``:
+    multiplicative decrease per trailing failure, proportional penalty
+    for lifetime error share, floor of one probe fetch per wave.
+    """
+    is_err = F.col(status_col).isin(*ERROR_STATUSES)
+    per_host = (outcomes
+                .groupBy(F.col(host_col).alias("host"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_obs"),
+                     F.sum(is_err.cast("long")).alias("n_err"),
+                     F.max(F.when(~is_err, F.col(ts_col)))
+                     .alias("last_ok_ts")))
+    # trailing-failure streak: outcomes strictly newer than the last
+    # success.  Second agg joins back on the host key — both sides
+    # hash-partition on host, AQE broadcasts the dim when it fits.
+    ok_dim = per_host.select(F.col("host").alias("__h"), "last_ok_ts")
+    streak = (outcomes
+              .join(ok_dim, F.col(host_col) == F.col("__h"))
+              .groupBy(F.col("__h").alias("host"))
+              .agg(F.sum((F.col("last_ok_ts").isNull() |
+                          (F.col(ts_col) > F.col("last_ok_ts")))
+                         .cast("long")).alias("trail_streak")))
+    return (per_host.join(streak, "host")
+            .select(
+                "host", "n_obs", "n_err",
+                F.expr("n_err * 10000 div n_obs").cast("long")
+                .alias("err_bp"),
+                F.col("trail_streak").cast("long").alias("trail_streak"),
+                F.expr(
+                    f"greatest(1L, shiftright(cast({int(base_budget)} * "
+                    "(10000 - n_err * 10000 div n_obs) div 10000 "
+                    "as long), cast(least(trail_streak, 6) as int)))")
+                .cast("long").alias("budget")))
