@@ -281,6 +281,57 @@ def q_crawl_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_robots_txt(bodies, agent="spark-crawler")
 
 
+def q_crawl_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery + ingestion (E54, operators/sitemap.py):
+    per-host synthetic robots bodies carry one ``Sitemap:`` directive
+    (plus a lowercase second one on even hosts — the key is
+    case-insensitive), and per-host sitemap XML is a ``<sitemapindex>``
+    of two child sitemaps on every fifth host, else a ``<urlset>``
+    whose second URL carries an ``&amp;`` entity that must unescape.
+    Output: one feed of (host, kind, pos, url) rows — kind =
+    directive | child_sitemap | page — the exact shape the streaming
+    inbox ingests.  The oracle derives the rows analytically from the
+    synthesis spec, an independent check on directive extraction,
+    index-vs-urlset classification, trimming, and entity unescape."""
+    from web_graph_spark.operators.sitemap import (sitemap_directives,
+                                                   sitemap_locs)
+
+    hosts = webgen.pages_df(spark, sf_dir).select("host").distinct()
+    i = F.substring("host", 2, 2).cast("int")
+    robots_body = F.concat_ws(
+        "\n",
+        F.lit("User-agent: *"),
+        F.lit("Disallow: /tmp/"),
+        F.concat(F.lit("Sitemap: https://"), F.col("host"),
+                 F.lit("/sitemap.xml")),
+        F.when(i % 2 == 0,
+               F.concat(F.lit("sitemap: https://"), F.col("host"),
+                        F.lit("/sitemap-news.xml"))))
+    xml_body = F.when(
+        i % 5 == 0,
+        F.concat(F.lit('<?xml version="1.0"?><sitemapindex><sitemap>'
+                       '<loc> https://'), F.col("host"),
+                 F.lit('/maps/a.xml </loc></sitemap><sitemap>'
+                       '<loc>https://'), F.col("host"),
+                 F.lit('/maps/b.xml</loc></sitemap></sitemapindex>'))
+    ).otherwise(
+        F.concat(F.lit('<?xml version="1.0"?><urlset><url>'
+                       '<loc>https://'), F.col("host"),
+                 F.lit('/d/1</loc></url><url><loc>https://'),
+                 F.col("host"),
+                 F.lit('/d/2?a=1&amp;b=2</loc></url></urlset>')))
+    d = sitemap_directives(
+        hosts.select("host", robots_body.alias("robots_txt")))
+    l = sitemap_locs(hosts.select("host", xml_body.alias("xml")))
+    return (d.select("host", F.lit("directive").alias("kind"), "pos",
+                     F.col("sitemap_url").alias("url"))
+            .unionByName(l.select(
+                "host",
+                F.when(F.col("is_index"), F.lit("child_sitemap"))
+                .otherwise(F.lit("page")).alias("kind"),
+                "pos", F.col("loc").alias("url"))))
+
+
 def q_crawl_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star robots gate: broadcast prefix rules (RFC 9309
     longest-match, allow wins ties) evaluated for every derived page in
@@ -983,6 +1034,28 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                          threshold=0.5, n=3)
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram containment (functions/dedup.py:
+    containment_pairs, Broder 1997) — quote/excerpt detection the
+    symmetric Jaccard tier structurally misses: docs with
+    doc_id % 7 == 0 get an EXCERPT copy (their first third, ≥ 5 raw
+    tokens, id + 300000) whose trigram set is a subset of the parent's
+    — containment 10000 bp, while Jaccard ≈ 3300 bp sits below the
+    dedup threshold.  Emits (contained id_a, container id_b) pairs at
+    ≥ 8000 bp, integer math end-to-end."""
+    from web_graph_spark.functions.dedup import containment_pairs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    excerpt = (d.filter(F.col("doc_id") % 7 == 0)
+               .select((F.col("doc_id") + 300000).alias("doc_id"),
+                       F.expr(
+                           "concat_ws(' ', slice(split(text, ' '), 1, "
+                           "greatest(size(split(text, ' ')) div 3, 5)))"
+                       ).alias("text")))
+    return containment_pairs(d.unionByName(excerpt),
+                             threshold=0.8, n=3)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING — the keep-list step an actual dedup
     pipeline ends with: the exact trigram-Jaccard pair graph (same
@@ -1383,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_span_digest": q_docs_span_digest,
         "crawl_trap_stats": q_crawl_trap_stats,
         "crawl_robots_parse": q_crawl_robots_parse,
+        "crawl_sitemap_ingest": q_crawl_sitemap_ingest,
         "crawl_robots_eval": q_crawl_robots_eval,
         "crawl_budget_derive": q_crawl_budget_derive,
         "crawl_politeness_schedule": q_crawl_politeness_schedule,
@@ -1424,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_containment": q_dedup_containment,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
@@ -1531,6 +1606,29 @@ FROM h WHERE i % 3 <> 0
 UNION ALL
 SELECT host, 'allow', '/d/1' || CAST(i % 10 AS VARCHAR) || '2', i % 4
 FROM h WHERE i % 3 <> 0"""),
+        "crawl_sitemap_ingest": _oracle("""
+, h AS (
+  SELECT DISTINCT host, CAST(substr(host, 2, 2) AS INTEGER) AS i
+  FROM web_pages
+)
+SELECT host, 'directive' AS kind, 2 AS pos,
+       'https://' || host || '/sitemap.xml' AS url
+FROM h
+UNION ALL
+SELECT host, 'directive', 3, 'https://' || host || '/sitemap-news.xml'
+FROM h WHERE i % 2 = 0
+UNION ALL
+SELECT host, 'child_sitemap', 0, 'https://' || host || '/maps/a.xml'
+FROM h WHERE i % 5 = 0
+UNION ALL
+SELECT host, 'child_sitemap', 1, 'https://' || host || '/maps/b.xml'
+FROM h WHERE i % 5 = 0
+UNION ALL
+SELECT host, 'page', 0, 'https://' || host || '/d/1'
+FROM h WHERE i % 5 <> 0
+UNION ALL
+SELECT host, 'page', 1, 'https://' || host || '/d/2?a=1&b=2'
+FROM h WHERE i % 5 <> 0"""),
         "crawl_robots_eval": _oracle("""
 SELECT doc_id, host, path,
        CASE WHEN host = 'h00.example.test' AND path LIKE '/d/12%' THEN TRUE
@@ -2330,6 +2428,44 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE floor(i.n_inter * 10000.0 / (sa.sz + sb.sz - i.n_inter)) >= 5000""",
+        "dedup_containment": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+             greatest(len(string_split(text, ' ')) // 3, 5)), ' ')
+  FROM documents WHERE doc_id % 7 = 0
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all({norm}, '\\S+') AS words FROM corpus
+),
+w AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                   i -> array_to_string(words[i:i+2], ' ')))) AS word
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS n_inter
+  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT i.u, i.v, i.n_inter, su.sz AS sz_u, sv.sz AS sz_v
+  FROM inter i JOIN sizes su ON su.doc_id = i.u
+               JOIN sizes sv ON sv.doc_id = i.v
+),
+dir AS (
+  SELECT u AS id_a, v AS id_b, n_inter, sz_u AS sz_a FROM j
+  UNION ALL
+  SELECT v AS id_a, u AS id_b, n_inter, sz_v AS sz_a FROM j
+)
+SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sz_a AS BIGINT) AS sz_a,
+       CAST(n_inter * 10000 // sz_a AS BIGINT) AS containment_bp
+FROM dir WHERE n_inter * 10000 // sz_a >= 8000""",
         "dedup_clusters": f"""
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents

@@ -151,10 +151,23 @@ def main() -> int:
             print(f"ok    {name}")
     spark.stop()
 
-    with open(os.path.join(repo, "BENCH", "plan_audit.json"), "w") as fh:
-        json.dump({"sf": args.sf, "n_queries": len(names),
-                   "flagged": {k: v for k, v in report.items()
-                               if v.get("hits") or v.get("error")},
+    audit_path = os.path.join(repo, "BENCH", "plan_audit.json")
+    flagged = {k: v for k, v in report.items()
+               if v.get("hits") or v.get("error")}
+    n_queries = len(names)
+    if args.only and os.path.exists(audit_path):
+        # partial sweep: merge into the existing full audit rather
+        # than clobbering it down to the --only subset
+        with open(audit_path) as fh:
+            prev = json.load(fh)
+        merged = {k: v for k, v in prev.get("flagged", {}).items()
+                  if k not in report}
+        merged.update(flagged)
+        flagged = merged
+        n_queries = max(prev.get("n_queries", 0), n_queries)
+    with open(audit_path, "w") as fh:
+        json.dump({"sf": args.sf, "n_queries": n_queries,
+                   "flagged": flagged,
                    "allowlist": {f"{q}::{p}": why
                                  for (q, p), why in ALLOW.items()}},
                   fh, indent=1, sort_keys=True)

@@ -728,3 +728,23 @@ def test_host_boilerplate_min_docs_guard(spark):
         "doc_id long, source string, text string")
     r = host_boilerplate(df).collect()[0]
     assert r["n_kept"] == 1 and r["clean_text"] == "only line"
+
+
+@pytest.mark.spark
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short excerpt inside a long page: containment = 10000 bp in
+    the excerpt→page direction, while trigram Jaccard sits far below
+    any dedup threshold — the operator's whole reason to exist."""
+    from web_graph_spark.functions.dedup import (containment_pairs,
+                                                 jaccard_pairs)
+
+    long_txt = " ".join(f"w{i} body token" for i in range(80))
+    excerpt = " ".join(long_txt.split()[:24])
+    df = spark.createDataFrame(
+        [(1, long_txt), (2, excerpt), (3, "totally different words here")],
+        "doc_id long, text string")
+    cont = {(r["id_a"], r["id_b"]): r["containment_bp"]
+            for r in containment_pairs(df, threshold=0.8, n=3).collect()}
+    assert cont == {(2, 1): 10000}       # directional: excerpt ⊂ page only
+    jac = jaccard_pairs(df, threshold=0.5, n=3).collect()
+    assert jac == []                     # symmetric similarity is blind

@@ -448,3 +448,45 @@ def test_parse_robots_txt_feeds_compile_and_budgets(spark):
     bud = {r["host"]: (r["max_pages_per_wave"], r["wave_period"])
            for r in budgets_from_crawl_delay(out, 10.0).collect()}
     assert bud == {"h1": (1, 1), "h2": (2, 1)}
+
+
+@pytest.mark.spark
+def test_sitemap_directives_case_and_comments(spark):
+    """Sitemap: is case-insensitive, group-independent, repeatable;
+    comments strip; non-directive lines are ignored."""
+    from web_graph_spark.operators.sitemap import sitemap_directives
+
+    body = ("User-agent: *\n"
+            "Disallow: /x\n"
+            "Sitemap: https://a.test/s1.xml  # primary\n"
+            "SITEMAP: https://a.test/s2.xml\n"
+            "sitemapish: https://a.test/nope.xml\n"
+            "sitemap : https://a.test/s3.xml")
+    df = spark.createDataFrame([("a.test", body)],
+                               "host string, robots_txt string")
+    got = [(r["pos"], r["sitemap_url"])
+           for r in sitemap_directives(df).orderBy("pos").collect()]
+    assert got == [(2, "https://a.test/s1.xml"),
+                   (3, "https://a.test/s2.xml"),
+                   (5, "https://a.test/s3.xml")]
+
+
+@pytest.mark.spark
+def test_sitemap_locs_urlset_index_and_entities(spark):
+    """urlset vs sitemapindex classification, document order, loc
+    trimming, and XML entity unescape."""
+    from web_graph_spark.operators.sitemap import sitemap_locs
+
+    urlset = ('<?xml version="1.0"?><urlset>'
+              '<url><loc> https://a.test/p?x=1&amp;y=2 </loc></url>'
+              '<url><loc>https://a.test/q&lt;3&gt;</loc></url></urlset>')
+    index = ('<?xml version="1.0"?><sitemapindex>'
+             '<sitemap><loc>https://b.test/child.xml</loc></sitemap>'
+             '</sitemapindex>')
+    df = spark.createDataFrame([("a.test", urlset), ("b.test", index)],
+                               "host string, xml string")
+    got = {(r["host"], r["pos"]): (r["loc"], r["is_index"])
+           for r in sitemap_locs(df).collect()}
+    assert got[("a.test", 0)] == ("https://a.test/p?x=1&y=2", False)
+    assert got[("a.test", 1)] == ("https://a.test/q<3>", False)
+    assert got[("b.test", 0)] == ("https://b.test/child.xml", True)

@@ -105,6 +105,63 @@ def jaccard_pairs(df: DataFrame, threshold: float, n: int = 1,
               .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", "jaccard_bp")
 
 
+def containment_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Directional n-gram CONTAINMENT (Broder 1997's other resemblance
+    measure): ``containment(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|`` —
+    the quote / excerpt / page-of-pages detector.  Jaccard misses
+    these by construction: a 100-token excerpt inside a 10k-token page
+    has Jaccard ≈ 0.01 but containment = 1.0, and a dedup keep-list
+    built on symmetric similarity alone ships the same text twice.
+
+    Emits BOTH directions of every co-shingled pair that clears the
+    threshold: ``(id_a, id_b, n_inter, sz_a, containment_bp)`` with
+    ``id_a`` the CONTAINED document.  Integer basis points
+    (``n_inter * 10000 div sz_a``) so any engine reproduces the rows
+    bit-for-bit.
+
+    Same physical shape as :func:`jaccard_pairs` (this is the exact
+    tier — at corpus scale run it over
+    :func:`lsh_candidate_pairs` / the minhash index's candidates
+    instead of the raw shingle join): one distinct-shingle explode,
+    one equi-join on the shingle key grouped to (pair, |∩|), sizes
+    joined back, then the two directional projections union — no
+    second join, the unordered intersection is computed once.
+    """
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingles_col(n, text_col).alias("sh"))
+    sizes = sh.select("id", F.size("sh").alias("sz")).filter("sz > 0")
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("u"),
+                      F.col("b.id").alias("v"))
+             .agg(F.count("*").alias("n_inter")))
+    inter = (inter
+             .join(sizes.select(F.col("id").alias("u"),
+                                F.col("sz").alias("sz_u")), "u")
+             .join(sizes.select(F.col("id").alias("v"),
+                                F.col("sz").alias("sz_v")), "v"))
+    both = (inter.select(F.col("u").alias("id_a"),
+                         F.col("v").alias("id_b"),
+                         "n_inter", F.col("sz_u").alias("sz_a"))
+            .unionByName(
+                inter.select(F.col("v").alias("id_a"),
+                             F.col("u").alias("id_b"),
+                             "n_inter", F.col("sz_v").alias("sz_a"))))
+    out = both.withColumn(
+        "containment_bp",
+        F.expr("n_inter * 10000 div sz_a").cast("long"))
+    return (out.filter(F.col("containment_bp")
+                       >= int(threshold * 10000))
+            .select("id_a", "id_b",
+                    F.col("n_inter").cast("long").alias("n_inter"),
+                    F.col("sz_a").cast("long").alias("sz_a"),
+                    "containment_bp"))
+
+
 def minhash_signatures(df: DataFrame, n_hashes: int = 64, shingle_n: int = 3,
                        id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
