@@ -300,3 +300,37 @@ def test_host_rate_stream_token_bucket(spark, tmp_path):
     got2 = {r["path"] for r in spark.read.parquet(str(out))
             .filter(F.col("host") == "a.test").collect()}
     assert got2 == {"/p0.html", "/p3.html", "/p5.html"}
+
+
+@pytest.mark.spark
+def test_sitemap_feeds_streaming_inbox(spark, tmp_path):
+    """End-to-end publish path: sitemap XML → <loc> extraction →
+    sitemap_to_inbox parquet → enqueue_stream → canonicalized,
+    admission-filtered, deduped frontier rows.  Child-sitemap locs
+    (is_index) and inadmissible schemes must not reach the frontier."""
+    from web_graph_spark.operators.sitemap import (sitemap_locs,
+                                                   sitemap_to_inbox)
+
+    urlset = ('<urlset>'
+              '<url><loc>https://a.test/one.html</loc></url>'
+              '<url><loc>https://a.test/one.html?utm=x</loc></url>'
+              '<url><loc>ftp://a.test/nope.html</loc></url>'
+              '<url><loc>https://b.test/two.html</loc></url></urlset>')
+    index = ('<sitemapindex><sitemap>'
+             '<loc>https://c.test/child.xml</loc>'
+             '</sitemap></sitemapindex>')
+    docs = spark.createDataFrame([("a.test", urlset), ("c.test", index)],
+                                 "host string, xml string")
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    (sitemap_to_inbox(sitemap_locs(docs), TS)
+     .coalesce(1).write.mode("append").parquet(str(inbox)))
+
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = streaming.enqueue_stream(spark, str(inbox), str(out), str(ckpt))
+    q.awaitTermination()
+    rows = sorted((r["host"], r["path"])
+                  for r in spark.read.parquet(str(out)).collect())
+    # utm alias dedupes to the same page_id; ftp admission-filtered;
+    # the child sitemap never enters the page inbox
+    assert rows == [("a.test", "/one.html"), ("b.test", "/two.html")]

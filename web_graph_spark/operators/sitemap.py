@@ -84,3 +84,23 @@ def sitemap_locs(df: DataFrame, host_col: str = "host",
             .select("host", "pos",
                     _xml_unescape(F.col("rawloc")).alias("loc"),
                     "is_index"))
+
+
+def sitemap_to_inbox(locs: DataFrame, arrival_ts) -> DataFrame:
+    """Project :func:`sitemap_locs` output into the streaming
+    front-door's inbox schema ``(url string, arrival_ts timestamp)``
+    (streaming.INBOX_SCHEMA).  Only page URLs flow — ``is_index`` rows
+    are child sitemaps for the fetch loop to expand first.  Write the
+    result as parquet files into the crawler's ``inbox_dir`` and the
+    existing enqueue pipeline does the rest: canonicalize → admission
+    → exactly-once dedupe → wave ingestion
+    (streaming.enqueue_stream → SparkCrawler(inbox_dir=...)).
+
+    ``arrival_ts``: a datetime / ISO string stamping this sitemap
+    snapshot — ingestion order among equal stamps falls back to the
+    URL (the inbox drain orders by (arrival_ts, url)), keeping the
+    feed deterministic.
+    """
+    return locs.filter(~F.col("is_index")).select(
+        F.col("loc").alias("url"),
+        F.lit(arrival_ts).cast("timestamp").alias("arrival_ts"))
