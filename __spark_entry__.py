@@ -464,6 +464,34 @@ def q_crawl_backoff_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return backoff_budgets(outcomes, base_budget=16)
 
 
+def q_crawl_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot diff (operators/recrawl.py:snapshot_delta): an
+    earlier crawl A (pages with doc_id % 17 ≠ 3, all content v0) vs a
+    later crawl B (doc_id % 13 ≠ 7; every fifth page's content bumped
+    to v1) — classify added / removed / changed per page.  One
+    full-outer join on the uniform check_id; unchanged pages never
+    leave the join, so output ∝ change volume."""
+    from web_graph_spark.operators.recrawl import snapshot_delta
+
+    p = webgen.pages_df(spark, sf_dir).select("doc_id", "host",
+                                              "check_id")
+    a = (p.filter(F.col("doc_id") % 17 != 3)
+         .select("check_id",
+                 F.md5(F.concat(F.col("check_id"), F.lit("v0")))
+                 .alias("content_digest")))
+    b = (p.filter(F.col("doc_id") % 13 != 7)
+         .select("check_id",
+                 F.md5(F.concat(
+                     F.col("check_id"),
+                     F.when(F.col("doc_id") % 5 == 0, F.lit("v1"))
+                     .otherwise(F.lit("v0")))).alias("content_digest")))
+    d = snapshot_delta(a, b, id_col="check_id")
+    return (d.join(p.select(F.col("check_id").alias("id"), "host"),
+                   "id")
+            .select(F.col("id").alias("check_id"), "host", "kind",
+                    "digest_a", "digest_b"))
+
+
 def q_crawl_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Authority-guided frontier scheduling (round 4): pending URLs are
     prioritized by their page in-degree in the link graph (the
@@ -1463,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_wave_cap": q_crawl_wave_cap,
         "crawl_recrawl_schedule": q_crawl_recrawl_schedule,
         "crawl_backoff_budget": q_crawl_backoff_budget,
+        "crawl_snapshot_delta": q_crawl_snapshot_delta,
         "crawl_priority_rank": q_crawl_priority_rank,
         "graph_links_from": q_graph_links_from,
         "graph_links_to": q_graph_links_to,
@@ -1699,6 +1728,34 @@ SELECT page_id, n_obs, n_changes,
             * (floor(epoch(now_ts)) - floor(epoch(last_fetch)))
             AS BIGINT) AS recrawl_score
 FROM stats, now_t"""),
+        "crawl_snapshot_delta": _oracle("""
+, p AS (SELECT DISTINCT doc_id, host, check_id FROM web_pages),
+a AS (
+  SELECT check_id, md5(check_id || 'v0') AS digest_a
+  FROM p WHERE doc_id % 17 <> 3
+),
+b AS (
+  SELECT check_id,
+         md5(check_id || CASE WHEN doc_id % 5 = 0
+                              THEN 'v1' ELSE 'v0' END) AS digest_b
+  FROM p WHERE doc_id % 13 <> 7
+),
+j AS (
+  SELECT coalesce(a.check_id, b.check_id) AS check_id,
+         digest_a, digest_b
+  FROM a FULL OUTER JOIN b ON a.check_id = b.check_id
+),
+k AS (
+  SELECT check_id,
+         CASE WHEN digest_a IS NULL THEN 'added'
+              WHEN digest_b IS NULL THEN 'removed'
+              WHEN digest_a <> digest_b THEN 'changed' END AS kind,
+         digest_a, digest_b
+  FROM j
+)
+SELECT k.check_id, p.host, k.kind, k.digest_a, k.digest_b
+FROM k JOIN p ON p.check_id = k.check_id
+WHERE k.kind IS NOT NULL"""),
         "crawl_backoff_budget": """
 WITH outcomes AS (
   SELECT 'h' || lpad(CAST(event_id % 40 AS VARCHAR), 2, '0')

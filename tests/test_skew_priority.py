@@ -238,3 +238,19 @@ def test_backoff_budgets_feed_schedule_wave(spark):
                 .collect()}
     assert per_host["slow.test"] == 1      # probe only
     assert per_host["fast.test"] == 8      # under its budget of 10
+
+
+@pytest.mark.spark
+def test_snapshot_delta_classification(spark):
+    """added / removed / changed classification; unchanged rows never
+    appear in the output."""
+    from web_graph_spark.operators.recrawl import snapshot_delta
+
+    a = spark.createDataFrame(
+        [("p1", "d1"), ("p2", "d2"), ("p3", "d3")],
+        "page_id string, content_digest string")
+    b = spark.createDataFrame(
+        [("p1", "d1"), ("p2", "d2x"), ("p4", "d4")],
+        "page_id string, content_digest string")
+    got = {r["id"]: r["kind"] for r in snapshot_delta(a, b).collect()}
+    assert got == {"p2": "changed", "p3": "removed", "p4": "added"}

@@ -78,3 +78,30 @@ def recrawl_priority(stats: DataFrame, now_ts,
             .withColumn("recrawl_score",
                         (F.col("change_ppm") * F.col("age_s"))
                         .cast("long")))
+
+
+def snapshot_delta(a: DataFrame, b: DataFrame, id_col: str = "page_id",
+                   digest_col: str = "content_digest") -> DataFrame:
+    """Crawl snapshot diff — ``(id, kind, digest_a, digest_b)`` with
+    kind ∈ added | removed | changed, comparing an earlier crawl ``a``
+    to a later crawl ``b`` of the same scope.  The operational query
+    behind every continuous-crawl dashboard ("what did this week's
+    crawl change?") and the input to incremental downstream refresh
+    (only `changed ∪ added` re-enters the dedup/index pipelines;
+    `removed` tombstones them).
+
+    One full-outer equi-join on the uniform page key; UNCHANGED pages
+    (the overwhelming majority of a mature crawl) are filtered out, so
+    the output is proportional to the CHANGE volume, never the corpus.
+    No window, no skew: page ids are uniform hashes by construction.
+    """
+    aa = a.select(F.col(id_col).alias("id"),
+                  F.col(digest_col).alias("digest_a"))
+    bb = b.select(F.col(id_col).alias("id"),
+                  F.col(digest_col).alias("digest_b"))
+    j = aa.join(bb, "id", "full_outer")
+    kind = (F.when(F.col("digest_a").isNull(), "added")
+            .when(F.col("digest_b").isNull(), "removed")
+            .when(F.col("digest_a") != F.col("digest_b"), "changed"))
+    return (j.select("id", kind.alias("kind"), "digest_a", "digest_b")
+            .filter(F.col("kind").isNotNull()))
