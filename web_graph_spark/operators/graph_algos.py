@@ -433,11 +433,10 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
     on hub vertices.  Labels are ``localCheckpoint``ed each round:
     fixed iteration count, flat lineage.
     """
-    und = (_canon_edges(edges, src, dst)
-           .select("u", "v")
-           .unionByName(_canon_edges(edges, src, dst)
-                        .select(F.col("v").alias("u"),
-                                F.col("u").alias("v")))
+    ce = _canon_edges(edges, src, dst).localCheckpoint()  # one distinct
+    und = (ce.select("u", "v")
+           .unionByName(ce.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
            .localCheckpoint())
     ids = vertices.select(F.col(id_col).cast("long").alias("id"))
     lbl = ids.select("id", F.col("id").alias("lbl"))
