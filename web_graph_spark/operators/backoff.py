@@ -31,6 +31,16 @@ conditional counts fold into ONE groupBy via ``max(when)`` /
 ``sum(when)``) — no window, no sort, no skew: a hot host contributes
 more ROWS to the agg's map-side partials, never more KEYS.  The output
 dim feeds ``schedule_wave(budgets=...)`` unchanged.
+
+Deliberately NOT wired into ``SparkCrawler``'s wave loop: the fetch
+seam records ``fetch_ok`` only (FETCH_COLS), which conflates 404 (bad
+URL — must not back off) with 5xx (struggling host — must).  Deriving
+budgets from fetch_ok would punish hosts for their dead links, so the
+operator requires a status-carrying outcome relation (the pooled
+fetcher sees statuses internally; a deployment logs them alongside
+the page sink) and composes upstream of the crawler via the
+``budgets=`` seam — composition pinned in
+tests/test_skew_priority.py::test_backoff_budgets_feed_schedule_wave.
 """
 
 from __future__ import annotations
