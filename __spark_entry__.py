@@ -1404,6 +1404,23 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("feat0_ppm")))
 
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media-asset dedupe (functions/media.py:dedup_media_exact):
+    byte-identical blobs collapse to a lexicographic-min canonical
+    copy.  Every ninth document's media bytes are re-published under a
+    second asset id (doc_id + 400000, same text → same utf-8 blob), so
+    real duplicate groups exist; digest = md5 over the binary column,
+    which the oracle reproduces as md5 of the text (same bytes)."""
+    from web_graph_spark.functions.media import (dedup_media_exact,
+                                                 make_media_df)
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    repub = (d.filter(F.col("doc_id") % 9 == 0)
+             .select((F.col("doc_id") + 400000).alias("doc_id"), "text"))
+    media = make_media_df(spark, d.unionByName(repub))
+    return dedup_media_exact(media)
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E12 real decode: deterministic REAL P6-PPM/WAV bytes (stdlib
     writers seeded from doc_id, every 3rd row undecodable junk) through
@@ -1542,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_semdedup": q_embed_semdedup,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
+        "media_dedup": q_media_dedup,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
@@ -2036,6 +2054,27 @@ def _golden_oracles() -> dict[str, str]:
             f"SELECT media_id, kind, n_bytes, sha, decoded, "
             f"feat0_ppm, feat1_ppm "
             f"FROM read_parquet('{g}/media_decode.parquet')"),
+        # exact-SQL oracle (not golden): media bytes are the utf-8 of
+        # the text by construction, so md5(blob) ≡ md5(text)
+        "media_dedup": """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 400000, text FROM documents WHERE doc_id % 9 = 0
+),
+per AS (
+  SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_id,
+         md5(text) AS content_md5
+  FROM docs
+),
+grp AS (
+  SELECT content_md5, CAST(count(*) AS BIGINT) AS n_copies,
+         min(media_id) AS keep_id
+  FROM per GROUP BY 1
+)
+SELECT p.media_id, p.content_md5, g.keep_id, g.n_copies,
+       p.media_id <> g.keep_id AS is_dup
+FROM per p JOIN grp g USING (content_md5)""",
     }
 
 

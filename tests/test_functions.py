@@ -748,3 +748,20 @@ def test_containment_catches_what_jaccard_misses(spark):
     assert cont == {(2, 1): 10000}       # directional: excerpt ⊂ page only
     jac = jaccard_pairs(df, threshold=0.5, n=3).collect()
     assert jac == []                     # symmetric similarity is blind
+
+
+@pytest.mark.spark
+def test_media_dedup_exact_groups(spark):
+    """Byte-identical blobs group; keep = lexicographic min id; the
+    digest (not the blob) is the shuffle key."""
+    from web_graph_spark.functions.media import dedup_media_exact
+
+    df = spark.createDataFrame(
+        [("m-b", bytearray(b"SAME")), ("m-a", bytearray(b"SAME")),
+         ("m-c", bytearray(b"OTHER"))],
+        "media_id string, media binary")
+    got = {r["media_id"]: (r["keep_id"], r["n_copies"], r["is_dup"])
+           for r in dedup_media_exact(df).collect()}
+    assert got["m-a"] == ("m-a", 2, False)
+    assert got["m-b"] == ("m-a", 2, True)
+    assert got["m-c"] == ("m-c", 1, False)
