@@ -765,3 +765,34 @@ def test_media_dedup_exact_groups(spark):
     assert got["m-a"] == ("m-a", 2, False)
     assert got["m-b"] == ("m-a", 2, True)
     assert got["m-c"] == ("m-c", 1, False)
+
+
+@pytest.mark.spark
+def test_containment_verify_equals_full_join(spark):
+    """The candidate-pair scale path produces the SAME containment
+    numbers as the corpus-wide shingle join for every pair the latter
+    emits (threshold 0 → all co-shingled pairs)."""
+    from web_graph_spark.functions.dedup import (containment_pairs,
+                                                 containment_verify)
+
+    texts = ["alpha beta gamma delta epsilon zeta",
+             "alpha beta gamma delta",
+             "beta gamma delta epsilon zeta eta theta",
+             "unrelated words entirely different content"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    full = {(r["id_a"], r["id_b"]): (r["n_inter"], r["sz_a"],
+                                     r["containment_bp"])
+            for r in containment_pairs(df, threshold=0.0, n=3).collect()}
+    cand = spark.createDataFrame(
+        sorted({(min(a, b), max(a, b)) for a, b in full}),
+        "id_a long, id_b long")
+    ver = containment_verify(cand, df, n=3).collect()
+    got = {}
+    for r in ver:
+        got[(r["id_a"], r["id_b"])] = (r["n_inter"], r["sz_a"],
+                                       r["cont_a_bp"])
+        got[(r["id_b"], r["id_a"])] = (r["n_inter"], r["sz_b"],
+                                       r["cont_b_bp"])
+    for k, v in full.items():
+        assert got[k] == v, k

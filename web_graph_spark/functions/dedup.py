@@ -536,3 +536,39 @@ def minhash_dedup_incremental(df_new: DataFrame, index_dir: str | None,
         banded_rows(new_sigs, bands).write.mode("append") \
             .parquet(f"{index_dir}/bands")
     return out
+
+
+def containment_verify(pairs: DataFrame, df: DataFrame, n: int = 3,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Exact containment for a CANDIDATE pair list — the scale path
+    :func:`containment_pairs`' docstring promises: feed
+    :func:`lsh_candidate_pairs` / the minhash index's probe output and
+    only those pairs pay.  The shingle sets ride along as array
+    columns and ``|A ∩ B|`` is a per-row JVM ``array_intersect`` —
+    cost O(|pairs| · avg_shingles) with NO corpus-wide shingle
+    explode-join; the two dim joins are on uniform doc ids.
+
+    → ``(id_a, id_b, n_inter, sz_a, sz_b, cont_a_bp, cont_b_bp)``:
+    both directions from one row, integer basis points, same numbers
+    :func:`containment_pairs` produces for the same pair (equality
+    pinned in tests).
+    """
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingles_col(n, text_col).alias("sh"))
+    out = (pairs.select("id_a", "id_b")
+           .join(sh.select(F.col("id").alias("id_a"),
+                           F.col("sh").alias("sh_a")), "id_a")
+           .join(sh.select(F.col("id").alias("id_b"),
+                           F.col("sh").alias("sh_b")), "id_b")
+           .select("id_a", "id_b",
+                   F.size(F.array_intersect("sh_a", "sh_b"))
+                   .cast("long").alias("n_inter"),
+                   F.size("sh_a").cast("long").alias("sz_a"),
+                   F.size("sh_b").cast("long").alias("sz_b")))
+    return (out.filter((F.col("sz_a") > 0) & (F.col("sz_b") > 0))
+            .select("id_a", "id_b", "n_inter", "sz_a", "sz_b",
+                    F.expr("n_inter * 10000 div sz_a").cast("long")
+                    .alias("cont_a_bp"),
+                    F.expr("n_inter * 10000 div sz_b").cast("long")
+                    .alias("cont_b_bp")))
