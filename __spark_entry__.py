@@ -985,6 +985,20 @@ def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "bucket", "n_tokens", "quality_score"))
 
 
+def q_corpus_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (functions/text.py:
+    lang_temperature_mix, α = 0.5 — the mC4/XLM-R sampling step):
+    keep rate per language = sqrt(n_lang / n_max), derived in-plan
+    from the observed distribution (en at 100%, tail languages
+    upsampled relative to their share).  sqrt/÷/×/floor are IEEE
+    correctly-rounded, so the data-derived thresholds reproduce
+    bit-for-bit in the oracle."""
+    from web_graph_spark.functions.text import lang_temperature_mix
+
+    return lang_temperature_mix(
+        _docs(spark, sf_dir).select("doc_id", "lang"))
+
+
 def q_corpus_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style hashed-n-gram importance weighting (round 4) — score
     every document by how target-like its token distribution is
@@ -1536,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": q_text_boilerplate,
         "corpus_curate": q_corpus_curate,
         "corpus_sample_mix": q_corpus_sample_mix,
+        "corpus_lang_mix": q_corpus_lang_mix,
         "corpus_importance": q_corpus_importance,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_line_dedup": q_corpus_line_dedup,
@@ -2320,6 +2335,25 @@ SELECT tt.doc_id,
 FROM toks tt
 LEFT JOIN cstat cs USING (doc_id)
 LEFT JOIN cl USING (doc_id)""",
+        "corpus_lang_mix": """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+  FROM documents GROUP BY 1
+),
+m AS (SELECT max(n_lang) AS n_max FROM c),
+r AS (
+  SELECT lang, n_lang,
+         CAST(floor(sqrt(CAST(n_lang AS DOUBLE) / n_max) * 16777216)
+              AS BIGINT) AS t24,
+         CAST(floor(sqrt(CAST(n_lang AS DOUBLE) / n_max) * 1000000)
+              AS BIGINT) AS rate_ppm
+  FROM c, m
+)
+SELECT d.doc_id, d.lang, r.n_lang, r.rate_ppm,
+       (r.t24 >= 16777216
+        OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+           < lower(lpad(to_hex(r.t24), 6, '0'))) AS keep
+FROM documents d JOIN r USING (lang)""",
         "text_boilerplate": """
 WITH base AS (SELECT doc_id, source, text FROM documents),
 btoks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM base),

@@ -65,6 +65,9 @@ ALLOW: dict[tuple[str, str], str] = {
         "1-row corpus-stats dim (N docs) joined onto the tf scan",
     ("corpus_importance", "BroadcastNestedLoopJoin"):
         "two 1-row bucket-total dims (raw/target gram counts)",
+    ("corpus_lang_mix", "BroadcastNestedLoopJoin"):
+        "1-row n_max dim crossed onto the languages-sized counts dim "
+        "(not the corpus scan — that side is a broadcast hash join)",
     # Python stages where Python is the point:
     ("media_features", "python"): "binary codec feature extraction",
     ("media_decode", "python"): "P6/WAV decode is bytes-in-Python",

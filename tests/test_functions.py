@@ -796,3 +796,25 @@ def test_containment_verify_equals_full_join(spark):
                                        r["cont_b_bp"])
     for k, v in full.items():
         assert got[k] == v, k
+
+
+@pytest.mark.spark
+def test_lang_temperature_mix_rates(spark):
+    """α=0.5 rate derivation: head language keeps everything (its
+    25-bit threshold short-circuits the 24-bit coin), a 1/4-share
+    language gets rate_ppm = 500000 exactly (sqrt(0.25) is exact in
+    IEEE), and the keep coin is deterministic across calls."""
+    from web_graph_spark.functions.text import lang_temperature_mix
+
+    rows = ([(i, "en") for i in range(40)]
+            + [(100 + i, "fr") for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = lang_temperature_mix(df).collect()
+    rates = {r["lang"]: r["rate_ppm"] for r in out}
+    assert rates["en"] == 1000000
+    assert rates["fr"] == 500000            # sqrt(10/40) = 0.5 exact
+    assert all(r["keep"] for r in out if r["lang"] == "en")
+    a = sorted((r["doc_id"], r["keep"]) for r in out)
+    b = sorted((r["doc_id"], r["keep"])
+               for r in lang_temperature_mix(df).collect())
+    assert a == b

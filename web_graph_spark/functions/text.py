@@ -362,6 +362,52 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
                     .alias("clean_text")))
 
 
+def lang_temperature_mix(df: DataFrame, lang_col: str = "lang",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based language rebalancing (the mC4 / XLM-R
+    multilingual sampling step) at α = 0.5: each language's keep rate
+    is ``sqrt(n_lang / n_max)`` — head languages are downsampled
+    toward the tail so the training mix is not 80% English just
+    because the crawl is.  Unlike the fixed-rate quality mix
+    (``corpus_sample_mix``), the rates are DERIVED from the observed
+    distribution in-plan.
+
+    α = 0.5 is the drift-free choice: IEEE-754 requires sqrt (and /,
+    ×, floor) to be correctly rounded, so the data-derived rates are
+    bit-identical in any engine — a general α needs ``pow()``, whose
+    last-ulp behavior is libm-specific and could flip a floor()
+    boundary between Spark and an oracle.
+
+    The keep coin is the first 24 bits of ``md5(doc_id)`` compared
+    against the rate scaled to 2^24 (hex-string lexicographic compare,
+    the same engine-portable trick as ``grouped_split``); the
+    full-rate language keeps everything explicitly (its threshold
+    needs 25 bits).  → ``(id, lang, n_lang, rate_ppm, keep)``.
+
+    Physical shape: one uniform-key lang count (a tiny dim at any
+    corpus size — languages, not documents), a 1-row max joined onto
+    it, then one broadcast join back to the scan: sampling 100 TB
+    costs one pass plus a ~200-row dim.
+    """
+    counts = (df.groupBy(F.col(lang_col).alias("lang"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_lang")))
+    mx = counts.agg(F.max("n_lang").alias("n_max"))
+    frac = F.sqrt(F.col("n_lang").cast("double") / F.col("n_max"))
+    rates = (counts.crossJoin(F.broadcast(mx))
+             .withColumn("t24",
+                         F.floor(frac * (1 << 24)).cast("long"))
+             .withColumn("rate_ppm",
+                         F.floor(frac * 1000000).cast("long")))
+    coin = F.substring(F.md5(F.col(id_col).cast("string")), 1, 6)
+    thr = F.lower(F.lpad(F.hex(F.col("t24")), 6, "0"))
+    return (df.select(id_col, F.col(lang_col).alias("lang"))
+            .join(F.broadcast(rates.select("lang", "n_lang",
+                                           "rate_ppm", "t24")), "lang")
+            .select(id_col, "lang", "n_lang", "rate_ppm",
+                    ((F.col("t24") >= (1 << 24)) | (coin < thr))
+                    .alias("keep")))
+
+
 def host_boilerplate(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", group_col: str = "source",
                      min_frac_bp: int = 5000,
