@@ -660,6 +660,24 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("auth_ppb")))
 
 
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components over the DIRECTED admissible
+    edge set (operators/graph_algos.py:strongly_connected_components,
+    F/B min-label refinement with a fixpoint-correctness proof in the
+    docstring) — the Broder bowtie decomposition: the mutually-
+    reachable core vs IN/OUT tendrils, which undirected CC cannot
+    see.  Oracle: recursive-CTE transitive closure, scc(v) = min w
+    with v →* w AND w →* v."""
+    from web_graph_spark.operators.graph_algos import (
+        strongly_connected_components)
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    v = webgen.pages_df(spark, sf_dir).select("doc_id")
+    return strongly_connected_components(v, e)
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities (4 synchronous mode-of-neighbors
     rounds, smallest-label tie-break — operators/graph_algos.py:
@@ -1538,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_depths": q_graph_bfs_depths,
         "graph_pagerank": q_graph_pagerank,
         "graph_hits": q_graph_hits,
+        "graph_scc": q_graph_scc,
         "graph_label_prop": q_graph_label_prop,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -1979,6 +1998,19 @@ reach(node, lbl) AS (
 )
 SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component
 FROM reach GROUP BY 1"""),
+        "graph_scc": _oracle_recursive("""
+, e AS (
+  SELECT DISTINCT src_doc_id AS a, tgt_doc_id AS b
+  FROM web_links_full WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id
+),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM web_pages
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+)
+SELECT f.a AS doc_id, CAST(min(f.b) AS BIGINT) AS scc
+FROM reach f JOIN reach r ON r.a = f.b AND r.b = f.a
+GROUP BY 1"""),
         "graph_label_prop": _oracle(_lpa_unrolled_sql(iters=4)),
         "ann_ivf_topk": """
 WITH b AS (

@@ -249,3 +249,35 @@ def test_label_propagation_deterministic(spark):
     a = sorted(map(tuple, label_propagation(verts, edges, iters=4).collect()))
     b = sorted(map(tuple, label_propagation(verts, edges, iters=4).collect()))
     assert a == b
+
+
+@pytest.mark.spark
+def test_scc_bowtie_graph(spark):
+    """Broder bowtie: IN-tendril 0 → core cycle {1,2,3} → OUT chain
+    4,5; a separate 2-cycle {6,7}; isolated 8.  SCC must separate the
+    core from both tendrils (undirected CC would merge 0-5)."""
+    from web_graph_spark.operators.graph_algos import (
+        strongly_connected_components)
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (6, 7), (7, 6)],
+        "src_doc_id long, tgt_doc_id long")
+    v = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    got = {r["doc_id"]: r["scc"]
+           for r in strongly_connected_components(v, e).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6, 7: 6, 8: 8}
+
+
+@pytest.mark.spark
+def test_scc_chain_peels_to_singletons(spark):
+    """Acyclic chain: every vertex is its own SCC — the refinement
+    loop's worst peel case still terminates and is exact."""
+    from web_graph_spark.operators.graph_algos import (
+        strongly_connected_components)
+
+    e = spark.createDataFrame([(i, i + 1) for i in range(6)],
+                              "src_doc_id long, tgt_doc_id long")
+    v = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    got = {r["doc_id"]: r["scc"]
+           for r in strongly_connected_components(v, e).collect()}
+    assert got == {i: i for i in range(7)}
