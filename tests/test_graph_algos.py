@@ -281,3 +281,24 @@ def test_scc_chain_peels_to_singletons(spark):
     got = {r["doc_id"]: r["scc"]
            for r in strongly_connected_components(v, e).collect()}
     assert got == {i: i for i in range(7)}
+
+
+@pytest.mark.spark
+def test_bowtie_classify_regions(spark):
+    """Full Broder taxonomy on a hand graph: IN-tendril 0 feeds core
+    {1,2,3}, OUT chain 4,5; 10 hangs off IN-vertex 0 (weakly connected,
+    neither reaches nor is reached by the core → TENDRIL); the
+    separate 2-cycle {6,7} and isolated 8 are DISC."""
+    from web_graph_spark.operators.graph_algos import bowtie_classify
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 1), (3, 4), (4, 5),
+         (6, 7), (7, 6), (0, 10)],
+        "src_doc_id long, tgt_doc_id long")
+    v = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 4, 5, 6, 7, 8, 10]],
+                              "doc_id long")
+    got = {r["doc_id"]: r["region"]
+           for r in bowtie_classify(v, e).collect()}
+    assert got == {0: "IN", 1: "CORE", 2: "CORE", 3: "CORE",
+                   4: "OUT", 5: "OUT", 6: "DISC", 7: "DISC",
+                   8: "DISC", 10: "TENDRIL"}

@@ -564,3 +564,70 @@ def strongly_connected_components(vertices: DataFrame, edges: DataFrame,
     for r in resolved[1:]:
         out = out.unionByName(r)
     return out.select(F.col("id").alias(id_col), "scc")
+
+
+def bowtie_classify(vertices: DataFrame, edges: DataFrame,
+                    id_col: str = "doc_id",
+                    src: str = "src_doc_id",
+                    dst: str = "tgt_doc_id") -> DataFrame:
+    """The full Broder bowtie taxonomy (WWW 2000) — ``(id_col, scc,
+    region)`` with region ∈ CORE | IN | OUT | TENDRIL | DISC:
+
+    * CORE    — the largest SCC (ties broken by smallest SCC label:
+                deterministic, oracle-checkable),
+    * IN      — reaches the core but is not in it,
+    * OUT     — reached from the core but not in it,
+    * TENDRIL — weakly connected to the core, neither reaches nor is
+                reached (includes the paper's tubes — distinguishing
+                them needs nothing new, but the 5-way split is what
+                crawl planning consumes),
+    * DISC    — not even weakly connected to the core.
+
+    Composition of the module's own primitives: one SCC run, two
+    directed BFS closures from the core (forward and on reversed
+    edges — ``bfs_depths``, one frontier shuffle per level), one
+    undirected CC for weak connectivity.  Crawl planning reads this
+    table directly: IN pages are seed candidates (they feed the
+    core), OUT growth signals a crawl escaping into link farms, a
+    shrinking CORE share flags frontier starvation.
+    """
+    scc = strongly_connected_components(vertices, edges, id_col=id_col,
+                                        src=src, dst=dst)
+    scc = scc.localCheckpoint()
+    # largest SCC, smallest label on ties — a 1-row dim
+    core_lbl = (scc.groupBy("scc").agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n").desc(), F.col("scc").asc())
+                .limit(1).select(F.col("scc").alias("core")))
+    core_members = (scc.join(F.broadcast(core_lbl),
+                             scc["scc"] == F.col("core"))
+                    .select(F.col(id_col)).localCheckpoint())
+    fwd = (bfs_depths(edges, core_members, src=src, dst=dst,
+                      id_col=id_col, max_depth=1 << 20)
+           .select(id_col).withColumn("__fwd", F.lit(True)))
+    bwd = (bfs_depths(edges.select(F.col(dst).alias(src),
+                                   F.col(src).alias(dst)),
+                      core_members, src=src, dst=dst,
+                      id_col=id_col, max_depth=1 << 20)
+           .select(id_col).withColumn("__bwd", F.lit(True)))
+    weak = connected_components(vertices, edges, id_col=id_col,
+                                src=src, dst=dst)
+    core_weak = (weak.join(core_members, id_col)
+                 .select(F.col("component")).distinct())
+    in_core = scc.join(F.broadcast(core_lbl),
+                       scc["scc"] == F.col("core"), "left") \
+        .select(id_col, "scc", F.col("core").isNotNull().alias("__core"))
+    out = (in_core
+           .join(fwd, id_col, "left")
+           .join(bwd, id_col, "left")
+           .join(weak, id_col)
+           .join(F.broadcast(core_weak.withColumnRenamed(
+               "component", "__wc")),
+               F.col("component") == F.col("__wc"), "left")
+           .select(
+               id_col, "scc",
+               F.when(F.col("__core"), "CORE")
+               .when(F.coalesce("__bwd", F.lit(False)), "IN")
+               .when(F.coalesce("__fwd", F.lit(False)), "OUT")
+               .when(F.col("__wc").isNotNull(), "TENDRIL")
+               .otherwise("DISC").alias("region")))
+    return out
