@@ -519,7 +519,12 @@ def strongly_connected_components(vertices: DataFrame, edges: DataFrame,
 
     Scale shape: every round is min-propagation joins shuffled on the
     edge endpoint keys (uniform by construction) with flat lineage
-    (localCheckpoint per inner round).  Peeling makes round cost
+    (localCheckpoint per inner round).  The forward and backward
+    propagations of a round are INDEPENDENT job chains, so they are
+    submitted from two driver threads and run concurrently — on a
+    cluster they interleave on free executor slots; on the iterative
+    tail (tiny frames, fixed per-job overhead dominating) this halves
+    the wall of every outer round.  Peeling makes round cost
     shrink geometrically on web-shaped graphs (the giant core and the
     tendril bulk finalize in the first two rounds — measured 97% of
     vertices by round 2 on the synthetic web); outer rounds ∝ peel
@@ -535,10 +540,13 @@ def strongly_connected_components(vertices: DataFrame, edges: DataFrame,
     ids = (vertices.select(F.col(id_col).cast("long").alias("id"))
            .localCheckpoint())
     resolved: list[DataFrame] = []
+    from concurrent.futures import ThreadPoolExecutor
     for _ in range(max_rounds):
-        fwd = _min_prop(ids, e)
-        bwd = _min_prop(ids, e.select(F.col("dst").alias("src"),
-                                      F.col("src").alias("dst")))
+        rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_fut = pool.submit(_min_prop, ids, e)
+            b_fut = pool.submit(_min_prop, ids, rev)
+            fwd, bwd = f_fut.result(), b_fut.result()
         fb = (fwd.withColumnRenamed("lbl", "f")
               .join(bwd.withColumnRenamed("lbl", "b"), "id")
               .localCheckpoint())
@@ -601,16 +609,23 @@ def bowtie_classify(vertices: DataFrame, edges: DataFrame,
     core_members = (scc.join(F.broadcast(core_lbl),
                              scc["scc"] == F.col("core"))
                     .select(F.col(id_col)).localCheckpoint())
-    fwd = (bfs_depths(edges, core_members, src=src, dst=dst,
-                      id_col=id_col, max_depth=1 << 20)
-           .select(id_col).withColumn("__fwd", F.lit(True)))
-    bwd = (bfs_depths(edges.select(F.col(dst).alias(src),
-                                   F.col(src).alias(dst)),
-                      core_members, src=src, dst=dst,
-                      id_col=id_col, max_depth=1 << 20)
-           .select(id_col).withColumn("__bwd", F.lit(True)))
-    weak = connected_components(vertices, edges, id_col=id_col,
-                                src=src, dst=dst)
+    # the forward closure, backward closure, and weak-CC runs are
+    # independent job chains — submit them from three driver threads
+    # (same rationale as the SCC round's concurrent F/B propagation)
+    from concurrent.futures import ThreadPoolExecutor
+    rev_edges = edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_fut = pool.submit(bfs_depths, edges, core_members, src=src,
+                            dst=dst, id_col=id_col, max_depth=1 << 20)
+        b_fut = pool.submit(bfs_depths, rev_edges, core_members, src=src,
+                            dst=dst, id_col=id_col, max_depth=1 << 20)
+        w_fut = pool.submit(connected_components, vertices, edges,
+                            id_col=id_col, src=src, dst=dst)
+        fwd = (f_fut.result()
+               .select(id_col).withColumn("__fwd", F.lit(True)))
+        bwd = (b_fut.result()
+               .select(id_col).withColumn("__bwd", F.lit(True)))
+        weak = w_fut.result()
     core_weak = (weak.join(core_members, id_col)
                  .select(F.col("component")).distinct())
     in_core = scc.join(F.broadcast(core_lbl),
