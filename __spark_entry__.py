@@ -678,6 +678,28 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(v, e)
 
 
+def q_graph_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Broder bowtie taxonomy (operators/graph_algos.py:
+    bowtie_classify) — region ∈ CORE | IN | OUT | TENDRIL | DISC per
+    page, composed from one SCC run, two directed BFS closures from
+    the core, and one weak-CC pass (the three independent chains run
+    on concurrent driver threads).  Crawl planning reads this table:
+    IN pages are seed candidates, OUT growth flags link-farm escape,
+    a shrinking CORE share flags frontier starvation.  Oracle: the
+    same taxonomy from recursive-CTE closures — scc = min mutual-
+    reach label, core = argmax SCC size (min label tiebreak),
+    IN/OUT = directed closure membership, TENDRIL = shares the
+    core's weak component."""
+    from web_graph_spark.operators.graph_algos import bowtie_classify
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    v = webgen.pages_df(spark, sf_dir).select("doc_id")
+    return bowtie_classify(v, e).select(
+        "doc_id", F.col("scc").cast("long").alias("scc"), "region")
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities (4 synchronous mode-of-neighbors
     rounds, smallest-label tie-break — operators/graph_algos.py:
@@ -1557,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_hits": q_graph_hits,
         "graph_scc": q_graph_scc,
+        "graph_bowtie": q_graph_bowtie,
         "graph_label_prop": q_graph_label_prop,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -2011,6 +2034,52 @@ reach(a, b) AS (
 SELECT f.a AS doc_id, CAST(min(f.b) AS BIGINT) AS scc
 FROM reach f JOIN reach r ON r.a = f.b AND r.b = f.a
 GROUP BY 1"""),
+        "graph_bowtie": _oracle_recursive("""
+, e AS (
+  SELECT DISTINCT src_doc_id AS a, tgt_doc_id AS b
+  FROM web_links_full WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id
+),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM web_pages
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+),
+scc AS (
+  SELECT f.a AS id, min(f.b) AS scc
+  FROM reach f JOIN reach r ON r.a = f.b AND r.b = f.a
+  GROUP BY 1
+),
+core AS (
+  SELECT scc AS core FROM scc
+  GROUP BY scc ORDER BY count(*) DESC, scc ASC LIMIT 1
+),
+core_m AS (SELECT id FROM scc JOIN core ON scc.scc = core.core),
+fwd AS (SELECT DISTINCT r.b AS id
+        FROM reach r JOIN core_m c ON r.a = c.id),
+bwd AS (SELECT DISTINCT r.a AS id
+        FROM reach r JOIN core_m c ON r.b = c.id),
+und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+wreach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM web_pages
+  UNION
+  SELECT u.b, w.lbl FROM wreach w JOIN und u ON u.a = w.node
+),
+weak AS (SELECT node AS id, min(lbl) AS component
+         FROM wreach GROUP BY 1),
+core_weak AS (SELECT DISTINCT w.component AS wc
+              FROM weak w JOIN core_m c ON w.id = c.id)
+SELECT s.id AS doc_id, CAST(s.scc AS BIGINT) AS scc,
+       CASE WHEN cm.id IS NOT NULL THEN 'CORE'
+            WHEN bw.id IS NOT NULL THEN 'IN'
+            WHEN fw.id IS NOT NULL THEN 'OUT'
+            WHEN cw.wc IS NOT NULL THEN 'TENDRIL'
+            ELSE 'DISC' END AS region
+FROM scc s
+LEFT JOIN core_m cm ON cm.id = s.id
+LEFT JOIN bwd bw ON bw.id = s.id
+LEFT JOIN fwd fw ON fw.id = s.id
+JOIN weak w ON w.id = s.id
+LEFT JOIN core_weak cw ON cw.wc = w.component"""),
         "graph_label_prop": _oracle(_lpa_unrolled_sql(iters=4)),
         "ann_ivf_topk": """
 WITH b AS (

@@ -598,6 +598,15 @@ def bowtie_classify(vertices: DataFrame, edges: DataFrame,
     table directly: IN pages are seed candidates (they feed the
     core), OUT growth signals a crawl escaping into link farms, a
     shrinking CORE share flags frontier starvation.
+
+    Assembly shape: the four memberships are stacked as (id,
+    priority) rows and reduced with ONE min-aggregate, then joined to
+    the SCC table once — a single shuffle on id.  (The obvious
+    alternative — left-joining the four membership frames one by one —
+    is both a worse distributed plan (4 joins) and pathological to
+    compile on Spark 4.1: the chained same-key joins over
+    checkpointed frames drove driver-side query compilation to ~60 s
+    vs 1.7 s for this shape, measured at sf0.01.)
     """
     scc = strongly_connected_components(vertices, edges, id_col=id_col,
                                         src=src, dst=dst)
@@ -621,28 +630,26 @@ def bowtie_classify(vertices: DataFrame, edges: DataFrame,
                             dst=dst, id_col=id_col, max_depth=1 << 20)
         w_fut = pool.submit(connected_components, vertices, edges,
                             id_col=id_col, src=src, dst=dst)
-        fwd = (f_fut.result()
-               .select(id_col).withColumn("__fwd", F.lit(True)))
-        bwd = (b_fut.result()
-               .select(id_col).withColumn("__bwd", F.lit(True)))
-        weak = w_fut.result()
+        fwd = f_fut.result().select(id_col)
+        bwd = b_fut.result().select(id_col)
+        weak = w_fut.result().localCheckpoint()
     core_weak = (weak.join(core_members, id_col)
                  .select(F.col("component")).distinct())
-    in_core = scc.join(F.broadcast(core_lbl),
-                       scc["scc"] == F.col("core"), "left") \
-        .select(id_col, "scc", F.col("core").isNotNull().alias("__core"))
-    out = (in_core
-           .join(fwd, id_col, "left")
-           .join(bwd, id_col, "left")
-           .join(weak, id_col)
-           .join(F.broadcast(core_weak.withColumnRenamed(
-               "component", "__wc")),
-               F.col("component") == F.col("__wc"), "left")
-           .select(
-               id_col, "scc",
-               F.when(F.col("__core"), "CORE")
-               .when(F.coalesce("__bwd", F.lit(False)), "IN")
-               .when(F.coalesce("__fwd", F.lit(False)), "OUT")
-               .when(F.col("__wc").isNotNull(), "TENDRIL")
-               .otherwise("DISC").alias("region")))
-    return out
+    tendril = (weak.join(F.broadcast(core_weak.withColumnRenamed(
+                   "component", "__wc")),
+                   F.col("component") == F.col("__wc"))
+               .select(id_col))
+    # membership stack: CORE ⊂ fwd ∩ bwd ⊂ tendril's weak component —
+    # min priority picks the strongest region in one aggregate
+    tags = (core_members.select(id_col, F.lit(0).alias("__p"))
+            .unionByName(bwd.select(id_col, F.lit(1).alias("__p")))
+            .unionByName(fwd.select(id_col, F.lit(2).alias("__p")))
+            .unionByName(tendril.select(id_col, F.lit(3).alias("__p"))))
+    best = tags.groupBy(id_col).agg(F.min("__p").alias("__p"))
+    return (scc.join(best, id_col, "left")
+            .select(id_col, "scc",
+                    F.when(F.col("__p") == 0, "CORE")
+                    .when(F.col("__p") == 1, "IN")
+                    .when(F.col("__p") == 2, "OUT")
+                    .when(F.col("__p") == 3, "TENDRIL")
+                    .otherwise("DISC").alias("region")))
