@@ -1054,6 +1054,20 @@ def q_corpus_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_weights(docs.select("doc_id", "text"), target)
 
 
+def q_corpus_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity terciles (functions/text.py:
+    perplexity_buckets) — head/middle/tail quality split under a
+    unigram model of the corpus itself.  Integer ppb token
+    likelihoods replace KenLM's float log-perplexity (monotone
+    inverse ordering, bit-identical across engines); tercile
+    thresholds come from a ≤1001-bin score histogram, never a global
+    sort of the corpus."""
+    from web_graph_spark.functions.text import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir)
+                              .select("doc_id", "text"))
+
+
 def _decontam_corpus(spark: SparkSession, sf_dir: str):
     """(corpus, benchmark) for the decontamination query: benchmark =
     every 97th doc; corpus = documents + an injected verbatim-overlap
@@ -1594,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_mix": q_corpus_sample_mix,
         "corpus_lang_mix": q_corpus_lang_mix,
         "corpus_importance": q_corpus_importance,
+        "corpus_perplexity": q_corpus_perplexity,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_span_dedup": q_corpus_span_dedup,
@@ -2348,6 +2363,43 @@ SELECT cg.doc_id,
        CAST(sum(w.w) // count(*) AS BIGINT) AS imp_avg_bp
 FROM cg JOIN w USING (b)
 GROUP BY 1""",
+        "corpus_perplexity": """
+WITH toks AS (
+  SELECT doc_id, substr(md5(t.g), 1, 3) AS b
+  FROM documents, unnest(string_split(text, ' ')) AS t(g)
+),
+model AS (SELECT b, count(*)::BIGINT AS ct FROM toks GROUP BY 1),
+tot AS (SELECT sum(ct)::BIGINT AS n_total FROM model),
+w AS (SELECT b, (ct * 1000000000) // n_total AS w FROM model, tot),
+scores AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum(w.w)::BIGINT AS like_sum
+  FROM toks JOIN w USING (b) GROUP BY 1
+),
+s2 AS (
+  SELECT doc_id, n_tokens, like_sum // n_tokens AS avg_like_ppb,
+         (like_sum // n_tokens) // 1000 AS sbin
+  FROM scores
+),
+hist AS (SELECT sbin, count(*)::BIGINT AS cnt FROM s2 GROUP BY 1),
+n AS (SELECT sum(cnt)::BIGINT AS n_docs FROM hist),
+cum AS (
+  SELECT sbin, coalesce(sum(cnt) OVER (
+    ORDER BY sbin DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM hist
+),
+bkt AS (
+  SELECT sbin,
+         CASE WHEN cum_excl < (n_docs + 2) // 3 THEN 'head'
+              WHEN cum_excl < (2 * n_docs + 2) // 3 THEN 'middle'
+              ELSE 'tail' END AS ppx_bucket
+  FROM cum, n
+)
+SELECT s2.doc_id, s2.n_tokens,
+       CAST(s2.avg_like_ppb AS BIGINT) AS avg_like_ppb,
+       bkt.ppx_bucket
+FROM s2 JOIN bkt USING (sbin)""",
         "corpus_decontaminate": f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents

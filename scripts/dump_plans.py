@@ -65,6 +65,13 @@ ALLOW: dict[tuple[str, str], str] = {
         "1-row corpus-stats dim (N docs) joined onto the tf scan",
     ("corpus_importance", "BroadcastNestedLoopJoin"):
         "two 1-row bucket-total dims (raw/target gram counts)",
+    ("corpus_perplexity", "BroadcastNestedLoopJoin"):
+        "1-row model-total and 1-row doc-count dims crossed onto "
+        "bounded dims (≤4096-bucket model, ≤10^6-bin histogram)",
+    ("corpus_perplexity", "Exchange SinglePartition"):
+        "desc-cumulative tercile window over the score-bin histogram "
+        "— ≤10^6 rows at ANY corpus size (bound = ppb value range / "
+        "bin width, not row count); the corpus never sees it",
     ("corpus_lang_mix", "BroadcastNestedLoopJoin"):
         "1-row n_max dim crossed onto the languages-sized counts dim "
         "(not the corpus scan — that side is a broadcast hash join)",

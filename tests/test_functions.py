@@ -818,3 +818,26 @@ def test_lang_temperature_mix_rates(spark):
     b = sorted((r["doc_id"], r["keep"])
                for r in lang_temperature_mix(df).collect())
     assert a == b
+
+
+@pytest.mark.spark
+def test_perplexity_buckets_hand_corpus(spark):
+    """Integer unigram-likelihood math pinned by hand: counts the=7,
+    each rare token 1, N=12 → w(the) = 7e9 div 12 = 583333333,
+    w(rare) = 83333333; three docs land in three distinct score bins
+    so the tercile split is exactly head/middle/tail in score order."""
+    from web_graph_spark.functions.text import perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the"),
+         (2, "the the rare1 the"),
+         (3, "zz1 zz2 zz3 zz4")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in perplexity_buckets(docs).collect()}
+    assert out[1]["avg_like_ppb"] == (4 * 583333333) // 4
+    assert out[2]["avg_like_ppb"] == (3 * 583333333 + 83333333) // 4
+    assert out[3]["avg_like_ppb"] == 83333333
+    assert out[1]["ppx_bucket"] == "head"
+    assert out[2]["ppx_bucket"] == "middle"
+    assert out[3]["ppx_bucket"] == "tail"
+    assert all(r["n_tokens"] == 4 for r in out.values())

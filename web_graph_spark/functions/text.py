@@ -317,6 +317,78 @@ def importance_weights(corpus: DataFrame, target: DataFrame,
                     .alias("imp_avg_bp")))
 
 
+def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       bucket_hex: int = 3) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document under a unigram model of the corpus itself and
+    split the corpus into ``head`` / ``middle`` / ``tail`` terciles —
+    the standard quality gate where head feeds pre-training directly,
+    middle is kept with caveats, and tail is dropped or re-filtered.
+
+    Where CCNet scores with a KenLM log-perplexity (float logs — the
+    one step two engines disagree on at the ulp), each token instead
+    carries its integer unigram probability in ppb::
+
+        w(b) = ct(b) * 10^9 div N_total
+
+    over ``B = 16**bucket_hex`` hashed token buckets (md5-prefix — the
+    digest string is identical in every engine), and a document's
+    score is ``avg_like_ppb = Σ w div n_tokens`` — a monotone inverse
+    of unigram perplexity, so the tercile split selects the same
+    documents while reproducing bit-for-bit.  bigint is exact up to
+    ~10^13-token corpora; past that cast the ``ct * 10^9`` product to
+    decimal(38,0) (same discipline as the importance weights).
+
+    Tercile thresholds derive from a bounded HISTOGRAM, not a global
+    sort: scores bin at 10^3-ppb granularity (≤ 10^6 bins at any
+    corpus size — the bound comes from the ppb value range, not the
+    row count), the desc-cumulative runs over that dim only, and a
+    bin straddling a boundary goes wholly to the higher bucket —
+    deterministic, and the corpus-sized frames never see a
+    single-partition exchange.  Physical shape: one explode scan →
+    ≤B-row model dim (map-side partials) → broadcast score join →
+    per-doc agg → bounded histogram; the corpus is scanned twice
+    (model, score) regardless of scale.
+
+    Returns ``(doc_id, n_tokens, avg_like_ppb, ppx_bucket)``.
+    """
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.split(F.col(text_col), " ")).alias("g"))
+            .withColumn("b", F.substring(F.md5(F.col("g")), 1, bucket_hex))
+            .drop("g"))
+    model = toks.groupBy("b").agg(F.count("*").cast("long").alias("ct"))
+    tot = model.agg(F.sum("ct").cast("long").alias("n_total"))
+    w = (model.crossJoin(F.broadcast(tot))
+         .select("b", F.expr("ct * 1000000000 div n_total")
+                 .cast("long").alias("w")))
+    scores = (toks.join(F.broadcast(w), "b")
+              .groupBy("doc_id")
+              .agg(F.count("*").cast("long").alias("n_tokens"),
+                   F.sum("w").cast("long").alias("like_sum"))
+              .select("doc_id", "n_tokens",
+                      F.expr("like_sum div n_tokens").cast("long")
+                      .alias("avg_like_ppb"))
+              .withColumn("sbin", F.expr("avg_like_ppb div 1000")))
+    hist = scores.groupBy("sbin").agg(F.count("*").cast("long")
+                                      .alias("cnt"))
+    n = hist.agg(F.sum("cnt").cast("long").alias("n_docs"))
+    from pyspark.sql import Window
+    wdw = (Window.orderBy(F.col("sbin").desc())
+           .rowsBetween(Window.unboundedPreceding, -1))
+    bkt = (hist.withColumn("cum_excl",
+                           F.coalesce(F.sum("cnt").over(wdw), F.lit(0)))
+           .crossJoin(F.broadcast(n))
+           .select("sbin",
+                   F.when(F.col("cum_excl")
+                          < F.expr("(n_docs + 2) div 3"), "head")
+                   .when(F.col("cum_excl")
+                         < F.expr("(2 * n_docs + 2) div 3"), "middle")
+                   .otherwise("tail").alias("ppx_bucket")))
+    return (scores.join(F.broadcast(bkt), "sbin")
+            .select("doc_id", "n_tokens", "avg_like_ppb", "ppx_bucket"))
+
+
 def line_dedup(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", min_docs: int = 2) -> DataFrame:
     """Corpus-level duplicated-line removal (the RefinedWeb / CCNet
