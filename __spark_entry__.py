@@ -61,6 +61,38 @@ def _oracle_recursive(body: str) -> str:
     return "WITH RECURSIVE " + _oracle(body)[len("WITH "):]
 
 
+def _kcore_unrolled_sql(k: int, rounds: int) -> str:
+    """Fixed-round synchronous k-core peeling unrolled to plain SQL —
+    the oracle for q_graph_kcore.  Each round mirrors
+    operators/graph_algos.py:kcore exactly: survivors = vertices with
+    ≥ k neighbors among the previous round's survivors; the final
+    projection re-derives degree within the settled core."""
+    parts = ["""
+, e0 AS (
+  SELECT DISTINCT least(src_doc_id, tgt_doc_id) AS u,
+         greatest(src_doc_id, tgt_doc_id) AS v
+  FROM web_links_full WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id
+),
+und AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+a0 AS (SELECT DISTINCT doc_id AS id FROM web_pages)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+d{i} AS (
+  SELECT und.u, count(*) AS d FROM und
+  JOIN a{i - 1} x ON x.id = und.u
+  JOIN a{i - 1} y ON y.id = und.v
+  GROUP BY 1
+),
+a{i} AS (SELECT u AS id FROM d{i} WHERE d >= {k})""")
+    parts.append(f"""
+SELECT und.u AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+FROM und
+JOIN a{rounds} x ON x.id = und.u
+JOIN a{rounds} y ON y.id = und.v
+GROUP BY 1""")
+    return "".join(parts)
+
+
 def _lpa_unrolled_sql(iters: int) -> str:
     """Synchronous label propagation unrolled to ``iters`` rounds of
     plain SQL — the oracle for q_graph_label_prop.  Each round mirrors
@@ -698,6 +730,23 @@ def q_graph_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = webgen.pages_df(spark, sf_dir).select("doc_id")
     return bowtie_classify(v, e).select(
         "doc_id", F.col("scc").cast("long").alias("scc"), "region")
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected 3-core of the admissible link graph
+    (operators/graph_algos.py:kcore, 6 synchronous peel rounds —
+    converged by round 4 at this scale, extra rounds are no-ops by
+    monotonicity): the dense-region extractor crawl planning reads
+    next to the bowtie regions (link farms concentrate in high-k
+    cores).  Deterministic fixed-round semantics, so the oracle is
+    the SAME 6 rounds unrolled in SQL."""
+    from web_graph_spark.operators.graph_algos import kcore
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    v = webgen.pages_df(spark, sf_dir).select("doc_id")
+    return kcore(v, e, k=3, rounds=6)
 
 
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1595,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": q_graph_scc,
         "graph_bowtie": q_graph_bowtie,
         "graph_label_prop": q_graph_label_prop,
+        "graph_kcore": q_graph_kcore,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "corpus_source_reputation": q_corpus_source_reputation,
@@ -2096,6 +2146,7 @@ LEFT JOIN fwd fw ON fw.id = s.id
 JOIN weak w ON w.id = s.id
 LEFT JOIN core_weak cw ON cw.wc = w.component"""),
         "graph_label_prop": _oracle(_lpa_unrolled_sql(iters=4)),
+        "graph_kcore": _oracle(_kcore_unrolled_sql(k=3, rounds=6)),
         "ann_ivf_topk": """
 WITH b AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -302,3 +302,38 @@ def test_bowtie_classify_regions(spark):
     assert got == {0: "IN", 1: "CORE", 2: "CORE", 3: "CORE",
                    4: "OUT", 5: "OUT", 6: "DISC", 7: "DISC",
                    8: "DISC", 10: "TENDRIL"}
+
+
+@pytest.mark.spark
+def test_kcore_hand_graph(spark):
+    """K4 {0,1,2,3} survives the 3-core with core_deg=3 each; the
+    pendant chain 3-4-5 peels away (4 and 5 never reach degree 3,
+    and their removal does not disturb the clique)."""
+    from web_graph_spark.operators.graph_algos import kcore
+
+    v = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+         (3, 4), (4, 5)],
+        "src_doc_id long, tgt_doc_id long")
+    got = {r.doc_id: r.core_deg for r in kcore(v, e, k=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+@pytest.mark.spark
+def test_kcore_extra_rounds_noop(spark):
+    """Peeling is monotone: once converged, extra rounds change
+    nothing — pins that the contract's fixed round count is safe on
+    the derived web (rounds=6 vs rounds=8 identical)."""
+    from web_graph_spark import webgen
+    from web_graph_spark.operators.graph_algos import kcore
+
+    e = (webgen.links_full_df(spark, SF_SMOKE)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    v = webgen.pages_df(spark, SF_SMOKE).select("doc_id")
+    a = sorted((r.doc_id, r.core_deg)
+               for r in kcore(v, e, k=3, rounds=6).collect())
+    b = sorted((r.doc_id, r.core_deg)
+               for r in kcore(v, e, k=3, rounds=8).collect())
+    assert a == b and len(a) > 0

@@ -574,6 +574,55 @@ def strongly_connected_components(vertices: DataFrame, edges: DataFrame,
     return out.select(F.col("id").alias(id_col), "scc")
 
 
+def kcore(vertices: DataFrame, edges: DataFrame, k: int = 3,
+          rounds: int = 6, id_col: str = "doc_id",
+          src: str = "src_doc_id", dst: str = "tgt_doc_id") -> DataFrame:
+    """(id_col, core_deg) for vertices in the undirected k-core —
+    the maximal subgraph where every vertex keeps degree ≥ k —
+    ``core_deg`` being the vertex's degree WITHIN the core.  The
+    classic dense-region extractor over a web graph: link farms and
+    tightly-knit site families concentrate in high-k cores while
+    tendrils and one-link pages peel away, so crawl planning reads it
+    next to the bowtie regions (a growing k-core share of new pages
+    flags spam-graph capture).
+
+    Synchronous fixed-round peeling: each round drops every vertex
+    whose degree among surviving vertices is < k, simultaneously
+    (Matula & Beck's peeling restricted to one k).  ``rounds`` must
+    reach the graph's peel depth for the output to be the true
+    k-core; because peeling is monotone (the survivor set only
+    shrinks, and a converged round is a no-op) running EXTRA rounds
+    is always safe, so the contract query unrolls the same fixed
+    count in SQL and a test pins that the last two rounds are
+    already equal at the test scale.
+
+    Scale shape: per round one endpoint-key shuffle (edges ⋉ alive on
+    both ends, then a uniform-key degree agg); the alive set only
+    shrinks, lineage stays flat via localCheckpoint.  Worst-case a
+    chain graph peels one layer per round — the same adversarial
+    caveat as SCC's peel depth, irrelevant on web-shaped graphs where
+    low-degree mass leaves in the first round or two.
+    """
+    und0 = _canon_edges(edges, src, dst)
+    und = (und0.select("u", "v")
+           .unionByName(und0.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+           .localCheckpoint())
+    alive = (vertices.select(F.col(id_col).cast("long").alias("id"))
+             .distinct().localCheckpoint())
+    for _ in range(rounds):
+        e2 = (und.join(alive.withColumnRenamed("id", "u"), "u", "semi")
+              .join(alive.withColumnRenamed("id", "v"), "v", "semi"))
+        deg = e2.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        alive = (deg.filter(F.col("d") >= k)
+                 .select(F.col("u").alias("id")).localCheckpoint())
+    final = (und.join(alive.withColumnRenamed("id", "u"), "u", "semi")
+             .join(alive.withColumnRenamed("id", "v"), "v", "semi")
+             .groupBy("u").agg(F.count(F.lit(1)).cast("long")
+                               .alias("core_deg")))
+    return final.select(F.col("u").alias(id_col), "core_deg")
+
+
 def bowtie_classify(vertices: DataFrame, edges: DataFrame,
                     id_col: str = "doc_id",
                     src: str = "src_doc_id",
