@@ -1538,6 +1538,27 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_media_exact(media)
 
 
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual media near-dup pairs (functions/media.py:
+    phash_pairs) — 64-bit integer average-hashes over the REAL
+    deterministic P6 bytes (stdlib parse, never PIL, so the hash is a
+    fixed function of the bytes), paired by the same pigeonhole
+    chunk-join as the text SimHash tier and verified with JVM
+    bit_count(xor).  Catches re-encoded/brightened copies the exact
+    digest tier is blind to (pinned in tests); undecodable rows
+    (junk + WAV) hash NULL and drop out.  Oracle: golden parquet
+    (bit-parse of binary blobs isn't SQL-expressible) with the
+    independent semantics pinned in tests/test_functions.py."""
+    from web_graph_spark.functions.media import (make_decodable_media_df,
+                                                 phash_pairs)
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    media = make_decodable_media_df(spark, d)
+    return (phash_pairs(media)
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("long").alias("hamming")))
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E12 real decode: deterministic REAL P6-PPM/WAV bytes (stdlib
     writers seeded from doc_id, every 3rd row undecodable junk) through
@@ -1682,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_decode": q_media_decode,
         "media_dedup": q_media_dedup,
+        "media_phash": q_media_phash,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
@@ -2236,6 +2258,9 @@ def _golden_oracles() -> dict[str, str]:
             f"SELECT media_id, kind, n_bytes, sha, decoded, "
             f"feat0_ppm, feat1_ppm "
             f"FROM read_parquet('{g}/media_decode.parquet')"),
+        "media_phash": (
+            f"SELECT id_a, id_b, hamming "
+            f"FROM read_parquet('{g}/media_phash.parquet')"),
         # exact-SQL oracle (not golden): media bytes are the utf-8 of
         # the text by construction, so md5(blob) ≡ md5(text)
         "media_dedup": """

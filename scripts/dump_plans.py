@@ -78,6 +78,8 @@ ALLOW: dict[tuple[str, str], str] = {
     # Python stages where Python is the point:
     ("media_features", "python"): "binary codec feature extraction",
     ("media_decode", "python"): "P6/WAV decode is bytes-in-Python",
+    ("media_phash", "python"): "P6 parse + 8x8 average-hash is "
+                               "bytes-in-Python; pairing is JVM",
     ("dedup_minhash", "python"): "bit-vote/banding tail on hashed ints",
     ("dedup_minhash_incremental", "python"): "same minhash tail",
     ("dedup_simhash", "python"): "64-bit bit-vote tail (hashing is JVM)",

@@ -41,6 +41,7 @@ GOLDEN_QUERIES = [
     "ann_ivfpq_topk",
     "media_features",
     "media_decode",
+    "media_phash",
 ]
 
 GOLDEN_DIR = os.path.join(REPO, "golden")

@@ -841,3 +841,59 @@ def test_perplexity_buckets_hand_corpus(spark):
     assert out[2]["ppx_bucket"] == "middle"
     assert out[3]["ppx_bucket"] == "tail"
     assert all(r["n_tokens"] == 4 for r in out.values())
+
+
+@pytest.mark.spark
+def test_phash_pairs_brightened_copy(spark):
+    """Perceptual semantics the exact tier cannot see: a uniformly
+    brightened copy of an image has DIFFERENT bytes but the IDENTICAL
+    average-hash (every pixel shifts with the mean), so phash pairs it
+    at hamming 0 while an unrelated pattern stays unpaired."""
+    from web_graph_spark.functions.media import _ahash_p6, phash_pairs
+
+    def p6(rows):
+        h, w = len(rows), len(rows[0])
+        px = bytes(v for row in rows for v in row for _ in range(3))
+        return b"P6 %d %d 255\n" % (w, h) + px
+
+    base = [[10, 200, 10, 200], [200, 10, 200, 10],
+            [10, 200, 10, 200], [200, 10, 200, 10]]
+    bright = [[v + 30 for v in row] for row in base]
+    other = [[10, 10, 200, 200], [10, 10, 200, 200],
+             [200, 200, 10, 10], [200, 200, 10, 10]]
+    a, b, c = p6(base), p6(bright), p6(other)
+    assert a != b
+    assert _ahash_p6(a) == _ahash_p6(b)
+    assert _ahash_p6(a) != _ahash_p6(c)
+    media = spark.createDataFrame(
+        [("a", a), ("b", b), ("c", c), ("junk", b"\x00nope")],
+        "media_id string, media binary")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in phash_pairs(media, max_dist=3).collect()}
+    assert got == {("a", "b"): 0}
+
+
+@pytest.mark.spark
+def test_phash_pairs_match_bruteforce(spark):
+    """Pigeonhole candidate generation loses nothing: pairs from the
+    chunk join equal brute-force hamming over all decodable hashes on
+    the derived media table at SF_SMOKE."""
+    from itertools import combinations
+
+    from web_graph_spark.functions.media import (_ahash_p6,
+                                                 make_decodable_media_df,
+                                                 phash_pairs)
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet") \
+        .select("doc_id")
+    media = make_decodable_media_df(spark, docs).localCheckpoint()
+    got = sorted((r.id_a, r.id_b, r.hamming)
+                 for r in phash_pairs(media, max_dist=8).collect())
+    hs = {r.media_id: _ahash_p6(bytes(r.media))
+          for r in media.collect()}
+    hs = {k: v for k, v in hs.items() if v is not None}
+    want = sorted(
+        (a, b, bin((ha ^ hb) & ((1 << 64) - 1)).count("1"))
+        for (a, ha), (b, hb) in combinations(sorted(hs.items()), 2)
+        if bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= 8)
+    assert got == want and len(got) > 0

@@ -37,7 +37,8 @@ def _rowset(tbl) -> set[tuple]:
                                   "dedup_minhash_incremental",
                                   "dedup_simhash", "ann_lsh_topk",
                                   "ann_pq_topk", "ann_ivfpq_topk",
-                                  "media_features", "media_decode"])
+                                  "media_features", "media_decode",
+                                  "media_phash"])
 def test_query_matches_golden(spark, name):
     import __spark_entry__ as entry
 

@@ -306,16 +306,16 @@ def simhash_udf():
     return _simhash
 
 
-def simhash_pairs(df: DataFrame, max_dist: int = 3,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_dist.  Candidate
-    generation by pigeonhole: split 64 bits into max_dist+1 chunks —
-    any pair within distance shares ≥1 exact chunk; join on chunk
-    (uniform key), verify with JVM bit_count(xor)."""
+def hamming_pairs(hashed: DataFrame, max_dist: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with hamming ≤ max_dist over a
+    ``(id, sh)`` table of 64-bit hashes (NULL hashes are skipped).
+    Candidate generation by pigeonhole: split 64 bits into max_dist+1
+    chunks — any pair within distance shares ≥1 exact chunk; join on
+    chunk (uniform key), verify with JVM bit_count(xor).  Shared by
+    the text SimHash tier and the media perceptual-hash tier."""
     n_chunks = max_dist + 1
     chunk_bits = 64 // n_chunks
-    sh = df.select(F.col(id_col).alias("id"),
-                   simhash_udf()(token_hashes_col(text_col)).alias("sh"))
+    sh = hashed.filter(F.col("sh").isNotNull())
     mask = (1 << chunk_bits) - 1
     chunk_exprs = [F.shiftrightunsigned(F.col("sh"), c * chunk_bits)
                     .bitwiseAND(F.lit(mask)) for c in range(n_chunks)]
@@ -332,6 +332,16 @@ def simhash_pairs(df: DataFrame, max_dist: int = 3,
                 F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
             .filter(F.col("hamming") <= max_dist)
             .select("id_a", "id_b", "hamming"))
+
+
+def simhash_pairs(df: DataFrame, max_dist: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_dist — simhash per
+    doc (JVM token hashing, Python bit-vote), then the shared
+    pigeonhole chunk-join (``hamming_pairs``)."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   simhash_udf()(token_hashes_col(text_col)).alias("sh"))
+    return hamming_pairs(sh, max_dist)
 
 
 def span_dedup(df: DataFrame, n: int = 5, min_count: int = 2,

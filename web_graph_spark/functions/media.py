@@ -114,6 +114,94 @@ def _pad(feats: list[float], n: int) -> list[float]:
     return (feats + [0.0] * n)[:n]
 
 
+def _parse_p6(raw: bytes):
+    """(w, h, rgb-bytes) from a binary-PPM (P6) blob, or None.  The
+    stdlib parser is used UNCONDITIONALLY for perceptual hashing —
+    unlike the feature path it never defers to PIL, so the hash is a
+    fixed integer function of the bytes in any environment."""
+    if not raw or not raw.startswith(b"P6"):
+        return None
+    try:
+        parts, idx, tok = [], 2, b""
+        while len(parts) < 3:
+            if idx >= len(raw):
+                return None
+            c = raw[idx:idx + 1]
+            idx += 1
+            if c.isspace():
+                if tok:
+                    parts.append(int(tok))
+                    tok = b""
+            else:
+                tok += c
+        w, h, maxval = parts
+        if w <= 0 or h <= 0 or maxval <= 0:
+            return None
+        px = raw[idx:idx + w * h * 3]
+        if len(px) < w * h * 3:
+            return None
+        return w, h, px
+    except Exception:
+        return None
+
+
+def _ahash_p6(raw: bytes):
+    """64-bit average-hash of a P6 image, or None if undecodable.
+    All-integer: grayscale = (r+g+b) div 3, 8×8 nearest-neighbor
+    resample (source index ``g*dim div 8``), bit = pixel > integer
+    mean — a fixed function of the bytes, reproducible anywhere."""
+    parsed = _parse_p6(raw)
+    if parsed is None:
+        return None
+    w, h, px = parsed
+    grid = []
+    for gy in range(8):
+        sy = gy * h // 8
+        for gx in range(8):
+            sx = gx * w // 8
+            o = (sy * w + sx) * 3
+            grid.append((px[o] + px[o + 1] + px[o + 2]) // 3)
+    mean = sum(grid) // 64
+    bits = 0
+    for i, g in enumerate(grid):
+        if g > mean:
+            bits |= 1 << i
+    if bits >= 1 << 63:  # two's complement into int64
+        bits -= 1 << 64
+    return bits
+
+
+def phash_pairs(media: DataFrame, max_dist: int = 8,
+                id_col: str = "media_id",
+                media_col: str = "media") -> DataFrame:
+    """Perceptual near-duplicate media pairs — the aHash tier
+    (Hamming distance over 64-bit average-hashes): re-encoded,
+    re-scaled, or slightly-edited copies of the same image land
+    within ``max_dist`` bits where the exact tier (byte digests,
+    ``dedup_media_exact``) sees nothing.
+
+    Decode+hash is an Arrow-batched pandas UDF (inherently Python —
+    bytes must be parsed), but everything pairwise is the SAME
+    pigeonhole chunk-join as the text SimHash tier
+    (``dedup.hamming_pairs``): candidates join on one of
+    ``max_dist+1`` exact 64/(d+1)-bit chunks (uniform key), verify is
+    JVM ``bit_count(xor)``.  Undecodable rows hash NULL and drop out.
+    At 100 TB the hash pass streams blobs once; the pair join moves
+    only (id, 8-byte hash) rows."""
+    from pyspark.sql.functions import pandas_udf
+
+    from web_graph_spark.functions.dedup import hamming_pairs
+
+    @pandas_udf("long")
+    def _ahash(col: pd.Series) -> pd.Series:
+        return pd.Series([_ahash_p6(bytes(v)) if v is not None else None
+                          for v in col], dtype="Int64")
+
+    hashed = media.select(F.col(id_col).alias("id"),
+                          _ahash(F.col(media_col)).alias("sh"))
+    return hamming_pairs(hashed, max_dist)
+
+
 def _decode_image(raw: bytes, n: int):
     """Real image features: PIL when importable, else the pure-stdlib
     binary-PPM (P6) parser — None if the bytes aren't decodable."""
