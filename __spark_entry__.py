@@ -1559,6 +1559,49 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("hamming").cast("long").alias("hamming")))
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling (functions/media.py:sample_frames): every
+    2nd frame of the deterministic VID1 containers re-encoded as a
+    canonical P6 row, then average-hashed with the SAME ahash_col the
+    perceptual pair tier uses — the keyframe-extraction front of a
+    multimodal pipeline (sample → hash → dedup/embed), with
+    undecodable containers yielding zero rows.  One mapInPandas scan
+    fans containers out to kept frames; everything downstream moves
+    (id, frame) rows, never the source blob.  Oracle: golden parquet
+    (container parse isn't SQL-expressible); hand-built container +
+    junk-row pins in tests/test_functions.py."""
+    from web_graph_spark.functions.media import (ahash_col, make_video_df,
+                                                 sample_frames)
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    frames = sample_frames(make_video_df(spark, d), every_k=2)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        ahash_col()(F.col("frame")).alias("frame_hash"))
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail resize (functions/media.py:resize_media): every
+    decodable P6 image nearest-neighbor-resized to 4×4 canonical P6
+    (all-integer source indexing — output bytes are a fixed function
+    of input bytes), undecodable rows NULL.  The result column
+    reports md5 of the resized bytes so the golden pins the exact
+    thumbnail bytes, not just shape.  Hand-verified 2×2→4×4 pixel
+    mapping and same-size identity pinned in tests."""
+    from web_graph_spark.functions.media import (make_decodable_media_df,
+                                                 resize_media)
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    media = make_decodable_media_df(spark, d)
+    resized = resize_media(media, out_w=4, out_h=4)
+    return resized.select(
+        "media_id",
+        F.md5(F.col("media")).alias("resized_md5"),
+        F.col("media").isNotNull().alias("decoded"))
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E12 real decode: deterministic REAL P6-PPM/WAV bytes (stdlib
     writers seeded from doc_id, every 3rd row undecodable junk) through
@@ -1704,6 +1747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_dedup": q_media_dedup,
         "media_phash": q_media_phash,
+        "media_frames": q_media_frames,
+        "media_resize": q_media_resize,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
@@ -2261,6 +2306,12 @@ def _golden_oracles() -> dict[str, str]:
         "media_phash": (
             f"SELECT id_a, id_b, hamming "
             f"FROM read_parquet('{g}/media_phash.parquet')"),
+        "media_frames": (
+            f"SELECT media_id, frame_idx, n_frames, frame_hash "
+            f"FROM read_parquet('{g}/media_frames.parquet')"),
+        "media_resize": (
+            f"SELECT media_id, resized_md5, decoded "
+            f"FROM read_parquet('{g}/media_resize.parquet')"),
         # exact-SQL oracle (not golden): media bytes are the utf-8 of
         # the text by construction, so md5(blob) ≡ md5(text)
         "media_dedup": """

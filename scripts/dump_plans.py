@@ -80,6 +80,10 @@ ALLOW: dict[tuple[str, str], str] = {
     ("media_decode", "python"): "P6/WAV decode is bytes-in-Python",
     ("media_phash", "python"): "P6 parse + 8x8 average-hash is "
                                "bytes-in-Python; pairing is JVM",
+    ("media_frames", "python"): "VID1 container parse + frame slice "
+                                "+ per-frame aHash are bytes-in-Python",
+    ("media_resize", "python"): "P6 parse + nearest-neighbor resample "
+                                "is bytes-in-Python; md5 is JVM",
     ("dedup_minhash", "python"): "bit-vote/banding tail on hashed ints",
     ("dedup_minhash_incremental", "python"): "same minhash tail",
     ("dedup_simhash", "python"): "64-bit bit-vote tail (hashing is JVM)",

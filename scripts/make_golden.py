@@ -42,6 +42,8 @@ GOLDEN_QUERIES = [
     "media_features",
     "media_decode",
     "media_phash",
+    "media_frames",
+    "media_resize",
 ]
 
 GOLDEN_DIR = os.path.join(REPO, "golden")

@@ -897,3 +897,44 @@ def test_phash_pairs_match_bruteforce(spark):
         for (a, ha), (b, hb) in combinations(sorted(hs.items()), 2)
         if bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= 8)
     assert got == want and len(got) > 0
+
+
+@pytest.mark.spark
+def test_sample_frames_hand_container(spark):
+    """Hand-built VID1 container: 5 frames of a 1x1 image whose single
+    pixel is (10f, 10f, 10f) — sampling every 2nd frame keeps indices
+    0/2/4 with exactly those pixel bytes re-encoded as canonical P6;
+    junk rows yield no rows at all."""
+    from web_graph_spark.functions.media import sample_frames
+
+    frames = b"".join(bytes([10 * f] * 3) for f in range(5))
+    vid = b"VID1 5 1 1\n" + frames
+    df = spark.createDataFrame([("v", vid), ("j", b"\x00junk")],
+                               "media_id string, media binary")
+    got = {r.frame_idx: (r.n_frames, bytes(r.frame))
+           for r in sample_frames(df, every_k=2).collect()}
+    assert set(got) == {0, 2, 4}
+    for f in (0, 2, 4):
+        assert got[f] == (5, b"P6 1 1 255\n" + bytes([10 * f] * 3))
+
+
+@pytest.mark.spark
+def test_resize_media_pixel_mapping(spark):
+    """Nearest-neighbor 2x2 -> 4x4: output pixel (ox,oy) reads source
+    (ox*2//4, oy*2//4), i.e. each source pixel becomes a 2x2 block;
+    resizing to the original size is the identity on canonical P6;
+    junk resizes to NULL."""
+    from web_graph_spark.functions.media import _resize_p6, resize_media
+
+    # 2x2 pixels: A B / C D (grayscale triplets)
+    a, b, c, d = (bytes([v] * 3) for v in (10, 60, 120, 200))
+    src = b"P6 2 2 255\n" + a + b + c + d
+    want = (b"P6 4 4 255\n"
+            + (a + a + b + b) * 2 + (c + c + d + d) * 2)
+    assert _resize_p6(src, 4, 4) == want
+    assert _resize_p6(src, 2, 2) == src
+    df = spark.createDataFrame([("ok", src), ("junk", b"\x00z")],
+                               "media_id string, media binary")
+    got = {r.media_id: (bytes(r.media) if r.media is not None else None)
+           for r in resize_media(df, 4, 4).collect()}
+    assert got == {"ok": want, "junk": None}

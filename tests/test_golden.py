@@ -38,7 +38,8 @@ def _rowset(tbl) -> set[tuple]:
                                   "dedup_simhash", "ann_lsh_topk",
                                   "ann_pq_topk", "ann_ivfpq_topk",
                                   "media_features", "media_decode",
-                                  "media_phash"])
+                                  "media_phash", "media_frames",
+                                  "media_resize"])
 def test_query_matches_golden(spark, name):
     import __spark_entry__ as entry
 

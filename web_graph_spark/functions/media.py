@@ -188,18 +188,155 @@ def phash_pairs(media: DataFrame, max_dist: int = 8,
     JVM ``bit_count(xor)``.  Undecodable rows hash NULL and drop out.
     At 100 TB the hash pass streams blobs once; the pair join moves
     only (id, 8-byte hash) rows."""
-    from pyspark.sql.functions import pandas_udf
-
     from web_graph_spark.functions.dedup import hamming_pairs
+
+    hashed = media.select(F.col(id_col).alias("id"),
+                          ahash_col()(F.col(media_col)).alias("sh"))
+    return hamming_pairs(hashed, max_dist)
+
+
+def ahash_col():
+    """Arrow-batched (binary → nullable long) average-hash column
+    function — shared by the pair tier and the frame-sampling query."""
+    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def _ahash(col: pd.Series) -> pd.Series:
         return pd.Series([_ahash_p6(bytes(v)) if v is not None else None
                           for v in col], dtype="Int64")
 
-    hashed = media.select(F.col(id_col).alias("id"),
-                          _ahash(F.col(media_col)).alias("sh"))
-    return hamming_pairs(hashed, max_dist)
+    return _ahash
+
+
+def make_video_df(spark, docs: DataFrame, id_col: str = "doc_id",
+                  ) -> DataFrame:
+    """Deterministic multi-frame 'video' blobs for the frame-sampling
+    path: a minimal documented container ``b"VID1 <n_frames> <w> <h>
+    \\n"`` followed by ``n_frames`` raw RGB frames (each ``w*h*3``
+    bytes) — a stand-in for a real codec (none ships in this
+    container) that keeps every Spark-side concern real: binary
+    column, header parse, per-frame offsets, junk rows.  Content is
+    seeded from the doc id (blake2b); every 4th row is undecodable
+    junk to keep the fallback live."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_bytes = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                seed = hashlib.blake2b(str(did).encode(),
+                                       digest_size=8).digest()
+                if did % 4 == 3:
+                    raw = b"\x00junk-video-" + seed
+                else:
+                    n_frames = seed[0] % 8 + 4
+                    w, h = seed[1] % 6 + 1, seed[2] % 4 + 1
+                    frames = []
+                    for f in range(n_frames):
+                        frames.append(bytes(
+                            (seed[(3 + f + i) % 8] + f * 7) % 256
+                            for i in range(w * h * 3)))
+                    raw = (b"VID1 %d %d %d\n" % (n_frames, w, h)
+                           + b"".join(frames))
+                out_id.append(f"v-{did}")
+                out_bytes.append(raw)
+            yield pd.DataFrame({"media_id": out_id, "media": out_bytes})
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema="media_id string, media binary")
+
+
+def _parse_vid1(raw: bytes):
+    """(n_frames, w, h, frame-bytes-offset) from a VID1 container, or
+    None."""
+    if not raw or not raw.startswith(b"VID1 "):
+        return None
+    try:
+        nl = raw.index(b"\n")
+        n_frames, w, h = (int(x) for x in raw[5:nl].split())
+        if n_frames <= 0 or w <= 0 or h <= 0:
+            return None
+        if len(raw) < nl + 1 + n_frames * w * h * 3:
+            return None
+        return n_frames, w, h, nl + 1
+    except Exception:
+        return None
+
+
+def sample_frames(video: DataFrame, every_k: int = 2,
+                  id_col: str = "media_id",
+                  media_col: str = "media") -> DataFrame:
+    """Frame sampling over a binary video column — one output row per
+    KEPT frame (indices 0, k, 2k, …), each frame re-encoded as a
+    canonical P6 image so the sampled stream composes directly with
+    the image operators (``extract_features``, ``phash_pairs``).
+    Undecodable containers yield no rows.
+
+    ``mapInPandas`` so one input row fans out to many: Arrow batches
+    stream the blobs once, the per-frame slice is an offset
+    computation, and downstream work shuffles (id, frame) rows —
+    never the source container again.  At 100 TB sampling is the
+    scan; everything after sees only the kept frames."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "n_frames": [],
+                   "frame": []}
+            for mid, raw in zip(pdf[id_col], pdf[media_col]):
+                parsed = _parse_vid1(bytes(raw)) if raw is not None \
+                    else None
+                if parsed is None:
+                    continue
+                n_frames, w, h, off = parsed
+                fsz = w * h * 3
+                for f in range(0, n_frames, every_k):
+                    px = bytes(raw[off + f * fsz:off + (f + 1) * fsz])
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["n_frames"].append(n_frames)
+                    out["frame"].append(b"P6 %d %d 255\n" % (w, h) + px)
+            yield pd.DataFrame(out)
+
+    return video.mapInPandas(
+        gen, schema="media_id string, frame_idx int, n_frames int, "
+                    "frame binary")
+
+
+def _resize_p6(raw: bytes, out_w: int, out_h: int):
+    """Nearest-neighbor resize of a P6 image to (out_w, out_h),
+    re-encoded as canonical P6 — None if undecodable.  All-integer
+    source indexing (``o*dim div out``), so the output bytes are a
+    fixed function of the input bytes at any scale factor."""
+    parsed = _parse_p6(raw)
+    if parsed is None:
+        return None
+    w, h, px = parsed
+    rows = []
+    for oy in range(out_h):
+        sy = oy * h // out_h
+        for ox in range(out_w):
+            sx = ox * w // out_w
+            o = (sy * w + sx) * 3
+            rows.append(px[o:o + 3])
+    return b"P6 %d %d 255\n" % (out_w, out_h) + b"".join(rows)
+
+
+def resize_media(media: DataFrame, out_w: int = 4, out_h: int = 4,
+                 id_col: str = "media_id",
+                 media_col: str = "media") -> DataFrame:
+    """(id, resized binary-or-NULL) — the thumbnail projection every
+    multimodal pipeline runs before feature extraction.  Arrow-batched
+    pandas UDF (bytes-in-Python by nature); output rows carry only the
+    ``out_w*out_h*3``-byte thumbnails, so downstream shuffles shrink
+    by the resize factor regardless of source image size."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _resize(col: pd.Series) -> pd.Series:
+        return pd.Series([
+            _resize_p6(bytes(v), out_w, out_h) if v is not None else None
+            for v in col])
+
+    return media.select(F.col(id_col).alias("media_id"),
+                        _resize(F.col(media_col)).alias("media"))
 
 
 def _decode_image(raw: bytes, n: int):
