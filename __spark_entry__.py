@@ -1559,6 +1559,25 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("hamming").cast("long").alias("hamming")))
 
 
+def q_media_aphash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup pairs (functions/media.py:
+    aphash_pairs) — 64-bit energy-envelope hashes over the real WAV
+    rows of the derived media table, paired by the same pigeonhole
+    chunk-join as the image/text tiers.  Image and junk rows hash
+    NULL and drop out.  Oracle: golden parquet (PCM parse isn't
+    SQL-expressible); independent pins: a gain-doubled copy has
+    different bytes but the identical hash, different envelopes
+    differ, short/junk clips hash NULL."""
+    from web_graph_spark.functions.media import (aphash_pairs,
+                                                 make_decodable_media_df)
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    media = make_decodable_media_df(spark, d)
+    return (aphash_pairs(media)
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("long").alias("hamming")))
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling (functions/media.py:sample_frames): every
     2nd frame of the deterministic VID1 containers re-encoded as a
@@ -1749,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash": q_media_phash,
         "media_frames": q_media_frames,
         "media_resize": q_media_resize,
+        "media_aphash": q_media_aphash,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
@@ -2312,6 +2332,9 @@ def _golden_oracles() -> dict[str, str]:
         "media_resize": (
             f"SELECT media_id, resized_md5, decoded "
             f"FROM read_parquet('{g}/media_resize.parquet')"),
+        "media_aphash": (
+            f"SELECT id_a, id_b, hamming "
+            f"FROM read_parquet('{g}/media_aphash.parquet')"),
         # exact-SQL oracle (not golden): media bytes are the utf-8 of
         # the text by construction, so md5(blob) ≡ md5(text)
         "media_dedup": """

@@ -84,6 +84,8 @@ ALLOW: dict[tuple[str, str], str] = {
                                 "+ per-frame aHash are bytes-in-Python",
     ("media_resize", "python"): "P6 parse + nearest-neighbor resample "
                                 "is bytes-in-Python; md5 is JVM",
+    ("media_aphash", "python"): "WAV PCM parse + energy-envelope hash "
+                                "is bytes-in-Python; pairing is JVM",
     ("dedup_minhash", "python"): "bit-vote/banding tail on hashed ints",
     ("dedup_minhash_incremental", "python"): "same minhash tail",
     ("dedup_simhash", "python"): "64-bit bit-vote tail (hashing is JVM)",

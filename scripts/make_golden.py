@@ -44,6 +44,7 @@ GOLDEN_QUERIES = [
     "media_phash",
     "media_frames",
     "media_resize",
+    "media_aphash",
 ]
 
 GOLDEN_DIR = os.path.join(REPO, "golden")

@@ -938,3 +938,41 @@ def test_resize_media_pixel_mapping(spark):
     got = {r.media_id: (bytes(r.media) if r.media is not None else None)
            for r in resize_media(df, 4, 4).collect()}
     assert got == {"ok": want, "junk": None}
+
+
+@pytest.mark.spark
+def test_aphash_pairs_gain_doubled_copy(spark):
+    """The audio analog of the brightened-image pin: a gain-doubled
+    copy has different bytes but the identical energy-envelope hash,
+    so aphash pairs it at hamming 0 while a different envelope stays
+    unpaired; short and junk clips hash NULL and never appear."""
+    import io
+    import struct
+    import wave as wavmod
+
+    from web_graph_spark.functions.media import _aphash_wav, aphash_pairs
+
+    def wav_of(samples):
+        buf = io.BytesIO()
+        with wavmod.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(8000)
+            wv.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+        return buf.getvalue()
+
+    base = [(i % 40 - 20) * 100 for i in range(128)]
+    a = wav_of(base)
+    b = wav_of([s * 2 for s in base])
+    c = wav_of([(200 if i < 64 else 10) * (1 if i % 2 else -1)
+                for i in range(128)])
+    assert a != b
+    assert _aphash_wav(a) == _aphash_wav(b)
+    assert _aphash_wav(a) != _aphash_wav(c)
+    assert _aphash_wav(wav_of([1] * 32)) is None
+    media = spark.createDataFrame(
+        [("a", a), ("b", b), ("c", c), ("junk", b"\x00nope")],
+        "media_id string, media binary")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in aphash_pairs(media, max_dist=3).collect()}
+    assert got == {("a", "b"): 0}

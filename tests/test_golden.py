@@ -39,7 +39,7 @@ def _rowset(tbl) -> set[tuple]:
                                   "ann_pq_topk", "ann_ivfpq_topk",
                                   "media_features", "media_decode",
                                   "media_phash", "media_frames",
-                                  "media_resize"])
+                                  "media_resize", "media_aphash"])
 def test_query_matches_golden(spark, name):
     import __spark_entry__ as entry
 

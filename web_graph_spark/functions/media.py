@@ -208,6 +208,73 @@ def ahash_col():
     return _ahash
 
 
+def _aphash_wav(raw: bytes):
+    """64-bit energy-envelope hash of a 16-bit PCM WAV, or None if
+    undecodable / shorter than 64 frames.  All-integer: the sample
+    stream splits into 64 equal windows (boundaries ``k*n div 64``),
+    each window carries its mean |amplitude| (integer div), bit =
+    window energy > integer mean energy — the audio analog of the
+    image average-hash (an envelope-shape signature; honest scope:
+    robust to re-encoding and exact gain doubling, NOT to time
+    stretch or pitch shift, which need a spectral front end this
+    container lacks)."""
+    import io
+    import struct
+    import wave as wavmod
+
+    try:
+        with wavmod.open(io.BytesIO(raw), "rb") as wv:
+            if wv.getsampwidth() != 2:
+                return None
+            n = wv.getnframes()
+            if n < 64:
+                return None
+            data = wv.readframes(n)
+    except Exception:
+        return None
+    samples = struct.unpack("<%dh" % (len(data) // 2), data)
+    wins = []
+    for k in range(64):
+        lo, hi = k * n // 64, (k + 1) * n // 64
+        seg = samples[lo:hi]
+        wins.append(sum(abs(s) for s in seg) // max(len(seg), 1))
+    mean = sum(wins) // 64
+    bits = 0
+    for i, w in enumerate(wins):
+        if w > mean:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def aphash_col():
+    """Arrow-batched (binary → nullable long) audio energy-hash column
+    function — the audio twin of ``ahash_col``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _aphash(col: pd.Series) -> pd.Series:
+        return pd.Series([_aphash_wav(bytes(v)) if v is not None else None
+                          for v in col], dtype="Int64")
+
+    return _aphash
+
+
+def aphash_pairs(media: DataFrame, max_dist: int = 3,
+                 id_col: str = "media_id",
+                 media_col: str = "media") -> DataFrame:
+    """Perceptual near-duplicate AUDIO pairs — energy-envelope hashes
+    within ``max_dist`` Hamming bits, paired by the SAME pigeonhole
+    chunk-join as the image and text tiers (``dedup.hamming_pairs``).
+    Non-audio / undecodable rows hash NULL and drop out."""
+    from web_graph_spark.functions.dedup import hamming_pairs
+
+    hashed = media.select(F.col(id_col).alias("id"),
+                          aphash_col()(F.col(media_col)).alias("sh"))
+    return hamming_pairs(hashed, max_dist)
+
+
 def make_video_df(spark, docs: DataFrame, id_col: str = "doc_id",
                   ) -> DataFrame:
     """Deterministic multi-frame 'video' blobs for the frame-sampling
