@@ -976,3 +976,29 @@ def test_aphash_pairs_gain_doubled_copy(spark):
     got = {(r.id_a, r.id_b): r.hamming
            for r in aphash_pairs(media, max_dist=3).collect()}
     assert got == {("a", "b"): 0}
+
+
+def test_hypothesis_media_parsers_total():
+    """The binary parsers are TOTAL: arbitrary bytes (including
+    truncated headers, hostile dimensions, and prefix-valid blobs)
+    either parse or return None — never raise.  Fuzzes the P6 parser,
+    the aHash, the VID1 parser, and the WAV energy hash."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from web_graph_spark.functions.media import (_ahash_p6, _aphash_wav,
+                                                 _parse_p6, _parse_vid1,
+                                                 _resize_p6)
+
+    prefixes = st.sampled_from([b"", b"P6 ", b"P6 2 2 255\n",
+                                b"VID1 ", b"VID1 2 1 1\n", b"RIFF"])
+
+    @given(prefixes, st.binary(max_size=64))
+    @settings(max_examples=300, deadline=None)
+    def run(prefix, tail):
+        raw = prefix + tail
+        for fn in (_parse_p6, _ahash_p6, _parse_vid1, _aphash_wav):
+            fn(raw)  # must not raise
+        _resize_p6(raw, 3, 3)
+
+    run()
