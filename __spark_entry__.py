@@ -1117,6 +1117,59 @@ def q_corpus_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                               .select("doc_id", "text"))
 
 
+def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (round 4, functions/
+    tokenizer.py E66): learn the first 6 merges of a byte-pair
+    vocabulary over a deterministic md5-coin sample of the corpus
+    (~75% of docs — the gate real trainers put in front of tokenizer
+    fitting).  One corpus-scale pass builds the word-type frequency
+    dim; every merge round then runs over that vocab-sized dim only —
+    adjacent-pair explode, uniform-hash-key weighted agg, 1-row
+    TakeOrdered argmax, literal-replace merge projection.  Sentinel-
+    wrapped strings + integer counts + (count DESC, pair ASC)
+    tie-break make the merge table bit-identical in any engine."""
+    from web_graph_spark.functions.tokenizer import bpe_merges, word_counts
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+        < "c000")
+    return bpe_merges(word_counts(docs), rounds=6)
+
+
+def _bpe_oracle_sql(rounds: int = 6) -> str:
+    """Unrolled-CTE DuckDB oracle for ``corpus_bpe_merges``: the same
+    sentinel-wrapped representation, one (p_k, m_k, w_k) CTE triple
+    per merge round — sound to unroll because the engine's round
+    count is a fixed parameter, not data-dependent."""
+    sql = """WITH w0 AS (
+  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS s, n FROM (
+    SELECT tok AS word, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000')
+    WHERE tok <> '' AND tok NOT LIKE '%|%' GROUP BY tok)
+)"""
+    for k in range(1, rounds + 1):
+        sql += f""",
+p{k} AS (SELECT pr, CAST(sum(n) AS BIGINT) AS pn FROM (
+    SELECT unnest(list_transform(
+        range(1, len(string_split(trim(s, '|'), '||'))),
+        i -> string_split(trim(s, '|'), '||')[i] || '||'
+             || string_split(trim(s, '|'), '||')[i + 1])) AS pr, n
+    FROM w{k - 1}) GROUP BY pr),
+m{k} AS (SELECT pr, pn FROM p{k} ORDER BY pn DESC, pr LIMIT 1),
+w{k} AS (SELECT replace(w.s,
+        '|' || string_split(m.pr, '||')[1] || '||'
+            || string_split(m.pr, '||')[2] || '|',
+        '|' || string_split(m.pr, '||')[1]
+            || string_split(m.pr, '||')[2] || '|') AS s, w.n
+    FROM w{k - 1} w, m{k} m)"""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_round, string_split(pr, '||')[1] AS lft,"
+        f" string_split(pr, '||')[2] AS rgt, pn AS pair_count FROM m{k}"
+        for k in range(1, rounds + 1))
+    return sql + f"\nSELECT * FROM ({unions}) ORDER BY merge_round"
+
+
 def _decontam_corpus(spark: SparkSession, sf_dir: str):
     """(corpus, benchmark) for the decontamination query: benchmark =
     every 97th doc; corpus = documents + an injected verbatim-overlap
@@ -1742,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lang_mix": q_corpus_lang_mix,
         "corpus_importance": q_corpus_importance,
         "corpus_perplexity": q_corpus_perplexity,
+        "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_span_dedup": q_corpus_span_dedup,
@@ -2550,6 +2604,7 @@ SELECT s2.doc_id, s2.n_tokens,
        CAST(s2.avg_like_ppb AS BIGINT) AS avg_like_ppb,
        bkt.ppx_bucket
 FROM s2 JOIN bkt USING (sbin)""",
+        "corpus_bpe_merges": _bpe_oracle_sql(6),
         "corpus_decontaminate": f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents

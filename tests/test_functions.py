@@ -1002,3 +1002,81 @@ def test_hypothesis_media_parsers_total():
         _resize_p6(raw, 3, 3)
 
     run()
+
+
+@pytest.mark.spark
+def test_bpe_merges_hand_corpus(spark):
+    """BPE trainer pins on a hand corpus: winner = highest weighted
+    pair count with (count DESC, pair ASC) tie-break; round 2 can
+    merge a round-1 token; greedy left-to-right on runs ('aaa' with
+    merge (a,a) -> tokens (aa, a), so the pair (a,a) counts twice in
+    'aaaa' but twice, not three times, in 'aaa aaa'... counted per
+    adjacency: 'aaa' contributes 2 adjacencies)."""
+    from web_graph_spark.functions.tokenizer import (bpe_encode,
+                                                     bpe_merges,
+                                                     word_counts)
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd ef"), (3, "aaa")],
+        "doc_id long, text string")
+    wc = word_counts(docs)
+    got = {r["word"]: r["n"] for r in wc.collect()}
+    assert got == {"abab": 3, "cd": 3, "ef": 1, "aaa": 1}
+
+    m = bpe_merges(wc, rounds=3)
+    rows = [(r.merge_round, r.lft, r.rgt, r.pair_count)
+            for r in m.orderBy("merge_round").collect()]
+    # round 1: (a,b) appears 2/word x 3 'abab' = 6; beats (b,a) 3,
+    # (c,d) 3, (a,a) 2.
+    assert rows[0] == (1, "a", "b", 6)
+    # round 2: 'abab' is now (ab, ab) -> pair (ab, ab) weight 3 ties
+    # with (c,d) 3; '(ab||ab)' < '(c||d)' lexicographically.
+    assert rows[1] == (2, "ab", "ab", 3)
+    # round 3: (c,d) finally wins at 3; (a,a) in 'aaa' has weight 2.
+    assert rows[2] == (3, "c", "d", 3)
+
+    enc = {r.doc_id: r.bpe_tokens
+           for r in bpe_encode(docs, m).collect()}
+    assert enc[1] == ["abab", "abab", "cd"]
+    # (e,f) never learned in 3 rounds -> 'ef' stays characters
+    assert enc[2] == ["abab", "cd", "cd", "e", "f"]
+    # greedy left-to-right: 'aaa' + no (a,a) merge learned -> chars
+    assert enc[3] == ["a", "a", "a"]
+
+
+@pytest.mark.spark
+def test_bpe_greedy_left_to_right(spark):
+    """The merge-application convention: (a,a) over 'aaaa' gives
+    (aa)(aa); over 'aaa' gives (aa, a) — left-to-right non-overlap,
+    identical in the trainer's replace() and the encoder's."""
+    from web_graph_spark.functions.tokenizer import (bpe_encode,
+                                                     bpe_merges,
+                                                     word_counts)
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaa")], "doc_id long, text string")
+    m = bpe_merges(word_counts(docs), rounds=1)
+    r = m.collect()[0]
+    # adjacencies: 'aaaa' has 3, x2 words = 6; 'aaa' has 2 -> 8
+    assert (r.lft, r.rgt, r.pair_count) == ("a", "a", 8)
+    enc = bpe_encode(docs, m).collect()[0].bpe_tokens
+    assert enc == ["aa", "aa", "aa", "aa", "aa", "a"]
+
+
+@pytest.mark.spark
+def test_bpe_sentinel_and_early_stop(spark):
+    """Words containing the sentinel '|' are dropped at ingest (the
+    invariant the wrapped representation rests on), and a corpus with
+    no adjacent pairs stops early with an empty merge table."""
+    from web_graph_spark.functions.tokenizer import (bpe_merges,
+                                                     word_counts)
+
+    docs = spark.createDataFrame(
+        [(1, "ab a|b ab")], "doc_id long, text string")
+    wc = word_counts(docs)
+    assert {r["word"] for r in wc.collect()} == {"ab"}
+
+    singles = spark.createDataFrame(
+        [(1, "a b c a")], "doc_id long, text string")
+    m = bpe_merges(word_counts(singles), rounds=4)
+    assert m.count() == 0
