@@ -732,6 +732,68 @@ def q_graph_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("scc").cast("long").alias("scc"), "region")
 
 
+def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-seeded random walks (round 4, operators/
+    graph_algos.py:random_walks E67): 2 walks × 4 steps from every
+    7th page over the admissible directed graph — the DeepWalk corpus
+    generator whose sequences feed skip-gram graph embeddings.  Step t
+    of walk w moves to adjacency index ``hex16(md5(w:t)) mod
+    out_degree`` (dst-sorted), so each step is one |walks|-row
+    equi-join on (src, idx) — a hub costs the same as a leaf — and
+    the whole table reproduces bit-for-bit in the unrolled-SQL
+    oracle.  Sink-reaching walks end early (absent later steps)."""
+    from web_graph_spark.operators.graph_algos import random_walks
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter((F.col("k") % 4 != 0)
+                 & (F.col("src_doc_id") != F.col("tgt_doc_id")))
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    seeds = (webgen.pages_df(spark, sf_dir)
+             .filter(F.col("doc_id") % 7 == 0).select("doc_id"))
+    return random_walks(e, seeds, length=4, n_walks=2)
+
+
+def _hex16_sql(expr: str) -> str:
+    """The oracle half of graph_algos._hex16: integer in [0, 65535]
+    from the first 4 hex chars of md5(expr), strpos arithmetic only."""
+    a = "'0123456789abcdef'"
+    d = [f"(strpos({a}, substr(md5({expr}), {i}, 1)) - 1)"
+         for i in (1, 2, 3, 4)]
+    return (f"({d[0]} * 4096 + {d[1]} * 256 + {d[2]} * 16 + {d[3]})")
+
+
+def _walks_oracle_sql(length: int = 4, n_walks: int = 2) -> str:
+    """Unrolled-step DuckDB oracle for ``graph_random_walks`` — the
+    same dst-sorted adjacency indexing and hex16 coin arithmetic."""
+    parts = [f"""
+, e AS (
+  SELECT DISTINCT src_doc_id AS a, tgt_doc_id AS b
+  FROM web_links_full WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id
+),
+nbr AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b)
+               AS idx FROM e),
+deg AS (SELECT a, count(*) AS deg FROM e GROUP BY 1),
+w0 AS (SELECT CAST(doc_id AS VARCHAR) || ':' || r AS walk_id,
+              doc_id AS v
+       FROM web_pages, (SELECT unnest(range(0, {n_walks})) AS r)
+       WHERE doc_id % 7 = 0)"""]
+    for t in range(1, length + 1):
+        coin = _hex16_sql(f"w.walk_id || ':{t}'")
+        parts.append(f""",
+w{t} AS (
+  SELECT w.walk_id, n.b AS v
+  FROM w{t - 1} w
+  JOIN deg d ON d.a = w.v
+  JOIN nbr n ON n.a = w.v AND n.idx = ({coin} % d.deg) + 1
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT walk_id, {t} AS step, v AS vertex FROM w{t}"
+        for t in range(0, length + 1))
+    parts.append(f"\nSELECT walk_id, step, CAST(vertex AS BIGINT)"
+                 f" AS vertex FROM ({unions})")
+    return "".join(parts)
+
+
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected 3-core of the admissible link graph
     (operators/graph_algos.py:kcore, 6 synchronous peel rounds —
@@ -1781,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bowtie": q_graph_bowtie,
         "graph_label_prop": q_graph_label_prop,
         "graph_kcore": q_graph_kcore,
+        "graph_random_walks": q_graph_random_walks,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "corpus_source_reputation": q_corpus_source_reputation,
@@ -2288,6 +2351,7 @@ JOIN weak w ON w.id = s.id
 LEFT JOIN core_weak cw ON cw.wc = w.component"""),
         "graph_label_prop": _oracle(_lpa_unrolled_sql(iters=4)),
         "graph_kcore": _oracle(_kcore_unrolled_sql(k=3, rounds=6)),
+        "graph_random_walks": _oracle(_walks_oracle_sql(4, 2)),
         "ann_ivf_topk": """
 WITH b AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -337,3 +337,44 @@ def test_kcore_extra_rounds_noop(spark):
     b = sorted((r.doc_id, r.core_deg)
                for r in kcore(v, e, k=3, rounds=8).collect())
     assert a == b and len(a) > 0
+
+
+@pytest.mark.spark
+def test_random_walks_hand_graph(spark):
+    """random_walks ≡ a pure-Python simulator of the same hash rule
+    on a hand graph (hub + chain + sink): step t of walk w goes to the
+    dst-sorted neighbor at index hex16(md5(f"{w}:{t}")) mod degree;
+    sink walks end early; every walk has steps 0..k with no gaps."""
+    import hashlib
+
+    from web_graph_spark.operators.graph_algos import random_walks
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (3, 1), (4, 5)]  # 5=sink
+    adj = {}
+    for s, t in edges:
+        adj.setdefault(s, []).append(t)
+    for s in adj:
+        adj[s].sort()
+
+    def hex16(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+    expect = set()
+    for seed in (1, 2, 3, 4, 5):
+        for rep in (0, 1):
+            w, v = f"{seed}:{rep}", seed
+            expect.add((w, 0, v))
+            for t in range(1, 5):
+                if v not in adj:
+                    break
+                v = adj[v][hex16(f"{w}:{t}") % len(adj[v])]
+                expect.add((w, t, v))
+
+    e = spark.createDataFrame(edges, "src_doc_id long, tgt_doc_id long")
+    seeds = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5)],
+                                  "doc_id long")
+    got = {(r.walk_id, r.step, r.vertex)
+           for r in random_walks(e, seeds, length=4, n_walks=2).collect()}
+    assert got == expect
+    # sink termination is actually exercised on this graph
+    assert any(v == 5 for (_, s, v) in expect if s < 4)

@@ -702,3 +702,79 @@ def bowtie_classify(vertices: DataFrame, edges: DataFrame,
                     .when(F.col("__p") == 2, "OUT")
                     .when(F.col("__p") == 3, "TENDRIL")
                     .otherwise("DISC").alias("region")))
+
+
+def _hex16(col):
+    """Integer in [0, 65535] from the first 4 hex chars of md5 —
+    cross-engine: ``instr``/``strpos`` over the hex alphabet and plain
+    integer arithmetic reproduce bit-for-bit anywhere (Spark has
+    ``conv``; DuckDB doesn't — this shared recipe avoids it)."""
+    h = F.md5(col)
+    alpha = F.lit("0123456789abcdef")
+    digit = [F.instr(alpha, F.substring(h, i, 1)) - 1 for i in (1, 2, 3, 4)]
+    return (digit[0] * 4096 + digit[1] * 256 + digit[2] * 16
+            + digit[3]).cast("long")
+
+
+def random_walks(edges: DataFrame, seeds: DataFrame, length: int = 4,
+                 n_walks: int = 2,
+                 src: str = "src_doc_id", dst: str = "tgt_doc_id",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic hash-seeded random walks — the DeepWalk /
+    node2vec(p=q=1) corpus generator (Perozzi et al., KDD'14): the
+    walk sequences ARE the training sentences a skip-gram graph
+    embedding consumes, so emitting them at corpus scale is a
+    first-class pipeline op.  Returns ``(walk_id, step, vertex)`` for
+    ``n_walks`` walks of up to ``length`` steps from every seed
+    vertex; a walk that reaches a sink (no out-edges) simply ends —
+    its later steps are absent, like a sentence that ran out of words.
+
+    "Random" is a hash: step t of walk w moves to the neighbor at
+    index ``hex16(md5(w || ':' || t)) mod out_degree`` in the
+    dst-sorted adjacency list.  Deterministic across runs, cluster
+    sizes, and engines (the oracle unrolls the same arithmetic), yet
+    distributionally uniform per step — the property embedding
+    training actually needs, and reproducible-pipeline practice
+    besides.
+
+    Physical shape — the part that survives 10^10 edges: the adjacency
+    is materialized ONCE as ``(src, idx, dst, deg)`` (row_number over
+    a src-partitioned window + a broadcast-free self-agg), and each
+    step moves exactly ONE row per live walk through an equi-join on
+    ``(src, idx)`` — a hub with 10^6 out-links costs the same as a
+    leaf because the walk picks its index BEFORE the join, never
+    fanning out edges-per-walk.  Per step: one shuffle of |walks|
+    rows; lineage stays flat via localCheckpoint."""
+    from pyspark.sql import Window
+
+    nbr = (edges.select(F.col(src).cast("long").alias("__s"),
+                        F.col(dst).cast("long").alias("__t"))
+           .distinct()
+           .withColumn("idx", F.row_number().over(
+               Window.partitionBy("__s").orderBy("__t")))
+           .persist())
+    deg = nbr.groupBy("__s").agg(F.max("idx").alias("deg"))
+
+    cur = (seeds.select(F.col(id_col).cast("long").alias("v"))
+           .distinct()
+           .crossJoin(F.broadcast(
+               seeds.sparkSession.range(n_walks).select(
+                   F.col("id").alias("rep"))))
+           .select(F.concat(F.col("v").cast("string"), F.lit(":"),
+                            F.col("rep").cast("string")).alias("walk_id"),
+                   "v")
+           .localCheckpoint())
+    out = cur.select("walk_id", F.lit(0).cast("int").alias("step"),
+                     F.col("v").alias("vertex"))
+    for t in range(1, length + 1):
+        coin = _hex16(F.concat(F.col("walk_id"), F.lit(f":{t}")))
+        cur = (cur.join(deg, cur.v == deg["__s"])
+               .withColumn("idx", (coin % F.col("deg") + 1).cast("int"))
+               .join(nbr, ["__s", "idx"])
+               .select("walk_id", F.col("__t").alias("v"))
+               .localCheckpoint())
+        out = out.unionByName(
+            cur.select("walk_id", F.lit(t).cast("int").alias("step"),
+                       F.col("v").alias("vertex")))
+    nbr.unpersist()
+    return out
