@@ -1005,6 +1005,39 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEARCH_TERMS = ("dup", "hash", "vector", "merge")
 
 
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index build (round 4, functions/text.py:
+    inverted_index E68): per term, document frequency, total term
+    frequency, and an md5 digest of the full positional postings list
+    — the digest pins every (doc, position) pair against the oracle
+    without shipping nested arrays through the compare.  One corpus
+    scan, (term, doc) partials absorb stopword heat, output is
+    vocabulary-sized."""
+    from web_graph_spark.functions.text import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search via positional-postings intersection
+    (round 4, functions/text.py:phrase_hits E69): docs containing
+    'big order scan' at consecutive positions, with the distinct
+    anchor count per doc.  Term filters push to the scan; slices
+    equi-join on (doc, anchor_pos) so candidates shrink every step."""
+    from web_graph_spark.functions.text import phrase_hits
+
+    return phrase_hits(_docs(spark, sf_dir).select("doc_id", "text"),
+                       ("big", "order", "scan"))
+
+
+_POSITIONS_SQL = """
+  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+           i -> {'pos': i - 1, 'term': l[i]})) AS u
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+  WHERE u.term <> ''"""
+
+
 def q_text_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic tf-idf top-20 keyword search over the corpus
     (functions/text.py:tfidf_topk) — all-integer idf arithmetic (no
@@ -1851,6 +1884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
         "text_search_topk": q_text_search_topk,
+        "text_inverted_index": q_text_inverted_index,
+        "text_phrase_search": q_text_phrase_search,
         "text_pii_scrub": q_text_pii_scrub,
         "text_boilerplate": q_text_boilerplate,
         "corpus_curate": q_corpus_curate,
@@ -2500,6 +2535,26 @@ docs_dups AS (
     pii = pii_scrub_sql("text")
     return {
         "text_search_topk": tfidf_sql(SEARCH_TERMS, k=20),
+        "text_inverted_index": f"""
+WITH t AS ({_POSITIONS_SQL}),
+per_doc AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+         array_to_string(list_sort(list(pos)), ',') AS plist
+  FROM t GROUP BY 1, 2)
+SELECT term, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tf) AS BIGINT) AS n_occurrences,
+       md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || plist, '|'
+           ORDER BY CAST(doc_id AS VARCHAR) || ':' || plist))
+       AS postings_digest
+FROM per_doc GROUP BY 1""",
+        "text_phrase_search": f"""
+WITH t AS ({_POSITIONS_SQL}),
+a AS (SELECT doc_id, pos AS p0 FROM t WHERE term = 'big'),
+b AS (SELECT doc_id, pos - 1 AS p0 FROM t WHERE term = 'order'),
+c AS (SELECT doc_id, pos - 2 AS p0 FROM t WHERE term = 'scan')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM a JOIN b USING (doc_id, p0) JOIN c USING (doc_id, p0)
+GROUP BY 1""",
         "text_pii_scrub": f"""
 WITH inj AS (
   SELECT doc_id,

@@ -1080,3 +1080,43 @@ def test_bpe_sentinel_and_early_stop(spark):
         [(1, "a b c a")], "doc_id long, text string")
     m = bpe_merges(word_counts(singles), rounds=4)
     assert m.count() == 0
+
+
+@pytest.mark.spark
+def test_inverted_index_hand_corpus(spark):
+    """Postings digest = md5 over lexicographically-ordered
+    'doc:pos,pos' entries — recomputed independently in Python."""
+    import hashlib
+
+    from web_graph_spark.functions.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a"), (10, "a")],
+        "doc_id long, text string")
+    got = {r.term: (r.n_docs, r.n_occurrences, r.postings_digest)
+           for r in inverted_index(docs).collect()}
+    postings_a = sorted(["1:0,2", "2:1", "10:0"])  # lexicographic:
+    assert postings_a == ["10:0", "1:0,2", "2:1"]
+    dig_a = hashlib.md5("|".join(postings_a).encode()).hexdigest()
+    dig_b = hashlib.md5("|".join(sorted(["1:1", "2:0"])).encode()
+                        ).hexdigest()
+    assert got == {"a": (3, 4, dig_a), "b": (2, 2, dig_b)}
+
+
+@pytest.mark.spark
+def test_phrase_hits_overlap_and_miss(spark):
+    """Phrase intersection counts every anchor (overlapping matches
+    included: 'a a a' matches ('a','a') at anchors 0 and 1), and a
+    phrase with any absent term matches nothing."""
+    from web_graph_spark.functions.text import phrase_hits
+
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "a b a a"), (3, "b b")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.n_matches
+           for r in phrase_hits(docs, ("a", "a")).collect()}
+    assert got == {1: 2, 2: 1}
+    assert phrase_hits(docs, ("a", "z")).count() == 0
+    one = {r.doc_id: r.n_matches
+           for r in phrase_hits(docs, ("b",)).collect()}
+    assert one == {2: 1, 3: 2}

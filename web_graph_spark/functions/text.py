@@ -812,3 +812,76 @@ def lang_guess_sql(expr: str = "text") -> str:
             conds.append(f"{s[lang]} {op} {s[other]}")
         whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
     return "CASE " + " ".join(whens) + " END"
+
+
+def doc_positions(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """``(doc_id, pos, term)`` — the 0-based positional token stream
+    every index/search operator consumes; one posexplode scan, empty
+    tokens dropped with their positions preserved."""
+    return (df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " "))
+        .alias("pos", "term"))
+        .filter(F.col("term") != ""))
+
+
+def inverted_index(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Positional inverted-index build — the search-engine (and
+    phrase-dedup) core: per term, document frequency, total term
+    frequency, and an md5 digest of the FULL positional postings list
+    (``doc:pos,pos,...`` entries, lexicographically ordered) so the
+    contract pins every position without shipping nested arrays.
+
+    Returns ``(term, n_docs, n_occurrences, postings_digest)``.
+
+    Scale shape: one corpus scan -> (term, doc) hash agg (map-side
+    partials absorb stopword-hot terms: a hot term adds rows to
+    partials, never keys, because doc_id disambiguates) -> term-level
+    agg whose output is vocabulary-sized.  At deployment scale the
+    per-doc postings rows themselves are the stored index, written
+    partitioned by term hash; the digest projection here exists so an
+    oracle can certify the build bit-for-bit."""
+    t = doc_positions(df, id_col, text_col)
+    per_doc = (t.groupBy("term", "doc_id")
+               .agg(F.count("*").cast("long").alias("tf"),
+                    F.array_join(F.sort_array(F.collect_list("pos")),
+                                 ",").alias("plist")))
+    entry = F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                     F.col("plist"))
+    return (per_doc.groupBy("term")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("tf").cast("long").alias("n_occurrences"),
+                 F.md5(F.array_join(
+                     F.sort_array(F.collect_list(entry)), "|"))
+                 .alias("postings_digest")))
+
+
+def phrase_hits(df: DataFrame, phrase: tuple[str, ...],
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact-phrase search via positional-postings intersection — the
+    query an inverted index exists to answer: docs where the phrase's
+    terms occur at consecutive positions; returns ``(doc_id,
+    n_matches)`` with one row per matching document and the number of
+    distinct anchor positions.
+
+    Each phrase term contributes one filtered slice of the token
+    stream (predicate pushed to the scan); slices equi-join on
+    ``(doc, anchor_pos)`` — position arithmetic keys the join, so
+    candidate rows shrink at every step and the plan is |postings|-
+    bounded, never |corpus|².  Over a stored index the same joins run
+    on the term-partitioned postings table (term filters become
+    partition pruning)."""
+    if len(phrase) < 1:
+        raise ValueError("phrase must have at least one term")
+    t = doc_positions(df, id_col, text_col)
+    cur = (t.filter(F.col("term") == phrase[0])
+           .select("doc_id", F.col("pos").alias("p0")))
+    for i, w in enumerate(phrase[1:], start=1):
+        nxt = (t.filter(F.col("term") == w)
+               .select("doc_id", (F.col("pos") - i).alias("p0")))
+        cur = cur.join(nxt, ["doc_id", "p0"])
+    return (cur.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_matches")))
