@@ -1265,6 +1265,19 @@ w{k} AS (SELECT replace(w.s,
     return sql + f"\nSELECT * FROM ({unions}) ORDER BY merge_round"
 
 
+def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding (round 4, functions/
+    text.py:shuffle_shards E70): the write plan for training output —
+    shard = hex16 coin mod 16, within-shard order = the md5 coin — as
+    one hash agg whose order_digest pins the exact permutation per
+    shard.  No global sort at any scale; uniform hash keys, no skew
+    by construction."""
+    from web_graph_spark.functions.text import shuffle_shards
+
+    return shuffle_shards(_docs(spark, sf_dir).select("doc_id", "text"),
+                          n_shards=16)
+
+
 def _decontam_corpus(spark: SparkSession, sf_dir: str):
     """(corpus, benchmark) for the decontamination query: benchmark =
     every 97th doc; corpus = documents + an injected verbatim-overlap
@@ -1894,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_importance": q_corpus_importance,
         "corpus_perplexity": q_corpus_perplexity,
         "corpus_bpe_merges": q_corpus_bpe_merges,
+        "corpus_shuffle_shards": q_corpus_shuffle_shards,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_span_dedup": q_corpus_span_dedup,
@@ -2724,6 +2738,21 @@ SELECT s2.doc_id, s2.n_tokens,
        bkt.ppx_bucket
 FROM s2 JOIN bkt USING (sbin)""",
         "corpus_bpe_merges": _bpe_oracle_sql(6),
+        "corpus_shuffle_shards": """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         CAST((
+  (strpos('0123456789abcdef', substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
++ (strpos('0123456789abcdef', substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
++ (strpos('0123456789abcdef', substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
++ (strpos('0123456789abcdef', substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 16 AS INTEGER) AS shard,
+         md5('shuf:' || CAST(doc_id AS VARCHAR)) AS coin,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM documents)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       md5(string_agg(doc, ',' ORDER BY coin, doc)) AS order_digest
+FROM d GROUP BY 1""",
         "corpus_decontaminate": f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents

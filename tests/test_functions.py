@@ -1120,3 +1120,31 @@ def test_phrase_hits_overlap_and_miss(spark):
     one = {r.doc_id: r.n_matches
            for r in phrase_hits(docs, ("b",)).collect()}
     assert one == {2: 1, 3: 2}
+
+
+@pytest.mark.spark
+def test_shuffle_shards_hand_permutation(spark):
+    """Shard assignment and within-shard order recomputed indepen-
+    dently in Python: shard = hex16(md5('shuf:'+id)) mod n, order =
+    md5-coin lexicographic, digest = md5 of the comma-joined ids."""
+    from web_graph_spark.functions.text import shuffle_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w w") for i in range(40)], "doc_id long, text string")
+
+    def coin(i):
+        return hashlib.md5(f"shuf:{i}".encode()).hexdigest()
+
+    shards = {}
+    for i in range(40):
+        shards.setdefault(int(coin(i)[:4], 16) % 4, []).append(i)
+    expect = {}
+    for s, ids in shards.items():
+        ordered = sorted(ids, key=lambda i: (coin(i), str(i)))
+        expect[s] = (len(ids), 3 * len(ids),
+                     hashlib.md5(",".join(str(i) for i in ordered)
+                                 .encode()).hexdigest())
+
+    got = {r.shard: (r.n_docs, r.n_tokens, r.order_digest)
+           for r in shuffle_shards(docs, n_shards=4).collect()}
+    assert got == expect

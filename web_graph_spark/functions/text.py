@@ -885,3 +885,43 @@ def phrase_hits(df: DataFrame, phrase: tuple[str, ...],
         cur = cur.join(nxt, ["doc_id", "p0"])
     return (cur.groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_matches")))
+
+
+def shuffle_shards(df: DataFrame, n_shards: int = 16,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Deterministic global shuffle + sharding for training output —
+    the last step before a corpus ships to a trainer: every document
+    gets a pseudo-random shard and a pseudo-random position within it,
+    WITHOUT a global sort.  Shard = ``hex16(md5('shuf:' || doc)) mod
+    n_shards`` (uniform, engine-independent); within-shard order is
+    the md5 coin itself.  Returns the vocabulary of the write:
+    ``(shard, n_docs, n_tokens, order_digest)`` where order_digest =
+    md5 over the shard's doc ids in shuffled order — one row per
+    shard, pinning the exact permutation.
+
+    Scale shape: one scan + one hash agg keyed on shard; the per-shard
+    ordered fold happens inside the aggregate (sort_array over the
+    shard's collected (coin, doc) pairs).  Choose ``n_shards`` so a
+    shard fits an executor (10^5 shards at 100 TB -> ~1 GB each);
+    uniform hash keys mean no skew by construction.  The actual write
+    is ``df.withColumn(shard).repartition(shard).sortWithinPartitions
+    (coin)`` — same keys, no digest — this operator exists so the
+    permutation is certifiable."""
+    from web_graph_spark.operators.graph_algos import _hex16
+
+    coin = F.md5(F.concat(F.lit("shuf:"), F.col(id_col).cast("string")))
+    d = df.select(
+        F.col(id_col).cast("string").alias("doc"),
+        (_hex16(F.concat(F.lit("shuf:"), F.col(id_col).cast("string")))
+         % n_shards).cast("int").alias("shard"),
+        coin.alias("coin"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("nt"))
+    pair = F.struct(F.col("coin"), F.col("doc"))
+    return (d.groupBy("shard")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("nt").cast("long").alias("n_tokens"),
+                 F.md5(F.array_join(
+                     F.transform(F.sort_array(F.collect_list(pair)),
+                                 lambda x: x["doc"]), ","))
+                 .alias("order_digest")))
