@@ -1038,6 +1038,20 @@ _POSITIONS_SQL = """
   WHERE u.term <> ''"""
 
 
+def q_text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GloVe co-occurrence statistics (round 4, functions/text.py:
+    cooccurrence_counts E71): unordered word pairs within a 2-token
+    window with raw counts and exact integer-ppm 1/d GloVe mass.  The
+    range join unrolls into 2 equi-joins on (doc, pos+d) — uniform
+    keys, no range machinery; hot pairs absorbed by map-side
+    partials."""
+    from web_graph_spark.functions.text import cooccurrence_counts
+
+    return cooccurrence_counts(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        window=2, min_pairs=3)
+
+
 def q_text_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic tf-idf top-20 keyword search over the corpus
     (functions/text.py:tfidf_topk) — all-integer idf arithmetic (no
@@ -1899,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_topk": q_text_search_topk,
         "text_inverted_index": q_text_inverted_index,
         "text_phrase_search": q_text_phrase_search,
+        "text_cooccurrence": q_text_cooccurrence,
         "text_pii_scrub": q_text_pii_scrub,
         "text_boilerplate": q_text_boilerplate,
         "corpus_curate": q_corpus_curate,
@@ -2561,6 +2576,19 @@ SELECT term, CAST(count(*) AS BIGINT) AS n_docs,
            ORDER BY CAST(doc_id AS VARCHAR) || ':' || plist))
        AS postings_digest
 FROM per_doc GROUP BY 1""",
+        "text_cooccurrence": f"""
+WITH t AS ({_POSITIONS_SQL}),
+p AS (
+  SELECT least(a.term, b.term) AS w1, greatest(a.term, b.term) AS w2,
+         CAST(1000000 AS BIGINT) AS wppm
+  FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  UNION ALL
+  SELECT least(a.term, b.term), greatest(a.term, b.term),
+         CAST(500000 AS BIGINT)
+  FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 2)
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(wppm) AS BIGINT) AS weight_ppm
+FROM p GROUP BY 1, 2 HAVING count(*) >= 3""",
         "text_phrase_search": f"""
 WITH t AS ({_POSITIONS_SQL}),
 a AS (SELECT doc_id, pos AS p0 FROM t WHERE term = 'big'),

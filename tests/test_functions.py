@@ -1148,3 +1148,21 @@ def test_shuffle_shards_hand_permutation(spark):
     got = {r.shard: (r.n_docs, r.n_tokens, r.order_digest)
            for r in shuffle_shards(docs, n_shards=4).collect()}
     assert got == expect
+
+
+@pytest.mark.spark
+def test_cooccurrence_hand_counts(spark):
+    """Windowed co-occurrence on a hand doc: 'a b a c' with window=2
+    gives d=1 pairs (a,b),(a,b),(a,c) and d=2 pairs (a,a),(b,c);
+    weight_ppm = 1000000 per d=1 pair + 500000 per d=2 pair."""
+    from web_graph_spark.functions.text import cooccurrence_counts
+
+    docs = spark.createDataFrame([(1, "a b a c")],
+                                 "doc_id long, text string")
+    got = {(r.w1, r.w2): (r.n_pairs, r.weight_ppm)
+           for r in cooccurrence_counts(docs, window=2,
+                                        min_pairs=1).collect()}
+    assert got == {("a", "b"): (2, 2000000),
+                   ("a", "c"): (1, 1000000),
+                   ("a", "a"): (1, 500000),
+                   ("b", "c"): (1, 500000)}

@@ -925,3 +925,41 @@ def shuffle_shards(df: DataFrame, n_shards: int = 16,
                      F.transform(F.sort_array(F.collect_list(pair)),
                                  lambda x: x["doc"]), ","))
                  .alias("order_digest")))
+
+
+def cooccurrence_counts(df: DataFrame, window: int = 2,
+                        min_pairs: int = 3,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """GloVe-style windowed co-occurrence statistics (Pennington et
+    al. 2014) — the count matrix a count-based word embedding trains
+    on: for every unordered word pair within ``window`` positions,
+    the raw pair count and the distance-weighted GloVe mass
+    ``Σ 1/d`` carried as exact integer ppm (1000000 div d — no float
+    accumulation to drift between engines).
+
+    Returns ``(w1, w2, n_pairs, weight_ppm)`` with ``w1 < w2``
+    lexicographically and pairs below ``min_pairs`` dropped.
+
+    Scale shape: ``window`` is a small constant, so the range join is
+    unrolled into ``window`` exact equi-joins on ``(doc, pos + d)`` —
+    each one hash-partitioned on the uniform (doc, pos) key, no
+    range-join machinery, no position explosion; the pair agg's keys
+    are Zipf-hot but map-side partials absorb repeats (same argument
+    as the BPE pair counter).  One corpus scan feeds all d's."""
+    t = doc_positions(df, id_col, text_col)
+    pairs = None
+    for d in range(1, window + 1):
+        left = t.select("doc_id", F.col("pos").alias("p"),
+                        F.col("term").alias("a"))
+        right = t.select("doc_id", (F.col("pos") - d).alias("p"),
+                         F.col("term").alias("b"))
+        p = (left.join(right, ["doc_id", "p"])
+             .select(F.least("a", "b").alias("w1"),
+                     F.greatest("a", "b").alias("w2"),
+                     F.lit(1000000 // d).cast("long").alias("wppm")))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (pairs.groupBy("w1", "w2")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.sum("wppm").cast("long").alias("weight_ppm"))
+            .filter(F.col("n_pairs") >= min_pairs))
