@@ -1292,6 +1292,22 @@ def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                           n_shards=16)
 
 
+def q_crawl_budget_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global fetch-budget apportionment (round 4, operators/
+    politeness.py:allocate_budget E72): a 1000-fetch budget split
+    across hosts by largest-remainder (Hamilton) over each host's
+    distinct admissible-target inventory — exact integer quotas that
+    sum to the budget EXACTLY, remainder top-R via the sort-free
+    take_global.  The planning dim schedule_wave(budgets=) consumes."""
+    from web_graph_spark.operators.politeness import allocate_budget
+
+    inv = (_links_canon(spark, sf_dir)
+           .filter(F.col("admissible"))
+           .select("host", "path").distinct()
+           .groupBy("host").agg(F.count("*").alias("weight")))
+    return allocate_budget(inv, budget=1000)
+
+
 def _decontam_corpus(spark: SparkSession, sf_dir: str):
     """(corpus, benchmark) for the decontamination query: benchmark =
     every 97th doc; corpus = documents + an injected verbatim-overlap
@@ -1879,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_sitemap_ingest": q_crawl_sitemap_ingest,
         "crawl_robots_eval": q_crawl_robots_eval,
         "crawl_budget_derive": q_crawl_budget_derive,
+        "crawl_budget_allocate": q_crawl_budget_allocate,
         "crawl_politeness_schedule": q_crawl_politeness_schedule,
         "crawl_wave_cap": q_crawl_wave_cap,
         "crawl_recrawl_schedule": q_crawl_recrawl_schedule,
@@ -2073,6 +2090,23 @@ SELECT doc_id, host, path,
             WHEN host = 'h01.example.test' AND path LIKE '/d/%' THEN FALSE
             ELSE TRUE END AS robots_allowed
 FROM web_pages"""),
+        "crawl_budget_allocate": _oracle("""
+, inv AS (
+  SELECT tgt_host AS host,
+         CAST(count(DISTINCT tgt_path) AS BIGINT) AS weight
+  FROM web_links_full WHERE k % 4 <> 0 GROUP BY 1),
+tot AS (SELECT sum(weight) AS w FROM inv),
+base AS (
+  SELECT host, weight, (1000 * weight) // w AS floor_a,
+         (1000 * weight) % w AS rem
+  FROM inv, tot),
+need AS (SELECT 1000 - sum(floor_a) AS r FROM base),
+rk AS (SELECT host, row_number() OVER (ORDER BY rem DESC, host) AS rn
+       FROM base)
+SELECT b.host, b.weight,
+       CAST(b.floor_a + CASE WHEN rk.rn <= need.r THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM base b JOIN rk ON rk.host = b.host, need"""),
         "crawl_budget_derive": _oracle("""
 SELECT host,
        CAST(GREATEST(FLOOR(60.0 / d), 1) AS INTEGER) AS max_pages_per_wave,

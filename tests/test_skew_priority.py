@@ -254,3 +254,27 @@ def test_snapshot_delta_classification(spark):
         "page_id string, content_digest string")
     got = {r["id"]: r["kind"] for r in snapshot_delta(a, b).collect()}
     assert got == {"p2": "changed", "p3": "removed", "p4": "added"}
+
+
+@pytest.mark.spark
+def test_allocate_budget_hamilton(spark):
+    """Largest-remainder apportionment: exact-sum invariant, floor
+    quotas, remainder bumps to the largest remainders with host-ASC
+    tie-break, zero-weight hosts get zero."""
+    from web_graph_spark.operators.politeness import allocate_budget
+
+    w = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 5), ("d", 1), ("e", 0)],
+        "host string, weight long")
+    # budget=10, W=16: quotas 3.125, 3.125, 3.125, 0.625, 0 ->
+    # floors 3,3,3,0,0 (sum 9), R=1; remainders 2,2,2,10,0 -> 'd'
+    got = {r.host: r.alloc for r in allocate_budget(w, 10).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 1, "e": 0}
+    assert sum(got.values()) == 10
+
+    # all-equal remainders: budget=5, weights 1,1,1 -> floors 1 each,
+    # R=2, rem all 2 -> host-ASC tie-break picks a and b
+    w2 = spark.createDataFrame([("a", 1), ("b", 1), ("c", 1)],
+                               "host string, weight long")
+    got2 = {r.host: r.alloc for r in allocate_budget(w2, 5).collect()}
+    assert got2 == {"a": 2, "b": 2, "c": 1}

@@ -73,3 +73,57 @@ def schedule_wave(pending: DataFrame, budgets: DataFrame | None,
     elif default_budget < (1 << 40):
         ranked = ranked.filter(F.col("host_rank") <= F.lit(default_budget))
     return ranked, cap
+
+
+def allocate_budget(weights: DataFrame, budget: int,
+                    host_col: str = "host",
+                    weight_col: str = "weight") -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global fetch
+    budget across hosts — the planning step between source quality /
+    inventory signals and :func:`schedule_wave`'s per-host budgets
+    dim: every host gets ``floor(budget * w / W)`` fetches, and the
+    ``budget - Σfloor`` leftover goes one-each to the largest
+    remainders (tie-break host ASC).  All integer arithmetic, so the
+    result is exact, engine-independent, and sums to ``budget``
+    EXACTLY — the invariant a fleet-wide fetch planner actually needs
+    (probabilistic rounding over- or under-commits the fleet).
+
+    Returns ``(host, weight, alloc)``.
+
+    Scale shape: one 1-row total, one codegen'd projection over the
+    hosts dim, and the remainder top-R via
+    :func:`~web_graph_spark.operators.frontier.take_global` — exact,
+    range-partitioned, never a single-reducer sort of 10^8 hosts.
+    The two driver-side scalars (W exists inside the plan; R must
+    bound take_global) are one collect of one row each."""
+    from web_graph_spark.operators.frontier import take_global
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    tot = weights.agg(F.sum(weight_col).cast("long").alias("__W"))
+    base = (weights.select(F.col(host_col).alias("host"),
+                           F.col(weight_col).cast("long").alias("weight"))
+            .crossJoin(F.broadcast(tot))
+            .select("host", "weight",
+                    F.expr(f"({budget} * weight) div __W")
+                    .cast("long").alias("floor_a"),
+                    F.expr(f"({budget} * weight) % __W")
+                    .cast("long").alias("rem"))
+            .localCheckpoint(eager=True))
+    got = base.agg(F.sum("floor_a").cast("long").alias("s"),
+                   F.count("*").cast("long").alias("n")).collect()
+    r = budget - int(got[0]["s"] or 0)
+    winners = (take_global(
+        base.withColumn("__nr", -F.col("rem")), r, ["__nr", "host"],
+        small_hint=int(got[0]["n"]))
+        .select("host", F.lit(1).cast("long").alias("bump"))
+        if r > 0 else None)
+    out = base
+    if winners is not None:
+        out = out.join(winners, "host", "left")
+    else:
+        out = out.withColumn("bump", F.lit(None).cast("long"))
+    return out.select(
+        "host", "weight",
+        (F.col("floor_a") + F.coalesce(F.col("bump"), F.lit(0)))
+        .cast("long").alias("alloc"))
