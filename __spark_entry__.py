@@ -1830,6 +1830,30 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("feat1_ppm"))
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (round 4, operators/asof.py E73): every click event
+    matched to the same user's latest view at or before it, with the
+    exact integer-microsecond gap; clicks with no prior view keep
+    NULLs (left-outer).  Spark side is the union-tag + one-window
+    mechanism (no join node); the oracle is DuckDB's NATIVE ASOF LEFT
+    JOIN — a genuinely independent algorithm for the same relation."""
+    from web_graph_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts")
+    j = asof_join(clicks, views, by="user_id",
+                  right_cols=("event_id", "ts"))
+    return j.select(
+        "event_id",
+        F.col("asof_event_id").alias("view_event_id"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("asof_ts").cast("timestamp")))
+        .cast("long").alias("gap_us"))
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: per-user 30-min-gap sessions via lag window."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1968,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "media_aphash": q_media_aphash,
         "events_sessionize": q_events_sessionize,
+        "events_asof_join": q_events_asof_join,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
         "topk_orders_per_cust": q_topk_orders_per_cust,
@@ -3279,6 +3304,14 @@ pairs AS (
 dup AS (SELECT b_id AS vec_id, min(a_id) AS dup_of FROM pairs GROUP BY 1)
 SELECT c.vec_id, c.cell, d.dup_of IS NULL AS keep, d.dup_of
 FROM c LEFT JOIN dup d ON d.vec_id = c.vec_id""",
+        "events_asof_join": """
+SELECT c.event_id, v.event_id AS view_event_id,
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts""",
         "events_sessionize": """
 WITH g AS (
   SELECT user_id, event_id, ts,

@@ -65,3 +65,24 @@ def test_store_views(spark, tmp_path):
                    .select("from_page_id").limit(100).collect())
         assert sorted(r[0] for r in sql_rows) == \
             sorted(r[0] for r in df_rows)
+
+
+@pytest.mark.spark
+def test_asof_join_semantics(spark):
+    """Union-tag as-of join: latest right row at or BEFORE the left
+    timestamp per key (equal ts matches — the >= rule DuckDB's ASOF
+    JOIN uses), NULLs when no prior right row, keys never cross."""
+    from web_graph_spark.operators.asof import asof_join
+
+    L = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 300), (4, 20, 100)],
+        "event_id long, user_id long, ts long")
+    R = spark.createDataFrame(
+        [(51, 10, 100), (52, 10, 200), (53, 10, 301), (54, 30, 50)],
+        "event_id long, user_id long, ts long")
+    got = {r.event_id: r.asof_event_id
+           for r in asof_join(L, R, by="user_id",
+                              right_cols=("event_id",)).collect()}
+    # 1: view 51 at ts==100 matches (>=); 2: latest <=205 is 52;
+    # 3: 301 is AFTER 300 -> still 52; 4: user 20 has no views
+    assert got == {1: 51, 2: 52, 3: 52, 4: None}
