@@ -1854,6 +1854,21 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("gap_us"))
 
 
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type latency quantiles (round 4, functions/stats.py:
+    exact_quantiles E74): p50/p95/p99 of the event value in integer
+    centi-units, computed from a value-range-bounded histogram — the
+    raw rows are scanned once and never sorted, so the exact answer
+    (not approx_percentile) survives 10^12 rows.  floor(value*100) is
+    IEEE multiply + floor, identical in both engines (never CAST:
+    DuckDB's int cast rounds while Spark's truncates)."""
+    from web_graph_spark.functions.stats import exact_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return exact_quantiles(ev, "event_type",
+                           F.floor(F.col("value") * 100))
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: per-user 30-min-gap sessions via lag window."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1993,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_aphash": q_media_aphash,
         "events_sessionize": q_events_sessionize,
         "events_asof_join": q_events_asof_join,
+        "events_quantiles": q_events_quantiles,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
         "topk_orders_per_cust": q_topk_orders_per_cust,
@@ -3304,6 +3320,26 @@ pairs AS (
 dup AS (SELECT b_id AS vec_id, min(a_id) AS dup_of FROM pairs GROUP BY 1)
 SELECT c.vec_id, c.cell, d.dup_of IS NULL AS keep, d.dup_of
 FROM c LEFT JOIN dup d ON d.vec_id = c.vec_id""",
+        "events_quantiles": """
+WITH hist AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, v, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM hist)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END)
+            AS BIGINT) AS p50,
+       CAST(min(CASE WHEN cum >= (95 * n + 99) // 100 THEN v END)
+            AS BIGINT) AS p95,
+       CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END)
+            AS BIGINT) AS p99
+FROM cum GROUP BY 1""",
         "events_asof_join": """
 SELECT c.event_id, v.event_id AS view_event_id,
        CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us

@@ -86,3 +86,31 @@ def test_asof_join_semantics(spark):
     # 1: view 51 at ts==100 matches (>=); 2: latest <=205 is 52;
     # 3: 301 is AFTER 300 -> still 52; 4: user 20 has no views
     assert got == {1: 51, 2: 52, 3: 52, 4: None}
+
+
+@pytest.mark.spark
+def test_exact_quantiles_vs_numpy_sort(spark):
+    """Histogram quantiles ≡ the brute-force sorted definition
+    (smallest v with rank >= ceil(q/100*n)) on a hand distribution
+    with heavy ties."""
+    import math
+
+    from web_graph_spark.functions.stats import exact_quantiles
+
+    vals = [1] * 50 + [2] * 30 + [10] * 15 + [100] * 4 + [1000]
+    df = spark.createDataFrame([("a", float(v)) for v in vals],
+                               "event_type string, value double")
+    got = exact_quantiles(df, "event_type",
+                          __import__("pyspark.sql.functions",
+                                     fromlist=["floor"]).floor(
+                              __import__("pyspark.sql.functions",
+                                         fromlist=["col"]).col("value"))
+                          ).collect()[0]
+    s = sorted(vals)
+
+    def q(p):
+        return s[math.ceil(p / 100 * len(s)) - 1]
+
+    assert (got.n_rows, got.p50, got.p95, got.p99) == (
+        100, q(50), q(95), q(99))
+    assert (q(50), q(95), q(99)) == (1, 10, 100)
