@@ -524,6 +524,27 @@ def q_crawl_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "digest_a", "digest_b"))
 
 
+def q_crawl_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch redirect-chain resolution (round 4, operators/
+    redirects.py E75): flatten the crawl store's accumulated 3xx
+    relation to src → terminal with exact hop counts and loop
+    flagging, by POINTER DOUBLING — each round composes the functional
+    mapping with itself (one equi-join on the uniform url key), so the
+    fetcher's 10-deep chain cap costs 4 shuffles at any corpus size,
+    never a per-hop pass.  Rows still inside the redirect domain after
+    the final round are cycles / over-long chains (status='loop') —
+    the batch analog of the live fetcher's redirect-loop error
+    (fetch.py:408).  The derived relation exercises every case: 2-hop
+    chains, single hops, a 2-cycle, and a chain INTO the cycle.  The
+    oracle is a genuinely different algorithm — DuckDB's recursive CTE
+    walks chains hop by hop; the operator doubles — agreeing only if
+    the resolution semantics match exactly."""
+    from web_graph_spark.operators.redirects import resolve_redirects
+
+    return resolve_redirects(webgen.redirects_df(spark, sf_dir),
+                             max_rounds=4)
+
+
 def q_crawl_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Authority-guided frontier scheduling (round 4): pending URLs are
     prioritized by their page in-degree in the link graph (the
@@ -1940,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_recrawl_schedule": q_crawl_recrawl_schedule,
         "crawl_backoff_budget": q_crawl_backoff_budget,
         "crawl_snapshot_delta": q_crawl_snapshot_delta,
+        "crawl_redirect_resolve": q_crawl_redirect_resolve,
         "crawl_priority_rank": q_crawl_priority_rank,
         "graph_links_from": q_graph_links_from,
         "graph_links_to": q_graph_links_to,
@@ -2239,6 +2261,25 @@ k AS (
 SELECT k.check_id, p.host, k.kind, k.digest_a, k.digest_b
 FROM k JOIN p ON p.check_id = k.check_id
 WHERE k.kind IS NOT NULL"""),
+        "crawl_redirect_resolve": f"""
+WITH RECURSIVE {webgen.REDIRECTS_SQL.strip()},
+rec AS (
+  SELECT src_url AS src, dst_url AS cur, 1 AS hops FROM web_redirects
+  UNION ALL
+  SELECT r.src, e.dst_url, r.hops + 1
+  FROM rec r JOIN web_redirects e ON r.cur = e.src_url
+  WHERE r.hops < 16
+),
+term AS (
+  SELECT src, cur, hops FROM rec
+  WHERE cur NOT IN (SELECT src_url FROM web_redirects)
+)
+SELECT w.src_url,
+       t.cur AS final_url,
+       CAST(t.hops AS INTEGER) AS n_hops,
+       CASE WHEN t.cur IS NULL THEN 'loop' ELSE 'ok' END AS status
+FROM (SELECT DISTINCT src_url FROM web_redirects) w
+LEFT JOIN term t ON w.src_url = t.src""",
         "crawl_backoff_budget": """
 WITH outcomes AS (
   SELECT 'h' || lpad(CAST(event_id % 40 AS VARCHAR), 2, '0')

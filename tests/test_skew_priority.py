@@ -278,3 +278,67 @@ def test_allocate_budget_hamilton(spark):
                                "host string, weight long")
     got2 = {r.host: r.alloc for r in allocate_budget(w2, 5).collect()}
     assert got2 == {"a": 2, "b": 2, "c": 1}
+
+
+@pytest.mark.spark
+def test_resolve_redirects_hand_graph(spark):
+    """Pointer-doubling resolution on a hand graph covering every
+    case: straight chain (a->b->c->T1, exact hops), single hop,
+    2-cycle, chain INTO the cycle, and self-loop."""
+    from web_graph_spark.operators.redirects import resolve_redirects
+
+    r = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "T1"),    # 3-deep chain
+         ("s", "T2"),                            # single hop
+         ("x", "y"), ("y", "x"),                 # 2-cycle
+         ("p", "x"),                             # chain into the cycle
+         ("z", "z")],                            # self-loop
+        "src_url string, dst_url string")
+    got = {row.src_url: (row.final_url, row.n_hops, row.status)
+           for row in resolve_redirects(r).collect()}
+    assert got == {
+        "a": ("T1", 3, "ok"),
+        "b": ("T1", 2, "ok"),
+        "c": ("T1", 1, "ok"),
+        "s": ("T2", 1, "ok"),
+        "x": (None, None, "loop"),
+        "y": (None, None, "loop"),
+        "p": (None, None, "loop"),
+        "z": (None, None, "loop"),
+    }
+
+
+@pytest.mark.spark
+def test_resolve_redirects_long_chain_cap(spark):
+    """A chain longer than 2**max_rounds flags 'loop' (over-long),
+    one within the cap resolves — the doubling bound is exact."""
+    from web_graph_spark.operators.redirects import resolve_redirects
+
+    chain = [(f"u{i}", f"u{i+1}") for i in range(5)]  # u0..u4 -> u5
+    r = spark.createDataFrame(chain, "src_url string, dst_url string")
+    got = {row.src_url: (row.final_url, row.n_hops, row.status)
+           for row in resolve_redirects(r, max_rounds=2).collect()}
+    # max_rounds=2 resolves chains of length <= 4: u1..u4 resolve,
+    # u0 (5 hops) is over the bound -> loop-flagged.
+    assert got["u4"] == ("u5", 1, "ok")
+    assert got["u1"] == ("u5", 4, "ok")
+    assert got["u0"] == (None, None, "loop")
+
+
+@pytest.mark.spark
+def test_rewrite_edges_through_redirects(spark):
+    """Edges into an 'ok' redirect source re-point at its terminal;
+    edges into a 'loop' source drop; other edges pass unchanged."""
+    from web_graph_spark.operators.redirects import (resolve_redirects,
+                                                     rewrite_edges)
+
+    r = spark.createDataFrame(
+        [("m", "T"), ("x", "y"), ("y", "x")],
+        "src_url string, dst_url string")
+    res = resolve_redirects(r)
+    edges = spark.createDataFrame(
+        [("e1", "m"), ("e2", "x"), ("e3", "other")],
+        "src_url string, dst_url string")
+    got = {row.src_url: row.dst_url
+           for row in rewrite_edges(edges, res).collect()}
+    assert got == {"e1": "T", "e3": "other"}

@@ -179,3 +179,60 @@ web_seeds AS (
   SELECT doc_id AS seed_seq, url FROM web_pages WHERE doc_id % 97 = 0
 )
 """
+
+
+def _url_of(idc: F.Column) -> F.Column:
+    """URL of an arbitrary doc id by the pages_df formula — targets of
+    synthetic redirects may fall past |documents| (a terminal URL need
+    not be a crawled page), so the URL is built from arithmetic, not
+    joined against web_pages."""
+    host_idx = (F.when(idc % 10 < 3, F.lit(0))
+                 .when(idc % 10 < 5, F.lit(1))
+                 .otherwise(idc % 20))
+    return F.concat(F.lit("https://h"),
+                    F.lpad(host_idx.cast("string"), 2, "0"),
+                    F.lit(".example.test/d/"), idc.cast("string"),
+                    F.lit(".html"))
+
+
+def _url_of_sql(expr: str) -> str:
+    return (f"'https://h' || lpad(CAST(CASE WHEN ({expr}) % 10 < 3 THEN 0 "
+            f"WHEN ({expr}) % 10 < 5 THEN 1 ELSE ({expr}) % 20 END "
+            f"AS VARCHAR), 2, '0') || '.example.test/d/' || "
+            f"CAST(({expr}) AS VARCHAR) || '.html'")
+
+
+def redirects_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_url, dst_url) — the functional 3xx relation a crawl store
+    accumulates, derived so every resolution case exists at any SF:
+    doc_id % 100 == 0 heads a 2-hop chain (0 → +1, which is % 100 == 1
+    → +2, terminal), 40 is a single hop, 59 points into the 60 ↔ 61
+    two-cycle (a chain INTO a loop), and 60/61 form the cycle itself.
+    One outgoing edge per source — functional, like real Location
+    headers."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id")
+    m = F.col("doc_id") % 100
+    off = (F.when(m.isin(0, 59, 60), F.lit(1))
+            .when(m == 1, F.lit(2))
+            .when(m == 40, F.lit(3))
+            .when(m == 61, F.lit(-1)))
+    return (docs.withColumn("__off", off).filter(F.col("__off").isNotNull())
+            .select(_url_of(F.col("doc_id")).alias("src_url"),
+                    _url_of(F.col("doc_id") + F.col("__off"))
+                    .alias("dst_url")))
+
+
+REDIRECTS_SQL = f"""
+web_redirects AS (
+  SELECT {_url_of_sql('doc_id')} AS src_url,
+         {_url_of_sql('doc_id + off')} AS dst_url
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 100 IN (0, 59, 60) THEN 1
+                    WHEN doc_id % 100 = 1 THEN 2
+                    WHEN doc_id % 100 = 40 THEN 3
+                    WHEN doc_id % 100 = 61 THEN -1 END AS off
+        FROM documents)
+  WHERE off IS NOT NULL
+)
+"""
