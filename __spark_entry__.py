@@ -1413,6 +1413,39 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                              threshold=0.8, n=3)
 
 
+def q_dedup_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection (round 4, functions/dedup.py E76): host
+    pairs serving largely identical content, from (host, digest) rows
+    alone — the crawl planner collapses a detected mirror to ONE crawl
+    target, saving whole hosts of fetches.  One digest-key self-join
+    with a ubiquity cap (digests on > 8 hosts drop before the join, so
+    a shared error template can never go quadratic) and a pair-key
+    agg; overlap reported in integer bp of the smaller host's
+    inventory with both threshold sides visible (is_mirror flag).
+    The derived input injects a full mirror of h05 (10000 bp, flagged)
+    and a ~third-overlap re-host of h06 (below 5000 bp, visible but
+    unflagged); base texts are unique, so the injections are the
+    complete expected answer."""
+    from web_graph_spark.functions.dedup import mirror_hosts
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    p = webgen.pages_df(spark, sf_dir).select("doc_id", "host")
+    base = (p.join(docs, "doc_id")
+            .select("doc_id", "host", F.md5("text").alias("digest")))
+    m1 = (base.filter(F.col("host") == "h05.example.test")
+          .select(F.lit("m05-mirror.example.test").alias("host"),
+                  "digest"))
+    m2 = (base.filter(F.col("host") == "h06.example.test")
+          .select(F.lit("m06-partial.example.test").alias("host"),
+                  F.when(F.col("doc_id") % 3 == 0, F.col("digest"))
+                  .otherwise(F.md5(F.concat(F.col("digest"),
+                                            F.lit("m2-salt"))))
+                  .alias("digest")))
+    allrows = base.select("host", "digest").unionByName(m1) \
+                  .unionByName(m2)
+    return mirror_hosts(allrows, host_col="host", digest_col="digest")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING — the keep-list step an actual dedup
     pipeline ends with: the exact trigram-Jaccard pair graph (same
@@ -2010,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_containment": q_dedup_containment,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_mirror_hosts": q_dedup_mirror_hosts,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_simhash": q_dedup_simhash,
@@ -3246,6 +3280,41 @@ SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
        CAST(sz_a AS BIGINT) AS sz_a,
        CAST(n_inter * 10000 // sz_a AS BIGINT) AS containment_bp
 FROM dir WHERE n_inter * 10000 // sz_a >= 8000""",
+        "dedup_mirror_hosts": f"""
+WITH {webgen.PAGES_SQL.strip()},
+base AS (
+  SELECT d.doc_id, p.host AS h, md5(d.text) AS dg
+  FROM web_pages p JOIN documents d ON p.doc_id = d.doc_id
+),
+allrows AS (
+  SELECT h, dg FROM base
+  UNION ALL
+  SELECT 'm05-mirror.example.test', dg FROM base
+  WHERE h = 'h05.example.test'
+  UNION ALL
+  SELECT 'm06-partial.example.test',
+         CASE WHEN doc_id % 3 = 0 THEN dg
+              ELSE md5(dg || 'm2-salt') END
+  FROM base WHERE h = 'h06.example.test'
+),
+hd AS (SELECT DISTINCT h, dg FROM allrows),
+inv AS (SELECT h, count(*) AS n FROM hd GROUP BY 1),
+spread AS (SELECT dg FROM hd GROUP BY dg HAVING count(*) <= 8),
+core AS (SELECT h, dg FROM hd JOIN spread USING (dg)),
+pairs AS (
+  SELECT a.h AS host_a, b.h AS host_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM core a JOIN core b ON a.dg = b.dg AND a.h < b.h
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT p.host_a, p.host_b, p.n_shared,
+       CAST(ia.n AS BIGINT) AS n_a, CAST(ib.n AS BIGINT) AS n_b,
+       CAST(p.n_shared * 10000 // least(ia.n, ib.n) AS BIGINT)
+           AS overlap_bp,
+       (p.n_shared * 10000 // least(ia.n, ib.n)) >= 5000 AS is_mirror
+FROM pairs p
+JOIN inv ia ON ia.h = p.host_a
+JOIN inv ib ON ib.h = p.host_b""",
         "dedup_clusters": f"""
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents

@@ -1166,3 +1166,53 @@ def test_cooccurrence_hand_counts(spark):
                    ("a", "c"): (1, 1000000),
                    ("a", "a"): (1, 500000),
                    ("b", "c"): (1, 500000)}
+
+
+@pytest.mark.spark
+def test_mirror_hosts_hand_case(spark):
+    """Full mirror flags, partial overlap stays visible unflagged,
+    singleton overlap cut by min_shared, ubiquitous digest excluded
+    from sharing before the pair join but counted in inventories."""
+    from web_graph_spark.functions.dedup import mirror_hosts
+
+    rows = []
+    # host A: d1..d4; host B mirrors all of A -> full mirror
+    for d in ("d1", "d2", "d3", "d4"):
+        rows += [("a.test", d), ("b.test", d)]
+    # host C shares 2 of 4 with A -> 5000 bp, flagged at threshold
+    rows += [("c.test", "d1"), ("c.test", "d2"),
+             ("c.test", "c3"), ("c.test", "c4")]
+    # host E shares only 1 digest with A -> cut by min_shared=2
+    rows += [("e.test", "d1"), ("e.test", "e2")]
+    # ubiquitous digest on every host incl. two otherwise-unrelated
+    # hosts u1/u2 -> must NOT create a (u1, u2) pair
+    for h in ("a.test", "b.test", "c.test", "e.test",
+              "u1.test", "u2.test", "u3.test", "u4.test", "u5.test"):
+        rows += [(h, "ubiq")]
+    df = spark.createDataFrame(rows, "host string, digest string")
+    got = {(r.host_a, r.host_b):
+           (r.n_shared, r.n_a, r.n_b, r.overlap_bp, r.is_mirror)
+           for r in mirror_hosts(df, max_hosts_per_digest=8).collect()}
+    # inventories include the ubiquitous digest (a: 5), sharing does
+    # not (ubiq is on 9 hosts > cap)
+    assert got[("a.test", "b.test")] == (4, 5, 5, 8000, True)
+    assert got[("a.test", "c.test")] == (2, 5, 5, 4000, False)
+    assert ("e.test", "a.test") not in got
+    assert ("a.test", "e.test") not in got
+    assert not any("u1" in a or "u1" in b for a, b in got)
+    assert len(got) == 3  # (a,b), (a,c), (b,c) — b mirrors A's d1/d2 too
+
+
+@pytest.mark.spark
+def test_mirror_hosts_dedupes_within_host(spark):
+    """Repeated (host, digest) rows count once — inventory is
+    distinct content, not page count."""
+    from web_graph_spark.functions.dedup import mirror_hosts
+
+    df = spark.createDataFrame(
+        [("a.test", "d1")] * 3 + [("a.test", "d2"), ("b.test", "d1"),
+                                  ("b.test", "d2")],
+        "host string, digest string")
+    [r] = mirror_hosts(df).collect()
+    assert (r.n_shared, r.n_a, r.n_b, r.overlap_bp, r.is_mirror) == \
+        (2, 2, 2, 10000, True)

@@ -582,3 +582,61 @@ def containment_verify(pairs: DataFrame, df: DataFrame, n: int = 3,
                     .alias("cont_a_bp"),
                     F.expr("n_inter * 10000 div sz_b").cast("long")
                     .alias("cont_b_bp")))
+
+
+def mirror_hosts(df: DataFrame, host_col: str = "host",
+                 digest_col: str = "digest",
+                 min_shared: int = 2, min_overlap_bp: int = 5000,
+                 max_hosts_per_digest: int = 8) -> DataFrame:
+    """Mirror-host detection — the crawl-planning consumer of exact
+    dedup: host pairs serving largely identical content (mirrors, CDN
+    vanity domains, scraped re-hosts) should be collapsed to one
+    crawl target, which at web scale saves whole HOSTS of fetches,
+    not just pages.
+
+    Input: one row per (host, page content digest) — at deployment
+    scale the store's existing page digests, no content read.  Output:
+    host pairs sharing >= ``min_shared`` digests, with the overlap as
+    integer basis points of the SMALLER host's inventory and an
+    ``is_mirror`` flag at ``min_overlap_bp`` (both sides of the
+    threshold visible to the caller — borderline pairs are exactly
+    what an operator reviews).
+
+    Scale shape: one distinct projection, one uniform digest-key
+    self-join, one pair-key agg.  The quadratic hazard of a self-join
+    is a digest shared by MANY hosts (empty pages, error templates:
+    k hosts → k² pair rows); real mirror detection excludes ubiquitous
+    content anyway, so digests on > ``max_hosts_per_digest`` hosts are
+    dropped BEFORE the join — the fan-out cap makes worst-case output
+    |digests| · cap², independent of host skew.  Per-host inventory
+    counts (the denominators) are computed before that filter, on all
+    content, and join back as a hosts-sized broadcast dim.
+    """
+    hd = df.select(F.col(host_col).alias("h"),
+                   F.col(digest_col).alias("d")).distinct()
+    inv = hd.groupBy("h").agg(F.count("*").alias("n"))
+    spread = (hd.groupBy("d").agg(F.count("*").alias("__k"))
+              .filter(F.col("__k") <= max_hosts_per_digest)
+              .select("d"))
+    core = hd.join(spread, "d")
+    a = core.select(F.col("h").alias("host_a"), "d")
+    b = core.select(F.col("h").alias("host_b"), "d")
+    pairs = (a.join(b, "d")
+             .filter(F.col("host_a") < F.col("host_b"))
+             .groupBy("host_a", "host_b")
+             .agg(F.count("*").alias("n_shared"))
+             .filter(F.col("n_shared") >= min_shared))
+    na = inv.select(F.col("h").alias("host_a"), F.col("n").alias("n_a"))
+    nb = inv.select(F.col("h").alias("host_b"), F.col("n").alias("n_b"))
+    out = (pairs.join(F.broadcast(na), "host_a")
+           .join(F.broadcast(nb), "host_b")
+           .withColumn("overlap_bp",
+                       F.expr("n_shared * 10000 div least(n_a, n_b)")
+                       .cast("long"))
+           .withColumn("is_mirror",
+                       F.col("overlap_bp") >= F.lit(min_overlap_bp)))
+    return out.select("host_a", "host_b",
+                      F.col("n_shared").cast("long").alias("n_shared"),
+                      F.col("n_a").cast("long").alias("n_a"),
+                      F.col("n_b").cast("long").alias("n_b"),
+                      "overlap_bp", "is_mirror")
