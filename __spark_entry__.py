@@ -1300,6 +1300,72 @@ w{k} AS (SELECT replace(w.s,
     return sql + f"\nSELECT * FROM ({unions}) ORDER BY merge_round"
 
 
+def _bpe_encode_oracle_sql(rounds: int = 6) -> str:
+    """Oracle for ``corpus_bpe_encode``: the merge-training CTE chain
+    of :func:`_bpe_oracle_sql` (shared representation, same sample
+    coin), then the ENCODE applied corpus-wide — each word wrapped,
+    the learned merges folded as nested literal replaces in learned
+    order (BPE's encode rule), flattened back in word order."""
+    train = _bpe_oracle_sql(rounds)
+    head = train[:train.rindex("\nSELECT * FROM (")]
+    pats = ",\n".join(
+        f"""r{k} AS (SELECT '|' || string_split(pr, '||')[1] || '||'
+        || string_split(pr, '||')[2] || '|' AS pat,
+     '|' || string_split(pr, '||')[1]
+         || string_split(pr, '||')[2] || '|' AS rep FROM m{k})"""
+        for k in range(1, rounds + 1))
+    expr = "regexp_replace(w, '(.)', '|\\1|', 'g')"
+    for k in range(1, rounds + 1):
+        expr = f"replace({expr}, r{k}.pat, r{k}.rep)"
+    froms = ", ".join(f"r{k}" for k in range(1, rounds + 1))
+    return head + f""",
+{pats},
+docs AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '),
+                     w -> w <> '' AND w NOT LIKE '%|%') AS words
+  FROM documents
+),
+enc AS (
+  SELECT doc_id,
+         flatten(list_transform(words,
+             w -> string_split(trim({expr}, '|'), '||'))) AS toks
+  FROM docs, {froms}
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+       md5(array_to_string(toks, ' ')) AS tok_digest
+FROM enc"""
+
+
+def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE corpus encoding (round 4, functions/tokenizer.py:bpe_encode
+    E77): apply the merge table learned by `corpus_bpe_merges` to the
+    FULL corpus — the step that turns a trained tokenizer into token
+    sequences a training run consumes.  The merge table is
+    vocabulary-bounded and ordered, so it collects once and the whole
+    encode is ONE codegen'd projection per document (the learned
+    merges folded into a chain of literal replaces on the
+    sentinel-wrapped form — no shuffle, no Python: encoding 100 TB
+    costs one pass).  Per doc: exact BPE token count (the number
+    sequence-packing and budget math consume) and an md5 digest of the
+    full token sequence, so the oracle certifies every token of every
+    document, not just counts."""
+    from web_graph_spark.functions.tokenizer import (bpe_encode,
+                                                     bpe_merges,
+                                                     word_counts)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sample = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+        < "c000")
+    merges = bpe_merges(word_counts(sample), rounds=6)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.md5(F.array_join("bpe_tokens", " ")).alias("tok_digest"))
+
+
 def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle + sharding (round 4, functions/
     text.py:shuffle_shards E70): the write plan for training output —
@@ -2033,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_importance": q_corpus_importance,
         "corpus_perplexity": q_corpus_perplexity,
         "corpus_bpe_merges": q_corpus_bpe_merges,
+        "corpus_bpe_encode": q_corpus_bpe_encode,
         "corpus_shuffle_shards": q_corpus_shuffle_shards,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_line_dedup": q_corpus_line_dedup,
@@ -2916,6 +2983,7 @@ SELECT s2.doc_id, s2.n_tokens,
        bkt.ppx_bucket
 FROM s2 JOIN bkt USING (sbin)""",
         "corpus_bpe_merges": _bpe_oracle_sql(6),
+        "corpus_bpe_encode": _bpe_encode_oracle_sql(6),
         "corpus_shuffle_shards": """
 WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc,
