@@ -1750,6 +1750,100 @@ def q_embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     n_tables=12, seed=7)
 
 
+def _kmeans_oracle_sql(k: int = 8, rounds: int = 3,
+                       dim: int = 64) -> str:
+    """Unrolled-SQL oracle for ``embed_kmeans``: the same quantized
+    Lloyd rounds — assignment by exact integer squared distance with
+    (d2, cid) tie-break, update by per-dim integer mean, empty
+    clusters keeping their previous centroid — sound to unroll
+    because the round count is a fixed parameter."""
+    sql = f"""WITH q AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE)
+             + 1.0) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cid,
+         qv
+  FROM (SELECT id, qv FROM q ORDER BY id LIMIT {k})
+)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+a{r} AS (
+  SELECT id, qv, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY d2, cid) AS rn
+    FROM (SELECT q.id, q.qv, c.cid,
+                 list_sum(list_transform(generate_series(1, {dim}),
+                     i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i])))
+                     AS d2
+          FROM q, c{r - 1} c))
+  WHERE rn = 1
+),
+u{r} AS (
+  SELECT cid, list(m ORDER BY d) AS qv FROM (
+    SELECT a.cid, g.d,
+           CAST(sum(a.qv[g.d]) // count(*) AS BIGINT) AS m
+    FROM a{r} a, generate_series(1, {dim}) AS g(d)
+    GROUP BY a.cid, g.d)
+  GROUP BY cid
+),
+c{r} AS (
+  SELECT p.cid, coalesce(u.qv, p.qv) AS qv
+  FROM c{r - 1} p LEFT JOIN u{r} u USING (cid)
+)"""
+    sql += f""",
+af AS (
+  SELECT id, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY d2, cid) AS rn
+    FROM (SELECT q.id, c.cid,
+                 list_sum(list_transform(generate_series(1, {dim}),
+                     i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i])))
+                     AS d2
+          FROM q, c{rounds} c))
+  WHERE rn = 1
+)
+SELECT c.cid, CAST(n.n AS BIGINT) AS n_members,
+       CAST(n.inertia AS BIGINT) AS inertia,
+       md5(array_to_string(c.qv, ',')) AS centroid_digest
+FROM c{rounds} c
+JOIN (SELECT cid, count(*) AS n, sum(d2) AS inertia
+      FROM af GROUP BY 1) n USING (cid)"""
+    return sql
+
+
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed integer k-means (round 4, functions/similarity.py:
+    kmeans_integer E78): Lloyd's over the FULL embedding corpus in
+    exact bigint arithmetic — the in-plan IVF-cell training path next
+    to the FAISS-standard driver-sample tier.  Per round the corpus is
+    scanned once (assignment = one codegen'd projection against the
+    k·d centroid literal — no join) and one (cluster, dim)-key agg
+    produces the k·d integers that are the ONLY driver traffic.  The
+    shift-then-floor quantization keeps coordinates non-negative so
+    integer means truncate identically in both engines; ties break to
+    the smallest cluster id; empty clusters keep their centroid.
+    Output certifies sizes, exact inertia, and every centroid
+    coordinate via md5."""
+    from web_graph_spark.functions.similarity import kmeans_integer
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a, cents = kmeans_integer(emb, k=8, rounds=3)
+    sizes = a.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.sum("d2").alias("inertia"))
+    cdf = spark.createDataFrame(
+        [(cid, ",".join(str(x) for x in cv)) for cid, cv in cents],
+        "cid int, cstr string")
+    return (sizes.join(F.broadcast(cdf), "cid")
+            .select(F.col("cid").cast("int").alias("cid"),
+                    F.col("n_members").cast("long").alias("n_members"),
+                    F.col("inertia").cast("long").alias("inertia"),
+                    F.md5("cstr").alias("centroid_digest")))
+
+
 def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup keep-list over the dup-injected embedding corpus:
     hyperoctant cells bound the pairwise cosine to within-cluster
@@ -2122,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_index_topk": q_ann_ivfpq_index_topk,
         "embed_near_dup_pairs": q_embed_near_dup_pairs,
         "embed_semdedup": q_embed_semdedup,
+        "embed_kmeans": q_embed_kmeans,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
         "media_dedup": q_media_dedup,
@@ -3470,6 +3565,7 @@ SELECT * FROM (
            * 1000000) AS BIGINT) AS sim_ppm
   FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 ) WHERE sim_ppm >= 800000""",
+        "embed_kmeans": _kmeans_oracle_sql(8, 3, 64),
         "embed_semdedup": """
 WITH aug AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -1216,3 +1216,51 @@ def test_mirror_hosts_dedupes_within_host(spark):
     [r] = mirror_hosts(df).collect()
     assert (r.n_shared, r.n_a, r.n_b, r.overlap_bp, r.is_mirror) == \
         (2, 2, 2, 10000, True)
+
+
+@pytest.mark.spark
+def test_kmeans_integer_hand_clusters(spark):
+    """Two well-separated groups settle into two clusters with the
+    exact integer means as centroids; inertia is the exact bigint
+    sum of squared quantized distances."""
+    from web_graph_spark.functions.similarity import kmeans_integer
+
+    # group A around 0.1, group B around -0.4 (1-d embeddings padded
+    # to 2 dims to keep the array shape honest)
+    rows = [(0, [0.10, 0.0]), (1, [0.12, 0.0]), (2, [0.08, 0.0]),
+            (3, [-0.40, 0.0]), (4, [-0.42, 0.0]), (5, [-0.38, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a, cents = kmeans_integer(df, k=2, rounds=3)
+    got = {r.id: r.cid for r in a.collect()}
+    # init = vecs 0 and 1 (both group A); one round pulls cluster 1
+    # onto group B via reassignment of the far points
+    assert len(set(got.values())) == 2
+    assert got[0] == got[2] and got[3] == got[4] == got[5]
+    assert got[0] != got[3]
+    # centroid of the settled B cluster = exact integer mean of the
+    # float32-quantized members
+    import math
+    import numpy as np
+    qb = [math.floor((float(np.float32(v)) + 1.0) * 1000000)
+          for v in (-0.40, -0.42, -0.38)]
+    bc = dict(cents)[got[3]]
+    assert bc[0] == sum(qb) // 3
+
+
+@pytest.mark.spark
+def test_kmeans_integer_empty_cluster_keeps_centroid(spark):
+    """A cluster that loses all members keeps its previous centroid
+    (the FAISS rule) instead of vanishing or going NULL."""
+    from web_graph_spark.functions.similarity import kmeans_integer
+
+    # k=3 but only two distinct points: one cluster must end empty
+    rows = [(0, [0.1]), (1, [0.1]), (2, [-0.4]), (3, [-0.4])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a, cents = kmeans_integer(df, k=3, rounds=2)
+    assert len(cents) == 3
+    assert all(cv is not None and len(cv) == 1 for _, cv in cents)
+    # ties break to the smallest cid: the duplicate-centroid clusters
+    # 0 and 1 (both initialized at 0.1-vectors) collapse onto cid 0
+    got = {r.id: r.cid for r in a.collect()}
+    assert got[0] == got[1] == 0
+    assert got[2] == got[3]

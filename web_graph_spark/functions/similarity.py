@@ -369,6 +369,74 @@ def semdedup(items: DataFrame, tau_ppm: int = 900000, n_bits: int = 4,
                     F.col("dup_of").isNull().alias("keep"), "dup_of"))
 
 
+def kmeans_integer(items: DataFrame, k: int = 8, rounds: int = 3,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   scale: int = 1_000_000, shift: float = 1.0
+                   ) -> tuple[DataFrame, list]:
+    """Distributed Lloyd's k-means over the FULL corpus in exact
+    integer arithmetic — the in-plan training path next to the
+    driver-sample :func:`_coarse_train` (FAISS trains coarse
+    quantizers on a sample; training on everything is what a cluster
+    buys you, and is the IVF-cells story at 10^9+ vectors where no
+    sample is representative of the tail).
+
+    Determinism discipline: vectors quantize to
+    ``floor((v + shift) · scale)`` — floor of an IEEE double is exact
+    in any engine, and the shift keeps every coordinate NON-NEGATIVE
+    so integer mean (``sum div n``) is the same truncation in Spark
+    (``div``, toward zero) and DuckDB (``//``, floor).  Distances are
+    exact bigint sums of squares; assignment ties break to the
+    smallest cluster id; an empty cluster keeps its previous centroid.
+    Init = the quantized vectors of the ``k`` smallest ids (a
+    TakeOrdered map-side heap, never a global sort).
+
+    Scale shape — the canonical distributed Lloyd (MLlib's):
+    per round the corpus is scanned ONCE (assignment = one codegen'd
+    projection against the k·d centroid literal, no join) and the
+    update is one (cluster, dim)-key agg whose output — k·d bigints —
+    is the ONLY thing the driver ever materializes, per round.
+    Returns (assignment DataFrame with exact squared distance,
+    final centroid list [(cid, [int..])]).
+    """
+    qexpr = (f"transform({vec_col}, x -> CAST(floor((CAST(x AS DOUBLE)"
+             f" + {shift}) * {scale}) AS BIGINT))")
+    q = items.select(F.col(id_col).alias("id"),
+                     F.expr(qexpr).alias("qv"))
+    q = q.localCheckpoint()
+    cents = [(i, list(r["qv"])) for i, r in enumerate(
+        q.orderBy("id").limit(k).collect())]
+
+    def assigned(frame, cent_list):
+        dists = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("qv"),
+                               F.array(*[F.lit(x) for x in cv]),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"), lambda acc, x: acc + x)
+                .alias("d2"),
+                F.lit(cid).alias("cid"))
+            for cid, cv in cent_list])
+        best = F.array_min(dists)
+        return frame.select("id", "qv", best["cid"].alias("cid"),
+                            best["d2"].alias("d2"))
+
+    for _ in range(rounds):
+        a = assigned(q, cents)
+        upd = (a.select("cid", F.posexplode("qv").alias("d", "x"))
+               .groupBy("cid", "d")
+               .agg(F.expr("sum(x) div count(*)").alias("m"))
+               .groupBy("cid")
+               .agg(F.array_sort(F.collect_list(F.struct("d", "m")))
+                    .alias("dm"))
+               .select("cid", F.col("dm.m").alias("qv"))
+               .collect())
+        new = {r["cid"]: list(r["qv"]) for r in upd}
+        cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
+
+    return assigned(q, cents), cents
+
+
 def _coarse_train(items: DataFrame, dim: int, n_cells: int, iters: int,
                   seed: int, id_col: str, vec_col: str, sample=None):
     """Seeded k-means coarse centroids over the unit-normalized
