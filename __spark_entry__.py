@@ -1750,13 +1750,15 @@ def q_embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     n_tables=12, seed=7)
 
 
-def _kmeans_oracle_sql(k: int = 8, rounds: int = 3,
-                       dim: int = 64) -> str:
-    """Unrolled-SQL oracle for ``embed_kmeans``: the same quantized
-    Lloyd rounds — assignment by exact integer squared distance with
-    (d2, cid) tie-break, update by per-dim integer mean, empty
-    clusters keeping their previous centroid — sound to unroll
-    because the round count is a fixed parameter."""
+def _kmeans_cte(k: int = 8, rounds: int = 3,
+                dim: int = 64) -> str:
+    """Shared unrolled-SQL Lloyd chain (``embed_kmeans`` /
+    ``ann_ivf_trained_topk`` oracles): the same quantized rounds —
+    assignment by exact integer squared distance with (d2, cid)
+    tie-break, update by per-dim integer mean, empty clusters keeping
+    their previous centroid — sound to unroll because the round count
+    is a fixed parameter.  Ends with ``af`` = the final assignment
+    carrying each vector's quantized array."""
     sql = f"""WITH q AS (
   SELECT vec_id AS id,
          list_transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE)
@@ -1795,23 +1797,53 @@ c{r} AS (
 )"""
     sql += f""",
 af AS (
-  SELECT id, cid, d2 FROM (
+  SELECT id, qv, cid, d2 FROM (
     SELECT *, row_number() OVER (PARTITION BY id
                                  ORDER BY d2, cid) AS rn
-    FROM (SELECT q.id, c.cid,
+    FROM (SELECT q.id, q.qv, c.cid,
                  list_sum(list_transform(generate_series(1, {dim}),
                      i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i])))
                      AS d2
           FROM q, c{rounds} c))
   WHERE rn = 1
-)
+)"""
+    return sql
+
+
+def _kmeans_oracle_sql(k: int = 8, rounds: int = 3,
+                       dim: int = 64) -> str:
+    """``embed_kmeans`` oracle: the shared Lloyd CTE chain, reported
+    as per-cluster size + exact inertia + centroid digest."""
+    return _kmeans_cte(k, rounds, dim) + f"""
 SELECT c.cid, CAST(n.n AS BIGINT) AS n_members,
        CAST(n.inertia AS BIGINT) AS inertia,
        md5(array_to_string(c.qv, ',')) AS centroid_digest
 FROM c{rounds} c
 JOIN (SELECT cid, count(*) AS n, sum(d2) AS inertia
       FROM af GROUP BY 1) n USING (cid)"""
-    return sql
+
+
+def _ivf_trained_oracle_sql(k: int = 8, rounds: int = 2,
+                            dim: int = 64) -> str:
+    """``ann_ivf_trained_topk`` oracle: the same Lloyd CTE chain, then
+    a single-probe IVF search — candidates share the query's trained
+    cell, ranked by exact integer squared L2 with (d2, vec_id)
+    tie-break."""
+    return _kmeans_cte(k, rounds, dim) + f""",
+qs AS (SELECT id AS q_id, qv AS qqv, cid FROM af WHERE id < 5),
+cand AS (
+  SELECT s.q_id, a.id AS vec_id,
+         list_sum(list_transform(generate_series(1, {dim}),
+             i -> (a.qv[i] - s.qqv[i]) * (a.qv[i] - s.qqv[i]))) AS d2
+  FROM af a JOIN qs s USING (cid)
+  WHERE a.id <> s.q_id
+)
+SELECT q_id, CAST(rn AS INTEGER) AS rank, vec_id,
+       CAST(d2 AS BIGINT) AS d2
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY d2, vec_id) AS rn
+      FROM cand)
+WHERE rn <= 5"""
 
 
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1842,6 +1874,40 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_members").cast("long").alias("n_members"),
                     F.col("inertia").cast("long").alias("inertia"),
                     F.md5("cstr").alias("centroid_digest")))
+
+
+def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-cell IVF ANN (round 4, E78 composed): the IVF family's
+    missing tier — cells TRAINED by the distributed integer k-means
+    rather than the fixed hyperoctant quantizer, while keeping the
+    exact-SQL oracle the golden-pinned float tiers can't have (the
+    whole pipeline — training, assignment, probe, re-rank — is integer
+    arithmetic).  Single-probe search: candidates share the query's
+    cell, ranked by exact bigint squared L2, (d2, id) tie-break,
+    top-5.  At scale the trained cell is the partition key (the
+    ivf_pq_write_index layout) so a probe prunes to n_probe/k of the
+    FILES; the probe join itself broadcasts only the 5-row query
+    side."""
+    from web_graph_spark.functions.similarity import kmeans_integer
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a, _ = kmeans_integer(emb, k=8, rounds=2)
+    a = a.localCheckpoint()
+    q = (a.filter(F.col("id") < 5)
+         .select(F.col("id").alias("q_id"),
+                 F.col("qv").alias("qqv"), "cid"))
+    d2p = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qqv"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    cand = (a.join(F.broadcast(q), "cid")
+            .filter(F.col("id") != F.col("q_id"))
+            .select("q_id", F.col("id").alias("vec_id"),
+                    d2p.alias("d2")))
+    w = Window.partitionBy("q_id").orderBy("d2", "vec_id")
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("q_id", "rank", "vec_id", "d2"))
 
 
 def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2214,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivfpq_index_topk": q_ann_ivfpq_index_topk,
+        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "embed_near_dup_pairs": q_embed_near_dup_pairs,
         "embed_semdedup": q_embed_semdedup,
         "embed_kmeans": q_embed_kmeans,
@@ -3566,6 +3633,7 @@ SELECT * FROM (
   FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 ) WHERE sim_ppm >= 800000""",
         "embed_kmeans": _kmeans_oracle_sql(8, 3, 64),
+        "ann_ivf_trained_topk": _ivf_trained_oracle_sql(8, 2, 64),
         "embed_semdedup": """
 WITH aug AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -1264,3 +1264,43 @@ def test_kmeans_integer_empty_cluster_keeps_centroid(spark):
     got = {r.id: r.cid for r in a.collect()}
     assert got[0] == got[1] == 0
     assert got[2] == got[3]
+
+
+@pytest.mark.spark
+def test_ivf_trained_recall_vs_brute(spark):
+    """Single-probe recall of the trained-cell IVF tier against the
+    exact integer brute force on the same quantized vectors (sf0.001
+    embeddings): well-trained cells keep most true neighbours in the
+    query's own cell."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+    from web_graph_spark.functions.similarity import kmeans_integer
+
+    sf = "/root/testdata/sf0.001"
+    got = E.q_ann_ivf_trained_topk(spark, sf).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, set()).add(r.vec_id)
+
+    a, _ = kmeans_integer(spark.read.parquet(f"{sf}/embeddings.parquet"),
+                          k=8, rounds=2)
+    a = a.localCheckpoint()
+    q = (a.filter(F.col("id") < 5)
+         .select(F.col("id").alias("q_id"), F.col("qv").alias("qqv")))
+    d2p = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qqv"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    from pyspark.sql import Window
+    w = Window.partitionBy("q_id").orderBy("d2", "vec_id")
+    brute = (a.crossJoin(q).filter(F.col("id") != F.col("q_id"))
+             .select("q_id", F.col("id").alias("vec_id"),
+                     d2p.alias("d2"))
+             .withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= 5).collect())
+    truth = {}
+    for r in brute:
+        truth.setdefault(r.q_id, set()).add(r.vec_id)
+    hits = sum(len(by_q.get(k, set()) & v) for k, v in truth.items())
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.5, f"single-probe recall {hits}/{total}"
