@@ -1084,6 +1084,20 @@ def q_text_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(_docs(spark, sf_dir), SEARCH_TERMS, k=20)
 
 
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval (functions/text.py:bm25_topk) — Lucene's
+    k1=1.2 / b=0.75 defaults rendered as exact integer arithmetic
+    (fractions cleared by 10·T — see the module comment), so the
+    DuckDB oracle reproduces the ranking bit-for-bit.  Unlike
+    text_search_topk's tf-idf this saturates repeated terms and
+    length-normalizes.  Plan: one codegen'd tf+dl scan, a 1-row stats
+    broadcast, TakeOrdered top-k — no global sort at any corpus
+    size."""
+    from web_graph_spark.functions.text import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), SEARCH_TERMS, k=20)
+
+
 def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact (functions/text.py:pii_scrub) over the
     corpus with deterministic synthetic PII injected (emails / IPv4 /
@@ -2248,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
         "text_search_topk": q_text_search_topk,
+        "text_bm25_topk": q_text_bm25_topk,
         "text_inverted_index": q_text_inverted_index,
         "text_phrase_search": q_text_phrase_search,
         "text_cooccurrence": q_text_cooccurrence,
@@ -2921,7 +2936,8 @@ FROM per p JOIN grp g USING (content_md5)""",
 
 
 def _pipeline_oracles() -> dict[str, str]:
-    from web_graph_spark.functions.text import (count_sql, lang_guess_sql,
+    from web_graph_spark.functions.text import (bm25_sql, count_sql,
+                                                lang_guess_sql,
                                                 normalize_sql,
                                                 pii_scrub_sql,
                                                 stopword_count_sql,
@@ -2943,6 +2959,7 @@ docs_dups AS (
     pii = pii_scrub_sql("text")
     return {
         "text_search_topk": tfidf_sql(SEARCH_TERMS, k=20),
+        "text_bm25_topk": bm25_sql(SEARCH_TERMS, k=20),
         "text_inverted_index": f"""
 WITH t AS ({_POSITIONS_SQL}),
 per_doc AS (

@@ -63,6 +63,8 @@ ALLOW: dict[tuple[str, str], str] = {
         "count(pages) x count(links): both sides 1-row HashAggregates",
     ("text_search_topk", "BroadcastNestedLoopJoin"):
         "1-row corpus-stats dim (N docs) joined onto the tf scan",
+    ("text_bm25_topk", "BroadcastNestedLoopJoin"):
+        "1-row corpus-stats dim (N/T/df) joined onto the tf+dl scan",
     ("corpus_importance", "BroadcastNestedLoopJoin"):
         "two 1-row bucket-total dims (raw/target gram counts)",
     ("corpus_perplexity", "BroadcastNestedLoopJoin"):

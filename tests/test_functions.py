@@ -611,6 +611,42 @@ def test_tfidf_topk_ranking(spark):
 
 
 @pytest.mark.spark
+def test_bm25_topk_saturation_and_length_norm(spark):
+    """BM25 semantics the integer rendition must preserve vs tf-idf:
+    (a) tf saturation — 10 repeats of a term score FAR less than 10×
+    one occurrence; (b) length normalization — the same tf in a
+    shorter doc outranks it in a longer doc; (c) scores equal the
+    hand-computed integer formula exactly."""
+    from web_graph_spark.functions.text import (BM25_IDF_SCALE,
+                                                BM25_SCALE, bm25_topk)
+
+    df = spark.createDataFrame(
+        [(1, "cat dog"),                              # tf=1, dl=2
+         (2, "cat cat cat cat cat cat cat cat cat cat"),  # tf=10, dl=10
+         (3, "cat " + "filler " * 18 + "end"),        # tf=1, dl=20
+         (4, "no match here")],
+        "doc_id long, text string")
+    rows = bm25_topk(df, ("cat",), k=10).collect()
+    got = {r["doc_id"]: r["score"] for r in rows}
+
+    n, total = 4, 2 + 10 + 20 + 3
+    idf = (n * BM25_IDF_SCALE) // (3 + 1)
+
+    def sat(tf, dl):
+        return ((22 * total * tf * BM25_SCALE)
+                // (10 * total * tf + 3 * total + 9 * dl * n))
+
+    assert got == {d: idf * sat(tf, dl)
+                   for d, tf, dl in [(1, 1, 2), (2, 10, 10), (3, 1, 20)]}
+    # saturation: 10× tf buys < 2× score
+    assert got[2] < 2 * got[1]
+    # length norm: same tf, shorter doc wins
+    assert got[1] > got[3]
+    # rank order: saturated-but-high-tf doc 2 still first, then 1, 3
+    assert [r["doc_id"] for r in rows] == [2, 1, 3]
+
+
+@pytest.mark.spark
 def test_minhash_incremental_equals_full(spark, docs, tmp_path):
     """E47: deduping a new batch against a persisted signature index
     (old signatures never recomputed) finds EXACTLY the pairs of a

@@ -719,6 +719,66 @@ def tfidf_topk(df: DataFrame, terms: tuple[str, ...], k: int = 20,
                     *[f"tf_{t}" for t in terms]))
 
 
+# BM25 with k1 = 1.2, b = 0.75 rendered as EXACT integer arithmetic.
+# The per-term saturation tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+# with avgdl = T/N clears all fractions when multiplied by 10·T:
+#     (22·T·tf) / (10·T·tf + 3·T + 9·dl·N)
+# — numerator and denominator are plain int64 products, so Spark `div`
+# and DuckDB `//` agree bit-for-bit.  idf keeps tfidf_topk's log-free
+# monotone form (N·SCALE) div (df+1).  int64 headroom: the largest
+# intermediate is 22·T·tf·BM25_SCALE ≈ 2e16 at sf0.1 (T≈1e7, tf≤1e2);
+# a true 100 TB corpus (T≈1e12) promotes these four products to
+# decimal(38,0) — same expressions, wider type.
+BM25_SCALE = 1_000_000      # saturation fixed-point scale
+BM25_IDF_SCALE = 10_000     # idf scale (kept small: the two multiply)
+
+
+def bm25_topk(df: DataFrame, terms: tuple[str, ...], k: int = 20,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic BM25 top-k retrieval (Robertson/Sparck-Jones as
+    popularized by Lucene defaults k1=1.2, b=0.75) — unlike tf-idf it
+    saturates repeated terms and normalizes by document length, the
+    ranking an LLM-corpus curation pass actually wants for "the k docs
+    most about X" extraction.
+
+    score(d) = Σ_t idf_t · ((22·T·tf·S) div (10·T·tf + 3·T + 9·dl·N))
+
+    all-integer (see module comment), so the DuckDB oracle reproduces
+    the ranking bit-for-bit.  Physical shape — identical to
+    :func:`tfidf_topk`, the 100 TB plan: tf and dl come from ONE
+    codegen'd scan (word-boundary ``regexp_count``); N/T/df_t are ONE
+    single-row aggregate broadcast back over the scored rows; the
+    top-k cut is TakeOrdered (map-side per-partition heap, k·P driver
+    merge), never a global sort."""
+    from pyspark.sql import Window
+
+    low = F.lower(F.col(text_col))
+    tf_cols = [F.regexp_count(low, F.lit(rf"\b{t}\b")).cast("long")
+               .alias(f"tf_{t}") for t in terms]
+    tf = df.select(F.col(id_col), *tf_cols,
+                   token_count(F.col(text_col)).cast("long").alias("dl"))
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+        *[F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+          for t in terms])
+    scored = tf.crossJoin(F.broadcast(stats))
+    score = None
+    for t in terms:
+        c = F.expr(
+            f"((n_docs * {BM25_IDF_SCALE}L) div (df_{t} + 1L)) * "
+            f"((22L * total_len * tf_{t} * {BM25_SCALE}L) div "
+            f"(10L * total_len * tf_{t} + 3L * total_len + 9L * dl * n_docs))")
+        score = c if score is None else score + c
+    scored = (scored.withColumn("score", score.cast("long"))
+              .filter(F.col("score") > 0))
+    top = scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score"), F.col(id_col))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", id_col, "score", "dl",
+                    *[f"tf_{t}" for t in terms]))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL mirrors (generated from the same constants so the
 # two dialects cannot drift)
@@ -796,6 +856,50 @@ r AS (
   FROM s WHERE score > 0
 )
 SELECT rank, {id_col}, score, {tf_out} FROM r WHERE rank <= {k}"""
+
+
+def bm25_sql(terms: tuple[str, ...], k: int = 20,
+             id_col: str = "doc_id", expr: str = "text",
+             table: str = "documents") -> str:
+    """DuckDB mirror of bm25_topk (same integer k1/b arithmetic)."""
+    def _tf(t: str) -> str:
+        pat = "\\b" + t + "\\b"
+        return (f"CAST({count_sql(f'lower({expr})', pat)} AS BIGINT)"
+                f" AS tf_{t}")
+
+    tf_cols = ",\n    ".join(_tf(t) for t in terms)
+    df_cols = ",\n    ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in terms)
+    score = " + ".join(
+        f"((n_docs * {BM25_IDF_SCALE}) // (df_{t} + 1)) * "
+        f"((22 * total_len * tf_{t} * {BM25_SCALE}) // "
+        f"(10 * total_len * tf_{t} + 3 * total_len + 9 * dl * n_docs))"
+        for t in terms)
+    tf_out = ", ".join(f"tf_{t}" for t in terms)
+    dl_sql = count_sql(expr, r"\S+")
+    return f"""
+WITH tf AS (
+  SELECT {id_col},
+    {tf_cols},
+    CAST({dl_sql} AS BIGINT) AS dl
+  FROM {table}
+),
+d AS (
+  SELECT count(*) AS n_docs, sum(dl) AS total_len,
+    {df_cols}
+  FROM tf
+),
+s AS (
+  SELECT tf.{id_col}, CAST({score} AS BIGINT) AS score, dl, {tf_out}
+  FROM tf, d
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, {id_col})
+                 AS INTEGER) AS rank
+  FROM s WHERE score > 0
+)
+SELECT rank, {id_col}, score, dl, {tf_out} FROM r WHERE rank <= {k}"""
 
 
 def lang_guess_sql(expr: str = "text") -> str:
