@@ -1098,6 +1098,34 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), SEARCH_TERMS, k=20)
 
 
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText quality gates (functions/text.py:
+    gopher_rules E81) — the published hard-filter set (word count,
+    mean word length, symbol/bullet/ellipsis ratios, alpha-word
+    fraction, distinct-stopword floor) as exact integer bp/x100
+    gates.  The synthetic corpus is single-line word soup, so
+    deterministic multi-line bullet / ellipsis / symbol / numeric
+    tails are injected by doc_id congruence (the pii_scrub pattern;
+    the oracle injects identically), exercising every rule both ways.
+    Zero shuffles: one codegen'd regexp projection."""
+    from web_graph_spark.functions.text import gopher_rules
+
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(did % 9 == 0,
+               F.lit("\n- alpha\n- beta\n- gamma")).otherwise(F.lit("")),
+        F.when(did % 13 == 0,
+               F.lit("\nto be continued...\nmore soon...")
+               ).otherwise(F.lit("")),
+        F.when(did % 17 == 0, F.lit(" ### ## # ...")).otherwise(F.lit("")),
+        F.when(did % 23 == 0,
+               F.lit(" 123 456 789 101 112 131 415 161 718 192")
+               ).otherwise(F.lit("")))
+    return gopher_rules(
+        _docs(spark, sf_dir).select("doc_id", injected.alias("text")))
+
+
 def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact (functions/text.py:pii_scrub) over the
     corpus with deterministic synthetic PII injected (emails / IPv4 /
@@ -2263,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_search_topk": q_text_search_topk,
         "text_bm25_topk": q_text_bm25_topk,
+        "text_gopher_rules": q_text_gopher_rules,
         "text_inverted_index": q_text_inverted_index,
         "text_phrase_search": q_text_phrase_search,
         "text_cooccurrence": q_text_cooccurrence,
@@ -2937,11 +2966,26 @@ FROM per p JOIN grp g USING (content_md5)""",
 
 def _pipeline_oracles() -> dict[str, str]:
     from web_graph_spark.functions.text import (bm25_sql, count_sql,
+                                                gopher_sql,
                                                 lang_guess_sql,
                                                 normalize_sql,
                                                 pii_scrub_sql,
                                                 stopword_count_sql,
                                                 tfidf_sql)
+
+    gopher_inj = """
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 9 = 0 THEN chr(10) || '- alpha' || chr(10)
+         || '- beta' || chr(10) || '- gamma' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'to be continued...'
+         || chr(10) || 'more soon...' ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN ' ### ## # ...' ELSE '' END
+    || CASE WHEN doc_id % 23 = 0
+         THEN ' 123 456 789 101 112 131 415 161 718 192' ELSE '' END
+    AS text
+  FROM documents"""
+    gopher = gopher_sql(table="inj").replace(
+        "WITH c AS", f"WITH inj AS ({gopher_inj}),\nc AS", 1)
 
     norm = normalize_sql("text")
     n_tok = count_sql("text", r"\S+")
@@ -2960,6 +3004,7 @@ docs_dups AS (
     return {
         "text_search_topk": tfidf_sql(SEARCH_TERMS, k=20),
         "text_bm25_topk": bm25_sql(SEARCH_TERMS, k=20),
+        "text_gopher_rules": gopher,
         "text_inverted_index": f"""
 WITH t AS ({_POSITIONS_SQL}),
 per_doc AS (

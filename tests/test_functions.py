@@ -647,6 +647,40 @@ def test_bm25_topk_saturation_and_length_norm(spark):
 
 
 @pytest.mark.spark
+def test_gopher_rules_each_gate(spark):
+    """Each Gopher gate must fail in isolation on a doc crafted to
+    violate exactly that rule (the corpus-level contract query can't
+    exercise ok_wordlen/ok_bullet, so they are pinned here)."""
+    from web_graph_spark.functions.text import gopher_rules
+
+    good = ("the fine " + "reasonably sized words appear here and "
+            * 9).strip()                       # 56 words, all gates pass
+    docs = [
+        (0, good),
+        (1, "the a of and is to in words"),    # too few words
+        (2, ("ab " * 60 + "the a of").strip()),   # mean wordlen < 3
+        (3, good + " " + "# " * 12),           # symbol ratio > 0.1
+        (4, "the a\n" + "\n".join("- b" for _ in range(20))),  # bullets
+        (5, good.replace(" and ", "...\nand ", 10)),  # ellipsis lines
+        (6, good + " " + "123 " * 20),         # alpha fraction < 0.8
+        (7, ("zz yy xx ww vv uu tt ss rr qq " * 6).strip()),  # no stops
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert rows[0]["passes"]
+    fail_flag = {1: "ok_words", 2: "ok_wordlen", 3: "ok_symbol",
+                 4: "ok_bullet", 5: "ok_ellipsis", 6: "ok_alpha",
+                 7: "ok_stop"}
+    for d, flag in fail_flag.items():
+        assert not rows[d][flag], (d, flag, rows[d])
+        assert not rows[d]["passes"]
+    # mean word length is exact integer x100: doc 0 sanity
+    n_nonspace = sum(len(w) for w in docs[0][1].split())
+    n_words = len(docs[0][1].split())
+    assert rows[0]["mean_wordlen_x100"] == (n_nonspace * 100) // n_words
+
+
+@pytest.mark.spark
 def test_minhash_incremental_equals_full(spark, docs, tmp_path):
     """E47: deduping a new batch against a persisted signature index
     (old signatures never recomputed) finds EXACTLY the pairs of a

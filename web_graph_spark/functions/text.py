@@ -719,6 +719,86 @@ def tfidf_topk(df: DataFrame, terms: tuple[str, ...], k: int = 20,
                     *[f"tf_{t}" for t in terms]))
 
 
+# Gopher/MassiveText document-quality rules (Rae et al. 2021, table A1
+# — a public filter set distinct from with_quality's composite score):
+# hard per-document pass/fail gates, each rendered as exact integer
+# ratios (bp / x100 fixed-point, floor division) so the DuckDB oracle
+# agrees bit-for-bit.  Thresholds are the paper's.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WORDLEN_X100 = 300      # mean word length ≥ 3 chars
+GOPHER_MAX_WORDLEN_X100 = 1_000    # ≤ 10 chars
+GOPHER_MAX_SYMBOL_BP = 1_000       # (# + …) per word ≤ 0.1
+GOPHER_MAX_BULLET_BP = 9_000       # < 90% of lines bullet-led
+GOPHER_MAX_ELLIPSIS_BP = 3_000     # < 30% of lines …-terminated
+GOPHER_MIN_ALPHA_BP = 8_000        # ≥ 80% words contain a letter
+GOPHER_MIN_STOP_KINDS = 2          # ≥ 2 distinct stopwords present
+
+_BULLET_LINE = r"(?:^|\n)[ \t]*[-*•]"
+_ELLIPSIS_LINE = r"\.\.\.(?:\n|$)"
+_ALPHA_WORD = r"[^\s]*[A-Za-z][^\s]*"
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document Gopher rule evaluation: every gate as a visible
+    integer column plus its boolean flag, `passes` = AND of all gates
+    — the form a curation pipeline wants (audit WHY a doc dropped,
+    not just that it did).
+
+    100 TB shape: a single codegen'd projection — every count is a
+    JVM ``regexp_count`` over the text column, no shuffle, no Python;
+    filters compose downstream as a plain ``WHERE passes``."""
+    t = F.col(text_col)
+    n_words = token_count(t).cast("long")
+    n_nonspace = (F.length(t) - F.regexp_count(t, F.lit(r"\s"))).cast("long")
+    n_lines = (F.regexp_count(t, F.lit(r"\n")) + 1).cast("long")
+    n_bullet = F.regexp_count(t, F.lit(_BULLET_LINE)).cast("long")
+    n_ellipsis = F.regexp_count(t, F.lit(_ELLIPSIS_LINE)).cast("long")
+    n_symbol = (F.regexp_count(t, F.lit(r"#"))
+                + F.regexp_count(t, F.lit(r"\.\.\."))).cast("long")
+    n_alpha = F.regexp_count(t, F.lit(_ALPHA_WORD)).cast("long")
+    n_stop = sum(((F.regexp_count(F.lower(t), F.lit(rf"\b{w}\b")) > 0)
+                  .cast("long") for w in STOPWORDS), F.lit(0)).cast("long")
+
+    base = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_nonspace.alias("n_nonspace"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet"),
+        n_ellipsis.alias("n_ellipsis"),
+        n_symbol.alias("n_symbol"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stop_kinds"))
+    e = F.expr
+    scored = base.select(
+        id_col, "n_words", "n_stop_kinds",
+        e("(n_nonspace * 100) div greatest(n_words, 1)")
+        .alias("mean_wordlen_x100"),
+        e("(n_symbol * 10000) div greatest(n_words, 1)")
+        .alias("symbol_ratio_bp"),
+        e("(n_bullet * 10000) div n_lines").alias("bullet_line_bp"),
+        e("(n_ellipsis * 10000) div n_lines").alias("ellipsis_line_bp"),
+        e("(n_alpha * 10000) div greatest(n_words, 1)")
+        .alias("alpha_word_bp"))
+    flags = {
+        "ok_words": f"n_words BETWEEN {GOPHER_MIN_WORDS} "
+                    f"AND {GOPHER_MAX_WORDS}",
+        "ok_wordlen": f"mean_wordlen_x100 BETWEEN {GOPHER_MIN_WORDLEN_X100} "
+                      f"AND {GOPHER_MAX_WORDLEN_X100}",
+        "ok_symbol": f"symbol_ratio_bp <= {GOPHER_MAX_SYMBOL_BP}",
+        "ok_bullet": f"bullet_line_bp < {GOPHER_MAX_BULLET_BP}",
+        "ok_ellipsis": f"ellipsis_line_bp < {GOPHER_MAX_ELLIPSIS_BP}",
+        "ok_alpha": f"alpha_word_bp >= {GOPHER_MIN_ALPHA_BP}",
+        "ok_stop": f"n_stop_kinds >= {GOPHER_MIN_STOP_KINDS}",
+    }
+    for name, cond in flags.items():
+        scored = scored.withColumn(name, e(cond))
+    return scored.withColumn(
+        "passes", e(" AND ".join(flags)))
+
+
 # BM25 with k1 = 1.2, b = 0.75 rendered as EXACT integer arithmetic.
 # The per-term saturation tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
 # with avgdl = T/N clears all fractions when multiplied by 10·T:
@@ -856,6 +936,64 @@ r AS (
   FROM s WHERE score > 0
 )
 SELECT rank, {id_col}, score, {tf_out} FROM r WHERE rank <= {k}"""
+
+
+def gopher_sql(expr: str = "text", id_col: str = "doc_id",
+               table: str = "documents") -> str:
+    """DuckDB mirror of gopher_rules (same integer gates, same regex
+    counts via RE2 — non-overlapping scan semantics match Java's for
+    every pattern used here)."""
+    stop_kinds = " + ".join(
+        "(CASE WHEN " + count_sql(f"lower({expr})", rf"\b{w}\b")
+        + " > 0 THEN 1 ELSE 0 END)" for w in STOPWORDS)
+    c_words = count_sql(expr, r"[^\s]+")
+    c_space = count_sql(expr, r"\s")
+    c_nl = count_sql(expr, r"\n")
+    c_bullet = count_sql(expr, _BULLET_LINE)
+    c_ellipsis = count_sql(expr, _ELLIPSIS_LINE)
+    c_hash = count_sql(expr, "#")
+    c_dots = count_sql(expr, r"\.\.\.")
+    c_alpha = count_sql(expr, _ALPHA_WORD)
+    counts = f"""
+  SELECT {id_col},
+    CAST({c_words} AS BIGINT) AS n_words,
+    CAST(length({expr}) - {c_space} AS BIGINT) AS n_nonspace,
+    CAST({c_nl} + 1 AS BIGINT) AS n_lines,
+    CAST({c_bullet} AS BIGINT) AS n_bullet,
+    CAST({c_ellipsis} AS BIGINT) AS n_ellipsis,
+    CAST({c_hash} + {c_dots} AS BIGINT) AS n_symbol,
+    CAST({c_alpha} AS BIGINT) AS n_alpha,
+    CAST({stop_kinds} AS BIGINT) AS n_stop_kinds
+  FROM {table}"""
+    return f"""
+WITH c AS ({counts}),
+s AS (
+  SELECT {id_col}, n_words, n_stop_kinds,
+    (n_nonspace * 100) // greatest(n_words, 1) AS mean_wordlen_x100,
+    (n_symbol * 10000) // greatest(n_words, 1) AS symbol_ratio_bp,
+    (n_bullet * 10000) // n_lines AS bullet_line_bp,
+    (n_ellipsis * 10000) // n_lines AS ellipsis_line_bp,
+    (n_alpha * 10000) // greatest(n_words, 1) AS alpha_word_bp
+  FROM c
+)
+SELECT *,
+  n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS ok_words,
+  mean_wordlen_x100 BETWEEN {GOPHER_MIN_WORDLEN_X100}
+    AND {GOPHER_MAX_WORDLEN_X100} AS ok_wordlen,
+  symbol_ratio_bp <= {GOPHER_MAX_SYMBOL_BP} AS ok_symbol,
+  bullet_line_bp < {GOPHER_MAX_BULLET_BP} AS ok_bullet,
+  ellipsis_line_bp < {GOPHER_MAX_ELLIPSIS_BP} AS ok_ellipsis,
+  alpha_word_bp >= {GOPHER_MIN_ALPHA_BP} AS ok_alpha,
+  n_stop_kinds >= {GOPHER_MIN_STOP_KINDS} AS ok_stop,
+  (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+    AND (mean_wordlen_x100 BETWEEN {GOPHER_MIN_WORDLEN_X100}
+         AND {GOPHER_MAX_WORDLEN_X100})
+    AND symbol_ratio_bp <= {GOPHER_MAX_SYMBOL_BP}
+    AND bullet_line_bp < {GOPHER_MAX_BULLET_BP}
+    AND ellipsis_line_bp < {GOPHER_MAX_ELLIPSIS_BP}
+    AND alpha_word_bp >= {GOPHER_MIN_ALPHA_BP}
+    AND n_stop_kinds >= {GOPHER_MIN_STOP_KINDS} AS passes
+FROM s"""
 
 
 def bm25_sql(terms: tuple[str, ...], k: int = 20,
