@@ -2207,6 +2207,24 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_events")))
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase
+    (functions/stats.py:funnel_steps E82): users reaching each stage
+    where stage i must occur at-or-after the user's earliest
+    qualifying stage i-1, with exact integer-bp conversions.  ONE
+    user-key shuffle carries the whole chain (shared-window running
+    mins); the oracle is the independent join-chain algorithm.
+    Restricted to day 1 with a 4th step (signup) so every stage
+    visibly drops off (134 → 56 → 19 → 3 → 1 at sf0.01; the full
+    month converts everyone — zero discrimination)."""
+    from web_graph_spark.functions.stats import funnel_steps
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("ts") < F.lit("2024-01-02 00:00:00")
+                  .cast("timestamp_ntz")))
+    return funnel_steps(ev, steps=("view", "click", "purchase", "signup"))
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregate (batch view of T1 streaming agg)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -2339,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_quantiles": q_events_quantiles,
         "events_hourly": q_events_hourly,
+        "events_funnel": q_events_funnel,
         "tpch_q1": q_tpch_q1,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
@@ -2962,6 +2981,14 @@ SELECT p.media_id, p.content_md5, g.keep_id, g.n_copies,
        p.media_id <> g.keep_id AS is_dup
 FROM per p JOIN grp g USING (content_md5)""",
     }
+
+
+def _funnel_oracle() -> str:
+    from web_graph_spark.functions.stats import funnel_sql
+    return funnel_sql(
+        steps=("view", "click", "purchase", "signup"),
+        table="(SELECT * FROM events "
+              "WHERE ts < TIMESTAMP '2024-01-02 00:00:00')")
 
 
 def _pipeline_oracles() -> dict[str, str]:
@@ -3724,6 +3751,7 @@ pairs AS (
 dup AS (SELECT b_id AS vec_id, min(a_id) AS dup_of FROM pairs GROUP BY 1)
 SELECT c.vec_id, c.cell, d.dup_of IS NULL AS keep, d.dup_of
 FROM c LEFT JOIN dup d ON d.vec_id = c.vec_id""",
+        "events_funnel": _funnel_oracle(),
         "events_quantiles": """
 WITH hist AS (
   SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v,

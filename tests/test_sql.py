@@ -114,3 +114,40 @@ def test_exact_quantiles_vs_numpy_sort(spark):
     assert (got.n_rows, got.p50, got.p95, got.p99) == (
         100, q(50), q(95), q(99))
     assert (q(50), q(95), q(99)) == (1, 10, 100)
+
+
+@pytest.mark.spark
+def test_funnel_steps_semantics(spark):
+    """Funnel ordering rules: a step counts only at-or-after the
+    user's earliest qualifying previous step; equal-timestamp ties
+    count in step order; pre-step events never count; the chain is
+    per-user isolated.  Plan: the whole chain must ride ONE user-key
+    Exchange."""
+    from web_graph_spark.functions.stats import funnel_steps
+
+    rows = [
+        # u1: clean view(10) -> click(20) -> purchase(30): full funnel
+        (1, 10, "view", 1), (2, 20, "click", 1), (3, 30, "purchase", 1),
+        # u2: click BEFORE any view, purchase after -> view only after,
+        # so click at ts=5 must NOT count; the later click does
+        (4, 5, "click", 2), (5, 10, "view", 2), (6, 15, "click", 2),
+        # u3: click at the SAME ts as the first view -> counts (>=);
+        # purchase same ts as that click -> counts too
+        (7, 10, "view", 3), (8, 10, "click", 3), (9, 10, "purchase", 3),
+        # u4: purchase(15) precedes the qualifying click(20) -> the
+        # click stage is reached but the purchase must NOT count
+        (10, 10, "view", 4), (11, 15, "purchase", 4), (12, 20, "click", 4),
+        # u5: never views -> counts in n_users only
+        (13, 10, "click", 5), (14, 20, "purchase", 5),
+    ]
+    ev = spark.createDataFrame(
+        [(eid, float(ts), typ, uid) for eid, ts, typ, uid in rows],
+        "event_id long, tsd double, event_type string, user_id long"
+    ).withColumn("ts", F.col("tsd").cast("timestamp")).drop("tsd")
+    got = funnel_steps(ev).collect()[0]
+    assert (got.n_users, got.n_view, got.n_click, got.n_purchase) == \
+        (5, 4, 4, 2)
+    assert (got.conv_view_bp, got.conv_click_bp, got.conv_purchase_bp) \
+        == ((4 * 10000) // 5, 10000, (2 * 10000) // 4)
+    plan = funnel_steps(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1

@@ -44,3 +44,102 @@ def exact_quantiles(df: DataFrame, group_col: str, value_int,
         aggs.append(F.min(F.when(F.col("cum") >= k, F.col("v")))
                     .cast("long").alias(f"p{q}"))
     return (cum.groupBy(F.col("g").alias(group_col)).agg(*aggs))
+
+
+def funnel_steps(events: DataFrame,
+                 steps: tuple[str, ...] = ("view", "click", "purchase"),
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type",
+                 id_col: str = "event_id") -> DataFrame:
+    """Ordered conversion funnel: how many users performed step 1,
+    then step 2 AT OR AFTER their earliest qualifying step 1, then
+    step 3 at or after that step 2, … — the product-analytics
+    primitive (Amplitude/Mixpanel funnels) a behavioral dataset
+    pipeline reports on.
+
+    Semantics: t_1(u) = min ts of step-1 events; t_i(u) = min ts of
+    step-i events with ts ≥ t_{i-1}(u).  Ties at equal ts count in
+    step order (a click stamped the same microsecond as the first
+    view converts).
+
+    100 TB shape: ONE hash shuffle on the user key + one per-user
+    sort carries the WHOLE chain — the running-min windows for every
+    step share a single (partition, order) spec, so Catalyst plans
+    one Exchange + one Sort + N pipelined Window nodes, then a
+    per-user hash agg and a 1-row global agg.  No self-joins: the
+    equivalent join-chain (min-agg per step, join back, repeat)
+    shuffles len(steps) times — that form is left to the DuckDB
+    oracle, which makes it a genuinely independent algorithm.
+
+    Per-row derivation: ordering by (ts, step-priority, event_id)
+    puts step i-1 before step i at equal ts, so "qualifying" is just
+    'the running min of the previous step's qualifying timestamps is
+    non-null at this row' — rows are time-ordered, hence every
+    candidate's ts ≥ any running min over its prefix.
+
+    Returns ONE row: n_users, n_<step>… (users reaching each stage),
+    conv_<step>_bp (basis points vs the previous stage; step 1 vs all
+    users), all exact integers."""
+    pri = "CASE " + " ".join(
+        f"WHEN {type_col} = '{s}' THEN {i}" for i, s in enumerate(steps)
+    ) + f" ELSE {len(steps)} END"
+    w = (Window.partitionBy(user_col)
+         .orderBy(ts_col, F.expr(pri), id_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+
+    df = events.select(user_col, ts_col, type_col, id_col)
+    qual_prev = None   # running min of previous step's qualifying ts
+    user_flags = []
+    for i, s in enumerate(steps):
+        is_step = F.col(type_col) == s
+        qual = is_step if qual_prev is None else \
+            (is_step & qual_prev.isNotNull())
+        df = df.withColumn(f"q_{i}", F.when(qual, F.col(ts_col)))
+        qual_prev = F.min(f"q_{i}").over(w)
+        df = df.withColumn(f"r_{i}", qual_prev)
+        user_flags.append(
+            F.max(F.col(f"q_{i}").isNotNull().cast("long"))
+            .alias(f"u_{i}"))
+        qual_prev = F.col(f"r_{i}")
+
+    per_user = df.groupBy(user_col).agg(*user_flags)
+    aggs = [F.count(F.lit(1)).alias("n_users")]
+    for i, s in enumerate(steps):
+        aggs.append(F.sum(f"u_{i}").cast("long").alias(f"n_{s}"))
+    out = per_user.agg(*aggs)
+    convs = []
+    prev = "n_users"
+    for s in steps:
+        convs.append(F.expr(f"(n_{s} * 10000) div greatest({prev}, 1)")
+                     .alias(f"conv_{s}_bp"))
+        prev = f"n_{s}"
+    return out.select("n_users", *[f"n_{s}" for s in steps], *convs)
+
+
+def funnel_sql(steps: tuple[str, ...] = ("view", "click", "purchase"),
+               table: str = "events") -> str:
+    """DuckDB mirror of funnel_steps via the INDEPENDENT algorithm:
+    a chain of min-aggregate + join CTEs (t_i = min ts of step-i
+    events ≥ t_{i-1}), not the window form the Spark side uses."""
+    ctes = [f"t0 AS (SELECT user_id, min(ts) AS ts0 FROM {table} "
+            f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"]
+    for i, s in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"t{i} AS (SELECT e.user_id, min(e.ts) AS ts{i} "
+            f"FROM {table} e JOIN t{i-1} p USING (user_id) "
+            f"WHERE e.event_type = '{s}' AND e.ts >= p.ts{i-1} "
+            f"GROUP BY e.user_id)")
+    n_cols = [f"(SELECT count(*) FROM (SELECT DISTINCT user_id "
+              f"FROM {table})) AS n_users"]
+    for i, s in enumerate(steps):
+        n_cols.append(f"(SELECT count(*) FROM t{i}) AS n_{s}")
+    convs, prev = [], "n_users"
+    for s in steps:
+        convs.append(f"(n_{s} * 10000) // greatest({prev}, 1) "
+                     f"AS conv_{s}_bp")
+        prev = f"n_{s}"
+    return ("WITH " + ",\n".join(ctes)
+            + ",\nc AS (SELECT " + ", ".join(n_cols) + ")\n"
+            + "SELECT n_users, "
+            + ", ".join(f"n_{s}" for s in steps) + ", "
+            + ", ".join(convs) + " FROM c")
