@@ -2225,6 +2225,17 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_steps(ev, steps=("view", "click", "purchase", "signup"))
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (functions/stats.py:cohort_retention
+    E83): first-active-day cohorts × integer day offsets with exact
+    bp retention.  One map-side-combined (user, day) distinct, a
+    co-partitioned user agg, count(*) cells (no count-distinct), a
+    broadcast cohort-size dim."""
+    from web_graph_spark.functions.stats import cohort_retention
+
+    return cohort_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregate (batch view of T1 streaming agg)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -2358,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": q_events_quantiles,
         "events_hourly": q_events_hourly,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "tpch_q1": q_tpch_q1,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
@@ -2989,6 +3001,11 @@ def _funnel_oracle() -> str:
         steps=("view", "click", "purchase", "signup"),
         table="(SELECT * FROM events "
               "WHERE ts < TIMESTAMP '2024-01-02 00:00:00')")
+
+
+def _retention_oracle() -> str:
+    from web_graph_spark.functions.stats import cohort_retention_sql
+    return cohort_retention_sql()
 
 
 def _pipeline_oracles() -> dict[str, str]:
@@ -3752,6 +3769,7 @@ dup AS (SELECT b_id AS vec_id, min(a_id) AS dup_of FROM pairs GROUP BY 1)
 SELECT c.vec_id, c.cell, d.dup_of IS NULL AS keep, d.dup_of
 FROM c LEFT JOIN dup d ON d.vec_id = c.vec_id""",
         "events_funnel": _funnel_oracle(),
+        "events_retention": _retention_oracle(),
         "events_quantiles": """
 WITH hist AS (
   SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v,

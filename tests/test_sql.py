@@ -151,3 +151,33 @@ def test_funnel_steps_semantics(spark):
         == ((4 * 10000) // 5, 10000, (2 * 10000) // 4)
     plan = funnel_steps(ev)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+@pytest.mark.spark
+def test_cohort_retention_hand_case(spark):
+    """Hand-checkable cohort matrix: two cohorts, partial return
+    days; day-0 retention is 10000 bp by definition; a user's repeat
+    events within one day count once."""
+    from web_graph_spark.functions.stats import cohort_retention
+
+    rows = [  # (event_id, day, user)
+        (1, 0, 1), (2, 0, 1), (3, 0, 2),       # cohort 0 = {1, 2}
+        (4, 1, 1),                             # day 1: only u1 back
+        (5, 1, 3),                             # cohort 1 = {3}
+        (6, 2, 1), (7, 2, 2), (8, 2, 3),       # day 2: all active
+    ]
+    ev = spark.createDataFrame(
+        [(eid, float(d * 86400), uid) for eid, d, uid in rows],
+        "event_id long, tsd double, user_id long"
+    ).withColumn("ts", (F.col("tsd") + F.unix_timestamp(
+        F.lit("2024-01-01 00:00:00"))).cast("timestamp")).drop("tsd")
+    got = {(r.cohort_day, r.day_offset):
+           (r.cohort_size, r.n_active, r.retention_bp)
+           for r in cohort_retention(ev).collect()}
+    assert got == {
+        (0, 0): (2, 2, 10000),
+        (0, 1): (2, 1, 5000),
+        (0, 2): (2, 2, 10000),
+        (1, 0): (1, 1, 10000),
+        (1, 1): (1, 1, 10000),
+    }

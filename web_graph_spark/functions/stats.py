@@ -143,3 +143,62 @@ def funnel_sql(steps: tuple[str, ...] = ("view", "click", "purchase"),
             + "SELECT n_users, "
             + ", ".join(f"n_{s}" for s in steps) + ", "
             + ", ".join(convs) + " FROM c")
+
+
+def cohort_retention(events: DataFrame, anchor: str = "2024-01-01",
+                     user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day
+    (cohort), then for each later day-offset the fraction of the
+    cohort active again — the other product-analytics table every
+    behavioral dataset ships with (funnel = conversion, this =
+    retention).
+
+    100 TB shape: (user, day) activity is ONE distinct (map-side
+    combined — a user's thousandth event that day dies in the
+    partial agg); cohorts are a user-key agg co-partitioned with it;
+    since (user, day) rows are unique, per-cell counts are plain
+    ``count(*)`` — no count-distinct shuffle.  Cohort sizes join back
+    on the cohort day (≤ days-in-corpus rows — broadcast).  Days are
+    exact integer offsets from the anchor (``datediff``), never
+    date strings, so engines can't disagree on formatting."""
+    day = F.datediff(F.to_date(ts_col), F.to_date(F.lit(anchor)))
+    active = (events.select(F.col(user_col).alias("u"),
+                            day.cast("long").alias("day"))
+              .distinct())
+    firsts = active.groupBy("u").agg(F.min("day").alias("cohort_day"))
+    cells = (active.join(firsts, "u")
+             .groupBy("cohort_day",
+                      (F.col("day") - F.col("cohort_day"))
+                      .alias("day_offset"))
+             .agg(F.count(F.lit(1)).alias("n_active")))
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    return (cells.join(F.broadcast(sizes), "cohort_day")
+            .select("cohort_day", "day_offset", "cohort_size", "n_active",
+                    F.expr("(n_active * 10000) div cohort_size")
+                    .alias("retention_bp")))
+
+
+def cohort_retention_sql(anchor: str = "2024-01-01",
+                         table: str = "events") -> str:
+    """DuckDB mirror of cohort_retention."""
+    return f"""
+WITH active AS (
+  SELECT DISTINCT user_id AS u,
+    CAST(datediff('day', DATE '{anchor}', CAST(ts AS DATE)) AS BIGINT)
+      AS day
+  FROM {table}
+),
+firsts AS (SELECT u, min(day) AS cohort_day FROM active GROUP BY u),
+cells AS (
+  SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+         count(*) AS n_active
+  FROM active a JOIN firsts f USING (u)
+  GROUP BY 1, 2
+),
+sizes AS (SELECT cohort_day, count(*) AS cohort_size
+          FROM firsts GROUP BY 1)
+SELECT c.cohort_day, c.day_offset, s.cohort_size, c.n_active,
+       (c.n_active * 10000) // s.cohort_size AS retention_bp
+FROM cells c JOIN sizes s USING (cohort_day)"""
