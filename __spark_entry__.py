@@ -912,6 +912,20 @@ def q_graph_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1000))
 
 
+def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction (operators/graph_algos.py:
+    ra_link_predict E84): non-adjacent pairs ranked by Σ 1/deg(z)
+    over common neighbors z, exact integer ppm (the Adamic-Adar
+    family with div instead of float log).  Center-degree cap kills
+    hub wedge blowup BEFORE the self-join; known edges drop by
+    left-anti; TakeOrdered top-k."""
+    from web_graph_spark.operators.graph_algos import ra_link_predict
+
+    e = (webgen.links_full_df(spark, sf_dir).filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    return ra_link_predict(e)
+
+
 def q_graph_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation per target page — what a search/ranking
     pipeline derives from a web graph (the edge `text` is often a
@@ -2302,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_host_graph": q_graph_host_graph,
         "graph_anchor_text": q_graph_anchor_text,
         "graph_cocitation": q_graph_cocitation,
+        "graph_link_predict": q_graph_link_predict,
         "graph_components": q_graph_components,
         "graph_triangles": q_graph_triangles,
         "graph_bfs_depths": q_graph_bfs_depths,
@@ -2729,6 +2744,32 @@ GROUP BY 1, 2
 HAVING count(*) >= 2
 ORDER BY n_cociting DESC, a ASC, b ASC
 LIMIT 1000"""),
+        "graph_link_predict": _oracle("""
+, fwd AS (SELECT DISTINCT src_doc_id AS u, tgt_doc_id AS v
+          FROM web_links_full WHERE k % 4 <> 0),
+und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM fwd UNION ALL SELECT v AS u, u AS v FROM fwd)
+  WHERE u <> v
+),
+deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+center AS (
+  SELECT und.u, und.v, 1000000 // d.deg AS w
+  FROM und JOIN deg d USING (u) WHERE d.deg <= 64
+),
+wedges AS (
+  SELECT x.v AS a, y.v AS b, count(*) AS n_common,
+         CAST(sum(x.w) AS BIGINT) AS ra_ppm
+  FROM center x JOIN center y ON y.u = x.u
+  WHERE x.v < y.v
+  GROUP BY 1, 2
+),
+adj AS (SELECT u AS a, v AS b FROM und WHERE u < v)
+SELECT w.a, w.b, w.n_common, w.ra_ppm
+FROM wedges w ANTI JOIN adj ON adj.a = w.a AND adj.b = w.b
+WHERE w.n_common >= 2
+ORDER BY ra_ppm DESC, a ASC, b ASC
+LIMIT 500"""),
         "graph_anchor_text": _oracle("""
 , l AS (SELECT tgt_doc_id, anchor, src_host FROM web_links_full
         WHERE k % 4 <> 0),

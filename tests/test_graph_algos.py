@@ -378,3 +378,33 @@ def test_random_walks_hand_graph(spark):
     assert got == expect
     # sink termination is actually exercised on this graph
     assert any(v == 5 for (_, s, v) in expect if s < 4)
+
+
+@pytest.mark.spark
+def test_ra_link_predict_hand_graph(spark):
+    """RA index on a hand graph: exact ppm weights, min_common
+    pruning, the deg_cap center cut, and adjacency exclusion."""
+    from web_graph_spark.operators.graph_algos import ra_link_predict
+
+    # z=3 bridges {1,2} (deg 2); z=4 bridges {1,2,5} (deg 3)
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (1, 4), (2, 4), (5, 4)],
+        "src_doc_id long, tgt_doc_id long")
+    got = ra_link_predict(edges).collect()
+    # the graph is undirected: (3,4) is also predicted, via common
+    # neighbors {1,2} (deg 2 each -> 10^6/2 + 10^6/2), and outranks
+    # (1,2) whose centers are deg 2 and deg 3
+    assert [(r.a, r.b, r.n_common, r.ra_ppm) for r in got] == [
+        (3, 4, 2, 1_000_000),
+        (1, 2, 2, 1_000_000 // 2 + 1_000_000 // 3)]
+
+    # capping out the deg-3 center leaves (1,2) with one common
+    # neighbor -> pruned by min_common; (3,4)'s centers are deg 2
+    capped = ra_link_predict(edges, deg_cap=2).collect()
+    assert [(r.a, r.b) for r in capped] == [(3, 4)]
+
+    # an existing 1-2 edge suppresses the prediction entirely
+    with_edge = edges.union(spark.createDataFrame(
+        [(1, 2)], "src_doc_id long, tgt_doc_id long"))
+    assert ra_link_predict(with_edge).filter(
+        "a = 1 AND b = 2").count() == 0
