@@ -1140,6 +1140,16 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir).select("doc_id", injected.alias("text")))
 
 
+def q_text_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 keyphrase bigrams by integer tf·idf
+    (functions/text.py:keyphrases E85): RAKE-style stopword
+    delimiters, shifted pos+1 equi-join bigrams, doc-keyed window
+    top-k (never a global sort)."""
+    from web_graph_spark.functions.text import keyphrases
+
+    return keyphrases(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact (functions/text.py:pii_scrub) over the
     corpus with deterministic synthetic PII injected (emails / IPv4 /
@@ -2336,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_topk": q_text_search_topk,
         "text_bm25_topk": q_text_bm25_topk,
         "text_gopher_rules": q_text_gopher_rules,
+        "text_keyphrases": q_text_keyphrases,
         "text_inverted_index": q_text_inverted_index,
         "text_phrase_search": q_text_phrase_search,
         "text_cooccurrence": q_text_cooccurrence,
@@ -3044,6 +3055,11 @@ def _funnel_oracle() -> str:
               "WHERE ts < TIMESTAMP '2024-01-02 00:00:00')")
 
 
+def _keyphrases_oracle() -> str:
+    from web_graph_spark.functions.text import keyphrases_sql
+    return keyphrases_sql()
+
+
 def _retention_oracle() -> str:
     from web_graph_spark.functions.stats import cohort_retention_sql
     return cohort_retention_sql()
@@ -3090,6 +3106,7 @@ docs_dups AS (
         "text_search_topk": tfidf_sql(SEARCH_TERMS, k=20),
         "text_bm25_topk": bm25_sql(SEARCH_TERMS, k=20),
         "text_gopher_rules": gopher,
+        "text_keyphrases": _keyphrases_oracle(),
         "text_inverted_index": f"""
 WITH t AS ({_POSITIONS_SQL}),
 per_doc AS (

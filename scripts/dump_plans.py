@@ -65,6 +65,8 @@ ALLOW: dict[tuple[str, str], str] = {
         "1-row corpus-stats dim (N docs) joined onto the tf scan",
     ("text_bm25_topk", "BroadcastNestedLoopJoin"):
         "1-row corpus-stats dim (N/T/df) joined onto the tf+dl scan",
+    ("text_keyphrases", "BroadcastNestedLoopJoin"):
+        "1-row doc-count dim crossed onto the bigram tf rows",
     ("corpus_importance", "BroadcastNestedLoopJoin"):
         "two 1-row bucket-total dims (raw/target gram counts)",
     ("corpus_perplexity", "BroadcastNestedLoopJoin"):

@@ -1374,3 +1374,30 @@ def test_ivf_trained_recall_vs_brute(spark):
     hits = sum(len(by_q.get(k, set()) & v) for k, v in truth.items())
     total = sum(len(v) for v in truth.values())
     assert hits / total >= 0.5, f"single-probe recall {hits}/{total}"
+
+
+@pytest.mark.spark
+def test_keyphrases_stopword_rule_and_ranking(spark):
+    """Bigrams touching a stopword never surface; rarer bigrams
+    outrank commoner ones at equal tf; ties break on the bigram
+    string; ranks are per-doc dense 1..k."""
+    from web_graph_spark.functions.text import TFIDF_SCALE, keyphrases
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta the gamma delta"),
+         (2, "alpha beta gamma delta"),
+         (3, "gamma delta gamma delta")],
+        "doc_id long, text string")
+    rows = keyphrases(df, k=2).collect()
+    got = {(r.doc_id, r.rank): (r.bigram, r.tf, r.df, r.score)
+           for r in rows}
+    idf = lambda d: (3 * TFIDF_SCALE) // (d + 1)
+    # 'beta the' / 'the gamma' are stopword-blocked in doc 1
+    assert got[(1, 1)] == ("alpha beta", 1, 2, idf(2))
+    assert got[(1, 2)] == ("gamma delta", 1, 3, idf(3))
+    # doc 3: 2·idf(3) and 1·idf(1) tie at 1,500,000 exactly -> the
+    # bigram-string tiebreak decides ('delta gamma' < 'gamma delta')
+    assert got[(3, 1)] == ("delta gamma", 1, 1, idf(1))
+    assert got[(3, 2)] == ("gamma delta", 2, 3, 2 * idf(3))
+    # doc 2: equal tf=1 -> rarer bigram ('beta gamma', df=1) first
+    assert got[(2, 1)][0] == "beta gamma"

@@ -1205,3 +1205,84 @@ def cooccurrence_counts(df: DataFrame, window: int = 2,
             .agg(F.count("*").cast("long").alias("n_pairs"),
                  F.sum("wppm").cast("long").alias("weight_ppm"))
             .filter(F.col("n_pairs") >= min_pairs))
+
+
+def keyphrases(df: DataFrame, k: int = 3, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-document keyphrase extraction: top-k bigrams by integer
+    tf·idf — the metadata-enrichment pass (doc tagging, cluster
+    labeling, dataset cards) run after curation.  Bigrams touching a
+    stopword are dropped (the classic RAKE-style delimiter rule);
+    idf is E36's log-free ``(N·10^6) div (df+1)``; ties break on the
+    bigram string ascending so ranks are total.
+
+    Scale shape: bigrams come from the SAME posexplode stream the
+    inverted index uses — adjacent positions pair via one shifted
+    equi-join on (doc, pos+1), uniform keys (doc_id disambiguates hot
+    terms).  Per-doc tf and corpus df are two hash aggs; df joins
+    back onto per-doc rows keyed by bigram (skew-safe: the stopword
+    rule already removed the hottest bigrams; map-side combine
+    absorbed the rest); the per-doc top-k is a doc-keyed window —
+    partitioned, never global.
+
+    Returns ``(doc_id, rank, bigram, tf, df, score)``."""
+    from pyspark.sql import Window
+
+    toks = doc_positions(df, id_col, text_col)
+    nxt = toks.select("doc_id", (F.col("pos") - 1).alias("pos"),
+                      F.col("term").alias("term2"))
+    grams = (toks.join(nxt, ["doc_id", "pos"])
+             .filter(~F.col("term").isin(*STOPWORDS)
+                     & ~F.col("term2").isin(*STOPWORDS))
+             .select("doc_id", F.concat_ws(" ", "term", "term2")
+                     .alias("bigram")))
+    tf = grams.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dfreq, "bigram")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("score", F.expr(
+                  f"tf * ((n_docs * {TFIDF_SCALE}L) div (df + 1L))")
+                  .cast("long")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("bigram"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "rank", "bigram", "tf", "df", "score"))
+
+
+def keyphrases_sql(k: int = 3, id_col: str = "doc_id",
+                   expr: str = "text", table: str = "documents") -> str:
+    """DuckDB mirror of keyphrases (bigrams via the positions CTE +
+    pos+1 self-join, same stopword rule and integer idf)."""
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, u.pos AS pos, u.term AS term FROM (
+    SELECT {id_col}, unnest(list_transform(range(1, len(l) + 1),
+           i -> {{'pos': i - 1, 'term': l[i]}})) AS u
+    FROM (SELECT {id_col}, string_split({expr}, ' ') AS l FROM {table}))
+  WHERE u.term <> ''
+),
+g AS (
+  SELECT a.doc_id, a.term || ' ' || b.term AS bigram
+  FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term NOT IN ({stop_list}) AND b.term NOT IN ({stop_list})
+),
+tf AS (SELECT doc_id, bigram, count(*) AS tf FROM g GROUP BY 1, 2),
+dfreq AS (SELECT bigram, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM {table}),
+s AS (
+  SELECT tf.doc_id, tf.bigram, tf.tf, dfreq.df,
+         CAST(tf.tf * ((nd.n_docs * {TFIDF_SCALE}) // (dfreq.df + 1))
+              AS BIGINT) AS score
+  FROM tf JOIN dfreq USING (bigram), nd
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, bigram ASC)
+      AS INTEGER) AS rank
+  FROM s
+)
+SELECT doc_id, rank, bigram, tf, df, score FROM r WHERE rank <= {k}"""
