@@ -93,12 +93,11 @@ GROUP BY 1""")
     return "".join(parts)
 
 
-def _lpa_unrolled_sql(iters: int) -> str:
-    """Synchronous label propagation unrolled to ``iters`` rounds of
-    plain SQL — the oracle for q_graph_label_prop.  Each round mirrors
-    operators/graph_algos.py:label_propagation exactly: votes = one
-    label per distinct undirected neighbor edge, winner = highest
-    count then smallest label, isolated vertices keep their label."""
+def _lpa_rounds_sql(iters: int) -> str:
+    """The CTE chain of :func:`_lpa_unrolled_sql` WITHOUT the final
+    SELECT — shared by the label-prop oracle and every oracle that
+    consumes the community assignment (``l{iters}`` is the last CTE:
+    (id, lbl))."""
     parts = ["""
 , e AS (
   SELECT DISTINCT least(src_doc_id, tgt_doc_id) AS u,
@@ -126,9 +125,50 @@ l{i} AS (
   SELECT p.id, coalesce(b.new_lbl, p.lbl) AS lbl
   FROM l{p} p LEFT JOIN b{i} b ON b.id = p.id
 )""")
-    parts.append(f"""
-SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community FROM l{iters}""")
     return "".join(parts)
+
+
+def _lpa_unrolled_sql(iters: int) -> str:
+    """Synchronous label propagation unrolled to ``iters`` rounds of
+    plain SQL — the oracle for q_graph_label_prop.  Each round mirrors
+    operators/graph_algos.py:label_propagation exactly: votes = one
+    label per distinct undirected neighbor edge, winner = highest
+    count then smallest label, isolated vertices keep their label."""
+    return (_lpa_rounds_sql(iters) + f"""
+SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community FROM l{iters}""")
+
+
+def _modularity_sql(iters: int) -> str:
+    """Oracle for q_graph_modularity: the LPA rounds (shared CTE
+    chain) followed by the exact-integer modularity decomposition —
+    deg from the undirected view, internal edges from the canonical
+    edge list joined to the final labels twice, q_num = 4·m·e_c −
+    deg_c² (operators/graph_algos.py:modularity_by_community)."""
+    return (_lpa_rounds_sql(iters) + f""",
+deg AS (SELECT u AS id, count(*) AS deg FROM und GROUP BY 1),
+m_row AS (SELECT count(*) AS m_edges FROM e),
+internal AS (
+  SELECT lu.lbl AS community, count(*) AS n_internal
+  FROM e JOIN l{iters} lu ON lu.id = e.u
+         JOIN l{iters} lv ON lv.id = e.v
+  WHERE lu.lbl = lv.lbl
+  GROUP BY 1
+),
+per_comm AS (
+  SELECT l.lbl AS community, count(*) AS n_members,
+         CAST(sum(coalesce(d.deg, 0)) AS BIGINT) AS deg_sum
+  FROM l{iters} l LEFT JOIN deg d ON d.id = l.id
+  GROUP BY 1
+)
+SELECT CAST(p.community AS BIGINT) AS community,
+       CAST(p.n_members AS BIGINT) AS n_members,
+       CAST(coalesce(i.n_internal, 0) AS BIGINT) AS n_internal,
+       p.deg_sum,
+       CAST(m.m_edges AS BIGINT) AS m_edges,
+       CAST(4 * m.m_edges * coalesce(i.n_internal, 0)
+            - p.deg_sum * p.deg_sum AS BIGINT) AS q_num
+FROM per_comm p LEFT JOIN internal i ON i.community = p.community
+CROSS JOIN m_row m""")
 
 
 # ---------------------------------------------------------------------------
@@ -846,6 +886,26 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("src_doc_id", "tgt_doc_id").distinct())
     v = webgen.pages_df(spark, sf_dir).select("doc_id")
     return label_propagation(v, e, iters=4)
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community modularity decomposition (operators/
+    graph_algos.py:modularity_by_community E86) of the E50 label-prop
+    assignment — the acceptance metric a pipeline checks BEFORE
+    trusting communities for per-community dedup (low Q = the
+    mirror-farm detector found noise, don't shard by it).  Exact
+    integers: q_num = 4·m·e_c − deg_c², so Q = Σ q_num/(4m²) with no
+    float anywhere; the oracle re-derives labels via the shared
+    unrolled-LPA CTE chain and the same arithmetic."""
+    from web_graph_spark.operators.graph_algos import (
+        label_propagation, modularity_by_community)
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    v = webgen.pages_df(spark, sf_dir).select("doc_id")
+    labels = label_propagation(v, e, iters=4)
+    return modularity_by_community(v, e, labels)
 
 
 def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2335,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": q_graph_scc,
         "graph_bowtie": q_graph_bowtie,
         "graph_label_prop": q_graph_label_prop,
+        "graph_modularity": q_graph_modularity,
         "graph_kcore": q_graph_kcore,
         "graph_random_walks": q_graph_random_walks,
         "text_token_stats": q_text_token_stats,
@@ -2920,6 +2981,7 @@ LEFT JOIN fwd fw ON fw.id = s.id
 JOIN weak w ON w.id = s.id
 LEFT JOIN core_weak cw ON cw.wc = w.component"""),
         "graph_label_prop": _oracle(_lpa_unrolled_sql(iters=4)),
+        "graph_modularity": _oracle(_modularity_sql(iters=4)),
         "graph_kcore": _oracle(_kcore_unrolled_sql(k=3, rounds=6)),
         "graph_random_walks": _oracle(_walks_oracle_sql(4, 2)),
         "ann_ivf_topk": """

@@ -67,6 +67,8 @@ ALLOW: dict[tuple[str, str], str] = {
         "1-row corpus-stats dim (N/T/df) joined onto the tf+dl scan",
     ("text_keyphrases", "BroadcastNestedLoopJoin"):
         "1-row doc-count dim crossed onto the bigram tf rows",
+    ("graph_modularity", "BroadcastNestedLoopJoin"):
+        "1-row m_edges aggregate crossed onto the per-community rows",
     ("corpus_importance", "BroadcastNestedLoopJoin"):
         "two 1-row bucket-total dims (raw/target gram counts)",
     ("corpus_perplexity", "BroadcastNestedLoopJoin"):

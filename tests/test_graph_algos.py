@@ -408,3 +408,57 @@ def test_ra_link_predict_hand_graph(spark):
         [(1, 2)], "src_doc_id long, tgt_doc_id long"))
     assert ra_link_predict(with_edge).filter(
         "a = 1 AND b = 2").count() == 0
+
+
+@pytest.mark.spark
+def test_modularity_hand_graph(spark):
+    """Two triangles joined by one bridge edge, labels = the known
+    two-community split: m=7; each community has e_c=3 internal
+    edges; degrees (2,2,3)+(3,2,2) → deg_sum=7 each.  q_num =
+    4·7·3 − 49 = 35 per community → Q = 70/196 ≈ 0.357, the textbook
+    value for this graph."""
+    from web_graph_spark.operators.graph_algos import (
+        modularity_by_community)
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)],
+        "src_doc_id long, tgt_doc_id long")
+    verts = spark.createDataFrame([(i,) for i in range(6)],
+                                  "doc_id long")
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 3)],
+        "doc_id long, community long")
+    rows = {r["community"]: r for r in
+            modularity_by_community(verts, edges, labels).collect()}
+    for c in (0, 3):
+        assert rows[c]["n_members"] == 3
+        assert rows[c]["n_internal"] == 3
+        assert rows[c]["deg_sum"] == 7
+        assert rows[c]["m_edges"] == 7
+        assert rows[c]["q_num"] == 4 * 7 * 3 - 49
+    q = sum(r["q_num"] for r in rows.values()) / (4 * 7 * 7)
+    assert abs(q - 70 / 196) < 1e-12
+
+
+@pytest.mark.spark
+def test_modularity_isolated_and_split_community(spark):
+    """An isolated vertex forms a degree-0 community with q_num=0;
+    a 'community' that is actually two disconnected halves scores
+    0 internal edges and a negative q_num (worse than random)."""
+    from web_graph_spark.operators.graph_algos import (
+        modularity_by_community)
+
+    edges = spark.createDataFrame(
+        [(0, 1), (2, 3)], "src_doc_id long, tgt_doc_id long")
+    verts = spark.createDataFrame([(i,) for i in range(5)],
+                                  "doc_id long")
+    labels = spark.createDataFrame(
+        [(0, 0), (2, 0), (1, 1), (3, 1), (4, 4)],
+        "doc_id long, community long")
+    rows = {r["community"]: r for r in
+            modularity_by_community(verts, edges, labels).collect()}
+    assert rows[4]["q_num"] == 0 and rows[4]["deg_sum"] == 0
+    # communities {0,2} and {1,3} each straddle the two edges:
+    # 0 internal, deg_sum 2, m=2 → q_num = -4
+    assert rows[0]["n_internal"] == 0 and rows[0]["q_num"] == -4
+    assert rows[1]["n_internal"] == 0 and rows[1]["q_num"] == -4

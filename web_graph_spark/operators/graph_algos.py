@@ -823,3 +823,66 @@ def ra_link_predict(edges: DataFrame, src: str = "src_doc_id",
             .filter(F.col("n_common") >= min_common)
             .orderBy(F.desc("ra_ppm"), F.asc("a"), F.asc("b"))
             .limit(topk))
+
+
+def modularity_by_community(vertices: DataFrame, edges: DataFrame,
+                            labels: DataFrame,
+                            id_col: str = "doc_id",
+                            src: str = "src_doc_id",
+                            dst: str = "tgt_doc_id") -> DataFrame:
+    """Per-community modularity decomposition (Newman & Girvan 2004)
+    over the undirected simple graph — the QUALITY metric for a
+    community assignment, computed in exact integer arithmetic so a
+    SQL oracle reproduces it bit-for-bit.
+
+    With m undirected edges, community c holding e_c internal edges
+    and total incident degree deg_c, the modularity contribution is
+    e_c/m − (deg_c/2m)².  Scaled by 4m² that is the integer
+
+        q_num = 4·m·e_c − deg_c²      (Q = Σ_c q_num / (4m²))
+
+    so no float division ever happens; the caller recovers Q when it
+    wants a float.  ``labels`` is any (id_col, community) frame —
+    label-propagation output here, but the metric is
+    assignment-agnostic (the mirror-farm detector's acceptance test).
+
+    Physical shape at 10^10 edges: the internal-edge count is two
+    shuffle joins of the edge list against the labels (uniform doc-id
+    keys) + one community-key agg; the degree branch is one agg off
+    the shared undirected view; m rides a 1-row aggregate broadcast
+    (constant-size build at any scale).  No window, no driver
+    materialization; hot communities are absorbed by map-side partial
+    aggregation.  Returns (community, n_members, n_internal, deg_sum,
+    m_edges, q_num).
+    """
+    ce = _canon_edges(edges, src, dst).localCheckpoint()
+    und = ce.select("u", "v").unionByName(
+        ce.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    lbl = labels.select(F.col(id_col).cast("long").alias("id"),
+                        F.col("community").cast("long").alias("community"))
+    # internal edges: both endpoints carry the same label
+    lu = lbl.select(F.col("id").alias("u"), F.col("community").alias("cu"))
+    lv = lbl.select(F.col("id").alias("v"), F.col("community").alias("cv"))
+    internal = (ce.join(lu, "u").join(lv, "v")
+                .filter(F.col("cu") == F.col("cv"))
+                .groupBy(F.col("cu").alias("community"))
+                .agg(F.count(F.lit(1)).alias("n_internal")))
+    per_comm = (lbl.join(deg, "id", "left")
+                .groupBy("community")
+                .agg(F.count(F.lit(1)).alias("n_members"),
+                     F.sum(F.coalesce("deg", F.lit(0)))
+                      .cast("long").alias("deg_sum")))
+    m_row = ce.agg(F.count(F.lit(1)).cast("long").alias("m_edges"))
+    return (per_comm
+            .join(internal, "community", "left")
+            .withColumn("n_internal",
+                        F.coalesce("n_internal", F.lit(0)).cast("long"))
+            .crossJoin(F.broadcast(m_row))
+            .select("community",
+                    F.col("n_members").cast("long").alias("n_members"),
+                    "n_internal", "deg_sum", "m_edges",
+                    (F.lit(4) * F.col("m_edges") * F.col("n_internal")
+                     - F.col("deg_sum") * F.col("deg_sum"))
+                    .cast("long").alias("q_num")))
