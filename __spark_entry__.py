@@ -138,6 +138,40 @@ def _lpa_unrolled_sql(iters: int) -> str:
 SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community FROM l{iters}""")
 
 
+def _ppr_sql(rounds: int, scale: int) -> str:
+    """Oracle for q_graph_ppr: the integer personalized-PageRank
+    recurrence of operators/graph_algos.py:personalized_pagerank
+    unrolled to ``rounds`` plain-SQL CTEs — every step is integer
+    floor division on non-negative values, so DuckDB's ``//``
+    reproduces Spark's ``div`` bit-for-bit."""
+    tele = f"((15 * {scale} // 100) // (SELECT count(*) FROM sd))"
+    parts = [f""",
+de AS (SELECT DISTINCT src_doc_id AS u, tgt_doc_id AS v
+       FROM web_links_full WHERE k % 4 <> 0),
+outd AS (SELECT u, count(*) AS outdeg FROM de GROUP BY 1),
+ew AS (SELECT de.u, de.v, o.outdeg FROM de JOIN outd o ON o.u = de.u),
+sd AS (SELECT DISTINCT seed_seq AS id FROM web_seeds),
+r0 AS (SELECT id, CAST({scale} // (SELECT count(*) FROM sd) AS BIGINT)
+           AS ppr FROM sd)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f""",
+i{i} AS (
+  SELECT ew.v AS id, CAST(sum(p.ppr // ew.outdeg) AS BIGINT) AS inc
+  FROM ew JOIN r{p} p ON p.id = ew.u GROUP BY 1
+),
+r{i} AS (
+  SELECT id, CAST(sum(ppr) AS BIGINT) AS ppr FROM (
+    SELECT id, (85 * inc) // 100 AS ppr FROM i{i}
+    UNION ALL
+    SELECT id, {tele} AS ppr FROM sd
+  ) GROUP BY 1
+)""")
+    parts.append(f"""
+SELECT id AS doc_id, ppr FROM r{rounds} WHERE ppr > 0""")
+    return "".join(parts)
+
+
 def _modularity_sql(iters: int) -> str:
     """Oracle for q_graph_modularity: the LPA rounds (shared CTE
     chain) followed by the exact-integer modularity decomposition —
@@ -906,6 +940,23 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = webgen.pages_df(spark, sf_dir).select("doc_id")
     labels = label_propagation(v, e, iters=4)
     return modularity_by_community(v, e, labels)
+
+
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the crawl's seed list (operators/
+    graph_algos.py:personalized_pagerank E87) — the focused-crawl
+    priority signal: mass teleports to the SEEDS, so pages score by
+    relevance to the crawl's entry points, not global authority (the
+    scheduler-side complement to E10's global PageRank and E34's
+    authority-ranked frontier).  Exact integer micro-mass recurrence
+    (4 rounds), oracle = the same rounds unrolled in SQL."""
+    from web_graph_spark.operators.graph_algos import personalized_pagerank
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    return personalized_pagerank(e, webgen.seeds_df(spark, sf_dir),
+                                 rounds=4)
 
 
 def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2396,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bowtie": q_graph_bowtie,
         "graph_label_prop": q_graph_label_prop,
         "graph_modularity": q_graph_modularity,
+        "graph_ppr": q_graph_ppr,
         "graph_kcore": q_graph_kcore,
         "graph_random_walks": q_graph_random_walks,
         "text_token_stats": q_text_token_stats,
@@ -2982,6 +3034,8 @@ JOIN weak w ON w.id = s.id
 LEFT JOIN core_weak cw ON cw.wc = w.component"""),
         "graph_label_prop": _oracle(_lpa_unrolled_sql(iters=4)),
         "graph_modularity": _oracle(_modularity_sql(iters=4)),
+        "graph_ppr": _oracle(_ppr_sql(rounds=4, scale=10 ** 12),
+                             seeds=True),
         "graph_kcore": _oracle(_kcore_unrolled_sql(k=3, rounds=6)),
         "graph_random_walks": _oracle(_walks_oracle_sql(4, 2)),
         "ann_ivf_topk": """

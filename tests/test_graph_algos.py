@@ -462,3 +462,42 @@ def test_modularity_isolated_and_split_community(spark):
     # 0 internal, deg_sum 2, m=2 → q_num = -4
     assert rows[0]["n_internal"] == 0 and rows[0]["q_num"] == -4
     assert rows[1]["n_internal"] == 0 and rows[1]["q_num"] == -4
+
+
+@pytest.mark.spark
+def test_personalized_pagerank_hand_graph(spark):
+    """Seed {0}, edges 0→1, 0→2, 1→2, scale=1000, 2 rounds —
+    hand-traced: tele=150; r1 = {0:150, 1:425, 2:425};
+    r2: inc(1)=150 div 2=75 → 63; inc(2)=75+425=500 → 425."""
+    from web_graph_spark.operators.graph_algos import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2)], "src_doc_id long, tgt_doc_id long")
+    seeds = spark.createDataFrame([(0,)], "seed_seq long")
+    got = {r["doc_id"]: r["ppr"]
+           for r in personalized_pagerank(edges, seeds, rounds=2,
+                                          scale=1000).collect()}
+    assert got == {0: 150, 1: 63, 2: 425}
+
+
+@pytest.mark.spark
+def test_personalized_pagerank_mass_and_seeds(spark):
+    """Total mass never exceeds scale (evaporation only), every seed
+    keeps at least the teleport floor, and an empty seed set is a
+    loud error."""
+    from web_graph_spark.operators.graph_algos import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 7) for i in range(7)],
+        "src_doc_id long, tgt_doc_id long")
+    seeds = spark.createDataFrame([(0,), (3,)], "seed_seq long")
+    rows = personalized_pagerank(edges, seeds, rounds=4,
+                                 scale=10 ** 6).collect()
+    got = {r["doc_id"]: r["ppr"] for r in rows}
+    assert sum(got.values()) <= 10 ** 6
+    tele = (15 * 10 ** 6 // 100) // 2
+    assert got[0] >= tele and got[3] >= tele
+    import pyspark.sql.utils  # noqa: F401
+    empty = spark.createDataFrame([], "seed_seq long")
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, empty, rounds=1)

@@ -886,3 +886,62 @@ def modularity_by_community(vertices: DataFrame, edges: DataFrame,
                     (F.lit(4) * F.col("m_edges") * F.col("n_internal")
                      - F.col("deg_sum") * F.col("deg_sum"))
                     .cast("long").alias("q_num")))
+
+
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          rounds: int = 4, scale: int = 10 ** 12,
+                          src: str = "src_doc_id",
+                          dst: str = "tgt_doc_id",
+                          seed_col: str = "seed_seq") -> DataFrame:
+    """Personalized PageRank from a seed set in EXACT integer
+    arithmetic — the focused-crawl prioritizer (Haveliwala, WWW'02):
+    mass teleports back to the SEEDS instead of uniformly, so scores
+    rank pages by relevance to the crawl's topic entry points rather
+    than global authority (E10's complement; the reference keeps no
+    ranking at all — its graph analytics are client-side,
+    frontend/index.html:92-140).
+
+    Determinism discipline: ranks are integer micro-mass units
+    (``scale`` total), every division is integer ``div`` on
+    non-negative values (identical truncation in Spark and DuckDB),
+    dangling/rounding mass evaporates rather than being redistributed
+    — with a fixed round count the recurrence itself is the spec, so
+    a SQL oracle unrolls it bit-for-bit:
+
+        r_0(s)  = scale div |S|                        (s ∈ S)
+        inc(v)  = Σ_{u→v} r(u) div outdeg(u)
+        r'(v)   = 85·inc(v) div 100  +  [v ∈ S]·tele,
+        tele    = (15·scale div 100) div |S|
+
+    Physical shape per round: ONE shuffle join (ranks ⋈ edges on the
+    uniform src key — rank rows are the sparse reached set, far
+    smaller than |V| in early waves) + one dst-key agg; the seed
+    teleport is a unionByName folded into the same agg, so no second
+    shuffle.  Ranks are localCheckpointed per round: flat lineage at
+    any round count.  Returns (doc_id, ppr) for reached pages
+    (ppr > 0) — the sparse frontier-priority dim a scheduler joins
+    against pending URLs.
+    """
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .distinct().localCheckpoint())
+    out = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = e.join(out, "u").localCheckpoint()
+    s = seeds.select(F.col(seed_col).cast("long").alias("id")).distinct()
+    n_seeds = s.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: empty seed set")
+    tele = (15 * scale // 100) // n_seeds
+    r = s.select("id", F.lit(scale // n_seeds).cast("long").alias("ppr"))
+    for _ in range(rounds):
+        inc = (ew.join(r.withColumnRenamed("id", "u"), "u")
+               .select(F.col("v").alias("id"),
+                       F.expr("ppr div outdeg").alias("m"))
+               .groupBy("id").agg(F.sum("m").alias("inc")))
+        r = (inc.select("id", F.expr("85 * inc div 100").alias("ppr"))
+             .unionByName(s.select("id", F.lit(tele).alias("ppr")))
+             .groupBy("id")
+             .agg(F.sum("ppr").cast("long").alias("ppr"))
+             .localCheckpoint())
+    return (r.filter(F.col("ppr") > 0)
+            .select(F.col("id").alias("doc_id"), "ppr"))
