@@ -2381,6 +2381,22 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("sum_value_c")))
 
 
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (functions/stats.py:
+    countmin_heavy_hitters E88): the fixed-size-state frequency tier
+    — a 4×64 integer sketch no matter how many distinct users flow
+    past, probed for the top-50 users by exact count so the oracle
+    certifies the sketch's one-sided overestimate on exactly the keys
+    a monitor would alert on.  Hashing is the shared hex16 md5 recipe
+    (row index as salt), so the SQL oracle rebuilds the identical
+    sketch cell-for-cell."""
+    from web_graph_spark.functions.stats import countmin_heavy_hitters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return countmin_heavy_hitters(
+        ev, F.col("user_id").cast("string"), depth=4, width=64, topk=50)
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (agg pushdown + codegen)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -2507,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_quantiles": q_events_quantiles,
         "events_hourly": q_events_hourly,
+        "events_heavy_hitters": q_events_heavy_hitters,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "tpch_q1": q_tpch_q1,
@@ -3994,6 +4011,30 @@ FROM s GROUP BY 1""",
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        CAST(floor(sum(value) * 100) AS BIGINT) AS sum_value_c
 FROM events GROUP BY 1, 2""",
+        "events_heavy_hitters": f"""
+WITH keyed AS (
+  SELECT CAST(user_id AS VARCHAR) AS key FROM events
+  WHERE CAST(user_id AS VARCHAR) <> ''
+),
+js AS (SELECT unnest(range(0, 4)) AS j),
+cells AS (
+  SELECT j, {_hex16_sql("CAST(j AS VARCHAR) || ':' || key")} % 64
+            AS bucket,
+         count(*) AS c
+  FROM keyed, js GROUP BY 1, 2
+),
+tc AS (SELECT key, count(*) AS n_true FROM keyed GROUP BY 1),
+top AS (SELECT key, n_true FROM tc ORDER BY n_true DESC, key LIMIT 50),
+probes AS (
+  SELECT t.key, t.n_true, js.j,
+         {_hex16_sql("CAST(js.j AS VARCHAR) || ':' || t.key")} % 64
+           AS bucket
+  FROM top t, js
+)
+SELECT p.key, CAST(p.n_true AS BIGINT) AS n_true,
+       CAST(min(c.c) AS BIGINT) AS n_cms
+FROM probes p JOIN cells c USING (j, bucket)
+GROUP BY 1, 2""",
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty,

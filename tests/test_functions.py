@@ -1401,3 +1401,46 @@ def test_keyphrases_stopword_rule_and_ranking(spark):
     assert got[(3, 2)] == ("gamma delta", 2, 3, 2 * idf(3))
     # doc 2: equal tf=1 -> rarer bigram ('beta gamma', df=1) first
     assert got[(2, 1)][0] == "beta gamma"
+
+
+@pytest.mark.spark
+def test_countmin_one_sided_and_exact_when_wide(spark):
+    """CMS invariants on a hand stream: the estimate is NEVER below
+    the true count (one-sided error, the CMS guarantee); with a
+    collision in play the estimate strictly exceeds truth for at
+    least one key at width=1 (every key shares every cell); and at a
+    generous width the depth-4 min recovers every count exactly."""
+    import pyspark.sql.functions as F
+
+    from web_graph_spark.functions.stats import countmin_heavy_hitters
+
+    rows = [(k,) for k in
+            ["a"] * 7 + ["b"] * 5 + ["c"] * 3 + ["d"] * 1]
+    ev = spark.createDataFrame(rows, "k string")
+
+    wide = {r.key: (r.n_true, r.n_cms)
+            for r in countmin_heavy_hitters(
+                ev, F.col("k"), depth=4, width=4096, topk=10).collect()}
+    assert wide == {"a": (7, 7), "b": (5, 5), "c": (3, 3), "d": (1, 1)}
+
+    narrow = countmin_heavy_hitters(
+        ev, F.col("k"), depth=4, width=1, topk=10).collect()
+    assert all(r.n_cms >= r.n_true for r in narrow)
+    # width=1: every cell holds the full stream count
+    assert all(r.n_cms == 16 for r in narrow)
+
+
+@pytest.mark.spark
+def test_countmin_topk_cut_and_tiebreak(spark):
+    """topk keeps the k largest true counts with ties broken on the
+    smaller key string — the deterministic boundary both engines
+    must agree on."""
+    import pyspark.sql.functions as F
+
+    from web_graph_spark.functions.stats import countmin_heavy_hitters
+
+    rows = [(k,) for k in ["x"] * 3 + ["y"] * 2 + ["z"] * 2 + ["w"]]
+    ev = spark.createDataFrame(rows, "k string")
+    got = countmin_heavy_hitters(ev, F.col("k"), depth=4, width=4096,
+                                 topk=2).collect()
+    assert sorted((r.key, r.n_true) for r in got) == [("x", 3), ("y", 2)]

@@ -202,3 +202,53 @@ sizes AS (SELECT cohort_day, count(*) AS cohort_size
 SELECT c.cohort_day, c.day_offset, s.cohort_size, c.n_active,
        (c.n_active * 10000) // s.cohort_size AS retention_bp
 FROM cells c JOIN sizes s USING (cohort_day)"""
+
+
+def countmin_heavy_hitters(events: DataFrame, key,
+                           depth: int = 4, width: int = 64,
+                           topk: int = 50) -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005)
+    with the exact counts alongside — the fixed-size-state frequency
+    tier for streams: the sketch is ``depth × width`` integer cells
+    no matter how many distinct keys flow past, which is what a
+    per-window streaming aggregator can actually hold at 10^10
+    events/day (the exact per-key agg can't — its state is the key
+    cardinality).
+
+    Hashing is the repo's cross-engine ``hex16`` recipe (md5 + strpos
+    arithmetic, operators/graph_algos.py:_hex16) with the row index
+    as salt: ``bucket_j(key) = hex16(j || ':' || key) mod width`` —
+    deterministic everywhere, so a SQL oracle rebuilds the identical
+    sketch.  Estimate(key) = min over the ``depth`` cells; CMS
+    guarantees estimate ≥ true (one-sided error), pinned in tests.
+
+    Shape at scale: the cell build is one hash agg over a depth-way
+    row explosion (map-side partials absorb hot keys BEFORE the
+    shuffle — the explosion never travels); the sketch is then a
+    ≤depth·width-row broadcast dim probed by the candidate keys; the
+    top-k cut is a TakeOrdered map-side heap, never a global sort.
+    Returns ``(key, n_true, n_cms)`` for the top-k keys by true
+    count (ties → smallest key): the exact column certifies the
+    sketch's overestimate on exactly the keys a monitor would alert
+    on.
+    """
+    from web_graph_spark.operators.graph_algos import _hex16
+
+    keyed = events.select(key.alias("key")).filter(F.col("key") != "")
+    true_counts = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("n_true"))
+    js = F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j")
+    bucket = (_hex16(F.concat(F.col("j").cast("string"), F.lit(":"),
+                              F.col("key"))) % width).alias("bucket")
+    cells = (keyed.select("key", js).select("j", bucket)
+             .groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c")))
+    top = (true_counts
+           .orderBy(F.desc("n_true"), F.asc("key")).limit(topk))
+    probes = top.select("key", "n_true", js).select(
+        "key", "n_true", F.col("j"),
+        (_hex16(F.concat(F.col("j").cast("string"), F.lit(":"),
+                         F.col("key"))) % width).alias("bucket"))
+    return (probes.join(F.broadcast(cells), ["j", "bucket"])
+            .groupBy("key", "n_true")
+            .agg(F.min("c").cast("long").alias("n_cms"))
+            .select("key", F.col("n_true").cast("long").alias("n_true"),
+                    "n_cms"))
