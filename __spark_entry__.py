@@ -2397,6 +2397,31 @@ def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, F.col("user_id").cast("string"), depth=4, width=64, topk=50)
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/rangejoin.py:range_join E89) —
+    point-in-interval matching (the IP-geolocation / SLO-band /
+    latency-tier shape) as an equi-join instead of the BNL Spark
+    would otherwise plan.  Facts are the event values in integer
+    centi-units; the interval dim derives deterministically from
+    customer keys (``[37k, 37k + k%211 + 5)`` — irregular widths,
+    genuine overlaps, bucket-boundary crossings at B=128).  The
+    oracle is DuckDB's NATIVE inequality join (IEJoin) — an
+    independent algorithm, not a rebuild of the binning."""
+    from web_graph_spark.operators.rangejoin import range_join
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select(F.floor(F.col("value") * 100).cast("long").alias("v")))
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select(F.col("c_custkey").alias("range_id"),
+                    (F.col("c_custkey") * 37).cast("long").alias("lo"),
+                    (F.col("c_custkey") * 37 + F.col("c_custkey") % 211
+                     + 5).cast("long").alias("hi")))
+    return (range_join(ev, cust, "v", "lo", "hi", bucket_width=128)
+            .groupBy("range_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("v").cast("long").alias("sum_v")))
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (agg pushdown + codegen)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -2524,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": q_events_quantiles,
         "events_hourly": q_events_hourly,
         "events_heavy_hitters": q_events_heavy_hitters,
+        "events_range_join": q_events_range_join,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "tpch_q1": q_tpch_q1,
@@ -4035,6 +4061,19 @@ SELECT p.key, CAST(p.n_true AS BIGINT) AS n_true,
        CAST(min(c.c) AS BIGINT) AS n_cms
 FROM probes p JOIN cells c USING (j, bucket)
 GROUP BY 1, 2""",
+        "events_range_join": """
+WITH f AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS v FROM events
+),
+r AS (
+  SELECT c_custkey AS range_id,
+         CAST(c_custkey * 37 AS BIGINT) AS lo,
+         CAST(c_custkey * 37 + c_custkey % 211 + 5 AS BIGINT) AS hi
+  FROM customer
+)
+SELECT r.range_id, count(*) AS n_events, CAST(sum(f.v) AS BIGINT) AS sum_v
+FROM f JOIN r ON f.v >= r.lo AND f.v < r.hi
+GROUP BY 1""",
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty,

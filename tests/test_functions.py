@@ -1444,3 +1444,41 @@ def test_countmin_topk_cut_and_tiebreak(spark):
     got = countmin_heavy_hitters(ev, F.col("k"), depth=4, width=4096,
                                  topk=2).collect()
     assert sorted((r.key, r.n_true) for r in got) == [("x", 3), ("y", 2)]
+
+
+@pytest.mark.spark
+def test_range_join_boundaries_overlap_and_bucket_crossing(spark):
+    """Half-open semantics (lo in, hi out), a range spanning three
+    buckets at width=4 still catches every containment, overlapping
+    ranges each match, gap facts and empty ranges drop; equality with
+    the naive cross-join filter pins completeness."""
+    from web_graph_spark.operators.rangejoin import range_join
+
+    facts = spark.createDataFrame(
+        [(0,), (3,), (4,), (9,), (10,), (11,), (99,)], "v long")
+    ranges = spark.createDataFrame(
+        [("a", 0, 4),     # catches 0, 3; excludes 4 (hi out)
+         ("b", 3, 12),    # spans buckets 0..2 at B=4: 3,4,9,10,11
+         ("c", 9, 11),    # overlaps b: 9, 10
+         ("d", 50, 60)],  # empty
+        "range_id string, lo long, hi long")
+    got = sorted((r.range_id, r.v)
+                 for r in range_join(facts, ranges, "v", "lo", "hi",
+                                     bucket_width=4).collect())
+    assert got == [("a", 0), ("a", 3),
+                   ("b", 3), ("b", 4), ("b", 9), ("b", 10), ("b", 11),
+                   ("c", 9), ("c", 10)]
+
+    naive = sorted((r.range_id, r.v)
+                   for r in facts.crossJoin(ranges)
+                   .filter("v >= lo AND v < hi").collect())
+    assert got == naive
+
+    # any bucket width gives the same answer
+    for b in (1, 3, 7, 1000):
+        assert sorted((r.range_id, r.v) for r in
+                      range_join(facts, ranges, "v", "lo", "hi",
+                                 bucket_width=b).collect()) == naive
+
+    with pytest.raises(ValueError):
+        range_join(facts, ranges, "v", "lo", "hi", bucket_width=0)
