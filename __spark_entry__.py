@@ -2422,6 +2422,28 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("v").cast("long").alias("sum_v")))
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (functions/stats.py:
+    hierarchical_rollup E90) — the hypertable continuous-aggregate:
+    (day, hour, type) → (day, hour) → (day) → total, the fact stream
+    shuffled ONCE at the finest grain and every coarser grain
+    re-aggregated from the previous grain's dim-sized rows (no
+    rollup() Expand replicating 10^10 facts ×4).  Money is floored to
+    integer centi-units per ROW so the re-aggregation is exact and
+    the oracle — DuckDB's NATIVE GROUP BY ROLLUP, an independent
+    grouping-sets implementation — matches bit-for-bit including the
+    GROUPING_ID bitmask."""
+    from web_graph_spark.functions.stats import hierarchical_rollup
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select(F.date_trunc("day", "ts").cast("date").alias("day"),
+                  F.hour("ts").cast("int").alias("hr"),
+                  "event_type",
+                  F.floor(F.col("value") * 100).cast("long").alias("v_c")))
+    return hierarchical_rollup(ev, ["day", "hr", "event_type"],
+                               {"sum_v_c": F.col("v_c")})
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (agg pushdown + codegen)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -2550,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_heavy_hitters": q_events_heavy_hitters,
         "events_range_join": q_events_range_join,
+        "events_rollup": q_events_rollup,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "tpch_q1": q_tpch_q1,
@@ -4074,6 +4097,18 @@ r AS (
 SELECT r.range_id, count(*) AS n_events, CAST(sum(f.v) AS BIGINT) AS sum_v
 FROM f JOIN r ON f.v >= r.lo AND f.v < r.hi
 GROUP BY 1""",
+        "events_rollup": """
+WITH e AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+         event_type,
+         CAST(floor(value * 100) AS BIGINT) AS v_c
+  FROM events
+)
+SELECT day, hr, event_type,
+       CAST(GROUPING(day, hr, event_type) AS INT) AS gid,
+       count(*) AS n, sum(v_c) AS sum_v_c
+FROM e GROUP BY ROLLUP (day, hr, event_type)""",
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty,

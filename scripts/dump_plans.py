@@ -81,6 +81,26 @@ ALLOW: dict[tuple[str, str], str] = {
     ("corpus_lang_mix", "BroadcastNestedLoopJoin"):
         "1-row n_max dim crossed onto the languages-sized counts dim "
         "(not the corpus scan — that side is a broadcast hash join)",
+    # 1-row global aggregates (the final exchange carries one partial
+    # row PER UPSTREAM PARTITION — bytes at any input scale), found
+    # when the formatted-plan SinglePartition detection was fixed:
+    ("corpus_importance", "Exchange SinglePartition"):
+        "two 1-row bucket-total aggregates (raw/target gram counts)",
+    ("corpus_lang_mix", "Exchange SinglePartition"):
+        "1-row n_max aggregate over the languages-sized counts dim",
+    ("events_funnel", "Exchange SinglePartition"):
+        "1-row funnel-stage-totals aggregate (count+sum partials)",
+    ("graph_modularity", "Exchange SinglePartition"):
+        "1-row m_edges aggregate; partial counts upstream",
+    ("text_bm25_topk", "Exchange SinglePartition"):
+        "1-row corpus-stats aggregate (N/T/df partials)",
+    ("text_keyphrases", "Exchange SinglePartition"):
+        "1-row doc-count aggregate",
+    ("text_search_topk", "Exchange SinglePartition"):
+        "1-row corpus-stats aggregate",
+    ("events_rollup", "Exchange SinglePartition"):
+        "grand-total grain re-aggregates the day-grain dim (≤days "
+        "rows); the fact stream shuffles once at the finest grain",
     # Python stages where Python is the point:
     ("media_features", "python"): "binary codec feature extraction",
     ("media_decode", "python"): "P6/WAV decode is bytes-in-Python",
@@ -126,9 +146,16 @@ PY_MARKERS = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
 
 def audit(name: str, plan: str) -> list[str]:
     hits = []
-    for pat in ("CartesianProduct", "BroadcastNestedLoopJoin",
-                "Exchange SinglePartition"):
-        if re.search(re.escape(pat), plan) and (name, pat) not in ALLOW:
+    # formatted plans render the partitioning as an "Arguments:
+    # SinglePartition" detail line under the Exchange node (the
+    # inline "Exchange SinglePartition" form only appears in simple
+    # mode) — match both, or the one-task-convergence gate is a no-op
+    pats = {"CartesianProduct": r"CartesianProduct",
+            "BroadcastNestedLoopJoin": r"BroadcastNestedLoopJoin",
+            "Exchange SinglePartition":
+                r"Exchange SinglePartition|Arguments: SinglePartition"}
+    for pat, rx in pats.items():
+        if re.search(rx, plan) and (name, pat) not in ALLOW:
             hits.append(pat)
     if any(m in plan for m in PY_MARKERS) and (name, "python") not in ALLOW:
         hits.append("python-stage")

@@ -1482,3 +1482,56 @@ def test_range_join_boundaries_overlap_and_bucket_crossing(spark):
 
     with pytest.raises(ValueError):
         range_join(facts, ranges, "v", "lo", "hi", bucket_width=0)
+
+
+@pytest.mark.spark
+def test_hierarchical_rollup_matches_native_rollup(spark):
+    """The re-aggregation cascade equals Spark's own Expand-based
+    rollup() bit-for-bit on every grain (grouping_id included) — an
+    in-engine independent pin on top of the DuckDB oracle."""
+    import pyspark.sql.functions as F
+
+    from web_graph_spark.functions.stats import hierarchical_rollup
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select(F.date_trunc("day", "ts").cast("date").alias("day"),
+                  F.hour("ts").cast("int").alias("hr"),
+                  "event_type",
+                  F.floor(F.col("value") * 100).cast("long").alias("v_c")))
+    ours = {tuple(r) for r in hierarchical_rollup(
+        ev, ["day", "hr", "event_type"],
+        {"sum_v_c": F.col("v_c")}).collect()}
+    native = {tuple(r) for r in
+              ev.rollup("day", "hr", "event_type")
+                .agg(F.grouping_id().cast("int").alias("gid"),
+                     F.count(F.lit(1)).alias("n"),
+                     F.sum("v_c").alias("sum_v_c"))
+                .select("day", "hr", "event_type", "gid", "n", "sum_v_c")
+                .collect()}
+    assert ours == native and len(ours) > 100
+
+
+@pytest.mark.spark
+def test_hierarchical_rollup_hand_grains(spark):
+    """Two days × two types: every grain's n/sum and the GROUPING_ID
+    bitmask (finest 0, day-only 3, grand total 7)."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from web_graph_spark.functions.stats import hierarchical_rollup
+
+    d1, d2 = datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)
+    ev = spark.createDataFrame(
+        [(d1, 0, "view", 10), (d1, 0, "view", 20), (d1, 1, "click", 5),
+         (d2, 3, "view", 7)],
+        "day date, hr int, event_type string, v_c long")
+    got = {(r.day, r.hr, r.event_type, r.gid): (r.n, r.sum_v_c)
+           for r in hierarchical_rollup(
+               ev, ["day", "hr", "event_type"],
+               {"sum_v_c": F.col("v_c")}).collect()}
+    assert got[(d1, 0, "view", 0)] == (2, 30)
+    assert got[(d1, 0, None, 1)] == (2, 30)
+    assert got[(d1, None, None, 3)] == (3, 35)
+    assert got[(None, None, None, 7)] == (4, 42)
+    assert len(got) == 3 + 3 + 2 + 1

@@ -252,3 +252,114 @@ def countmin_heavy_hitters(events: DataFrame, key,
             .agg(F.min("c").cast("long").alias("n_cms"))
             .select("key", F.col("n_true").cast("long").alias("n_true"),
                     "n_cms"))
+
+
+def hierarchical_rollup(facts: DataFrame, keys: list[str],
+                        measures: dict[str, "F.Column"]) -> DataFrame:
+    """Multi-grain rollup (the TimescaleDB/Druid continuous-aggregate
+    shape: hour → day → total) WITHOUT Spark's ``rollup()`` Expand —
+    which replicates every fact row once per grain (×(len(keys)+1)
+    map-side at 10^10 rows) before the aggregate.  Here the fact
+    stream is scanned and shuffled exactly ONCE at the finest grain;
+    every coarser grain re-aggregates the PREVIOUS grain's rows — a
+    dim bounded by key cardinality (days × hours × types), never by
+    |facts|.  Sound because count and integer sums reassociate
+    exactly; callers must therefore pass integral per-row measures
+    (floor float money to centi-units per ROW first — flooring a
+    re-aggregated float sum would diverge between grains and engines).
+
+    Output matches ``GROUP BY ROLLUP`` bit-for-bit: rolled-up key
+    columns are NULL and ``gid`` carries the standard GROUPING_ID
+    bitmask (finest = 0, grand total = 2^len(keys) − 1), so a SQL
+    engine's native rollup is a fully independent oracle.
+    """
+    finest = facts.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(c).alias(nm) for nm, c in measures.items()])
+    types = {f.name: f.dataType for f in finest.schema.fields}
+    m_names = list(measures)
+    out_cols = [*keys, "gid", "n", *m_names]
+
+    def level(df: DataFrame, kept: int, gid: int) -> DataFrame:
+        cols = ([F.col(k) for k in keys[:kept]]
+                + [F.lit(None).cast(types[k]) for k in keys[kept:]]
+                + [F.lit(gid).alias("gid"), F.col("n")]
+                + [F.col(nm) for nm in m_names])
+        return df.select(*cols).toDF(*out_cols)
+
+    levels = [level(finest, len(keys), 0)]
+    prev = finest
+    for kept in range(len(keys) - 1, -1, -1):
+        prev = prev.groupBy(*keys[:kept]).agg(
+            F.sum("n").alias("n"),
+            *[F.sum(nm).alias(nm) for nm in m_names])
+        levels.append(level(prev, kept, (1 << (len(keys) - kept)) - 1))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def _hexchunk(h, start: int):
+    """Integer in [0, 65535] from 4 hex chars of an md5 string column
+    starting at 1-based ``start`` — the cross-engine hex16 recipe
+    (strpos arithmetic, no conv()) applied to ONE shared digest."""
+    alpha = F.lit("0123456789abcdef")
+    d = [F.instr(alpha, F.substring(h, start + i, 1)) - 1
+         for i in range(4)]
+    return (d[0] * 4096 + d[1] * 256 + d[2] * 16 + d[3]).cast("long")
+
+
+HLL_M = 64                       # registers (α_64 = 0.709 exactly)
+HLL_WBITS = 32                   # rho-space bits
+_HLL_NUM = 709 * (1 << 45)       # α·m²·2^(wbits+1) · 1000⁻¹-pending
+
+
+def hll_distinct(df: DataFrame, group: str, key) -> DataFrame:
+    """HyperLogLog distinct count (Flajolet et al. 2007) per group in
+    EXACT integer arithmetic, with the true count-distinct alongside
+    — the fixed-size-state cardinality tier: 64 integer registers per
+    group no matter how many distinct keys stream past, which is what
+    a per-window streaming aggregator can hold when the exact
+    count-distinct's key-cardinality state can't.
+
+    Everything is cross-engine exact: register index and rho-word are
+    hex16 chunks of ONE md5; rho is a ``length(bin(w))`` bit-length
+    (no float log2); the harmonic sum is Σ 2^(wbits+1−M_j) — dyadic
+    terms scaled to integers, with absent registers folded in as
+    ``(m − n_regs)·2^(wbits+1)`` so no register dim is ever
+    materialized; the estimate is one integer division
+    ``α·m²·2^(wbits+1) // (1000·S)``.  This is the RAW estimator —
+    no small-range linear-counting branch (it needs ln); below
+    ~2.5·m = 160 distinct it overestimates, so pair it with the exact
+    tier there (tests pin the ±13%·√-error band in the valid zone).
+
+    Shape at scale: one (group, register) hash agg whose map-side
+    partials absorb repeated keys BEFORE the shuffle, then a ≤64-rows-
+    per-group re-agg; the certification count-distinct is the only
+    key-cardinality-sized state and exists to be dropped at 10^10.
+    """
+    h = F.md5(key)
+    w = _hexchunk(h, 5) * 65536 + _hexchunk(h, 9)
+    keyed = df.select(
+        F.col(group).alias("g"),
+        (_hexchunk(h, 1) % HLL_M).alias("j"),
+        (F.lit(HLL_WBITS + 1)
+         - F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w))))
+        .alias("rho"),
+        key.alias("key"))
+    regs = keyed.groupBy("g", "j").agg(F.max("rho").alias("M"))
+    sk = (regs.groupBy("g")
+          .agg(F.sum(F.expr(
+              f"shiftleft(cast(1 as bigint), {HLL_WBITS + 1} - M)"))
+               .alias("s_present"),
+               F.count(F.lit(1)).alias("n_regs"))
+          .select("g", (F.col("s_present")
+                        + (F.lit(HLL_M) - F.col("n_regs"))
+                        * F.lit(1 << (HLL_WBITS + 1))).alias("s2"))
+          .select("g", F.expr(f"{_HLL_NUM} div (1000 * s2)")
+                  .alias("n_hll")))
+    exact = keyed.groupBy("g").agg(
+        F.countDistinct("key").alias("n_exact"))
+    return (exact.join(sk, "g")
+            .select(F.col("g").alias(group), "n_exact", "n_hll"))
