@@ -857,6 +857,16 @@ def _hex16_sql(expr: str) -> str:
     return (f"({d[0]} * 4096 + {d[1]} * 256 + {d[2]} * 16 + {d[3]})")
 
 
+def _hexchunk_sql(start: int) -> str:
+    """The oracle half of functions/stats.py:_hexchunk — integer in
+    [0, 65535] from 4 hex chars of a column named ``h`` (an md5
+    digest) starting at 1-based ``start``; strpos arithmetic only."""
+    a = "'0123456789abcdef'"
+    d = [f"(strpos({a}, substr(h, {start + i}, 1)) - 1)"
+         for i in range(4)]
+    return f"({d[0]} * 4096 + {d[1]} * 256 + {d[2]} * 16 + {d[3]})"
+
+
 def _walks_oracle_sql(length: int = 4, n_walks: int = 2) -> str:
     """Unrolled-step DuckDB oracle for ``graph_random_walks`` — the
     same dst-sorted adjacency indexing and hex16 coin arithmetic."""
@@ -2444,6 +2454,24 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                {"sum_v_c": F.col("v_c")})
 
 
+def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type (functions/stats.py:
+    hll_distinct E91) in exact integer arithmetic — 64 integer
+    registers per group whatever the key cardinality, the
+    fixed-state cardinality tier next to the exact count-distinct it
+    certifies against.  Register index and rho-word are hex16 chunks
+    of one md5, rho is a bin()-bit-length (no float log), the
+    harmonic sum is a scaled dyadic integer sum, the estimate one
+    integer division — so the SQL oracle rebuilds the sketch
+    register-for-register."""
+    from web_graph_spark.functions.stats import hll_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.concat(F.col("user_id").cast("string"), F.lit(":"),
+                   F.floor("value").cast("long").cast("string"))
+    return hll_distinct(ev, "event_type", key)
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (agg pushdown + codegen)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -2573,6 +2601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters": q_events_heavy_hitters,
         "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,
+        "events_hll_distinct": q_events_hll_distinct,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "tpch_q1": q_tpch_q1,
@@ -4109,6 +4138,35 @@ SELECT day, hr, event_type,
        CAST(GROUPING(day, hr, event_type) AS INT) AS gid,
        count(*) AS n, sum(v_c) AS sum_v_c
 FROM e GROUP BY ROLLUP (day, hr, event_type)""",
+        "events_hll_distinct": f"""
+WITH k AS (
+  SELECT event_type AS g,
+         CAST(user_id AS VARCHAR) || ':' ||
+         CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS key
+  FROM events
+),
+hx AS (SELECT g, key, md5(key) AS h FROM k),
+c AS (
+  SELECT g, key,
+         {_hexchunk_sql(1)} % 64 AS j,
+         CAST({_hexchunk_sql(5)} * 65536 + {_hexchunk_sql(9)}
+              AS BIGINT) AS w
+  FROM hx
+),
+r AS (
+  SELECT g, j,
+         max(33 - CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END) AS M
+  FROM c GROUP BY 1, 2
+),
+s AS (
+  SELECT g, sum(1::BIGINT << (33 - M))
+            + (64 - count(*)) * (1::BIGINT << 33) AS s2
+  FROM r GROUP BY 1
+),
+e AS (SELECT g, count(DISTINCT key) AS n_exact FROM k GROUP BY 1)
+SELECT e.g AS event_type, e.n_exact,
+       CAST(24945719810981888 // (1000 * s.s2) AS BIGINT) AS n_hll
+FROM e JOIN s USING (g)""",
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty,

@@ -1535,3 +1535,57 @@ def test_hierarchical_rollup_hand_grains(spark):
     assert got[(d1, None, None, 3)] == (3, 35)
     assert got[(None, None, None, 7)] == (4, 42)
     assert len(got) == 3 + 3 + 2 + 1
+
+
+@pytest.mark.spark
+def test_hll_accuracy_band_and_duplicate_invariance(spark):
+    """Raw-HLL estimate lands within a 3σ band (σ = 1.04/√64 ≈ 13%)
+    of the true cardinality in the valid zone (n ≫ 2.5·m), and the
+    sketch is a pure function of the DISTINCT key set — flooding one
+    key with duplicates moves nothing."""
+    import pyspark.sql.functions as F
+
+    from web_graph_spark.functions.stats import hll_distinct
+
+    n = 5000
+    base = spark.range(n).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("k"))
+    est = hll_distinct(base, "grp", F.col("k")).collect()[0]
+    assert est.n_exact == n
+    assert abs(est.n_hll - n) <= 0.39 * n, est.n_hll
+
+    dup = base.unionAll(
+        spark.range(2000).select(F.lit("g").alias("grp"),
+                                 F.lit("7").alias("k")))
+    est2 = hll_distinct(dup, "grp", F.col("k")).collect()[0]
+    assert (est2.n_exact, est2.n_hll) == (n, est.n_hll)
+
+
+@pytest.mark.spark
+def test_hll_register_math_hand_case(spark):
+    """One key per register path: the harmonic sum built from
+    explicit registers equals the operator's output — pins the
+    scaled-dyadic fold and the absent-register fill-in."""
+    import pyspark.sql.functions as F
+
+    from web_graph_spark.functions.stats import (
+        HLL_M, HLL_WBITS, _HLL_NUM, _hexchunk, hll_distinct)
+
+    keys = [str(i) for i in range(100)]
+    df = spark.createDataFrame([("g", k) for k in keys],
+                               "grp string, k string")
+    got = hll_distinct(df, "grp", F.col("k")).collect()[0].n_hll
+
+    # rebuild in python from the same md5 chunks
+    import hashlib
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = hashlib.md5(k.encode()).hexdigest()
+        a = [int(h[s:s + 4], 16) for s in (0, 4, 8)]
+        j = a[0] % HLL_M
+        w = a[1] * 65536 + a[2]
+        rho = HLL_WBITS + 1 - (w.bit_length() if w else 0)
+        regs[j] = max(regs.get(j, 0), rho)
+    s2 = (sum(1 << (HLL_WBITS + 1 - m) for m in regs.values())
+          + (HLL_M - len(regs)) * (1 << (HLL_WBITS + 1)))
+    assert got == _HLL_NUM // (1000 * s2)
