@@ -2472,6 +2472,21 @@ def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ev, "event_type", key)
 
 
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-hour sliding window evaluated hourly
+    (functions/stats.py:trailing_window_agg E92): facts aggregate
+    ONCE at the hour grain, the slide is a RANGE-frame window over
+    the dim-sized hourly rows — no ×3 fact replication the
+    window(slide) operator would do.  Oracle: DuckDB's native
+    INTERVAL range frame, an independent windowing implementation."""
+    from web_graph_spark.functions.stats import trailing_window_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return trailing_window_agg(
+        ev, "event_type", "ts",
+        F.floor(F.col("value") * 100).cast("long"), hours=3)
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (agg pushdown + codegen)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -2602,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,
         "events_hll_distinct": q_events_hll_distinct,
+        "events_sliding_window": q_events_sliding_window,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "tpch_q1": q_tpch_q1,
@@ -4167,6 +4183,19 @@ e AS (SELECT g, count(DISTINCT key) AS n_exact FROM k GROUP BY 1)
 SELECT e.g AS event_type, e.n_exact,
        CAST(24945719810981888 // (1000 * s.s2) AS BIGINT) AS n_hll
 FROM e JOIN s USING (g)""",
+        "events_sliding_window": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*) AS n_1h,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS m_1h
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, n_1h, m_1h,
+       CAST(sum(n_1h) OVER w AS BIGINT) AS n_3h,
+       CAST(sum(m_1h) OVER w AS BIGINT) AS m_3h
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour
+             RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)""",
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty,

@@ -1589,3 +1589,34 @@ def test_hll_register_math_hand_case(spark):
     s2 = (sum(1 << (HLL_WBITS + 1 - m) for m in regs.values())
           + (HLL_M - len(regs)) * (1 << (HLL_WBITS + 1)))
     assert got == _HLL_NUM // (1000 * s2)
+
+
+@pytest.mark.spark
+def test_trailing_window_gaps_and_boundaries(spark):
+    """RANGE semantics: exactly-2-hours-back is inside the trailing
+    3h window, 3-hours-back is out; an empty-hour gap contributes
+    nothing but does not break the frame; output rows exist only for
+    hours that have events."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from web_graph_spark.functions.stats import trailing_window_agg
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0)
+
+    def at(h, v):
+        return (t0 + datetime.timedelta(hours=h), "a", v)
+
+    ev = spark.createDataFrame(
+        [at(0, 1), at(0, 2), at(2, 10), at(5, 100), at(6, 1000)],
+        "ts timestamp_ntz, event_type string, v long")
+    got = {r.hour.hour: (r.n_1h, r.m_1h, r.n_3h, r.m_3h)
+           for r in trailing_window_agg(ev, "event_type", "ts",
+                                        F.col("v"), hours=3).collect()}
+    assert got == {
+        0: (2, 3, 2, 3),
+        2: (1, 10, 3, 13),       # hour 0 is exactly 2h back: in
+        5: (1, 100, 1, 100),     # hour 2 is 3h back: out; gap hours absent
+        6: (1, 1000, 2, 1100),
+    }

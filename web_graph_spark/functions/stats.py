@@ -363,3 +363,35 @@ def hll_distinct(df: DataFrame, group: str, key) -> DataFrame:
         F.countDistinct("key").alias("n_exact"))
     return (exact.join(sk, "g")
             .select(F.col("g").alias(group), "n_exact", "n_hll"))
+
+
+def trailing_window_agg(events: DataFrame, group: str, ts: str,
+                        measure, hours: int = 3) -> DataFrame:
+    """Trailing sliding-window aggregate (the rate/alerting shape:
+    "events and volume in the last H hours, evaluated hourly") WITHOUT
+    Spark's ``window(ts, '3 hours', '1 hour')``, which replicates
+    every fact row H times before aggregating.  The fact stream
+    aggregates ONCE at the hour grain (one shuffle, map-side partials
+    absorb hot hours); the trailing window then runs as a RANGE-frame
+    window over the dim-sized hourly rows — per group, |hours with
+    events| rows, not |facts|.
+
+    RANGE (not ROWS) on epoch seconds makes gaps exact: an hour with
+    no events contributes nothing and is skipped correctly, so output
+    rows exist only for hours that have events, each summing the
+    closed interval [h − (H−1)h, h].  ``measure`` must be an integral
+    per-row column (exact re-aggregation; floor money per row first).
+    """
+    hourly = (events
+              .groupBy(F.col(group).alias("g"),
+                       F.date_trunc("hour", ts).alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n_1h"),
+                   F.sum(measure).alias("m_1h")))
+    w = (Window.partitionBy("g")
+         .orderBy(F.unix_timestamp(F.col("hour").cast("timestamp")))
+         .rangeBetween(-(hours - 1) * 3600, 0))
+    return (hourly.select(
+        F.col("g").alias(group), "hour", "n_1h",
+        F.col("m_1h").cast("long").alias("m_1h"),
+        F.sum("n_1h").over(w).cast("long").alias(f"n_{hours}h"),
+        F.sum("m_1h").over(w).cast("long").alias(f"m_{hours}h")))
