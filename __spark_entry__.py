@@ -341,6 +341,56 @@ def q_docs_span_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("spans_digest"))
 
 
+def q_crawl_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/1.1 archive export (operators/archive.py:warc_records) —
+    the archival format a 10^10-URL crawl actually ships (ISO 28500;
+    the reference's Postgres page rows, linkstorage.go:119-131, become
+    WARC response records at this scale).  One codegen'd projection:
+    span payload reassembly, exact octet Content-Length, spec-legal
+    ``md5:<hex>`` labelled digests, and a record digest over the full
+    serialized record — the oracle rebuilds every record byte-for-byte
+    with an independent ``string_agg ORDER BY`` construction, so a
+    hash match certifies every archived byte."""
+    from web_graph_spark.operators.archive import warc_records
+
+    return warc_records(build_span_web(spark, sf_dir))
+
+
+def q_crawl_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index with SURT keys (operators/archive.py:
+    cdx_index) — the lookup companion to the WARC export: host labels
+    reversed into ``tld,domain,sub)/path`` so ONE lexicographic sort
+    co-locates a domain with all its subdomains.  Page captures carry
+    their exact payload length and md5 digest; the media targets the
+    admission filter excludes from fetching still enter the index as
+    ``image/png`` captures (the interleaved-payload inventory).  Index
+    rows are a projection + union — the sorted physical layout is
+    ``write_cdx``'s range partition + within-shard sort, order-pinned
+    in tests without any global single-task sort."""
+    from web_graph_spark.operators.archive import cdx_index, span_payload
+
+    web = build_span_web(spark, sf_dir)
+    pages = web.select(
+        "host", "path", "url", F.lit("text/html").alias("mime"),
+        F.md5(F.concat("host", "path")).alias("digest"),
+        F.octet_length(span_payload(F.col("spans")))
+         .cast("long").alias("content_length"))
+    media_path = F.concat(F.lit("/img"), F.col("tgt_doc_id").cast("string"),
+                          F.lit(".png"))
+    media = (webgen.links_full_df(spark, sf_dir)
+             .filter(F.col("k") % 4 == 0)
+             .select(F.col("tgt_host").alias("host"),
+                     media_path.alias("path"),
+                     F.col("href").alias("url"))
+             .distinct()
+             .select("host", "path", "url",
+                     F.lit("image/png").alias("mime"),
+                     F.md5(F.concat("host", "path")).alias("digest"),
+                     F.lit(None).cast("long").alias("content_length")))
+    return (cdx_index(pages.unionByName(media))
+            .select("surt", "url", "mime", "digest", "content_length"))
+
+
 def q_crawl_trap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawler-trap signal per host (canon.py:trap_stats): distinct
     canonicalized link-target paths vs distinct path TEMPLATES (digit
@@ -2521,6 +2571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_wave": q_crawl_frontier_wave,
         "crawl_media_frontier": q_crawl_media_frontier,
         "docs_span_digest": q_docs_span_digest,
+        "crawl_warc_export": q_crawl_warc_export,
+        "crawl_cdx_index": q_crawl_cdx_index,
         "crawl_trap_stats": q_crawl_trap_stats,
         "crawl_robots_parse": q_crawl_robots_parse,
         "crawl_sitemap_ingest": q_crawl_sitemap_ingest,
@@ -2680,6 +2732,64 @@ SELECT p.check_id,
 FROM web_pages p
 LEFT JOIN web_links_full l ON l.src_doc_id = p.doc_id
 GROUP BY 1"""),
+        "crawl_warc_export": _oracle("""
+, pay AS (
+  SELECT p.check_id, p.url,
+         coalesce(string_agg(
+           'link' || '|' || l.anchor || '|' || l.href || '|'
+                  || CAST(l.k AS VARCHAR),
+           chr(10) ORDER BY l.k), '') AS payload
+  FROM web_pages p
+  LEFT JOIN web_links_full l ON l.src_doc_id = p.doc_id
+  GROUP BY 1, 2
+)
+SELECT check_id, url,
+       CAST(strlen(payload) AS BIGINT) AS content_length,
+       'md5:' || md5(payload) AS payload_digest,
+       md5('WARC/1.1' || chr(13) || chr(10)
+           || 'WARC-Type: response' || chr(13) || chr(10)
+           || 'WARC-Record-ID: <urn:md5:' || check_id || '>'
+           || chr(13) || chr(10)
+           || 'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10)
+           || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+           || 'Content-Type: application/http;msgtype=response'
+           || chr(13) || chr(10)
+           || 'WARC-Payload-Digest: md5:' || md5(payload)
+           || chr(13) || chr(10)
+           || 'Content-Length: ' || CAST(strlen(payload) AS VARCHAR)
+           || chr(13) || chr(10) || chr(13) || chr(10)
+           || payload) AS record_digest
+FROM pay"""),
+        "crawl_cdx_index": _oracle("""
+, pay AS (
+  SELECT p.host, p.path, p.url, p.check_id,
+         coalesce(string_agg(
+           'link' || '|' || l.anchor || '|' || l.href || '|'
+                  || CAST(l.k AS VARCHAR),
+           chr(10) ORDER BY l.k), '') AS payload
+  FROM web_pages p
+  LEFT JOIN web_links_full l ON l.src_doc_id = p.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+caps AS (
+  SELECT host, path, url, 'text/html' AS mime, check_id AS digest,
+         CAST(strlen(payload) AS BIGINT) AS content_length
+  FROM pay
+  UNION ALL
+  SELECT DISTINCT tgt_host AS host,
+         '/img' || CAST(tgt_doc_id AS VARCHAR) || '.png' AS path,
+         'https://' || tgt_host || '/img' || CAST(tgt_doc_id AS VARCHAR)
+             || '.png' AS url,
+         'image/png' AS mime,
+         md5(tgt_host || '/img' || CAST(tgt_doc_id AS VARCHAR) || '.png')
+             AS digest,
+         CAST(NULL AS BIGINT) AS content_length
+  FROM web_links_full WHERE k % 4 = 0
+)
+SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+           || ')' || path AS surt,
+       url, mime, digest, content_length
+FROM caps"""),
         "crawl_trap_stats": _oracle(f"""
 , t AS (
   SELECT DISTINCT tgt_host AS host, {canon_path} AS path
