@@ -391,6 +391,26 @@ def q_crawl_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("surt", "url", "mime", "digest", "content_length"))
 
 
+def q_crawl_host_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetcher-fleet host assignment (operators/fleet.py:
+    rendezvous_assign) — every host pinned to one fetcher by
+    rendezvous (highest-random-weight) hashing, computed at fleet
+    sizes 8 AND 9 with the per-host churn flag, certifying HRW's
+    resize property end-to-end: a displaced host can land only on the
+    NEW worker, so a fleet resize moves ~1/(K+1) of the politeness
+    state instead of reshuffling it all (what ``hash % K`` would do).
+    One ×K explode + one map-side-combinable argmax aggregation per
+    fleet size — no window, no sort, uniform keys."""
+    from web_graph_spark.operators.fleet import rendezvous_assign
+
+    hosts = webgen.pages_df(spark, sf_dir).select("host").distinct()
+    a8 = rendezvous_assign(hosts, 8, out_col="worker8")
+    a9 = rendezvous_assign(hosts, 9, out_col="worker9")
+    return (a8.join(a9, "host")
+            .select("host", "worker8", "worker9",
+                    (F.col("worker8") != F.col("worker9")).alias("moved")))
+
+
 def q_crawl_trap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawler-trap signal per host (canon.py:trap_stats): distinct
     canonicalized link-target paths vs distinct path TEMPLATES (digit
@@ -2573,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_span_digest": q_docs_span_digest,
         "crawl_warc_export": q_crawl_warc_export,
         "crawl_cdx_index": q_crawl_cdx_index,
+        "crawl_host_assign": q_crawl_host_assign,
         "crawl_trap_stats": q_crawl_trap_stats,
         "crawl_robots_parse": q_crawl_robots_parse,
         "crawl_sitemap_ingest": q_crawl_sitemap_ingest,
@@ -2790,6 +2811,34 @@ SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
            || ')' || path AS surt,
        url, mime, digest, content_length
 FROM caps"""),
+        "crawl_host_assign": _oracle(f"""
+, h AS (SELECT DISTINCT host FROM web_pages),
+w8 AS (
+  SELECT host, ws.w,
+         {_hex16_sql("host || '#' || CAST(ws.w AS VARCHAR)")} AS weight
+  FROM h, (SELECT unnest(generate_series(0, 7)) AS w) ws
+),
+a8 AS (
+  SELECT host, w AS worker8 FROM (
+    SELECT host, w, row_number() OVER (
+        PARTITION BY host ORDER BY weight DESC, w) AS rn
+    FROM w8) WHERE rn = 1
+),
+w9 AS (
+  SELECT host, ws.w,
+         {_hex16_sql("host || '#' || CAST(ws.w AS VARCHAR)")} AS weight
+  FROM h, (SELECT unnest(generate_series(0, 8)) AS w) ws
+),
+a9 AS (
+  SELECT host, w AS worker9 FROM (
+    SELECT host, w, row_number() OVER (
+        PARTITION BY host ORDER BY weight DESC, w) AS rn
+    FROM w9) WHERE rn = 1
+)
+SELECT a8.host, CAST(worker8 AS INTEGER) AS worker8,
+       CAST(worker9 AS INTEGER) AS worker9,
+       worker8 <> worker9 AS moved
+FROM a8 JOIN a9 ON a8.host = a9.host"""),
         "crawl_trap_stats": _oracle(f"""
 , t AS (
   SELECT DISTINCT tgt_host AS host, {canon_path} AS path
