@@ -1076,6 +1076,22 @@ def q_graph_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("tgt_doc_id").alias("n_tgt_pages")))
 
 
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host directed-edge reciprocity (operators/graph_algos.py:
+    reciprocity) — the share of a host's out-edges whose reverse edge
+    exists (Broder et al.'s basic web-shape statistic; high mutual
+    linkage flags navigational templates and link exchanges).  One
+    pair-distinct + one reversed self-join on the SAME composite key
+    (the second join reuses the first's partitioning) + one group agg
+    — no window, no driver materialization at 10^10 edges."""
+    from web_graph_spark.operators.graph_algos import reciprocity
+
+    e = webgen.links_full_df(spark, sf_dir).filter(F.col("k") % 4 != 0)
+    groups = webgen.pages_df(spark, sf_dir).select(
+        F.col("doc_id").alias("src_doc_id"), "host")
+    return reciprocity(e, groups)
+
+
 def q_graph_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation related-pages: target pairs (a < b) linked FROM the
     same source page, weighted by how many sources cite both — the
@@ -2614,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_pages_for_host": q_graph_pages_for_host,
         "graph_host_graph": q_graph_host_graph,
+        "graph_reciprocity": q_graph_reciprocity,
         "graph_anchor_text": q_graph_anchor_text,
         "graph_cocitation": q_graph_cocitation,
         "graph_link_predict": q_graph_link_predict,
@@ -3127,6 +3144,21 @@ FROM e
 JOIN web_pages ps ON ps.doc_id = e.src_doc_id
 JOIN web_pages pt ON pt.doc_id = e.tgt_doc_id
 GROUP BY 1, 2"""),
+        "graph_reciprocity": _oracle("""
+, e AS (
+  SELECT DISTINCT src_doc_id AS s, tgt_doc_id AS t
+  FROM web_links_full WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id
+),
+f AS (
+  SELECT e.s, e.t, e2.s IS NOT NULL AS r
+  FROM e LEFT JOIN e e2 ON e2.s = e.t AND e2.t = e.s
+)
+SELECT p.host, CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(CASE WHEN r THEN 1 END) AS BIGINT) AS n_recip,
+       CAST(count(CASE WHEN r THEN 1 END) * 10000 // count(*) AS BIGINT)
+           AS recip_bp
+FROM f JOIN web_pages p ON p.doc_id = f.s
+GROUP BY 1"""),
         "graph_cocitation": _oracle("""
 , e AS (SELECT DISTINCT src_doc_id, tgt_doc_id FROM web_links_full
         WHERE k % 4 <> 0)

@@ -501,3 +501,20 @@ def test_personalized_pagerank_mass_and_seeds(spark):
     empty = spark.createDataFrame([], "seed_seq long")
     with pytest.raises(ValueError):
         personalized_pagerank(edges, empty, rounds=1)
+
+
+@pytest.mark.spark
+def test_reciprocity_hand_graph(spark):
+    from web_graph_spark.operators.graph_algos import reciprocity
+
+    # hostA: 1->2 (recip), 2->1 (recip), 1->3 (not), 1->1 (self loop,
+    # excluded), duplicate 1->2 rows collapse; hostB: 4->1 (not).
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1), (1, 3), (1, 1), (4, 1)],
+        "src_doc_id long, tgt_doc_id long")
+    groups = spark.createDataFrame(
+        [(1, "hostA"), (2, "hostA"), (3, "hostA"), (4, "hostB")],
+        "src_doc_id long, host string")
+    got = {r["host"]: (r["n_edges"], r["n_recip"], r["recip_bp"])
+           for r in reciprocity(edges, groups).collect()}
+    assert got == {"hostA": (3, 2, 6666), "hostB": (1, 0, 0)}

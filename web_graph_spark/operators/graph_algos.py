@@ -945,3 +945,37 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
              .localCheckpoint())
     return (r.filter(F.col("ppr") > 0)
             .select(F.col("id").alias("doc_id"), "ppr"))
+
+
+def reciprocity(edges: DataFrame, groups: DataFrame,
+                src: str = "src_doc_id", dst: str = "tgt_doc_id",
+                group_col: str = "host") -> DataFrame:
+    """Per-group directed-edge reciprocity — the share of edges whose
+    reverse edge also exists (Broder et al. 2000 report it as a basic
+    shape statistic of the web graph; a high-reciprocity host cluster
+    is the navigational-template / link-exchange signal spam triage
+    keys on, the directed complement to ``dedup_mirror_hosts``).
+
+    ``groups`` maps source vertices to a group key (e.g. doc_id →
+    host).  Self-loops are excluded (a loop is trivially its own
+    reverse).  Returns (group, n_edges, n_recip, recip_bp) with the
+    ratio floored to integer basis points.
+
+    Scale shape: one distinct on the (src, dst) pair, one self-join
+    against the reversed pair — both on the same uniform composite
+    key, so the second join reuses the first's hash partitioning —
+    then one group join + map-side-combinable aggregation.  No window,
+    no driver materialization; 10^10 edges is two pair-key shuffles.
+    """
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+         .filter(F.col("s") != F.col("t")).distinct())
+    rev = e.select(F.col("t").alias("s"), F.col("s").alias("t"),
+                   F.lit(1).alias("__rev"))
+    flagged = e.join(rev, ["s", "t"], "left")
+    g = groups.select(F.col(src).alias("s"), group_col)
+    return (flagged.join(g, "s")
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_edges"),
+                 F.count("__rev").alias("n_recip"))
+            .withColumn("recip_bp",
+                        F.expr("n_recip * 10000 div n_edges")))
