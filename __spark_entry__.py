@@ -2573,6 +2573,25 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100).cast("long"), hours=3)
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score rate-anomaly flags per event type
+    (functions/stats.py:trailing_anomaly E93) — the alerting pass a
+    crawl/ingest monitor runs over its hourly counters (reference
+    analog: the queue-length log line, cmd/link-processor/main.go).
+    The float test |c−mean| > z·stddev is decided in EXACT integer
+    arithmetic ((n·c−s1)² > z²·(n·s2−s1²)) over a trailing RANGE
+    frame that EXCLUDES the current hour, so DuckDB re-derives every
+    flag bit-identically from its own native interval frame."""
+    from web_graph_spark.functions.stats import trailing_anomaly
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = trailing_anomaly(ev, "event_type", "ts", hours=24, z=2,
+                           min_prev=6)
+    return out.select("event_type", "hr", "n_events", "n_prev",
+                      "dev_sq", "thresh_sq",
+                      F.col("anomaly").cast("int").alias("anomaly"))
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (agg pushdown + codegen)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -2708,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_hll_distinct": q_events_hll_distinct,
         "events_sliding_window": q_events_sliding_window,
+        "events_anomaly": q_events_anomaly,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "tpch_q1": q_tpch_q1,
@@ -4387,6 +4407,36 @@ SELECT event_type, hour, n_1h, m_1h,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)""",
+        "events_anomaly": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, hr, n_events,
+         CAST(count(n_events) OVER w AS BIGINT) AS n_prev,
+         CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT) AS s1,
+         CAST(coalesce(sum(n_events * n_events) OVER w, 0)
+              AS BIGINT) AS s2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               RANGE BETWEEN INTERVAL 24 HOUR PRECEDING
+                     AND INTERVAL 1 HOUR PRECEDING)
+),
+d AS (
+  SELECT event_type, hr, n_events, n_prev,
+         CAST(CASE WHEN n_prev > 0
+              THEN (n_prev*n_events - s1)*(n_prev*n_events - s1)
+              ELSE 0 END AS BIGINT) AS dev_sq,
+         CAST(CASE WHEN n_prev > 0
+              THEN 4*(n_prev*s2 - s1*s1) ELSE 0 END AS BIGINT)
+              AS thresh_sq
+  FROM s
+)
+SELECT event_type, hr, n_events, n_prev, dev_sq, thresh_sq,
+       CAST(n_prev >= 6 AND dev_sq > thresh_sq AS INT) AS anomaly
+FROM d""",
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty,

@@ -1620,3 +1620,36 @@ def test_trailing_window_gaps_and_boundaries(spark):
         5: (1, 100, 1, 100),     # hour 2 is 3h back: out; gap hours absent
         6: (1, 1000, 2, 1100),
     }
+
+
+@pytest.mark.spark
+def test_trailing_anomaly_semantics(spark):
+    """Integer z-score flags: a 10× spike after a steady baseline
+    flags; the steady hours do not; the first min_prev hours never
+    flag (cold start); the spike hour is excluded from its own
+    baseline (the NEXT hour's baseline contains it but a return to
+    normal must not flag as a dip with z=2 here)."""
+    import datetime
+
+    from web_graph_spark.functions.stats import trailing_anomaly
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0)
+    rows = []
+    for h in range(8):                      # steady: 4 events/hour
+        n = 40 if h == 6 else 4             # hour 6 spikes 10×
+        for i in range(n):
+            rows.append((t0 + datetime.timedelta(hours=h, minutes=i % 60),
+                         "a"))
+    ev = spark.createDataFrame(rows, "ts timestamp_ntz, event_type string")
+    got = {r.hr.hour: (r.n_events, r.n_prev, bool(r.anomaly))
+           for r in trailing_anomaly(ev, "event_type", "ts",
+                                     hours=24, z=2, min_prev=6).collect()}
+    assert got[0] == (4, 0, False)          # no baseline at all
+    assert got[5] == (4, 5, False)          # 5 < min_prev: cold start
+    assert got[6] == (40, 6, True)          # spike vs 6 steady hours
+    # hour 7 returns to 4; its baseline now CONTAINS the spike, so
+    # variance is huge and 4 is within 2σ of the contaminated mean.
+    assert got[7] == (4, 7, False)
+    # steady-state sanity: constant series has zero variance, so any
+    # exactly-equal hour never flags (dev_sq == 0 == thresh_sq is not >)
+    assert not any(f for h, (_, p, f) in got.items() if h != 6)

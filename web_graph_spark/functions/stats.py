@@ -395,3 +395,54 @@ def trailing_window_agg(events: DataFrame, group: str, ts: str,
         F.col("m_1h").cast("long").alias("m_1h"),
         F.sum("n_1h").over(w).cast("long").alias(f"n_{hours}h"),
         F.sum("m_1h").over(w).cast("long").alias(f"m_{hours}h")))
+
+
+def trailing_anomaly(events: DataFrame, group: str, ts: str,
+                     hours: int = 24, z: int = 3,
+                     min_prev: int = 6) -> DataFrame:
+    """Rate-anomaly detection per group on the hour grain — flag every
+    hour whose event count deviates from its own trailing ``hours``
+    baseline by more than ``z`` standard deviations, in EXACT integer
+    arithmetic (the alerting pass a crawl/ingest monitor runs; the
+    engine-side analog of the reference's queue-length log line,
+    cmd/link-processor/main.go:210).
+
+    The float z-score test ``|c - mean| > z*stddev`` is equivalent to
+    ``(n*c - s1)^2 > z^2 * (n*s2 - s1^2)`` over the trailing frame's
+    ``n = count``, ``s1 = sum(c)``, ``s2 = sum(c^2)`` — integers only,
+    so both engines decide every flag bit-identically (exact while
+    hourly counts stay under ~10^8; beyond that pre-scale the counts).
+    The current hour is EXCLUDED from its own baseline (a spike must
+    not suppress itself), and hours with fewer than ``min_prev``
+    baseline hours never flag (cold start).
+
+    Shape: the raw stream aggregates ONCE to (group, hour) — map-side
+    partials absorb arbitrarily hot groups — then the trailing frame
+    is a RANGE window over those dim-sized hourly rows (same argument
+    as trailing_window_agg: empty hours handled exactly by the range
+    frame, never a fact-replicating slide).
+    """
+    hourly = (events.groupBy(F.col(group).alias(group),
+                             F.date_trunc("hour", F.col(ts)).alias("hr"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
+    ep = F.unix_timestamp("hr")
+    w = (Window.partitionBy(group).orderBy(ep.cast("long"))
+         .rangeBetween(-hours * 3600, -3600))
+    c = F.col("n_events")
+    n = F.count("n_events").over(w)
+    s1 = F.sum("n_events").over(w)
+    s2 = F.sum(c * c).over(w)
+    stats = (hourly
+             .withColumn("n_prev", F.coalesce(n, F.lit(0)).cast("long"))
+             .withColumn("dev_sq",
+                         F.when(F.col("n_prev") > 0,
+                                (n * c - s1) * (n * c - s1))
+                          .otherwise(F.lit(0)).cast("long"))
+             .withColumn("thresh_sq",
+                         F.when(F.col("n_prev") > 0,
+                                F.lit(z * z) * (n * s2 - s1 * s1))
+                          .otherwise(F.lit(0)).cast("long")))
+    return stats.withColumn(
+        "anomaly",
+        (F.col("n_prev") >= min_prev)
+        & (F.col("dev_sq") > F.col("thresh_sq")))
