@@ -918,6 +918,27 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(e, seeds, length=4, n_walks=2)
 
 
+def q_graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall / HyperANF (round 4, operators/graph_algos.py:
+    hyperball E94): per-node HLL sketches of the 3-hop out-
+    reachability ball — the neighborhood-function / effective-
+    diameter algorithm for web-scale graphs (Boldi-Rosa-Vigna), where
+    exact per-node ball sizes would need |V|·ball pairs.  Each round
+    is one edges⋈state join + one (node, register) max-agg; state is
+    sparse and 64-registers-per-node bounded.  HLL(S) = register-wise
+    max over S's singleton sketches and ball membership is bounded
+    reachability, so the oracle rebuilds every register exactly from
+    a recursive CTE + the shared hex16 md5 recipe — every estimate
+    matches bit-for-bit."""
+    from web_graph_spark.operators.graph_algos import hyperball
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    v = webgen.pages_df(spark, sf_dir).select("doc_id")
+    return hyperball(e, v, n_hops=3)
+
+
 def _hex16_sql(expr: str) -> str:
     """The oracle half of graph_algos._hex16: integer in [0, 65535]
     from the first 4 hex chars of md5(expr), strpos arithmetic only."""
@@ -2665,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr": q_graph_ppr,
         "graph_kcore": q_graph_kcore,
         "graph_random_walks": q_graph_random_walks,
+        "graph_hyperball": q_graph_hyperball,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "corpus_source_reputation": q_corpus_source_reputation,
@@ -3282,6 +3304,40 @@ bfs(node, depth) AS (
 )
 SELECT node AS doc_id, CAST(min(depth) AS BIGINT) AS depth
 FROM bfs GROUP BY 1"""),
+        "graph_hyperball": _oracle_recursive(f"""
+, e AS (
+  SELECT DISTINCT src_doc_id AS s, tgt_doc_id AS t
+  FROM web_links_full WHERE k % 4 <> 0
+),
+ball(v, u, d) AS (
+  SELECT doc_id, doc_id, 0 FROM web_pages
+  UNION
+  SELECT b.v, e.t, b.d + 1 FROM ball b JOIN e ON e.s = b.u
+  WHERE b.d < 3
+),
+m AS (SELECT DISTINCT b.v, b.u FROM ball b
+      JOIN web_pages p ON p.doc_id = b.u),
+hx AS (SELECT v, md5(CAST(u AS VARCHAR)) AS h FROM m),
+c AS (
+  SELECT v, {_hexchunk_sql(1)} % 64 AS j,
+         CAST({_hexchunk_sql(5)} * 65536 + {_hexchunk_sql(9)}
+              AS BIGINT) AS w
+  FROM hx
+),
+r AS (
+  SELECT v, j,
+         max(33 - CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END) AS M
+  FROM c GROUP BY 1, 2
+),
+s AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_regs,
+         CAST(sum(1::BIGINT << (33 - M))
+              + (64 - count(*)) * (1::BIGINT << 33) AS BIGINT) AS s2
+  FROM r GROUP BY 1
+)
+SELECT v AS doc_id, n_regs, s2,
+       CAST(24945719810981888 // (1000 * s2) AS BIGINT) AS n_ball
+FROM s"""),
         "graph_components": _oracle_recursive("""
 , e AS (
   SELECT DISTINCT src_doc_id AS a, tgt_doc_id AS b

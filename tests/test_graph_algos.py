@@ -518,3 +518,85 @@ def test_reciprocity_hand_graph(spark):
     got = {r["host"]: (r["n_edges"], r["n_recip"], r["recip_bp"])
            for r in reciprocity(edges, groups).collect()}
     assert got == {"hostA": (3, 2, 6666), "hostB": (1, 0, 0)}
+
+
+@pytest.mark.spark
+def test_hyperball_matches_exact_ball_rebuild(spark):
+    """On an explicit small graph, every node's HyperBall output
+    equals a python rebuild of HLL registers over its EXACT bounded
+    out-reachability ball (HLL(S) = register-wise max over members) —
+    pins seeding, propagation direction, hop bound, and the fold."""
+    import hashlib
+
+    from web_graph_spark.functions.stats import HLL_M, HLL_WBITS, _HLL_NUM
+    from web_graph_spark.operators.graph_algos import hyperball
+
+    # 0→1→2→3→4 path plus 0→5, 5→2 shortcut and a 6↔7 cycle
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 5), (5, 2), (6, 7),
+             (7, 6)]
+    verts = list(range(8))
+    e = spark.createDataFrame(edges, "src_doc_id long, tgt_doc_id long")
+    v = spark.createDataFrame([(x,) for x in verts], "doc_id long")
+
+    def exact_ball(start, hops):
+        ball, frontier = {start}, {start}
+        for _ in range(hops):
+            frontier = {t for s, t in edges if s in frontier}
+            ball |= frontier
+        return ball
+
+    def rebuild(ball):
+        regs: dict[int, int] = {}
+        for u in ball:
+            h = hashlib.md5(str(u).encode()).hexdigest()
+            a = [int(h[s:s + 4], 16) for s in (0, 4, 8)]
+            w = a[1] * 65536 + a[2]
+            rho = HLL_WBITS + 1 - (w.bit_length() if w else 0)
+            j = a[0] % HLL_M
+            regs[j] = max(regs.get(j, 0), rho)
+        s2 = (sum(1 << (HLL_WBITS + 1 - m) for m in regs.values())
+              + (HLL_M - len(regs)) * (1 << (HLL_WBITS + 1)))
+        return len(regs), s2, _HLL_NUM // (1000 * s2)
+
+    got = {r.doc_id: (r.n_regs, r.s2, r.n_ball)
+           for r in hyperball(e, v, n_hops=2).collect()}
+    assert got == {x: rebuild(exact_ball(x, 2)) for x in verts}
+
+
+@pytest.mark.spark
+def test_hyperball_saturation_and_induced_subgraph(spark):
+    """Early exit: on a diameter-2 graph, n_hops=50 equals the full
+    transitive closure (register mass saturates, the loop stops).
+    Membership semantics: a node OUTSIDE the vertex set is never a
+    ball member and never reported, but it DOES relay — a path
+    through it still connects vertices, one hop per physical edge."""
+    import hashlib
+
+    from web_graph_spark.functions.stats import HLL_M, HLL_WBITS, _HLL_NUM
+    from web_graph_spark.operators.graph_algos import hyperball
+
+    # 9 is not a vertex; 0→9→3 is the ONLY path from 0 to 3
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 9), (9, 2), (9, 3)],
+        "src_doc_id long, tgt_doc_id long")
+    v = spark.createDataFrame([(0,), (1,), (2,), (3,)], "doc_id long")
+
+    def rebuild(ball):
+        regs: dict[int, int] = {}
+        for u in ball:
+            h = hashlib.md5(str(u).encode()).hexdigest()
+            a = [int(h[s:s + 4], 16) for s in (0, 4, 8)]
+            w = a[1] * 65536 + a[2]
+            rho = HLL_WBITS + 1 - (w.bit_length() if w else 0)
+            j = a[0] % HLL_M
+            regs[j] = max(regs.get(j, 0), rho)
+        s2 = (sum(1 << (HLL_WBITS + 1 - m) for m in regs.values())
+              + (HLL_M - len(regs)) * (1 << (HLL_WBITS + 1)))
+        return len(regs), s2, _HLL_NUM // (1000 * s2)
+
+    got = {r.doc_id: (r.n_regs, r.s2, r.n_ball)
+           for r in hyperball(e, v, n_hops=50).collect()}
+    # 9 is reported for no one and a member of no ball, yet 3 is in
+    # 0's ball (reachable only through 9)
+    assert got == {0: rebuild({0, 1, 2, 3}), 1: rebuild({1, 2}),
+                   2: rebuild({2}), 3: rebuild({3})}

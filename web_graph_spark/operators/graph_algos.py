@@ -979,3 +979,90 @@ def reciprocity(edges: DataFrame, groups: DataFrame,
                  F.count("__rev").alias("n_recip"))
             .withColumn("recip_bp",
                         F.expr("n_recip * 10000 div n_edges")))
+
+
+def hyperball(edges: DataFrame, vertices: DataFrame,
+              id_col: str = "doc_id",
+              src: str = "src_doc_id", dst: str = "tgt_doc_id",
+              n_hops: int = 3) -> DataFrame:
+    """(id_col, n_regs, s2, n_ball) — HyperBall / HyperANF (Boldi,
+    Rosa & Vigna, WSDM'11 / WWW'14): per-node HyperLogLog sketches of
+    the OUT-reachability ball within ``n_hops``, the algorithm behind
+    neighborhood-function / effective-diameter statistics on web-scale
+    graphs (exact per-node ball sizes need |V|·ball pairs — 10^14+ at
+    the reference's ambition; HyperBall holds 64 integer registers per
+    node whatever the ball size).
+
+    Register semantics make this cross-engine EXACT: HLL of a set is
+    the register-wise max over its members' singleton sketches, and
+    ball membership is plain bounded reachability — so a SQL oracle
+    can rebuild every register from a recursive CTE plus the shared
+    hex16 md5 recipe (functions/stats.py:hll_distinct) and match every
+    estimate bit-for-bit.  B_0(v) = {v}; each round is the register
+    relaxation B_t(v) = B_{t-1}(v) ∪ ⋃_{v→w} B_{t-1}(w), i.e. one
+    equi-join (edges, pre-partitioned on ``dst`` once and persisted,
+    ship each node's registers to its in-neighbors) + one
+    groupBy(node, register).max — map-side partial max absorbs
+    high-in-degree hubs before the shuffle.  State stays SPARSE (only
+    touched registers exist; absent registers fold in arithmetically
+    at the final estimate, same as hll_distinct) and is
+    ``localCheckpoint``ed per round so lineage never re-derives
+    earlier rounds.  Early exit when Σ M stops growing (register
+    values only ever increase, and any change strictly increases the
+    sum — a saturated ball terminates before ``n_hops``).
+
+    Ball MEMBERSHIP is the ``vertices`` set (only vertices carry
+    singleton seeds, only vertices are reported), but PATHS may pass
+    through nodes outside it — an outside node relays whatever
+    registers reach it, each physical edge costing one hop, exactly
+    like the oracle's recursive step (the contract graph's endpoints
+    are all pages so the distinction is moot there).  Raw estimator
+    only —
+    same ±13%·√m zone and <2.5·m overestimate caveat as
+    hll_distinct; what is pinned is determinism and the register
+    algebra, certified by the oracle's exact recursive-CTE rebuild.
+    """
+    from web_graph_spark.functions.stats import (
+        HLL_M, HLL_WBITS, _HLL_NUM, _hexchunk)
+
+    e = (edges.select(F.col(src).cast("long").alias("__s"),
+                      F.col(dst).cast("long").alias("__t"))
+         .filter(F.col("__s") != F.col("__t"))
+         .distinct().repartition("__t").persist())
+    h = F.md5(F.col("__v").cast("string"))
+    w = _hexchunk(h, 5) * 65536 + _hexchunk(h, 9)
+    base = (vertices.select(F.col(id_col).cast("long").alias("__v"))
+            .distinct())
+    state = (base
+             .select("__v",
+                     (_hexchunk(h, 1) % HLL_M).cast("int").alias("j"),
+                     (F.lit(HLL_WBITS + 1)
+                      - F.when(w == F.lit(0), F.lit(0))
+                         .otherwise(F.length(F.bin(w))))
+                     .cast("int").alias("M"))
+             .localCheckpoint())
+    prev_mass = None
+    for _ in range(n_hops):
+        msgs = (e.join(state.withColumnRenamed("__v", "__t"), "__t")
+                .select(F.col("__s").alias("__v"), "j", "M"))
+        state = (state.unionByName(msgs)
+                 .groupBy("__v", "j").agg(F.max("M").alias("M"))
+                 .localCheckpoint())
+        mass = state.agg(F.sum("M")).collect()[0][0]
+        if mass == prev_mass:
+            break
+        prev_mass = mass
+    out = (state.join(base, "__v", "semi").groupBy("__v")
+           .agg(F.sum(F.expr(
+               f"shiftleft(cast(1 as bigint), {HLL_WBITS + 1} - M)"))
+                .alias("s_present"),
+                F.count(F.lit(1)).cast("long").alias("n_regs"))
+           .select(F.col("__v").alias(id_col), "n_regs",
+                   (F.col("s_present")
+                    + (F.lit(HLL_M) - F.col("n_regs"))
+                    * F.lit(1 << (HLL_WBITS + 1))).alias("s2"))
+           .select(id_col, "n_regs", "s2",
+                   F.expr(f"{_HLL_NUM} div (1000 * s2)")
+                   .alias("n_ball")))
+    e.unpersist()
+    return out
