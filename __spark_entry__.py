@@ -423,6 +423,39 @@ def q_crawl_trap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trap_stats(_links_canon(spark, sf_dir))
 
 
+# Shared PSL-style rules dim for crawl_domain_group — one of each
+# publicsuffix.org rule kind (typ 0 normal / 1 wildcard base /
+# 2 exception), exercising longest-match ("test" vs "example.test"),
+# wildcard ("*.ck"), and exception ("!www.ck") resolution.
+_PSL_RULES = [("example.test", 0), ("test", 0), ("ck", 1),
+              ("www.ck", 2), ("io", 0), ("github.io", 0)]
+
+
+def q_crawl_domain_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) resolution under public-suffix-list
+    semantics (canon.py:registrable_domain) — the rollup grain crawl
+    politeness, reputation, and per-site quota tables key on.  Hosts
+    are derived in 7 deterministic variants (subdomain depth, a
+    wildcard-zone host, the exception host, a bare public suffix, and
+    an unlisted TLD hitting the implicit "*" rule) so every PSL rule
+    kind resolves in one run; the oracle replays the same candidate
+    explosion + longest-match in SQL."""
+    from web_graph_spark.canon import registrable_domain
+
+    p = webgen.pages_df(spark, sf_dir).select("doc_id", "host")
+    m = F.col("doc_id") % 7
+    first = F.substring_index(F.col("host"), ".", 1)
+    host = (F.when(m == 1, F.concat(F.lit("www."), F.col("host")))
+            .when(m == 2, F.concat(F.lit("cdn.assets."), F.col("host")))
+            .when(m == 3, F.concat(first, F.lit(".web.ck")))
+            .when(m == 4, F.lit("www.ck"))
+            .when(m == 5, F.lit("example.test"))
+            .when(m == 6, F.concat(first, F.lit(".lan")))
+            .otherwise(F.col("host")))
+    rules = spark.createDataFrame(_PSL_RULES, "rule string, typ int")
+    return registrable_domain(p.select(host.alias("host")), rules)
+
+
 def q_crawl_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw robots.txt bodies → the engine's rule relation
     (operators/robots.py:parse_robots_txt): per-host synthetic bodies
@@ -2651,6 +2684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_cdx_index": q_crawl_cdx_index,
         "crawl_host_assign": q_crawl_host_assign,
         "crawl_trap_stats": q_crawl_trap_stats,
+        "crawl_domain_group": q_crawl_domain_group,
         "crawl_robots_parse": q_crawl_robots_parse,
         "crawl_sitemap_ingest": q_crawl_sitemap_ingest,
         "crawl_robots_eval": q_crawl_robots_eval,
@@ -2915,6 +2949,58 @@ SELECT host, n_paths, n_templates,
          AS paths_per_template_bp,
        floor(n_paths * 10000.0 / n_templates) >= 500000 AS trap_suspect
 FROM a"""),
+        "crawl_domain_group": _oracle(f"""
+, hosts AS (
+  SELECT DISTINCT CASE CAST(doc_id % 7 AS INTEGER)
+    WHEN 1 THEN 'www.' || host
+    WHEN 2 THEN 'cdn.assets.' || host
+    WHEN 3 THEN split_part(host, '.', 1) || '.web.ck'
+    WHEN 4 THEN 'www.ck'
+    WHEN 5 THEN 'example.test'
+    WHEN 6 THEN split_part(host, '.', 1) || '.lan'
+    ELSE host END AS h
+  FROM web_pages
+),
+rules(rule, typ) AS (VALUES {", ".join(f"('{r}', {t})"
+                                       for r, t in _PSL_RULES)}),
+lab AS (SELECT h, string_split(h, '.') AS ls FROM hosts),
+cand AS (
+  SELECT l.h, len(l.ls) AS L, t.i,
+         array_to_string(list_slice(l.ls, t.i, len(l.ls)), '.') AS cand,
+         array_to_string(list_slice(l.ls, t.i + 1, len(l.ls)), '.')
+           AS parent
+  FROM lab l
+  JOIN (SELECT unnest(generate_series(1, 8)) AS i) t
+    ON t.i <= len(l.ls)
+),
+m AS (
+  SELECT c.h, 0 AS prio, c.L - c.i + 1 AS eff, c.cand AS suffix
+  FROM cand c JOIN rules r ON r.typ = 0 AND r.rule = c.cand
+  UNION ALL
+  SELECT c.h, 0, c.L - c.i + 1, c.cand
+  FROM cand c JOIN rules r ON r.typ = 1 AND r.rule = c.parent
+  UNION ALL
+  SELECT c.h, 1, c.L - c.i, c.parent
+  FROM cand c JOIN rules r ON r.typ = 2 AND r.rule = c.cand
+),
+best AS (
+  SELECT h, eff, suffix,
+         row_number() OVER (PARTITION BY h
+                            ORDER BY prio DESC, eff DESC) AS rn
+  FROM m
+),
+fin AS (
+  SELECT l.h, l.ls, len(l.ls) AS L,
+         coalesce(b.eff, 1) AS eff,
+         coalesce(b.suffix, l.ls[len(l.ls)]) AS suffix
+  FROM lab l LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+    ON b.h = l.h
+)
+SELECT h AS host, suffix AS public_suffix,
+       CASE WHEN L > eff
+            THEN array_to_string(list_slice(ls, L - eff, L), '.')
+            END AS registrable
+FROM fin"""),
         "crawl_robots_parse": _oracle("""
 , h AS (
   SELECT DISTINCT host, CAST(substr(host, 2, 2) AS INTEGER) AS i

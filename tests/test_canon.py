@@ -180,3 +180,42 @@ def test_trap_stats_flags_template_explosion(spark):
         paths_per_template_bp=600000, trap_suspect=True)
     assert got["ok.test"]["n_templates"] == 3
     assert got["ok.test"]["trap_suspect"] is False
+
+
+@pytest.mark.spark
+def test_registrable_domain_psl_semantics(spark):
+    """publicsuffix.org reference cases: longest normal rule wins,
+    wildcard makes any single label under the base a suffix, an
+    exception beats its covering wildcard, a bare suffix has NULL
+    registrable, and an unlisted TLD falls back to the implicit '*'
+    rule."""
+    rules = spark.createDataFrame(
+        [("com", 0), ("co.uk", 0), ("uk", 0), ("ck", 1),
+         ("www.ck", 2), ("github.io", 0), ("io", 0)],
+        "rule string, typ int")
+    hosts = spark.createDataFrame(
+        [("example.com",), ("a.b.example.com",), ("example.co.uk",),
+         ("sub.example.co.uk",), ("co.uk",), ("foo.web.ck",),
+         ("web.ck",), ("www.ck",), ("x.www.ck",),
+         ("pages.github.io",), ("plain.lan",), ("lan",)],
+        "host string")
+    got = {r.host: (r.public_suffix, r.registrable)
+           for r in canon.registrable_domain(hosts, rules).collect()}
+    assert got == {
+        "example.com": ("com", "example.com"),
+        "a.b.example.com": ("com", "example.com"),
+        # longest match: co.uk beats uk
+        "example.co.uk": ("co.uk", "example.co.uk"),
+        "sub.example.co.uk": ("co.uk", "example.co.uk"),
+        "co.uk": ("co.uk", None),           # host IS a suffix
+        "foo.web.ck": ("web.ck", "foo.web.ck"),   # *.ck
+        "web.ck": ("web.ck", None),         # wildcard-made suffix
+        "www.ck": ("ck", "www.ck"),         # !www.ck exception
+        # the exception prevails for subdomains too: x.www.ck belongs
+        # to the registrant of www.ck (PSL: "If more than one rule
+        # matches, the prevailing rule is the exception rule")
+        "x.www.ck": ("ck", "www.ck"),
+        "pages.github.io": ("github.io", "pages.github.io"),
+        "plain.lan": ("lan", "plain.lan"),  # implicit '*' fallback
+        "lan": ("lan", None),
+    }

@@ -342,3 +342,83 @@ def trap_stats(df, host_col: str = "host", path_col: str = "path",
         F.col("n_templates").cast("long").alias("n_templates"),
         bp.alias("paths_per_template_bp"),
         (bp >= threshold_bp).alias("trap_suspect"))
+
+
+def registrable_domain(df, rules, host_col: str = "host"):
+    """(host, public_suffix, registrable) — public-suffix-list
+    evaluation: the eTLD+1 rollup every large crawler keys politeness,
+    reputation, and per-site quotas on (publicsuffix.org semantics;
+    the reference stores raw hostnames, linkutils.go:66-71 — at 10^8
+    hosts the registrable-domain grain is what budget tables key on).
+
+    ``rules`` is a (rule, typ) relation with publicsuffix.org's three
+    rule kinds: typ 0 = normal rule ("example.test"), typ 1 = wildcard
+    ("*.ck" stored as its base "ck" — any single label under the base
+    is a public suffix), typ 2 = exception ("!www.ck" stored as
+    "www.ck" — overrides a covering wildcard; the suffix is the rule's
+    parent).  Matching follows the PSL algorithm: exception rules win
+    outright, otherwise the match with the MOST labels wins, and a
+    host matching no rule falls back to the implicit "*" rule (suffix
+    = last label).  A host that IS a public suffix has NULL
+    registrable domain.
+
+    Physical shape: hosts are deduped once, each explodes into its ≤L
+    label-suffix candidates (L = label count, ~4 — bounded, not
+    data-dependent), candidates equi-join the BROADCAST rules dim (the
+    real PSL is ~10k rows — genuinely broadcastable, unlike the
+    per-host dims this repo shuffles), and the winner is one
+    map-side-combinable max(struct(priority, n_labels, suffix))
+    agg — no window, no skew (candidates key on the host)."""
+    from pyspark.sql import functions as F
+
+    base = (df.select(F.col(host_col).alias("__h")).distinct()
+            .select("__h", F.split("__h", r"\.").alias("__ls"))
+            .select("__h", "__ls", F.size("__ls").alias("__L")))
+    # candidate i (0-based) = labels i..L-1 joined; parent drops one
+    cand = base.select(
+        "__h", "__L",
+        F.posexplode(F.expr(
+            "transform(__ls, (x, i) -> struct("
+            "array_join(slice(__ls, i + 1, size(__ls) - i), '.') "
+            "AS cand, "
+            "array_join(slice(__ls, i + 2, size(__ls) - i - 1), '.') "
+            "AS parent))")).alias("__i", "__c")
+    ).select("__h", "__L", "__i", F.col("__c.cand").alias("__cand"),
+             F.col("__c.parent").alias("__parent"))
+    r = rules.select(F.col("rule").alias("__rule"),
+                     F.col("typ").alias("__typ"))
+    norm = (cand.join(F.broadcast(r.filter(F.col("__typ") == 0)),
+                      F.col("__cand") == F.col("__rule"))
+            .select("__h", F.lit(0).alias("__prio"),
+                    (F.col("__L") - F.col("__i")).alias("__eff"),
+                    F.col("__cand").alias("__suffix")))
+    wild = (cand.join(F.broadcast(r.filter(F.col("__typ") == 1)),
+                      F.col("__parent") == F.col("__rule"))
+            .select("__h", F.lit(0).alias("__prio"),
+                    (F.col("__L") - F.col("__i")).alias("__eff"),
+                    F.col("__cand").alias("__suffix")))
+    exc = (cand.join(F.broadcast(r.filter(F.col("__typ") == 2)),
+                     F.col("__cand") == F.col("__rule"))
+           .select("__h", F.lit(1).alias("__prio"),
+                   (F.col("__L") - F.col("__i") - 1).alias("__eff"),
+                   F.col("__parent").alias("__suffix")))
+    best = (norm.unionByName(wild).unionByName(exc)
+            .groupBy("__h")
+            .agg(F.max(F.struct("__prio", "__eff", "__suffix"))
+                 .alias("__b"))
+            .select("__h", F.col("__b.__eff").alias("__eff"),
+                    F.col("__b.__suffix").alias("__suffix")))
+    out = (base.join(best, "__h", "left")
+           .select(
+               "__h", "__ls", "__L",
+               F.coalesce(F.col("__eff"), F.lit(1)).alias("__eff"),
+               F.coalesce(F.col("__suffix"),
+                          F.element_at("__ls", -1)).alias("__suffix")))
+    reg = F.when(
+        F.col("__L") > F.col("__eff"),
+        F.array_join(F.slice(F.col("__ls"),
+                             F.col("__L") - F.col("__eff"),
+                             F.col("__eff") + 1), "."))
+    return out.select(F.col("__h").alias(host_col),
+                      F.col("__suffix").alias("public_suffix"),
+                      reg.alias("registrable"))
