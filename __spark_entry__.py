@@ -1806,6 +1806,22 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                              threshold=0.8, n=3)
 
 
+def q_dedup_url_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood URL near-dup pairs (functions/dedup.py:
+    sorted_neighborhood_pairs, Hernández-Stolfo SIGMOD'95): per host,
+    paths sort once and each compares to its 3 successors only,
+    keeping Levenshtein ≤ 2 — the session-id / pagination variant
+    tier that exact dedup misses and MinHash overpays for.  Candidate
+    count is |rows|·window, the neighbor pairing is a pure equi-join
+    on (host, row_number), and both engines run the same textbook
+    Levenshtein so every pair matches exactly."""
+    from web_graph_spark.functions.dedup import sorted_neighborhood_pairs
+
+    p = webgen.pages_df(spark, sf_dir).select("doc_id", "host", "path")
+    return sorted_neighborhood_pairs(p, "host", "path", "doc_id",
+                                     window=3, max_dist=2)
+
+
 def q_dedup_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror-host detection (round 4, functions/dedup.py E76): host
     pairs serving largely identical content, from (host, digest) rows
@@ -2754,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "dedup_clusters": q_dedup_clusters,
         "dedup_mirror_hosts": q_dedup_mirror_hosts,
+        "dedup_url_editdist": q_dedup_url_editdist,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_simhash": q_dedup_simhash,
@@ -4289,6 +4306,20 @@ SELECT p.host_a, p.host_b, p.n_shared,
 FROM pairs p
 JOIN inv ia ON ia.h = p.host_a
 JOIN inv ib ON ib.h = p.host_b""",
+        "dedup_url_editdist": _oracle("""
+, t AS (SELECT DISTINCT host AS b, path AS k, doc_id AS i
+        FROM web_pages),
+s AS (
+  SELECT b, k, i,
+         row_number() OVER (PARTITION BY b ORDER BY k, i) AS rn
+  FROM t
+)
+SELECT a.b AS host, a.i AS id_a, x.i AS id_b,
+       a.k AS key_a, x.k AS key_b,
+       CAST(levenshtein(a.k, x.k) AS INTEGER) AS dist
+FROM s a JOIN s x
+  ON x.b = a.b AND x.rn > a.rn AND x.rn <= a.rn + 3
+WHERE levenshtein(a.k, x.k) <= 2"""),
         "dedup_clusters": f"""
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents

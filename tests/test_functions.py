@@ -1653,3 +1653,37 @@ def test_trailing_anomaly_semantics(spark):
     # steady-state sanity: constant series has zero variance, so any
     # exactly-equal hour never flags (dev_sq == 0 == thresh_sq is not >)
     assert not any(f for h, (_, p, f) in got.items() if h != 6)
+
+
+@pytest.mark.spark
+def test_sorted_neighborhood_pairs_semantics(spark):
+    """Window boundary: a pair 3 apart in sort order is compared, 4
+    apart is not even when within distance; blocks never mix; the
+    distance cut applies to compared pairs; pair orientation follows
+    sort order (id_a earlier)."""
+    from web_graph_spark.functions.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        # block A sorted: aa(1) ab(2) ac(3) ad(4) zz(5)
+        ("A", "aa", 1), ("A", "ab", 2), ("A", "ac", 3),
+        ("A", "ad", 4), ("A", "zz", 5),
+        # block B: same keys as A's first two — must not pair cross-block
+        ("B", "aa", 6), ("B", "ab", 7),
+    ]
+    df = spark.createDataFrame(rows, "host string, path string, doc_id long")
+    got = {(r.id_a, r.id_b): r.dist
+           for r in sorted_neighborhood_pairs(
+               df, "host", "path", "doc_id",
+               window=3, max_dist=2).collect()}
+    assert got == {
+        (1, 2): 1, (1, 3): 1, (1, 4): 1,   # aa vs ab/ac/ad
+        (2, 3): 1, (2, 4): 1,              # ab vs ac/ad
+        (3, 4): 1,                          # ac vs ad
+        (6, 7): 1,                          # block B internal only
+        # (2, 5) ab-zz dist 2 IS within window 3 of each other:
+        # rn(ab)=2, rn(zz)=5 → offset 3 → compared, dist 2 kept
+        (2, 5): 2,
+        # (1, 5) aa-zz: offset 4 > window — never compared
+        # (3, 5)/(4, 5): dist(ac,zz)=2 ✓ offset 2; dist(ad,zz)=2 ✓
+        (3, 5): 2, (4, 5): 2,
+    }

@@ -640,3 +640,41 @@ def mirror_hosts(df: DataFrame, host_col: str = "host",
                       F.col("n_a").cast("long").alias("n_a"),
                       F.col("n_b").cast("long").alias("n_b"),
                       "overlap_bp", "is_mirror")
+
+
+def sorted_neighborhood_pairs(df: DataFrame, block: str, key: str,
+                              id_col: str = "doc_id", window: int = 3,
+                              max_dist: int = 2) -> DataFrame:
+    """(block, id_a, id_b, key_a, key_b, dist) — sorted-neighborhood
+    entity resolution (Hernández & Stolfo, SIGMOD'95): within each
+    block, sort records by ``key`` and compare each record to only its
+    ``window`` successors, keeping pairs with Levenshtein distance ≤
+    ``max_dist``.  The URL-dedup workhorse for session-id / tracking-
+    param / pagination variants that hash-exact dedup misses and
+    shingle dedup wastes a full MinHash pass on — candidate count is
+    |rows|·window, never the block's O(n²) cross product.
+
+    Physical shape: one window row_number per block (hosts are the
+    natural URL block — the hot-host skew is the same one the crawler
+    already salts elsewhere; a pathological block can be sub-blocked
+    by a key prefix), then the neighbor pairing is a pure EQUI-join:
+    the right side explodes into ``window`` (block, rn − o) probe keys
+    so Catalyst plans a hash join on (block, rn), not a range join.
+    ``levenshtein()`` runs JVM-side post-join on the window·|rows|
+    candidates only.  Ordering ties break on ``id_col`` so the pair
+    set is deterministic; both engines implement the same textbook
+    Levenshtein, making the output exact-SQL-oracle comparable."""
+    t = df.select(F.col(block).alias("b"), F.col(key).alias("k"),
+                  F.col(id_col).alias("i")).distinct()
+    w = Window.partitionBy("b").orderBy("k", "i")
+    s = t.withColumn("rn", F.row_number().over(w))
+    probes = s.select(
+        "b", F.col("k").alias("k_b"), F.col("i").alias("i_b"),
+        F.explode(F.array(*[F.col("rn") - o
+                            for o in range(1, window + 1)])).alias("rn"))
+    return (s.join(probes.filter(F.col("rn") >= 1), ["b", "rn"])
+            .filter(F.levenshtein("k", "k_b") <= max_dist)
+            .select(F.col("b").alias(block),
+                    F.col("i").alias("id_a"), F.col("i_b").alias("id_b"),
+                    F.col("k").alias("key_a"), F.col("k_b").alias("key_b"),
+                    F.levenshtein("k", "k_b").cast("int").alias("dist")))
