@@ -2628,6 +2628,25 @@ def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ev, "event_type", key)
 
 
+def q_events_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users per event type from MERGED hourly HLL
+    sketches (functions/stats.py:hll_distinct_rollup) — the
+    pre-aggregated sketch-table pattern: registers build once at the
+    (type, day, hour) grain, coarser grains merge by register-wise
+    max without re-reading facts.  HLL's max-of-maxes algebra makes
+    the merged estimate bit-identical to sketching the day directly,
+    which the oracle certifies by rebuilding registers straight from
+    the raw rows."""
+    from web_graph_spark.functions.stats import hll_distinct_rollup
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("day", F.date_trunc("day", F.col("ts")))
+          .withColumn("hr", F.date_trunc("hour", F.col("ts"))))
+    key = F.concat(F.col("user_id").cast("string"), F.lit(":"),
+                   F.floor("value").cast("long").cast("string"))
+    return hll_distinct_rollup(ev, ["event_type", "day"], "hr", key)
+
+
 def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 3-hour sliding window evaluated hourly
     (functions/stats.py:trailing_window_agg E92): facts aggregate
@@ -2799,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,
         "events_hll_distinct": q_events_hll_distinct,
+        "events_hll_merge": q_events_hll_merge,
         "events_sliding_window": q_events_sliding_window,
         "events_anomaly": q_events_anomaly,
         "events_funnel": q_events_funnel,
@@ -4567,6 +4587,41 @@ e AS (SELECT g, count(DISTINCT key) AS n_exact FROM k GROUP BY 1)
 SELECT e.g AS event_type, e.n_exact,
        CAST(24945719810981888 // (1000 * s.s2) AS BIGINT) AS n_hll
 FROM e JOIN s USING (g)""",
+        "events_hll_merge": f"""
+WITH k AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         date_trunc('hour', ts) AS hr,
+         CAST(user_id AS VARCHAR) || ':' ||
+         CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS key
+  FROM events
+),
+hx AS (SELECT event_type, day, hr, md5(key) AS h FROM k),
+c AS (
+  SELECT event_type, day, hr,
+         {_hexchunk_sql(1)} % 64 AS j,
+         CAST({_hexchunk_sql(5)} * 65536 + {_hexchunk_sql(9)}
+              AS BIGINT) AS w
+  FROM hx
+),
+r AS (
+  SELECT event_type, day, j,
+         max(33 - CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END) AS M
+  FROM c GROUP BY 1, 2, 3
+),
+s AS (
+  SELECT event_type, day,
+         sum(1::BIGINT << (33 - M))
+           + (64 - count(*)) * (1::BIGINT << 33) AS s2
+  FROM r GROUP BY 1, 2
+),
+n AS (
+  SELECT event_type, day,
+         CAST(count(DISTINCT hr) AS BIGINT) AS n_subs
+  FROM c GROUP BY 1, 2
+)
+SELECT n.event_type, n.day, n.n_subs,
+       CAST(24945719810981888 // (1000 * s.s2) AS BIGINT) AS n_hll
+FROM n JOIN s USING (event_type, day)""",
         "events_sliding_window": """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour,

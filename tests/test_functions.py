@@ -1687,3 +1687,28 @@ def test_sorted_neighborhood_pairs_semantics(spark):
         # (3, 5)/(4, 5): dist(ac,zz)=2 ✓ offset 2; dist(ad,zz)=2 ✓
         (3, 5): 2, (4, 5): 2,
     }
+
+
+@pytest.mark.spark
+def test_hll_rollup_merge_equals_direct(spark):
+    """The sketch-mergeability identity: registers built per sub-grain
+    and merged by register-wise max yield the SAME estimate as
+    sketching the group directly (max of maxes = global max) — the
+    property that makes persisted hourly sketch tables servable at
+    any coarser grain."""
+    import pyspark.sql.functions as F
+
+    from web_graph_spark.functions.stats import (hll_distinct,
+                                                 hll_distinct_rollup)
+
+    rows = [("g1", h, f"u{i % 40}") for h in range(5) for i in range(120)]
+    rows += [("g2", h, f"v{i}") for h in range(3) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, hr int, k string")
+
+    merged = {r.grp: (r.n_subs, r.n_hll)
+              for r in hll_distinct_rollup(df, ["grp"], "hr",
+                                           F.col("k")).collect()}
+    direct = {r.grp: r.n_hll
+              for r in hll_distinct(df, "grp", F.col("k")).collect()}
+    assert merged["g1"][0] == 5 and merged["g2"][0] == 3
+    assert {g: v[1] for g, v in merged.items()} == direct

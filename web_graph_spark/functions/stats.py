@@ -446,3 +446,47 @@ def trailing_anomaly(events: DataFrame, group: str, ts: str,
         "anomaly",
         (F.col("n_prev") >= min_prev)
         & (F.col("dev_sq") > F.col("thresh_sq")))
+
+
+def hll_distinct_rollup(df: DataFrame, group: list, sub: str,
+                        key) -> DataFrame:
+    """(group..., n_subs, n_hll) — HLL distinct via MERGED sub-grain
+    sketches: registers are built at the (group, ``sub``) grain — the
+    pre-aggregated sketch table a real pipeline persists (hourly
+    sketches, daily/weekly/monthly rollups all served from the same
+    64-int rows without re-reading facts) — then merged to the group
+    grain by register-wise max.  HLL's defining algebra (max of maxes
+    = global max) makes the merged estimate BIT-IDENTICAL to
+    sketching the group directly, which the oracle certifies by
+    rebuilding registers straight from the raw rows.
+
+    Shape: one (group, sub, register) agg with map-side partial max
+    (≤64 rows per sub-group out of the shuffle), one ≤64·|subs|-row
+    re-agg to group registers, one fold — facts are scanned once and
+    never re-shuffled for coarser grains (same argument as
+    hierarchical_rollup, with sketches instead of exact sums)."""
+    h = F.md5(key)
+    w = _hexchunk(h, 5) * 65536 + _hexchunk(h, 9)
+    gcols = [F.col(g) for g in group]
+    keyed = df.select(
+        *gcols, F.col(sub).alias("__sub"),
+        (_hexchunk(h, 1) % HLL_M).alias("j"),
+        (F.lit(HLL_WBITS + 1)
+         - F.when(w == F.lit(0), F.lit(0)).otherwise(F.length(F.bin(w))))
+        .alias("rho"))
+    regs_sub = (keyed.groupBy(*group, "__sub", "j")
+                .agg(F.max("rho").alias("M")))
+    regs = regs_sub.groupBy(*group, "j").agg(F.max("M").alias("M"))
+    subs = (regs_sub.groupBy(*group)
+            .agg(F.countDistinct("__sub").cast("long").alias("n_subs")))
+    sk = (regs.groupBy(*group)
+          .agg(F.sum(F.expr(
+              f"shiftleft(cast(1 as bigint), {HLL_WBITS + 1} - M)"))
+               .alias("s_present"),
+               F.count(F.lit(1)).alias("n_regs"))
+          .select(*group, (F.col("s_present")
+                           + (F.lit(HLL_M) - F.col("n_regs"))
+                           * F.lit(1 << (HLL_WBITS + 1))).alias("s2"))
+          .select(*group, F.expr(f"{_HLL_NUM} div (1000 * s2)")
+                  .alias("n_hll")))
+    return subs.join(sk, group).select(*group, "n_subs", "n_hll")
