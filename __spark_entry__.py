@@ -972,6 +972,23 @@ def q_graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperball(e, v, n_hops=3)
 
 
+def q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality from HyperBall deltas (round 4, operators/
+    graph_algos.py:harmonic_hyperball E98, Boldi-Vigna ICDMW'13):
+    H(v) = Σ 1/d(v,u) truncated at 3 hops, estimated from the
+    per-round ball estimates in EXACT sixths (6·Δ₁ + 3·Δ₂ + 2·Δ₃) —
+    the geometric centrality a 10^10-node graph can afford.  The
+    oracle re-derives every score from a min-distance recursive CTE
+    plus the hex16 register rebuild at each t."""
+    from web_graph_spark.operators.graph_algos import harmonic_hyperball
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    v = webgen.pages_df(spark, sf_dir).select("doc_id")
+    return harmonic_hyperball(e, v, n_hops=3)
+
+
 def _hex16_sql(expr: str) -> str:
     """The oracle half of graph_algos._hex16: integer in [0, 65535]
     from the first 4 hex chars of md5(expr), strpos arithmetic only."""
@@ -2756,6 +2773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "graph_random_walks": q_graph_random_walks,
         "graph_hyperball": q_graph_hyperball,
+        "graph_harmonic": q_graph_harmonic,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "corpus_source_reputation": q_corpus_source_reputation,
@@ -3461,6 +3479,57 @@ s AS (
 SELECT v AS doc_id, n_regs, s2,
        CAST(24945719810981888 // (1000 * s2) AS BIGINT) AS n_ball
 FROM s"""),
+        "graph_harmonic": _oracle_recursive(f"""
+, e AS (
+  SELECT DISTINCT src_doc_id AS s, tgt_doc_id AS t
+  FROM web_links_full WHERE k % 4 <> 0
+),
+reach(v, u, d) AS (
+  SELECT doc_id, doc_id, 0 FROM web_pages
+  UNION
+  SELECT b.v, e.t, b.d + 1 FROM reach b JOIN e ON e.s = b.u
+  WHERE b.d < 3
+),
+md AS (
+  SELECT r.v, r.u, min(r.d) AS md
+  FROM reach r JOIN web_pages p ON p.doc_id = r.u
+  GROUP BY 1, 2
+),
+mem AS (
+  SELECT m.v, t.t, m.u
+  FROM md m JOIN (SELECT unnest(generate_series(0, 3)) AS t) t
+    ON m.md <= t.t
+),
+hx AS (SELECT v, t, md5(CAST(u AS VARCHAR)) AS h FROM mem),
+c AS (
+  SELECT v, t, {_hexchunk_sql(1)} % 64 AS j,
+         CAST({_hexchunk_sql(5)} * 65536 + {_hexchunk_sql(9)}
+              AS BIGINT) AS w
+  FROM hx
+),
+r AS (
+  SELECT v, t, j,
+         max(33 - CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END) AS M
+  FROM c GROUP BY 1, 2, 3
+),
+s AS (
+  SELECT v, t,
+         CAST(24945719810981888 // (1000 *
+           (sum(1::BIGINT << (33 - M))
+            + (64 - count(*)) * (1::BIGINT << 33))) AS BIGINT) AS n_t
+  FROM r GROUP BY 1, 2
+),
+p AS (
+  SELECT v,
+         max(CASE WHEN t = 0 THEN n_t END) AS n0,
+         max(CASE WHEN t = 1 THEN n_t END) AS n1,
+         max(CASE WHEN t = 2 THEN n_t END) AS n2,
+         max(CASE WHEN t = 3 THEN n_t END) AS n3
+  FROM s GROUP BY 1
+)
+SELECT v AS doc_id, n3 AS n_ball,
+       CAST(6*(n1-n0) + 3*(n2-n1) + 2*(n3-n2) AS BIGINT) AS h_lcm
+FROM p"""),
         "graph_components": _oracle_recursive("""
 , e AS (
   SELECT DISTINCT src_doc_id AS a, tgt_doc_id AS b

@@ -600,3 +600,54 @@ def test_hyperball_saturation_and_induced_subgraph(spark):
     # 0's ball (reachable only through 9)
     assert got == {0: rebuild({0, 1, 2, 3}), 1: rebuild({1, 2}),
                    2: rebuild({2}), 3: rebuild({3})}
+
+
+@pytest.mark.spark
+def test_harmonic_hyperball_matches_delta_rebuild(spark):
+    """Scores equal a python rebuild from exact per-t balls: estimate
+    each n_t via the register recipe, then 6·Δ₁+3·Δ₂+2·Δ₃.  An
+    isolated node scores 0; a diameter-1 star center collects its
+    whole delta at t=1 (×6 weight); early-exit padding (graph
+    saturates at t=2 < n_hops) contributes exactly 0."""
+    import hashlib
+
+    from web_graph_spark.functions.stats import HLL_M, HLL_WBITS, _HLL_NUM
+    from web_graph_spark.operators.graph_algos import harmonic_hyperball
+
+    # star 0→{1,2,3}, path 1→4, 4→5 is beyond the star's 3 hops?  no:
+    # 0→1(1) →4(2) →5(3); isolated node 6
+    edges = [(0, 1), (0, 2), (0, 3), (1, 4), (4, 5)]
+    verts = list(range(7))
+    e = spark.createDataFrame(edges, "src_doc_id long, tgt_doc_id long")
+    v = spark.createDataFrame([(x,) for x in verts], "doc_id long")
+
+    def est(ball):
+        regs: dict[int, int] = {}
+        for u in ball:
+            h = hashlib.md5(str(u).encode()).hexdigest()
+            a = [int(h[s:s + 4], 16) for s in (0, 4, 8)]
+            w = a[1] * 65536 + a[2]
+            rho = HLL_WBITS + 1 - (w.bit_length() if w else 0)
+            j = a[0] % HLL_M
+            regs[j] = max(regs.get(j, 0), rho)
+        s2 = (sum(1 << (HLL_WBITS + 1 - m) for m in regs.values())
+              + (HLL_M - len(regs)) * (1 << (HLL_WBITS + 1)))
+        return _HLL_NUM // (1000 * s2)
+
+    def ball(start, hops):
+        b, fr = {start}, {start}
+        for _ in range(hops):
+            fr = {t for s, t in edges if s in fr}
+            b |= fr
+        return b
+
+    def score(x):
+        n = [est(ball(x, t)) for t in range(4)]
+        return (n[3], 6 * (n[1] - n[0]) + 3 * (n[2] - n[1])
+                + 2 * (n[3] - n[2]))
+
+    got = {r.doc_id: (r.n_ball, r.h_lcm)
+           for r in harmonic_hyperball(e, v, n_hops=3).collect()}
+    assert got == {x: score(x) for x in verts}
+    # isolated node: every delta 0
+    assert got[6][1] == 0

@@ -1022,8 +1022,24 @@ def hyperball(edges: DataFrame, vertices: DataFrame,
     hll_distinct; what is pinned is determinism and the register
     algebra, certified by the oracle's exact recursive-CTE rebuild.
     """
-    from web_graph_spark.functions.stats import (
-        HLL_M, HLL_WBITS, _HLL_NUM, _hexchunk)
+    e, base, state = _hll_seed(edges, vertices, id_col, src, dst)
+    prev_mass = None
+    for _ in range(n_hops):
+        state = _hll_relax(e, state)
+        mass = state.agg(F.sum("M")).collect()[0][0]
+        if mass == prev_mass:
+            break
+        prev_mass = mass
+    out = _hll_estimate(state, base, id_col)
+    e.unpersist()
+    return out
+
+
+def _hll_seed(edges: DataFrame, vertices: DataFrame, id_col: str,
+              src: str, dst: str):
+    """(persisted dst-partitioned edges, vertex base, B_0 register
+    state) — the shared HyperBall setup; see :func:`hyperball`."""
+    from web_graph_spark.functions.stats import HLL_M, HLL_WBITS, _hexchunk
 
     e = (edges.select(F.col(src).cast("long").alias("__s"),
                       F.col(dst).cast("long").alias("__t"))
@@ -1041,28 +1057,93 @@ def hyperball(edges: DataFrame, vertices: DataFrame,
                          .otherwise(F.length(F.bin(w))))
                      .cast("int").alias("M"))
              .localCheckpoint())
+    return e, base, state
+
+
+def _hll_relax(e: DataFrame, state: DataFrame) -> DataFrame:
+    """One HyperBall round: B_t(v) = B_{t-1}(v) ∪ ⋃_{v→w} B_{t-1}(w)
+    as register-wise max; checkpointed so lineage stays flat."""
+    msgs = (e.join(state.withColumnRenamed("__v", "__t"), "__t")
+            .select(F.col("__s").alias("__v"), "j", "M"))
+    return (state.unionByName(msgs)
+            .groupBy("__v", "j").agg(F.max("M").alias("M"))
+            .localCheckpoint())
+
+
+def _hll_estimate(state: DataFrame, base: DataFrame,
+                  id_col: str) -> DataFrame:
+    """(id_col, n_regs, s2, n_ball) — the hll_distinct fold over a
+    register state, restricted to the vertex base."""
+    from web_graph_spark.functions.stats import HLL_M, HLL_WBITS, _HLL_NUM
+
+    return (state.join(base, "__v", "semi").groupBy("__v")
+            .agg(F.sum(F.expr(
+                f"shiftleft(cast(1 as bigint), {HLL_WBITS + 1} - M)"))
+                 .alias("s_present"),
+                 F.count(F.lit(1)).cast("long").alias("n_regs"))
+            .select(F.col("__v").alias(id_col), "n_regs",
+                    (F.col("s_present")
+                     + (F.lit(HLL_M) - F.col("n_regs"))
+                     * F.lit(1 << (HLL_WBITS + 1))).alias("s2"))
+            .select(id_col, "n_regs", "s2",
+                    F.expr(f"{_HLL_NUM} div (1000 * s2)")
+                    .alias("n_ball")))
+
+
+def harmonic_hyperball(edges: DataFrame, vertices: DataFrame,
+                       id_col: str = "doc_id",
+                       src: str = "src_doc_id",
+                       dst: str = "tgt_doc_id",
+                       n_hops: int = 3) -> DataFrame:
+    """(id_col, n_ball, h_lcm) — harmonic centrality from HyperBall
+    deltas (Boldi & Vigna, "In-Core Computation of Geometric
+    Centralities with HyperBall", ICDMW'13): H(v) = Σ_u 1/d(v,u)
+    estimated as Σ_t (n_t(v) − n_{t−1}(v)) / t over the per-round ball
+    estimates, truncated at ``n_hops`` — the centrality a 10^10-node
+    graph can actually afford (exact H needs all-pairs distances).
+
+    Exact integer arithmetic end-to-end: the score is reported in
+    1/lcm(1..n_hops) units (n_hops=3 → sixths: 6·Δ₁ + 3·Δ₂ + 2·Δ₃),
+    and the per-round estimates n_t are the same deterministic
+    register folds as :func:`hyperball` — so a SQL oracle re-derives
+    every score bit-for-bit from a min-distance recursive CTE + the
+    hex16 register rebuild at each t.  Ball estimates are monotone in
+    t (registers only grow), so every delta is ≥ 0.
+
+    Same physical loop as :func:`hyperball` (the per-round estimate
+    is one extra fold over the already-checkpointed state — a
+    dim-sized job, no extra fact shuffle); early exit on register-
+    mass saturation pads the remaining rounds with zero deltas."""
+    import math
+
+    lcm = math.lcm(*range(1, n_hops + 1))
+    e, base, state = _hll_seed(edges, vertices, id_col, src, dst)
+    est = [_hll_estimate(state, base, id_col)
+           .select(id_col, F.lit(0).alias("__t"), "n_ball")]
     prev_mass = None
-    for _ in range(n_hops):
-        msgs = (e.join(state.withColumnRenamed("__v", "__t"), "__t")
-                .select(F.col("__s").alias("__v"), "j", "M"))
-        state = (state.unionByName(msgs)
-                 .groupBy("__v", "j").agg(F.max("M").alias("M"))
-                 .localCheckpoint())
+    for t in range(1, n_hops + 1):
+        state = _hll_relax(e, state)
+        est.append(_hll_estimate(state, base, id_col)
+                   .select(id_col, F.lit(t).alias("__t"), "n_ball"))
         mass = state.agg(F.sum("M")).collect()[0][0]
         if mass == prev_mass:
+            # saturated: rounds t+1..n_hops would be identical — pad
+            # with the same fold so every delta past t is exactly 0
+            for t2 in range(t + 1, n_hops + 1):
+                est.append(_hll_estimate(state, base, id_col)
+                           .select(id_col, F.lit(t2).alias("__t"),
+                                   "n_ball"))
             break
         prev_mass = mass
-    out = (state.join(base, "__v", "semi").groupBy("__v")
-           .agg(F.sum(F.expr(
-               f"shiftleft(cast(1 as bigint), {HLL_WBITS + 1} - M)"))
-                .alias("s_present"),
-                F.count(F.lit(1)).cast("long").alias("n_regs"))
-           .select(F.col("__v").alias(id_col), "n_regs",
-                   (F.col("s_present")
-                    + (F.lit(HLL_M) - F.col("n_regs"))
-                    * F.lit(1 << (HLL_WBITS + 1))).alias("s2"))
-           .select(id_col, "n_regs", "s2",
-                   F.expr(f"{_HLL_NUM} div (1000 * s2)")
-                   .alias("n_ball")))
+    prof = est[0]
+    for df in est[1:]:
+        prof = prof.unionByName(df)
+    n_at = [F.max(F.when(F.col("__t") == t, F.col("n_ball")))
+            for t in range(n_hops + 1)]
+    h = sum((F.lit(lcm // t) * (n_at[t] - n_at[t - 1])
+             for t in range(1, n_hops + 1)), F.lit(0))
+    out = (prof.groupBy(id_col)
+           .agg(n_at[n_hops].cast("long").alias("n_ball"),
+                h.cast("long").alias("h_lcm")))
     e.unpersist()
     return out
