@@ -356,6 +356,19 @@ def q_crawl_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_records(build_span_web(spark, sf_dir))
 
 
+def q_crawl_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET conversion records (operators/archive.py:wet_records) —
+    the extracted-plain-text sibling of the WARC export that text
+    consumers read instead of raw responses: span text in offset
+    order, newline-joined, structure dropped; conversion-type headers
+    with a WARC-Refers-To link back to the response record.  Same
+    zero-shuffle projection + byte-certifying record digest; the
+    oracle rebuilds every record with an independent string_agg."""
+    from web_graph_spark.operators.archive import wet_records
+
+    return wet_records(build_span_web(spark, sf_dir))
+
+
 def q_crawl_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX capture index with SURT keys (operators/archive.py:
     cdx_index) — the lookup companion to the WARC export: host labels
@@ -2733,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_media_frontier": q_crawl_media_frontier,
         "docs_span_digest": q_docs_span_digest,
         "crawl_warc_export": q_crawl_warc_export,
+        "crawl_wet_export": q_crawl_wet_export,
         "crawl_cdx_index": q_crawl_cdx_index,
         "crawl_host_assign": q_crawl_host_assign,
         "crawl_trap_stats": q_crawl_trap_stats,
@@ -2923,6 +2937,33 @@ SELECT check_id, url,
            || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
            || 'Content-Type: application/http;msgtype=response'
            || chr(13) || chr(10)
+           || 'WARC-Payload-Digest: md5:' || md5(payload)
+           || chr(13) || chr(10)
+           || 'Content-Length: ' || CAST(strlen(payload) AS VARCHAR)
+           || chr(13) || chr(10) || chr(13) || chr(10)
+           || payload) AS record_digest
+FROM pay"""),
+        "crawl_wet_export": _oracle("""
+, pay AS (
+  SELECT p.check_id, p.url,
+         coalesce(string_agg(l.anchor, chr(10) ORDER BY l.k), '')
+           AS payload
+  FROM web_pages p
+  LEFT JOIN web_links_full l ON l.src_doc_id = p.doc_id
+  GROUP BY 1, 2
+)
+SELECT check_id, url,
+       CAST(strlen(payload) AS BIGINT) AS content_length,
+       'md5:' || md5(payload) AS payload_digest,
+       md5('WARC/1.1' || chr(13) || chr(10)
+           || 'WARC-Type: conversion' || chr(13) || chr(10)
+           || 'WARC-Record-ID: <urn:md5:' || md5(check_id || 'wet')
+           || '>' || chr(13) || chr(10)
+           || 'WARC-Refers-To: <urn:md5:' || check_id || '>'
+           || chr(13) || chr(10)
+           || 'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10)
+           || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+           || 'Content-Type: text/plain' || chr(13) || chr(10)
            || 'WARC-Payload-Digest: md5:' || md5(payload)
            || chr(13) || chr(10)
            || 'Content-Length: ' || CAST(strlen(payload) AS VARCHAR)

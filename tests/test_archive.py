@@ -110,3 +110,43 @@ def test_write_cdx_shards_concatenate_sorted(spark, tmp_path):
         concat.extend(part)
     assert concat == sorted(concat), "shard concatenation must be the sorted index"
     assert len(concat) == 2000
+
+
+@pytest.mark.spark
+def test_wet_record_bytes_match_hashlib(spark):
+    """WET conversion records byte-for-byte vs a hashlib reference:
+    payload = span TEXT only (refs/kinds/offsets dropped), conversion
+    headers with a derived record id and a WARC-Refers-To pointing at
+    the response record's id; the empty-span page archives an empty
+    text payload."""
+    from web_graph_spark.operators.archive import wet_records
+
+    def expected(host, path, url, payload,
+                 date="2026-01-01T00:00:00Z"):
+        check_id = hashlib.md5((host + path).encode()).hexdigest()
+        pd = "md5:" + hashlib.md5(payload.encode()).hexdigest()
+        n = len(payload.encode())
+        wet_id = hashlib.md5((check_id + "wet").encode()).hexdigest()
+        header = (
+            "WARC/1.1\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Record-ID: <urn:md5:{wet_id}>\r\n"
+            f"WARC-Refers-To: <urn:md5:{check_id}>\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            "Content-Type: text/plain\r\n"
+            f"WARC-Payload-Digest: {pd}\r\n"
+            f"Content-Length: {n}\r\n\r\n")
+        return (check_id, url, n, pd,
+                hashlib.md5((header + payload).encode()).hexdigest())
+
+    got = {r.check_id: (r.check_id, r.url, r.content_length,
+                        r.payload_digest, r.record_digest)
+           for r in wet_records(_web(spark)).collect()}
+    want = [
+        expected("a.example.test", "/p1", "https://a.example.test/p1",
+                 "anchor-1\n"),   # image span's text is "" → joined
+        expected("b.example.test", "/p2", "https://b.example.test/p2",
+                 ""),
+    ]
+    assert got == {w[0]: w for w in want}

@@ -112,3 +112,43 @@ def write_cdx(index: DataFrame, path: str, n_shards: int = 32) -> None:
     (index.repartitionByRange(n_shards, "surt")
           .sortWithinPartitions("surt")
           .write.mode("overwrite").parquet(path))
+
+
+def wet_records(web: DataFrame,
+                warc_date: str = "2026-01-01T00:00:00Z") -> DataFrame:
+    """WET conversion records — the extracted-plain-text sibling of
+    :func:`warc_records` that Common-Crawl-style pipelines ship for
+    text consumers (WARC-Type: conversion, Content-Type: text/plain,
+    ``WARC-Refers-To`` the response record): the payload is the
+    page's visible text — each span's ``text`` in offset order,
+    newline-joined — with structure (refs, offsets, kinds) dropped.
+    Same zero-shuffle codegen'd-projection shape and cross-engine md5
+    digests as the response export; ``record_digest`` covers the full
+    serialized record so a hash match certifies every archived byte.
+    """
+    text = F.array_join(
+        F.transform(F.col("spans"), lambda x: x["text"]), "\n")
+    check_id = F.md5(F.concat("host", "path"))
+    p = web.select(
+        check_id.alias("check_id"), "url",
+        text.alias("__payload"),
+        F.octet_length(text).cast("long").alias("content_length"),
+        F.concat(F.lit("md5:"), F.md5(text)).alias("payload_digest"))
+    header = F.concat(
+        F.lit("WARC/1.1" + CRLF),
+        F.lit("WARC-Type: conversion" + CRLF),
+        F.lit("WARC-Record-ID: <urn:md5:"),
+        F.md5(F.concat(F.col("check_id"), F.lit("wet"))),
+        F.lit(">" + CRLF),
+        F.lit("WARC-Refers-To: <urn:md5:"), F.col("check_id"),
+        F.lit(">" + CRLF),
+        F.lit("WARC-Date: " + warc_date + CRLF),
+        F.lit("WARC-Target-URI: "), F.col("url"), F.lit(CRLF),
+        F.lit("Content-Type: text/plain" + CRLF),
+        F.lit("WARC-Payload-Digest: "), F.col("payload_digest"),
+        F.lit(CRLF),
+        F.lit("Content-Length: "),
+        F.col("content_length").cast("string"), F.lit(CRLF + CRLF))
+    return (p.select(
+        "check_id", "url", "content_length", "payload_digest",
+        F.md5(F.concat(header, F.col("__payload"))).alias("record_digest")))
