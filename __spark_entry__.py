@@ -1002,6 +1002,24 @@ def q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_hyperball(e, v, n_hops=3)
 
 
+def q_graph_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood function + effective diameter (round 4,
+    operators/graph_algos.py:neighborhood_function E100): N(t) =
+    #pairs within distance t as the sum of per-node HyperBall
+    estimates, with integer basis-point fractions of the 3-hop
+    horizon and the first-t-past-90% effective-diameter flag — the
+    "how far apart is the web" summary HyperANF exists for.  Inherits
+    the register determinism, so the oracle re-derives all four rows
+    from the min-distance recursive CTE."""
+    from web_graph_spark.operators.graph_algos import neighborhood_function
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    v = webgen.pages_df(spark, sf_dir).select("doc_id")
+    return neighborhood_function(e, v, n_hops=3)
+
+
 def _hex16_sql(expr: str) -> str:
     """The oracle half of graph_algos._hex16: integer in [0, 65535]
     from the first 4 hex chars of md5(expr), strpos arithmetic only."""
@@ -2788,6 +2806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_random_walks": q_graph_random_walks,
         "graph_hyperball": q_graph_hyperball,
         "graph_harmonic": q_graph_harmonic,
+        "graph_neighborhood": q_graph_neighborhood,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "corpus_source_reputation": q_corpus_source_reputation,
@@ -3571,6 +3590,57 @@ p AS (
 SELECT v AS doc_id, n3 AS n_ball,
        CAST(6*(n1-n0) + 3*(n2-n1) + 2*(n3-n2) AS BIGINT) AS h_lcm
 FROM p"""),
+        "graph_neighborhood": _oracle_recursive(f"""
+, e AS (
+  SELECT DISTINCT src_doc_id AS s, tgt_doc_id AS t
+  FROM web_links_full WHERE k % 4 <> 0
+),
+reach(v, u, d) AS (
+  SELECT doc_id, doc_id, 0 FROM web_pages
+  UNION
+  SELECT b.v, e.t, b.d + 1 FROM reach b JOIN e ON e.s = b.u
+  WHERE b.d < 3
+),
+md AS (
+  SELECT r.v, r.u, min(r.d) AS md
+  FROM reach r JOIN web_pages p ON p.doc_id = r.u
+  GROUP BY 1, 2
+),
+mem AS (
+  SELECT m.v, t.t, m.u
+  FROM md m JOIN (SELECT unnest(generate_series(0, 3)) AS t) t
+    ON m.md <= t.t
+),
+hx AS (SELECT v, t, md5(CAST(u AS VARCHAR)) AS h FROM mem),
+c AS (
+  SELECT v, t, {_hexchunk_sql(1)} % 64 AS j,
+         CAST({_hexchunk_sql(5)} * 65536 + {_hexchunk_sql(9)}
+              AS BIGINT) AS w
+  FROM hx
+),
+r AS (
+  SELECT v, t, j,
+         max(33 - CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END) AS M
+  FROM c GROUP BY 1, 2, 3
+),
+s AS (
+  SELECT v, t,
+         CAST(24945719810981888 // (1000 *
+           (sum(1::BIGINT << (33 - M))
+            + (64 - count(*)) * (1::BIGINT << 33))) AS BIGINT) AS n_t
+  FROM r GROUP BY 1, 2
+),
+nt AS (SELECT t, CAST(sum(n_t) AS BIGINT) AS n_pairs FROM s GROUP BY 1),
+hz AS (SELECT n_pairs AS horizon FROM nt WHERE t = 3),
+fr AS (
+  SELECT t, n_pairs,
+         CAST(n_pairs * 10000 // horizon AS BIGINT) AS frac_bp
+  FROM nt, hz
+),
+eff AS (SELECT min(t) AS eff_t FROM fr WHERE frac_bp >= 9000)
+SELECT CAST(f.t AS INTEGER) AS t, f.n_pairs, f.frac_bp,
+       f.t = e2.eff_t AS is_effective
+FROM fr f, eff e2"""),
         "graph_components": _oracle_recursive("""
 , e AS (
   SELECT DISTINCT src_doc_id AS a, tgt_doc_id AS b

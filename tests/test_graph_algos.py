@@ -651,3 +651,39 @@ def test_harmonic_hyperball_matches_delta_rebuild(spark):
     assert got == {x: score(x) for x in verts}
     # isolated node: every delta 0
     assert got[6][1] == 0
+
+
+@pytest.mark.spark
+def test_neighborhood_function_effective_diameter(spark):
+    """Self-consistency pins: fracs are monotone, the horizon frac is
+    exactly 10000, the flag sits on exactly the FIRST t whose
+    reported frac crosses 9000 (at toy ball sizes the raw-estimator
+    inflation can put that at t=0 — the flag must follow the reported
+    curve, whatever it is), and early-exit padding (clique saturates
+    at t=1) repeats the totals exactly."""
+    from web_graph_spark.operators.graph_algos import neighborhood_function
+
+    def check(rows):
+        fracs = [rows[t].frac_bp for t in range(4)]
+        assert fracs == sorted(fracs)
+        assert fracs[3] == 10000
+        want_eff = min(t for t in range(4) if fracs[t] >= 9000)
+        assert [t for t in range(4) if rows[t].is_effective] == [want_eff]
+
+    cyc = spark.createDataFrame([(i, (i + 1) % 4) for i in range(4)],
+                                "src_doc_id long, tgt_doc_id long")
+    v4 = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    rows = {r.t: r for r in neighborhood_function(cyc, v4,
+                                                  n_hops=3).collect()}
+    check(rows)
+    # the 4-cycle keeps growing through t=3: all totals distinct
+    assert len({rows[t].n_pairs for t in range(4)}) == 4
+
+    k4 = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(4) if i != j],
+        "src_doc_id long, tgt_doc_id long")
+    rows = {r.t: r for r in neighborhood_function(k4, v4,
+                                                  n_hops=3).collect()}
+    check(rows)
+    # clique: ball(1) = everything; early exit pads t=2,3 exactly
+    assert rows[1].n_pairs == rows[2].n_pairs == rows[3].n_pairs

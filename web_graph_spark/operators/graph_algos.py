@@ -1147,3 +1147,51 @@ def harmonic_hyperball(edges: DataFrame, vertices: DataFrame,
                 h.cast("long").alias("h_lcm")))
     e.unpersist()
     return out
+
+
+def neighborhood_function(edges: DataFrame, vertices: DataFrame,
+                          id_col: str = "doc_id",
+                          src: str = "src_doc_id",
+                          dst: str = "tgt_doc_id",
+                          n_hops: int = 3,
+                          eff_bp: int = 9000) -> DataFrame:
+    """(t, n_pairs, frac_bp, is_effective) — the neighborhood function
+    N(t) = |{(v,u) : d(v,u) ≤ t}| and the effective-diameter flag (the
+    first t whose N(t) reaches ``eff_bp``/10⁴ of N(n_hops)) — the
+    global graph-shape summary HyperANF was built for (Boldi-Rosa-
+    Vigna; Broder et al.'s "how far apart is the web" question).
+    N(t) sums the per-node HyperBall estimates, so it inherits their
+    exact integer determinism; ``frac_bp`` is integer basis points of
+    the truncated-horizon total (a true N(∞) fraction would need the
+    full diameter — the truncation is the documented HyperANF
+    practice).  Same loop as :func:`hyperball`; each round adds one
+    dim-sized fold + a 1-row sum, and early exit pads saturated
+    rounds (their N(t) is by then constant)."""
+    e, base, state = _hll_seed(edges, vertices, id_col, src, dst)
+
+    def total(st):
+        return (_hll_estimate(st, base, id_col)
+                .agg(F.sum("n_ball")).collect()[0][0] or 0)
+
+    ns = [total(state)]
+    prev_mass = None
+    for _ in range(n_hops):
+        state = _hll_relax(e, state)
+        ns.append(total(state))
+        mass = state.agg(F.sum("M")).collect()[0][0]
+        if mass == prev_mass:
+            ns.extend([ns[-1]] * (n_hops - (len(ns) - 1)))
+            break
+        prev_mass = mass
+    e.unpersist()
+    spark = edges.sparkSession
+    horizon = ns[n_hops]
+    rows = []
+    eff_found = False
+    for t, n in enumerate(ns):
+        frac = n * 10000 // horizon if horizon else 0
+        is_eff = (not eff_found) and frac >= eff_bp
+        eff_found = eff_found or is_eff
+        rows.append((t, int(n), int(frac), bool(is_eff)))
+    return spark.createDataFrame(
+        rows, "t int, n_pairs long, frac_bp long, is_effective boolean")
