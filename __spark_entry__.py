@@ -2371,6 +2371,19 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, budget=512)
 
 
+def q_corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunking (functions/text.py:
+    chunk_overlap E101): 64-token windows every 48 tokens per
+    document — the retrieval/embedding chunk shape next to
+    pack_sequences' cross-document packing.  ⌈max(n−64,0)/48⌉+1
+    windows per doc (full coverage, no redundant tail), token normal
+    form shared with the dedup tiers, md5 window digests the oracle
+    rebuilds chunk-for-chunk."""
+    from web_graph_spark.functions.text import chunk_overlap
+
+    return chunk_overlap(_docs(spark, sf_dir), size=64, stride=48)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: derived media table → mapInPandas feature
     extraction (deterministic stub decode; rows-only check)."""
@@ -2835,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_span_dedup": q_corpus_span_dedup,
         "corpus_holdout_split": q_corpus_holdout_split,
         "corpus_pack_sequences": q_corpus_pack_sequences,
+        "corpus_chunk_overlap": q_corpus_chunk_overlap,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_containment": q_dedup_containment,
@@ -4325,6 +4339,29 @@ SELECT doc_id, n_tokens,
        CAST((off + greatest(n_tokens, 1) - 1) // 512 - off // 512 + 1
             AS BIGINT) AS n_packs_spanned
 FROM o""",
+        "corpus_chunk_overlap": """
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                          'g')), ' ') AS ls
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+),
+c AS (
+  SELECT doc_id, ls, len(ls) AS n,
+         CASE WHEN len(ls) <= 64 THEN 1
+              ELSE (len(ls) - 64 + 47) // 48 + 1 END AS nc
+  FROM d
+),
+k AS (SELECT doc_id, ls, n, unnest(range(0, nc)) AS k FROM c)
+SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+       CAST(k * 48 AS BIGINT) AS start_tok,
+       CAST(len(list_slice(ls, k*48 + 1, least(k*48 + 64, n)))
+            AS BIGINT) AS n_tok,
+       md5(array_to_string(list_slice(ls, k*48 + 1,
+                                      least(k*48 + 64, n)), ' '))
+         AS chunk_digest
+FROM k""",
         "text_fingerprint": f"""
 SELECT doc_id, md5({norm}) AS fingerprint FROM documents""",
         "text_repetition": """

@@ -1712,3 +1712,39 @@ def test_hll_rollup_merge_equals_direct(spark):
               for r in hll_distinct(df, "grp", F.col("k")).collect()}
     assert merged["g1"][0] == 5 and merged["g2"][0] == 3
     assert {g: v[1] for g, v in merged.items()} == direct
+
+
+@pytest.mark.spark
+def test_chunk_overlap_boundaries(spark):
+    """Window math: n ≤ size → exactly one clipped window; n = size+1
+    → two windows (full + tail); coverage is complete, the last
+    window clips to the end, overlap = size − stride tokens, and the
+    digest is md5 of the space-joined normalized window."""
+    import hashlib
+
+    from web_graph_spark.functions.text import chunk_overlap
+
+    def doc(i, n):
+        return (i, " ".join(f"w{j}" for j in range(n)))
+
+    df = spark.createDataFrame([doc(1, 5), doc(2, 8), doc(3, 9),
+                                doc(4, 20)],
+                               "doc_id long, text string")
+    out = {}
+    for r in chunk_overlap(df, size=8, stride=4).collect():
+        out.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.start_tok, r.n_tok, r.chunk_digest))
+    for v in out.values():
+        v.sort()
+
+    def dg(lo, hi):
+        return hashlib.md5(" ".join(
+            f"w{j}" for j in range(lo, hi)).encode()).hexdigest()
+
+    assert out[1] == [(0, 0, 5, dg(0, 5))]
+    assert out[2] == [(0, 0, 8, dg(0, 8))]
+    # n=9: ceil(1/4)+1 = 2 windows; tail clips to one new token + 7 old
+    assert out[3] == [(0, 0, 8, dg(0, 8)), (1, 4, 5, dg(4, 9))]
+    # n=20: ceil(12/4)+1 = 4 windows, last is exactly [12:20]
+    assert out[4] == [(0, 0, 8, dg(0, 8)), (1, 4, 8, dg(4, 12)),
+                      (2, 8, 8, dg(8, 16)), (3, 12, 8, dg(12, 20))]

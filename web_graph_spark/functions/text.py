@@ -1286,3 +1286,47 @@ r AS (
   FROM s
 )
 SELECT doc_id, rank, bigram, tf, df, score FROM r WHERE rank <= {k}"""
+
+
+def chunk_overlap(df: DataFrame, size: int = 64, stride: int = 48,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id_col, chunk_idx, start_tok, n_tok, chunk_digest) — sliding
+    context-window chunking: cut each document's token stream into
+    windows of ``size`` tokens starting every ``stride`` (stride <
+    size ⇒ overlap) — the per-document retrieval/embedding chunking
+    that complements :func:`pack_sequences`' cross-document packing
+    (RAG indexing, long-doc embedding, window-level dedup all consume
+    this shape).  Start positions are 0, stride, 2·stride, … with
+    exactly ⌈max(n−size, 0)/stride⌉ + 1 windows: full coverage, no
+    redundant all-inside-the-previous tail window; the last window
+    clips to the document end.  Tokens are the repo's normal form
+    (lowercase, collapsed whitespace — same recipe as the dedup
+    tiers), ``chunk_digest`` = md5 of the space-joined window, so the
+    SQL oracle rebuilds every digest.
+
+    Shape: tokenization + window explosion are one narrow projection
+    (posexplode of a per-row ⌈n/stride⌉-element sequence; the token
+    array materializes ONCE before the lambda — never re-tokenized
+    per window) — zero shuffles, scan-bound at 100 TB, ~size/stride×
+    output amplification by construction."""
+    from web_graph_spark.functions.dedup import tokens_col
+
+    d = (df.select(F.col(id_col).alias("__id"),
+                   tokens_col(text_col).alias("__tok"))
+         .withColumn("__n", F.size("__tok"))
+         .filter(F.col("__n") > 0)
+         .withColumn("__nc", F.expr(
+             f"CASE WHEN __n <= {size} THEN 1L "
+             f"ELSE (__n - {size} + {stride} - 1) div {stride} + 1 "
+             "END")))
+    chunk = F.slice("__tok", F.col("__k") * stride + 1, size)
+    return (d.select("__id", "__tok",
+                     F.posexplode(F.sequence(
+                         F.lit(0).cast("long"),
+                         F.col("__nc") - 1)).alias("__p", "__k"))
+            .select(F.col("__id").alias(id_col),
+                    F.col("__k").cast("int").alias("chunk_idx"),
+                    (F.col("__k") * stride).cast("long").alias("start_tok"),
+                    F.size(chunk).cast("long").alias("n_tok"),
+                    F.md5(F.array_join(chunk, " ")).alias("chunk_digest")))
