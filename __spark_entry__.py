@@ -93,6 +93,54 @@ GROUP BY 1""")
     return "".join(parts)
 
 
+def _ktruss_unrolled_sql(k: int, rounds: int) -> str:
+    """Fixed-round synchronous k-truss support peeling unrolled to
+    plain SQL — the oracle for q_graph_ktruss.  Each round mirrors
+    operators/graph_algos.py:ktruss exactly: triangles among the
+    previous round's survivors via the id-oriented (a<b)(b<c)(a<c)
+    joins, per-edge support, simultaneous drop under k−2; the final
+    projection re-derives support within the settled truss.
+
+    Every CTE is ``AS MATERIALIZED``: each round references its
+    predecessor 4 times (three triangle sides + the filter base) —
+    naive inlining would expand 4^rounds parquet scans and exhaust
+    file descriptors before it exhausted patience."""
+    def tri(i: int, prev: str) -> str:
+        return f"""
+tr{i} AS MATERIALIZED (
+  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+  FROM {prev} ab
+  JOIN {prev} bc ON bc.u = ab.v
+  JOIN {prev} ac ON ac.u = ab.u AND ac.v = bc.v
+),
+sp{i} AS MATERIALIZED (
+  SELECT u, v, count(*) AS s FROM (
+    SELECT a AS u, b AS v FROM tr{i}
+    UNION ALL SELECT b AS u, c AS v FROM tr{i}
+    UNION ALL SELECT a AS u, c AS v FROM tr{i})
+  GROUP BY 1, 2
+)"""
+
+    parts = ["""
+, t0 AS MATERIALIZED (
+  SELECT DISTINCT least(src_doc_id, tgt_doc_id) AS u,
+         greatest(src_doc_id, tgt_doc_id) AS v
+  FROM web_links_full WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append("," + tri(i, f"t{i - 1}") + f""",
+t{i} AS MATERIALIZED (
+  SELECT t.u, t.v FROM t{i - 1} t
+  JOIN sp{i} s ON s.u = t.u AND s.v = t.v
+  WHERE s.s >= {k - 2}
+)""")
+    parts.append("," + tri(rounds + 1, f"t{rounds}") + f"""
+SELECT t.u, t.v, CAST(coalesce(s.s, 0) AS BIGINT) AS support
+FROM t{rounds} t
+LEFT JOIN sp{rounds + 1} s ON s.u = t.u AND s.v = t.v""")
+    return "".join(parts)
+
+
 def _lpa_rounds_sql(iters: int) -> str:
     """The CTE chain of :func:`_lpa_unrolled_sql` WITHOUT the final
     SELECT — shared by the label-prop oracle and every oracle that
@@ -1018,6 +1066,24 @@ def q_graph_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("src_doc_id", "tgt_doc_id"))
     v = webgen.pages_df(spark, sf_dir).select("doc_id")
     return neighborhood_function(e, v, n_hops=3)
+
+
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss edges with settled triangle support (round 4,
+    operators/graph_algos.py:ktruss E102, Cohen 2008) — the
+    edge-grained sharpening of k-core: every surviving edge closes at
+    least one triangle WITHIN the survivors (the admissible web's
+    densest tier — its 4-truss is empty at this sf), the
+    spam/community-core refinement degree alone can't express.  Six
+    synchronous peeling rounds, unrolled round-for-round in the SQL
+    oracle (extra rounds are no-ops by monotonicity; convergence at
+    this scale is test-pinned)."""
+    from web_graph_spark.operators.graph_algos import ktruss
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    return ktruss(e, k=3, rounds=6)
 
 
 def _hex16_sql(expr: str) -> str:
@@ -2820,6 +2886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hyperball": q_graph_hyperball,
         "graph_harmonic": q_graph_harmonic,
         "graph_neighborhood": q_graph_neighborhood,
+        "graph_ktruss": q_graph_ktruss,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "corpus_source_reputation": q_corpus_source_reputation,
@@ -3732,6 +3799,7 @@ LEFT JOIN core_weak cw ON cw.wc = w.component"""),
         "graph_ppr": _oracle(_ppr_sql(rounds=4, scale=10 ** 12),
                              seeds=True),
         "graph_kcore": _oracle(_kcore_unrolled_sql(k=3, rounds=6)),
+        "graph_ktruss": _oracle(_ktruss_unrolled_sql(k=3, rounds=6)),
         "graph_random_walks": _oracle(_walks_oracle_sql(4, 2)),
         "ann_ivf_topk": """
 WITH b AS (

@@ -687,3 +687,35 @@ def test_neighborhood_function_effective_diameter(spark):
     check(rows)
     # clique: ball(1) = everything; early exit pads t=2,3 exactly
     assert rows[1].n_pairs == rows[2].n_pairs == rows[3].n_pairs
+
+
+@pytest.mark.spark
+def test_ktruss_hand_graph_and_convergence(spark):
+    """K4 + an attached triangle + a pendant, fed dirty (dupes,
+    reversed edges, a self-loop): the 4-truss is exactly K4's 6 edges
+    each with support 2 (the triangle's third edges peel once their
+    shared-with-K4 support collapses... they never had 2); the
+    3-truss keeps K4 plus the triangle (support ≥ 1); the pendant
+    edge never survives.  Cascade pin: peeling K4's triangle-support
+    is simultaneous, not sequential.  Convergence: rounds=2 and
+    rounds=6 agree on this graph (extra rounds are no-ops)."""
+    from web_graph_spark.operators.graph_algos import ktruss
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),  # K4
+             (3, 4), (4, 5), (3, 5),                           # triangle
+             (5, 6),                                           # pendant
+             (1, 0), (2, 2)]                                   # dirt
+    e = spark.createDataFrame(edges, "src_doc_id long, tgt_doc_id long")
+
+    t4 = {(r.u, r.v): r.support for r in ktruss(e, k=4, rounds=6).collect()}
+    assert t4 == {(0, 1): 2, (0, 2): 2, (0, 3): 2,
+                  (1, 2): 2, (1, 3): 2, (2, 3): 2}
+
+    t3 = {(r.u, r.v): r.support for r in ktruss(e, k=3, rounds=6).collect()}
+    assert set(t3) == set(t4) | {(3, 4), (4, 5), (3, 5)}
+    assert t3[(3, 4)] == t3[(4, 5)] == t3[(3, 5)] == 1
+    assert (5, 6) not in t3
+
+    fast = {(r.u, r.v): r.support
+            for r in ktruss(e, k=4, rounds=2).collect()}
+    assert fast == t4

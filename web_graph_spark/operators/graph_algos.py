@@ -1195,3 +1195,48 @@ def neighborhood_function(edges: DataFrame, vertices: DataFrame,
         rows.append((t, int(n), int(frac), bool(is_eff)))
     return spark.createDataFrame(
         rows, "t int, n_pairs long, frac_bp long, is_effective boolean")
+
+
+def ktruss(edges: DataFrame, k: int = 4, rounds: int = 6,
+           src: str = "src_doc_id", dst: str = "tgt_doc_id") -> DataFrame:
+    """(u, v, support) — edges of the undirected k-truss (Cohen 2008):
+    the maximal subgraph where every EDGE sits in ≥ k−2 triangles
+    within the subgraph, with ``support`` the edge's settled triangle
+    count.  The edge-grained sharpening of :func:`kcore` (a k-truss is
+    always inside the (k−1)-core): link farms that inflate degree
+    without closing triangles pass a core filter but fail truss — the
+    standard spam/community-core refinement on web graphs.
+
+    Synchronous fixed-round support peeling, same contract as
+    :func:`kcore`: each round enumerates triangles among surviving
+    edges ((a<b)(b<c)(a<c) id-oriented joins — two edge-key shuffles),
+    counts per-edge support with map-side partials, and drops every
+    edge under k−2 SIMULTANEOUSLY.  Peeling is monotone, a converged
+    round is a no-op, so extra rounds are always safe and the oracle
+    unrolls the same fixed count in SQL; a test pins last-two-rounds
+    equality at the contract scale.  (At 10^10 edges the enumeration
+    inside each round would orient by (degree, id) as
+    :func:`triangle_counts` does — id-orientation is kept here for
+    byte-exact oracle replay; the peeling semantics are identical.)
+    """
+    e = _canon_edges(edges, src, dst).localCheckpoint()
+
+    def support(ed: DataFrame) -> DataFrame:
+        ab = ed.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        bc = ed.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        ac = ed.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        tri = ab.join(bc, "b").join(ac, ["a", "c"])
+        return (tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+                .unionByName(tri.select(F.col("b").alias("u"),
+                                        F.col("c").alias("v")))
+                .unionByName(tri.select(F.col("a").alias("u"),
+                                        F.col("c").alias("v")))
+                .groupBy("u", "v").agg(F.count(F.lit(1)).alias("s")))
+    for _ in range(rounds):
+        e = (e.join(support(e), ["u", "v"], "left")
+             .filter(F.coalesce(F.col("s"), F.lit(0)) >= k - 2)
+             .select("u", "v").localCheckpoint())
+    return (e.join(support(e), ["u", "v"], "left")
+            .select("u", "v",
+                    F.coalesce(F.col("s"), F.lit(0)).cast("long")
+                    .alias("support")))
