@@ -1086,6 +1086,26 @@ def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ktruss(e, k=3, rounds=6)
 
 
+def q_crawl_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key per page (round 4, operators/
+    layout.py E103): interleave 16-bit hash buckets of host and path
+    into one code — range-partitioning the page store on it bounds
+    BOTH dimensions' min-max envelope per file, so host predicates
+    AND path predicates prune files (the lakehouse OPTIMIZE ZORDER
+    action; the reference leans on Postgres btrees instead,
+    linkstorage.go:119-131).  Pure integer shift/and arithmetic on
+    the shared hex16 md5 chunks — the oracle replays every bit."""
+    from web_graph_spark.functions.stats import _hexchunk
+    from web_graph_spark.operators.layout import zvalue_col
+
+    p = webgen.pages_df(spark, sf_dir)
+    hx = _hexchunk(F.md5(F.col("host")), 1)
+    px = _hexchunk(F.md5(F.col("path")), 1)
+    return (p.select("doc_id", hx.alias("hx"), px.alias("px"))
+            .select("doc_id", "hx", "px",
+                    zvalue_col(["hx", "px"], bits=16).alias("zval")))
+
+
 def _hex16_sql(expr: str) -> str:
     """The oracle half of graph_algos._hex16: integer in [0, 65535]
     from the first 4 hex chars of md5(expr), strpos arithmetic only."""
@@ -1095,12 +1115,12 @@ def _hex16_sql(expr: str) -> str:
     return (f"({d[0]} * 4096 + {d[1]} * 256 + {d[2]} * 16 + {d[3]})")
 
 
-def _hexchunk_sql(start: int) -> str:
+def _hexchunk_sql(start: int, col: str = "h") -> str:
     """The oracle half of functions/stats.py:_hexchunk — integer in
-    [0, 65535] from 4 hex chars of a column named ``h`` (an md5
-    digest) starting at 1-based ``start``; strpos arithmetic only."""
+    [0, 65535] from 4 hex chars of the md5-digest column ``col``
+    starting at 1-based ``start``; strpos arithmetic only."""
     a = "'0123456789abcdef'"
-    d = [f"(strpos({a}, substr(h, {start + i}, 1)) - 1)"
+    d = [f"(strpos({a}, substr({col}, {start + i}, 1)) - 1)"
          for i in range(4)]
     return f"({d[0]} * 4096 + {d[1]} * 256 + {d[2]} * 16 + {d[3]})"
 
@@ -2887,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_harmonic": q_graph_harmonic,
         "graph_neighborhood": q_graph_neighborhood,
         "graph_ktruss": q_graph_ktruss,
+        "crawl_zorder_key": q_crawl_zorder_key,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "corpus_source_reputation": q_corpus_source_reputation,
@@ -3197,6 +3218,20 @@ SELECT h AS host, suffix AS public_suffix,
             THEN array_to_string(list_slice(ls, L - eff, L), '.')
             END AS registrable
 FROM fin"""),
+        "crawl_zorder_key": _oracle(f"""
+, hx0 AS (SELECT doc_id, md5(host) AS hh, md5(path) AS hp
+          FROM web_pages),
+d AS (
+  SELECT doc_id,
+         CAST({_hexchunk_sql(1, 'hh')} AS BIGINT) AS hx,
+         CAST({_hexchunk_sql(1, 'hp')} AS BIGINT) AS px
+  FROM hx0
+)
+SELECT doc_id, hx, px,
+       CAST({" + ".join(f"(((hx >> {i}) & 1) << {2 * i})"
+                        f" + (((px >> {i}) & 1) << {2 * i + 1})"
+                        for i in range(16))} AS BIGINT) AS zval
+FROM d"""),
         "crawl_robots_parse": _oracle("""
 , h AS (
   SELECT DISTINCT host, CAST(substr(host, 2, 2) AS INTEGER) AS i
