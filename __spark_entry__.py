@@ -1086,6 +1086,26 @@ def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ktruss(e, k=3, rounds=6)
 
 
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest discovery cost from the seed set (round 4,
+    operators/graph_algos.py:sssp E104): synchronous Bellman-Ford
+    over integer edge weights (w = k%7+1 — a stand-in for fetch cost
+    / politeness delay), 8 relaxation rounds with a shrinking
+    improved-only frontier — exact over ≤8-edge paths, the
+    truncated-horizon contract the oracle replays with the SAME hop
+    bound in its recursive CTE (a python Bellman-Ford replica pins
+    the truncation in tests).  The weighted sibling of
+    graph_bfs_depths."""
+    from web_graph_spark.operators.graph_algos import sssp
+
+    l = webgen.links_full_df(spark, sf_dir).filter(F.col("k") % 4 != 0)
+    e = l.select("src_doc_id", "tgt_doc_id",
+                 ((F.col("k") % 7) + 1).alias("w"))
+    seeds = (webgen.pages_df(spark, sf_dir)
+             .filter(F.col("doc_id") % 97 == 0).select("doc_id"))
+    return sssp(e, seeds, rounds=8)
+
+
 def q_crawl_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key per page (round 4, operators/
     layout.py E103): interleave 16-bit hash buckets of host and path
@@ -2908,6 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_neighborhood": q_graph_neighborhood,
         "graph_ktruss": q_graph_ktruss,
         "crawl_zorder_key": q_crawl_zorder_key,
+        "graph_sssp": q_graph_sssp,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "corpus_source_reputation": q_corpus_source_reputation,
@@ -3757,6 +3778,23 @@ eff AS (SELECT min(t) AS eff_t FROM fr WHERE frac_bp >= 9000)
 SELECT CAST(f.t AS INTEGER) AS t, f.n_pairs, f.frac_bp,
        f.t = e2.eff_t AS is_effective
 FROM fr f, eff e2"""),
+        "graph_sssp": _oracle_recursive("""
+, e AS (
+  SELECT src_doc_id AS s, tgt_doc_id AS t,
+         min(k % 7 + 1) AS w
+  FROM web_links_full
+  WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id
+  GROUP BY 1, 2
+),
+p(v, d, hops) AS (
+  SELECT doc_id, CAST(0 AS BIGINT), 0 FROM web_pages
+  WHERE doc_id % 97 = 0
+  UNION
+  SELECT e.t, p.d + e.w, p.hops + 1 FROM p JOIN e ON e.s = p.v
+  WHERE p.hops < 8
+)
+SELECT v AS doc_id, CAST(min(d) AS BIGINT) AS dist
+FROM p GROUP BY 1"""),
         "graph_components": _oracle_recursive("""
 , e AS (
   SELECT DISTINCT src_doc_id AS a, tgt_doc_id AS b

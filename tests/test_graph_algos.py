@@ -719,3 +719,66 @@ def test_ktruss_hand_graph_and_convergence(spark):
     fast = {(r.u, r.v): r.support
             for r in ktruss(e, k=4, rounds=2).collect()}
     assert fast == t4
+
+
+@pytest.mark.spark
+def test_sssp_weighted_semantics(spark):
+    """The cheap MANY-hop path beats the expensive short one (what
+    bfs_depths can't express); parallel edges collapse to min weight;
+    multi-seed takes the global min; unreachable nodes are absent;
+    a round cap below the cheap path's hop count falls back to the
+    best path within the cap."""
+    from web_graph_spark.operators.graph_algos import sssp
+
+    edges = [
+        (0, 9, 10),                       # direct but expensive
+        (0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 9, 1),   # 4 hops, cost 4
+        (0, 1, 7),                        # parallel edge, worse
+        (5, 9, 2),                        # second seed's route
+        (7, 8, 1),                        # unreachable island
+    ]
+    e = spark.createDataFrame(edges, "src_doc_id long, tgt_doc_id long, w long")
+    seeds = spark.createDataFrame([(0,), (5,)], "doc_id long")
+    got = {r.doc_id: r.dist for r in sssp(e, seeds, rounds=8).collect()}
+    assert got == {0: 0, 5: 0, 1: 1, 2: 2, 3: 3, 9: 2}
+    # 9 via seed 5 costs 2 (beats the 4-hop cost-4 and the direct 10)
+
+    solo = spark.createDataFrame([(0,)], "doc_id long")
+    got = {r.doc_id: r.dist for r in sssp(e, solo, rounds=8).collect()}
+    assert got[9] == 4                    # the many-hop cheap path
+    capped = {r.doc_id: r.dist
+              for r in sssp(e, solo, rounds=2).collect()}
+    assert capped[9] == 10                # only the direct edge fits
+
+
+@pytest.mark.spark
+def test_sssp_matches_python_bellman_ford(spark):
+    """rounds=8 on the derived web equals a pure-python synchronous
+    Bellman-Ford run for the same 8 relaxations — the truncated-
+    horizon semantics (exact over ≤8-edge paths) replicated exactly,
+    on a graph where cheap long paths genuinely keep improving past
+    the cap (so the pin exercises the truncation, not just the
+    fixpoint)."""
+    from web_graph_spark import webgen
+    from web_graph_spark.operators.graph_algos import sssp
+
+    l = webgen.links_full_df(spark, SF_SMOKE).filter(F.col("k") % 4 != 0)
+    e = l.select("src_doc_id", "tgt_doc_id",
+                 ((F.col("k") % 7) + 1).alias("w"))
+    seeds = (webgen.pages_df(spark, SF_SMOKE)
+             .filter(F.col("doc_id") % 97 == 0).select("doc_id"))
+    got = {r.doc_id: r.dist for r in sssp(e, seeds, rounds=8).collect()}
+
+    ew = {}
+    for r in e.collect():
+        if r.src_doc_id != r.tgt_doc_id:
+            key = (r.src_doc_id, r.tgt_doc_id)
+            ew[key] = min(ew.get(key, 1 << 60), r.w)
+    dist = {r.doc_id: 0 for r in seeds.collect()}
+    for _ in range(8):
+        nxt = dict(dist)
+        for (s, t), w in ew.items():
+            if s in dist and dist[s] + w < nxt.get(t, 1 << 60):
+                nxt[t] = dist[s] + w
+        dist = nxt
+    assert got == dist and got

@@ -1240,3 +1240,55 @@ def ktruss(edges: DataFrame, k: int = 4, rounds: int = 6,
             .select("u", "v",
                     F.coalesce(F.col("s"), F.lit(0)).cast("long")
                     .alias("support")))
+
+
+def sssp(edges: DataFrame, seeds: DataFrame, weight: str = "w",
+         src: str = "src_doc_id", dst: str = "tgt_doc_id",
+         id_col: str = "doc_id", rounds: int = 8) -> DataFrame:
+    """(id_col, dist) — single-source (multi-seed) shortest path over
+    non-negative INTEGER edge weights: synchronous Bellman-Ford,
+    ``rounds`` relaxations, so the result is exact over every path of
+    ≤ ``rounds`` edges (the weighted complement of :func:`bfs_depths`;
+    at web diameters a handful of rounds settles the graph — the
+    fixed-round contract is the same "extra rounds are no-ops"
+    monotone deal as kcore/ktruss, oracle-replayable as a bounded
+    recursive CTE).  Crawl reading: weight = fetch cost / politeness
+    delay / link penalty, dist = cheapest discovery cost from the
+    seed set.
+
+    Per round: one edges⋈frontier equi-join on ``src`` (edges hash-
+    partitioned once and persisted) + one min-agg with map-side
+    partials; only VERTICES IMPROVED LAST ROUND relay (the frontier
+    shrinks to nothing on convergence, making converged rounds
+    free-ish); state is localCheckpointed.  Unreachable vertices are
+    absent from the output."""
+    e = (edges.select(F.col(src).cast("long").alias("__s"),
+                      F.col(dst).cast("long").alias("__t"),
+                      F.col(weight).cast("long").alias("__w"))
+         .filter(F.col("__s") != F.col("__t"))
+         .groupBy("__s", "__t").agg(F.min("__w").alias("__w"))
+         .repartition("__s").persist())
+    dist = (seeds.select(F.col(id_col).cast("long").alias("__v"))
+            .distinct()
+            .withColumn("d", F.lit(0).cast("long"))
+            .localCheckpoint())
+    frontier = dist
+    for _ in range(rounds):
+        if frontier.isEmpty():
+            break
+        cand = (e.join(frontier.withColumnRenamed("__v", "__s"), "__s")
+                .select(F.col("__t").alias("__v"),
+                        (F.col("d") + F.col("__w")).alias("d"))
+                .groupBy("__v").agg(F.min("d").alias("d")))
+        merged = (dist.unionByName(cand)
+                  .groupBy("__v").agg(F.min("d").alias("d"))
+                  .localCheckpoint())
+        # improved = strictly better than before (new vertices count)
+        frontier = (merged.join(dist.withColumnRenamed("d", "__old"),
+                                "__v", "left")
+                    .filter(F.col("__old").isNull()
+                            | (F.col("d") < F.col("__old")))
+                    .select("__v", "d").localCheckpoint())
+        dist = merged
+    e.unpersist()
+    return dist.select(F.col("__v").alias(id_col), F.col("d").alias("dist"))
