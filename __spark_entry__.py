@@ -1637,6 +1637,22 @@ def _docs_with_dups(spark, sf_dir):
     return d.unionByName(exact).unionByName(near)
 
 
+def q_text_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-document pairs by raw-tf cosine over the inverted
+    index (round 4, functions/text.py:doc_similarity_pairs E105) —
+    the embedding-free lexical similarity tier: terms df-capped at 50
+    (the prefix-filtering move that keeps the postings self-join
+    ≤ df_cap² per term, never corpus-quadratic), cosine ≥ 0.7 decided
+    in exact integers (num²·10⁸ ≥ 7000²·na·nb over decimal /
+    HUGEINT), run over the dup-injected corpus so the near-copies
+    surface.  The oracle replays cap, subspace, and algebra
+    verbatim."""
+    from web_graph_spark.functions.text import doc_similarity_pairs
+
+    return doc_similarity_pairs(_docs_with_dups(spark, sf_dir),
+                                threshold_bp=7000, df_cap=50)
+
+
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation over the dup-injected corpus:
     quality features → admission thresholds → language guess →
@@ -2942,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_inverted_index": q_text_inverted_index,
         "text_phrase_search": q_text_phrase_search,
         "text_cooccurrence": q_text_cooccurrence,
+        "text_doc_similarity": q_text_doc_similarity,
         "text_pii_scrub": q_text_pii_scrub,
         "text_boilerplate": q_text_boilerplate,
         "corpus_curate": q_corpus_curate,
@@ -4579,6 +4596,40 @@ SELECT md5({normalize_sql('text')}) AS fingerprint,
                   ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
 FROM docs_dups
 GROUP BY 1 HAVING count(*) > 1""",
+        "text_doc_similarity": """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, upper(text) FROM documents
+  WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zz qq ww' FROM documents
+  WHERE doc_id % 50 = 1
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus
+),
+tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+keep AS (SELECT term FROM tf GROUP BY 1 HAVING count(*) <= 50),
+tfk AS (SELECT t.* FROM tf t JOIN keep USING (term)),
+norms AS (
+  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM tfk GROUP BY 1
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(sum(a.tf * b.tf) AS BIGINT) AS num
+  FROM tfk a JOIN tfk b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, p.num, na.n2 AS na, nb.n2 AS nb
+FROM pairs p
+JOIN norms na ON na.doc_id = p.id_a
+JOIN norms nb ON nb.doc_id = p.id_b
+WHERE CAST(p.num AS HUGEINT) * p.num * 100000000
+      >= CAST(49000000 AS HUGEINT) * na.n2 * nb.n2""",
         "dedup_ngram_jaccard": f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents

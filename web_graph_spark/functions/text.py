@@ -1330,3 +1330,61 @@ def chunk_overlap(df: DataFrame, size: int = 64, stride: int = 48,
                     (F.col("__k") * stride).cast("long").alias("start_tok"),
                     F.size(chunk).cast("long").alias("n_tok"),
                     F.md5(F.array_join(chunk, " ")).alias("chunk_digest")))
+
+
+def doc_similarity_pairs(df: DataFrame, threshold_bp: int = 7000,
+                         df_cap: int = 50, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """(id_a, id_b, num, na, nb) — document pairs whose raw-tf cosine
+    similarity reaches ``threshold_bp``/10⁴ in the df-capped term
+    subspace: the "related documents" / lexical near-dup tier that
+    needs no embeddings and no MinHash, served straight off the
+    inverted index.  Terms with document frequency > ``df_cap`` are
+    dropped from BOTH the numerator and the norms (the stopword-class
+    terms that would make every pair similar AND make the postings
+    self-join quadratic — the cap is the standard prefix-filtering
+    move, and cosine is computed consistently in the surviving
+    subspace, which the oracle replays verbatim).
+
+    Exact integers end-to-end: the cosine test
+    ``num/√(na·nb) ≥ t`` is decided as ``num²·10⁸ ≥ t_bp²·na·nb``
+    over decimal(38,0) (num, na, nb ≤ L² for L-token docs — safe to
+    L = 10⁶ tokens), so both engines admit exactly the same pairs;
+    num/na/nb are emitted rather than a floored cosine so the
+    contract hash pins the raw algebra.
+
+    Shape: one (term, doc) tf agg (map-side partials), a df agg +
+    semi-join to apply the cap, one postings SELF-JOIN ON TERM whose
+    per-term fan-out is ≤ df_cap² by construction (never corpus-
+    quadratic), then a (doc_a, doc_b) sum agg and two norm joins."""
+    t = doc_positions(df, id_col, text_col)
+    tf = (t.groupBy("term", "doc_id")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    keep = (tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap).select("term"))
+    tfk = tf.join(keep, "term", "semi")
+    norms = (tfk.groupBy("doc_id")
+             .agg(F.sum(F.col("tf") * F.col("tf")).cast("long")
+                  .alias("n2")))
+    a = tfk.select("term", F.col("doc_id").alias("id_a"),
+                   F.col("tf").alias("tf_a"))
+    b = tfk.select("term", F.col("doc_id").alias("id_b"),
+                   F.col("tf").alias("tf_b"))
+    pairs = (a.join(b, "term")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("long")
+                  .alias("num")))
+    dec = "decimal(12,0)"
+    num_d = F.col("num").cast(dec)
+    lhs = num_d * num_d * F.lit(100000000).cast("decimal(9,0)")
+    rhs = (F.lit(threshold_bp * threshold_bp).cast("decimal(9,0)")
+           * F.col("na").cast(dec) * F.col("nb").cast(dec))
+    return (pairs
+            .join(norms.select(F.col("doc_id").alias("id_a"),
+                               F.col("n2").alias("na")), "id_a")
+            .join(norms.select(F.col("doc_id").alias("id_b"),
+                               F.col("n2").alias("nb")), "id_b")
+            .filter(lhs >= rhs)
+            .select("id_a", "id_b", "num", "na", "nb"))
