@@ -1748,3 +1748,43 @@ def test_chunk_overlap_boundaries(spark):
     # n=20: ceil(12/4)+1 = 4 windows, last is exactly [12:20]
     assert out[4] == [(0, 0, 8, dg(0, 8)), (1, 4, 8, dg(4, 12)),
                       (2, 8, 8, dg(8, 16)), (3, 12, 8, dg(12, 20))]
+
+
+@pytest.mark.spark
+def test_doc_similarity_pairs_algebra_and_cap(spark):
+    """Exact-integer cosine pins: identical docs hit cosine 1 at
+    threshold 10000; the 1/2-cosine pair sits exactly ON a 5000
+    threshold (>= admits) and off 5001; multiset tf (3/sqrt(10) ~
+    0.94868) flips between 9486 and 9487; a term with df > df_cap
+    vanishes from BOTH the numerator and the norms; id_a < id_b."""
+    from web_graph_spark.functions.text import doc_similarity_pairs
+
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z"),        # identical
+         (3, "a b"), (4, "a c"),            # cosine exactly 1/2
+         (5, "p p q"), (6, "p q")],         # cosine 3/sqrt(10)
+        "doc_id long, text string")
+
+    def pairs(th, cap=50, d=df):
+        return {(r.id_a, r.id_b): (r.num, r.na, r.nb)
+                for r in doc_similarity_pairs(d, threshold_bp=th,
+                                              df_cap=cap).collect()}
+
+    exact = pairs(10000)
+    assert exact == {(1, 2): (3, 3, 3)}
+    half = pairs(5000)
+    assert half[(3, 4)] == (1, 2, 2)      # ON the threshold: admitted
+    assert (3, 4) not in pairs(5001)
+    assert (5, 6) in pairs(9486) and (5, 6) not in pairs(9487)
+    assert all(a < b for a, b in half)
+
+    # 'x' in 5 of 6 docs: cap=4 drops it everywhere -- docs 1/2 still
+    # tie on (y, z) with shrunken norms; doc 3/4's only shared term
+    # 'a' survives (df=2)
+    capped = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z"), (3, "x a b"), (4, "x a c"),
+         (5, "x p"), (6, "x q")], "doc_id long, text string")
+    out = pairs(5000, cap=4, d=capped)
+    assert out[(1, 2)] == (2, 2, 2)       # x gone from num AND norms
+    assert out[(3, 4)] == (1, 2, 2)       # a-only overlap, x-free norms
+    assert (5, 6) not in out              # only shared term was capped
