@@ -2389,6 +2389,84 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.md5("cstr").alias("centroid_digest")))
 
 
+def _kcenter_oracle_sql(m: int = 8, dim: int = 64) -> str:
+    """``embed_kcenter`` oracle: the greedy farthest-point chain
+    unrolled (sound: ``m`` is a fixed parameter) — seed = smallest id,
+    each round the argmax of the incremental mind2 state with ties to
+    the smallest id, then the final nearest-center assignment."""
+    d2 = (lambda a, b:
+          f"list_sum(list_transform(generate_series(1, {dim}), "
+          f"i -> ({a}.qv[i] - {b}.qv[i]) * ({a}.qv[i] - {b}.qv[i])))")
+    sql = f"""WITH q AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE)
+             + 1.0) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+sel0 AS (SELECT 0 AS rank, id, CAST(0 AS BIGINT) AS d2, qv
+         FROM q ORDER BY id LIMIT 1),
+md0 AS MATERIALIZED (SELECT q.id, q.qv,
+        CAST({d2('q', 's')} AS BIGINT) AS mind2
+        FROM q, sel0 s)"""
+    for t in range(1, m):
+        sql += f""",
+p{t} AS MATERIALIZED (SELECT id, qv, mind2 FROM md{t - 1}
+        WHERE id NOT IN (SELECT id FROM sel{t - 1})
+        ORDER BY mind2 DESC, id LIMIT 1),
+sel{t} AS (SELECT * FROM sel{t - 1} UNION ALL
+          SELECT {t} AS rank, id, mind2 AS d2, qv FROM p{t}),
+md{t} AS MATERIALIZED (SELECT m.id, m.qv,
+         least(m.mind2, CAST({d2('m', 'p')} AS BIGINT)) AS mind2
+         FROM md{t - 1} m, p{t} p)"""
+    return sql + f""",
+alld AS (SELECT q.id, s.rank, CAST({d2('q', 's')} AS BIGINT) AS d2
+         FROM q, sel{m - 1} s),
+asg AS (SELECT id, rank, d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY id
+                               ORDER BY d2, rank) AS rn
+  FROM alld) WHERE rn = 1),
+per AS (SELECT rank, CAST(count(*) AS BIGINT) AS n_assigned,
+               CAST(max(d2) AS BIGINT) AS radius,
+               CAST(sum(d2) AS BIGINT) AS sum_d2
+        FROM asg GROUP BY 1)
+SELECT CAST(s.rank AS INTEGER) AS rank, s.id AS vec_id,
+       CAST(s.d2 AS BIGINT) AS d2_sel,
+       p.n_assigned, p.radius, p.sum_d2
+FROM sel{m - 1} s JOIN per p USING (rank)"""
+
+
+def q_embed_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity sample (round 4, functions/
+    similarity.py:kcenter_sample E106): Gonzalez farthest-point
+    selection of 8 representatives over the full embedding corpus in
+    exact bigint arithmetic — the coreset/data-pruning selection step
+    (keep the SPREAD of the data) dual to semdedup's redundancy
+    removal.  Per round one codegen'd projection folds the newest
+    center literal into the running mind2 column and a 1-row max-agg
+    (map-side partials) picks the farthest vector; driver traffic is
+    m rows of 64 ints.  Output certifies both the selection (rank,
+    vec_id, distance at selection) and the FULL corpus assignment
+    (per-center member count, exact coverage radius, exact sum of
+    squared distances), so the oracle re-deriving every greedy step
+    must agree on every vector's nearest center."""
+    from web_graph_spark.functions.similarity import (kcenter_assign,
+                                                      kcenter_sample)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    state, chosen = kcenter_sample(emb, m=8)
+    per = (kcenter_assign(state, chosen)
+           .groupBy("rank")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_assigned"),
+                F.max("d2").cast("long").alias("radius"),
+                F.sum("d2").cast("long").alias("sum_d2")))
+    cdf = spark.createDataFrame(
+        [(r, int(i), int(d)) for r, i, d, _ in chosen],
+        "rank int, vec_id long, d2_sel long")
+    return (per.join(F.broadcast(cdf), "rank")
+            .select(F.col("rank").cast("int").alias("rank"), "vec_id",
+                    "d2_sel", "n_assigned", "radius", "sum_d2"))
+
+
 def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-cell IVF ANN (round 4, E78 composed): the IVF family's
     missing tier — cells TRAINED by the distributed integer k-means
@@ -2994,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup_pairs": q_embed_near_dup_pairs,
         "embed_semdedup": q_embed_semdedup,
         "embed_kmeans": q_embed_kmeans,
+        "embed_kcenter": q_embed_kcenter,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
         "media_dedup": q_media_dedup,
@@ -4837,6 +4916,7 @@ SELECT * FROM (
   FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 ) WHERE sim_ppm >= 800000""",
         "embed_kmeans": _kmeans_oracle_sql(8, 3, 64),
+        "embed_kcenter": _kcenter_oracle_sql(8, 64),
         "ann_ivf_trained_topk": _ivf_trained_oracle_sql(8, 2, 64),
         "embed_semdedup": """
 WITH aug AS (

@@ -1788,3 +1788,29 @@ def test_doc_similarity_pairs_algebra_and_cap(spark):
     assert out[(1, 2)] == (2, 2, 2)       # x gone from num AND norms
     assert out[(3, 4)] == (1, 2, 2)       # a-only overlap, x-free norms
     assert (5, 6) not in out              # only shared term was capped
+
+
+@pytest.mark.spark
+def test_kcenter_sample_hand_traced(spark):
+    """Gonzalez greedy on 1-d points (quantized floor((v+1)*1e6)):
+    seed = smallest id; farthest-first with ties to the smallest id
+    (ids 2 and 4 tie at 1e14 -> 2); assignment ties to the smallest
+    RANK (id6 equidistant to centers 0 and 2 -> rank 0); m > n stops
+    early."""
+    from web_graph_spark.functions.similarity import (kcenter_assign,
+                                                      kcenter_sample)
+
+    df = spark.createDataFrame(
+        [(1, [0.0]), (2, [10.0]), (3, [4.0]), (4, [10.0]),
+         (5, [0.1]), (6, [2.0])],
+        "vec_id long, embedding array<float>")
+    state, chosen = kcenter_sample(df, m=3)
+    assert [(r, i, d) for r, i, d, _ in chosen] == [
+        (0, 1, 0), (1, 2, 10**14), (2, 3, 16 * 10**12)]
+    got = {r.id: (r["rank"], r.d2)
+           for r in kcenter_assign(state, chosen).collect()}
+    assert got == {1: (0, 0), 2: (1, 0), 3: (2, 0), 4: (1, 0),
+                   5: (0, 10**10), 6: (0, 4 * 10**12)}
+
+    _, few = kcenter_sample(df.filter("vec_id <= 3"), m=10)
+    assert [i for _, i, _, _ in few] == [1, 2, 3]

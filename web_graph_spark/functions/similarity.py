@@ -683,3 +683,86 @@ def ivf_pq_probe_index(spark, path: str, items: DataFrame,
     cand_codes = codes.join(F.broadcast(probes), "cell")
     return _adc_rerank(cand_codes, items, queries, luts, m, k, refine,
                        id_col, vec_col, q_id_col, q_vec_col)
+
+
+def kcenter_sample(items: DataFrame, m: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   scale: int = 1_000_000, shift: float = 1.0
+                   ) -> tuple[DataFrame, list]:
+    """Greedy k-center / farthest-point sampling (Gonzalez'85) over
+    the embedding corpus in EXACT integer arithmetic — the diversity
+    /coreset selection step of a data-pruning pipeline: pick ``m``
+    representatives so every vector is close to one of them (2-approx
+    of the optimal k-center radius), the opposite pole of semdedup's
+    remove-the-redundant.
+
+    Determinism discipline (shared with :func:`kmeans_integer`):
+    vectors quantize to ``floor((v + shift) · scale)`` (exact in any
+    IEEE engine); seed = the smallest id; each round picks the vector
+    maximizing its distance-to-chosen-set, ties to the SMALLEST id
+    (argmax via ``max(struct(mind2, -id, qv))`` — the -id field is
+    unique, so the struct max IS that lexicographic rule and the qv
+    field is never compared).
+
+    Scale shape — the textbook distributed Gonzalez: the running
+    ``mind2`` state is one column beside each vector; per round ONE
+    codegen'd projection folds the newest center (a 64-int literal)
+    in via ``least`` and one 1-row max-agg (map-side partials) picks
+    the next center — m scans total, driver traffic = m rows of d
+    ints, no joins, no windows.  localCheckpoint keeps lineage flat.
+
+    Returns ``(state, chosen)``: state = (id, qv, mind2 = exact
+    squared L2 to the nearest chosen center) for EVERY vector — the
+    coverage certificate; chosen = [(rank, id, d2_at_selection, qv)].
+    """
+    qexpr = (f"transform({vec_col}, x -> CAST(floor((CAST(x AS DOUBLE)"
+             f" + {shift}) * {scale}) AS BIGINT))")
+    q = items.select(F.col(id_col).alias("id"),
+                     F.expr(qexpr).alias("qv")).localCheckpoint()
+
+    def d2_to(cv: list) -> Column:
+        return F.aggregate(
+            F.zip_with(F.col("qv"), F.array(*[F.lit(x) for x in cv]),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    first = q.orderBy("id").limit(1).collect()[0]
+    chosen = [(0, first["id"], 0, list(first["qv"]))]
+    state = q.select("id", "qv",
+                     d2_to(chosen[0][3]).alias("mind2")).localCheckpoint()
+    for rank in range(1, m):
+        taken = [c[1] for c in chosen]
+        r = (state.filter(~F.col("id").isin(taken))
+             .agg(F.max(F.struct(F.col("mind2"),
+                                 (-F.col("id")).alias("nid"),
+                                 F.col("qv"))).alias("s"))
+             .first()["s"])
+        if r is None:            # fewer than m vectors
+            break
+        cv = list(r["qv"])
+        chosen.append((rank, -r["nid"], int(r["mind2"]), cv))
+        state = state.select(
+            "id", "qv",
+            F.least("mind2", d2_to(cv)).alias("mind2")).localCheckpoint()
+    return state, chosen
+
+
+def kcenter_assign(state_q: DataFrame, chosen: list) -> DataFrame:
+    """Final nearest-center assignment for :func:`kcenter_sample`'s
+    quantized corpus: one codegen'd projection against the m·d
+    literal (no join), argmin by exact d2 with ties to the smallest
+    rank — ``array_min`` over (d2, rank) structs, same shape as
+    kmeans assignment.  Returns (id, rank, d2)."""
+    dists = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(F.col("qv"),
+                           F.array(*[F.lit(x) for x in cv]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            .alias("d2"),
+            F.lit(rank).alias("rank"))
+        for rank, _id, _d2, cv in chosen])
+    best = F.array_min(dists)
+    return state_q.select("id", best["rank"].alias("rank"),
+                          best["d2"].alias("d2"))
