@@ -452,6 +452,42 @@ def q_crawl_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("surt", "url", "mime", "digest", "content_length"))
 
 
+def q_crawl_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit-record deduplication (round 4, operators/
+    archive.py:revisit_records E107): two crawl snapshots of the
+    derived web (snap 1: doc_id % 17 ≠ 3 at v0; snap 2: doc_id % 13
+    ≠ 7, every fifth page bumped to v1) plus a mirror tier (pages
+    with doc_id % 11 = 0 share one payload per doc_id-div-50 group)
+    — so the output exercises all three capture fates: first-capture
+    ``response`` records, cross-snapshot revisits of unchanged pages,
+    and same-snapshot mirror revisits.  First capture per digest =
+    min (snap, check_id); revisits store 0 octets and point
+    WARC-Refers-To at the original's record id."""
+    from web_graph_spark.operators.archive import revisit_records
+
+    p = webgen.pages_df(spark, sf_dir).select("doc_id", "check_id")
+    key = F.when(F.col("doc_id") % 11 == 0,
+                 F.concat(F.lit("m"),
+                          F.expr("doc_id div 50").cast("string")))\
+           .otherwise(F.col("check_id"))
+
+    def snap(n, flt, ver):
+        c = F.concat(key, F.lit("|"), ver)
+        return (p.filter(flt).select(
+            "check_id", F.lit(n).alias("snap"),
+            F.md5(c).alias("payload_digest"),
+            F.octet_length(c).cast("long").alias("content_length")))
+
+    caps = snap(1, F.col("doc_id") % 17 != 3, F.lit("v0")).unionByName(
+        snap(2, F.col("doc_id") % 13 != 7,
+             F.when(F.col("doc_id") % 5 == 0, F.lit("v1"))
+             .otherwise(F.lit("v0"))))
+    return (revisit_records(caps)
+            .select("check_id", F.col("snap").cast("int").alias("snap"),
+                    "payload_digest", "record_id", "record_type",
+                    "refers_to", "stored_length"))
+
+
 def q_crawl_host_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fetcher-fleet host assignment (operators/fleet.py:
     rendezvous_assign) — every host pinned to one fetcher by
@@ -2979,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_warc_export": q_crawl_warc_export,
         "crawl_wet_export": q_crawl_wet_export,
         "crawl_cdx_index": q_crawl_cdx_index,
+        "crawl_warc_revisit": q_crawl_warc_revisit,
         "crawl_host_assign": q_crawl_host_assign,
         "crawl_trap_stats": q_crawl_trap_stats,
         "crawl_domain_group": q_crawl_domain_group,
@@ -3208,6 +3245,41 @@ SELECT check_id, url,
            || chr(13) || chr(10) || chr(13) || chr(10)
            || payload) AS record_digest
 FROM pay"""),
+        "crawl_warc_revisit": _oracle("""
+, p AS (SELECT DISTINCT doc_id, check_id FROM web_pages),
+base AS (
+  SELECT doc_id, check_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN 'm' || CAST(doc_id // 50 AS VARCHAR)
+              ELSE check_id END AS key
+  FROM p),
+caps AS (
+  SELECT check_id, 1 AS snap, md5(key || '|v0') AS payload_digest,
+         CAST(strlen(key || '|v0') AS BIGINT) AS content_length
+  FROM base WHERE doc_id % 17 <> 3
+  UNION ALL
+  SELECT check_id, 2,
+         md5(key || '|' || CASE WHEN doc_id % 5 = 0
+                                THEN 'v1' ELSE 'v0' END),
+         CAST(strlen(key || '|' || CASE WHEN doc_id % 5 = 0
+                                        THEN 'v1' ELSE 'v0' END)
+              AS BIGINT)
+  FROM base WHERE doc_id % 13 <> 7),
+r AS (SELECT *, row_number() OVER (PARTITION BY payload_digest
+                                   ORDER BY snap, check_id) AS rn
+      FROM caps),
+o AS (SELECT payload_digest, check_id AS o_id, snap AS o_snap
+      FROM r WHERE rn = 1)
+SELECT r.check_id, CAST(r.snap AS INTEGER) AS snap, r.payload_digest,
+       md5(r.check_id || '@' || CAST(r.snap AS VARCHAR)) AS record_id,
+       CASE WHEN r.rn = 1 THEN 'response' ELSE 'revisit' END
+         AS record_type,
+       CASE WHEN r.rn = 1 THEN NULL
+            ELSE md5(o.o_id || '@' || CAST(o.o_snap AS VARCHAR)) END
+         AS refers_to,
+       CASE WHEN r.rn = 1 THEN r.content_length ELSE 0 END
+         AS stored_length
+FROM r JOIN o USING (payload_digest)"""),
         "crawl_cdx_index": _oracle("""
 , pay AS (
   SELECT p.host, p.path, p.url, p.check_id,

@@ -150,3 +150,41 @@ def test_wet_record_bytes_match_hashlib(spark):
                  ""),
     ]
     assert got == {w[0]: w for w in want}
+
+
+@pytest.mark.spark
+def test_revisit_records_first_wins_and_linkage(spark):
+    """Identical-payload-digest dedup: the (snap, id)-min capture of a
+    digest is the only 'response'; later snapshots AND same-snapshot
+    mirrors become headers-only revisits whose refers_to is exactly
+    the original's record id md5(id@snap); unique digests keep a NULL
+    refers_to and their full length."""
+    from web_graph_spark.operators.archive import revisit_records
+
+    caps = spark.createDataFrame(
+        [("a", 1, "dX", 10),     # original of dX (earliest snap)
+         ("a", 2, "dX", 10),     # recrawl, unchanged -> revisit
+         ("b", 2, "dX", 10),     # mirror in snap 2   -> revisit
+         ("c", 1, "dY", 7),      # unique             -> response
+         ("d", 1, "dZ", 5),      # same-snap mirror pair: min id wins
+         ("e", 1, "dZ", 5)],
+        "check_id string, snap int, payload_digest string, "
+        "content_length long")
+    rows = {(r.check_id, r.snap): r
+            for r in revisit_records(caps).collect()}
+
+    rid = lambda i, s: hashlib.md5(f"{i}@{s}".encode()).hexdigest()
+    a1 = rows[("a", 1)]
+    assert (a1.record_type, a1.refers_to, a1.stored_length) == \
+        ("response", None, 10)
+    for k in [("a", 2), ("b", 2)]:
+        r = rows[k]
+        assert (r.record_type, r.refers_to, r.stored_length) == \
+            ("revisit", rid("a", 1), 0)
+    assert rows[("c", 1)].record_type == "response"
+    assert rows[("c", 1)].refers_to is None
+    assert rows[("d", 1)].record_type == "response"
+    e1 = rows[("e", 1)]
+    assert (e1.record_type, e1.refers_to, e1.stored_length) == \
+        ("revisit", rid("d", 1), 0)
+    assert all(r.record_id == rid(c, s) for (c, s), r in rows.items())

@@ -152,3 +152,50 @@ def wet_records(web: DataFrame,
     return (p.select(
         "check_id", "url", "content_length", "payload_digest",
         F.md5(F.concat(header, F.col("__payload"))).alias("record_digest")))
+
+
+def revisit_records(captures: DataFrame, id_col: str = "check_id",
+                    digest_col: str = "payload_digest",
+                    seq_col: str = "snap",
+                    length_col: str = "content_length") -> DataFrame:
+    """WARC deduplication via ``revisit`` records (WARC/1.1 §6.7.2,
+    identical-payload-digest profile — the convention every archive
+    crawler ships): across repeated captures, only the FIRST capture
+    of each payload digest stores the body as a ``response`` record;
+    every later capture (a later snapshot of an unchanged page, or a
+    same-snapshot mirror URL) becomes a headers-only ``revisit``
+    record whose ``WARC-Refers-To`` names the original — at recrawl
+    scale this is where most of the archive's bytes go away.
+
+    First-capture order is total and cross-engine: min over
+    ``(seq, id)`` lexicographic (the struct-min IS that rule).  Record
+    identity is ``md5(id @ seq)`` so originals keep their id across
+    reruns.
+
+    Scale shape: one digest-keyed agg whose map-side partials absorb
+    hot digests (error pages, parked domains — the known skew) down
+    to one row per digest BEFORE the shuffle, then one equi-join back
+    on digest (AQE skew-split handles the hot-digest probe side); a
+    window over digest could not partial-aggregate and would shuffle
+    every capture row.  Returns one row per capture:
+    ``(id, seq, digest, record_id, record_type, refers_to,
+    stored_length)`` — stored_length is the archived payload octets
+    (0 for revisits), so the dedup saving is Σ certified."""
+    rid = lambda i, s: F.md5(F.concat(  # noqa: E731
+        i, F.lit("@"), s.cast("string")))
+    orig = (captures.groupBy(digest_col)
+            .agg(F.min(F.struct(F.col(seq_col).alias("seq"),
+                                F.col(id_col).alias("id"))).alias("o")))
+    j = captures.join(orig, digest_col)
+    is_orig = ((F.col(seq_col) == F.col("o.seq"))
+               & (F.col(id_col) == F.col("o.id")))
+    return j.select(
+        F.col(id_col), F.col(seq_col), F.col(digest_col),
+        rid(F.col(id_col), F.col(seq_col)).alias("record_id"),
+        F.when(is_orig, F.lit("response")).otherwise(F.lit("revisit"))
+        .alias("record_type"),
+        F.when(is_orig, F.lit(None).cast("string"))
+        .otherwise(rid(F.col("o.id"), F.col("o.seq")))
+        .alias("refers_to"),
+        F.when(is_orig, F.col(length_col)).otherwise(F.lit(0))
+        .cast("long").alias("stored_length"))
