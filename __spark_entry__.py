@@ -488,6 +488,39 @@ def q_crawl_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "refers_to", "stored_length"))
 
 
+def q_crawl_sitemap_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (round 4, operators/
+    robots.py:sitemap_urls E108): ``Sitemap:`` declarations are
+    user-agent-INDEPENDENT (sitemaps.org protocol) and may sit
+    anywhere in the body, so the extractor ignores grouping entirely
+    — the synthesis pins that: a sitemap line INSIDE the otherbot
+    group must still surface.  Every host declares its sitemap.xml;
+    every fourth declares a second index via a lowercase ``sitemap:``
+    key (case-insensitivity pin); every fifth carries a relative
+    value that must be dropped; one line is duplicated to pin the
+    dedup."""
+    from web_graph_spark.operators.robots import sitemap_urls
+
+    hosts = webgen.pages_df(spark, sf_dir).select("host").distinct()
+    i = F.substring("host", 2, 2).cast("int")
+    u = F.concat(F.lit("https://"), F.col("host"))
+    body = F.concat_ws(
+        "\n",
+        F.lit("User-agent: *"),
+        F.lit("Disallow: /tmp"),
+        F.concat(F.lit("Sitemap: "), u, F.lit("/sitemap.xml")),
+        F.concat(F.lit("Sitemap: "), u, F.lit("/sitemap.xml")),
+        F.when(i % 4 == 0,
+               F.concat(F.lit("sitemap: "), u,
+                        F.lit("/sitemap-index.xml")))
+        .otherwise(F.lit("# no index")),
+        F.when(i % 5 == 0, F.lit("Sitemap: /relative-dropped"))
+        .otherwise(F.lit("")),
+        F.lit("User-agent: otherbot"),
+        F.concat(F.lit("Sitemap: "), u, F.lit("/in-group.xml")))
+    return sitemap_urls(hosts.select("host", body.alias("robots_txt")))
+
+
 def q_crawl_host_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fetcher-fleet host assignment (operators/fleet.py:
     rendezvous_assign) — every host pinned to one fetcher by
@@ -3016,6 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_wet_export": q_crawl_wet_export,
         "crawl_cdx_index": q_crawl_cdx_index,
         "crawl_warc_revisit": q_crawl_warc_revisit,
+        "crawl_sitemap_discover": q_crawl_sitemap_discover,
         "crawl_host_assign": q_crawl_host_assign,
         "crawl_trap_stats": q_crawl_trap_stats,
         "crawl_domain_group": q_crawl_domain_group,
@@ -3245,6 +3279,19 @@ SELECT check_id, url,
            || chr(13) || chr(10) || chr(13) || chr(10)
            || payload) AS record_digest
 FROM pay"""),
+        "crawl_sitemap_discover": _oracle("""
+, h AS (SELECT DISTINCT host FROM web_pages),
+hx AS (SELECT host, CAST(substring(host, 2, 2) AS INTEGER) AS i FROM h),
+cand AS (
+  SELECT host, 'https://' || host || '/sitemap.xml' AS sitemap_url
+  FROM hx
+  UNION ALL
+  SELECT host, 'https://' || host || '/sitemap-index.xml'
+  FROM hx WHERE i % 4 = 0
+  UNION ALL
+  SELECT host, 'https://' || host || '/in-group.xml' FROM hx
+)
+SELECT DISTINCT host, sitemap_url FROM cand"""),
         "crawl_warc_revisit": _oracle("""
 , p AS (SELECT DISTINCT doc_id, check_id FROM web_pages),
 base AS (

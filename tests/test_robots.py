@@ -490,3 +490,26 @@ def test_sitemap_locs_urlset_index_and_entities(spark):
     assert got[("a.test", 0)] == ("https://a.test/p?x=1&y=2", False)
     assert got[("a.test", 1)] == ("https://a.test/q<3>", False)
     assert got[("b.test", 0)] == ("https://b.test/child.xml", True)
+
+
+@pytest.mark.spark
+def test_sitemap_urls_protocol_semantics(spark):
+    """Sitemap discovery: UA-group-independent (a declaration inside
+    a foreign group still surfaces), case-insensitive key, absolute
+    URLs only, duplicates deduped, comments stripped."""
+    from web_graph_spark.operators.robots import sitemap_urls
+
+    body = "\n".join([
+        "User-agent: otherbot",
+        "Disallow: /",
+        "Sitemap: https://a.test/s1.xml   # trailing comment",
+        "SITEMAP: https://a.test/s2.xml",
+        "sitemap: https://a.test/s2.xml",      # dup after casefold
+        "Sitemap: /relative.xml",              # dropped
+        "Sitemap:",                            # empty -> dropped
+        "Sitemaps: https://a.test/wrongkey.xml",
+    ])
+    df = spark.createDataFrame([("a.test", body)],
+                               "host string, robots_txt string")
+    got = sorted(r.sitemap_url for r in sitemap_urls(df).collect())
+    assert got == ["https://a.test/s1.xml", "https://a.test/s2.xml"]

@@ -288,3 +288,31 @@ def with_robots_allowed(spark, df: DataFrame, rules_df: DataFrame | None,
     host = F.col(host_col) if isinstance(host_col, str) else host_col
     path = F.col(path_col) if isinstance(path_col, str) else path_col
     return df.withColumn(out_col, udf(host, path))
+
+
+def sitemap_urls(df: DataFrame, host_col: str = "host",
+                 text_col: str = "robots_txt") -> DataFrame:
+    """Extract ``Sitemap:`` declarations from raw robots.txt bodies —
+    the discovery half of the sitemaps.org protocol (the ingest half
+    is operators/sitemap.py).  Per the protocol the directive is
+    independent of every user-agent group (it may appear anywhere in
+    the file), its key is case-insensitive, and its value must be an
+    absolute URL — relative values are dropped, duplicates dedupe.
+
+    The value regex captures everything after the FIRST colon, so the
+    ``https://`` in the URL survives the key split.  Pure JVM
+    split/regexp scan + one (host, url) distinct; at 10^8 hosts this
+    is scan-bound with a single uniform-key shuffle.  Returns
+    ``(host, sitemap_url)``."""
+    h = F.col(host_col)
+    lines = df.select(
+        h.alias("host"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("raw"))
+    line = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    key = F.lower(F.trim(F.regexp_extract(line, r"^([A-Za-z-]+)\s*:", 1)))
+    val = F.trim(F.regexp_extract(line, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    return (lines.select("host", key.alias("k"), val.alias("v"))
+            .filter((F.col("k") == "sitemap")
+                    & F.col("v").rlike("^https?://"))
+            .select("host", F.col("v").alias("sitemap_url"))
+            .distinct())
