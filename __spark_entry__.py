@@ -2061,6 +2061,46 @@ def q_dedup_url_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      window=3, max_dist=2)
 
 
+def q_dedup_url_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking-parameter URL aliasing (round 4, canon.py:
+    strip_tracking_params E109): the frontier-side alias collapse —
+    utm_*/click-id query params create N store-and-crawl copies of
+    one page; stripping them (and re-sorting survivors, dropping the
+    fragment) groups the aliases.  Variants derived per page: the
+    plain URL; a utm_source/utm_medium pair (collapses to plain); a
+    ?ref=home referral (collapses to plain); a gclid+page=2 and a
+    page=2+fbclid variant (both collapse to ?page=2 — a SEPARATE
+    group from plain, pinning that content params survive).  Emits
+    only colliding groups with a digest over the sorted member list
+    so the oracle must agree on every member."""
+    from web_graph_spark.canon import strip_tracking_params
+
+    p = webgen.pages_df(spark, sf_dir).select("doc_id", "url")
+
+    def var(flt, suffix):
+        return (p.filter(flt)
+                .select(F.concat("url", F.lit(suffix))
+                        .alias("variant_url")))
+
+    v = (p.select(F.col("url").alias("variant_url"))
+         .unionByName(var(F.col("doc_id") % 3 == 0,
+                          "?utm_source=news&utm_medium=email"))
+         .unionByName(var(F.col("doc_id") % 5 == 0, "?ref=home"))
+         .unionByName(var(F.col("doc_id") % 4 == 0,
+                          "?gclid=g123&page=2"))
+         .unionByName(var(F.col("doc_id") % 4 == 0,
+                          "?page=2&fbclid=xyz#frag")))
+    return (v.select("variant_url",
+                     strip_tracking_params("variant_url")
+                     .alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_variants"),
+                 F.md5(F.array_join(F.array_sort(
+                     F.collect_list("variant_url")), "|"))
+                 .alias("variants_digest"))
+            .filter(F.col("n_variants") > 1))
+
+
 def q_dedup_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror-host detection (round 4, functions/dedup.py E76): host
     pairs serving largely identical content, from (host, digest) rows
@@ -3128,6 +3168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_containment": q_dedup_containment,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_url_params": q_dedup_url_params,
         "dedup_mirror_hosts": q_dedup_mirror_hosts,
         "dedup_url_editdist": q_dedup_url_editdist,
         "dedup_minhash": q_dedup_minhash,
@@ -4898,6 +4939,43 @@ SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
        CAST(sz_a AS BIGINT) AS sz_a,
        CAST(n_inter * 10000 // sz_a AS BIGINT) AS containment_bp
 FROM dir WHERE n_inter * 10000 // sz_a >= 8000""",
+        "dedup_url_params": _oracle("""
+, p AS (SELECT DISTINCT doc_id, url FROM web_pages),
+v AS (
+  SELECT url AS variant_url FROM p
+  UNION ALL
+  SELECT url || '?utm_source=news&utm_medium=email' FROM p
+  WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT url || '?ref=home' FROM p WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT url || '?gclid=g123&page=2' FROM p WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT url || '?page=2&fbclid=xyz#frag' FROM p WHERE doc_id % 4 = 0
+),
+c AS (
+  SELECT variant_url,
+         regexp_extract(variant_url, '^([^?#]*)', 1) AS base,
+         list_sort(list_filter(
+             string_split(regexp_extract(variant_url,
+                                         '^[^?#]*\?([^#]*)', 1), '&'),
+             x -> x <> '' AND NOT regexp_matches(
+                 lower(string_split(x, '=')[1]),
+                 '^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref|ref_src)$')))
+           AS kept
+  FROM v
+),
+k AS (
+  SELECT variant_url,
+         CASE WHEN len(kept) = 0 THEN base
+              ELSE base || '?' || array_to_string(kept, '&') END
+           AS canonical_url
+  FROM c
+)
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants,
+       md5(string_agg(variant_url, '|' ORDER BY variant_url))
+         AS variants_digest
+FROM k GROUP BY 1 HAVING count(*) > 1"""),
         "dedup_mirror_hosts": f"""
 WITH {webgen.PAGES_SQL.strip()},
 base AS (

@@ -219,3 +219,26 @@ def test_registrable_domain_psl_semantics(spark):
         "plain.lan": ("lan", "plain.lan"),  # implicit '*' fallback
         "lan": ("lan", None),
     }
+
+
+@pytest.mark.spark
+def test_strip_tracking_params(spark):
+    """Alias collapse: tracking keys drop case-insensitively,
+    survivors re-sort, the fragment drops, an emptied query loses its
+    '?', a key-only param survives, and a non-tracking 'reference'
+    key is NOT caught by the anchored 'ref' pattern."""
+    from web_graph_spark.canon import strip_tracking_params
+
+    cases = {
+        "https://h/p?utm_source=a&utm_medium=b": "https://h/p",
+        "https://h/p?b=2&UTM_CAMPAIGN=x&a=1": "https://h/p?a=1&b=2",
+        "https://h/p?gclid=1&page=2#frag": "https://h/p?page=2",
+        "https://h/p?ref=home": "https://h/p",
+        "https://h/p?reference=home": "https://h/p?reference=home",
+        "https://h/p?flag": "https://h/p?flag",
+        "https://h/p": "https://h/p",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {r.u: r.c for r in df.select(
+        "u", strip_tracking_params("u").alias("c")).collect()}
+    assert got == cases

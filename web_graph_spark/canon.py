@@ -422,3 +422,33 @@ def registrable_domain(df, rules, host_col: str = "host"):
     return out.select(F.col("__h").alias(host_col),
                       F.col("__suffix").alias("public_suffix"),
                       reg.alias("registrable"))
+
+
+# Tracking/click-id query parameters that create URL aliases without
+# changing content — the standard strip set (utm_* = Google Analytics
+# campaign tags; the rest are per-platform click ids / referral tags).
+TRACKING_PARAM_RE = (r"^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_cid"
+                     r"|mc_eid|igshid|ref|ref_src)$")
+
+
+def strip_tracking_params(url, keys_pattern: str = TRACKING_PARAM_RE):
+    """Column: ``url`` with tracking query parameters removed — the
+    alias-collapsing canonicalization a frontier applies so
+    ``?utm_source=news`` variants of one page don't crawl (and store)
+    N times.  Keys are matched case-insensitively against
+    ``keys_pattern`` (anchored); surviving params re-sort (the same
+    order rule as ``url_norm``); the fragment drops; a query left
+    empty loses its ``?``.  Pure JVM regexp + higher-order array
+    functions — scan-bound, no Python, no shuffle."""
+    from pyspark.sql import functions as F
+
+    u = F.col(url) if isinstance(url, str) else url
+    base = F.regexp_extract(u, r"^([^?#]*)", 1)
+    query = F.regexp_extract(u, r"^[^?#]*\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~F.lower(
+            F.element_at(F.split(x, "="), 1)).rlike(keys_pattern))
+    q2 = F.array_join(F.array_sort(kept), "&")
+    return F.when(q2 == "", base).otherwise(
+        F.concat(base, F.lit("?"), q2))
