@@ -3032,6 +3032,32 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100).cast("long"), hours=3)
 
 
+def q_events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermark drop-rule audit (round 4, streaming.py:
+    watermark_audit E110): replay Structured Streaming's exact rule —
+    global watermark per trigger = max event time of PRIOR triggers
+    minus the delay; rows older are dropped — over the bounded events
+    log with a deterministic hash-derived ingest skew (0..2 h via the
+    shared hex16 recipe), hourly arrival batches, 30-min delay.
+    Everything is exact epoch-microsecond integers; the first batch's
+    watermark is NULL (cold start).  Per batch the output certifies
+    the watermark value, totals, and the exact late SET via a sorted
+    event-id digest — the audit a deployment runs before committing
+    to a delay."""
+    from web_graph_spark.operators.graph_algos import _hex16
+    from web_graph_spark.streaming import watermark_audit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         + (_hex16(F.col("event_id").cast("string")) % 7200)
+         * 1_000_000).alias("arrival_us"))
+    return (watermark_audit(ev, delay_s=1800)
+            .select(F.col("batch_id").cast("long").alias("batch_id"),
+                    F.col("wm_us").cast("long").alias("wm_us"),
+                    "n_total", "n_late", "late_digest"))
+
+
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing z-score rate-anomaly flags per event type
     (functions/stats.py:trailing_anomaly E93) — the alerting pass a
@@ -3202,6 +3228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_distinct": q_events_hll_distinct,
         "events_hll_merge": q_events_hll_merge,
         "events_sliding_window": q_events_sliding_window,
+        "events_watermark_audit": q_events_watermark_audit,
         "events_anomaly": q_events_anomaly,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
@@ -5321,6 +5348,38 @@ SELECT event_type, hour, n_1h, m_1h,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)""",
+        "events_watermark_audit": f"""
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) AS event_us,
+         epoch_us(ts) + ({_hex16_sql("CAST(event_id AS VARCHAR)")}
+                         % 7200) * 1000000 AS arrival_us
+  FROM events
+),
+eb AS (
+  SELECT event_id, event_us,
+         arrival_us // 3600000000 AS batch_id
+  FROM ev
+),
+dim AS (
+  SELECT batch_id,
+         max(max(event_us)) OVER (ORDER BY batch_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - 1800 * 1000000 AS wm_us
+  FROM eb GROUP BY batch_id
+),
+j AS (
+  SELECT e.batch_id, d.wm_us, e.event_id,
+         e.event_us < d.wm_us AS late
+  FROM eb e JOIN dim d USING (batch_id)
+)
+SELECT batch_id, CAST(min(wm_us) AS BIGINT) AS wm_us,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       md5(coalesce(string_agg(
+           CASE WHEN late THEN CAST(event_id AS VARCHAR) END, '|'
+           ORDER BY CAST(event_id AS VARCHAR)), '')) AS late_digest
+FROM j GROUP BY 1""",
         "events_anomaly": """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hr,

@@ -92,6 +92,10 @@ ALLOW: dict[tuple[str, str], str] = {
         "1-row funnel-stage-totals aggregate (count+sum partials)",
     ("graph_modularity", "Exchange SinglePartition"):
         "1-row m_edges aggregate; partial counts upstream",
+    ("events_watermark_audit", "Exchange SinglePartition"):
+        "running-max window over the TRIGGER-BATCH dim (one row per "
+        "arrival hour — bounded by elapsed time, never by event "
+        "volume; facts are batch-agg'd map-side before it)",
     ("text_bm25_topk", "Exchange SinglePartition"):
         "1-row corpus-stats aggregate (N/T/df partials)",
     ("text_keyphrases", "Exchange SinglePartition"):

@@ -334,3 +334,35 @@ def test_sitemap_feeds_streaming_inbox(spark, tmp_path):
     # utm alias dedupes to the same page_id; ftp admission-filtered;
     # the child sitemap never enters the page inbox
     assert rows == [("a.test", "/one.html"), ("b.test", "/two.html")]
+
+
+@pytest.mark.spark
+def test_watermark_audit_replays_drop_rule(spark):
+    """Hand-traced watermark semantics: first batch has a NULL
+    watermark (cold start, nothing late); wm(b) = max event time of
+    PRIOR batches minus delay; an event exactly AT the watermark is
+    on time (strict <); the late digest certifies the exact id set."""
+    import datetime as dt
+    import hashlib
+
+    from web_graph_spark.streaming import watermark_audit
+
+    t = lambda s: dt.datetime(1970, 1, 1) + dt.timedelta(seconds=s)
+    H = 3_600_000_000            # one arrival-hour in micros
+    rows = [
+        (1, t(100), 0 * H),      # batch 0: wm NULL -> on time
+        (2, t(50), 1 * H),       # batch 1: wm 99s -> LATE
+        (3, t(200), 1 * H),      # batch 1: on time
+        (4, t(199), 2 * H),      # batch 2: wm 199s -> AT wm, on time
+        (5, t(198), 2 * H),      # batch 2: LATE
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, arrival_us long")
+    got = {r.batch_id: (r.wm_us, r.n_total, r.n_late, r.late_digest)
+           for r in watermark_audit(df, delay_s=1).collect()}
+    dg = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got == {
+        0: (None, 1, 0, dg("")),
+        1: (99_000_000, 2, 1, dg("2")),
+        2: (199_000_000, 2, 1, dg("5")),
+    }

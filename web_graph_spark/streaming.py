@@ -248,3 +248,54 @@ def hourly_events_stream(spark: SparkSession, events_dir: str,
                   .alias("sum_value_c"))
             .select(F.col("w.start").alias("hour"), "event_type",
                     "n", "sum_value_c"))
+
+
+def watermark_audit(events: DataFrame, delay_s: int = 1800,
+                    ts_col: str = "ts", arrival_col: str = "arrival_us",
+                    batch_us: int = 3_600_000_000) -> DataFrame:
+    """Batch-replay certification of the streaming watermark drop
+    rule: Structured Streaming advances the global watermark per
+    trigger to ``max(event time seen in PRIOR triggers) − delay`` and
+    drops rows older than it — this operator replays that exact rule
+    over a bounded log carrying an arrival timestamp, so a deployment
+    can AUDIT (count, identify, bound) what its chosen delay would
+    discard before committing to it.
+
+    Triggers are modeled as fixed ``batch_us`` buckets of arrival
+    time.  All arithmetic is exact epoch-microsecond integers; the
+    watermark of the first batch is NULL (nothing prior → nothing
+    late), matching the engine's cold start.
+
+    Scale shape: one fact scan + one batch-grain max-agg (map-side
+    partials), a running-max window over the BATCH DIM (never the
+    facts), one uniform batch-key join back, one batch-grain count
+    agg — the fact table is never globally sorted or windowed.
+
+    Returns per batch: ``(batch_id, wm_us, n_total, n_late,
+    late_digest)`` where late_digest certifies the exact late set
+    (md5 over the sorted late event ids)."""
+    from pyspark.sql import Window
+
+    ev = events.select(
+        F.col("event_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("event_us"),
+        F.col(arrival_col),
+        F.expr(f"{arrival_col} div {batch_us}").alias("batch_id"))
+    dim = (ev.groupBy("batch_id")
+           .agg(F.max("event_us").alias("bmax")))
+    w = (Window.orderBy("batch_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    dim = dim.select(
+        "batch_id",
+        (F.max("bmax").over(w) - F.lit(delay_s) * 1_000_000)
+        .alias("wm_us"))
+    j = ev.join(dim, "batch_id")
+    late = F.col("event_us") < F.col("wm_us")   # NULL wm -> false
+    return (j.groupBy("batch_id")
+            .agg(F.min("wm_us").alias("wm_us"),
+                 F.count(F.lit(1)).cast("long").alias("n_total"),
+                 F.sum(F.when(late, 1).otherwise(0)).cast("long")
+                 .alias("n_late"),
+                 F.md5(F.array_join(F.array_sort(F.collect_list(
+                     F.when(late, F.col("event_id").cast("string")))),
+                     "|")).alias("late_digest")))
