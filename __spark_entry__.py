@@ -1770,6 +1770,27 @@ def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "bucket", "n_tokens", "quality_score"))
 
 
+def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Exact-quota stratified sampling (round 4, functions/text.py:
+    stratified_quota_sample E111): 40 documents per quality bucket by
+    deterministic md5-of-id rank — the eval-set construction that
+    needs a COUNT per stratum where sample_mix keeps a RATE.  The
+    hash order is stable under corpus growth (a doc's rank key never
+    changes), and the literal <=40 filter plans WindowGroupLimit so
+    every map task pre-cuts to its local top-40 per bucket before the
+    shuffle."""
+    from web_graph_spark.functions.text import (stratified_quota_sample,
+                                                with_quality)
+
+    bucket = (F.when(F.col("quality_score") >= 2000, "high")
+              .when(F.col("quality_score") >= 1200, "mid")
+              .otherwise("low"))
+    d = (with_quality(_docs(spark, sf_dir))
+         .select("doc_id", bucket.alias("bucket")))
+    return stratified_quota_sample(d, "bucket", 40)
+
+
 def q_corpus_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based language rebalancing (functions/text.py:
     lang_temperature_mix, α = 0.5 — the mC4/XLM-R sampling step):
@@ -3178,6 +3199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": q_text_boilerplate,
         "corpus_curate": q_corpus_curate,
         "corpus_sample_mix": q_corpus_sample_mix,
+        "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_lang_mix": q_corpus_lang_mix,
         "corpus_importance": q_corpus_importance,
         "corpus_perplexity": q_corpus_perplexity,
@@ -4447,6 +4469,34 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          AND floor(sum(CASE WHEN quality_score < 2000 THEN 1 ELSE 0 END)
                    * 10000.0 / count(*)) <= 5000 AS keep
 FROM q GROUP BY source""",
+        "corpus_stratified_sample": f"""
+WITH feat AS (
+  SELECT doc_id,
+         CAST(greatest(
+             least({n_tok}, 200) * 20
+             + floor(({stopword_count_sql('text')}) * 10000.0
+                     / greatest({n_tok}, 1))
+             - floor({n_punct} * 10000.0 / greatest(length(text), 1))
+             - floor({n_digit} * 10000.0 / greatest(length(text), 1)),
+             0) AS BIGINT) AS quality_score
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CASE WHEN quality_score >= 2000 THEN 'high'
+              WHEN quality_score >= 1200 THEN 'mid'
+              ELSE 'low' END AS bucket
+  FROM feat
+),
+r AS (
+  SELECT doc_id, bucket,
+         row_number() OVER (PARTITION BY bucket
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS sample_rank
+  FROM b
+)
+SELECT doc_id, bucket, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= 40""",
         "corpus_sample_mix": f"""
 WITH feat AS (
   SELECT doc_id,

@@ -1814,3 +1814,43 @@ def test_kcenter_sample_hand_traced(spark):
 
     _, few = kcenter_sample(df.filter("vec_id <= 3"), m=10)
     assert [i for _, i, _, _ in few] == [1, 2, 3]
+
+
+@pytest.mark.spark
+def test_stratified_quota_sample_order_and_grouplimit(spark):
+    """Per-stratum exact counts by md5-of-id rank; quotas larger than
+    a stratum return the whole stratum; growing the corpus never
+    reorders previously chosen docs relative to each other; the
+    literal quota filter plans WindowGroupLimit (map-side cut)."""
+    import hashlib
+
+    from web_graph_spark.functions.text import stratified_quota_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(1, 41)],
+        "doc_id long, bucket string")
+    out = stratified_quota_sample(df, "bucket", 3)
+    got = {(r.bucket, r.sample_rank): r.doc_id for r in out.collect()}
+    for bucket, ids in (("a", range(2, 41, 2)), ("b", range(1, 41, 2))):
+        exp = sorted(ids, key=lambda i: (hashlib.md5(
+            str(i).encode()).hexdigest(), i))[:3]
+        assert [got[(bucket, k + 1)] for k in range(3)] == exp
+
+    # quota > stratum size -> whole stratum
+    assert stratified_quota_sample(df, "bucket", 99).count() == 40
+
+    # growth stability: within each bucket, order among surviving
+    # docs is unchanged when the corpus grows
+    small = {(r.bucket, r.doc_id): r.sample_rank
+             for r in stratified_quota_sample(
+                 df.filter("doc_id <= 20"), "bucket", 10).collect()}
+    big = {(r.bucket, r.doc_id): r.sample_rank
+           for r in stratified_quota_sample(df, "bucket", 10).collect()}
+    for bucket in ("a", "b"):
+        common = sorted(d for b, d in set(small) & set(big)
+                        if b == bucket)
+        assert (sorted(common, key=lambda d: small[(bucket, d)])
+                == sorted(common, key=lambda d: big[(bucket, d)]))
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

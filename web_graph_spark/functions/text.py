@@ -1388,3 +1388,31 @@ def doc_similarity_pairs(df: DataFrame, threshold_bp: int = 7000,
                                F.col("n2").alias("nb")), "id_b")
             .filter(lhs >= rhs)
             .select("id_a", "id_b", "num", "na", "nb"))
+
+
+def stratified_quota_sample(df: DataFrame, strata_col: str,
+                            quota: int, id_col: str = "doc_id"
+                            ) -> DataFrame:
+    """EXACT-size per-stratum sampling — the eval-set / ablation-pool
+    construction next to the Bernoulli tiers (sample_mix keeps a
+    RATE; this keeps a COUNT): within each stratum take the ``quota``
+    rows ranked first by the md5 of their id — a deterministic,
+    engine-independent uniform order that is stable under corpus
+    growth (a doc's hash rank never changes, so enlarging the corpus
+    only ever APPENDS candidates, it never reshuffles the chosen
+    prefix's relative order).
+
+    Scale shape: one stratum-keyed ``row_number`` window whose
+    ``<= quota`` filter is a literal, so Spark plans WindowGroupLimit
+    — every map task keeps only its local top-``quota`` per stratum
+    BEFORE the shuffle; the exchange carries O(strata · quota ·
+    partitions) rows, never the corpus.  Returns the input columns
+    plus ``sample_rank`` (1-based within the stratum)."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(strata_col)
+         .orderBy(F.md5(F.col(id_col).cast("string")),
+                  F.col(id_col)))
+    return (df.withColumn("sample_rank",
+                          F.row_number().over(w).cast("long"))
+            .filter(F.col("sample_rank") <= quota))
