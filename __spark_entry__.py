@@ -1204,6 +1204,18 @@ def _hex16_sql(expr: str) -> str:
     return (f"({d[0]} * 4096 + {d[1]} * 256 + {d[2]} * 16 + {d[3]})")
 
 
+def _hex48_sql(expr: str) -> str:
+    """The oracle half of functions/stats.py:_hex48 — integer in
+    [0, 2^48) from the first 12 hex chars of md5(expr), strpos
+    arithmetic only (Horner form)."""
+    a = "'0123456789abcdef'"
+    v = "CAST(0 AS BIGINT)"
+    for i in range(1, 13):
+        v = (f"({v} * 16 + "
+             f"(strpos({a}, substr(md5({expr}), {i}, 1)) - 1))")
+    return v
+
+
 def _hexchunk_sql(start: int, col: str = "h") -> str:
     """The oracle half of functions/stats.py:_hexchunk — integer in
     [0, 65535] from 4 hex chars of the md5-digest column ``col``
@@ -3098,6 +3110,23 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("anomaly").cast("int").alias("anomaly"))
 
 
+def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-sketch set operations over the distinct-customer
+    audiences of each order priority (functions/stats.py:kmv_overlap
+    E112): per priority pair, estimate |A|, |B|, |A ∩ B|, |A ∪ B|
+    from 256-value sketches — the audience-overlap question HLL
+    (E91) structurally cannot answer.  Every estimate is exact
+    integer arithmetic ((k−1)·2^48 div h_(k)) over the shared hex48
+    hash, so the SQL oracle rebuilds sketch, theta and every
+    division bit-for-bit; the true distinct/overlap counts ride
+    alongside as certification."""
+    from web_graph_spark.functions.stats import kmv_overlap
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return kmv_overlap(o, "o_orderpriority",
+                       F.col("o_custkey").cast("string"), k=256)
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (agg pushdown + codegen)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -3249,6 +3278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_hll_distinct": q_events_hll_distinct,
         "events_hll_merge": q_events_hll_merge,
+        "sketch_kmv_overlap": q_sketch_kmv_overlap,
         "events_sliding_window": q_events_sliding_window,
         "events_watermark_audit": q_events_watermark_audit,
         "events_anomaly": q_events_anomaly,
@@ -5398,6 +5428,72 @@ SELECT event_type, hour, n_1h, m_1h,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)""",
+        "sketch_kmv_overlap": f"""
+WITH kd AS (
+  SELECT DISTINCT o_orderpriority AS g,
+         {_hex48_sql("'kmv:' || CAST(o_custkey AS VARCHAR)")} AS h
+  FROM orders
+),
+sk AS (
+  SELECT g, h,
+         row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+  FROM kd QUALIFY rk <= 256
+),
+gs AS (
+  SELECT g, max(h) AS hk, count(*) AS n_sk,
+         CASE WHEN count(*) < 256 THEN count(*)
+              ELSE 71776119061217280 // max(h) END AS n_kmv
+  FROM sk GROUP BY 1
+),
+ex AS (SELECT g, count(*) AS n_exact FROM kd GROUP BY 1),
+gd AS (SELECT * FROM gs JOIN ex USING (g)),
+pairs AS (
+  SELECT a.g AS g_a, b.g AS g_b, least(a.hk, b.hk) AS theta,
+         a.n_kmv AS n_a_kmv, b.n_kmv AS n_b_kmv,
+         a.n_exact AS n_a_exact, b.n_exact AS n_b_exact
+  FROM gd a, gd b WHERE a.g < b.g
+),
+shared AS (
+  SELECT sa.g AS g_a, sb.g AS g_b, count(*) AS n_shared
+  FROM sk sa JOIN sk sb ON sa.h = sb.h AND sa.g < sb.g
+  JOIN pairs p ON p.g_a = sa.g AND p.g_b = sb.g
+  WHERE sa.h < p.theta
+  GROUP BY 1, 2
+),
+ie AS (
+  SELECT ka.g AS g_a, kb.g AS g_b, count(*) AS n_inter_exact
+  FROM kd ka JOIN kd kb ON ka.h = kb.h AND ka.g < kb.g
+  GROUP BY 1, 2
+),
+u AS (
+  SELECT p.g_a, p.g_b, s.h FROM pairs p JOIN sk s ON s.g = p.g_a
+  UNION
+  SELECT p.g_a, p.g_b, s.h FROM pairs p JOIN sk s ON s.g = p.g_b
+),
+ur AS (
+  SELECT g_a, g_b, h,
+         row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rk
+  FROM u QUALIFY rk <= 256
+),
+un AS (
+  SELECT g_a, g_b,
+         CASE WHEN count(*) < 256 THEN count(*)
+              ELSE 71776119061217280 // max(h) END AS n_union_kmv
+  FROM ur GROUP BY 1, 2
+)
+SELECT p.g_a, p.g_b,
+       CAST(p.n_a_exact AS BIGINT) AS n_a_exact,
+       CAST(p.n_b_exact AS BIGINT) AS n_b_exact,
+       CAST(coalesce(ie.n_inter_exact, 0) AS BIGINT) AS n_inter_exact,
+       CAST(p.n_a_kmv AS BIGINT) AS n_a_kmv,
+       CAST(p.n_b_kmv AS BIGINT) AS n_b_kmv,
+       CAST((coalesce(sh.n_shared, 0) * 281474976710656) // p.theta
+            AS BIGINT) AS n_inter_kmv,
+       CAST(un.n_union_kmv AS BIGINT) AS n_union_kmv
+FROM pairs p
+LEFT JOIN shared sh ON sh.g_a = p.g_a AND sh.g_b = p.g_b
+LEFT JOIN ie ON ie.g_a = p.g_a AND ie.g_b = p.g_b
+JOIN un ON un.g_a = p.g_a AND un.g_b = p.g_b""",
         "events_watermark_audit": f"""
 WITH ev AS (
   SELECT event_id, epoch_us(ts) AS event_us,

@@ -78,6 +78,11 @@ ALLOW: dict[tuple[str, str], str] = {
         "desc-cumulative tercile window over the score-bin histogram "
         "— ≤10^6 rows at ANY corpus size (bound = ppb value range / "
         "bin width, not row count); the corpus never sees it",
+    ("sketch_kmv_overlap", "BroadcastNestedLoopJoin"):
+        "G x G pair dim: both sides are per-GROUP aggregate outputs "
+        "(one row per order priority — bounded by group-key "
+        "cardinality, never by input rows); every corpus-sized "
+        "stage upstream is a hash agg + WindowGroupLimit k-cut",
     ("corpus_lang_mix", "BroadcastNestedLoopJoin"):
         "1-row n_max dim crossed onto the languages-sized counts dim "
         "(not the corpus scan — that side is a broadcast hash join)",

@@ -1854,3 +1854,67 @@ def test_stratified_quota_sample_order_and_grouplimit(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+@pytest.mark.spark
+def test_kmv_overlap_bands_and_dedup(spark):
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.stats import kmv_overlap
+
+    a = spark.range(0, 1000).select(F.lit("a").alias("g"), "id")
+    b = spark.range(500, 1500).select(F.lit("b").alias("g"), "id")
+    # duplicated rows must not change any sketch or exact count
+    df = a.union(b).union(a)
+    out = kmv_overlap(df, "g", F.col("id").cast("string"),
+                      k=256).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.g_a, r.g_b) == ("a", "b")
+    assert (r.n_a_exact, r.n_b_exact, r.n_inter_exact) == (1000, 1000,
+                                                           500)
+    # 4-sigma band for k=256: 4/sqrt(256) = 25%
+    for est, true in ((r.n_a_kmv, 1000), (r.n_b_kmv, 1000),
+                      (r.n_inter_kmv, 500), (r.n_union_kmv, 1500)):
+        assert abs(est - true) <= 0.25 * true, (est, true)
+    # union k-th min <= each group's k-th min -> est_union >= each
+    assert r.n_union_kmv >= max(r.n_a_kmv, r.n_b_kmv)
+
+
+@pytest.mark.spark
+def test_kmv_overlap_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.stats import kmv_overlap
+
+    # below-k groups estimate EXACTLY (theta = full space)
+    sm = (spark.range(0, 50).select(F.lit("x").alias("g"), "id")
+          .union(spark.range(0, 50).select(F.lit("y").alias("g"),
+                                           "id")))
+    r = kmv_overlap(sm, "g", F.col("id").cast("string"),
+                    k=256).collect()[0]
+    assert (r.n_a_kmv, r.n_b_kmv, r.n_union_kmv) == (50, 50, 50)
+    assert r.n_inter_exact == 50
+
+    # identical full-sketch groups: theta and the k-1 shared values
+    # below it reproduce the single-group estimate exactly, and the
+    # union sketch IS either sketch
+    idm = (spark.range(0, 1000).select(F.lit("x").alias("g"), "id")
+           .union(spark.range(0, 1000).select(F.lit("y").alias("g"),
+                                              "id")))
+    r = kmv_overlap(idm, "g", F.col("id").cast("string"),
+                    k=256).collect()[0]
+    assert r.n_inter_kmv == r.n_a_kmv == r.n_b_kmv == r.n_union_kmv
+
+    # disjoint groups: no shared hash below theta, estimate 0
+    dj = (spark.range(0, 1000).select(F.lit("x").alias("g"), "id")
+          .union(spark.range(5000, 6000).select(F.lit("y").alias("g"),
+                                                "id")))
+    r = kmv_overlap(dj, "g", F.col("id").cast("string"),
+                    k=256).collect()[0]
+    assert (r.n_inter_exact, r.n_inter_kmv) == (0, 0)
+
+    # sketch build is a WindowGroupLimit (map-side k-cut) plan
+    out = kmv_overlap(idm, "g", F.col("id").cast("string"), k=256)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

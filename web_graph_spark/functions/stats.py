@@ -490,3 +490,120 @@ def hll_distinct_rollup(df: DataFrame, group: list, sub: str,
           .select(*group, F.expr(f"{_HLL_NUM} div (1000 * s2)")
                   .alias("n_hll")))
     return subs.join(sk, group).select(*group, "n_subs", "n_hll")
+
+
+KMV_K = 256                      # sketch size (default)
+KMV_SPACE = 1 << 48              # hash space: 12 md5 hex digits
+
+
+def _hex48(col):
+    """Integer in [0, 2^48) from the first 12 hex chars of md5 —
+    the hex16 strpos recipe widened so order statistics over the
+    hash space are fine-grained enough for KMV estimation (2^16
+    would quantize the k-th minimum to ~1.5% steps)."""
+    h = F.md5(col)
+    alpha = F.lit("0123456789abcdef")
+    v = F.lit(0).cast("long")
+    for i in range(1, 13):
+        v = v * 16 + (F.instr(alpha, F.substring(h, i, 1)) - 1)
+    return v.cast("long")
+
+
+def kmv_overlap(df: DataFrame, group: str, key, k: int = KMV_K
+                ) -> DataFrame:
+    """K-minimum-values (theta) sketch set operations per group pair
+    (Bar-Yossef et al. 2002; the Apache DataSketches theta family):
+    for every pair of groups, estimate |A|, |B|, |A ∩ B| and |A ∪ B|
+    of the distinct-``key`` audiences from k-row sketches — the
+    overlap question HLL cannot answer (HLL unions but never
+    intersects).  All estimates are EXACT integer arithmetic
+    (``(k-1)·2^48 div h_(k)``), so both engines reproduce them
+    bit-for-bit; the true distinct/overlap counts ride alongside as
+    certification and are the only key-cardinality-sized state — at
+    10^10 keys you drop them and keep the sketches.
+
+    Mechanics, all cross-engine exact: h = hex48(md5('kmv:'||key));
+    sketch(g) = the k smallest DISTINCT h per group (row_number ≤ k
+    — WindowGroupLimit cuts to ≤k rows per map task before the
+    shuffle); estimate(g) = (k-1)·2^48 div max(sketch) when the
+    sketch is full, else the exact count.  Intersection: theta =
+    least(h_k(a), h_k(b)); est = |{h ∈ S_a ∩ S_b : h < theta}| ·
+    2^48 div theta.  Union: the k smallest of S_a ∪ S_b are the k
+    smallest of A ∪ B, so the per-pair k-th order statistic gives
+    (k-1)·2^48 div h_k directly.
+
+    Shape at scale: one distinct (group, h) agg (map-side partials
+    absorb repeats) -> WindowGroupLimit to G·k sketch rows -> every
+    pairwise stage runs on those G·k rows, independent of corpus
+    size.  The G² pair dim is a crossJoin of two G-row aggregate
+    outputs — bounded by the group-key cardinality, never by rows.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E112).
+    """
+    kdist = (df.select(F.col(group).alias("g"),
+                       _hex48(F.concat(F.lit("kmv:"),
+                                       key.cast("string"))).alias("h"))
+             .distinct())
+    w = Window.partitionBy("g").orderBy("h")
+    sk = (kdist.withColumn("rk", F.row_number().over(w))
+          .where(F.col("rk") <= k).drop("rk"))
+    est = (f"case when n_sk < {k} then n_sk "
+           f"else {(k - 1) * KMV_SPACE} div hk end")
+    gstats = (sk.groupBy("g")
+              .agg(F.max("h").alias("hk"),
+                   F.count(F.lit(1)).alias("n_sk"))
+              .withColumn("n_kmv", F.expr(est).cast("long")))
+    exact = kdist.groupBy("g").agg(F.count(F.lit(1)).alias("n_exact"))
+    gdim = F.broadcast(gstats.join(exact, "g"))
+
+    pairs = (gdim.select(F.col("g").alias("g_a"),
+                         F.col("hk").alias("hk_a"),
+                         F.col("n_kmv").alias("n_a_kmv"),
+                         F.col("n_exact").alias("n_a_exact"))
+             .crossJoin(gdim.select(F.col("g").alias("g_b"),
+                                    F.col("hk").alias("hk_b"),
+                                    F.col("n_kmv").alias("n_b_kmv"),
+                                    F.col("n_exact").alias("n_b_exact")))
+             .where(F.col("g_a") < F.col("g_b"))
+             .withColumn("theta", F.least("hk_a", "hk_b")))
+
+    sa = sk.select(F.col("g").alias("g_a"), "h")
+    sb = sk.select(F.col("g").alias("g_b"), "h")
+    shared = (sa.join(sb, "h").where(F.col("g_a") < F.col("g_b"))
+              .join(F.broadcast(pairs.select("g_a", "g_b", "theta")),
+                    ["g_a", "g_b"])
+              .where(F.col("h") < F.col("theta"))
+              .groupBy("g_a", "g_b")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+
+    ka = kdist.select(F.col("g").alias("g_a"), "h")
+    kb = kdist.select(F.col("g").alias("g_b"), "h")
+    inter_exact = (ka.join(kb, "h").where(F.col("g_a") < F.col("g_b"))
+                   .groupBy("g_a", "g_b")
+                   .agg(F.count(F.lit(1)).alias("n_inter_exact")))
+
+    pk = pairs.select("g_a", "g_b")
+    ua = pk.join(sa, "g_a").select("g_a", "g_b", "h")
+    ub = pk.join(sb, "g_b").select("g_a", "g_b", "h")
+    wu = Window.partitionBy("g_a", "g_b").orderBy("h")
+    uni = (ua.union(ub).distinct()
+           .withColumn("rk", F.row_number().over(wu))
+           .where(F.col("rk") <= k)
+           .groupBy("g_a", "g_b")
+           .agg(F.max("h").alias("hk"),
+                F.count(F.lit(1)).alias("n_sk"))
+           .withColumn("n_union_kmv", F.expr(est).cast("long"))
+           .select("g_a", "g_b", "n_union_kmv"))
+
+    return (pairs
+            .join(shared, ["g_a", "g_b"], "left")
+            .join(inter_exact, ["g_a", "g_b"], "left")
+            .join(uni, ["g_a", "g_b"])
+            .select(
+                "g_a", "g_b", "n_a_exact", "n_b_exact",
+                F.coalesce("n_inter_exact", F.lit(0)).cast("long")
+                .alias("n_inter_exact"),
+                "n_a_kmv", "n_b_kmv",
+                F.expr(f"(coalesce(n_shared, 0) * {KMV_SPACE}) "
+                       "div theta").cast("long").alias("n_inter_kmv"),
+                "n_union_kmv"))
