@@ -3110,6 +3110,27 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("anomaly").cast("int").alias("anomaly"))
 
 
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (functions/dedup.py:cdc_chunks
+    E113, the LBFS/restic storage-dedup primitive): every document
+    split at content-derived boundaries (hex16(md5(16-char window))
+    % 64 == 0, final position always a boundary), then chunk
+    identities grouped corpus-wide — the duplicated groups are the
+    bytes a chunk store would write once.  Boundaries move with the
+    CONTENT, so an insert re-chunks only its local region (the
+    shift-resilience pin in tests); the oracle replays the window
+    probe, span assembly and grouping position-for-position."""
+    from web_graph_spark.functions.dedup import cdc_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ch = cdc_chunks(docs)
+    return ch.groupBy("chunk_md5").agg(
+        F.min("chunk_len").cast("long").alias("chunk_len"),
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"))
+
+
 def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV / theta-sketch set operations over the distinct-customer
     audiences of each order priority (functions/stats.py:kmv_overlap
@@ -3279,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_distinct": q_events_hll_distinct,
         "events_hll_merge": q_events_hll_merge,
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
+        "dedup_cdc_chunks": q_dedup_cdc_chunks,
         "events_sliding_window": q_events_sliding_window,
         "events_watermark_audit": q_events_watermark_audit,
         "events_anomaly": q_events_anomaly,
@@ -5428,6 +5450,40 @@ SELECT event_type, hour, n_1h, m_1h,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)""",
+        "dedup_cdc_chunks": f"""
+WITH pos AS (
+  SELECT doc_id, text AS t, u.i,
+         md5(substr(text, u.i - 15, 16)) AS h
+  FROM documents,
+       UNNEST(generate_series(16, length(text))) AS u(i)
+  WHERE length(text) > 0
+),
+b AS (
+  SELECT doc_id, i AS e FROM pos
+  WHERE {_hexchunk_sql(1)} % 64 = 0
+  UNION
+  SELECT doc_id, length(text) AS e FROM documents
+  WHERE length(text) > 0
+),
+sp AS (
+  SELECT doc_id, e,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0)
+           + 1 AS start
+  FROM b
+),
+ch AS (
+  SELECT sp.doc_id,
+         md5(substr(d.text, sp.start, sp.e - sp.start + 1))
+           AS chunk_md5,
+         sp.e - sp.start + 1 AS chunk_len
+  FROM sp JOIN documents d USING (doc_id)
+)
+SELECT chunk_md5,
+       CAST(min(chunk_len) AS BIGINT) AS chunk_len,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM ch GROUP BY 1""",
         "sketch_kmv_overlap": f"""
 WITH kd AS (
   SELECT DISTINCT o_orderpriority AS g,

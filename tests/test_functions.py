@@ -1918,3 +1918,67 @@ def test_kmv_overlap_edge_cases(spark):
     out = kmv_overlap(idm, "g", F.col("id").cast("string"), k=256)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def _cdc_brute(t: str, w: int = 16, mod: int = 64) -> list[str]:
+    ends = [i for i in range(w, len(t) + 1)
+            if int(hashlib.md5(t[i - w:i].encode()).hexdigest()[:4],
+                   16) % mod == 0]
+    if not ends or ends[-1] != len(t):
+        ends.append(len(t))
+    out, s = [], 0
+    for e in ends:
+        out.append(t[s:e])
+        s = e
+    return out
+
+
+@pytest.mark.spark
+def test_cdc_chunks_match_brute_force_and_tile(spark):
+    from web_graph_spark.functions.dedup import cdc_chunks
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(40)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    got = {}
+    for r in cdc_chunks(docs).collect():
+        got.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in got.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        t = texts[doc_id]
+        exp = _cdc_brute(t)
+        assert [hashlib.md5(c.encode()).hexdigest() for c in exp] \
+            == [r.chunk_md5 for r in rows]
+        # spans tile the document exactly
+        assert rows[0].start == 1
+        assert sum(r.chunk_len for r in rows) == len(t)
+        assert "".join(t[r.start - 1:r.start - 1 + r.chunk_len]
+                       for r in rows) == t
+    assert set(got) == set(texts)
+
+
+@pytest.mark.spark
+def test_cdc_shift_resilience_and_short_doc(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from web_graph_spark.functions.dedup import cdc_chunks
+
+    base = next(r.text for r in spark.read.parquet(
+        f"{SF_SMOKE}/documents.parquet").limit(1).collect())
+    assert len(base) > 100
+    df = spark.createDataFrame(
+        [(1, base), (2, "X" + base), (3, "shorty")],
+        "doc_id long, text string")
+    out = {}
+    for r in cdc_chunks(df).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    a = [r.chunk_md5 for r in sorted(out[1], key=lambda r: r.chunk_idx)]
+    b = [r.chunk_md5 for r in sorted(out[2], key=lambda r: r.chunk_idx)]
+    # a one-char insert at the front re-chunks ONLY the first chunk:
+    # every later chunk re-synchronizes (fixed-size blocks would lose
+    # alignment everywhere)
+    assert len(a) > 2
+    assert set(a[1:]) <= set(b)
+    # doc shorter than the window -> one chunk spanning the whole doc
+    s = out[3]
+    assert len(s) == 1 and s[0].chunk_len == 6
+    assert s[0].chunk_md5 == hashlib.md5(b"shorty").hexdigest()

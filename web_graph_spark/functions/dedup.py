@@ -678,3 +678,65 @@ def sorted_neighborhood_pairs(df: DataFrame, block: str, key: str,
                     F.col("i").alias("id_a"), F.col("i_b").alias("id_b"),
                     F.col("k").alias("key_a"), F.col("k_b").alias("key_b"),
                     F.levenshtein("k", "k_b").cast("int").alias("dist")))
+
+
+CDC_W = 16                       # boundary-decision window (chars)
+CDC_MOD = 64                     # boundary when hex16 % MOD == 0
+
+
+def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", w: int = CDC_W,
+               mod: int = CDC_MOD) -> DataFrame:
+    """Content-defined chunking (LBFS, Muthitacharoen et al. SOSP'01;
+    the rsync / restic / storage-dedup primitive): split every
+    document at positions where the hash of the trailing ``w``-char
+    window satisfies ``hex16(md5(window)) % mod == 0`` — boundaries
+    are decided by CONTENT, so inserting or deleting a character
+    re-chunks only the local region and every chunk after the next
+    boundary re-synchronizes (fixed-size blocking loses all alignment
+    after one insert; the shift-resilience test pins exactly this).
+    Expected chunk length = ``mod`` chars; the final position is
+    always a boundary so chunks exactly tile the document.
+
+    Returns ``(id, chunk_idx, start, chunk_len, chunk_md5)`` — 1-based
+    character spans; ``chunk_md5`` is the dedup identity downstream
+    group-bys count.
+
+    Shape at scale: the position explode is per-document and map-side
+    (filter to ~1/mod boundary rows happens in the same codegen stage
+    — the exploded rows never shuffle), then one narrow per-doc
+    window builds spans and one hash agg groups chunk identities
+    (uniform md5 keys, map-side partials).  Hashing every character
+    position is inherent to CDC; the md5-of-window probe (O(w)/char,
+    all JVM) would swap for a gear/Rabin rolling hash (O(1)/char) in
+    a mapInPandas tier at 100 TB — same boundary rule, same
+    downstream topology, which is what the oracle and tests pin.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E113).
+    """
+    alpha = F.lit("0123456789abcdef")
+    t, i = F.col(text_col), F.col("i")
+    pos = (df.where(F.length(text_col) > 0)
+           .select(F.col(id_col).alias("id"), t.alias("t"),
+                   F.explode(F.sequence(F.lit(w), F.length(t)))
+                   .alias("i")))
+    h = F.md5(F.expr(f"substring(t, i - {w - 1}, {w})"))
+    d = [F.instr(alpha, F.substring(h, k, 1)) - 1 for k in (1, 2, 3, 4)]
+    h16 = d[0] * 4096 + d[1] * 256 + d[2] * 16 + d[3]
+    ends = (pos.where(h16 % mod == 0).select("id", i.alias("e"))
+            .union(df.where(F.length(text_col) > 0)
+                   .select(F.col(id_col).alias("id"),
+                           F.length(text_col).alias("e")))
+            .distinct())
+    win = Window.partitionBy("id").orderBy("e")
+    spans = ends.select(
+        "id", "e",
+        (F.coalesce(F.lag("e").over(win), F.lit(0)) + 1).alias("start"),
+        F.row_number().over(win).alias("chunk_idx"))
+    return (spans
+            .join(df.select(F.col(id_col).alias("id"),
+                            F.col(text_col).alias("t")), "id")
+            .select(F.col("id").alias(id_col), "chunk_idx", "start",
+                    (F.col("e") - F.col("start") + 1).alias("chunk_len"),
+                    F.md5(F.expr("substring(t, start, e - start + 1)"))
+                    .alias("chunk_md5")))
