@@ -3110,6 +3110,35 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("anomaly").cast("int").alias("anomaly"))
 
 
+def q_crawl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 snapshot compaction (operators/recrawl.py:scd2_history
+    E114): four derived crawl snapshots of the page corpus — presence
+    and content version both hash-driven per (page, snap), so pages
+    appear, change, vanish and RE-appear — compacted to the Kimball
+    type-2 history a warehouse keeps instead of S full snapshots:
+    one row per maximal stable run, absence gaps close intervals,
+    ``is_current`` marks runs reaching snapshot 3.  One page-keyed
+    window + one agg; output ∝ change volume.  The oracle replays
+    the gaps-and-islands rule with its own lag windows."""
+    from web_graph_spark.operators.graph_algos import _hex16
+    from web_graph_spark.operators.recrawl import scd2_history
+
+    p = webgen.pages_df(spark, sf_dir).select("check_id").distinct()
+    snaps = p.select(
+        "check_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("snap"))
+    s_str = F.col("snap").cast("string")
+    present = _hex16(F.concat(F.lit("p:"), F.col("check_id"),
+                              F.lit(":"), s_str)) % 8 != 0
+    ver = (_hex16(F.concat(F.lit("v:"), F.col("check_id"),
+                           F.lit(":"), s_str)) % 3).cast("string")
+    obs = (snaps.where(present)
+           .select("check_id", "snap",
+                   F.md5(F.concat(F.col("check_id"), F.lit(":v"),
+                                  ver)).alias("digest")))
+    return scd2_history(obs, id_col="check_id", current_snap=3)
+
+
 def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup (functions/dedup.py:cdc_chunks
     E113, the LBFS/restic storage-dedup primitive): every document
@@ -3301,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_merge": q_events_hll_merge,
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
         "dedup_cdc_chunks": q_dedup_cdc_chunks,
+        "crawl_scd2_history": q_crawl_scd2_history,
         "events_sliding_window": q_events_sliding_window,
         "events_watermark_audit": q_events_watermark_audit,
         "events_anomaly": q_events_anomaly,
@@ -5450,6 +5480,42 @@ SELECT event_type, hour, n_1h, m_1h,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)""",
+        "crawl_scd2_history": _oracle(f"""
+, pd AS (SELECT DISTINCT check_id FROM web_pages),
+sn AS (
+  SELECT check_id, u.s AS snap
+  FROM pd, UNNEST(generate_series(0, 3)) AS u(s)
+),
+obs AS (
+  SELECT check_id, snap,
+         md5(check_id || ':v' || CAST(
+           {_hex16_sql("'v:' || check_id || ':' || CAST(snap AS VARCHAR)")}
+           % 3 AS VARCHAR)) AS digest
+  FROM sn
+  WHERE {_hex16_sql("'p:' || check_id || ':' || CAST(snap AS VARCHAR)")}
+        % 8 <> 0
+),
+fl AS (
+  SELECT check_id, snap, digest,
+         CASE WHEN lag(snap) OVER w IS NULL
+                OR lag(snap) OVER w <> snap - 1
+                OR lag(digest) OVER w <> digest
+              THEN 1 ELSE 0 END AS new_flag
+  FROM obs WINDOW w AS (PARTITION BY check_id ORDER BY snap)
+),
+runs AS (
+  SELECT check_id, snap, digest,
+         sum(new_flag) OVER (PARTITION BY check_id
+                             ORDER BY snap) AS ver
+  FROM fl
+)
+SELECT check_id, min(digest) AS digest,
+       CAST(min(snap) AS BIGINT) AS valid_from,
+       CAST(max(snap) AS BIGINT) AS valid_to,
+       CAST(count(*) AS BIGINT) AS n_snaps,
+       CAST(CASE WHEN max(snap) = 3 THEN 1 ELSE 0 END AS INTEGER)
+         AS is_current
+FROM runs GROUP BY check_id, ver"""),
         "dedup_cdc_chunks": f"""
 WITH pos AS (
   SELECT doc_id, text AS t, u.i,

@@ -342,3 +342,42 @@ def test_rewrite_edges_through_redirects(spark):
     got = {row.src_url: row.dst_url
            for row in rewrite_edges(edges, res).collect()}
     assert got == {"e1": "T", "e3": "other"}
+
+
+@pytest.mark.spark
+def test_scd2_history_gaps_and_islands(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from web_graph_spark.operators.recrawl import scd2_history
+
+    rows = [
+        # stable all four snaps -> one current row
+        ("stable", 0, "d1"), ("stable", 1, "d1"),
+        ("stable", 2, "d1"), ("stable", 3, "d1"),
+        # digest change at snap 2 -> two rows, second current
+        ("changed", 0, "a"), ("changed", 1, "a"),
+        ("changed", 2, "b"), ("changed", 3, "b"),
+        # absence gap at snap 1, SAME digest resumes -> two rows
+        # (re-appearance must not assert unobserved continuity)
+        ("gap", 0, "x"), ("gap", 2, "x"), ("gap", 3, "x"),
+        # vanished after snap 0 -> one closed, non-current row
+        ("vanished", 0, "z"),
+    ]
+    df = spark.createDataFrame(rows, "page_id string, snap int, "
+                                     "digest string")
+    out = {(r.page_id, r.valid_from):
+           (r.valid_to, r.digest, r.n_snaps, r.is_current)
+           for r in scd2_history(df, current_snap=3).collect()}
+    assert out == {
+        ("stable", 0): (3, "d1", 4, 1),
+        ("changed", 0): (1, "a", 2, 0),
+        ("changed", 2): (3, "b", 2, 1),
+        ("gap", 0): (0, "x", 1, 0),
+        ("gap", 2): (3, "x", 2, 1),
+        ("vanished", 0): (0, "z", 1, 0),
+    }
+    # current_snap=None derives max(valid_to) distributively
+    auto = {(r.page_id, r.valid_from): r.is_current
+            for r in scd2_history(df).collect()}
+    assert auto[("stable", 0)] == 1 and auto[("gap", 2)] == 1
+    assert auto[("vanished", 0)] == 0

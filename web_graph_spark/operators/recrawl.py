@@ -105,3 +105,60 @@ def snapshot_delta(a: DataFrame, b: DataFrame, id_col: str = "page_id",
             .when(F.col("digest_a") != F.col("digest_b"), "changed"))
     return (j.select("id", kind.alias("kind"), "digest_a", "digest_b")
             .filter(F.col("kind").isNotNull()))
+
+
+def scd2_history(snapshots: DataFrame, id_col: str = "page_id",
+                 snap_col: str = "snap", digest_col: str = "digest",
+                 current_snap: int | None = None) -> DataFrame:
+    """Compact per-snapshot observations into a type-2 slowly-changing
+    dimension (Kimball SCD2) — the history table a 100 TB pipeline
+    keeps INSTEAD of S full snapshots: one row per maximal run of
+    consecutive snapshots over which a page's content digest was
+    stable, with ``valid_from``/``valid_to`` snapshot bounds.
+
+    Semantics (gaps-and-islands): a new version row opens when the
+    digest CHANGES or when the page was ABSENT from the previous
+    snapshot (an observation gap closes the interval — re-appearance
+    opens a fresh row even if the digest matches an older one, so the
+    history never asserts continuity it didn't observe).
+    ``is_current`` marks rows whose run reaches ``current_snap`` (the
+    compactor's newest snapshot id; defaults to max(snap) in the
+    input, computed distributively).
+
+    Shape at scale: ONE shuffle on the uniform page key, a per-page
+    lag window (rows per page = S snapshots, a literal constant), one
+    uniform-key agg — output ∝ change volume, never S × corpus.  The
+    classic alternative (self-join snap s with s−1) shuffles S times.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E114);
+    the reference stores only the newest capture per page
+    (pkg/linkstorage/linkstorage.go page upsert).
+    """
+    w = Window.partitionBy(id_col).orderBy(snap_col)
+    flagged = snapshots.select(
+        id_col, snap_col, digest_col,
+        F.when(
+            F.lag(snap_col).over(w).isNull()
+            | (F.lag(snap_col).over(w) != F.col(snap_col) - 1)
+            | (F.lag(digest_col).over(w) != F.col(digest_col)),
+            F.lit(1)).otherwise(F.lit(0)).alias("__new"))
+    runs = flagged.withColumn(
+        "__ver", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    out = (runs.groupBy(id_col, "__ver")
+           .agg(F.min(snap_col).alias("valid_from"),
+                F.max(snap_col).alias("valid_to"),
+                F.first(digest_col).alias(digest_col),
+                F.count(F.lit(1)).alias("n_snaps")))
+    if current_snap is None:
+        cur = out.agg(F.max("valid_to").alias("__cur"))
+        out = out.join(F.broadcast(cur))
+    else:
+        out = out.withColumn("__cur", F.lit(int(current_snap)))
+    return out.select(
+        id_col, digest_col,
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.col("valid_to").cast("long").alias("valid_to"),
+        F.col("n_snaps").cast("long").alias("n_snaps"),
+        (F.col("valid_to") == F.col("__cur")).cast("int")
+        .alias("is_current"))
