@@ -3110,6 +3110,33 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("anomaly").cast("int").alias("anomaly"))
 
 
+def q_events_stream_join_audit(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Stream-stream interval-join audit (streaming.py:
+    stream_join_audit E115): clicks ⋈ purchases per user within 4 h,
+    replayed under Structured Streaming's watermark semantics with a
+    hash-derived 0–6 h ingest skew, hourly triggers and a 30-min
+    delay.  Per trigger: exact join-state occupancy of each side
+    (the capacity bill of the chosen delay), emitted pairs, and the
+    pairs LOST because one side arrived too late — with the 6 h skew
+    ≫ 30 min delay, ~72% of true joins are lost, which is exactly
+    the number a deployment needs to see before picking the delay.
+    All integer µs; the oracle replays watermark, retention
+    thresholds, occupancy deltas and the lost-pair digests."""
+    from web_graph_spark.operators.graph_algos import _hex16
+    from web_graph_spark.streaming import stream_join_audit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "ts",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         + (_hex16(F.col("event_id").cast("string")) % 21600)
+         * 1_000_000).alias("arrival_us"))
+    return stream_join_audit(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        window_s=14_400, delay_s=1800)
+
+
 def q_crawl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 snapshot compaction (operators/recrawl.py:scd2_history
     E114): four derived crawl snapshots of the page corpus — presence
@@ -3331,6 +3358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
         "dedup_cdc_chunks": q_dedup_cdc_chunks,
         "crawl_scd2_history": q_crawl_scd2_history,
+        "events_stream_join_audit": q_events_stream_join_audit,
         "events_sliding_window": q_events_sliding_window,
         "events_watermark_audit": q_events_watermark_audit,
         "events_anomaly": q_events_anomaly,
@@ -5480,6 +5508,91 @@ SELECT event_type, hour, n_1h, m_1h,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)""",
+        "events_stream_join_audit": f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS event_us,
+         epoch_us(ts)
+           + ({_hex16_sql("CAST(event_id AS VARCHAR)")} % 21600)
+           * 1000000 AS arrival_us
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+l AS (SELECT event_id, user_id, event_us,
+             arrival_us // 3600000000 AS b
+      FROM ev WHERE event_type = 'click'),
+r AS (SELECT event_id, user_id, event_us,
+             arrival_us // 3600000000 AS b
+      FROM ev WHERE event_type = 'purchase'),
+bl AS (SELECT b, max(event_us) AS m FROM l GROUP BY 1),
+br AS (SELECT b, max(event_us) AS m FROM r GROUP BY 1),
+d0 AS (SELECT coalesce(bl.b, br.b) AS b, bl.m AS lm, br.m AS rm
+       FROM bl FULL JOIN br ON bl.b = br.b),
+dimr AS (
+  SELECT b, max(lm) OVER wp AS lrun, max(rm) OVER wp AS rrun
+  FROM d0
+  WINDOW wp AS (ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+wm AS (SELECT b, CASE WHEN lrun IS NULL OR rrun IS NULL THEN NULL
+                      ELSE least(lrun, rrun) - 1800000000 END AS wm_us
+       FROM dimr),
+we AS (SELECT b, wm_us,
+              coalesce(lag(wm_us) OVER (ORDER BY b),
+                       {-(1 << 62)}) AS pw
+       FROM wm WHERE wm_us IS NOT NULL),
+lr AS (SELECT l.*, coalesce(l.event_us < w.wm_us, FALSE) AS late,
+              l.event_us + 14400000000 AS thr
+       FROM l JOIN wm w USING (b)),
+rr AS (SELECT r.*, coalesce(r.event_us < w.wm_us, FALSE) AS late,
+              r.event_us AS thr
+       FROM r JOIN wm w USING (b)),
+dl AS (
+  SELECT b, sum(d) AS d_l FROM (
+    SELECT b, 1 AS d FROM lr WHERE NOT late
+    UNION ALL
+    SELECT we.b, -1 FROM lr
+    JOIN we ON lr.thr >= we.pw AND lr.thr < we.wm_us
+    WHERE NOT lr.late
+  ) GROUP BY 1
+),
+drr AS (
+  SELECT b, sum(d) AS d_r FROM (
+    SELECT b, 1 AS d FROM rr WHERE NOT late
+    UNION ALL
+    SELECT we.b, -1 FROM rr
+    JOIN we ON rr.thr >= we.pw AND rr.thr < we.wm_us
+    WHERE NOT rr.late
+  ) GROUP BY 1
+),
+series AS (
+  SELECT w.b, w.wm_us,
+         sum(coalesce(d_l, 0)) OVER wc AS state_l,
+         sum(coalesce(d_r, 0)) OVER wc AS state_r
+  FROM wm w LEFT JOIN dl USING (b) LEFT JOIN drr USING (b)
+  WINDOW wc AS (ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cand AS (
+  SELECT greatest(l.b, r.b) AS b, (l.late OR r.late) AS lost,
+         CAST(l.event_id AS VARCHAR) || ':'
+           || CAST(r.event_id AS VARCHAR) AS pid
+  FROM lr l JOIN rr r ON l.user_id = r.user_id
+   AND r.event_us BETWEEN l.event_us AND l.event_us + 14400000000
+),
+em AS (
+  SELECT b, sum(CASE WHEN NOT lost THEN 1 ELSE 0 END) AS n_emit,
+         sum(CASE WHEN lost THEN 1 ELSE 0 END) AS n_lost,
+         md5(coalesce(string_agg(CASE WHEN lost THEN pid END,
+                                 '|' ORDER BY pid), ''))
+           AS lost_digest
+  FROM cand GROUP BY 1
+)
+SELECT s.b AS batch_id, CAST(s.wm_us AS BIGINT) AS wm_us,
+       CAST(s.state_l AS BIGINT) AS state_l,
+       CAST(s.state_r AS BIGINT) AS state_r,
+       CAST(coalesce(em.n_emit, 0) AS BIGINT) AS n_emit,
+       CAST(coalesce(em.n_lost, 0) AS BIGINT) AS n_lost,
+       coalesce(em.lost_digest, md5('')) AS lost_digest
+FROM series s LEFT JOIN em USING (b)""",
         "crawl_scd2_history": _oracle(f"""
 , pd AS (SELECT DISTINCT check_id FROM web_pages),
 sn AS (

@@ -97,6 +97,14 @@ ALLOW: dict[tuple[str, str], str] = {
         "1-row funnel-stage-totals aggregate (count+sum partials)",
     ("graph_modularity", "Exchange SinglePartition"):
         "1-row m_edges aggregate; partial counts upstream",
+    ("events_stream_join_audit", "Exchange SinglePartition"):
+        "running-max/lag/occupancy-cumsum windows over the TRIGGER-"
+        "BATCH dim (one row per arrival hour — bounded by elapsed "
+        "time, never by volume; facts batch-agg map-side before it)",
+    ("events_stream_join_audit", "BroadcastNestedLoopJoin"):
+        "eviction-batch range join: row retention thresholds probe "
+        "the wm step function — a broadcast of the time-bounded "
+        "trigger-batch dim, never a fact-x-fact product",
     ("events_watermark_audit", "Exchange SinglePartition"):
         "running-max window over the TRIGGER-BATCH dim (one row per "
         "arrival hour — bounded by elapsed time, never by event "

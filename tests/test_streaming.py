@@ -366,3 +366,112 @@ def test_watermark_audit_replays_drop_rule(spark):
         1: (99_000_000, 2, 1, dg("2")),
         2: (199_000_000, 2, 1, dg("5")),
     }
+
+
+def _sim_join_audit(lrows, rrows, window_s, delay_s, batch_us):
+    """Independent brute-force replay of stream_join_audit's
+    documented rule (pure python)."""
+    import hashlib
+
+    w_us, d_us = window_s * 1_000_000, delay_s * 1_000_000
+    lb = [(i, e, a // batch_us) for i, e, a in lrows]
+    rb = [(i, e, a // batch_us) for i, e, a in rrows]
+    batches = sorted({b for _, _, b in lb} | {b for _, _, b in rb})
+    wm = {}
+    for b in batches:
+        ml = [e for _, e, bb in lb if bb < b]
+        mr = [e for _, e, bb in rb if bb < b]
+        wm[b] = (min(max(ml), max(mr)) - d_us) if ml and mr else None
+
+    def late(e, b):
+        return wm[b] is not None and e < wm[b]
+
+    nn = sorted((b for b in batches if wm[b] is not None),
+                key=lambda b: b)
+    out = {}
+    for b in batches:
+        sl = sum(1 for _, e, bb in lb if bb <= b and not late(e, bb)
+                 and not any(wm[x] is not None and wm[x] > e + w_us
+                             for x in nn if bb < x <= b))
+        sr = sum(1 for _, e, bb in rb if bb <= b and not late(e, bb)
+                 and not any(wm[x] is not None and wm[x] > e
+                             for x in nn if bb < x <= b))
+        out[b] = [wm[b], sl, sr, 0, 0, []]
+    for li, le, lbb in lb:
+        for ri, re, rbb in rb:
+            if le <= re <= le + w_us:
+                be = max(lbb, rbb)
+                if late(le, lbb) or late(re, rbb):
+                    out[be][4] += 1
+                    out[be][5].append(f"{li}:{ri}")
+                else:
+                    out[be][3] += 1
+    for b in out:
+        dig = hashlib.md5(
+            "|".join(sorted(out[b][5])).encode()).hexdigest()
+        out[b][5] = dig
+    return {b: tuple(v) for b, v in out.items()}
+
+
+@pytest.mark.spark
+def test_stream_join_audit_matches_simulator(spark):
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.streaming import stream_join_audit
+
+    lrows = [(i, i * 700_000,
+              i * 700_000 + (i * i * 37) % 5_000_000)
+             for i in range(0, 60, 2)]
+    rrows = [(1000 + i, i * 650_000 + 300_000,
+              i * 650_000 + 300_000 + (i * 13) % 7_000_000)
+             for i in range(1, 60, 2)]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, e / 1e6, a, 7) for i, e, a in rows],
+            "event_id long, sec double, arrival_us long, user_id long"
+        ).select("event_id", "user_id",
+                 F.timestamp_seconds("sec").alias("ts"), "arrival_us")
+
+    got = {r.batch_id: (r.wm_us, r.state_l, r.state_r, r.n_emit,
+                        r.n_lost, r.lost_digest)
+           for r in stream_join_audit(
+               mk(lrows), mk(rrows), window_s=3, delay_s=1,
+               batch_us=1_000_000).collect()}
+    exp = _sim_join_audit(lrows, rrows, 3, 1, 1_000_000)
+    assert got == exp
+    # state occupancy never negative, watermark monotone
+    wms = [got[b][0] for b in sorted(got) if got[b][0] is not None]
+    assert wms == sorted(wms)
+    assert all(got[b][1] >= 0 and got[b][2] >= 0 for b in got)
+
+
+@pytest.mark.spark
+def test_stream_join_audit_no_eviction_loss_theorem(spark):
+    """With watermark-correct retention, every pair whose rows are
+    both on time is EMITTED — eviction never loses a pair lateness
+    didn't already lose.  With an effectively infinite delay nothing
+    is ever late, so the audit must emit exactly the batch join."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.operators.graph_algos import _hex16
+    from web_graph_spark.streaming import stream_join_audit
+    from tests.conftest import SF_SMOKE
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id", "event_type", "ts",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         + (_hex16(F.col("event_id").cast("string")) % 21600)
+         * 1_000_000).alias("arrival_us"))
+    l = ev.where(F.col("event_type") == "click")
+    r = ev.where(F.col("event_type") == "purchase")
+    out = stream_join_audit(l, r, window_s=14_400,
+                            delay_s=10_000_000).collect()
+    assert sum(x.n_lost for x in out) == 0
+    truth = l.alias("a").join(
+        r.alias("b"),
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") >= F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr(
+            "INTERVAL 14400 SECONDS"))).count()
+    assert sum(x.n_emit for x in out) == truth

@@ -299,3 +299,163 @@ def watermark_audit(events: DataFrame, delay_s: int = 1800,
                  F.md5(F.array_join(F.array_sort(F.collect_list(
                      F.when(late, F.col("event_id").cast("string")))),
                      "|")).alias("late_digest")))
+
+
+def stream_join_audit(left: DataFrame, right: DataFrame,
+                      window_s: int = 14_400, delay_s: int = 1800,
+                      key_col: str = "user_id",
+                      arrival_col: str = "arrival_us",
+                      batch_us: int = 3_600_000_000) -> DataFrame:
+    """Batch-replay audit of a streaming stream-stream interval join
+    (``left ⋈ right ON key AND r.ts ∈ [l.ts, l.ts + window]``) under
+    Structured Streaming's watermark semantics — the two questions a
+    deployment must answer before turning one on:
+
+    * **Correctness**: which join results are LOST because one side
+      arrived later than the watermark delay tolerates?  (A late row
+      is dropped at entry and every pair it participated in is never
+      emitted.)  Per trigger batch: ``n_lost`` + an exact sorted
+      pair-id digest.
+    * **Capacity**: how many rows does each side's join STATE hold at
+      every trigger?  State is the cluster-memory bill; this replays
+      the exact watermark-correct retention — a left row lives until
+      ``wm > event_us + window``, a right row until ``wm > event_us``
+      — and reports per-batch occupancy from interval deltas.
+
+    A property this replay makes visible (and the tests pin): with
+    watermark-CORRECT eviction thresholds, eviction never loses a
+    pair that lateness didn't already lose — for an on-time right
+    row, its matching left rows satisfy ``l.ts ≥ r.ts − window ≥
+    wm − window``, so their state outlives the match (and vice
+    versa).  Lost joins are therefore exactly the late-entry ones;
+    state size is the only cost axis the delay knob trades against.
+
+    Watermark model (same as :func:`watermark_audit`, two-stream
+    form): triggers = fixed ``batch_us`` buckets of arrival time;
+    ``wm(b) = min(max event time of each stream over batches < b)
+    − delay``, NULL until both streams have history (Spark's global
+    watermark is the min over per-stream watermarks; cold start
+    evicts nothing).
+
+    Shape at scale: facts aggregate to the batch grain once per side
+    (map-side partials); every window (running maxes, lag, occupancy
+    cumsums) runs over the BATCH DIM — bounded by elapsed wall time,
+    never by volume.  The candidate join is a key-equi join with a
+    range residual (uniform user keys).  Eviction batches come from a
+    broadcast range join of row thresholds against the wm step
+    function — facts × a time-bounded dim.  Output: one row per
+    trigger batch ``(batch_id, wm_us, state_l, state_r, n_emit,
+    n_lost, lost_digest)``.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E115).
+    """
+    from pyspark.sql import Window
+
+    w_us = window_s * 1_000_000
+    big_neg = -(1 << 62)
+
+    def prep(df):
+        return df.select(
+            F.col("event_id"),
+            F.col(key_col).alias("k"),
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            .alias("event_us"),
+            F.expr(f"{arrival_col} div {batch_us}").alias("b"))
+
+    lv, rv = prep(left), prep(right)
+    bl = lv.groupBy("b").agg(F.max("event_us").alias("lm"))
+    br = rv.groupBy("b").agg(F.max("event_us").alias("rm"))
+    dim0 = bl.join(br, "b", "full")
+    wprior = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1)
+    dim = dim0.select(
+        "b", F.max("lm").over(wprior).alias("lrun"),
+        F.max("rm").over(wprior).alias("rrun"))
+    dim = dim.select(
+        "b",
+        F.when(F.col("lrun").isNull() | F.col("rrun").isNull(),
+               F.lit(None).cast("long"))
+        .otherwise(F.least("lrun", "rrun")
+                   - F.lit(delay_s * 1_000_000)).alias("wm_us"))
+    dim = F.broadcast(dim)
+
+    # wm step function: (pw, wm] intervals over non-null wm batches
+    dim_e = (dim.where(F.col("wm_us").isNotNull())
+             .select("b", "wm_us",
+                     F.coalesce(F.lag("wm_us").over(Window.orderBy("b")),
+                                F.lit(big_neg)).alias("pw")))
+    dim_e = F.broadcast(dim_e)
+
+    def with_late(rows):
+        return (rows.join(dim.withColumnRenamed("b", "__b")
+                          .withColumnRenamed("wm_us", "__wm"),
+                          F.col("b") == F.col("__b"))
+                .withColumn("late",
+                            F.coalesce(F.col("event_us") < F.col("__wm"),
+                                       F.lit(False)))
+                .drop("__b", "__wm"))
+
+    lrows = with_late(lv).withColumn("thr",
+                                     F.col("event_us") + F.lit(w_us))
+    rrows = with_late(rv).withColumn("thr", F.col("event_us"))
+
+    # state occupancy: +1 at arrival, -1 at the first batch whose wm
+    # exceeds the row's retention threshold
+    def deltas(rows, side):
+        on_time = rows.where(~F.col("late"))
+        ev = (on_time.join(
+            dim_e.select(F.col("b").alias("eb"), "wm_us", "pw"),
+            (F.col("thr") >= F.col("pw")) & (F.col("thr") < F.col("wm_us")),
+            "left"))
+        arr = on_time.select("b", F.lit(1).alias("d"))
+        out = ev.where(F.col("eb").isNotNull()).select(
+            F.col("eb").alias("b"), F.lit(-1).alias("d"))
+        return (arr.union(out).groupBy("b")
+                .agg(F.sum("d").alias(f"d_{side}")))
+
+    dl, dr = deltas(lrows, "l"), deltas(rrows, "r")
+    wcum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0)
+    series = (dim.select("b", "wm_us")
+              .join(dl, "b", "left").join(dr, "b", "left")
+              .select("b", "wm_us",
+                      F.sum(F.coalesce("d_l", F.lit(0))).over(wcum)
+                      .cast("long").alias("state_l"),
+                      F.sum(F.coalesce("d_r", F.lit(0))).over(wcum)
+                      .cast("long").alias("state_r")))
+
+    # candidate pairs: emitted at max(b_l, b_r) unless either side late
+    la = lrows.select(F.col("event_id").alias("lid"), "k",
+                      F.col("event_us").alias("lus"),
+                      F.col("b").alias("b_l"),
+                      F.col("late").alias("late_l"))
+    ra = rrows.select(F.col("event_id").alias("rid"),
+                      F.col("k").alias("k_r"),
+                      F.col("event_us").alias("rus"),
+                      F.col("b").alias("b_r"),
+                      F.col("late").alias("late_r"))
+    cand = (la.join(ra, (F.col("k") == F.col("k_r"))
+                    & (F.col("rus") >= F.col("lus"))
+                    & (F.col("rus") <= F.col("lus") + F.lit(w_us)))
+            .select(F.greatest("b_l", "b_r").alias("b"),
+                    (F.col("late_l") | F.col("late_r")).alias("lost"),
+                    F.concat(F.col("lid").cast("string"), F.lit(":"),
+                             F.col("rid").cast("string")).alias("pid")))
+    emits = (cand.groupBy("b")
+             .agg(F.sum(F.when(~F.col("lost"), 1).otherwise(0))
+                  .cast("long").alias("n_emit"),
+                  F.sum(F.when(F.col("lost"), 1).otherwise(0))
+                  .cast("long").alias("n_lost"),
+                  F.md5(F.array_join(F.array_sort(F.collect_list(
+                      F.when(F.col("lost"), F.col("pid")))), "|"))
+                  .alias("lost_digest")))
+
+    return (series.join(emits, "b", "left")
+            .select(F.col("b").cast("long").alias("batch_id"),
+                    "wm_us", "state_l", "state_r",
+                    F.coalesce("n_emit", F.lit(0)).cast("long")
+                    .alias("n_emit"),
+                    F.coalesce("n_lost", F.lit(0)).cast("long")
+                    .alias("n_lost"),
+                    F.coalesce("lost_digest",
+                               F.md5(F.lit(""))).alias("lost_digest")))
