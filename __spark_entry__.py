@@ -3110,6 +3110,20 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("anomaly").cast("int").alias("anomaly"))
 
 
+def q_corpus_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM document scoring with interpolated unigram backoff
+    (functions/text.py:bigram_lm_scores E116) — the KenLM-grade
+    upgrade of the unigram perplexity gate (E60): fluency requires
+    plausible token TRANSITIONS, so a scramble of frequent words no
+    longer scores well.  Per-bigram likelihood is ONE exact
+    decimal(38,0) division (no float logs); the oracle replays
+    model counts and every division in HUGEINT."""
+    from web_graph_spark.functions.text import bigram_lm_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_lm_scores(docs)
+
+
 def q_events_stream_join_audit(spark: SparkSession, sf_dir: str
                                ) -> DataFrame:
     """Stream-stream interval-join audit (streaming.py:
@@ -3359,6 +3373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cdc_chunks": q_dedup_cdc_chunks,
         "crawl_scd2_history": q_crawl_scd2_history,
         "events_stream_join_audit": q_events_stream_join_audit,
+        "corpus_bigram_lm": q_corpus_bigram_lm,
         "events_sliding_window": q_events_sliding_window,
         "events_watermark_audit": q_events_watermark_audit,
         "events_anomaly": q_events_anomaly,
@@ -5508,6 +5523,35 @@ SELECT event_type, hour, n_1h, m_1h,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)""",
+        "corpus_bigram_lm": """
+WITH bi AS (
+  SELECT doc_id, l[i] AS v, l[i + 1] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents),
+       UNNEST(generate_series(1, len(l) - 1)) AS u(i)
+),
+uni AS (
+  SELECT tok, count(*) AS ct FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1
+),
+mbi AS (SELECT v, w, count(*) AS ct_vw FROM bi GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM uni),
+sc AS (
+  SELECT b.doc_id,
+         CAST((1000000000::HUGEINT
+               * (m.ct_vw::HUGEINT * t.n + uw.ct))
+              // (t.n::HUGEINT * (uv.ct + 1)) AS BIGINT) AS ppb
+  FROM bi b
+  JOIN mbi m ON m.v = b.v AND m.w = b.w
+  JOIN uni uv ON uv.tok = b.v
+  JOIN uni uw ON uw.tok = b.w
+  CROSS JOIN tot t
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(ppb) AS BIGINT) AS sum_like_ppb,
+       CAST(sum(ppb) // count(*) AS BIGINT) AS avg_like_ppb
+FROM sc GROUP BY 1""",
         "events_stream_join_audit": f"""
 WITH ev AS (
   SELECT event_id, user_id, event_type, epoch_us(ts) AS event_us,

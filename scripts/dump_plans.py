@@ -71,6 +71,10 @@ ALLOW: dict[tuple[str, str], str] = {
         "1-row m_edges aggregate crossed onto the per-community rows",
     ("corpus_importance", "BroadcastNestedLoopJoin"):
         "two 1-row bucket-total dims (raw/target gram counts)",
+    ("corpus_bigram_lm", "BroadcastNestedLoopJoin"):
+        "1-row total-token dim (N) crossed onto the scored bigrams",
+    ("corpus_bigram_lm", "Exchange SinglePartition"):
+        "1-row total-token aggregate; partial sums upstream",
     ("corpus_perplexity", "BroadcastNestedLoopJoin"):
         "1-row model-total and 1-row doc-count dims crossed onto "
         "bounded dims (≤4096-bucket model, ≤10^6-bin histogram)",

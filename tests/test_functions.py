@@ -1982,3 +1982,52 @@ def test_cdc_shift_resilience_and_short_doc(spark):
     s = out[3]
     assert len(s) == 1 and s[0].chunk_len == 6
     assert s[0].chunk_md5 == hashlib.md5(b"shorty").hexdigest()
+
+
+def _bigram_brute(texts: dict[int, str]):
+    from collections import Counter
+
+    uni, big = Counter(), Counter()
+    for t in texts.values():
+        toks = t.split(" ")
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n = sum(uni.values())
+    out = {}
+    for d, t in texts.items():
+        toks = t.split(" ")
+        ppbs = [(10**9 * (big[(v, w)] * n + uni[w]))
+                // (n * (uni[v] + 1))
+                for v, w in zip(toks, toks[1:])]
+        if ppbs:
+            out[d] = (len(ppbs), sum(ppbs), sum(ppbs) // len(ppbs))
+    return out
+
+
+@pytest.mark.spark
+def test_bigram_lm_matches_brute_force(spark):
+    from web_graph_spark.functions.text import bigram_lm_scores
+
+    texts = {1: "a b a b a", 2: "b a", 3: "a a b b c",
+             4: "c c c", 5: "a b"}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.sum_like_ppb, r.avg_like_ppb)
+           for r in bigram_lm_scores(df).collect()}
+    assert got == _bigram_brute(texts)
+
+
+@pytest.mark.spark
+def test_bigram_lm_ranks_fluent_above_scrambled(spark):
+    """The bigram model's point over the unigram gate: identical
+    token BAGS, different transitions.  Docs repeating the corpus's
+    dominant transition pattern must outscore a scramble of the
+    same tokens."""
+    from web_graph_spark.functions.text import bigram_lm_scores
+
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((99, "mat the on sat cat the"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.avg_like_ppb
+           for r in bigram_lm_scores(df).collect()}
+    assert all(got[i] > got[99] for i in range(10))

@@ -1416,3 +1416,71 @@ def stratified_quota_sample(df: DataFrame, strata_col: str,
     return (df.withColumn("sample_rank",
                           F.row_number().over(w).cast("long"))
             .filter(F.col("sample_rank") <= quota))
+
+
+def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Bigram language-model document scoring with interpolated
+    unigram backoff — the KenLM-grade upgrade of the unigram
+    perplexity gate (:func:`perplexity_buckets`): fluency now
+    requires plausible token TRANSITIONS, not just plausible tokens
+    (a bag of frequent words scrambled scores high under a unigram
+    model, low here — the tests pin exactly that).
+
+    Each bigram (v, w) carries an integer ppb likelihood under the
+    Lidstone-interpolated model::
+
+        P(w | v) = (ct(v,w) + P1(w)) / (ct(v) + 1)
+        ppb      = 10^9 * (ct(v,w)*N + ct(w)) div (N * (ct(v)+1))
+
+    — one exact decimal(38,0) division per bigram, no float logs to
+    drift between engines (same discipline as the unigram gate; the
+    monotone integer surrogate orders documents identically).  A
+    document's score is ``avg_like_ppb = Σ ppb div n_bigrams``, a
+    monotone inverse of bigram perplexity.
+
+    Shape at scale: transition pairs assemble MAP-SIDE from the
+    token array (an adjacent-zip transform — no per-doc window, no
+    shuffle to build bigrams) -> the bigram/unigram count models are
+    hash aggs whose map-side partials absorb hot tokens -> scoring
+    is three hash joins on token keys + a 1-row N dim.  The corpus
+    is scanned twice (model, score) at any scale; prune the bigram
+    model with a min-count at the trillion-token tier (the backoff
+    term already covers unseen transitions).
+
+    Returns ``(doc_id, n_bigrams, sum_like_ppb, avg_like_ppb)`` for
+    every document with at least one bigram.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E116).
+    """
+    arr = df.select(F.col(id_col).alias("doc_id"),
+                    F.split(F.col(text_col), " ").alias("l"))
+    bi = (arr.select("doc_id", F.explode(F.expr(
+        "transform(sequence(1, size(l) - 1), "
+        "i -> struct(element_at(l, i) as v, "
+        "element_at(l, i + 1) as w))")).alias("p"))
+        .select("doc_id", "p.v", "p.w"))
+    toks = arr.select("doc_id", F.explode("l").alias("tok"))
+    m_bi = bi.groupBy("v", "w").agg(F.count("*").alias("ct_vw"))
+    m_uni = (toks.groupBy(F.col("tok"))
+             .agg(F.count("*").alias("ct")))
+    tot = m_uni.agg(F.sum("ct").cast("long").alias("n_total"))
+    scored = (bi
+              .join(m_bi, ["v", "w"])
+              .join(m_uni.select(F.col("tok").alias("v"),
+                                 F.col("ct").alias("ct_v")), "v")
+              .join(m_uni.select(F.col("tok").alias("w"),
+                                 F.col("ct").alias("ct_w")), "w")
+              .crossJoin(F.broadcast(tot))
+              .select("doc_id", F.expr(
+                  "cast(1000000000 as decimal(38,0)) * "
+                  "(cast(ct_vw as decimal(38,0)) * n_total + ct_w) "
+                  "div (cast(n_total as decimal(38,0)) * (ct_v + 1))")
+                  .cast("long").alias("ppb")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.sum("ppb").cast("long").alias("sum_like_ppb"))
+            .select(F.col("doc_id").alias(id_col), "n_bigrams",
+                    "sum_like_ppb",
+                    F.expr("sum_like_ppb div n_bigrams").cast("long")
+                    .alias("avg_like_ppb")))
