@@ -3110,6 +3110,27 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("anomaly").cast("int").alias("anomaly"))
 
 
+def q_corpus_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline over the corpus (functions/stats.py:
+    skyline2d E117, Börzsönyi ICDE'01): the documents not dominated
+    on (length, lexical diversity) — every optimal trade-off point
+    between the two quality axes, no weighting chosen in advance.
+    x = token count, y = type-token ratio in ppm (exact integer
+    division).  Spark computes it with NO global sort (x-grain dim +
+    running max over the value-range-bounded dim); the oracle is the
+    genuinely independent quadratic NOT-EXISTS dominance check."""
+    from web_graph_spark.functions.stats import skyline2d
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.expr("size(array_distinct(split(text, ' '))) * 1000000 "
+               "div size(split(text, ' '))").cast("long")
+        .alias("ttr_ppm"))
+    return skyline2d(feats, "n_tokens", "ttr_ppm")
+
+
 def q_corpus_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM document scoring with interpolated unigram backoff
     (functions/text.py:bigram_lm_scores E116) — the KenLM-grade
@@ -3374,6 +3395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_scd2_history": q_crawl_scd2_history,
         "events_stream_join_audit": q_events_stream_join_audit,
         "corpus_bigram_lm": q_corpus_bigram_lm,
+        "corpus_skyline": q_corpus_skyline,
         "events_sliding_window": q_events_sliding_window,
         "events_watermark_audit": q_events_watermark_audit,
         "events_anomaly": q_events_anomaly,
@@ -5523,6 +5545,20 @@ SELECT event_type, hour, n_1h, m_1h,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)""",
+        "corpus_skyline": """
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) * 1000000
+              // len(string_split(text, ' ')) AS BIGINT) AS ttr_ppm
+  FROM documents
+)
+SELECT a.n_tokens, a.doc_id, a.ttr_ppm
+FROM f a
+WHERE NOT EXISTS (
+  SELECT 1 FROM f b
+  WHERE b.n_tokens >= a.n_tokens AND b.ttr_ppm >= a.ttr_ppm
+    AND (b.n_tokens > a.n_tokens OR b.ttr_ppm > a.ttr_ppm))""",
         "corpus_bigram_lm": """
 WITH bi AS (
   SELECT doc_id, l[i] AS v, l[i + 1] AS w

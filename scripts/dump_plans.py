@@ -71,6 +71,10 @@ ALLOW: dict[tuple[str, str], str] = {
         "1-row m_edges aggregate crossed onto the per-community rows",
     ("corpus_importance", "BroadcastNestedLoopJoin"):
         "two 1-row bucket-total dims (raw/target gram counts)",
+    ("corpus_skyline", "Exchange SinglePartition"):
+        "running max over the x-grain dim ordered desc — bounded by "
+        "the VALUE RANGE of the objective (token counts), never by "
+        "row count; facts hash-agg to the dim map-side first",
     ("corpus_bigram_lm", "BroadcastNestedLoopJoin"):
         "1-row total-token dim (N) crossed onto the scored bigrams",
     ("corpus_bigram_lm", "Exchange SinglePartition"):

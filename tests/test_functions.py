@@ -2031,3 +2031,22 @@ def test_bigram_lm_ranks_fluent_above_scrambled(spark):
     got = {r.doc_id: r.avg_like_ppb
            for r in bigram_lm_scores(df).collect()}
     assert all(got[i] > got[99] for i in range(10))
+
+
+@pytest.mark.spark
+def test_skyline2d_brute_force_and_tie_rules(spark):
+    from web_graph_spark.functions.stats import skyline2d
+
+    # deterministic pseudo-random points with plenty of ties
+    pts = [(i, (i * 37) % 20, (i * 53) % 17) for i in range(120)]
+    # hand-placed tie cases:
+    pts += [(200, 25, 1), (201, 25, 1),   # duplicate skyline point
+            (202, 25, 0),                 # same x, lower y: dominated
+            (203, 24, 1)]                 # smaller x, equal y: dominated
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {r.id for r in skyline2d(df, "x", "y").collect()}
+    exp = {i for i, x, y in pts
+           if not any((bx >= x and by >= y and (bx > x or by > y))
+                      for _, bx, by in pts)}
+    assert got == exp
+    assert {200, 201} <= got and 202 not in got and 203 not in got

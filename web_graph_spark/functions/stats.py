@@ -607,3 +607,39 @@ def kmv_overlap(df: DataFrame, group: str, key, k: int = KMV_K
                 F.expr(f"(coalesce(n_shared, 0) * {KMV_SPACE}) "
                        "div theta").cast("long").alias("n_inter_kmv"),
                 "n_union_kmv"))
+
+
+def skyline2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """2-D Pareto skyline (Börzsönyi et al., ICDE'01 "The Skyline
+    Operator"): the rows not DOMINATED by any other — no other row is
+    ≥ in both objectives and > in at least one.  The multi-objective
+    selection a corpus curator runs when two quality axes trade off
+    (e.g. length vs lexical diversity): the skyline is every optimal
+    trade-off point, with no weighting chosen in advance.
+
+    Survival rule (derived, and what both engines compute): a row
+    survives iff ``y == max y within its x group`` AND that group max
+    exceeds ``max y over all STRICTLY larger x`` (a larger-x row with
+    equal y dominates; an equal-x equal-y twin does not — duplicates
+    of a skyline point all survive).
+
+    Shape at scale: NO global sort of the facts — one hash agg to the
+    x-grain dim (map-side partials), a running max over that dim
+    ordered by x desc (bounded by the VALUE RANGE of x, never by row
+    count — the exact_quantiles argument), then one hash join back on
+    the uniform x key and a codegen filter.  The textbook
+    sort-and-scan needs a total order over the facts; this shape
+    never materializes one.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E117).
+    """
+    xd = df.groupBy(x_col).agg(F.max(y_col).alias("__ymax"))
+    w = (Window.orderBy(F.desc(x_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    xd = xd.select(x_col, "__ymax",
+                   F.max("__ymax").over(w).alias("__m1"))
+    return (df.join(xd, x_col)
+            .where((F.col(y_col) == F.col("__ymax"))
+                   & (F.col("__m1").isNull()
+                      | (F.col("__ymax") > F.col("__m1"))))
+            .drop("__ymax", "__m1"))
