@@ -3110,6 +3110,48 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("anomaly").cast("int").alias("anomaly"))
 
 
+def q_crawl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log application (operators/merge.py:apply_cdc_log E118,
+    the MERGE INTO primitive): a hash-derived change log — up to 3
+    sequenced entries per page mixing upserts and deletes, plus
+    inserts of previously-unseen keys — applied to the page base
+    table, last-writer-wins by sequence.  One struct-max hash agg
+    (no windows, no joins; map-side partials absorb hot keys);
+    deletes drop at the end so delete-then-reinsert resolves by
+    order.  The oracle replays with arg_max."""
+    from web_graph_spark.operators.graph_algos import _hex16
+    from web_graph_spark.operators.merge import apply_cdc_log
+
+    p = (webgen.pages_df(spark, sf_dir)
+         .select("doc_id", "check_id").distinct())
+    base = p.select(
+        F.col("check_id").alias("id"),
+        F.md5(F.concat(F.col("check_id"), F.lit("v0")))
+        .alias("payload"))
+    kk = p.select("doc_id", "check_id",
+                  F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k"))
+    ks = F.col("k").cast("string")
+    ke = F.concat(F.lit("e:"), F.col("check_id"), F.lit(":"), ks)
+    ko = F.concat(F.lit("o:"), F.col("check_id"), F.lit(":"), ks)
+    log = (kk.where(_hex16(ke) % 4 != 0)
+           .select(F.col("check_id").alias("id"),
+                   (F.col("doc_id") * 3 + F.col("k")).cast("long")
+                   .alias("seq"),
+                   F.when(_hex16(ko) % 7 == 0, F.lit("D"))
+                   .otherwise(F.lit("U")).alias("op"),
+                   F.md5(F.concat(F.col("check_id"), F.lit(":"), ks))
+                   .alias("payload")))
+    fresh = (p.where(F.col("doc_id") % 10 == 0)
+             .select(F.concat(F.lit("new:"), F.col("check_id"))
+                     .alias("id"),
+                     (F.col("doc_id") * 3 + 1).cast("long")
+                     .alias("seq"),
+                     F.lit("U").alias("op"),
+                     F.md5(F.concat(F.lit("new:"), F.col("check_id")))
+                     .alias("payload")))
+    return apply_cdc_log(base, log.unionByName(fresh))
+
+
 def q_corpus_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D Pareto skyline over the corpus (functions/stats.py:
     skyline2d E117, Börzsönyi ICDE'01): the documents not dominated
@@ -3396,6 +3438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_join_audit": q_events_stream_join_audit,
         "corpus_bigram_lm": q_corpus_bigram_lm,
         "corpus_skyline": q_corpus_skyline,
+        "crawl_cdc_apply": q_crawl_cdc_apply,
         "events_sliding_window": q_events_sliding_window,
         "events_watermark_audit": q_events_watermark_audit,
         "events_anomaly": q_events_anomaly,
@@ -5545,6 +5588,41 @@ SELECT event_type, hour, n_1h, m_1h,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)""",
+        "crawl_cdc_apply": _oracle(f"""
+, pd AS (SELECT DISTINCT doc_id, check_id FROM web_pages),
+base AS (SELECT check_id AS id, CAST(-1 AS BIGINT) AS seq,
+                'U' AS op, md5(check_id || 'v0') AS payload
+         FROM pd),
+kk AS (SELECT doc_id, check_id, u.k
+       FROM pd, UNNEST(generate_series(0, 2)) AS u(k)),
+lg AS (
+  SELECT check_id AS id,
+         CAST(doc_id * 3 + k AS BIGINT) AS seq,
+         CASE WHEN {_hex16_sql(
+             "'o:' || check_id || ':' || CAST(k AS VARCHAR)")} % 7 = 0
+              THEN 'D' ELSE 'U' END AS op,
+         md5(check_id || ':' || CAST(k AS VARCHAR)) AS payload
+  FROM kk
+  WHERE {_hex16_sql(
+      "'e:' || check_id || ':' || CAST(k AS VARCHAR)")} % 4 <> 0
+),
+fresh AS (
+  SELECT 'new:' || check_id AS id,
+         CAST(doc_id * 3 + 1 AS BIGINT) AS seq, 'U' AS op,
+         md5('new:' || check_id) AS payload
+  FROM pd WHERE doc_id % 10 = 0
+),
+allr AS (SELECT * FROM base UNION ALL SELECT * FROM lg
+         UNION ALL SELECT * FROM fresh),
+fin AS (
+  SELECT id, arg_max(op, seq) AS op,
+         arg_max(payload, seq) AS payload,
+         max(seq) AS last_seq
+  FROM allr GROUP BY id
+)
+SELECT id, payload, CAST(last_seq AS BIGINT) AS last_seq,
+       CASE WHEN last_seq = -1 THEN 'base' ELSE 'log' END AS src
+FROM fin WHERE op <> 'D'"""),
         "corpus_skyline": """
 WITH f AS (
   SELECT doc_id,

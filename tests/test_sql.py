@@ -181,3 +181,34 @@ def test_cohort_retention_hand_case(spark):
         (1, 0): (1, 1, 10000),
         (1, 1): (1, 1, 10000),
     }
+
+
+@pytest.mark.spark
+def test_apply_cdc_log_semantics(spark):
+    from web_graph_spark.operators.merge import apply_cdc_log
+
+    base = spark.createDataFrame(
+        [("a", "A0"), ("b", "B0"), ("c", "C0"), ("d", "D0")],
+        "id string, payload string")
+    log = spark.createDataFrame(
+        [
+            (1, "U", "a", "A1"), (5, "U", "a", "A2"),  # last wins
+            (2, "D", "b", None),                        # delete
+            (3, "D", "c", None), (4, "U", "c", "C1"),   # del->reinsert
+            (6, "U", "e", "E1"),                        # brand-new key
+            (7, "U", "f", "F1"), (8, "D", "f", None),   # insert->del
+        ],
+        "seq long, op string, id string, payload string")
+    got = {r.id: (r.payload, r.last_seq, r.src)
+           for r in apply_cdc_log(base, log).collect()}
+    assert got == {
+        "a": ("A2", 5, "log"),
+        "c": ("C1", 4, "log"),
+        "d": ("D0", -1, "base"),
+        "e": ("E1", 6, "log"),
+    }
+    # empty log -> base unchanged
+    empty = log.limit(0)
+    assert {r.id: r.payload for r in
+            apply_cdc_log(base, empty).collect()} == {
+        "a": "A0", "b": "B0", "c": "C0", "d": "D0"}
