@@ -3110,6 +3110,24 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("anomaly").cast("int").alias("anomaly"))
 
 
+def q_events_quantiles_unbounded(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Exact quantiles over an UNBOUNDED value domain (functions/
+    stats.py:exact_quantiles_unbounded E119) — distributed
+    quickselect by iterative histogram refinement, ≤6 rounds for the
+    full 64-bit domain, never a sort.  The value spreads events onto
+    a ~2·10^13 domain (floor(value·10^9)·1000 + event_id%1000) where
+    the bounded-histogram tier (E74) is structurally impossible.
+    Same discrete-lower-quantile definition as E74; the oracle ranks
+    with its own window."""
+    from web_graph_spark.functions.stats import exact_quantiles_unbounded
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = (F.floor(F.col("value") * 1_000_000_000).cast("long") * 1000
+         + F.col("event_id") % 1000)
+    return exact_quantiles_unbounded(ev, "event_type", v)
+
+
 def q_crawl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC log application (operators/merge.py:apply_cdc_log E118,
     the MERGE INTO primitive): a hash-derived change log — up to 3
@@ -3439,6 +3457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bigram_lm": q_corpus_bigram_lm,
         "corpus_skyline": q_corpus_skyline,
         "crawl_cdc_apply": q_crawl_cdc_apply,
+        "events_quantiles_unbounded": q_events_quantiles_unbounded,
         "events_sliding_window": q_events_sliding_window,
         "events_watermark_audit": q_events_watermark_audit,
         "events_anomaly": q_events_anomaly,
@@ -5588,6 +5607,27 @@ SELECT event_type, hour, n_1h, m_1h,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)""",
+        "events_quantiles_unbounded": """
+WITH f AS (
+  SELECT event_type AS g,
+         CAST(floor(value * 1000000000) AS BIGINT) * 1000
+           + event_id % 1000 AS v
+  FROM events
+),
+rk AS (
+  SELECT g, v,
+         row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM f
+)
+SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(min(CASE WHEN rn >= (50 * n + 99) // 100 THEN v END)
+            AS BIGINT) AS p50,
+       CAST(min(CASE WHEN rn >= (95 * n + 99) // 100 THEN v END)
+            AS BIGINT) AS p95,
+       CAST(min(CASE WHEN rn >= (99 * n + 99) // 100 THEN v END)
+            AS BIGINT) AS p99
+FROM rk GROUP BY g""",
         "crawl_cdc_apply": _oracle(f"""
 , pd AS (SELECT DISTINCT doc_id, check_id FROM web_pages),
 base AS (SELECT check_id AS id, CAST(-1 AS BIGINT) AS seq,

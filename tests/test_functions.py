@@ -2050,3 +2050,39 @@ def test_skyline2d_brute_force_and_tie_rules(spark):
                       for _, bx, by in pts)}
     assert got == exp
     assert {200, 201} <= got and 202 not in got and 203 not in got
+
+
+@pytest.mark.spark
+def test_exact_quantiles_unbounded_vs_numpy_and_bounded_tier(spark):
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.stats import (exact_quantiles,
+                                                 exact_quantiles_unbounded)
+
+    # deterministic values spanning a 2^60-wide domain incl. negatives
+    rows = [("a", ((i * 2654435761) % (1 << 60)) - (1 << 59))
+            for i in range(2000)]
+    rows += [("b", (i * i * 7919) % 1_000_003) for i in range(501)]
+    rows += [("c", 42)]          # single-row group
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: (r.n_rows, r.p50, r.p95, r.p99)
+           for r in exact_quantiles_unbounded(df, "g",
+                                              F.col("v")).collect()}
+    import numpy as np  # noqa: F811
+
+    for g in ("a", "b", "c"):
+        vs = sorted(v for gg, v in rows if gg == g)
+        n = len(vs)
+        exp = tuple(vs[(q * n + 99) // 100 - 1] for q in (50, 95, 99))
+        assert got[g] == (n, *exp), g
+
+    # agrees exactly with the bounded tier where both apply
+    small = df.filter("g = 'b'")
+    b1 = exact_quantiles(small, "g", F.col("v")).collect()[0]
+    assert (b1.p50, b1.p95, b1.p99) == got["b"][1:]
+
+    # duplicates: heavy ties must not break rank accounting
+    dup = spark.createDataFrame([("d", v) for v in [5] * 99 + [7]],
+                                "g string, v long")
+    r = exact_quantiles_unbounded(dup, "g", F.col("v")).collect()[0]
+    assert (r.p50, r.p95, r.p99) == (5, 5, 5)

@@ -643,3 +643,88 @@ def skyline2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
                    & (F.col("__m1").isNull()
                       | (F.col("__ymax") > F.col("__m1"))))
             .drop("__ymax", "__m1"))
+
+
+def exact_quantiles_unbounded(df: DataFrame, group_col: str,
+                              value_int,
+                              qs: tuple[int, ...] = (50, 95, 99),
+                              fanout: int = 4096) -> DataFrame:
+    """Exact per-group quantiles when the VALUE RANGE is unbounded —
+    the case :func:`exact_quantiles`'s one-histogram trick cannot
+    cover (its bin count is the value range).  This is distributed
+    quickselect by iterative histogram refinement: each round bins
+    the surviving interval into ``fanout`` sub-bins, one hash agg
+    finds which sub-bin holds the target rank, and the interval
+    narrows by 1/fanout — ≤ ceil(64/log2(fanout)) = 6 rounds for the
+    FULL 64-bit domain, each a filtered scan + a fanout-sized
+    histogram, never a sort.
+
+    The per-round state (one row per group × quantile: bounds and
+    residual rank) is collected to the driver — G·|qs| rows, dim-
+    sized by construction — and re-broadcast as literal filters, so
+    the facts are only ever scanned with tight pushdown-friendly
+    range predicates.
+
+    Same quantile definition as the bounded tier (smallest value
+    whose cumulative count reaches ``ceil(q/100 · n)`` — the discrete
+    lower quantile), so the two tiers agree exactly wherever both
+    apply (pinned in tests).
+
+    Returns ``(group, n_rows, p<q>...)``.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E119).
+    """
+    vals = df.select(F.col(group_col).cast("string").alias("g"),
+                     value_int.cast("long").alias("v"))
+    vals = vals.persist()
+    try:
+        base = (vals.groupBy("g")
+                .agg(F.count("*").alias("n"),
+                     F.min("v").alias("lo"), F.max("v").alias("hi"))
+                .collect())
+        # state[(g, q)] = [lo, hi, k_residual]
+        state = {}
+        n_rows = {}
+        for r in base:
+            n_rows[r.g] = r.n
+            for q in qs:
+                state[(r.g, q)] = [r.lo, r.hi, (q * r.n + 99) // 100]
+        while True:
+            live = {gq: s for gq, s in state.items() if s[0] < s[1]}
+            if not live:
+                break
+            spark = df.sparkSession
+            dim = spark.createDataFrame(
+                [(g, q, s[0], s[1]) for (g, q), s in live.items()],
+                "g string, q int, lo long, hi long")
+            j = (vals.join(F.broadcast(dim), "g")
+                 .where((F.col("v") >= F.col("lo"))
+                        & (F.col("v") <= F.col("hi")))
+                 .select("g", "q",
+                         F.expr(f"(v - lo) div ((hi - lo + {fanout}) "
+                                f"div {fanout})").alias("b")))
+            hist = (j.groupBy("g", "q", "b").agg(F.count("*").alias("c"))
+                    .collect())
+            per = {}
+            for r in hist:
+                per.setdefault((r.g, r.q), []).append((r.b, r.c))
+            for gq, bins in per.items():
+                lo, hi, k = state[gq]
+                bw = (hi - lo + fanout) // fanout
+                cum = 0
+                for b, c in sorted(bins):
+                    if cum + c >= k:
+                        state[gq] = [lo + b * bw,
+                                     min(hi, lo + b * bw + bw - 1),
+                                     k - cum]
+                        break
+                    cum += c
+        rows = [(g, int(n_rows[g]),
+                 *[int(state[(g, q)][0]) for q in qs])
+                for g in n_rows]
+    finally:
+        vals.unpersist()
+    spark = df.sparkSession
+    schema = (f"{group_col} string, n_rows long, "
+              + ", ".join(f"p{q} long" for q in qs))
+    return spark.createDataFrame(rows, schema)
