@@ -3110,6 +3110,40 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("anomaly").cast("int").alias("anomaly"))
 
 
+def q_events_interval_coalesce(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Interval coalescing (functions/stats.py:coalesce_intervals
+    E120): per-user activity spans (start = event time, duration =
+    floor(value·3600) s) merged into maximal covered islands —
+    touching spans merge, strict gaps split, a short span can bridge
+    two long ones (coverage semantics, not pairwise overlap).  One
+    user-keyed sort carries both windows; the oracle replays the
+    running-max rule with its own windows."""
+    from web_graph_spark.functions.stats import coalesce_intervals
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         + F.floor(F.col("value") * 3600).cast("long") * 1_000_000)
+        .alias("e"))
+    return coalesce_intervals(ev, "user_id")
+
+
+def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of spend across users (functions/stats.py:
+    gini_concentration E121) in exact ppm integers — computed over
+    the weight-VALUE histogram (equal weights occupy contiguous rank
+    blocks), so no global row_number ever touches the key dim.  The
+    oracle uses the genuinely different textbook rank formula
+    (row_number over keys) — equality proves the tie-block algebra."""
+    from web_graph_spark.functions.stats import gini_concentration
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return gini_concentration(
+        ev, "user_id", F.floor(F.col("value") * 100).cast("long"))
+
+
 def q_events_quantiles_unbounded(spark: SparkSession, sf_dir: str
                                  ) -> DataFrame:
     """Exact quantiles over an UNBOUNDED value domain (functions/
@@ -3458,6 +3492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_skyline": q_corpus_skyline,
         "crawl_cdc_apply": q_crawl_cdc_apply,
         "events_quantiles_unbounded": q_events_quantiles_unbounded,
+        "events_interval_coalesce": q_events_interval_coalesce,
+        "events_gini": q_events_gini,
         "events_sliding_window": q_events_sliding_window,
         "events_watermark_audit": q_events_watermark_audit,
         "events_anomaly": q_events_anomaly,
@@ -5607,6 +5643,48 @@ SELECT event_type, hour, n_1h, m_1h,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)""",
+        "events_interval_coalesce": """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts)
+           + CAST(floor(value * 3600) AS BIGINT) * 1000000 AS e
+  FROM events
+),
+fl AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER wp IS NULL
+                OR s > max(e) OVER wp THEN 1 ELSE 0 END AS nf
+  FROM iv
+  WINDOW wp AS (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+runs AS (
+  SELECT user_id, s, e,
+         sum(nf) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS isl
+  FROM fl
+)
+SELECT user_id, CAST(min(s) AS BIGINT) AS island_start,
+       CAST(max(e) AS BIGINT) AS island_end,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(max(e) - min(s) AS BIGINT) AS covered
+FROM runs GROUP BY user_id, isl""",
+        "events_gini": """
+WITH per AS (
+  SELECT user_id,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS w
+  FROM events GROUP BY 1
+),
+rk AS (
+  SELECT w, row_number() OVER (ORDER BY w, user_id) AS i FROM per
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(w) AS BIGINT) AS total,
+       CAST((1000000::HUGEINT
+             * (2 * sum(w::HUGEINT * i) - (count(*) + 1) * sum(w)))
+            // (count(*)::HUGEINT * sum(w)) AS BIGINT) AS gini_ppm
+FROM rk""",
         "events_quantiles_unbounded": """
 WITH f AS (
   SELECT event_type AS g,

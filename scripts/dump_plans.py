@@ -71,6 +71,9 @@ ALLOW: dict[tuple[str, str], str] = {
         "1-row m_edges aggregate crossed onto the per-community rows",
     ("corpus_importance", "BroadcastNestedLoopJoin"):
         "two 1-row bucket-total dims (raw/target gram counts)",
+    ("events_gini", "Exchange SinglePartition"):
+        "cumulative window over the weight-VALUE histogram (bounded "
+        "by the value range, never key count) + the 1-row final fold",
     ("corpus_skyline", "Exchange SinglePartition"):
         "running max over the x-grain dim ordered desc — bounded by "
         "the VALUE RANGE of the objective (token counts), never by "

@@ -2086,3 +2086,65 @@ def test_exact_quantiles_unbounded_vs_numpy_and_bounded_tier(spark):
                                 "g string, v long")
     r = exact_quantiles_unbounded(dup, "g", F.col("v")).collect()[0]
     assert (r.p50, r.p95, r.p99) == (5, 5, 5)
+
+
+@pytest.mark.spark
+def test_coalesce_intervals_semantics(spark):
+    from web_graph_spark.functions.stats import coalesce_intervals
+
+    rows = [
+        ("a", 0, 10), ("a", 5, 20),        # overlap -> merge
+        ("a", 20, 25),                     # touching -> merge
+        ("a", 30, 40),                     # strict gap -> new island
+        # a short interval bridging two long ones
+        ("b", 0, 10), ("b", 9, 12), ("b", 11, 30),
+        # contained interval
+        ("c", 0, 100), ("c", 10, 20),
+        ("d", 7, 7),                       # degenerate point span
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {(r.k, r.island_start):
+           (r.island_end, r.n_intervals, r.covered)
+           for r in coalesce_intervals(df, "k").collect()}
+    assert got == {
+        ("a", 0): (25, 3, 25),
+        ("a", 30): (40, 1, 10),
+        ("b", 0): (30, 3, 30),
+        ("c", 0): (100, 2, 100),
+        ("d", 7): (7, 1, 0),
+    }
+
+
+@pytest.mark.spark
+def test_gini_concentration_pins(spark):
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.stats import gini_concentration
+
+    # all-equal weights -> perfect equality, G = 0
+    eq = spark.createDataFrame([(f"k{i}", 5) for i in range(8)],
+                               "k string, w long")
+    r = gini_concentration(eq, "k", F.col("w")).collect()[0]
+    assert (r.n_keys, r.total, r.gini_ppm) == (8, 40, 0)
+
+    # one key holds everything -> G = (n-1)/n with n = 4
+    conc = spark.createDataFrame(
+        [("a", 100), ("b", 0), ("c", 0), ("d", 0)],
+        "k string, w long")
+    r = gini_concentration(conc, "k", F.col("w")).collect()[0]
+    assert r.gini_ppm == 750_000
+
+    # brute-force rank formula on a mixed case with ties,
+    # pre-aggregation folded in (two rows for key b)
+    rows = [("a", 1), ("b", 2), ("b", 1), ("c", 6), ("d", 3),
+            ("e", 3)]
+    df = spark.createDataFrame(rows, "k string, w long")
+    per = {}
+    for k, w in rows:
+        per[k] = per.get(k, 0) + w
+    ws = sorted(per.values())
+    n, tot = len(ws), sum(ws)
+    iw = sum((i + 1) * w for i, w in enumerate(ws))
+    exp = (10**6 * (2 * iw - (n + 1) * tot)) // (n * tot)
+    r = gini_concentration(df, "k", F.col("w")).collect()[0]
+    assert (r.n_keys, r.total, r.gini_ppm) == (n, tot, exp)

@@ -728,3 +728,94 @@ def exact_quantiles_unbounded(df: DataFrame, group_col: str,
     schema = (f"{group_col} string, n_rows long, "
               + ", ".join(f"p{q} long" for q in qs))
     return spark.createDataFrame(rows, schema)
+
+
+def coalesce_intervals(df: DataFrame, key_col: str,
+                       start_col: str = "s", end_col: str = "e"
+                       ) -> DataFrame:
+    """Merge overlapping-or-touching intervals per key into maximal
+    covered islands — the coverage primitive behind SLA/uptime math,
+    crawl-window coverage, and visit-span dedup (the interval twin of
+    sessionize: sessionize splits a point stream on gaps; this
+    coalesces SPANS).  Two intervals merge when the later one starts
+    at or before the running maximum end of everything before it;
+    merging is by coverage, not pairwise overlap (a short interval
+    can bridge two long ones).
+
+    Exact integer semantics: touching intervals (end == next start)
+    MERGE; a new island opens only on a strict gap.
+
+    Shape at scale: one shuffle on the uniform key, one per-key sort
+    (start, end), two pipelined windows sharing that sort (running
+    max of prior ends -> island flag -> prefix-sum island id), one
+    hash agg.  Output ∝ islands, never input spans.
+
+    Returns ``(key, island_start, island_end, n_intervals,
+    covered)``.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E120).
+    """
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prior_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.select(
+        key_col, start_col, end_col,
+        F.when(prior_end.isNull()
+               | (F.col(start_col) > prior_end), 1)
+        .otherwise(0).alias("__new"))
+    runs = flagged.withColumn(
+        "__isl", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (runs.groupBy(key_col, "__isl")
+            .agg(F.min(start_col).cast("long").alias("island_start"),
+                 F.max(end_col).cast("long").alias("island_end"),
+                 F.count(F.lit(1)).alias("n_intervals"))
+            .select(key_col, "island_start", "island_end",
+                    "n_intervals",
+                    (F.col("island_end") - F.col("island_start"))
+                    .alias("covered")))
+
+
+def gini_concentration(df: DataFrame, key_col: str, weight
+                       ) -> DataFrame:
+    """Gini concentration index of a weight across keys, in EXACT
+    integer arithmetic scaled to ppm — the inequality number a crawl
+    operator watches (is the fetch budget concentrating on a few
+    hosts?) and a corpus curator reports (token share per source).
+
+    ``G = (2·Σ_i i·w_(i) − (n+1)·Σw) / (n·Σw)`` over weights sorted
+    ascending with rank i — emitted as ``gini_ppm = 10^6·(2·Σ i·w_(i)
+    − (n+1)·Σw) div (n·Σw)`` in decimal(38,0), so both engines agree
+    bit-for-bit.
+
+    NO ranking of the key dim (10^8 hosts must never meet a global
+    row_number): equal weights occupy a CONTIGUOUS rank block, so
+    ``Σ i·w_(i) = Σ_w w·(ct·below + ct·(ct+1)/2)`` folds over the
+    weight-VALUE histogram — the raw stream aggregates once to the
+    key grain (map-side partials), the key grain aggregates to the
+    value histogram (bounded by the value range, the exact_quantiles
+    argument), and only that bounded dim sees a cumulative window.
+    Returns one row ``(n_keys, total, gini_ppm)``.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E121).
+    """
+    per = (df.groupBy(F.col(key_col).alias("k"))
+           .agg(F.sum(weight).cast("long").alias("w")))
+    hist = per.groupBy("w").agg(F.count(F.lit(1)).alias("ct"))
+    wv = Window.orderBy("w").rowsBetween(
+        Window.unboundedPreceding, -1)
+    h = hist.select(
+        "w", "ct",
+        F.coalesce(F.sum("ct").over(wv), F.lit(0)).alias("below"))
+    return (h.agg(
+        F.sum("ct").cast("long").alias("n_keys"),
+        F.sum(F.expr("cast(w as decimal(38,0)) * ct")).alias("__tot"),
+        F.sum(F.expr("cast(w as decimal(38,0)) * "
+                     "(ct * below + ct * (ct + 1) div 2)"))
+        .alias("__iw"))
+        .select("n_keys",
+                F.col("__tot").cast("long").alias("total"),
+                F.expr("cast(1000000 as decimal(38,0)) * "
+                       "(2 * __iw - (n_keys + 1) * __tot) "
+                       "div (cast(n_keys as decimal(38,0)) * __tot)")
+                .cast("long").alias("gini_ppm")))
