@@ -3110,6 +3110,94 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("anomaly").cast("int").alias("anomaly"))
 
 
+def _stress_oracle_sql(horizon: int = 6) -> str:
+    """Unrolled fixed-horizon stress-centrality oracle — forward BFS
+    σ levels (NOT EXISTS against all earlier levels), the
+    shortest-path DAG, backward path-count levels P deepest-first,
+    then Σ σ·P.  All integers; every level CTE MATERIALIZED (the
+    k-truss/k-center lesson: DuckDB re-evaluates inlined chains
+    exponentially)."""
+    parts = ["""
+, e AS MATERIALIZED (
+  SELECT DISTINCT src_doc_id AS a, tgt_doc_id AS b
+  FROM web_links_full WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id
+),
+f0 AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS s, doc_id AS v, 0 AS d,
+         CAST(1 AS BIGINT) AS sig
+  FROM web_pages WHERE doc_id % 97 = 0
+)"""]
+    for lv in range(1, horizon + 1):
+        seen = " AND ".join(
+            f"NOT EXISTS (SELECT 1 FROM f{j} x "
+            f"WHERE x.s = f.s AND x.v = e.b)"
+            for j in range(lv))
+        parts.append(f"""
+, f{lv} AS MATERIALIZED (
+  SELECT f.s, e.b AS v, {lv} AS d, CAST(sum(f.sig) AS BIGINT) AS sig
+  FROM f{lv - 1} f JOIN e ON e.a = f.v
+  WHERE {seen}
+  GROUP BY 1, 2
+)""")
+
+    union = " UNION ALL ".join(f"SELECT * FROM f{j}"
+                               for j in range(horizon + 1))
+    parts.append(f"""
+, fall AS MATERIALIZED ({union}),
+dag AS MATERIALIZED (
+  SELECT a1.s, a1.v AS v, a2.v AS w, a1.d
+  FROM fall a1 JOIN e ON e.a = a1.v
+  JOIN fall a2 ON a2.s = a1.s AND a2.v = e.b AND a2.d = a1.d + 1
+)""")
+    for lv in range(horizon - 1, -1, -1):
+        if lv == horizon - 1:
+            parts.append(f"""
+, p{lv} AS MATERIALIZED (
+  SELECT s, v, CAST(count(*) AS BIGINT) AS p
+  FROM dag WHERE d = {lv} GROUP BY 1, 2
+)""")
+        else:
+            parts.append(f"""
+, p{lv} AS MATERIALIZED (
+  SELECT dag.s, dag.v,
+         CAST(sum(1 + coalesce(pp.p, 0)) AS BIGINT) AS p
+  FROM dag LEFT JOIN p{lv + 1} pp
+    ON pp.s = dag.s AND pp.v = dag.w
+  WHERE dag.d = {lv} GROUP BY 1, 2
+)""")
+    punion = " UNION ALL ".join(f"SELECT * FROM p{j}"
+                                for j in range(horizon))
+    parts.append(f"""
+, pall AS MATERIALIZED ({punion})
+SELECT f.v AS doc_id,
+       CAST(count(DISTINCT f.s) AS BIGINT) AS n_sources,
+       CAST(sum(f.sig * coalesce(p.p, 0)) AS BIGINT) AS stress
+FROM fall f LEFT JOIN pall p ON p.s = f.s AND p.v = f.v
+WHERE f.v <> f.s
+GROUP BY 1""")
+    return "".join(parts)
+
+
+def q_graph_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-horizon stress centrality from the BFS seed set
+    (operators/graph_algos.py:stress_centrality E122, Shimbel'53 /
+    the integer Brandes variant): shortest paths from any seed
+    passing through each vertex, truncated at 6 hops — the
+    betweenness-family number with NO rational δ accumulation, so
+    both engines agree bit-for-bit (σ·P path counting over the BFS
+    DAG).  Forward levels reuse the bfs_depths physical shape; the
+    backward pass is one uniform-key join per level.  Oracle:
+    fully-unrolled MATERIALIZED level CTEs."""
+    from web_graph_spark.operators.graph_algos import stress_centrality
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    seeds = (webgen.pages_df(spark, sf_dir)
+             .filter(F.col("doc_id") % 97 == 0).select("doc_id"))
+    return stress_centrality(e, seeds, horizon=6)
+
+
 def q_events_interval_coalesce(spark: SparkSession, sf_dir: str
                                ) -> DataFrame:
     """Interval coalescing (functions/stats.py:coalesce_intervals
@@ -3494,6 +3582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles_unbounded": q_events_quantiles_unbounded,
         "events_interval_coalesce": q_events_interval_coalesce,
         "events_gini": q_events_gini,
+        "graph_stress": q_graph_stress,
         "events_sliding_window": q_events_sliding_window,
         "events_watermark_audit": q_events_watermark_audit,
         "events_anomaly": q_events_anomaly,
@@ -5643,6 +5732,7 @@ SELECT event_type, hour, n_1h, m_1h,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)""",
+        "graph_stress": _oracle(_stress_oracle_sql(6)),
         "events_interval_coalesce": """
 WITH iv AS (
   SELECT user_id, epoch_us(ts) AS s,

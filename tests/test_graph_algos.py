@@ -782,3 +782,40 @@ def test_sssp_matches_python_bellman_ford(spark):
                 nxt[t] = dist[s] + w
         dist = nxt
     assert got == dist and got
+
+
+@pytest.mark.spark
+def test_stress_centrality_hand_traced(spark):
+    from web_graph_spark.operators.graph_algos import stress_centrality
+
+    def run(edges, seeds, horizon=6):
+        e = spark.createDataFrame(edges,
+                                  "src_doc_id long, tgt_doc_id long")
+        s = spark.createDataFrame([(x,) for x in seeds], "doc_id long")
+        return {r.doc_id: (r.n_sources, r.stress)
+                for r in stress_centrality(e, s,
+                                           horizon=horizon).collect()}
+
+    # path s(0)->1->2->3: interior vertices carry the through-paths
+    got = run([(0, 1), (1, 2), (2, 3)], [0])
+    assert got == {1: (1, 2), 2: (1, 1), 3: (1, 0)}
+
+    # branching: 0->1, 1->2, 1->3, 2->4, 3->4 — four paths cross 1,
+    # none cross the confluence 4 (endpoints are not interior)
+    got = run([(0, 1), (1, 2), (1, 3), (2, 4), (3, 4)], [0])
+    assert got[1] == (1, 4) and got[4] == (1, 0)
+    assert got[2] == (1, 1) and got[3] == (1, 1)
+
+    # horizon truncation: radius 2 cannot see 0->..->3 paths
+    got = run([(0, 1), (1, 2), (2, 3)], [0], horizon=2)
+    assert got == {1: (1, 1), 2: (1, 0)}
+
+    # two seeds: stress adds per source, n_sources counts reach
+    got = run([(0, 2), (1, 2), (2, 3)], [0, 1])
+    assert got[2] == (2, 2) and got[3] == (2, 0)
+
+    # only SHORTEST paths count: a longer detour contributes nothing
+    got = run([(0, 1), (1, 3), (0, 2), (2, 4), (4, 3)], [0])
+    assert got[1] == (1, 1)     # 0-1-3
+    assert got[2] == (1, 1)     # 0-2-4 (4 is reached shortest via 2)
+    assert got[4] == (1, 0)     # 0-..-4-3 is not shortest to 3

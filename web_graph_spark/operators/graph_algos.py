@@ -1292,3 +1292,109 @@ def sssp(edges: DataFrame, seeds: DataFrame, weight: str = "w",
         dist = merged
     e.unpersist()
     return dist.select(F.col("__v").alias(id_col), F.col("d").alias("dist"))
+
+
+def stress_centrality(edges: DataFrame, seeds: DataFrame,
+                      src: str = "src_doc_id", dst: str = "tgt_doc_id",
+                      id_col: str = "doc_id",
+                      horizon: int = 6) -> DataFrame:
+    """Fixed-horizon stress centrality from a seed set (Shimbel 1953;
+    the INTEGER member of the betweenness family, via the Brandes'08
+    variant framework): for every vertex v, the number of shortest
+    paths from any seed that PASS THROUGH v, truncated at ``horizon``
+    hops.  Betweenness proper accumulates rational δ = σ(v)/σ(w)
+    dependencies — floats that drift between engines; stress counts
+    paths instead: per seed s, ``stress_s(v) = σ_s(v) · P_s(v)``
+    where σ is the forward shortest-path count and ``P_s(v) =
+    Σ_{DAG edges v→w} (1 + P_s(w))`` counts shortest-path
+    continuations below v in the BFS DAG — all integers, so both
+    engines agree bit-for-bit (the same discipline that picked
+    harmonic-centrality lcm units and integer PageRank decimals).
+
+    Level-synchronous forward pass exactly like :func:`bfs_depths`
+    (edges hash-partitioned on src once + persisted; one frontier
+    shuffle per level; flat lineage via localCheckpoint), then a
+    backward pass over the SAME materialized levels — one
+    uniform-key join per level, deepest first.  ``horizon`` is a
+    semantic parameter (the truncation radius), not a guard: paths
+    longer than it are out of scope by definition, which is what
+    makes the operator unrollable to a plain-SQL oracle.
+
+    Returns ``(id_col, n_sources, stress)`` for every non-seed
+    vertex reached by at least one seed.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E122).
+    """
+    e = (edges.select(F.col(src).cast("long").alias("__s"),
+                      F.col(dst).cast("long").alias("__t"))
+         .where(F.col("__s") != F.col("__t"))
+         .distinct().repartition("__s").persist())
+    f0 = (seeds.select(F.col(id_col).cast("long").alias("s"))
+          .distinct()
+          .select("s", F.col("s").alias("v"),
+                  F.lit(0).alias("d"),
+                  F.lit(1).cast("long").alias("sig"))
+          .localCheckpoint())
+    levels = [f0]
+    visited = f0.select("s", "v")
+    for lv in range(1, horizon + 1):
+        prev = levels[-1]
+        nxt = (prev.join(e, prev["v"] == e["__s"])
+               .select("s", F.col("__t").alias("v"), "sig")
+               .join(visited, ["s", "v"], "left_anti")
+               .groupBy("s", "v")
+               .agg(F.sum("sig").cast("long").alias("sig"))
+               .withColumn("d", F.lit(lv))
+               .select("s", "v", "d", "sig")
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = nxt.select("s", "v").union(visited).localCheckpoint()
+    fall = levels[0]
+    for lvf in levels[1:]:
+        fall = fall.unionByName(lvf)
+    fall = fall.persist()
+
+    # shortest-path DAG edges (s, v -> w) with d(w) = d(v) + 1
+    a1 = fall.select("s", F.col("v"), F.col("d"))
+    a2 = fall.select(F.col("s").alias("s2"), F.col("v").alias("w"),
+                     F.col("d").alias("d2"))
+    dag = (a1.join(e, a1["v"] == e["__s"])
+           .join(a2, (F.col("s") == F.col("s2"))
+                 & (F.col("__t") == F.col("w"))
+                 & (F.col("d2") == F.col("d") + 1))
+           .select("s", "v", "w", "d")
+           .persist())
+
+    deepest = len(levels) - 1
+    p_frames = {deepest: None}
+    for lv in range(deepest - 1, -1, -1):
+        dl = dag.where(F.col("d") == lv)
+        pw = p_frames[lv + 1]
+        if pw is not None:
+            dl = (dl.join(pw.select(F.col("s"), F.col("v").alias("w"),
+                                    F.col("p").alias("pw")),
+                          ["s", "w"], "left"))
+        else:
+            dl = dl.withColumn("pw", F.lit(None).cast("long"))
+        p_frames[lv] = (dl.groupBy("s", "v")
+                        .agg(F.sum(F.lit(1) + F.coalesce("pw", F.lit(0)))
+                             .cast("long").alias("p"))
+                        .localCheckpoint())
+    pall = None
+    for lv, fr in p_frames.items():
+        if fr is None:
+            continue
+        pall = fr if pall is None else pall.unionByName(fr)
+
+    scored = fall.where(F.col("v") != F.col("s"))
+    if pall is not None:
+        scored = scored.join(pall, ["s", "v"], "left")
+    else:
+        scored = scored.withColumn("p", F.lit(None).cast("long"))
+    return (scored
+            .groupBy(F.col("v").alias(id_col))
+            .agg(F.countDistinct("s").cast("long").alias("n_sources"),
+                 F.sum(F.col("sig") * F.coalesce("p", F.lit(0)))
+                 .cast("long").alias("stress")))
