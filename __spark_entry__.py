@@ -3198,6 +3198,57 @@ def q_graph_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stress_centrality(e, seeds, horizon=6)
 
 
+def _widest_oracle_sql(rounds: int = 8) -> str:
+    """Unrolled max-min Bellman-Ford oracle for q_graph_widest —
+    full relaxation per round (equivalent to the Spark side's
+    improved-only frontier at equal round counts), every round
+    MATERIALIZED."""
+    parts = ["""
+, e AS MATERIALIZED (
+  SELECT src_doc_id AS a, tgt_doc_id AS b,
+         max((k % 9) + 1) AS w
+  FROM web_links_full WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id
+  GROUP BY 1, 2
+),
+c0 AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS v,
+         CAST(4611686018427387904 AS BIGINT) AS c
+  FROM web_pages WHERE doc_id % 97 = 0
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+, c{r} AS MATERIALIZED (
+  SELECT v, max(c) AS c FROM (
+    SELECT v, c FROM c{r - 1}
+    UNION ALL
+    SELECT e.b AS v, least(p.c, e.w) AS c
+    FROM c{r - 1} p JOIN e ON e.a = p.v
+  ) GROUP BY 1
+)""")
+    parts.append(f"""
+SELECT v AS doc_id, CAST(c AS BIGINT) AS cap FROM c{rounds}
+WHERE v NOT IN (SELECT v FROM c0)""")
+    return "".join(parts)
+
+
+def q_graph_widest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Widest / bottleneck path from the seed set (operators/
+    graph_algos.py:widest_paths E123): max over routes of the
+    minimum edge capacity (w = k%9+1) — the max-min semiring twin of
+    the weighted SSSP (E104), on the same frontier Bellman-Ford
+    skeleton and the same 8-round truncation contract, showing the
+    skeleton is semiring-generic.  Oracle: unrolled MATERIALIZED
+    full-relaxation rounds (equivalent at equal round counts)."""
+    from web_graph_spark.operators.graph_algos import widest_paths
+
+    l = webgen.links_full_df(spark, sf_dir).filter(F.col("k") % 4 != 0)
+    e = l.select("src_doc_id", "tgt_doc_id",
+                 ((F.col("k") % 9) + 1).alias("w"))
+    seeds = (webgen.pages_df(spark, sf_dir)
+             .filter(F.col("doc_id") % 97 == 0).select("doc_id"))
+    return widest_paths(e, seeds, rounds=8)
+
+
 def q_events_interval_coalesce(spark: SparkSession, sf_dir: str
                                ) -> DataFrame:
     """Interval coalescing (functions/stats.py:coalesce_intervals
@@ -3583,6 +3634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_coalesce": q_events_interval_coalesce,
         "events_gini": q_events_gini,
         "graph_stress": q_graph_stress,
+        "graph_widest": q_graph_widest,
         "events_sliding_window": q_events_sliding_window,
         "events_watermark_audit": q_events_watermark_audit,
         "events_anomaly": q_events_anomaly,
@@ -5733,6 +5785,7 @@ FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)""",
         "graph_stress": _oracle(_stress_oracle_sql(6)),
+        "graph_widest": _oracle(_widest_oracle_sql(8)),
         "events_interval_coalesce": """
 WITH iv AS (
   SELECT user_id, epoch_us(ts) AS s,

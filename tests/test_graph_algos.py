@@ -819,3 +819,39 @@ def test_stress_centrality_hand_traced(spark):
     assert got[1] == (1, 1)     # 0-1-3
     assert got[2] == (1, 1)     # 0-2-4 (4 is reached shortest via 2)
     assert got[4] == (1, 0)     # 0-..-4-3 is not shortest to 3
+
+
+@pytest.mark.spark
+def test_widest_paths_hand_traced(spark):
+    from web_graph_spark.operators.graph_algos import widest_paths
+
+    def run(edges, seeds, rounds=8):
+        e = spark.createDataFrame(
+            edges, "src_doc_id long, tgt_doc_id long, w long")
+        s = spark.createDataFrame([(x,) for x in seeds], "doc_id long")
+        return {r.doc_id: r.cap
+                for r in widest_paths(e, s, rounds=rounds).collect()}
+
+    # classic: wide detour beats the narrow direct edge
+    got = run([(0, 1, 2), (0, 2, 9), (2, 1, 7)], [0])
+    assert got == {1: 7, 2: 9}
+
+    # bottleneck is the MIN along the path, maximized across paths
+    got = run([(0, 1, 5), (1, 2, 3), (0, 3, 4), (3, 2, 4)], [0])
+    assert got[2] == 4 and got[1] == 5 and got[3] == 4
+
+    # parallel edges keep the best capacity
+    got = run([(0, 1, 2), (0, 1, 8)], [0])
+    assert got == {1: 8}
+
+    # round truncation: a 3-edge route is invisible at rounds=2
+    got = run([(0, 1, 9), (1, 2, 9), (2, 3, 9), (0, 3, 1)], [0],
+              rounds=2)
+    assert got[3] == 1
+    got = run([(0, 1, 9), (1, 2, 9), (2, 3, 9), (0, 3, 1)], [0],
+              rounds=3)
+    assert got[3] == 9
+
+    # seeds never appear in the output, even when re-reached
+    got = run([(0, 1, 5), (1, 0, 5)], [0])
+    assert got == {1: 5}

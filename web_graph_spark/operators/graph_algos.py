@@ -1398,3 +1398,62 @@ def stress_centrality(edges: DataFrame, seeds: DataFrame,
             .agg(F.countDistinct("s").cast("long").alias("n_sources"),
                  F.sum(F.col("sig") * F.coalesce("p", F.lit(0)))
                  .cast("long").alias("stress")))
+
+
+WIDEST_INF = 1 << 62
+
+
+def widest_paths(edges: DataFrame, seeds: DataFrame,
+                 weight: str = "w",
+                 src: str = "src_doc_id", dst: str = "tgt_doc_id",
+                 id_col: str = "doc_id", rounds: int = 8) -> DataFrame:
+    """(id_col, cap) — widest / bottleneck path from the seed set:
+    the maximum over paths of the MINIMUM edge capacity along the
+    path (the max-min semiring twin of :func:`sssp`'s min-plus —
+    network capacity routing, and for a crawl: the best worst-link
+    bandwidth/politeness budget on any route to a page).  Same
+    synchronous frontier Bellman-Ford skeleton, same fixed-``rounds``
+    truncation contract (exact over paths of ≤ rounds edges; extra
+    rounds are no-ops after convergence), so the same bounded
+    unrolled-SQL oracle discipline applies — only the semiring
+    changed: relax = ``least(cap(u), w)``, merge = ``max``.
+
+    Parallel edges keep their best capacity in the one-time edge
+    prep; seeds carry an internal +inf that never escapes (seed rows
+    are excluded from the output — a bottleneck to a seed itself is
+    undefined).  Per round: one equi-join on the once-partitioned
+    edge table + one max-agg with map-side partials; only vertices
+    improved last round relay.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E123).
+    """
+    e = (edges.select(F.col(src).cast("long").alias("__s"),
+                      F.col(dst).cast("long").alias("__t"),
+                      F.col(weight).cast("long").alias("__w"))
+         .filter(F.col("__s") != F.col("__t"))
+         .groupBy("__s", "__t").agg(F.max("__w").alias("__w"))
+         .repartition("__s").persist())
+    sd = (seeds.select(F.col(id_col).cast("long").alias("__v"))
+          .distinct())
+    cap = (sd.withColumn("c", F.lit(WIDEST_INF).cast("long"))
+           .localCheckpoint())
+    frontier = cap
+    for _ in range(rounds):
+        if frontier.isEmpty():
+            break
+        cand = (e.join(frontier.withColumnRenamed("__v", "__s"), "__s")
+                .select(F.col("__t").alias("__v"),
+                        F.least(F.col("c"), F.col("__w")).alias("c"))
+                .groupBy("__v").agg(F.max("c").alias("c")))
+        merged = (cap.unionByName(cand)
+                  .groupBy("__v").agg(F.max("c").alias("c"))
+                  .localCheckpoint())
+        frontier = (merged.join(cap.withColumnRenamed("c", "__old"),
+                                "__v", "left")
+                    .filter(F.col("__old").isNull()
+                            | (F.col("c") > F.col("__old")))
+                    .select("__v", "c").localCheckpoint())
+        cap = merged
+    e.unpersist()
+    return (cap.join(sd, "__v", "left_anti")
+            .select(F.col("__v").alias(id_col), F.col("c").alias("cap")))
