@@ -3050,6 +3050,23 @@ def q_events_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct_rollup(ev, ["event_type", "day"], "hr", key)
 
 
+def q_events_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct users per hour from merged HLL registers
+    (functions/stats.py:hll_sliding_distinct E124): the streaming-
+    dashboard sliding count-distinct, answered by a RANGE-frame max
+    per register over the hourly register table — never a re-scan of
+    the raw keys.  Same exact-integer register recipe as E91, so the
+    oracle rebuilds every merged register and estimate bit-for-bit;
+    the exact trailing count-distinct rides alongside (the ≤24-fold
+    expansion the sketch exists to avoid at scale)."""
+    from web_graph_spark.functions.stats import hll_sliding_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.concat(F.col("user_id").cast("string"), F.lit(":"),
+                   F.floor("value").cast("long").cast("string"))
+    return hll_sliding_distinct(ev, "event_type", "ts", key, hours=24)
+
+
 def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 3-hour sliding window evaluated hourly
     (functions/stats.py:trailing_window_agg E92): facts aggregate
@@ -3635,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gini": q_events_gini,
         "graph_stress": q_graph_stress,
         "graph_widest": q_graph_widest,
+        "events_hll_sliding": q_events_hll_sliding,
         "events_sliding_window": q_events_sliding_window,
         "events_watermark_audit": q_events_watermark_audit,
         "events_anomaly": q_events_anomaly,
@@ -5786,6 +5804,55 @@ WINDOW w AS (PARTITION BY event_type ORDER BY hour
              RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)""",
         "graph_stress": _oracle(_stress_oracle_sql(6)),
         "graph_widest": _oracle(_widest_oracle_sql(8)),
+        "events_hll_sliding": f"""
+WITH k AS (
+  SELECT event_type AS g,
+         epoch_us(ts) // 3600000000 AS hr,
+         CAST(user_id AS VARCHAR) || ':' ||
+         CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS key
+  FROM events
+),
+hx AS (SELECT g, hr, key, md5(key) AS h FROM k),
+c AS (
+  SELECT g, hr, key,
+         {_hexchunk_sql(1)} % 64 AS j,
+         CAST({_hexchunk_sql(5)} * 65536 + {_hexchunk_sql(9)}
+              AS BIGINT) AS w
+  FROM hx
+),
+r AS (
+  SELECT g, hr, j,
+         max(33 - CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END) AS M
+  FROM c GROUP BY 1, 2, 3
+),
+hd AS (SELECT DISTINCT g, hr FROM k),
+stub AS (SELECT g, hr, u.j, 0 AS M
+         FROM hd, UNNEST(generate_series(0, 63)) AS u(j)),
+grid AS (
+  SELECT g, hr, j, max(M) AS M
+  FROM (SELECT * FROM stub UNION ALL SELECT * FROM r)
+  GROUP BY 1, 2, 3
+),
+mg AS (
+  SELECT g, hr, j,
+         max(M) OVER (PARTITION BY g, j ORDER BY hr
+                      RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+           AS Mw
+  FROM grid
+),
+est AS (SELECT g, hr, sum(1::BIGINT << (33 - Mw)) AS s2
+        FROM mg GROUP BY 1, 2),
+uq AS (SELECT DISTINCT g, hr, key FROM k),
+ex AS (
+  SELECT d.g, d.hr, count(DISTINCT u.key) AS n_exact
+  FROM hd d JOIN uq u
+    ON u.g = d.g AND u.hr <= d.hr AND u.hr > d.hr - 24
+  GROUP BY 1, 2
+)
+SELECT ex.g AS event_type, CAST(ex.hr AS BIGINT) AS hr,
+       CAST(ex.n_exact AS BIGINT) AS n_exact,
+       CAST(24945719810981888 // (1000 * est.s2) AS BIGINT) AS n_hll
+FROM ex JOIN est ON est.g = ex.g AND est.hr = ex.hr""",
         "events_interval_coalesce": """
 WITH iv AS (
   SELECT user_id, epoch_us(ts) AS s,

@@ -2148,3 +2148,37 @@ def test_gini_concentration_pins(spark):
     exp = (10**6 * (2 * iw - (n + 1) * tot)) // (n * tot)
     r = gini_concentration(df, "k", F.col("w")).collect()[0]
     assert (r.n_keys, r.total, r.gini_ppm) == (n, tot, exp)
+
+
+@pytest.mark.spark
+def test_hll_sliding_distinct_merge_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.stats import (hll_distinct,
+                                                 hll_sliding_distinct)
+
+    # keys spread across 3 hours; window of 2 hours
+    rows = []
+    for hr, keys in ((0, range(0, 300)), (1, range(200, 500)),
+                     (2, range(450, 700))):
+        rows += [("g", hr * 3600.0 + 7, f"k{k}") for k in keys]
+    df = spark.createDataFrame(rows, "grp string, sec double, k string")
+    df = df.select("grp", F.timestamp_seconds("sec").alias("ts"), "k")
+    out = {r.hr: (r.n_exact, r.n_hll)
+           for r in hll_sliding_distinct(df, "grp", "ts", F.col("k"),
+                                         hours=2).collect()}
+    assert out[0][0] == 300 and out[1][0] == 500 and out[2][0] == 500
+
+    # the merged estimate for a window must equal hll_distinct run
+    # directly on that window's keys (register merge is lossless)
+    for hr, lo, hi in ((0, 0, 300), (1, 0, 500), (2, 200, 700)):
+        sub = spark.createDataFrame([("g", f"k{k}")
+                                     for k in range(lo, hi)],
+                                    "grp string, k string")
+        direct = hll_distinct(sub, "grp", F.col("k")).collect()[0]
+        assert out[hr][1] == direct.n_hll, hr
+
+    # estimates inside the documented raw-HLL band (valid zone)
+    for hr in out:
+        n_ex, n_hll = out[hr]
+        assert abs(n_hll - n_ex) <= 0.30 * n_ex

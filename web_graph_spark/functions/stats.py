@@ -819,3 +819,80 @@ def gini_concentration(df: DataFrame, key_col: str, weight
                        "(2 * __iw - (n_keys + 1) * __tot) "
                        "div (cast(n_keys as decimal(38,0)) * __tot)")
                 .cast("long").alias("gini_ppm")))
+
+
+def hll_sliding_distinct(df: DataFrame, group: str, ts_col: str,
+                         key, hours: int = 24) -> DataFrame:
+    """Trailing-window distinct count per hour from MERGED HyperLogLog
+    registers — "distinct users in the last H hours, evaluated
+    hourly", the streaming-dashboard primitive whose exact form needs
+    per-window key-cardinality state (the reason sketches exist).
+    HLL registers are max-mergeable, so the trailing window is a
+    RANGE-frame ``max`` per register over the HOURLY register table —
+    never a re-scan of the raw keys.
+
+    Everything is the repo's exact-integer HLL (same register/rho
+    recipe and dyadic fold as :func:`hll_distinct`, E91): both
+    engines rebuild every register and every estimate bit-for-bit.
+    Empty registers enter as explicit M=0 grid stubs (contributing
+    the full 2^(wbits+1) dyadic term — identical to hll_distinct's
+    absent-register fold), which also materializes output rows for
+    every active hour.
+
+    Shape at scale: facts aggregate ONCE to (group, hour, register)
+    — 64 rows per group-hour whatever the key volume, map-side
+    partials absorbing repeats; the grid, the RANGE windows and the
+    fold all run over TIME-BOUNDED dims.  The exact trailing
+    count-distinct rides alongside as certification (a ≤H-fold fact
+    expansion — the cost the sketch exists to avoid; drop it at
+    10^10).
+
+    Returns ``(group, hr, n_exact, n_hll)`` per active hour.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E124).
+    """
+    h = F.md5(key)
+    w = _hexchunk(h, 5) * 65536 + _hexchunk(h, 9)
+    keyed = df.select(
+        F.col(group).alias("g"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp)) "
+               "div 3600000000").alias("hr"),
+        (_hexchunk(h, 1) % HLL_M).alias("j"),
+        (F.lit(HLL_WBITS + 1)
+         - F.when(w == F.lit(0), F.lit(0)).otherwise(F.length(F.bin(w))))
+        .alias("rho"),
+        key.alias("key"))
+    regs = (keyed.groupBy("g", "hr", "j")
+            .agg(F.max("rho").alias("M")))
+    hourdim = keyed.select("g", "hr").distinct()
+    stubs = hourdim.select(
+        "g", "hr",
+        F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("j"),
+        F.lit(0).alias("M"))
+    grid = (stubs.unionByName(regs)
+            .groupBy("g", "hr", "j").agg(F.max("M").alias("M")))
+    wnd = (Window.partitionBy("g", "j").orderBy("hr")
+           .rangeBetween(-(hours - 1), 0))
+    merged = grid.select("g", "hr", "j",
+                         F.max("M").over(wnd).alias("Mw"))
+    est = (merged.groupBy("g", "hr")
+           .agg(F.sum(F.expr(
+               f"shiftleft(cast(1 as bigint), {HLL_WBITS + 1} - Mw)"))
+               .alias("s2"))
+           .select("g", "hr",
+                   F.expr(f"{_HLL_NUM} div (1000 * s2)")
+                   .alias("n_hll")))
+    uniq = keyed.select("g", "hr", "key").distinct()
+    exact = (hourdim.alias("d")
+             .join(uniq.select(F.col("g").alias("g2"),
+                               F.col("hr").alias("hr2"), "key"),
+                   (F.col("g") == F.col("g2"))
+                   & (F.col("hr2") <= F.col("hr"))
+                   & (F.col("hr2") > F.col("hr") - hours))
+             .groupBy("g", "hr")
+             .agg(F.countDistinct("key").alias("n_exact")))
+    return (exact.join(est, ["g", "hr"])
+            .select(F.col("g").alias(group),
+                    F.col("hr").cast("long").alias("hr"),
+                    F.col("n_exact").cast("long").alias("n_exact"),
+                    F.col("n_hll").cast("long").alias("n_hll")))
