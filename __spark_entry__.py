@@ -3360,6 +3360,22 @@ def q_crawl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_cdc_log(base, log.unionByName(fresh))
 
 
+def q_corpus_compaction_plan(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Small-files compaction plan (operators/layout.py:
+    plan_compaction E125): the document manifest (one row per doc:
+    lang partition, n_chars size) packed into ≈2000-char rewrite
+    groups by deterministic largest-first greedy fill — one
+    per-partition prefix-sum window over the MANIFEST, no driver
+    loop.  Group membership certified by an id-sorted digest; the
+    oracle replays the same fill order and boundary rule."""
+    from web_graph_spark.operators.layout import plan_compaction
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return plan_compaction(docs.select("lang", "doc_id", "n_chars"),
+                           "lang", "doc_id", "n_chars", 2000)
+
+
 def q_corpus_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D Pareto skyline over the corpus (functions/stats.py:
     skyline2d E117, Börzsönyi ICDE'01): the documents not dominated
@@ -3653,6 +3669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stress": q_graph_stress,
         "graph_widest": q_graph_widest,
         "events_hll_sliding": q_events_hll_sliding,
+        "corpus_compaction_plan": q_corpus_compaction_plan,
         "events_sliding_window": q_events_sliding_window,
         "events_watermark_audit": q_events_watermark_audit,
         "events_anomaly": q_events_anomaly,
@@ -5951,6 +5968,23 @@ fin AS (
 SELECT id, payload, CAST(last_seq AS BIGINT) AS last_seq,
        CASE WHEN last_seq = -1 THEN 'base' ELSE 'log' END AS src
 FROM fin WHERE op <> 'D'"""),
+        "corpus_compaction_plan": """
+WITH pre AS (
+  SELECT lang, doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS p
+  FROM documents
+),
+asg AS (SELECT lang, doc_id, n_chars, p // 2000 AS grp FROM pre)
+SELECT lang, CAST(grp AS BIGINT) AS grp,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_chars) AS BIGINT) AS bytes,
+       md5(string_agg(CAST(doc_id AS VARCHAR), '|'
+                      ORDER BY CAST(doc_id AS VARCHAR)))
+         AS files_digest
+FROM asg GROUP BY 1, 2""",
         "corpus_skyline": """
 WITH f AS (
   SELECT doc_id,

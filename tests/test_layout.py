@@ -57,3 +57,34 @@ def test_write_zordered_per_file_locality(spark, tmp_path):
               .collect()[0])
         assert st[1] - st[0] <= 32, f
         assert st[3] - st[2] <= 32, f
+
+
+@pytest.mark.spark
+def test_plan_compaction_greedy_fill(spark):
+    from web_graph_spark.operators.layout import plan_compaction
+
+    files = spark.createDataFrame(
+        [("p", 1, 900), ("p", 2, 800), ("p", 3, 700), ("p", 4, 100),
+         ("p", 5, 100), ("q", 6, 5000), ("q", 7, 10)],
+        "part string, fid long, sz long")
+    out = {(r.part, r.grp): (r.n_files, r.bytes)
+           for r in plan_compaction(files, "part", "fid", "sz",
+                                    1000).collect()}
+    # fill order p: 900,800,700,100,100 (size desc) with exclusive
+    # prefix 0,900,1700,2400,2500 -> groups 0,0,1,2,2
+    assert out[("p", 0)] == (2, 1700)
+    assert out[("p", 1)] == (1, 700)
+    assert out[("p", 2)] == (2, 200)
+    # an over-target file occupies groups by its own prefix; the
+    # next file lands past it
+    assert out[("q", 0)] == (1, 5000)
+    assert out[("q", 5)] == (1, 10)
+
+    # determinism under equal sizes: id breaks the tie
+    eq = spark.createDataFrame(
+        [("p", i, 400) for i in (3, 1, 2)], "part string, fid long, sz long")
+    d1 = plan_compaction(eq, "part", "fid", "sz", 1000).collect()
+    d2 = plan_compaction(eq.orderBy("sz"), "part", "fid", "sz",
+                         1000).collect()
+    key = lambda rows: sorted((r.grp, r.files_digest) for r in rows)
+    assert key(d1) == key(d2)

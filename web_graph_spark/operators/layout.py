@@ -16,7 +16,7 @@ codegen end-to-end, and SQL-oracle replayable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def zvalue_col(dims, bits: int = 16):
@@ -57,3 +57,51 @@ def write_zordered(df: DataFrame, path: str, dims,
        .sortWithinPartitions("__z")
        .drop("__z")
        .write.mode("overwrite").parquet(path))
+
+
+def plan_compaction(files: DataFrame, part_col: str,
+                    id_col: str, size_col: str,
+                    target_bytes: int) -> DataFrame:
+    """Small-files compaction planning — the Iceberg
+    ``rewrite_data_files`` binpack strategy as a relational operator:
+    within each table partition, pack files into rewrite groups of
+    ≈``target_bytes`` and report one row per planned output group.
+    The operational lever against the small-files problem (10^7 tiny
+    parquet files read as 10^7 tasks until someone runs exactly this
+    plan).
+
+    Deterministic greedy fill: files order by (size DESC, id) inside
+    their partition — largest first, the classic binpack heuristic —
+    and a file opens a new group when the EXCLUSIVE running total
+    crosses a target boundary: ``grp = prefix_bytes div target``.
+    Groups are therefore contiguous in the fill order, each holding
+    ≈target bytes (±1 file), and the whole plan is one per-partition
+    window — no driver loop, no pairwise fit search.
+
+    Shape at scale: the input is the FILE MANIFEST (one row per
+    file — dim-sized, not data-sized); one shuffle on the uniform
+    partition key, one per-partition sort + prefix-sum window, one
+    hash agg to groups.  Output ∝ planned groups.
+
+    Returns ``(part, grp, n_files, bytes, files_digest)`` where
+    files_digest certifies the exact membership (md5 over the
+    id-sorted file list).
+
+    Reference analog: none — engine extension (SURVEY §2.10 E125).
+    """
+    w = (Window.partitionBy(part_col)
+         .orderBy(F.desc(size_col), id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    planned = files.select(
+        part_col, id_col, size_col,
+        F.coalesce(F.sum(size_col).over(w), F.lit(0))
+        .cast("long").alias("__pre"))
+    planned = planned.select(
+        part_col, id_col, size_col,
+        F.expr(f"__pre div {int(target_bytes)}").alias("grp"))
+    return (planned.groupBy(part_col, "grp")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum(size_col).cast("long").alias("bytes"),
+                 F.md5(F.array_join(F.array_sort(F.collect_list(
+                     F.col(id_col).cast("string"))), "|"))
+                 .alias("files_digest")))
