@@ -3360,6 +3360,21 @@ def q_crawl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_cdc_log(base, log.unionByName(fresh))
 
 
+def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals (functions/stats.py:
+    benford_audit E126): leading-digit distribution vs the Benford
+    expectation (fixed ppm literals, no runtime logs) with the χ²
+    contribution per digit in exact ppm integers — the data-quality
+    screen a numeric feed runs on ingest.  TPC-H-style uniform
+    prices FAIL the test loudly (huge chi_ppm) — which is the audit
+    working; the oracle replays digits, expectations and every
+    squared deviation in HUGEINT."""
+    from web_graph_spark.functions.stats import benford_audit
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return benford_audit(o, F.floor(F.col("o_totalprice") * 100))
+
+
 def q_corpus_compaction_plan(spark: SparkSession, sf_dir: str
                              ) -> DataFrame:
     """Small-files compaction plan (operators/layout.py:
@@ -3670,6 +3685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_widest": q_graph_widest,
         "events_hll_sliding": q_events_hll_sliding,
         "corpus_compaction_plan": q_corpus_compaction_plan,
+        "orders_benford": q_orders_benford,
         "events_sliding_window": q_events_sliding_window,
         "events_watermark_audit": q_events_watermark_audit,
         "events_anomaly": q_events_anomaly,
@@ -5968,6 +5984,27 @@ fin AS (
 SELECT id, payload, CAST(last_seq AS BIGINT) AS last_seq,
        CASE WHEN last_seq = -1 THEN 'base' ELSE 'log' END AS src
 FROM fin WHERE op <> 'D'"""),
+        "orders_benford": """
+WITH v AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE floor(o_totalprice * 100) > 0
+),
+c AS (
+  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         count(*) AS n_obs
+  FROM v GROUP BY 1
+),
+t AS (SELECT sum(n_obs) AS n FROM c),
+p AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+                            (4, 96910), (5, 79181), (6, 66947),
+                            (7, 57992), (8, 51153), (9, 45757))
+      AS pp(digit, exp_ppm))
+SELECT c.digit, CAST(c.n_obs AS BIGINT) AS n_obs,
+       CAST(p.exp_ppm AS BIGINT) AS exp_ppm,
+       CAST(((c.n_obs::HUGEINT * 1000000 - t.n::HUGEINT * p.exp_ppm)
+             * (c.n_obs::HUGEINT * 1000000 - t.n::HUGEINT * p.exp_ppm))
+            // (t.n::HUGEINT * p.exp_ppm) AS BIGINT) AS chi_ppm
+FROM c JOIN p USING (digit) CROSS JOIN t""",
         "corpus_compaction_plan": """
 WITH pre AS (
   SELECT lang, doc_id, n_chars,

@@ -71,6 +71,10 @@ ALLOW: dict[tuple[str, str], str] = {
         "1-row m_edges aggregate crossed onto the per-community rows",
     ("corpus_importance", "BroadcastNestedLoopJoin"):
         "two 1-row bucket-total dims (raw/target gram counts)",
+    ("orders_benford", "BroadcastNestedLoopJoin"):
+        "1-row total-count dim crossed onto the 9-digit dim",
+    ("orders_benford", "Exchange SinglePartition"):
+        "1-row total aggregate over the 9-digit dim",
     ("events_gini", "Exchange SinglePartition"):
         "cumulative window over the weight-VALUE histogram (bounded "
         "by the value range, never key count) + the 1-row final fold",

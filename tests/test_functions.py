@@ -2182,3 +2182,42 @@ def test_hll_sliding_distinct_merge_semantics(spark):
     for hr in out:
         n_ex, n_hll = out[hr]
         assert abs(n_hll - n_ex) <= 0.30 * n_ex
+
+
+@pytest.mark.spark
+def test_benford_audit_pins(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.stats import (BENFORD_PPM,
+                                                 benford_audit)
+
+    # the ppm table IS round(log10(1+1/d)*1e6) and sums to exactly 1e6
+    assert list(BENFORD_PPM) == [
+        round(math.log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)]
+    assert sum(BENFORD_PPM) == 1_000_000
+
+    # a perfectly Benford-proportioned sample scores ~zero chi
+    rows = []
+    for d, p in enumerate(BENFORD_PPM, start=1):
+        rows += [(d * 10,)] * round(p / 1000)   # 1000-row sample
+    df = spark.createDataFrame(rows, "v long")
+    out = {r.digit: (r.n_obs, r.exp_ppm, r.chi_ppm)
+           for r in benford_audit(df, F.col("v")).collect()}
+    n = sum(c for c, _, _ in out.values())
+    for d, p in enumerate(BENFORD_PPM, start=1):
+        n_obs, exp_ppm, chi = out[d]
+        assert exp_ppm == p
+        # exact replication of the integer chi formula
+        dev = n_obs * 1_000_000 - n * p
+        assert chi == (dev * dev) // (n * p)
+        assert chi < 2000          # ~perfect fit
+
+    # uniform digits fail loudly; zeros/negatives are excluded
+    uni = spark.createDataFrame(
+        [(d * 100 + 7,) for d in range(1, 10) for _ in range(50)]
+        + [(0,), (-5,)], "v long")
+    got = benford_audit(uni, F.col("v")).collect()
+    assert sum(r.n_obs for r in got) == 450
+    assert sum(r.chi_ppm for r in got) > 50_000_000  # chi2 >> crit

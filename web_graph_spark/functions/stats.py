@@ -896,3 +896,48 @@ def hll_sliding_distinct(df: DataFrame, group: str, ts_col: str,
                     F.col("hr").cast("long").alias("hr"),
                     F.col("n_exact").cast("long").alias("n_exact"),
                     F.col("n_hll").cast("long").alias("n_hll")))
+
+
+# round(log10(1 + 1/d) * 10^6) for d = 1..9 — sums to exactly 10^6
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992,
+               51153, 45757)
+
+
+def benford_audit(df: DataFrame, value_int) -> DataFrame:
+    """Benford's-law first-digit audit of a positive integer measure
+    — the data-quality / anomaly screen (fabricated or truncated
+    numeric feeds fail it; naturally multiplicative ones pass).
+    Emits one row per leading digit with the observed count, the
+    Benford expectation in ppm (fixed integer literals — no runtime
+    logs), and the χ² contribution scaled to ppm::
+
+        chi_ppm(d) = (n_d·10^6 − n·p_d)² div (n·p_d)   [= χ²_d·10^6]
+
+    in decimal(38,0), so both engines produce identical statistics;
+    Σ chi_ppm vs the χ²(8) critical value is the test.
+
+    Shape: one codegen digit projection + one 9-bucket hash agg
+    (map-side partials) + a 1-row total joined onto the 9-row dim.
+    Non-positive values are excluded (no leading digit).
+
+    Reference analog: none — engine extension (SURVEY §2.10 E126).
+    """
+    counts = (df.select(value_int.cast("long").alias("v"))
+              .where(F.col("v") > 0)
+              .select(F.substring(F.col("v").cast("string"), 1, 1)
+                      .cast("int").alias("digit"))
+              .groupBy("digit")
+              .agg(F.count(F.lit(1)).alias("n_obs")))
+    tot = counts.agg(F.sum("n_obs").cast("long").alias("n"))
+    exp = F.element_at(F.array(*[F.lit(p) for p in BENFORD_PPM]),
+                       F.col("digit"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("digit", F.col("n_obs").cast("long").alias("n_obs"),
+                    exp.cast("long").alias("exp_ppm"), "n")
+            .withColumn("__dev", F.expr(
+                "cast(n_obs as decimal(38,0)) * 1000000 "
+                "- cast(n as decimal(38,0)) * exp_ppm"))
+            .withColumn("chi_ppm", F.expr(
+                "cast(__dev * __dev div (cast(n as decimal(38,0)) "
+                "* exp_ppm) as bigint)"))
+            .drop("n", "__dev"))
