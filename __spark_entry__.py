@@ -3360,6 +3360,20 @@ def q_crawl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_cdc_log(base, log.unionByName(fresh))
 
 
+def q_events_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 / self-join-size sketch on the event user key
+    (functions/stats.py:ams_f2 E127, Alon–Matias–Szegedy STOC'96):
+    64 linear ±1-sign counters, median-of-means in exact integers —
+    the join-size estimate a planner wants before shuffling on a
+    key (F2 ≫ n ⟹ salt it).  The reduce side sees 64 rows whatever
+    the input; the exact Σf² certifies alongside.  Oracle replays
+    signs, counters, group means and the lower median."""
+    from web_graph_spark.functions.stats import ams_f2
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ams_f2(ev, F.col("user_id"))
+
+
 def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of order totals (functions/stats.py:
     benford_audit E126): leading-digit distribution vs the Benford
@@ -3686,6 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_sliding": q_events_hll_sliding,
         "corpus_compaction_plan": q_corpus_compaction_plan,
         "orders_benford": q_orders_benford,
+        "events_ams_f2": q_events_ams_f2,
         "events_sliding_window": q_events_sliding_window,
         "events_watermark_audit": q_events_watermark_audit,
         "events_anomaly": q_events_anomaly,
@@ -5984,6 +5999,28 @@ fin AS (
 SELECT id, payload, CAST(last_seq AS BIGINT) AS last_seq,
        CASE WHEN last_seq = -1 THEN 'base' ELSE 'log' END AS src
 FROM fin WHERE op <> 'D'"""),
+        "events_ams_f2": f"""
+WITH keyed AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+est AS (SELECT key, u.i
+        FROM keyed, UNNEST(generate_series(0, 255)) AS u(i)),
+sgn AS (
+  SELECT i,
+         CASE WHEN {_hex16_sql("CAST(i AS VARCHAR) || ':' || key")}
+                   % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM est
+),
+z AS (SELECT i, sum(s) AS z FROM sgn GROUP BY 1),
+g AS (SELECT i % 32 AS g, sum(z * z) // 8 AS mean FROM z GROUP BY 1),
+ams AS (SELECT mean FROM g ORDER BY mean LIMIT 1 OFFSET 15),
+ex AS (
+  SELECT sum(c * c) AS f2_exact, sum(c) AS n_rows
+  FROM (SELECT key, count(*) AS c FROM keyed GROUP BY 1)
+)
+SELECT CAST(ex.n_rows AS BIGINT) AS n_rows,
+       CAST(ex.f2_exact AS BIGINT) AS f2_exact,
+       CAST(ams.mean AS BIGINT) AS f2_ams
+FROM ex CROSS JOIN ams""",
         "orders_benford": """
 WITH v AS (
   SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v

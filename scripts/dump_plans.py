@@ -71,6 +71,11 @@ ALLOW: dict[tuple[str, str], str] = {
         "1-row m_edges aggregate crossed onto the per-community rows",
     ("corpus_importance", "BroadcastNestedLoopJoin"):
         "two 1-row bucket-total dims (raw/target gram counts)",
+    ("events_ams_f2", "BroadcastNestedLoopJoin"):
+        "1-row sketch-median dim crossed onto the 1-row exact dim",
+    ("events_ams_f2", "Exchange SinglePartition"):
+        "k-row counter dim re-aggregations and two 1-row folds; the "
+        "per-estimator partial sums combine map-side before them",
     ("orders_benford", "BroadcastNestedLoopJoin"):
         "1-row total-count dim crossed onto the 9-digit dim",
     ("orders_benford", "Exchange SinglePartition"):

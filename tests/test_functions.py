@@ -2221,3 +2221,26 @@ def test_benford_audit_pins(spark):
     got = benford_audit(uni, F.col("v")).collect()
     assert sum(r.n_obs for r in got) == 450
     assert sum(r.chi_ppm for r in got) > 50_000_000  # chi2 >> crit
+
+
+@pytest.mark.spark
+def test_ams_f2_bands(spark):
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.stats import ams_f2
+
+    # all-distinct keys: F2 = n
+    dist = spark.range(0, 2000).select(F.col("id").alias("k"))
+    r = ams_f2(dist, F.col("k")).collect()[0]
+    assert (r.n_rows, r.f2_exact) == (2000, 2000)
+    assert abs(r.f2_ams - 2000) <= 0.5 * 2000
+
+    # heavy skew: one key dominates, F2 explodes relative to n
+    skew = spark.createDataFrame(
+        [("hot",)] * 1000 + [(f"k{i}",) for i in range(500)],
+        "k string")
+    r = ams_f2(skew, F.col("k")).collect()[0]
+    assert (r.n_rows, r.f2_exact) == (1500, 1000 * 1000 + 500)
+    assert abs(r.f2_ams - r.f2_exact) <= 0.5 * r.f2_exact
+    # the sketch SEES the skew: estimate far above the uniform F2
+    assert r.f2_ams > 20 * r.n_rows

@@ -941,3 +941,56 @@ def benford_audit(df: DataFrame, value_int) -> DataFrame:
                 "cast(__dev * __dev div (cast(n as decimal(38,0)) "
                 "* exp_ppm) as bigint)"))
             .drop("n", "__dev"))
+
+
+AMS_K = 256                      # estimators (k//8 groups of 8)
+
+
+def ams_f2(df: DataFrame, key, k: int = AMS_K) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon–Matias–Szegedy,
+    STOC'96): estimate ``F2 = Σ_key f_key²`` — the SELF-JOIN SIZE of
+    a key column, the number a planner wants before committing to a
+    join on it (F2 ≫ n ⟹ skewed key, salt it).  Exact F2 needs a
+    per-key aggregation; the AMS sketch is LINEAR: estimator i keeps
+    one counter ``Z_i = Σ_rows sign_i(key)`` with 4-wise-ish hash
+    signs, and ``E[Z_i²] = F2`` exactly.  Median-of-means over
+    ``k = 64`` estimators in 8 groups — all integers (signs are
+    ±1 from the shared hex16 recipe; the median is the lower median
+    of the 8 integer group means), so both engines agree
+    bit-for-bit.
+
+    Shape at scale: each row updates k counters — a map-side k-fold
+    explode whose per-estimator partial sums combine BEFORE the
+    shuffle; the reduce side sees k rows total, whatever the input.
+    The exact F2 (one per-key agg) rides alongside as certification
+    — the state the sketch exists to avoid at 10^10 keys.
+
+    Returns one row ``(n_rows, f2_exact, f2_ams)``.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E127).
+    """
+    keyed = df.select(key.cast("string").alias("key"))
+    est = keyed.select(
+        "key", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"))
+    h = F.md5(F.concat(F.col("i").cast("string"), F.lit(":"),
+                       F.col("key")))
+    alpha = F.lit("0123456789abcdef")
+    d = [F.instr(alpha, F.substring(h, j, 1)) - 1 for j in (1, 2, 3, 4)]
+    h16 = d[0] * 4096 + d[1] * 256 + d[2] * 16 + d[3]
+    sign = F.lit(1) - F.lit(2) * (h16 % 2)
+    zs = (est.select("i", sign.cast("long").alias("s"))
+          .groupBy("i").agg(F.sum("s").alias("z")))
+    n_groups = k // 8
+    grp = (zs.select((F.col("i") % n_groups).alias("g"),
+                     (F.col("z") * F.col("z")).alias("z2"))
+           .groupBy("g")
+           .agg(F.expr("sum(z2) div 8").cast("long").alias("mean")))
+    ams = (grp.agg(F.element_at(F.array_sort(F.collect_list("mean")),
+                                n_groups // 2).alias("f2_ams")))
+    exact = (keyed.groupBy("key").agg(F.count(F.lit(1)).alias("c"))
+             .agg(F.sum(F.col("c") * F.col("c")).cast("long")
+                  .alias("f2_exact"),
+                  F.sum("c").cast("long").alias("n_rows")))
+    return (exact.crossJoin(F.broadcast(ams))
+            .select("n_rows", "f2_exact",
+                    F.col("f2_ams").cast("long").alias("f2_ams")))
