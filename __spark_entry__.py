@@ -3360,6 +3360,54 @@ def q_crawl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_cdc_log(base, log.unionByName(fresh))
 
 
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (event_type, day) (functions/
+    stats.py:time_weighted_avg E128, the TimescaleDB time_weight
+    LOCF shape): each sample holds until the next, so the mean
+    weights by HOLD TIME, not sampling density — exact integer
+    µs×cents arithmetic, one lead window per group.  Oracle replays
+    the step integral with its own window."""
+    from web_graph_spark.functions.stats import time_weighted_avg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "ts",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("v_c"))
+    return time_weighted_avg(ev, ["event_type", "day"], "ts",
+                             F.col("v_c"))
+
+
+def q_events_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (functions/stats.py:relational_division
+    E129, Codd's ÷): the users active on EVERY day of the launch
+    week (2024-01-01..07) — the FOR-ALL query joins can't express
+    without the double-negation plan.  Divisor is a broadcast
+    7-row dim; nothing fact-sized is nested-looped.  The oracle is
+    the genuinely different NOT EXISTS(… NOT EXISTS …) form."""
+    from web_graph_spark.functions.stats import relational_division
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+    week = spark.range(1).select(F.explode(F.sequence(
+        F.to_date(F.lit("2024-01-01")),
+        F.to_date(F.lit("2024-01-07")))).alias("day"))
+    return relational_division(ev, "user_id", "day", week)
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the undirected admissible link graph
+    (operators/graph_algos.py:degree_assortativity E130, Newman
+    2002): does the web graph wire hubs to hubs or hubs to leaves?
+    Emitted as covariance sign + r² in ppm — exact decimal(38,0)
+    moment algebra, no square roots to drift between engines."""
+    from web_graph_spark.operators.graph_algos import degree_assortativity
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    return degree_assortativity(e)
+
+
 def q_events_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS F2 / self-join-size sketch on the event user key
     (functions/stats.py:ams_f2 E127, Alon–Matias–Szegedy STOC'96):
@@ -3701,6 +3749,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_compaction_plan": q_corpus_compaction_plan,
         "orders_benford": q_orders_benford,
         "events_ams_f2": q_events_ams_f2,
+        "events_twap": q_events_twap,
+        "events_division": q_events_division,
+        "graph_assortativity": q_graph_assortativity,
         "events_sliding_window": q_events_sliding_window,
         "events_watermark_audit": q_events_watermark_audit,
         "events_anomaly": q_events_anomaly,
@@ -5999,6 +6050,72 @@ fin AS (
 SELECT id, payload, CAST(last_seq AS BIGINT) AS last_seq,
        CASE WHEN last_seq = -1 THEN 'base' ELSE 'log' END AS src
 FROM fin WHERE op <> 'D'"""),
+        "events_twap": """
+WITH s AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         epoch_us(ts) AS t,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+),
+stepped AS (
+  SELECT event_type, day, v,
+         lead(t) OVER (PARTITION BY event_type, day
+                       ORDER BY t, v) - t AS held_us
+  FROM s
+)
+SELECT event_type, day,
+       CAST(count(*) + 1 AS BIGINT) AS n_samples,
+       CAST(sum(held_us) AS BIGINT) AS span_us,
+       CAST(sum(v::HUGEINT * held_us)
+            // sum(held_us::HUGEINT) AS BIGINT) AS twap
+FROM stepped WHERE held_us IS NOT NULL
+GROUP BY 1, 2""",
+        "events_division": """
+WITH obs AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+wk AS (SELECT unnest(generate_series(DATE '2024-01-01',
+                                     DATE '2024-01-07',
+                                     INTERVAL 1 DAY))::DATE AS day)
+SELECT DISTINCT u.user_id
+FROM (SELECT DISTINCT user_id FROM events) u
+WHERE NOT EXISTS (
+  SELECT 1 FROM wk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM obs
+    WHERE obs.user_id = u.user_id AND obs.day = wk.day))""",
+        "graph_assortativity": _oracle("""
+, und AS (
+  SELECT DISTINCT least(src_doc_id, tgt_doc_id) AS u,
+         greatest(src_doc_id, tgt_doc_id) AS v
+  FROM web_links_full WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id
+),
+sym AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+deg AS (SELECT u, count(*) AS d FROM sym GROUP BY 1),
+pairs AS (
+  SELECT dx.d AS dx, dy.d AS dy
+  FROM sym JOIN deg dx ON dx.u = sym.u
+  JOIN deg dy ON dy.u = sym.v
+),
+m AS (
+  SELECT count(*)::HUGEINT AS n, sum(dx)::HUGEINT AS sx,
+         sum(dy)::HUGEINT AS sy,
+         sum(dx::HUGEINT * dy) AS sxy,
+         sum(dx::HUGEINT * dx) AS sxx,
+         sum(dy::HUGEINT * dy) AS syy
+  FROM pairs
+)
+SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+       CAST(sign(n * sxy - sx * sy) AS INTEGER) AS cov_sign,
+       CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+            THEN 0
+            ELSE CAST((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                      * 1000000
+                      // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                      AS BIGINT) END AS r2_ppm
+FROM m"""),
         "events_ams_f2": f"""
 WITH keyed AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
 est AS (SELECT key, u.i

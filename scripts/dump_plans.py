@@ -71,6 +71,12 @@ ALLOW: dict[tuple[str, str], str] = {
         "1-row m_edges aggregate crossed onto the per-community rows",
     ("corpus_importance", "BroadcastNestedLoopJoin"):
         "two 1-row bucket-total dims (raw/target gram counts)",
+    ("graph_assortativity", "Exchange SinglePartition"):
+        "1-row moment fold (n/Sx/Sy/Sxy/Sxx/Syy partials upstream)",
+    ("events_division", "BroadcastNestedLoopJoin"):
+        "required = keys x the 7-row broadcast divisor dim — the "
+        "textbook double-negation division plan; divisor is bounded "
+        "by definition (a FOR-ALL set), facts join hash-only",
     ("events_ams_f2", "BroadcastNestedLoopJoin"):
         "1-row sketch-median dim crossed onto the 1-row exact dim",
     ("events_ams_f2", "Exchange SinglePartition"):

@@ -2244,3 +2244,49 @@ def test_ams_f2_bands(spark):
     assert abs(r.f2_ams - r.f2_exact) <= 0.5 * r.f2_exact
     # the sketch SEES the skew: estimate far above the uniform F2
     assert r.f2_ams > 20 * r.n_rows
+
+
+@pytest.mark.spark
+def test_time_weighted_avg_holds_values(spark):
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.stats import time_weighted_avg
+
+    # value 100 held 9 us, value 10 held 1 us -> twap = 91, NOT the
+    # sample mean 55 (the operator's whole point)
+    rows = [("g", 0.0, 100), ("g", 9e-6, 10), ("g", 10e-6, 0),
+            ("solo", 5.0, 42)]          # single sample -> excluded
+    df = (spark.createDataFrame(rows, "k string, sec double, v long")
+          .select("k", F.timestamp_seconds("sec").alias("ts"), "v"))
+    out = {r.k: (r.n_samples, r.span_us, r.twap)
+           for r in time_weighted_avg(df, ["k"], "ts",
+                                      F.col("v")).collect()}
+    assert out == {"g": (3, 10, 91)}
+
+    # equal-spacing degenerates to the sample mean of held values
+    rows = [("e", i * 1e-6, v) for i, v in enumerate([4, 8, 12, 99])]
+    df = (spark.createDataFrame(rows, "k string, sec double, v long")
+          .select("k", F.timestamp_seconds("sec").alias("ts"), "v"))
+    r = time_weighted_avg(df, ["k"], "ts", F.col("v")).collect()[0]
+    assert (r.n_samples, r.span_us, r.twap) == (4, 3, 8)
+
+
+@pytest.mark.spark
+def test_relational_division_for_all(spark):
+    from web_graph_spark.functions.stats import relational_division
+
+    obs = spark.createDataFrame(
+        [("full", "a"), ("full", "b"), ("full", "c"),
+         ("extra", "a"), ("extra", "b"), ("extra", "c"), ("extra", "z"),
+         ("partial", "a"), ("partial", "b"),
+         ("dup", "a"), ("dup", "a"), ("dup", "b"), ("dup", "c")],
+        "k string, a string")
+    div = spark.createDataFrame([("a",), ("b",), ("c",)], "a string")
+    got = {r.k for r in relational_division(obs, "k", "a",
+                                            div).collect()}
+    assert got == {"full", "extra", "dup"}
+    # empty divisor -> every key qualifies (vacuous truth)
+    empty = div.limit(0)
+    assert {r.k for r in relational_division(obs, "k", "a",
+                                             empty).collect()} \
+        == {"full", "extra", "partial", "dup"}

@@ -855,3 +855,31 @@ def test_widest_paths_hand_traced(spark):
     # seeds never appear in the output, even when re-reached
     got = run([(0, 1, 5), (1, 0, 5)], [0])
     assert got == {1: 5}
+
+
+@pytest.mark.spark
+def test_degree_assortativity_sign_pins(spark):
+    from web_graph_spark.operators.graph_algos import degree_assortativity
+
+    def run(edges):
+        e = spark.createDataFrame(edges,
+                                  "src_doc_id long, tgt_doc_id long")
+        return degree_assortativity(e).collect()[0]
+
+    # star graph: hub wires only to leaves -> perfectly disassortative
+    star = [(0, i) for i in range(1, 6)]
+    r = run(star)
+    assert r.n_edges == 5 and r.cov_sign == -1 and r.r2_ppm == 1_000_000
+
+    # two disjoint cliques: every endpoint pair has equal degree ->
+    # zero variance... use a clique + pendant chain mix instead:
+    # path graph P4: ends (deg1) attach to middles (deg2) and the
+    # middle edge is 2-2 -> negative but not perfect
+    r = run([(1, 2), (2, 3), (3, 4)])
+    assert r.cov_sign == -1 and 0 < r.r2_ppm < 1_000_000
+
+    # symmetrization makes Sx = Sy: a regular graph (cycle) has zero
+    # degree variance -> covariance 0
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    r = run(cyc)
+    assert r.cov_sign == 0 and r.r2_ppm == 0

@@ -994,3 +994,68 @@ def ams_f2(df: DataFrame, key, k: int = AMS_K) -> DataFrame:
     return (exact.crossJoin(F.broadcast(ams))
             .select("n_rows", "f2_exact",
                     F.col("f2_ams").cast("long").alias("f2_ams")))
+
+
+def time_weighted_avg(df: DataFrame, group_cols: list[str],
+                      ts_col: str, value_int) -> DataFrame:
+    """Time-weighted average over irregular samples (the TimescaleDB
+    ``time_weight('LOCF')`` shape): each sample holds its value until
+    the next one, and the average weights each value by how long it
+    HELD, not by how often it was sampled — the correct mean for
+    sensor/price/gauge streams where sampling density varies.
+
+    Exact integers: value in fixed-point units, time in epoch µs;
+    ``twap = Σ v_i·(t_{i+1} − t_i) div (t_n − t_1)`` over
+    decimal(38,0), per group, samples ordered by (ts, value).
+    Groups with fewer than two samples have zero span and are
+    excluded (no held interval to average).
+
+    Shape: one shuffle on the uniform group key, one per-group sort
+    shared by the single lead window, one hash agg.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E128).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(ts_col, "v")
+    rows = df.select(
+        *group_cols,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias(ts_col),
+        value_int.cast("long").alias("v"))
+    stepped = rows.select(
+        *group_cols, "v",
+        (F.lead(ts_col).over(w) - F.col(ts_col)).alias("held_us"))
+    return (stepped.where(F.col("held_us").isNotNull())
+            .groupBy(*group_cols)
+            .agg((F.count(F.lit(1)) + 1).cast("long").alias("n_samples"),
+                 F.sum("held_us").cast("long").alias("span_us"),
+                 F.expr("sum(cast(v as decimal(38,0)) * held_us) "
+                        "div sum(cast(held_us as decimal(38,0)))")
+                 .cast("long").alias("twap")))
+
+
+def relational_division(df: DataFrame, key_col: str, attr_col: str,
+                        divisor: DataFrame) -> DataFrame:
+    """Relational division (Codd's ÷ — the "FOR ALL" operator): the
+    keys whose attribute set covers EVERY row of ``divisor`` — users
+    active on all days of a launch week, hosts linking to every page
+    of a hub set, mirrors carrying the full file list.
+
+    Double-negation form (the textbook plan, and the scale-correct
+    one): required = keys × divisor (divisor is a BOUNDED dim —
+    broadcast); missing = required ∖ observed (left-anti on the
+    uniform key+attr); answer = keys ∖ missing.  Nothing fact-sized
+    is ever nested-looped; the oracle uses the genuinely different
+    NOT EXISTS(… NOT EXISTS …) form.
+
+    Returns the qualifying ``(key)`` rows.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E129).
+    """
+    keys = df.select(F.col(key_col).alias("k")).distinct()
+    d = F.broadcast(divisor.select(F.col(divisor.columns[0])
+                                   .alias("a")).distinct())
+    required = keys.crossJoin(d)
+    observed = df.select(F.col(key_col).alias("k"),
+                         F.col(attr_col).alias("a")).distinct()
+    missing = required.join(observed, ["k", "a"], "left_anti")
+    return (keys.join(missing.select("k").distinct(), "k", "left_anti")
+            .select(F.col("k").alias(key_col)))

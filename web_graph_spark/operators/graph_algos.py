@@ -1457,3 +1457,64 @@ def widest_paths(edges: DataFrame, seeds: DataFrame,
     e.unpersist()
     return (cap.join(sd, "__v", "left_anti")
             .select(F.col("__v").alias(id_col), F.col("c").alias("cap")))
+
+
+def degree_assortativity(edges: DataFrame,
+                         src: str = "src_doc_id",
+                         dst: str = "tgt_doc_id") -> DataFrame:
+    """Degree assortativity (Newman 2002) of the undirected graph in
+    EXACT integer arithmetic: do high-degree vertices attach to
+    high-degree vertices (r > 0, social-network-like) or to leaves
+    (r < 0, web/internet-like)?  The Pearson correlation of endpoint
+    degrees over the edge list — but ``r`` itself needs square
+    roots, so the exact emission is ``r² in ppm`` plus the SIGN of
+    the covariance: ``r2_ppm = (n·Sxy − Sx·Sy)²·10^6 div
+    ((n·Sxx − Sx²)·(n·Syy − Sy²))`` over decimal(38,0), monotone in
+    |r| and bit-equal in any engine.
+
+    Edges are undirected-deduped and each contributes BOTH endpoint
+    orderings (the standard symmetrization, making Sx = Sy by
+    construction — pinned).  Shape: degrees = one uniform-key agg;
+    two joins edge⋈degree; one 1-row moment fold.
+
+    Returns one row ``(n_edges, cov_sign, r2_ppm)``.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E130).
+    """
+    und = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                        F.greatest(F.col(src), F.col(dst)).alias("v"))
+           .where(F.col("u") != F.col("v")).distinct())
+    sym = (und.select("u", "v")
+           .unionAll(und.select(F.col("v").alias("u"),
+                                F.col("u").alias("v"))))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (sym
+             .join(deg.select(F.col("u"), F.col("d").alias("dx")), "u")
+             .join(deg.select(F.col("u").alias("v"),
+                              F.col("d").alias("dy")), "v"))
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.expr("cast(dx as decimal(38,0)) * dy")).alias("sxy"),
+        F.sum(F.expr("cast(dx as decimal(38,0)) * dx")).alias("sxx"),
+        F.sum(F.expr("cast(dy as decimal(38,0)) * dy")).alias("syy"))
+    return m.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.expr("cast(sign(cast(n as decimal(38,0)) * sxy "
+               "- cast(sx as decimal(38,0)) * sy) as int)")
+        .alias("cov_sign"),
+        F.expr(
+            "case when (cast(n as decimal(38,0)) * sxx "
+            "- cast(sx as decimal(38,0)) * sx) = 0 "
+            "or (cast(n as decimal(38,0)) * syy "
+            "- cast(sy as decimal(38,0)) * sy) = 0 then 0 else "
+            "cast((cast(n as decimal(38,0)) * sxy "
+            "- cast(sx as decimal(38,0)) * sy) "
+            "* (cast(n as decimal(38,0)) * sxy "
+            "- cast(sx as decimal(38,0)) * sy) * 1000000 "
+            "div ((cast(n as decimal(38,0)) * sxx "
+            "- cast(sx as decimal(38,0)) * sx) "
+            "* (cast(n as decimal(38,0)) * syy "
+            "- cast(sy as decimal(38,0)) * sy)) as bigint) end")
+        .alias("r2_ppm"))
