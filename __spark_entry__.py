@@ -3360,6 +3360,24 @@ def q_crawl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_cdc_log(base, log.unionByName(fresh))
 
 
+def q_dedup_blocking_quality(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Blocking-scheme evaluation (functions/dedup.py:
+    blocking_quality E131, Christen TKDE'12) of the E96
+    sorted-neighborhood URL blocking: reduction ratio (comparisons
+    avoided, closed-form from block sizes — no pair
+    materialization), pair completeness and pair quality vs the
+    exhaustive within-host Levenshtein truth tier — the audit that
+    says whether window=3 is a safe comparison budget.  All exact
+    ppm integers; the oracle replays block-size algebra, the window
+    pairing and the exhaustive tier."""
+    from web_graph_spark.functions.dedup import blocking_quality
+
+    p = webgen.pages_df(spark, sf_dir).select("doc_id", "host", "path")
+    return blocking_quality(p, "host", "path", "doc_id",
+                            window=3, max_dist=2)
+
+
 def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average value per (event_type, day) (functions/
     stats.py:time_weighted_avg E128, the TimescaleDB time_weight
@@ -3750,6 +3768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_benford": q_orders_benford,
         "events_ams_f2": q_events_ams_f2,
         "events_twap": q_events_twap,
+        "dedup_blocking_quality": q_dedup_blocking_quality,
         "events_division": q_events_division,
         "graph_assortativity": q_graph_assortativity,
         "events_sliding_window": q_events_sliding_window,
@@ -6050,6 +6069,44 @@ fin AS (
 SELECT id, payload, CAST(last_seq AS BIGINT) AS last_seq,
        CASE WHEN last_seq = -1 THEN 'base' ELSE 'log' END AS src
 FROM fin WHERE op <> 'D'"""),
+        "dedup_blocking_quality": _oracle("""
+, t AS (SELECT DISTINCT host AS b, path AS k, doc_id AS i
+        FROM web_pages),
+sz AS (SELECT b, count(*) AS n FROM t GROUP BY 1),
+base AS (
+  SELECT sum(n) AS n_records, count(*) AS n_blocks,
+         sum(n * (n - 1) // 2) AS n_block_pairs,
+         sum(CASE WHEN n > 3 THEN n * 3 - 6
+                  ELSE n * (n - 1) // 2 END) AS n_comparisons
+  FROM sz
+),
+tp AS (
+  SELECT count(*) AS n_true
+  FROM t a JOIN t x ON x.b = a.b AND a.i < x.i
+  WHERE levenshtein(a.k, x.k) <= 2
+),
+s AS (SELECT b, k, i,
+             row_number() OVER (PARTITION BY b ORDER BY k, i) AS rn
+      FROM t),
+fnd AS (
+  SELECT count(*) AS n_found
+  FROM s a JOIN s x
+    ON x.b = a.b AND x.rn > a.rn AND x.rn <= a.rn + 3
+  WHERE levenshtein(a.k, x.k) <= 2
+)
+SELECT CAST(n_records AS BIGINT) AS n_records,
+       CAST(n_blocks AS BIGINT) AS n_blocks,
+       CAST(n_block_pairs AS BIGINT) AS n_block_pairs,
+       CAST(n_comparisons AS BIGINT) AS n_comparisons,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_found AS BIGINT) AS n_found,
+       CAST(1000000 - n_comparisons * 1000000
+            // greatest(n_block_pairs, 1) AS BIGINT) AS rr_ppm,
+       CAST(n_found * 1000000 // greatest(n_true, 1) AS BIGINT)
+         AS pc_ppm,
+       CAST(n_found * 1000000 // greatest(n_comparisons, 1)
+            AS BIGINT) AS pq_ppm
+FROM base CROSS JOIN tp CROSS JOIN fnd"""),
         "events_twap": """
 WITH s AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

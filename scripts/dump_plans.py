@@ -71,6 +71,11 @@ ALLOW: dict[tuple[str, str], str] = {
         "1-row m_edges aggregate crossed onto the per-community rows",
     ("corpus_importance", "BroadcastNestedLoopJoin"):
         "two 1-row bucket-total dims (raw/target gram counts)",
+    ("dedup_blocking_quality", "BroadcastNestedLoopJoin"):
+        "three 1-row metric dims (base/truth/found) crossed together",
+    ("dedup_blocking_quality", "Exchange SinglePartition"):
+        "three 1-row aggregates (closed-form block algebra, truth "
+        "count, found count); partials upstream",
     ("graph_assortativity", "Exchange SinglePartition"):
         "1-row moment fold (n/Sx/Sy/Sxy/Sxx/Syy partials upstream)",
     ("events_division", "BroadcastNestedLoopJoin"):

@@ -2290,3 +2290,36 @@ def test_relational_division_for_all(spark):
     assert {r.k for r in relational_division(obs, "k", "a",
                                              empty).collect()} \
         == {"full", "extra", "partial", "dup"}
+
+
+@pytest.mark.spark
+def test_blocking_quality_closed_forms(spark):
+    from web_graph_spark.functions.dedup import blocking_quality
+
+    # block "h": keys sort as ab, ac, zz, zy-far apart; true matches
+    # at dist<=1: (ab,ac) adjacent -> found; (zz,zx)?? construct:
+    rows = [("h", 1, "ab"), ("h", 2, "ac"), ("h", 3, "mm"),
+            ("h", 4, "zz"), ("h", 5, "zx"),
+            ("g", 6, "q"), ("g", 7, "q")]
+    df = spark.createDataFrame(rows, "host string, doc_id long, "
+                                     "path string")
+    r = blocking_quality(df, "host", "path", "doc_id",
+                         window=1, max_dist=1).collect()[0]
+    # block sizes 5 and 2: pairs = 10 + 1 = 11
+    assert (r.n_records, r.n_blocks, r.n_block_pairs) == (7, 2, 11)
+    # window=1 comparisons: (5*1 - 1) + (2*1 - 1) = 5
+    assert r.n_comparisons == 5
+    # true dist<=1 pairs: (ab,ac), (zz,zx), (q,q) = 3
+    assert r.n_true == 3
+    # sort order ab,ac,mm,zx,zz: adjacent finds (ab,ac) and (zx,zz);
+    # plus (q,q) -> 3 of 3 found at window=1 here
+    assert r.n_found == 3
+    assert r.rr_ppm == 1_000_000 - 5 * 1_000_000 // 11
+    assert r.pc_ppm == 1_000_000
+    assert r.pq_ppm == 3 * 1_000_000 // 5
+
+    # shrinking the window can only lose completeness, never gain
+    r3 = blocking_quality(df, "host", "path", "doc_id",
+                          window=3, max_dist=1).collect()[0]
+    assert r3.n_comparisons >= r.n_comparisons
+    assert r3.n_found >= r.n_found and r3.n_true == r.n_true

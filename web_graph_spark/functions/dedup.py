@@ -740,3 +740,67 @@ def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
                     (F.col("e") - F.col("start") + 1).alias("chunk_len"),
                     F.md5(F.expr("substring(t, start, e - start + 1)"))
                     .alias("chunk_md5")))
+
+
+def blocking_quality(df: DataFrame, block: str, key: str,
+                     id_col: str = "doc_id", window: int = 3,
+                     max_dist: int = 2) -> DataFrame:
+    """Blocking-scheme evaluation (Christen, TKDE 2012): how good is
+    the sorted-neighborhood blocking (:func:`sorted_neighborhood_
+    pairs`) as a COMPARISON BUDGET?  Three standard numbers, exact
+    integers/ppm:
+
+    * reduction ratio — comparisons avoided vs all within-block
+      pairs: ``rr_ppm = 10^6 − n_comparisons·10^6 div n_block_pairs``
+    * pair completeness (recall of the budget) — true matches the
+      window still reaches: ``pc_ppm = n_found·10^6 div n_true``
+    * pair quality (precision of the budget):
+      ``pq_ppm = n_found·10^6 div n_comparisons``
+
+    The comparison count is CLOSED-FORM from block sizes (a block of
+    n makes ``n·w − w(w+1)/2`` comparisons when n > w, else all
+    ``n(n−1)/2``) — no pair materialization.  Ground truth is the
+    exhaustive within-block Levenshtein tier — the O(n_b²)
+    certification this operator exists to let a deployment AVOID;
+    at 10^10 rows you sample blocks for it (here the blocks are
+    host-sized and small).
+
+    Returns one row ``(n_records, n_blocks, n_block_pairs,
+    n_comparisons, n_true, n_found, rr_ppm, pc_ppm, pq_ppm)``.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E131).
+    """
+    w = int(window)
+    sizes = df.groupBy(F.col(block).alias("b")) \
+        .agg(F.count(F.lit(1)).alias("n"))
+    comps = F.expr(f"case when n > {w} then n * {w} "
+                   f"- {w * (w + 1) // 2} "
+                   "else n * (n - 1) div 2 end")
+    base = sizes.agg(
+        F.sum("n").cast("long").alias("n_records"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.expr("n * (n - 1) div 2")).cast("long")
+        .alias("n_block_pairs"),
+        F.sum(comps).cast("long").alias("n_comparisons"))
+    a = df.select(F.col(block).alias("b"), F.col(id_col).alias("ia"),
+                  F.col(key).alias("ka"))
+    bb = df.select(F.col(block).alias("b"), F.col(id_col).alias("ib"),
+                   F.col(key).alias("kb"))
+    true_pairs = (a.join(bb, "b").where(F.col("ia") < F.col("ib"))
+                  .where(F.levenshtein("ka", "kb") <= max_dist)
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_true")))
+    found = (sorted_neighborhood_pairs(df, block, key, id_col,
+                                       window=w, max_dist=max_dist)
+             .agg(F.count(F.lit(1)).cast("long").alias("n_found")))
+    return (base.crossJoin(F.broadcast(true_pairs))
+            .crossJoin(F.broadcast(found))
+            .select("n_records", "n_blocks", "n_block_pairs",
+                    "n_comparisons", "n_true", "n_found",
+                    F.expr("1000000 - n_comparisons * 1000000 "
+                           "div greatest(n_block_pairs, 1)")
+                    .cast("long").alias("rr_ppm"),
+                    F.expr("n_found * 1000000 div greatest(n_true, 1)")
+                    .cast("long").alias("pc_ppm"),
+                    F.expr("n_found * 1000000 "
+                           "div greatest(n_comparisons, 1)")
+                    .cast("long").alias("pq_ppm")))
