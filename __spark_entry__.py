@@ -2056,6 +2056,23 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                          threshold=0.5, n=3)
 
 
+def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard pairs by PREFIX FILTERING
+    (functions/dedup.py:prefix_filter_pairs E133 — AllPairs/PPJoin,
+    Bayardo WWW'07): the same answer as dedup_ngram_jaccard from a
+    fraction of the candidates — records index by their RAREST
+    shingles only (first |x|−⌈t·|x|⌉+1 in global df order), a size
+    filter prunes the survivors, and the exact intersection is
+    computed JVM-side only for candidates.  Losslessness is the
+    pigeonhole lemma, pinned in tests by bit-equality with the plain
+    tier plus the measured candidate reduction; the oracle is the
+    same brute-force SQL — one truth, two physical strategies."""
+    from web_graph_spark.functions.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(_jaccard_corpus(spark, sf_dir),
+                               threshold=0.5, n=3)
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional n-gram containment (functions/dedup.py:
     containment_pairs, Broder 1997) — quote/excerpt detection the
@@ -3626,6 +3643,110 @@ def q_topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("price_c")))
 
 
+def q_events_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q-digest mergeable quantile sketch per event type
+    (functions/stats.py:qdigest_build E132, Shrivastava et al.
+    SenSys'04): p50/p95/p99 of the centi-unit event value read off a
+    bounded node table (thr = ⌊n/256⌋, 16-bit universe) built by one
+    fact-sized histogram agg + a dim-sized bottom-up compression
+    fold — the sketch a 10^6-group×hourly latency dashboard stores
+    and rolls up where per-window exact histograms cannot be kept.
+    The exact quantiles certify alongside (rank error ≤ 16·thr —
+    the paper's bound, pinned in tests); n_nodes shows the
+    compression (≈5× at this scale).  Oracle replays the fold
+    stage-for-stage as 16 unrolled MATERIALIZED CTE levels."""
+    from web_graph_spark.functions.stats import (
+        QD_B, QD_K, exact_quantiles, qdigest_build, qdigest_quantiles)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    val = F.floor(F.col("value") * 100)
+    lim = (1 << QD_B) - 1
+    clamped = F.greatest(F.least(val.cast("long"), F.lit(lim)), F.lit(0))
+    est = qdigest_quantiles(qdigest_build(ev, "event_type", val),
+                            "event_type")
+    ex = (exact_quantiles(ev, "event_type", clamped)
+          .select("event_type", F.col("p50").alias("p50_exact"),
+                  F.col("p95").alias("p95_exact"),
+                  F.col("p99").alias("p99_exact")))
+    return (est.join(ex, "event_type")
+            .withColumn("thr", F.expr(f"n_rows div {QD_K}"))
+            .select("event_type", "n_rows", "thr", "n_nodes",
+                    "p50_est", "p95_est", "p99_est",
+                    "p50_exact", "p95_exact", "p99_exact"))
+
+
+def _qdigest_unrolled_sql(k: int = 256, b: int = 16) -> str:
+    """The DuckDB half of E132: the q-digest compression fold of
+    functions/stats.py:_qd_compress unrolled to one MATERIALIZED CTE
+    stage per level (the graph_stress oracle discipline), plus the
+    exact-quantile certification read off the same level-0 histogram."""
+    lim = (1 << b) - 1
+    parts = [f"""WITH v AS (
+  SELECT event_type AS g,
+         LEAST(GREATEST(CAST(floor(value * 100) AS BIGINT), 0),
+               {lim}) AS b
+  FROM events),
+c0 AS MATERIALIZED (
+  SELECT g, b, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+n AS MATERIALIZED (
+  SELECT g, sum(c) AS n, sum(c) // {k} AS thr FROM c0 GROUP BY 1)"""]
+    keeps = []
+    for lv in range(b):
+        parts.append(f""",
+d{lv} AS MATERIALIZED (
+  SELECT g, b // 2 AS p, sum(c) AS ct FROM c{lv} GROUP BY 1, 2),
+k{lv} AS (
+  SELECT c{lv}.g, (c{lv}.b + 1) * {1 << lv} - 1 AS hi,
+         {lv} AS level, c{lv}.c AS c
+  FROM c{lv} JOIN d{lv} ON c{lv}.g = d{lv}.g AND c{lv}.b // 2 = d{lv}.p
+  JOIN n ON n.g = c{lv}.g WHERE d{lv}.ct > n.thr),
+c{lv + 1} AS MATERIALIZED (
+  SELECT d{lv}.g, d{lv}.p AS b, d{lv}.ct AS c
+  FROM d{lv} JOIN n ON n.g = d{lv}.g WHERE d{lv}.ct <= n.thr)""")
+        keeps.append(f"SELECT g, hi, level, c FROM k{lv}")
+    keeps.append(f"SELECT g, (b + 1) * {1 << b} - 1 AS hi, "
+                 f"{b} AS level, c FROM c{b}")
+    sk = " UNION ALL ".join(keeps)
+    qsel = ", ".join(
+        f"min(CASE WHEN cum >= ({q} * nn + 99) // 100 THEN hi END) "
+        f"AS p{q}_est" for q in (50, 95, 99))
+    esel = ", ".join(
+        f"min(CASE WHEN cum >= ({q} * nn + 99) // 100 THEN v END) "
+        f"AS p{q}_exact" for q in (50, 95, 99))
+    parts.append(f""",
+sk AS ({sk}),
+scum AS (
+  SELECT g, hi, c,
+         sum(c) OVER (PARTITION BY g ORDER BY hi, level
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY g) AS nn
+  FROM sk),
+est AS (
+  SELECT g, max(nn) AS n_rows, count(*) AS n_nodes, {qsel}
+  FROM scum GROUP BY g),
+ecum AS (
+  SELECT g, b AS v,
+         sum(c) OVER (PARTITION BY g ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY g) AS nn
+  FROM c0),
+ex AS (SELECT g, {esel} FROM ecum GROUP BY g)
+SELECT est.g AS event_type,
+       CAST(est.n_rows AS BIGINT) AS n_rows,
+       CAST(est.n_rows // {k} AS BIGINT) AS thr,
+       CAST(est.n_nodes AS BIGINT) AS n_nodes,
+       CAST(p50_est AS BIGINT) AS p50_est,
+       CAST(p95_est AS BIGINT) AS p95_est,
+       CAST(p99_est AS BIGINT) AS p99_est,
+       CAST(p50_exact AS BIGINT) AS p50_exact,
+       CAST(p95_exact AS BIGINT) AS p95_exact,
+       CAST(p99_exact AS BIGINT) AS p99_exact
+FROM est JOIN ex ON est.g = ex.g""")
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_canonicalize": q_crawl_canonicalize,
@@ -3716,6 +3837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_chunk_overlap": q_corpus_chunk_overlap,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
         "dedup_containment": q_dedup_containment,
         "dedup_clusters": q_dedup_clusters,
         "dedup_url_params": q_dedup_url_params,
@@ -3776,6 +3898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "events_qdigest": q_events_qdigest,
         "tpch_q1": q_tpch_q1,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
@@ -4881,7 +5004,7 @@ docs_dups AS (
   WHERE doc_id % 50 = 1
 )"""
     pii = pii_scrub_sql("text")
-    return {
+    sql = {
         "text_search_topk": tfidf_sql(SEARCH_TERMS, k=20),
         "text_bm25_topk": bm25_sql(SEARCH_TERMS, k=20),
         "text_gopher_rules": gopher,
@@ -6579,4 +6702,9 @@ WITH r AS (
 SELECT o_custkey, rank, o_orderkey,
        CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
 FROM r WHERE rank <= 3""",
+        "events_qdigest": _qdigest_unrolled_sql(),
     }
+    # one truth, two physical strategies: the prefix-filtered exact
+    # tier (E133) must match the very SQL the plain tier matches
+    sql["dedup_prefix_jaccard"] = sql["dedup_ngram_jaccard"]
+    return sql

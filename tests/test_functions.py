@@ -2323,3 +2323,180 @@ def test_blocking_quality_closed_forms(spark):
                           window=3, max_dist=1).collect()[0]
     assert r3.n_comparisons >= r.n_comparisons
     assert r3.n_found >= r.n_found and r3.n_true == r.n_true
+
+
+@pytest.mark.spark
+def test_qdigest_hand_traced_compression(spark):
+    """b=2-universe hand traces of the batch merge rule: pair merges
+    iff summed count ≤ thr; survivors of a violated pair are final."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.stats import (qdigest_build,
+                                                 qdigest_quantiles)
+
+    # values 0,1,2,3 / k=2 -> thr=2: both leaf pairs merge (ct=2),
+    # the level-1 pair (ct=4) violates -> two final level-1 nodes.
+    df = spark.createDataFrame([("a", v) for v in (0, 1, 2, 3)],
+                               "g string, v int")
+    sk = qdigest_build(df, "g", F.col("v"), k=2, b=2)
+    nodes = {(r.level, r.b): r.c for r in sk.collect()}
+    assert nodes == {(1, 0): 2, (1, 1): 2}
+
+    # values 2,2,3,3 / k=1 -> thr=4: everything folds to the root;
+    # p50 reads the root's hi=3, one rank-2 overshoot (exact p50=2)
+    # but within the b*thr band.
+    df2 = spark.createDataFrame([("a", v) for v in (2, 2, 3, 3)],
+                                "g string, v int")
+    sk2 = qdigest_build(df2, "g", F.col("v"), k=1, b=2)
+    nodes2 = {(r.level, r.b): r.c for r in sk2.collect()}
+    assert nodes2 == {(2, 0): 4}
+    q = qdigest_quantiles(sk2).collect()[0]
+    assert q.n_rows == 4 and q.n_nodes == 1 and q.p50_est == 3
+
+
+@pytest.mark.spark
+def test_qdigest_exact_regime_and_error_bound(spark):
+    """thr=0 (n < k) ⇒ sketch ≡ exact leaf histogram ≡ exact
+    quantiles; at compression scale the reported value's TRUE rank
+    stays within b·thr of the target rank (the q-digest bound)."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.stats import (QD_B, QD_K,
+                                                 exact_quantiles,
+                                                 qdigest_build,
+                                                 qdigest_quantiles)
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    val = F.floor(F.col("value") * 100)
+    lim = (1 << QD_B) - 1
+    clamped = F.greatest(F.least(val.cast("long"), F.lit(lim)), F.lit(0))
+
+    # exact regime: 100 rows < k=256 -> thr=0, bit-equal quantiles
+    small = ev.orderBy("event_id").limit(100)
+    est = {r.g: r for r in qdigest_quantiles(
+        qdigest_build(small, "event_type", val)).collect()}
+    exact = {r.event_type: r for r in exact_quantiles(
+        small, "event_type", clamped).collect()}
+    assert set(est) == set(exact)
+    for g, e in exact.items():
+        assert (est[g].p50_est, est[g].p95_est, est[g].p99_est) == \
+            (e.p50, e.p95, e.p99)
+
+    # compression scale: bound |true_rank(est) - target| <= b*thr
+    est = {r.g: r for r in qdigest_quantiles(
+        qdigest_build(ev, "event_type", val)).collect()}
+    vals = {}
+    for r in ev.select("event_type", clamped.alias("v")).collect():
+        vals.setdefault(r.event_type, []).append(r.v)
+    for g, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        thr = n // QD_K
+        assert thr > 0                        # compression regime
+        assert est[g].n_rows == n
+        assert est[g].n_nodes < len(set(xs))  # actually compressed
+        for q in (50, 95, 99):
+            target = (q * n + 99) // 100
+            v = getattr(est[g], f"p{q}_est")
+            true_rank = np.searchsorted(xs, v, side="right")
+            assert abs(true_rank - target) <= QD_B * thr
+            assert v >= xs[target - 1]        # hi-endpoint: never under
+
+
+@pytest.mark.spark
+def test_qdigest_merge_conserves_counts_within_band(spark):
+    """Slice-built sketches relabeled and merged: counts conserve
+    exactly, quantiles stay within the SUMMED error bands (merge adds
+    the slices' thr masses plus the re-compression's own)."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.stats import (QD_B, QD_K,
+                                                 qdigest_build,
+                                                 qdigest_merge,
+                                                 qdigest_quantiles)
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    val = F.floor(F.col("value") * 100)
+    lim = (1 << QD_B) - 1
+    clamped = F.greatest(F.least(val.cast("long"), F.lit(lim)), F.lit(0))
+    sliced = ev.withColumn(
+        "gg", F.concat(F.col("event_type"), F.lit("#"),
+                       (F.col("event_id") % 4).cast("string")))
+    sk = qdigest_build(sliced, "gg", val)
+    relabel = sk.withColumn("g", F.split(F.col("g"), "#")[0]) \
+                .select("g", "level", "b", "c")
+    merged = {r.g: r for r in qdigest_quantiles(
+        qdigest_merge(relabel)).collect()}
+    vals = {}
+    for r in ev.select("event_type", clamped.alias("v")).collect():
+        vals.setdefault(r.event_type, []).append(r.v)
+    for g, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        assert merged[g].n_rows == n          # counts conserved
+        # four slice sketches (thr ~= n/4k each) + one re-compression
+        band = QD_B * (4 * ((n // 4) // QD_K) + n // QD_K)
+        for q in (50, 95, 99):
+            target = (q * n + 99) // 100
+            v = getattr(merged[g], f"p{q}_est")
+            true_rank = np.searchsorted(xs, v, side="right")
+            assert abs(true_rank - target) <= band
+
+
+@pytest.mark.spark
+def test_prefix_filter_equals_plain_tier_and_reduces(spark):
+    """E133 losslessness: prefix-filtered exact Jaccard ≡ the plain
+    share-any-shingle tier bit-for-bit, from strictly fewer
+    candidate pairs (the pigeonhole lemma doing real work)."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.dedup import (
+        jaccard_pairs, prefix_filter_candidates, prefix_filter_pairs,
+        shingles_col)
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    # near-dup corpus: originals + suffixed copies (like the contract)
+    near = docs.select((F.col("doc_id") + 10000).alias("doc_id"),
+                       F.concat("text", F.lit(" zz qq")).alias("text"))
+    corpus = docs.select("doc_id", "text").unionByName(near)
+
+    for t in (0.5, 0.8):
+        plain = {tuple(r) for r in
+                 jaccard_pairs(corpus, threshold=t, n=3).collect()}
+        pref = {tuple(r) for r in
+                prefix_filter_pairs(corpus, threshold=t, n=3).collect()}
+        assert pref == plain and len(plain) > 0
+
+    # candidate reduction: prefix candidates < share-any-shingle pairs
+    sh = corpus.select("doc_id", shingles_col(3, "text").alias("sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    any_pairs = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id")))
+                 .select(F.col("a.doc_id"), F.col("b.doc_id"))
+                 .distinct().count())
+    cand = prefix_filter_candidates(corpus, threshold=0.5, n=3).count()
+    assert 0 < cand < any_pairs
+
+
+@pytest.mark.spark
+def test_prefix_filter_edge_semantics(spark):
+    """Tiny hand cases: identical docs found at t=1.0 (prefix length
+    1); disjoint docs yield nothing; sub-threshold overlap pruned by
+    the size filter before any verification."""
+    from web_graph_spark.functions.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"),      # identical pair (1,2)
+         (2, "aa bb cc dd ee"),
+         (3, "xx yy zz ww vv"),      # disjoint from everything else
+         (4, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo")],
+        "doc_id int, text string")
+    out = {(r.id_a, r.id_b): r.jaccard_bp
+           for r in prefix_filter_pairs(df, threshold=1.0, n=1).collect()}
+    assert out == {(1, 2): 10000}
+    # t=0.5: doc 4 (15 tokens) vs doc 1 (5 tokens) fails the size
+    # filter (15 > 5/0.5) — no pair emitted despite full containment
+    out2 = {(r.id_a, r.id_b)
+            for r in prefix_filter_pairs(df, threshold=0.5, n=1).collect()}
+    assert out2 == {(1, 2)}

@@ -804,3 +804,122 @@ def blocking_quality(df: DataFrame, block: str, key: str,
                     F.expr("n_found * 1000000 "
                            "div greatest(n_comparisons, 1)")
                     .cast("long").alias("pq_ppm")))
+
+
+def prefix_filter_pairs(df: DataFrame, threshold: float, n: int = 3,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Exact Jaccard-threshold pairs via PREFIX FILTERING (the
+    AllPairs/PPJoin candidate rule — Chaudhuri et al. ICDE'06,
+    Bayardo et al. WWW'07, Xiao et al. WWW'08): the same answer as
+    :func:`jaccard_pairs` from a fraction of the candidate pairs.
+
+    The rule: order every record's shingles by ONE global total
+    order (document frequency asc, shingle asc — rarest first), keep
+    only the first ``|x| − ⌈t·|x|⌉ + 1`` as the record's PREFIX, and
+    join prefixes with prefixes.  Losslessness is the pigeonhole
+    lemma: J(x,y) ≥ t forces overlap ≥ ⌈t·max(|x|,|y|)⌉, and a pair
+    sharing nothing across its prefixes fits every common shingle
+    into one side's ⌈t·|x|⌉−1 suffix — too few.  A size filter
+    (t·|y| ≤ |x| ≤ |y|/t, integer bp form) prunes survivors before
+    verification, and the exact intersection is computed ONLY for
+    candidates, JVM-side (``array_intersect`` on the two shingle
+    arrays — per-pair O(|x|+|y|), no re-explode).
+
+    Why it matters at 100 TB: :func:`jaccard_pairs` pays one reduce
+    row per (pair, shared shingle) — on template-heavy corpora the
+    hot shingles make that quadratic.  Prefix filtering indexes each
+    record by its RAREST shingles only (frequent shingles fall out
+    of every prefix), so the candidate stream shrinks by orders of
+    magnitude while staying exact — the standard exact-tier design
+    next to the MinHash approximate tier.  Costs: one extra
+    fact-sized join (shingle → document frequency) + one per-record
+    top-(prefix) window; both uniform-key.
+
+    Equality with :func:`jaccard_pairs` and the candidate-count
+    reduction are test-pinned; the contract oracle is the same
+    brute-force SQL the plain tier matches.
+
+    Returns ``(id_a, id_b, n_inter, sz_a, sz_b, jaccard_bp)`` —
+    bit-identical to :func:`jaccard_pairs`.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E133).
+    """
+    t_bp = int(threshold * 10000)
+    sh = (df.select(F.col(id_col).alias("id"),
+                    shingles_col(n, text_col).alias("sh"))
+          .filter(F.size("sh") > 0))
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "s")
+    pos = (ex.join(freq, "s")
+           .withColumn("pos", F.row_number().over(w)))
+    sizes = sh.select("id", F.size("sh").cast("int").alias("sz"))
+    keep = (F.col("sz")
+            - F.expr(f"(sz * {t_bp} + 9999) div 10000") + 1)
+    pre = (pos.join(sizes, "id")
+           .filter(F.col("pos") <= keep)
+           .select("id", "s", "sz"))
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a.sz").alias("sz_a"),
+                    F.col("b.sz").alias("sz_b"))
+            .filter((F.col("sz_b").cast("long") * 10000
+                     >= F.col("sz_a").cast("long") * t_bp)
+                    & (F.col("sz_a").cast("long") * 10000
+                       >= F.col("sz_b").cast("long") * t_bp))
+            .distinct())
+    ver = (cand
+           .join(sh.select(F.col("id").alias("id_a"),
+                           F.col("sh").alias("sh_a")), "id_a")
+           .join(sh.select(F.col("id").alias("id_b"),
+                           F.col("sh").alias("sh_b")), "id_b")
+           .withColumn("n_inter",
+                       F.size(F.array_intersect("sh_a", "sh_b"))
+                       .cast("long"))
+           .withColumn("jaccard_bp",
+                       F.floor(F.col("n_inter") * 10000
+                               / (F.col("sz_a") + F.col("sz_b")
+                                  - F.col("n_inter"))).cast("long")))
+    return (ver.filter(F.col("jaccard_bp") >= t_bp)
+            .select("id_a", "id_b", "n_inter", "sz_a", "sz_b",
+                    "jaccard_bp"))
+
+
+def prefix_filter_candidates(df: DataFrame, threshold: float,
+                             n: int = 3, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """The candidate-pair stream of :func:`prefix_filter_pairs`
+    BEFORE verification — exposed for the reduction audit (tests
+    compare its count against the share-any-shingle candidate set
+    the plain tier reduces over)."""
+    t_bp = int(threshold * 10000)
+    sh = (df.select(F.col(id_col).alias("id"),
+                    shingles_col(n, text_col).alias("sh"))
+          .filter(F.size("sh") > 0))
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "s")
+    pos = (ex.join(freq, "s")
+           .withColumn("pos", F.row_number().over(w)))
+    sizes = sh.select("id", F.size("sh").cast("int").alias("sz"))
+    keep = (F.col("sz")
+            - F.expr(f"(sz * {t_bp} + 9999) div 10000") + 1)
+    pre = (pos.join(sizes, "id")
+           .filter(F.col("pos") <= keep)
+           .select("id", "s", "sz"))
+    a, b = pre.alias("a"), pre.alias("b")
+    return (a.join(b, (F.col("a.s") == F.col("b.s"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a.sz").alias("sz_a"),
+                    F.col("b.sz").alias("sz_b"))
+            .filter((F.col("sz_b").cast("long") * 10000
+                     >= F.col("sz_a").cast("long") * t_bp)
+                    & (F.col("sz_a").cast("long") * 10000
+                       >= F.col("sz_b").cast("long") * t_bp))
+            .distinct())

@@ -1059,3 +1059,145 @@ def relational_division(df: DataFrame, key_col: str, attr_col: str,
     missing = required.join(observed, ["k", "a"], "left_anti")
     return (keys.join(missing.select("k").distinct(), "k", "left_anti")
             .select(F.col("k").alias(key_col)))
+
+
+QD_B = 16                       # q-digest universe bits: [0, 2^16)
+QD_K = 256                      # compression: merge threshold n div k
+
+
+def _qd_compress(state: DataFrame, b: int = QD_B) -> DataFrame:
+    """Bottom-up q-digest compression fold over a mixed-level node
+    table ``(g, level, b, c, thr)`` — the shared kernel of
+    :func:`qdigest_build` (all input at level 0) and
+    :func:`qdigest_merge` (summed nodes at any level).
+
+    Batch merge rule, applied level 0 → b−1: the two children of a
+    parent combine (with any count already carried at the parent's
+    level) iff their summed count ≤ thr; otherwise both children are
+    FINAL sketch nodes.  Whatever survives to level ``b`` (the root)
+    is final.  Deterministic — no randomness, no floats — so the
+    DuckDB oracle replays it stage-for-stage as unrolled MATERIALIZED
+    CTEs (the graph_stress discipline).
+
+    Shape at scale: every round is a (g, parent)-key hash agg + a
+    dim join over the NODE table, which round 0 already reduced to
+    ≤ min(n, 2^b) rows per group; rounds are localCheckpointed (the
+    ktruss discipline) so the final union of per-level keeps re-reads
+    each round's result instead of re-deriving the whole cascade per
+    branch.  Only the level-0 histogram build (in the callers)
+    touches fact-sized data."""
+    cur = (state.filter(F.col("level") == 0)
+           .groupBy("g", "b")
+           .agg(F.sum("c").alias("c"), F.max("thr").alias("thr"))
+           .localCheckpoint())
+    keeps = []
+    for lvl in range(b):
+        curp = cur.withColumn("p", F.expr("b div 2"))
+        dec = (curp.groupBy("g", "p")
+               .agg(F.sum("c").alias("ct"), F.max("thr").alias("thr")))
+        keeps.append(
+            curp.join(dec.filter(F.col("ct") > F.col("thr"))
+                      .select("g", "p"), ["g", "p"])
+            .select("g", F.lit(lvl).cast("int").alias("level"),
+                    "b", "c", "thr"))
+        up = (dec.filter(F.col("ct") <= F.col("thr"))
+              .select("g", F.col("p").alias("b"),
+                      F.col("ct").alias("c"), "thr"))
+        inject = (state.filter(F.col("level") == lvl + 1)
+                  .select("g", "b", "c", "thr"))
+        cur = (up.unionByName(inject).groupBy("g", "b")
+               .agg(F.sum("c").alias("c"), F.max("thr").alias("thr"))
+               .localCheckpoint())
+    out = cur.select("g", F.lit(b).cast("int").alias("level"), "b", "c")
+    for kdf in keeps:
+        out = out.unionByName(kdf.drop("thr"))
+    return out
+
+
+def qdigest_build(df: DataFrame, group_col: str, value_int,
+                  k: int = QD_K, b: int = QD_B) -> DataFrame:
+    """Per-group q-digest (Shrivastava et al., SenSys'04) over the
+    integer expression ``value_int`` clamped to [0, 2^b) — the
+    MERGEABLE quantile sketch completing the sketch family next to
+    HLL (distinct), KMV (overlap), CMS (frequency) and AMS (F2):
+    bounded state per group (O(k·log U) dyadic nodes) however many
+    rows feed it, sketches for disjoint slices sum-and-recompress
+    into the sketch of the union (:func:`qdigest_merge` — the same
+    hourly→daily rollup the HLL register table gets), and any
+    quantile reads off the node table with rank error ≤ b·⌊n/k⌋
+    (each of the ≤ b stored strict ancestors of the answer leaf
+    hides ≤ ⌊n/k⌋ mass — the paper's bound, pinned in tests).
+
+    Where the EXACT tiers stay preferable the exact tiers exist
+    (:func:`exact_quantiles` for range-bounded values,
+    :func:`exact_quantiles_unbounded` for 64-bit domains); q-digest
+    is the answer when quantile STATE must be stored per
+    group×window and rolled up later — a 10^6-hosts × hourly latency
+    dashboard cannot keep per-window histograms, but 3k·b longs per
+    window it can.
+
+    Build = one fact-sized (g, value) hash agg (map-side partials
+    absorb repeats — the exact_quantiles scan), then the dim-sized
+    compression fold (:func:`_qd_compress`).  thr = ⌊n/k⌋ per group;
+    groups with n < k get thr 0 = no compression = exact leaf
+    histogram (pinned: sketch ≡ exact there).
+
+    Returns the node table ``(g, level, b, c)``: node (level, b)
+    covers values [b·2^level, (b+1)·2^level).
+
+    Reference analog: none — engine extension (SURVEY §2.10 E132).
+    """
+    lim = (1 << b) - 1
+    v = F.greatest(F.least(value_int.cast("long"), F.lit(lim)),
+                   F.lit(0))
+    leaf = (df.groupBy(F.col(group_col).alias("g"), v.alias("b"))
+            .agg(F.count("*").cast("long").alias("c")))
+    leaf = (leaf
+            .withColumn("__n", F.sum("c").over(Window.partitionBy("g")))
+            .withColumn("thr", F.expr(f"__n div {k}")).drop("__n")
+            .withColumn("level", F.lit(0).cast("int")))
+    return _qd_compress(leaf, b)
+
+
+def qdigest_merge(sketch: DataFrame, k: int = QD_K,
+                  b: int = QD_B) -> DataFrame:
+    """Merge q-digest sketches: ``sketch`` is a union of node tables
+    whose ``g`` is already relabeled to the TARGET group (e.g. hourly
+    sketches with g rewritten host→host after dropping the hour).
+    Same-node counts sum, thr recomputes from the merged total
+    (counts are conserved by construction, so Σc IS the merged n),
+    and the same compression fold squeezes the union back to sketch
+    size — the q-digest merge is exactly build's fold applied to
+    mixed-level input.  Error bounds add: merging sketches of error
+    ε₁, ε₂ yields ≤ ε₁+ε₂ (pinned against the band in tests)."""
+    u = (sketch
+         .withColumn("__n", F.sum("c").over(Window.partitionBy("g")))
+         .withColumn("thr", F.expr(f"__n div {k}")).drop("__n"))
+    return _qd_compress(u, b)
+
+
+def qdigest_quantiles(sketch: DataFrame, group_col: str = "g",
+                      qs: tuple[int, ...] = (50, 95, 99)) -> DataFrame:
+    """Read quantiles off a q-digest node table: nodes sort by
+    (interval upper end, level asc — deeper first at ties), counts
+    cumulative-sum in that order, and the q-quantile estimate is the
+    upper end of the first node whose running count reaches
+    ⌈q·n/100⌉ — the same discrete lower-quantile rank rule as the
+    exact tiers, so in the thr=0 regime the two agree bit-for-bit.
+    One per-group window over the dim-sized node table.
+
+    Returns ``(group_col, n_rows, n_nodes, p<q>_est...)``."""
+    s = sketch.withColumn(
+        "hi", F.expr("(b + 1) * cast(shiftleft(1, level) as bigint) - 1"))
+    wg = Window.partitionBy("g")
+    w = (Window.partitionBy("g").orderBy("hi", "level")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (s.withColumn("cum", F.sum("c").over(w))
+           .withColumn("n", F.sum("c").over(wg)))
+    aggs = [F.max("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes")]
+    for q in qs:
+        k_rank = F.expr(f"({q} * n + 99) div 100")
+        aggs.append(F.min(F.when(F.col("cum") >= k_rank, F.col("hi")))
+                    .cast("long").alias(f"p{q}_est"))
+    return cum.groupBy(F.col("g").alias(group_col)).agg(*aggs)
