@@ -3747,6 +3747,42 @@ FROM est JOIN ex ON est.g = ex.g""")
     return "".join(parts)
 
 
+def _merkle_snapshot_b(d: DataFrame) -> DataFrame:
+    """The constructed divergent snapshot the Merkle diff localizes:
+    documents minus doc_id%97==3 (deletes), text suffixed for
+    doc_id%101==7 (changes), re-keyed copies for doc_id%89==11
+    (inserts) — deterministic in both engines."""
+    changed = (F.when(F.col("doc_id") % 101 == 7,
+                      F.concat(F.col("text"), F.lit(" v2")))
+               .otherwise(F.col("text")))
+    return (d.filter(F.col("doc_id") % 97 != 3)
+            .select("doc_id", changed.alias("text"))
+            .unionByName(
+                d.filter(F.col("doc_id") % 89 == 11)
+                .select((F.col("doc_id") + 10000).alias("doc_id"),
+                        "text")))
+
+
+def q_corpus_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle range-digest snapshot diff (operators/tablediff.py
+    E134, AdHash incremental-hash variant — Bellare & Micciancio
+    EUROCRYPT'97; Cassandra/Dynamo anti-entropy): classify every row
+    divergence between the documents table and a constructed
+    deleted/changed/inserted snapshot by drilling ONLY into leaf key
+    ranges whose order-independent digest sums disagree — the repair
+    primitive that certifies two 100 TB replicas equal by exchanging
+    one root row, and localizes corruption in O(diverged ranges)
+    instead of a full-table shuffle.  Oracle is the genuinely
+    different brute-force full-outer classified diff — equality
+    proves the Merkle restriction lossless."""
+    from web_graph_spark.operators.tablediff import merkle_diff_rows
+
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .select("doc_id", "text"))
+    return merkle_diff_rows(d, _merkle_snapshot_b(d),
+                            F.col("doc_id"), F.col("text"), width=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_canonicalize": q_crawl_canonicalize,
@@ -3899,6 +3935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_qdigest": q_events_qdigest,
+        "corpus_merkle_diff": q_corpus_merkle_diff,
         "tpch_q1": q_tpch_q1,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
@@ -6703,6 +6740,28 @@ SELECT o_custkey, rank, o_orderkey,
        CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
 FROM r WHERE rank <= 3""",
         "events_qdigest": _qdigest_unrolled_sql(),
+        "corpus_merkle_diff": """
+WITH a AS (SELECT doc_id, text FROM documents),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 101 = 7 THEN text || ' v2' ELSE text END
+         AS text
+  FROM a WHERE doc_id % 97 <> 3
+  UNION ALL
+  SELECT doc_id + 10000, text FROM a WHERE doc_id % 89 = 11
+),
+d AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS key,
+         CASE WHEN b.doc_id IS NULL THEN 'missing_b'
+              WHEN a.doc_id IS NULL THEN 'missing_a'
+              ELSE 'changed' END AS status
+  FROM a FULL OUTER JOIN b
+    ON a.doc_id = b.doc_id
+  WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
+)
+SELECT CAST(key - key % 16 AS BIGINT) AS leaf,
+       CAST(key AS BIGINT) AS key, status
+FROM d""",
     }
     # one truth, two physical strategies: the prefix-filtered exact
     # tier (E133) must match the very SQL the plain tier matches

@@ -1,0 +1,93 @@
+"""Merkle range-digest table diff (E134): anti-entropy semantics —
+equal snapshots certify at the root, single changes localize to one
+bucket per level, drill-down classification matches brute force."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.mark.spark
+def test_identical_snapshots_certify_equal(spark):
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.operators.tablediff import (
+        merkle_diff_ranges, merkle_diff_rows, merkle_leaves,
+        merkle_levels)
+
+    d = (spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+         .select("doc_id", "text"))
+    la = merkle_leaves(d, F.col("doc_id"), F.col("text"), width=16)
+    # a reshuffled, re-ordered copy builds the SAME digests
+    # (order-independence is the point of the AdHash sums)
+    d2 = d.repartition(7).sortWithinPartitions(F.desc("doc_id"))
+    lb = merkle_leaves(d2, F.col("doc_id"), F.col("text"), width=16)
+    assert merkle_diff_ranges(la, lb).count() == 0
+    assert merkle_diff_rows(d, d2, F.col("doc_id"),
+                            F.col("text")).count() == 0
+    root_a = merkle_levels(la, levels=6, width=16) \
+        .filter("level = 6").collect()
+    root_b = merkle_levels(lb, levels=6, width=16) \
+        .filter("level = 6").collect()
+    assert {(r.bucket, str(r.dig), r.n) for r in root_a} \
+        == {(r.bucket, str(r.dig), r.n) for r in root_b}
+
+
+@pytest.mark.spark
+def test_single_change_flips_one_bucket_per_level(spark):
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.operators.tablediff import (merkle_leaves,
+                                                     merkle_levels)
+
+    d = (spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+         .select("doc_id", "text"))
+    b = d.select("doc_id",
+                 F.when(F.col("doc_id") == 42,
+                        F.lit("corrupted")).otherwise(F.col("text"))
+                 .alias("text"))
+    pa = merkle_levels(merkle_leaves(d, F.col("doc_id"), F.col("text"),
+                                     width=16), levels=4, width=16)
+    pb = merkle_levels(merkle_leaves(b, F.col("doc_id"), F.col("text"),
+                                     width=16), levels=4, width=16)
+    a = {(r.level, r.bucket): str(r.dig) for r in pa.collect()}
+    bb = {(r.level, r.bucket): str(r.dig) for r in pb.collect()}
+    assert set(a) == set(bb)          # same tree shape, counts equal
+    for lv in range(5):
+        flipped = [k for k in a if k[0] == lv and a[k] != bb[k]]
+        # exactly the one bucket containing key 42 at each level
+        assert flipped == [(lv, 42 - 42 % (16 * (2 ** lv)))]
+
+
+@pytest.mark.spark
+def test_drilldown_matches_brute_force_classification(spark):
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.operators.tablediff import merkle_diff_rows
+
+    d = (spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+         .select("doc_id", "text"))
+    b = (d.filter(F.col("doc_id") % 11 != 3)
+         .select("doc_id",
+                 F.when(F.col("doc_id") % 13 == 7,
+                        F.concat("text", F.lit(" v2")))
+                 .otherwise(F.col("text")).alias("text"))
+         .unionByName(
+             d.filter(F.col("doc_id") % 17 == 5)
+             .select((F.col("doc_id") + 5000).alias("doc_id"), "text")))
+    got = {(r.key, r.status)
+           for r in merkle_diff_rows(d, b, F.col("doc_id"),
+                                     F.col("text"), width=8).collect()}
+    ta = {r.doc_id: r.text for r in d.collect()}
+    tb = {r.doc_id: r.text for r in b.collect()}
+    want = set()
+    for k in set(ta) | set(tb):
+        if k not in tb:
+            want.add((k, "missing_b"))
+        elif k not in ta:
+            want.add((k, "missing_a"))
+        elif ta[k] != tb[k]:
+            want.add((k, "changed"))
+    assert got == want and len(want) > 0

@@ -1,0 +1,136 @@
+"""Merkle range-digest table diff: find WHERE two snapshots of a
+keyed table differ without shipping either table.
+
+The operational problem at 100 TB: two replicas of the pages store
+(source vs migrated copy, primary vs restored backup, two Iceberg
+snapshots) must be certified equal — or the divergence LOCALIZED —
+and a row-by-row compare costs a full shuffle of both tables.  The
+classic answer is a Merkle range tree (Cassandra repair, Dynamo
+anti-entropy): digest key ranges, compare the small digest tables
+top-down, and drill into rows only inside ranges that disagree.
+
+This implementation uses the ORDER-INDEPENDENT incremental-hash
+variant (AdHash — Bellare & Micciancio, EUROCRYPT'97): a range's
+digest is the SUM of its rows' hashes in decimal(38,0) (the
+graph_algos._edge_digest discipline), so every digest is a map-side
+partial-aggregable fold — one uniform-key shuffle builds all leaves,
+the pyramid above is dim-sized arithmetic, and two replicas can
+build their trees with different partitionings/row orders and still
+compare bit-for-bit.  A classical child-hash-of-hashes Merkle tree
+would force an ordered fold per node; commutative sums are the
+Spark-shaped (and replayable-in-any-engine) choice.  Collision
+stance: forging a colliding range needs a subset-sum over md5-derived
+48-bit values — fine for corruption DETECTION (the use case), not for
+adversarial integrity proofs (use a crypto accumulator there).
+
+Row digests reuse the repo's cross-engine hex48 recipe (md5 + strpos
+arithmetic, functions/stats.py:_hex48) so the DuckDB oracle replays
+the whole tree; xxhash64 would be faster JVM-side but is not
+oracle-replayable (the _edge_digest/golden split).
+
+Reference analog: none — engine extension (SURVEY §2.10 E134).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _row_digest(key, payload):
+    from ..functions.stats import _hex48
+
+    return _hex48(F.concat(key.cast("string"), F.lit(":"),
+                           payload.cast("string")))
+
+
+def merkle_leaves(df: DataFrame, key, payload,
+                  width: int = 64) -> DataFrame:
+    """Leaf digest table ``(leaf, dig, n)`` for one snapshot: leaf =
+    key div width (key-ordered ranges, so a divergent leaf IS a key
+    range a drill-down can push down as a scan predicate), dig =
+    Σ hex48(key ':' payload) over the leaf in decimal(38,0), n = row
+    count.  One fact-sized scan + one uniform-key hash agg with
+    map-side partials — the whole per-replica cost."""
+    k = key.cast("long")
+    return (df.select((k - (k % width)).alias("leaf"),
+                      _row_digest(key, payload).alias("d"))
+            .groupBy("leaf")
+            .agg(F.sum(F.col("d").cast("decimal(38,0)")).alias("dig"),
+                 F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def merkle_levels(leaves: DataFrame, levels: int = 4,
+                  width: int = 64) -> DataFrame:
+    """The digest pyramid ``(level, bucket, dig, n)`` above a leaf
+    table: level 0 = the leaves (bucket = leaf = range lo, a multiple
+    of ``width``), each level up pairs adjacent ranges (bucket aligns
+    to width·2^level) and sums digests/counts — dim-sized arithmetic,
+    no fact re-scan.  Root equality certifies snapshot equality in
+    ONE row exchanged; on mismatch each level halves the search space
+    (the anti-entropy early exit — pinned in tests: a single changed
+    row flips exactly one bucket per level)."""
+    out = leaves.select(F.lit(0).cast("int").alias("level"),
+                        F.col("leaf").alias("bucket"), "dig", "n")
+    cur = out
+    for lv in range(1, levels + 1):
+        span = width * (2 ** lv)
+        cur = (cur.groupBy((F.col("bucket") - (F.col("bucket") % span))
+                           .alias("bucket"))
+               .agg(F.sum("dig").alias("dig"), F.sum("n").alias("n"))
+               .select(F.lit(lv).cast("int").alias("level"),
+                       "bucket", "dig", "n"))
+        out = out.unionByName(cur)
+    return out
+
+
+def merkle_diff_ranges(leaves_a: DataFrame,
+                       leaves_b: DataFrame) -> DataFrame:
+    """Divergent leaf ranges: full-outer join of the two (dim-sized)
+    leaf tables, keeping leaves whose digest or count disagrees —
+    including ranges present on only one side (pure insert/delete
+    ranges).  Returns ``(leaf, n_a, n_b)`` with absent sides as 0."""
+    a = leaves_a.select("leaf", F.col("dig").alias("dig_a"),
+                        F.col("n").alias("n_a"))
+    b = leaves_b.select("leaf", F.col("dig").alias("dig_b"),
+                        F.col("n").alias("n_b"))
+    j = a.join(b, "leaf", "full_outer")
+    diverged = (~F.col("dig_a").eqNullSafe(F.col("dig_b"))
+                | ~F.col("n_a").eqNullSafe(F.col("n_b")))
+    return (j.filter(diverged)
+            .select("leaf",
+                    F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+                    F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b")))
+
+
+def merkle_diff_rows(df_a: DataFrame, df_b: DataFrame, key, payload,
+                     width: int = 64) -> DataFrame:
+    """The drill-down: row-level classified diff restricted to the
+    DIVERGENT leaf ranges only — the Merkle payoff is that the
+    row-grain full-outer join touches a few ranges, not the table
+    (the range set is a broadcast dim by construction: divergence is
+    assumed rare; if half the table diverged you'd diff it outright).
+    At scale the leaf predicate is a min/max range filter parquet row
+    groups prune on.  Returns ``(leaf, key, status)`` with status ∈
+    missing_b (deleted), missing_a (inserted), changed."""
+    la = merkle_leaves(df_a, key, payload, width)
+    lb = merkle_leaves(df_b, key, payload, width)
+    ranges = F.broadcast(merkle_diff_ranges(la, lb).select("leaf"))
+
+    def rows(df: DataFrame) -> DataFrame:
+        k = key.cast("long")
+        return (df.select((k - (k % width)).alias("leaf"),
+                          k.alias("key"),
+                          _row_digest(key, payload).alias("d"))
+                .join(ranges, "leaf"))
+
+    ra = rows(df_a).withColumnRenamed("d", "d_a")
+    rb = (rows(df_b).withColumnRenamed("d", "d_b")
+          .withColumnRenamed("leaf", "leaf_b"))
+    j = ra.join(rb.select(F.col("leaf_b").alias("leaf"), "key", "d_b"),
+                ["leaf", "key"], "full_outer")
+    status = (F.when(F.col("d_b").isNull(), "missing_b")
+              .when(F.col("d_a").isNull(), "missing_a")
+              .otherwise("changed"))
+    return (j.filter(~F.col("d_a").eqNullSafe(F.col("d_b")))
+            .select("leaf", "key", status.alias("status")))
