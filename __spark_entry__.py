@@ -1275,6 +1275,25 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(v, e, k=3, rounds=6)
 
 
+def q_graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set on the admissible link graph
+    (operators/graph_algos.py:luby_mis E135, Luby STOC'85): the
+    parallel symmetry-breaking primitive — per round every live
+    vertex beats-or-yields against its neighborhood on an md5-string
+    priority, winners + neighborhoods leave; conflict-free scheduling
+    / independent seed selection without a sequential greedy scan.
+    Fully decided well before the fixed 6 rounds at this scale;
+    independence and maximality pinned structurally in tests.
+    Oracle = the same 6 rounds unrolled in SQL."""
+    from web_graph_spark.operators.graph_algos import luby_mis
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    v = webgen.pages_df(spark, sf_dir).select("doc_id")
+    return luby_mis(v, e, rounds=6)
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities (4 synchronous mode-of-neighbors
     rounds, smallest-label tie-break — operators/graph_algos.py:
@@ -3936,9 +3955,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "events_qdigest": q_events_qdigest,
         "corpus_merkle_diff": q_corpus_merkle_diff,
+        "graph_mis": q_graph_mis,
         "tpch_q1": q_tpch_q1,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
+
+
+def _mis_unrolled_sql(rounds: int = 6) -> str:
+    """Luby MIS (E135) unrolled to plain SQL — per round: md5-string
+    priorities, neighbor-min, vacuous-win for isolated vertices,
+    winners + neighborhoods removed; mirrors graph_algos.luby_mis
+    exactly."""
+    parts = ["""
+, e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src_doc_id, tgt_doc_id) AS u,
+         greatest(src_doc_id, tgt_doc_id) AS v
+  FROM web_links_full WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id
+),
+v0 AS MATERIALIZED (SELECT DISTINCT doc_id AS id FROM web_pages)"""]
+    sels = []
+    for r in range(rounds):
+        parts.append(f""",
+und{r} AS MATERIALIZED (SELECT u AS a, v AS b FROM e{r}
+           UNION ALL SELECT v AS a, u AS b FROM e{r}),
+p{r} AS MATERIALIZED (SELECT id, md5('{r}:' || CAST(id AS VARCHAR)) AS p
+         FROM v{r}),
+nm{r} AS MATERIALIZED (SELECT und{r}.a AS id, min(p2.p) AS minp
+          FROM und{r} JOIN p{r} p2 ON p2.id = und{r}.b GROUP BY 1),
+w{r} AS MATERIALIZED (SELECT p{r}.id FROM p{r} LEFT JOIN nm{r} USING (id)
+         WHERE nm{r}.minp IS NULL OR p{r}.p < nm{r}.minp),
+rm{r} AS MATERIALIZED (SELECT id FROM w{r}
+          UNION
+          SELECT und{r}.b AS id FROM und{r}
+          JOIN w{r} ON w{r}.id = und{r}.a),
+v{r + 1} AS MATERIALIZED (SELECT id FROM v{r}
+             WHERE id NOT IN (SELECT id FROM rm{r})),
+e{r + 1} AS MATERIALIZED (SELECT u, v FROM e{r}
+             WHERE u NOT IN (SELECT id FROM rm{r})
+               AND v NOT IN (SELECT id FROM rm{r}))""")
+        sels.append(f"SELECT id AS doc_id, {r} AS round FROM w{r}")
+    return " ".join(parts) + "\n" + " UNION ALL ".join(sels)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4859,6 +4915,7 @@ LEFT JOIN core_weak cw ON cw.wc = w.component"""),
         "graph_ppr": _oracle(_ppr_sql(rounds=4, scale=10 ** 12),
                              seeds=True),
         "graph_kcore": _oracle(_kcore_unrolled_sql(k=3, rounds=6)),
+        "graph_mis": _oracle(_mis_unrolled_sql(rounds=6)),
         "graph_ktruss": _oracle(_ktruss_unrolled_sql(k=3, rounds=6)),
         "graph_random_walks": _oracle(_walks_oracle_sql(4, 2)),
         "ann_ivf_topk": """

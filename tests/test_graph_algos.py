@@ -883,3 +883,52 @@ def test_degree_assortativity_sign_pins(spark):
     cyc = [(i, (i + 1) % 5) for i in range(5)]
     r = run(cyc)
     assert r.cov_sign == 0 and r.r2_ppm == 0
+
+
+@pytest.mark.spark
+def test_luby_mis_structural_invariants(spark):
+    """Independence (no edge inside the set), maximality (every
+    non-member has a member neighbor), full decision within the
+    fixed rounds on the derived web graph."""
+    from web_graph_spark import webgen
+    from web_graph_spark.operators.graph_algos import luby_mis
+
+    e = (webgen.links_full_df(spark, SF_SMOKE)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    v = webgen.pages_df(spark, SF_SMOKE).select("doc_id")
+    mis = {r.doc_id for r in luby_mis(v, e, rounds=6).collect()}
+    edges = {(r.src_doc_id, r.tgt_doc_id) for r in e.collect()
+             if r.src_doc_id != r.tgt_doc_id}
+    nbrs = {}
+    for u, w in edges:
+        nbrs.setdefault(u, set()).add(w)
+        nbrs.setdefault(w, set()).add(u)
+    # independence
+    for u, w in edges:
+        assert not (u in mis and w in mis)
+    # maximality over ALL vertices = the run fully decided
+    for r in v.collect():
+        vid = r.doc_id
+        assert vid in mis or (nbrs.get(vid) and nbrs[vid] & mis)
+
+
+@pytest.mark.spark
+def test_luby_mis_hand_graphs(spark):
+    from web_graph_spark.operators.graph_algos import luby_mis
+
+    def run(edges, vids):
+        v = spark.createDataFrame([(i,) for i in vids], "doc_id long")
+        e = spark.createDataFrame(edges,
+                                  "src_doc_id long, tgt_doc_id long")
+        return {r.doc_id: r.round for r in luby_mis(v, e).collect()}
+
+    # star K1,4: MIS is {center} or all leaves, nothing else
+    out = run([(0, i) for i in (1, 2, 3, 4)], range(5))
+    assert set(out) in ({0}, {1, 2, 3, 4})
+    # isolated vertices admit vacuously in round 0
+    out = run([(0, 1)], range(4))
+    assert out[2] == 0 and out[3] == 0
+    # triangle: exactly one vertex wins
+    out = run([(0, 1), (1, 2), (0, 2)], range(3))
+    assert len(out) == 1

@@ -1518,3 +1518,68 @@ def degree_assortativity(edges: DataFrame,
             "* (cast(n as decimal(38,0)) * syy "
             "- cast(sy as decimal(38,0)) * sy)) as bigint) end")
         .alias("r2_ppm"))
+
+
+def luby_mis(vertices: DataFrame, edges: DataFrame,
+             id_col: str = "doc_id", src: str = "src_doc_id",
+             dst: str = "tgt_doc_id", rounds: int = 6) -> DataFrame:
+    """Maximal independent set by Luby's algorithm (Luby, STOC'85 —
+    THE textbook symmetry-breaking primitive of parallel graph
+    computing): each round every live vertex draws a priority, joins
+    the MIS iff it beats every live neighbor, and winners plus their
+    neighborhoods leave the graph — expected O(log n) rounds kill a
+    constant fraction of EDGES per round, all data-parallel.  The
+    crawl uses: pick a set of pages/hosts no two of which are
+    adjacent (conflict-free fetch scheduling, independent seed
+    selection, landmark spacing) without any sequential greedy scan.
+
+    Determinism discipline: the "random" priority is the full md5
+    hex string of ``round ':' id`` — unique per vertex per round
+    (collision = md5 collision), lexicographically compared the same
+    by any engine, no floats, no RNG state.  A vertex with no LIVE
+    neighbor wins vacuously (round 0 therefore admits all isolated
+    vertices).  Fixed-round contract like :func:`kcore`: the oracle
+    unrolls the SAME rounds; at contract scale the graph is fully
+    decided well before round 6 (asserted in tests — residual empty),
+    and independence/maximality are pinned structurally.
+
+    Per round: one (id)-key join attaching priorities, one
+    neighbor-min agg, two anti-joins — every key uniform; rounds
+    localCheckpoint (the ktruss discipline).  → ``(id_col, round)``
+    for every MIS member, round = admission round.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E135).
+    """
+    e = _canon_edges(edges, src, dst).localCheckpoint()
+    v = (vertices.select(F.col(id_col).alias("id")).distinct()
+         .localCheckpoint())
+    out = None
+    for r in range(rounds):
+        und = (e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+               .unionByName(e.select(F.col("v").alias("a"),
+                                     F.col("u").alias("b"))))
+        pr = v.select("id", F.md5(F.concat(F.lit(f"{r}:"),
+                                           F.col("id").cast("string")))
+                      .alias("p"))
+        nm = (und.join(pr.select(F.col("id").alias("b"),
+                                 F.col("p").alias("pb")), "b")
+              .groupBy(F.col("a").alias("id"))
+              .agg(F.min("pb").alias("minp")))
+        win = (pr.join(nm, "id", "left")
+               .filter(F.col("minp").isNull()
+                       | (F.col("p") < F.col("minp")))
+               .select("id"))
+        w = win.select("id", F.lit(r).cast("int").alias("round")) \
+               .localCheckpoint()
+        out = w if out is None else out.unionByName(w)
+        removed = (w.select("id")
+                   .unionByName(und.join(w.select(F.col("id")
+                                                  .alias("a")), "a")
+                                .select(F.col("b").alias("id")))
+                   .distinct())
+        v = v.join(removed, "id", "left_anti").localCheckpoint()
+        e = (e.join(removed.select(F.col("id").alias("u")), "u",
+                    "left_anti")
+             .join(removed.select(F.col("id").alias("v")), "v",
+                   "left_anti").localCheckpoint())
+    return out.select(F.col("id").alias(id_col), "round")
