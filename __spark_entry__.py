@@ -1294,6 +1294,22 @@ def q_graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(v, e, rounds=6)
 
 
+def q_crawl_slot_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-balanced fetch-slot assignment by snake placement
+    (operators/fleet.py:snake_assign E136): hosts ranked by pending
+    page weight desc and dealt boustrophedon across 4 slots, so slot
+    loads finish together — the load-balance complement of the HRW
+    stability tier (crawl fleet: HRW pins state, snake packs a wave).
+    Ranks via the range-partitioned dense rank (no single-partition
+    window at scale).  Oracle replays rank + snake arithmetic."""
+    from web_graph_spark.operators.fleet import snake_assign
+
+    hw = (webgen.pages_df(spark, sf_dir)
+          .groupBy("host").agg(F.count("*").alias("weight")))
+    return snake_assign(hw, n_slots=4, weight_col="weight",
+                        key_col="host", small_hint=100)
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities (4 synchronous mode-of-neighbors
     rounds, smallest-label tie-break — operators/graph_algos.py:
@@ -3956,6 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_qdigest": q_events_qdigest,
         "corpus_merkle_diff": q_corpus_merkle_diff,
         "graph_mis": q_graph_mis,
+        "crawl_slot_assign": q_crawl_slot_assign,
         "tpch_q1": q_tpch_q1,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
@@ -4916,6 +4933,16 @@ LEFT JOIN core_weak cw ON cw.wc = w.component"""),
                              seeds=True),
         "graph_kcore": _oracle(_kcore_unrolled_sql(k=3, rounds=6)),
         "graph_mis": _oracle(_mis_unrolled_sql(rounds=6)),
+        "crawl_slot_assign": _oracle("""
+, hw AS (SELECT host, count(*) AS weight FROM web_pages GROUP BY 1),
+r AS (SELECT host, weight,
+             CAST(row_number() OVER (ORDER BY -weight, host) - 1
+                  AS BIGINT) AS rank
+      FROM hw)
+SELECT host, CAST(weight AS BIGINT) AS weight, rank,
+       CAST(CASE WHEN (rank // 4) % 2 = 0 THEN rank % 4
+                 ELSE 3 - rank % 4 END AS INTEGER) AS slot
+FROM r"""),
         "graph_ktruss": _oracle(_ktruss_unrolled_sql(k=3, rounds=6)),
         "graph_random_walks": _oracle(_walks_oracle_sql(4, 2)),
         "ann_ivf_topk": """

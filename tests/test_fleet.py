@@ -52,3 +52,57 @@ def test_single_worker_and_invalid_k(spark):
     assert {r["worker"] for r in rendezvous_assign(df, 1).collect()} == {0}
     with pytest.raises(ValueError):
         rendezvous_assign(df, 0)
+
+
+@pytest.mark.spark
+def test_snake_assign_hand_case_and_balance(spark):
+    """Arithmetic weights balance PERFECTLY under snake (each
+    double-pass window sums equal per slot); geometric weights stay
+    within one max item; slot item counts differ by ≤1."""
+    from web_graph_spark.operators.fleet import snake_assign
+
+    rows = [(f"h{i}", w) for i, w in
+            enumerate([10, 9, 8, 7, 6, 5, 4, 3])]
+    df = spark.createDataFrame(rows, "host string, weight long")
+    out = snake_assign(df, 4, "weight", small_hint=10).collect()
+    loads = {}
+    for r in out:
+        loads[r.slot] = loads.get(r.slot, 0) + r.weight
+    assert loads == {0: 13, 1: 13, 2: 13, 3: 13}
+
+    geo = [(f"g{i}", 1 << (10 - i)) for i in range(8)]
+    df2 = spark.createDataFrame(geo, "host string, weight long")
+    out2 = snake_assign(df2, 4, "weight", small_hint=10).collect()
+    loads2, counts2 = {}, {}
+    for r in out2:
+        loads2[r.slot] = loads2.get(r.slot, 0) + r.weight
+        counts2[r.slot] = counts2.get(r.slot, 0) + 1
+    assert max(loads2.values()) - min(loads2.values()) <= 1024
+    assert max(counts2.values()) - min(counts2.values()) <= 1
+    # reversal matters: plain modulo dealing on the same ranks piles
+    # every window's heavy end on slot 0
+    plain = {}
+    for i, (_, w) in enumerate(sorted(geo, key=lambda t: -t[1])):
+        plain[i % 4] = plain.get(i % 4, 0) + w
+    assert (max(loads2.values()) - min(loads2.values())
+            < max(plain.values()) - min(plain.values()))
+
+
+@pytest.mark.spark
+def test_snake_assign_paths_agree(spark):
+    """The range-partitioned scale path assigns the identical
+    (rank, slot) as the single-window small path."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.operators.fleet import snake_assign
+    from web_graph_spark.operators.frontier import release
+
+    df = spark.range(0, 500).select(
+        F.concat(F.lit("h"), F.col("id")).alias("host"),
+        ((F.col("id") * 7919) % 1000).alias("weight"))
+    small = {r.host: (r.rank, r.slot) for r in
+             snake_assign(df, 8, "weight", small_hint=500).collect()}
+    big = snake_assign(df, 8, "weight", small_hint=None)
+    got = {r.host: (r.rank, r.slot) for r in big.collect()}
+    release(big)
+    assert got == small

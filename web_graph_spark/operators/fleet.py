@@ -52,3 +52,53 @@ def rendezvous_assign(hosts: DataFrame, n_workers: int,
             .withColumn(out_col, F.col("__best.__pick").cast("int"))
             .drop("__best"))
     return best
+
+
+def snake_assign(df: DataFrame, n_slots: int, weight_col: str,
+                 key_col: str = "host",
+                 small_hint: int | None = None) -> DataFrame:
+    """Weight-BALANCED slot assignment by snake placement (the
+    boustrophedon schedule fantasy-draft orders and HPC block-cyclic
+    layouts use): rank items by weight desc (ties by key), deal rank
+    r to slot ``pos`` on even passes and ``n_slots−1−pos`` on odd
+    passes (pass = r div S, pos = r mod S) — each consecutive
+    S-window reverses direction so a slot that just received a heavy
+    item receives the lightest of the next window.
+
+    The complement of :func:`rendezvous_assign`: HRW optimizes
+    STABILITY under fleet resize and ignores weights; snake optimizes
+    LOAD BALANCE for a known weight distribution and reassigns freely
+    — the right tool when a wave's host budgets are already known and
+    the fetch slots should finish together.  Guarantees: slot item
+    counts differ by ≤ 1 exactly; load spread is bounded by the
+    heaviest item on every workload tested (pinned, incl. adversarial
+    geometric weights — where round-robin dealing without the
+    reversal concentrates every window's heavy end on slot 0).
+
+    Ranks come from :func:`operators.frontier.ordered_seq` — the
+    range-partitioned dense rank, NO single-partition window at scale
+    (``small_hint`` forwards to its small-path switch).  Slot
+    arithmetic is one codegen projection.
+
+    → ``(key_col, weight_col, rank, slot)``.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E136).
+    """
+    from .frontier import ordered_seq
+
+    base = df.select(F.col(key_col), F.col(weight_col),
+                     (-F.col(weight_col).cast("long")).alias("__negw"))
+    ranked = ordered_seq(base, ["__negw", key_col], out_col="rank",
+                         small_hint=small_hint)
+    s = n_slots
+    pas = F.expr(f"rank div {s}")
+    pos = F.col("rank") % s
+    slot = (F.when(pas % 2 == 0, pos)
+            .otherwise(F.lit(s - 1) - pos)).cast("int")
+    out = ranked.select(key_col, weight_col,
+                        F.col("rank").cast("long").alias("rank"),
+                        slot.alias("slot"))
+    # hand the rank stage's cache handle through — caller releases
+    # with operators.frontier.release AFTER acting on the result
+    out._wgs_cached_parent = getattr(ranked, "_wgs_cached_parent", None)
+    return out
