@@ -1310,6 +1310,28 @@ def q_crawl_slot_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                         key_col="host", small_hint=100)
 
 
+def q_crawl_aimd_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host AIMD budget trajectory (operators/backoff.py:
+    aimd_trajectory E137 — the TCP congestion recurrence, Chiu & Jain
+    1989): hosts derived from the event user key, wave = epoch hour,
+    failed = any 'error' event that hour; budgets fold wave-by-wave
+    through halve-on-failure / +1-on-success (floor 1, cap 8) in ONE
+    JVM higher-order aggregate per host — order-sensitive state the
+    closed-form backoff score (E52) cannot express.  Oracle replays
+    the fold with DuckDB list_reduce over every prefix."""
+    from web_graph_spark.operators.backoff import aimd_trajectory
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    o = (ev.select(
+            F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"))
+            .alias("host"),
+            F.expr("unix_timestamp(ts) div 3600").alias("wave"),
+            (F.col("event_type") == "error").cast("int").alias("e"))
+         .groupBy("host", "wave")
+         .agg(F.max("e").alias("failed")))
+    return aimd_trajectory(o, base=4, cap=8)
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities (4 synchronous mode-of-neighbors
     rounds, smallest-label tie-break — operators/graph_algos.py:
@@ -3973,6 +3995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_merkle_diff": q_corpus_merkle_diff,
         "graph_mis": q_graph_mis,
         "crawl_slot_assign": q_crawl_slot_assign,
+        "crawl_aimd_budgets": q_crawl_aimd_budgets,
         "tpch_q1": q_tpch_q1,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
@@ -6824,6 +6847,28 @@ SELECT o_custkey, rank, o_orderkey,
        CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
 FROM r WHERE rank <= 3""",
         "events_qdigest": _qdigest_unrolled_sql(),
+        "crawl_aimd_budgets": """
+WITH o AS (
+  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS wave,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         AS failed
+  FROM events GROUP BY 1, 2),
+arr AS (
+  SELECT host, list(failed ORDER BY wave) AS fl,
+         list(wave ORDER BY wave) AS wl
+  FROM o GROUP BY 1),
+idx AS (
+  SELECT host, wl[u.i] AS wave, fl[u.i] AS failed,
+         list_reduce(list_prepend(4, fl[1:u.i]),
+                     (a, x) -> CASE WHEN x > 0
+                               THEN greatest(a // 2, 1)
+                               ELSE least(a + 1, 8) END) AS budget
+  FROM arr, UNNEST(generate_series(1, len(fl))) AS u(i))
+SELECT host, CAST(wave AS BIGINT) AS wave,
+       CAST(failed AS INT) AS failed,
+       CAST(budget AS BIGINT) AS budget
+FROM idx""",
         "corpus_merkle_diff": """
 WITH a AS (SELECT doc_id, text FROM documents),
 b AS (

@@ -381,3 +381,35 @@ def test_scd2_history_gaps_and_islands(spark):
             for r in scd2_history(df).collect()}
     assert auto[("stable", 0)] == 1 and auto[("gap", 2)] == 1
     assert auto[("vanished", 0)] == 0
+
+
+@pytest.mark.spark
+def test_aimd_trajectory_semantics(spark):
+    """Order sensitivity (the reason the stateful twin exists),
+    floor/cap saturation, and a python replay of the fold."""
+    from web_graph_spark.operators.backoff import aimd_trajectory
+
+    def run(rows):
+        df = spark.createDataFrame(rows,
+                                   "host string, wave int, failed int")
+        return {(r.host, r.wave): r.budget
+                for r in aimd_trajectory(df, base=4, cap=8).collect()}
+
+    # fail-then-recover ends at 3; recover-then-fail ends at 2 —
+    # a closed-form history score cannot tell them apart
+    out = run([("a", 0, 1), ("a", 1, 0), ("b", 0, 0), ("b", 1, 1)])
+    assert out[("a", 1)] == 3 and out[("b", 1)] == 2
+
+    # floor: repeated failure saturates at 1; cap: success at 8
+    rows = [("f", w, 1) for w in range(6)] + \
+           [("s", w, 0) for w in range(6)]
+    out = run(rows)
+    assert out[("f", 5)] == 1 and out[("s", 5)] == 8
+
+    # python replay over a mixed deterministic pattern
+    pat = [1 if (w * 7) % 3 == 0 else 0 for w in range(12)]
+    out = run([("m", w, f) for w, f in enumerate(pat)])
+    b = 4
+    for w, f in enumerate(pat):
+        b = max(1, b // 2) if f else min(8, b + 1)
+        assert out[("m", w)] == b

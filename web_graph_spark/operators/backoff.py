@@ -93,3 +93,49 @@ def backoff_budgets(outcomes: DataFrame, base_budget: int,
                     "(10000 - n_err * 10000 div n_obs) div 10000 "
                     "as long), cast(least(trail_streak, 6) as int)))")
                 .cast("long").alias("budget")))
+
+
+def aimd_trajectory(outcomes: DataFrame, base: int = 4, cap: int = 8,
+                    host_col: str = "host", wave_col: str = "wave",
+                    fail_col: str = "failed") -> DataFrame:
+    """Per-host AIMD budget TRAJECTORY (the TCP congestion-control
+    recurrence, Chiu & Jain 1989 — the stateful twin of
+    :func:`backoff_budgets`): fold the host's wave outcomes in wave
+    order through ``b ← failed ? max(1, b div 2) : min(cap, b + 1)``
+    starting from ``base`` and emit the budget AFTER every wave.
+
+    Why a second operator: :func:`backoff_budgets` is a CLOSED-FORM
+    score of the history (order enters only via the trailing streak);
+    AIMD is order-sensitive state — fail-then-recover and
+    recover-then-fail end at different budgets (pinned), which is the
+    behavior a rate controller actually needs (slow-start recovery
+    after a 429 burst instead of an instant jump back to base).
+
+    Physical shape: ONE host-key aggregation collects each host's
+    ``(wave, failed)`` pairs (sort_array makes the fold order
+    deterministic whatever the shuffle order), then a JVM
+    higher-order ``aggregate`` fold builds the whole budget array in
+    a single pass — no per-wave shuffle, no Python, no window; waves
+    per host are bounded (a controller's horizon), hosts are the
+    uniform parallel key.  posexplode restores the row grain.
+
+    → ``(host, wave, failed, budget)``; budget = after that wave.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E137).
+    """
+    per = (outcomes.groupBy(F.col(host_col).alias("host"))
+           .agg(F.sort_array(F.collect_list(F.struct(
+               F.col(wave_col).cast("long").alias("w"),
+               F.col(fail_col).cast("int").alias("f")))).alias("obs")))
+    step = (f"CASE WHEN x.f > 0 THEN greatest(element_at(acc, -1) "
+            f"div 2, 1L) ELSE least(element_at(acc, -1) + 1L, "
+            f"{int(cap)}L) END")
+    fold = F.expr(
+        f"slice(aggregate(obs, array(cast({int(base)} as long)), "
+        f"(acc, x) -> concat(acc, array({step}))), 2, size(obs))")
+    return (per.select("host", F.posexplode(
+                F.arrays_zip(F.col("obs"), fold.alias("b"))))
+            .select("host",
+                    F.col("col.obs.w").alias("wave"),
+                    F.col("col.obs.f").cast("int").alias("failed"),
+                    F.col("col.b").cast("long").alias("budget")))
