@@ -1310,6 +1310,21 @@ def q_crawl_slot_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                         key_col="host", small_hint=100)
 
 
+def q_events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed activity mass per event type
+    (functions/stats.py:decay_scores E138): freshness-weighted
+    reputation in exact integer QUANTA — decay quantized to discrete
+    halvings (k half-lives old ⇒ 2^(H−k) quanta, beyond-horizon ⇒ 0)
+    so the score is a bit-reproducible 64-bit sum, slices merge by
+    addition, and no engine ever evaluates e^λt.  Anchor = the
+    data's max event hour (no wall clock in the plan)."""
+    from web_graph_spark.functions.stats import decay_scores
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return decay_scores(ev, "event_type", half_life_hours=24,
+                        horizon_halvings=7)
+
+
 def q_crawl_aimd_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host AIMD budget trajectory (operators/backoff.py:
     aimd_trajectory E137 — the TCP congestion recurrence, Chiu & Jain
@@ -3996,6 +4011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mis": q_graph_mis,
         "crawl_slot_assign": q_crawl_slot_assign,
         "crawl_aimd_budgets": q_crawl_aimd_budgets,
+        "events_decay_score": q_events_decay_score,
         "tpch_q1": q_tpch_q1,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
@@ -6847,6 +6863,20 @@ SELECT o_custkey, rank, o_orderkey,
        CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
 FROM r WHERE rank <= 3""",
         "events_qdigest": _qdigest_unrolled_sql(),
+        "events_decay_score": """
+WITH e AS (
+  SELECT event_type AS g,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr
+  FROM events),
+a AS (SELECT max(hr) AS ah FROM e),
+k AS (SELECT g, (ah - hr) // 24 AS k FROM e CROSS JOIN a)
+SELECT g AS event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN k <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_live,
+       CAST(sum(CASE WHEN k <= 7 THEN (CAST(1 AS BIGINT) << (7 - k))
+                ELSE 0 END) AS BIGINT) AS decayed_q
+FROM k GROUP BY g""",
         "crawl_aimd_budgets": """
 WITH o AS (
   SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,

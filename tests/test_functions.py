@@ -2500,3 +2500,42 @@ def test_prefix_filter_edge_semantics(spark):
     out2 = {(r.id_a, r.id_b)
             for r in prefix_filter_pairs(df, threshold=0.5, n=1).collect()}
     assert out2 == {(1, 2)}
+
+
+@pytest.mark.spark
+def test_decay_scores_quanta_and_merge(spark):
+    """Hand-traced halving quanta, horizon cutoff, and the exact
+    additive-merge property (disjoint slices sum)."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.stats import decay_scores
+
+    # anchor = hour of the newest event; H=3, half-life 1h:
+    # ages 0,1,2,3,4 hours -> k=0..4 -> quanta 8,4,2,1,0 (beyond H)
+    base = 1_700_000 * 3600  # any exact hour epoch
+    rows = [("a", base - age * 3600) for age in (0, 1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "g string, sec long") \
+        .select("g", F.col("sec").cast("timestamp").alias("ts"))
+    out = decay_scores(df, "g", half_life_hours=1,
+                       horizon_halvings=3).collect()[0]
+    assert (out.n_events, out.n_live, out.decayed_q) == (5, 4, 15)
+
+    # merge: two disjoint slices of sf events sum to the whole —
+    # exact, because quanta are integers and the anchor is shared
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    # keep the anchor event in BOTH slices so the anchors agree
+    newest = ev.orderBy(F.desc("ts"), "event_id").limit(1)
+    rest = ev.join(newest.select("event_id"), "event_id", "left_anti")
+    s1 = rest.filter(F.col("event_id") % 2 == 0).unionByName(newest)
+    s2 = rest.filter(F.col("event_id") % 2 == 1).unionByName(newest)
+    whole = {r.event_type: r.decayed_q
+             for r in decay_scores(ev, "event_type").collect()}
+    d1 = {r.event_type: r.decayed_q
+          for r in decay_scores(s1, "event_type").collect()}
+    d2 = {r.event_type: r.decayed_q
+          for r in decay_scores(s2, "event_type").collect()}
+    nw = {r.event_type: r.decayed_q
+          for r in decay_scores(newest, "event_type").collect()}
+    # the anchor row was duplicated into both slices: subtract once
+    for t, q in whole.items():
+        assert q == (d1.get(t, 0) + d2.get(t, 0) - nw.get(t, 0))

@@ -1201,3 +1201,48 @@ def qdigest_quantiles(sketch: DataFrame, group_col: str = "g",
         aggs.append(F.min(F.when(F.col("cum") >= k_rank, F.col("hi")))
                     .cast("long").alias(f"p{q}_est"))
     return cum.groupBy(F.col("g").alias(group_col)).agg(*aggs)
+
+
+def decay_scores(df: DataFrame, group_col: str, ts_col: str = "ts",
+                 half_life_hours: int = 24,
+                 horizon_halvings: int = 7) -> DataFrame:
+    """Half-life-decayed activity mass per group in EXACT integers —
+    the freshness-weighted reputation/recency score (recrawl
+    prioritization, source liveliness, trending hosts) that usually
+    gets written as Σ e^(−λ·age) and then drifts between engines.
+    Here decay is quantized to DISCRETE HALVINGS: an event k
+    half-lives old contributes 2^(H−k) quanta (H = the horizon in
+    halvings; older events contribute 0 — below one quantum), so a
+    fresh event is worth 2^H quanta and the score is a plain 64-bit
+    integer sum any engine reproduces bit-for-bit.  The step
+    approximation brackets the smooth exponential within a factor of
+    2 per event — the ordering a scheduler consumes is preserved
+    wherever gaps exceed one half-life, and the MERGE property is
+    exact (scores for disjoint slices add, like every sketch here).
+
+    The decay anchor is the data's own max event hour (deterministic
+    — no wall clock in the plan); ``age = anchor_hour − event_hour``
+    in integer hours.  One fact-sized scan + one group-key hash agg
+    with map-side partials; the 1-row anchor dim enters by broadcast
+    cross join (the AMS/total-dim shape).
+
+    → ``(group_col, n_events, n_live, decayed_q)`` — decayed_q in
+    quanta of 2^−H fresh-event units.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E138).
+    """
+    hr = F.expr(f"unix_timestamp({ts_col}) div 3600")
+    e = df.select(F.col(group_col).alias("g"), hr.alias("hr"))
+    anchor = e.agg(F.max("hr").alias("ah"))
+    h = int(horizon_halvings)
+    k = F.expr(f"(ah - hr) div {int(half_life_hours)}")
+    live = k <= h
+    w = F.expr(f"shiftleft(cast(1 as bigint), "
+               f"cast({h} - (ah - hr) div {int(half_life_hours)} "
+               f"as int))")
+    return (e.crossJoin(F.broadcast(anchor))
+            .groupBy(F.col("g").alias(group_col))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum(live.cast("long")).cast("long").alias("n_live"),
+                 F.sum(F.when(live, w).otherwise(F.lit(0)))
+                 .cast("long").alias("decayed_q")))
