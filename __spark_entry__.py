@@ -1310,6 +1310,25 @@ def q_crawl_slot_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                         key_col="host", small_hint=100)
 
 
+def q_text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift audit (functions/text.py:vocab_drift E139):
+    top-20 most-drifted tokens between the even-doc slice and the
+    odd-doc slice with an injected spam burst — per-token 2×2
+    chi-square ([token vs rest] × [A vs B]) in exact ppm decimals;
+    the constructed 'megaspam'/'casino' tokens must rank at the top
+    (pinned), which is the monitor doing its job."""
+    from web_graph_spark.functions.text import vocab_drift
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    a = d.filter(F.col("doc_id") % 2 == 0).select("text")
+    b = (d.filter(F.col("doc_id") % 2 == 1)
+         .select(F.when(F.col("doc_id") % 14 == 1,
+                        F.concat(F.col("text"),
+                                 F.lit(" megaspam casino casino")))
+                 .otherwise(F.col("text")).alias("text")))
+    return vocab_drift(a, b, k=20)
+
+
 def q_events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Half-life-decayed activity mass per event type
     (functions/stats.py:decay_scores E138): freshness-weighted
@@ -4012,6 +4031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_slot_assign": q_crawl_slot_assign,
         "crawl_aimd_budgets": q_crawl_aimd_budgets,
         "events_decay_score": q_events_decay_score,
+        "text_vocab_drift": q_text_vocab_drift,
         "tpch_q1": q_tpch_q1,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
@@ -6863,6 +6883,34 @@ SELECT o_custkey, rank, o_orderkey,
        CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
 FROM r WHERE rank <= 3""",
         "events_qdigest": _qdigest_unrolled_sql(),
+        "text_vocab_drift": f"""
+WITH sa AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+sb AS (SELECT CASE WHEN doc_id % 14 = 1
+              THEN text || ' megaspam casino casino'
+              ELSE text END AS text
+       FROM documents WHERE doc_id % 2 = 1),
+ca AS (SELECT unnest(regexp_extract_all({norm}, '\\S+')) AS token
+       FROM sa),
+cb AS (SELECT unnest(regexp_extract_all({norm}, '\\S+')) AS token
+       FROM sb),
+ga AS (SELECT token, count(*) AS n_a FROM ca GROUP BY 1),
+gb AS (SELECT token, count(*) AS n_b FROM cb GROUP BY 1),
+j0 AS (
+  SELECT coalesce(ga.token, gb.token) AS token,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM ga FULL OUTER JOIN gb ON ga.token = gb.token),
+tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j0),
+chi AS (
+  SELECT token, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         CAST(((ta + tb)::HUGEINT
+               * (n_a::HUGEINT * (tb - n_b) - n_b::HUGEINT * (ta - n_a))
+               * (n_a::HUGEINT * (tb - n_b) - n_b::HUGEINT * (ta - n_a))
+               * 1000000)
+              // ((n_a + n_b)::HUGEINT * (ta + tb - n_a - n_b)
+                  * ta::HUGEINT * tb::HUGEINT) AS BIGINT) AS chi_ppm
+  FROM j0 CROSS JOIN tot WHERE n_a + n_b >= 5)
+SELECT token, n_a, n_b, chi_ppm FROM chi
+ORDER BY chi_ppm DESC, token LIMIT 20""",
         "events_decay_score": """
 WITH e AS (
   SELECT event_type AS g,

@@ -2539,3 +2539,36 @@ def test_decay_scores_quanta_and_merge(spark):
     # the anchor row was duplicated into both slices: subtract once
     for t, q in whole.items():
         assert q == (d1.get(t, 0) + d2.get(t, 0) - nw.get(t, 0))
+
+
+@pytest.mark.spark
+def test_vocab_drift_detects_injection_and_algebra(spark):
+    """The injected tokens rank at the top; symmetric inputs score 0;
+    chi matches a python replay of the exact integer formula."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.text import vocab_drift
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select("text")
+    b = (docs.filter(F.col("doc_id") % 2 == 1)
+         .select(F.concat("text", F.lit(" zzdrift zzdrift"))
+                 .alias("text")))
+    out = vocab_drift(a, b, k=5).collect()
+    assert out[0].token == "zzdrift" and out[0].n_a == 0
+
+    # identical slices: every token scores 0
+    same = vocab_drift(a, a, k=3).collect()
+    assert all(r.chi_ppm == 0 for r in same)
+
+    # python replay on a tiny corpus
+    ta = spark.createDataFrame([("x x y",)], "text string")
+    tb = spark.createDataFrame([("x y y y z z",)], "text string")
+    rows = {r.token: r for r in
+            vocab_drift(ta, tb, k=10, min_count=1).collect()}
+    A, B = 3, 6
+    for tok, na, nb in (("x", 2, 1), ("y", 1, 3), ("z", 0, 2)):
+        d = na * (B - nb) - nb * (A - na)
+        chi = ((A + B) * d * d * 10**6) // (
+            (na + nb) * (A + B - na - nb) * A * B)
+        assert rows[tok].chi_ppm == chi

@@ -1484,3 +1484,62 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
                     "sum_like_ppb",
                     F.expr("sum_like_ppb div n_bigrams").cast("long")
                     .alias("avg_like_ppb")))
+
+
+def vocab_drift(df_a: DataFrame, df_b: DataFrame, text_col: str = "text",
+                k: int = 20, min_count: int = 5) -> DataFrame:
+    """Vocabulary drift between two corpus slices — the
+    distribution-shift monitor a training-data pipeline runs between
+    crawls (last month vs this month, source A vs source B, train vs
+    eval): per token, the 2×2 chi-square of [token vs rest] × [slice
+    A vs slice B] in EXACT ppm integers, top-k most-drifted tokens
+    reported (the actionable "which words exploded" list — spam
+    bursts, template rollouts, language mix swings surface here).
+
+    Exact algebra (decimal(38,0), the Benford/assortativity
+    discipline — no float chi-square to drift between engines): for
+    token t with occurrence counts a,b and slice totals A,B:
+    ``chi_ppm = (A+B)·(a·(B−b) − b·(A−a))² · 10^6 div
+    ((a+b)·(A+B−a−b)·A·B)``.  Rare tokens (a+b < min_count) are
+    excluded — the classic χ² validity floor, and the guard that
+    keeps the top-k from being one-off typos.
+
+    Shape at 100 TB: one explode+hash-agg per slice (map-side
+    partials absorb repeats — token keys are the classic Zipf skew
+    but the agg is partial-combining, never a join), a full-outer
+    merge of two token dims, a codegen chi projection, one top-k.
+
+    → top-k ``(token, n_a, n_b, chi_ppm)`` by (chi_ppm desc, token).
+
+    Reference analog: none — engine extension (SURVEY §2.10 E139).
+    """
+    from .dedup import TOKEN_RE
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        toks = F.explode(F.regexp_extract_all(
+            normalize_text(F.col(text_col)), F.lit(TOKEN_RE), 0))
+        return (df.select(toks.alias("token"))
+                .groupBy("token")
+                .agg(F.count(F.lit(1)).cast("long").alias(out)))
+
+    ca = counts(df_a, "n_a")
+    cb = counts(df_b, "n_b")
+    j0 = (ca.join(cb, "token", "full_outer")
+          .select("token",
+                  F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                  F.coalesce("n_b", F.lit(0)).alias("n_b")))
+    # totals over the UNFILTERED vocabulary — the χ² "rest" cell is
+    # the slice's whole token mass, not the surviving tokens'
+    tot = j0.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    j = j0.filter(F.col("n_a") + F.col("n_b") >= min_count)
+    d = "cast({} as decimal(38,0))"
+    chi = F.expr(
+        f"cast(({d.format('ta + tb')} "
+        f"* {d.format('n_a * (tb - n_b) - n_b * (ta - n_a)')} "
+        f"* {d.format('n_a * (tb - n_b) - n_b * (ta - n_a)')} "
+        f"* 1000000) div ({d.format('n_a + n_b')} "
+        f"* {d.format('ta + tb - n_a - n_b')} "
+        f"* {d.format('ta')} * {d.format('tb')}) as bigint)")
+    return (j.crossJoin(F.broadcast(tot))
+            .select("token", "n_a", "n_b", chi.alias("chi_ppm"))
+            .orderBy(F.desc("chi_ppm"), "token").limit(k))
