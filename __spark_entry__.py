@@ -1310,6 +1310,25 @@ def q_crawl_slot_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                         key_col="host", small_hint=100)
 
 
+def q_corpus_zonemap_audit(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Zone-map pruning audit (operators/layout.py:zonemap_audit
+    E140): the documents table laid into 25-row files by arrival vs
+    sorted by n_chars, and for 8 range predicates the exact count of
+    files a min/max zone-map reader must scan under each layout —
+    the measured case for a sort rewrite (arrival layout scans ≈ all
+    files; sorted ≈ selectivity share — both exact here), completing
+    the storage trio with the z-order writer (E118) and compaction
+    planner (E125).  Oracle replays ranks, file stats and overlap
+    counting."""
+    from web_graph_spark.operators.layout import zonemap_audit
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    preds = [(48 + 64 * k, 48 + 64 * k + 63) for k in range(8)]
+    return zonemap_audit(d, "n_chars", "doc_id", rows_per_file=25,
+                         preds=preds, small_hint=100_000)
+
+
 def q_text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary drift audit (functions/text.py:vocab_drift E139):
     top-20 most-drifted tokens between the even-doc slice and the
@@ -4032,6 +4051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_aimd_budgets": q_crawl_aimd_budgets,
         "events_decay_score": q_events_decay_score,
         "text_vocab_drift": q_text_vocab_drift,
+        "corpus_zonemap_audit": q_corpus_zonemap_audit,
         "tpch_q1": q_tpch_q1,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
@@ -6883,6 +6903,36 @@ SELECT o_custkey, rank, o_orderkey,
        CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
 FROM r WHERE rank <= 3""",
         "events_qdigest": _qdigest_unrolled_sql(),
+        "corpus_zonemap_audit": """
+WITH base AS (SELECT doc_id AS id, n_chars AS k FROM documents),
+ra AS (SELECT k, (row_number() OVER (ORDER BY id) - 1) // 25 AS f
+       FROM base),
+rs AS (SELECT k, (row_number() OVER (ORDER BY k, id) - 1) // 25 AS f
+       FROM base),
+fa AS (SELECT f, min(k) AS lo, max(k) AS hi FROM ra GROUP BY 1),
+fs AS (SELECT f, min(k) AS lo, max(k) AS hi FROM rs GROUP BY 1),
+p AS (SELECT u.i AS pred_id, 48 + 64 * u.i AS lo,
+             48 + 64 * u.i + 63 AS hi
+      FROM UNNEST(generate_series(0, 7)) AS u(i)),
+sa AS (SELECT p.pred_id,
+              sum(CASE WHEN fa.hi >= p.lo AND fa.lo <= p.hi
+                  THEN 1 ELSE 0 END) AS files_arrival,
+              count(*) AS n_files
+       FROM fa CROSS JOIN p GROUP BY 1),
+ss AS (SELECT p.pred_id,
+              sum(CASE WHEN fs.hi >= p.lo AND fs.lo <= p.hi
+                  THEN 1 ELSE 0 END) AS files_sorted
+       FROM fs CROSS JOIN p GROUP BY 1),
+r AS (SELECT p.pred_id, count(*) AS n_rows
+      FROM base JOIN p ON base.k BETWEEN p.lo AND p.hi GROUP BY 1)
+SELECT CAST(p.pred_id AS INT) AS pred_id,
+       CAST(p.lo AS BIGINT) AS lo, CAST(p.hi AS BIGINT) AS hi,
+       CAST(sa.n_files AS BIGINT) AS n_files,
+       CAST(sa.files_arrival AS BIGINT) AS files_arrival,
+       CAST(ss.files_sorted AS BIGINT) AS files_sorted,
+       CAST(coalesce(r.n_rows, 0) AS BIGINT) AS n_rows
+FROM p JOIN sa USING (pred_id) JOIN ss USING (pred_id)
+LEFT JOIN r USING (pred_id)""",
         "text_vocab_drift": f"""
 WITH sa AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
 sb AS (SELECT CASE WHEN doc_id % 14 = 1

@@ -9,6 +9,7 @@ import glob
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
 from web_graph_spark.operators.layout import write_zordered, zvalue_col
 
 
@@ -88,3 +89,44 @@ def test_plan_compaction_greedy_fill(spark):
                          1000).collect()
     key = lambda rows: sorted((r.grp, r.files_digest) for r in rows)
     assert key(d1) == key(d2)
+
+
+@pytest.mark.spark
+def test_zonemap_audit_hand_case_and_dominance(spark):
+    """Hand-checkable 2-file layouts, plus the dominance property on
+    real data: a sorted layout never scans more files than arrival
+    for any range predicate, and strictly fewer in aggregate."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.operators.layout import zonemap_audit
+
+    # interleaved values: arrival files span the whole range (both
+    # scanned by any predicate); sorted files split it exactly
+    rows = [(0, 10), (1, 99), (2, 11), (3, 98)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = {r.pred_id: r for r in zonemap_audit(
+        df, "n_chars", "doc_id", rows_per_file=2,
+        preds=[(10, 12), (95, 99), (50, 60)],
+        small_hint=10).collect()}
+    assert (out[0].files_arrival, out[0].files_sorted,
+            out[0].n_rows) == (2, 1, 2)
+    assert (out[1].files_arrival, out[1].files_sorted,
+            out[1].n_rows) == (2, 1, 2)
+    # a predicate in the value gap: arrival still scans everything,
+    # sorted sees non-overlapping file ranges and scans nothing
+    assert (out[2].files_arrival, out[2].files_sorted,
+            out[2].n_rows) == (2, 0, 0)
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet") \
+        .select("doc_id", "n_chars")
+    preds = [(48 + 64 * k, 48 + 64 * k + 63) for k in range(8)]
+    audit = zonemap_audit(docs, "n_chars", "doc_id",
+                          rows_per_file=5, preds=preds,
+                          small_hint=1000).collect()
+    assert all(r.files_sorted <= r.files_arrival for r in audit)
+    assert (sum(r.files_sorted for r in audit)
+            < sum(r.files_arrival for r in audit))
+    # selectivity consistency: scanned sorted files are enough to
+    # hold the matching rows
+    for r in audit:
+        assert r.files_sorted * 5 >= r.n_rows

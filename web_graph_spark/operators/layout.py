@@ -105,3 +105,75 @@ def plan_compaction(files: DataFrame, part_col: str,
                  F.md5(F.array_join(F.array_sort(F.collect_list(
                      F.col(id_col).cast("string"))), "|"))
                  .alias("files_digest")))
+
+
+def zonemap_audit(df: DataFrame, key_col: str, id_col: str,
+                  rows_per_file: int,
+                  preds: list[tuple[int, int]],
+                  small_hint: int | None = None) -> DataFrame:
+    """Quantify what a SORTED write layout buys from parquet/Iceberg
+    zone maps (per-file min/max): lay the same rows into files two
+    ways — arrival order (by ``id_col``) vs sorted by ``key_col`` —
+    derive each layout's per-file [min, max] of the predicate column,
+    and count, for every range predicate of a workload, the files a
+    zone-map reader must SCAN (predicate overlaps the file's range)
+    under each layout.  The number a table owner reads before paying
+    for a sort/z-order rewrite: arrival-ordered files each span ≈ the
+    whole value range (every file scanned); sorted files partition
+    the range (≈ selectivity × n_files scanned) — this operator makes
+    that exact, next to E118's z-order writer and E125's compaction
+    planner.
+
+    File ranks come from :func:`operators.frontier.ordered_seq` (the
+    range-partitioned dense rank — no single-partition window at
+    10^9-row tables); per-file stats are one (file)-key agg each; the
+    workload × file-stats compare is dim × dim; the exact selectivity
+    column (``n_rows``) is one broadcast-predicate scan.
+
+    → per predicate: ``(pred_id, lo, hi, n_files, files_arrival,
+    files_sorted, n_rows)``.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E140).
+    """
+    from .frontier import ordered_seq
+
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(key_col).cast("long").alias("k"))
+    s = int(rows_per_file)
+
+    def file_stats(order_cols: list[str]) -> DataFrame:
+        ranked = ordered_seq(base, order_cols, out_col="__r",
+                             small_hint=small_hint)
+        return (ranked.select(F.expr(f"__r div {s}").alias("f"), "k")
+                .groupBy("f")
+                .agg(F.min("k").alias("lo"), F.max("k").alias("hi")))
+
+    arr = file_stats(["id"])
+    srt = file_stats(["k", "id"])
+    pdf = spark.createDataFrame(
+        [(i, int(lo), int(hi)) for i, (lo, hi) in enumerate(preds)],
+        "pred_id int, lo long, hi long")
+
+    def scans(stats: DataFrame, out: str) -> DataFrame:
+        hit = (F.col("s.hi") >= F.col("p.lo")) & \
+              (F.col("s.lo") <= F.col("p.hi"))
+        return (stats.alias("s").crossJoin(F.broadcast(pdf.alias("p")))
+                .groupBy(F.col("p.pred_id").alias("pred_id"))
+                .agg(F.sum(hit.cast("long")).alias(out),
+                     F.count(F.lit(1)).cast("long").alias("__nf")))
+
+    sa = scans(arr, "files_arrival")
+    ss = scans(srt, "files_sorted").withColumnRenamed("__nf", "__nf2")
+    rows = (base.crossJoin(F.broadcast(pdf))
+            .filter((F.col("k") >= F.col("lo"))
+                    & (F.col("k") <= F.col("hi")))
+            .groupBy("pred_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows")))
+    return (pdf.join(sa, "pred_id").join(ss, "pred_id")
+            .join(rows, "pred_id", "left")
+            .select("pred_id", "lo", "hi",
+                    F.col("__nf").alias("n_files"),
+                    "files_arrival", "files_sorted",
+                    F.coalesce("n_rows", F.lit(0)).cast("long")
+                    .alias("n_rows")))
