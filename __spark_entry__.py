@@ -1348,6 +1348,22 @@ def q_text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_drift(a, b, k=20)
 
 
+def q_events_holt_forecast(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """One-step-ahead hourly load forecast per event type
+    (functions/stats.py:holt_forecast E141): Holt's linear smoothing
+    with DYADIC constants (α=1/2, β=1/4) in exact 2^−8 fixed point —
+    level/trend fold as ONE JVM higher-order aggregate per type, the
+    bias trick making floor division engine-identical.  The
+    capacity-planning twin of the anomaly detector: what the next
+    hour will bring, not whether this one deviated.  Oracle replays
+    the recurrence as a recursive CTE over the hour index."""
+    from web_graph_spark.functions.stats import holt_forecast
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return holt_forecast(ev, "event_type")
+
+
 def q_events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Half-life-decayed activity mass per event type
     (functions/stats.py:decay_scores E138): freshness-weighted
@@ -4050,6 +4066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_slot_assign": q_crawl_slot_assign,
         "crawl_aimd_budgets": q_crawl_aimd_budgets,
         "events_decay_score": q_events_decay_score,
+        "events_holt_forecast": q_events_holt_forecast,
         "text_vocab_drift": q_text_vocab_drift,
         "corpus_zonemap_audit": q_corpus_zonemap_audit,
         "tpch_q1": q_tpch_q1,
@@ -6961,6 +6978,33 @@ chi AS (
   FROM j0 CROSS JOIN tot WHERE n_a + n_b >= 5)
 SELECT token, n_a, n_b, chi_ppm FROM chi
 ORDER BY chi_ppm DESC, token LIMIT 20""",
+        "events_holt_forecast": """
+WITH RECURSIVE hourly AS (
+  SELECT event_type AS g,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+         count(*) AS x
+  FROM events GROUP BY 1, 2),
+obs AS (
+  SELECT g, hr, x,
+         row_number() OVER (PARTITION BY g ORDER BY hr) AS i
+  FROM hourly),
+rec AS (
+  SELECT g, i, x * 256 AS l, CAST(0 AS BIGINT) AS t
+  FROM obs WHERE i = 1
+  UNION ALL
+  SELECT o.g, o.i,
+         (o.x * 256 + r.l + r.t + 1099511627776) // 2
+           - 549755813888 AS l,
+         r.t + ((((o.x * 256 + r.l + r.t + 1099511627776) // 2
+                  - 549755813888) - r.l - r.t + 1099511627776) // 4
+                - 274877906944) AS t
+  FROM rec r JOIN obs o ON o.g = r.g AND o.i = r.i + 1
+)
+SELECT o.g AS event_type, CAST(o.hr AS BIGINT) AS hr,
+       CAST(o.x AS BIGINT) AS n_events,
+       CAST(p.l + p.t AS BIGINT) AS forecast_q,
+       CAST(abs(o.x * 256 - (p.l + p.t)) AS BIGINT) AS abs_err_q
+FROM obs o JOIN rec p ON p.g = o.g AND p.i = o.i - 1""",
         "events_decay_score": """
 WITH e AS (
   SELECT event_type AS g,

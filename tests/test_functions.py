@@ -2572,3 +2572,57 @@ def test_vocab_drift_detects_injection_and_algebra(spark):
         chi = ((A + B) * d * d * 10**6) // (
             (na + nb) * (A + B - na - nb) * A * B)
         assert rows[tok].chi_ppm == chi
+
+
+@pytest.mark.spark
+def test_holt_forecast_replay_and_tracking(spark):
+    """Python replay of the dyadic Holt recurrence, constant-series
+    exactness, and trend tracking on a linear ramp."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.stats import holt_forecast
+
+    def run(counts):
+        rows = []
+        for h, c in enumerate(counts):
+            rows += [("g", 1_700_000 * 3600 + h * 3600 + j)
+                     for j in range(c)]
+        df = spark.createDataFrame(rows, "event_type string, sec long") \
+            .select("event_type",
+                    F.col("sec").cast("timestamp").alias("ts"))
+        return {r.hr: (r.n_events, r.forecast_q, r.abs_err_q)
+                for r in holt_forecast(df, "event_type").collect()}
+
+    B = 1 << 40
+
+    def fdiv(a, d):
+        return (a + B) // d - B // d
+
+    def replay(counts):
+        l, t = counts[0] * 256, 0
+        out = {}
+        for i, c in enumerate(counts[1:], start=1):
+            out[1_700_000 + i] = (c, l + t, abs(c * 256 - (l + t)))
+            ln = fdiv(c * 256 + l + t, 2)
+            t = t + fdiv(ln - l - t, 4)
+            l = ln
+        return out
+
+    for series in ([5, 5, 5, 5, 5],
+                   [1, 2, 3, 4, 5, 6, 7, 8],
+                   [10, 1, 10, 1, 10, 1]):
+        assert run(series) == replay(series)
+
+    # constant series: forecast locks to the constant exactly
+    got = run([7] * 6)
+    assert all(f == 7 * 256 and e == 0 for (_, f, e) in
+               [got[k] for k in sorted(got)][1:])
+
+    # linear ramp: the trend term drives error far below the naive
+    # last-value forecast by the end of the ramp
+    ramp = list(range(1, 21))
+    got = run(ramp)
+    last_hr = max(got)
+    n, f, e = got[last_hr]
+    naive_err = abs(n * 256 - (n - 1) * 256)
+    assert e < naive_err

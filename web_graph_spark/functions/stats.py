@@ -1246,3 +1246,73 @@ def decay_scores(df: DataFrame, group_col: str, ts_col: str = "ts",
                  F.sum(live.cast("long")).cast("long").alias("n_live"),
                  F.sum(F.when(live, w).otherwise(F.lit(0)))
                  .cast("long").alias("decayed_q")))
+
+
+HOLT_S = 8                       # fixed-point shift: units of 1/256
+_HOLT_B = 1 << 40                # bias making every div operand ≥ 0
+
+
+def holt_forecast(df: DataFrame, group: str, ts: str = "ts") -> DataFrame:
+    """One-step-ahead hourly forecast per group by Holt's linear
+    (double-exponential) smoothing — the capacity-planning twin of
+    :func:`trailing_anomaly` (that one flags deviations; this one
+    predicts the next hour's load a scheduler provisions against) —
+    in EXACT fixed-point integers: smoothing constants are DYADIC
+    (α=1/2, β=1/4) so every update is an integer add + a floor
+    halving, state lives in units of 2^−8 events, and both engines
+    reproduce the trajectory bit-for-bit.
+
+    Recurrence over the group's observed hours (x in 2^−8 units):
+    ``l ← ⌊(x + l + t)/2⌋``; ``t ← t + ⌊(l_new − l − t)/4⌋``; init
+    l=x₀, t=0.  Negative-operand floor division differs between
+    engines (Spark ``div`` truncates toward zero, DuckDB ``//``
+    floors), so every division goes through the BIAS trick:
+    ``⌊a/d⌋ = (a + B) div d − B/d`` with B = 2^40 ≫ |a| — operands
+    stay positive, where truncation ≡ floor in both engines.
+
+    Physical shape: hourly counts = one fact-sized hash agg; the fold
+    is ONE JVM higher-order aggregate per group over its
+    sort_array-fixed hour sequence (the aimd_trajectory shape — no
+    per-hour shuffle, no Python); per-hour rows restore by slicing
+    the state array against the shifted observation array.
+
+    → ``(group, hr, n_events, forecast_q, abs_err_q)`` for every
+    observed hour after the first; forecast_q = level+trend BEFORE
+    seeing that hour, in 2^−8-event units; abs_err_q likewise.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E141).
+    """
+    s, b = HOLT_S, _HOLT_B
+    hourly = (df.select(F.col(group).alias("g"),
+                        F.expr(f"unix_timestamp({ts}) div 3600")
+                        .alias("hr"))
+              .groupBy("g", "hr")
+              .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    per = (hourly.groupBy("g")
+           .agg(F.sort_array(F.collect_list(F.struct(
+               F.col("hr").alias("h"),
+               F.col("x").alias("x")))).alias("obs")))
+    lnew = (f"((o.x * {1 << s} + element_at(acc, -1).l "
+            f"+ element_at(acc, -1).t + {b}) div 2 - {b // 2})")
+    tnew = (f"(element_at(acc, -1).t + (({lnew} "
+            f"- element_at(acc, -1).l - element_at(acc, -1).t "
+            f"+ {b}) div 4 - {b // 4}))")
+    fold = F.expr(
+        f"aggregate(slice(obs, 2, size(obs) - 1), "
+        f"array(named_struct('l', element_at(obs, 1).x * "
+        f"cast({1 << s} as bigint), 't', cast(0 as bigint))), "
+        f"(acc, o) -> concat(acc, array(named_struct("
+        f"'l', {lnew}, 't', {tnew}))))")
+    rows = (per.filter(F.size("obs") >= 2)
+            .select("g", F.col("obs").alias("obs"), fold.alias("st"))
+            .select("g", F.posexplode(F.arrays_zip(
+                F.expr("slice(obs, 2, size(obs) - 1)").alias("o"),
+                F.expr("slice(st, 1, size(st) - 1)").alias("p")))))
+    fc = F.expr("col.p.l + col.p.t")
+    return rows.select(
+        F.col("g").alias(group),
+        F.col("col.o.h").alias("hr"),
+        F.col("col.o.x").cast("long").alias("n_events"),
+        fc.cast("long").alias("forecast_q"),
+        F.abs(F.expr(f"col.o.x * {1 << s}") - fc).cast("long")
+        .alias("abs_err_q"))
