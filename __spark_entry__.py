@@ -1275,6 +1275,24 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(v, e, k=3, rounds=6)
 
 
+def q_graph_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation-DAG topological tiers (operators/graph_algos.py:
+    condensation_tiers E142): SCC-contract the admissible directed
+    graph, then tier = longest path from any source component —
+    the dependency layering a scheduler walks (IN before core before
+    OUT) and the web's scheduling depth.  Monotone max-propagation
+    to fixpoint with Σtier as witness.  Oracle composes the SCC
+    transitive-closure oracle with a recursive path-length CTE and
+    takes max per component."""
+    from web_graph_spark.operators.graph_algos import condensation_tiers
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    v = webgen.pages_df(spark, sf_dir).select("doc_id")
+    return condensation_tiers(v, e)
+
+
 def q_graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal independent set on the admissible link graph
     (operators/graph_algos.py:luby_mis E135, Luby STOC'85): the
@@ -4063,6 +4081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_qdigest": q_events_qdigest,
         "corpus_merkle_diff": q_corpus_merkle_diff,
         "graph_mis": q_graph_mis,
+        "graph_tiers": q_graph_tiers,
         "crawl_slot_assign": q_crawl_slot_assign,
         "crawl_aimd_budgets": q_crawl_aimd_budgets,
         "events_decay_score": q_events_decay_score,
@@ -5029,6 +5048,37 @@ LEFT JOIN core_weak cw ON cw.wc = w.component"""),
                              seeds=True),
         "graph_kcore": _oracle(_kcore_unrolled_sql(k=3, rounds=6)),
         "graph_mis": _oracle(_mis_unrolled_sql(rounds=6)),
+        "graph_tiers": _oracle_recursive("""
+, e AS (
+  SELECT DISTINCT src_doc_id AS a, tgt_doc_id AS b
+  FROM web_links_full WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id
+),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM web_pages
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+),
+sccs AS (
+  SELECT f.a AS id, min(f.b) AS scc
+  FROM reach f JOIN reach r ON r.a = f.b AND r.b = f.a
+  GROUP BY 1
+),
+ce AS (
+  SELECT DISTINCT sa.scc AS ca, sb.scc AS cb
+  FROM e JOIN sccs sa ON sa.id = e.a JOIN sccs sb ON sb.id = e.b
+  WHERE sa.scc <> sb.scc
+),
+lp(c, t) AS (
+  SELECT DISTINCT scc, 0 FROM sccs
+  UNION
+  SELECT ce.cb, lp.t + 1 FROM lp JOIN ce ON ce.ca = lp.c
+)
+SELECT CAST(l.c AS BIGINT) AS scc,
+       CAST(max(l.t) AS BIGINT) AS tier,
+       CAST(m.n AS BIGINT) AS n_members
+FROM lp l JOIN (SELECT scc, count(*) AS n FROM sccs GROUP BY 1) m
+  ON m.scc = l.c
+GROUP BY l.c, m.n"""),
         "crawl_slot_assign": _oracle("""
 , hw AS (SELECT host, count(*) AS weight FROM web_pages GROUP BY 1),
 r AS (SELECT host, weight,

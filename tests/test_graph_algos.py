@@ -932,3 +932,30 @@ def test_luby_mis_hand_graphs(spark):
     # triangle: exactly one vertex wins
     out = run([(0, 1), (1, 2), (0, 2)], range(3))
     assert len(out) == 1
+
+
+@pytest.mark.spark
+def test_condensation_tiers_hand_dags(spark):
+    """Chain of SCCs tiers 0-1-2; longest path (not shortest) wins on
+    a diamond with a shortcut; members counted per component."""
+    from web_graph_spark.operators.graph_algos import condensation_tiers
+
+    def run(edges, vids):
+        v = spark.createDataFrame([(i,) for i in vids], "doc_id long")
+        e = spark.createDataFrame(edges,
+                                  "src_doc_id long, tgt_doc_id long")
+        return {r.scc: (r.tier, r.n_members)
+                for r in condensation_tiers(v, e).collect()}
+
+    # cycle {0,1} -> 2 -> cycle {3,4}
+    out = run([(0, 1), (1, 0), (1, 2), (2, 3), (3, 4), (4, 3)],
+              range(5))
+    assert out == {0: (0, 2), 2: (1, 1), 3: (2, 2)}
+
+    # diamond + shortcut: 0->1->2->3 and 0->3; tier(3) = 3 (longest)
+    out = run([(0, 1), (1, 2), (2, 3), (0, 3)], range(4))
+    assert out == {0: (0, 1), 1: (1, 1), 2: (2, 1), 3: (3, 1)}
+
+    # isolated vertices are their own source components at tier 0
+    out = run([(0, 1)], range(4))
+    assert out[2] == (0, 1) and out[3] == (0, 1)

@@ -1583,3 +1583,68 @@ def luby_mis(vertices: DataFrame, edges: DataFrame,
              .join(removed.select(F.col("id").alias("v")), "v",
                    "left_anti").localCheckpoint())
     return out.select(F.col("id").alias(id_col), "round")
+
+
+def condensation_tiers(vertices: DataFrame, edges: DataFrame,
+                       id_col: str = "doc_id", src: str = "src_doc_id",
+                       dst: str = "tgt_doc_id",
+                       max_rounds: int = 64) -> DataFrame:
+    """Topological TIERS of the condensation DAG: contract the
+    directed graph to its SCCs (:func:`strongly_connected_components`
+    — the quotient is acyclic by construction), then assign every
+    component ``tier`` = its longest path length from any source —
+    the dependency layering a crawl scheduler walks (IN-tendril
+    components before the core, core before OUT; process tier k only
+    after k−1) and the "how deep is the web from its entry points"
+    number next to the bowtie's which-region labels.
+
+    Longest-path-from-sources is the DAG scheduling depth (critical
+    path): ``tier(c) = 0`` for sources, else ``1 + max over
+    predecessors`` — computed by monotone max-propagation to
+    fixpoint: each round one (component-key) join + one max agg over
+    the CONDENSED edge set (orders of magnitude smaller than the
+    page graph — the quotient of the synthetic web is a few hundred
+    nodes for 500 pages, and at 10^10 the condensation is the tiny
+    graph single machines handle; rounds ∝ DAG depth).  Σtier is the
+    monotone convergence witness (strictly grows until fixpoint,
+    bounded by depth·|C|), same discipline as the SCC inner loop;
+    rounds are localCheckpointed.
+
+    → ``(scc, tier, n_members)`` per component.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E142).
+    """
+    scc = strongly_connected_components(vertices, edges, id_col=id_col,
+                                        src=src, dst=dst)
+    scc = scc.localCheckpoint()
+    key = scc.select(F.col(id_col).alias("k"), "scc")
+    ce = (edges.select(F.col(src).alias("k"), F.col(dst).alias("d"))
+          .join(key, "k").select(F.col("scc").alias("ca"), "d")
+          .join(key.select(F.col("k").alias("d"),
+                           F.col("scc").alias("cb")), "d")
+          .filter(F.col("ca") != F.col("cb"))
+          .select("ca", "cb").distinct().localCheckpoint())
+    t = (scc.select("scc").distinct()
+         .select("scc", F.lit(0).cast("long").alias("tier"))
+         .localCheckpoint())
+    prev = -1
+    for _ in range(max_rounds):
+        total = t.agg(F.sum("tier")).first()[0]
+        if total == prev:
+            break
+        prev = total
+        up = (ce.join(t.select(F.col("scc").alias("ca"),
+                               F.col("tier").alias("ta")), "ca")
+              .groupBy(F.col("cb").alias("scc"))
+              .agg((F.max("ta") + 1).alias("tu")))
+        t = (t.join(up, "scc", "left")
+             .select("scc", F.greatest("tier", F.coalesce(
+                 "tu", F.lit(0))).cast("long").alias("tier"))
+             .localCheckpoint())
+    else:
+        raise RuntimeError(
+            f"tier propagation did not converge in {max_rounds} rounds")
+    members = scc.groupBy("scc").agg(F.count(F.lit(1)).cast("long")
+                                     .alias("n_members"))
+    return t.join(members, "scc").select(
+        "scc", "tier", "n_members")
