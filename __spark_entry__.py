@@ -1366,6 +1366,20 @@ def q_text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_drift(a, b, k=20)
 
 
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point chart per event type
+    (functions/stats.py:cusum_alarms E143, Page 1954): sustained-
+    drift detection over hourly counts in exact n-scaled integers
+    (the mean stays a rational, never divided) — catches the slow
+    rate creep the per-hour z-test misses; allowance 10% of mean,
+    alarm at one accumulated mean-hour.  Oracle replays the fold
+    with list_reduce prefixes like the AIMD oracle."""
+    from web_graph_spark.functions.stats import cusum_alarms
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cusum_alarms(ev, "event_type")
+
+
 def q_events_holt_forecast(spark: SparkSession, sf_dir: str
                            ) -> DataFrame:
     """One-step-ahead hourly load forecast per event type
@@ -4086,6 +4100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_aimd_budgets": q_crawl_aimd_budgets,
         "events_decay_score": q_events_decay_score,
         "events_holt_forecast": q_events_holt_forecast,
+        "events_cusum": q_events_cusum,
         "text_vocab_drift": q_text_vocab_drift,
         "corpus_zonemap_audit": q_corpus_zonemap_audit,
         "tpch_q1": q_tpch_q1,
@@ -7028,6 +7043,33 @@ chi AS (
   FROM j0 CROSS JOIN tot WHERE n_a + n_b >= 5)
 SELECT token, n_a, n_b, chi_ppm FROM chi
 ORDER BY chi_ppm DESC, token LIMIT 20""",
+        "events_cusum": """
+WITH hourly AS (
+  SELECT event_type AS g,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+         count(*) AS x
+  FROM events GROUP BY 1, 2),
+dims AS (
+  SELECT g, count(*) AS n, sum(x) AS t,
+         sum(x) * 1000 // 10000 AS a
+  FROM hourly GROUP BY 1),
+arr AS (
+  SELECT h.g, list(h.x ORDER BY h.hr) AS xl,
+         list(h.hr ORDER BY h.hr) AS hl
+  FROM hourly h GROUP BY 1),
+idx AS (
+  SELECT arr.g, hl[u.i] AS hr, xl[u.i] AS x, d.t,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(xl[1:u.i], v -> d.n * v - d.t - d.a)),
+           (acc, v) -> greatest(acc + v, 0)) AS s
+  FROM arr JOIN dims d USING (g),
+       UNNEST(generate_series(1, len(xl))) AS u(i))
+SELECT g AS event_type, CAST(hr AS BIGINT) AS hr,
+       CAST(x AS BIGINT) AS n_events,
+       CAST(s AS BIGINT) AS s_scaled,
+       CAST(s > t AS INT) AS alarm
+FROM idx""",
         "events_holt_forecast": """
 WITH RECURSIVE hourly AS (
   SELECT event_type AS g,

@@ -2626,3 +2626,59 @@ def test_holt_forecast_replay_and_tracking(spark):
     n, f, e = got[last_hr]
     naive_err = abs(n * 256 - (n - 1) * 256)
     assert e < naive_err
+
+
+@pytest.mark.spark
+def test_cusum_catches_sustained_shift_z_test_misses(spark):
+    """A +15% sustained shift inside ±15 hourly noise never crosses
+    the 3σ per-hour z-test but accumulates into a CUSUM alarm
+    (target mode); python replay pins both scaling modes; constant
+    series stays at S=0."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.stats import (cusum_alarms,
+                                                 trailing_anomaly)
+
+    def mk(counts):
+        rows = []
+        for h, c in enumerate(counts):
+            rows += [("g", 1_700_000 * 3600 + h * 3600 + j)
+                     for j in range(c)]
+        return spark.createDataFrame(
+            rows, "event_type string, sec long") \
+            .select("event_type",
+                    F.col("sec").cast("timestamp").alias("ts"))
+
+    noise = [((h * 37) % 31) - 15 for h in range(96)]
+    shifted = [100 + noise[h] + (15 if h >= 48 else 0)
+               for h in range(96)]
+    df = mk(shifted)
+    za = trailing_anomaly(df, "event_type", "ts").collect()
+    assert all(r.anomaly == 0 for r in za)        # z-test blind
+    cs = {r.hr - 1_700_000: (r.s_scaled, r.alarm)
+          for r in cusum_alarms(df, "event_type",
+                                target_per_hour=100).collect()}
+    assert any(a for (_, a) in cs.values())       # CUSUM fires
+    first_alarm = min(h for h, (_, a) in cs.items() if a)
+    assert first_alarm >= 48                      # in the shifted regime
+
+    # python replay: target mode (n=1, mu0=100, allowance 10)
+    s = 0
+    for h, x in enumerate(shifted):
+        s = max(0, s + x - 100 - 10)
+        assert cs[h] == (s, int(s > 100))
+
+    # python replay: self-referenced mode (n-scaled global mean)
+    cs2 = {r.hr - 1_700_000: (r.s_scaled, r.alarm)
+           for r in cusum_alarms(df, "event_type").collect()}
+    n, t = len(shifted), sum(shifted)
+    a = t * 1000 // 10000
+    s = 0
+    for h, x in enumerate(shifted):
+        s = max(0, s + n * x - t - a)
+        assert cs2[h] == (s, int(s > t))
+
+    # constant series: S pinned at 0, no alarms
+    const = {r.s_scaled for r in
+             cusum_alarms(mk([50] * 24), "event_type").collect()}
+    assert const == {0}

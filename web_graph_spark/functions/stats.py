@@ -1316,3 +1316,69 @@ def holt_forecast(df: DataFrame, group: str, ts: str = "ts") -> DataFrame:
         fc.cast("long").alias("forecast_q"),
         F.abs(F.expr(f"col.o.x * {1 << s}") - fc).cast("long")
         .alias("abs_err_q"))
+
+
+def cusum_alarms(df: DataFrame, group: str, ts: str = "ts",
+                 allowance_bp: int = 1000,
+                 threshold_x: int = 1,
+                 target_per_hour: int | None = None) -> DataFrame:
+    """Upward change-point detection per group by a one-sided CUSUM
+    control chart (Page, Biometrika 1954) over hourly counts — the
+    drift detector that catches a SUSTAINED small rate shift long
+    before the per-hour z-test (:func:`trailing_anomaly`) fires: the
+    z-test needs one big hour, CUSUM accumulates many slightly-high
+    hours (both monitors belong on a crawl/ingest pipeline; pinned:
+    a +30% sustained shift alarms CUSUM while never crossing 3σ).
+
+    Exact integer algebra: with n observed hours and T total events
+    (mean = T/n stays a RATIONAL — never computed), every quantity is
+    scaled by n: ``S_h = max(0, S_{h−1} + n·x_h − T − A)`` where the
+    allowance ``A = T·allowance_bp/10⁴`` (slack absorbing noise) and
+    the alarm fires while ``S_h > threshold_x·T`` (accumulated excess
+    beyond slack exceeding ``threshold_x`` mean-hours).  With an
+    explicit ``target_per_hour`` μ₀ (the textbook in-control target —
+    monitoring against a KNOWN rate a long shift cannot drag upward),
+    scaling drops to n=1: ``S = max(0, S + x − μ₀ − A)``.  Integer
+    division appears only in A (of non-negative T) — engine-safe.
+
+    Fold shape = the aimd/holt discipline: one fact-sized hourly agg,
+    one group-key collect with sort_array, ONE JVM higher-order
+    aggregate per group, posexplode back to rows.  The (n, T, A) dim
+    is a per-group constant carried on the row.
+
+    → ``(group, hr, n_events, s_scaled, alarm)``.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E143).
+    """
+    hourly = (df.select(F.col(group).alias("g"),
+                        F.expr(f"unix_timestamp({ts}) div 3600")
+                        .alias("hr"))
+              .groupBy("g", "hr")
+              .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    per = (hourly.groupBy("g")
+           .agg(F.sort_array(F.collect_list(F.struct(
+                F.col("hr").alias("h"),
+                F.col("x").alias("x")))).alias("obs"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("x").cast("long").alias("t")))
+    if target_per_hour is not None:
+        per = (per.withColumn("n", F.lit(1).cast("long"))
+               .withColumn("t", F.lit(int(target_per_hour))
+                           .cast("long")))
+    per = per.withColumn(
+        "a", F.expr(f"t * {int(allowance_bp)} div 10000"))
+    step = "greatest(element_at(acc, -1) + n * o.x - t - a, 0L)"
+    fold = F.expr(
+        f"slice(aggregate(obs, array(cast(0 as bigint)), "
+        f"(acc, o) -> concat(acc, array({step}))), 2, size(obs))")
+    rows = (per.select("g", "n", "t", F.col("obs").alias("obs"),
+                       fold.alias("s"))
+            .select("g", "t", F.posexplode(F.arrays_zip(
+                F.col("obs").alias("o"), F.col("s").alias("s")))))
+    return rows.select(
+        F.col("g").alias(group),
+        F.col("col.o.h").alias("hr"),
+        F.col("col.o.x").cast("long").alias("n_events"),
+        F.col("col.s").cast("long").alias("s_scaled"),
+        (F.col("col.s") > F.col("t") * int(threshold_x))
+        .cast("int").alias("alarm"))
