@@ -177,3 +177,65 @@ def zonemap_audit(df: DataFrame, key_col: str, id_col: str,
                     "files_arrival", "files_sorted",
                     F.coalesce("n_rows", F.lit(0)).cast("long")
                     .alias("n_rows")))
+
+
+def adjacency_gap_audit(edges: DataFrame, vertices: DataFrame,
+                        id_col: str = "doc_id",
+                        host_col: str = "host",
+                        src: str = "src_doc_id",
+                        dst: str = "tgt_doc_id",
+                        small_hint: int | None = None) -> DataFrame:
+    """Measure what VERTEX RENUMBERING buys adjacency-list
+    compression — the WebGraph framework's founding observation
+    (Boldi & Vigna, WWW'04): web links are overwhelmingly intra-host,
+    so numbering vertices host-contiguously turns neighbor lists into
+    runs of small gaps, and gap codes (Elias γ here) shrink by the
+    LOG of the gap.  The audit prices the same edge set under two
+    numberings — original ids vs host-grouped rank — in exact bits:
+    per source, neighbors sort in the numbering, the first gap is
+    |d₁ − s| and successors d_{i+1} − d_i, and γ(g) = 2·bitlen(g) − 1
+    bits (bitlen via ``length(bin(g))`` — integer-exact in any
+    engine).  The graph twin of :func:`zonemap_audit`: both quantify
+    a layout decision before paying for the rewrite.
+
+    Ranks via frontier.ordered_seq (range-partitioned — no
+    single-partition window); gap algebra is one lag window per
+    source (uniform key) + a codegen projection + one 2-row agg.
+
+    → per numbering: ``(ordering, n_edges, total_bits,
+    bits_per_edge_ppm)``.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E144).
+    """
+    from .frontier import ordered_seq
+
+    v = vertices.select(F.col(id_col).alias("vid"),
+                        F.col(host_col).alias("h"))
+    e = (edges.select(F.col(src).cast("long").alias("s"),
+                      F.col(dst).cast("long").alias("d"))
+          .filter(F.col("s") != F.col("d")).distinct())
+
+    def cost(mapping: DataFrame, name: str) -> DataFrame:
+        m = mapping.select(F.col("vid"), F.col("r"))
+        ed = (e.join(m.select(F.col("vid").alias("s"),
+                              F.col("r").alias("rs")), "s")
+              .join(m.select(F.col("vid").alias("d"),
+                             F.col("r").alias("rd")), "d"))
+        w = Window.partitionBy("rs").orderBy("rd")
+        gap = F.coalesce(F.col("rd") - F.lag("rd").over(w),
+                         F.abs(F.col("rd") - F.col("rs")))
+        bits = (F.length(F.bin(gap)) * 2 - 1).cast("long")
+        return (ed.select(bits.alias("b"))
+                .agg(F.lit(name).alias("ordering"),
+                     F.count(F.lit(1)).cast("long").alias("n_edges"),
+                     F.sum("b").cast("long").alias("total_bits"))
+                .withColumn("bits_per_edge_ppm",
+                            F.expr("total_bits * 1000000 div n_edges")
+                            .cast("long")))
+
+    orig = v.select("vid", F.col("vid").cast("long").alias("r"))
+    grouped = ordered_seq(v.select("vid", "h"), ["h", "vid"],
+                          out_col="r", small_hint=small_hint) \
+        .select("vid", "r")
+    return (cost(orig, "original")
+            .unionByName(cost(grouped, "host_grouped")))
