@@ -1368,6 +1368,22 @@ def q_corpus_zonemap_audit(spark: SparkSession, sf_dir: str
                          preds=preds, small_hint=100_000)
 
 
+def q_text_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion (functions/text.py:rrf_fuse E145,
+    Cormack et al. SIGIR'09): reciprocal-rank fusion of the tf-idf
+    and BM25 top-20 lists into one top-10 — the standard score-free
+    ensemble (only RANKS enter, so scales never need calibrating),
+    in exact integer harmonic weights 10^6 div (60 + rank).  Oracle
+    nests the two existing ranking oracles as subqueries and replays
+    the fuse."""
+    from web_graph_spark.functions.text import (bm25_topk, rrf_fuse,
+                                                tfidf_topk)
+
+    d = _docs(spark, sf_dir)
+    return rrf_fuse([tfidf_topk(d, SEARCH_TERMS, k=20),
+                     bm25_topk(d, SEARCH_TERMS, k=20)], k=10)
+
+
 def q_text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary drift audit (functions/text.py:vocab_drift E139):
     top-20 most-drifted tokens between the even-doc slice and the
@@ -4124,6 +4140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt_forecast": q_events_holt_forecast,
         "events_cusum": q_events_cusum,
         "text_vocab_drift": q_text_vocab_drift,
+        "text_rrf_topk": q_text_rrf_topk,
         "corpus_zonemap_audit": q_corpus_zonemap_audit,
         "tpch_q1": q_tpch_q1,
         "topk_orders_per_cust": q_topk_orders_per_cust,
@@ -7033,6 +7050,24 @@ SELECT o_custkey, rank, o_orderkey,
        CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
 FROM r WHERE rank <= 3""",
         "events_qdigest": _qdigest_unrolled_sql(),
+        "text_rrf_topk": f"""
+WITH fused AS (
+  SELECT doc_id, sum(pt) AS rrf_score, count(*) AS n_lists
+  FROM (
+    SELECT doc_id, 1000000 // (60 + rank) AS pt
+    FROM ({tfidf_sql(SEARCH_TERMS, k=20)}) ta
+    UNION ALL
+    SELECT doc_id, 1000000 // (60 + rank) AS pt
+    FROM ({bm25_sql(SEARCH_TERMS, k=20)}) tb
+  ) u GROUP BY 1
+),
+r AS (
+  SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+              AS INT) AS rank,
+         doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+         CAST(n_lists AS BIGINT) AS n_lists
+  FROM fused)
+SELECT rank, doc_id, rrf_score, n_lists FROM r WHERE rank <= 10""",
         "corpus_zonemap_audit": """
 WITH base AS (SELECT doc_id AS id, n_chars AS k FROM documents),
 ra AS (SELECT k, (row_number() OVER (ORDER BY id) - 1) // 25 AS f

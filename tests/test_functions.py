@@ -2682,3 +2682,26 @@ def test_cusum_catches_sustained_shift_z_test_misses(spark):
     const = {r.s_scaled for r in
              cusum_alarms(mk([50] * 24), "event_type").collect()}
     assert const == {0}
+
+
+@pytest.mark.spark
+def test_rrf_fuse_semantics(spark):
+    """Consensus doc beats single-list leaders; python replay of the
+    quantized harmonic weights; n_lists counts memberships."""
+    from web_graph_spark.functions.text import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "rank int, doc_id long") \
+        .select("doc_id", "rank")
+    b = spark.createDataFrame(
+        [(1, 40), (2, 20), (3, 50)], "rank int, doc_id long") \
+        .select("doc_id", "rank")
+    out = {r.doc_id: (r.rank, r.rrf_score, r.n_lists)
+           for r in rrf_fuse([a, b], k=10).collect()}
+    # doc 20: rank2+rank2 beats doc 10 (rank1, one list)
+    w = lambda r: 10**6 // (60 + r)
+    assert out[20] == (1, w(2) + w(2), 2)
+    assert out[10] == (2, w(1), 1)
+    assert out[40][1] == w(1) and out[40][2] == 1
+    # tie between 10 and 40 (both single rank-1) broken by id
+    assert out[10][0] < out[40][0]

@@ -1543,3 +1543,41 @@ def vocab_drift(df_a: DataFrame, df_b: DataFrame, text_col: str = "text",
     return (j.crossJoin(F.broadcast(tot))
             .select("token", "n_a", "n_b", chi.alias("chi_ppm"))
             .orderBy(F.desc("chi_ppm"), "token").limit(k))
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
+             k: int = 10, c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09)
+    of ranked lists — THE standard score-free ensemble for hybrid
+    retrieval (fuse BM25 with tf-idf, lexical with vector ANN):
+    each list contributes ``1/(c + rank)`` per document and the
+    fused order is by summed contribution; c=60 is the paper's
+    constant.  Score-free matters: the rankers' score scales never
+    need calibrating, only their RANKS enter.
+
+    Exact integers: contribution = ``10^6 div (c + rank)`` — the
+    quantized harmonic weights preserve the RRF order at every
+    realistic depth (distinct ranks < 940 stay distinct integers
+    through c=60; ties broken by id), and both engines sum the same
+    integers.  Inputs are top-k lists — dims by construction — so
+    the fuse is a union + one hash agg + one tiny global window.
+
+    → top-k ``(rank, id_col, rrf_score, n_lists)``.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E145).
+    """
+    from pyspark.sql import Window
+
+    u = None
+    for r in rankings:
+        part = r.select(F.col(id_col),
+                        F.expr(f"1000000 div ({int(c)} + rank)")
+                        .cast("long").alias("pt"))
+        u = part if u is None else u.unionByName(part)
+    fused = (u.groupBy(id_col)
+             .agg(F.sum("pt").cast("long").alias("rrf_score"),
+                  F.count(F.lit(1)).cast("long").alias("n_lists")))
+    w = Window.orderBy(F.desc("rrf_score"), id_col)
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("rank", id_col, "rrf_score", "n_lists"))
