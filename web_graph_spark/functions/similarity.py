@@ -766,3 +766,68 @@ def kcenter_assign(state_q: DataFrame, chosen: list) -> DataFrame:
     best = F.array_min(dists)
     return state_q.select("id", best["rank"].alias("rank"),
                           best["d2"].alias("d2"))
+
+
+def matryoshka_audit(emb: DataFrame, dims: tuple[int, ...] = (32, 16, 8),
+                     k: int = 10, n_queries: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Prefix-truncation quality audit for embeddings — the question
+    Matryoshka representation learning (Kusupati et al., NeurIPS'22)
+    makes operational: how much of the FULL-dimension cosine top-k
+    survives when vectors are truncated to a prefix of d dimensions?
+    Truncated prefixes are the standard cheap tier (d/D of the
+    memory and FLOPs per comparison); this audit prices that tier on
+    YOUR embedding table before committing the index to it — the
+    vector twin of :func:`operators.layout.zonemap_audit`'s
+    measure-before-rewrite discipline.
+
+    For each query and each d: ``overlap_at_k`` = |top-k(d) ∩
+    top-k(D)| and ``top1_kept`` = is the full-dim rank-1 neighbor
+    still in the truncated top-k — integer verdicts, so the oracle
+    compare is insensitive to float rounding at the boundary (the
+    per-candidate cosine itself matches bitwise anyway: sequential
+    double adds in both engines, the E-ANN discipline).
+
+    Shape: one broadcast of the (tiny) query side per dim, the same
+    WindowGroupLimit top-k the exact ANN tier uses, then dim×query
+    joins of k-row lists.  |dims| passes over the table — at 10^9
+    vectors run it on the sampled slice the decision needs.
+
+    → ``(q_id, dim, overlap_at_k, top1_kept)``.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E146).
+    """
+    base = emb.select(F.col(id_col), F.col(vec_col))
+    full_q = (base.filter(F.col(id_col) < n_queries)
+              .select(F.col(id_col).alias("q_id"),
+                      F.col(vec_col).alias("q_vec")))
+    full = cosine_topk(base, full_q, k=k, id_col=id_col,
+                       vec_col=vec_col)
+    out = None
+    for d in dims:
+        sl = base.select(id_col,
+                         F.slice(F.col(vec_col), 1, d).alias(vec_col))
+        qd = (sl.filter(F.col(id_col) < n_queries)
+              .select(F.col(id_col).alias("q_id"),
+                      F.col(vec_col).alias("q_vec")))
+        topd = (cosine_topk(sl, qd, k=k, id_col=id_col,
+                            vec_col=vec_col)
+                .select("q_id", F.col(id_col).alias("__m")))
+        j = (full.join(topd,
+                       (full.q_id == topd.q_id)
+                       & (full[id_col] == topd["__m"]), "left_semi"))
+        agg = (j.groupBy("q_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("overlap_at_k"),
+                    F.max((F.col("rank") == 1).cast("int"))
+                    .alias("top1_kept")))
+        # queries whose truncated list shares NOTHING still get a row
+        agg = (full_q.select("q_id").join(agg, "q_id", "left")
+               .select("q_id",
+                       F.coalesce("overlap_at_k", F.lit(0))
+                       .cast("long").alias("overlap_at_k"),
+                       F.coalesce("top1_kept", F.lit(0)).cast("int")
+                       .alias("top1_kept"))
+               .withColumn("dim", F.lit(d).cast("int")))
+        out = agg if out is None else out.unionByName(agg)
+    return out.select("q_id", "dim", "overlap_at_k", "top1_kept")
