@@ -1423,6 +1423,36 @@ q AS (SELECT vec_id AS q_id, v AS qv, {qcols} FROM e
     return ",\n".join(parts) + "\n" + " UNION ALL ".join(unions)
 
 
+_SNIFF_CASE_HEX = """CASE doc_id % 8
+  WHEN 0 THEN '89504E470D0A1A0A'
+  WHEN 1 THEN 'FFD8FFE0'
+  WHEN 2 THEN '474946383961'
+  WHEN 3 THEN '255044462D312E34'
+  WHEN 4 THEN '1F8B08'
+  WHEN 5 THEN '52494646DEADBEEF57415645'
+  WHEN 6 THEN '50360A'
+  ELSE '' END"""
+
+
+def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content sniffing (functions/media.py:sniff_kind
+    E147): type-from-leading-BYTES over a real binary column —
+    deterministic blobs built in-engine (unhex of a per-doc magic +
+    md5 tail), classified by pure-JVM hex(substring) prefix tests
+    incl. the RIFF+WAVE two-probe container case; the hardening for
+    Content-Type headers that lie.  Oracle sniffs the same hex
+    strings textually (DuckDB substr does not take BLOBs — the
+    binary surface is Spark-side real, the verdicts engine-equal)."""
+    from web_graph_spark.functions.media import sniff_kind
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    h = F.expr(f"{_SNIFF_CASE_HEX} || upper(md5(cast(doc_id as string)))")
+    b = d.select("doc_id", F.unhex(h).alias("content"))
+    return b.select(
+        "doc_id", sniff_kind(F.col("content")).alias("kind"),
+        F.length("content").cast("long").alias("n_bytes"))
+
+
 def q_text_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid-retrieval fusion (functions/text.py:rrf_fuse E145,
     Cormack et al. SIGIR'09): reciprocal-rank fusion of the tf-idf
@@ -4197,6 +4227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_drift": q_text_vocab_drift,
         "text_rrf_topk": q_text_rrf_topk,
         "embed_matryoshka": q_embed_matryoshka,
+        "media_sniff": q_media_sniff,
         "corpus_zonemap_audit": q_corpus_zonemap_audit,
         "tpch_q1": q_tpch_q1,
         "topk_orders_per_cust": q_topk_orders_per_cust,
@@ -7107,6 +7138,24 @@ SELECT o_custkey, rank, o_orderkey,
 FROM r WHERE rank <= 3""",
         "events_qdigest": _qdigest_unrolled_sql(),
         "embed_matryoshka": _matryoshka_sql(),
+        "media_sniff": f"""
+WITH b AS (
+  SELECT doc_id,
+         ({_SNIFF_CASE_HEX.replace(chr(10), ' ')})
+         || upper(md5(CAST(doc_id AS VARCHAR))) AS h
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN h LIKE '52494646%' AND substr(h, 17, 8) = '57415645'
+                 THEN 'wav'
+            WHEN h LIKE '89504E470D0A1A0A%' THEN 'png'
+            WHEN h LIKE 'FFD8FF%' THEN 'jpeg'
+            WHEN h LIKE '47494638%' THEN 'gif'
+            WHEN h LIKE '25504446%' THEN 'pdf'
+            WHEN h LIKE '1F8B%' THEN 'gzip'
+            WHEN h LIKE '50360A%' THEN 'ppm'
+            ELSE 'unknown' END AS kind,
+       CAST(len(h) / 2 AS BIGINT) AS n_bytes
+FROM b""",
         "text_rrf_topk": f"""
 WITH fused AS (
   SELECT doc_id, sum(pt) AS rrf_score, count(*) AS n_lists

@@ -2742,3 +2742,32 @@ def test_matryoshka_audit_semantics(spark):
         # d=8: all cosines exactly 1.0 -> ranking degenerates to id
         # order; overlap equals |{smallest ids} ∩ true top-5|
         assert res[(q, 8)].overlap_at_k <= 5
+
+
+@pytest.mark.spark
+def test_sniff_kind_magic_bytes(spark):
+    """Every magic class identified from real bytes; RIFF without the
+    WAVE form tag is NOT wav; truncated prefixes are unknown."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.media import sniff_kind
+
+    cases = [
+        ("89504E470D0A1A0A0000", "png"),
+        ("FFD8FFE000104A464946", "jpeg"),
+        ("474946383961AAAA", "gif"),
+        ("255044462D312E34BB", "pdf"),
+        ("1F8B0800CC", "gzip"),
+        ("50360A3220320A", "ppm"),
+        ("52494646DEADBEEF57415645CC", "wav"),
+        ("52494646DEADBEEF41564920", "unknown"),   # RIFF but AVI
+        ("8950", "unknown"),                       # truncated png
+        ("00112233", "unknown"),
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in
+                                enumerate(cases)], "i int, h string")
+    out = {r.i: r.kind for r in
+           df.select("i", sniff_kind(F.unhex("h")).alias("kind"))
+           .collect()}
+    for i, (_, want) in enumerate(cases):
+        assert out[i] == want, (i, out[i], want)
