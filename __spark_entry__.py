@@ -1502,6 +1502,37 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_alarms(ev, "event_type")
 
 
+def q_events_bot_regularity(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Automated-client detection from request timing
+    (functions/stats.py:interarrival_regularity E148): per-client
+    inter-arrival gaps tested by two exact-integer regularity
+    signals — cross-multiplied cv² < 1% and ≥3/4 modal-gap share.
+    The organic events are the human negatives (min cv² ≈ 33 at
+    sf0.01); every 10th client is deterministically re-timed onto a
+    per-client metronome (period 60+10·(id%7) s, LCG jitter
+    (31·id+17·k) mod 10 — ±9 s of slop the cv test must see
+    through), the same derive-the-synthetic-structure-from-the-
+    tables discipline as the AIMD hosts.  Oracle replays the
+    re-timing and both integer verdicts verbatim."""
+    from web_graph_spark.functions.stats import interarrival_regularity
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id"))
+    base = ev.select(F.col("user_id").alias("client"),
+                     F.col("event_id"), F.col("ts"), k.alias("k"))
+    period = F.lit(60) + (F.col("client") % 7) * 10
+    bot_t = (F.lit(1_700_000_000) + F.col("client")
+             + F.col("k").cast("long") * period
+             + (F.col("client") * 31 + F.col("k") * 17) % 10)
+    t = (F.when(F.col("client") % 10 == 0, bot_t)
+         .otherwise(F.unix_timestamp("ts")))
+    log = base.select("client", t.cast("long").alias("t"),
+                      F.col("event_id").alias("tie"))
+    return interarrival_regularity(log, "client", "t", "tie")
+
+
 def q_events_holt_forecast(spark: SparkSession, sf_dir: str
                            ) -> DataFrame:
     """One-step-ahead hourly load forecast per event type
@@ -4224,6 +4255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_decay_score": q_events_decay_score,
         "events_holt_forecast": q_events_holt_forecast,
         "events_cusum": q_events_cusum,
+        "events_bot_regularity": q_events_bot_regularity,
         "text_vocab_drift": q_text_vocab_drift,
         "text_rrf_topk": q_text_rrf_topk,
         "embed_matryoshka": q_embed_matryoshka,
@@ -7259,6 +7291,48 @@ SELECT g AS event_type, CAST(hr AS BIGINT) AS hr,
        CAST(s AS BIGINT) AS s_scaled,
        CAST(s > t AS INT) AS alarm
 FROM idx""",
+        "events_bot_regularity": """
+WITH ranked AS (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS k
+  FROM events),
+base AS (
+  SELECT user_id AS client, event_id AS tie,
+         CASE WHEN user_id % 10 = 0
+              THEN 1700000000 + user_id
+                   + k * (60 + (user_id % 7) * 10)
+                   + (user_id * 31 + k * 17) % 10
+              ELSE CAST(floor(epoch(ts)) AS BIGINT) END AS t
+  FROM ranked),
+g AS (
+  SELECT client,
+         t - lag(t) OVER (PARTITION BY client
+                          ORDER BY t, tie) AS gap
+  FROM base),
+h AS (
+  SELECT client, gap, CAST(count(*) AS BIGINT) AS c
+  FROM g WHERE gap IS NOT NULL GROUP BY 1, 2),
+modal AS (
+  SELECT client, gap AS modal_gap, c AS modal_cnt
+  FROM h
+  QUALIFY row_number() OVER (PARTITION BY client
+                             ORDER BY c DESC, gap) = 1),
+s AS (
+  SELECT client, CAST(sum(c) AS BIGINT) AS n_gaps,
+         CAST(sum(gap * c) AS BIGINT) AS sum_gap,
+         CAST(sum(gap * gap * c) AS BIGINT) AS qq
+  FROM h GROUP BY 1)
+SELECT s.client, s.n_gaps, s.sum_gap,
+       CAST(s.n_gaps * s.qq - s.sum_gap * s.sum_gap AS BIGINT)
+       AS var_num,
+       CAST(m.modal_gap AS BIGINT) AS modal_gap,
+       m.modal_cnt,
+       (s.n_gaps >= 5 AND
+        (10000 * (s.n_gaps * s.qq - s.sum_gap * s.sum_gap)
+         < 100 * s.sum_gap * s.sum_gap
+         OR 4 * m.modal_cnt >= 3 * s.n_gaps)) AS is_bot
+FROM s JOIN modal m USING (client)""",
         "events_holt_forecast": """
 WITH RECURSIVE hourly AS (
   SELECT event_type AS g,

@@ -2771,3 +2771,49 @@ def test_sniff_kind_magic_bytes(spark):
            .collect()}
     for i, (_, want) in enumerate(cases):
         assert out[i] == want, (i, out[i], want)
+
+
+def test_interarrival_regularity(spark):
+    """Metronome client flagged through ±jitter; jittered-period
+    client flagged by the cv test though no gap repeats enough for
+    the modal test; Poisson-ish human never flagged; a 4-gap
+    metronome stays unflagged (below min_gaps); exact integer stats
+    replayed in python."""
+    from web_graph_spark.functions.stats import interarrival_regularity
+
+    rows = []
+    # client 1: pure metronome, gap 60 exactly (modal + cv hit)
+    t = 0
+    for k in range(10):
+        rows.append((1, t, k)); t += 60
+    # client 2: period 100 with deterministic jitter cycling
+    # -4..+4 — every gap distinct-ish (modal share low) but cv tiny
+    t = 0
+    for k in range(12):
+        rows.append((2, t, k)); t += 100 + ((k * 3) % 9) - 4
+    # client 3: human-ish, wildly varying gaps (cv >> 1)
+    t = 0
+    for k, g in enumerate([5, 900, 30, 4000, 11, 2500, 70, 9000]):
+        rows.append((3, t, k)); t += g
+    # client 4: perfect metronome but only 5 events = 4 gaps < 5
+    t = 0
+    for k in range(5):
+        rows.append((4, t, k)); t += 60
+    df = spark.createDataFrame(rows, "client long, t long, tie long")
+    out = {r.client: r for r in
+           interarrival_regularity(df, "client", "t", "tie")
+           .collect()}
+
+    assert out[1].is_bot and out[1].var_num == 0
+    assert out[1].modal_gap == 60 and out[1].modal_cnt == 9
+    assert out[2].is_bot  # cv fires despite modal share < 3/4
+    assert 4 * out[2].modal_cnt < 3 * out[2].n_gaps
+    assert not out[3].is_bot
+    assert not out[4].is_bot and out[4].var_num == 0  # evidence gate
+
+    # exact python replay of the integer stats for client 2
+    gaps = [100 + ((k * 3) % 9) - 4 for k in range(11)]
+    n, s, q = len(gaps), sum(gaps), sum(g * g for g in gaps)
+    assert out[2].n_gaps == n and out[2].sum_gap == s
+    assert out[2].var_num == n * q - s * s
+    assert 10_000 * (n * q - s * s) < 100 * s * s

@@ -1382,3 +1382,79 @@ def cusum_alarms(df: DataFrame, group: str, ts: str = "ts",
         F.col("col.s").cast("long").alias("s_scaled"),
         (F.col("col.s") > F.col("t") * int(threshold_x))
         .cast("int").alias("alarm"))
+
+
+def interarrival_regularity(df: DataFrame, client_col: str,
+                            ts_sec_col: str, tie_col: str,
+                            min_gaps: int = 5,
+                            cv2_bp: int = 100,
+                            modal_num: int = 3,
+                            modal_den: int = 4) -> DataFrame:
+    """Automated-client (bot/crawler) detection from request timing —
+    the server-side mirror of this engine's own politeness scheduler:
+    a crawler that fetches on a fixed cadence (wave_period, crawl-
+    delay buckets) leaves a metronome signature in the access log
+    that human traffic never does.  Two exact-integer regularity
+    tests over a client's inter-arrival gaps, either sufficient:
+
+    * **Coefficient of variation**: with n gaps summing to S and
+      squared-summing to Q, ``cv² = var/mean² = (n·Q − S²)/S²`` (the
+      n² scale factors of variance and squared mean cancel); the
+      client is regular when ``cv² < cv2_bp/10⁴`` — tested as the
+      cross-multiplied integer inequality ``10⁴·(n·Q − S²) <
+      cv2_bp·S²`` (no division, no floats; n·Q−S² ≥ 0 by
+      Cauchy-Schwarz).
+    * **Modal-gap share**: a scheduler emitting on an exact grid
+      repeats ONE gap; fire when ``modal_den·modal_cnt ≥
+      modal_num·n`` (default ≥3/4 of gaps identical) — catches
+      integer-period bots whose cv is inflated by a few long pauses.
+
+    Both verdicts are integer comparisons, bit-equal in any engine;
+    sub-``min_gaps`` clients are never flagged (too little evidence).
+
+    Shape at 10^10 log rows: ONE shuffle on client (the lag window),
+    then a (client, gap) hash agg whose map-side partials absorb the
+    very repetition that makes a bot a bot, then a per-client agg —
+    modal gap via ``max(struct(cnt, −gap))`` (ties → smallest gap,
+    deterministic).  All JVM codegen, no Python in the plan.
+
+    → ``(client, n_gaps, sum_gap, var_num, modal_gap, modal_cnt,
+    is_bot)`` with ``var_num = n·Q − S²`` (the n²-scaled variance
+    numerator, exact).
+
+    Reference analog: none — engine extension (SURVEY §2.10 E148);
+    the politeness scheduler it detects is operators/politeness.py.
+    """
+    w = Window.partitionBy("client").orderBy("t", "tie")
+    gaps = (df.select(F.col(client_col).alias("client"),
+                      F.col(ts_sec_col).cast("long").alias("t"),
+                      F.col(tie_col).alias("tie"))
+            .select("client",
+                    (F.col("t") - F.lag("t").over(w)).alias("gap"))
+            .where(F.col("gap").isNotNull()))
+    hist = (gaps.groupBy("client", "gap")
+            .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    per = (hist.groupBy("client")
+           .agg(F.sum("c").cast("long").alias("n_gaps"),
+                F.sum(F.col("gap") * F.col("c")).cast("long")
+                .alias("sum_gap"),
+                F.sum(F.col("gap") * F.col("gap") * F.col("c"))
+                .cast("long").alias("qq"),
+                F.max(F.struct(F.col("c").alias("c"),
+                               (-F.col("gap")).alias("ng")))
+                .alias("m")))
+    var_num = (F.col("n_gaps") * F.col("qq")
+               - F.col("sum_gap") * F.col("sum_gap"))
+    cv_hit = (F.lit(10_000) * F.col("var_num")
+              < F.lit(int(cv2_bp)) * F.col("sum_gap")
+              * F.col("sum_gap"))
+    modal_hit = (F.lit(int(modal_den)) * F.col("modal_cnt")
+                 >= F.lit(int(modal_num)) * F.col("n_gaps"))
+    return (per.select(
+        "client", "n_gaps", "sum_gap",
+        var_num.cast("long").alias("var_num"),
+        (-F.col("m.ng")).cast("long").alias("modal_gap"),
+        F.col("m.c").cast("long").alias("modal_cnt"))
+        .withColumn("is_bot",
+                    (F.col("n_gaps") >= int(min_gaps))
+                    & (cv_hit | modal_hit)))
