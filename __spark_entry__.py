@@ -620,6 +620,33 @@ def q_crawl_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_robots_txt(bodies, agent="spark-crawler")
 
 
+def q_crawl_sitemap_coverage(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Sitemap-vs-crawl coverage audit (operators/sitemap.py:
+    sitemap_coverage E149): per host, how much of the DECLARED URL
+    surface the crawl reached and how much of the crawl the host
+    never declared.  Declared = every page with doc_id % 3 ≠ 0 (a
+    sitemap listing two-thirds of the real site) plus 1–3 phantom
+    ghost URLs per host (i % 3 + 1 — dead sitemap entries); crawled
+    = all webgen pages, so orphans are exactly the doc_id % 3 = 0
+    pages.  Exact integer counts + floor coverage_pct; oracle
+    replays the synthesis and the union-agg verbatim."""
+    from web_graph_spark.operators.sitemap import sitemap_coverage
+
+    pages = webgen.pages_df(spark, sf_dir)
+    i = F.substring("host", 2, 2).cast("int")
+    phantoms = (pages.select("host", i.alias("i")).distinct()
+                .select("host", F.explode(
+                    F.sequence(F.lit(0), F.col("i") % 3)).alias("n"))
+                .select("host", F.concat(
+                    F.lit("https://"), F.col("host"),
+                    F.lit("/ghost/"), F.col("n").cast("string"),
+                    F.lit(".html")).alias("url")))
+    declared = (pages.where(F.col("doc_id") % 3 != 0)
+                .select("host", "url").unionByName(phantoms))
+    return sitemap_coverage(declared, pages.select("host", "url"))
+
+
 def q_crawl_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap discovery + ingestion (E54, operators/sitemap.py):
     per-host synthetic robots bodies carry one ``Sitemap:`` directive
@@ -4112,6 +4139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_domain_group": q_crawl_domain_group,
         "crawl_robots_parse": q_crawl_robots_parse,
         "crawl_sitemap_ingest": q_crawl_sitemap_ingest,
+        "crawl_sitemap_coverage": q_crawl_sitemap_coverage,
         "crawl_robots_eval": q_crawl_robots_eval,
         "crawl_budget_derive": q_crawl_budget_derive,
         "crawl_budget_allocate": q_crawl_budget_allocate,
@@ -4615,6 +4643,35 @@ FROM h WHERE i % 3 <> 0
 UNION ALL
 SELECT host, 'allow', '/d/1' || CAST(i % 10 AS VARCHAR) || '2', i % 4
 FROM h WHERE i % 3 <> 0"""),
+        "crawl_sitemap_coverage": _oracle("""
+, hosts AS (
+  SELECT DISTINCT host, CAST(substr(host, 2, 2) AS INT) AS i
+  FROM web_pages),
+phantoms AS (
+  SELECT host,
+         'https://' || host || '/ghost/' || CAST(u.n AS VARCHAR)
+         || '.html' AS url
+  FROM hosts, UNNEST(generate_series(0, i % 3)) AS u(n)),
+declared AS (
+  SELECT host, url FROM web_pages WHERE doc_id % 3 <> 0
+  UNION ALL SELECT host, url FROM phantoms),
+u AS (
+  SELECT host, url, 1 AS d, 0 AS c FROM declared
+  UNION ALL SELECT host, url, 0, 1 FROM web_pages),
+per_url AS (
+  SELECT host, url, max(d) AS d, max(c) AS c
+  FROM u GROUP BY 1, 2),
+agg AS (
+  SELECT host, CAST(sum(d) AS BIGINT) AS n_declared,
+         CAST(sum(c) AS BIGINT) AS n_crawled,
+         CAST(sum(d * c) AS BIGINT) AS n_both
+  FROM per_url GROUP BY 1)
+SELECT host, n_declared, n_crawled, n_both,
+       n_declared - n_both AS n_phantom,
+       n_crawled - n_both AS n_orphan,
+       CASE WHEN n_declared > 0
+            THEN 100 * n_both // n_declared END AS coverage_pct
+FROM agg"""),
         "crawl_sitemap_ingest": _oracle("""
 , h AS (
   SELECT DISTINCT host, CAST(substr(host, 2, 2) AS INTEGER) AS i

@@ -513,3 +513,36 @@ def test_sitemap_urls_protocol_semantics(spark):
                                "host string, robots_txt string")
     got = sorted(r.sitemap_url for r in sitemap_urls(df).collect())
     assert got == ["https://a.test/s1.xml", "https://a.test/s2.xml"]
+
+
+def test_sitemap_coverage_hand_fixture(spark):
+    """Hand-checkable coverage algebra: overlap, phantoms, orphans,
+    duplicate declarations absorbed, a declared-only host (0 crawled,
+    coverage 0), a crawled-only host (NULL coverage — no sitemap to
+    cover), and the floor division pin (2/3 -> 66)."""
+    from web_graph_spark.operators.sitemap import sitemap_coverage
+
+    declared = spark.createDataFrame(
+        [("a", "u1"), ("a", "u1"),           # duplicate declaration
+         ("a", "u2"), ("a", "u9"),           # u9 = phantom
+         ("b", "x1"), ("b", "x2"), ("b", "x3"),  # x3 phantom
+         ("c", "only-declared")],            # host never crawled
+        "host string, url string")
+    crawled = spark.createDataFrame(
+        [("a", "u1"), ("a", "u2"), ("a", "u3"),  # u3 = orphan
+         ("b", "x1"), ("b", "x2"),
+         ("d", "y1")],                       # host with no sitemap
+        "host string, url string")
+    out = {r.host: r for r in
+           sitemap_coverage(declared, crawled).collect()}
+
+    a = out["a"]
+    assert (a.n_declared, a.n_crawled, a.n_both) == (3, 3, 2)
+    assert (a.n_phantom, a.n_orphan, a.coverage_pct) == (1, 1, 66)
+    b = out["b"]
+    assert (b.n_declared, b.n_both, b.coverage_pct) == (3, 2, 66)
+    c = out["c"]
+    assert (c.n_declared, c.n_crawled, c.coverage_pct) == (1, 0, 0)
+    d = out["d"]
+    assert (d.n_declared, d.n_orphan) == (0, 1)
+    assert d.coverage_pct is None

@@ -104,3 +104,62 @@ def sitemap_to_inbox(locs: DataFrame, arrival_ts) -> DataFrame:
     return locs.filter(~F.col("is_index")).select(
         F.col("loc").alias("url"),
         F.lit(arrival_ts).cast("timestamp").alias("arrival_ts"))
+
+
+def sitemap_coverage(declared: DataFrame, crawled: DataFrame,
+                     host_col: str = "host",
+                     url_col: str = "url") -> DataFrame:
+    """Per-host audit of what a host PUBLISHES vs what the crawler
+    actually FOUND — the closing of the sitemap loop (E149): after
+    ingesting ``Sitemap:`` feeds (:func:`sitemap_locs`) and crawling,
+    the operational questions are (a) how much of the declared
+    surface did we reach (dead/stale sitemap entries inflate the
+    frontier for nothing) and (b) how much of what we crawled the
+    host never declared (orphans reachable only via links — the
+    pages a sitemap-only crawler would miss).
+
+    Exact integer verdicts per host over the union of both URL sets:
+
+    * ``n_declared`` / ``n_crawled`` — distinct URLs on each side;
+    * ``n_both`` — the intersection;
+    * ``n_phantom = n_declared − n_both`` — declared, never crawled;
+    * ``n_orphan = n_crawled − n_both`` — crawled, never declared;
+    * ``coverage_pct = 100·n_both div n_declared`` (integer floor —
+      engine-safe), NULL for a host that declared nothing (crawled-
+      only hosts have no sitemap to be covered).
+
+    Shape at 10^10 URLs: tag each side (d, c), union, ONE
+    (host, url) hash agg (map-side partials absorb the duplicate
+    declarations real sitemap indexes are full of), then ONE
+    per-host agg — no join, both shuffles on uniform keys; a
+    full-outer join on URL would shuffle the same bytes and add a
+    null-handling surface.  All JVM codegen.
+
+    → ``(host, n_declared, n_crawled, n_both, n_phantom, n_orphan,
+    coverage_pct)``.
+
+    Reference analog: none — the reference discovers URLs only by
+    link extraction (linkprocessor.go:104-121); engine extension
+    (SURVEY §2.10 E149).
+    """
+    d = declared.select(F.col(host_col).alias("host"),
+                        F.col(url_col).alias("url"),
+                        F.lit(1).alias("d"), F.lit(0).alias("c"))
+    cr = crawled.select(F.col(host_col).alias("host"),
+                        F.col(url_col).alias("url"),
+                        F.lit(0).alias("d"), F.lit(1).alias("c"))
+    per_url = (d.unionByName(cr)
+               .groupBy("host", "url")
+               .agg(F.max("d").alias("d"), F.max("c").alias("c")))
+    agg = (per_url.groupBy("host")
+           .agg(F.sum("d").cast("long").alias("n_declared"),
+                F.sum("c").cast("long").alias("n_crawled"),
+                F.sum(F.col("d") * F.col("c")).cast("long")
+                .alias("n_both")))
+    return agg.select(
+        "host", "n_declared", "n_crawled", "n_both",
+        (F.col("n_declared") - F.col("n_both")).alias("n_phantom"),
+        (F.col("n_crawled") - F.col("n_both")).alias("n_orphan"),
+        F.expr("CASE WHEN n_declared > 0 "
+               "THEN 100 * n_both div n_declared END")
+        .alias("coverage_pct"))
