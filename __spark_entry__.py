@@ -647,6 +647,47 @@ def q_crawl_sitemap_coverage(spark: SparkSession, sf_dir: str
     return sitemap_coverage(declared, pages.select("host", "url"))
 
 
+def q_crawl_robots_wildcard(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """RFC 9309 §2.2.3 wildcard robots verdicts (operators/robots.py:
+    robots_wildcard_eval E150): per-host rule sets exercising every
+    precedence edge — a long `/d/*<digit>.html$` disallow that beats
+    the shorter `/d/<digit>*` allow by octet length, an equal-length
+    allow twin on every third host pinning the tie → allow rule, a
+    bare `*` disallow on host 15 that longer allows still override,
+    and a never-matching `/tmp/*`.  Verdict + winning rule per page;
+    oracle compiles the same patterns to RE2 and replays the
+    longest-match window verbatim."""
+    from web_graph_spark.operators.robots import robots_wildcard_eval
+
+    pages = webgen.pages_df(spark, sf_dir).select(
+        "doc_id", "host", "path")
+    hosts = pages.select("host").distinct()
+    i = F.substring("host", 2, 2).cast("int")
+    d = (i % 10).cast("string")
+    cols = ["host", "rule_type", "pattern"]
+    r1 = hosts.select("host", F.lit("disallow").alias("rule_type"),
+                      F.concat(F.lit("/d/*"), d, F.lit(".html$"))
+                      .alias("pattern"))
+    r2 = hosts.select("host", F.lit("allow").alias("rule_type"),
+                      F.concat(F.lit("/d/"), d, F.lit("*"))
+                      .alias("pattern"))
+    r3 = (hosts.where(i % 3 == 0)
+          .select("host", F.lit("allow").alias("rule_type"),
+                  F.concat(F.lit("/d/*"), d, F.lit(".html$"))
+                  .alias("pattern")))
+    r4 = (hosts.where(i == 15)
+          .select("host", F.lit("disallow").alias("rule_type"),
+                  F.lit("*").alias("pattern")))
+    r5 = hosts.select("host", F.lit("disallow").alias("rule_type"),
+                      F.lit("/tmp/*").alias("pattern"))
+    rules = (r1.select(cols).unionByName(r2.select(cols))
+             .unionByName(r3.select(cols))
+             .unionByName(r4.select(cols))
+             .unionByName(r5.select(cols)))
+    return robots_wildcard_eval(pages, rules, ["doc_id"])
+
+
 def q_crawl_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap discovery + ingestion (E54, operators/sitemap.py):
     per-host synthetic robots bodies carry one ``Sitemap:`` directive
@@ -4140,6 +4181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_parse": q_crawl_robots_parse,
         "crawl_sitemap_ingest": q_crawl_sitemap_ingest,
         "crawl_sitemap_coverage": q_crawl_sitemap_coverage,
+        "crawl_robots_wildcard": q_crawl_robots_wildcard,
         "crawl_robots_eval": q_crawl_robots_eval,
         "crawl_budget_derive": q_crawl_budget_derive,
         "crawl_budget_allocate": q_crawl_budget_allocate,
@@ -4643,6 +4685,48 @@ FROM h WHERE i % 3 <> 0
 UNION ALL
 SELECT host, 'allow', '/d/1' || CAST(i % 10 AS VARCHAR) || '2', i % 4
 FROM h WHERE i % 3 <> 0"""),
+        "crawl_robots_wildcard": _oracle(r"""
+, hosts AS (
+  SELECT DISTINCT host, CAST(substr(host, 2, 2) AS INT) AS i
+  FROM web_pages),
+rules AS (
+  SELECT host, 'disallow' AS rule_type,
+         '/d/*' || CAST(i % 10 AS VARCHAR) || '.html$' AS pattern
+  FROM hosts
+  UNION ALL
+  SELECT host, 'allow', '/d/' || CAST(i % 10 AS VARCHAR) || '*'
+  FROM hosts
+  UNION ALL
+  SELECT host, 'allow',
+         '/d/*' || CAST(i % 10 AS VARCHAR) || '.html$'
+  FROM hosts WHERE i % 3 = 0
+  UNION ALL SELECT host, 'disallow', '*' FROM hosts WHERE i = 15
+  UNION ALL SELECT host, 'disallow', '/tmp/*' FROM hosts),
+rx AS (
+  SELECT host, rule_type, pattern,
+         CASE WHEN pattern LIKE '%$'
+              THEN '^' || substr(s, 1, length(s) - 2) || '$'
+              ELSE '^' || s END AS rx,
+         length(pattern) AS spec
+  FROM (SELECT host, rule_type, pattern,
+               replace(regexp_replace(pattern,
+                 '([.\[\]{}()+?^$|\\])', '\\\1', 'g'),
+                 '*', '.*') AS s
+        FROM rules)),
+hits AS (
+  SELECT p.doc_id, r.rule_type, r.pattern, r.spec
+  FROM web_pages p
+  JOIN rx r ON r.host = p.host AND regexp_matches(p.path, r.rx)),
+best AS (
+  SELECT doc_id, rule_type, pattern FROM hits
+  QUALIFY row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY spec DESC, (rule_type = 'allow') DESC,
+             pattern, rule_type) = 1)
+SELECT p.doc_id, p.host, p.path,
+       coalesce(b.rule_type = 'allow', TRUE) AS allowed,
+       b.pattern AS m_pattern, b.rule_type AS m_type
+FROM web_pages p LEFT JOIN best b USING (doc_id)"""),
         "crawl_sitemap_coverage": _oracle("""
 , hosts AS (
   SELECT DISTINCT host, CAST(substr(host, 2, 2) AS INT) AS i

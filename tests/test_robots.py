@@ -546,3 +546,48 @@ def test_sitemap_coverage_hand_fixture(spark):
     d = out["d"]
     assert (d.n_declared, d.n_orphan) == (0, 1)
     assert d.coverage_pct is None
+
+
+def test_robots_wildcard_eval_precedence(spark):
+    """RFC 9309 §2.2.3 pins: longest pattern wins regardless of rule
+    order; equal length -> allow; bare * blocks what no longer allow
+    rescues; trailing $ anchors while mid-pattern $ is literal; regex
+    metacharacters in patterns stay literal; no-rule hosts default
+    allowed."""
+    from web_graph_spark.operators.robots import robots_wildcard_eval
+
+    rules = spark.createDataFrame(
+        [("a", "disallow", "/d/*7.html$"),   # len 11
+         ("a", "allow", "/d/1*"),            # len 5
+         ("b", "allow", "/x*"),              # len 3
+         ("b", "disallow", "*"),             # len 1
+         ("c", "allow", "/t$"),              # anchored
+         ("c", "disallow", "/t*"),           # len 3 beats len 3 tie?
+         ("d", "disallow", "/a+b?.c$"),      # metachars literal
+         ("e", "disallow", "/x$y*")],        # mid-$ literal
+        "host string, rule_type string, pattern string")
+    pending = spark.createDataFrame(
+        [(1, "a", "/d/17.html"),   # both match: disallow longer
+         (2, "a", "/d/18.html"),   # only allow matches
+         (3, "b", "/x/page"),      # allow len 3 > * len 1
+         (4, "b", "/y/page"),      # only * matches -> blocked
+         (5, "c", "/t"),           # tie len 3: allow ($ counts) wins
+         (6, "c", "/tmp"),         # anchored allow misses -> disallow
+         (7, "d", "/a+b?.c"),      # literal metachars match
+         (8, "d", "/axb.c"),       # regex reading would match; literal not
+         (9, "e", "/x$y/z"),       # mid-$ literal matches
+         (10, "zz", "/anything")], # no rules -> allowed
+        "doc_id long, host string, path string")
+    out = {r.doc_id: r for r in
+           robots_wildcard_eval(pending, rules, ["doc_id"]).collect()}
+
+    assert not out[1].allowed and out[1].m_pattern == "/d/*7.html$"
+    assert out[2].allowed and out[2].m_type == "allow"
+    assert out[3].allowed and out[3].m_pattern == "/x*"
+    assert not out[4].allowed and out[4].m_pattern == "*"
+    assert out[5].allowed and out[5].m_pattern == "/t$"
+    assert not out[6].allowed and out[6].m_pattern == "/t*"
+    assert not out[7].allowed
+    assert out[8].allowed and out[8].m_pattern is None
+    assert not out[9].allowed and out[9].m_pattern == "/x$y*"
+    assert out[10].allowed and out[10].m_type is None

@@ -316,3 +316,76 @@ def sitemap_urls(df: DataFrame, host_col: str = "host",
                     & F.col("v").rlike("^https?://"))
             .select("host", F.col("v").alias("sitemap_url"))
             .distinct())
+
+
+def wildcard_regex(pattern: Column) -> Column:
+    """Compile an RFC 9309 §2.2.3 wildcard path pattern to an anchored
+    regex, entirely in JVM expressions: every regex metacharacter is
+    escaped, ``*`` becomes ``.*`` (any octets), and a TRAILING ``$``
+    becomes the end-anchor (a mid-pattern ``$`` stays literal, the
+    Googlebot reading).  No trailing ``$`` → prefix semantics, i.e.
+    the regex is start-anchored and right-open."""
+    esc = F.regexp_replace(pattern, r"([.\[\]{}()+?^$|\\])", r"\\$1")
+    star = F.replace(esc, F.lit("*"), F.lit(".*"))
+    return F.when(
+        pattern.endswith("$"),
+        F.concat(F.lit("^"),
+                 star.substr(F.lit(1), F.length(star) - 2),
+                 F.lit("$"))
+    ).otherwise(F.concat(F.lit("^"), star))
+
+
+def robots_wildcard_eval(pending: DataFrame, rules_df: DataFrame,
+                         id_cols: list[str],
+                         broadcast_rules: bool = True) -> DataFrame:
+    """Wildcard-capable robots verdicts (E150) — the §2.2.3 extension
+    tier next to the prefix tiers (:func:`robots_eval_udf` broadcast
+    UDF, :func:`robots_gate_cogroup`): rules carry ``*`` and ``$``,
+    precedence is MOST-SPECIFIC-MATCH by octet length of the pattern
+    (RFC 9309 §2.2.2 applied to the pattern string, the Googlebot
+    rule), ties → least restrictive (allow first), then (pattern,
+    rule_type) lexicographic so the winner is fully deterministic.
+    No matching rule, or a host with no rules → allowed.
+
+    Shape: rules are compiled to anchored regexes ONCE on the dim
+    side (JVM ``regexp_replace``/``replace``, no Python), then an
+    equi-join on host + an ``rlike`` filter + one window per pending
+    row keyed by ``id_cols``.  With ``broadcast_rules`` (the default
+    — a parsed-rules dim is tiny next to a frontier) the join is
+    map-side and the only shuffle is the per-URL window; at 10^8-host
+    rule dims flip it off and the join shuffles on host, where AQE
+    skew-split absorbs hot hosts.  Unmatched pending rows rejoin via
+    a left join on the same keys.
+
+    → pending columns + ``(allowed, m_pattern, m_type)`` — the
+    winning rule surfaced for auditability (NULL when no rule
+    matched).
+
+    Reference analog: none (the reference has no robots layer);
+    engine extension, SURVEY §2.10 E150.
+    """
+    from pyspark.sql import Window
+
+    rx = rules_df.select(
+        F.col("host"), F.col("rule_type"), F.col("pattern"),
+        wildcard_regex(F.col("pattern")).alias("rx"),
+        F.length("pattern").alias("spec"))
+    if broadcast_rules:
+        rx = F.broadcast(rx)
+    hits = (pending.join(rx, "host", "inner")
+            .where(F.expr("path rlike rx")))
+    w = (Window.partitionBy(*id_cols)
+         .orderBy(F.col("spec").desc(),
+                  (F.col("rule_type") == "allow").desc(),
+                  F.col("pattern"), F.col("rule_type")))
+    best = (hits.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(*id_cols,
+                    (F.col("rule_type") == "allow").alias("m_allow"),
+                    F.col("pattern").alias("m_pattern"),
+                    F.col("rule_type").alias("m_type")))
+    return (pending.join(best, id_cols, "left")
+            .select(*pending.columns,
+                    F.coalesce(F.col("m_allow"), F.lit(True))
+                    .alias("allowed"),
+                    "m_pattern", "m_type"))
