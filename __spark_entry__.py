@@ -61,6 +61,40 @@ def _oracle_recursive(body: str) -> str:
     return "WITH RECURSIVE " + _oracle(body)[len("WITH "):]
 
 
+def _wc_verdict_sql(tag: str) -> str:
+    """Wildcard-robots verdict chain (E150 semantics) over a CTE
+    named ``rules_{tag}`` — emits ``rx_/hits_/best_/verdict_{tag}``
+    CTE text; ``verdict_{tag}`` is (doc_id, allowed).  Mirrors
+    operators/robots.py:robots_wildcard_eval verbatim."""
+    t = tag
+    return rf"""
+rx_{t} AS (
+  SELECT host, rule_type, pattern,
+         CASE WHEN pattern LIKE '%$'
+              THEN '^' || substr(s, 1, length(s) - 2) || '$'
+              ELSE '^' || s END AS rx,
+         length(pattern) AS spec
+  FROM (SELECT host, rule_type, pattern,
+               replace(regexp_replace(pattern,
+                 '([.\[\]{{}}()+?^$|\\])', '\\\1', 'g'),
+                 '*', '.*') AS s
+        FROM rules_{t})),
+hits_{t} AS (
+  SELECT p.doc_id, r.rule_type, r.pattern, r.spec
+  FROM web_pages p
+  JOIN rx_{t} r ON r.host = p.host
+              AND regexp_matches(p.path, r.rx)),
+best_{t} AS (
+  SELECT doc_id, rule_type FROM hits_{t}
+  QUALIFY row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY spec DESC, (rule_type = 'allow') DESC,
+             pattern, rule_type) = 1),
+verdict_{t} AS (
+  SELECT p.doc_id, coalesce(b.rule_type = 'allow', TRUE) AS allowed
+  FROM web_pages p LEFT JOIN best_{t} b USING (doc_id))"""
+
+
 def _kcore_unrolled_sql(k: int, rounds: int) -> str:
     """Fixed-round synchronous k-core peeling unrolled to plain SQL —
     the oracle for q_graph_kcore.  Each round mirrors
@@ -662,7 +696,14 @@ def q_crawl_robots_wildcard(spark: SparkSession, sf_dir: str
 
     pages = webgen.pages_df(spark, sf_dir).select(
         "doc_id", "host", "path")
-    hosts = pages.select("host").distinct()
+    rules = _wildcard_rules_v1(pages.select("host").distinct())
+    return robots_wildcard_eval(pages, rules, ["doc_id"])
+
+
+def _wildcard_rules_v1(hosts: DataFrame) -> DataFrame:
+    """The E150 synthetic wildcard rule set (v1 snapshot): long
+    disallow vs shorter allow, an equal-length allow twin on every
+    third host, bare `*` on host 15, never-matching `/tmp/*`."""
     i = F.substring("host", 2, 2).cast("int")
     d = (i % 10).cast("string")
     cols = ["host", "rule_type", "pattern"]
@@ -681,11 +722,41 @@ def q_crawl_robots_wildcard(spark: SparkSession, sf_dir: str
                   F.lit("*").alias("pattern")))
     r5 = hosts.select("host", F.lit("disallow").alias("rule_type"),
                       F.lit("/tmp/*").alias("pattern"))
-    rules = (r1.select(cols).unionByName(r2.select(cols))
-             .unionByName(r3.select(cols))
-             .unionByName(r4.select(cols))
-             .unionByName(r5.select(cols)))
-    return robots_wildcard_eval(pages, rules, ["doc_id"])
+    return (r1.select(cols).unionByName(r2.select(cols))
+            .unionByName(r3.select(cols))
+            .unionByName(r4.select(cols))
+            .unionByName(r5.select(cols)))
+
+
+def q_crawl_robots_purge(spark: SparkSession, sf_dir: str
+                         ) -> DataFrame:
+    """Retro-compliance across a robots change (operators/robots.py:
+    robots_transition E151): snapshot v1 = the E150 wildcard set;
+    v2 tightens every 4th host with a blanket `*` disallow (the AI-
+    crawler opt-out wave) and loosens every 5th with an allow twin of
+    its long disallow.  Per page: verdicts under both snapshots + the
+    kept/purge/opened/blocked transition — purge being the list a
+    training-data pipeline must delete retroactively.  Oracle runs
+    the full wildcard-precedence replay twice and folds."""
+    from web_graph_spark.operators.robots import robots_transition
+
+    pages = webgen.pages_df(spark, sf_dir).select(
+        "doc_id", "host", "path")
+    hosts = pages.select("host").distinct()
+    v1 = _wildcard_rules_v1(hosts)
+    i = F.substring("host", 2, 2).cast("int")
+    d = (i % 10).cast("string")
+    cols = ["host", "rule_type", "pattern"]
+    tighten = (hosts.where(i % 4 == 0)
+               .select("host", F.lit("disallow").alias("rule_type"),
+                       F.lit("*").alias("pattern")))
+    loosen = (hosts.where(i % 5 == 0)
+              .select("host", F.lit("allow").alias("rule_type"),
+                      F.concat(F.lit("/d/*"), d, F.lit(".html$"))
+                      .alias("pattern")))
+    v2 = (v1.select(cols).unionByName(tighten.select(cols))
+          .unionByName(loosen.select(cols)))
+    return robots_transition(pages, v1, v2, ["doc_id"])
 
 
 def q_crawl_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4182,6 +4253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_sitemap_ingest": q_crawl_sitemap_ingest,
         "crawl_sitemap_coverage": q_crawl_sitemap_coverage,
         "crawl_robots_wildcard": q_crawl_robots_wildcard,
+        "crawl_robots_purge": q_crawl_robots_purge,
         "crawl_robots_eval": q_crawl_robots_eval,
         "crawl_budget_derive": q_crawl_budget_derive,
         "crawl_budget_allocate": q_crawl_budget_allocate,
@@ -4685,6 +4757,40 @@ FROM h WHERE i % 3 <> 0
 UNION ALL
 SELECT host, 'allow', '/d/1' || CAST(i % 10 AS VARCHAR) || '2', i % 4
 FROM h WHERE i % 3 <> 0"""),
+        "crawl_robots_purge": _oracle(r"""
+, hosts AS (
+  SELECT DISTINCT host, CAST(substr(host, 2, 2) AS INT) AS i
+  FROM web_pages),
+rules_v1 AS (
+  SELECT host, 'disallow' AS rule_type,
+         '/d/*' || CAST(i % 10 AS VARCHAR) || '.html$' AS pattern
+  FROM hosts
+  UNION ALL
+  SELECT host, 'allow', '/d/' || CAST(i % 10 AS VARCHAR) || '*'
+  FROM hosts
+  UNION ALL
+  SELECT host, 'allow',
+         '/d/*' || CAST(i % 10 AS VARCHAR) || '.html$'
+  FROM hosts WHERE i % 3 = 0
+  UNION ALL SELECT host, 'disallow', '*' FROM hosts WHERE i = 15
+  UNION ALL SELECT host, 'disallow', '/tmp/*' FROM hosts),
+rules_v2 AS (
+  SELECT * FROM rules_v1
+  UNION ALL SELECT host, 'disallow', '*' FROM hosts WHERE i % 4 = 0
+  UNION ALL
+  SELECT host, 'allow',
+         '/d/*' || CAST(i % 10 AS VARCHAR) || '.html$'
+  FROM hosts WHERE i % 5 = 0),""" + _wc_verdict_sql("v1") + ","
+                                      + _wc_verdict_sql("v2") + r"""
+SELECT p.doc_id, p.host, p.path,
+       o.allowed AS allowed_old, n.allowed AS allowed_new,
+       CASE WHEN o.allowed AND n.allowed THEN 'kept'
+            WHEN o.allowed AND NOT n.allowed THEN 'purge'
+            WHEN NOT o.allowed AND n.allowed THEN 'opened'
+            ELSE 'blocked' END AS transition
+FROM web_pages p
+JOIN verdict_v1 o USING (doc_id)
+JOIN verdict_v2 n USING (doc_id)"""),
         "crawl_robots_wildcard": _oracle(r"""
 , hosts AS (
   SELECT DISTINCT host, CAST(substr(host, 2, 2) AS INT) AS i

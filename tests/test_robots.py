@@ -591,3 +591,29 @@ def test_robots_wildcard_eval_precedence(spark):
     assert out[8].allowed and out[8].m_pattern is None
     assert not out[9].allowed and out[9].m_pattern == "/x$y*"
     assert out[10].allowed and out[10].m_type is None
+
+
+def test_robots_transition_labels(spark):
+    """The four-way fold over two snapshots: tightening yields purge,
+    loosening yields opened, unchanged verdicts keep/block; rule-less
+    hosts stay kept (allowed both sides)."""
+    from web_graph_spark.operators.robots import robots_transition
+
+    v1 = spark.createDataFrame(
+        [("a", "disallow", "/old*"), ("b", "disallow", "/b*")],
+        "host string, rule_type string, pattern string")
+    v2 = spark.createDataFrame(
+        [("a", "disallow", "/old*"), ("a", "disallow", "/new*"),
+         ("b", "disallow", "/b*"), ("b", "allow", "/b/ok$")],
+        "host string, rule_type string, pattern string")
+    pending = spark.createDataFrame(
+        [(1, "a", "/old/p"),   # blocked both -> blocked
+         (2, "a", "/new/p"),   # allowed -> blocked = purge
+         (3, "a", "/other"),   # allowed both -> kept
+         (4, "b", "/b/ok"),    # blocked -> allowed = opened
+         (5, "zz", "/x")],     # no rules either side -> kept
+        "doc_id long, host string, path string")
+    out = {r.doc_id: r.transition for r in
+           robots_transition(pending, v1, v2, ["doc_id"]).collect()}
+    assert out == {1: "blocked", 2: "purge", 3: "kept",
+                   4: "opened", 5: "kept"}

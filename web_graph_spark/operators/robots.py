@@ -389,3 +389,49 @@ def robots_wildcard_eval(pending: DataFrame, rules_df: DataFrame,
                     F.coalesce(F.col("m_allow"), F.lit(True))
                     .alias("allowed"),
                     "m_pattern", "m_type"))
+
+
+def robots_transition(pending: DataFrame, rules_old: DataFrame,
+                      rules_new: DataFrame, id_cols: list[str],
+                      broadcast_rules: bool = True) -> DataFrame:
+    """Retro-compliance audit across a robots.txt change (E151) —
+    the operational reality behind AI-crawler opt-outs: a host
+    tightening its rules does not just gate FUTURE fetches, it
+    obligates the pipeline to find every already-stored page the new
+    rules now forbid (the purge list) and, symmetrically, every page
+    a loosening re-opens for recrawl.  Verdict per pending row under
+    BOTH snapshots (two :func:`robots_wildcard_eval` passes — full
+    §2.2.3 wildcard precedence each) folded to one transition label:
+
+    * ``kept``    — allowed before and after;
+    * ``purge``   — allowed → blocked (delete/quarantine these);
+    * ``opened``  — blocked → allowed (recrawl candidates);
+    * ``blocked`` — blocked both sides (never stored, nothing owed).
+
+    Shape: the two eval passes share the pending scan shape (host
+    equi-join + rlike + per-URL window each); the fold is two
+    key-joins on ``id_cols``.  An audit job, not a per-wave gate —
+    two passes over 10^10 URLs is the honest cost of re-deciding
+    every URL under two rule sets.
+
+    → pending columns + ``(allowed_old, allowed_new, transition)``.
+
+    Reference analog: none (no robots layer in the reference);
+    engine extension, SURVEY §2.10 E151.
+    """
+    old = (robots_wildcard_eval(pending, rules_old, id_cols,
+                                broadcast_rules)
+           .select(*id_cols, F.col("allowed").alias("allowed_old")))
+    new = (robots_wildcard_eval(pending, rules_new, id_cols,
+                                broadcast_rules)
+           .select(*id_cols, F.col("allowed").alias("allowed_new")))
+    lab = (F.when(F.col("allowed_old") & F.col("allowed_new"),
+                  F.lit("kept"))
+           .when(F.col("allowed_old") & ~F.col("allowed_new"),
+                 F.lit("purge"))
+           .when(~F.col("allowed_old") & F.col("allowed_new"),
+                 F.lit("opened"))
+           .otherwise(F.lit("blocked")))
+    return (pending.join(old, id_cols).join(new, id_cols)
+            .select(*pending.columns, "allowed_old", "allowed_new",
+                    lab.alias("transition")))
