@@ -1641,6 +1641,32 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_alarms(ev, "event_type")
 
 
+def q_crawl_delay_compliance(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Crawl-delay compliance audit (operators/politeness.py:
+    crawl_delay_compliance E152): the fetch log is the event stream
+    keyed to 20 hosts (user_id % 20, the AIMD derivation), declared
+    delays are 5+5·(i%4) seconds, and hosts i%5=3 declare none (and
+    must be absent from the audit).  Per host: worst gap, violation
+    count, worst deficit, compliance verdict — all integer seconds.
+    Oracle replays the lag-window gap scan and the agg verbatim."""
+    from web_graph_spark.operators.politeness import (
+        crawl_delay_compliance)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    log = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"))
+        .alias("host"),
+        F.unix_timestamp("ts").alias("t"),
+        F.col("event_id").alias("tie"))
+    hosts = log.select("host").distinct()
+    i = F.substring("host", 2, 3).cast("int")
+    delays = (hosts.where(i % 5 != 3)
+              .select("host",
+                      (F.lit(5) + (i % 4) * 5).alias("crawl_delay")))
+    return crawl_delay_compliance(log, delays)
+
+
 def q_events_bot_regularity(spark: SparkSession, sf_dir: str
                             ) -> DataFrame:
     """Automated-client detection from request timing
@@ -4398,6 +4424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt_forecast": q_events_holt_forecast,
         "events_cusum": q_events_cusum,
         "events_bot_regularity": q_events_bot_regularity,
+        "crawl_delay_compliance": q_crawl_delay_compliance,
         "text_vocab_drift": q_text_vocab_drift,
         "text_rrf_topk": q_text_rrf_topk,
         "embed_matryoshka": q_embed_matryoshka,
@@ -7538,6 +7565,35 @@ SELECT g AS event_type, CAST(hr AS BIGINT) AS hr,
        CAST(s AS BIGINT) AS s_scaled,
        CAST(s > t AS INT) AS alarm
 FROM idx""",
+        "crawl_delay_compliance": """
+WITH f AS (
+  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS tie
+  FROM events),
+hosts AS (
+  SELECT DISTINCT host, CAST(substr(host, 2, 3) AS INT) AS i
+  FROM f),
+delays AS (
+  SELECT host, CAST(5 + (i % 4) * 5 AS BIGINT) AS crawl_delay
+  FROM hosts WHERE i % 5 <> 3),
+g AS (
+  SELECT host,
+         t - lag(t) OVER (PARTITION BY host ORDER BY t, tie) AS gap
+  FROM f)
+SELECT g.host, max(d.crawl_delay) AS crawl_delay,
+       CAST(count(gap) + 1 AS BIGINT) AS n_fetches,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(min(gap) AS BIGINT) AS min_gap,
+       CAST(coalesce(sum(CASE WHEN gap < d.crawl_delay
+                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+       AS n_violations,
+       CAST(coalesce(max(CASE WHEN gap < d.crawl_delay
+                          THEN d.crawl_delay - gap END), 0)
+            AS BIGINT) AS worst_deficit,
+       coalesce(sum(CASE WHEN gap < d.crawl_delay
+                     THEN 1 ELSE 0 END), 0) = 0 AS compliant
+FROM g JOIN delays d USING (host)
+GROUP BY g.host""",
         "events_bot_regularity": """
 WITH ranked AS (
   SELECT user_id, ts, event_id,

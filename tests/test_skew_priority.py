@@ -413,3 +413,34 @@ def test_aimd_trajectory_semantics(spark):
     for w, f in enumerate(pat):
         b = max(1, b // 2) if f else min(8, b + 1)
         assert out[("m", w)] == b
+
+
+def test_crawl_delay_compliance_hand(spark):
+    """Hand algebra: violation counting is strict (<), worst_deficit
+    is the max shortfall, single-fetch hosts are compliant with NULL
+    min_gap, and hosts without a declared delay are absent."""
+    from web_graph_spark.operators.politeness import (
+        crawl_delay_compliance)
+
+    log = spark.createDataFrame(
+        [("a", 0, 1), ("a", 10, 2), ("a", 13, 3), ("a", 23, 4),
+         # gaps 10, 3, 10 with delay 10: one violation, deficit 7
+         ("b", 0, 1), ("b", 5, 2),    # gap 5, delay 5: NOT a violation
+         ("c", 100, 1),               # single fetch
+         ("d", 0, 1), ("d", 1, 2)],   # no declared delay
+        "host string, t long, tie long")
+    delays = spark.createDataFrame(
+        [("a", 10), ("b", 5), ("c", 30)],
+        "host string, crawl_delay long")
+    out = {r.host: r for r in
+           crawl_delay_compliance(log, delays).collect()}
+
+    a = out["a"]
+    assert (a.n_fetches, a.n_gaps, a.min_gap) == (4, 3, 3)
+    assert (a.n_violations, a.worst_deficit, a.compliant) == (1, 7, False)
+    b = out["b"]
+    assert (b.n_violations, b.worst_deficit, b.compliant) == (0, 0, True)
+    c = out["c"]
+    assert (c.n_fetches, c.n_gaps, c.min_gap) == (1, 0, None)
+    assert c.compliant
+    assert "d" not in out

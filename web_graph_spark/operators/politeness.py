@@ -127,3 +127,59 @@ def allocate_budget(weights: DataFrame, budget: int,
         "host", "weight",
         (F.col("floor_a") + F.coalesce(F.col("bump"), F.lit(0)))
         .cast("long").alias("alloc"))
+
+
+def crawl_delay_compliance(fetch_log: DataFrame, delays: DataFrame,
+                           host_col: str = "host",
+                           ts_sec_col: str = "t",
+                           tie_col: str = "tie") -> DataFrame:
+    """Did the fleet actually honor per-host crawl-delay? (E152) —
+    the evidence side of politeness: :func:`schedule_wave` ENFORCES
+    budgets before fetching; this audits the fetch log AFTER the
+    fact, the artifact you produce when a webmaster (or your own SRE)
+    asks "show me".  Per host with declared delay d, over the
+    time-ordered fetch gaps:
+
+    * ``n_violations`` — gaps strictly under d;
+    * ``min_gap`` — the single worst spacing observed;
+    * ``worst_deficit`` — max(d − gap) over violations (how BAD the
+      worst one was, 0 when compliant) — the retraining signal for
+      the pacing loop;
+    * ``compliant`` — zero violations.
+
+    All integer-second arithmetic.  Shape: ONE shuffle on host (the
+    lag window); the per-host agg rides the same partitioning; the
+    delay dim joins broadcast (a crawl-delay relation is
+    hosts-with-robots sized, tiny next to a fetch log).  Hosts
+    missing from ``delays`` are skipped — no declared delay, nothing
+    to violate.
+
+    → ``(host, crawl_delay, n_fetches, n_gaps, min_gap,
+    n_violations, worst_deficit, compliant)``.
+
+    Reference analog: the reference's politeness is a 2-worker cap +
+    client timeouts (linkprocessor.go:51-75) with nothing to audit;
+    engine extension (SURVEY §2.10 E152).
+    """
+    w = Window.partitionBy("host").orderBy("t", "tie")
+    base = fetch_log.select(F.col(host_col).alias("host"),
+                            F.col(ts_sec_col).cast("long").alias("t"),
+                            F.col(tie_col).alias("tie"))
+    gaps = base.select(
+        "host", (F.col("t") - F.lag("t").over(w)).alias("gap"))
+    d = F.broadcast(delays.select(
+        F.col("host"), F.col("crawl_delay").cast("long")))
+    j = gaps.join(d, "host", "inner")
+    viol = F.col("gap") < F.col("crawl_delay")
+    return (j.groupBy("host")
+            .agg(F.max("crawl_delay").alias("crawl_delay"),
+                 (F.count("gap") + 1).cast("long").alias("n_fetches"),
+                 F.count("gap").cast("long").alias("n_gaps"),
+                 F.min("gap").cast("long").alias("min_gap"),
+                 F.sum(F.when(viol, 1).otherwise(0)).cast("long")
+                 .alias("n_violations"),
+                 F.coalesce(
+                     F.max(F.when(viol, F.col("crawl_delay")
+                                  - F.col("gap"))),
+                     F.lit(0)).cast("long").alias("worst_deficit"))
+            .withColumn("compliant", F.col("n_violations") == 0))
