@@ -759,6 +759,22 @@ def q_crawl_robots_purge(spark: SparkSession, sf_dir: str
     return robots_transition(pages, v1, v2, ["doc_id"])
 
 
+def q_crawl_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew audit over the page-host key (operators/
+    skew.py:shard_skew_audit E153): hash hosts into 8 shards the way
+    a shuffle partitioner would and report per-shard balance + the
+    responsible hot key — the measurement that justifies (or
+    refuses) salted_repartition.  webgen's host law concentrates 30%
+    of pages on h00 and 20% on h01, so the audit must surface real
+    skew with hot_share_ppm fingering those hosts.  Oracle replays
+    the md5-chunk shard and both ppm divisions verbatim."""
+    from web_graph_spark.operators.skew import shard_skew_audit
+
+    pages = webgen.pages_df(spark, sf_dir)
+    return shard_skew_audit(pages.select("host"), F.col("host"),
+                            n_shards=8)
+
+
 def q_crawl_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap discovery + ingestion (E54, operators/sitemap.py):
     per-host synthetic robots bodies carry one ``Sitemap:`` directive
@@ -4280,6 +4296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_sitemap_coverage": q_crawl_sitemap_coverage,
         "crawl_robots_wildcard": q_crawl_robots_wildcard,
         "crawl_robots_purge": q_crawl_robots_purge,
+        "crawl_shard_skew": q_crawl_shard_skew,
         "crawl_robots_eval": q_crawl_robots_eval,
         "crawl_budget_derive": q_crawl_budget_derive,
         "crawl_budget_allocate": q_crawl_budget_allocate,
@@ -4784,6 +4801,26 @@ FROM h WHERE i % 3 <> 0
 UNION ALL
 SELECT host, 'allow', '/d/1' || CAST(i % 10 AS VARCHAR) || '2', i % 4
 FROM h WHERE i % 3 <> 0"""),
+        "crawl_shard_skew": _oracle(f"""
+, pk AS (
+  SELECT {_hexchunk_sql(1, 'md5(host)')} % 8 AS shard,
+         host AS k, CAST(count(*) AS BIGINT) AS c
+  FROM web_pages GROUP BY 1, 2),
+per AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(c) AS BIGINT) AS n_rows
+  FROM pk GROUP BY 1),
+hot AS (
+  SELECT shard, k AS hot_key, c AS hot_count FROM pk
+  QUALIFY row_number() OVER (PARTITION BY shard
+                             ORDER BY c DESC, k DESC) = 1),
+tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM per)
+SELECT shard, n_keys, n_rows, h.hot_key, h.hot_count,
+       CAST(1000000 * h.hot_count // n_rows AS BIGINT)
+       AS hot_share_ppm,
+       CAST(1000000 * n_rows * 8 // total AS BIGINT)
+       AS imbalance_ppm
+FROM per JOIN hot h USING (shard) CROSS JOIN tot"""),
         "crawl_robots_purge": _oracle(r"""
 , hosts AS (
   SELECT DISTINCT host, CAST(substr(host, 2, 2) AS INT) AS i

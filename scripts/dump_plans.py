@@ -71,6 +71,10 @@ ALLOW: dict[tuple[str, str], str] = {
         "1-row m_edges aggregate crossed onto the per-community rows",
     ("corpus_importance", "BroadcastNestedLoopJoin"):
         "two 1-row bucket-total dims (raw/target gram counts)",
+    ("crawl_shard_skew", "BroadcastNestedLoopJoin"):
+        "1-row totals dim crossed onto the n_shards-row audit rows",
+    ("crawl_shard_skew", "Exchange SinglePartition"):
+        "1-row SUM(n_rows) totals aggregate; partials upstream",
     ("dedup_blocking_quality", "BroadcastNestedLoopJoin"):
         "three 1-row metric dims (base/truth/found) crossed together",
     ("dedup_blocking_quality", "Exchange SinglePartition"):

@@ -444,3 +444,35 @@ def test_crawl_delay_compliance_hand(spark):
     assert (c.n_fetches, c.n_gaps, c.min_gap) == (1, 0, None)
     assert c.compliant
     assert "d" not in out
+
+
+def test_shard_skew_audit_separates_failure_modes(spark):
+    """The audit distinguishes a hot KEY (high imbalance AND high
+    hot_share) from a collision pile-up (imbalance without a
+    dominant key), and the ppm algebra is exact."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.operators.skew import shard_skew_audit
+
+    # one dominant key (640 rows) + 64 singleton keys
+    rows = [("hot",)] * 640 + [(f"k{i:02d}",) for i in range(64)]
+    df = spark.createDataFrame(rows, "host string")
+    out = shard_skew_audit(df, F.col("host"), n_shards=4).collect()
+    assert len(out) == 4
+    assert sum(r.n_rows for r in out) == 704
+    hot = max(out, key=lambda r: r.n_rows)
+    assert hot.hot_key == "hot" and hot.hot_count == 640
+    # the hot shard is dominated by its hot key...
+    assert hot.hot_share_ppm > 800_000
+    # ...and carries >> its fair 25% share (1e6 ppm = balanced)
+    assert hot.imbalance_ppm > 2_000_000
+    # exact algebra replay for one row
+    assert hot.hot_share_ppm == 10**6 * hot.hot_count // hot.n_rows
+    assert hot.imbalance_ppm == 10**6 * hot.n_rows * 4 // 704
+
+    # uniform keys: no shard dominated by one key
+    uni = spark.createDataFrame([(f"u{i:03d}",) for i in range(512)],
+                                "host string")
+    out2 = shard_skew_audit(uni, F.col("host"), n_shards=4).collect()
+    assert all(r.hot_count == 1 for r in out2)
+    assert all(r.hot_share_ppm < 100_000 for r in out2)

@@ -47,3 +47,58 @@ def salted_repartition(df: DataFrame, key_col: str, row_key_col: str,
             df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     salt = F.pmod(F.xxhash64(F.col(row_key_col)), F.lit(salt_buckets))
     return df.repartition(num_partitions, F.col(key_col), salt)
+
+
+def shard_skew_audit(df: DataFrame, key, n_shards: int = 32
+                     ) -> DataFrame:
+    """Measure BEFORE salting (E153): the diagnosis that justifies
+    :func:`salted_repartition` — hash the key column into
+    ``n_shards`` buckets exactly as a shuffle partitioner would and
+    report, per shard, how unbalanced the layout is and WHICH key is
+    responsible.  The two failure modes it separates:
+
+    * **hot key** (one key dominates its shard → salting that key
+      helps; ``hot_share_ppm`` ≈ ``imbalance``);
+    * **hash collision pile-up** (many distinct keys land together →
+      more shards help, salting doesn't; high ``imbalance`` with low
+      ``hot_share_ppm``).
+
+    Exact integers: ``imbalance_ppm = 10⁶·n_rows·n_shards div
+    total_rows`` (10⁶ = perfectly balanced), ``hot_share_ppm =
+    10⁶·hot_count div n_rows``.  Shard = 16-bit md5 chunk mod
+    n_shards — the cross-engine recipe shared with the HLL/KMV
+    sketches, deterministic in any engine.
+
+    Shape: one (shard, key) hash agg (map-side partials absorb the
+    hot key's repetition — the audit never shuffles the skew it
+    measures), one n_shards-row agg, and a 1-row totals dim joined
+    broadcast.  Output is n_shards rows however large the input.
+
+    → ``(shard, n_keys, n_rows, hot_key, hot_count, hot_share_ppm,
+    imbalance_ppm)``; hot key ties broken to the lexicographically
+    LARGEST key (max(struct) — deterministic).
+
+    Reference analog: none — the reference never shards (single
+    process); engine extension (SURVEY §2.10 E153).
+    """
+    from web_graph_spark.functions.stats import _hexchunk
+
+    shard = (_hexchunk(F.md5(key), 1) % int(n_shards)).alias("shard")
+    per_key = (df.select(shard, key.cast("string").alias("k"))
+               .groupBy("shard", "k")
+               .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    per_shard = (per_key.groupBy("shard")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_keys"),
+                      F.sum("c").cast("long").alias("n_rows"),
+                      F.max(F.struct(F.col("c").alias("c"),
+                                     F.col("k").alias("k")))
+                      .alias("m")))
+    total = per_shard.agg(F.sum("n_rows").cast("long").alias("total"))
+    return (per_shard.join(F.broadcast(total))
+            .select("shard", "n_keys", "n_rows",
+                    F.col("m.k").alias("hot_key"),
+                    F.col("m.c").alias("hot_count"),
+                    F.expr("1000000 * m.c div n_rows")
+                    .alias("hot_share_ppm"),
+                    F.expr(f"1000000 * n_rows * {int(n_shards)} "
+                           "div total").alias("imbalance_ppm")))
