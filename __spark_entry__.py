@@ -1683,6 +1683,25 @@ def q_crawl_delay_compliance(spark: SparkSession, sf_dir: str
     return crawl_delay_compliance(log, delays)
 
 
+def q_crawl_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerts (functions/stats.py:
+    slo_burn_alerts E154): per-host error-budget paging over the
+    fetch stream — fires only when the error fraction beats the 20%
+    SLO in BOTH the 1 h and trailing-6 h windows (exact-ppm integer
+    comparisons; RANGE windows so absent hours count as zero on the
+    sparse per-host stream).  Hosts = the AIMD user_id % 20
+    derivation; errors = 'error' events.  Oracle replays both range
+    windows and the cross-multiplied verdicts verbatim."""
+    from web_graph_spark.functions.stats import slo_burn_alerts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    log = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"))
+        .alias("host"), "ts", "event_type")
+    return slo_burn_alerts(log, "host",
+                           F.col("event_type") == "error")
+
+
 def q_events_bot_regularity(spark: SparkSession, sf_dir: str
                             ) -> DataFrame:
     """Automated-client detection from request timing
@@ -4442,6 +4461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": q_events_cusum,
         "events_bot_regularity": q_events_bot_regularity,
         "crawl_delay_compliance": q_crawl_delay_compliance,
+        "crawl_slo_burn": q_crawl_slo_burn,
         "text_vocab_drift": q_text_vocab_drift,
         "text_rrf_topk": q_text_rrf_topk,
         "embed_matryoshka": q_embed_matryoshka,
@@ -7602,6 +7622,29 @@ SELECT g AS event_type, CAST(hr AS BIGINT) AS hr,
        CAST(s AS BIGINT) AS s_scaled,
        CAST(s > t AS INT) AS alarm
 FROM idx""",
+        "crawl_slo_burn": """
+WITH hourly AS (
+  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errs
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT host, hr, n, errs,
+         sum(n) OVER sw AS ns, sum(errs) OVER sw AS es,
+         sum(n) OVER lw AS nl, sum(errs) OVER lw AS el
+  FROM hourly
+  WINDOW sw AS (PARTITION BY host ORDER BY hr
+                RANGE BETWEEN 0 PRECEDING AND CURRENT ROW),
+         lw AS (PARTITION BY host ORDER BY hr
+                RANGE BETWEEN 5 PRECEDING AND CURRENT ROW))
+SELECT host, hr, n AS n_events, errs AS n_errors,
+       CAST(1000000 * es // ns AS BIGINT) AS burn_short_ppm,
+       CAST(1000000 * el // nl AS BIGINT) AS burn_long_ppm,
+       (1000000 * es > 200000 * ns AND 1000000 * el > 200000 * nl)
+       AS alert
+FROM w""",
         "crawl_delay_compliance": """
 WITH f AS (
   SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,

@@ -2817,3 +2817,49 @@ def test_interarrival_regularity(spark):
     assert out[2].n_gaps == n and out[2].sum_gap == s
     assert out[2].var_num == n * q - s * s
     assert 10_000 * (n * q - s * s) < 100 * s * s
+
+
+def test_slo_burn_alerts_multiwindow(spark):
+    """The SRE pins: a one-hour spike against a clean 6 h history
+    does NOT page (long window dilutes it); a sustained burn does;
+    recovery un-pages immediately (short window resets first); and
+    RANGE frames age by hour DISTANCE so a traffic gap still expires
+    old errors."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.stats import slo_burn_alerts
+
+    def t(h):
+        return datetime.fromtimestamp(h * 3600, tz=timezone.utc) \
+            .replace(tzinfo=None)
+
+    rows = []
+    # host A: hours 0-4 clean (10 ok each), hour 5 = 100% errors
+    for h in range(5):
+        rows += [("A", t(h), "view")] * 10
+    rows += [("A", t(5), "error")] * 10
+    # host B: hours 0-5 all 50% errors (sustained)
+    for h in range(6):
+        rows += [("B", t(h), "error")] * 5 + [("B", t(h), "view")] * 5
+    # host C: errors at hour 0 only, then silence, then hour 7 clean
+    rows += [("C", t(0), "error")] * 10
+    rows += [("C", t(7), "view")] * 10
+    df = spark.createDataFrame(rows, "host string, ts timestamp, "
+                                     "event_type string")
+    out = {(r.host, r.hr): r for r in
+           slo_burn_alerts(df, "host",
+                           F.col("event_type") == "error").collect()}
+
+    a5 = out[("A", 5)]
+    # short window burning (100%) but long window = 10/60 < 20%
+    assert a5.burn_short_ppm == 1_000_000
+    assert a5.burn_long_ppm == 10 * 10**6 // 60
+    assert not a5.alert
+    # sustained 50% burn pages
+    assert out[("B", 5)].alert and out[("B", 0)].alert
+    # hour 7 for C: the hour-0 errors are 7 hours old -> OUTSIDE the
+    # 6 h RANGE frame despite being the previous ROW
+    c7 = out[("C", 7)]
+    assert c7.burn_long_ppm == 0 and not c7.alert

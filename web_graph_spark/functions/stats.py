@@ -1458,3 +1458,57 @@ def interarrival_regularity(df: DataFrame, client_col: str,
         .withColumn("is_bot",
                     (F.col("n_gaps") >= int(min_gaps))
                     & (cv_hit | modal_hit)))
+
+
+def slo_burn_alerts(df: DataFrame, group: str, error_pred,
+                    ts: str = "ts", slo_ppm: int = 200_000,
+                    short_h: int = 1, long_h: int = 6) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE-workbook
+    mechanism, E154) over a fetch/error stream: a page fires only
+    when the error fraction exceeds the SLO in BOTH a short window
+    (still burning now — fast reset once the incident ends) and a
+    long window (sustained enough to matter — no one-bad-minute
+    pages).  The alerting layer the crawl fleet's error budget needs
+    on top of the z-test (spike), CUSUM (drift) and AIMD (reaction)
+    monitors: those detect change, this pages on BUDGET.
+
+    Exact integers: per (group, hour) totals, trailing sums by
+    RANGE windows over the hour index (range, not rows — absent
+    hours count as zero, which row-frames silently get wrong on
+    sparse streams), and ``burn_ppm = 10⁶·errs div total`` compared
+    against ``slo_ppm`` — no floats anywhere.
+
+    Shape: one (group, hr) hash agg over the raw stream, then two
+    range windows riding ONE shuffle on group (hour rows per group,
+    bounded by elapsed time, not traffic).
+
+    → ``(group, hr, n_events, n_errors, burn_short_ppm,
+    burn_long_ppm, alert)``.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E154).
+    """
+    hourly = (df.select(F.col(group).alias("g"),
+                        F.expr(f"unix_timestamp({ts}) div 3600")
+                        .alias("hr"),
+                        error_pred.cast("int").alias("e"))
+              .groupBy("g", "hr")
+              .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                   F.sum("e").cast("long").alias("errs")))
+    ws = (Window.partitionBy("g").orderBy("hr")
+          .rangeBetween(-(int(short_h) - 1), 0))
+    wl = (Window.partitionBy("g").orderBy("hr")
+          .rangeBetween(-(int(long_h) - 1), 0))
+    out = (hourly
+           .withColumn("ns", F.sum("n").over(ws))
+           .withColumn("es", F.sum("errs").over(ws))
+           .withColumn("nl", F.sum("n").over(wl))
+           .withColumn("el", F.sum("errs").over(wl)))
+    return out.select(
+        F.col("g").alias(group), "hr",
+        F.col("n").alias("n_events"),
+        F.col("errs").alias("n_errors"),
+        F.expr("1000000 * es div ns").alias("burn_short_ppm"),
+        F.expr("1000000 * el div nl").alias("burn_long_ppm"),
+        ((F.expr("1000000 * es") > F.expr(f"{int(slo_ppm)} * ns"))
+         & (F.expr("1000000 * el") > F.expr(f"{int(slo_ppm)} * nl")))
+        .alias("alert"))
