@@ -2119,6 +2119,45 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), SEARCH_TERMS, k=20)
 
 
+def q_text_retrieval_eval(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Retrieval-quality evaluation (functions/text.py:
+    retrieval_metrics E155): recall@10 / MRR / nDCG@10 in exact
+    scaled integers for four single-term BM25 rankings, judged
+    against term-frequency qrels (rel 2 when the word-boundary tf ≥
+    3, rel 1 when ≥ 1 — the same regexp count BM25 itself scores
+    with, so the metric honestly measures what length normalization
+    and saturation REORDER, not a tautology: recall@10 ≪ 1 because
+    far more docs mention a term than any top-10 can hold).  The
+    discount table is the shared ndcg_weights literal list, the one
+    rounding of the irrational log2 discount, imported by both
+    engines.  Oracle nests four bm25_sql rankings and replays the
+    metric algebra."""
+    from functools import reduce
+
+    from web_graph_spark.functions.text import (bm25_topk,
+                                                retrieval_metrics)
+
+    docs = _docs(spark, sf_dir)
+    ranked = reduce(
+        lambda a, b: a.unionByName(b),
+        [bm25_topk(docs, (t,), k=10)
+         .select(F.lit(t).alias("query"), "doc_id", "rank")
+         for t in SEARCH_TERMS])
+    qrels = reduce(
+        lambda a, b: a.unionByName(b),
+        [docs.select(
+            F.lit(t).alias("query"), "doc_id",
+            F.regexp_count(F.lower("text"),
+                           F.lit(rf"\b{t}\b")).alias("tf"))
+         .where(F.col("tf") >= 1)
+         .select("query", "doc_id",
+                 F.when(F.col("tf") >= 3, 2).otherwise(1)
+                 .alias("rel"))
+         for t in SEARCH_TERMS])
+    return retrieval_metrics(ranked, qrels, k=10)
+
+
 def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText quality gates (functions/text.py:
     gopher_rules E81) — the published hard-filter set (word count,
@@ -4363,6 +4402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_search_topk": q_text_search_topk,
         "text_bm25_topk": q_text_bm25_topk,
+        "text_retrieval_eval": q_text_retrieval_eval,
         "text_gopher_rules": q_text_gopher_rules,
         "text_keyphrases": q_text_keyphrases,
         "text_inverted_index": q_text_inverted_index,
@@ -5801,9 +5841,61 @@ docs_dups AS (
   WHERE doc_id % 50 = 1
 )"""
     pii = pii_scrub_sql("text")
+    from web_graph_spark.functions.text import ndcg_weights
+
+    wlit = "[" + ", ".join(str(w) for w in ndcg_weights(10)) + "]"
+    ranked_parts = "\n    UNION ALL\n    ".join(
+        f"SELECT '{t}' AS query, doc_id, rank "
+        f"FROM ({bm25_sql((t,), k=10)}) b_{t}"
+        for t in SEARCH_TERMS)
+    qrel_parts = "\n    UNION ALL\n    ".join(
+        f"SELECT '{t}' AS query, doc_id, "
+        "CASE WHEN tf >= 3 THEN 2 ELSE 1 END AS rel "
+        f"FROM (SELECT doc_id, "
+        f"CAST({count_sql('lower(text)', chr(92) + 'b' + t + chr(92) + 'b')} AS BIGINT)"
+        f" AS tf FROM documents) q_{t} WHERE tf >= 1"
+        for t in SEARCH_TERMS)
+    retrieval_eval = f"""
+WITH ranked AS (
+    {ranked_parts}
+),
+qrels AS (
+    {qrel_parts}
+),
+j AS (
+  SELECT r.query, r.rank, coalesce(q.rel, 0) AS rel
+  FROM ranked r LEFT JOIN qrels q USING (query, doc_id)),
+got AS (
+  SELECT query,
+         CAST(sum(((1 << rel) - 1) * ({wlit})[rank]) AS BIGINT)
+         AS dcg,
+         CAST(sum(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits_at_k,
+         min(CASE WHEN rel >= 1 THEN rank END) AS first_hit
+  FROM j GROUP BY 1),
+ideal AS (
+  SELECT query, CAST(count(*) AS BIGINT) AS n_rel,
+         CAST(sum(CASE WHEN pos <= 10
+                  THEN ((1 << rel) - 1) * ({wlit})[pos]
+                  ELSE 0 END) AS BIGINT) AS idcg
+  FROM (SELECT query, rel,
+               row_number() OVER (PARTITION BY query
+                                  ORDER BY rel DESC, doc_id) AS pos
+        FROM qrels) p GROUP BY 1)
+SELECT i.query, i.n_rel,
+       CAST(coalesce(g.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+       CAST(1000000 * coalesce(g.hits_at_k, 0) // i.n_rel AS BIGINT)
+       AS recall_ppm,
+       CAST(coalesce(1000000 // g.first_hit, 0) AS BIGINT)
+       AS mrr_ppm,
+       CAST(coalesce(g.dcg, 0) AS BIGINT) AS dcg, i.idcg,
+       CAST(1000000 * coalesce(g.dcg, 0) // i.idcg AS BIGINT)
+       AS ndcg_ppm
+FROM ideal i LEFT JOIN got g USING (query)"""
     sql = {
         "text_search_topk": tfidf_sql(SEARCH_TERMS, k=20),
         "text_bm25_topk": bm25_sql(SEARCH_TERMS, k=20),
+        "text_retrieval_eval": retrieval_eval,
         "text_gopher_rules": gopher,
         "text_keyphrases": _keyphrases_oracle(),
         "text_inverted_index": f"""

@@ -2863,3 +2863,47 @@ def test_slo_burn_alerts_multiwindow(spark):
     # 6 h RANGE frame despite being the previous ROW
     c7 = out[("C", 7)]
     assert c7.burn_long_ppm == 0 and not c7.alert
+
+
+def test_retrieval_metrics_hand_algebra(spark):
+    """Exact replay of recall/MRR/nDCG on a hand fixture: graded
+    gains 2^rel-1, the shared literal discount table, idcg capped at
+    k, zero-hit queries score 0 everywhere."""
+    from web_graph_spark.functions.text import (ndcg_weights,
+                                                retrieval_metrics)
+
+    W = ndcg_weights(3)
+    assert W[0] == 1_000_000 and W[1] == 630_930  # table is pinned
+
+    ranked = spark.createDataFrame(
+        [("A", "d9", 1), ("A", "d1", 2), ("A", "d2", 3),
+         ("B", "x1", 1), ("B", "x2", 2), ("B", "x3", 3),
+         ("C", "c1", 1), ("C", "c9", 2), ("C", "c8", 3)],
+        "query string, doc_id string, rank int")
+    qrels = spark.createDataFrame(
+        [("A", "d1", 2), ("A", "d2", 1), ("A", "d3", 1),
+         ("B", "y1", 1),
+         # C has 5 relevant docs -> idcg must cap at k=3
+         ("C", "c1", 1), ("C", "c2", 1), ("C", "c3", 1),
+         ("C", "c4", 1), ("C", "c5", 1)],
+        "query string, doc_id string, rel int")
+    out = {r.query: r for r in
+           retrieval_metrics(ranked, qrels, k=3).collect()}
+
+    a = out["A"]
+    dcg = 3 * W[1] + 1 * W[2]
+    idcg = 3 * W[0] + 1 * W[1] + 1 * W[2]
+    assert (a.n_rel, a.hits_at_k) == (3, 2)
+    assert a.recall_ppm == 10**6 * 2 // 3
+    assert a.mrr_ppm == 500_000           # first hit at rank 2
+    assert (a.dcg, a.idcg) == (dcg, idcg)
+    assert a.ndcg_ppm == 10**6 * dcg // idcg
+
+    b = out["B"]
+    assert (b.hits_at_k, b.recall_ppm, b.mrr_ppm, b.dcg,
+            b.ndcg_ppm) == (0, 0, 0, 0, 0)
+
+    c = out["C"]
+    assert c.n_rel == 5
+    assert c.idcg == sum(W)              # capped at 3 positions
+    assert (c.hits_at_k, c.mrr_ppm) == (1, 1_000_000)

@@ -1581,3 +1581,84 @@ def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
     return (fused.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("rank", id_col, "rrf_score", "n_lists"))
+
+
+def ndcg_weights(k: int) -> list[int]:
+    """The shared nDCG position-weight table: ``W[i] =
+    round(10⁶/log2(i+2))`` for 0-based i — the ONE place the
+    irrational discount is rounded, imported by both the Spark
+    operator and the SQL-oracle generator so the two engines compare
+    literal-identical integers (the exact-integer discipline applied
+    to a formula with no exact form)."""
+    import math
+
+    return [round(1_000_000 / math.log2(i + 2)) for i in range(k)]
+
+
+def retrieval_metrics(ranked: DataFrame, qrels: DataFrame,
+                      k: int = 10) -> DataFrame:
+    """Ranking-quality evaluation (E155) — the acceptance harness for
+    every retrieval tier this engine ships (tf-idf, BM25, RRF fusion,
+    the ANN family): given per-query ranked lists and graded
+    relevance judgments, the three standard metrics in exact scaled
+    integers:
+
+    * ``recall_ppm`` — 10⁶·|relevant ∩ top-k| div |relevant|;
+    * ``mrr_ppm``    — 10⁶ div rank of the first relevant hit
+      (0 when the top-k contains none);
+    * ``ndcg_ppm``   — 10⁶·DCG div IDCG with graded gains
+      ``2^rel − 1`` and the :func:`ndcg_weights` literal discount
+      table (ideal ordering by grade; equal grades carry equal
+      gains, so judgment tie order cannot move IDCG).
+
+    Inputs: ``ranked (query, doc_id, rank)`` 1-based, ``qrels
+    (query, doc_id, rel)`` with integer grades ≥ 1; queries with no
+    judgments are excluded (the standard eval convention — nothing
+    to recall).  Shape: top-k filter → one (query, doc_id) left join
+    (both sides k-ish per query), one window over the JUDGMENTS (dim
+    sized by qrels, not the corpus), two per-query aggs — evaluation
+    cost scales with queries × k, never with corpus size.
+
+    → ``(query, n_rel, hits_at_k, recall_ppm, mrr_ppm, dcg, idcg,
+    ndcg_ppm)``.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E155).
+    """
+    from pyspark.sql import Window
+
+    W = ndcg_weights(k)
+    warr = F.array(*[F.lit(w) for w in W])
+    rel1 = F.col("rel") >= 1
+    gain = F.expr("shiftleft(1, rel) - 1")
+    top = ranked.where(F.col("rank") <= k).select(
+        "query", "doc_id", "rank")
+    j = (top.join(qrels.select("query", "doc_id", "rel"),
+                  ["query", "doc_id"], "left")
+         .fillna(0, subset=["rel"]))
+    got = (j.groupBy("query")
+           .agg(F.sum(gain * F.element_at(warr, F.col("rank")))
+                .cast("long").alias("dcg"),
+                F.sum(rel1.cast("int")).cast("long")
+                .alias("hits_at_k"),
+                F.min(F.when(rel1, F.col("rank"))).alias("first_hit")))
+    wj = Window.partitionBy("query").orderBy(
+        F.col("rel").desc(), "doc_id")
+    ideal = (qrels.withColumn("pos", F.row_number().over(wj))
+             .groupBy("query")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_rel"),
+                  F.sum(F.when(F.col("pos") <= k,
+                               gain * F.element_at(warr,
+                                                   F.col("pos")))
+                        .otherwise(0)).cast("long").alias("idcg")))
+    return (ideal.join(got, "query", "left")
+            .select("query", "n_rel",
+                    F.coalesce("hits_at_k", F.lit(0))
+                    .alias("hits_at_k"),
+                    F.expr("1000000 * coalesce(hits_at_k, 0) "
+                           "div n_rel").alias("recall_ppm"),
+                    F.coalesce(F.expr("1000000 div first_hit"),
+                               F.lit(0)).alias("mrr_ppm"),
+                    F.coalesce("dcg", F.lit(0)).alias("dcg"),
+                    "idcg",
+                    F.expr("1000000 * coalesce(dcg, 0) div idcg")
+                    .alias("ndcg_ppm")))
