@@ -2580,6 +2580,19 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_groups(_docs_with_dups(spark, sf_dir))
 
 
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings audit (functions/dedup.py:dedup_savings_audit
+    E156): the price-the-rewrite-first measurement for exact dedup —
+    per cluster size, exact clusters/docs/characters reclaimed by
+    the min-id keep rule, over the standard dup-injected corpus
+    (upper-cased exact copies differ in LENGTH from their originals,
+    so waste is priced by what is actually deleted).  Oracle replays
+    the fingerprint agg with a keeper join."""
+    from web_graph_spark.functions.dedup import dedup_savings_audit
+
+    return dedup_savings_audit(_docs_with_dups(spark, sf_dir))
+
+
 def _jaccard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + constructed exact (upper-cased) and near (suffixed)
     copies — the corpus the trigram-Jaccard queries run over (the dup
@@ -4427,6 +4440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_chunk_overlap": q_corpus_chunk_overlap,
         "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_savings": q_dedup_savings,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
         "dedup_containment": q_dedup_containment,
@@ -6438,6 +6452,25 @@ rep AS (SELECT fingerprint, min(doc_id) AS doc_id FROM kept GROUP BY 1)
 SELECT k.doc_id, k.n_tokens, k.quality_score, k.lang_guess, k.fingerprint
 FROM kept k JOIN rep ON k.fingerprint = rep.fingerprint
                     AND k.doc_id = rep.doc_id""",
+        "dedup_savings": f"""
+WITH {dups_cte},
+f AS (
+  SELECT doc_id, length(text) AS ch,
+         md5({normalize_sql('text')}) AS fp
+  FROM docs_dups),
+c AS (
+  SELECT fp, CAST(count(*) AS BIGINT) AS sz,
+         CAST(sum(ch) AS BIGINT) AS tot,
+         min(doc_id) AS keeper
+  FROM f GROUP BY 1),
+w AS (
+  SELECT c.sz, c.tot - f.ch AS waste
+  FROM c JOIN f ON f.fp = c.fp AND f.doc_id = c.keeper)
+SELECT sz AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs,
+       CAST(sum(waste) AS BIGINT) AS waste_chars
+FROM w GROUP BY 1""",
         "dedup_exact_groups": f"""
 WITH {dups_cte}
 SELECT md5({normalize_sql('text')}) AS fingerprint,

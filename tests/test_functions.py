@@ -2907,3 +2907,25 @@ def test_retrieval_metrics_hand_algebra(spark):
     assert c.n_rel == 5
     assert c.idcg == sum(W)              # capped at 3 positions
     assert (c.hits_at_k, c.mrr_ppm) == (1, 1_000_000)
+
+
+def test_dedup_savings_audit_exact_algebra(spark):
+    """Waste is priced by what is DELETED: the keeper is the min-id
+    member, and case-folded duplicates with different raw lengths
+    contribute their own lengths, not size*avg; singletons report
+    zero waste."""
+    from web_graph_spark.functions.dedup import dedup_savings_audit
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "ALPHA   BETA"), (3, "alpha beta"),
+         (10, "unique one"), (11, "unique two")],
+        "doc_id long, text string")
+    out = {r.cluster_size: r for r in
+           dedup_savings_audit(docs).collect()}
+
+    assert out[1].n_clusters == 2 and out[1].waste_chars == 0
+    c3 = out[3]
+    assert (c3.n_clusters, c3.n_docs) == (1, 3)
+    # keeper is doc 1 ("alpha beta", 10 chars); deleted: doc 2
+    # ("ALPHA   BETA", 12 chars) + doc 3 (10 chars)
+    assert c3.waste_chars == 22

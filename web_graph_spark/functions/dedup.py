@@ -923,3 +923,49 @@ def prefix_filter_candidates(df: DataFrame, threshold: float,
                     & (F.col("sz_a").cast("long") * 10000
                        >= F.col("sz_b").cast("long") * t_bp))
             .distinct())
+
+
+def dedup_savings_audit(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Price the dedup BEFORE running the rewrite (E156) — the
+    storage twin of the zonemap/gap-compression audits (E140/E144):
+    what does exact deduplication actually buy on THIS corpus?  Per
+    duplicate-cluster size, the exact count of clusters and the
+    exact characters reclaimed by keeping only the min-id member of
+    each cluster (the keep-list rule the clustering operator E18
+    ends with).  Size-1 "clusters" are reported too — they are the
+    baseline that says how much of the corpus dedup cannot touch.
+
+    Exact integers: ``waste_chars`` = Σ(cluster total chars − the
+    KEEPER's chars), computed per cluster so mixed-length exact
+    duplicates (case-folded copies differ in byte length, not normal
+    form) are priced by what is actually deleted, not size·avg.
+
+    Shape: one fingerprint hash agg over the corpus (min-struct
+    carries the keeper's length through the same pass — no second
+    join back to the raw rows), then a histogram agg over the
+    CLUSTER rows.  Output is bounded by the largest cluster size.
+
+    → ``(cluster_size, n_clusters, n_docs, waste_chars)``.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E156).
+    """
+    fp = with_fingerprint(df, text_col)
+    clusters = (fp.select("fingerprint",
+                          F.col(id_col).alias("id"),
+                          F.length(text_col).cast("long").alias("ch"))
+                .groupBy("fingerprint")
+                .agg(F.count(F.lit(1)).cast("long").alias("sz"),
+                     F.sum("ch").cast("long").alias("tot"),
+                     F.min(F.struct(F.col("id"), F.col("ch")))
+                     .alias("keeper")))
+    return (clusters
+            .select("sz", (F.col("tot") - F.col("keeper.ch"))
+                    .alias("waste"))
+            .groupBy(F.col("sz").alias("cluster_size"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"),
+                 F.sum("waste").cast("long").alias("waste_chars"))
+            .select("cluster_size", "n_clusters",
+                    (F.col("cluster_size") * F.col("n_clusters"))
+                    .cast("long").alias("n_docs"),
+                    "waste_chars"))
