@@ -759,6 +759,39 @@ def q_crawl_robots_purge(spark: SparkSession, sf_dir: str
     return robots_transition(pages, v1, v2, ["doc_id"])
 
 
+def q_crawl_revalidation(spark: SparkSession, sf_dir: str
+                         ) -> DataFrame:
+    """Conditional-GET savings audit (operators/recrawl.py:
+    revalidation_savings E157): 5 crawl waves over every page, page
+    content versioned by the deterministic change law "page changes
+    at wave w iff (doc_id + w) ≡ 0 (mod 3)" (digest = md5 of the
+    cumulative version counter), bytes = the document's n_chars.
+    Per host: how many re-fetches were 304-able and the exact bytes
+    If-None-Match would have saved.  Oracle replays the version
+    law, the lag-window comparison, and the ppm division."""
+    from web_graph_spark.operators.recrawl import revalidation_savings
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars")
+    pages = (webgen.pages_df(spark, sf_dir).select("doc_id", "host")
+             .join(docs, "doc_id"))
+    v = pages.select(
+        "host", "doc_id", "n_chars",
+        F.explode(F.array(*[F.lit(i) for i in range(5)]))
+        .alias("wave"))
+    # cumulative version counter: changes land at w ≡ -doc_id (mod 3)
+    r = (3 - F.col("doc_id") % 3) % 3
+    c = (F.when(F.col("wave") >= r,
+                F.expr("(wave - (3 - doc_id % 3) % 3) div 3 + 1"))
+         .otherwise(F.lit(0)))
+    visits = v.select(
+        "host", F.col("doc_id").alias("page_id"), "wave",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                       c.cast("string"))).alias("digest"),
+        F.col("n_chars").alias("n_bytes"))
+    return revalidation_savings(visits)
+
+
 def q_crawl_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-skew audit over the page-host key (operators/
     skew.py:shard_skew_audit E153): hash hosts into 8 shards the way
@@ -4368,6 +4401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_wildcard": q_crawl_robots_wildcard,
         "crawl_robots_purge": q_crawl_robots_purge,
         "crawl_shard_skew": q_crawl_shard_skew,
+        "crawl_revalidation": q_crawl_revalidation,
         "crawl_robots_eval": q_crawl_robots_eval,
         "crawl_budget_derive": q_crawl_budget_derive,
         "crawl_budget_allocate": q_crawl_budget_allocate,
@@ -4875,6 +4909,31 @@ FROM h WHERE i % 3 <> 0
 UNION ALL
 SELECT host, 'allow', '/d/1' || CAST(i % 10 AS VARCHAR) || '2', i % 4
 FROM h WHERE i % 3 <> 0"""),
+        "crawl_revalidation": _oracle("""
+, waves AS (SELECT u.i AS wave
+            FROM UNNEST(generate_series(0, 4)) AS u(i)),
+v AS (
+  SELECT p.host, p.doc_id, w.wave, d.n_chars,
+         md5(CAST(p.doc_id AS VARCHAR) || ':' ||
+             CAST(CASE WHEN w.wave >= (3 - p.doc_id % 3) % 3
+                  THEN (w.wave - (3 - p.doc_id % 3) % 3) // 3 + 1
+                  ELSE 0 END AS VARCHAR)) AS digest
+  FROM web_pages p CROSS JOIN waves w
+  JOIN documents d USING (doc_id)),
+g AS (
+  SELECT host, n_chars,
+         digest = lag(digest) OVER (PARTITION BY doc_id
+                                    ORDER BY wave) AS reval
+  FROM v)
+SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(sum(CASE WHEN reval THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_revalidatable,
+       CAST(sum(n_chars) AS BIGINT) AS bytes_total,
+       CAST(sum(CASE WHEN reval THEN n_chars ELSE 0 END) AS BIGINT)
+       AS bytes_saved,
+       CAST(1000000 * sum(CASE WHEN reval THEN n_chars ELSE 0 END)
+            // sum(n_chars) AS BIGINT) AS saved_ppm
+FROM g GROUP BY 1"""),
         "crawl_shard_skew": _oracle(f"""
 , pk AS (
   SELECT {_hexchunk_sql(1, 'md5(host)')} % 8 AS shard,

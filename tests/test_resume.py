@@ -176,3 +176,31 @@ def test_metrics_backfill_after_crash_window(spark, small_fix, tmp_path):
     api = LinkApi.from_store(c2.store)
     assert api.count_pages() == c2.store.read("pages").count()
     assert api.count_links() == c2.store.read("edges").count()
+
+
+def test_revalidation_savings_hand(spark):
+    """First fetches never save; unchanged revisits save their
+    bytes; a change forces a full body; ppm algebra exact."""
+    from web_graph_spark.operators.recrawl import revalidation_savings
+
+    visits = spark.createDataFrame(
+        # page 1 on host a: digests d,d,e over 3 waves
+        [("a", 1, 0, "d", 100), ("a", 1, 1, "d", 100),
+         ("a", 1, 2, "e", 100),
+         # page 2 on host a: single visit
+         ("a", 2, 0, "x", 50),
+         # page 3 on host b: never changes, 3 visits
+         ("b", 3, 0, "z", 10), ("b", 3, 1, "z", 10),
+         ("b", 3, 2, "z", 10)],
+        "host string, page_id long, wave int, digest string, "
+        "n_bytes long")
+    out = {r.host: r for r in revalidation_savings(visits).collect()}
+
+    a = out["a"]
+    # wave-1 revisit of page 1 is the only 304-able fetch on a
+    assert (a.n_fetches, a.n_revalidatable) == (4, 1)
+    assert (a.bytes_total, a.bytes_saved) == (350, 100)
+    assert a.saved_ppm == 10**6 * 100 // 350
+    b = out["b"]
+    assert (b.n_revalidatable, b.bytes_saved) == (2, 20)
+    assert b.saved_ppm == 10**6 * 20 // 30

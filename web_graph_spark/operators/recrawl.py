@@ -162,3 +162,55 @@ def scd2_history(snapshots: DataFrame, id_col: str = "page_id",
         F.col("n_snaps").cast("long").alias("n_snaps"),
         (F.col("valid_to") == F.col("__cur")).cast("int")
         .alias("is_current"))
+
+
+def revalidation_savings(visits: DataFrame,
+                         host_col: str = "host",
+                         id_col: str = "page_id",
+                         wave_col: str = "wave",
+                         digest_col: str = "digest",
+                         bytes_col: str = "n_bytes") -> DataFrame:
+    """Conditional-GET savings audit (E157) — the bandwidth-planning
+    question behind ``If-None-Match``: of the re-fetches the crawl
+    actually performed, how many would have come back ``304 Not
+    Modified`` (same payload digest as the previous visit) had the
+    fetcher sent the validator, and how many bytes per host that
+    revalidation would have kept off the wire?  The measured case
+    for teaching the fetch seam ETags — the same price-the-change-
+    first discipline as the zonemap/gap/dedup audits, applied to the
+    crawler's own bandwidth bill.
+
+    Semantics: per page, visits ordered by wave; a visit is
+    revalidatable iff it has a predecessor AND its digest equals the
+    predecessor's (first fetches are never savable; any change
+    forces a full body).  Exact integers per host: fetch/304 counts,
+    total vs savable bytes, ``saved_ppm = 10⁶·bytes_saved div
+    bytes_total``.
+
+    Shape: ONE shuffle on page id (the lag window) then a host agg
+    — page → host is a projection, no join; at 10^10 visit rows both
+    keys are uniform.
+
+    → ``(host, n_fetches, n_revalidatable, bytes_total,
+    bytes_saved, saved_ppm)``.
+
+    Reference analog: the reference re-fetches unconditionally
+    (client.Do with no validator headers, pkg/linkprocessor);
+    engine extension (SURVEY §2.10 E157).
+    """
+    w = Window.partitionBy(id_col).orderBy(wave_col)
+    prev = F.lag(F.col(digest_col)).over(w)
+    lab = (visits.withColumn(
+        "reval", prev.isNotNull()
+        & (F.col(digest_col) == prev)))
+    return (lab.groupBy(F.col(host_col).alias("host"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_fetches"),
+                 F.sum(F.col("reval").cast("int")).cast("long")
+                 .alias("n_revalidatable"),
+                 F.sum(bytes_col).cast("long").alias("bytes_total"),
+                 F.sum(F.when(F.col("reval"), F.col(bytes_col))
+                       .otherwise(0)).cast("long")
+                 .alias("bytes_saved"))
+            .withColumn("saved_ppm",
+                        F.expr("1000000 * bytes_saved "
+                               "div bytes_total")))
