@@ -71,6 +71,35 @@ ALLOW: dict[tuple[str, str], str] = {
         "1-row m_edges aggregate crossed onto the per-community rows",
     ("corpus_importance", "BroadcastNestedLoopJoin"):
         "two 1-row bucket-total dims (raw/target gram counts)",
+    ("corpus_zonemap_audit", "BroadcastNestedLoopJoin"):
+        "file-stats dim x predicate dim (dozens of rows each); the "
+        "fact rows are aggregated to per-file min/max before the cross",
+    ("corpus_zonemap_audit", "Exchange SinglePartition"):
+        "1-row exact-selectivity totals; partial aggs upstream",
+    ("crawl_slot_assign", "Exchange SinglePartition"):
+        "global snake rank runs over the per-host WEIGHT DIM (one "
+        "row per host, post-aggregation), never the fetch stream",
+    ("embed_matryoshka", "BroadcastNestedLoopJoin"):
+        "5-row sampled query side broadcast against the corpus scan "
+        "- same deliberate exact-baseline shape as ann_cosine_topk",
+    ("events_decay_score", "BroadcastNestedLoopJoin"):
+        "1-row max-hour anchor dim (IdentityBroadcastMode) crossed "
+        "onto the event scan",
+    ("events_decay_score", "Exchange SinglePartition"):
+        "the same 1-row max(hr) global aggregate",
+    ("graph_gap_audit", "Exchange SinglePartition"):
+        "1-row gamma-bit totals per layout (count+sum partials "
+        "upstream); output is 2 rows",
+    ("text_rrf_topk", "BroadcastNestedLoopJoin"):
+        "1-row corpus-stats dims inside the nested tf-idf/BM25 "
+        "rankings (their own allowlisted shape)",
+    ("text_rrf_topk", "Exchange SinglePartition"):
+        "fuse rank over the <=40-row union of two top-20 lists",
+    ("text_vocab_drift", "BroadcastNestedLoopJoin"):
+        "two 1-row token-total dims (slice a / slice b) crossed "
+        "onto the per-token chi rows",
+    ("text_vocab_drift", "Exchange SinglePartition"):
+        "the same 1-row totals aggregates",
     ("crawl_shard_skew", "BroadcastNestedLoopJoin"):
         "1-row totals dim crossed onto the n_shards-row audit rows",
     ("crawl_shard_skew", "Exchange SinglePartition"):
