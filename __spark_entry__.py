@@ -3326,6 +3326,23 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, budget=512)
 
 
+def q_corpus_packing_sweep(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Context-length fragmentation sweep (functions/text.py:
+    packing_sweep E158): price 512/1024/2048/4096-token packing from
+    ONE prefix-sum pass — per candidate length, exact pack counts,
+    split-document counts/ppm, and the token mass living in split
+    docs.  Runs pack_sequences' 10^10-safe scale path once and
+    re-derives every other budget arithmetically.  Oracle replays
+    the exact global window + the per-budget span algebra."""
+    from web_graph_spark.functions.text import packing_sweep, token_count
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"))
+    return packing_sweep(d)
+
+
 def q_corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding context-window chunking (functions/text.py:
     chunk_overlap E101): 64-token windows every 48 tokens per
@@ -4472,6 +4489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_span_dedup": q_corpus_span_dedup,
         "corpus_holdout_split": q_corpus_holdout_split,
         "corpus_pack_sequences": q_corpus_pack_sequences,
+        "corpus_packing_sweep": q_corpus_packing_sweep,
         "corpus_chunk_overlap": q_corpus_chunk_overlap,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_savings": q_dedup_savings,
@@ -6403,6 +6421,37 @@ SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
        CAST(coalesce(f.n_kept, 0) AS BIGINT) AS n_kept,
        coalesce(f.clean_text, '') AS clean_text
 FROM totals t LEFT JOIN folded f ON f.doc_id = t.doc_id""",
+        "corpus_packing_sweep": f"""
+WITH t AS (
+  SELECT doc_id, CAST({n_tok} AS BIGINT) AS nt FROM documents
+),
+o AS (
+  SELECT doc_id, nt,
+         coalesce(sum(nt) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS off
+  FROM t
+),
+l AS (SELECT CAST(u.b AS BIGINT) AS b
+      FROM UNNEST([512, 1024, 2048, 4096]) AS u(b)),
+s AS (
+  SELECT l.b, o.nt,
+         (o.off + greatest(o.nt, 1) - 1) // l.b
+           - o.off // l.b + 1 AS spans
+  FROM o CROSS JOIN l)
+SELECT b AS budget,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CAST((sum(nt) + b - 1) // b AS BIGINT) AS n_packs,
+       CAST(sum(CASE WHEN spans > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_split,
+       CAST(1000000 * sum(CASE WHEN spans > 1 THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS split_ppm,
+       CAST(sum(CASE WHEN spans > 1 THEN nt ELSE 0 END) AS BIGINT)
+       AS frag_tokens,
+       CAST(1000000 * sum(CASE WHEN spans > 1 THEN nt ELSE 0 END)
+            // sum(nt) AS BIGINT) AS frag_ppm
+FROM s GROUP BY b""",
         "corpus_pack_sequences": f"""
 WITH t AS (
   SELECT doc_id, CAST({n_tok} AS BIGINT) AS n_tokens FROM documents

@@ -100,6 +100,9 @@ ALLOW: dict[tuple[str, str], str] = {
         "onto the per-token chi rows",
     ("text_vocab_drift", "Exchange SinglePartition"):
         "the same 1-row totals aggregates",
+    ("corpus_packing_sweep", "Exchange SinglePartition"):
+        "per-budget 1-row corpus totals (partials upstream) plus "
+        "pack_sequences' documented global-window small path",
     ("crawl_shard_skew", "BroadcastNestedLoopJoin"):
         "1-row totals dim crossed onto the n_shards-row audit rows",
     ("crawl_shard_skew", "Exchange SinglePartition"):

@@ -2929,3 +2929,33 @@ def test_dedup_savings_audit_exact_algebra(spark):
     # keeper is doc 1 ("alpha beta", 10 chars); deleted: doc 2
     # ("ALPHA   BETA", 12 chars) + doc 3 (10 chars)
     assert c3.waste_chars == 22
+
+
+def test_packing_sweep_budget_invariance(spark):
+    """The reconstructed-offset trick: every budget's span counts
+    from the single b0 pass equal a direct pack_sequences run at
+    that budget; fragmentation is monotone non-increasing in L; the
+    pack-count algebra is exact."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.text import (pack_sequences,
+                                                packing_sweep)
+
+    d = spark.createDataFrame(
+        [(i, 97 + (i * 37) % 130) for i in range(40)],
+        "doc_id long, n_tokens long")
+    out = {r.budget: r for r in
+           packing_sweep(d, budgets=(128, 256, 512)).collect()}
+
+    total = sum(97 + (i * 37) % 130 for i in range(40))
+    for L in (128, 256, 512):
+        r = out[L]
+        assert r.total_tokens == total
+        assert r.n_packs == (total + L - 1) // L
+        # cross-check against a direct pack at this budget
+        direct = (pack_sequences(d, budget=L)
+                  .where(F.col("n_packs_spanned") > 1).count())
+        assert r.n_split == direct, (L, r.n_split, direct)
+    assert (out[128].n_split >= out[256].n_split
+            >= out[512].n_split)
+    assert out[128].frag_ppm >= out[512].frag_ppm

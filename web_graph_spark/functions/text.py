@@ -1662,3 +1662,69 @@ def retrieval_metrics(ranked: DataFrame, qrels: DataFrame,
                     "idcg",
                     F.expr("1000000 * coalesce(dcg, 0) div idcg")
                     .alias("ndcg_ppm")))
+
+
+def packing_sweep(df: DataFrame,
+                  budgets: tuple[int, ...] = (512, 1024, 2048, 4096),
+                  id_col: str = "doc_id",
+                  tokens_col: str = "n_tokens",
+                  **pack_kw) -> DataFrame:
+    """Context-length fragmentation sweep (E158) — the question a
+    pretraining run answers before fixing its sequence length: under
+    GPT-style concat-and-cut packing (:func:`pack_sequences`) there
+    is no padding waste, so the cost of a SHORTER context is
+    boundary CROSSINGS (documents split across packs, attention
+    fragments, loss masks straddle) — and the sweep prices exactly
+    that, per candidate budget, from ONE prefix-sum pass.
+
+    The token offsets do not depend on the budget: the stream is cut
+    at different points, the stream itself is fixed.  So
+    :func:`pack_sequences` runs ONCE (at ``budgets[0]``, taking its
+    10^10-safe distributed-prefix-sum path unchanged), the global
+    offset is reconstructed as ``pack_id·b₀ + offset_in_pack``, and
+    every other budget's span arithmetic is a pure projection over
+    the same rows — N budgets for the price of one scan plus N
+    1-row aggregates.
+
+    Exact integers per budget: ``n_packs = ⌈total/L⌉``, split doc
+    counts/ppm, and ``frag_tokens`` (tokens living in split docs —
+    the mass whose attention is truncated somewhere).
+
+    → ``(budget, n_docs, total_tokens, n_packs, n_split, split_ppm,
+    frag_tokens, frag_ppm)``, one row per candidate length.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E158).
+    """
+    b0 = int(budgets[0])
+    base = pack_sequences(df, budget=b0, id_col=id_col,
+                          tokens_col=tokens_col, **pack_kw)
+    rows = base.select(
+        "n_tokens",
+        (F.col("pack_id") * b0 + F.col("offset_in_pack"))
+        .alias("off"))
+    parts = []
+    for L in budgets:
+        b = int(L)
+        spans = F.expr(f"(off + greatest(n_tokens, 1L) - 1L) div {b}"
+                       f" - off div {b} + 1L")
+        split = spans > 1
+        parts.append(rows.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(split.cast("int")).cast("long").alias("n_split"),
+            F.sum(F.when(split, F.col("n_tokens")).otherwise(0))
+            .cast("long").alias("frag_tokens"))
+            .select(F.lit(b).cast("long").alias("budget"),
+                    "n_docs", "total_tokens",
+                    F.expr(f"(total_tokens + {b} - 1) div {b}")
+                    .alias("n_packs"),
+                    "n_split",
+                    F.expr("1000000 * n_split div n_docs")
+                    .alias("split_ppm"),
+                    "frag_tokens",
+                    F.expr("1000000 * frag_tokens div total_tokens")
+                    .alias("frag_ppm")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
