@@ -759,6 +759,25 @@ def q_crawl_robots_purge(spark: SparkSession, sf_dir: str
     return robots_transition(pages, v1, v2, ["doc_id"])
 
 
+def q_crawl_drain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier drain forecast (operators/politeness.py:drain_plan
+    E159): per-host pending = page counts (webgen's skewed host
+    law), budgets 2+i%5 — h00's 150 pages at budget 2 set a 75-wave
+    makespan while every other host finishes early, the
+    long-tail-sets-the-makespan story told in exact integers (the
+    numbers behind budget rebalancing).  Oracle replays the
+    ceil-division explode and both cumulative windows."""
+    from web_graph_spark.operators.politeness import drain_plan
+
+    pages = webgen.pages_df(spark, sf_dir)
+    d = (pages.groupBy("host")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_pending"))
+         .withColumn("budget",
+                     (F.lit(2) + F.substring("host", 2, 2)
+                      .cast("int") % 5).cast("long")))
+    return drain_plan(d)
+
+
 def q_crawl_revalidation(spark: SparkSession, sf_dir: str
                          ) -> DataFrame:
     """Conditional-GET savings audit (operators/recrawl.py:
@@ -4419,6 +4438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_purge": q_crawl_robots_purge,
         "crawl_shard_skew": q_crawl_shard_skew,
         "crawl_revalidation": q_crawl_revalidation,
+        "crawl_drain_plan": q_crawl_drain_plan,
         "crawl_robots_eval": q_crawl_robots_eval,
         "crawl_budget_derive": q_crawl_budget_derive,
         "crawl_budget_allocate": q_crawl_budget_allocate,
@@ -4927,6 +4947,32 @@ FROM h WHERE i % 3 <> 0
 UNION ALL
 SELECT host, 'allow', '/d/1' || CAST(i % 10 AS VARCHAR) || '2', i % 4
 FROM h WHERE i % 3 <> 0"""),
+        "crawl_drain_plan": _oracle("""
+, hosts AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_pending,
+         CAST(2 + CAST(substr(host, 2, 2) AS INT) % 5 AS BIGINT)
+         AS budget
+  FROM web_pages GROUP BY 1),
+ex AS (
+  SELECT host, n_pending, budget,
+         (n_pending + budget - 1) // budget AS wtd
+  FROM hosts),
+steps AS (
+  SELECT u.w AS wave,
+         least(budget, n_pending - budget * (u.w - 1)) AS delta,
+         CASE WHEN u.w = wtd THEN 1 ELSE 0 END AS fin
+  FROM ex, UNNEST(generate_series(1, wtd)) AS u(w)),
+pw AS (
+  SELECT wave, CAST(sum(delta) AS BIGINT) AS urls_fetched,
+         sum(fin) AS fin
+  FROM steps GROUP BY 1)
+SELECT wave, urls_fetched,
+       CAST(sum(fin) OVER (ORDER BY wave) AS BIGINT) AS hosts_done,
+       CAST(sum(urls_fetched) OVER (ORDER BY wave) AS BIGINT)
+       AS urls_done,
+       CAST(1000000 * sum(urls_fetched) OVER (ORDER BY wave)
+            // sum(urls_fetched) OVER () AS BIGINT) AS done_ppm
+FROM pw"""),
         "crawl_revalidation": _oracle("""
 , waves AS (SELECT u.i AS wave
             FROM UNNEST(generate_series(0, 4)) AS u(i)),

@@ -103,6 +103,9 @@ ALLOW: dict[tuple[str, str], str] = {
     ("corpus_packing_sweep", "Exchange SinglePartition"):
         "per-budget 1-row corpus totals (partials upstream) plus "
         "pack_sequences' documented global-window small path",
+    ("crawl_drain_plan", "Exchange SinglePartition"):
+        "cumulative windows over the MAKESPAN-sized wave dim "
+        "(<=100 rows however large the frontier)",
     ("crawl_shard_skew", "BroadcastNestedLoopJoin"):
         "1-row totals dim crossed onto the n_shards-row audit rows",
     ("crawl_shard_skew", "Exchange SinglePartition"):

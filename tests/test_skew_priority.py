@@ -476,3 +476,23 @@ def test_shard_skew_audit_separates_failure_modes(spark):
     out2 = shard_skew_audit(uni, F.col("host"), n_shards=4).collect()
     assert all(r.hot_count == 1 for r in out2)
     assert all(r.hot_share_ppm < 100_000 for r in out2)
+
+
+def test_drain_plan_hand_curve(spark):
+    """Exact completion curve: a 5-pending/budget-2 host drains
+    2,2,1 over 3 waves; a 3-pending/budget-3 host finishes in wave
+    1; makespan = max wtd; cumulative counts and ppm exact."""
+    from web_graph_spark.operators.politeness import drain_plan
+
+    d = spark.createDataFrame(
+        [("a", 5, 2), ("b", 3, 3)],
+        "host string, n_pending long, budget long")
+    out = {r.wave: r for r in drain_plan(d).collect()}
+
+    assert sorted(out) == [1, 2, 3]
+    assert out[1].urls_fetched == 5          # 2 (a) + 3 (b)
+    assert out[1].hosts_done == 1            # b finishes
+    assert out[2].urls_fetched == 2 and out[3].urls_fetched == 1
+    assert out[3].hosts_done == 2
+    assert out[3].urls_done == 8 and out[3].done_ppm == 1_000_000
+    assert out[1].done_ppm == 10**6 * 5 // 8

@@ -183,3 +183,67 @@ def crawl_delay_compliance(fetch_log: DataFrame, delays: DataFrame,
                                   - F.col("gap"))),
                      F.lit(0)).cast("long").alias("worst_deficit"))
             .withColumn("compliant", F.col("n_violations") == 0))
+
+
+def drain_plan(df: DataFrame, host_col: str = "host",
+               pending_col: str = "n_pending",
+               budget_col: str = "budget") -> DataFrame:
+    """Frontier drain forecast (E159) — "when will this crawl
+    finish?" answered exactly, per wave, BEFORE fetching anything:
+    under per-host politeness budgets each host drains
+    ``⌈pending/budget⌉`` waves, and the completion curve (URLs done,
+    hosts finished, done-ppm per wave) is pure arithmetic over the
+    per-host (pending, budget) dim.  The long tail this surfaces is
+    the operational insight: one huge host with a tiny budget sets
+    the makespan while the fleet idles — the case for
+    :func:`allocate_budget` rebalancing (and the snake assignment
+    E136) made with numbers.
+
+    Shape: everything happens on the HOST DIM (one row per host —
+    pending COUNTS, not the URLs themselves); the explode emits
+    Σ⌈pending/budget⌉ ≤ hosts × makespan dim rows, the per-wave agg
+    and two cumulative windows run over the MAKESPAN-sized result.
+    The frontier's 10^10 URLs are never touched.
+
+    → ``(wave, urls_fetched, hosts_done, urls_done, done_ppm)``,
+    one row per wave 1..makespan.
+
+    Reference analog: none (the reference crawls until its channel
+    drains, with no forecast); engine extension (SURVEY §2.10 E159).
+    """
+    ex = df.select(
+        F.col(host_col).alias("host"),
+        F.col(pending_col).cast("long").alias("n_pending"),
+        F.col(budget_col).cast("long").alias("budget"),
+        F.expr(f"({pending_col} + {budget_col} - 1) "
+               f"div {budget_col}").alias("wtd"))
+    steps = (ex.select(
+        "host", "n_pending", "budget", "wtd",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("wtd")))
+        .alias("wave"))
+        .select(
+            "wave",
+            F.least(F.col("budget"),
+                    F.col("n_pending")
+                    - F.col("budget") * (F.col("wave") - 1))
+            .alias("delta"),
+            (F.col("wave") == F.col("wtd")).cast("int")
+            .alias("finishes")))
+    per_wave = (steps.groupBy("wave")
+                .agg(F.sum("delta").cast("long")
+                     .alias("urls_fetched"),
+                     F.sum("finishes").cast("long").alias("fin")))
+    cum = (Window.orderBy("wave")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    tot = Window.orderBy("wave").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return (per_wave
+            .withColumn("hosts_done", F.sum("fin").over(cum))
+            .withColumn("urls_done",
+                        F.sum("urls_fetched").over(cum))
+            .withColumn("total",
+                        F.sum("urls_fetched").over(tot))
+            .withColumn("done_ppm",
+                        F.expr("1000000 * urls_done div total"))
+            .select("wave", "urls_fetched", "hosts_done",
+                    "urls_done", "done_ppm"))
