@@ -759,6 +759,24 @@ def q_crawl_robots_purge(spark: SparkSession, sf_dir: str
     return robots_transition(pages, v1, v2, ["doc_id"])
 
 
+def q_graph_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual link matrix (operators/graph_algos.py:
+    crosslingual_matrix E160): admissible link instances joined to
+    the documents' lang on both endpoints — link counts and exact
+    per-source-language out-share ppm per (src_lang, tgt_lang) cell.
+    Oracle replays the two joins, the agg, and the share window."""
+    from web_graph_spark.operators.graph_algos import (
+        crosslingual_matrix)
+
+    edges = (webgen.links_df(spark, sf_dir)
+             .where(F.col("k") % 4 != 0)
+             .select(F.col("src_doc_id").alias("src"),
+                     F.col("tgt_doc_id").alias("tgt")))
+    langs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang")
+    return crosslingual_matrix(edges, langs)
+
+
 def q_crawl_drain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier drain forecast (operators/politeness.py:drain_plan
     E159): per-host pending = page counts (webgen's skewed host
@@ -4439,6 +4457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_shard_skew": q_crawl_shard_skew,
         "crawl_revalidation": q_crawl_revalidation,
         "crawl_drain_plan": q_crawl_drain_plan,
+        "graph_lang_matrix": q_graph_lang_matrix,
         "crawl_robots_eval": q_crawl_robots_eval,
         "crawl_budget_derive": q_crawl_budget_derive,
         "crawl_budget_allocate": q_crawl_budget_allocate,
@@ -4947,6 +4966,23 @@ FROM h WHERE i % 3 <> 0
 UNION ALL
 SELECT host, 'allow', '/d/1' || CAST(i % 10 AS VARCHAR) || '2', i % 4
 FROM h WHERE i % 3 <> 0"""),
+        "graph_lang_matrix": _oracle("""
+, e AS (
+  SELECT l.src_doc_id AS s, l.tgt_doc_id AS t
+  FROM web_links_full l WHERE l.k % 4 <> 0),
+m AS (
+  SELECT ds.lang AS src_lang, dt.lang AS tgt_lang,
+         CAST(count(*) AS BIGINT) AS n_links
+  FROM e
+  JOIN documents ds ON ds.doc_id = e.s
+  JOIN documents dt ON dt.doc_id = e.t
+  GROUP BY 1, 2)
+SELECT src_lang, tgt_lang, n_links,
+       CAST(1000000 * n_links //
+            sum(n_links) OVER (PARTITION BY src_lang) AS BIGINT)
+       AS share_ppm,
+       src_lang <> tgt_lang AS is_cross
+FROM m"""),
         "crawl_drain_plan": _oracle("""
 , hosts AS (
   SELECT host, CAST(count(*) AS BIGINT) AS n_pending,

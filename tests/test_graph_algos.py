@@ -959,3 +959,25 @@ def test_condensation_tiers_hand_dags(spark):
     # isolated vertices are their own source components at tier 0
     out = run([(0, 1)], range(4))
     assert out[2] == (0, 1) and out[3] == (0, 1)
+
+
+def test_crosslingual_matrix_shares(spark):
+    """Hand matrix: per-source-language shares sum to ~1e6, the
+    diagonal is flagged non-cross, multi-edges count as instances."""
+    from web_graph_spark.operators.graph_algos import (
+        crosslingual_matrix)
+
+    langs = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr")], "doc_id long, lang string")
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (1, 3)],  # 1->3 twice
+        "src long, tgt long")
+    out = {(r.src_lang, r.tgt_lang): r for r in
+           crosslingual_matrix(edges, langs).collect()}
+
+    assert out[("en", "en")].n_links == 1
+    assert not out[("en", "en")].is_cross
+    assert out[("en", "fr")].n_links == 3  # 1->3 x2 + 2->3
+    assert out[("en", "fr")].share_ppm == 10**6 * 3 // 4
+    assert out[("fr", "en")].share_ppm == 10**6
+    assert out[("fr", "en")].is_cross

@@ -1648,3 +1648,46 @@ def condensation_tiers(vertices: DataFrame, edges: DataFrame,
                                      .alias("n_members"))
     return t.join(members, "scc").select(
         "scc", "tier", "n_members")
+
+
+def crosslingual_matrix(edges: DataFrame, langs: DataFrame,
+                        src_col: str = "src",
+                        tgt_col: str = "tgt") -> DataFrame:
+    """Cross-lingual link structure (E160) — how language communities
+    cite each other: the (source language × target language) matrix
+    of link counts with each row's share of its source language's
+    out-links in exact ppm.  The quantity behind two pipeline
+    decisions: whether anchor text is usable as cross-lingual
+    training signal (how much en→zh linking actually exists), and
+    whether per-language crawl shards can be scheduled independently
+    (high insularity = the diagonal dominates = cheap to shard by
+    lang).
+
+    Shape: two uniform doc-id joins (the lang dim is one row per
+    document — broadcast when small, shuffle-join at 10^10 where AQE
+    handles it), one (src_lang, tgt_lang) hash agg — at most
+    |langs|² output rows — and a share window over that DIM.
+
+    → ``(src_lang, tgt_lang, n_links, share_ppm, is_cross)``.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E160).
+    """
+    from pyspark.sql import Window
+
+    sl = langs.select(F.col("doc_id").alias("s"),
+                      F.col("lang").alias("src_lang"))
+    tl = langs.select(F.col("doc_id").alias("t"),
+                      F.col("lang").alias("tgt_lang"))
+    e = (edges.select(F.col(src_col).alias("s"),
+                      F.col(tgt_col).alias("t"))
+         .join(sl, "s").join(tl, "t"))
+    m = (e.groupBy("src_lang", "tgt_lang")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_links")))
+    w = Window.partitionBy("src_lang")
+    return (m.withColumn("src_total", F.sum("n_links").over(w))
+            .withColumn("share_ppm",
+                        F.expr("1000000 * n_links div src_total"))
+            .withColumn("is_cross",
+                        F.col("src_lang") != F.col("tgt_lang"))
+            .select("src_lang", "tgt_lang", "n_links", "share_ppm",
+                    "is_cross"))
