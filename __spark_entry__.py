@@ -2240,6 +2240,14 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero shuffles: one codegen'd regexp projection."""
     from web_graph_spark.functions.text import gopher_rules
 
+    return gopher_rules(_gopher_injected(spark, sf_dir))
+
+
+def _gopher_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the deterministic gopher-gate tail injections
+    (bullets / ellipses / symbols / numerics by doc_id congruence) —
+    shared by the gopher-rules and calibration queries; the oracles
+    inject identically."""
     did = F.col("doc_id")
     injected = F.concat(
         F.col("text"),
@@ -2252,8 +2260,29 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(did % 23 == 0,
                F.lit(" 123 456 789 101 112 131 415 161 718 192")
                ).otherwise(F.lit("")))
-    return gopher_rules(
-        _docs(spark, sf_dir).select("doc_id", injected.alias("text")))
+    return _docs(spark, sf_dir).select("doc_id", injected.alias("text"))
+
+
+def q_text_filter_calibration(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Cheap-filter calibration (functions/stats.py:calibration_curve
+    E161): does the one-projection quality score (E11) predict the
+    full Gopher gate battery (E81)?  Both run over the same injected
+    corpus; the sweep prices cutoffs 0..6000 in steps of 1000 with
+    exact confusion counts, ppm precision/recall, and division-free
+    F1 — the threshold choice for running the cheap filter first.
+    Oracle nests the quality and gopher SQL over the shared
+    injection and replays the sweep."""
+    from web_graph_spark.functions.stats import calibration_curve
+    from web_graph_spark.functions.text import (gopher_rules,
+                                                with_quality)
+
+    inj = _gopher_injected(spark, sf_dir)
+    scored = with_quality(inj).select("doc_id", "quality_score")
+    labels = gopher_rules(inj).select("doc_id", "passes")
+    return calibration_curve(
+        scored, labels, thresholds=tuple(range(0, 7000, 1000)),
+        score_col="quality_score", label_col="passes")
 
 
 def q_text_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4507,6 +4536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": q_text_bm25_topk,
         "text_retrieval_eval": q_text_retrieval_eval,
         "text_gopher_rules": q_text_gopher_rules,
+        "text_filter_calibration": q_text_filter_calibration,
         "text_keyphrases": q_text_keyphrases,
         "text_inverted_index": q_text_inverted_index,
         "text_phrase_search": q_text_phrase_search,
@@ -6065,11 +6095,51 @@ SELECT i.query, i.n_rel,
        CAST(1000000 * coalesce(g.dcg, 0) // i.idcg AS BIGINT)
        AS ndcg_ppm
 FROM ideal i LEFT JOIN got g USING (query)"""
+    quality_expr = f"""CAST(greatest(
+           least({n_tok}, 200) * 20
+           + floor(({stopword_count_sql('text')}) * 10000.0
+                   / greatest({n_tok}, 1))
+           - floor({n_punct} * 10000.0 / greatest(length(text), 1))
+           - floor({n_digit} * 10000.0 / greatest(length(text), 1)),
+           0) AS BIGINT)"""
+    calibration = f"""
+WITH scored AS (
+  SELECT doc_id, {quality_expr} AS score
+  FROM ({gopher_inj}) inj
+),
+labels AS (
+  SELECT doc_id, passes AS label FROM ({gopher}) g
+),
+j AS (SELECT s.score, l.label
+      FROM scored s JOIN labels l USING (doc_id)),
+ex AS (
+  SELECT t.threshold, j.score >= t.threshold AS pred, j.label
+  FROM j CROSS JOIN (SELECT unnest([0, 1000, 2000, 3000, 4000, 5000,
+                                    6000]) AS threshold) t
+),
+agg AS (
+  SELECT threshold,
+    CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT)
+      AS tn
+  FROM ex GROUP BY 1
+)
+SELECT threshold, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0 THEN 1000000 * tp // (tp + fp) END
+         AS precision_ppm,
+       CASE WHEN tp + fn > 0 THEN 1000000 * tp // (tp + fn) END
+         AS recall_ppm,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN 2000000 * tp // (2 * tp + fp + fn) END AS f1_ppm
+FROM agg"""
     sql = {
         "text_search_topk": tfidf_sql(SEARCH_TERMS, k=20),
         "text_bm25_topk": bm25_sql(SEARCH_TERMS, k=20),
         "text_retrieval_eval": retrieval_eval,
         "text_gopher_rules": gopher,
+        "text_filter_calibration": calibration,
         "text_keyphrases": _keyphrases_oracle(),
         "text_inverted_index": f"""
 WITH t AS ({_POSITIONS_SQL}),

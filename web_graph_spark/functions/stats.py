@@ -1512,3 +1512,56 @@ def slo_burn_alerts(df: DataFrame, group: str, error_pred,
         ((F.expr("1000000 * es") > F.expr(f"{int(slo_ppm)} * ns"))
          & (F.expr("1000000 * el") > F.expr(f"{int(slo_ppm)} * nl")))
         .alias("alert"))
+
+
+def calibration_curve(scored: DataFrame, labels: DataFrame,
+                      thresholds: tuple[int, ...],
+                      id_col: str = "doc_id",
+                      score_col: str = "score",
+                      label_col: str = "label") -> DataFrame:
+    """Threshold-sweep classifier calibration (E161) — the filter-
+    design question every curation pipeline faces: does the CHEAP
+    score (one codegen'd projection) predict the EXPENSIVE verdict
+    (a battery of gates, a teacher model, a human label) well enough
+    to run first and at what cutoff?  Per candidate threshold, the
+    full confusion matrix and the three operating-point metrics in
+    exact ppm — F1 via the division-free identity ``f1 = 2·tp /
+    (2·tp + fp + fn)`` (no intermediate precision/recall rationals).
+
+    Precision is NULL at thresholds where nothing is predicted
+    positive (0/0 is a vacuous operating point, not a zero).
+
+    Shape: ONE id join of the two relations, a |thresholds|-way
+    literal explode, one hash agg keyed by threshold — the sweep
+    costs one scan however many cutoffs are priced.
+
+    → ``(threshold, tp, fp, fn, tn, precision_ppm, recall_ppm,
+    f1_ppm)``.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E161).
+    """
+    j = (scored.select(F.col(id_col).alias("id"),
+                       F.col(score_col).alias("score"))
+         .join(labels.select(F.col(id_col).alias("id"),
+                             F.col(label_col).alias("label")), "id"))
+    ex = (j.select(
+        F.explode(F.array(*[F.lit(int(t)) for t in thresholds]))
+        .alias("threshold"), "score", "label")
+        .withColumn("pred", F.col("score") >= F.col("threshold")))
+    c = lambda cond: F.sum(cond.cast("int")).cast("long")
+    agg = (ex.groupBy("threshold")
+           .agg(c(F.col("pred") & F.col("label")).alias("tp"),
+                c(F.col("pred") & ~F.col("label")).alias("fp"),
+                c(~F.col("pred") & F.col("label")).alias("fn"),
+                c(~F.col("pred") & ~F.col("label")).alias("tn")))
+    return agg.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        F.expr("CASE WHEN tp + fp > 0 "
+               "THEN 1000000 * tp div (tp + fp) END")
+        .alias("precision_ppm"),
+        F.expr("CASE WHEN tp + fn > 0 "
+               "THEN 1000000 * tp div (tp + fn) END")
+        .alias("recall_ppm"),
+        F.expr("CASE WHEN 2 * tp + fp + fn > 0 "
+               "THEN 2000000 * tp div (2 * tp + fp + fn) END")
+        .alias("f1_ppm"))
