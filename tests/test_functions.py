@@ -2959,3 +2959,40 @@ def test_packing_sweep_budget_invariance(spark):
     assert (out[128].n_split >= out[256].n_split
             >= out[512].n_split)
     assert out[128].frag_ppm >= out[512].frag_ppm
+
+
+def test_calibration_curve_hand_algebra(spark):
+    """Exact confusion-matrix replay on a hand fixture: 6 docs, score
+    vs boolean label, three cutoffs spanning all-predicted-positive,
+    a mixed operating point, and the vacuous all-negative threshold
+    (precision NULL, recall/F1 0)."""
+    from web_graph_spark.functions.stats import calibration_curve
+
+    scored = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50), (6, 60)],
+        "doc_id long, score long")
+    labels = spark.createDataFrame(
+        [(1, False), (2, False), (3, True),
+         (4, False), (5, True), (6, True)],
+        "doc_id long, label boolean")
+    out = {r.threshold: r for r in
+           calibration_curve(scored, labels,
+                             thresholds=(0, 35, 100)).collect()}
+
+    lo = out[0]                       # everything predicted positive
+    assert (lo.tp, lo.fp, lo.fn, lo.tn) == (3, 3, 0, 0)
+    assert lo.precision_ppm == 500_000
+    assert lo.recall_ppm == 1_000_000
+    assert lo.f1_ppm == 2_000_000 * 3 // (2 * 3 + 3 + 0)
+
+    mid = out[35]                     # scores 40,50,60 positive
+    assert (mid.tp, mid.fp, mid.fn, mid.tn) == (2, 1, 1, 2)
+    assert mid.precision_ppm == 10**6 * 2 // 3
+    assert mid.recall_ppm == 10**6 * 2 // 3
+    assert mid.f1_ppm == 2_000_000 * 2 // (4 + 1 + 1)
+
+    hi = out[100]                     # nothing predicted positive
+    assert (hi.tp, hi.fp, hi.fn, hi.tn) == (0, 0, 3, 3)
+    assert hi.precision_ppm is None   # 0/0 is vacuous, not zero
+    assert hi.recall_ppm == 0
+    assert hi.f1_ppm == 0
