@@ -2285,6 +2285,27 @@ def q_text_filter_calibration(spark: SparkSession, sf_dir: str
         score_col="quality_score", label_col="passes")
 
 
+CLASSIFIER_LABELS = ("drop", "flag", "keep")
+
+
+def q_text_hashed_classifier(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """fastText-style hashed linear classifier inference
+    (functions/text.py:hashed_classifier E162): unigram+bigram
+    md5-prefix buckets (B=256) × a dense synthetic (b, label, w)
+    weight dim, integer dot-product scores, argmax with margin —
+    the model-based gate after the heuristic filters.  Weight dim is
+    the deterministic hex16 synthesis (stands in for a trained
+    export); oracle rebuilds it with the strpos recipe and replays
+    the scoring."""
+    from web_graph_spark.functions.text import (hashed_classifier,
+                                                synth_classifier_weights)
+
+    wts = synth_classifier_weights(spark, CLASSIFIER_LABELS)
+    return hashed_classifier(_docs(spark, sf_dir).select("doc_id",
+                                                         "text"), wts)
+
+
 def q_text_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 keyphrase bigrams by integer tf·idf
     (functions/text.py:keyphrases E85): RAKE-style stopword
@@ -4537,6 +4558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_retrieval_eval": q_text_retrieval_eval,
         "text_gopher_rules": q_text_gopher_rules,
         "text_filter_calibration": q_text_filter_calibration,
+        "text_hashed_classifier": q_text_hashed_classifier,
         "text_keyphrases": q_text_keyphrases,
         "text_inverted_index": q_text_inverted_index,
         "text_phrase_search": q_text_phrase_search,
@@ -6140,6 +6162,43 @@ FROM agg"""
         "text_retrieval_eval": retrieval_eval,
         "text_gopher_rules": gopher,
         "text_filter_calibration": calibration,
+        "text_hashed_classifier": f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+bi AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+),
+pb AS (
+  SELECT doc_id, substr(md5(g), 1, 2) AS b,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+  GROUP BY 1, 2
+),
+wt AS (
+  SELECT printf('%02x', i) AS b, label,
+         {_hex16_sql("printf('%02x', i) || '|' || label")} - 32768 AS w
+  FROM range(256) AS r(i),
+       unnest({list(CLASSIFIER_LABELS)!r}) AS l(label)
+),
+sc AS (
+  SELECT doc_id, label, CAST(sum(cnt * w) AS BIGINT) AS score,
+         CAST(sum(cnt) AS BIGINT) AS n_grams
+  FROM pb JOIN wt USING (b) GROUP BY 1, 2
+),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label) AS rn,
+         lead(score) OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, label) AS runner
+  FROM sc
+)
+SELECT doc_id, n_grams, label, score,
+       CAST(score - coalesce(runner, score) AS BIGINT) AS margin
+FROM rk WHERE rn = 1""",
         "text_keyphrases": _keyphrases_oracle(),
         "text_inverted_index": f"""
 WITH t AS ({_POSITIONS_SQL}),

@@ -2996,3 +2996,55 @@ def test_calibration_curve_hand_algebra(spark):
     assert hi.precision_ppm is None   # 0/0 is vacuous, not zero
     assert hi.recall_ppm == 0
     assert hi.f1_ppm == 0
+
+
+def test_hashed_classifier_hand_scores(spark):
+    """Replay the integer dot product in Python: per doc the
+    unigram+bigram buckets × the synthetic weight dim must reproduce
+    the per-class sums, the (score DESC, label ASC) argmax, and the
+    winner-minus-runner-up margin exactly."""
+    import hashlib
+
+    from web_graph_spark.functions.text import (hashed_classifier,
+                                                synth_classifier_weights)
+
+    labels = ("a", "b")
+    docs = spark.createDataFrame(
+        [(1, "x y x"), (2, "solo"), (3, "p q r s")],
+        "doc_id long, text string")
+    wts = synth_classifier_weights(spark, labels)
+    out = {r.doc_id: r for r in
+           hashed_classifier(docs, wts).collect()}
+
+    def bucket(g):
+        return hashlib.md5(g.encode()).hexdigest()[:2]
+
+    def weight(b, lab):
+        h = hashlib.md5(f"{b}|{lab}".encode()).hexdigest()
+        return int(h[:4], 16) - 32768
+
+    for doc_id, text in ((1, "x y x"), (2, "solo"), (3, "p q r s")):
+        t = text.split(" ")
+        grams = t + [f"{t[i]} {t[i+1]}" for i in range(len(t) - 1)]
+        scores = {lab: sum(weight(bucket(g), lab) for g in grams)
+                  for lab in labels}
+        best = min(labels, key=lambda lab: (-scores[lab], lab))
+        runner = min((l for l in labels if l != best),
+                     key=lambda lab: (-scores[lab], lab))
+        r = out[doc_id]
+        assert r.label == best
+        assert r.score == scores[best]
+        assert r.n_grams == len(grams)
+        assert r.margin == scores[best] - scores[runner]
+
+
+def test_hashed_classifier_single_label_margin_zero(spark):
+    """|labels| = 1: the winner has no runner-up — margin 0, not
+    NULL (the lead() coalesce)."""
+    from web_graph_spark.functions.text import (hashed_classifier,
+                                                synth_classifier_weights)
+
+    docs = spark.createDataFrame([(7, "w z")], "doc_id long, text string")
+    wts = synth_classifier_weights(spark, ("only",))
+    r = hashed_classifier(docs, wts).collect()[0]
+    assert r.label == "only" and r.margin == 0 and r.n_grams == 3

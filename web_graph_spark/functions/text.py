@@ -1728,3 +1728,89 @@ def packing_sweep(df: DataFrame,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def synth_classifier_weights(spark, labels: tuple[str, ...],
+                             bucket_hex: int = 2) -> DataFrame:
+    """Deterministic dense weight dim for :func:`hashed_classifier`
+    tests/benchmarks — one row per (bucket, label) over all
+    ``B = 16**bucket_hex`` buckets, weight = hex16 of
+    ``md5(bucket || '|' || label)`` centered to [-32768, 32767].
+    Stands in for a trained model (the sandbox trains nothing); any
+    real fastText export with the same (b, label, w) shape drops in.
+    B×|labels| rows — always a broadcast dim."""
+    from web_graph_spark.functions.stats import _hexchunk
+
+    b = F.lower(F.lpad(F.hex(F.col("id")), bucket_hex, "0"))
+    buckets = spark.range(16 ** bucket_hex).select(b.alias("b"))
+    lab = spark.createDataFrame([(str(l),) for l in labels],
+                                "label string")
+    h = F.md5(F.concat(F.col("b"), F.lit("|"), F.col("label")))
+    return buckets.crossJoin(lab).select(
+        "b", "label", (_hexchunk(h, 1) - 32768).alias("w"))
+
+
+def hashed_classifier(df: DataFrame, weights: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      bucket_hex: int = 2) -> DataFrame:
+    """fastText-style hashed linear classifier INFERENCE (Joulin et
+    al. 2016, "Bag of Tricks for Efficient Text Classification") —
+    the model-based quality/topic gate every 100 TB curation pipeline
+    runs after the cheap heuristics (E81/E11): each document's
+    unigrams + bigrams hash into ``B = 16**bucket_hex`` buckets
+    (md5-prefix, the repo's cross-engine recipe), and the per-class
+    score is the integer dot product of the doc's bucket-count vector
+    with a dense ``(b, label, w:int)`` weight dim::
+
+        score(d, c) = Σ_b cnt_d(b) · w(b, c)
+
+    — exactly fastText's linear layer over hashed n-gram features
+    with the embedding dimension folded to 1 integer per (bucket,
+    class), which keeps inference bit-reproducible across engines
+    (float means/softmax only reorder scores monotonically per class
+    when the dim is shared; argmax needs no softmax).  The winner is
+    argmax with (score DESC, label ASC) tie-break; ``margin`` =
+    winner − runner-up (0 when |labels| = 1) is the abstention
+    signal a downstream router thresholds on.
+
+    Physical shape at 100 TB: one explode scan → per-(doc, bucket)
+    count agg whose map-side partials absorb repeated grams (≤B
+    distinct buckets per doc survive the shuffle, NOT one row per
+    token); the weight dim joins BROADCAST (B×|labels| rows — 16^2×C
+    here, ≤16^4×C for any real model); per-(doc, label) sum rides a
+    doc-keyed agg; winner + margin are one window over |labels| rows
+    per doc.  Nothing scales beyond the single corpus scan.
+
+    Returns ``(doc_id, n_grams, label, score, margin)``.
+
+    Reference analog: none (the reference stores pages verbatim,
+    pkg/crawler/crawler.go:66-78); engine extension (SURVEY §2.10
+    E162).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.split(F.col(text_col), " ").alias("t"))
+    uni = toks.select("doc_id", F.explode("t").alias("g"))
+    bi = toks.select("doc_id", F.explode(F.expr(_BIGRAMS)).alias("g"))
+    grams = (uni.unionByName(bi)
+             .withColumn("b", F.substring(F.md5(F.col("g")), 1,
+                                          bucket_hex)))
+    per_bucket = (grams.groupBy("doc_id", "b")
+                  .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    scored = (per_bucket
+              .join(F.broadcast(weights.select("b", "label", "w")), "b")
+              .groupBy("doc_id", "label")
+              .agg(F.sum(F.col("cnt") * F.col("w")).cast("long")
+                   .alias("score"),
+                   F.sum("cnt").cast("long").alias("n_grams")))
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("label").asc())
+    return (scored
+            .withColumn("rn", F.row_number().over(w_rank))
+            .withColumn("runner", F.lead("score").over(w_rank))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "n_grams", "label", "score",
+                    (F.col("score") - F.coalesce(F.col("runner"),
+                                                 F.col("score")))
+                    .cast("long").alias("margin")))
