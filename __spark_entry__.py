@@ -423,6 +423,23 @@ def q_docs_span_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("spans_digest"))
 
 
+def q_docs_mm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal packing cost over the interleaved span docs
+    (functions/media.py:interleaved_pack_stats E163): text spans cost
+    their length and split freely; ``.png`` media spans cost a fixed
+    50 tokens and are ATOMIC, padding to the next 64-token pack
+    boundary when they would straddle it.  One codegen'd F.aggregate
+    fold per row — no explode, no shuffle.  Oracle replays the fold
+    as a recursive CTE over the k-ordered spans."""
+    from web_graph_spark.functions.media import interleaved_pack_stats
+
+    web = build_span_web(spark, sf_dir)
+    docs = web.select(F.md5(F.concat("host", "path")).alias("page_id"),
+                      "spans")
+    return interleaved_pack_stats(docs, budget=64, media_cost=50,
+                                  media_rx=r"\.png$")
+
+
 def q_crawl_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC/1.1 archive export (operators/archive.py:warc_records) —
     the archival format a 10^10-URL crawl actually ships (ISO 28500;
@@ -4491,6 +4508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_wave": q_crawl_frontier_wave,
         "crawl_media_frontier": q_crawl_media_frontier,
         "docs_span_digest": q_docs_span_digest,
+        "docs_mm_pack": q_docs_mm_pack,
         "crawl_warc_export": q_crawl_warc_export,
         "crawl_wet_export": q_crawl_wet_export,
         "crawl_cdx_index": q_crawl_cdx_index,
@@ -4760,6 +4778,54 @@ SELECT p.check_id,
 FROM web_pages p
 LEFT JOIN web_links_full l ON l.src_doc_id = p.doc_id
 GROUP BY 1"""),
+        "docs_mm_pack": _oracle_recursive("""
+, sp AS (
+  SELECT p.check_id,
+         row_number() OVER (PARTITION BY p.check_id
+                            ORDER BY l.k) AS i,
+         (l.href LIKE '%.png') AS is_media,
+         CAST(CASE WHEN l.href LIKE '%.png' THEN 50
+                   ELSE strlen(l.anchor) END AS BIGINT) AS c
+  FROM web_pages p
+  JOIN web_links_full l ON l.src_doc_id = p.doc_id
+),
+ns AS (SELECT check_id, max(i) AS n FROM sp GROUP BY 1),
+fold AS (
+  SELECT check_id, 0 AS i, CAST(0 AS BIGINT) AS pos,
+         CAST(0 AS BIGINT) AS pad, CAST(0 AS BIGINT) AS media,
+         CAST(0 AS BIGINT) AS txt, CAST(0 AS BIGINT) AS oversize
+  FROM ns
+  UNION ALL
+  SELECT f.check_id, f.i + 1,
+         f.pos + s.c
+           + CASE WHEN s.is_media AND s.c <= 64 AND f.pos % 64 <> 0
+                       AND f.pos % 64 + s.c > 64
+                  THEN 64 - f.pos % 64 ELSE 0 END,
+         f.pad
+           + CASE WHEN s.is_media AND s.c <= 64 AND f.pos % 64 <> 0
+                       AND f.pos % 64 + s.c > 64
+                  THEN 64 - f.pos % 64 ELSE 0 END,
+         f.media + CASE WHEN s.is_media THEN s.c ELSE 0 END,
+         f.txt + CASE WHEN s.is_media THEN 0 ELSE s.c END,
+         f.oversize + CASE WHEN s.is_media AND s.c > 64
+                           THEN 1 ELSE 0 END
+  FROM fold f
+  JOIN sp s ON s.check_id = f.check_id AND s.i = f.i + 1
+),
+last AS (
+  SELECT f.* FROM fold f JOIN ns USING (check_id) WHERE f.i = ns.n
+)
+SELECT p.check_id AS page_id,
+       CAST(coalesce(ns.n, 0) AS BIGINT) AS n_spans,
+       coalesce(l.txt, 0) AS text_tokens,
+       coalesce(l.media, 0) AS media_tokens,
+       coalesce(l.pad, 0) AS pad_tokens,
+       coalesce(l.oversize, 0) AS n_oversize,
+       coalesce(l.pos, 0) AS total_cost,
+       CAST((coalesce(l.pos, 0) + 63) // 64 AS BIGINT) AS n_packs
+FROM web_pages p
+LEFT JOIN ns ON ns.check_id = p.check_id
+LEFT JOIN last l ON l.check_id = p.check_id"""),
         "crawl_warc_export": _oracle("""
 , pay AS (
   SELECT p.check_id, p.url,

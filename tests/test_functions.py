@@ -3048,3 +3048,69 @@ def test_hashed_classifier_single_label_margin_zero(spark):
     wts = synth_classifier_weights(spark, ("only",))
     r = hashed_classifier(docs, wts).collect()[0]
     assert r.label == "only" and r.margin == 0 and r.n_grams == 3
+
+
+def test_interleaved_pack_stats_hand_fold(spark):
+    """Replay the atomic-media fold by hand: a media span that would
+    straddle the 64-token boundary pads to it first; oversize media
+    (> budget) places unpadded and is counted; text splits freely;
+    empty spans cost nothing."""
+    from web_graph_spark.functions.media import interleaved_pack_stats
+
+    span = ("array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>")
+    rows = [
+        # 24 text chars then a 50-cost image: pad 40 to the boundary,
+        # then an 8-char tail. total = 24+40+50+8 = 122, 2 packs.
+        ("pad", [("link", "x" * 8, "/a", 0), ("link", "x" * 8, "/b", 1),
+                 ("link", "x" * 8, "/c", 2),
+                 ("link", "", "https://h/i1.png", 3),
+                 ("link", "x" * 8, "/d", 4)]),
+        # image lands exactly at a boundary (pos 64): no pad.
+        ("flush", [("link", "y" * 64, "/a", 0),
+                   ("link", "", "https://h/i2.png", 1)]),
+        ("empty", []),
+    ]
+    df = spark.createDataFrame(
+        rows, f"page_id string, spans {span}")
+    out = {r.page_id: r for r in
+           interleaved_pack_stats(df, budget=64, media_cost=50,
+                                  media_rx=r"\.png$").collect()}
+
+    p = out["pad"]
+    assert (p.text_tokens, p.media_tokens, p.pad_tokens) == (32, 50, 40)
+    assert (p.total_cost, p.n_packs, p.n_oversize) == (122, 2, 0)
+
+    f = out["flush"]
+    assert (f.text_tokens, f.media_tokens, f.pad_tokens) == (64, 50, 0)
+    assert (f.total_cost, f.n_packs) == (114, 2)
+
+    e = out["empty"]
+    assert (e.n_spans, e.total_cost, e.n_packs) == (0, 0, 0)
+
+    # oversize media: cost 100 > budget 64 — placed unpadded, flagged
+    big = spark.createDataFrame(
+        [("big", [("link", "z" * 10, "/t", 0),
+                  ("link", "", "https://h/i3.png", 1)])],
+        f"page_id string, spans {span}")
+    r = interleaved_pack_stats(big, budget=64, media_cost=100,
+                               media_rx=r"\.png$").collect()[0]
+    assert (r.n_oversize, r.pad_tokens, r.total_cost) == (1, 0, 110)
+
+
+def test_interleaved_pack_stats_orders_by_offset(spark):
+    """Spans arrive unordered; the fold must sort by offset first —
+    the pad depends on it."""
+    from web_graph_spark.functions.media import interleaved_pack_stats
+
+    span = ("array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>")
+    # offset order: 30 text chars, then image (pad 34), then 4 text.
+    df = spark.createDataFrame(
+        [("d", [("link", "w" * 4, "/tail", 2),
+                ("link", "", "https://h/i.png", 1),
+                ("link", "v" * 30, "/head", 0)])],
+        f"page_id string, spans {span}")
+    r = interleaved_pack_stats(df, budget=64, media_cost=50,
+                               media_rx=r"\.png$").collect()[0]
+    assert (r.pad_tokens, r.total_cost) == (34, 30 + 34 + 50 + 4)

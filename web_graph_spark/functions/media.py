@@ -613,3 +613,91 @@ def sniff_kind(content) -> F.Column:
         c = c.when(F.hex(F.substring(content, off, len(mag) // 2))
                    == mag, kind)
     return c.otherwise("unknown")
+
+
+def interleaved_pack_stats(docs: DataFrame, budget: int,
+                           media_cost: int = 576,
+                           media_rx: str = r"\.(png|jpe?g|gif|wav|mp4)$",
+                           spans_col: str = "spans",
+                           id_col: str = "page_id") -> DataFrame:
+    """Multimodal packing cost of INTERLEAVED text+media documents
+    (E163) — the context-window budgeting step a multimodal training
+    pipeline runs over the BASELINE input_hint span shape
+    (``array<struct<kind,text,media_ref,offset>>``): text spans cost
+    their length and may split across pack boundaries; media spans
+    cost a FIXED ``media_cost`` tokens (the vision-encoder patch
+    count — 576 for a 24×24 CLIP grid) and are ATOMIC — an image
+    cannot straddle two training sequences, so a media span that
+    would cross a ``budget`` boundary pads to the boundary first and
+    the pad is pure waste.  Per document (packed alone from a pack
+    boundary — the per-doc layout cost, additive across a corpus
+    packed doc-major) the exact fold over the offset-ordered spans:
+
+    * ``text_tokens`` / ``media_tokens`` — cost mass by modality;
+    * ``pad_tokens`` — boundary padding forced by media atomicity
+      (THE number that prices media_cost/budget combinations);
+    * ``n_oversize`` — media spans with cost > budget (cannot be
+      atomic in any layout; they place unpadded and a real pipeline
+      must tile or drop them);
+    * ``total_cost`` = text + media + pad; ``n_packs`` =
+      ⌈total/budget⌉.
+
+    All-integer, engine-exact.  Physical shape at 100 TB: ONE
+    codegen'd projection — the fold is ``F.aggregate`` over the
+    spans array (JVM higher-order function, no explode, no shuffle,
+    no Python); a 10^10-doc table pays exactly its scan.  Spans are
+    ``sort_array``-ordered first (offset is the struct's sort-leading
+    field is NOT assumed).
+
+    Returns ``(id, n_spans, text_tokens, media_tokens, pad_tokens,
+    n_oversize, total_cost, n_packs)``.
+
+    Reference analog: the reference stores spans but never costs
+    them (pkg/crawler/crawler.go:66-78); engine extension (SURVEY
+    §2.10 E163).
+    """
+    b = int(budget)
+    if b <= 0:
+        raise ValueError("budget must be > 0")
+    spans = F.sort_array(F.transform(
+        F.col(spans_col),
+        lambda s: F.struct(s["offset"].alias("offset"),
+                           s["text"].alias("text"),
+                           s["media_ref"].alias("media_ref"))))
+    zero = F.struct(
+        F.lit(0).cast("long").alias("pos"),
+        F.lit(0).cast("long").alias("pad"),
+        F.lit(0).cast("long").alias("media"),
+        F.lit(0).cast("long").alias("text"),
+        F.lit(0).cast("long").alias("oversize"))
+
+    def step(acc, s):
+        is_media = s["media_ref"].rlike(media_rx)
+        c = (F.when(is_media, F.lit(media_cost))
+             .otherwise(F.length(s["text"]))).cast("long")
+        rem = acc["pos"] % b
+        pad = (F.when(is_media & (c <= b) & (rem != 0) & (rem + c > b),
+                      F.lit(b) - rem)
+               .otherwise(F.lit(0))).cast("long")
+        return F.struct(
+            (acc["pos"] + pad + c).alias("pos"),
+            (acc["pad"] + pad).alias("pad"),
+            (acc["media"] + F.when(is_media, c).otherwise(0))
+            .alias("media"),
+            (acc["text"] + F.when(is_media, F.lit(0)).otherwise(c))
+            .alias("text"),
+            (acc["oversize"]
+             + F.when(is_media & (c > b), 1).otherwise(0))
+            .alias("oversize"))
+
+    acc = F.aggregate(spans, zero, step)
+    return docs.select(
+        F.col(id_col),
+        F.size(spans_col).cast("long").alias("n_spans"),
+        acc["text"].alias("text_tokens"),
+        acc["media"].alias("media_tokens"),
+        acc["pad"].alias("pad_tokens"),
+        acc["oversize"].alias("n_oversize"),
+        acc["pos"].alias("total_cost")).withColumn(
+        "n_packs",
+        F.expr(f"(total_cost + {b - 1}) div {b}").cast("long"))
