@@ -813,6 +813,22 @@ def q_crawl_drain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_plan(d)
 
 
+def q_crawl_fair_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair water-filling split of a global fetch capacity
+    (operators/politeness.py:fair_share E164): per-host demand =
+    page counts (webgen's skewed host law — h00 carries ~30%), global
+    capacity 300 < Σdemand, so the level binds: small hosts get their
+    demand, hot hosts get the common water level, remainder +1s go
+    to the first capped hosts in (demand, host) order.  Oracle
+    replays the histogram window + boundary selection + residual
+    ranking in exact integers."""
+    from web_graph_spark.operators.politeness import fair_share
+
+    d = (webgen.pages_df(spark, sf_dir).groupBy("host")
+         .agg(F.count(F.lit(1)).cast("long").alias("demand")))
+    return fair_share(d, capacity=300)
+
+
 def q_crawl_revalidation(spark: SparkSession, sf_dir: str
                          ) -> DataFrame:
     """Conditional-GET savings audit (operators/recrawl.py:
@@ -4523,6 +4539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_wildcard": q_crawl_robots_wildcard,
         "crawl_robots_purge": q_crawl_robots_purge,
         "crawl_shard_skew": q_crawl_shard_skew,
+        "crawl_fair_share": q_crawl_fair_share,
         "crawl_revalidation": q_crawl_revalidation,
         "crawl_drain_plan": q_crawl_drain_plan,
         "graph_lang_matrix": q_graph_lang_matrix,
@@ -5127,6 +5144,53 @@ SELECT wave, urls_fetched,
        CAST(1000000 * sum(urls_fetched) OVER (ORDER BY wave)
             // sum(urls_fetched) OVER () AS BIGINT) AS done_ppm
 FROM pw"""),
+        "crawl_fair_share": _oracle("""
+, d AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS demand
+  FROM web_pages GROUP BY 1
+),
+tot AS (
+  SELECT count(*)::BIGINT AS n_total, sum(demand)::BIGINT AS s_total
+  FROM d
+),
+hist AS (
+  SELECT demand, count(*)::BIGINT AS n_d, sum(demand)::BIGINT AS s_d
+  FROM d GROUP BY 1
+),
+cum AS (
+  SELECT *, sum(n_d) OVER (ORDER BY demand) AS cum_n,
+         sum(s_d) OVER (ORDER BY demand) AS cum_s
+  FROM hist
+),
+feas AS (
+  SELECT demand AS ds, cum_n AS ns, cum_s AS ss
+  FROM cum, tot
+  WHERE (cum_s - s_d) + demand * (n_total - (cum_n - n_d)) <= 300
+  ORDER BY demand DESC LIMIT 1
+),
+lev AS (
+  SELECT coalesce((SELECT ds FROM feas), -1) AS d_star,
+         CASE WHEN n_total - coalesce((SELECT ns FROM feas), 0) > 0
+              THEN (300 - coalesce((SELECT ss FROM feas), 0))
+                   // (n_total - coalesce((SELECT ns FROM feas), 0))
+         END AS level,
+         CASE WHEN n_total - coalesce((SELECT ns FROM feas), 0) > 0
+              THEN (300 - coalesce((SELECT ss FROM feas), 0))
+                   % (n_total - coalesce((SELECT ns FROM feas), 0))
+              ELSE 0 END AS r
+  FROM tot
+),
+cap AS (
+  SELECT d.host, row_number() OVER (ORDER BY d.demand, d.host) AS rk
+  FROM d, lev WHERE d.demand > lev.d_star
+)
+SELECT d.host, d.demand,
+       CAST(CASE WHEN d.demand <= lev.d_star THEN d.demand
+                 ELSE lev.level
+                      + CASE WHEN c.rk <= lev.r THEN 1 ELSE 0 END
+            END AS BIGINT) AS alloc,
+       d.demand > lev.d_star AS capped
+FROM d CROSS JOIN lev LEFT JOIN cap c ON c.host = d.host"""),
         "crawl_revalidation": _oracle("""
 , waves AS (SELECT u.i AS wave
             FROM UNNEST(generate_series(0, 4)) AS u(i)),

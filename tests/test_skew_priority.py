@@ -496,3 +496,46 @@ def test_drain_plan_hand_curve(spark):
     assert out[3].hosts_done == 2
     assert out[3].urls_done == 8 and out[3].done_ppm == 1_000_000
     assert out[1].done_ppm == 10**6 * 5 // 8
+
+
+def test_fair_share_water_filling(spark):
+    """Textbook water-filling: demands (2, 4, 10, 10), capacity 20 →
+    level 7: small hosts keep their demand, the two hungry hosts get
+    7 each, Σalloc = capacity exactly."""
+    from web_graph_spark.operators.politeness import fair_share
+
+    d = spark.createDataFrame(
+        [("a", 2), ("b", 4), ("c", 10), ("d", 10)],
+        "host string, demand long")
+    got = {r.host: r for r in fair_share(d, 20).collect()}
+    assert {h: r.alloc for h, r in got.items()} == \
+        {"a": 2, "b": 4, "c": 7, "d": 7}
+    assert {h: r.capped for h, r in got.items()} == \
+        {"a": False, "b": False, "c": True, "d": True}
+    assert sum(r.alloc for r in got.values()) == 20
+
+
+def test_fair_share_remainder_and_edges(spark):
+    """Remainder +1s go to the first capped hosts in (demand, host)
+    order; capacity >= total satisfies everyone; capacity 0 grants
+    nothing; a zero-demand host never receives."""
+    from web_graph_spark.operators.politeness import fair_share
+
+    d = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 5)], "host string, demand long")
+    # capacity 7: level 2, remainder 1 -> host 'a' (first by order)
+    got = {r.host: r.alloc for r in fair_share(d, 7).collect()}
+    assert got == {"a": 3, "b": 2, "c": 2}
+    assert sum(got.values()) == 7
+
+    sat = {r.host: r for r in fair_share(d, 100).collect()}
+    assert all(r.alloc == r.demand and not r.capped
+               for r in sat.values())
+
+    zero = {r.host: r.alloc for r in fair_share(d, 0).collect()}
+    assert zero == {"a": 0, "b": 0, "c": 0}
+
+    mix = spark.createDataFrame(
+        [("z", 0), ("y", 9)], "host string, demand long")
+    got2 = {r.host: r.alloc for r in fair_share(mix, 4).collect()}
+    assert got2 == {"z": 0, "y": 4}

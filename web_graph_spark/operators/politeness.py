@@ -247,3 +247,96 @@ def drain_plan(df: DataFrame, host_col: str = "host",
                         F.expr("1000000 * urls_done div total"))
             .select("wave", "urls_fetched", "hosts_done",
                     "urls_done", "done_ppm"))
+
+
+def fair_share(df: DataFrame, capacity: int, host_col: str = "host",
+               demand_col: str = "demand") -> DataFrame:
+    """Max-min fair (water-filling) split of a GLOBAL fetch capacity
+    across hosts (E164) — the other canonical allocator next to
+    :func:`allocate_budget`'s weighted apportionment: no host gets
+    more than it asked for (``demand`` caps the grant), capacity a
+    small host leaves unused flows to the hosts still hungry, and
+    every capped host receives the same water level — the
+    Bertsekas–Gallager fairness a crawl fleet wants when demands are
+    wildly skewed (one 10^7-URL host must not starve 10^4 small
+    hosts, and a 3-URL host must not hoard a 10^3 grant).
+
+    Exact integer semantics, fully deterministic: the water level is
+    the largest ``L`` with ``Σ min(demand_i, L) ≤ capacity`` computed
+    on the DEMAND HISTOGRAM; hosts with demand ≤ L get their demand;
+    the rest get ``L`` plus — for the first ``r = remainder`` capped
+    hosts in (demand ASC, host ASC) order — one extra unit, so the
+    grants sum to ``min(capacity, Σ demand)`` EXACTLY.
+
+    Scale shape: the window runs over the demand-VALUE histogram
+    (≤ distinct demand values rows, not hosts); the residual +1
+    winners come from :func:`~web_graph_spark.operators.frontier.
+    take_global` (range-partitioned exact top-r, never a global
+    sort of the host dim); two driver-side scalars (the boundary
+    row and the total) are one collect of one row each — the
+    allocate_budget precedent.
+
+    Returns ``(host, demand, alloc, capped)``.
+
+    Reference analog: none (the reference's politeness is a global
+    2-worker cap, linkprocessor.go:51-75); engine extension (SURVEY
+    §2.10 E164).
+    """
+    from web_graph_spark.operators.frontier import take_global
+
+    if capacity < 0:
+        raise ValueError("capacity must be >= 0")
+    hosts = df.select(F.col(host_col).alias("host"),
+                      F.col(demand_col).cast("long").alias("demand"))
+    hist = hosts.groupBy("demand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum("demand").cast("long").alias("s_d"))
+    tot = hosts.agg(F.count(F.lit(1)).cast("long").alias("n_total"),
+                    F.coalesce(F.sum("demand"), F.lit(0)).cast("long")
+                    .alias("s_total")).collect()[0]
+    n_total, s_total = int(tot["n_total"] or 0), int(tot["s_total"] or 0)
+    if n_total == 0:
+        return hosts.select("host", "demand",
+                            F.lit(0).cast("long").alias("alloc"),
+                            F.lit(False).alias("capped"))
+    w = Window.orderBy("demand").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = (hist.withColumn("cum_n", F.sum("n_d").over(w))
+           .withColumn("cum_s", F.sum("s_d").over(w)))
+    # t(d) = cost of satisfying every host with demand <= d at level d
+    t = ((F.col("cum_s") - F.col("s_d"))
+         + F.col("demand") * (F.lit(n_total)
+                              - (F.col("cum_n") - F.col("n_d"))))
+    feas = (cum.withColumn("t", t.cast("long"))
+            .filter(F.col("t") <= F.lit(int(capacity)))
+            .orderBy(F.col("demand").desc()).limit(1)
+            .select("demand", "cum_n", "cum_s").collect())
+    if feas:
+        d_star = int(feas[0]["demand"])
+        n_star, s_star = int(feas[0]["cum_n"]), int(feas[0]["cum_s"])
+    else:
+        d_star, n_star, s_star = -1, 0, 0
+    m = n_total - n_star
+    if m == 0:
+        return hosts.select(
+            "host", "demand", F.col("demand").alias("alloc"),
+            F.lit(False).alias("capped"))
+    level = (int(capacity) - s_star) // m
+    r = (int(capacity) - s_star) % m
+    capped = hosts.filter(F.col("demand") > F.lit(d_star))
+    winners = (take_global(capped, r, ["demand", "host"],
+                           small_hint=m)
+               .select("host", F.lit(1).cast("long").alias("bump"))
+               if r > 0 else None)
+    out = hosts.withColumn(
+        "capped", F.col("demand") > F.lit(d_star))
+    if winners is not None:
+        out = out.join(winners, "host", "left")
+    else:
+        out = out.withColumn("bump", F.lit(None).cast("long"))
+    return out.select(
+        "host", "demand",
+        F.when(~F.col("capped"), F.col("demand"))
+        .otherwise(F.lit(level) + F.coalesce(F.col("bump"), F.lit(0)))
+        .cast("long").alias("alloc"),
+        "capped")
