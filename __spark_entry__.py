@@ -829,6 +829,22 @@ def q_crawl_fair_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fair_share(d, capacity=300)
 
 
+def q_crawl_wfq_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WFQ fetch interleave (operators/politeness.py:wfq_order E165)
+    chained on E164's grants: the fair-share allocs become pick
+    counts, demands the rates, and the wave's 300 fetches come out in
+    virtual-finish-time order — a host with twice the demand fires
+    twice as often at every prefix.  Oracle replays the full
+    fair-share chain then the explode + integer vkey ranking."""
+    from web_graph_spark.operators.politeness import (fair_share,
+                                                      wfq_order)
+
+    d = (webgen.pages_df(spark, sf_dir).groupBy("host")
+         .agg(F.count(F.lit(1)).cast("long").alias("demand")))
+    grants = fair_share(d, capacity=300)
+    return wfq_order(grants, picks_col="alloc", weight_col="demand")
+
+
 def q_crawl_revalidation(spark: SparkSession, sf_dir: str
                          ) -> DataFrame:
     """Conditional-GET savings audit (operators/recrawl.py:
@@ -1451,6 +1467,62 @@ def q_crawl_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (p.select("doc_id", hx.alias("hx"), px.alias("px"))
             .select("doc_id", "hx", "px",
                     zvalue_col(["hx", "px"], bits=16).alias("zval")))
+
+
+# Max-min fair water-filling over the per-host page-count demands at
+# capacity 300 (operators/politeness.py:fair_share semantics) — the
+# CTE chain ends at ``fs(host, demand, alloc, capped)`` so both the
+# fair-share contract oracle and chained consumers (crawl_wfq_order)
+# share one replay.
+_FAIR_SHARE_CTES = """
+, d AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS demand
+  FROM web_pages GROUP BY 1
+),
+tot AS (
+  SELECT count(*)::BIGINT AS n_total, sum(demand)::BIGINT AS s_total
+  FROM d
+),
+hist AS (
+  SELECT demand, count(*)::BIGINT AS n_d, sum(demand)::BIGINT AS s_d
+  FROM d GROUP BY 1
+),
+cum AS (
+  SELECT *, sum(n_d) OVER (ORDER BY demand) AS cum_n,
+         sum(s_d) OVER (ORDER BY demand) AS cum_s
+  FROM hist
+),
+feas AS (
+  SELECT demand AS ds, cum_n AS ns, cum_s AS ss
+  FROM cum, tot
+  WHERE (cum_s - s_d) + demand * (n_total - (cum_n - n_d)) <= 300
+  ORDER BY demand DESC LIMIT 1
+),
+lev AS (
+  SELECT coalesce((SELECT ds FROM feas), -1) AS d_star,
+         CASE WHEN n_total - coalesce((SELECT ns FROM feas), 0) > 0
+              THEN (300 - coalesce((SELECT ss FROM feas), 0))
+                   // (n_total - coalesce((SELECT ns FROM feas), 0))
+         END AS level,
+         CASE WHEN n_total - coalesce((SELECT ns FROM feas), 0) > 0
+              THEN (300 - coalesce((SELECT ss FROM feas), 0))
+                   % (n_total - coalesce((SELECT ns FROM feas), 0))
+              ELSE 0 END AS r
+  FROM tot
+),
+cap AS (
+  SELECT d.host, row_number() OVER (ORDER BY d.demand, d.host) AS rk
+  FROM d, lev WHERE d.demand > lev.d_star
+),
+fs AS (
+  SELECT d.host, d.demand,
+         CAST(CASE WHEN d.demand <= lev.d_star THEN d.demand
+                   ELSE lev.level
+                        + CASE WHEN c.rk <= lev.r THEN 1 ELSE 0 END
+              END AS BIGINT) AS alloc,
+         d.demand > lev.d_star AS capped
+  FROM d CROSS JOIN lev LEFT JOIN cap c ON c.host = d.host
+)"""
 
 
 def _hex16_sql(expr: str) -> str:
@@ -4540,6 +4612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_purge": q_crawl_robots_purge,
         "crawl_shard_skew": q_crawl_shard_skew,
         "crawl_fair_share": q_crawl_fair_share,
+        "crawl_wfq_order": q_crawl_wfq_order,
         "crawl_revalidation": q_crawl_revalidation,
         "crawl_drain_plan": q_crawl_drain_plan,
         "graph_lang_matrix": q_graph_lang_matrix,
@@ -5144,53 +5217,23 @@ SELECT wave, urls_fetched,
        CAST(1000000 * sum(urls_fetched) OVER (ORDER BY wave)
             // sum(urls_fetched) OVER () AS BIGINT) AS done_ppm
 FROM pw"""),
-        "crawl_fair_share": _oracle("""
-, d AS (
-  SELECT host, CAST(count(*) AS BIGINT) AS demand
-  FROM web_pages GROUP BY 1
+        "crawl_fair_share": _oracle(_FAIR_SHARE_CTES + """
+SELECT host, demand, alloc, capped FROM fs"""),
+        "crawl_wfq_order": _oracle(_FAIR_SHARE_CTES + """
+, picks AS (
+  SELECT host, demand AS weight, CAST(t.j AS BIGINT) AS j
+  FROM fs, unnest(range(1, alloc + 1)) AS t(j)
+  WHERE alloc > 0 AND demand > 0
 ),
-tot AS (
-  SELECT count(*)::BIGINT AS n_total, sum(demand)::BIGINT AS s_total
-  FROM d
-),
-hist AS (
-  SELECT demand, count(*)::BIGINT AS n_d, sum(demand)::BIGINT AS s_d
-  FROM d GROUP BY 1
-),
-cum AS (
-  SELECT *, sum(n_d) OVER (ORDER BY demand) AS cum_n,
-         sum(s_d) OVER (ORDER BY demand) AS cum_s
-  FROM hist
-),
-feas AS (
-  SELECT demand AS ds, cum_n AS ns, cum_s AS ss
-  FROM cum, tot
-  WHERE (cum_s - s_d) + demand * (n_total - (cum_n - n_d)) <= 300
-  ORDER BY demand DESC LIMIT 1
-),
-lev AS (
-  SELECT coalesce((SELECT ds FROM feas), -1) AS d_star,
-         CASE WHEN n_total - coalesce((SELECT ns FROM feas), 0) > 0
-              THEN (300 - coalesce((SELECT ss FROM feas), 0))
-                   // (n_total - coalesce((SELECT ns FROM feas), 0))
-         END AS level,
-         CASE WHEN n_total - coalesce((SELECT ns FROM feas), 0) > 0
-              THEN (300 - coalesce((SELECT ss FROM feas), 0))
-                   % (n_total - coalesce((SELECT ns FROM feas), 0))
-              ELSE 0 END AS r
-  FROM tot
-),
-cap AS (
-  SELECT d.host, row_number() OVER (ORDER BY d.demand, d.host) AS rk
-  FROM d, lev WHERE d.demand > lev.d_star
+keyed AS (
+  SELECT host, j,
+         CAST((j * 1000000000) // weight AS BIGINT) AS vkey
+  FROM picks
 )
-SELECT d.host, d.demand,
-       CAST(CASE WHEN d.demand <= lev.d_star THEN d.demand
-                 ELSE lev.level
-                      + CASE WHEN c.rk <= lev.r THEN 1 ELSE 0 END
-            END AS BIGINT) AS alloc,
-       d.demand > lev.d_star AS capped
-FROM d CROSS JOIN lev LEFT JOIN cap c ON c.host = d.host"""),
+SELECT CAST(row_number() OVER (ORDER BY vkey, host, j) AS BIGINT)
+         AS ord,
+       host, j, vkey
+FROM keyed"""),
         "crawl_revalidation": _oracle("""
 , waves AS (SELECT u.i AS wave
             FROM UNNEST(generate_series(0, 4)) AS u(i)),

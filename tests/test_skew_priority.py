@@ -539,3 +539,39 @@ def test_fair_share_remainder_and_edges(spark):
         [("z", 0), ("y", 9)], "host string, demand long")
     got2 = {r.host: r.alloc for r in fair_share(mix, 4).collect()}
     assert got2 == {"z": 0, "y": 4}
+
+
+def test_wfq_order_hand_interleave(spark):
+    """Virtual-finish-time replay by hand: weight-2 host 'a' (4
+    picks) vs weight-1 host 'b' (2 picks) interleaves a a b a a b —
+    ties at equal vkey resolve host-ASC; zero/negative picks or
+    weights emit nothing."""
+    from web_graph_spark.operators.politeness import wfq_order
+
+    g = spark.createDataFrame(
+        [("a", 4, 2), ("b", 2, 1), ("none", 0, 5), ("norate", 3, 0)],
+        "host string, alloc long, demand long")
+    rows = (wfq_order(g, picks_col="alloc", weight_col="demand")
+            .orderBy("ord").collect())
+    assert [r.host for r in rows] == ["a", "a", "b", "a", "a", "b"]
+    assert [r.ord for r in rows] == [1, 2, 3, 4, 5, 6]
+    assert [r.vkey for r in rows] == [
+        500_000_000, 1_000_000_000, 1_000_000_000,
+        1_500_000_000, 2_000_000_000, 2_000_000_000]
+
+
+def test_wfq_order_prefix_fairness(spark):
+    """The WFQ guarantee on a 3:1 weight split: at every schedule
+    prefix the heavy host's share of service stays within one pick
+    of 3/4 of the prefix."""
+    from web_graph_spark.operators.politeness import wfq_order
+
+    g = spark.createDataFrame([("h", 30, 3), ("l", 10, 1)],
+                              "host string, alloc long, demand long")
+    rows = (wfq_order(g, picks_col="alloc", weight_col="demand")
+            .orderBy("ord").collect())
+    assert len(rows) == 40
+    heavy = 0
+    for i, r in enumerate(rows, start=1):
+        heavy += r.host == "h"
+        assert abs(heavy - 3 * i / 4) <= 1

@@ -340,3 +340,65 @@ def fair_share(df: DataFrame, capacity: int, host_col: str = "host",
         .otherwise(F.lit(level) + F.coalesce(F.col("bump"), F.lit(0)))
         .cast("long").alias("alloc"),
         "capped")
+
+
+WFQ_SCALE = 1_000_000_000
+
+
+def wfq_order(df: DataFrame, host_col: str = "host",
+              picks_col: str = "alloc",
+              weight_col: str | None = None) -> DataFrame:
+    """Weighted-fair-queueing fetch interleave (E165) — the step
+    between a per-host wave budget (:func:`schedule_wave`,
+    :func:`fair_share`) and the wire: in WHAT ORDER do the wave's
+    fetches run so that hosts are served smoothly in proportion to
+    their weights, instead of all of one host's grant firing
+    back-to-back (bursty, politeness-hostile) or strict round-robin
+    ignoring rates?  Classic virtual-finish-time WFQ (Demers et al.
+    1989), exact and integer: host ``h`` with weight ``w_h`` gets its
+    ``j``-th pick the virtual key::
+
+        vkey = (j * WFQ_SCALE) div w_h
+
+    and the global order is (vkey, host, j) — floor division can tie
+    keys the true rationals would split, and the (host, j) tie-break
+    resolves those deterministically, so the order is a pure function
+    of the input.  A host with twice the weight fetches twice as
+    often at every prefix of the schedule (±1, the classic WFQ
+    fairness bound).
+
+    Rows with ``picks ≤ 0`` emit nothing; rows with ``weight ≤ 0``
+    but positive picks are dropped too (no rate = no service),
+    documented rather than raised — both are per-row data conditions
+    a 10^8-host dim cannot throw on.
+
+    Scale shape: one explode of Σpicks rows (the wave's actual fetch
+    list — nothing bigger exists in this problem) and ONE dense
+    global numbering via :func:`~web_graph_spark.operators.frontier.
+    ordered_seq` (range-partitioned rank, never a single-reducer
+    sort).
+
+    Returns ``(ord, host, j, vkey)`` — ``ord`` is 1-based.
+
+    Reference analog: the reference fetches in channel-arrival order
+    with a 2-worker cap (linkprocessor.go:51-75); engine extension
+    (SURVEY §2.10 E165).
+    """
+    from web_graph_spark.operators.frontier import ordered_seq
+
+    w_col = weight_col or picks_col
+    base = (df.select(F.col(host_col).alias("host"),
+                      F.col(picks_col).cast("long").alias("n_picks"),
+                      F.col(w_col).cast("long").alias("weight"))
+            .filter((F.col("n_picks") > 0) & (F.col("weight") > 0)))
+    picks = base.select(
+        "host", "weight",
+        F.explode(F.sequence(F.lit(1).cast("long"),
+                             F.col("n_picks"))).alias("j"))
+    keyed = picks.select(
+        "host", "j",
+        F.expr(f"(j * {WFQ_SCALE}L) div weight").cast("long")
+        .alias("vkey"))
+    return (ordered_seq(keyed, ["vkey", "host", "j"], start=1,
+                        out_col="ord")
+            .select("ord", "host", "j", "vkey"))
