@@ -1469,17 +1469,26 @@ def q_crawl_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                     zvalue_col(["hx", "px"], bits=16).alias("zval")))
 
 
-# Max-min fair water-filling over the per-host page-count demands at
-# capacity 300 (operators/politeness.py:fair_share semantics) — the
-# CTE chain ends at ``fs(host, demand, alloc, capped)`` so both the
-# fair-share contract oracle and chained consumers (crawl_wfq_order)
-# share one replay.
-_FAIR_SHARE_CTES = """
+_PAGE_DEMAND_CTE = """
 , d AS (
   SELECT host, CAST(count(*) AS BIGINT) AS demand
   FROM web_pages GROUP BY 1
-),
-tot AS (
+)"""
+
+
+def _fair_share_sql(capacity: int) -> str:
+    """CTE chain replaying operators/politeness.py:fair_share from an
+    EXISTING CTE ``d(host, demand)`` to ``fs(host, demand, alloc,
+    capped)`` — shared by every oracle that water-fills (the
+    fair-share contract row, the WFQ chain, the epoch planner)."""
+    return _FAIR_SHARE_TEMPLATE.replace("{C}", str(int(capacity)))
+
+
+# Max-min fair water-filling over a demand dim ``d(host, demand)`` at
+# capacity {C} (operators/politeness.py:fair_share semantics); ends
+# at ``fs(host, demand, alloc, capped)``.
+_FAIR_SHARE_TEMPLATE = """
+, tot AS (
   SELECT count(*)::BIGINT AS n_total, sum(demand)::BIGINT AS s_total
   FROM d
 ),
@@ -1495,17 +1504,17 @@ cum AS (
 feas AS (
   SELECT demand AS ds, cum_n AS ns, cum_s AS ss
   FROM cum, tot
-  WHERE (cum_s - s_d) + demand * (n_total - (cum_n - n_d)) <= 300
+  WHERE (cum_s - s_d) + demand * (n_total - (cum_n - n_d)) <= {C}
   ORDER BY demand DESC LIMIT 1
 ),
 lev AS (
   SELECT coalesce((SELECT ds FROM feas), -1) AS d_star,
          CASE WHEN n_total - coalesce((SELECT ns FROM feas), 0) > 0
-              THEN (300 - coalesce((SELECT ss FROM feas), 0))
+              THEN ({C} - coalesce((SELECT ss FROM feas), 0))
                    // (n_total - coalesce((SELECT ns FROM feas), 0))
          END AS level,
          CASE WHEN n_total - coalesce((SELECT ns FROM feas), 0) > 0
-              THEN (300 - coalesce((SELECT ss FROM feas), 0))
+              THEN ({C} - coalesce((SELECT ss FROM feas), 0))
                    % (n_total - coalesce((SELECT ns FROM feas), 0))
               ELSE 0 END AS r
   FROM tot
@@ -2605,6 +2614,36 @@ def q_corpus_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
     target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
     return importance_weights(docs.select("doc_id", "text"), target)
+
+
+def q_corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-repetition budget plan (E166, Muennighoff et al. 2023
+    "Scaling Data-Constrained Language Models"): split a global
+    training-token budget across sources max-min fairly with per-
+    source demand capped at 4 epochs of that source's inventory —
+    repeating data beyond ~4 epochs returns almost nothing, so no
+    source is granted past it and freed budget flows to the sources
+    that can still absorb it.  Pure reuse of fair_share (E164) on a
+    token inventory; reports grant + exact epochs_ppm per source.
+    Capacity 100k vs a 4-epoch demand of ~108k at sf0.01: two small
+    sources reach the full 4.0 epochs, the rest share one water
+    level.  Oracle replays inventory + the shared fair-share chain."""
+    from web_graph_spark.functions.text import token_count
+    from web_graph_spark.operators.politeness import fair_share
+
+    inv = (_docs(spark, sf_dir).groupBy("source")
+           .agg(F.sum(token_count(F.col("text"))).cast("long")
+                .alias("tokens")))
+    d = inv.select(F.col("source").alias("host"),
+                   (F.col("tokens") * 4).cast("long").alias("demand"))
+    fs = fair_share(d, capacity=100_000)
+    return (fs.join(inv, fs.host == inv.source)
+            .select("source", "tokens", F.col("alloc").alias("grant"),
+                    F.when(F.col("tokens") > 0,
+                           F.expr("1000000 * alloc div tokens"))
+                    .otherwise(F.lit(0)).cast("long")
+                    .alias("epochs_ppm"),
+                    "capped"))
 
 
 def q_corpus_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4680,6 +4719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lang_mix": q_corpus_lang_mix,
         "corpus_importance": q_corpus_importance,
         "corpus_perplexity": q_corpus_perplexity,
+        "corpus_epoch_plan": q_corpus_epoch_plan,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_bpe_encode": q_corpus_bpe_encode,
         "corpus_shuffle_shards": q_corpus_shuffle_shards,
@@ -5217,9 +5257,11 @@ SELECT wave, urls_fetched,
        CAST(1000000 * sum(urls_fetched) OVER (ORDER BY wave)
             // sum(urls_fetched) OVER () AS BIGINT) AS done_ppm
 FROM pw"""),
-        "crawl_fair_share": _oracle(_FAIR_SHARE_CTES + """
+        "crawl_fair_share": _oracle(
+            _PAGE_DEMAND_CTE + _fair_share_sql(300) + """
 SELECT host, demand, alloc, capped FROM fs"""),
-        "crawl_wfq_order": _oracle(_FAIR_SHARE_CTES + """
+        "crawl_wfq_order": _oracle(
+            _PAGE_DEMAND_CTE + _fair_share_sql(300) + """
 , picks AS (
   SELECT host, demand AS weight, CAST(t.j AS BIGINT) AS j
   FROM fs, unnest(range(1, alloc + 1)) AS t(j)
@@ -6602,6 +6644,22 @@ SELECT s2.doc_id, s2.n_tokens,
        CAST(s2.avg_like_ppb AS BIGINT) AS avg_like_ppb,
        bkt.ppx_bucket
 FROM s2 JOIN bkt USING (sbin)""",
+        "corpus_epoch_plan": r"""WITH inv AS (
+  SELECT source,
+         CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+           AS tokens
+  FROM documents GROUP BY 1
+)
+, d AS (
+  SELECT source AS host, CAST(tokens * 4 AS BIGINT) AS demand
+  FROM inv
+)""" + _fair_share_sql(100_000) + """
+SELECT i.source, i.tokens, fs.alloc AS grant,
+       CAST(CASE WHEN i.tokens > 0
+                 THEN 1000000 * fs.alloc // i.tokens
+                 ELSE 0 END AS BIGINT) AS epochs_ppm,
+       fs.capped
+FROM fs JOIN inv i ON i.source = fs.host""",
         "corpus_bpe_merges": _bpe_oracle_sql(6),
         "corpus_bpe_encode": _bpe_encode_oracle_sql(6),
         "corpus_shuffle_shards": """

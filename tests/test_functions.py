@@ -3114,3 +3114,21 @@ def test_interleaved_pack_stats_orders_by_offset(spark):
     r = interleaved_pack_stats(df, budget=64, media_cost=50,
                                media_rx=r"\.png$").collect()[0]
     assert (r.pad_tokens, r.total_cost) == (34, 30 + 34 + 50 + 4)
+
+
+def test_epoch_plan_invariants(spark):
+    """The planner's contract: no source exceeds 4.0 epochs, grants
+    sum to min(capacity, 4x total tokens), capped sources sit below
+    uncapped ones in epochs."""
+    import __spark_entry__ as e
+
+    rows = e.q_corpus_epoch_plan(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 20
+    total = sum(r.tokens for r in rows)
+    assert sum(r.grant for r in rows) == min(100_000, 4 * total)
+    for r in rows:
+        assert r.epochs_ppm <= 4_000_000
+        if not r.capped:
+            assert r.grant == 4 * r.tokens and r.epochs_ppm == 4_000_000
+    assert any(r.capped for r in rows) and any(
+        not r.capped for r in rows)
