@@ -845,6 +845,24 @@ def q_crawl_wfq_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wfq_order(grants, picks_col="alloc", weight_col="demand")
 
 
+def q_crawl_connection_plan(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Keep-alive audit of the WFQ schedule (operators/politeness.py:
+    connection_plan E167): with a 10-position keep-alive window over
+    E165's interleave, how many connections does each host's grant
+    actually cost?  The politeness-vs-reuse trade-off in exact ppm.
+    Oracle chains fair-share → WFQ → lag replay."""
+    from web_graph_spark.operators.politeness import (connection_plan,
+                                                      fair_share,
+                                                      wfq_order)
+
+    d = (webgen.pages_df(spark, sf_dir).groupBy("host")
+         .agg(F.count(F.lit(1)).cast("long").alias("demand")))
+    sched = wfq_order(fair_share(d, capacity=300),
+                      picks_col="alloc", weight_col="demand")
+    return connection_plan(sched, gap_limit=10)
+
+
 def q_crawl_revalidation(spark: SparkSession, sf_dir: str
                          ) -> DataFrame:
     """Conditional-GET savings audit (operators/recrawl.py:
@@ -1473,6 +1491,28 @@ _PAGE_DEMAND_CTE = """
 , d AS (
   SELECT host, CAST(count(*) AS BIGINT) AS demand
   FROM web_pages GROUP BY 1
+)"""
+
+
+# WFQ explode + integer virtual-finish keys over ``fs`` (operators/
+# politeness.py:wfq_order semantics); ends at ``wfq(ord, host, j,
+# vkey)`` for chained consumers.
+_WFQ_CTES = """
+, picks AS (
+  SELECT host, demand AS weight, CAST(t.j AS BIGINT) AS j
+  FROM fs, unnest(range(1, alloc + 1)) AS t(j)
+  WHERE alloc > 0 AND demand > 0
+),
+keyed AS (
+  SELECT host, j,
+         CAST((j * 1000000000) // weight AS BIGINT) AS vkey
+  FROM picks
+),
+wfq AS (
+  SELECT CAST(row_number() OVER (ORDER BY vkey, host, j) AS BIGINT)
+           AS ord,
+         host, j, vkey
+  FROM keyed
 )"""
 
 
@@ -4652,6 +4692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_shard_skew": q_crawl_shard_skew,
         "crawl_fair_share": q_crawl_fair_share,
         "crawl_wfq_order": q_crawl_wfq_order,
+        "crawl_connection_plan": q_crawl_connection_plan,
         "crawl_revalidation": q_crawl_revalidation,
         "crawl_drain_plan": q_crawl_drain_plan,
         "graph_lang_matrix": q_graph_lang_matrix,
@@ -5261,21 +5302,27 @@ FROM pw"""),
             _PAGE_DEMAND_CTE + _fair_share_sql(300) + """
 SELECT host, demand, alloc, capped FROM fs"""),
         "crawl_wfq_order": _oracle(
-            _PAGE_DEMAND_CTE + _fair_share_sql(300) + """
-, picks AS (
-  SELECT host, demand AS weight, CAST(t.j AS BIGINT) AS j
-  FROM fs, unnest(range(1, alloc + 1)) AS t(j)
-  WHERE alloc > 0 AND demand > 0
+            _PAGE_DEMAND_CTE + _fair_share_sql(300) + _WFQ_CTES + """
+SELECT ord, host, j, vkey FROM wfq"""),
+        "crawl_connection_plan": _oracle(
+            _PAGE_DEMAND_CTE + _fair_share_sql(300) + _WFQ_CTES + """
+, gaps AS (
+  SELECT host,
+         ord - lag(ord) OVER (PARTITION BY host ORDER BY ord) AS gap
+  FROM wfq
 ),
-keyed AS (
-  SELECT host, j,
-         CAST((j * 1000000000) // weight AS BIGINT) AS vkey
-  FROM picks
+per AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+         CAST(1 + sum(CASE WHEN gap > 10 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_setups,
+         CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
+  FROM gaps GROUP BY 1
 )
-SELECT CAST(row_number() OVER (ORDER BY vkey, host, j) AS BIGINT)
-         AS ord,
-       host, j, vkey
-FROM keyed"""),
+SELECT host, n_fetches, n_setups,
+       CAST(1000000 * (n_fetches - n_setups) // n_fetches
+            AS BIGINT) AS reuse_ppm,
+       max_gap
+FROM per"""),
         "crawl_revalidation": _oracle("""
 , waves AS (SELECT u.i AS wave
             FROM UNNEST(generate_series(0, 4)) AS u(i)),

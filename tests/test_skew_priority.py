@@ -575,3 +575,45 @@ def test_wfq_order_prefix_fairness(spark):
     for i, r in enumerate(rows, start=1):
         heavy += r.host == "h"
         assert abs(heavy - 3 * i / 4) <= 1
+
+
+def test_connection_plan_hand_gaps(spark):
+    """Hand schedule: host 'a' at positions 1,3,20,21 with a gap
+    limit of 10 opens 2 connections (gap 17 breaks reuse); 'b' at 5
+    is single-fetch (1 setup, max_gap 0, reuse 0)."""
+    from web_graph_spark.operators.politeness import connection_plan
+
+    sched = spark.createDataFrame(
+        [(1, "a"), (3, "a"), (20, "a"), (21, "a"), (5, "b")],
+        "ord long, host string")
+    got = {r.host: r for r in
+           connection_plan(sched, gap_limit=10).collect()}
+    a = got["a"]
+    assert (a.n_fetches, a.n_setups, a.max_gap) == (4, 2, 17)
+    assert a.reuse_ppm == 1_000_000 * 2 // 4
+    b = got["b"]
+    assert (b.n_fetches, b.n_setups, b.max_gap, b.reuse_ppm) == \
+        (1, 1, 0, 0)
+
+
+def test_connection_plan_prices_smoothing(spark):
+    """The design trade-off the audit exists for: a host-batched
+    schedule (all of a host's picks adjacent) reuses strictly more
+    than the WFQ interleave of the same grants under a tight
+    keep-alive window."""
+    from web_graph_spark.operators.politeness import (connection_plan,
+                                                      wfq_order)
+
+    g = spark.createDataFrame(
+        [("a", 10, 1), ("b", 10, 1), ("c", 10, 1)],
+        "host string, alloc long, demand long")
+    wfq = wfq_order(g, picks_col="alloc", weight_col="demand")
+    smooth = {r.host: r.n_setups for r in
+              connection_plan(wfq, gap_limit=1).collect()}
+    # equal weights -> round-robin, every gap = 3 > 1: no reuse at all
+    assert smooth == {"a": 10, "b": 10, "c": 10}
+    batched = wfq.orderBy("host", "j").selectExpr(
+        "row_number() over (order by host, j) as ord", "host")
+    tight = {r.host: r.n_setups for r in
+             connection_plan(batched, gap_limit=1).collect()}
+    assert tight == {"a": 1, "b": 1, "c": 1}

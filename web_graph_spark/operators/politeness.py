@@ -402,3 +402,57 @@ def wfq_order(df: DataFrame, host_col: str = "host",
     return (ordered_seq(keyed, ["vkey", "host", "j"], start=1,
                         out_col="ord")
             .select("ord", "host", "j", "vkey"))
+
+
+def connection_plan(schedule: DataFrame, gap_limit: int,
+                    host_col: str = "host",
+                    ord_col: str = "ord") -> DataFrame:
+    """Keep-alive connection audit of a fetch schedule (E167) — the
+    tension :func:`wfq_order` creates, priced: smooth politeness
+    interleaving maximizes the spacing between a host's fetches, but
+    a pooled fetcher (operators/fetch.py keep-alive pool) only reuses
+    a connection whose idle gap stays within the server's keep-alive
+    window.  Model the window as ``gap_limit`` schedule positions: a
+    host's fetch reuses the connection iff the gap to its previous
+    fetch is ≤ gap_limit, else the fetcher pays a fresh
+    connect+TLS setup.  Per host, exact over the schedule order:
+
+    * ``n_setups`` = 1 + #(gaps > gap_limit) — connections opened;
+    * ``reuse_ppm`` = 10^6 · (n_fetches − n_setups) div n_fetches;
+    * ``max_gap`` — the worst idle spacing (what gap_limit would
+      have to be to single-connection this host).
+
+    Feed it two candidate schedules (WFQ vs host-batched) and the
+    reuse_ppm delta is the connection cost of politeness smoothing —
+    the design number for picking the interleave.
+
+    Shape: ONE shuffle on host (the lag window); the per-host agg
+    rides the same partitioning; nothing scales past the schedule's
+    own row count.
+
+    Returns ``(host, n_fetches, n_setups, reuse_ppm, max_gap)``;
+    ``max_gap`` is 0 for single-fetch hosts.
+
+    Reference analog: the reference's http.Client pools connections
+    implicitly (linkprocessor.go:51-60) with nothing to audit;
+    engine extension (SURVEY §2.10 E167).
+    """
+    if gap_limit < 0:
+        raise ValueError("gap_limit must be >= 0")
+    w = Window.partitionBy("host").orderBy("o")
+    base = schedule.select(F.col(host_col).alias("host"),
+                           F.col(ord_col).cast("long").alias("o"))
+    gaps = base.select(
+        "host", (F.col("o") - F.lag("o").over(w)).alias("gap"))
+    return (gaps.groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_fetches"),
+                 (1 + F.sum(F.when(F.col("gap") > gap_limit, 1)
+                            .otherwise(0))).cast("long")
+                 .alias("n_setups"),
+                 F.coalesce(F.max("gap"), F.lit(0)).cast("long")
+                 .alias("max_gap"))
+            .select("host", "n_fetches", "n_setups",
+                    F.expr("1000000 * (n_fetches - n_setups) "
+                           "div n_fetches").cast("long")
+                    .alias("reuse_ppm"),
+                    "max_gap"))
