@@ -2790,6 +2790,33 @@ SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
 FROM enc"""
 
 
+def _bpe_fertility_oracle_sql(rounds: int = 6) -> str:
+    """Oracle for ``corpus_fertility``: the full encode chain of
+    :func:`_bpe_encode_oracle_sql` (same trainer, same sample coin)
+    re-aggregated per language with the encoder's own word set."""
+    enc = _bpe_encode_oracle_sql(rounds)
+    head = enc[:enc.rindex("\nSELECT doc_id,")]
+    return head + """
+, per AS (
+  SELECT d2.lang,
+         CAST(len(e.toks) AS BIGINT) AS pieces,
+         CAST(len(dw.words) AS BIGINT) AS words,
+         CAST(strlen(array_to_string(dw.words, '')) AS BIGINT)
+           AS chars
+  FROM enc e
+  JOIN docs dw ON dw.doc_id = e.doc_id
+  JOIN documents d2 ON d2.doc_id = e.doc_id
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(pieces) AS BIGINT) AS pieces,
+       CAST(sum(words) AS BIGINT) AS words,
+       CAST(sum(chars) AS BIGINT) AS chars,
+       CAST(1000000 * sum(pieces) // sum(words) AS BIGINT)
+         AS fertility_ppm,
+       CAST(100 * sum(chars) // sum(pieces) AS BIGINT) AS cpp_x100
+FROM per GROUP BY 1"""
+
+
 def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE corpus encoding (round 4, functions/tokenizer.py:bpe_encode
     E77): apply the merge table learned by `corpus_bpe_merges` to the
@@ -2817,6 +2844,46 @@ def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
         F.md5(F.array_join("bpe_tokens", " ")).alias("tok_digest"))
+
+
+def q_corpus_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language (E168) — the multilingual
+    budget signal: pieces-per-word and chars-per-piece of the REAL
+    learned BPE (the E66/E77 trainer+encoder, same sample coin as
+    `corpus_bpe_encode`) aggregated per language slice.  A language
+    the tokenizer fragments (high fertility) eats disproportionate
+    context budget per word — the number behind per-language token
+    budgets and vocab-size decisions.  Exact integers: fertility_ppm
+    = 10^6·pieces div words, cpp_x100 = 100·chars div pieces, over
+    the encoder's own word set (empty/sentinel words excluded).  One
+    corpus encode pass (codegen'd replaces) + one lang-keyed agg."""
+    from web_graph_spark.functions.tokenizer import (bpe_encode,
+                                                     bpe_merges,
+                                                     word_counts)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    sample = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+        < "c000")
+    merges = bpe_merges(word_counts(sample), rounds=6)
+    enc = bpe_encode(docs, merges)
+    kept = F.filter(F.split(F.col("text"), " "),
+                    lambda w: (w != "") & ~w.contains("|"))
+    per_doc = enc.select(
+        "lang",
+        F.size("bpe_tokens").cast("long").alias("pieces"),
+        F.size(kept).cast("long").alias("words"),
+        F.length(F.array_join(kept, "")).cast("long").alias("chars"))
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("pieces").cast("long").alias("pieces"),
+                 F.sum("words").cast("long").alias("words"),
+                 F.sum("chars").cast("long").alias("chars"))
+            .select("lang", "n_docs", "pieces", "words", "chars",
+                    F.expr("1000000 * pieces div words").cast("long")
+                    .alias("fertility_ppm"),
+                    F.expr("100 * chars div pieces").cast("long")
+                    .alias("cpp_x100")))
 
 
 def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4761,6 +4828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_importance": q_corpus_importance,
         "corpus_perplexity": q_corpus_perplexity,
         "corpus_epoch_plan": q_corpus_epoch_plan,
+        "corpus_fertility": q_corpus_fertility,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_bpe_encode": q_corpus_bpe_encode,
         "corpus_shuffle_shards": q_corpus_shuffle_shards,
@@ -6707,6 +6775,7 @@ SELECT i.source, i.tokens, fs.alloc AS grant,
                  ELSE 0 END AS BIGINT) AS epochs_ppm,
        fs.capped
 FROM fs JOIN inv i ON i.source = fs.host""",
+        "corpus_fertility": _bpe_fertility_oracle_sql(6),
         "corpus_bpe_merges": _bpe_oracle_sql(6),
         "corpus_bpe_encode": _bpe_encode_oracle_sql(6),
         "corpus_shuffle_shards": """

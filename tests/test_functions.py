@@ -3132,3 +3132,31 @@ def test_epoch_plan_invariants(spark):
             assert r.grant == 4 * r.tokens and r.epochs_ppm == 4_000_000
     assert any(r.capped for r in rows) and any(
         not r.capped for r in rows)
+
+
+def test_fertility_hand_corpus(spark):
+    """Hand corpus, zero learned merges (empty merge table -> one
+    piece per char): fertility and chars-per-piece reduce to exact
+    char/word arithmetic per language."""
+    from web_graph_spark.functions.tokenizer import (MERGES_SCHEMA,
+                                                     bpe_encode)
+
+    docs = spark.createDataFrame(
+        [(1, "en", "ab cd"), (2, "en", "efg"), (3, "de", "hij kl m")],
+        "doc_id long, lang string, text string")
+    merges = spark.createDataFrame([], MERGES_SCHEMA)
+    enc = bpe_encode(docs, merges)
+    import pyspark.sql.functions as F
+    kept = F.filter(F.split(F.col("text"), " "),
+                    lambda w: (w != "") & ~w.contains("|"))
+    per = (enc.select("lang",
+                      F.size("bpe_tokens").cast("long").alias("p"),
+                      F.size(kept).cast("long").alias("w"),
+                      F.length(F.array_join(kept, "")).cast("long")
+                      .alias("c"))
+           .groupBy("lang")
+           .agg(F.sum("p").alias("p"), F.sum("w").alias("w"),
+                F.sum("c").alias("c")).collect())
+    got = {r.lang: (r.p, r.w, r.c) for r in per}
+    # no merges: pieces == chars
+    assert got == {"en": (7, 3, 7), "de": (6, 3, 6)}
