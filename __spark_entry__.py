@@ -2886,6 +2886,21 @@ def q_corpus_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("cpp_x100")))
 
 
+def q_corpus_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sample (functions/text.py:pps_sample E169):
+    100 grid points over the cumulative token line in doc_id order —
+    deterministic, Σmultiplicity = 100 exactly, long docs selected
+    proportionally to length (multiplicity > 1 when a doc outweighs
+    W/100).  Oracle replays the exclusive prefix sum as one window
+    and the grid-point floor algebra."""
+    from web_graph_spark.functions.text import pps_sample, token_count
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).cast("long")
+        .alias("weight"))
+    return pps_sample(d, k=100)
+
+
 def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle + sharding (round 4, functions/
     text.py:shuffle_shards E70): the write plan for training output —
@@ -4829,6 +4844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_perplexity": q_corpus_perplexity,
         "corpus_epoch_plan": q_corpus_epoch_plan,
         "corpus_fertility": q_corpus_fertility,
+        "corpus_pps_sample": q_corpus_pps_sample,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_bpe_encode": q_corpus_bpe_encode,
         "corpus_shuffle_shards": q_corpus_shuffle_shards,
@@ -6776,6 +6792,27 @@ SELECT i.source, i.tokens, fs.alloc AS grant,
        fs.capped
 FROM fs JOIN inv i ON i.source = fs.host""",
         "corpus_fertility": _bpe_fertility_oracle_sql(6),
+        "corpus_pps_sample": r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+           AS weight
+  FROM documents
+),
+c AS (
+  SELECT doc_id, weight,
+         CAST(coalesce(sum(weight) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum
+  FROM d
+),
+w AS (SELECT sum(weight)::BIGINT AS W FROM d)
+SELECT doc_id, weight,
+       CAST((cum + weight) * 100 // W - cum * 100 // W AS BIGINT)
+         AS n_points
+FROM c, w
+WHERE (cum + weight) * 100 // W - cum * 100 // W >= 1""",
         "corpus_bpe_merges": _bpe_oracle_sql(6),
         "corpus_bpe_encode": _bpe_encode_oracle_sql(6),
         "corpus_shuffle_shards": """

@@ -3160,3 +3160,38 @@ def test_fertility_hand_corpus(spark):
     got = {r.lang: (r.p, r.w, r.c) for r in per}
     # no merges: pieces == chars
     assert got == {"en": (7, 3, 7), "de": (6, 3, 6)}
+
+
+def test_pps_sample_hand_grid(spark):
+    """Hand line: weights 10,1,1,8 (W=20), k=5 -> grid at 4,8,12,16,
+    20 over half-open (cum, cum+w] intervals: doc 1 [0,10) carries
+    {4,8}, doc 2 (10,11] nothing, doc 3 (11,12] catches 12, doc 4
+    (12,20] carries {16,20}; Σmultiplicity = k; a zero-weight doc is
+    never selected."""
+    from web_graph_spark.functions.text import pps_sample
+
+    d = spark.createDataFrame(
+        [(1, 10), (2, 1), (3, 1), (4, 8), (5, 0)],
+        "doc_id long, weight long")
+    got = {r.doc_id: r.n_points
+           for r in pps_sample(d, k=5).collect()}
+    assert got == {1: 2, 3: 1, 4: 2}
+    assert sum(got.values()) == 5
+
+
+def test_pps_sample_exact_size_and_proportionality(spark):
+    """On a 200-doc corpus the sample multiplicities sum to k exactly
+    and each doc's multiplicity is within 1 of proportional k*w/W."""
+    from web_graph_spark.functions.text import pps_sample
+
+    rows = [(i, 1 + (i * 7) % 13) for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, weight long")
+    W = sum(w for _, w in rows)
+    k = 37
+    got = {r.doc_id: r.n_points for r in pps_sample(d, k=k).collect()}
+    assert sum(got.values()) == k
+    by_id = dict(rows)
+    for i, w in rows:
+        exact = k * w / W
+        assert abs(got.get(i, 0) - exact) <= 1
+    assert all(by_id[i] > 0 for i in got)

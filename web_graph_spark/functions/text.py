@@ -1814,3 +1814,58 @@ def hashed_classifier(df: DataFrame, weights: DataFrame,
                     (F.col("score") - F.coalesce(F.col("runner"),
                                                  F.col("score")))
                     .cast("long").alias("margin")))
+
+
+def pps_sample(df: DataFrame, k: int, id_col: str = "doc_id",
+               weight_col: str = "weight",
+               small_hint: int | None = None) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling (E169,
+    Madow 1949) — the exact weighted sampler a curation pipeline
+    wants when "sample 10^6 docs proportional to token count" must be
+    reproducible and must hit its size EXACTLY: lay the corpus out on
+    the cumulative-weight line (``id_col`` order), drop ``k`` evenly
+    spaced grid points (at ``m·W/k`` for m = 1..k — each landing in
+    the half-open interval ``(cum, cum+w]`` of exactly one doc), take
+    the document under each point.  Zero randomness (a seeded variant
+    just adds a phase offset), zero rejection, Σmultiplicity = k
+    exactly::
+
+        n_points(i) = ⌊(cum_i + w_i)·k / W⌋ − ⌊cum_i·k / W⌋
+
+    — a doc heavier than W/k can carry SEVERAL grid points;
+    ``n_points`` is its multiplicity (the with-replacement view), so
+    downstream weighting stays unbiased.  Zero-weight docs are never
+    selected.  All BIGINT; exact while ``W·k < 2^63`` (10^12 tokens ×
+    10^6 samples — past that, widen to decimal(38,0), the components-
+    digest discipline).
+
+    The cumulative line is the EXCLUSIVE prefix sum
+    :func:`pack_sequences` already computes (range-partition +
+    per-partition totals + mapInPandas running sum — never a global
+    single-reducer window past ``small_hint``); this reuses it with a
+    one-pack budget, so the sampler inherits the packer's scale path
+    and its tests.
+
+    Returns selected docs only: ``(id, weight, n_points)``.
+
+    Reference analog: none (the reference stores everything it
+    fetches); engine extension (SURVEY §2.10 E169).
+    """
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    b0 = 1 << 62
+    base = pack_sequences(
+        df.select(F.col(id_col), F.col(weight_col).cast("long")
+                  .alias("n_tokens")),
+        budget=b0, id_col=id_col, small_hint=small_hint)
+    tot = base.agg(F.coalesce(F.sum("n_tokens"), F.lit(0))
+                   .cast("long").alias("__W"))
+    cum = (F.col("pack_id") * F.lit(b0) + F.col("offset_in_pack"))
+    pts = (F.expr(f"(__cum + n_tokens) * {int(k)}L div __W")
+           - F.expr(f"__cum * {int(k)}L div __W"))
+    return (base.withColumn("__cum", cum.cast("long"))
+            .crossJoin(F.broadcast(tot))
+            .withColumn("n_points", pts.cast("long"))
+            .filter(F.col("n_points") >= 1)
+            .select(F.col(id_col),
+                    F.col("n_tokens").alias(weight_col), "n_points"))
