@@ -103,6 +103,31 @@ ALLOW: dict[tuple[str, str], str] = {
     ("corpus_packing_sweep", "Exchange SinglePartition"):
         "per-budget 1-row corpus totals (partials upstream) plus "
         "pack_sequences' documented global-window small path",
+    ("corpus_packing_sweep", "python"):
+        "pack_sequences' 10^10-safe prefix-sum path (mapInPandas "
+        "running sum after range partition) — deliberate scale path",
+    ("corpus_pps_sample", "python"):
+        "the same pack_sequences prefix-sum mapInPandas stage the "
+        "sampler rides (E169 docstring)",
+    ("corpus_pps_sample", "BroadcastNestedLoopJoin"):
+        "1-row total-weight dim crossed onto the cumulative rows",
+    ("corpus_pps_sample", "Exchange SinglePartition"):
+        "the same 1-row sum(weight) global aggregate",
+    ("crawl_wfq_order", "python"):
+        "ordered_seq's range-partitioned dense-rank path (mapInPandas "
+        "assign stage) — the no-single-reducer global numbering",
+    ("crawl_connection_plan", "python"):
+        "inherits the WFQ chain's ordered_seq assign stage",
+    ("text_hashed_classifier", "BroadcastNestedLoopJoin"):
+        "weight-dim SYNTHESIS: 256-bucket dim x the labels literal "
+        "(|L| rows) — bounded by B*L by construction; the corpus "
+        "join itself is a BroadcastHashJoin on the bucket key",
+    ("text_retrieval_eval", "BroadcastNestedLoopJoin"):
+        "1-row corpus-stats dims (N/T/df) crossed onto the tf scans "
+        "— the allowlisted text_bm25_topk shape, once per query term",
+    ("text_retrieval_eval", "Exchange SinglePartition"):
+        "the same 1-row corpus-stats aggregates (count/sum partials "
+        "upstream), once per query term",
     ("crawl_drain_plan", "Exchange SinglePartition"):
         "cumulative windows over the MAKESPAN-sized wave dim "
         "(<=100 rows however large the frontier)",
