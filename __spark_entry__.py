@@ -220,6 +220,48 @@ def _lpa_unrolled_sql(iters: int) -> str:
 SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community FROM l{iters}""")
 
 
+def _opic_sql(rounds: int, scale: int) -> str:
+    """Oracle for q_graph_opic: the integer OPIC cash/history
+    recurrence of operators/graph_algos.py:opic_importance unrolled
+    to ``rounds`` plain-SQL CTEs — every step is integer floor
+    division on non-negative values, so DuckDB's ``//`` reproduces
+    Spark's ``div`` bit-for-bit.  The dangling (virtual-page) mass
+    D and its per-node share D // n are scalar subqueries per round,
+    mirroring the engine's 1-row broadcast cross."""
+    nn = "(SELECT count(*) FROM vt)"
+    parts = [f""",
+de AS (SELECT DISTINCT src_doc_id AS u, tgt_doc_id AS v
+       FROM web_links_full WHERE k % 4 <> 0),
+outd AS (SELECT u, count(*) AS outdeg FROM de GROUP BY 1),
+vt AS (SELECT DISTINCT doc_id AS id FROM web_pages),
+c0 AS (SELECT id, CAST({scale} // {nn} AS BIGINT) AS cash,
+              CAST(0 AS BIGINT) AS hist FROM vt)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f""",
+d{i} AS (
+  SELECT CAST(coalesce(sum(p.cash), 0) AS BIGINT) AS d
+  FROM c{p} p LEFT JOIN outd o ON o.u = p.id
+  WHERE o.outdeg IS NULL
+),
+i{i} AS (
+  SELECT de.v AS id, CAST(sum(p.cash // o.outdeg) AS BIGINT) AS inc
+  FROM de JOIN outd o ON o.u = de.u JOIN c{p} p ON p.id = de.u
+  GROUP BY 1
+),
+c{i} AS (
+  SELECT p.id,
+         CAST(coalesce(i.inc, 0)
+              + (SELECT d FROM d{i}) // {nn} AS BIGINT) AS cash,
+         CAST(p.hist + p.cash AS BIGINT) AS hist
+  FROM c{p} p LEFT JOIN i{i} i ON i.id = p.id
+)""")
+    parts.append(f"""
+SELECT id AS doc_id, cash, hist,
+       CAST(hist + cash AS BIGINT) AS importance FROM c{rounds}""")
+    return "".join(parts)
+
+
 def _ppr_sql(rounds: int, scale: int) -> str:
     """Oracle for q_graph_ppr: the integer personalized-PageRank
     recurrence of operators/graph_algos.py:personalized_pagerank
@@ -2061,6 +2103,24 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("src_doc_id", "tgt_doc_id"))
     return personalized_pagerank(e, webgen.seeds_df(spark, sf_dir),
                                  rounds=4)
+
+
+def q_graph_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC online page importance (operators/graph_algos.py:
+    opic_importance E170, Abiteboul et al. WWW'03) — the crawl-native
+    frontier-priority estimator: cash distributed along out-links
+    each wave, banked history + held cash = importance while the
+    graph is still being discovered (the online complement to E10's
+    offline PageRank and E87's seed-personalized variant).  Exact
+    integer micro-cash recurrence (4 rounds, dangling mass through
+    the virtual page); oracle = the same rounds unrolled in SQL."""
+    from web_graph_spark.operators.graph_algos import opic_importance
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    v = webgen.pages_df(spark, sf_dir).select("doc_id")
+    return opic_importance(e, v, rounds=4)
 
 
 def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4809,6 +4869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_prop": q_graph_label_prop,
         "graph_modularity": q_graph_modularity,
         "graph_ppr": q_graph_ppr,
+        "graph_opic": q_graph_opic,
         "graph_kcore": q_graph_kcore,
         "graph_random_walks": q_graph_random_walks,
         "graph_hyperball": q_graph_hyperball,
@@ -6161,6 +6222,7 @@ LEFT JOIN core_weak cw ON cw.wc = w.component"""),
         "graph_modularity": _oracle(_modularity_sql(iters=4)),
         "graph_ppr": _oracle(_ppr_sql(rounds=4, scale=10 ** 12),
                              seeds=True),
+        "graph_opic": _oracle(_opic_sql(rounds=4, scale=10 ** 12)),
         "graph_kcore": _oracle(_kcore_unrolled_sql(k=3, rounds=6)),
         "graph_mis": _oracle(_mis_unrolled_sql(rounds=6)),
         "graph_gap_audit": _oracle("""

@@ -118,6 +118,11 @@ ALLOW: dict[tuple[str, str], str] = {
         "assign stage) — the no-single-reducer global numbering",
     ("crawl_connection_plan", "python"):
         "inherits the WFQ chain's ordered_seq assign stage",
+    ("graph_opic", "BroadcastNestedLoopJoin"):
+        "1-row dangling-mass (virtual page) aggregate crossed back "
+        "onto the vertex state each round — the OPIC D div n share",
+    ("graph_opic", "Exchange SinglePartition"):
+        "the same 1-row dangling-cash aggregate (partials upstream)",
     ("text_hashed_classifier", "BroadcastNestedLoopJoin"):
         "weight-dim SYNTHESIS: 256-bucket dim x the labels literal "
         "(|L| rows) — bounded by B*L by construction; the corpus "

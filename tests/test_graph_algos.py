@@ -504,6 +504,59 @@ def test_personalized_pagerank_mass_and_seeds(spark):
 
 
 @pytest.mark.spark
+def test_opic_hand_graph(spark):
+    """Vertices {0,1,2,3}; edges 0→1, 0→3, 1→2, 2→0; 3 dangling;
+    scale=1200 (c0=300 each), 2 rounds — hand-traced:
+    r1: D=300→share 75; inc=(300,150,300,150); c1=(375,225,375,225),
+    h1=300 each.  r2: D=225→share 56; inc=(375,187,225,187);
+    c2=(431,243,281,243), h2=(675,525,675,525);
+    importance=(1106,768,956,768)."""
+    from web_graph_spark.operators.graph_algos import opic_importance
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 3), (1, 2), (2, 0)],
+        "src_doc_id long, tgt_doc_id long")
+    verts = spark.createDataFrame([(i,) for i in range(4)],
+                                  "doc_id long")
+    got = {r["doc_id"]: (r["cash"], r["hist"], r["importance"])
+           for r in opic_importance(edges, verts, rounds=2,
+                                    scale=1200).collect()}
+    assert got == {0: (431, 675, 1106), 1: (243, 525, 768),
+                   2: (281, 675, 956), 3: (243, 525, 768)}
+
+
+@pytest.mark.spark
+def test_opic_conservation_and_evaporation(spark):
+    """Cash conservation up to documented evaporation (Σcash ≤ scale,
+    never grows), importance = hist + cash everywhere, a target
+    outside the vertex set silently evaporates its received cash
+    (state id set never grows), and an empty vertex set is a loud
+    error."""
+    from web_graph_spark.operators.graph_algos import opic_importance
+
+    edges = spark.createDataFrame(
+        [(i, (i * 5 + 2) % 9) for i in range(9)],
+        "src_doc_id long, tgt_doc_id long")
+    verts = spark.createDataFrame([(i,) for i in range(9)],
+                                  "doc_id long")
+    rows = opic_importance(edges, verts, rounds=4,
+                           scale=10 ** 6).collect()
+    assert sum(r["cash"] for r in rows) <= 10 ** 6
+    assert all(r["importance"] == r["hist"] + r["cash"] for r in rows)
+
+    leaky = spark.createDataFrame([(0, 1), (1, 5)],
+                                  "src_doc_id long, tgt_doc_id long")
+    small = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    out = opic_importance(leaky, small, rounds=3, scale=1000).collect()
+    assert {r["doc_id"] for r in out} == {0, 1}
+    assert sum(r["cash"] for r in out) <= 1000
+
+    empty = spark.createDataFrame([], "doc_id long")
+    with pytest.raises(ValueError):
+        opic_importance(edges, empty, rounds=1)
+
+
+@pytest.mark.spark
 def test_reciprocity_hand_graph(spark):
     from web_graph_spark.operators.graph_algos import reciprocity
 

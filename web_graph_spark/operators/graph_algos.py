@@ -947,6 +947,88 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
             .select(F.col("id").alias("doc_id"), "ppr"))
 
 
+def opic_importance(edges: DataFrame, vertices: DataFrame,
+                    rounds: int = 4, scale: int = 10 ** 12,
+                    id_col: str = "doc_id",
+                    src: str = "src_doc_id",
+                    dst: str = "tgt_doc_id") -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobena, WWW'03) in EXACT integer arithmetic: the crawl-NATIVE
+    importance estimator.  PageRank (E10) needs the whole graph and
+    iterates to convergence offline; OPIC is the scheduler's online
+    form — every page holds *cash*, distributes it to its out-links
+    when visited, and banks the distributed amount in its *history*;
+    ``importance ≈ history + cash`` at any point, so the frontier can
+    be priority-ordered while the crawl is still discovering the
+    graph.  This batch form plays one synchronous distribution round
+    per crawl wave (the paper's "Greedy off-line" schedule).
+
+    Determinism discipline (matches :func:`personalized_pagerank`):
+    integer micro-cash units (``scale`` total), every division an
+    integer ``div`` on non-negative values, per-node rounding
+    remainders evaporate.  Dangling pages bank their cash to the
+    paper's VIRTUAL page, which redistributes ``D div n`` to every
+    page next round (the remainder ``D mod n`` evaporates too) — with
+    a fixed round count the recurrence is the spec and a SQL oracle
+    unrolls it bit-for-bit:
+
+        c_0(v)  = scale div n,   h_0(v) = 0
+        D       = Σ_{outdeg(u) = 0} c(u)
+        inc(v)  = Σ_{u→v} c(u) div outdeg(u)
+        h'(v)   = h(v) + c(v)
+        c'(v)   = inc(v) + D div n
+
+    Physical shape per round: ONE shuffle join (cash ⋈ edges on the
+    uniform src key) + one dst-key agg for ``inc``; the dangling mass
+    is a 1-row aggregate crossed back on (IdentityBroadcastMode — the
+    allowlisted 1-row-dim shape), so no second fact shuffle.  State is
+    localCheckpointed per round: flat lineage at any round count.
+    Targets that are not in ``vertices`` are dropped by the state
+    rebuild (their received cash evaporates — deterministic, mirrored
+    by the oracle's ``FROM state LEFT JOIN inc``).
+
+    → ``(doc_id, cash, hist, importance)`` for all vertices, where
+    ``importance = hist + cash`` is the frontier-priority key.
+
+    Reference analog: none — engine extension (the reference keeps no
+    ranking; its frontier is FIFO, pkg/crawler/crawler.go).
+    """
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .distinct().localCheckpoint())
+    out = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = e.join(out, "u").localCheckpoint()
+    n = vertices.select(F.col(id_col).cast("long").alias("id")) \
+                .distinct().count()
+    if n == 0:
+        raise ValueError("opic_importance: empty vertex set")
+    st = (vertices.select(F.col(id_col).cast("long").alias("id"))
+          .distinct()
+          .select("id", F.lit(scale // n).cast("long").alias("cash"),
+                  F.lit(0).cast("long").alias("hist"))
+          .localCheckpoint())
+    for _ in range(rounds):
+        d_row = (st.join(out, st["id"] == out["u"], "left")
+                 .filter(F.col("outdeg").isNull())
+                 .agg(F.coalesce(F.sum("cash"), F.lit(0))
+                      .cast("long").alias("d")))
+        inc = (ew.join(st.select(F.col("id").alias("u"), "cash"), "u")
+               .select(F.col("v").alias("id"),
+                       F.expr("cash div outdeg").alias("m"))
+               .groupBy("id").agg(F.sum("m").cast("long").alias("inc")))
+        st = (st.join(inc, "id", "left")
+              .crossJoin(F.broadcast(d_row))
+              .select("id",
+                      (F.coalesce(F.col("inc"), F.lit(0))
+                       + F.expr(f"d div {n}")).cast("long").alias("cash"),
+                      (F.col("hist") + F.col("cash")).cast("long")
+                      .alias("hist"))
+              .localCheckpoint())
+    return st.select(F.col("id").alias("doc_id"), "cash", "hist",
+                     (F.col("hist") + F.col("cash")).cast("long")
+                     .alias("importance"))
+
+
 def reciprocity(edges: DataFrame, groups: DataFrame,
                 src: str = "src_doc_id", dst: str = "tgt_doc_id",
                 group_col: str = "host") -> DataFrame:
