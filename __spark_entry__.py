@@ -2123,6 +2123,25 @@ def q_graph_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return opic_importance(e, v, rounds=4)
 
 
+def q_graph_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hub/authority scores (operators/graph_algos.py:
+    salsa_scores E171, Lempel & Moran WWW9 2000) — the random-walk
+    repair of HITS' TKC anomaly, in its CLOSED FORM: per bipartite
+    component, stationary weight ∝ degree, components weighted by
+    their side-node share — no iteration, no float normalization,
+    and the quadratic co-citation chain graph is never materialized
+    (component structure comes from the |E|-edge bipartite encoding).
+    Exact ppb integers; the oracle recomputes components with a
+    recursive CTE over the same 2u/2v+1 encoding and replays the
+    degree-share algebra."""
+    from web_graph_spark.operators.graph_algos import salsa_scores
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    return salsa_scores(e)
+
+
 def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 + J2 index rationale: per-page out/in degree over distinct
     admissible edges."""
@@ -4870,6 +4889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": q_graph_modularity,
         "graph_ppr": q_graph_ppr,
         "graph_opic": q_graph_opic,
+        "graph_salsa": q_graph_salsa,
         "graph_kcore": q_graph_kcore,
         "graph_random_walks": q_graph_random_walks,
         "graph_hyperball": q_graph_hyperball,
@@ -6223,6 +6243,41 @@ LEFT JOIN core_weak cw ON cw.wc = w.component"""),
         "graph_ppr": _oracle(_ppr_sql(rounds=4, scale=10 ** 12),
                              seeds=True),
         "graph_opic": _oracle(_opic_sql(rounds=4, scale=10 ** 12)),
+        "graph_salsa": _oracle_recursive("""
+, de AS (
+  SELECT DISTINCT src_doc_id AS u, tgt_doc_id AS v
+  FROM web_links_full WHERE k % 4 <> 0
+),
+bn AS (SELECT 2 * u AS id FROM de UNION SELECT 2 * v + 1 FROM de),
+be AS (SELECT 2 * u AS a, 2 * v + 1 AS b FROM de),
+bu AS (SELECT a, b FROM be UNION SELECT b AS a, a AS b FROM be),
+breach(node, lbl) AS (
+  SELECT id, id FROM bn
+  UNION
+  SELECT e.b, r.lbl FROM breach r JOIN bu e ON e.a = r.node
+),
+bcc AS (SELECT node, min(lbl) AS component FROM breach GROUP BY 1),
+sn AS (
+  SELECT 2 * u AS bid, u AS doc_id, 'hub' AS side, count(*) AS deg
+  FROM de GROUP BY u
+  UNION ALL
+  SELECT 2 * v + 1 AS bid, v AS doc_id, 'auth' AS side, count(*) AS deg
+  FROM de GROUP BY v
+),
+sj AS (SELECT sn.*, c.component FROM sn JOIN bcc c ON c.node = sn.bid),
+scomp AS (
+  SELECT component, side, count(*) AS comp_nodes,
+         CAST(sum(deg) AS BIGINT) AS comp_edges
+  FROM sj GROUP BY 1, 2
+),
+stot AS (SELECT side, count(*) AS side_total FROM sj GROUP BY 1)
+SELECT j.doc_id, j.side, CAST(j.deg AS BIGINT) AS deg,
+       CAST(c.comp_nodes AS BIGINT) AS comp_nodes, c.comp_edges,
+       CAST((c.comp_nodes * j.deg * 1000000000)
+            // (t.side_total * c.comp_edges) AS BIGINT) AS score_ppb
+FROM sj j
+JOIN scomp c ON c.component = j.component AND c.side = j.side
+JOIN stot t ON t.side = j.side"""),
         "graph_kcore": _oracle(_kcore_unrolled_sql(k=3, rounds=6)),
         "graph_mis": _oracle(_mis_unrolled_sql(rounds=6)),
         "graph_gap_audit": _oracle("""

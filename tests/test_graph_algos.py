@@ -1034,3 +1034,49 @@ def test_crosslingual_matrix_shares(spark):
     assert out[("en", "fr")].share_ppm == 10**6 * 3 // 4
     assert out[("fr", "en")].share_ppm == 10**6
     assert out[("fr", "en")].is_cross
+
+
+@pytest.mark.spark
+def test_salsa_hand_graph(spark):
+    """Edges {1→3, 2→3, 2→4, 5→6}: bipartite components
+    {1h,2h,3a,4a} (3 edges) and {5h,6a} (1 edge); H=A=3.
+    Closed form → a(3)=(2/3)(2/3)=4/9, a(4)=(2/3)(1/3)=2/9,
+    a(6)=(1/3)(1/1)=1/3; h(1)=(2/3)(1/3)=2/9, h(2)=(2/3)(2/3)=4/9,
+    h(5)=1/3 — exact floor-ppb values, Σ per side = scale−1
+    (floor evaporation)."""
+    from web_graph_spark.operators.graph_algos import salsa_scores
+
+    e = spark.createDataFrame([(1, 3), (2, 3), (2, 4), (5, 6)],
+                              "src_doc_id long, tgt_doc_id long")
+    rows = salsa_scores(e).collect()
+    got = {(r["doc_id"], r["side"]): r["score_ppb"] for r in rows}
+    assert got == {(3, "auth"): 444444444, (4, "auth"): 222222222,
+                   (6, "auth"): 333333333, (1, "hub"): 222222222,
+                   (2, "hub"): 444444444, (5, "hub"): 333333333}
+    for side in ("hub", "auth"):
+        assert sum(v for (_, s), v in got.items() if s == side) \
+            == 10 ** 9 - 1
+    degs = {(r["doc_id"], r["side"]): (r["deg"], r["comp_nodes"],
+                                       r["comp_edges"]) for r in rows}
+    assert degs[(3, "auth")] == (2, 2, 3)
+    assert degs[(5, "hub")] == (1, 1, 1)
+
+
+@pytest.mark.spark
+def test_salsa_two_personae_and_self_loop(spark):
+    """A page with both in- and out-links gets one row per side
+    (SALSA keeps the personae distinct); a self-loop contributes a
+    hub AND an auth persona for the same id; duplicate edge rows
+    collapse (distinct) so multi-edges never double-count degree."""
+    from web_graph_spark.operators.graph_algos import salsa_scores
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (4, 4), (1, 2)],
+                              "src_doc_id long, tgt_doc_id long")
+    rows = salsa_scores(e).collect()
+    sides = {}
+    for r in rows:
+        sides.setdefault(r["doc_id"], set()).add(r["side"])
+    assert sides[2] == {"hub", "auth"}
+    assert sides[4] == {"hub", "auth"}
+    assert sides[1] == {"hub"} and sides[3] == {"auth"}
+    assert all(r["deg"] == 1 for r in rows)
