@@ -482,6 +482,22 @@ def q_docs_mm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   media_rx=r"\.png$")
 
 
+def q_docs_span_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media↔caption alignment over the interleaved span docs
+    (functions/media.py:caption_align E172): for every ``.png`` media
+    span, the nearest text span before and after it in offset order
+    plus the gaps — the image-text pair-mining step of a multimodal
+    pipeline.  Entirely in-row (nested higher-order fold, no shuffle/
+    join/window/Python); the oracle finds each side with a genuinely
+    different inequality-join arg_max/arg_min formulation."""
+    from web_graph_spark.functions.media import caption_align
+
+    web = build_span_web(spark, sf_dir)
+    docs = web.select(F.md5(F.concat("host", "path")).alias("page_id"),
+                      "spans")
+    return caption_align(docs, media_rx=r"\.png$")
+
+
 def q_crawl_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC/1.1 archive export (operators/archive.py:warc_records) —
     the archival format a 10^10-URL crawl actually ships (ISO 28500;
@@ -4837,6 +4853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_media_frontier": q_crawl_media_frontier,
         "docs_span_digest": q_docs_span_digest,
         "docs_mm_pack": q_docs_mm_pack,
+        "docs_span_align": q_docs_span_align,
         "crawl_warc_export": q_crawl_warc_export,
         "crawl_wet_export": q_crawl_wet_export,
         "crawl_cdx_index": q_crawl_cdx_index,
@@ -5162,6 +5179,40 @@ SELECT p.check_id AS page_id,
 FROM web_pages p
 LEFT JOIN ns ON ns.check_id = p.check_id
 LEFT JOIN last l ON l.check_id = p.check_id"""),
+        "docs_span_align": _oracle("""
+, sp AS (
+  SELECT p.check_id, l.k AS off, l.anchor AS text, l.href AS media_ref,
+         (l.href LIKE '%.png') AS is_media
+  FROM web_pages p
+  JOIN web_links_full l ON l.src_doc_id = p.doc_id
+),
+med AS (SELECT check_id, off, media_ref FROM sp WHERE is_media),
+txt AS (SELECT check_id, off, text FROM sp WHERE NOT is_media),
+prevj AS (
+  SELECT m.check_id, m.off,
+         arg_max(t.text, t.off) AS prev_text,
+         max(t.off) AS prev_off
+  FROM med m
+  LEFT JOIN txt t ON t.check_id = m.check_id AND t.off < m.off
+  GROUP BY 1, 2
+),
+nextj AS (
+  SELECT m.check_id, m.off,
+         arg_min(t.text, t.off) AS next_text,
+         min(t.off) AS next_off
+  FROM med m
+  LEFT JOIN txt t ON t.check_id = m.check_id AND t.off > m.off
+  GROUP BY 1, 2
+)
+SELECT m.check_id AS page_id, m.media_ref,
+       CAST(m.off AS BIGINT) AS media_offset,
+       p.prev_text, CAST(p.prev_off AS BIGINT) AS prev_offset,
+       CAST(m.off - p.prev_off AS BIGINT) AS prev_gap,
+       n.next_text, CAST(n.next_off AS BIGINT) AS next_offset,
+       CAST(n.next_off - m.off AS BIGINT) AS next_gap
+FROM med m
+JOIN prevj p ON p.check_id = m.check_id AND p.off = m.off
+JOIN nextj n ON n.check_id = m.check_id AND n.off = m.off"""),
         "crawl_warc_export": _oracle("""
 , pay AS (
   SELECT p.check_id, p.url,

@@ -3195,3 +3195,61 @@ def test_pps_sample_exact_size_and_proportionality(spark):
         exact = k * w / W
         assert abs(got.get(i, 0) - exact) <= 1
     assert all(by_id[i] > 0 for i in got)
+
+
+def test_caption_align_hand_spans(spark):
+    """Nearest-text-by-offset on both sides: a mid-document image
+    takes the closest preceding and following text spans; a leading
+    image has NULL prev; a trailing image has NULL next; adjacent
+    media do NOT caption each other (text spans only); a doc with no
+    media emits no rows."""
+    from web_graph_spark.functions.media import caption_align
+
+    span = ("array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>")
+    rows = [
+        ("mid", [("link", "intro", "/a", 0),
+                 ("link", "fig one", "/b", 2),
+                 ("link", "", "https://h/i1.png", 3),
+                 ("link", "outro", "/c", 7)]),
+        ("edges", [("link", "", "https://h/lead.png", 0),
+                   ("link", "body", "/a", 1),
+                   ("link", "", "https://h/tail.png", 2)]),
+        ("textonly", [("link", "t", "/a", 0)]),
+    ]
+    df = spark.createDataFrame(rows, f"page_id string, spans {span}")
+    out = {(r.page_id, r.media_ref): r
+           for r in caption_align(df, media_rx=r"\.png$").collect()}
+
+    m = out[("mid", "https://h/i1.png")]
+    assert (m.prev_text, m.prev_offset, m.prev_gap) == ("fig one", 2, 1)
+    assert (m.next_text, m.next_offset, m.next_gap) == ("outro", 7, 4)
+
+    lead = out[("edges", "https://h/lead.png")]
+    assert lead.prev_text is None and lead.prev_offset is None
+    assert (lead.next_text, lead.next_gap) == ("body", 1)
+    tail = out[("edges", "https://h/tail.png")]
+    assert (tail.prev_text, tail.prev_gap) == ("body", 1)
+    assert tail.next_text is None and tail.next_gap is None
+
+    assert not any(k[0] == "textonly" for k in out)
+    assert len(out) == 3
+
+
+def test_caption_align_plan_is_shuffle_free(spark):
+    """The 100-TB claim: the alignment is a nested in-row fold — the
+    physical plan must carry NO Exchange, NO Join/Window and NO
+    Python stage (scan → project/generate only)."""
+    from web_graph_spark.functions.media import caption_align
+    from web_graph_spark.plans import physical_plan
+
+    span = ("array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>")
+    df = spark.createDataFrame(
+        [("p", [("link", "t", "/a", 0),
+                ("link", "", "https://h/i.png", 1)])],
+        f"page_id string, spans {span}")
+    plan = physical_plan(caption_align(df, media_rx=r"\.png$"))
+    for bad in ("Exchange", "SortMergeJoin", "BroadcastHashJoin",
+                "Window", "InPandas", "BatchEvalPython"):
+        assert bad not in plan, (bad, plan)

@@ -701,3 +701,81 @@ def interleaved_pack_stats(docs: DataFrame, budget: int,
         acc["pos"].alias("total_cost")).withColumn(
         "n_packs",
         F.expr(f"(total_cost + {b - 1}) div {b}").cast("long"))
+
+
+def caption_align(docs: DataFrame, media_rx: str = r"\.(png|jpe?g|gif)$",
+                  spans_col: str = "spans",
+                  id_col: str = "page_id") -> DataFrame:
+    """Media↔caption alignment over INTERLEAVED text+media documents
+    (E172) — the pair-mining step an image-text training pipeline
+    runs over the BASELINE input_hint span shape
+    (``array<struct<kind,text,media_ref,offset>>``): for every media
+    span, find the nearest text span BEFORE it and the nearest AFTER
+    it in document order (captions sit on either side of a figure in
+    real HTML), plus the offset gap to each — the features a caption
+    picker thresholds on (a text span 40 offsets away is layout
+    boilerplate, not a caption).  Media with no preceding / following
+    text keep NULL on that side: the "uncaptioned media" diagnostic
+    that decides drop-vs-synthetic-caption.
+
+    Nearest = strictly smaller (resp. greater) offset, maximal (resp.
+    minimal); offsets are unique within a document in the input_hint
+    shape (span order), so the alignment is total and deterministic.
+
+    Physical shape at 100 TB: ONE codegen'd projection + Generate —
+    the per-media search is a nested higher-order fold
+    (``transform(media, m -> aggregate(texts, ...))``) entirely
+    inside the row, so there is NO shuffle, NO join, NO window and
+    NO Python; a 10^10-doc table pays exactly its scan, and the
+    O(|texts|·|media|) in-row work is bounded by span counts (a
+    window-lag formulation would buy O(n) per doc at the price of a
+    full doc-keyed Exchange — the wrong trade until documents carry
+    thousands of spans).  Docs without media emit no rows (explode
+    of an empty alignment array).
+
+    → one row per media span: ``(id, media_ref, media_offset,
+    prev_text, prev_offset, prev_gap, next_text, next_offset,
+    next_gap)``.
+
+    Reference analog: the reference stores spans but never aligns
+    them (pkg/crawler/crawler.go:66-78); engine extension."""
+    sp = F.col(spans_col)
+
+    def is_media(s):
+        return s["media_ref"].rlike(media_rx)
+
+    texts = F.filter(sp, lambda s: ~is_media(s))
+    none = F.struct(F.lit(None).cast("int").alias("offset"),
+                    F.lit(None).cast("string").alias("text"))
+
+    def best(m, cmp, better):
+        # fold the text spans to the single nearest one on cmp's side
+        return F.aggregate(
+            texts, none,
+            lambda acc, s: F.when(
+                cmp(s["offset"], m["offset"])
+                & (acc["offset"].isNull()
+                   | better(s["offset"], acc["offset"])),
+                F.struct(s["offset"].alias("offset"),
+                         s["text"].alias("text"))).otherwise(acc))
+
+    aligned = F.transform(
+        F.filter(sp, is_media),
+        lambda m: F.struct(
+            m["media_ref"].alias("media_ref"),
+            m["offset"].alias("media_offset"),
+            best(m, lambda a, b: a < b, lambda a, b: a > b).alias("p"),
+            best(m, lambda a, b: a > b, lambda a, b: a < b).alias("n")))
+    a = F.col("a")
+    return (docs.select(id_col, F.explode(aligned).alias("a"))
+            .select(id_col,
+                    a["media_ref"].alias("media_ref"),
+                    a["media_offset"].cast("long").alias("media_offset"),
+                    a["p"]["text"].alias("prev_text"),
+                    a["p"]["offset"].cast("long").alias("prev_offset"),
+                    (a["media_offset"] - a["p"]["offset"]).cast("long")
+                    .alias("prev_gap"),
+                    a["n"]["text"].alias("next_text"),
+                    a["n"]["offset"].cast("long").alias("next_offset"),
+                    (a["n"]["offset"] - a["media_offset"]).cast("long")
+                    .alias("next_gap")))
