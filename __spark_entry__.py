@@ -3100,6 +3100,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                          threshold=0.5, n=3)
 
 
+def q_corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty (functions/dedup.py:ngram_novelty
+    E173) over the dup-injected corpus: share of each doc's distinct
+    word trigrams never seen in any earlier (smaller-id) document —
+    the diminishing-returns curve of corpus growth; the injected
+    exact copies score 0 by construction.  One explode scan + two
+    hash aggs (novel credit goes to a gram's min-id doc, so the gram
+    dim is never joined back); the oracle replays with a window-free
+    min-per-gram formulation."""
+    from web_graph_spark.functions.dedup import ngram_novelty
+
+    return ngram_novelty(_jaccard_corpus(spark, sf_dir), n=3)
+
+
 def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-Jaccard pairs by PREFIX FILTERING
     (functions/dedup.py:prefix_filter_pairs E133 — AllPairs/PPJoin,
@@ -4956,6 +4970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_savings": q_dedup_savings,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "corpus_novelty": q_corpus_novelty,
         "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
         "dedup_containment": q_dedup_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -7416,6 +7431,39 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE floor(i.n_inter * 10000.0 / (sa.sz + sb.sz - i.n_inter)) >= 5000""",
+        "corpus_novelty": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, upper(text) FROM documents
+  WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zz qq ww' FROM documents
+  WHERE doc_id % 10 = 1
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all({norm}, '\\S+') AS words
+  FROM corpus
+),
+w AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                   i -> array_to_string(words[i:i+2], ' ')))) AS word
+  FROM toks
+),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM w GROUP BY 1),
+fst AS (SELECT word, min(doc_id) AS first_doc FROM w GROUP BY 1),
+nov AS (SELECT first_doc AS doc_id, count(*) AS n_novel
+        FROM fst GROUP BY 1)
+SELECT c.doc_id,
+       CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(v.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN t.n_grams IS NULL THEN NULL
+            ELSE CAST((1000000 * coalesce(v.n_novel, 0))
+                      // t.n_grams AS BIGINT) END AS novelty_ppm
+FROM corpus c
+LEFT JOIN tot t ON t.doc_id = c.doc_id
+LEFT JOIN nov v ON v.doc_id = c.doc_id""",
         "dedup_containment": f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents

@@ -3253,3 +3253,23 @@ def test_caption_align_plan_is_shuffle_free(spark):
     for bad in ("Exchange", "SortMergeJoin", "BroadcastHashJoin",
                 "Window", "InPandas", "BatchEvalPython"):
         assert bad not in plan, (bad, plan)
+
+
+def test_ngram_novelty_hand_corpus(spark):
+    """Accession-order credit: doc 1 owns all its trigrams; an exact
+    later copy scores 0; a doc sharing a prefix gets credit only for
+    its unshared tail grams; a <n-token doc reports (0, 0, NULL)."""
+    from web_graph_spark.functions.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"),          # grams: "a b c", "b c d"
+         (2, "a b c d"),          # exact copy -> 0 novel
+         (3, "b c d e f"),        # "b c d" seen; "c d e","d e f" new
+         (4, "x y")],             # < 3 tokens -> no grams
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_grams, r.n_novel, r.novelty_ppm)
+           for r in ngram_novelty(docs, n=3).collect()}
+    assert out[1] == (2, 2, 1_000_000)
+    assert out[2] == (2, 0, 0)
+    assert out[3] == (3, 2, 666_666)
+    assert out[4] == (0, 0, None)

@@ -969,3 +969,51 @@ def dedup_savings_audit(df: DataFrame, id_col: str = "doc_id",
                     (F.col("cluster_size") * F.col("n_clusters"))
                     .cast("long").alias("n_docs"),
                     "waste_chars"))
+
+
+def ngram_novelty(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document n-gram novelty (E173) — the diminishing-returns
+    curve of corpus growth: how many of a document's distinct word
+    n-grams have never appeared in any EARLIER document (earlier =
+    smaller id, the corpus accession order)?  A fresh crawl slice
+    whose novelty_ppm trends toward zero is re-fetching what the
+    corpus already holds — the keep/stop signal incremental corpus
+    building reads, and the per-doc form of the exact tier behind
+    dedup: an exact copy later in accession order scores 0.
+
+    The trick that makes it ONE pass: a gram's novelty credit goes to
+    exactly its FIRST document, so per-doc novel counts are just
+    ``groupBy(gram).min(id)`` re-aggregated by that first id — the
+    gram dim is never joined back to the (doc, gram) pairs.  Physical
+    shape: one explode scan → two hash aggs (doc-keyed totals,
+    gram-keyed firsts → first-doc-keyed counts) + one doc-id join;
+    repeated grams are absorbed map-side (shingles are per-doc
+    distinct already); no windows, no driver materialization — at
+    10^10 docs every shuffle key is either a doc id or a gram string
+    (uniform by content).
+
+    → ``(id_col, n_grams, n_novel, novelty_ppm)`` for every input
+    document; a doc with no n-grams (< n tokens) reports (0, 0,
+    NULL).
+
+    Reference analog: none — engine extension (training-data
+    curation tier)."""
+    pairs = df.select(F.col(id_col).alias("id"),
+                      F.explode(shingles_col(n, text_col)).alias("g"))
+    totals = pairs.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"))
+    firsts = (pairs.groupBy("g").agg(F.min("id").alias("id"))
+              .groupBy("id").agg(
+                  F.count(F.lit(1)).cast("long").alias("n_novel")))
+    return (df.select(F.col(id_col).alias("id")).distinct()
+            .join(totals, "id", "left").join(firsts, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    F.coalesce("n_novel", F.lit(0)).cast("long")
+                    .alias("n_novel"),
+                    F.when(F.coalesce("n_grams", F.lit(0)) > 0,
+                           F.expr("1000000 * coalesce(n_novel, 0) "
+                                  "div n_grams"))
+                    .cast("long").alias("novelty_ppm")))
