@@ -2320,6 +2320,23 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digit_ratio_bp", "stopword_ratio_bp", "quality_score")
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease / FK grade in exact milli integers
+    (functions/text.py:readability_scores E174) — the classic
+    curation gate after the ratio heuristics.  The synthetic corpus
+    carries no punctuation, so sentence boundaries are injected
+    deterministically (a period after every 'table' token — the
+    corpus's most common word) before scoring; one codegen'd
+    projection, no shuffle.  Oracle replays the counts and the
+    non-negative-operand integer algebra."""
+    from web_graph_spark.functions.text import readability_scores
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("replace(text, ' table', ' table.')")
+        .alias("text"))
+    return readability_scores(d)
+
+
 def q_corpus_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E48 domain-reputation filter (C4 §2.2 / RefinedWeb §3.1's
     URL-and-domain filtering at source granularity): per-source doc
@@ -4931,6 +4948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": q_graph_sssp,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
+        "text_readability": q_text_readability,
         "corpus_source_reputation": q_corpus_source_reputation,
         "text_lang_id": q_text_lang_id,
         "text_repetition": q_text_repetition,
@@ -6809,6 +6827,33 @@ SELECT doc_id,
            - floor({n_digit} * 10000.0 / greatest(length(text), 1)),
            0) AS BIGINT) AS quality_score
 FROM documents""",
+        "text_readability": """
+WITH corpus AS (
+  SELECT doc_id, replace(text, ' table', ' table.') AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+           AS n_sentences,
+         len(regexp_extract_all(text, '\\S+')) AS n_words,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))
+           AS n_syllables
+  FROM corpus
+)
+SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CASE WHEN n_words = 0 THEN NULL
+            ELSE CAST(206835 - (1015 * n_words) // n_sentences
+                      - (84600 * n_syllables) // n_words AS BIGINT)
+       END AS ease_milli,
+       CASE WHEN n_words = 0 THEN NULL
+            ELSE CAST((390 * n_words) // n_sentences
+                      + (11800 * n_syllables) // n_words
+                      - 15590 AS BIGINT)
+       END AS grade_milli
+FROM c""",
         "text_lang_id": f"""
 SELECT doc_id, lang, {lang_guess_sql('text')} AS lang_guess
 FROM documents""",

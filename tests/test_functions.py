@@ -3273,3 +3273,30 @@ def test_ngram_novelty_hand_corpus(spark):
     assert out[2] == (2, 0, 0)
     assert out[3] == (3, 2, 666_666)
     assert out[4] == (0, 0, None)
+
+
+def test_readability_hand_texts(spark):
+    """Hand-check the milli algebra: 'The cat sat. The dog ran.'
+    → 2 sentences, 6 words, 6 vowel groups; ease = 206835 −
+    (1015·6)//2 − (84600·6)//6 = 206835 − 3045 − 84600 = 119190;
+    grade = (390·6)//2 + (11800·6)//6 − 15590 = 1170 + 11800 −
+    15590 = −2620.  No punctuation → 1 sentence; empty text →
+    NULL scores; plan carries no shuffle."""
+    from web_graph_spark.functions.text import readability_scores
+    from web_graph_spark.plans import physical_plan
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran."),
+         (2, "no stops here"),
+         (3, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in readability_scores(docs).collect()}
+    assert (out[1].n_sentences, out[1].n_words,
+            out[1].n_syllables) == (2, 6, 6)
+    assert out[1].ease_milli == 119190
+    assert out[1].grade_milli == -2620
+    assert out[2].n_sentences == 1 and out[2].n_words == 3
+    assert out[3].n_words == 0
+    assert out[3].ease_milli is None and out[3].grade_milli is None
+    plan = physical_plan(readability_scores(docs))
+    assert "Exchange" not in plan, plan

@@ -1869,3 +1869,47 @@ def pps_sample(df: DataFrame, k: int, id_col: str = "doc_id",
             .filter(F.col("n_points") >= 1)
             .select(F.col(id_col),
                     F.col("n_tokens").alias(weight_col), "n_points"))
+
+
+def readability_scores(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Flesch readability as an exact-integer quality gate (E174) —
+    the classic pre-training text filter after the ratio heuristics
+    (E11) and before the model gate (E162): reading ease and grade
+    level from sentence / word / syllable counts (Flesch 1948,
+    Kincaid 1975).  Everything is a JVM regexp count and the float
+    constants become milli-scaled integer algebra whose divisions
+    run on NON-NEGATIVE operands only (floor ≡ trunc there, so any
+    engine reproduces the numbers bit-for-bit; the subtractions
+    happen after the divisions):
+
+        ease_milli  = 206835 − (1015·words) div sentences
+                             − (84600·syllables) div words
+        grade_milli = (390·words) div sentences
+                      + (11800·syllables) div words − 15590
+
+    Counts: sentences = [.!?]+ runs (min 1 — a trailing unterminated
+    clause is a sentence), words = \\S+ tokens, syllables = the
+    standard vowel-group proxy ([aeiouy]+ runs, lower-cased).  A doc
+    with no words reports NULL scores.  Physical shape: ONE codegen'd
+    projection — no shuffle, no join, no Python; a 10^10-doc table
+    pays exactly its scan.
+
+    Reference analog: none — engine extension (curation tier)."""
+    t = F.col(text_col)
+    n_sent = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)) \
+        .cast("long")
+    n_words = token_count(t).cast("long")
+    n_syll = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")).cast("long")
+    return (df.select(F.col(id_col), n_sent.alias("n_sentences"),
+                      n_words.alias("n_words"),
+                      n_syll.alias("n_syllables"))
+            .select(id_col, "n_sentences", "n_words", "n_syllables",
+                    F.when(F.col("n_words") > 0, F.expr(
+                        "206835 - (1015 * n_words) div n_sentences"
+                        " - (84600 * n_syllables) div n_words"))
+                    .cast("long").alias("ease_milli"),
+                    F.when(F.col("n_words") > 0, F.expr(
+                        "(390 * n_words) div n_sentences"
+                        " + (11800 * n_syllables) div n_words - 15590"))
+                    .cast("long").alias("grade_milli")))
