@@ -329,6 +329,51 @@ FROM per_comm p LEFT JOIN internal i ON i.community = p.community
 CROSS JOIN m_row m""")
 
 
+def _script_mix_sql() -> str:
+    """Oracle for q_text_script_mix: the injected corpus, the class
+    regexp counts (regexes shared VERBATIM from SCRIPT_CLASSES), and
+    the dominant-script CASE chain mirroring script_mix's when-chain
+    (earlier class wins ties via >= over later / > over earlier)."""
+    from web_graph_spark.functions.text import SCRIPT_CLASSES, count_sql
+
+    cnt = {n: count_sql("text", rx) for n, rx in SCRIPT_CLASSES}
+    alpha = [n for n, _ in SCRIPT_CLASSES if n != "digit"]
+    branches = []
+    for i, name in enumerate(alpha):
+        conds = ([f"n_{name} >= n_{o}" for o in alpha[i + 1:]]
+                 + [f"n_{name} > n_{p}" for p in alpha[:i]])
+        branches.append(f"WHEN {' AND '.join(conds) or 'TRUE'} "
+                        f"THEN '{name}'")
+    total = " + ".join(f"n_{n}" for n in alpha)
+    cols = ",\n         ".join(
+        f"CAST({cnt[n]} AS BIGINT) AS n_{n}" for n, _ in SCRIPT_CLASSES)
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'zh' THEN replace(replace(text,
+              ' table', ' 表'), ' data', ' 数据')
+              ELSE text END AS t1
+  FROM documents
+),
+corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN replace(t1, 'a', 'а')
+              ELSE t1 END AS text
+  FROM inj
+),
+c AS (
+  SELECT doc_id,
+         {cols}
+  FROM corpus
+)
+SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_greek, n_arabic, n_digit,
+       CASE WHEN {total} = 0 THEN 'none'
+            {' '.join(branches)}
+            ELSE '{alpha[-1]}' END AS dominant,
+       (n_latin > 0 AND n_cyrillic > 0) AS confusable
+FROM c"""
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -2335,6 +2380,28 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr("replace(text, ' table', ' table.')")
         .alias("text"))
     return readability_scores(d)
+
+
+def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition + homoglyph flag (functions/
+    text.py:script_mix E175) over a corpus with deterministically
+    injected non-Latin content: zh-labeled docs get CJK tokens, every
+    17th doc gets the classic Cyrillic-а confusable substitution —
+    the script-mix mislabel audit and the spoofing tell, one codegen
+    projection.  Oracle shares the class regexps verbatim and mirrors
+    the tie-break CASE chain."""
+    from web_graph_spark.functions.text import script_mix
+
+    d = (_docs(spark, sf_dir)
+         .select("doc_id",
+                 F.expr("case when lang = 'zh' then replace(replace("
+                        "text, ' table', ' 表'), ' data', ' 数据') "
+                        "else text end").alias("t1"))
+         .select("doc_id",
+                 F.expr("case when doc_id % 17 = 0 then "
+                        "replace(t1, 'a', 'а') else t1 end")
+                 .alias("text")))
+    return script_mix(d)
 
 
 def q_corpus_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4949,6 +5016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_readability": q_text_readability,
+        "text_script_mix": q_text_script_mix,
         "corpus_source_reputation": q_corpus_source_reputation,
         "text_lang_id": q_text_lang_id,
         "text_repetition": q_text_repetition,
@@ -6854,6 +6922,7 @@ SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
                       - 15590 AS BIGINT)
        END AS grade_milli
 FROM c""",
+        "text_script_mix": _script_mix_sql(),
         "text_lang_id": f"""
 SELECT doc_id, lang, {lang_guess_sql('text')} AS lang_guess
 FROM documents""",

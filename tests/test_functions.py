@@ -3300,3 +3300,29 @@ def test_readability_hand_texts(spark):
     assert out[3].ease_milli is None and out[3].grade_milli is None
     plan = physical_plan(readability_scores(docs))
     assert "Exchange" not in plan, plan
+
+
+def test_script_mix_hand_texts(spark):
+    """Exact class counts, order tie-break, confusable flag: a
+    Latin/Cyrillic homoglyph mix flags; a pure-CJK doc dominates cjk;
+    digits never vote for dominance; an empty/digit-only doc is
+    'none'; a Latin↔CJK tie breaks to the earlier class (latin)."""
+    from web_graph_spark.functions.text import script_mix
+    from web_graph_spark.plans import physical_plan
+
+    docs = spark.createDataFrame(
+        [(1, "pаypal login"),        # Cyrillic а inside Latin
+         (2, "数据表 数据"),          # pure CJK
+         (3, "42 17"),               # digits only
+         (4, "ab 表文"),             # 2 latin vs 2 cjk -> tie, latin
+         (5, "στο ελληνικά")],       # Greek
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in script_mix(docs).collect()}
+    assert out[1].confusable and out[1].dominant == "latin"
+    assert out[1].n_cyrillic == 1 and out[1].n_latin == 10
+    assert out[2].dominant == "cjk" and out[2].n_cjk == 5
+    assert out[3].dominant == "none" and out[3].n_digit == 4
+    assert out[4].dominant == "latin" and out[4].n_cjk == 2
+    assert out[5].dominant == "greek" and not out[5].confusable
+    plan = physical_plan(script_mix(docs))
+    assert "Exchange" not in plan, plan

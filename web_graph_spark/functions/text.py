@@ -1913,3 +1913,64 @@ def readability_scores(df: DataFrame, id_col: str = "doc_id",
                         "(390 * n_words) div n_sentences"
                         " + (11800 * n_syllables) div n_words - 15590"))
                     .cast("long").alias("grade_milli")))
+
+
+# Unicode script classes for script_mix — each a character-class
+# regexp valid in both Java regex (Spark) and RE2 (DuckDB).  BMP
+# ranges only: the corpus tier this gates runs before any NFC/NFKC
+# normalization pass, and the ranges cover what web text actually
+# carries at volume.
+SCRIPT_CLASSES = (
+    ("latin", "[A-Za-zÀ-ÖØ-öø-ÿ]"),
+    ("cjk", "[一-鿿぀-ヿ가-힣]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("arabic", "[؀-ۿ]"),
+    ("digit", "[0-9]"),
+)
+
+
+def script_mix(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Unicode-script composition per document (E175) — the
+    language-ID feature BEFORE any model (fastText's first split is
+    effectively script), and the homoglyph-spoofing signal spam
+    triage keys on: a document whose body mixes Latin with Cyrillic
+    confusables (``раypal``) is a phishing/spam tell, and a corpus
+    slice labeled one language but dominated by another script is a
+    mislabel audit hit.  Per doc: exact codepoint counts per script
+    class, the dominant script (strict count max, ties broken by the
+    fixed SCRIPT_CLASSES order, 'none' when no class matches), and
+    the Latin×Cyrillic confusable flag.
+
+    Physical shape: ONE codegen'd projection of regexp counts — no
+    shuffle, no join, no Python; a 10^10-doc table pays exactly its
+    scan.  Counts are exact integers (no ratios → no division rules
+    to mirror); every class regexp is shared verbatim by the DuckDB
+    oracle.
+
+    → ``(id_col, n_latin, n_cjk, n_cyrillic, n_greek, n_arabic,
+    n_digit, dominant, confusable)``.
+
+    Reference analog: none — engine extension (curation tier; the
+    reference stores UTF-8-sanitized text without inspecting it,
+    linkstorage.go ToValidUTF8)."""
+    t = F.col(text_col)
+    counts = {name: F.regexp_count(t, F.lit(rx)).cast("long")
+              for name, rx in SCRIPT_CLASSES}
+    alpha = [n for n, _ in SCRIPT_CLASSES if n != "digit"]
+    total_alpha = sum((counts[n] for n in alpha), F.lit(0))
+    dom = F.when(total_alpha == 0, F.lit("none"))
+    for i, name in enumerate(alpha):
+        cond = F.lit(True)
+        for other in alpha[i + 1:]:
+            cond = cond & (counts[name] >= counts[other])
+        for prev in alpha[:i]:
+            cond = cond & (counts[name] > counts[prev])
+        dom = dom.when(cond, F.lit(name))
+    return df.select(
+        F.col(id_col),
+        *[counts[n].alias(f"n_{n}") for n, _ in SCRIPT_CLASSES],
+        dom.alias("dominant"),
+        ((counts["latin"] > 0) & (counts["cyrillic"] > 0))
+        .alias("confusable"))
