@@ -4682,6 +4682,20 @@ def q_corpus_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(docs)
 
 
+def q_corpus_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (functions/text.py:
+    kneser_ney_scores E176) — the production LM smoothing: backoff
+    mass goes to CONTINUATION counts (distinct predecessors), not raw
+    frequency, with absolute discount 3/4; one exact decimal(38,0)
+    division per bigram, all model dims derived from one bigram-count
+    agg.  The oracle replays counts and the discount algebra in
+    HUGEINT."""
+    from web_graph_spark.functions.text import kneser_ney_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return kneser_ney_scores(docs)
+
+
 def q_events_stream_join_audit(spark: SparkSession, sf_dir: str
                                ) -> DataFrame:
     """Stream-stream interval-join audit (streaming.py:
@@ -5098,6 +5112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_scd2_history": q_crawl_scd2_history,
         "events_stream_join_audit": q_events_stream_join_audit,
         "corpus_bigram_lm": q_corpus_bigram_lm,
+        "corpus_kneser_ney": q_corpus_kneser_ney,
         "corpus_skyline": q_corpus_skyline,
         "crawl_cdc_apply": q_crawl_cdc_apply,
         "events_quantiles_unbounded": q_events_quantiles_unbounded,
@@ -8353,6 +8368,35 @@ sc AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(sum(ppb) AS BIGINT) AS sum_like_ppb,
        CAST(sum(ppb) // count(*) AS BIGINT) AS avg_like_ppb
+FROM sc GROUP BY 1""",
+        "corpus_kneser_ney": """
+WITH bi AS (
+  SELECT doc_id, l[i] AS v, l[i + 1] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents),
+       UNNEST(generate_series(1, len(l) - 1)) AS u(i)
+),
+mbi AS (SELECT v, w, count(*) AS ct_vw FROM bi GROUP BY 1, 2),
+lft AS (SELECT v, CAST(sum(ct_vw) AS BIGINT) AS ct_v,
+               count(*) AS n_after_v
+        FROM mbi GROUP BY 1),
+rgt AS (SELECT w, count(*) AS n_before_w FROM mbi GROUP BY 1),
+tt AS (SELECT count(*) AS t_types FROM mbi),
+sc AS (
+  SELECT b.doc_id,
+         CAST((1000000000::HUGEINT
+               * ((4 * m.ct_vw::HUGEINT - 3) * t.t_types
+                  + 3 * lf.n_after_v::HUGEINT * rg.n_before_w))
+              // (4 * lf.ct_v::HUGEINT * t.t_types) AS BIGINT) AS ppb
+  FROM bi b
+  JOIN mbi m ON m.v = b.v AND m.w = b.w
+  JOIN lft lf ON lf.v = b.v
+  JOIN rgt rg ON rg.w = b.w
+  CROSS JOIN tt t
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(ppb) AS BIGINT) AS sum_kn_ppb,
+       CAST(sum(ppb) // count(*) AS BIGINT) AS avg_kn_ppb
 FROM sc GROUP BY 1""",
         "events_stream_join_audit": f"""
 WITH ev AS (

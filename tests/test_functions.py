@@ -3326,3 +3326,41 @@ def test_script_mix_hand_texts(spark):
     assert out[5].dominant == "greek" and not out[5].confusable
     plan = physical_plan(script_mix(docs))
     assert "Exchange" not in plan, plan
+
+
+def test_kneser_ney_hand_corpus(spark):
+    """Hand-replay of the discounted algebra (D=3/4) on a 2-doc
+    corpus: d1='a b a b', d2='c b' → T=3 bigram types;
+    ppb(a,b) = ((8−3)·3 + 3·1·2)/(4·2·3) = 21/24 → 875000000;
+    ppb(b,a) = (3+3)/12 → 500000000; ppb(c,b) = (3+6)/12 →
+    750000000.  d1 sums its three instances."""
+    from web_graph_spark.functions.text import kneser_ney_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c b")], "doc_id long, text string")
+    out = {r.doc_id: r for r in kneser_ney_scores(docs).collect()}
+    assert out[1].n_bigrams == 3
+    assert out[1].sum_kn_ppb == 875000000 + 500000000 + 875000000
+    assert out[1].avg_kn_ppb == 750000000
+    assert out[2].n_bigrams == 1 and out[2].avg_kn_ppb == 750000000
+
+
+def test_kneser_ney_continuation_beats_frequency(spark):
+    """The 'Francisco' property: under KN the backoff mass tracks
+    how many distinct contexts a word FOLLOWS, not its raw
+    frequency.  'z' is frequent but always follows 'q'
+    (n_before=1); 'y' is rarer but follows many contexts
+    (n_before=4) — for an equal-count observed bigram, the
+    y-continuation term must dominate the z one."""
+    from web_graph_spark.functions.text import kneser_ney_scores
+
+    docs = spark.createDataFrame(
+        [(1, "q z q z q z q z"),
+         (2, "a y b y c y d y"),
+         (3, "m z"), (4, "m y")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in kneser_ney_scores(docs).collect()}
+    # (m,z) and (m,y) both occur once with the same left context;
+    # only the continuation counts differ (z: 2 predecessors incl m,
+    # y: 5) -> the y doc scores strictly higher.
+    assert out[4].avg_kn_ppb > out[3].avg_kn_ppb

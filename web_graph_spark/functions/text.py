@@ -1974,3 +1974,75 @@ def script_mix(df: DataFrame, id_col: str = "doc_id",
         dom.alias("dominant"),
         ((counts["latin"] > 0) & (counts["cyrillic"] > 0))
         .alias("confusable"))
+
+
+def kneser_ney_scores(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (E176; Kneser & Ney
+    1995, the smoothing every production n-gram LM — KenLM included —
+    actually ships) — the upgrade of :func:`bigram_lm_scores`'
+    Lidstone backoff: the lower-order distribution is the
+    CONTINUATION probability (how many distinct contexts a word
+    FOLLOWS — 'Francisco' is frequent but follows almost nothing, so
+    its backoff mass is tiny), which is what makes KN the right
+    fluency gate for template-spam whose token frequencies look
+    natural.  With absolute discount D = 3/4::
+
+        P(w|v)    = (ct(v,w) − D)/ct(v) + D·N₊(v,·)/ct(v) · P_c(w)
+        P_c(w)    = N₊(·,w) / T
+        ppb       = 10^9·((4·ct_vw − 3)·T + 3·n_after_v·n_before_w)
+                    div (4·ct_v·T)
+
+    where N₊(v,·)/N₊(·,w) are distinct-successor/-predecessor type
+    counts, T = distinct bigram types, and ct(v) = Σ_w ct(v,w) (the
+    KN left-context mass, NOT the unigram token count).  Every
+    scored bigram is observed, so ct_vw ≥ 1 and the discount term
+    (4·ct_vw − 3) is already positive — the max(·,0) clamp is
+    vacuous and the whole likelihood is ONE exact decimal(38,0)
+    division (no float logs; monotone surrogate, same ordering as
+    the real probabilities).
+
+    Shape at 100 TB: bigrams assemble map-side (adjacent-zip
+    transform, no window); the count model is one hash agg; the v-
+    and w-dims DERIVE from it (groupBy v / groupBy w over the
+    already-distinct (v,w) rows — distinct-type counts are plain
+    count(*) there, no countDistinct shuffle); T is a 1-row
+    broadcast.  Scoring = three token-keyed hash joins, map-side
+    partials absorbing Zipf skew.
+
+    → ``(id_col, n_bigrams, sum_kn_ppb, avg_kn_ppb)`` for every doc
+    with ≥1 bigram.
+
+    Reference analog: none — engine extension (curation tier)."""
+    arr = df.select(F.col(id_col).alias("doc_id"),
+                    F.split(F.col(text_col), " ").alias("l"))
+    bi = (arr.select("doc_id", F.explode(F.expr(
+        "transform(sequence(1, size(l) - 1), "
+        "i -> struct(element_at(l, i) as v, "
+        "element_at(l, i + 1) as w))")).alias("p"))
+        .select("doc_id", "p.v", "p.w"))
+    m_bi = bi.groupBy("v", "w").agg(F.count("*").alias("ct_vw"))
+    left = m_bi.groupBy("v").agg(
+        F.sum("ct_vw").cast("long").alias("ct_v"),
+        F.count("*").cast("long").alias("n_after_v"))
+    right = m_bi.groupBy("w").agg(
+        F.count("*").cast("long").alias("n_before_w"))
+    types = m_bi.agg(F.count("*").cast("long").alias("t_types"))
+    scored = (bi
+              .join(m_bi, ["v", "w"])
+              .join(left, "v")
+              .join(right, "w")
+              .crossJoin(F.broadcast(types))
+              .select("doc_id", F.expr(
+                  "cast(1000000000 as decimal(38,0)) * "
+                  "((4 * cast(ct_vw as decimal(38,0)) - 3) * t_types "
+                  " + 3 * cast(n_after_v as decimal(38,0)) * n_before_w) "
+                  "div (4 * cast(ct_v as decimal(38,0)) * t_types)")
+                  .cast("long").alias("ppb")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.sum("ppb").cast("long").alias("sum_kn_ppb"))
+            .select(F.col("doc_id").alias(id_col), "n_bigrams",
+                    "sum_kn_ppb",
+                    F.expr("sum_kn_ppb div n_bigrams").cast("long")
+                    .alias("avg_kn_ppb")))
