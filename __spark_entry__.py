@@ -1865,6 +1865,21 @@ def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matryoshka_audit(_emb(spark, sf_dir))
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit (functions/similarity.py:
+    quantization_audit E177): per embedding dimension, the exact
+    cost of rounding to 127 max-abs-scaled levels — saturation /
+    dead-zone counts and worst/total reconstruction error in ppm;
+    the SQ8-vs-PQ-vs-fp32 decision table.  Max-abs scales are
+    aggregation-order independent, per-element code/error is
+    straight-line double math, only integer verdicts leave; the
+    oracle replays the same arithmetic over an unnested pair
+    table."""
+    from web_graph_spark.functions.similarity import quantization_audit
+
+    return quantization_audit(_emb(spark, sf_dir))
+
+
 def _matryoshka_sql(dims=(32, 16, 8), k=10, nq=5) -> str:
     def cos(v, qv):
         return (f"list_dot_product({v}, {qv}) / "
@@ -5149,6 +5164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_drift": q_text_vocab_drift,
         "text_rrf_topk": q_text_rrf_topk,
         "embed_matryoshka": q_embed_matryoshka,
+        "embed_quantize": q_embed_quantize,
         "media_sniff": q_media_sniff,
         "corpus_zonemap_audit": q_corpus_zonemap_audit,
         "tpch_q1": q_tpch_q1,
@@ -8703,6 +8719,39 @@ SELECT o_custkey, rank, o_orderkey,
 FROM r WHERE rank <= 3""",
         "events_qdigest": _qdigest_unrolled_sql(),
         "embed_matryoshka": _matryoshka_sql(),
+        "embed_quantize": """
+WITH pairs AS (
+  SELECT u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings,
+       UNNEST(generate_series(1, len(embedding))) AS u(i)
+),
+sc AS (SELECT dim, max(abs(x)) AS scale FROM pairs GROUP BY 1),
+q AS (
+  SELECT p.dim, s.scale,
+         CASE WHEN s.scale > 0
+              THEN CAST(floor(p.x * 127 / s.scale + 0.5) AS BIGINT)
+         END AS code,
+         p.x
+  FROM pairs p JOIN sc s ON s.dim = p.dim
+),
+e AS (
+  SELECT dim, scale, code,
+         CASE WHEN scale > 0
+              THEN CAST(floor(abs(x - code * scale / 127)
+                              / scale * 1000000) AS BIGINT)
+         END AS err_ppm
+  FROM q
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(max(scale) * 1000000) AS BIGINT) AS scale_ppm,
+       CAST(sum(CASE WHEN abs(code) >= 127 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_saturated,
+       CAST(sum(CASE WHEN code IS NULL OR code = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_zero_code,
+       CAST(max(err_ppm) AS BIGINT) AS max_err_ppm,
+       CAST(sum(err_ppm) AS BIGINT) AS sum_err_ppm
+FROM e GROUP BY 1""",
         "media_sniff": f"""
 WITH b AS (
   SELECT doc_id,

@@ -3364,3 +3364,35 @@ def test_kneser_ney_continuation_beats_frequency(spark):
     # only the continuation counts differ (z: 2 predecessors incl m,
     # y: 5) -> the y doc scores strictly higher.
     assert out[4].avg_kn_ppb > out[3].avg_kn_ppb
+
+
+def test_quantization_audit_hand_vectors(spark):
+    """Hand-check on dim-aligned values: scale = max|x|; the max
+    element saturates (code ±127) with 0 error; a mid value rounds
+    half-up and reports its exact ppm error; a sub-resolution value
+    dead-zones to code 0 with err = its own magnitude; an all-zero
+    dimension reports NULL errors and full dead-zone."""
+    from web_graph_spark.functions.similarity import quantization_audit
+
+    emb = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [-1.0, 0.0]), (3, [0.005, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = {r.dim: r for r in quantization_audit(emb).collect()}
+
+    d0 = out[0]
+    assert d0.scale_ppm == 2_000_000 and d0.n == 3
+    # 2.0 -> code 127 (saturated, exact); -1.0 -> floor(-63.5+0.5)
+    # = -63, err = |-1 + 63*2/127| = 1/127 -> 7874 ppm of scale 2
+    # is |…|/2*1e6 = floor(0.00787/2*1e6)... compute: recon =
+    # -63*2/127 = -0.992125..., err = 0.007874..., /2*1e6 = 3937.
+    # 0.005 -> code 0 (dead zone); as float32 it is
+    # 0.004999999888..., so err_ppm floors to 2499 not 2500 — the
+    # audit works on what the table actually stores.
+    assert d0.n_saturated == 1
+    assert d0.n_zero_code == 1
+    assert d0.max_err_ppm == 3937
+    assert d0.sum_err_ppm == 3937 + 2499
+
+    d1 = out[1]
+    assert d1.scale_ppm == 0 and d1.n_zero_code == 3
+    assert d1.max_err_ppm is None and d1.sum_err_ppm is None

@@ -831,3 +831,68 @@ def matryoshka_audit(emb: DataFrame, dims: tuple[int, ...] = (32, 16, 8),
                .withColumn("dim", F.lit(d).cast("int")))
         out = agg if out is None else out.unionByName(agg)
     return out.select("q_id", "dim", "overlap_at_k", "top1_kept")
+
+
+def quantization_audit(emb: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization audit (E177) — the
+    measure-before-you-ship step of deploying a quantized vector
+    index (FAISS SQ8 / product-DB int8 columns): per DIMENSION,
+    what does rounding to 127 levels of the max-abs scale actually
+    cost?  Reports the saturation count (values at ±127 — a heavy
+    tail that argues for clipping percentiles instead of max-abs),
+    the dead-zone count (code 0 — sub-resolution mass), and exact
+    worst/total reconstruction error in scale-relative ppm — the
+    numbers that decide SQ8 vs PQ vs staying fp32 per dimension.
+
+    Determinism discipline (the ANN-family contract): scales are
+    MAX-ABS (aggregation-order independent, unlike a sum/mean);
+    per-element code and error are straight-line double arithmetic
+    reproduced bit-for-bit by any engine; only integer verdicts
+    leave the operator::
+
+        scale_d   = max |x_d|                     (corpus max, double)
+        code      = floor(x·127/scale + 1/2)      (round-half-up)
+        err_ppm   = floor(|x − code·scale/127| / scale · 10^6)
+
+    Shape at 100 TB: one posexplode scan → dim-keyed max agg (64
+    rows) → broadcast back → one dim-keyed stats agg; both shuffles
+    key on the 64-value dim id with map-side partials carrying
+    virtually all the reduction (the 64-row exchanges are noise
+    next to the scan).  A zero-variance dimension (scale 0) reports
+    NULL error and full dead-zone — documented, not divided by.
+
+    → one row per dimension: ``(dim, n, scale_ppm, n_saturated,
+    n_zero_code, max_err_ppm, sum_err_ppm)``.
+
+    Reference analog: none — engine extension (similarity tier)."""
+    pairs = emb.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("dim", "x")) \
+        .select("dim", F.col("x").cast("double").alias("x"))
+    scales = pairs.groupBy("dim").agg(
+        F.max(F.abs(F.col("x"))).alias("scale"))
+    j = pairs.join(F.broadcast(scales), "dim")
+    code = F.when(F.col("scale") > 0,
+                  F.floor(F.col("x") * 127 / F.col("scale") + 0.5)
+                  .cast("long"))
+    j = j.select("dim", "x", "scale", code.alias("code"))
+    err_ppm = F.when(
+        F.col("scale") > 0,
+        F.floor(F.abs(F.col("x") - F.col("code") * F.col("scale") / 127)
+                / F.col("scale") * 1_000_000)).cast("long")
+    j = j.select("dim", "scale", "code", err_ppm.alias("err_ppm"))
+    return (j.groupBy("dim")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.floor(F.max("scale") * 1_000_000).cast("long")
+                 .alias("scale_ppm"),
+                 F.sum(F.when(F.abs(F.col("code")) >= 127, 1)
+                       .otherwise(0)).cast("long").alias("n_saturated"),
+                 F.sum(F.when(F.col("code").isNull()
+                              | (F.col("code") == 0), 1)
+                       .otherwise(0)).cast("long").alias("n_zero_code"),
+                 F.max("err_ppm").cast("long").alias("max_err_ppm"),
+                 F.sum("err_ppm").cast("long").alias("sum_err_ppm"))
+            .select(F.col("dim").cast("int").alias("dim"), "n",
+                    "scale_ppm", "n_saturated", "n_zero_code",
+                    "max_err_ppm", "sum_err_ppm"))
