@@ -4120,6 +4120,22 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_steps(ev, steps=("view", "click", "purchase", "signup"))
 
 
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (functions/stats.py:
+    attribution_credits E178): each purchase's value in exact cents
+    split across the user's view/click touches of the preceding 6 h
+    under first/last/linear/U-shaped models at once, remainders
+    routed deterministically so every model sums to the conversion
+    value; touchless conversions carry full credit in the
+    direct-traffic bucket.  One user-key join + one per-journey
+    window; the oracle replays the inequality join and the credit
+    CASE algebra."""
+    from web_graph_spark.functions.stats import attribution_credits
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return attribution_credits(ev, lookback_hours=6)
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix (functions/stats.py:cohort_retention
     E83): first-active-day cohorts × integer day offsets with exact
@@ -5147,6 +5163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_watermark_audit": q_events_watermark_audit,
         "events_anomaly": q_events_anomaly,
         "events_funnel": q_events_funnel,
+        "events_attribution": q_events_attribution,
         "events_retention": q_events_retention,
         "events_qdigest": q_events_qdigest,
         "corpus_merkle_diff": q_corpus_merkle_diff,
@@ -7852,6 +7869,58 @@ dup AS (SELECT b_id AS vec_id, min(a_id) AS dup_of FROM pairs GROUP BY 1)
 SELECT c.vec_id, c.cell, d.dup_of IS NULL AS keep, d.dup_of
 FROM c LEFT JOIN dup d ON d.vec_id = c.vec_id""",
         "events_funnel": _funnel_oracle(),
+        "events_attribution": """
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, epoch_us(ts) AS conv_us,
+         CAST(floor(value * 100) AS BIGINT) AS conv_c
+  FROM events WHERE event_type = 'purchase'
+),
+tch AS (
+  SELECT event_id AS touch_id, event_type AS touch_type, user_id,
+         epoch_us(ts) AS touch_us
+  FROM events WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT c.conv_id, c.user_id, c.conv_c,
+         t.touch_id, t.touch_type, t.touch_us
+  FROM conv c
+  LEFT JOIN tch t ON t.user_id = c.user_id
+    AND t.touch_us <= c.conv_us
+    AND t.touch_us > c.conv_us - 21600000000
+),
+r AS (
+  SELECT *,
+         CASE WHEN touch_id IS NOT NULL THEN
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY touch_us, touch_id) END AS i,
+         sum(CASE WHEN touch_id IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id) AS n
+  FROM j
+)
+SELECT conv_id, user_id, conv_c, touch_id, touch_type,
+       CAST(i AS BIGINT) AS i, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN n = 0 THEN conv_c
+                 WHEN i = 1 THEN conv_c ELSE 0 END AS BIGINT)
+         AS first_c,
+       CAST(CASE WHEN n = 0 THEN conv_c
+                 WHEN i = n THEN conv_c ELSE 0 END AS BIGINT)
+         AS last_c,
+       CAST(CASE WHEN n = 0 THEN conv_c
+                 ELSE conv_c // n
+                      + CASE WHEN i = n THEN conv_c % n ELSE 0 END
+            END AS BIGINT) AS linear_c,
+       CAST(CASE WHEN n = 0 THEN conv_c
+                 WHEN n = 1 THEN conv_c
+                 WHEN n = 2 THEN CASE WHEN i = 1 THEN conv_c // 2
+                                      ELSE conv_c - conv_c // 2 END
+                 WHEN i = 1 OR i = n THEN (2 * conv_c) // 5
+                 ELSE (conv_c - 2 * ((2 * conv_c) // 5)) // (n - 2)
+                      + CASE WHEN i = n - 1
+                             THEN (conv_c - 2 * ((2 * conv_c) // 5))
+                                  % (n - 2)
+                             ELSE 0 END
+            END AS BIGINT) AS ushape_c
+FROM r""",
         "events_retention": _retention_oracle(),
         "events_quantiles": """
 WITH hist AS (

@@ -3396,3 +3396,65 @@ def test_quantization_audit_hand_vectors(spark):
     d1 = out[1]
     assert d1.scale_ppm == 0 and d1.n_zero_code == 3
     assert d1.max_err_ppm is None and d1.sum_err_ppm is None
+
+
+def test_attribution_hand_journey(spark):
+    """4-touch journey of a 101-cent conversion: first/last put all
+    101 on touches 1/4; linear gives 25 each + remainder 1 to the
+    last; U-shape gives (2·101)div5 = 40 to first and last, the
+    21-cent middle mass splits 10 + 11 (remainder to the FINAL
+    middle).  Every model sums to 101 exactly."""
+    from web_graph_spark.functions.stats import attribution_credits
+
+    rows = [(1, "2024-01-01 10:00:00", 7, "view", 0.0),
+            (2, "2024-01-01 10:10:00", 7, "click", 0.0),
+            (3, "2024-01-01 10:20:00", 7, "view", 0.0),
+            (4, "2024-01-01 10:30:00", 7, "click", 0.0),
+            (5, "2024-01-01 11:00:00", 7, "purchase", 1.01)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double") \
+        .selectExpr("event_id", "cast(ts as timestamp) as ts",
+                    "user_id", "event_type", "value")
+    out = sorted(attribution_credits(ev).collect(),
+                 key=lambda r: r.i)
+    assert [r.i for r in out] == [1, 2, 3, 4]
+    assert [r.first_c for r in out] == [101, 0, 0, 0]
+    assert [r.last_c for r in out] == [0, 0, 0, 101]
+    assert [r.linear_c for r in out] == [25, 25, 25, 26]
+    assert [r.ushape_c for r in out] == [40, 10, 11, 40]
+    for model in ("first_c", "last_c", "linear_c", "ushape_c"):
+        assert sum(getattr(r, model) for r in out) == 101
+
+
+def test_attribution_edge_journeys(spark):
+    """n=0 (no touch in the lookback) emits ONE NULL-touch row with
+    full credit everywhere; n=1 and n=2 route the U-shape halves;
+    a touch outside the lookback window is excluded."""
+    from web_graph_spark.functions.stats import attribution_credits
+
+    rows = [(1, "2024-01-01 00:00:00", 1, "view", 0.0),   # 11h before
+            (2, "2024-01-01 11:00:00", 1, "purchase", 2.00),
+            (3, "2024-01-02 09:00:00", 2, "click", 0.0),
+            (4, "2024-01-02 10:00:00", 2, "purchase", 0.99),
+            (5, "2024-01-03 09:00:00", 3, "view", 0.0),
+            (6, "2024-01-03 09:30:00", 3, "click", 0.0),
+            (7, "2024-01-03 10:00:00", 3, "purchase", 1.01)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double") \
+        .selectExpr("event_id", "cast(ts as timestamp) as ts",
+                    "user_id", "event_type", "value")
+    out = attribution_credits(ev, lookback_hours=6).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    (u1,) = by_user[1]
+    assert u1.touch_id is None and u1.n == 0
+    assert (u1.first_c, u1.last_c, u1.linear_c, u1.ushape_c) \
+        == (200, 200, 200, 200)
+    (u2,) = by_user[2]
+    assert u2.n == 1 and u2.ushape_c == 99 and u2.linear_c == 99
+    u3 = sorted(by_user[3], key=lambda r: r.i)
+    assert [r.ushape_c for r in u3] == [50, 51]
+    assert [r.linear_c for r in u3] == [50, 51]

@@ -1565,3 +1565,91 @@ def calibration_curve(scored: DataFrame, labels: DataFrame,
         F.expr("CASE WHEN 2 * tp + fp + fn > 0 "
                "THEN 2000000 * tp div (2 * tp + fp + fn) END")
         .alias("f1_ppm"))
+
+
+def attribution_credits(events: DataFrame,
+                        touch_types: tuple[str, ...] = ("view", "click"),
+                        conv_type: str = "purchase",
+                        lookback_hours: int = 168) -> DataFrame:
+    """Multi-touch attribution (E178) — the event-pipeline classic:
+    split each conversion's value across the marketing touches that
+    preceded it, under the four standard models at once (first-touch,
+    last-touch, linear, U-shaped 40/20/40).  All credit arithmetic is
+    exact integer cents with DOCUMENTED remainder routing, so the
+    per-conversion credits sum to the conversion value to the cent
+    under every model::
+
+        journey  = same-user touches with conv_ts−lookback < ts ≤ conv_ts,
+                   ordered by (ts, event_id), ordinal i of n
+        linear   = V div n each, + V mod n to the LAST touch
+        u-shape  : n=1 → V; n=2 → (V div 2, V − V div 2);
+                   n≥3 → first (2V) div 5, last (2V) div 5, the rest
+                   R = V − first − last linear over the n−2 middles
+                   with R mod (n−2) to the FINAL middle
+
+    Physical shape: conversions ⋈ touches on the uniform user key
+    (ONE shuffle; the lookback predicate bounds the fan-out to the
+    window's touches), then ordinal + journey size from one window
+    over the conversion key — partition = one journey, never the
+    user's full history.  A conversion with NO touches in the window
+    emits a single NULL-touch row carrying full credit under every
+    model (the 'direct / unattributable' bucket real reports need).
+
+    → one row per (conversion, touch): ``(conv_id, user_id, conv_c,
+    touch_id, touch_type, i, n, first_c, last_c, linear_c,
+    ushape_c)``.
+
+    Reference analog: none — engine extension (events tier)."""
+    from pyspark.sql import Window
+
+    conv = events.filter(F.col("event_type") == conv_type).select(
+        F.col("event_id").alias("conv_id"), "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("conv_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("conv_c"))
+    touch = events.filter(F.col("event_type").isin(*touch_types)).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("user_id").alias("t_user"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("touch_us"))
+    lb = lookback_hours * 3600 * 1_000_000
+    j = conv.join(
+        touch, (F.col("user_id") == F.col("t_user"))
+        & (F.col("touch_us") <= F.col("conv_us"))
+        & (F.col("touch_us") > F.col("conv_us") - lb), "left") \
+        .select("conv_id", "user_id", "conv_c",
+                "touch_id", "touch_type", "touch_us")
+    w = Window.partitionBy("conv_id")
+    wo = w.orderBy("touch_us", "touch_id")
+    j = (j.withColumn("i", F.when(F.col("touch_id").isNotNull(),
+                                  F.row_number().over(wo)))
+         .withColumn("n", F.sum(F.when(F.col("touch_id").isNotNull(), 1)
+                                .otherwise(0)).over(w)))
+    v, i, n = F.col("conv_c"), F.col("i"), F.col("n")
+    first_c = F.when(n == 0, v).when(i == 1, v).otherwise(F.lit(0))
+    last_c = F.when(n == 0, v).when(i == n, v).otherwise(F.lit(0))
+    linear_c = F.when(n == 0, v).otherwise(
+        F.expr("conv_c div n")
+        + F.when(i == n, F.expr("conv_c % n")).otherwise(F.lit(0)))
+    head = F.expr("(2 * conv_c) div 5")
+    # mass left for the n−2 middles, split by integer div; remainder
+    # routed to the FINAL middle (i = n−1)
+    mid_each = F.expr(
+        "(conv_c - 2 * ((2 * conv_c) div 5)) div (n - 2)")
+    mid_rem = F.expr(
+        "(conv_c - 2 * ((2 * conv_c) div 5)) % (n - 2)")
+    ushape_c = (
+        F.when(n == 0, v)
+        .when(n == 1, v)
+        .when(n == 2, F.when(i == 1, F.expr("conv_c div 2"))
+              .otherwise(v - F.expr("conv_c div 2")))
+        .when(i == 1, head)
+        .when(i == n, head)
+        .otherwise(mid_each
+                   + F.when(i == n - 1, mid_rem).otherwise(F.lit(0))))
+    return j.select(
+        "conv_id", "user_id", "conv_c", "touch_id", "touch_type",
+        i.cast("long").alias("i"), n.cast("long").alias("n"),
+        first_c.cast("long").alias("first_c"),
+        last_c.cast("long").alias("last_c"),
+        linear_c.cast("long").alias("linear_c"),
+        ushape_c.cast("long").alias("ushape_c"))
