@@ -3986,6 +3986,61 @@ def q_media_aphash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("hamming").cast("long").alias("hamming")))
 
 
+def q_media_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy VAD segmentation (functions/media.py:vad_segments E179)
+    over REAL 16-bit PCM WAV bytes synthesized per document from an
+    md5-derived closed-form waveform (gain g = 20 + h%8, n = 700 +
+    (h div 8)%500 samples, sample i = (i%50−25)·g voiced with 100-
+    sample silence alternation) — which makes this the ONE media
+    query with a full exact-SQL oracle: DuckDB replays frame energies
+    from the formula, never parsing a byte.  Python only decodes;
+    activity flags + run/segment stats are a JVM fold; threshold
+    10000·g² separates voiced (≈16680·g²) from silent/mixed frames."""
+    import io
+    import struct
+    import wave as wavmod
+    from typing import Iterator
+
+    import pandas as pd
+
+    from web_graph_spark.functions.media import vad_segments
+    from web_graph_spark.operators.graph_algos import _hex16
+
+    hx = _hex16(F.concat(F.lit("vad:"), F.col("doc_id").cast("string")))
+    par = (_docs(spark, sf_dir)
+           .select("doc_id", hx.cast("long").alias("h"))
+           .select(F.concat(F.lit("m-"), F.col("doc_id").cast("string"))
+                   .alias("media_id"),
+                   F.expr("20 + h % 8").cast("long").alias("g"),
+                   F.expr("700 + (h div 8) % 500").cast("long")
+                   .alias("n")))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raws = []
+            for g, n in zip(pdf["g"], pdf["n"]):
+                g, n = int(g), int(n)
+                buf = io.BytesIO()
+                with wavmod.open(buf, "wb") as wv:
+                    wv.setnchannels(1)
+                    wv.setsampwidth(2)
+                    wv.setframerate(8000)
+                    wv.writeframes(b"".join(
+                        struct.pack(
+                            "<h",
+                            0 if (i // 100) % 2 == 1
+                            else (i % 50 - 25) * g)
+                        for i in range(n)))
+                raws.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "g": pdf["g"], "media": raws})
+
+    media = par.mapInPandas(
+        synth, schema="media_id string, g long, media binary") \
+        .withColumn("thr", F.expr("10000 * g * g"))
+    return vad_segments(media, thr_col="thr")
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling (functions/media.py:sample_frames): every
     2nd frame of the deterministic VID1 containers re-encoded as a
@@ -5129,6 +5184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "media_resize": q_media_resize,
         "media_aphash": q_media_aphash,
+        "media_vad": q_media_vad,
         "events_sessionize": q_events_sessionize,
         "events_asof_join": q_events_asof_join,
         "events_quantiles": q_events_quantiles,
@@ -8821,6 +8877,50 @@ SELECT CAST(dim AS INTEGER) AS dim,
        CAST(max(err_ppm) AS BIGINT) AS max_err_ppm,
        CAST(sum(err_ppm) AS BIGINT) AS sum_err_ppm
 FROM e GROUP BY 1""",
+        "media_vad": f"""
+WITH par AS (
+  SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_id,
+         20 + {_hex16_sql("'vad:' || CAST(doc_id AS VARCHAR)")} % 8
+           AS g,
+         700 + ({_hex16_sql("'vad:' || CAST(doc_id AS VARCHAR)")}
+                // 8) % 500 AS n
+  FROM documents
+),
+fr AS (
+  SELECT media_id, g, u.f AS f
+  FROM par, UNNEST(generate_series(0, n // 80 - 1)) AS u(f)
+),
+sm AS (
+  SELECT media_id, g, f,
+         CASE WHEN (u2.i // 100) % 2 = 1 THEN 0
+              ELSE ((u2.i % 50) - 25) * g END AS s
+  FROM fr, UNNEST(generate_series(f * 80, f * 80 + 79)) AS u2(i)
+),
+en AS (SELECT media_id, g, f, sum(s * s) AS e
+       FROM sm GROUP BY 1, 2, 3),
+act AS (SELECT media_id, f, (e > 10000 * g * g) AS a FROM en),
+isl AS (
+  SELECT media_id, f, a,
+         f - row_number() OVER (PARTITION BY media_id, a
+                                ORDER BY f) AS grp
+  FROM act
+),
+seg AS (SELECT media_id, grp, count(*) AS run
+        FROM isl WHERE a GROUP BY 1, 2),
+agg AS (SELECT media_id, count(*) AS n_segments,
+               max(run) AS longest_run, sum(run) AS n_active
+        FROM seg GROUP BY 1),
+tot AS (SELECT media_id, count(*) AS n_frames FROM act GROUP BY 1)
+SELECT p.media_id,
+       CAST(t.n_frames AS BIGINT) AS n_frames,
+       CAST(coalesce(a.n_active, 0) AS BIGINT) AS n_active,
+       CAST(coalesce(a.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(coalesce(a.longest_run, 0) AS BIGINT) AS longest_run,
+       CAST((1000000 * coalesce(a.n_active, 0)) // t.n_frames
+            AS BIGINT) AS active_ppm
+FROM par p
+JOIN tot t USING (media_id)
+LEFT JOIN agg a USING (media_id)""",
         "media_sniff": f"""
 WITH b AS (
   SELECT doc_id,

@@ -3458,3 +3458,42 @@ def test_attribution_edge_journeys(spark):
     u3 = sorted(by_user[3], key=lambda r: r.i)
     assert [r.ushape_c for r in u3] == [50, 51]
     assert [r.linear_c for r in u3] == [50, 51]
+
+
+def _mk_wav(samples):
+    import io
+    import struct
+    import wave as wavmod
+
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_vad_segments_hand_wav(spark):
+    """Frame=4 samples: loud-loud-quiet-loud gives 2 segments with
+    longest run 2; the tail partial frame is dropped; an undecodable
+    blob reports NULL everywhere; a clip shorter than one frame
+    reports 0 frames and NULL ppm."""
+    from web_graph_spark.functions.media import vad_segments
+
+    loud, quiet = [100, -100, 100, -100], [1, -1, 1, -1]
+    w1 = _mk_wav(loud + loud + quiet + loud + [100, 100])  # 18 smp
+    w2 = _mk_wav([5, 5])                                   # <1 frame
+    rows = [("a", w1, 1000), ("b", w2, 1000), ("c", b"junk", 1000)]
+    media = spark.createDataFrame(
+        rows, "media_id string, media binary, thr long")
+    out = {r.media_id: r
+           for r in vad_segments(media, frame_len=4).collect()}
+    a = out["a"]
+    assert (a.n_frames, a.n_active, a.n_segments, a.longest_run) \
+        == (4, 3, 2, 2)
+    assert a.active_ppm == 750000
+    b = out["b"]
+    assert (b.n_frames, b.n_active, b.active_ppm) == (0, 0, None)
+    c = out["c"]
+    assert c.n_frames is None and c.active_ppm is None
