@@ -171,6 +171,11 @@ ALLOW: dict[tuple[str, str], str] = {
         "1-row total-token dim (N) crossed onto the scored bigrams",
     ("corpus_bigram_lm", "Exchange SinglePartition"):
         "1-row total-token aggregate; partial sums upstream",
+    ("corpus_kneser_ney", "BroadcastNestedLoopJoin"):
+        "1-row bigram-type-total dim (T) crossed onto the scored "
+        "bigrams — same shape as corpus_bigram_lm's N dim",
+    ("corpus_kneser_ney", "Exchange SinglePartition"):
+        "the same 1-row type-count aggregate; partial counts upstream",
     ("corpus_perplexity", "BroadcastNestedLoopJoin"):
         "1-row model-total and 1-row doc-count dims crossed onto "
         "bounded dims (≤4096-bucket model, ≤10^6-bin histogram)",
@@ -229,6 +234,9 @@ ALLOW: dict[tuple[str, str], str] = {
                                 "is bytes-in-Python; md5 is JVM",
     ("media_aphash", "python"): "WAV PCM parse + energy-envelope hash "
                                 "is bytes-in-Python; pairing is JVM",
+    ("media_vad", "python"): "WAV synth + PCM frame-energy decode are "
+                             "bytes-in-Python; activity flags and "
+                             "segment runs are a JVM fold",
     ("dedup_minhash", "python"): "bit-vote/banding tail on hashed ints",
     ("dedup_minhash_incremental", "python"): "same minhash tail",
     ("dedup_simhash", "python"): "64-bit bit-vote tail (hashing is JVM)",
