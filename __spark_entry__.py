@@ -2397,6 +2397,23 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability_scores(d)
 
 
+def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive summarization (functions/text.py:extractive_summary
+    E180, TextRank degree form): top-2 most central sentences per
+    document over the sentence-injected corpus, scored by shared
+    vocabulary with the rest of the document — computed WITHOUT the
+    quadratic sentence-pair join via the linear decomposition
+    score(i) = Σ_tok (n_sentences_with(tok) − 1); the oracle replays
+    the textbook pairwise self-join, so equality certifies the
+    decomposition."""
+    from web_graph_spark.functions.text import extractive_summary
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("replace(text, ' table', ' table.')")
+        .alias("text"))
+    return extractive_summary(d, k=2)
+
+
 def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script composition + homoglyph flag (functions/
     text.py:script_mix E175) over a corpus with deterministically
@@ -5117,6 +5134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_readability": q_text_readability,
         "text_script_mix": q_text_script_mix,
+        "text_textrank": q_text_textrank,
         "corpus_source_reputation": q_corpus_source_reputation,
         "text_lang_id": q_text_lang_id,
         "text_repetition": q_text_repetition,
@@ -7027,6 +7045,52 @@ SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
        END AS grade_milli
 FROM c""",
         "text_script_mix": _script_mix_sql(),
+        "text_textrank": """
+WITH corpus AS (
+  SELECT doc_id, replace(text, ' table', ' table.') AS text
+  FROM documents
+),
+s0 AS (
+  SELECT doc_id, u.i - 1 AS sent_idx, trim(parts[u.i]) AS sentence
+  FROM (SELECT doc_id, string_split(text, '.') AS parts FROM corpus),
+       UNNEST(generate_series(1, len(parts))) AS u(i)
+),
+sents AS (SELECT * FROM s0 WHERE sentence <> ''),
+trip AS (
+  SELECT DISTINCT doc_id, sent_idx, tok FROM (
+    SELECT doc_id, sent_idx,
+           unnest(string_split(sentence, ' ')) AS tok
+    FROM sents) t WHERE tok <> ''
+),
+pairs AS (
+  SELECT a.doc_id, a.sent_idx AS si, b.sent_idx AS sj,
+         count(*) AS shared
+  FROM trip a
+  JOIN trip b ON b.doc_id = a.doc_id AND b.tok = a.tok
+             AND b.sent_idx <> a.sent_idx
+  GROUP BY 1, 2, 3
+),
+sco AS (
+  SELECT doc_id, si AS sent_idx, CAST(sum(shared) AS BIGINT) AS score
+  FROM pairs GROUP BY 1, 2
+),
+nd AS (SELECT doc_id, count(*) AS n_sents FROM sents GROUP BY 1),
+ranked AS (
+  SELECT s.doc_id, s.sent_idx, n.n_sents,
+         coalesce(sc.score, 0) AS score, s.sentence,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY coalesce(sc.score, 0) DESC,
+                                     s.sent_idx ASC) AS rank
+  FROM sents s
+  JOIN nd n ON n.doc_id = s.doc_id
+  LEFT JOIN sco sc ON sc.doc_id = s.doc_id
+                  AND sc.sent_idx = s.sent_idx
+)
+SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+       CAST(n_sents AS BIGINT) AS n_sents,
+       CAST(score AS BIGINT) AS score,
+       CAST(rank AS BIGINT) AS rank, sentence
+FROM ranked WHERE rank <= 2""",
         "text_lang_id": f"""
 SELECT doc_id, lang, {lang_guess_sql('text')} AS lang_guess
 FROM documents""",

@@ -3497,3 +3497,28 @@ def test_vad_segments_hand_wav(spark):
     assert (b.n_frames, b.n_active, b.active_ppm) == (0, 0, None)
     c = out["c"]
     assert c.n_frames is None and c.active_ppm is None
+
+
+def test_extractive_summary_hand_doc(spark):
+    """Linear decomposition ≡ pairwise degree: 'a b. a c. d e.'
+    scores (1, 1, 0) — s0 shares 'a' with s1, s2 shares nothing;
+    ties break to the earlier sentence; within-sentence duplicate
+    tokens count once; empty segments (trailing '.') drop but do
+    not shift the surviving indexes."""
+    from web_graph_spark.functions.text import extractive_summary
+
+    docs = spark.createDataFrame(
+        [(1, "a b. a c. d e."),
+         (2, "a a b. a z.")],
+        "doc_id long, text string")
+    out = sorted(extractive_summary(docs, k=2).collect(),
+                 key=lambda r: (r.doc_id, r.rank))
+    d1 = [r for r in out if r.doc_id == 1]
+    assert [(r.rank, r.sent_idx, r.score) for r in d1] \
+        == [(1, 0, 1), (2, 1, 1)]
+    assert d1[0].n_sents == 3 and d1[0].sentence == "a b"
+    d2 = [r for r in out if r.doc_id == 2]
+    # duplicate 'a a' counts once -> s0 score 1, tie with s1 breaks
+    # to the earlier sentence
+    assert [(r.rank, r.sent_idx, r.score) for r in d2] \
+        == [(1, 0, 1), (2, 1, 1)]

@@ -2046,3 +2046,69 @@ def kneser_ney_scores(df: DataFrame, id_col: str = "doc_id",
                     "sum_kn_ppb",
                     F.expr("sum_kn_ppb div n_bigrams").cast("long")
                     .alias("avg_kn_ppb")))
+
+
+def extractive_summary(df: DataFrame, k: int = 2,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """TextRank-style extractive summarization (E180; Mihalcea &
+    Tarau 2004, degree form) — the snippet/preview step of a corpus
+    pipeline and the cheap 'central sentences' signal used for
+    dataset cards and dedup previews: score every sentence by how
+    much vocabulary it shares with the REST of its document, keep
+    the top-k.
+
+    The scale trick: the pairwise sentence-similarity graph is never
+    built.  With shared-token counting, degree centrality
+    decomposes linearly::
+
+        score(i) = Σ_{j≠i} |tokens(i) ∩ tokens(j)|
+                 = Σ_{tok ∈ i} (n_sentences_containing(tok) − 1)
+
+    so one (doc, sentence, token)-distinct explode + one token-dim
+    agg + one sentence agg replace the O(sentences²) self-join the
+    textbook formulation runs (the oracle REPLAYS that quadratic
+    pair form — equality certifies the decomposition).  All exact
+    integers; ranking ties break to the earlier sentence.
+
+    Physical shape: split/posexplode (narrow) → two hash aggs on
+    (doc, token) / (doc, sentence) keys → one per-doc window over
+    sentence-count-sized partitions.  Empty sentences (consecutive
+    delimiters, trailing period) drop before scoring.
+
+    → top-k rows per doc: ``(id_col, sent_idx, n_sents, score,
+    rank, sentence)``.
+
+    Reference analog: none — engine extension (curation tier)."""
+    from pyspark.sql import Window
+
+    sents = (df.select(F.col(id_col).alias("doc_id"),
+                       F.posexplode(F.split(F.col(text_col), r"\."))
+                       .alias("sent_idx", "raw"))
+             .select("doc_id", "sent_idx",
+                     F.trim(F.col("raw")).alias("sentence"))
+             .filter(F.col("sentence") != ""))
+    trip = (sents.select("doc_id", "sent_idx",
+                         F.explode(F.array_distinct(
+                             F.split(F.col("sentence"), " ")))
+                         .alias("tok"))
+            .filter(F.col("tok") != ""))
+    tokdim = trip.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("n_with"))
+    score = (trip.join(tokdim, ["doc_id", "tok"])
+             .groupBy("doc_id", "sent_idx")
+             .agg(F.sum(F.col("n_with") - 1).cast("long")
+                  .alias("score")))
+    nd = sents.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sents"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("sent_idx").asc())
+    return (sents.join(score, ["doc_id", "sent_idx"])
+            .join(nd, "doc_id")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("doc_id").alias(id_col),
+                    F.col("sent_idx").cast("long").alias("sent_idx"),
+                    "n_sents", "score",
+                    F.col("rank").cast("long").alias("rank"),
+                    "sentence"))
