@@ -4208,6 +4208,18 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_credits(ev, lookback_hours=6)
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (functions/stats.py:
+    transition_matrix E181): exact counts + row-conditional ppm over
+    (ts, event_id)-ordered sequences — next-action structure and the
+    bot-behavior fingerprint, one sessionize-grade window + one
+    bounded agg.  The oracle replays with its own lead window."""
+    from web_graph_spark.functions.stats import transition_matrix
+
+    return transition_matrix(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix (functions/stats.py:cohort_retention
     E83): first-active-day cohorts × integer day offsets with exact
@@ -5238,6 +5250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "events_funnel": q_events_funnel,
         "events_attribution": q_events_attribution,
+        "events_transitions": q_events_transitions,
         "events_retention": q_events_retention,
         "events_qdigest": q_events_qdigest,
         "corpus_merkle_diff": q_corpus_merkle_diff,
@@ -7989,6 +8002,23 @@ dup AS (SELECT b_id AS vec_id, min(a_id) AS dup_of FROM pairs GROUP BY 1)
 SELECT c.vec_id, c.cell, d.dup_of IS NULL AS keep, d.dup_of
 FROM c LEFT JOIN dup d ON d.vec_id = c.vec_id""",
         "events_funnel": _funnel_oracle(),
+        "events_transitions": """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+m AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST((1000000 * n) // sum(n) OVER (PARTITION BY from_type)
+            AS BIGINT) AS share_ppm,
+       from_type = to_type AS is_self
+FROM m""",
         "events_attribution": """
 WITH conv AS (
   SELECT event_id AS conv_id, user_id, epoch_us(ts) AS conv_us,

@@ -3522,3 +3522,31 @@ def test_extractive_summary_hand_doc(spark):
     # to the earlier sentence
     assert [(r.rank, r.sent_idx, r.score) for r in d2] \
         == [(1, 0, 1), (2, 1, 1)]
+
+
+def test_transition_matrix_hand_sequences(spark):
+    """Two users: u1 a→b→a (transitions a→b, b→a), u2 a→b→b
+    (a→b, b→b self-loop); sequences never cross users; row shares
+    are exact ppm of transitions leaving the from-state."""
+    from web_graph_spark.functions.stats import transition_matrix
+
+    rows = [(1, "2024-01-01 00:00:01", 1, "a", 0.0),
+            (2, "2024-01-01 00:00:02", 1, "b", 0.0),
+            (3, "2024-01-01 00:00:03", 1, "a", 0.0),
+            (4, "2024-01-01 00:00:01", 2, "a", 0.0),
+            (5, "2024-01-01 00:00:02", 2, "b", 0.0),
+            (6, "2024-01-01 00:00:03", 2, "b", 0.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double") \
+        .selectExpr("event_id", "cast(ts as timestamp) as ts",
+                    "user_id", "event_type", "value")
+    out = {(r.from_type, r.to_type): r
+           for r in transition_matrix(ev).collect()}
+    assert out[("a", "b")].n == 2
+    assert out[("a", "b")].share_ppm == 1_000_000
+    assert out[("b", "a")].n == 1
+    assert out[("b", "a")].share_ppm == 500_000
+    assert out[("b", "b")].is_self and out[("b", "b")].n == 1
+    # u1's last 'a' never chains into u2's first 'a'
+    assert ("a", "a") not in out

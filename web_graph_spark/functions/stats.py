@@ -1653,3 +1653,44 @@ def attribution_credits(events: DataFrame,
         last_c.cast("long").alias("last_c"),
         linear_c.cast("long").alias("linear_c"),
         ushape_c.cast("long").alias("ushape_c"))
+
+
+def transition_matrix(events: DataFrame, key_col: str = "user_id",
+                      state_col: str = "event_type",
+                      ts_col: str = "ts") -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences (E181) — the sequence-mining primitive behind
+    next-action prediction, funnel-free journey analysis, and the
+    bot-behavior fingerprint (a scripted client's transition rows are
+    near-deterministic where organic traffic is mixed; the sequence
+    complement to E130's timing regularity).  Per (from, to) state
+    pair: exact transition count and the row-conditional probability
+    in ppm (share of all transitions LEAVING `from`), plus the
+    self-loop marker.
+
+    Physical shape: ONE key-partitioned window (lead over (ts,
+    event_id) — the same single shuffle sessionize pays; partitions
+    are one user's events, never the global stream) then one hash agg
+    to ≤|states|² rows; the share window runs on that bounded dim.
+    Ordering ties are impossible by construction (event_id is
+    unique and last in the sort key).
+
+    → ``(from_type, to_type, n, share_ppm, is_self)``.
+
+    Reference analog: none — engine extension (events tier)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, "event_id")
+    pairs = (events.select(key_col, "event_id", ts_col,
+                           F.col(state_col).alias("from_type"))
+             .withColumn("to_type", F.lead("from_type").over(w))
+             .filter(F.col("to_type").isNotNull()))
+    m = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    wr = Window.partitionBy("from_type")
+    return (m.withColumn("row_total", F.sum("n").over(wr))
+            .select("from_type", "to_type", "n",
+                    F.expr("(1000000 * n) div row_total").cast("long")
+                    .alias("share_ppm"),
+                    (F.col("from_type") == F.col("to_type"))
+                    .alias("is_self")))
