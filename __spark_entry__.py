@@ -127,6 +127,65 @@ GROUP BY 1""")
     return "".join(parts)
 
 
+def _densest_unrolled_sql(rounds: int = 8) -> str:
+    """Fixed-round BKV densest-subgraph peeling unrolled to plain SQL
+    — the oracle for q_graph_densest.  Each round mirrors
+    operators/graph_algos.py:densest_subgraph exactly: per-round
+    (|E|, |S|) stats, simultaneous drop of vertices with
+    deg·|S| ≤ 3·|E| (ε = 1/2 bar, cross-multiplied), then the best
+    round by exact rational density comparison (earliest wins ties)
+    and that set's in-set degrees."""
+    parts = ["""
+, e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src_doc_id, tgt_doc_id) AS u,
+         greatest(src_doc_id, tgt_doc_id) AS v
+  FROM web_links_full WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id
+),
+und AS MATERIALIZED (SELECT u, v FROM e0
+                     UNION ALL SELECT v AS u, u AS v FROM e0),
+a0 AS MATERIALIZED (SELECT DISTINCT doc_id AS id FROM web_pages)"""]
+    for i in range(rounds + 1):
+        parts.append(f""",
+s{i} AS MATERIALIZED (
+  SELECT {i} AS r,
+         (SELECT count(*) FROM e0
+          JOIN a{i} x ON x.id = e0.u
+          JOIN a{i} y ON y.id = e0.v) AS ne,
+         (SELECT count(*) FROM a{i}) AS ns)""")
+        if i < rounds:
+            parts.append(f""",
+a{i + 1} AS MATERIALIZED (
+  SELECT und.u AS id FROM und
+  JOIN a{i} x ON x.id = und.u
+  JOIN a{i} y ON y.id = und.v
+  GROUP BY 1
+  HAVING count(*) * (SELECT ns FROM s{i}) > 3 * (SELECT ne FROM s{i}))""")
+    stats_union = " UNION ALL ".join(f"SELECT r, ne, ns FROM s{i}"
+                                     for i in range(rounds + 1))
+    sets_union = " UNION ALL ".join(f"SELECT {i} AS r, id FROM a{i}"
+                                    for i in range(rounds + 1))
+    parts.append(f""",
+stats AS ({stats_union}),
+best AS (
+  SELECT r, ne, ns FROM stats s
+  WHERE ns > 0 AND NOT EXISTS (
+    SELECT 1 FROM stats t WHERE t.ns > 0 AND
+      (t.ne * s.ns > s.ne * t.ns
+       OR (t.ne * s.ns = s.ne * t.ns AND t.r < s.r)))),
+sel AS (SELECT id FROM ({sets_union}) z JOIN best USING (r))
+SELECT und.u AS doc_id, CAST(count(*) AS BIGINT) AS deg_in,
+       CAST(b.r AS INTEGER) AS best_round,
+       CAST(b.ns AS BIGINT) AS set_size,
+       CAST(b.ne AS BIGINT) AS set_edges,
+       CAST(b.ne * 1000000 // b.ns AS BIGINT) AS density_ppm
+FROM und
+JOIN sel x ON x.id = und.u
+JOIN sel y ON y.id = und.v
+CROSS JOIN best b
+GROUP BY und.u, b.r, b.ns, b.ne""")
+    return "".join(parts)
+
+
 def _ktruss_unrolled_sql(k: int, rounds: int) -> str:
     """Fixed-round synchronous k-truss support peeling unrolled to
     plain SQL — the oracle for q_graph_ktruss.  Each round mirrors
@@ -1755,6 +1814,24 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("src_doc_id", "tgt_doc_id").distinct())
     v = webgen.pages_df(spark, sf_dir).select("doc_id")
     return kcore(v, e, k=3, rounds=6)
+
+
+def q_graph_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest subgraph of the admissible link graph
+    (operators/graph_algos.py:densest_subgraph — Bahmani, Kumar &
+    Vassilvitskii VLDB'12 peeling, ε = 1/2, 8 synchronous rounds):
+    the single tightest link community, within 3× of the optimum
+    density, chosen by exact rational comparison across rounds — the
+    spam-epicentre readout next to k-core and the communities.
+    Deterministic fixed-round integer semantics, so the oracle is
+    the SAME 8 rounds unrolled in SQL."""
+    from web_graph_spark.operators.graph_algos import densest_subgraph
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    v = webgen.pages_df(spark, sf_dir).select("doc_id")
+    return densest_subgraph(v, e, rounds=8)
 
 
 def q_graph_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5135,6 +5212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_opic": q_graph_opic,
         "graph_salsa": q_graph_salsa,
         "graph_kcore": q_graph_kcore,
+        "graph_densest": q_graph_densest,
         "graph_random_walks": q_graph_random_walks,
         "graph_hyperball": q_graph_hyperball,
         "graph_harmonic": q_graph_harmonic,
@@ -6566,6 +6644,7 @@ FROM sj j
 JOIN scomp c ON c.component = j.component AND c.side = j.side
 JOIN stot t ON t.side = j.side"""),
         "graph_kcore": _oracle(_kcore_unrolled_sql(k=3, rounds=6)),
+        "graph_densest": _oracle(_densest_unrolled_sql(rounds=8)),
         "graph_mis": _oracle(_mis_unrolled_sql(rounds=6)),
         "graph_gap_audit": _oracle("""
 , e AS (

@@ -1080,3 +1080,60 @@ def test_salsa_two_personae_and_self_loop(spark):
     assert sides[4] == {"hub", "auth"}
     assert sides[1] == {"hub"} and sides[3] == {"auth"}
     assert all(r["deg"] == 1 for r in rows)
+
+
+@pytest.mark.spark
+def test_densest_hand_graph(spark):
+    """5-clique + sparse periphery: round 0 is the full graph
+    (ρ = 13/15), round 1's survivors of the d·|S| > 3·|E| bar are
+    exactly the clique (deg 4 > 2.6; every periphery vertex has
+    deg ≤ 1), density 2.0 wins, round 2 peels to empty.  Pins the
+    best-round witness columns and the in-set degrees."""
+    from web_graph_spark.operators.graph_algos import densest_subgraph
+
+    clique = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    e = spark.createDataFrame(
+        clique + [(6, 7), (8, 9), (10, 11)],
+        "src_doc_id long, tgt_doc_id long")
+    v = spark.createDataFrame([(i,) for i in range(1, 16)],
+                              "doc_id long")
+    rows = densest_subgraph(v, e, rounds=8).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2, 3, 4, 5]
+    for r in rows:
+        assert (r.deg_in, r.best_round, r.set_size, r.set_edges,
+                r.density_ppm) == (4, 1, 5, 10, 2_000_000)
+
+
+@pytest.mark.spark
+def test_densest_tie_keeps_earliest_round(spark):
+    """A lone clique: round 1 drops everything at once (bar
+    d > 3(k−1)/2 > k−1), so round 0's full set is the only non-empty
+    candidate — best_round must be 0, not a later empty round."""
+    from web_graph_spark.operators.graph_algos import densest_subgraph
+
+    e = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src_doc_id long, tgt_doc_id long")
+    v = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    rows = densest_subgraph(v, e, rounds=4).collect()
+    assert sorted(r.doc_id for r in rows) == [0, 1, 2, 3]
+    assert {(r.best_round, r.set_size, r.set_edges) for r in rows} \
+        == {(0, 4, 6)}
+
+
+@pytest.mark.spark
+def test_densest_extra_rounds_noop(spark):
+    """Once the survivor chain has emptied, extra rounds cannot mint
+    a new best set — rounds=4 and rounds=8 agree on the derived web
+    (and the result is non-trivial: a proper subset or the full
+    graph, with a consistent witness)."""
+    from web_graph_spark import webgen
+    from web_graph_spark.operators.graph_algos import densest_subgraph
+
+    e = (webgen.links_full_df(spark, SF_SMOKE)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    v = webgen.pages_df(spark, SF_SMOKE).select("doc_id")
+    a = sorted(map(tuple, densest_subgraph(v, e, rounds=4).collect()))
+    b = sorted(map(tuple, densest_subgraph(v, e, rounds=8).collect()))
+    assert a == b and len(a) > 0

@@ -1852,3 +1852,76 @@ def salsa_scores(edges: DataFrame, src: str = "src_doc_id",
                     F.expr(f"(comp_nodes * deg * {scale}) "
                            "div (side_total * comp_edges)")
                     .cast("long").alias("score_ppb")))
+
+
+def densest_subgraph(vertices: DataFrame, edges: DataFrame,
+                     rounds: int = 8, id_col: str = "doc_id",
+                     src: str = "src_doc_id",
+                     dst: str = "tgt_doc_id") -> DataFrame:
+    """Greedy densest-subgraph extraction by synchronous
+    (2+ε)-approximation peeling (Bahmani, Kumar & Vassilvitskii,
+    VLDB'12) with ε = 1/2: each round simultaneously removes every
+    vertex whose surviving degree is ≤ 3·|E(S)|/|S| (the 2(1+ε)
+    density bar), and the answer is the BEST-density survivor set
+    seen across all rounds — guaranteed within 3× of the optimum.
+    The web use: the single tightest link community (a link-farm /
+    mutual-admiration core) extracted without enumerating per-k
+    cores; crawl planning reads it as the spam-capture epicentre
+    next to E85's k-core and E50's communities.
+
+    Exact integer algebra throughout: the peel bar is applied by
+    cross-multiplication (``deg·|S| > 3·|E|`` keeps a vertex), and
+    the best round is chosen by exact rational comparison
+    ``ne_i·ns_j > ne_j·ns_i`` (earliest round wins ties) — no
+    floating-point density anywhere, so the fixed-round unrolled SQL
+    oracle replays bit-for-bit.  Output: one row per vertex of the
+    winning set with its in-set degree, plus the set's (round, size,
+    edges, floor-ppm density) witness columns.
+
+    Scale shape: per round one endpoint-key semi-join pair + one
+    uniform-key degree agg (same shuffle bill as one k-core round);
+    the two per-round counts are the scalar actions the peel bar
+    needs (BKV's MapReduce rounds do the same).  Survivors shrink by
+    ≥ 1/3 per round (Σdeg = 2|E| forces it), so ⌈log_{3/2}|V|⌉
+    rounds always converge — ``rounds`` = 8 covers the sandbox graph
+    with two idempotent tail rounds to spare; empty-set tail rounds
+    short-circuit.  Lineage stays flat via localCheckpoint.
+    Reference analog: none (the Go engine has no graph analytics);
+    this is part of the LLM-pipeline tier the rebuild adds.
+    """
+    e0 = _canon_edges(edges, src, dst).localCheckpoint()
+    und = (e0.select("u", "v")
+           .unionByName(e0.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+           .localCheckpoint())
+    alive = (vertices.select(F.col(id_col).cast("long").alias("id"))
+             .distinct().localCheckpoint())
+    hist: list[tuple[int, int, int, DataFrame]] = []
+    for i in range(rounds + 1):
+        e_in = (e0.join(alive.withColumnRenamed("id", "u"), "u", "semi")
+                .join(alive.withColumnRenamed("id", "v"), "v", "semi"))
+        ne, ns = e_in.count(), alive.count()
+        hist.append((i, ne, ns, alive))
+        if ns == 0 or i == rounds:
+            break
+        deg = (und.join(alive.withColumnRenamed("id", "u"), "u", "semi")
+               .join(alive.withColumnRenamed("id", "v"), "v", "semi")
+               .groupBy("u").agg(F.count(F.lit(1)).alias("d")))
+        alive = (deg.filter(F.col("d") * F.lit(ns) > F.lit(3 * ne))
+                 .select(F.col("u").alias("id")).localCheckpoint())
+    best = hist[0]
+    for cand in hist[1:]:
+        if cand[2] > 0 and cand[1] * best[2] > best[1] * cand[2]:
+            best = cand
+    r, ne, ns, sel = best
+    deg_in = (und.join(sel.withColumnRenamed("id", "u"), "u", "semi")
+              .join(sel.withColumnRenamed("id", "v"), "v", "semi")
+              .groupBy("u").agg(F.count(F.lit(1)).cast("long")
+                                .alias("deg_in")))
+    return deg_in.select(
+        F.col("u").alias(id_col), "deg_in",
+        F.lit(r).cast("int").alias("best_round"),
+        F.lit(ns).cast("long").alias("set_size"),
+        F.lit(ne).cast("long").alias("set_edges"),
+        F.lit(ne * 1_000_000 // ns if ns else 0).cast("long")
+        .alias("density_ppm"))
