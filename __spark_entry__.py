@@ -1025,6 +1025,29 @@ def q_crawl_connection_plan(spark: SparkSession, sf_dir: str
     return connection_plan(sched, gap_limit=10)
 
 
+def q_crawl_dns_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DNS LRU cache hit-ratio audit (operators/cacheaudit.py:
+    lru_hit_audit E183): replay the pooled fetcher's 1000-entry
+    TTL-LRU resolver cache (fetch.py; the Go reference's DoH cache,
+    linkprocessor.go:52-56) against the host-access stream the crawl
+    actually generates — admissible links in deterministic fetch
+    order (src_doc_id, k), key = target host — at capacity 4 /
+    TTL 64 accesses, sized to exercise all four verdicts against
+    webgen's 12-host skewed dim.  Exact Mattson stack-distance
+    classification (cold / ttl / evict / hit) with no sequential
+    simulation; the oracle replays it with lag windows + an
+    inequality-join distinct count."""
+    from web_graph_spark.operators.cacheaudit import lru_hit_audit
+
+    acc = (webgen.links_full_df(spark, sf_dir)
+           .filter(F.col("k") % 4 != 0)
+           .select(F.col("tgt_host").alias("host"),
+                   (F.col("src_doc_id") * 8 + F.col("k")).alias("ord")))
+    return (lru_hit_audit(acc, key_col="host", ord_col="ord",
+                          capacity=4, window=64)
+            .withColumnRenamed("key", "host"))
+
+
 def q_crawl_revalidation(spark: SparkSession, sf_dir: str
                          ) -> DataFrame:
     """Conditional-GET savings audit (operators/recrawl.py:
@@ -5175,6 +5198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_fair_share": q_crawl_fair_share,
         "crawl_wfq_order": q_crawl_wfq_order,
         "crawl_connection_plan": q_crawl_connection_plan,
+        "crawl_dns_cache": q_crawl_dns_cache,
         "crawl_revalidation": q_crawl_revalidation,
         "crawl_drain_plan": q_crawl_drain_plan,
         "graph_lang_matrix": q_graph_lang_matrix,
@@ -5853,6 +5877,44 @@ SELECT host, n_fetches, n_setups,
             AS BIGINT) AS reuse_ppm,
        max_gap
 FROM per"""),
+        "crawl_dns_cache": _oracle("""
+, acc AS (
+  SELECT tgt_host AS key,
+         row_number() OVER (ORDER BY src_doc_id * 8 + k) - 1 AS pos
+  FROM web_links_full WHERE k % 4 <> 0
+),
+lagd AS (
+  SELECT key, pos,
+         lag(pos) OVER (PARTITION BY key ORDER BY pos) AS prev
+  FROM acc
+),
+gapd AS (
+  SELECT l.key, l.pos, count(DISTINCT b.key) AS dn
+  FROM lagd l JOIN acc b ON b.pos > l.prev AND b.pos < l.pos
+  WHERE l.prev IS NOT NULL AND l.pos - l.prev <= 64
+  GROUP BY 1, 2
+),
+cls AS (
+  SELECT l.key,
+         CASE WHEN l.prev IS NULL THEN 'cold'
+              WHEN l.pos - l.prev > 64 THEN 'ttl'
+              WHEN coalesce(g.dn, 0) >= 4 THEN 'evict'
+              ELSE 'hit' END AS verdict
+  FROM lagd l LEFT JOIN gapd g ON g.key = l.key AND g.pos = l.pos
+)
+SELECT key AS host,
+       CAST(count(*) AS BIGINT) AS n_access,
+       CAST(sum(CASE WHEN verdict = 'hit' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN verdict = 'cold' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cold,
+       CAST(sum(CASE WHEN verdict = 'ttl' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ttl,
+       CAST(sum(CASE WHEN verdict = 'evict' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_evict,
+       CAST(sum(CASE WHEN verdict = 'hit' THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS hit_ppm
+FROM cls GROUP BY 1"""),
         "crawl_revalidation": _oracle("""
 , waves AS (SELECT u.i AS wave
             FROM UNNEST(generate_series(0, 4)) AS u(i)),

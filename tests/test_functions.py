@@ -3550,3 +3550,103 @@ def test_transition_matrix_hand_sequences(spark):
     assert out[("b", "b")].is_self and out[("b", "b")].n == 1
     # u1's last 'a' never chains into u2's first 'a'
     assert ("a", "a") not in out
+
+
+def _lru_sim(seq, capacity, window):
+    """Independent ground-truth TTL+LRU simulator (sequential
+    OrderedDict replay — the thing the operator's closed-form
+    reuse-distance algebra must reproduce).  Lazy expiry: an expired
+    entry stays in the dict until capacity pushes it out; every
+    access (hit or any miss) promotes/inserts its key at MRU."""
+    from collections import OrderedDict
+
+    cache: "OrderedDict[str, int]" = OrderedDict()
+    last: dict[str, int] = {}
+    out: dict[str, dict[str, int]] = {}
+    for pos, key in enumerate(seq):
+        if key not in last:
+            v = "cold"
+        elif pos - last[key] > window:
+            v = "ttl"
+        elif key in cache:
+            v = "hit"
+        else:
+            v = "evict"
+        cache[key] = pos
+        cache.move_to_end(key)
+        while len(cache) > capacity:
+            cache.popitem(last=False)
+        last[key] = pos
+        d = out.setdefault(key, {"n_access": 0, "hit": 0, "cold": 0,
+                                 "ttl": 0, "evict": 0})
+        d["n_access"] += 1
+        d[v] += 1
+    return out
+
+
+@pytest.mark.spark
+def test_lru_audit_matches_sequential_simulator(spark):
+    """The relational reuse-distance classification reproduces a
+    sequential OrderedDict TTL-LRU replay key-for-key on an LCG
+    access stream (12 keys, skewed), across three (capacity, window)
+    corners — including ords WITH GAPS, pinning that TTL/window count
+    accesses after densification, not raw ord deltas."""
+    from web_graph_spark.operators.cacheaudit import lru_hit_audit
+
+    x, seq = 1234567, []
+    for _ in range(600):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        r = x % 100
+        # skew: two hot keys take half the stream
+        k = ("k0" if r < 30 else "k1" if r < 50 else f"k{2 + r % 10}")
+        seq.append(k)
+    acc = spark.createDataFrame(
+        [(k, i * 7 + 3) for i, k in enumerate(seq)], "host string, t long")
+    for cap, win in ((4, 25), (2, 6), (11, 600)):
+        sim = _lru_sim(seq, cap, win)
+        got = {r["key"]: r for r in
+               lru_hit_audit(acc, "host", "t", capacity=cap,
+                             window=win).collect()}
+        assert set(got) == set(sim)
+        for k, s in sim.items():
+            g = got[k]
+            assert (g.n_access, g.n_hit, g.n_cold, g.n_ttl, g.n_evict) \
+                == (s["n_access"], s["hit"], s["cold"], s["ttl"],
+                    s["evict"]), (k, cap, win)
+            assert g.hit_ppm == s["hit"] * 1_000_000 // s["n_access"]
+
+
+@pytest.mark.spark
+def test_lru_audit_boundary_verdicts(spark):
+    """Hand-pinned corners at capacity=2, window=3: back-to-back
+    re-access is a hit (distance 0), gap == window is still within
+    TTL, gap == window+1 expires, exactly `capacity` distinct
+    intervening keys evicts while capacity−1 does not; repeats
+    inside a gap count one distinct key."""
+    from web_graph_spark.operators.cacheaudit import lru_hit_audit
+
+    seq = ["a", "a",         # a: cold, hit (distance 0)
+           "b", "b", "a",    # a: gap=3 == window, {b} = 1 < cap → hit
+           "c", "d", "a",    # a: gap=3, {c,d} = 2 ≥ cap → evict
+           "e", "a",         # a: gap=2, {e} → hit
+           "f", "f", "f",
+           "a"]              # a: gap=4 > window → ttl
+    acc = spark.createDataFrame(list(enumerate(seq)), "t long, h string")
+    got = {r["key"]: r for r in
+           lru_hit_audit(acc, "h", "t", capacity=2, window=3).collect()}
+    a = got["a"]
+    assert (a.n_access, a.n_cold, a.n_hit, a.n_evict, a.n_ttl) \
+        == (6, 1, 3, 1, 1)
+    assert a.hit_ppm == 500_000
+    assert (got["b"].n_cold, got["b"].n_hit) == (1, 1)
+    # matches the simulator too
+    sim = _lru_sim(seq, 2, 3)
+    for k, s in sim.items():
+        g = got[k]
+        assert (g.n_access, g.n_hit, g.n_cold, g.n_ttl, g.n_evict) \
+            == (s["n_access"], s["hit"], s["cold"], s["ttl"], s["evict"])
+
+    with pytest.raises(ValueError):
+        lru_hit_audit(acc, "h", "t", capacity=0, window=3)
+    with pytest.raises(ValueError):
+        lru_hit_audit(acc, "h", "t", capacity=2, window=-1)
