@@ -2750,6 +2750,28 @@ def q_text_filter_calibration(spark: SparkSession, sf_dir: str
         score_col="quality_score", label_col="passes")
 
 
+def q_text_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free filter evaluation (functions/stats.py:roc_auc
+    E184): the exact tie-corrected ROC-AUC of the cheap quality
+    score (E11) against the Gopher gate battery (E81), per host —
+    the domain-shift question behind every curation cutoff: is the
+    cheap score equally trustworthy on every site, or does one host
+    need its own threshold?  Mann-Whitney rank-sum over score
+    classes (no pair join), exact 2×-scaled average ranks, ppm
+    floor.  Oracle replays the class histogram + cumulative window
+    + rank-sum algebra over the identically injected corpus."""
+    from web_graph_spark.functions.stats import roc_auc
+    from web_graph_spark.functions.text import (gopher_rules,
+                                                with_quality)
+
+    inj = _gopher_injected(spark, sf_dir)
+    scored = with_quality(inj).select("doc_id", "quality_score")
+    labels = gopher_rules(inj).select("doc_id", "passes")
+    hosts = webgen.pages_df(spark, sf_dir).select("doc_id", "host")
+    j = scored.join(labels, "doc_id").join(hosts, "doc_id")
+    return roc_auc(j, "host", F.col("quality_score"), "passes")
+
+
 CLASSIFIER_LABELS = ("drop", "flag", "keep")
 
 
@@ -5258,6 +5280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_retrieval_eval": q_text_retrieval_eval,
         "text_gopher_rules": q_text_gopher_rules,
         "text_filter_calibration": q_text_filter_calibration,
+        "text_quality_auc": q_text_quality_auc,
         "text_hashed_classifier": q_text_hashed_classifier,
         "text_keyphrases": q_text_keyphrases,
         "text_inverted_index": q_text_inverted_index,
@@ -7047,12 +7070,45 @@ SELECT threshold, tp, fp, fn, tn,
        CASE WHEN 2 * tp + fp + fn > 0
             THEN 2000000 * tp // (2 * tp + fp + fn) END AS f1_ppm
 FROM agg"""
+    quality_auc = f"""
+WITH {webgen.PAGES_SQL.strip().rstrip()},
+scored AS (
+  SELECT doc_id, {quality_expr} AS score
+  FROM ({gopher_inj}) inj
+),
+labels AS (
+  SELECT doc_id, passes AS label FROM ({gopher}) g
+),
+j AS (SELECT p.host, s.score, l.label
+      FROM scored s JOIN labels l USING (doc_id)
+      JOIN web_pages p USING (doc_id)),
+cls AS (
+  SELECT host, score, count(*) AS n,
+         sum(CASE WHEN label THEN 1 ELSE 0 END) AS np
+  FROM j GROUP BY 1, 2),
+rk AS (
+  SELECT host, n, np,
+         2 * (sum(n) OVER (PARTITION BY host ORDER BY score) - n)
+         + n + 1 AS rank2
+  FROM cls),
+m AS (
+  SELECT host, CAST(sum(np) AS BIGINT) AS n_pos,
+         CAST(sum(n - np) AS BIGINT) AS n_neg,
+         CAST(count(*) AS BIGINT) AS n_score_classes,
+         sum(np * rank2) AS r2p
+  FROM rk GROUP BY 1)
+SELECT host, n_pos, n_neg, n_score_classes,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST((r2p - n_pos * (n_pos + 1)) * 1000000
+                      // (2 * n_pos * n_neg) AS BIGINT) END AS auc_ppm
+FROM m"""
     sql = {
         "text_search_topk": tfidf_sql(SEARCH_TERMS, k=20),
         "text_bm25_topk": bm25_sql(SEARCH_TERMS, k=20),
         "text_retrieval_eval": retrieval_eval,
         "text_gopher_rules": gopher,
         "text_filter_calibration": calibration,
+        "text_quality_auc": quality_auc,
         "text_hashed_classifier": f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -3650,3 +3650,52 @@ def test_lru_audit_boundary_verdicts(spark):
         lru_hit_audit(acc, "h", "t", capacity=0, window=3)
     with pytest.raises(ValueError):
         lru_hit_audit(acc, "h", "t", capacity=2, window=-1)
+
+
+@pytest.mark.spark
+def test_roc_auc_matches_pair_enumeration(spark):
+    """Rank-sum AUC equals the brute-force pairwise definition
+    P(s_pos > s_neg) + ½P(=) exactly (integer 2×-scaled counting) on
+    an LCG stream with heavy ties, per group; a perfect separator
+    pins 10⁶, reversed pins 0, all-ties pins 500000, and a
+    single-class group yields NULL, not 0."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.stats import roc_auc
+
+    x, rows = 424242, []
+    for i in range(500):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        g = f"g{x % 3}"
+        s = (x >> 8) % 10           # heavy ties
+        y = ((x >> 16) + s) % 3 < 1 + s % 2   # label correlated with s
+        rows.append((g, s, bool(y)))
+    rows += [("perfect", s, s >= 5) for s in range(10)]
+    rows += [("reversed", s, s < 5) for s in range(10)]
+    rows += [("allties", 7, y) for y in (True, False) * 3]
+    rows += [("onlypos", s, True) for s in range(4)]
+    df = spark.createDataFrame(rows, "g string, s long, y boolean")
+    got = {r.g: r for r in
+           roc_auc(df, "g", F.col("s"), "y").collect()}
+
+    for g in sorted({r[0] for r in rows}):
+        pos = [s for gg, s, y in rows if gg == g and y]
+        neg = [s for gg, s, y in rows if gg == g and not y]
+        r = got[g]
+        assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+        assert r.n_score_classes == len({s for gg, s, _ in rows
+                                         if gg == g})
+        if not pos or not neg:
+            assert r.auc_ppm is None
+            continue
+        num2 = sum(2 if p > n else (1 if p == n else 0)
+                   for p in pos for n in neg)
+        assert r.auc_ppm == num2 * 1_000_000 // (2 * len(pos) * len(neg)), g
+    assert got["perfect"].auc_ppm == 1_000_000
+    assert got["reversed"].auc_ppm == 0
+    assert got["allties"].auc_ppm == 500_000
+
+    # ungrouped: one global row over the same relation
+    glob = roc_auc(df, None, F.col("s"), "y").collect()
+    assert len(glob) == 1 and glob[0].n_pos == sum(
+        1 for _, _, y in rows if y)

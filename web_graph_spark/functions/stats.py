@@ -1694,3 +1694,60 @@ def transition_matrix(events: DataFrame, key_col: str = "user_id",
                     .alias("share_ppm"),
                     (F.col("from_type") == F.col("to_type"))
                     .alias("is_self")))
+
+
+def roc_auc(scored: DataFrame, group_col: str | None,
+            score_int, label_col) -> DataFrame:
+    """Exact tie-corrected ROC-AUC per group — the threshold-free
+    companion to :func:`calibration_curve`: across ALL cutoffs at
+    once, what is the probability the cheap score ranks a true
+    positive above a true negative (ties counting ½)?  The scalar
+    that decides whether a filter score is worth sweeping thresholds
+    over at all.
+
+    No pair enumeration: AUC is the Mann-Whitney statistic, so with
+    R₁ = Σ(average ranks of positives), AUC = (R₁ − n₁(n₁+1)/2) /
+    (n₁n₀) — one ranking replaces the n₁×n₀ comparison join.
+    Average ranks of a tie class are half-integers, so everything is
+    carried at 2× scale: a class of ``n`` rows after ``c`` earlier
+    rows has rank2 = 2c + n + 1, and auc_ppm = (Σ np·rank2 −
+    n₁(n₁+1))·10⁶ div (2n₁n₀) — exact integer end-to-end
+    (decimal(38,0) products; n₁·2n fits with room at 10^10 rows).
+    NULL where a group lacks both classes (AUC undefined, not 0).
+
+    Scale shape: one hash agg collapses the rows to (group, score)
+    CLASSES — ``score_int`` must be a bounded-precision integer
+    (milli-quality, ppm-score: the same value-boundedness
+    :func:`exact_quantiles` relies on), so the per-group cumulative
+    window runs over ≤|score domain| rows, never the raw corpus; one
+    final per-group fold.  Rows never sort globally.
+
+    → ``(group?, n_pos, n_neg, n_score_classes, auc_ppm)``.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E184).
+    """
+    g = [group_col] if group_col else []
+    cls = (scored.select(*g, score_int.alias("s"),
+                         F.col(label_col).cast("boolean").alias("y"))
+           .groupBy(*g, "s")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("y").cast("long")).alias("np")))
+    w = (Window.partitionBy(*g).orderBy("s")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = cls.withColumn(
+        "rank2", 2 * (F.sum("n").over(w) - F.col("n"))
+        + F.col("n") + 1)
+    m = (ranked.groupBy(*g)
+         .agg(F.sum("np").cast("long").alias("n_pos"),
+              F.sum(F.col("n") - F.col("np")).cast("long")
+              .alias("n_neg"),
+              F.count(F.lit(1)).cast("long").alias("n_score_classes"),
+              F.sum(F.expr("cast(np as decimal(38,0)) * rank2"))
+              .alias("r2p")))
+    return m.select(
+        *g, "n_pos", "n_neg", "n_score_classes",
+        F.expr(
+            "CASE WHEN n_pos > 0 AND n_neg > 0 THEN cast("
+            "(r2p - cast(n_pos as decimal(38,0)) * (n_pos + 1)) "
+            "* 1000000 div (2 * cast(n_pos as decimal(38,0)) * n_neg) "
+            "as bigint) END").alias("auc_ppm"))
