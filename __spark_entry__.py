@@ -355,6 +355,53 @@ SELECT id AS doc_id, ppr FROM r{rounds} WHERE ppr > 0""")
     return "".join(parts)
 
 
+def _spam_mass_sql(rounds: int, scale: int, flag_ppm: int) -> str:
+    """Oracle for q_graph_trustrank: BOTH integer PPR chains of
+    operators/graph_algos.py:spam_mass unrolled — g* teleports to all
+    vertices (classic PageRank with evaporating mass), t* to the
+    trusted seeds (TrustRank) — then the clamped relative-mass ppm.
+    Every division is floor on non-negative operands, so DuckDB's
+    ``//`` reproduces Spark's ``div`` bit-for-bit."""
+    tele_g = f"((15 * {scale} // 100) // (SELECT count(*) FROM av))"
+    tele_t = f"((15 * {scale} // 100) // (SELECT count(*) FROM sd))"
+    parts = [f""",
+de AS (SELECT DISTINCT src_doc_id AS u, tgt_doc_id AS v
+       FROM web_links_full WHERE k % 4 <> 0),
+outd AS (SELECT u, count(*) AS outdeg FROM de GROUP BY 1),
+ew AS (SELECT de.u, de.v, o.outdeg FROM de JOIN outd o ON o.u = de.u),
+av AS (SELECT DISTINCT doc_id AS id FROM web_pages),
+sd AS (SELECT DISTINCT seed_seq AS id FROM web_seeds),
+g0 AS (SELECT id, CAST({scale} // (SELECT count(*) FROM av) AS BIGINT)
+           AS ppr FROM av),
+t0 AS (SELECT id, CAST({scale} // (SELECT count(*) FROM sd) AS BIGINT)
+           AS ppr FROM sd)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        for tag, base, tele in (("g", "av", tele_g), ("t", "sd", tele_t)):
+            parts.append(f""",
+{tag}i{i} AS (
+  SELECT ew.v AS id, CAST(sum(p.ppr // ew.outdeg) AS BIGINT) AS inc
+  FROM ew JOIN {tag}{p} p ON p.id = ew.u GROUP BY 1
+),
+{tag}{i} AS (
+  SELECT id, CAST(sum(ppr) AS BIGINT) AS ppr FROM (
+    SELECT id, (85 * inc) // 100 AS ppr FROM {tag}i{i}
+    UNION ALL
+    SELECT id, {tele} AS ppr FROM {base}
+  ) GROUP BY 1
+)""")
+    parts.append(f"""
+SELECT g.id AS doc_id, g.ppr AS pr,
+       CAST(least(coalesce(t.ppr, 0), g.ppr) AS BIGINT) AS tr,
+       CAST(((g.ppr - least(coalesce(t.ppr, 0), g.ppr)) * 1000000)
+            // g.ppr AS BIGINT) AS spam_mass_ppm,
+       ((g.ppr - least(coalesce(t.ppr, 0), g.ppr)) * 1000000) // g.ppr
+           >= {flag_ppm} AS spam_flag
+FROM g{rounds} g LEFT JOIN t{rounds} t ON t.id = g.id
+WHERE g.ppr > 0""")
+    return "".join(parts)
+
+
 def _modularity_sql(iters: int) -> str:
     """Oracle for q_graph_modularity: the LPA rounds (shared CTE
     chain) followed by the exact-integer modularity decomposition —
@@ -2279,6 +2326,26 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("src_doc_id", "tgt_doc_id"))
     return personalized_pagerank(e, webgen.seeds_df(spark, sf_dir),
                                  rounds=4)
+
+
+def q_graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank spam mass (operators/graph_algos.py:spam_mass E185,
+    Gyöngyi et al. VLDB'04) — the crawl scheduler's spam-demotion
+    signal: the share of each page's PageRank that arrives from
+    outside the trusted region.  Two exact integer PPR runs over the
+    same admissible edge relation — uniform teleport (= classic
+    PageRank with evaporating mass) vs teleport to the crawl's seed
+    whitelist (TrustRank) — then the paper's relative mass, clamped
+    to [0,1] floor ppm so every division stays non-negative.  Oracle
+    unrolls both chains plus the combine in SQL."""
+    from web_graph_spark.operators.graph_algos import spam_mass
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    return spam_mass(e, webgen.seeds_df(spark, sf_dir),
+                     webgen.pages_df(spark, sf_dir).select("doc_id"),
+                     rounds=4)
 
 
 def q_graph_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5255,6 +5322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_prop": q_graph_label_prop,
         "graph_modularity": q_graph_modularity,
         "graph_ppr": q_graph_ppr,
+        "graph_trustrank": q_graph_trustrank,
         "graph_opic": q_graph_opic,
         "graph_salsa": q_graph_salsa,
         "graph_kcore": q_graph_kcore,
@@ -6692,6 +6760,9 @@ LEFT JOIN core_weak cw ON cw.wc = w.component"""),
         "graph_modularity": _oracle(_modularity_sql(iters=4)),
         "graph_ppr": _oracle(_ppr_sql(rounds=4, scale=10 ** 12),
                              seeds=True),
+        "graph_trustrank": _oracle(
+            _spam_mass_sql(rounds=4, scale=10 ** 12, flag_ppm=500_000),
+            seeds=True),
         "graph_opic": _oracle(_opic_sql(rounds=4, scale=10 ** 12)),
         "graph_salsa": _oracle_recursive("""
 , de AS (

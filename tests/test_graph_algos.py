@@ -1137,3 +1137,93 @@ def test_densest_extra_rounds_noop(spark):
     a = sorted(map(tuple, densest_subgraph(v, e, rounds=4).collect()))
     b = sorted(map(tuple, densest_subgraph(v, e, rounds=8).collect()))
     assert a == b and len(a) > 0
+
+
+def _ref_int_ppr(edges, seeds, rounds=4, scale=10 ** 12):
+    """Pure-Python replica of the integer PPR recurrence (graph_algos
+    personalized_pagerank docstring) — the spec both spam_mass runs
+    share."""
+    out = {}
+    for s, t in set(edges):
+        out.setdefault(s, set()).add(t)
+    tele = (15 * scale // 100) // len(seeds)
+    r = {s: scale // len(seeds) for s in seeds}
+    for _ in range(rounds):
+        inc = {}
+        for u, ts in out.items():
+            if u in r:
+                m = r[u] // len(ts)
+                for v in ts:
+                    inc[v] = inc.get(v, 0) + m
+        nr = {v: 85 * iv // 100 for v, iv in inc.items()}
+        for s in seeds:
+            nr[s] = nr.get(s, 0) + tele
+        r = nr
+    return {k: v for k, v in r.items() if v > 0}
+
+
+@pytest.mark.spark
+def test_spam_mass_hand_graph(spark):
+    """Trusted triangle vs an unreachable-from-trust spam farm: exact
+    equality with the pure-Python double recurrence, clamp semantics,
+    and flag polarity."""
+    from web_graph_spark.operators.graph_algos import spam_mass
+
+    ids = [0, 1, 2, 3, 4, 5, 6]
+    edges = [(0, 1), (1, 2), (2, 0),        # trusted triangle
+             (4, 5), (4, 6), (5, 6), (6, 5)]  # untrusted feeder + farm
+    e = spark.createDataFrame(edges, "src_doc_id long, tgt_doc_id long")
+    v = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    t = spark.createDataFrame([(0,)], "seed_seq long")
+    got = {r["doc_id"]: r for r in spam_mass(e, t, v, rounds=4).collect()}
+
+    pr = _ref_int_ppr(edges, seeds=ids)
+    tr = _ref_int_ppr(edges, seeds=[0])
+    assert set(got) == set(pr)
+    for d, p in pr.items():
+        tc = min(tr.get(d, 0), p)
+        ppm = (p - tc) * 1_000_000 // p
+        row = got[d]
+        assert (row["pr"], row["tr"], row["spam_mass_ppm"]) == (p, tc, ppm)
+        assert row["spam_flag"] == (ppm >= 500_000)
+    # polarity: farm pages carry full spam mass, trusted triangle none
+    for d in (5, 6):
+        assert got[d]["spam_mass_ppm"] == 1_000_000 and got[d]["spam_flag"]
+    for d in (0, 1, 2):
+        assert got[d]["spam_mass_ppm"] < 500_000
+        assert not got[d]["spam_flag"]
+    # isolated page 3: only uniform teleport reaches it → all mass
+    # untrusted (flagged) — the documented behavior, not an accident
+    assert got[3]["spam_mass_ppm"] == 1_000_000
+
+
+@pytest.mark.spark
+def test_spam_mass_clamps_trust_above_pr(spark):
+    """Near the seeds TrustRank exceeds uniform PageRank (teleport
+    concentration); the output clamps tr to pr and maps those pages
+    to spam mass exactly 0."""
+    from web_graph_spark.operators.graph_algos import spam_mass
+
+    e = spark.createDataFrame([(1, 0), (2, 0)],
+                              "src_doc_id long, tgt_doc_id long")
+    v = spark.createDataFrame([(i,) for i in (0, 1, 2)], "doc_id long")
+    t = spark.createDataFrame([(0,)], "seed_seq long")
+    got = {r["doc_id"]: r for r in spam_mass(e, t, v, rounds=4).collect()}
+    pr = _ref_int_ppr([(1, 0), (2, 0)], seeds=[0, 1, 2])
+    tr = _ref_int_ppr([(1, 0), (2, 0)], seeds=[0])
+    assert tr[0] > pr[0]  # the clamp case actually triggers
+    assert got[0]["tr"] == got[0]["pr"]
+    assert got[0]["spam_mass_ppm"] == 0 and not got[0]["spam_flag"]
+
+
+@pytest.mark.spark
+def test_spam_mass_scale_guard(spark):
+    """A scale too small for |V| floors the uniform teleport to 0 —
+    refused loudly instead of silently computing all-spam."""
+    from web_graph_spark.operators.graph_algos import spam_mass
+
+    e = spark.createDataFrame([(0, 1)], "src_doc_id long, tgt_doc_id long")
+    v = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    t = spark.createDataFrame([(0,)], "seed_seq long")
+    with pytest.raises(ValueError, match="teleport"):
+        spam_mass(e, t, v, rounds=2, scale=100)

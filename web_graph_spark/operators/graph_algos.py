@@ -1925,3 +1925,70 @@ def densest_subgraph(vertices: DataFrame, edges: DataFrame,
         F.lit(ne).cast("long").alias("set_edges"),
         F.lit(ne * 1_000_000 // ns if ns else 0).cast("long")
         .alias("density_ppm"))
+
+
+def spam_mass(edges: DataFrame, trusted: DataFrame, vertices: DataFrame,
+              rounds: int = 4, scale: int = 10 ** 12,
+              src: str = "src_doc_id", dst: str = "tgt_doc_id",
+              id_col: str = "doc_id", trusted_col: str = "seed_seq",
+              flag_ppm: int = 500_000) -> DataFrame:
+    """TrustRank spam mass (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB'04) in EXACT integer arithmetic — the crawl scheduler's spam
+    demotion signal: how much of a page's PageRank arrives from
+    OUTSIDE the trusted region of the web?
+
+    Two runs of the E87 integer PPR recurrence over the same edge
+    relation, differing only in the teleport set:
+
+      pr(v) = teleport-to-ALL-vertices run   (classic PageRank with
+              evaporating dangling/rounding mass)
+      tr(v) = teleport-to-TRUSTED-seeds run  (TrustRank: mass can
+              only enter through the whitelist)
+
+    and the paper's relative mass, clamped to [0, 1] in floor ppm so
+    every division stays non-negative (Spark ``div`` truncates toward
+    zero while DuckDB ``//`` floors — identical only when operands
+    are non-negative, the same determinism discipline as E87/E170):
+
+      spam_mass_ppm = (pr − min(tr, pr)) · 10⁶ div pr
+      spam_flag     = spam_mass_ppm ≥ flag_ppm
+
+    tr > pr happens for pages near the seeds (trust teleport
+    concentrates there) — genuinely trusted, so the clamp maps them
+    to spam mass 0 rather than a sign-dependent division.
+
+    Physical shape: the two recurrences are independent rank⋈edges
+    chains on the uniform src key (each ONE shuffle join + one agg
+    per round, localCheckpointed flat); the final combine is a single
+    doc_id equi-join of two ≤|V| rank sets.  At 10^10 vertices raise
+    ``scale`` so the global teleport ``(15·scale div 100) div n``
+    stays positive — the guard below enforces it.
+
+    → (doc_id, pr, tr, spam_mass_ppm, spam_flag) for pr > 0 rows.
+
+    Reference analog: none (the Go engine ranks nothing) — engine
+    extension; oracle = both chains unrolled in SQL
+    (__spark_entry__._spam_mass_sql).
+    """
+    v = vertices.select(F.col(id_col).cast("long").alias("id")).distinct()
+    n = v.count()
+    if n == 0:
+        raise ValueError("spam_mass: empty vertex set")
+    if (15 * scale // 100) // n == 0:
+        raise ValueError(
+            f"spam_mass: scale={scale} floors the uniform teleport to 0 "
+            f"at n={n} vertices — raise scale above ~7·n")
+    pr = personalized_pagerank(edges, v, rounds=rounds, scale=scale,
+                               src=src, dst=dst, seed_col="id") \
+        .withColumnRenamed("ppr", "pr")
+    tr = personalized_pagerank(edges, trusted, rounds=rounds, scale=scale,
+                               src=src, dst=dst, seed_col=trusted_col) \
+        .withColumnRenamed("ppr", "tr")
+    tr_c = F.least(F.coalesce(F.col("tr"), F.lit(0)), F.col("pr"))
+    ppm = F.expr("(pr - least(coalesce(tr, 0), pr)) * 1000000 div pr")
+    return (pr.join(tr, "doc_id", "left")
+            .select("doc_id", "pr",
+                    tr_c.cast("long").alias("tr"),
+                    ppm.cast("long").alias("spam_mass_ppm"))
+            .withColumn("spam_flag",
+                        F.col("spam_mass_ppm") >= F.lit(flag_ppm)))
