@@ -1038,6 +1038,29 @@ def q_crawl_fair_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fair_share(d, capacity=300)
 
 
+def q_crawl_ip_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-IP politeness split (operators/politeness.py:
+    ip_budget_split E186) — the virtual-hosting correction: hosts
+    resolving to the same server share its fetch cap.  Resolver dim
+    is derived (ip index = host index mod 7, so h00/h07/h14 collide);
+    per-host demand = page count capped by the 7+idx%6 host budget;
+    ip_cap 8 binds for multi-vhost and even one hot single-vhost IP.
+    Grouped largest-remainder apportionment in ip-keyed windows —
+    never driver scalars.  Oracle replays join + windows exactly."""
+    from web_graph_spark.operators.politeness import ip_budget_split
+
+    hosts = webgen.pages_df(spark, sf_dir).groupBy("host") \
+        .agg(F.count(F.lit(1)).cast("long").alias("pending"))
+    idx = F.substring("host", 2, 2).cast("int")
+    demand = hosts.select(
+        "host", F.least(F.col("pending"),
+                        (F.lit(7) + idx % 6).cast("long")).alias("demand"))
+    dns = hosts.select("host",
+                       F.concat(F.lit("198.51.100."),
+                                (idx % 7).cast("string")).alias("ip"))
+    return ip_budget_split(demand, dns, ip_cap=8)
+
+
 def q_crawl_wfq_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WFQ fetch interleave (operators/politeness.py:wfq_order E165)
     chained on E164's grants: the fair-share allocs become pick
@@ -5285,6 +5308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_purge": q_crawl_robots_purge,
         "crawl_shard_skew": q_crawl_shard_skew,
         "crawl_fair_share": q_crawl_fair_share,
+        "crawl_ip_budget": q_crawl_ip_budget,
         "crawl_wfq_order": q_crawl_wfq_order,
         "crawl_connection_plan": q_crawl_connection_plan,
         "crawl_dns_cache": q_crawl_dns_cache,
@@ -5946,6 +5970,43 @@ FROM pw"""),
         "crawl_fair_share": _oracle(
             _PAGE_DEMAND_CTE + _fair_share_sql(300) + """
 SELECT host, demand, alloc, capped FROM fs"""),
+        "crawl_ip_budget": _oracle("""
+, hosts AS (SELECT host, count(*) AS pending FROM web_pages GROUP BY 1),
+dem AS (
+  SELECT host,
+         least(pending,
+               7 + CAST(substr(host, 2, 2) AS INTEGER) % 6) AS demand,
+         '198.51.100.' ||
+             CAST(CAST(substr(host, 2, 2) AS INTEGER) % 7 AS VARCHAR) AS ip
+  FROM hosts),
+w AS (
+  SELECT host, ip, demand,
+         sum(demand) OVER (PARTITION BY ip) AS t,
+         count(*) OVER (PARTITION BY ip) AS n_vhosts
+  FROM dem),
+b AS (
+  SELECT *,
+         CASE WHEN t > 8 THEN (8 * demand) // t ELSE 0 END AS base,
+         CASE WHEN t > 8 THEN (8 * demand) % t ELSE 0 END AS rem
+  FROM w),
+r AS (
+  SELECT *,
+         sum(base) OVER (PARTITION BY ip) AS sum_base,
+         row_number() OVER (PARTITION BY ip
+                            ORDER BY rem DESC, host) AS rk
+  FROM b)
+SELECT host, ip, CAST(n_vhosts AS BIGINT) AS n_vhosts,
+       CAST(demand AS BIGINT) AS demand,
+       CAST(CASE WHEN t > 8
+                 THEN base + CASE WHEN rk <= 8 - sum_base
+                                  THEN 1 ELSE 0 END
+                 ELSE demand END AS BIGINT) AS "grant",
+       CAST(demand - CASE WHEN t > 8
+                 THEN base + CASE WHEN rk <= 8 - sum_base
+                                  THEN 1 ELSE 0 END
+                 ELSE demand END AS BIGINT) AS starved,
+       n_vhosts > 1 AS shared
+FROM r"""),
         "crawl_wfq_order": _oracle(
             _PAGE_DEMAND_CTE + _fair_share_sql(300) + _WFQ_CTES + """
 SELECT ord, host, j, vkey FROM wfq"""),

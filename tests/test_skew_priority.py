@@ -617,3 +617,56 @@ def test_connection_plan_prices_smoothing(spark):
     tight = {r.host: r.n_setups for r in
              connection_plan(batched, gap_limit=1).collect()}
     assert tight == {"a": 1, "b": 1, "c": 1}
+
+
+@pytest.mark.spark
+def test_ip_budget_split_hand_cases(spark):
+    """Grouped Hamilton under a binding per-IP cap: exact grants,
+    Σgrant = cap per constrained IP, never over demand; open and
+    unresolved groups pass demand through."""
+    from web_graph_spark.operators.politeness import ip_budget_split
+
+    demand = spark.createDataFrame(
+        [("a1", 6), ("a2", 3), ("a3", 1),   # ip A: T=10 > cap 8
+         ("b1", 2), ("b2", 3),              # ip B: T=5  ≤ cap (open)
+         ("c1", 20),                        # ip C: single hot vhost
+         ("d1", 4)],                        # no resolver entry
+        "host string, demand long")
+    dns = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("a3", "A"),
+         ("b1", "B"), ("b2", "B"), ("c1", "C")], "host string, ip string")
+    got = {r.host: r for r in
+           ip_budget_split(demand, dns, ip_cap=8).collect()}
+
+    # ip A: base = 8*d div 10 → (4, 2, 0), rem = (8, 4, 8); 2 leftover
+    # units go to rem-desc/host-asc ranks 1-2 = a1 (rem 8), a3 (rem 8)
+    assert (got["a1"]["grant"], got["a2"]["grant"], got["a3"]["grant"]) \
+        == (5, 2, 1)
+    assert sum(got[h]["grant"] for h in ("a1", "a2", "a3")) == 8
+    assert got["a1"]["starved"] == 1 and got["a3"]["starved"] == 0
+    assert got["a1"]["shared"] and got["a1"]["n_vhosts"] == 3
+    # open group: demand passes through
+    assert (got["b1"]["grant"], got["b2"]["grant"]) == (2, 3)
+    assert not any(got[h]["starved"] for h in ("b1", "b2"))
+    # single hot vhost still capped at ip_cap
+    assert (got["c1"]["grant"], got["c1"]["starved"]) == (8, 12)
+    assert not got["c1"]["shared"]
+    # unresolved host: NULL ip sentinel, demand un-split
+    assert got["d1"]["ip"] is None
+    assert (got["d1"]["grant"], got["d1"]["n_vhosts"]) == (4, 1)
+
+
+@pytest.mark.spark
+def test_ip_budget_split_zero_demand_and_guard(spark):
+    """All-zero-demand groups never divide by zero; ip_cap < 1 is
+    refused."""
+    from web_graph_spark.operators.politeness import ip_budget_split
+
+    demand = spark.createDataFrame([("a1", 0), ("a2", 0)],
+                                   "host string, demand long")
+    dns = spark.createDataFrame([("a1", "A"), ("a2", "A")],
+                                "host string, ip string")
+    rows = ip_budget_split(demand, dns, ip_cap=8).collect()
+    assert all(r["grant"] == 0 and r["starved"] == 0 for r in rows)
+    with pytest.raises(ValueError, match="ip_cap"):
+        ip_budget_split(demand, dns, ip_cap=0)

@@ -456,3 +456,79 @@ def connection_plan(schedule: DataFrame, gap_limit: int,
                            "div n_fetches").cast("long")
                     .alias("reuse_ppm"),
                     "max_gap"))
+
+
+def ip_budget_split(demand: DataFrame, dns: DataFrame, ip_cap: int,
+                    host_col: str = "host", demand_col: str = "demand",
+                    ip_col: str = "ip") -> DataFrame:
+    """Per-IP politeness split — the virtual-hosting correction to
+    per-host budgets: hundreds of vhosts resolving to ONE server must
+    share that server's fetch rate, or the crawler is polite on paper
+    and hammering the box in practice (the reference rate-limits per
+    host only, pkg/linkprocessor/linkprocessor.go:51-75 — its DoH
+    resolver sees the IPs but never feeds them back into pacing).
+
+    Joins the per-host demand dim (already host-budget-capped pending
+    counts) to the resolver relation, then apportions each IP's
+    ``ip_cap`` among its vhosts:
+
+      T = Σ demand(ip)
+      T ≤ ip_cap  →  grant = demand            (cap not binding)
+      T > ip_cap  →  grouped largest-remainder (Hamilton): base =
+                     ip_cap·d div T, the ip_cap − Σbase leftover
+                     units go one-each to the largest ``ip_cap·d mod
+                     T`` remainders (tie host ASC) — exactly
+                     :func:`allocate_budget`'s rule, but PER GROUP:
+                     totals/ranks live in ip-keyed windows, never as
+                     driver scalars, so 10^7 IPs cost one shuffle.
+
+    Hamilton under a binding cap never over-grants (base < d when
+    T > ip_cap ≥ 1 unit), Σ grant = ip_cap exactly per constrained
+    IP, and every division is integer-on-non-negative (Spark ``div``
+    ≡ DuckDB ``//``).  Hosts absent from ``dns`` keep their demand
+    un-split under a sentinel ip NULL — surfacing resolver gaps
+    instead of silently dropping those hosts from the wave.
+
+    → (host, ip, n_vhosts, demand, grant, starved, shared)
+
+    Scale shape: one host-key equi-join + one ip-key window stage;
+    both keys uniform (host strings / IPs), no collect, no global
+    sort.
+    """
+    if ip_cap < 1:
+        raise ValueError("ip_cap must be >= 1")
+    d = demand.select(F.col(host_col).alias("host"),
+                      F.col(demand_col).cast("long").alias("demand"))
+    j = d.join(dns.select(F.col(host_col).alias("host"),
+                          F.col(ip_col).alias("ip")), "host", "left")
+    w_ip = Window.partitionBy("ip")
+    w_rank = Window.partitionBy("ip").orderBy(F.col("rem").desc(), "host")
+    # base/rem only exist under a binding cap (T > ip_cap ≥ 1), so the
+    # division never sees T = 0 — all-zero-demand groups take the
+    # unconstrained branch
+    binding0 = F.col("ip").isNotNull() & (F.col("T") > F.lit(ip_cap))
+    t = (j.withColumn("T", F.sum("demand").over(w_ip))
+         .withColumn("n_vhosts", F.count(F.lit(1)).over(w_ip))
+         .withColumn("base",
+                     F.when(binding0, F.expr(f"({ip_cap} * demand) div T"))
+                      .otherwise(F.lit(0)))
+         .withColumn("rem",
+                     F.when(binding0, F.expr(f"({ip_cap} * demand) % T"))
+                      .otherwise(F.lit(0)))
+         .withColumn("sum_base", F.sum("base").over(w_ip))
+         .withColumn("rk", F.row_number().over(w_rank)))
+    binding = F.col("ip").isNotNull() & (F.col("T") > F.lit(ip_cap))
+    grant = F.when(
+        binding,
+        F.col("base") + F.when(
+            F.col("rk") <= F.lit(ip_cap) - F.col("sum_base"),
+            F.lit(1)).otherwise(F.lit(0))
+    ).otherwise(F.col("demand"))
+    return (t.select(
+        "host", "ip",
+        F.when(F.col("ip").isNotNull(), F.col("n_vhosts"))
+         .otherwise(F.lit(1)).cast("long").alias("n_vhosts"),
+        "demand", grant.cast("long").alias("grant"))
+        .withColumn("starved",
+                    (F.col("demand") - F.col("grant")).cast("long"))
+        .withColumn("shared", F.col("n_vhosts") > 1))
