@@ -355,6 +355,51 @@ SELECT id AS doc_id, ppr FROM r{rounds} WHERE ppr > 0""")
     return "".join(parts)
 
 
+def _bloom_fpp_sql(configs: tuple[tuple[int, int], ...]) -> str:
+    """Oracle for q_crawl_bloom_fpp: per (m, k) config, rebuild the
+    exact double-hash bit set over even-doc_id check_ids, probe with
+    the odd ones, and replay the audit row algebra of
+    operators/seen.py:bloom_fpp_audit."""
+    hx1 = _hexchunk_sql(1, "md5(check_id)")
+    hx2 = _hexchunk_sql(5, "md5(check_id)")
+    blocks, names = [], []
+    for m, k in configs:
+        t = f"{m}_{k}"
+        names.append(f"row_{t}")
+        blocks.append(f""",
+mk_{t} AS (
+  SELECT doc_id % 2 = 0 AS is_member, check_id AS key,
+         {hx1} AS h1, {hx2} AS h2r
+  FROM web_pages),
+pos_{t} AS (
+  SELECT m.is_member, m.key,
+         (m.h1 + i.i * (m.h2r - m.h2r % 2 + 1)) % {m} AS bit
+  FROM mk_{t} m
+  CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS i) i),
+bits_{t} AS (SELECT DISTINCT bit FROM pos_{t} WHERE is_member),
+fl_{t} AS (
+  SELECT p.key,
+         min(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS all_set
+  FROM pos_{t} p LEFT JOIN bits_{t} b ON b.bit = p.bit
+  WHERE NOT p.is_member GROUP BY 1),
+row_{t} AS (
+  SELECT CAST({m} AS BIGINT) AS m_bits,
+         CAST({k} AS BIGINT) AS k_hashes,
+         (SELECT CAST(count(*) AS BIGINT) FROM web_pages
+          WHERE doc_id % 2 = 0) AS n_keys,
+         (SELECT CAST(count(*) AS BIGINT) FROM bits_{t}) AS n_bits_set,
+         CAST((SELECT count(*) FROM bits_{t}) * 1000000 // {m}
+              AS BIGINT) AS load_ppm,
+         CAST(count(*) AS BIGINT) AS n_probes,
+         CAST(sum(all_set) AS BIGINT) AS n_false_pos,
+         CAST(CASE WHEN count(*) > 0
+                   THEN sum(all_set) * 1000000 // count(*)
+                   ELSE 0 END AS BIGINT) AS fpp_ppm
+  FROM fl_{t})""")
+    final = "\nSELECT * FROM " + "\nUNION ALL SELECT * FROM ".join(names)
+    return "".join(blocks) + final
+
+
 def _spam_mass_sql(rounds: int, scale: int, flag_ppm: int) -> str:
     """Oracle for q_graph_trustrank: BOTH integer PPR chains of
     operators/graph_algos.py:spam_mass unrolled — g* teleports to all
@@ -554,6 +599,20 @@ def q_crawl_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen = (webgen.pages_df(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
             .select("check_id"))
     return cand.join(seen, "check_id", "left_anti")
+
+
+def q_crawl_bloom_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom false-positive audit (operators/seen.py:bloom_fpp_audit
+    E187): the measured-FPP evidence behind the seen-tier's sizing
+    defaults — exact double-hash bit sets for three (m, k) configs
+    over the even-doc_id check_ids, probed by the disjoint odd half.
+    Oracle rebuilds bit sets + probe flags + audit algebra in SQL."""
+    from web_graph_spark.operators.seen import bloom_fpp_audit
+
+    pages = webgen.pages_df(spark, sf_dir)
+    members = pages.filter(F.col("doc_id") % 2 == 0).select("check_id")
+    probes = pages.filter(F.col("doc_id") % 2 == 1).select("check_id")
+    return bloom_fpp_audit(members, probes, key_col="check_id")
 
 
 def q_crawl_frontier_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5288,6 +5347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_canonicalize": q_crawl_canonicalize,
         "crawl_admission_stats": q_crawl_admission_stats,
         "crawl_seen_antijoin": q_crawl_seen_antijoin,
+        "crawl_bloom_fpp": q_crawl_bloom_fpp,
         "crawl_frontier_wave": q_crawl_frontier_wave,
         "crawl_media_frontier": q_crawl_media_frontier,
         "docs_span_digest": q_docs_span_digest,
@@ -5542,6 +5602,8 @@ FROM web_links_full l"""),
         "crawl_admission_stats": _oracle("""
 SELECT tgt_host AS host, k % 4 <> 0 AS admissible, count(*) AS n
 FROM web_links_full GROUP BY 1, 2"""),
+        "crawl_bloom_fpp": _oracle(_bloom_fpp_sql(
+            ((1024, 3), (2048, 5), (4096, 7)))),
         "crawl_seen_antijoin": _oracle("""
 SELECT DISTINCT tgt_check_id AS check_id, tgt_host AS host,
        tgt_path AS path

@@ -191,6 +191,13 @@ ALLOW: dict[tuple[str, str], str] = {
     ("corpus_lang_mix", "BroadcastNestedLoopJoin"):
         "1-row n_max dim crossed onto the languages-sized counts dim "
         "(not the corpus scan — that side is a broadcast hash join)",
+    ("crawl_bloom_fpp", "BroadcastNestedLoopJoin"):
+        "per-config 1-row combines: probe-flag fold x n_bits_set x "
+        "n_keys (all 1-row aggregates; the bit-set probe join itself "
+        "is a BroadcastHashJoin on the <=m-row bit dim)",
+    ("crawl_bloom_fpp", "Exchange SinglePartition"):
+        "the same 1-row audit aggregates (count/sum partials "
+        "upstream), once per (m, k) config",
     # 1-row global aggregates (the final exchange carries one partial
     # row PER UPSTREAM PARTITION — bytes at any input scale), found
     # when the formatted-plan SinglePartition detection was fixed:

@@ -617,3 +617,71 @@ def test_cuckoo_fill_check_raises_before_thrash():
         cf.fill_check(0, cap + 1)
     with pytest.raises(RuntimeError, match="over capacity"):
         cf.fill_check(cap, 1)
+
+
+def _py_bloom_bits(keys, m, k):
+    """Independent replica of the audit's double-hash construction."""
+    import hashlib
+
+    bits = set()
+    for key in keys:
+        h = hashlib.md5(key.encode()).hexdigest()
+        h1, h2 = int(h[0:4], 16), int(h[4:8], 16)
+        h2 = h2 - h2 % 2 + 1
+        for i in range(k):
+            bits.add((h1 + i * h2) % m)
+    return bits
+
+
+@pytest.mark.spark
+def test_bloom_fpp_audit_matches_python_sim(spark):
+    """Column-for-column equality with a hashlib-based simulator on
+    every config row, plus the no-false-negative invariant."""
+    from web_graph_spark.operators.seen import bloom_fpp_audit
+
+    members = [f"mk{i}" for i in range(40)]
+    probes = [f"pk{i}" for i in range(60)]
+    mdf = spark.createDataFrame([(x,) for x in members], "key string")
+    pdf = spark.createDataFrame([(x,) for x in probes], "key string")
+    configs = ((64, 2), (256, 4))
+    rows = {(r["m_bits"], r["k_hashes"]): r
+            for r in bloom_fpp_audit(mdf, pdf, configs=configs).collect()}
+    import hashlib
+
+    for m, k in configs:
+        bits = _py_bloom_bits(members, m, k)
+        n_fp = 0
+        for key in probes:
+            h = hashlib.md5(key.encode()).hexdigest()
+            h1, h2 = int(h[0:4], 16), int(h[4:8], 16)
+            h2 = h2 - h2 % 2 + 1
+            if all((h1 + i * h2) % m in bits for i in range(k)):
+                n_fp += 1
+        r = rows[(m, k)]
+        assert (r["n_keys"], r["n_bits_set"], r["n_probes"],
+                r["n_false_pos"]) == (40, len(bits), 60, n_fp)
+        assert r["load_ppm"] == len(bits) * 1_000_000 // m
+        assert r["fpp_ppm"] == n_fp * 1_000_000 // 60
+    # sanity: the small filter at 40 keys actually exhibits FPs and
+    # the larger one fewer — the audit measures a real gradient
+    assert rows[(64, 2)]["n_false_pos"] > rows[(256, 4)]["n_false_pos"]
+
+    # no false negatives: probing with the members themselves flags
+    # every key present
+    again = {(r["m_bits"], r["k_hashes"]): r
+             for r in bloom_fpp_audit(mdf, mdf, configs=configs).collect()}
+    for cfg in configs:
+        assert again[cfg]["n_false_pos"] == again[cfg]["n_probes"] == 40
+
+
+@pytest.mark.spark
+def test_bloom_fpp_audit_guards(spark):
+    from web_graph_spark.operators.seen import bloom_fpp_audit
+
+    df = spark.createDataFrame([("a",)], "key string")
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_fpp_audit(df, df, configs=((1000, 3),))
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_fpp_audit(df, df, configs=((1 << 17, 3),))
+    with pytest.raises(ValueError, match="k_hashes"):
+        bloom_fpp_audit(df, df, configs=((1024, 0),))

@@ -756,3 +756,88 @@ class PartitionedCuckooSeen:
         return (cand.groupBy("__shard")
                 .cogroup(states_i.groupBy("shard"))
                 .applyInPandas(probe_grp, schema=out_schema))
+
+
+def bloom_fpp_audit(members: DataFrame, probes: DataFrame,
+                    key_col: str = "key",
+                    configs: tuple[tuple[int, int], ...] = (
+                        (1024, 3), (2048, 5), (4096, 7))) -> DataFrame:
+    """Empirical false-positive audit of the bloom pre-filter design
+    (D1/U5): build the EXACT bit-set a bloom of (m bits, k hashes)
+    would hold for ``members``, probe it with the disjoint ``probes``
+    set, and report measured FPP + occupancy per configuration — the
+    evidence behind the seen-tier's sizing table
+    (IncrementalBloomSeen.SLAB_BYTES_BOUND / fpp targets), measured
+    instead of trusted from the (1−e^{−kn/m})^k formula.
+
+    Cross-engine exact construction (no bitmap blobs, no xxhash):
+    Kirsch–Mitzenmacher double hashing over ONE md5 digest per key —
+    h1/h2 = hex16 chunks (functions/stats.py:_hexchunk), h2 forced
+    odd via (h2 div 2)·2+1 so the stride cycles any power-of-two m;
+    bit i = (h1 + i·h2) mod m.  The "filter" is the distinct
+    (bit) relation (≤ m rows — broadcast on probe); a probe is a
+    false positive iff ALL its k bits are present.  Requires m ≤
+    65536 (hex16 range) and distinct keys on both sides (page
+    check_ids are; dedupe upstream otherwise).
+
+    → one row per config: (m_bits, k_hashes, n_keys, n_bits_set,
+    load_ppm, n_probes, n_false_pos, fpp_ppm).
+
+    Scale shape per config: one distinct over ≤ |members|·k bit rows
+    (uniform int keys), one broadcast join of the ≤ m-row bit set
+    against exploded probes, one key agg + 1-row combines.  The
+    real filters stay xxhash64-based (operators/seen.py tiers); this
+    audit fixes the hash family only so DuckDB can replay it.
+    """
+    from web_graph_spark.functions.stats import _hexchunk
+
+    for m, k in configs:
+        if m > 65536 or m < 2 or (m & (m - 1)) != 0:
+            raise ValueError(f"m_bits must be a power of two ≤ 65536, "
+                             f"got {m}")
+        if k < 1:
+            raise ValueError(f"k_hashes must be >= 1, got {k}")
+
+    def _bits(df: DataFrame, m: int, k: int) -> DataFrame:
+        h = F.md5(F.col(key_col).cast("string"))
+        h1 = _hexchunk(h, 1)
+        h2 = _hexchunk(h, 5)
+        stride = h2 - h2 % 2 + 1  # force odd: full period on 2^j m
+        return (df.select(F.col(key_col).alias("k"),
+                          h1.alias("h1"), stride.alias("h2"))
+                .select("k", F.explode(
+                    F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+                    "h1", "h2")
+                .select("k", ((F.col("h1") + F.col("i") * F.col("h2"))
+                              % F.lit(m)).alias("bit")))
+
+    out = None
+    for m, k in configs:
+        bits = _bits(members, m, k).select("bit").distinct()
+        pb = _bits(probes, m, k)
+        flags = (pb.join(F.broadcast(bits.withColumn("__hit", F.lit(1))),
+                         "bit", "left")
+                 .groupBy("k")
+                 .agg(F.min(F.coalesce(F.col("__hit"), F.lit(0)))
+                      .alias("all_set")))
+        row = (flags.agg(F.count(F.lit(1)).cast("long").alias("n_probes"),
+                         F.sum("all_set").cast("long")
+                         .alias("n_false_pos"))
+               .crossJoin(F.broadcast(
+                   bits.agg(F.count(F.lit(1)).cast("long")
+                            .alias("n_bits_set"))))
+               .crossJoin(F.broadcast(
+                   members.agg(F.count(F.lit(1)).cast("long")
+                               .alias("n_keys"))))
+               .select(F.lit(m).cast("long").alias("m_bits"),
+                       F.lit(k).cast("long").alias("k_hashes"),
+                       "n_keys", "n_bits_set",
+                       F.expr(f"n_bits_set * 1000000 div {m}")
+                       .cast("long").alias("load_ppm"),
+                       "n_probes", "n_false_pos",
+                       F.expr("case when n_probes > 0 then "
+                              "n_false_pos * 1000000 div n_probes "
+                              "else 0 end").cast("long")
+                       .alias("fpp_ppm")))
+        out = row if out is None else out.unionByName(row)
+    return out
