@@ -4491,6 +4491,32 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+CONFORMANCE_MODEL = (
+    ("START", "signup"), ("START", "view"),
+    ("signup", "view"),
+    ("view", "view"), ("view", "click"), ("view", "error"),
+    ("click", "click"), ("click", "view"), ("click", "purchase"),
+    ("click", "error"),
+    ("purchase", "view"),
+    ("error", "view"))
+
+
+def q_events_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-model conformance audit (functions/stats.py:
+    dfa_conformance E188): replay each user's (ts, event_id)-ordered
+    sequence against the declared funnel protocol above (START as the
+    virtual source) and report per user the violation count, the
+    first offending transition, and the conformant verdict — the
+    process-mining/QA complement to E181's learned matrix.  One lag
+    window + one broadcast model join; oracle replays both."""
+    from web_graph_spark.functions.stats import dfa_conformance
+
+    allowed = spark.createDataFrame(list(CONFORMANCE_MODEL),
+                                    "from_state string, to_state string")
+    return dfa_conformance(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), allowed)
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix (functions/stats.py:cohort_retention
     E83): first-active-day cohorts × integer day offsets with exact
@@ -5528,6 +5554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_attribution": q_events_attribution,
         "events_transitions": q_events_transitions,
+        "events_conformance": q_events_conformance,
         "events_retention": q_events_retention,
         "events_qdigest": q_events_qdigest,
         "corpus_merkle_diff": q_corpus_merkle_diff,
@@ -8410,6 +8437,36 @@ SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
             AS BIGINT) AS share_ppm,
        from_type = to_type AS is_self
 FROM m""",
+        "events_conformance": "WITH model(from_state, to_state) AS "
+        "(VALUES " + ", ".join(f"('{a}', '{b}')"
+                               for a, b in CONFORMANCE_MODEL) + """),
+seq AS (
+  SELECT user_id, event_id, ts,
+         coalesce(lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                  'START') AS from_state,
+         event_type AS to_state
+  FROM events),
+j AS (
+  SELECT s.user_id, s.event_id, s.ts, s.from_state, s.to_state,
+         m.from_state IS NULL AS viol
+  FROM seq s LEFT JOIN model m
+    ON m.from_state = s.from_state AND m.to_state = s.to_state),
+agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_steps,
+         CAST(sum(CASE WHEN viol THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+  FROM j GROUP BY 1),
+fv AS (
+  SELECT user_id, from_state AS first_bad_from,
+         to_state AS first_bad_to
+  FROM j WHERE viol
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) = 1)
+SELECT a.user_id, a.n_steps, a.n_violations,
+       f.first_bad_from, f.first_bad_to,
+       a.n_violations = 0 AS conformant
+FROM agg a LEFT JOIN fv f USING (user_id)""",
         "events_attribution": """
 WITH conv AS (
   SELECT event_id AS conv_id, user_id, epoch_us(ts) AS conv_us,

@@ -3699,3 +3699,65 @@ def test_roc_auc_matches_pair_enumeration(spark):
     glob = roc_auc(df, None, F.col("s"), "y").collect()
     assert len(glob) == 1 and glob[0].n_pos == sum(
         1 for _, _, y in rows if y)
+
+
+@pytest.mark.spark
+def test_dfa_conformance_hand_sequences(spark):
+    """Hand-traced sequences: conformant flow, first-event violation
+    (START rule), mid-sequence violation picks the EARLIEST offender,
+    per-user isolation."""
+    from web_graph_spark.functions.stats import dfa_conformance
+
+    allowed = spark.createDataFrame(
+        [("START", "view"), ("view", "click"), ("click", "purchase"),
+         ("view", "view")], "from_state string, to_state string")
+    rows = [
+        # u1: view → view → click → purchase (fully conformant)
+        (1, 1, "2024-01-01 00:00:01", "view"),
+        (1, 2, "2024-01-01 00:00:02", "view"),
+        (1, 3, "2024-01-01 00:00:03", "click"),
+        (1, 4, "2024-01-01 00:00:04", "purchase"),
+        # u2: starts with click (START→click bad), then click→view bad
+        (2, 5, "2024-01-01 00:00:01", "click"),
+        (2, 6, "2024-01-01 00:00:02", "view"),
+        # u3: view → purchase (view→purchase bad) then purchase→view bad
+        (3, 7, "2024-01-01 00:00:01", "view"),
+        (3, 8, "2024-01-01 00:00:02", "purchase"),
+        (3, 9, "2024-01-01 00:00:03", "view"),
+    ]
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(u, e, ts, t) for u, e, ts, t in rows],
+        "user_id long, event_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["user_id"]: r
+           for r in dfa_conformance(ev, allowed).collect()}
+    assert got[1]["conformant"] and got[1]["n_violations"] == 0
+    assert got[1]["n_steps"] == 4
+    assert got[1]["first_bad_from"] is None
+    assert not got[2]["conformant"] and got[2]["n_violations"] == 2
+    assert (got[2]["first_bad_from"], got[2]["first_bad_to"]) \
+        == ("START", "click")
+    assert got[3]["n_violations"] == 2
+    assert (got[3]["first_bad_from"], got[3]["first_bad_to"]) \
+        == ("view", "purchase")
+
+
+@pytest.mark.spark
+def test_dfa_conformance_duplicate_model_rows(spark):
+    """Duplicate rows in the model dim must not double-count steps
+    (the join is distinct'd)."""
+    from web_graph_spark.functions.stats import dfa_conformance
+
+    allowed = spark.createDataFrame(
+        [("START", "view"), ("START", "view")],
+        "from_state string, to_state string")
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:01", "view")],
+        "user_id long, event_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = dfa_conformance(ev, allowed).collect()[0]
+    assert (r["n_steps"], r["n_violations"], r["conformant"]) == (1, 0, True)

@@ -1751,3 +1751,60 @@ def roc_auc(scored: DataFrame, group_col: str | None,
             "(r2p - cast(n_pos as decimal(38,0)) * (n_pos + 1)) "
             "* 1000000 div (2 * cast(n_pos as decimal(38,0)) * n_neg) "
             "as bigint) END").alias("auc_ppm"))
+
+
+def dfa_conformance(events: DataFrame, allowed: DataFrame,
+                    key_col: str = "user_id", ts_col: str = "ts",
+                    state_col: str = "event_type",
+                    start_state: str = "START") -> DataFrame:
+    """Process-model conformance audit (E188) — the control-flow
+    complement to E181's learned transition matrix: given a DECLARED
+    model (the ``allowed`` (from_state, to_state) whitelist, with
+    ``start_state`` as the virtual source so the FIRST event is
+    checked too), replay every key's event sequence and report where
+    reality leaves the model — the process-mining primitive behind
+    funnel-protocol QA, API-contract auditing, and bot detection
+    (scripted clients violate human-flow models in characteristic
+    places).
+
+    Per key: transition count (first event included), violation
+    count, the FIRST offending (from, to) pair in (ts, event_id)
+    order (NULLs when conformant), and the conformant verdict.
+
+    Physical shape: ONE key-partitioned lag window (the same single
+    shuffle sessionize pays; ties impossible — event_id closes the
+    sort), a BROADCAST left join against the model dim (bounded by
+    |states|² by definition), one key hash agg, and a row_number
+    window over the violation SUBSET only.  No collect, no global
+    sort.
+
+    → ``(key, n_steps, n_violations, first_bad_from, first_bad_to,
+    conformant)``.
+
+    Reference analog: none — engine extension (events tier)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, "event_id")
+    seq = (events.select(key_col, "event_id", ts_col,
+                         F.col(state_col).alias("to_state"))
+           .withColumn("from_state",
+                       F.coalesce(F.lag("to_state").over(w),
+                                  F.lit(start_state))))
+    model = (allowed.select(F.col("from_state").alias("__f"),
+                            F.col("to_state").alias("__t"))
+             .distinct().withColumn("__ok", F.lit(1)))
+    j = (seq.join(F.broadcast(model),
+                  (seq["from_state"] == model["__f"])
+                  & (seq["to_state"] == model["__t"]), "left")
+         .select(key_col, "event_id", ts_col, "from_state", "to_state",
+                 F.col("__ok").isNull().alias("viol")))
+    agg = j.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+        F.sum(F.col("viol").cast("long")).cast("long")
+        .alias("n_violations"))
+    wv = Window.partitionBy(key_col).orderBy(ts_col, "event_id")
+    first = (j.filter("viol")
+             .withColumn("__rn", F.row_number().over(wv))
+             .filter(F.col("__rn") == 1)
+             .select(key_col, F.col("from_state").alias("first_bad_from"),
+                     F.col("to_state").alias("first_bad_to")))
+    return (agg.join(first, key_col, "left")
+            .withColumn("conformant", F.col("n_violations") == 0))
