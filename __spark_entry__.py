@@ -2714,6 +2714,20 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "fingerprint")
 
 
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (functions/text.py:
+    winnowing_fingerprints E189, Schleimer et al. SIGMOD'03 — MOSS):
+    per-doc selected-fingerprint audit over the alnum char stream
+    (k=8, w=4) with the order-insensitive Σ hash·(pos+1) set digest —
+    the fine-grained copy detector between X1's whole-doc md5 and
+    E3's shingle MinHash.  One explode + ONE doc-keyed window pass;
+    oracle replays k-grams, the BIGINT (min-hash, rightmost-pos)
+    window trick, and the digest algebra."""
+    from web_graph_spark.functions.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(spark, sf_dir))
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (type/token ratio, top
     bigram mass, duplicated trigram mass) — the filter family a
@@ -5453,6 +5467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
+        "text_winnowing": q_text_winnowing,
         "text_search_topk": q_text_search_topk,
         "text_bm25_topk": q_text_bm25_topk,
         "text_retrieval_eval": q_text_retrieval_eval,
@@ -7985,6 +8000,46 @@ SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
 FROM k""",
         "text_fingerprint": f"""
 SELECT doc_id, md5({norm}) AS fingerprint FROM documents""",
+        "text_winnowing": f"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS c
+  FROM documents),
+grams AS (
+  SELECT doc_id, u.pos,
+         {_hexchunk_sql(1, "md5(substr(c, u.pos, 8))")} AS h
+  FROM base, UNNEST(generate_series(1, length(c) - 7)) AS u(pos)
+  WHERE length(c) >= 8),
+keyed AS (
+  SELECT doc_id, pos,
+         h * 4294967296 + (4294967295 - pos) AS k,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM grams),
+winm AS (
+  SELECT doc_id, pos, n,
+         min(k) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sk
+  FROM keyed),
+sel AS (
+  SELECT DISTINCT doc_id, n, sk FROM winm
+  WHERE pos <= greatest(n - 3, 1)),
+agg AS (
+  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_kgrams,
+         CAST(count(*) AS BIGINT) AS n_fingerprints,
+         CAST(sum((sk // 4294967296) *
+                  (4294967295 - sk % 4294967296 + 1)) AS BIGINT)
+             AS fp_digest
+  FROM sel GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_kgrams, 0) AS BIGINT) AS n_kgrams,
+       CAST(coalesce(greatest(a.n_kgrams - 3, 1), 0) AS BIGINT)
+           AS n_windows,
+       CAST(coalesce(a.n_fingerprints, 0) AS BIGINT) AS n_fingerprints,
+       CAST(coalesce(a.n_fingerprints * 1000000
+                     // greatest(a.n_kgrams - 3, 1), 0) AS BIGINT)
+           AS density_ppm,
+       CAST(coalesce(a.fp_digest, 0) AS BIGINT) AS fp_digest
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
         "text_repetition": """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents

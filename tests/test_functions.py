@@ -3761,3 +3761,75 @@ def test_dfa_conformance_duplicate_model_rows(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     r = dfa_conformance(ev, allowed).collect()[0]
     assert (r["n_steps"], r["n_violations"], r["conformant"]) == (1, 0, True)
+
+
+def _py_winnow(text, k=8, w=4):
+    """Independent winnowing reference (Schleimer et al. §4, robust
+    winnowing via the same BIGINT (min-hash, rightmost-pos) encoding)."""
+    c = re.sub("[^a-z0-9]", "", text.lower())
+    n = len(c) - k + 1
+    if n < 1:
+        return 0, 0, set()
+    hs = [(p, int(hashlib.md5(c[p - 1:p - 1 + k].encode())
+                  .hexdigest()[:4], 16)) for p in range(1, n + 1)]
+    nw = max(n - w + 1, 1)
+    sel = set()
+    for start in range(1, nw + 1):
+        frame = hs[start - 1:start - 1 + w]
+        sel.add(min(h * (1 << 32) + ((1 << 32) - 1 - p) for p, h in frame))
+    return n, nw, sel
+
+
+@pytest.mark.spark
+def test_winnowing_matches_python_reference(spark):
+    """Column-for-column equality with the reference implementation,
+    the short-doc zero row, and the paper's coverage guarantee on a
+    shared-substring pair."""
+    from web_graph_spark.functions.text import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, "Some unrelated preamble text here. " + shared),
+        (2, shared + " with a completely different tail of words"),
+        (3, "zebra yak xylophone walrus vulture tapir snake rhino"),
+        (4, "ab"),          # cleaned length < k → zero row
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in winnowing_fingerprints(df).collect()}
+    assert len(got) == 5
+    for did, text in docs:
+        n, nw, sel = _py_winnow(text)
+        dig = sum((k_ >> 32) * ((1 << 32) - (k_ % (1 << 32)))
+                  for k_ in sel)
+        r = got[did]
+        assert (r["n_kgrams"], r["n_windows"], r["n_fingerprints"],
+                r["fp_digest"]) == (n, nw, len(sel), dig), did
+        assert r["density_ppm"] == (len(sel) * 1_000_000 // nw if nw
+                                    else 0)
+    # SIGMOD'03 guarantee: a shared run ≥ k+w−1 chars ⇒ at least one
+    # shared fingerprint HASH between the two documents
+    h1 = {k_ >> 32 for k_ in _py_winnow(docs[0][1])[2]}
+    h2 = {k_ >> 32 for k_ in _py_winnow(docs[1][1])[2]}
+    assert h1 & h2
+    # zero rows for sub-k docs
+    assert got[4]["n_kgrams"] == 0 and got[4]["fp_digest"] == 0
+    assert got[5]["n_fingerprints"] == 0
+
+
+@pytest.mark.spark
+def test_winnowing_tiny_docs_single_window(spark):
+    """1 ≤ n_kgrams < w keeps exactly one (truncated) window — the
+    minimum hash of all grams, density 10⁶/1."""
+    from web_graph_spark.functions.text import winnowing_fingerprints
+
+    df = spark.createDataFrame([(1, "abcdefghij")],
+                               "doc_id long, text string")  # 3 grams
+    r = winnowing_fingerprints(df).collect()[0]
+    n, nw, sel = _py_winnow("abcdefghij")
+    assert (n, nw) == (3, 1)
+    assert (r["n_kgrams"], r["n_windows"], r["n_fingerprints"]) \
+        == (3, 1, 1)
+    with pytest.raises(ValueError):
+        winnowing_fingerprints(df, k=0)
