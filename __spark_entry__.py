@@ -2109,6 +2109,20 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantization_audit(_emb(spark, sf_dir))
 
 
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance outlier audit (functions/similarity.py:
+    centroid_outliers E190): per label group, each vector's exact
+    integer squared distance to the group centroid vs the group mean
+    — the OOD/mislabel flag (>3× mean) a curation pipeline runs
+    before trusting cluster assignments.  Elements floored to 2^20
+    micro-units so every reduction is aggregation-order exact;
+    centroid division is true floor via the pmod identity.  Oracle
+    replays elements, centroids, and the decimal ppm algebra."""
+    from web_graph_spark.functions.similarity import centroid_outliers
+
+    return centroid_outliers(_emb(spark, sf_dir))
+
+
 def _matryoshka_sql(dims=(32, 16, 8), k=10, nq=5) -> str:
     def cos(v, qv):
         return (f"list_dot_product({v}, {qv}) / "
@@ -5588,6 +5602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rrf_topk": q_text_rrf_topk,
         "embed_matryoshka": q_embed_matryoshka,
         "embed_quantize": q_embed_quantize,
+        "embed_outliers": q_embed_outliers,
         "media_sniff": q_media_sniff,
         "corpus_zonemap_audit": q_corpus_zonemap_audit,
         "tpch_q1": q_tpch_q1,
@@ -9441,6 +9456,30 @@ SELECT o_custkey, rank, o_orderkey,
 FROM r WHERE rank <= 3""",
         "events_qdigest": _qdigest_unrolled_sql(),
         "embed_matryoshka": _matryoshka_sql(),
+        "embed_outliers": """
+WITH el AS (
+  SELECT vec_id, label, g.i,
+         CAST(floor(CAST(embedding AS DOUBLE[])[g.i] * 1048576)
+              AS BIGINT) AS e
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)),
+cent AS (
+  SELECT label, i, sum(e) AS s, count(*) AS n FROM el GROUP BY 1, 2),
+c2 AS (
+  SELECT label, i, (s - ((s % n + n) % n)) // n AS c FROM cent),
+d AS (
+  SELECT el.vec_id, el.label,
+         CAST(sum((el.e - c2.c) * (el.e - c2.c)) AS BIGINT) AS d2
+  FROM el JOIN c2 ON c2.label = el.label AND c2.i = el.i
+  GROUP BY 1, 2),
+g AS (
+  SELECT label, CAST(sum(d2) // count(*) AS BIGINT) AS mean_d2
+  FROM d GROUP BY 1)
+SELECT d.vec_id, d.label, d.d2, g.mean_d2,
+       CAST(CASE WHEN g.mean_d2 > 0
+                 THEN CAST(d.d2 AS HUGEINT) * 1000000 // g.mean_d2
+                 ELSE 0 END AS BIGINT) AS ratio_ppm,
+       d.d2 * 10 > g.mean_d2 * 30 AS outlier
+FROM d JOIN g USING (label)""",
         "embed_quantize": """
 WITH pairs AS (
   SELECT u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS x

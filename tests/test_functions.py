@@ -3833,3 +3833,57 @@ def test_winnowing_tiny_docs_single_window(spark):
         == (3, 1, 1)
     with pytest.raises(ValueError):
         winnowing_fingerprints(df, k=0)
+
+
+def _py_centroid_outliers(vecs, scale_bits=20):
+    """Independent integer replica of centroid_outliers for one group."""
+    s = 1 << scale_bits
+    import math
+
+    el = [[math.floor(x * float(s)) for x in v] for _, v in vecs]
+    n = len(el)
+    dim = len(el[0])
+    cent = []
+    for i in range(dim):
+        tot = sum(r[i] for r in el)
+        cent.append((tot - (tot % n + n) % n) // n)  # true floor
+    d2 = {vid: sum((r[i] - cent[i]) ** 2 for i in range(dim))
+          for (vid, _), r in zip(vecs, el)}
+    mean = sum(d2.values()) // n
+    return d2, mean
+
+
+@pytest.mark.spark
+def test_centroid_outliers_hand_groups(spark):
+    """Exact equality with the integer replica (negative coords cover
+    the floor-division identity), outlier polarity, zero-spread group."""
+    from web_graph_spark.functions.similarity import centroid_outliers
+
+    ga = [(1, [0.1, -0.2]), (2, [0.12, -0.18]), (3, [0.11, -0.22]),
+          (5, [0.09, -0.21]), (6, [0.1, -0.19]), (7, [0.13, -0.2]),
+          (8, [0.1, -0.2]),
+          (4, [-0.9, 0.8])]                      # 4 is far off
+    gb = [(10, [0.5, 0.5]), (11, [0.5, 0.5])]    # identical → d2 = 0
+    rows = [(vid, v, "A") for vid, v in ga] + \
+           [(vid, v, "B") for vid, v in gb]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    got = {r["vec_id"]: r for r in centroid_outliers(df).collect()}
+
+    # python replica must see the same floats Spark reads back from
+    # the float32 column
+    fa = [(vid, [float(np.float32(x)) for x in v]) for vid, v in ga]
+    d2, mean = _py_centroid_outliers(fa)
+    for vid in d2:
+        assert got[vid]["d2"] == d2[vid]
+        assert got[vid]["mean_d2"] == mean
+        assert got[vid]["ratio_ppm"] == d2[vid] * 1_000_000 // mean
+        assert got[vid]["outlier"] == (d2[vid] * 10 > mean * 30)
+    assert got[4]["outlier"] and not got[1]["outlier"]
+    # zero-spread group: d2 = 0, mean 0 → ratio 0, no outliers
+    for vid in (10, 11):
+        assert (got[vid]["d2"], got[vid]["mean_d2"],
+                got[vid]["ratio_ppm"], got[vid]["outlier"]) \
+            == (0, 0, 0, False)
+    with pytest.raises(ValueError, match="scale_bits"):
+        centroid_outliers(df, scale_bits=40)

@@ -896,3 +896,68 @@ def quantization_audit(emb: DataFrame, id_col: str = "vec_id",
             .select(F.col("dim").cast("int").alias("dim"), "n",
                     "scale_ppm", "n_saturated", "n_zero_code",
                     "max_err_ppm", "sum_err_ppm"))
+
+
+def centroid_outliers(emb: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      group_col: str = "label",
+                      scale_bits: int = 20,
+                      flag_x10: int = 30) -> DataFrame:
+    """Per-group centroid-distance outlier audit (E190) — the
+    embedding-space OOD / mislabel detector a curation pipeline runs
+    before trusting cluster assignments (SemDeDup keeps the
+    NEAR-duplicates, E135; this flags the opposite tail): a vector is
+    an outlier when its squared distance to its group's centroid
+    exceeds ``flag_x10/10 ×`` the group's mean squared distance.
+
+    Determinism discipline: float sums are aggregation-order
+    DEPENDENT, so every element is first floored to 2^scale_bits
+    integer micro-units (exact: double×2^k then floor) and ALL
+    reductions — centroid sums, squared distances, group means — run
+    in exact integer/decimal arithmetic.  Centroid division is true
+    floor via the pmod identity ``(s − pmod(s, n)) div n`` (sums go
+    negative; plain ``div`` truncates toward zero and would split
+    from DuckDB's ``//`` floor).  The ratio ppm rides decimal(38,0)
+    (d2·10⁶ overflows BIGINT at 64 dims × 2^40-scale squares).
+
+    → ``(vec_id, group, d2, mean_d2, ratio_ppm, outlier)``.
+
+    Scale shape: explode to |rows|·dim element rows (uniform id
+    keys); centroids aggregate on (group, dim) — a |groups|·dim dim,
+    BROADCAST back onto the element stream; per-vector fold on the
+    id key; the |groups|-row mean dim broadcasts too.  No windows
+    over the corpus, no driver math.
+    """
+    if scale_bits < 1 or scale_bits > 30:
+        raise ValueError("scale_bits must be in [1, 30]")
+    el = (emb.select(F.col(id_col).alias("id"),
+                     F.col(group_col).alias("grp"),
+                     F.posexplode(F.col(vec_col).cast("array<double>"))
+                     .alias("i", "x"))
+          .select("id", "grp", "i",
+                  F.floor(F.col("x") * F.lit(float(1 << scale_bits)))
+                  .cast("long").alias("e")))
+    cent = (el.groupBy("grp", "i")
+            .agg(F.sum("e").cast("long").alias("s"),
+                 F.count(F.lit(1)).cast("long").alias("n"))
+            .select("grp", "i",
+                    F.expr("(s - pmod(s, n)) div n").cast("long")
+                    .alias("c")))
+    d2 = (el.join(F.broadcast(cent), ["grp", "i"])
+          .groupBy("id", "grp")
+          .agg(F.sum((F.col("e") - F.col("c"))
+                     * (F.col("e") - F.col("c")))
+               .cast("long").alias("d2")))
+    g = (d2.groupBy("grp")
+         .agg(F.expr("sum(cast(d2 as decimal(38,0))) div count(*)")
+              .cast("long").alias("mean_d2")))
+    return (d2.join(F.broadcast(g), "grp")
+            .select(F.col("id").alias(id_col),
+                    F.col("grp").alias(group_col), "d2", "mean_d2",
+                    F.expr("CASE WHEN mean_d2 > 0 THEN CAST("
+                           "cast(d2 as decimal(38,0)) * 1000000 "
+                           "div mean_d2 AS BIGINT) ELSE 0 END")
+                    .alias("ratio_ppm"),
+                    (F.col("d2") * 10
+                     > F.col("mean_d2") * F.lit(flag_x10))
+                    .alias("outlier")))
