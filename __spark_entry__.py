@@ -4519,6 +4519,26 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_events_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-disorder audit (functions/stats.py:sequence_disorder
+    E191): exact per-user Kendall inversions + worst lateness between
+    arrival order (event_id) and event time — the numbers that let a
+    watermark delay be CHOSEN rather than guessed (E177 prices a
+    given delay).  The synthetic stream arrives in event-time order,
+    so the query plants deterministic late data: event time shifts
+    back (event_id mod 7)·30 s while arrival stays put.  Spark counts
+    each bounded user group in O(n log n) via a Fenwick tree inside
+    applyInPandas; the oracle pays the quadratic pair join."""
+    from web_graph_spark.functions.stats import sequence_disorder
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("user_id", "event_id",
+                  F.expr("timestamp_micros(unix_micros(cast(ts as "
+                         "timestamp)) - (event_id % 7) * 30000000)")
+                  .alias("ts")))
+    return sequence_disorder(ev)
+
+
 CONFORMANCE_MODEL = (
     ("START", "signup"), ("START", "view"),
     ("signup", "view"),
@@ -5584,6 +5604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": q_events_attribution,
         "events_transitions": q_events_transitions,
         "events_conformance": q_events_conformance,
+        "events_disorder": q_events_disorder,
         "events_retention": q_events_retention,
         "events_qdigest": q_events_qdigest,
         "corpus_merkle_diff": q_corpus_merkle_diff,
@@ -8507,6 +8528,33 @@ SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
             AS BIGINT) AS share_ppm,
        from_type = to_type AS is_self
 FROM m""",
+        "events_disorder": """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) - (event_id % 7) * 30000000 AS us
+  FROM events),
+pairs AS (
+  SELECT a.user_id, count(*) AS inv
+  FROM e a JOIN e b ON a.user_id = b.user_id
+        AND a.event_id < b.event_id AND a.us > b.us
+  GROUP BY 1),
+base AS (SELECT user_id, count(*) AS n FROM e GROUP BY 1),
+late AS (
+  SELECT user_id, max(rm - us) AS ml FROM (
+    SELECT user_id, us,
+           max(us) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS UNBOUNDED PRECEDING) AS rm
+    FROM e) GROUP BY 1)
+SELECT b.user_id, CAST(b.n AS BIGINT) AS n_events,
+       CAST(coalesce(p.inv, 0) AS BIGINT) AS n_inversions,
+       CAST(CASE WHEN b.n >= 2
+                 THEN coalesce(p.inv, 0) * 1000000
+                      // (b.n * (b.n - 1) // 2)
+                 ELSE 0 END AS BIGINT) AS inv_ppm,
+       CAST(coalesce(l.ml, 0) AS BIGINT) AS max_lateness_us,
+       coalesce(p.inv, 0) = 0 AS in_order
+FROM base b LEFT JOIN pairs p USING (user_id)
+LEFT JOIN late l USING (user_id)""",
         "events_conformance": "WITH model(from_state, to_state) AS "
         "(VALUES " + ", ".join(f"('{a}', '{b}')"
                                for a, b in CONFORMANCE_MODEL) + """),

@@ -191,6 +191,11 @@ ALLOW: dict[tuple[str, str], str] = {
     ("corpus_lang_mix", "BroadcastNestedLoopJoin"):
         "1-row n_max dim crossed onto the languages-sized counts dim "
         "(not the corpus scan — that side is a broadcast hash join)",
+    ("events_disorder", "python"):
+        "deliberate scale path: per-key O(n log n) Fenwick inversion "
+        "count in ONE applyInPandas pass over the bounded user group "
+        "— the JVM alternative is the quadratic per-key pair join "
+        "the ORACLE deliberately pays (E191 docstring)",
     ("crawl_bloom_fpp", "BroadcastNestedLoopJoin"):
         "per-config 1-row combines: probe-flag fold x n_bits_set x "
         "n_keys (all 1-row aggregates; the bit-set probe join itself "

@@ -3887,3 +3887,51 @@ def test_centroid_outliers_hand_groups(spark):
             == (0, 0, 0, False)
     with pytest.raises(ValueError, match="scale_bits"):
         centroid_outliers(df, scale_bits=40)
+
+
+@pytest.mark.spark
+def test_sequence_disorder_brute_force(spark):
+    """Fenwick-tree inversion counts ≡ brute-force pair enumeration
+    on an LCG-scrambled stream with planted ties; lateness window."""
+    from web_graph_spark.functions.stats import sequence_disorder
+
+    rows = []
+    x = 7
+    for u in (1, 2):
+        for i in range(40):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            us = (x % 50) * 1_000_000          # heavy ties
+            rows.append((u, u * 1000 + i, us))
+    # user 3: strictly in order; user 4: single event
+    rows += [(3, 3000 + i, i * 1_000_000) for i in range(5)]
+    rows += [(4, 4000, 123_000_000)]
+    ev = spark.createDataFrame(
+        [(u, e, us) for u, e, us in rows],
+        "user_id long, event_id long, us long"
+    ).selectExpr("user_id", "event_id",
+                 "timestamp_micros(us) as ts")
+    got = {r["user_id"]: r for r in sequence_disorder(ev).collect()}
+
+    from collections import defaultdict
+
+    seq = defaultdict(list)
+    for u, e, us in rows:
+        seq[u].append((e, us))
+    for u, evs in seq.items():
+        evs.sort()
+        inv = sum(1 for i in range(len(evs)) for j in range(i)
+                  if evs[j][1] > evs[i][1])
+        late = 0
+        rm = -1 << 62
+        for _, us in evs:
+            rm = max(rm, us)
+            late = max(late, rm - us)
+        n = len(evs)
+        pairs = n * (n - 1) // 2
+        r = got[u]
+        assert (r["n_events"], r["n_inversions"]) == (n, inv), u
+        assert r["inv_ppm"] == (inv * 1_000_000 // pairs if pairs else 0)
+        assert r["max_lateness_us"] == late
+        assert r["in_order"] == (inv == 0)
+    assert got[3]["in_order"] and not got[1]["in_order"]
+    assert got[4]["n_events"] == 1 and got[4]["inv_ppm"] == 0

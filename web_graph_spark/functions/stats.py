@@ -1808,3 +1808,73 @@ def dfa_conformance(events: DataFrame, allowed: DataFrame,
                      F.col("to_state").alias("first_bad_to")))
     return (agg.join(first, key_col, "left")
             .withColumn("conformant", F.col("n_violations") == 0))
+
+
+def sequence_disorder(events: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Exact out-of-order audit per key (E191) — how scrambled is the
+    stream between ARRIVAL order (the monotone ingest ``event_id``)
+    and EVENT time?  The two numbers that size a streaming pipeline's
+    watermark honestly: total Kendall disorder (inversion pairs —
+    arrival says a-before-b, event time says b-before-a, strictly)
+    and the worst lateness any watermark must absorb
+    (``max over events of running-max(ts) − ts``).  E177's watermark
+    audit prices a GIVEN delay; this measures the stream's intrinsic
+    disorder so the delay can be chosen.
+
+    Scale design: inversions are a pairwise property, but the
+    quadratic pair join is only the ORACLE's job — here each key's
+    (bounded) group is counted in O(n log n) with a Fenwick tree
+    over dense event-time ranks inside one applyInPandas pass
+    (ties share a rank, so equal timestamps are never inversions).
+    One shuffle on the uniform key; group memory is O(group), the
+    same bound sessionize already assumes.
+
+    → ``(key, n_events, n_inversions, inv_ppm, max_lateness_us,
+    in_order)`` where inv_ppm is inversions per possible pair
+    (floor ppm, 0 when n < 2).
+
+    Reference analog: none — engine extension (events tier)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (f"{key_col} long, n_events long, n_inversions long, "
+                  f"inv_ppm long, max_lateness_us long, in_order boolean")
+
+    def _grp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id", kind="mergesort")
+        ts = pdf["__us"].to_numpy(np.int64)
+        n = len(ts)
+        # dense ranks, ties collapsed (equal ts → same rank → no pair)
+        ranks = np.searchsorted(np.unique(ts), ts) + 1
+        m = int(ranks.max()) if n else 0
+        bit = np.zeros(m + 1, dtype=np.int64)
+        inv = 0
+        for i, r in enumerate(ranks):
+            # seen-so-far with rank <= r
+            s, j = 0, int(r)
+            while j > 0:
+                s += bit[j]
+                j -= j & (-j)
+            inv += i - s
+            j = int(r)
+            while j <= m:
+                bit[j] += 1
+                j += j & (-j)
+        run_max = np.maximum.accumulate(ts) if n else ts
+        lateness = int((run_max - ts).max()) if n else 0
+        pairs = n * (n - 1) // 2
+        return pd.DataFrame({
+            key_col: [pdf[key_col].iloc[0]],
+            "n_events": [n],
+            "n_inversions": [inv],
+            "inv_ppm": [inv * 1_000_000 // pairs if pairs else 0],
+            "max_lateness_us": [lateness],
+            "in_order": [inv == 0],
+        })
+
+    prepped = events.select(
+        key_col, "event_id",
+        (F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .cast("long").alias("__us"))
+    return prepped.groupBy(key_col).applyInPandas(_grp, out_schema)
