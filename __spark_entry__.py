@@ -1781,6 +1781,20 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp(e, seeds, rounds=8)
 
 
+def q_crawl_front_coding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Front-coding audit of the sorted URL store (operators/
+    layout.py:front_coding_audit E192): per host, the exact bytes a
+    (lcp, suffix) prefix encoding saves on the host's sorted URL run,
+    gross and net of the 1-byte-per-entry overhead — the storage
+    decision a 10^10-URL frontier layout makes.  LCP via the
+    monotone prefix-equality max (no UDF); oracle replays the lag
+    pairing + transform/list_max LCP + floor-ppm algebra."""
+    from web_graph_spark.operators.layout import front_coding_audit
+
+    return front_coding_audit(
+        webgen.pages_df(spark, sf_dir).select("host", "url"))
+
+
 def q_crawl_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key per page (round 4, operators/
     layout.py E103): interleave 16-bit hash buckets of host and path
@@ -5491,6 +5505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_neighborhood": q_graph_neighborhood,
         "graph_ktruss": q_graph_ktruss,
         "crawl_zorder_key": q_crawl_zorder_key,
+        "crawl_front_coding": q_crawl_front_coding,
         "graph_sssp": q_graph_sssp,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -6036,6 +6051,28 @@ SELECT h AS host, suffix AS public_suffix,
             THEN array_to_string(list_slice(ls, L - eff, L), '.')
             END AS registrable
 FROM fin"""),
+        "crawl_front_coding": _oracle("""
+, paired AS (
+  SELECT host AS g, url AS u,
+         lag(url) OVER (PARTITION BY host ORDER BY url) AS p
+  FROM web_pages),
+lcps AS (
+  SELECT g, u,
+         CASE WHEN p IS NULL THEN 0
+              ELSE coalesce(list_max(list_transform(
+                     generate_series(1, greatest(least(length(u),
+                                                       length(p)), 1)),
+                     i -> CASE WHEN substr(u, 1, i) = substr(p, 1, i)
+                               THEN i ELSE 0 END)), 0) END AS lcp
+  FROM paired)
+SELECT g AS host, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(length(u)) AS BIGINT) AS raw_bytes,
+       CAST(sum(lcp) AS BIGINT) AS saved_bytes,
+       CAST(sum(lcp) * 1000000 // sum(length(u)) AS BIGINT)
+           AS saved_ppm,
+       CAST((sum(lcp) - count(*)) * 1000000 // sum(length(u))
+            AS BIGINT) AS net_saved_1b_ppm
+FROM lcps GROUP BY 1"""),
         "crawl_zorder_key": _oracle(f"""
 , hx0 AS (SELECT doc_id, md5(host) AS hh, md5(path) AS hp
           FROM web_pages),

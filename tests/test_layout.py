@@ -182,3 +182,52 @@ def test_adjacency_gap_audit_hand_case_and_locality_win(spark):
               adjacency_gap_audit(e3, v3, small_hint=10_000).collect()}
     assert (audit3["host_grouped"].bits_per_edge_ppm
             > audit3["original"].bits_per_edge_ppm)
+
+
+@pytest.mark.spark
+def test_front_coding_audit_hand_urls(spark):
+    """Exact LCP accounting on hand-sorted runs, including the
+    negative-net group (1-byte overhead beats tiny prefixes) and the
+    single-URL group."""
+    from web_graph_spark.operators.layout import front_coding_audit
+
+    rows = [
+        # group a, sorted: lcps = 0, then len('http://a/x') shared…
+        ("a", "http://a/page/001"), ("a", "http://a/page/002"),
+        ("a", "http://a/page/010"), ("a", "http://a/z"),
+        # group b: no shared prefixes at all → net negative
+        ("b", "m"), ("b", "x"), ("b", "z"),
+        # group c: one url
+        ("c", "http://c/only"),
+    ]
+    df = spark.createDataFrame(rows, "host string, url string")
+    got = {r["host"]: r for r in front_coding_audit(df).collect()}
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    for g in ("a", "b", "c"):
+        urls = sorted(u for h, u in rows if h == g)
+        saved = sum(lcp(urls[i - 1], urls[i])
+                    for i in range(1, len(urls)))
+        raw = sum(len(u) for u in urls)
+        r = got[g]
+        assert (r["n_urls"], r["raw_bytes"], r["saved_bytes"]) \
+            == (len(urls), raw, saved), g
+        assert r["saved_ppm"] == saved * 1_000_000 // raw
+        # python // is floor division — the exact semantics the pmod
+        # identity implements for the possibly-negative net
+        assert r["net_saved_1b_ppm"] \
+            == (saved - len(urls)) * 1_000_000 // raw
+    assert got["b"]["net_saved_1b_ppm"] < 0  # the lose case triggers
+    assert got["a"]["saved_bytes"] == (0 + lcp("http://a/page/001",
+                                               "http://a/page/002")
+                                       + lcp("http://a/page/002",
+                                             "http://a/page/010")
+                                       + lcp("http://a/page/010",
+                                             "http://a/z"))

@@ -239,3 +239,61 @@ def adjacency_gap_audit(edges: DataFrame, vertices: DataFrame,
         .select("vid", "r")
     return (cost(orig, "original")
             .unionByName(cost(grouped, "host_grouped")))
+
+
+def front_coding_audit(urls: DataFrame, group_col: str = "host",
+                       url_col: str = "url") -> DataFrame:
+    """Front-coding (incremental/prefix encoding) audit of the sorted
+    URL store (E192) — the storage question a 10^10-URL frontier
+    answers before choosing a layout: sorted-by-URL runs share long
+    prefixes (scheme + host + path stems), and front coding stores
+    each entry as (lcp, suffix).  Per group: how many bytes does the
+    prefix share actually save, and what entry overhead would erase
+    the win?  (The classic WebGraph/Lucene term-dictionary encoding;
+    the reference stores full TEXT urls per row,
+    pkg/linkstorage/linkstorage.go schema.)
+
+    Exact construction: URLs sort within their group (the layout's
+    natural partition — per-host runs are where the shared stems
+    live), ``lag`` pairs each URL with its predecessor, and the LCP
+    is ``max{ i : prefix_i(a) = prefix_i(b) }`` — prefix equality is
+    monotone in i, so one transform over 1..min(len) + array_max is
+    the exact LCP with no UDF (O(L²) char compares per pair; URL L
+    is bounded, and both engines evaluate the identical formula).
+
+    → per group: ``(group, n_urls, raw_bytes, saved_bytes,
+    saved_ppm, net_saved_1b_ppm)`` where the net figure charges the
+    standard 1-byte-per-entry LCP-length overhead (vbyte) — negative
+    net means front coding LOSES on this group's URL shapes.
+
+    Scale shape: ONE group-keyed window sort (the layout write pays
+    this sort anyway), a codegen'd LCP projection, one group agg.
+    Skewed hot hosts ride the same mitigation the politeness window
+    uses (bounded per-group output: one row).
+    """
+    paired = (urls.select(F.col(group_col).alias("g"),
+                          F.col(url_col).alias("u"))
+              .withColumn("p", F.lag("u").over(
+                  Window.partitionBy("g").orderBy("u"))))
+    lcp = F.when(
+        F.col("p").isNull(), F.lit(0)
+    ).otherwise(F.coalesce(F.array_max(F.expr(
+        "transform(sequence(1, greatest(least(length(u), length(p)), "
+        "1)), i -> IF(substring(u, 1, i) = substring(p, 1, i), i, 0))"
+    )), F.lit(0)))
+    per = paired.withColumn("lcp", lcp.cast("long"))
+    return (per.groupBy(F.col("g").alias(group_col))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_urls"),
+                 F.sum(F.length("u")).cast("long").alias("raw_bytes"),
+                 F.sum("lcp").cast("long").alias("saved_bytes"))
+            .select(group_col, "n_urls", "raw_bytes", "saved_bytes",
+                    F.expr("saved_bytes * 1000000 div raw_bytes")
+                    .cast("long").alias("saved_ppm"),
+                    # net can go NEGATIVE (tiny prefixes lose to the
+                    # 1-byte overhead) — true-floor via the pmod
+                    # identity so Spark's truncating div matches
+                    # DuckDB's floor //
+                    F.expr("((saved_bytes - n_urls) * 1000000 "
+                           "- pmod((saved_bytes - n_urls) * 1000000, "
+                           "raw_bytes)) div raw_bytes").cast("long")
+                    .alias("net_saved_1b_ppm")))
