@@ -2438,6 +2438,25 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  rounds=4)
 
 
+def q_graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance (operators/graph_algos.py:
+    conductance_by_community E193) of the E50 label-prop assignment —
+    the boundary-leakiness metric paired with E86's modularity in an
+    acceptance suite (the two disagree exactly where resolution-limit
+    artifacts live).  cut = vol − 2·internal reuses E86's aggregates;
+    φ in floor ppm, NULL when min(vol, 2m−vol) = 0.  Oracle shares
+    the unrolled-LPA CTE chain and replays the algebra."""
+    from web_graph_spark.operators.graph_algos import (
+        conductance_by_community, label_propagation)
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    v = webgen.pages_df(spark, sf_dir).select("doc_id")
+    labels = label_propagation(v, e, iters=4)
+    return conductance_by_community(v, e, labels)
+
+
 def q_graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrustRank spam mass (operators/graph_algos.py:spam_mass E185,
     Gyöngyi et al. VLDB'04) — the crawl scheduler's spam-demotion
@@ -5495,6 +5514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": q_graph_modularity,
         "graph_ppr": q_graph_ppr,
         "graph_trustrank": q_graph_trustrank,
+        "graph_conductance": q_graph_conductance,
         "graph_opic": q_graph_opic,
         "graph_salsa": q_graph_salsa,
         "graph_kcore": q_graph_kcore,
@@ -6996,6 +7016,32 @@ JOIN weak w ON w.id = s.id
 LEFT JOIN core_weak cw ON cw.wc = w.component"""),
         "graph_label_prop": _oracle(_lpa_unrolled_sql(iters=4)),
         "graph_modularity": _oracle(_modularity_sql(iters=4)),
+        "graph_conductance": _oracle(_lpa_rounds_sql(4) + """,
+deg AS (SELECT u AS id, count(*) AS deg FROM und GROUP BY 1),
+m_row AS (SELECT count(*) AS m_edges FROM e),
+internal AS (
+  SELECT lu.lbl AS community, count(*) AS n_internal
+  FROM e JOIN l4 lu ON lu.id = e.u
+         JOIN l4 lv ON lv.id = e.v
+  WHERE lu.lbl = lv.lbl
+  GROUP BY 1
+),
+per_comm AS (
+  SELECT l.lbl AS community, count(*) AS n_members,
+         CAST(sum(coalesce(d.deg, 0)) AS BIGINT) AS vol
+  FROM l4 l LEFT JOIN deg d ON d.id = l.id
+  GROUP BY 1
+)
+SELECT CAST(p.community AS BIGINT) AS community,
+       CAST(p.n_members AS BIGINT) AS n_members, p.vol,
+       CAST(p.vol - 2 * coalesce(i.n_internal, 0) AS BIGINT) AS cut,
+       CAST(CASE WHEN least(p.vol, 2 * m.m_edges - p.vol) > 0
+                 THEN (p.vol - 2 * coalesce(i.n_internal, 0)) * 1000000
+                      // least(p.vol, 2 * m.m_edges - p.vol)
+            END AS BIGINT) AS conductance_ppm
+FROM per_comm p
+LEFT JOIN internal i ON i.community = p.community
+CROSS JOIN m_row m"""),
         "graph_ppr": _oracle(_ppr_sql(rounds=4, scale=10 ** 12),
                              seeds=True),
         "graph_trustrank": _oracle(

@@ -69,6 +69,11 @@ ALLOW: dict[tuple[str, str], str] = {
         "1-row doc-count dim crossed onto the bigram tf rows",
     ("graph_modularity", "BroadcastNestedLoopJoin"):
         "1-row m_edges aggregate crossed onto the per-community rows",
+    ("graph_conductance", "BroadcastNestedLoopJoin"):
+        "the same 1-row 2m dim crossed onto the per-community rows "
+        "(shares E86's aggregate shapes)",
+    ("graph_conductance", "Exchange SinglePartition"):
+        "the same 1-row m_edges aggregate; partial counts upstream",
     ("corpus_importance", "BroadcastNestedLoopJoin"):
         "two 1-row bucket-total dims (raw/target gram counts)",
     ("corpus_zonemap_audit", "BroadcastNestedLoopJoin"):

@@ -1227,3 +1227,58 @@ def test_spam_mass_scale_guard(spark):
     t = spark.createDataFrame([(0,)], "seed_seq long")
     with pytest.raises(ValueError, match="teleport"):
         spam_mass(e, t, v, rounds=2, scale=100)
+
+
+@pytest.mark.spark
+def test_conductance_hand_graph(spark):
+    """Two triangles joined by one bridge: textbook cut/vol values,
+    plus the whole-graph and isolated-vertex NULL denominators."""
+    from web_graph_spark.operators.graph_algos import (
+        conductance_by_community)
+
+    # triangles {0,1,2} and {3,4,5}, bridge 2-3, isolated 9
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    e = spark.createDataFrame(edges, "src_doc_id long, tgt_doc_id long")
+    v = spark.createDataFrame([(i,) for i in (0, 1, 2, 3, 4, 5, 9)],
+                              "doc_id long")
+    lbl = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 10), (3, 20), (4, 20), (5, 20), (9, 30)],
+        "doc_id long, community long")
+    got = {r["community"]: r
+           for r in conductance_by_community(v, e, lbl).collect()}
+    # m = 7 undirected edges, 2m = 14.  Community 10: vol = 2+2+3 = 7,
+    # internal = 3, cut = 1; min(7, 14-7) = 7 → φ = 1/7
+    assert (got[10]["vol"], got[10]["cut"]) == (7, 1)
+    assert got[10]["conductance_ppm"] == 1_000_000 // 7
+    assert (got[20]["vol"], got[20]["cut"]) == (7, 1)
+    # isolated community: vol 0 → undefined, not 0
+    assert got[30]["vol"] == 0 and got[30]["conductance_ppm"] is None
+    assert got[30]["cut"] == 0
+
+    # whole graph as one community: cut 0, min(vol, 2m-vol) = 0 → NULL
+    lbl_all = spark.createDataFrame(
+        [(i, 1) for i in (0, 1, 2, 3, 4, 5, 9)],
+        "doc_id long, community long")
+    one = conductance_by_community(v, e, lbl_all).collect()[0]
+    assert one["cut"] == 0 and one["conductance_ppm"] is None
+
+
+@pytest.mark.spark
+def test_conductance_random_split_is_leaky(spark):
+    """A community cut through the middle of a clique has conductance
+    near 10⁶ — the polarity the acceptance suite relies on."""
+    from web_graph_spark.operators.graph_algos import (
+        conductance_by_community)
+
+    ids = list(range(6))
+    edges = [(a, b) for a in ids for b in ids if a < b]  # K6
+    e = spark.createDataFrame(edges, "src_doc_id long, tgt_doc_id long")
+    v = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    lbl = spark.createDataFrame([(i, i % 2) for i in ids],
+                                "doc_id long, community long")
+    got = {r["community"]: r
+           for r in conductance_by_community(v, e, lbl).collect()}
+    # each side: vol = 15, internal = 3, cut = 9 → φ = 9/15 = 0.6
+    for c in (0, 1):
+        assert (got[c]["vol"], got[c]["cut"]) == (15, 9)
+        assert got[c]["conductance_ppm"] == 600_000

@@ -1992,3 +1992,62 @@ def spam_mass(edges: DataFrame, trusted: DataFrame, vertices: DataFrame,
                     ppm.cast("long").alias("spam_mass_ppm"))
             .withColumn("spam_flag",
                         F.col("spam_mass_ppm") >= F.lit(flag_ppm)))
+
+
+def conductance_by_community(vertices: DataFrame, edges: DataFrame,
+                             labels: DataFrame,
+                             id_col: str = "doc_id",
+                             src: str = "src_doc_id",
+                             dst: str = "tgt_doc_id") -> DataFrame:
+    """Per-community conductance (E193) — the OTHER standard quality
+    metric for a community assignment (Kannan/Vempala/Vetta's cluster
+    criterion; Leskovec's NCP plots): φ(c) = cut(c) / min(vol(c),
+    vol(rest)).  Modularity (E86) rewards internal density against a
+    null model; conductance measures how LEAKY the boundary is — a
+    mirror farm scores near 0, a random split near 1, and the two
+    metrics disagree exactly where resolution-limit artifacts live,
+    which is why an acceptance suite wants both.
+
+    Exact integer identity: over the undirected simple graph,
+    vol(c) = Σ_c deg and cut(c) = vol(c) − 2·internal(c), so the
+    metric reuses E86's aggregates verbatim — two label joins + one
+    community agg + the shared degree view + the 1-row 2m broadcast.
+    φ in floor ppm (non-negative ÷ non-negative); NULL when the
+    denominator is 0 (isolated community or the whole graph — φ
+    undefined, not 0).
+
+    → (community, n_members, vol, cut, conductance_ppm).
+    """
+    ce = _canon_edges(edges, src, dst).localCheckpoint()
+    und = ce.select("u", "v").unionByName(
+        ce.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    lbl = labels.select(F.col(id_col).cast("long").alias("id"),
+                        F.col("community").cast("long").alias("community"))
+    lu = lbl.select(F.col("id").alias("u"), F.col("community").alias("cu"))
+    lv = lbl.select(F.col("id").alias("v"), F.col("community").alias("cv"))
+    internal = (ce.join(lu, "u").join(lv, "v")
+                .filter(F.col("cu") == F.col("cv"))
+                .groupBy(F.col("cu").alias("community"))
+                .agg(F.count(F.lit(1)).alias("n_internal")))
+    per_comm = (lbl.join(deg, "id", "left")
+                .groupBy("community")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+                     F.sum(F.coalesce("deg", F.lit(0)))
+                      .cast("long").alias("vol")))
+    m_row = ce.agg(F.count(F.lit(1)).cast("long").alias("m_edges"))
+    return (per_comm
+            .join(internal, "community", "left")
+            .withColumn("cut",
+                        (F.col("vol")
+                         - 2 * F.coalesce("n_internal", F.lit(0)))
+                        .cast("long"))
+            .crossJoin(F.broadcast(m_row))
+            .withColumn("__den",
+                        F.least(F.col("vol"),
+                                2 * F.col("m_edges") - F.col("vol")))
+            .select("community", "n_members", "vol", "cut",
+                    F.when(F.col("__den") > 0,
+                           F.expr("cut * 1000000 div __den"))
+                    .cast("long").alias("conductance_ppm")))
