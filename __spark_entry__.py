@@ -1120,6 +1120,23 @@ def q_crawl_ip_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ip_budget_split(demand, dns, ip_cap=8)
 
 
+def q_crawl_byte_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-weighted politeness cut (operators/politeness.py:
+    byte_budget_schedule E194): admit each host's FIFO run while the
+    running byte total stays ≤ 4000, first row always admitted (the
+    make-progress rule — one oversized page must not starve its
+    host).  Bytes = n_chars of the fetched document; order = doc_id.
+    One host window; oracle replays the running sum + rank rule."""
+    from web_graph_spark.operators.politeness import byte_budget_schedule
+
+    pages = webgen.pages_df(spark, sf_dir).select("doc_id", "host")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", F.col("n_chars").alias("bytes"))
+    pending = pages.join(docs, "doc_id")
+    return byte_budget_schedule(pending, byte_cap=4000,
+                                order_col="doc_id")
+
+
 def q_crawl_wfq_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WFQ fetch interleave (operators/politeness.py:wfq_order E165)
     chained on E164's grants: the fair-share allocs become pick
@@ -5476,6 +5493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_shard_skew": q_crawl_shard_skew,
         "crawl_fair_share": q_crawl_fair_share,
         "crawl_ip_budget": q_crawl_ip_budget,
+        "crawl_byte_budget": q_crawl_byte_budget,
         "crawl_wfq_order": q_crawl_wfq_order,
         "crawl_connection_plan": q_crawl_connection_plan,
         "crawl_dns_cache": q_crawl_dns_cache,
@@ -6167,6 +6185,21 @@ FROM pw"""),
         "crawl_fair_share": _oracle(
             _PAGE_DEMAND_CTE + _fair_share_sql(300) + """
 SELECT host, demand, alloc, capped FROM fs"""),
+        "crawl_byte_budget": _oracle("""
+, pend AS (
+  SELECT p.doc_id, p.host, d.n_chars AS bytes
+  FROM web_pages p JOIN documents d ON d.doc_id = p.doc_id),
+win AS (
+  SELECT doc_id, host, bytes,
+         sum(bytes) OVER (PARTITION BY host ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_bytes,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY doc_id) AS rk
+  FROM pend)
+SELECT doc_id, host, CAST(bytes AS BIGINT) AS bytes,
+       CAST(cum_bytes AS BIGINT) AS cum_bytes,
+       cum_bytes <= 4000 OR rk = 1 AS admitted
+FROM win"""),
         "crawl_ip_budget": _oracle("""
 , hosts AS (SELECT host, count(*) AS pending FROM web_pages GROUP BY 1),
 dem AS (

@@ -670,3 +670,27 @@ def test_ip_budget_split_zero_demand_and_guard(spark):
     assert all(r["grant"] == 0 and r["starved"] == 0 for r in rows)
     with pytest.raises(ValueError, match="ip_cap"):
         ip_budget_split(demand, dns, ip_cap=0)
+
+
+@pytest.mark.spark
+def test_byte_budget_schedule_hand_cases(spark):
+    """Running-sum admission, the make-progress first-row rule, and
+    the cap guard."""
+    from web_graph_spark.operators.politeness import byte_budget_schedule
+
+    rows = [("a", 1, 1000), ("a", 2, 2000), ("a", 3, 1500),
+            ("b", 1, 5000), ("b", 2, 100),   # oversized first page
+            ("c", 1, 4000)]                  # exactly at cap
+    df = spark.createDataFrame(rows, "host string, seq long, bytes long")
+    got = {(r["host"], r["seq"]): r
+           for r in byte_budget_schedule(df, byte_cap=4000).collect()}
+    assert [got[("a", s)]["admitted"] for s in (1, 2, 3)] \
+        == [True, True, False]
+    assert [got[("a", s)]["cum_bytes"] for s in (1, 2, 3)] \
+        == [1000, 3000, 4500]
+    # make-progress: the oversized first row is admitted, the budget
+    # is blown, later rows wait
+    assert got[("b", 1)]["admitted"] and not got[("b", 2)]["admitted"]
+    assert got[("c", 1)]["admitted"]  # boundary: <= cap admits
+    with pytest.raises(ValueError, match="byte_cap"):
+        byte_budget_schedule(df, byte_cap=0)

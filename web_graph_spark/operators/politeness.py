@@ -532,3 +532,45 @@ def ip_budget_split(demand: DataFrame, dns: DataFrame, ip_cap: int,
         .withColumn("starved",
                     (F.col("demand") - F.col("grant")).cast("long"))
         .withColumn("shared", F.col("n_vhosts") > 1))
+
+
+def byte_budget_schedule(pending: DataFrame, byte_cap: int,
+                         host_col: str = "host",
+                         order_col: str = "seq",
+                         bytes_col: str = "bytes") -> DataFrame:
+    """Byte-weighted politeness cut (E194) — the bandwidth complement
+    to :func:`schedule_wave`'s page-COUNT budgets: a host serving
+    10 MB pages costs 100× the host serving 100 KB pages at the same
+    page budget, so real fetch fleets cap *bytes per host per wave*.
+    Admit rows in FIFO order while the host's running byte total
+    stays ≤ ``byte_cap``, with the make-progress rule: the host's
+    FIRST pending row is always admitted even when it alone exceeds
+    the cap (otherwise one oversized page starves its host forever —
+    it gets fetched, the budget is blown, the wave moves on).
+
+    Rows are returned with the verdict rather than filtered, so the
+    caller both schedules (admitted) and carries over (the rest)
+    from one pass — the same contract as the budget cut.
+
+    → input columns + ``(cum_bytes, admitted)``.
+
+    Scale shape: ONE host-keyed window pass (running sum + rank over
+    (order_col) — ties broken by ``bytes_col`` then input order are
+    the caller's job: pass a unique order key, as the frontier's
+    dense seq is).  Compose AFTER the count-budget cut when hosts
+    can hold 10^7 pending rows — the cumsum must scan whatever it is
+    given; the count cut bounds that to the page budget.
+    """
+    if byte_cap < 1:
+        raise ValueError("byte_cap must be >= 1")
+    w = (Window.partitionBy(host_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wr = Window.partitionBy(host_col).orderBy(order_col)
+    return (pending
+            .withColumn("cum_bytes",
+                        F.sum(bytes_col).over(w).cast("long"))
+            .withColumn("__rk", F.row_number().over(wr))
+            .withColumn("admitted",
+                        (F.col("cum_bytes") <= F.lit(byte_cap))
+                        | (F.col("__rk") == 1))
+            .drop("__rk"))
