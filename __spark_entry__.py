@@ -3829,6 +3829,56 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "rank", "vec_id", "sim_ppm"))
 
 
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine ANN evaluation (E195): recall@k of the E7 IVF tier
+    against the E6 exact baseline, per query and k ∈ {1, 3, 5} — the
+    acceptance row an ANN deployment publishes (the pytest recall
+    floors certify the code once; this query recomputes the evidence
+    ON the corpus being served, where drift actually happens).  Both
+    rankings share one µ-rounded cosine; hits = vectors in both
+    top-k sets; recall_ppm = hits·10⁶ div k.  Oracle replays both
+    chains + the count algebra."""
+    from web_graph_spark.functions.similarity import cosine
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "bucket", _sign_bucket(F.col("embedding")))
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec"), "bucket"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_ppm"),
+                                           F.col("vec_id"))
+
+    def ranked(j):
+        return (j.filter(F.col("vec_id") != F.col("q_id"))
+                .withColumn("sim_ppm",
+                            F.floor(cosine(F.col("embedding"),
+                                           F.col("q_vec"))
+                                    * 1000000).cast("long"))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 5)
+                .select("q_id", "vec_id", "rank"))
+
+    brute = ranked(emb.crossJoin(
+        F.broadcast(q.drop("bucket"))))
+    ivf = ranked(emb.join(F.broadcast(q), "bucket"))
+    ks = spark.createDataFrame([(1,), (3,), (5,)], "k int")
+    hits = (ivf.withColumnRenamed("rank", "rank_i")
+            .join(brute.withColumnRenamed("rank", "rank_t"),
+                  ["q_id", "vec_id"])
+            .crossJoin(F.broadcast(ks))
+            .filter((F.col("rank_i") <= F.col("k"))
+                    & (F.col("rank_t") <= F.col("k")))
+            .groupBy("q_id", "k")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    base = q.select("q_id").crossJoin(F.broadcast(ks))
+    return (base.join(hits, ["q_id", "k"], "left")
+            .select("q_id", "k",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"))
+            .withColumn("recall_ppm",
+                        F.expr("n_hits * 1000000 div k").cast("long")))
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path #2: random-hyperplane LSH (6 tables × 6 bits,
     Arrow-batched signature UDF), exact re-rank within collisions.
@@ -5603,6 +5653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_recall_audit": q_ann_recall_audit,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -7188,6 +7239,63 @@ SELECT host, CAST(weight AS BIGINT) AS weight, rank,
 FROM r"""),
         "graph_ktruss": _oracle(_ktruss_unrolled_sql(k=3, rounds=6)),
         "graph_random_walks": _oracle(_walks_oracle_sql(4, 2)),
+        "ann_recall_audit": """
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM b
+      WHERE vec_id < 5),
+bs AS (
+  SELECT q.q_id, b.vec_id,
+         CAST(floor(
+           list_dot_product(b.v, q.q_vec)
+           / (sqrt(list_dot_product(b.v, b.v))
+              * sqrt(list_dot_product(q.q_vec, q.q_vec)))
+           * 1000000) AS BIGINT) AS sim_ppm
+  FROM b, q WHERE b.vec_id <> q.q_id
+),
+br AS (
+  SELECT q_id, vec_id, rank FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                ORDER BY sim_ppm DESC, vec_id) AS rank
+    FROM bs) WHERE rank <= 5
+),
+vs AS (
+  SELECT q.q_id, b.vec_id,
+         CAST(floor(
+           list_dot_product(b.v, q.q_vec)
+           / (sqrt(list_dot_product(b.v, b.v))
+              * sqrt(list_dot_product(q.q_vec, q.q_vec)))
+           * 1000000) AS BIGINT) AS sim_ppm
+  FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.q_id
+),
+vr AS (
+  SELECT q_id, vec_id, rank FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                ORDER BY sim_ppm DESC, vec_id) AS rank
+    FROM vs) WHERE rank <= 5
+),
+ks(k) AS (VALUES (1), (3), (5)),
+hits AS (
+  SELECT i.q_id, k.k, count(*) AS n_hits
+  FROM vr i
+  JOIN br t ON t.q_id = i.q_id AND t.vec_id = i.vec_id
+  CROSS JOIN ks k
+  WHERE i.rank <= k.k AND t.rank <= k.k
+  GROUP BY 1, 2)
+SELECT q.q_id, CAST(k.k AS INTEGER) AS k,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 1000000 // k.k AS BIGINT)
+           AS recall_ppm
+FROM q CROSS JOIN ks k
+LEFT JOIN hits h ON h.q_id = q.q_id AND h.k = k.k""",
         "ann_ivf_topk": """
 WITH b AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

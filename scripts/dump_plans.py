@@ -84,6 +84,11 @@ ALLOW: dict[tuple[str, str], str] = {
     ("crawl_slot_assign", "Exchange SinglePartition"):
         "global snake rank runs over the per-host WEIGHT DIM (one "
         "row per host, post-aggregation), never the fetch stream",
+    ("ann_recall_audit", "BroadcastNestedLoopJoin"):
+        "the evaluation deliberately RERUNS the exact baseline "
+        "(ann_cosine_topk's allowlisted 5-row broadcast query side) "
+        "to compare the IVF tier against it; the 3-row ks dim "
+        "crosses onto 5-query rank rows",
     ("embed_matryoshka", "BroadcastNestedLoopJoin"):
         "5-row sampled query side broadcast against the corpus scan "
         "- same deliberate exact-baseline shape as ann_cosine_topk",

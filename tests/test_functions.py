@@ -3935,3 +3935,25 @@ def test_sequence_disorder_brute_force(spark):
         assert r["in_order"] == (inv == 0)
     assert got[3]["in_order"] and not got[1]["in_order"]
     assert got[4]["n_events"] == 1 and got[4]["inv_ppm"] == 0
+
+
+@pytest.mark.spark
+def test_ann_recall_audit_values(spark):
+    """The audit's recall rows equal a direct python set comparison of
+    the two rankings at sf_smoke, and brute self-recall is 10⁶."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_ann_recall_audit(spark, SF_SMOKE).collect()
+    got = {(r["q_id"], r["k"]): r for r in rows}
+    assert len(rows) == 15  # 5 queries × 3 ks
+    brute = {(r["q_id"], r["vec_id"]): r["rank"]
+             for r in entry.q_ann_cosine_topk(spark, SF_SMOKE).collect()}
+    ivf = {(r["q_id"], r["vec_id"]): r["rank"]
+           for r in entry.q_ann_ivf_topk(spark, SF_SMOKE).collect()}
+    for (q, k), r in got.items():
+        want = sum(
+            1 for (qq, v), ri in ivf.items()
+            if qq == q and ri <= k and brute.get((qq, v), 99) <= k)
+        assert r["n_hits"] == want, (q, k)
+        assert r["recall_ppm"] == want * 1_000_000 // k
+        assert 0 <= r["n_hits"] <= k
