@@ -615,6 +615,54 @@ def q_crawl_bloom_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_fpp_audit(members, probes, key_col="check_id")
 
 
+def q_crawl_canonical_cluster(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """rel=canonical duplicate clustering (E196) — the crawl-store
+    dedup pass driven by what pages DECLARE rather than what they
+    contain (E3/E120 cluster by content; canonical clusters by
+    webmaster intent, and real sites ship chains, cycles and
+    mid-chain conflicts).  Deterministic declaration relation
+    (direct member→base, 2-hop chains, a 77↔78 two-cycle); clusters
+    = E9 large-star/small-star CC over the undirected declarations;
+    per clustered page: min-id representative, cluster size, and the
+    declares/is_target/conflict flags (conflict = declares AND is
+    declared — the canonical-chain violation search consoles flag).
+    Oracle re-derives declarations + recursive-CTE components."""
+    from web_graph_spark.operators.graph_algos import connected_components
+
+    n = webgen._n_docs(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    m = F.col("doc_id")
+    dst = (F.when((m % 9 == 1) & (m >= 1), m - 1)
+            .when((m % 9 == 2) & (m >= 2), m - 1)
+            .when((m % 100 == 77) & (m + 1 < n), m + 1)
+            .when(m % 100 == 78, m - 1))
+    decl = (docs.select(m.alias("src"), dst.alias("dst"))
+            .filter(F.col("dst").isNotNull()))
+    verts = (decl.select(F.col("src").alias("doc_id"))
+             .unionByName(decl.select(F.col("dst").alias("doc_id")))
+             .distinct())
+    cc = connected_components(verts, decl, src="src", dst="dst")
+    sz = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    outf = (decl.select(F.col("src").alias("doc_id")).distinct()
+            .withColumn("__d", F.lit(True)))
+    inf = (decl.select(F.col("dst").alias("doc_id")).distinct()
+           .withColumn("__t", F.lit(True)))
+    return (cc.join(sz, "component")
+            .filter(F.col("cluster_size") > 1)
+            .join(outf, "doc_id", "left")
+            .join(inf, "doc_id", "left")
+            .select("doc_id",
+                    F.col("component").alias("canonical_id"),
+                    "cluster_size",
+                    F.coalesce("__d", F.lit(False)).alias("declares"),
+                    F.coalesce("__t", F.lit(False)).alias("is_target"),
+                    (F.coalesce("__d", F.lit(False))
+                     & F.coalesce("__t", F.lit(False))).alias("conflict")))
+
+
 def q_crawl_frontier_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3+D3+O1: one wave expansion — links from seed pages, admission
     via the canonicalizer, first-discovery-wins dedupe, dense FIFO seq."""
@@ -5522,6 +5570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_admission_stats": q_crawl_admission_stats,
         "crawl_seen_antijoin": q_crawl_seen_antijoin,
         "crawl_bloom_fpp": q_crawl_bloom_fpp,
+        "crawl_canonical_cluster": q_crawl_canonical_cluster,
         "crawl_frontier_wave": q_crawl_frontier_wave,
         "crawl_media_frontier": q_crawl_media_frontier,
         "docs_span_digest": q_docs_span_digest,
@@ -5786,6 +5835,40 @@ SELECT tgt_host AS host, k % 4 <> 0 AS admissible, count(*) AS n
 FROM web_links_full GROUP BY 1, 2"""),
         "crawl_bloom_fpp": _oracle(_bloom_fpp_sql(
             ((1024, 3), (2048, 5), (4096, 7)))),
+        "crawl_canonical_cluster": """
+WITH RECURSIVE n_row AS (SELECT count(*) AS n FROM documents),
+decl AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id % 9 = 1 AND doc_id >= 1 THEN doc_id - 1
+              WHEN doc_id % 9 = 2 AND doc_id >= 2 THEN doc_id - 1
+              WHEN doc_id % 100 = 77
+                   AND doc_id + 1 < (SELECT n FROM n_row)
+                   THEN doc_id + 1
+              WHEN doc_id % 100 = 78 THEN doc_id - 1 END AS dst
+  FROM documents),
+de AS (SELECT src, dst FROM decl WHERE dst IS NOT NULL),
+verts AS (SELECT src AS id FROM de UNION SELECT dst FROM de),
+und AS (SELECT src AS a, dst AS b FROM de
+        UNION SELECT dst AS a, src AS b FROM de),
+reach(node, lbl) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS canonical_id
+         FROM reach GROUP BY 1),
+sz AS (SELECT canonical_id, count(*) AS cluster_size
+       FROM comp GROUP BY 1)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       CAST(c.canonical_id AS BIGINT) AS canonical_id,
+       CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+       EXISTS (SELECT 1 FROM de WHERE de.src = c.doc_id) AS declares,
+       EXISTS (SELECT 1 FROM de WHERE de.dst = c.doc_id) AS is_target,
+       EXISTS (SELECT 1 FROM de WHERE de.src = c.doc_id)
+           AND EXISTS (SELECT 1 FROM de WHERE de.dst = c.doc_id)
+           AS conflict
+FROM comp c JOIN sz USING (canonical_id)
+WHERE sz.cluster_size > 1""",
         "crawl_seen_antijoin": _oracle("""
 SELECT DISTINCT tgt_check_id AS check_id, tgt_host AS host,
        tgt_path AS path

@@ -3957,3 +3957,39 @@ def test_ann_recall_audit_values(spark):
         assert r["n_hits"] == want, (q, k)
         assert r["recall_ppm"] == want * 1_000_000 // k
         assert 0 <= r["n_hits"] <= k
+
+
+@pytest.mark.spark
+def test_canonical_cluster_structure(spark):
+    """Chain clusters {b, b+1, b+2}, the 77↔78 cycle, and the flag
+    semantics (conflict = mid-chain or cycle member)."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_crawl_canonical_cluster(spark, SF_SMOKE).collect()
+    got = {r["doc_id"]: r for r in rows}
+    # chain cluster rooted at 9: 10 declares 9, 11 declares 10
+    for d in (9, 10, 11):
+        assert got[d]["canonical_id"] == 9
+        assert got[d]["cluster_size"] == 3
+    assert (got[9]["declares"], got[9]["is_target"],
+            got[9]["conflict"]) == (False, True, False)
+    assert (got[10]["declares"], got[10]["is_target"],
+            got[10]["conflict"]) == (True, True, True)   # mid-chain
+    assert (got[11]["declares"], got[11]["is_target"],
+            got[11]["conflict"]) == (True, False, False)
+    # the 77 ↔ 78 two-cycle: both declare, both targets, both conflict
+    for d in (77, 78):
+        assert got[d]["canonical_id"] == 77
+        assert got[d]["cluster_size"] == 2
+        assert got[d]["conflict"]
+    # every cluster representative is its component minimum, and every
+    # cluster has at least one declaring member
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for r in rows:
+        members[r["canonical_id"]].append(r)
+    for rep, ms in members.items():
+        assert rep == min(m["doc_id"] for m in ms)
+        assert any(m["declares"] for m in ms)
+        assert any(m["is_target"] for m in ms)
