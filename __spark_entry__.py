@@ -5398,6 +5398,36 @@ def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("o_custkey").cast("string"), k=256)
 
 
+def q_orders_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity battery (operators/tablediff.py:fk_audit
+    E197) over the relational star: every FK edge a downstream join
+    relies on, audited for NULL keys / orphans / duplicate parents —
+    the lake-side replacement for the constraint engine the reference
+    delegates to Postgres (linkstorage.go:434-476).  The sixth edge
+    audits against a deliberately halved supplier dim (the broken-
+    replica drill) so both verdict polarities are exercised.  Oracle
+    replays each edge with scalar subqueries."""
+    from web_graph_spark.operators.tablediff import fk_audit
+
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, orders, cust = rd("lineitem"), rd("orders"), rd("customer")
+    nation, supp, part = rd("nation"), rd("supplier"), rd("part")
+    edges = [
+        ("lineitem.l_orderkey->orders", li, "l_orderkey",
+         orders, "o_orderkey"),
+        ("orders.o_custkey->customer", orders, "o_custkey",
+         cust, "c_custkey"),
+        ("customer.c_nationkey->nation", cust, "c_nationkey",
+         nation, "n_nationkey"),
+        ("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey",
+         supp, "s_suppkey"),
+        ("lineitem.l_suppkey->supplier_halved", li, "l_suppkey",
+         supp.filter(F.col("s_suppkey") % 2 == 0), "s_suppkey"),
+    ]
+    return fk_audit(edges)
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (agg pushdown + codegen)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -5780,6 +5810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_sniff": q_media_sniff,
         "corpus_zonemap_audit": q_corpus_zonemap_audit,
         "tpch_q1": q_tpch_q1,
+        "orders_fk_audit": q_orders_fk_audit,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
 
@@ -9789,6 +9820,41 @@ d AS (
 SELECT event_type, hr, n_events, n_prev, dev_sq, thresh_sq,
        CAST(n_prev >= 6 AND dev_sq > thresh_sq AS INT) AS anomaly
 FROM d""",
+        "orders_fk_audit": "\nUNION ALL\n".join(f"""
+SELECT '{name}' AS relation,
+       CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM {child} WHERE {fk} IS NULL)
+            AS BIGINT) AS n_null_fk,
+       CAST((SELECT count(*) FROM {child} c
+             WHERE c.{fk} IS NOT NULL AND NOT EXISTS
+               (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}))
+            AS BIGINT) AS n_orphans,
+       CAST((SELECT count(DISTINCT {pk}) FROM {parent}) AS BIGINT)
+           AS n_parent,
+       CAST((SELECT count(*) FROM (SELECT {pk} FROM {parent}
+             GROUP BY 1 HAVING count(*) > 1)) AS BIGINT) AS n_dup_pk,
+       (SELECT count(*) FROM {child} WHERE {fk} IS NULL) = 0
+         AND (SELECT count(*) FROM {child} c
+              WHERE c.{fk} IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})) = 0
+         AND (SELECT count(*) FROM (SELECT {pk} FROM {parent}
+              GROUP BY 1 HAVING count(*) > 1)) = 0 AS ok"""
+            for name, child, fk, parent, pk in [
+                ("lineitem.l_orderkey->orders", "lineitem",
+                 "l_orderkey", "orders", "o_orderkey"),
+                ("orders.o_custkey->customer", "orders", "o_custkey",
+                 "customer", "c_custkey"),
+                ("customer.c_nationkey->nation", "customer",
+                 "c_nationkey", "nation", "n_nationkey"),
+                ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+                 "part", "p_partkey"),
+                ("lineitem.l_suppkey->supplier", "lineitem",
+                 "l_suppkey", "supplier", "s_suppkey"),
+                ("lineitem.l_suppkey->supplier_halved", "lineitem",
+                 "l_suppkey",
+                 "(SELECT * FROM supplier WHERE s_suppkey % 2 = 0)",
+                 "s_suppkey"),
+            ]),
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty,

@@ -84,6 +84,12 @@ ALLOW: dict[tuple[str, str], str] = {
     ("crawl_slot_assign", "Exchange SinglePartition"):
         "global snake rank runs over the per-host WEIGHT DIM (one "
         "row per host, post-aggregation), never the fetch stream",
+    ("orders_fk_audit", "BroadcastNestedLoopJoin"):
+        "per-edge 1-row combines: child-count x orphan-count x "
+        "parent-stats aggregates (constant-size builds); the orphan "
+        "check itself is a hash left-anti join on the key",
+    ("orders_fk_audit", "Exchange SinglePartition"):
+        "the same per-edge 1-row aggregates; partials upstream",
     ("ann_recall_audit", "BroadcastNestedLoopJoin"):
         "the evaluation deliberately RERUNS the exact baseline "
         "(ann_cosine_topk's allowlisted 5-row broadcast query side) "

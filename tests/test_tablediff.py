@@ -91,3 +91,35 @@ def test_drilldown_matches_brute_force_classification(spark):
         elif ta[k] != tb[k]:
             want.add((k, "changed"))
     assert got == want and len(want) > 0
+
+
+@pytest.mark.spark
+def test_fk_audit_hand_tables(spark):
+    """All four violation classes on hand tables: clean edge, NULL
+    fks, orphans, duplicate parent keys."""
+    from web_graph_spark.operators.tablediff import fk_audit
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, None), (5, 99)],
+        "id long, fk long")
+    parent_clean = spark.createDataFrame(
+        [(10,), (20,), (30,)], "pk long")
+    parent_dup = spark.createDataFrame(
+        [(10,), (10,), (20,)], "pk long")
+    rows = {r["relation"]: r for r in fk_audit([
+        ("clean", child.filter("fk in (10, 20)"), "fk",
+         parent_clean, "pk"),
+        ("dirty", child, "fk", parent_clean, "pk"),
+        ("dup_parent", child.filter("fk = 10"), "fk",
+         parent_dup, "pk"),
+    ]).collect()}
+    c = rows["clean"]
+    assert (c["n_child"], c["n_null_fk"], c["n_orphans"],
+            c["n_dup_pk"], c["ok"]) == (3, 0, 0, 0, True)
+    d = rows["dirty"]
+    # 5 child rows: one NULL fk, one orphan (99)
+    assert (d["n_child"], d["n_null_fk"], d["n_orphans"],
+            d["n_parent"], d["ok"]) == (5, 1, 1, 3, False)
+    p = rows["dup_parent"]
+    # duplicate parent key detected even though no orphans exist
+    assert (p["n_orphans"], p["n_dup_pk"], p["ok"]) == (0, 1, False)

@@ -134,3 +134,62 @@ def merkle_diff_rows(df_a: DataFrame, df_b: DataFrame, key, payload,
               .otherwise("changed"))
     return (j.filter(~F.col("d_a").eqNullSafe(F.col("d_b")))
             .select("leaf", "key", status.alias("status")))
+
+
+def fk_audit(edges) -> DataFrame:
+    """Referential-integrity audit (E197) — the dbt-test / Deequ-style
+    constraint battery a warehouse runs before trusting a snapshot
+    for joins: per declared FK edge ``(name, child, fk_col, parent,
+    pk_col)``, the exact violation counts that break downstream
+    joins silently —
+
+    * ``n_null_fk``   — child rows with a NULL foreign key (inner
+      joins drop them; is that intended?);
+    * ``n_orphans``   — child rows whose non-NULL key has no parent
+      (fan-in loss);
+    * ``n_dup_pk``    — parent keys appearing more than once (fan-out
+      EXPLOSION — the silent row-multiplier);
+    * ``ok``          — all three zero.
+
+    (The reference leans on Postgres FK constraints + a 20-retry
+    insert loop, linkstorage.go:434-476; an immutable-files lake has
+    no constraint engine, so the audit IS the constraint.)
+
+    → one row per edge: (relation, n_child, n_null_fk, n_orphans,
+    n_parent, n_dup_pk, ok).
+
+    Scale shape per edge: one left-anti join on the uniform key for
+    orphans (null keys pre-filtered), one pk hash agg for dups, and
+    1-row aggregate combines (the allowlisted constant-size cross) —
+    no window, no collect.
+    """
+    out = None
+    for name, child, fk_col, parent, pk_col in edges:
+        fks = child.select(F.col(fk_col).alias("fk"))
+        pks = parent.select(F.col(pk_col).alias("pk"))
+        child_agg = fks.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.sum(F.col("fk").isNull().cast("long")).cast("long")
+            .alias("n_null_fk"))
+        orphans = (fks.filter(F.col("fk").isNotNull())
+                   .join(pks.distinct(), fks["fk"] == pks["pk"],
+                         "left_anti")
+                   .agg(F.count(F.lit(1)).cast("long")
+                        .alias("n_orphans")))
+        parent_agg = (pks.groupBy("pk")
+                      .agg(F.count(F.lit(1)).alias("c"))
+                      .agg(F.count(F.lit(1)).cast("long")
+                           .alias("n_parent"),
+                           F.sum((F.col("c") > 1).cast("long"))
+                           .cast("long").alias("n_dup_pk")))
+        row = (child_agg
+               .crossJoin(F.broadcast(orphans))
+               .crossJoin(F.broadcast(parent_agg))
+               .select(F.lit(name).alias("relation"),
+                       "n_child", "n_null_fk", "n_orphans",
+                       "n_parent", "n_dup_pk",
+                       ((F.col("n_null_fk") == 0)
+                        & (F.col("n_orphans") == 0)
+                        & (F.col("n_dup_pk") == 0)).alias("ok")))
+        out = row if out is None else out.unionByName(row)
+    return out
