@@ -4687,6 +4687,20 @@ def q_events_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_disorder(ev)
 
 
+def q_events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP motif counts (functions/stats.py:cep_pattern_match E198,
+    MATCH_RECOGNIZE/Flink-CEP batch replay): non-overlapping
+    ``vc+p`` (view, clicks, purchase — the engaged-conversion motif)
+    occurrences per user over the (ts, event_id)-ordered symbol
+    string.  E188 audits single-step legality; this finds the
+    multi-step motifs.  Oracle rebuilds the string with ordered
+    string_agg and the same regexp."""
+    from web_graph_spark.functions.stats import cep_pattern_match
+
+    return cep_pattern_match(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "vc+p")
+
+
 CONFORMANCE_MODEL = (
     ("START", "signup"), ("START", "view"),
     ("signup", "view"),
@@ -5788,6 +5802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": q_events_transitions,
         "events_conformance": q_events_conformance,
         "events_disorder": q_events_disorder,
+        "events_cep_pattern": q_events_cep_pattern,
         "events_retention": q_events_retention,
         "events_qdigest": q_events_qdigest,
         "corpus_merkle_diff": q_corpus_merkle_diff,
@@ -8865,6 +8880,27 @@ SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
        CAST((1000000 * n) // sum(n) OVER (PARTITION BY from_type)
             AS BIGINT) AS share_ppm,
        from_type = to_type AS is_self
+FROM m""",
+        "events_cep_pattern": """
+WITH seq AS (
+  SELECT user_id, count(*) AS n_events,
+         string_agg(CASE event_type WHEN 'view' THEN 'v'
+                                    WHEN 'click' THEN 'c'
+                                    WHEN 'purchase' THEN 'p'
+                                    WHEN 'signup' THEN 's'
+                                    WHEN 'error' THEN 'e'
+                                    ELSE 'x' END, ''
+                    ORDER BY ts, event_id) AS s
+  FROM events GROUP BY 1),
+m AS (
+  SELECT user_id, n_events,
+         regexp_extract_all(s, 'vc+p') AS ms
+  FROM seq)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(len(ms) AS BIGINT) AS n_matches,
+       CAST(coalesce(list_max(list_transform(ms, x -> length(x))), 0)
+            AS BIGINT) AS max_match_len,
+       len(ms) > 0 AS matched
 FROM m""",
         "events_disorder": """
 WITH e AS (

@@ -3993,3 +3993,41 @@ def test_canonical_cluster_structure(spark):
         assert rep == min(m["doc_id"] for m in ms)
         assert any(m["declares"] for m in ms)
         assert any(m["is_target"] for m in ms)
+
+
+@pytest.mark.spark
+def test_cep_pattern_match_hand_sequences(spark):
+    """Non-overlapping greedy counts vs python re on hand strings,
+    order by (ts, event_id), unknown types mapped to x."""
+    from web_graph_spark.functions.stats import cep_pattern_match
+
+    seqs = {
+        1: "vccpvcpev",       # two engaged conversions
+        2: "vcvcvc",          # clicks but never a purchase
+        3: "vp",              # no click between view and purchase
+        4: "vcccccp",         # one long match
+    }
+    rows = []
+    inv = {"v": "view", "c": "click", "p": "purchase",
+           "s": "signup", "e": "error"}
+    for u, s in seqs.items():
+        for i, ch in enumerate(s):
+            rows.append((u, u * 100 + i,
+                         f"2024-01-01 00:00:{i:02d}", inv[ch]))
+    rows.append((5, 500, "2024-01-01 00:00:00", "weird_type"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, event_type string"
+    ).selectExpr("user_id", "event_id",
+                 "cast(ts as timestamp) as ts", "event_type")
+    got = {r["user_id"]: r
+           for r in cep_pattern_match(ev, "vc+p").collect()}
+    for u, s in seqs.items():
+        ms = re.findall("vc+p", s)
+        r = got[u]
+        assert (r["n_matches"], r["matched"]) == (len(ms), bool(ms)), u
+        assert r["max_match_len"] == (max(len(m) for m in ms)
+                                      if ms else 0)
+    assert got[1]["n_matches"] == 2 and got[1]["max_match_len"] == 4
+    assert got[4]["max_match_len"] == 7
+    # unknown type → 'x', never matched
+    assert got[5]["n_matches"] == 0 and got[5]["n_events"] == 1

@@ -1878,3 +1878,59 @@ def sequence_disorder(events: DataFrame, key_col: str = "user_id",
         (F.unix_micros(F.col(ts_col).cast("timestamp")))
         .cast("long").alias("__us"))
     return prepped.groupBy(key_col).applyInPandas(_grp, out_schema)
+
+
+CEP_INITIALS = {"view": "v", "click": "c", "purchase": "p",
+                "signup": "s", "error": "e"}
+
+
+def cep_pattern_match(events: DataFrame, pattern: str,
+                      initials: dict | None = None,
+                      key_col: str = "user_id",
+                      type_col: str = "event_type",
+                      ts_col: str = "ts") -> DataFrame:
+    """Complex-event-processing pattern counts (E198) — the batch
+    replay of SQL MATCH_RECOGNIZE / Flink CEP: encode each key's
+    (ts, event_id)-ordered type sequence as a compact symbol string
+    and count NON-OVERLAPPING regex matches of the declared pattern
+    (e.g. ``vc+p`` = a view, one-or-more clicks, then a purchase —
+    the engaged-conversion motif).  Regexes over the symbol string
+    ARE the CEP pattern language: alternation, bounded repeats,
+    optional steps all come free, and leftmost non-overlapping
+    semantics match `regexp_extract_all` in both engines (Spark
+    needs explicit group idx 0).
+
+    Per key: sequence length, match count, the longest single match
+    (greedy + within-symbol repeats), and whether the motif occurred
+    at all.  E188 checks DECLARED single-step legality; this finds
+    multi-step MOTIFS.
+
+    Scale shape: one key agg building the symbol string via
+    ``array_sort(collect_list(struct(ts, event_id, sym)))`` — exact
+    order, no window pass — then codegen'd regexp projections.
+    Group state is O(events-per-key), the bound every per-key
+    sequence operator here shares.  Unknown event types map to ``x``
+    (never matched by a pattern written over the known alphabet).
+
+    → ``(key, n_events, n_matches, max_match_len, matched)``.
+    """
+    ini = initials if initials is not None else CEP_INITIALS
+    sym = F.lit("x")
+    for k, v in sorted(ini.items()):
+        sym = F.when(F.col(type_col) == k, F.lit(v)).otherwise(sym)
+    seq = (events
+           .select(key_col, "event_id", F.col(ts_col).alias("__ts"),
+                   sym.alias("__s"))
+           .groupBy(key_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.expr("array_join(transform(array_sort(collect_list("
+                       "struct(__ts, event_id, __s))), r -> r.__s), '')")
+                .alias("__str")))
+    matches = F.expr(f"regexp_extract_all(__str, '{pattern}', 0)")
+    return (seq.select(key_col, "n_events",
+                       F.size(matches).cast("long").alias("n_matches"),
+                       F.coalesce(
+                           F.array_max(F.transform(
+                               matches, lambda m: F.length(m))),
+                           F.lit(0)).cast("long").alias("max_match_len"))
+            .withColumn("matched", F.col("n_matches") > 0))
