@@ -3613,6 +3613,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                          threshold=0.5, n=3)
 
 
+def q_corpus_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth (functions/text.py:vocab_growth
+    E199): the corpus cut into 10 accession-order bins, each with
+    token volume, first-occurrence NEW vocabulary, and running
+    type/token ratio — the "is this source mined out" curve at
+    corpus grain (E173 scores documents).  Oracle replays bins,
+    min-bin type credit, and the cumulative windows."""
+    from web_graph_spark.functions.text import vocab_growth
+
+    return vocab_growth(_docs(spark, sf_dir),
+                        n_docs=webgen._n_docs(spark, sf_dir))
+
+
 def q_corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document trigram novelty (functions/dedup.py:ngram_novelty
     E173) over the dup-injected corpus: share of each doc's distinct
@@ -5735,6 +5748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_savings": q_dedup_savings,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "corpus_novelty": q_corpus_novelty,
+        "corpus_heaps": q_corpus_heaps,
         "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
         "dedup_containment": q_dedup_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -8588,6 +8602,38 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE floor(i.n_inter * 10000.0 / (sa.sz + sb.sz - i.n_inter)) >= 5000""",
+        "corpus_heaps": """
+WITH nd AS (SELECT count(*) AS n FROM documents),
+toks AS (
+  SELECT least((doc_id * 10) // (SELECT n FROM nd), 9) AS bin,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+pb AS (SELECT bin, count(*) AS n_tokens FROM toks GROUP BY 1),
+news AS (
+  SELECT bin, count(*) AS n_new_types FROM (
+    SELECT tok, min(bin) AS bin FROM toks GROUP BY 1) GROUP BY 1),
+docs AS (
+  SELECT least((doc_id * 10) // (SELECT n FROM nd), 9) AS bin,
+         count(*) AS n_docs
+  FROM documents GROUP BY 1),
+base AS (
+  SELECT d.bin, CAST(d.n_docs AS BIGINT) AS n_docs,
+         CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+         CAST(coalesce(w.n_new_types, 0) AS BIGINT) AS n_new_types
+  FROM docs d LEFT JOIN pb p USING (bin) LEFT JOIN news w USING (bin))
+SELECT CAST(bin AS INTEGER) AS bin, n_docs, n_tokens, n_new_types,
+       CAST(sum(n_tokens) OVER (ORDER BY bin
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       CAST(sum(n_new_types) OVER (ORDER BY bin
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types,
+       CAST(CASE WHEN sum(n_tokens) OVER (ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) > 0
+            THEN sum(n_new_types) OVER (ORDER BY bin
+                     ROWS UNBOUNDED PRECEDING) * 1000000
+                 // sum(n_tokens) OVER (ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING)
+            END AS BIGINT) AS ttr_ppm
+FROM base""",
         "corpus_novelty": f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents

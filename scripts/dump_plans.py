@@ -84,6 +84,10 @@ ALLOW: dict[tuple[str, str], str] = {
     ("crawl_slot_assign", "Exchange SinglePartition"):
         "global snake rank runs over the per-host WEIGHT DIM (one "
         "row per host, post-aggregation), never the fetch stream",
+    ("corpus_heaps", "Exchange SinglePartition"):
+        "cumulative windows over the N_BINS dim (10 rows at ANY "
+        "corpus size); the token stream hash-aggregates to bins "
+        "map-side before the window",
     ("orders_fk_audit", "BroadcastNestedLoopJoin"):
         "per-edge 1-row combines: child-count x orphan-count x "
         "parent-stats aggregates (constant-size builds); the orphan "

@@ -4031,3 +4031,27 @@ def test_cep_pattern_match_hand_sequences(spark):
     assert got[4]["max_match_len"] == 7
     # unknown type → 'x', never matched
     assert got[5]["n_matches"] == 0 and got[5]["n_events"] == 1
+
+
+@pytest.mark.spark
+def test_vocab_growth_hand_corpus(spark):
+    """Exact new-type credit per bin, cumulative totals, and the
+    declining type/token ratio on a hand corpus."""
+    from web_graph_spark.functions.text import vocab_growth
+
+    docs = [(0, "a b c"), (1, "a b"), (2, "c d"), (3, "a d e f")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["bin"]: r
+            for r in vocab_growth(df, n_docs=4, n_bins=2).collect()}
+    # bins: docs 0-1 → bin 0, docs 2-3 → bin 1
+    b0, b1 = rows[0], rows[1]
+    assert (b0["n_docs"], b0["n_tokens"]) == (2, 5)
+    assert b0["n_new_types"] == 3           # a b c
+    assert (b1["n_docs"], b1["n_tokens"]) == (2, 6)
+    assert b1["n_new_types"] == 3           # d e f
+    assert (b1["cum_tokens"], b1["cum_types"]) == (11, 6)
+    assert b0["ttr_ppm"] == 3 * 1_000_000 // 5
+    assert b1["ttr_ppm"] == 6 * 1_000_000 // 11
+    assert b1["ttr_ppm"] < b0["ttr_ppm"]    # Heaps: ratio declines
+    with pytest.raises(ValueError):
+        vocab_growth(df, n_docs=0)

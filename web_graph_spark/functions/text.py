@@ -2206,3 +2206,60 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
                     .alias("density_ppm"),
                     F.coalesce("fp_digest", F.lit(0)).cast("long")
                     .alias("fp_digest")))
+
+
+def vocab_growth(df: DataFrame, n_docs: int, n_bins: int = 10,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Heaps-law vocabulary growth curve (E199) — the corpus-sizing
+    readout: V(n) grows ~K·n^β (β < 1), so the marginal value of
+    more same-source data falls with scale, and the curve's flatting
+    is the "this source is mined out" signal (the vocabulary-level
+    complement to E173's trigram novelty, which scores DOCUMENTS;
+    this bins the CORPUS).  Accession order = ``id_col``; the corpus
+    is cut into ``n_bins`` equal id ranges and each bin reports its
+    token volume, NEW vocabulary types (first-occurrence credit —
+    the E173 trick: a type's credit goes to min(doc_id), so the type
+    dim is never joined back), and the running totals with the
+    cumulative type/token ratio in floor ppm.
+
+    Physical shape: one explode scan → two hash aggs (bin-keyed
+    token counts; type-keyed firsts re-aggregated by first bin) —
+    both uniform keys — then cumulative windows over the N_BINS-row
+    dim (10 rows at ANY corpus size; the corpus never enters a
+    window).  → (bin, n_docs, n_tokens, n_new_types, cum_tokens,
+    cum_types, ttr_ppm).
+    """
+    from pyspark.sql import Window
+
+    if n_bins < 1 or n_docs < 1:
+        raise ValueError("need n_bins >= 1 and n_docs >= 1")
+    bin_of = F.least(F.expr(f"({id_col} * {n_bins}) div {n_docs}"),
+                     F.lit(n_bins - 1)).cast("int")
+    toks = df.select(F.col(id_col), bin_of.alias("bin"),
+                     F.explode(F.split(F.col(text_col), " "))
+                     .alias("tok"))
+    per_bin_tok = toks.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    news = (toks.groupBy("tok").agg(F.min("bin").alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).cast("long")
+                                .alias("n_new_types")))
+    docs = df.select(bin_of.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = (Window.orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (docs.join(per_bin_tok, "bin", "left")
+            .join(news, "bin", "left")
+            .select("bin", "n_docs",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("n_new_types", F.lit(0))
+                    .alias("n_new_types"))
+            .withColumn("cum_tokens",
+                        F.sum("n_tokens").over(w).cast("long"))
+            .withColumn("cum_types",
+                        F.sum("n_new_types").over(w).cast("long"))
+            .withColumn("ttr_ppm",
+                        F.when(F.col("cum_tokens") > 0,
+                               F.expr("cum_types * 1000000 "
+                                      "div cum_tokens"))
+                        .cast("long")))
