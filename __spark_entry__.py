@@ -2503,6 +2503,31 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  rounds=4)
 
 
+def q_graph_cc_incremental(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Incremental CC maintenance (operators/graph_algos.py:
+    incremental_components E200): the admissible edge set splits
+    deterministically into a base batch ((src+tgt) mod 5 ≠ 0, ~80%)
+    and a delta; base labels come from one E9 run, the delta then
+    merges components through the delta-sized component graph ONLY —
+    never rescanning the base edges.  The oracle is the FULL
+    recompute over all edges (graph_components' recursive CTE), so
+    the hash match IS the incremental ≡ full proof."""
+    from web_graph_spark.operators.graph_algos import (
+        connected_components, incremental_components)
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    base = e.filter((F.col("src_doc_id") + F.col("tgt_doc_id"))
+                    % 5 != 0)
+    delta = e.filter((F.col("src_doc_id") + F.col("tgt_doc_id"))
+                     % 5 == 0)
+    v = webgen.pages_df(spark, sf_dir).select("doc_id")
+    labels = connected_components(v, base)
+    return incremental_components(labels, delta)
+
+
 def q_graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-community conductance (operators/graph_algos.py:
     conductance_by_community E193) of the E50 label-prop assignment —
@@ -5689,6 +5714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr": q_graph_ppr,
         "graph_trustrank": q_graph_trustrank,
         "graph_conductance": q_graph_conductance,
+        "graph_cc_incremental": q_graph_cc_incremental,
         "graph_opic": q_graph_opic,
         "graph_salsa": q_graph_salsa,
         "graph_kcore": q_graph_kcore,
@@ -7169,6 +7195,19 @@ p(v, d, hops) AS (
 )
 SELECT v AS doc_id, CAST(min(d) AS BIGINT) AS dist
 FROM p GROUP BY 1"""),
+        "graph_cc_incremental": _oracle_recursive("""
+, e AS (
+  SELECT DISTINCT src_doc_id AS a, tgt_doc_id AS b
+  FROM web_links_full WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id
+),
+und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM web_pages
+  UNION
+  SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
+)
+SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+FROM reach GROUP BY 1"""),
         "graph_components": _oracle_recursive("""
 , e AS (
   SELECT DISTINCT src_doc_id AS a, tgt_doc_id AS b

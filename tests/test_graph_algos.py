@@ -1282,3 +1282,54 @@ def test_conductance_random_split_is_leaky(spark):
     for c in (0, 1):
         assert (got[c]["vol"], got[c]["cut"]) == (15, 9)
         assert got[c]["conductance_ppm"] == 600_000
+
+
+@pytest.mark.spark
+def test_incremental_components_equals_full(spark):
+    """Incremental maintenance ≡ full recompute on an LCG graph split
+    80/20, including transitive multi-component merges and new ids
+    arriving with the delta."""
+    from web_graph_spark.operators.graph_algos import (
+        connected_components, incremental_components)
+
+    x, edges = 7, []
+    for _ in range(120):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        a, b = x % 40, (x >> 8) % 40
+        if a != b:
+            edges.append((a, b))
+    base = [e for e in edges if (e[0] + e[1]) % 5 != 0]
+    delta = [e for e in edges if (e[0] + e[1]) % 5 == 0]
+    # new ids only the delta knows about (singleton + merged-in)
+    delta += [(100, 101), (101, 0)]
+    ids = sorted({i for e in base for i in e})
+    v = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    be = spark.createDataFrame(base, "src_doc_id long, tgt_doc_id long")
+    de = spark.createDataFrame(delta, "src_doc_id long, tgt_doc_id long")
+    labels = connected_components(v, be)
+    got = {r["doc_id"]: r["component"]
+           for r in incremental_components(labels, de).collect()}
+
+    all_ids = sorted(set(ids) | {i for e in delta for i in e})
+    want = _uf_components(all_ids, base + delta)
+    assert got == want
+    # the delta-only chain merged into 0's component
+    assert got[100] == got[101] == got[0] == want[0]
+
+
+@pytest.mark.spark
+def test_incremental_components_noop_delta(spark):
+    """A delta entirely inside existing components changes nothing."""
+    from web_graph_spark.operators.graph_algos import (
+        connected_components, incremental_components)
+
+    v = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    be = spark.createDataFrame([(0, 1), (2, 3)],
+                               "src_doc_id long, tgt_doc_id long")
+    labels = connected_components(v, be)
+    before = {r["doc_id"]: r["component"] for r in labels.collect()}
+    de = spark.createDataFrame([(1, 0), (3, 2)],
+                               "src_doc_id long, tgt_doc_id long")
+    after = {r["doc_id"]: r["component"]
+             for r in incremental_components(labels, de).collect()}
+    assert after == before

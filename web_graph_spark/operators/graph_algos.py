@@ -2051,3 +2051,65 @@ def conductance_by_community(vertices: DataFrame, edges: DataFrame,
                     F.when(F.col("__den") > 0,
                            F.expr("cut * 1000000 div __den"))
                     .cast("long").alias("conductance_ppm")))
+
+
+def incremental_components(labels: DataFrame, delta_edges: DataFrame,
+                           id_col: str = "doc_id",
+                           src: str = "src_doc_id",
+                           dst: str = "tgt_doc_id") -> DataFrame:
+    """Incremental connected-components maintenance (E200) — the
+    delta path a 10^10-edge store needs: a crawl wave appends a few
+    million edges, and re-running E9 over the FULL edge list to
+    refresh component labels is the textbook mistake.  Components
+    are a congruence: a new edge (u, v) can only MERGE the
+    components of u and v, so the delta reduces to a component-GRAPH
+    problem — map delta endpoints through the existing labels, run
+    CC on the resulting (cu, cv) edges (a graph no larger than the
+    number of components the delta touches — delta-sized, never
+    corpus-sized), and remap.  Labels stay min-id canonical because
+    the component meta-CC is itself min-id and labels were min-id
+    before (min is associative across the merge).
+
+    Endpoints absent from ``labels`` (brand-new pages arriving with
+    the delta) enter as their own singleton components first.
+
+    Physical shape: two uniform-key label joins (delta ⋈ labels),
+    the E9 star loop on the DELTA-sized component graph, and one
+    remap join of the (usually tiny) changed-component dim back onto
+    labels — broadcast when small, hash otherwise.  Result ≡
+    full recompute over old ∪ delta edges (the contract oracle and
+    tests pin exactly that).
+
+    → (id_col, component), min-id canonical, every old or new id
+    labeled.
+    """
+    de = (delta_edges.select(F.col(src).cast("long").alias("u"),
+                             F.col(dst).cast("long").alias("v"))
+          .filter(F.col("u") != F.col("v")).distinct())
+    lab = labels.select(F.col(id_col).cast("long").alias("id"),
+                        F.col("component").cast("long").alias("c"))
+    # new ids arriving with the delta: singleton components
+    dv = (de.select(F.col("u").alias("id"))
+          .unionByName(de.select(F.col("v").alias("id"))).distinct())
+    newbies = (dv.join(lab.select("id"), "id", "left_anti")
+               .select("id", F.col("id").alias("c")))
+    lab_all = lab.unionByName(newbies).localCheckpoint()
+    cu = lab_all.select(F.col("id").alias("u"), F.col("c").alias("cu"))
+    cv = lab_all.select(F.col("id").alias("v"), F.col("c").alias("cv"))
+    comp_edges = (de.join(cu, "u").join(cv, "v")
+                  .filter(F.col("cu") != F.col("cv"))
+                  .select(F.col("cu").alias("src"),
+                          F.col("cv").alias("dst")))
+    comp_verts = (comp_edges.select(F.col("src").alias("id"))
+                  .unionByName(comp_edges.select(F.col("dst")
+                                                 .alias("id")))
+                  .distinct())
+    meta = connected_components(comp_verts, comp_edges,
+                                id_col="id", src="src", dst="dst")
+    remap = (meta.filter(F.col("id") != F.col("component"))
+             .select(F.col("id").alias("c"),
+                     F.col("component").alias("c_new")))
+    return (lab_all.join(remap, "c", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("c_new", F.col("c")).cast("long")
+                    .alias("component")))
