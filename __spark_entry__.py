@@ -355,6 +355,27 @@ SELECT id AS doc_id, ppr FROM r{rounds} WHERE ppr > 0""")
     return "".join(parts)
 
 
+def _lsh_curve_sql(configs=((16, 4), (8, 8), (32, 2))) -> str:
+    """Oracle for q_dedup_lsh_curve: the SAME expression builder as
+    the engine (functions/dedup.py:_s_curve_exprs), emitted with
+    DuckDB's `//` — one spec, two engines."""
+    from web_graph_spark.functions.dedup import _s_curve_exprs
+
+    parts = []
+    for b, r in configs:
+        p_and, collide = _s_curve_exprs(r, b, "//")
+        parts.append(f"""
+SELECT CAST({b} AS INTEGER) AS bands,
+       CAST({r} AS INTEGER) AS rows_per_band,
+       CAST(s_ppm AS BIGINT) AS s_ppm,
+       CAST(p_and_ppm AS BIGINT) AS p_and_ppm,
+       CAST({collide} AS BIGINT) AS collide_ppm
+FROM (SELECT s_ppm, {p_and} AS p_and_ppm
+      FROM (SELECT unnest(generate_series(100000, 900000, 100000))
+            AS s_ppm))""")
+    return "\nUNION ALL".join(parts)
+
+
 def _bloom_fpp_sql(configs: tuple[tuple[int, int], ...]) -> str:
     """Oracle for q_crawl_bloom_fpp: per (m, k) config, rebuild the
     exact double-hash bit set over even-doc_id check_ids, probe with
@@ -3818,6 +3839,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cluster_size"))
 
 
+def q_dedup_lsh_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter S-curve (functions/dedup.py:lsh_s_curve E201):
+    collision probability 1−(1−s^r)^b per (bands, rows) config × 9
+    similarity points, in exact per-step-floored ppm — the analytic
+    table that justifies E3's 16×4 production config (and shows what
+    8×8 / 32×2 would trade).  Pure literal arithmetic; oracle
+    replays the identical fold with `//`."""
+    from web_graph_spark.functions.dedup import lsh_s_curve
+
+    return lsh_s_curve(spark)
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dups (xxhash64 signatures — no SQL oracle;
     validated against brute-force Jaccard in tests/test_functions.py)."""
@@ -5782,6 +5815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_mirror_hosts": q_dedup_mirror_hosts,
         "dedup_url_editdist": q_dedup_url_editdist,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_lsh_curve": q_dedup_lsh_curve,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -5921,6 +5955,7 @@ SELECT tgt_host AS host, k % 4 <> 0 AS admissible, count(*) AS n
 FROM web_links_full GROUP BY 1, 2"""),
         "crawl_bloom_fpp": _oracle(_bloom_fpp_sql(
             ((1024, 3), (2048, 5), (4096, 7)))),
+        "dedup_lsh_curve": _lsh_curve_sql(),
         "crawl_canonical_cluster": """
 WITH RECURSIVE n_row AS (SELECT count(*) AS n FROM documents),
 decl AS (

@@ -4055,3 +4055,41 @@ def test_vocab_growth_hand_corpus(spark):
     assert b1["ttr_ppm"] < b0["ttr_ppm"]    # Heaps: ratio declines
     with pytest.raises(ValueError):
         vocab_growth(df, n_docs=0)
+
+
+@pytest.mark.spark
+def test_lsh_s_curve_properties(spark):
+    """Per-step-floored fold vs a python replica, monotonicity in s,
+    closeness to the real 1−(1−s^r)^b curve, and the production
+    config's threshold location."""
+    from web_graph_spark.functions.dedup import lsh_s_curve
+
+    rows = lsh_s_curve(spark).collect()
+    got = {(r["bands"], r["rows_per_band"], r["s_ppm"]): r
+           for r in rows}
+    assert len(rows) == 27
+
+    def fold(base, mult, times):
+        p = 1_000_000
+        for _ in range(times):
+            p = p * mult // 1_000_000
+        return p
+
+    for (b, r, s), row in got.items():
+        p_and = fold(1_000_000, s, r)
+        q = fold(1_000_000, 1_000_000 - p_and, b)
+        assert row["p_and_ppm"] == p_and
+        assert row["collide_ppm"] == 1_000_000 - q
+        real = 1 - (1 - (s / 1e6) ** r) ** b
+        assert abs(row["collide_ppm"] / 1e6 - real) < (r + b + 2) / 1e6
+    # monotone in s per config
+    for b, r in ((16, 4), (8, 8), (32, 2)):
+        vals = [got[(b, r, s)]["collide_ppm"]
+                for s in range(100_000, 1_000_000, 100_000)]
+        assert vals == sorted(vals)
+    # production 16x4: threshold (~(1/16)^(1/4) ≈ 0.5) — collide
+    # crosses 1/2 between s=0.4 and s=0.6
+    assert got[(16, 4, 400_000)]["collide_ppm"] < 500_000
+    assert got[(16, 4, 600_000)]["collide_ppm"] > 500_000
+    with pytest.raises(ValueError):
+        lsh_s_curve(spark, configs=((0, 4),))

@@ -1017,3 +1017,61 @@ def ngram_novelty(df: DataFrame, n: int = 3, id_col: str = "doc_id",
                            F.expr("1000000 * coalesce(n_novel, 0) "
                                   "div n_grams"))
                     .cast("long").alias("novelty_ppm")))
+
+
+def _s_curve_exprs(r: int, b: int, div_op: str) -> tuple[str, str]:
+    """Shared expression text for the LSH S-curve with PER-STEP ppm
+    flooring as the cross-engine spec: p_and = fold of r ppm
+    multiplies of s; collide = 10⁶ − fold of b ppm multiplies of
+    (10⁶ − p_and).  ``div_op`` is ``div`` (Spark) or ``//`` (DuckDB);
+    operands are non-negative so both floor identically.  Returns
+    (p_and_expr over column s_ppm, collide_expr over column
+    p_and_ppm)."""
+    e = "1000000"
+    for _ in range(r):
+        e = f"(({e}) * s_ppm {div_op} 1000000)"
+    q = "1000000"
+    for _ in range(b):
+        q = f"(({q}) * (1000000 - p_and_ppm) {div_op} 1000000)"
+    return e, f"(1000000 - ({q}))"
+
+
+def lsh_s_curve(spark, configs=((16, 4), (8, 8), (32, 2)),
+                s_step: int = 100_000) -> DataFrame:
+    """The LSH parameter S-curve table (E201) — the analytic step
+    BEFORE committing a (bands, rows-per-band) MinHash config (E3
+    ships 16×4): for each config and each true Jaccard similarity s,
+    the probability at least one band collides,
+
+        P(s) = 1 − (1 − s^r)^b,
+
+    evaluated in EXACT integer ppm with per-step flooring as the
+    spec (each of the r, then b, multiplies floors back to ppm — a
+    deterministic fixed-point recipe both engines replay digit-for-
+    digit; the true-real curve differs from it by < r+b ppm, far
+    inside any engineering margin).  Reading the table: where the
+    curve crosses ~½ is the config's effective threshold; the
+    steeper the crossing, the cleaner the dedupe cut.  Pure literal
+    arithmetic — |configs|·9 rows, zero data touched; it documents
+    the knobs the E3 pipeline runs with.
+
+    → (bands, rows_per_band, s_ppm, p_and_ppm, collide_ppm).
+    """
+    out = None
+    for b, r in configs:
+        if b < 1 or r < 1:
+            raise ValueError("bands and rows_per_band must be >= 1")
+        rows = spark.createDataFrame(
+            [(s,) for s in range(s_step, 1_000_000, s_step)],
+            "s_ppm long")
+        p_and, collide = _s_curve_exprs(r, b, "div")
+        df = (rows
+              .withColumn("p_and_ppm",
+                          F.expr(p_and).cast("long"))
+              .withColumn("collide_ppm",
+                          F.expr(collide).cast("long"))
+              .select(F.lit(b).cast("int").alias("bands"),
+                      F.lit(r).cast("int").alias("rows_per_band"),
+                      "s_ppm", "p_and_ppm", "collide_ppm"))
+        out = df if out is None else out.unionByName(df)
+    return out
