@@ -2865,6 +2865,32 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "lang_guess")
 
 
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-content confusion matrix (E202): declared ``lang``
+    column against the E11 n-gram detector, per (declared, detected)
+    cell with exact counts, the declared-row share in floor ppm, and
+    the agreement flag — the metadata-QA table that decides whether
+    a source's self-reported language is trustworthy enough to route
+    per-language processing on (mislabeled metadata silently poisons
+    per-lang tokenizers and quality thresholds downstream).  One
+    codegen'd detector projection + one hash agg to ≤|langs|² cells;
+    the share window runs on that bounded dim.  Oracle replays the
+    CASE-chain detector + the same algebra."""
+    from web_graph_spark.functions.text import with_lang_guess
+
+    cells = (with_lang_guess(_docs(spark, sf_dir))
+             .groupBy("lang", "lang_guess")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    w = Window.partitionBy("lang")
+    return (cells
+            .withColumn("row_total", F.sum("n").over(w))
+            .select("lang", "lang_guess", "n",
+                    F.expr("n * 1000000 div row_total").cast("long")
+                    .alias("share_ppm"),
+                    (F.col("lang") == F.col("lang_guess"))
+                    .alias("agree")))
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from web_graph_spark.functions.text import with_fingerprint
 
@@ -5770,6 +5796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
         "text_winnowing": q_text_winnowing,
+        "text_lang_confusion": q_text_lang_confusion,
         "text_search_topk": q_text_search_topk,
         "text_bm25_topk": q_text_bm25_topk,
         "text_retrieval_eval": q_text_retrieval_eval,
@@ -8017,6 +8044,15 @@ FROM ranked WHERE rank <= 2""",
         "text_lang_id": f"""
 SELECT doc_id, lang, {lang_guess_sql('text')} AS lang_guess
 FROM documents""",
+        "text_lang_confusion": f"""
+WITH cells AS (
+  SELECT lang, {lang_guess_sql('text')} AS lang_guess, count(*) AS n
+  FROM documents GROUP BY 1, 2)
+SELECT lang, lang_guess, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang)
+            AS BIGINT) AS share_ppm,
+       lang = lang_guess AS agree
+FROM cells""",
         "corpus_source_reputation": f"""
 WITH q AS (
   SELECT source,

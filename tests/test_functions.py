@@ -4093,3 +4093,33 @@ def test_lsh_s_curve_properties(spark):
     assert got[(16, 4, 600_000)]["collide_ppm"] > 500_000
     with pytest.raises(ValueError):
         lsh_s_curve(spark, configs=((0, 4),))
+
+
+@pytest.mark.spark
+def test_lang_confusion_matrix(spark):
+    """Matrix cells are exact counts with row-conditional shares and
+    agree polarity, cross-checked against per-doc guesses."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_text_lang_confusion(spark, SF_SMOKE).collect()
+    per_doc = entry.q_text_lang_id(spark, SF_SMOKE).collect()
+    from collections import Counter
+
+    want = Counter((r["lang"], r["lang_guess"]) for r in per_doc)
+    row_tot = Counter(r["lang"] for r in per_doc)
+    assert len(rows) == len(want)
+    for r in rows:
+        key = (r["lang"], r["lang_guess"])
+        assert r["n"] == want[key]
+        assert r["share_ppm"] == want[key] * 1_000_000 // row_tot[r["lang"]]
+        assert r["agree"] == (r["lang"] == r["lang_guess"])
+    # per-lang shares sum to ~10^6 (floor loss < cells-per-row)
+    from collections import defaultdict
+
+    sums = defaultdict(int)
+    cells = defaultdict(int)
+    for r in rows:
+        sums[r["lang"]] += r["share_ppm"]
+        cells[r["lang"]] += 1
+    for lang, s in sums.items():
+        assert 1_000_000 - cells[lang] < s <= 1_000_000
