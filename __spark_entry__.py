@@ -355,6 +355,42 @@ SELECT id AS doc_id, ppr FROM r{rounds} WHERE ppr > 0""")
     return "".join(parts)
 
 
+def _join_profile_sql(name: str, src: str, key: str,
+                      broadcast_max: int, task_target: int = 100,
+                      skew_min: int = 300, max_salt: int = 32) -> str:
+    """One oracle block of q_crawl_join_plan: the freq law, the
+    histogram median, the deterministic hot key, and the
+    broadcast/hash/salted rule of operators/skew.py:join_key_profile."""
+    fr = f"(SELECT count(*) AS f FROM {src} GROUP BY {key})"
+    skew = f"s.max_freq * 100 // m.p50_freq"
+    salted = (f"s.max_freq > {task_target} AND ({skew} >= {skew_min}"
+              f" OR s.max_freq > {10 * task_target})")
+    return f"""
+SELECT '{name}' AS key_name, s.n_rows, s.n_keys, s.max_freq,
+       h.hot_key, m.p50_freq,
+       CAST({skew} AS BIGINT) AS skew_x100,
+       CASE WHEN s.n_rows <= {broadcast_max} THEN 'broadcast'
+            WHEN {salted} THEN 'salted' ELSE 'hash' END AS strategy,
+       CAST(CASE WHEN s.n_rows > {broadcast_max} AND {salted}
+                 THEN least((s.max_freq + {task_target} - 1)
+                            // {task_target}, {max_salt})
+                 ELSE 0 END AS BIGINT) AS salt_buckets
+FROM
+ (SELECT CAST(sum(f) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(f) AS BIGINT) AS max_freq FROM {fr}) s,
+ (SELECT CAST(min(f) AS BIGINT) AS p50_freq FROM (
+    SELECT f, sum(nk) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING)
+               AS cum,
+           (SELECT count(*) FROM {fr}) AS nkk
+    FROM (SELECT f, count(*) AS nk FROM {fr} GROUP BY 1))
+  WHERE cum * 2 >= nkk + 1) m,
+ (SELECT max(kk) AS hot_key FROM
+    (SELECT CAST({key} AS VARCHAR) AS kk, count(*) AS f
+     FROM {src} GROUP BY 1)
+  WHERE f = (SELECT max(f) FROM {fr})) h"""
+
+
 def _lsh_curve_sql(configs=((16, 4), (8, 8), (32, 2))) -> str:
     """Oracle for q_dedup_lsh_curve: the SAME expression builder as
     the engine (functions/dedup.py:_s_curve_exprs), emitted with
@@ -1294,6 +1330,27 @@ def q_crawl_revalidation(spark: SparkSession, sf_dir: str
                        c.cast("string"))).alias("digest"),
         F.col("n_chars").alias("n_bytes"))
     return revalidation_savings(visits)
+
+
+def q_crawl_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy advisory (operators/skew.py:join_key_profile
+    E203): profile three real join keys and emit the broadcast /
+    hash / salted(k) verdict each deserves — the measured decision
+    E153's shard audit motivates.  The skewed host key under a tight
+    broadcast ceiling → salted(2); the near-uniform link target key
+    → hash; the host dim under the default ceiling → broadcast.
+    Oracle replays freq law, histogram median, and the rule."""
+    from web_graph_spark.operators.skew import join_key_profile
+
+    pages = webgen.pages_df(spark, sf_dir)
+    links = (webgen.links_full_df(spark, sf_dir)
+             .filter(F.col("k") % 4 != 0))
+    a = join_key_profile(pages, F.col("host"), "pages.host_tight",
+                         broadcast_max=100)
+    b = join_key_profile(links, F.col("tgt_doc_id"),
+                         "links.tgt_doc_id", broadcast_max=100)
+    c = join_key_profile(pages, F.col("host"), "pages.host")
+    return a.unionByName(b).unionByName(c)
 
 
 def q_crawl_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5734,6 +5791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_fair_share": q_crawl_fair_share,
         "crawl_ip_budget": q_crawl_ip_budget,
         "crawl_byte_budget": q_crawl_byte_budget,
+        "crawl_join_plan": q_crawl_join_plan,
         "crawl_wfq_order": q_crawl_wfq_order,
         "crawl_connection_plan": q_crawl_connection_plan,
         "crawl_dns_cache": q_crawl_dns_cache,
@@ -5983,6 +6041,17 @@ FROM web_links_full GROUP BY 1, 2"""),
         "crawl_bloom_fpp": _oracle(_bloom_fpp_sql(
             ((1024, 3), (2048, 5), (4096, 7)))),
         "dedup_lsh_curve": _lsh_curve_sql(),
+        "crawl_join_plan": _oracle(
+            _join_profile_sql("pages.host_tight", "web_pages", "host",
+                              broadcast_max=100)
+            + "\nUNION ALL" +
+            _join_profile_sql(
+                "links.tgt_doc_id",
+                "(SELECT * FROM web_links_full WHERE k % 4 <> 0)",
+                "tgt_doc_id", broadcast_max=100)
+            + "\nUNION ALL" +
+            _join_profile_sql("pages.host", "web_pages", "host",
+                              broadcast_max=10_000)),
         "crawl_canonical_cluster": """
 WITH RECURSIVE n_row AS (SELECT count(*) AS n FROM documents),
 decl AS (

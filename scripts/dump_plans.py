@@ -84,6 +84,12 @@ ALLOW: dict[tuple[str, str], str] = {
     ("crawl_slot_assign", "Exchange SinglePartition"):
         "global snake rank runs over the per-host WEIGHT DIM (one "
         "row per host, post-aggregation), never the fetch stream",
+    ("crawl_join_plan", "BroadcastNestedLoopJoin"):
+        "1-row stats/median/hot-key dims crossed together per "
+        "profiled key (constant-size builds)",
+    ("crawl_join_plan", "Exchange SinglePartition"):
+        "cumulative window over the frequency-histogram dim (bounded "
+        "by the freq VALUE RANGE, never key count) + 1-row folds",
     ("corpus_heaps", "Exchange SinglePartition"):
         "cumulative windows over the N_BINS dim (10 rows at ANY "
         "corpus size); the token stream hash-aggregates to bins "

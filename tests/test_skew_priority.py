@@ -694,3 +694,41 @@ def test_byte_budget_schedule_hand_cases(spark):
     assert got[("c", 1)]["admitted"]  # boundary: <= cap admits
     with pytest.raises(ValueError, match="byte_cap"):
         byte_budget_schedule(df, byte_cap=0)
+
+
+@pytest.mark.spark
+def test_join_key_profile_verdicts(spark):
+    """All three strategies fire on hand laws, with exact median from
+    the frequency histogram and deterministic hot key."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.operators.skew import join_key_profile
+
+    # skewed: one key with 400 rows, 20 keys with 10 → salted
+    rows = [("hot",)] * 400 + [(f"k{i:02d}",) for i in range(20)
+                               for _ in range(10)]
+    df = spark.createDataFrame(rows, "key string")
+    r = join_key_profile(df, F.col("key"), "skewed",
+                         broadcast_max=50).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_freq"]) == (600, 21, 400)
+    assert r["hot_key"] == "hot" and r["p50_freq"] == 10
+    assert r["skew_x100"] == 4000
+    assert r["strategy"] == "salted" and r["salt_buckets"] == 4
+
+    # uniform: max below task target → hash
+    uni = spark.createDataFrame(
+        [(f"k{i}",) for i in range(60) for _ in range(3)], "key string")
+    r2 = join_key_profile(uni, F.col("key"), "uniform",
+                          broadcast_max=50).collect()[0]
+    assert r2["strategy"] == "hash" and r2["salt_buckets"] == 0
+
+    # small relation → broadcast regardless of skew
+    r3 = join_key_profile(df, F.col("key"), "small",
+                          broadcast_max=10_000).collect()[0]
+    assert r3["strategy"] == "broadcast" and r3["salt_buckets"] == 0
+
+    # salt cap: a single gargantuan key stops at max_salt
+    mono = spark.createDataFrame([("x",)] * 5000, "key string")
+    r4 = join_key_profile(mono, F.col("key"), "mono",
+                          broadcast_max=10, max_salt=32).collect()[0]
+    assert r4["strategy"] == "salted" and r4["salt_buckets"] == 32

@@ -102,3 +102,79 @@ def shard_skew_audit(df: DataFrame, key, n_shards: int = 32
                     .alias("hot_share_ppm"),
                     F.expr(f"1000000 * n_rows * {int(n_shards)} "
                            "div total").alias("imbalance_ppm")))
+
+
+def join_key_profile(df: DataFrame, key, key_name: str,
+                     broadcast_max: int = 10_000,
+                     task_target: int = 100,
+                     skew_x100_min: int = 300,
+                     max_salt: int = 32) -> DataFrame:
+    """Join-strategy advisory from the fact side's key distribution
+    (E203) — the measurement behind the broadcast/hash/salt decision
+    every big join makes (E153 audits the SHARDS a partitioner
+    produces; this profiles the KEY LAW and recommends the plan):
+
+    * ``broadcast`` — the relation itself fits the broadcast ceiling
+      (``n_rows ≤ broadcast_max``): ship it, skew irrelevant;
+    * ``salted(k)`` — the hottest key alone overflows a task
+      (``max_freq > task_target``) AND either the law is genuinely
+      skewed (``max/p50 ≥ skew_x100_min/100``) or the hot key
+      GROSSLY overflows (``max_freq > 10·task_target`` — a
+      single-key relation has ratio 1.0 yet still needs the fan-out):
+      spread over ``k = min(ceil(max_freq / task_target), max_salt)``
+      salts;
+    * ``hash`` — otherwise: plain shuffle join is right, salting
+      would only add a merge stage.
+
+    The p50 comes from the frequency-OF-frequency histogram —
+    (freq, n_keys at freq), a dim bounded by the VALUE RANGE of
+    frequencies, never by key count — cumulated in freq order; the
+    hot key is the max id among max-frequency keys (deterministic,
+    no max_by tie coin-flip).  All integer arithmetic.
+
+    → 1 row: (key_name, n_rows, n_keys, max_freq, hot_key, p50_freq,
+    skew_x100, strategy, salt_buckets).
+
+    Scale shape: one key hash agg (uniform), one histogram agg over
+    the freq dim, 1-row combines.
+    """
+    freq = (df.select(key.cast("string").alias("k"))
+            .groupBy("k").agg(F.count(F.lit(1)).alias("f")))
+    stats = freq.agg(
+        F.sum("f").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("f").cast("long").alias("max_freq"))
+    hist = freq.groupBy("f").agg(F.count(F.lit(1)).alias("nk"))
+    from pyspark.sql import Window
+
+    wc = (Window.orderBy("f")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    med = (hist.withColumn("cum", F.sum("nk").over(wc))
+           .crossJoin(F.broadcast(stats.select("n_keys")))
+           .filter(F.col("cum") * 2 >= F.col("n_keys") + 1)
+           .agg(F.min("f").cast("long").alias("p50_freq")))
+    hot = (freq.crossJoin(F.broadcast(stats.select("max_freq")))
+           .filter(F.col("f") == F.col("max_freq"))
+           .agg(F.max("k").alias("hot_key")))
+    salt = F.least(
+        F.expr(f"(max_freq + {task_target} - 1) div {task_target}"),
+        F.lit(max_salt)).cast("long")
+    strategy = (
+        F.when(F.col("n_rows") <= broadcast_max, F.lit("broadcast"))
+        .when((F.col("max_freq") > task_target)
+              & ((F.col("skew_x100") >= skew_x100_min)
+                 | (F.col("max_freq") > 10 * task_target)),
+              F.lit("salted"))
+        .otherwise(F.lit("hash")))
+    return (stats.crossJoin(F.broadcast(med))
+            .crossJoin(F.broadcast(hot))
+            .withColumn("skew_x100",
+                        F.expr("max_freq * 100 div p50_freq")
+                        .cast("long"))
+            .select(F.lit(key_name).alias("key_name"),
+                    "n_rows", "n_keys", "max_freq", "hot_key",
+                    "p50_freq", "skew_x100",
+                    strategy.alias("strategy"),
+                    F.when(strategy == "salted", salt)
+                    .otherwise(F.lit(0)).cast("long")
+                    .alias("salt_buckets")))
