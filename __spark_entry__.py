@@ -355,6 +355,26 @@ SELECT id AS doc_id, ppr FROM r{rounds} WHERE ppr > 0""")
     return "".join(parts)
 
 
+def _quality_score_sql() -> str:
+    """The E11 quality-score formula as one SQL expression over a
+    ``text`` column — the oracle half of functions/text.py:
+    with_quality, shared by text_quality-family oracles and the host
+    scorecard."""
+    from web_graph_spark.functions.text import (count_sql,
+                                                stopword_count_sql)
+
+    n_tok = count_sql("text", r"\S+")
+    n_punct = count_sql("text", "[.,;:!?]")
+    n_digit = count_sql("text", "[0-9]")
+    return f"""CAST(greatest(
+             least({n_tok}, 200) * 20
+             + floor(({stopword_count_sql('text')}) * 10000.0
+                     / greatest({n_tok}, 1))
+             - floor({n_punct} * 10000.0 / greatest(length(text), 1))
+             - floor({n_digit} * 10000.0 / greatest(length(text), 1)),
+             0) AS BIGINT)"""
+
+
 def _join_profile_sql(name: str, src: str, key: str,
                       broadcast_max: int, task_target: int = 100,
                       skew_min: int = 300, max_salt: int = 32) -> str:
@@ -457,8 +477,9 @@ row_{t} AS (
     return "".join(blocks) + final
 
 
-def _spam_mass_sql(rounds: int, scale: int, flag_ppm: int) -> str:
-    """Oracle for q_graph_trustrank: BOTH integer PPR chains of
+def _spam_chain_sql(rounds: int, scale: int, flag_ppm: int) -> str:
+    """CTE chain shared by the trustrank oracle and the host
+    scorecard: BOTH integer PPR chains of
     operators/graph_algos.py:spam_mass unrolled — g* teleports to all
     vertices (classic PageRank with evaporating mass), t* to the
     trusted seeds (TrustRank) — then the clamped relative-mass ppm.
@@ -492,16 +513,25 @@ t0 AS (SELECT id, CAST({scale} // (SELECT count(*) FROM sd) AS BIGINT)
     SELECT id, {tele} AS ppr FROM {base}
   ) GROUP BY 1
 )""")
-    parts.append(f"""
-SELECT g.id AS doc_id, g.ppr AS pr,
-       CAST(least(coalesce(t.ppr, 0), g.ppr) AS BIGINT) AS tr,
-       CAST(((g.ppr - least(coalesce(t.ppr, 0), g.ppr)) * 1000000)
-            // g.ppr AS BIGINT) AS spam_mass_ppm,
-       ((g.ppr - least(coalesce(t.ppr, 0), g.ppr)) * 1000000) // g.ppr
-           >= {flag_ppm} AS spam_flag
-FROM g{rounds} g LEFT JOIN t{rounds} t ON t.id = g.id
-WHERE g.ppr > 0""")
+    parts.append(f""",
+spam AS (
+  SELECT g.id AS doc_id, g.ppr AS pr,
+         CAST(least(coalesce(t.ppr, 0), g.ppr) AS BIGINT) AS tr,
+         CAST(((g.ppr - least(coalesce(t.ppr, 0), g.ppr)) * 1000000)
+              // g.ppr AS BIGINT) AS spam_mass_ppm,
+         ((g.ppr - least(coalesce(t.ppr, 0), g.ppr)) * 1000000)
+             // g.ppr >= {flag_ppm} AS spam_flag
+  FROM g{rounds} g LEFT JOIN t{rounds} t ON t.id = g.id
+  WHERE g.ppr > 0)""")
     return "".join(parts)
+
+
+def _spam_mass_sql(rounds: int, scale: int, flag_ppm: int) -> str:
+    """Oracle for q_graph_trustrank: the shared chain's final
+    ``spam`` CTE, projected."""
+    return (_spam_chain_sql(rounds, scale, flag_ppm)
+            + "\nSELECT doc_id, pr, tr, spam_mass_ppm, spam_flag "
+              "FROM spam")
 
 
 def _modularity_sql(iters: int) -> str:
@@ -1330,6 +1360,65 @@ def q_crawl_revalidation(spark: SparkSession, sf_dir: str
                        c.cast("string"))).alias("digest"),
         F.col("n_chars").alias("n_bytes"))
     return revalidation_savings(visits)
+
+
+def q_crawl_host_scorecard(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Per-host crawl scorecard (E204) — the scheduler's composite
+    input, because no single signal decides a host's budget: E11's
+    cheap content quality (what the host serves), E185's TrustRank
+    spam mass (who links to it), and emission hygiene (the share of
+    junk links it emits, inadmissible-href bp) fold into one exact
+    integer score
+
+        score = avg_quality + (10⁶ − avg_spam_ppm) div 200
+                − inadm_bp div 2
+
+    and a prime (≥2050) / watch (≥1700) / demote tier — the row a
+    budget planner joins against the frontier.  Every component is
+    an existing certified operator; the composition is one
+    doc_id-keyed join spine + one host agg.  Oracle chains the spam
+    CTE, the quality formula, and the link-hygiene agg."""
+    from web_graph_spark.functions.text import with_quality
+    from web_graph_spark.operators.graph_algos import spam_mass
+
+    pages = webgen.pages_df(spark, sf_dir)
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    sm = spam_mass(e, webgen.seeds_df(spark, sf_dir),
+                   pages.select("doc_id"), rounds=4) \
+        .select("doc_id", "spam_mass_ppm")
+    q = with_quality(spark.read.parquet(
+        f"{sf_dir}/documents.parquet")).select("doc_id", "quality_score")
+    inadm = (webgen.links_full_df(spark, sf_dir)
+             .groupBy(F.col("src_host").alias("host"))
+             .agg(F.count(F.lit(1)).alias("n_links"),
+                  F.sum((F.col("k") % 4 == 0).cast("long"))
+                  .alias("n_inadm")))
+    per = (pages.select("doc_id", "host")
+           .join(sm, "doc_id").join(q, "doc_id")
+           .groupBy("host")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_pages"),
+                F.expr("sum(quality_score) div count(*)").cast("long")
+                .alias("avg_quality"),
+                F.expr("sum(spam_mass_ppm) div count(*)").cast("long")
+                .alias("avg_spam_ppm")))
+    out = (per.join(inadm, "host", "left")
+           .withColumn("inadm_bp",
+                       F.expr("coalesce(n_inadm, 0) * 10000 div "
+                              "greatest(coalesce(n_links, 0), 1)")
+                       .cast("long"))
+           .withColumn("score",
+                       F.expr("avg_quality + (1000000 - avg_spam_ppm) "
+                              "div 200 - inadm_bp div 2")
+                       .cast("long")))
+    return out.select(
+        "host", "n_pages", "avg_quality", "avg_spam_ppm", "inadm_bp",
+        "score",
+        F.when(F.col("score") >= 2050, F.lit("prime"))
+         .when(F.col("score") >= 1700, F.lit("watch"))
+         .otherwise(F.lit("demote")).alias("tier"))
 
 
 def q_crawl_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5792,6 +5881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_ip_budget": q_crawl_ip_budget,
         "crawl_byte_budget": q_crawl_byte_budget,
         "crawl_join_plan": q_crawl_join_plan,
+        "crawl_host_scorecard": q_crawl_host_scorecard,
         "crawl_wfq_order": q_crawl_wfq_order,
         "crawl_connection_plan": q_crawl_connection_plan,
         "crawl_dns_cache": q_crawl_dns_cache,
@@ -6041,6 +6131,41 @@ FROM web_links_full GROUP BY 1, 2"""),
         "crawl_bloom_fpp": _oracle(_bloom_fpp_sql(
             ((1024, 3), (2048, 5), (4096, 7)))),
         "dedup_lsh_curve": _lsh_curve_sql(),
+        "crawl_host_scorecard": _oracle(
+            _spam_chain_sql(rounds=4, scale=10 ** 12,
+                            flag_ppm=500_000) + f""",
+qd AS (
+  SELECT doc_id, {_quality_score_sql()} AS quality_score
+  FROM documents),
+inadm AS (
+  SELECT src_host AS host, count(*) AS n_links,
+         sum(CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END) AS n_inadm
+  FROM web_links_full GROUP BY 1),
+per AS (
+  SELECT p.host, count(*) AS n_pages,
+         sum(q.quality_score) // count(*) AS avg_quality,
+         sum(s.spam_mass_ppm) // count(*) AS avg_spam_ppm
+  FROM web_pages p
+  JOIN spam s ON s.doc_id = p.doc_id
+  JOIN qd q ON q.doc_id = p.doc_id
+  GROUP BY 1),
+sc AS (
+  SELECT per.host, CAST(per.n_pages AS BIGINT) AS n_pages,
+         CAST(per.avg_quality AS BIGINT) AS avg_quality,
+         CAST(per.avg_spam_ppm AS BIGINT) AS avg_spam_ppm,
+         CAST(coalesce(i.n_inadm, 0) * 10000
+              // greatest(coalesce(i.n_links, 0), 1) AS BIGINT)
+             AS inadm_bp
+  FROM per LEFT JOIN inadm i ON i.host = per.host)
+SELECT host, n_pages, avg_quality, avg_spam_ppm, inadm_bp,
+       CAST(avg_quality + (1000000 - avg_spam_ppm) // 200
+            - inadm_bp // 2 AS BIGINT) AS score,
+       CASE WHEN avg_quality + (1000000 - avg_spam_ppm) // 200
+                 - inadm_bp // 2 >= 2050 THEN 'prime'
+            WHEN avg_quality + (1000000 - avg_spam_ppm) // 200
+                 - inadm_bp // 2 >= 1700 THEN 'watch'
+            ELSE 'demote' END AS tier
+FROM sc""", seeds=True),
         "crawl_join_plan": _oracle(
             _join_profile_sql("pages.host_tight", "web_pages", "host",
                               broadcast_max=100)

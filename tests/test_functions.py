@@ -4123,3 +4123,44 @@ def test_lang_confusion_matrix(spark):
         cells[r["lang"]] += 1
     for lang, s in sums.items():
         assert 1_000_000 - cells[lang] < s <= 1_000_000
+
+
+@pytest.mark.spark
+def test_host_scorecard_composition(spark):
+    """The scorecard's components reconcile with the certified
+    operators it composes, the score algebra is exact, and all three
+    tiers fire on the synthetic host law."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_crawl_host_scorecard(spark, SF_SMOKE).collect()
+    got = {r["host"]: r for r in rows}
+    # component reconciliation against the standalone operators
+    spam = {r["doc_id"]: r["spam_mass_ppm"]
+            for r in entry.q_graph_trustrank(spark, SF_SMOKE).collect()}
+    qual = {r["doc_id"]: r["quality_score"]
+            for r in entry.q_text_quality(spark, SF_SMOKE).collect()}
+    from web_graph_spark import webgen
+
+    hosts = {r["doc_id"]: r["host"]
+             for r in webgen.pages_df(spark, SF_SMOKE)
+             .select("doc_id", "host").collect()}
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for d, h in hosts.items():
+        agg[h][0] += 1
+        agg[h][1] += qual[d]
+        agg[h][2] += spam[d]
+    for h, (n, sq, ss) in agg.items():
+        r = got[h]
+        assert r["n_pages"] == n
+        assert r["avg_quality"] == sq // n
+        assert r["avg_spam_ppm"] == ss // n
+        want_score = (r["avg_quality"]
+                      + (1_000_000 - r["avg_spam_ppm"]) // 200
+                      - r["inadm_bp"] // 2)
+        assert r["score"] == want_score
+        tier = ("prime" if want_score >= 2050
+                else "watch" if want_score >= 1700 else "demote")
+        assert r["tier"] == tier
+    assert len({r["tier"] for r in rows}) >= 2  # verdicts vary
