@@ -3011,6 +3011,30 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "lang_guess")
 
 
+def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing filter (functions/text.py:code_detect
+    E205): symbol density, indented-line share, ;/{ line endings,
+    and keyword hits fold to an exact bp score — deterministic JS
+    snippets are appended to doc_id % 4 == 0 docs (the synthetic
+    corpus has no code; the oracle injects identically), so both
+    verdict polarities fire.  One regexp projection, zero shuffles;
+    oracle replays counts and algebra."""
+    from web_graph_spark.functions.text import code_detect
+
+    did = F.col("doc_id")
+    snippet = F.concat(
+        F.lit("\nfunction f"), did.cast("string"),
+        F.lit("(x) {\n  var y = x + "), did.cast("string"),
+        F.lit(";\n  if (y > 10) {\n    return y;\n  }\n"
+              "  const z = [1, 2, 3];\n}"))
+    injected = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.when(did % 4 == 0, snippet).otherwise(F.lit("")))
+        .alias("text"))
+    return code_detect(injected)
+
+
 def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-vs-content confusion matrix (E202): declared ``lang``
     column against the E11 n-gram detector, per (declared, detected)
@@ -5945,6 +5969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_winnowing": q_text_winnowing,
         "text_lang_confusion": q_text_lang_confusion,
+        "text_code_detect": q_text_code_detect,
         "text_search_topk": q_text_search_topk,
         "text_bm25_topk": q_text_bm25_topk,
         "text_retrieval_eval": q_text_retrieval_eval,
@@ -8238,6 +8263,42 @@ FROM ranked WHERE rank <= 2""",
         "text_lang_id": f"""
 SELECT doc_id, lang, {lang_guess_sql('text')} AS lang_guess
 FROM documents""",
+        "text_code_detect": """
+WITH inj AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0 THEN
+           chr(10) || 'function f' || CAST(doc_id AS VARCHAR)
+           || '(x) {' || chr(10) || '  var y = x + '
+           || CAST(doc_id AS VARCHAR) || ';' || chr(10)
+           || '  if (y > 10) {' || chr(10) || '    return y;'
+           || chr(10) || '  }' || chr(10)
+           || '  const z = [1, 2, 3];' || chr(10) || '}'
+           ELSE '' END AS text
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+         (length(text) - length(regexp_replace(text,
+             '[{}();=<>\\[\\]]', '', 'g'))) * 10000 AS s,
+         greatest(length(text), 1) AS nc,
+         len(regexp_extract_all(text, '(^|\\n)(  |\\t)')) * 10000
+             AS ind,
+         greatest(length(text)
+                  - length(replace(text, chr(10), '')) + 1, 1) AS ln,
+         len(regexp_extract_all(text, '[;{]($|\\n)')) * 10000 AS eol,
+         CAST(len(regexp_extract_all(text,
+             '\\b(def|return|import|function|var|const|class)\\b'
+             || '|if\\s*\\(|for\\s*\\(')) AS BIGINT) AS kw_hits
+  FROM inj)
+SELECT doc_id,
+       CAST(s // nc AS BIGINT) AS sym_bp,
+       CAST(ind // ln AS BIGINT) AS indent_bp,
+       CAST(eol // ln AS BIGINT) AS eol_semi_bp,
+       kw_hits,
+       CAST(s // nc + ind // ln + eol // ln + kw_hits * 100
+            AS BIGINT) AS code_score_bp,
+       s // nc + ind // ln + eol // ln + kw_hits * 100 >= 1500
+           AS is_code
+FROM sig""",
         "text_lang_confusion": f"""
 WITH cells AS (
   SELECT lang, {lang_guess_sql('text')} AS lang_guess, count(*) AS n

@@ -4164,3 +4164,39 @@ def test_host_scorecard_composition(spark):
                 else "watch" if want_score >= 1700 else "demote")
         assert r["tier"] == tier
     assert len({r["tier"] for r in rows}) >= 2  # verdicts vary
+
+
+@pytest.mark.spark
+def test_code_detect_signals(spark):
+    """Exact signal counts vs a python re replica, verdict polarity
+    for code vs prose, single-line and empty corners."""
+    from web_graph_spark.functions.text import code_detect
+
+    code = ("function add(a, b) {\n  var s = a + b;\n"
+            "  if (s > 10) {\n    return s;\n  }\n}")
+    prose = ("The quick brown fox jumps over the lazy dog and keeps "
+             "running through the quiet field until dusk settles")
+    docs = [(1, code), (2, prose), (3, ""), (4, "x = 1;")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in code_detect(df).collect()}
+
+    for did, text in docs:
+        nc = max(len(text), 1)
+        ln = max(text.count("\n") + 1, 1)
+        sym = len(re.findall(r"[{}();=<>\[\]]", text))
+        ind = len(re.findall(r"(^|\n)(  |\t)", text))
+        eol = len(re.findall(r"[;{]($|\n)", text))
+        kw = len(re.findall(
+            r"\b(?:def|return|import|function|var|const|class)\b"
+            r"|if\s*\(|for\s*\(", text))
+        r = got[did]
+        assert r["sym_bp"] == sym * 10000 // nc, did
+        assert r["indent_bp"] == ind * 10000 // ln, did
+        assert r["eol_semi_bp"] == eol * 10000 // ln, did
+        assert r["kw_hits"] == kw, did
+        score = (r["sym_bp"] + r["indent_bp"] + r["eol_semi_bp"]
+                 + kw * 100)
+        assert r["code_score_bp"] == score
+        assert r["is_code"] == (score >= 1500)
+    assert got[1]["is_code"] and not got[2]["is_code"]
+    assert not got[3]["is_code"]

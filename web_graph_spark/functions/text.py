@@ -2263,3 +2263,64 @@ def vocab_growth(df: DataFrame, n_docs: int, n_bins: int = 10,
                                F.expr("cum_types * 1000000 "
                                       "div cum_tokens"))
                         .cast("long")))
+
+
+def code_detect(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text",
+                flag_bp: int = 1500) -> DataFrame:
+    """Code-vs-prose detection (E205) — the routing filter every
+    pretraining pipeline runs before language-specific processing
+    (code wants different tokenization, dedup grain, and quality
+    gates than prose; mis-routed code poisons stopword/readability
+    stats and vice versa).  Pure integer signal battery, all
+    codegen'd regexp counts per 10k chars / lines:
+
+    * ``sym_bp``     — C-family symbol density ``{}();=<>[]`` per
+      char;
+    * ``indent_bp``  — lines starting with 2+ spaces or a tab;
+    * ``kw_hits``    — distinct-ish keyword occurrences (def, return,
+      import, function, var, const, class, if(, for();
+    * ``eol_semi_bp``— lines ending in ``;`` or ``{``.
+
+    code_score_bp = sym_bp + indent_bp + eol_semi_bp + kw_hits·100,
+    flagged at ``flag_bp``.  Thresholds are engineering defaults —
+    the point is the exact, replayable signal set, not a trained
+    model (E162 is the hashed classifier when one is available).
+
+    One regexp projection, zero shuffles.
+    → (doc_id, sym_bp, indent_bp, eol_semi_bp, kw_hits,
+    code_score_bp, is_code).
+    """
+    t = F.col(text_col)
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    lines = F.greatest(
+        F.length(t) - F.length(F.regexp_replace(t, "\n", "")) + 1,
+        F.lit(1))
+    sym = F.length(t) - F.length(
+        F.regexp_replace(t, r"[{}();=<>\[\]]", ""))
+    indent = F.size(F.expr(
+        rf"regexp_extract_all({text_col}, '(^|\\n)(  |\\t)', 0)"))
+    eol_semi = F.size(F.expr(
+        rf"regexp_extract_all({text_col}, '[;{{]($|\\n)', 0)"))
+    kw = F.size(F.expr(
+        rf"regexp_extract_all({text_col}, "
+        rf"'\\b(def|return|import|function|var|const|class)\\b"
+        rf"|if\\s*\\(|for\\s*\\(', 0)"))
+    return (df.select(
+        id_col,
+        (sym * 10000).cast("long").alias("__s"), n_chars.alias("__nc"),
+        ((indent * 10000).cast("long")).alias("__i"),
+        lines.cast("long").alias("__ln"),
+        (eol_semi * 10000).cast("long").alias("__e"),
+        kw.cast("long").alias("kw_hits"))
+        .select(
+            id_col,
+            F.expr("__s div __nc").cast("long").alias("sym_bp"),
+            F.expr("__i div __ln").cast("long").alias("indent_bp"),
+            F.expr("__e div __ln").cast("long").alias("eol_semi_bp"),
+            "kw_hits")
+        .withColumn("code_score_bp",
+                    (F.col("sym_bp") + F.col("indent_bp")
+                     + F.col("eol_semi_bp")
+                     + F.col("kw_hits") * 100).cast("long"))
+        .withColumn("is_code", F.col("code_score_bp") >= flag_bp))
