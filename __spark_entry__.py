@@ -2670,6 +2670,22 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  rounds=4)
 
 
+def q_graph_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-removal attack tolerance (operators/graph_algos.py:
+    attack_tolerance E206, Albert/Jeong/Barabási 2000): component
+    profile of the admissible web graph before and after deleting
+    the 8 highest-degree vertices — does discovery reach hang on a
+    handful of hubs?  Oracle replays degrees, the deterministic
+    top-8, and both recursive-CTE component profiles."""
+    from web_graph_spark.operators.graph_algos import attack_tolerance
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    v = webgen.pages_df(spark, sf_dir).select("doc_id")
+    return attack_tolerance(v, e, k_remove=8)
+
+
 def q_graph_cc_incremental(spark: SparkSession, sf_dir: str
                            ) -> DataFrame:
     """Incremental CC maintenance (operators/graph_algos.py:
@@ -5946,6 +5962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_trustrank": q_graph_trustrank,
         "graph_conductance": q_graph_conductance,
         "graph_cc_incremental": q_graph_cc_incremental,
+        "graph_robustness": q_graph_robustness,
         "graph_opic": q_graph_opic,
         "graph_salsa": q_graph_salsa,
         "graph_kcore": q_graph_kcore,
@@ -7476,6 +7493,56 @@ p(v, d, hops) AS (
 )
 SELECT v AS doc_id, CAST(min(d) AS BIGINT) AS dist
 FROM p GROUP BY 1"""),
+        "graph_robustness": _oracle_recursive("""
+, e AS (
+  SELECT DISTINCT least(src_doc_id, tgt_doc_id) AS u,
+         greatest(src_doc_id, tgt_doc_id) AS v
+  FROM web_links_full WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id
+),
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+top8 AS (
+  SELECT id FROM (
+    SELECT u AS id, count(*) AS d FROM und GROUP BY 1
+    QUALIFY row_number() OVER (ORDER BY d DESC, u) <= 8)),
+reach_f(node, lbl) AS (
+  SELECT doc_id, doc_id FROM web_pages
+  UNION
+  SELECT u.v, r.lbl FROM reach_f r JOIN und u ON u.u = r.node
+),
+comp_f AS (SELECT node, min(lbl) AS c FROM reach_f GROUP BY 1),
+sz_f AS (SELECT c, count(*) AS sz FROM comp_f GROUP BY 1),
+e2 AS (
+  SELECT e.u, e.v FROM e
+  WHERE e.u NOT IN (SELECT id FROM top8)
+    AND e.v NOT IN (SELECT id FROM top8)),
+und2 AS (SELECT u, v FROM e2 UNION ALL SELECT v AS u, u AS v FROM e2),
+v2 AS (SELECT doc_id FROM web_pages
+       WHERE doc_id NOT IN (SELECT id FROM top8)),
+reach_r(node, lbl) AS (
+  SELECT doc_id, doc_id FROM v2
+  UNION
+  SELECT u.v, r.lbl FROM reach_r r JOIN und2 u ON u.u = r.node
+),
+comp_r AS (SELECT node, min(lbl) AS c FROM reach_r GROUP BY 1),
+sz_r AS (SELECT c, count(*) AS sz FROM comp_r GROUP BY 1)
+SELECT 'full' AS scenario,
+       CAST((SELECT count(*) FROM web_pages) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(max(sz) AS BIGINT) AS giant_size,
+       CAST(max(sz) * 1000000
+            // greatest((SELECT count(*) FROM web_pages), 1)
+            AS BIGINT) AS giant_share_ppm
+FROM sz_f
+UNION ALL
+SELECT 'minus_top8',
+       CAST((SELECT count(*) FROM v2) AS BIGINT),
+       CAST((SELECT count(*) FROM e2) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       CAST(max(sz) AS BIGINT),
+       CAST(max(sz) * 1000000
+            // greatest((SELECT count(*) FROM v2), 1) AS BIGINT)
+FROM sz_r"""),
         "graph_cc_incremental": _oracle_recursive("""
 , e AS (
   SELECT DISTINCT src_doc_id AS a, tgt_doc_id AS b

@@ -84,6 +84,12 @@ ALLOW: dict[tuple[str, str], str] = {
     ("crawl_slot_assign", "Exchange SinglePartition"):
         "global snake rank runs over the per-host WEIGHT DIM (one "
         "row per host, post-aggregation), never the fetch stream",
+    ("graph_robustness", "BroadcastNestedLoopJoin"):
+        "per-scenario 1-row combines: component stats x node count x "
+        "edge count (constant-size builds); subgraph induction is "
+        "broadcast anti-joins on the k-row removal dim",
+    ("graph_robustness", "Exchange SinglePartition"):
+        "the same per-scenario 1-row aggregates; partials upstream",
     ("crawl_join_plan", "BroadcastNestedLoopJoin"):
         "1-row stats/median/hot-key dims crossed together per "
         "profiled key (constant-size builds)",

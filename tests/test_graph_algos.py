@@ -1333,3 +1333,46 @@ def test_incremental_components_noop_delta(spark):
     after = {r["doc_id"]: r["component"]
              for r in incremental_components(labels, de).collect()}
     assert after == before
+
+
+@pytest.mark.spark
+def test_attack_tolerance_star_shatters(spark):
+    """A hub-and-spoke graph keeps one giant component until the hub
+    is removed, then shatters into singletons — the scale-free attack
+    signature, exactly counted."""
+    from web_graph_spark.operators.graph_algos import attack_tolerance
+
+    # hub 0 connected to 1..9, plus a separate pair 20-21
+    edges = [(0, i) for i in range(1, 10)] + [(20, 21)]
+    e = spark.createDataFrame(edges, "src_doc_id long, tgt_doc_id long")
+    v = spark.createDataFrame(
+        [(i,) for i in list(range(10)) + [20, 21]], "doc_id long")
+    got = {r["scenario"]: r
+           for r in attack_tolerance(v, e, k_remove=1).collect()}
+    f = got["full"]
+    assert (f["n_nodes"], f["n_edges"]) == (12, 10)
+    assert (f["n_components"], f["giant_size"]) == (2, 10)
+    assert f["giant_share_ppm"] == 10 * 1_000_000 // 12
+    r = got["minus_top1"]
+    # hub removed: 9 singleton spokes + the pair = 10 components
+    assert (r["n_nodes"], r["n_edges"]) == (11, 1)
+    assert (r["n_components"], r["giant_size"]) == (10, 2)
+    assert r["giant_share_ppm"] == 2 * 1_000_000 // 11
+
+
+@pytest.mark.spark
+def test_attack_tolerance_tie_break(spark):
+    """Equal-degree candidates are removed smallest-id-first."""
+    from web_graph_spark.operators.graph_algos import attack_tolerance
+
+    # two disjoint triangles — all degrees 2; removing 1 takes id 0
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    e = spark.createDataFrame(edges, "src_doc_id long, tgt_doc_id long")
+    v = spark.createDataFrame([(i,) for i in (0, 1, 2, 10, 11, 12)],
+                              "doc_id long")
+    r = {x["scenario"]: x
+         for x in attack_tolerance(v, e, k_remove=1).collect()}
+    m = r["minus_top1"]
+    # removing vertex 0 leaves edge 1-2 + intact triangle
+    assert (m["n_nodes"], m["n_edges"]) == (5, 4)
+    assert (m["n_components"], m["giant_size"]) == (2, 3)

@@ -2113,3 +2113,69 @@ def incremental_components(labels: DataFrame, delta_edges: DataFrame,
             .select(F.col("id").alias(id_col),
                     F.coalesce("c_new", F.col("c")).cast("long")
                     .alias("component")))
+
+
+def attack_tolerance(vertices: DataFrame, edges: DataFrame,
+                     k_remove: int = 8, id_col: str = "doc_id",
+                     src: str = "src_doc_id",
+                     dst: str = "tgt_doc_id") -> DataFrame:
+    """Hub-removal robustness audit (E206, Albert/Jeong/Barabási
+    2000 "attack tolerance"): scale-free graphs shrug off random
+    failures but shatter when the top hubs go — the audit a crawl
+    operator runs to know whether connectivity (and therefore
+    discovery reach) hangs on a handful of hosts.  Two scenarios:
+    the full undirected graph, and the graph with the ``k_remove``
+    highest-total-degree vertices deleted (ties: smaller id first —
+    deterministic), each reduced to the component profile:
+
+    → (scenario, n_nodes, n_edges, n_components, giant_size,
+    giant_share_ppm)
+
+    where giant_share is of the scenario's own node count.
+
+    Physical shape: degree agg on the shared undirected view; the
+    top-k dim via take_global (range-partitioned, never a global
+    sort of the degree dim); each scenario is one E9 CC run + a
+    component-size agg — the removed run on the induced subgraph via
+    two broadcast anti-joins of the k-row removal dim.
+    """
+    from web_graph_spark.operators.frontier import take_global
+
+    ce = _canon_edges(edges, src, dst).localCheckpoint()
+    ids = (vertices.select(F.col(id_col).cast("long").alias("id"))
+           .distinct().localCheckpoint())
+    und = ce.select("u", "v").unionByName(
+        ce.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).alias("d"))
+    top = (take_global(deg.withColumn("__nd", -F.col("d")), k_remove,
+                       ["__nd", "id"])
+           .select("id").localCheckpoint())
+
+    def profile(name: str, vv: DataFrame, ee: DataFrame) -> DataFrame:
+        cc = connected_components(vv, ee, id_col="id",
+                                  src="u", dst="v")
+        sizes = cc.groupBy("component").agg(
+            F.count(F.lit(1)).alias("sz"))
+        st = sizes.agg(F.count(F.lit(1)).cast("long")
+                       .alias("n_components"),
+                       F.max("sz").cast("long").alias("giant_size"))
+        nn = vv.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        ne = ee.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        return (st.crossJoin(F.broadcast(nn))
+                .crossJoin(F.broadcast(ne))
+                .select(F.lit(name).alias("scenario"),
+                        "n_nodes", "n_edges", "n_components",
+                        "giant_size",
+                        F.expr("giant_size * 1000000 div "
+                               "greatest(n_nodes, 1)").cast("long")
+                        .alias("giant_share_ppm")))
+
+    vv2 = ids.join(F.broadcast(top), "id", "left_anti") \
+        .localCheckpoint()
+    ee2 = (ce.join(F.broadcast(top.withColumnRenamed("id", "u")),
+                   "u", "left_anti")
+           .join(F.broadcast(top.withColumnRenamed("id", "v")),
+                 "v", "left_anti").localCheckpoint())
+    return (profile("full", ids, ce)
+            .unionByName(profile(f"minus_top{k_remove}", vv2, ee2)))
