@@ -4970,6 +4970,20 @@ def q_events_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_disorder(ev)
 
 
+def q_events_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2×2 chi-square experiment readout (functions/stats.py:
+    abtest_chi2 E207): unit = user (deduped), variant = user_id
+    parity, outcome = ever purchased; χ² in floored milli via the
+    fixed divisor chain, significance the integer compare vs 3841.
+    Oracle replays the per-user collapse and the same chain."""
+    from web_graph_spark.functions.stats import abtest_chi2
+
+    return abtest_chi2(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        variant=(F.col("user_id") % 2 == 0),
+        outcome=(F.col("event_type") == "purchase"))
+
+
 def q_events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP motif counts (functions/stats.py:cep_pattern_match E198,
     MATCH_RECOGNIZE/Flink-CEP batch replay): non-overlapping
@@ -6094,6 +6108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_conformance": q_events_conformance,
         "events_disorder": q_events_disorder,
         "events_cep_pattern": q_events_cep_pattern,
+        "events_abtest": q_events_abtest,
         "events_retention": q_events_retention,
         "events_qdigest": q_events_qdigest,
         "corpus_merkle_diff": q_corpus_merkle_diff,
@@ -9359,6 +9374,45 @@ SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
             AS BIGINT) AS share_ppm,
        from_type = to_type AS is_self
 FROM m""",
+        "events_abtest": """
+WITH pk AS (
+  SELECT user_id,
+         max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) = 1 AS v,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS o
+  FROM events GROUP BY 1),
+cells AS (
+  SELECT CAST(sum(CASE WHEN v AND o = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(sum(CASE WHEN v AND o = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(sum(CASE WHEN NOT v AND o = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(sum(CASE WHEN NOT v AND o = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM pk),
+sc AS (
+  SELECT a, b, c, d,
+         CASE WHEN (a + b) > 0 AND (c + d) > 0 AND (a + c) > 0
+                   AND (b + d) > 0
+              THEN CAST(CAST(a + b + c + d AS HUGEINT)
+                        * (a * d - b * c) * (a * d - b * c) * 1000
+                        // (a + b) // (c + d) // (a + c) // (b + d)
+                        AS BIGINT) END AS chi2_milli,
+         CASE WHEN a + b > 0
+              THEN CAST(a * 1000000 // (a + b) AS BIGINT) END
+             AS rate_a_ppm,
+         CASE WHEN c + d > 0
+              THEN CAST(c * 1000000 // (c + d) AS BIGINT) END
+             AS rate_b_ppm
+  FROM cells)
+SELECT CAST(a + b AS BIGINT) AS n_a, a AS conv_a,
+       CAST(c + d AS BIGINT) AS n_b, c AS conv_b,
+       rate_a_ppm, rate_b_ppm,
+       CAST(rate_a_ppm - rate_b_ppm AS BIGINT) AS lift_ppm,
+       chi2_milli,
+       coalesce(chi2_milli >= 3841, FALSE) AS significant
+FROM sc""",
         "events_cep_pattern": """
 WITH seq AS (
   SELECT user_id, count(*) AS n_events,

@@ -84,6 +84,9 @@ ALLOW: dict[tuple[str, str], str] = {
     ("crawl_slot_assign", "Exchange SinglePartition"):
         "global snake rank runs over the per-host WEIGHT DIM (one "
         "row per host, post-aggregation), never the fetch stream",
+    ("events_abtest", "Exchange SinglePartition"):
+        "the 1-row 2x2 cell fold (a/b/c/d sums; per-user partials "
+        "combine map-side after the key agg)",
     ("graph_robustness", "BroadcastNestedLoopJoin"):
         "per-scenario 1-row combines: component stats x node count x "
         "edge count (constant-size builds); subgraph induction is "

@@ -4200,3 +4200,57 @@ def test_code_detect_signals(spark):
         assert r["is_code"] == (score >= 1500)
     assert got[1]["is_code"] and not got[2]["is_code"]
     assert not got[3]["is_code"]
+
+
+@pytest.mark.spark
+def test_abtest_chi2_textbook_and_degenerate(spark):
+    """Textbook 2×2 vs scipy-free hand value, per-user dedupe, the
+    null no-effect case, and degenerate margins → NULL."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.stats import abtest_chi2
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string")
+
+    # a=30 conv of n_a=100; c=20 of n_b=100 → chi2 = 200*(30*80-70*20)^2
+    # /(100*100*50*150) = 200*1000000/75e6... compute below
+    rows = []
+    uid = 0
+    for conv, n, parity in ((30, 100, 0), (20, 100, 1)):
+        for i in range(n):
+            uid += 1
+            u = uid * 2 + parity
+            rows.append((u, "purchase" if i < conv else "view"))
+            rows.append((u, "view"))  # repeat events must not double-count
+    got = abtest_chi2(mk(rows),
+                      variant=(F.col("user_id") % 2 == 0),
+                      outcome=(F.col("event_type") == "purchase")
+                      ).collect()[0]
+    assert (got["n_a"], got["conv_a"], got["n_b"], got["conv_b"]) \
+        == (100, 30, 100, 20)
+    a, b, c, d = 30, 70, 20, 80
+    n = a + b + c + d
+    chi = (n * (a * d - b * c) ** 2 * 1000
+           // (a + b) // (c + d) // (a + c) // (b + d))
+    assert got["chi2_milli"] == chi
+    assert got["rate_a_ppm"] == 300_000 and got["rate_b_ppm"] == 200_000
+    assert got["lift_ppm"] == 100_000
+    assert got["significant"] == (chi >= 3841)
+
+    # no effect: identical rates → chi2 == 0, not significant
+    null_rows = [(u, "purchase" if u % 4 < 2 else "view")
+                 for u in range(200)]  # 50% conversion in BOTH parities
+    g2 = abtest_chi2(mk(null_rows),
+                     variant=(F.col("user_id") % 2 == 0),
+                     outcome=(F.col("event_type") == "purchase")
+                     ).collect()[0]
+    assert g2["chi2_milli"] == 0 and not g2["significant"]
+
+    # degenerate: everyone converts → zero column margin → NULL chi2
+    g3 = abtest_chi2(mk([(u, "purchase") for u in range(10)]),
+                     variant=(F.col("user_id") % 2 == 0),
+                     outcome=(F.col("event_type") == "purchase")
+                     ).collect()[0]
+    assert g3["chi2_milli"] is None and not g3["significant"]

@@ -1934,3 +1934,69 @@ def cep_pattern_match(events: DataFrame, pattern: str,
                                matches, lambda m: F.length(m))),
                            F.lit(0)).cast("long").alias("max_match_len"))
             .withColumn("matched", F.col("n_matches") > 0))
+
+
+def abtest_chi2(events: DataFrame, variant, outcome,
+                key_col: str = "user_id",
+                sig_milli: int = 3841) -> DataFrame:
+    """Two-proportion experiment readout (E207) — the 2×2 chi-square
+    test in EXACT integer arithmetic: unit = key (deduped first, so
+    heavy users don't vote repeatedly), variant = the assignment
+    expression, outcome = the conversion predicate; the statistic is
+    the classic
+
+        χ² = N · (ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+
+    carried as a decimal(38,0) numerator floored through the FIXED
+    divisor chain (÷row margins, then column margins, in that order
+    — sequential flooring IS the spec, ≤ 4 milli from the real
+    value), so significance at α = 0.05 is the integer compare
+    ``chi2_milli ≥ 3841`` (χ²₁,₀.₀₅ = 3.841) — no float, no p-value
+    library, replayable anywhere.  Degenerate
+    margins (an empty row or column) emit NULL chi2 and a false
+    flag rather than a division by zero.
+
+    → 1 row: (n_a, conv_a, n_b, conv_b, rate_a_ppm, rate_b_ppm,
+    lift_ppm, chi2_milli, significant).
+
+    Scale shape: one key agg (per-key variant + converted flags),
+    one 1-row fold.  The variant expression must be deterministic
+    per key (hash the key, not the event).
+    """
+    per_key = (events.select(F.col(key_col).alias("k"),
+                             variant.alias("v"),
+                             outcome.cast("int").alias("o"))
+               .groupBy("k")
+               .agg(F.max("v").alias("v"), F.max("o").alias("o")))
+    cells = per_key.agg(
+        F.sum(F.when(F.col("v") & (F.col("o") == 1), 1)
+              .otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("v") & (F.col("o") == 0), 1)
+              .otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~F.col("v") & (F.col("o") == 1), 1)
+              .otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~F.col("v") & (F.col("o") == 0), 1)
+              .otherwise(0)).cast("long").alias("d"))
+    chi = ("CASE WHEN (a + b) > 0 AND (c + d) > 0 AND (a + c) > 0 "
+           "AND (b + d) > 0 THEN CAST("
+           "cast((a + b + c + d) as decimal(38,0)) * (a * d - b * c) "
+           "* (a * d - b * c) * 1000 div (a + b) div (c + d) "
+           "div (a + c) div (b + d) AS BIGINT) END")
+    return (cells.select(
+        (F.col("a") + F.col("b")).alias("n_a"),
+        F.col("a").alias("conv_a"),
+        (F.col("c") + F.col("d")).alias("n_b"),
+        F.col("c").alias("conv_b"),
+        F.expr("CASE WHEN a + b > 0 THEN a * 1000000 div (a + b) END")
+        .cast("long").alias("rate_a_ppm"),
+        F.expr("CASE WHEN c + d > 0 THEN c * 1000000 div (c + d) END")
+        .cast("long").alias("rate_b_ppm"),
+        F.expr(chi).alias("chi2_milli"))
+        .withColumn("lift_ppm",
+                    (F.col("rate_a_ppm") - F.col("rate_b_ppm"))
+                    .cast("long"))
+        .withColumn("significant",
+                    F.coalesce(F.col("chi2_milli") >= sig_milli,
+                               F.lit(False)))
+        .select("n_a", "conv_a", "n_b", "conv_b", "rate_a_ppm",
+                "rate_b_ppm", "lift_ppm", "chi2_milli", "significant"))
