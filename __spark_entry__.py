@@ -2670,6 +2670,37 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  rounds=4)
 
 
+def q_crawl_reach_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-coverage reach curve (E208): per BFS depth from the seed
+    list, newly reached pages, the running total, and the cumulative
+    share of the WHOLE corpus in floor ppm — the seed-quality readout
+    (a curve flattening below 10⁶ says these seeds cannot discover
+    the rest, however many waves run; the planning complement to
+    E33's per-page depths).  Rides bfs_depths; cumulative window
+    over the ≤64-row depth dim.  Oracle shares the recursive-BFS CTE
+    plus the same fold."""
+    from web_graph_spark.operators.graph_algos import bfs_depths
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    pages = webgen.pages_df(spark, sf_dir)
+    seeds = pages.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    d = bfs_depths(e, seeds)
+    per = d.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"))
+    total = pages.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    w = (Window.orderBy("depth")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (per.withColumn("cum_reached",
+                           F.sum("n_reached").over(w).cast("long"))
+            .crossJoin(F.broadcast(total))
+            .select(F.col("depth").cast("long").alias("depth"),
+                    "n_reached", "cum_reached",
+                    F.expr("cum_reached * 1000000 div __n")
+                    .cast("long").alias("reach_ppm")))
+
+
 def q_graph_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hub-removal attack tolerance (operators/graph_algos.py:
     attack_tolerance E206, Albert/Jeong/Barabási 2000): component
@@ -5977,6 +6008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_conductance": q_graph_conductance,
         "graph_cc_incremental": q_graph_cc_incremental,
         "graph_robustness": q_graph_robustness,
+        "crawl_reach_curve": q_crawl_reach_curve,
         "graph_opic": q_graph_opic,
         "graph_salsa": q_graph_salsa,
         "graph_kcore": q_graph_kcore,
@@ -7508,6 +7540,28 @@ p(v, d, hops) AS (
 )
 SELECT v AS doc_id, CAST(min(d) AS BIGINT) AS dist
 FROM p GROUP BY 1"""),
+        "crawl_reach_curve": _oracle_recursive("""
+, e AS (
+  SELECT DISTINCT src_doc_id AS s, tgt_doc_id AS t
+  FROM web_links_full WHERE k % 4 <> 0
+),
+bfs(node, depth) AS (
+  SELECT doc_id, 0 FROM web_pages WHERE doc_id % 97 = 0
+  UNION
+  SELECT e.t, b.depth + 1 FROM bfs b JOIN e ON e.s = b.node
+  WHERE b.depth < 64
+),
+md AS (SELECT node, min(depth) AS depth FROM bfs GROUP BY 1),
+per AS (SELECT depth, count(*) AS n_reached FROM md GROUP BY 1)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(n_reached AS BIGINT) AS n_reached,
+       CAST(sum(n_reached) OVER (ORDER BY depth
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_reached,
+       CAST(sum(n_reached) OVER (ORDER BY depth
+            ROWS UNBOUNDED PRECEDING) * 1000000
+            // (SELECT count(*) FROM web_pages) AS BIGINT)
+           AS reach_ppm
+FROM per"""),
         "graph_robustness": _oracle_recursive("""
 , e AS (
   SELECT DISTINCT least(src_doc_id, tgt_doc_id) AS u,

@@ -84,6 +84,11 @@ ALLOW: dict[tuple[str, str], str] = {
     ("crawl_slot_assign", "Exchange SinglePartition"):
         "global snake rank runs over the per-host WEIGHT DIM (one "
         "row per host, post-aggregation), never the fetch stream",
+    ("crawl_reach_curve", "BroadcastNestedLoopJoin"):
+        "1-row corpus-total dim crossed onto the <=64-row depth dim",
+    ("crawl_reach_curve", "Exchange SinglePartition"):
+        "cumulative window + total over the <=64-row depth dim "
+        "(bounded by max_depth at any corpus size)",
     ("events_abtest", "Exchange SinglePartition"):
         "the 1-row 2x2 cell fold (a/b/c/d sums; per-user partials "
         "combine map-side after the key agg)",

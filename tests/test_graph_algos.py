@@ -1376,3 +1376,31 @@ def test_attack_tolerance_tie_break(spark):
     # removing vertex 0 leaves edge 1-2 + intact triangle
     assert (m["n_nodes"], m["n_edges"]) == (5, 4)
     assert (m["n_components"], m["giant_size"]) == (2, 3)
+
+
+@pytest.mark.spark
+def test_reach_curve_consistency(spark):
+    """Curve rows reconcile with the per-page depths, are cumulative-
+    monotone, and the terminal share reflects unreachable pages."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_SMOKE
+
+    curve = entry.q_crawl_reach_curve(spark, SF_SMOKE).collect()
+    depths = entry.q_graph_bfs_depths(spark, SF_SMOKE).collect()
+    from collections import Counter
+
+    want = Counter(r["depth"] for r in depths)
+    got = {r["depth"]: r for r in curve}
+    assert set(got) == set(want)
+    cum = 0
+    n_pages = (spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+               .count())
+    for d in sorted(got):
+        cum += want[d]
+        r = got[d]
+        assert r["n_reached"] == want[d]
+        assert r["cum_reached"] == cum
+        assert r["reach_ppm"] == cum * 1_000_000 // n_pages
+    shares = [got[d]["reach_ppm"] for d in sorted(got)]
+    assert shares == sorted(shares)
+    assert shares[-1] <= 1_000_000
