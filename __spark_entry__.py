@@ -5001,6 +5001,23 @@ def q_events_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_disorder(ev)
 
 
+def q_events_outages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outage detection (functions/stats.py:activity_gaps E209):
+    zero-event windows at hour grain between active hours — the
+    collector-down/crawler-paused readout.  The stream has no
+    natural outages, so hours with bucket % 50 ∈ {13, 14, 15} are
+    deterministically dropped (3-hour planted outages; the oracle
+    drops identically).  Stream collapses to distinct active buckets
+    FIRST (uniform agg), gaps are lag deltas over that bounded dim."""
+    from web_graph_spark.functions.stats import activity_gaps
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kept = ev.filter(
+        ~F.expr("(unix_micros(cast(ts as timestamp)) div 1000000 "
+                "div 3600) % 50").isin(13, 14, 15))
+    return activity_gaps(kept, grain_s=3600, min_gap=2)
+
+
 def q_events_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 2×2 chi-square experiment readout (functions/stats.py:
     abtest_chi2 E207): unit = user (deduped), variant = user_id
@@ -6141,6 +6158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_disorder": q_events_disorder,
         "events_cep_pattern": q_events_cep_pattern,
         "events_abtest": q_events_abtest,
+        "events_outages": q_events_outages,
         "events_retention": q_events_retention,
         "events_qdigest": q_events_qdigest,
         "corpus_merkle_diff": q_corpus_merkle_diff,
@@ -9428,6 +9446,22 @@ SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
             AS BIGINT) AS share_ppm,
        from_type = to_type AS is_self
 FROM m""",
+        "events_outages": """
+WITH b AS (
+  SELECT DISTINCT epoch(date_trunc('second', ts))::BIGINT // 3600
+             AS bucket
+  FROM events
+  WHERE (epoch(date_trunc('second', ts))::BIGINT // 3600) % 50
+        NOT IN (13, 14, 15)),
+g AS (
+  SELECT bucket, lag(bucket) OVER (ORDER BY bucket) AS prev
+  FROM b)
+SELECT CAST((prev + 1) * 3600 AS BIGINT) AS gap_start_epoch,
+       CAST(bucket * 3600 - 1 AS BIGINT) AS gap_end_epoch,
+       CAST(bucket - prev - 1 AS BIGINT) AS n_missing,
+       CAST((bucket - prev - 1) * 3600 AS BIGINT) AS duration_s
+FROM g
+WHERE prev IS NOT NULL AND bucket - prev - 1 >= 2""",
         "events_abtest": """
 WITH pk AS (
   SELECT user_id,

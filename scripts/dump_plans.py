@@ -84,6 +84,10 @@ ALLOW: dict[tuple[str, str], str] = {
     ("crawl_slot_assign", "Exchange SinglePartition"):
         "global snake rank runs over the per-host WEIGHT DIM (one "
         "row per host, post-aggregation), never the fetch stream",
+    ("events_outages", "Exchange SinglePartition"):
+        "lag window over the distinct ACTIVE-BUCKET dim — bounded by "
+        "timespan/grain, never event count (the stream collapses to "
+        "buckets in a uniform-key agg first)",
     ("crawl_reach_curve", "BroadcastNestedLoopJoin"):
         "1-row corpus-total dim crossed onto the <=64-row depth dim",
     ("crawl_reach_curve", "Exchange SinglePartition"):

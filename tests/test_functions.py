@@ -4254,3 +4254,51 @@ def test_abtest_chi2_textbook_and_degenerate(spark):
                      outcome=(F.col("event_type") == "purchase")
                      ).collect()[0]
     assert g3["chi2_milli"] is None and not g3["significant"]
+
+
+@pytest.mark.spark
+def test_activity_gaps_hand_stream(spark):
+    """Gap rows on a hand bucket pattern: thresholding, bucket→epoch
+    algebra, leading/trailing silence excluded, guard."""
+    from web_graph_spark.functions.stats import activity_gaps
+
+    # active hours (bucket ids): 10,11, [12-14 missing], 15,
+    # [16 missing, below min_gap=2], 17, [18-22 missing], 23
+    active = [10, 11, 15, 17, 23]
+    rows = [(i, b * 3600 + 30) for i, b in enumerate(active)]
+    ev = spark.createDataFrame(rows, "event_id long, us long") \
+        .selectExpr("event_id", "timestamp_micros(us * 1000000) as ts")
+    got = sorted(
+        (r["gap_start_epoch"], r["gap_end_epoch"], r["n_missing"],
+         r["duration_s"])
+        for r in activity_gaps(ev, grain_s=3600, min_gap=2).collect())
+    assert got == [
+        (12 * 3600, 15 * 3600 - 1, 3, 3 * 3600),
+        (18 * 3600, 23 * 3600 - 1, 5, 5 * 3600),
+    ]
+    # min_gap=1 also surfaces the single-bucket gap
+    got1 = activity_gaps(ev, grain_s=3600, min_gap=1).collect()
+    assert len(got1) == 3
+    with pytest.raises(ValueError):
+        activity_gaps(ev, grain_s=0)
+
+
+@pytest.mark.spark
+def test_events_outages_planted_windows(spark):
+    """The contract query's planted 3-hour drops appear as 3-missing
+    gaps (when adjacent hours are active)."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_events_outages(spark, SF_SMOKE).collect()
+    assert rows, "planted outages must be detected"
+    covers_planted = 0
+    for r in rows:
+        assert r["n_missing"] >= 2
+        assert r["duration_s"] == r["n_missing"] * 3600
+        # gaps may merge planted windows with natural sparse-stream
+        # inactivity; count the ones covering a planted bucket
+        b0 = r["gap_start_epoch"] // 3600
+        b1 = r["gap_end_epoch"] // 3600
+        if any(b % 50 in (13, 14, 15) for b in range(b0, b1 + 1)):
+            covers_planted += 1
+    assert covers_planted >= 1

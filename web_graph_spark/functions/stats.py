@@ -2000,3 +2000,45 @@ def abtest_chi2(events: DataFrame, variant, outcome,
                                F.lit(False)))
         .select("n_a", "conv_a", "n_b", "conv_b", "rate_a_ppm",
                 "rate_b_ppm", "lift_ppm", "chi2_milli", "significant"))
+
+
+def activity_gaps(events: DataFrame, grain_s: int = 3600,
+                  min_gap: int = 1,
+                  ts_col: str = "ts") -> DataFrame:
+    """Outage detection over an event stream (E209) — the SRE
+    question a fetch/ingest pipeline answers from its own exhaust:
+    which time windows saw NO events at all (collector down, queue
+    stalled, crawler paused), and for how long?  The scale trick
+    that makes a global-stream property shuffle-safe: the stream
+    first collapses to DISTINCT ACTIVE BUCKETS at ``grain_s``
+    (uniform-key agg — the corpus never meets a window), and gaps
+    are lag deltas over that bucket dim, which is bounded by
+    timespan/grain however many events exist.  A gap row is a
+    maximal run of ≥ ``min_gap`` missing buckets strictly between
+    two active ones (leading/trailing silence is unbounded — not an
+    outage, just absence of data).
+
+    → (gap_start_epoch, gap_end_epoch, n_missing, duration_s),
+    epochs in seconds at bucket resolution.
+    """
+    if grain_s < 1 or min_gap < 1:
+        raise ValueError("grain_s and min_gap must be >= 1")
+    b = (events.select(
+        (F.unix_micros(F.col(ts_col).cast("timestamp"))
+         / F.lit(1_000_000)).cast("long").alias("__s"))
+        .select(F.expr(f"__s div {grain_s}").alias("bucket"))
+        .distinct())
+    w = Window.orderBy("bucket")
+    g = (b.withColumn("prev", F.lag("bucket").over(w))
+         .filter(F.col("prev").isNotNull()
+                 & (F.col("bucket") - F.col("prev") - 1
+                    >= F.lit(min_gap))))
+    return g.select(
+        ((F.col("prev") + 1) * grain_s).cast("long")
+        .alias("gap_start_epoch"),
+        ((F.col("bucket") * grain_s) - 1).cast("long")
+        .alias("gap_end_epoch"),
+        (F.col("bucket") - F.col("prev") - 1).cast("long")
+        .alias("n_missing"),
+        ((F.col("bucket") - F.col("prev") - 1) * grain_s)
+        .cast("long").alias("duration_s"))
