@@ -3058,6 +3058,28 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "lang_guess")
 
 
+LEXICON = (("slow", "blocked"), ("leak", "blocked"),
+           ("deadlock", "blocked"), ("spill", "watch"),
+           ("skew", "watch"), ("retry", "watch"))
+
+
+def q_text_lexicon_filter(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Lexicon-based safety filter (functions/text.py:lexicon_filter
+    E210): the UT1/blocklist pass built for 10^5-term lists —
+    tokenize once, broadcast-join the (term, category) dim, count
+    hits per category (a union-regex dies at that scale).  The dim
+    above marks two categories over the corpus vocabulary; flagged =
+    ≥ 2 'blocked' hits.  Oracle replays tokenize + VALUES join."""
+    from web_graph_spark.functions.text import lexicon_filter
+
+    lex = spark.createDataFrame(list(LEXICON),
+                                "term string, category string")
+    return lexicon_filter(_docs(spark, sf_dir), lex,
+                          flag_categories=("blocked",),
+                          flag_min_hits=2)
+
+
 def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-vs-prose routing filter (functions/text.py:code_detect
     E205): symbol density, indented-line share, ;/{ line endings,
@@ -6050,6 +6072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnowing": q_text_winnowing,
         "text_lang_confusion": q_text_lang_confusion,
         "text_code_detect": q_text_code_detect,
+        "text_lexicon_filter": q_text_lexicon_filter,
         "text_search_topk": q_text_search_topk,
         "text_bm25_topk": q_text_bm25_topk,
         "text_retrieval_eval": q_text_retrieval_eval,
@@ -8417,6 +8440,34 @@ FROM ranked WHERE rank <= 2""",
         "text_lang_id": f"""
 SELECT doc_id, lang, {lang_guess_sql('text')} AS lang_guess
 FROM documents""",
+        "text_lexicon_filter": "WITH lex(term, category) AS (VALUES "
+        + ", ".join(f"('{t}', '{c}')" for t, c in LEXICON) + """),
+toks AS (
+  SELECT doc_id,
+         regexp_replace(
+             unnest(string_split_regex(lower(text), '\\s+')),
+             '[^a-z0-9]', '', 'g') AS tok
+  FROM documents),
+hits AS (
+  SELECT t.doc_id, l.category, count(*) AS n
+  FROM toks t JOIN lex l ON l.term = t.tok
+  GROUP BY 1, 2),
+pd AS (
+  SELECT doc_id,
+         string_agg(category || ':' || CAST(n AS VARCHAR), ','
+                    ORDER BY category, n) AS hits_by_cat,
+         CAST(sum(CASE WHEN category = 'blocked' THEN n ELSE 0 END)
+              AS BIGINT) AS nf,
+         CAST(sum(n) AS BIGINT) AS n_hits
+  FROM hits GROUP BY 1),
+tot AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(p.hits_by_cat, '') AS hits_by_cat,
+       coalesce(p.nf, 0) >= 2 AS flagged
+FROM documents d
+LEFT JOIN tot t USING (doc_id) LEFT JOIN pd p USING (doc_id)""",
         "text_code_detect": """
 WITH inj AS (
   SELECT doc_id,

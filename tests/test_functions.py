@@ -4302,3 +4302,37 @@ def test_events_outages_planted_windows(spark):
         if any(b % 50 in (13, 14, 15) for b in range(b0, b1 + 1)):
             covers_planted += 1
     assert covers_planted >= 1
+
+
+@pytest.mark.spark
+def test_lexicon_filter_hand_docs(spark):
+    """Category counts, normalization matching, sorted summary string,
+    flag threshold, miss row."""
+    from web_graph_spark.functions.text import lexicon_filter
+
+    lex = spark.createDataFrame(
+        [("bomb", "blocked"), ("spam", "blocked"), ("ad", "watch")],
+        "term string, category string")
+    docs = [
+        (1, "Bomb! the SPAM, bomb; and an ad."),   # punctuated forms
+        (2, "an ad and another ad"),
+        (3, "perfectly clean prose"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in lexicon_filter(df, lex, flag_min_hits=2).collect()}
+    r1 = got[1]
+    assert r1["n_hits"] == 4                   # bomb×2 spam ad
+    assert r1["hits_by_cat"] == "blocked:3,watch:1"
+    assert r1["flagged"]                       # 3 blocked ≥ 2
+    r2 = got[2]
+    assert r2["hits_by_cat"] == "watch:2" and not r2["flagged"]
+    r3 = got[3]
+    assert (r3["n_hits"], r3["hits_by_cat"], r3["flagged"]) \
+        == (0, "", False)
+    # exactly-at-threshold flags
+    g = lexicon_filter(
+        spark.createDataFrame([(9, "spam spam")],
+                              "doc_id long, text string"),
+        lex, flag_min_hits=2).collect()[0]
+    assert g["flagged"]

@@ -2324,3 +2324,61 @@ def code_detect(df: DataFrame, id_col: str = "doc_id",
                      + F.col("eol_semi_bp")
                      + F.col("kw_hits") * 100).cast("long"))
         .withColumn("is_code", F.col("code_score_bp") >= flag_bp))
+
+
+def lexicon_filter(df: DataFrame, lexicon: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   flag_categories: tuple = ("blocked",),
+                   flag_min_hits: int = 1) -> DataFrame:
+    """Lexicon-based content filter (E210) — the UT1/blocklist-style
+    safety pass, built the way it survives a 10^5-term lexicon: the
+    document tokenizes ONCE and joins the (term, category) dim
+    (broadcast; a union-of-10^5-alternatives regex is where the
+    regex tier dies), counting hits per category.  Token match is
+    exact on the lowercased alnum-stripped token — the lexicon is
+    expected in the same normal form (terms that don't survive
+    normalization can never match; dedupe the dim upstream).
+
+    Per doc: total tokens, per-category hit counts as a sorted
+    ``cat:n`` summary string (schema stays fixed however many
+    categories the lexicon carries), total hits in flagged
+    categories, and the flag verdict.
+
+    → (doc_id, n_tokens, n_hits, hits_by_cat, flagged).
+
+    Scale shape: one explode scan → one broadcast hash join → one
+    doc agg.  The corpus never shuffles on anything but doc_id.
+    """
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(F.lower(F.col(text_col)),
+                                        r"\s+")).alias("__raw"))
+            .select(id_col,
+                    F.regexp_replace("__raw", "[^a-z0-9]", "")
+                    .alias("tok")))
+    lex = (lexicon.select(F.col("term").alias("tok"), "category")
+           .distinct())
+    hits = (toks.join(F.broadcast(lex), "tok")
+            .groupBy(id_col, "category")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    per_doc = (hits.groupBy(id_col)
+               .agg(F.expr("array_join(transform(array_sort("
+                           "collect_list(struct(category, n))), "
+                           "r -> concat(r.category, ':', r.n)), ',')")
+                    .alias("hits_by_cat"),
+                    F.sum(F.when(F.col("category")
+                                 .isin(*flag_categories), F.col("n"))
+                          .otherwise(F.lit(0))).cast("long")
+                    .alias("n_flag_hits"),
+                    F.sum("n").cast("long").alias("n_hits")))
+    totals = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    return (df.select(id_col).distinct()
+            .join(totals, id_col, "left")
+            .join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    F.coalesce("hits_by_cat", F.lit(""))
+                    .alias("hits_by_cat"),
+                    (F.coalesce("n_flag_hits", F.lit(0))
+                     >= flag_min_hits).alias("flagged")))
