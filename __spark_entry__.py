@@ -5023,6 +5023,20 @@ def q_events_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_disorder(ev)
 
 
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (functions/stats.py:rfm_segments E211):
+    recency/frequency/monetary quintile scores from EXACT corpus
+    cutoffs (histogram quantiles — never a global ntile sort of the
+    user dim) and the standard first-match segment rulebook.  Cents
+    floored per EVENT before summing so the money column is
+    aggregation-order exact.  Oracle replays metrics, k-th order
+    statistic cutoffs, and the scoring."""
+    from web_graph_spark.functions.stats import rfm_segments
+
+    return rfm_segments(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_events_outages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outage detection (functions/stats.py:activity_gaps E209):
     zero-event windows at hour grain between active hours — the
@@ -6182,6 +6196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cep_pattern": q_events_cep_pattern,
         "events_abtest": q_events_abtest,
         "events_outages": q_events_outages,
+        "events_rfm": q_events_rfm,
         "events_retention": q_events_retention,
         "events_qdigest": q_events_qdigest,
         "corpus_merkle_diff": q_corpus_merkle_diff,
@@ -9497,6 +9512,71 @@ SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
             AS BIGINT) AS share_ppm,
        from_type = to_type AS is_self
 FROM m""",
+        "events_rfm": """
+WITH per AS (
+  SELECT user_id,
+         CAST(max(epoch(date_trunc('second', ts))::BIGINT // 86400)
+              AS BIGINT) AS last_day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+n1 AS (SELECT count(*) AS n FROM per),
+rr AS (SELECT last_day AS v,
+              row_number() OVER (ORDER BY last_day) AS rn FROM per),
+ff AS (SELECT n_events AS v,
+              row_number() OVER (ORDER BY n_events) AS rn FROM per),
+mm AS (SELECT cents AS v,
+              row_number() OVER (ORDER BY cents) AS rn FROM per),
+rc AS (SELECT
+  (SELECT v FROM rr WHERE rn = (SELECT (20 * n + 99) // 100 FROM n1))
+      AS c20,
+  (SELECT v FROM rr WHERE rn = (SELECT (40 * n + 99) // 100 FROM n1))
+      AS c40,
+  (SELECT v FROM rr WHERE rn = (SELECT (60 * n + 99) // 100 FROM n1))
+      AS c60,
+  (SELECT v FROM rr WHERE rn = (SELECT (80 * n + 99) // 100 FROM n1))
+      AS c80),
+fc AS (SELECT
+  (SELECT v FROM ff WHERE rn = (SELECT (20 * n + 99) // 100 FROM n1))
+      AS c20,
+  (SELECT v FROM ff WHERE rn = (SELECT (40 * n + 99) // 100 FROM n1))
+      AS c40,
+  (SELECT v FROM ff WHERE rn = (SELECT (60 * n + 99) // 100 FROM n1))
+      AS c60,
+  (SELECT v FROM ff WHERE rn = (SELECT (80 * n + 99) // 100 FROM n1))
+      AS c80),
+mc AS (SELECT
+  (SELECT v FROM mm WHERE rn = (SELECT (20 * n + 99) // 100 FROM n1))
+      AS c20,
+  (SELECT v FROM mm WHERE rn = (SELECT (40 * n + 99) // 100 FROM n1))
+      AS c40,
+  (SELECT v FROM mm WHERE rn = (SELECT (60 * n + 99) // 100 FROM n1))
+      AS c60,
+  (SELECT v FROM mm WHERE rn = (SELECT (80 * n + 99) // 100 FROM n1))
+      AS c80),
+sc AS (
+  SELECT p.*,
+         CAST(1 + (p.last_day > rc.c20)::INT + (p.last_day > rc.c40)::INT
+              + (p.last_day > rc.c60)::INT + (p.last_day > rc.c80)::INT
+              AS INTEGER) AS r_score,
+         CAST(1 + (p.n_events > fc.c20)::INT + (p.n_events > fc.c40)::INT
+              + (p.n_events > fc.c60)::INT + (p.n_events > fc.c80)::INT
+              AS INTEGER) AS f_score,
+         CAST(1 + (p.cents > mc.c20)::INT + (p.cents > mc.c40)::INT
+              + (p.cents > mc.c60)::INT + (p.cents > mc.c80)::INT
+              AS INTEGER) AS m_score
+  FROM per p CROSS JOIN rc CROSS JOIN fc CROSS JOIN mc)
+SELECT user_id, last_day, n_events, cents, r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                 THEN 'champion'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN m_score >= 4 THEN 'big_spender'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END AS segment
+FROM sc""",
         "events_outages": """
 WITH b AS (
   SELECT DISTINCT epoch(date_trunc('second', ts))::BIGINT // 3600

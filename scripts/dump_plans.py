@@ -84,6 +84,13 @@ ALLOW: dict[tuple[str, str], str] = {
     ("crawl_slot_assign", "Exchange SinglePartition"):
         "global snake rank runs over the per-host WEIGHT DIM (one "
         "row per host, post-aggregation), never the fetch stream",
+    ("events_rfm", "BroadcastNestedLoopJoin"):
+        "three 1-row quintile-cutoff dims (exact_quantiles histogram "
+        "folds) crossed back onto the user dim",
+    ("events_rfm", "Exchange SinglePartition"):
+        "exact_quantiles' cumulative window over the VALUE-RANGE-"
+        "bounded metric histograms (days/counts/cents bins), never "
+        "the user or event stream",
     ("events_outages", "Exchange SinglePartition"):
         "lag window over the distinct ACTIVE-BUCKET dim — bounded by "
         "timespan/grain, never event count (the stream collapses to "

@@ -4336,3 +4336,56 @@ def test_lexicon_filter_hand_docs(spark):
                               "doc_id long, text string"),
         lex, flag_min_hits=2).collect()[0]
     assert g["flagged"]
+
+
+@pytest.mark.spark
+def test_rfm_segments_hand_users(spark):
+    """Exact cutoff scoring vs a python replica (k-th order statistic,
+    ties to the lower bucket), per-event cent flooring, and the
+    segment rulebook branches."""
+    from web_graph_spark.functions.stats import rfm_segments
+
+    rows = []
+    # 10 users: user u has u+1 events on day u, each purchase value u
+    for u in range(10):
+        for i in range(u + 1):
+            rows.append((u, u * 100 + i,
+                         u * 86400_000_000 + i, "purchase", float(u)))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, us long, "
+              "event_type string, value double"
+    ).selectExpr("user_id", "event_id",
+                 "timestamp_micros(us) as ts", "event_type", "value")
+    got = {r["user_id"]: r for r in rfm_segments(ev).collect()}
+
+    last_day = {u: u for u in range(10)}
+    n_ev = {u: u + 1 for u in range(10)}
+    cents = {u: (u + 1) * u * 100 for u in range(10)}
+
+    def cutoffs(vals):
+        s = sorted(vals)
+        n = len(s)
+        return [s[(q * n + 99) // 100 - 1] for q in (20, 40, 60, 80)]
+
+    for metric, vals in (("last_day", last_day), ("n_events", n_ev),
+                         ("cents", cents)):
+        cs = cutoffs(list(vals.values()))
+        col = {"last_day": "r_score", "n_events": "f_score",
+               "cents": "m_score"}[metric]
+        for u in range(10):
+            want = 1 + sum(vals[u] > c for c in cs)
+            assert got[u][col] == want, (metric, u)
+    for u in range(10):
+        r = got[u]
+        assert (r["last_day"], r["n_events"], r["cents"]) == \
+            (last_day[u], n_ev[u], cents[u])
+        rs, fs, ms = r["r_score"], r["f_score"], r["m_score"]
+        want_seg = ("champion" if rs >= 4 and fs >= 4 and ms >= 4
+                    else "loyal" if fs >= 4
+                    else "big_spender" if ms >= 4
+                    else "at_risk" if rs <= 2 and fs >= 3
+                    else "hibernating" if rs <= 2
+                    else "regular")
+        assert r["segment"] == want_seg, u
+    segs = {r["segment"] for r in got.values()}
+    assert "champion" in segs and "hibernating" in segs

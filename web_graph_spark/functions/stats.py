@@ -2042,3 +2042,80 @@ def activity_gaps(events: DataFrame, grain_s: int = 3600,
         .alias("n_missing"),
         ((F.col("bucket") - F.col("prev") - 1) * grain_s)
         .cast("long").alias("duration_s"))
+
+
+RFM_CUT_QS = (20, 40, 60, 80)
+
+
+def rfm_segments(events: DataFrame, key_col: str = "user_id",
+                 ts_col: str = "ts", value_col: str = "value",
+                 purchase_type: str = "purchase",
+                 type_col: str = "event_type") -> DataFrame:
+    """RFM segmentation (E211) — the classic
+    recency/frequency/monetary customer scoring, built scale-safe:
+    quintile scores come from EXACT corpus cutoffs (the
+    exact_quantiles histogram machinery — value-range-bounded bins,
+    never a global ntile sort of the user dim), and a user's score
+    is 1 + the number of cutoffs strictly below their value (ties
+    fall to the lower bucket; deterministic in both engines).
+
+    Per user: recency = last-activity day (epoch days — higher =
+    more recent = better), frequency = event count, monetary = Σ
+    purchase value in floor cents.  Scores r/f/m ∈ 1..5; segment by
+    the standard rulebook (first match wins): champion (r≥4∧f≥4∧m≥4)
+    → loyal (f≥4) → big_spender (m≥4) → at_risk (r≤2∧f≥3) →
+    hibernating (r≤2) → regular.
+
+    → (key, last_day, n_events, cents, r_score, f_score, m_score,
+    segment).
+
+    Scale shape: one key agg, three 1-row cutoff dims (each from a
+    value-histogram fold) broadcast back, codegen'd scoring.
+    """
+    per = (events.groupBy(F.col(key_col).alias("k"))
+           .agg(F.expr(f"max(unix_micros(cast({ts_col} as timestamp)) "
+                       f"div 1000000 div 86400)").cast("long")
+                .alias("last_day"),
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                # per-EVENT cent flooring, then an integer sum — a
+                # float sum's rounding is aggregation-order dependent
+                F.sum(F.when(F.col(type_col) == purchase_type,
+                             F.floor(F.col(value_col) * 100)
+                             .cast("long")).otherwise(F.lit(0)))
+                .cast("long").alias("cents"))
+           .localCheckpoint())
+
+    def cuts(col: str, names: tuple):
+        qdf = exact_quantiles(per.withColumn("__g", F.lit(1)), "__g",
+                              F.col(col), qs=RFM_CUT_QS)
+        return F.broadcast(qdf.select(
+            *[F.col(f"p{q}").alias(n)
+              for q, n in zip(RFM_CUT_QS, names)]))
+
+    rnames = tuple(f"rc{q}" for q in RFM_CUT_QS)
+    fnames = tuple(f"fc{q}" for q in RFM_CUT_QS)
+    mnames = tuple(f"mc{q}" for q in RFM_CUT_QS)
+    j = (per.crossJoin(cuts("last_day", rnames))
+         .crossJoin(cuts("n_events", fnames))
+         .crossJoin(cuts("cents", mnames)))
+
+    def score(col: str, names: tuple):
+        s = F.lit(1)
+        for n in names:
+            s = s + (F.col(col) > F.col(n)).cast("int")
+        return s.cast("int")
+
+    seg = (F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4)
+                  & (F.col("m_score") >= 4), F.lit("champion"))
+           .when(F.col("f_score") >= 4, F.lit("loyal"))
+           .when(F.col("m_score") >= 4, F.lit("big_spender"))
+           .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3),
+                 F.lit("at_risk"))
+           .when(F.col("r_score") <= 2, F.lit("hibernating"))
+           .otherwise(F.lit("regular")))
+    return (j.withColumn("r_score", score("last_day", rnames))
+            .withColumn("f_score", score("n_events", fnames))
+            .withColumn("m_score", score("cents", mnames))
+            .select(F.col("k").alias(key_col), "last_day", "n_events",
+                    "cents", "r_score", "f_score", "m_score",
+                    seg.alias("segment")))
