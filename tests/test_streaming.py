@@ -475,3 +475,83 @@ def test_stream_join_audit_no_eviction_loss_theorem(spark):
         & (F.col("b.ts") <= F.col("a.ts") + F.expr(
             "INTERVAL 14400 SECONDS"))).count()
     assert sum(x.n_emit for x in out) == truth
+
+
+def _write_events(path, rows):
+    """rows = (user_id, event_id, epoch_s)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "event_id": [r[1] for r in rows],
+        "user_id": [r[0] for r in rows],
+        "ts": pd.to_datetime([r[2] * 1_000_000_000 for r in rows])
+        .astype("datetime64[us]"),
+        "event_type": "view",
+        "value": 1.0,
+    })
+    pdf.to_parquet(path)
+
+
+@pytest.mark.spark
+def test_session_stream_merges_across_batches(spark, tmp_path):
+    """A session straddling two micro-batches/restarts merges into
+    ONE closed session (the per-batch-groupBy failure mode), closed
+    sessions equal the batch sessionizer's rule, and the open tail
+    stays unemitted."""
+    events = tmp_path / "events"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    events.mkdir()
+
+    # user 1: events at t=0, 600 (same session)… batch boundary …
+    # t=1200 (still same session), t=5000 (gap 3800 > 1800 → closes
+    # the first session, opens a new one that stays open)
+    # user 2: single event (stays open, never emitted)
+    _write_events(str(events / "b1.parquet"),
+                  [(1, 10, 0), (1, 11, 600), (2, 20, 100)])
+    q = streaming.session_stream(spark, str(events), str(out),
+                                 str(ckpt), gap_s=1800)
+    q.awaitTermination()
+    import os
+
+    n1 = (spark.read.parquet(str(out)).count()
+          if os.path.exists(str(out)) and os.listdir(str(out)) else 0)
+    assert n1 == 0  # nothing closed yet — no gap observed
+
+    _write_events(str(events / "b2.parquet"),
+                  [(1, 12, 1200), (1, 13, 5000)])
+    q2 = streaming.session_stream(spark, str(events), str(out),
+                                  str(ckpt), gap_s=1800)
+    q2.awaitTermination()
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == 1  # exactly the one closed session
+    r = rows[0]
+    assert r["user_id"] == 1
+    # merged across the batch boundary: 0..1200, three events
+    assert (r["session_start_us"], r["session_end_us"],
+            r["n_events"]) == (0, 1_200_000_000, 3)
+
+
+@pytest.mark.spark
+def test_session_stream_multiple_closures_one_batch(spark, tmp_path):
+    """Several gaps inside one batch close several sessions in order,
+    matching the batch sessionizer's strict-gap rule at the
+    boundary (gap == 1800 does NOT split)."""
+    events = tmp_path / "events"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    events.mkdir()
+    _write_events(str(events / "b1.parquet"), [
+        (5, 1, 0), (5, 2, 1800),          # gap exactly 1800 → same
+        (5, 3, 10_000),                   # closes (0..1800, n=2)
+        (5, 4, 20_000),                   # closes (10000..10000, n=1)
+        (5, 5, 20_100),                   # open tail
+    ])
+    q = streaming.session_stream(spark, str(events), str(out),
+                                 str(ckpt), gap_s=1800)
+    q.awaitTermination()
+    rows = sorted(
+        ((r["session_start_us"], r["session_end_us"], r["n_events"])
+         for r in spark.read.parquet(str(out)).collect()))
+    assert rows == [(0, 1_800_000_000, 2),
+                    (10_000_000_000, 10_000_000_000, 1)]

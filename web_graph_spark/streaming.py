@@ -459,3 +459,85 @@ def stream_join_audit(left: DataFrame, right: DataFrame,
                     .alias("n_lost"),
                     F.coalesce("lost_digest",
                                F.md5(F.lit(""))).alias("lost_digest")))
+
+
+def session_stream(spark: SparkSession, events_dir: str, out_dir: str,
+                   checkpoint_dir: str, gap_s: int = 1800,
+                   max_files_per_trigger: int = 64) -> StreamingQuery:
+    """Streaming session windows via ``applyInPandasWithState`` — the
+    third custom stateful pattern next to host_budget (lifetime
+    counter) and host_rate (token bucket): CROSS-BATCH session
+    assembly, the thing a per-micro-batch groupBy gets wrong (a
+    session straddling two batches must merge, not split).
+
+    State per user = the OPEN session ``(start_us, last_us, n)``.
+    Each batch processes the user's rows in (ts, event_id) order; a
+    gap STRICTLY greater than ``gap_s`` event-time seconds closes
+    the open session (emitted downstream) and starts a new one —
+    the exact rule of the batch sessionizer
+    (``__spark_entry__.q_events_sessionize``), so closed sessions
+    are bit-comparable against the batch twin on the same data
+    (tests pin it across a batch boundary).  The final open session
+    per user stays in state — correctly so: its closing gap hasn't
+    been observed; a terminal flush is the caller's policy, not the
+    operator's.
+
+    Determinism: admit order is a pure function of event time +
+    event_id, state is integer epochs — checkpoint resume or full
+    replay reproduces the output stream bit-for-bit.  Scale: state
+    is three int64s per ACTIVE user, hash-partitioned by key.
+
+    → sink rows (user_id, session_start_us, session_end_us,
+    n_events).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    schema = ("event_id bigint, user_id bigint, ts timestamp, "
+              "event_type string, value double")
+    ev = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", max_files_per_trigger)
+          .parquet(events_dir))
+    out_schema = ("user_id long, session_start_us long, "
+                  "session_end_us long, n_events long")
+    state_schema = "start_us long, last_us long, n long"
+    gap_us = gap_s * 1_000_000
+
+    def assemble(key, pdfs, state: GroupState):
+        start = last = n = None
+        if state.exists:
+            start, last, n = state.get
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        closed = []
+        if chunks:
+            allr = (pd.concat(chunks, ignore_index=True)
+                    .sort_values(["ts", "event_id"], kind="mergesort"))
+            ts_us = (allr["ts"].values
+                     .astype("datetime64[us]").astype("int64"))
+            for t in ts_us:
+                t = int(t)
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_us:
+                    closed.append((key[0], start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = max(last, t), n + 1
+        if closed:
+            yield pd.DataFrame(closed, columns=[
+                "user_id", "session_start_us", "session_end_us",
+                "n_events"])
+        if start is not None:
+            state.update((int(start), int(last), int(n)))
+
+    sessions = (ev.groupBy("user_id").applyInPandasWithState(
+        assemble, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout))
+    return (sessions.writeStream
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
