@@ -2355,6 +2355,54 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantization_audit(_emb(spark, sf_dir))
 
 
+def q_embed_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering evaluation (E213): purity and the EXACT adjusted
+    Rand index of the E78 k-means assignment against the embeddings'
+    true labels — the acceptance row that decides whether trained
+    IVF cells can double as semantic shards.  ARI's pair-counting
+    algebra runs cleared of fractions (×2·C(n,2)) in decimal(38,0),
+    floor ppm via the pmod identity (numerator can be negative —
+    worse-than-chance clusterings exist); purity is Σ max-label per
+    cluster over n.  Oracle shares the Lloyd CTE chain and replays
+    the contingency algebra."""
+    from web_graph_spark.functions.similarity import kmeans_integer
+
+    emb = _emb(spark, sf_dir)
+    a, _ = kmeans_integer(emb, k=8, rounds=3)
+    j = (a.select(F.col("id").alias("vec_id"), "cid")
+         .join(emb.select("vec_id", "label"), "vec_id"))
+    cont = (j.groupBy("cid", "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .localCheckpoint())
+    pur = (cont.groupBy("cid").agg(F.max("n").alias("mx"))
+           .agg(F.sum("mx").cast("long").alias("sum_max"),
+                F.count(F.lit(1)).cast("long").alias("n_clusters")))
+    idx = cont.agg(
+        F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("ix"),
+        F.sum("n").cast("long").alias("n_tot"))
+    arow = (cont.groupBy("cid").agg(F.sum("n").alias("s"))
+            .agg(F.sum(F.expr("s * (s - 1) div 2")).cast("long")
+                 .alias("sum_a")))
+    brow = (cont.groupBy("label").agg(F.sum("n").alias("s"))
+            .agg(F.sum(F.expr("s * (s - 1) div 2")).cast("long")
+                 .alias("sum_b"),
+                 F.count(F.lit(1)).cast("long").alias("n_labels")))
+    comb = (idx.crossJoin(F.broadcast(pur))
+            .crossJoin(F.broadcast(arow))
+            .crossJoin(F.broadcast(brow))
+            .withColumn("cc", F.expr("n_tot * (n_tot - 1) div 2")))
+    num2 = ("(cast(2 as decimal(38,0)) * (ix * cc - sum_a * sum_b) "
+            "* 1000000)")
+    den2 = "((sum_a + sum_b) * cc - 2 * sum_a * sum_b)"
+    return comb.select(
+        "n_tot", "n_clusters", "n_labels",
+        F.expr("sum_max * 1000000 div n_tot").cast("long")
+        .alias("purity_ppm"),
+        F.expr(f"CASE WHEN {den2} > 0 THEN CAST(({num2} - "
+               f"pmod({num2}, {den2})) div {den2} AS BIGINT) END")
+        .alias("ari_ppm"))
+
+
 def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centroid-distance outlier audit (functions/similarity.py:
     centroid_outliers E190): per label group, each vector's exact
@@ -6216,6 +6264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_matryoshka": q_embed_matryoshka,
         "embed_quantize": q_embed_quantize,
         "embed_outliers": q_embed_outliers,
+        "embed_cluster_eval": q_embed_cluster_eval,
         "media_sniff": q_media_sniff,
         "corpus_zonemap_audit": q_corpus_zonemap_audit,
         "tpch_q1": q_tpch_q1,
@@ -9464,6 +9513,36 @@ SELECT * FROM (
   FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 ) WHERE sim_ppm >= 800000""",
         "embed_kmeans": _kmeans_oracle_sql(8, 3, 64),
+        "embed_cluster_eval": _kmeans_cte(8, 3, 64) + """,
+cont AS (
+  SELECT a.cid, e.label, count(*) AS n
+  FROM af a JOIN embeddings e ON e.vec_id = a.id
+  GROUP BY 1, 2),
+pur AS (SELECT sum(mx) AS sum_max, count(*) AS n_clusters FROM
+        (SELECT cid, max(n) AS mx FROM cont GROUP BY 1)),
+idx AS (SELECT sum(n * (n - 1) // 2) AS ix, sum(n) AS n_tot
+        FROM cont),
+ar AS (SELECT sum(s * (s - 1) // 2) AS sum_a FROM
+       (SELECT cid, sum(n) AS s FROM cont GROUP BY 1)),
+br AS (SELECT sum(s * (s - 1) // 2) AS sum_b,
+              count(*) AS n_labels FROM
+       (SELECT label, sum(n) AS s FROM cont GROUP BY 1)),
+comb AS (
+  SELECT CAST(i.n_tot AS BIGINT) AS n_tot,
+         CAST(p.n_clusters AS BIGINT) AS n_clusters,
+         CAST(b.n_labels AS BIGINT) AS n_labels,
+         CAST(p.sum_max * 1000000 // i.n_tot AS BIGINT)
+             AS purity_ppm,
+         i.ix, a.sum_a, b.sum_b,
+         i.n_tot * (i.n_tot - 1) // 2 AS cc
+  FROM idx i, pur p, ar a, br b)
+SELECT n_tot, n_clusters, n_labels, purity_ppm,
+       CASE WHEN (sum_a + sum_b) * cc - 2 * sum_a * sum_b > 0
+            THEN CAST((CAST(2 AS HUGEINT)
+                       * (ix * cc - sum_a * sum_b) * 1000000)
+                      // ((sum_a + sum_b) * cc - 2 * sum_a * sum_b)
+                      AS BIGINT) END AS ari_ppm
+FROM comb""",
         "embed_kcenter": _kcenter_oracle_sql(8, 64),
         "ann_ivf_trained_topk": _ivf_trained_oracle_sql(8, 2, 64),
         "embed_semdedup": """

@@ -84,6 +84,12 @@ ALLOW: dict[tuple[str, str], str] = {
     ("crawl_slot_assign", "Exchange SinglePartition"):
         "global snake rank runs over the per-host WEIGHT DIM (one "
         "row per host, post-aggregation), never the fetch stream",
+    ("embed_cluster_eval", "BroadcastNestedLoopJoin"):
+        "four 1-row stat dims (index/purity/row-sums/col-sums over "
+        "the k x labels contingency) crossed together",
+    ("embed_cluster_eval", "Exchange SinglePartition"):
+        "the same 1-row contingency folds; the k x labels dim is "
+        "bounded by construction",
     ("events_rfm", "BroadcastNestedLoopJoin"):
         "three 1-row quintile-cutoff dims (exact_quantiles histogram "
         "folds) crossed back onto the user dim",

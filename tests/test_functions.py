@@ -4389,3 +4389,70 @@ def test_rfm_segments_hand_users(spark):
         assert r["segment"] == want_seg, u
     segs = {r["segment"] for r in got.values()}
     assert "champion" in segs and "hibernating" in segs
+
+
+@pytest.mark.spark
+def test_cluster_eval_ari_known_cases(spark):
+    """ARI/purity algebra vs hand contingency tables: perfect
+    agreement → 10⁶, label-permutation invariance, and the
+    worse-than-chance negative case."""
+    from pyspark.sql import functions as F
+
+    def eval_pairs(assign):  # assign: list[(vec_id, cid, label)]
+        # replicate the query's algebra downstream of the contingency
+        from collections import Counter
+
+        cont = Counter((c, l) for _, c, l in assign)
+        n = sum(cont.values())
+        ix = sum(v * (v - 1) // 2 for v in cont.values())
+        arow = Counter()
+        brow = Counter()
+        for (c, l), v in cont.items():
+            arow[c] += v
+            brow[l] += v
+        sa = sum(v * (v - 1) // 2 for v in arow.values())
+        sb = sum(v * (v - 1) // 2 for v in brow.values())
+        cc = n * (n - 1) // 2
+        den2 = (sa + sb) * cc - 2 * sa * sb
+        num2 = 2 * (ix * cc - sa * sb) * 1_000_000
+        ari = num2 // den2 if den2 > 0 else None
+        pur = sum(max(v for (c2, _), v in cont.items() if c2 == c)
+                  for c in arow) * 1_000_000 // n
+        return pur, ari
+
+    # mirror the algebra through a tiny Spark replica of the query
+    # downstream (contingency → combine), independent of kmeans
+    def spark_eval(assign):
+        df = spark.createDataFrame(assign,
+                                   "vec_id long, cid int, label int")
+        cont = df.groupBy("cid", "label").agg(
+            F.count(F.lit(1)).cast("long").alias("n"))
+        rows = cont.collect()
+        return eval_pairs([(0, r["cid"], r["label"])
+                           for r in rows for _ in range(r["n"])])
+
+    perfect = [(i, i % 3, i % 3) for i in range(30)]
+    pur, ari = eval_pairs(perfect)
+    assert (pur, ari) == (1_000_000, 1_000_000)
+    # permuted labels: ARI invariant
+    perm = [(i, (c + 1) % 3, l) for i, c, l in perfect]
+    assert eval_pairs(perm)[1] == 1_000_000
+    # anti-correlated 2x2: each cluster splits labels evenly → ARI ≤ 0
+    bad = ([(i, 0, i % 2) for i in range(10)]
+           + [(i + 10, 1, i % 2) for i in range(10)])
+    pur_b, ari_b = eval_pairs(bad)
+    assert ari_b <= 0 and pur_b == 500_000
+    assert spark_eval(bad) == (pur_b, ari_b)
+
+
+@pytest.mark.spark
+def test_cluster_eval_contract_row_sane(spark):
+    """The contract row's fields are internally consistent at smoke
+    scale (k-means on structured labels beats chance)."""
+    import __spark_entry__ as entry
+
+    r = entry.q_embed_cluster_eval(spark, SF_SMOKE).collect()[0]
+    assert r["n_tot"] == 500
+    assert 1 <= r["n_clusters"] <= 8 and r["n_labels"] == 10
+    assert 100_000 <= r["purity_ppm"] <= 1_000_000
+    assert r["ari_ppm"] is not None and r["ari_ppm"] > 0
