@@ -843,6 +843,24 @@ def q_docs_span_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return caption_align(docs, media_rx=r"\.png$")
 
 
+def q_docs_interleave_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality run-length profile of the interleaved span docs
+    (functions/media.py:interleave_runs E214): per document the
+    gaps-and-islands layout of ``.png`` media vs text spans —
+    run count, longest run per modality, and the alternation rate
+    in floor ppm — the audit that separates genuinely interleaved
+    documents from block-layout ones before multimodal packing.
+    One codegen'd F.aggregate fold per row, no explode/shuffle/
+    Python; the oracle rebuilds the runs with the independent
+    row_number-difference islands construction."""
+    from web_graph_spark.functions.media import interleave_runs
+
+    web = build_span_web(spark, sf_dir)
+    docs = web.select(F.md5(F.concat("host", "path")).alias("page_id"),
+                      "spans")
+    return interleave_runs(docs, media_rx=r"\.png$")
+
+
 def q_crawl_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC/1.1 archive export (operators/archive.py:warc_records) —
     the archival format a 10^10-URL crawl actually ships (ISO 28500;
@@ -6049,6 +6067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_span_digest": q_docs_span_digest,
         "docs_mm_pack": q_docs_mm_pack,
         "docs_span_align": q_docs_span_align,
+        "docs_interleave_runs": q_docs_interleave_runs,
         "crawl_warc_export": q_crawl_warc_export,
         "crawl_wet_export": q_crawl_wet_export,
         "crawl_cdx_index": q_crawl_cdx_index,
@@ -6529,6 +6548,49 @@ SELECT m.check_id AS page_id, m.media_ref,
 FROM med m
 JOIN prevj p ON p.check_id = m.check_id AND p.off = m.off
 JOIN nextj n ON n.check_id = m.check_id AND n.off = m.off"""),
+        "docs_interleave_runs": _oracle("""
+, sp AS (
+  SELECT p.check_id,
+         row_number() OVER (PARTITION BY p.check_id
+                            ORDER BY l.k) AS i,
+         (l.href LIKE '%.png') AS is_media
+  FROM web_pages p
+  JOIN web_links_full l ON l.src_doc_id = p.doc_id
+),
+isl AS (
+  SELECT check_id, is_media,
+         i - row_number() OVER (PARTITION BY check_id, is_media
+                                ORDER BY i) AS grp
+  FROM sp
+),
+rl AS (
+  SELECT check_id, is_media, grp, count(*) AS len
+  FROM isl GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT check_id,
+         CAST(sum(len) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN is_media THEN len ELSE 0 END)
+              AS BIGINT) AS n_media,
+         CAST(count(*) AS BIGINT) AS n_runs,
+         CAST(coalesce(max(CASE WHEN NOT is_media THEN len END), 0)
+              AS BIGINT) AS max_text_run,
+         CAST(coalesce(max(CASE WHEN is_media THEN len END), 0)
+              AS BIGINT) AS max_media_run
+  FROM rl GROUP BY 1
+)
+SELECT p.check_id AS page_id,
+       coalesce(a.n_spans, 0) AS n_spans,
+       coalesce(a.n_spans, 0) - coalesce(a.n_media, 0) AS n_text,
+       coalesce(a.n_media, 0) AS n_media,
+       coalesce(a.n_runs, 0) AS n_runs,
+       coalesce(a.max_text_run, 0) AS max_text_run,
+       coalesce(a.max_media_run, 0) AS max_media_run,
+       CASE WHEN coalesce(a.n_spans, 0) >= 2
+            THEN (a.n_runs - 1) * 1000000 // (a.n_spans - 1)
+       END AS alternation_ppm
+FROM web_pages p
+LEFT JOIN agg a ON a.check_id = p.check_id"""),
         "crawl_warc_export": _oracle("""
 , pay AS (
   SELECT p.check_id, p.url,

@@ -3116,6 +3116,68 @@ def test_interleaved_pack_stats_orders_by_offset(spark):
     assert (r.pad_tokens, r.total_cost) == (34, 30 + 34 + 50 + 4)
 
 
+def test_interleave_runs_hand_layouts(spark):
+    """Replay the run fold by hand: a blocked doc (all text then all
+    media) has 2 runs and alternation (2-1)/(n-1); a perfectly
+    alternating doc has n runs and alternation 1e6; singles and
+    empties get NULL/zero."""
+    from web_graph_spark.functions.media import interleave_runs
+
+    span = ("array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>")
+    rows = [
+        # ttt|mm -> runs=2, max_text=3, max_media=2, alt=(1)/(4)
+        ("blocked", [("link", "a", "/1", 0), ("link", "b", "/2", 1),
+                     ("link", "c", "/3", 2),
+                     ("link", "", "https://h/a.png", 3),
+                     ("link", "", "https://h/b.png", 4)]),
+        # t m t m -> runs=4, alt = 3/3 = 1e6
+        ("alt", [("link", "a", "/1", 0),
+                 ("link", "", "https://h/a.png", 1),
+                 ("link", "b", "/2", 2),
+                 ("link", "", "https://h/b.png", 3)]),
+        ("single", [("link", "a", "/1", 0)]),
+        ("empty", []),
+    ]
+    df = spark.createDataFrame(rows, f"page_id string, spans {span}")
+    out = {r.page_id: r for r in
+           interleave_runs(df, media_rx=r"\.png$").collect()}
+
+    b = out["blocked"]
+    assert (b.n_spans, b.n_text, b.n_media) == (5, 3, 2)
+    assert (b.n_runs, b.max_text_run, b.max_media_run) == (2, 3, 2)
+    assert b.alternation_ppm == 1_000_000 // 4
+
+    a = out["alt"]
+    assert (a.n_runs, a.max_text_run, a.max_media_run) == (4, 1, 1)
+    assert a.alternation_ppm == 1_000_000
+
+    s = out["single"]
+    assert (s.n_spans, s.n_runs, s.alternation_ppm) == (1, 1, None)
+
+    e = out["empty"]
+    assert (e.n_spans, e.n_runs, e.max_text_run,
+            e.max_media_run, e.alternation_ppm) == (0, 0, 0, 0, None)
+
+
+def test_interleave_runs_orders_by_offset(spark):
+    """Spans arrive unordered; runs must be counted in offset order —
+    the same 2-media 2-text multiset is 2 runs ordered one way and
+    4 the other."""
+    from web_graph_spark.functions.media import interleave_runs
+
+    span = ("array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>")
+    # offset order is t m t m (runs=4) though array order is t t m m
+    df = spark.createDataFrame(
+        [("d", [("link", "a", "/1", 0), ("link", "b", "/2", 2),
+                ("link", "", "https://h/a.png", 1),
+                ("link", "", "https://h/b.png", 3)])],
+        f"page_id string, spans {span}")
+    r = interleave_runs(df, media_rx=r"\.png$").collect()[0]
+    assert (r.n_runs, r.alternation_ppm) == (4, 1_000_000)
+
+
 def test_epoch_plan_invariants(spark):
     """The planner's contract: no source exceeds 4.0 epochs, grants
     sum to min(capacity, 4x total tokens), capped sources sit below

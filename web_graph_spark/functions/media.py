@@ -703,6 +703,88 @@ def interleaved_pack_stats(docs: DataFrame, budget: int,
         F.expr(f"(total_cost + {b - 1}) div {b}").cast("long"))
 
 
+def interleave_runs(docs: DataFrame,
+                    media_rx: str = r"\.(png|jpe?g|gif|wav|mp4)$",
+                    spans_col: str = "spans",
+                    id_col: str = "page_id") -> DataFrame:
+    """Modality run-length profile of INTERLEAVED text+media
+    documents (E214) — the layout audit a multimodal pipeline runs
+    before packing: how the two span kinds ALTERNATE inside each
+    document, over the BASELINE input_hint shape
+    (``array<struct<kind,text,media_ref,offset>>``).  A document
+    that is one long text run then one media run trains like two
+    unimodal documents; one that alternates every span is the
+    genuinely interleaved signal the format exists for.  Per
+    document, exact over the offset-ordered spans:
+
+    * ``n_spans`` / ``n_text`` / ``n_media`` — span counts by
+      modality (media = ``media_ref`` matches ``media_rx``, the
+      same predicate :func:`interleaved_pack_stats` costs with);
+    * ``n_runs`` — maximal same-modality runs (gaps-and-islands);
+    * ``max_text_run`` / ``max_media_run`` — longest run per
+      modality (the packing worst case per kind);
+    * ``alternation_ppm`` — ``(n_runs−1)/(n_spans−1)`` in floor
+      ppm, NULL below 2 spans: 0 = fully blocked, 1e6 = perfectly
+      interleaved.
+
+    All-integer, engine-exact.  Physical shape at 100 TB: ONE
+    codegen'd projection — the run fold is ``F.aggregate`` over the
+    spans array (JVM higher-order function, no explode, no shuffle,
+    no Python); a 10^10-doc table pays exactly its scan.  Spans are
+    ``sort_array``-ordered by offset first.
+
+    Returns ``(id, n_spans, n_text, n_media, n_runs, max_text_run,
+    max_media_run, alternation_ppm)``.
+
+    Reference analog: the reference stores spans but never profiles
+    their layout (pkg/crawler/crawler.go:66-78); engine extension
+    (SURVEY §2.10 E214).
+    """
+    spans = F.sort_array(F.transform(
+        F.col(spans_col),
+        lambda s: F.struct(s["offset"].alias("offset"),
+                           s["media_ref"].alias("media_ref"))))
+    zero = F.struct(
+        F.lit(-1).alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("n_runs"),
+        F.lit(0).cast("long").alias("max_text"),
+        F.lit(0).cast("long").alias("max_media"),
+        F.lit(0).cast("long").alias("n_media"))
+
+    def step(acc, s):
+        m = F.when(s["media_ref"].rlike(media_rx), 1).otherwise(0)
+        same = acc["prev"] == m
+        run = (F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+               .cast("long"))
+        return F.struct(
+            m.alias("prev"),
+            run.alias("run"),
+            (acc["n_runs"] + F.when(same, 0).otherwise(1))
+            .alias("n_runs"),
+            F.when(m == 0, F.greatest(acc["max_text"], run))
+            .otherwise(acc["max_text"]).alias("max_text"),
+            F.when(m == 1, F.greatest(acc["max_media"], run))
+            .otherwise(acc["max_media"]).alias("max_media"),
+            (acc["n_media"] + m).alias("n_media"))
+
+    acc = F.aggregate(spans, zero, step)
+    out = docs.select(
+        F.col(id_col),
+        F.size(spans_col).cast("long").alias("n_spans"),
+        acc["n_runs"].alias("n_runs"),
+        acc["max_text"].alias("max_text_run"),
+        acc["max_media"].alias("max_media_run"),
+        acc["n_media"].alias("n_media"))
+    return out.select(
+        id_col, "n_spans",
+        (F.col("n_spans") - F.col("n_media")).alias("n_text"),
+        "n_media", "n_runs", "max_text_run", "max_media_run",
+        F.when(F.col("n_spans") >= 2,
+               F.expr("(n_runs - 1) * 1000000 div (n_spans - 1)"))
+        .cast("long").alias("alternation_ppm"))
+
+
 def caption_align(docs: DataFrame, media_rx: str = r"\.(png|jpe?g|gif)$",
                   spans_col: str = "spans",
                   id_col: str = "page_id") -> DataFrame:
