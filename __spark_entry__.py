@@ -2421,6 +2421,82 @@ def q_embed_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ari_ppm"))
 
 
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component audit (functions/similarity.py:
+    pca_power E215): exact-integer power method (3 iterations, Gram
+    trick — no d×d covariance anywhere) over the shifted-quantized
+    embeddings; per vector the centered PC1 projection plus the
+    corpus-constant variance share in floor ppm — the anisotropy
+    number that says whether cosine geometry is trustworthy.  Per
+    iteration ONE corpus scan (codegen'd F.aggregate dot against the
+    direction literal) and one dim-key agg of d decimals; the oracle
+    unrolls the identical iterations as HUGEINT CTEs."""
+    from web_graph_spark.functions.similarity import pca_power
+
+    df, _ = pca_power(_emb(spark, sf_dir))
+    return df
+
+
+def _pca_sql(iters: int = 3, dim: int = 64, q_scale: int = 4096,
+             v_scale: int = 1024) -> str:
+    """Oracle for q_embed_pca: the identical quantize → center-in-
+    algebra → power-iterate → sign-fix → project chain, unrolled as
+    HUGEINT CTEs with DuckDB's floor `//` matching the driver's
+    Python `//`."""
+    its = []
+    for t in range(1, iters + 1):
+        p = f"v{t - 1}"
+        its.append(f"""
+mv{t} AS MATERIALIZED (SELECT sum(mn.m * v.v) AS mv FROM mn JOIN {p} v USING (j)),
+d{t} AS MATERIALIZED (
+  SELECT e.vec_id, sum(e.x * v.v) - (SELECT mv FROM mv{t}) AS dot
+  FROM el e JOIN {p} v USING (j) GROUP BY e.vec_id),
+dd{t} AS MATERIALIZED (SELECT sum(dot) AS sd FROM d{t}),
+w{t} AS MATERIALIZED (
+  SELECT e.j,
+         sum(e.x * d.dot)
+           - any_value(mn.m) * (SELECT sd FROM dd{t}) AS w
+  FROM el e JOIN d{t} d USING (vec_id) JOIN mn ON mn.j = e.j
+  GROUP BY e.j),
+mx{t} AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM w{t}),
+v{t} AS MATERIALIZED (
+  SELECT w.j, CASE WHEN (SELECT mx FROM mx{t}) = 0 THEN p.v
+                   ELSE (w.w * {v_scale}) // (SELECT mx FROM mx{t})
+              END AS v
+  FROM w{t} w JOIN {p} p USING (j))""")
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor((x + 1.0) * {q_scale}) AS BIGINT)) AS qv
+  FROM embeddings),
+dims AS (SELECT unnest(range(1, {dim + 1})) AS j),
+el AS MATERIALIZED (SELECT vec_id, j, CAST(qv[j] AS HUGEINT) AS x
+       FROM q CROSS JOIN dims),
+st AS MATERIALIZED (SELECT j, sum(x) AS s, sum(x * x) AS ss FROM el GROUP BY j),
+nn AS (SELECT count(*) AS n FROM q),
+mn AS MATERIALIZED (SELECT j, s // n AS m, s FROM st CROSS JOIN nn),
+tot AS (SELECT (SELECT sum(ss) FROM st)
+              - sum(m * (2 * s - (SELECT n FROM nn) * m)) AS c2
+        FROM mn),
+v0 AS MATERIALIZED (SELECT j, CAST(1 AS HUGEINT) AS v FROM dims),
+{",".join(its)},
+sg AS (SELECT CASE WHEN (SELECT v FROM v{iters}
+                         ORDER BY abs(v) DESC, j ASC LIMIT 1) < 0
+                   THEN -1 ELSE 1 END AS sg),
+vf AS MATERIALIZED (SELECT j, v * (SELECT sg FROM sg) AS v FROM v{iters}),
+mvf AS MATERIALIZED (SELECT sum(mn.m * v.v) AS mv FROM mn JOIN vf v USING (j)),
+proj AS MATERIALIZED (
+  SELECT e.vec_id, sum(e.x * v.v) - (SELECT mv FROM mvf) AS pc1
+  FROM el e JOIN vf v USING (j) GROUP BY e.vec_id),
+l2 AS (SELECT sum(pc1 * pc1) AS l2 FROM proj),
+vtv AS (SELECT sum(v * v) AS q2 FROM vf)
+SELECT p.vec_id, CAST(p.pc1 AS BIGINT) AS pc1_u,
+       CAST((l.l2 * 1000000) // (vv.q2 * t.c2) AS BIGINT)
+         AS explained_ppm
+FROM proj p CROSS JOIN l2 l CROSS JOIN vtv vv CROSS JOIN tot t"""
+
+
 def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centroid-distance outlier audit (functions/similarity.py:
     centroid_outliers E190): per label group, each vector's exact
@@ -6284,6 +6360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": q_embed_quantize,
         "embed_outliers": q_embed_outliers,
         "embed_cluster_eval": q_embed_cluster_eval,
+        "embed_pca": q_embed_pca,
         "media_sniff": q_media_sniff,
         "corpus_zonemap_audit": q_corpus_zonemap_audit,
         "tpch_q1": q_tpch_q1,
@@ -9575,6 +9652,7 @@ SELECT * FROM (
   FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 ) WHERE sim_ppm >= 800000""",
         "embed_kmeans": _kmeans_oracle_sql(8, 3, 64),
+        "embed_pca": _pca_sql(3, 64),
         "embed_cluster_eval": _kmeans_cte(8, 3, 64) + """,
 cont AS (
   SELECT a.cid, e.label, count(*) AS n

@@ -90,6 +90,12 @@ ALLOW: dict[tuple[str, str], str] = {
     ("embed_cluster_eval", "Exchange SinglePartition"):
         "the same 1-row contingency folds; the k x labels dim is "
         "bounded by construction",
+    ("embed_pca", "BroadcastNestedLoopJoin"):
+        "the 1-row Sum(dot^2) variance dim broadcast back onto the "
+        "per-vector projection stream",
+    ("embed_pca", "Exchange SinglePartition"):
+        "the same 1-row global variance aggregate; partial sums "
+        "upstream",
     ("events_rfm", "BroadcastNestedLoopJoin"):
         "three 1-row quintile-cutoff dims (exact_quantiles histogram "
         "folds) crossed back onto the user dim",

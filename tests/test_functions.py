@@ -3178,6 +3178,64 @@ def test_interleave_runs_orders_by_offset(spark):
     assert (r.n_runs, r.alternation_ppm) == (4, 1_000_000)
 
 
+def test_pca_power_axis_aligned(spark):
+    """A corpus whose variance lives entirely on dim 0 must converge
+    to the axis in one iteration: loading v_scale on dim 0, zero
+    elsewhere, explained_ppm exactly 1e6, and pc1_u equal to the
+    centered quantized dim-0 coordinate times v_scale."""
+    from web_graph_spark.functions.similarity import pca_power
+
+    rows = [(i, [i / 10.0 - 0.25] + [0.0] * 63) for i in range(5)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    out, v = pca_power(df)
+    assert v[0] == 1024 and all(x == 0 for x in v[1:])
+    got = {r.vec_id: (r.pc1_u, r.explained_ppm)
+           for r in out.collect()}
+    import math
+    q = [math.floor((i / 10.0 - 0.25 + 1.0) * 4096) for i in range(5)]
+    mean = sum(q) // 5
+    for i in range(5):
+        assert got[i][0] == (q[i] - mean) * 1024
+        assert got[i][1] == 1_000_000
+
+
+def test_pca_power_translation_invariant(spark):
+    """Adding a quantization-exact constant (0.25 → +1024 integer
+    units in every dim) shifts the mean identically and leaves both
+    the projections and the variance share unchanged — the centering
+    happens exactly in the algebra."""
+    from web_graph_spark.functions.similarity import pca_power
+
+    import random
+    rng = random.Random(7)
+    base = [(i, [rng.uniform(-0.5, 0.5) for _ in range(64)])
+            for i in range(40)]
+    shifted = [(i, [x + 0.25 for x in vec]) for i, vec in base]
+    schema = "vec_id long, embedding array<double>"
+    out_a, va = pca_power(spark.createDataFrame(base, schema))
+    out_b, vb = pca_power(spark.createDataFrame(shifted, schema))
+    assert va == vb
+    a = {r.vec_id: (r.pc1_u, r.explained_ppm) for r in out_a.collect()}
+    b = {r.vec_id: (r.pc1_u, r.explained_ppm) for r in out_b.collect()}
+    assert a == b
+
+
+def test_pca_power_sign_fix_and_bounds(spark):
+    """On the real embeddings table: the largest-|loading| dim is
+    positive (canonical sign), max-abs loading is exactly v_scale,
+    and the variance share is a sane ppm (0 < x <= 1e6)."""
+    from web_graph_spark.functions.similarity import pca_power
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out, v = pca_power(emb)
+    assert max(abs(x) for x in v) == 1024
+    jstar = min(range(len(v)), key=lambda j: (-abs(v[j]), j))
+    assert v[jstar] > 0
+    r = out.limit(1).collect()[0]
+    assert 0 < r.explained_ppm <= 1_000_000
+
+
 def test_epoch_plan_invariants(spark):
     """The planner's contract: no source exceeds 4.0 epochs, grants
     sum to min(capacity, 4x total tokens), capped sources sit below

@@ -961,3 +961,121 @@ def centroid_outliers(emb: DataFrame, id_col: str = "vec_id",
                     (F.col("d2") * 10
                      > F.col("mean_d2") * F.lit(flag_x10))
                     .alias("outlier")))
+
+
+def pca_power(items: DataFrame, iters: int = 3, q_scale: int = 4096,
+              v_scale: int = 1024, shift: float = 1.0,
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> tuple[DataFrame, list]:
+    """Top principal component by the power method, in exact integer
+    arithmetic end-to-end (E215) — the dimensionality/anisotropy
+    audit a curation pipeline runs before trusting cosine geometry:
+    a corpus whose variance concentrates on one axis (high
+    ``explained_ppm``) makes every cosine look alike, and the PC1
+    projection is the cheapest embedding-drift monitor there is.
+
+    Determinism discipline (the :func:`kmeans_integer` contract):
+    elements quantize to ``floor((x + shift) · q_scale)`` — floor of
+    an IEEE double is exact in any engine, and the shift keeps
+    coordinates non-negative so the per-dimension integer mean
+    (``sum // n``) is the same floor in Spark, Python, and DuckDB.
+    Centering happens EXACTLY in the algebra (never materialized):
+    ``c_i·v = q_i·v − m·v`` and ``Σ_i c_ij·dot_i = Σ_i q_ij·dot_i −
+    m_j·Σ_i dot_i``.  Each iteration renormalizes the new direction
+    to max-abs ``v_scale`` with TRUNCATING division toward zero —
+    the native semantics of both Spark ``div`` and DuckDB ``//``
+    (which truncates on negatives: ``-7 // 2 = -3``; Python's
+    flooring ``//`` is replicated via ``sign·(|w|·s // mx)``); an
+    all-zero direction keeps the previous one.  The final direction is sign-fixed (the largest-
+    magnitude loading is made positive, ties to the lowest dim), so
+    the output is unique, not just unique-up-to-sign.
+
+    Scale shape — the canonical distributed power method: per
+    iteration the corpus is scanned ONCE (dot = one codegen'd
+    ``F.aggregate`` against the d-long direction literal) and the
+    update is one (dim)-key agg whose output — d decimals — is the
+    ONLY thing the driver materializes per iteration; there is no
+    d×d covariance anywhere (the Gram trick).  Magnitude audit at
+    n = 10^10, d = 64: ``dot ≤ d·q_scale·2·v_scale ≈ 2^29``,
+    ``w ≤ n·2^42 ≈ 2^75`` (decimal(38,0) sums), ``Σdot²·10^6 ≈
+    10^33`` and ``vᵀv·Σc² ≈ 10^30`` — all inside decimal(38,0)/
+    HUGEINT.
+
+    Returns ``(df, loadings)``: df is (id, pc1_u, explained_ppm)
+    where ``pc1_u`` is the exact centered projection in quantized
+    units and ``explained_ppm = ⌊Σdot² · 10^6 / (vᵀv · Σc²)⌋`` (the
+    PC1 share of total variance, constant per corpus); loadings is
+    the final integer direction (max-abs = v_scale).
+
+    Reference analog: none (the reference has no vector math);
+    engine extension (SURVEY §2.10 E215).
+    """
+    qexpr = (f"transform({vec_col}, x -> CAST(floor((CAST(x AS DOUBLE)"
+             f" + {shift}) * {q_scale}) AS BIGINT))")
+    q = items.select(F.col(id_col).alias("id"),
+                     F.expr(qexpr).alias("qv")).localCheckpoint()
+
+    stats = (q.select(F.posexplode("qv").alias("d", "x"))
+             .groupBy("d")
+             .agg(F.sum("x").alias("s"),
+                  F.sum(F.expr("x * x")).alias("ss"),
+                  F.count(F.lit(1)).alias("n"))
+             .collect())
+    dim = len(stats)
+    n = int(stats[0]["n"])
+    s = [0] * dim
+    ss_tot = 0
+    for r in stats:
+        s[r["d"]] = int(r["s"])
+        ss_tot += int(r["ss"])
+    m = [sj // n for sj in s]
+    # Σc² = Σq² − Σ_j m_j·(2·s_j − n·m_j), exactly
+    tot_c2 = ss_tot - sum(mj * (2 * sj - n * mj)
+                          for mj, sj in zip(m, s))
+
+    def dot_expr(v):
+        arr = F.array(*[F.lit(int(x)).cast("long") for x in v])
+        mv = sum(mj * vj for mj, vj in zip(m, v))
+        return (F.aggregate(F.zip_with("qv", arr, lambda a, b: a * b),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x)
+                - F.lit(int(mv)).cast("long"))
+
+    v = [1] * dim
+    for _ in range(iters):
+        it = (q.withColumn("dot", dot_expr(v))
+              .select(F.posexplode("qv").alias("d", "x"), "dot")
+              .groupBy("d")
+              .agg(F.sum((F.col("x") * F.col("dot"))
+                         .cast("decimal(38,0)")).alias("w"),
+                   F.sum(F.col("dot").cast("decimal(38,0)"))
+                   .alias("sd"))
+              .collect())
+        big_d = int(next(r["sd"] for r in it if r["d"] == 0))
+        w = [0] * dim
+        for r in it:
+            w[r["d"]] = int(r["w"]) - m[r["d"]] * big_d
+        mx = max(abs(x) for x in w)
+        if mx:
+            # truncate toward zero (Spark div / DuckDB // semantics)
+            v = [(abs(x) * v_scale // mx) * (1 if x >= 0 else -1)
+                 for x in w]
+
+    # sign fix: make the largest-|loading| coordinate positive
+    jstar = min(range(dim), key=lambda j: (-abs(v[j]), j))
+    if v[jstar] < 0:
+        v = [-x for x in v]
+
+    proj = (q.select("id", dot_expr(v).alias("pc1_u"))
+            .localCheckpoint())
+    vtv = sum(x * x for x in v)
+    l2 = proj.agg(F.sum((F.col("pc1_u").cast("decimal(38,0)")
+                         * F.col("pc1_u").cast("decimal(38,0)")))
+                  .alias("l2"))
+    den = vtv * tot_c2
+    out = (proj.crossJoin(F.broadcast(l2))
+           .select(F.col("id").alias(id_col), "pc1_u",
+                   F.expr(f"CAST((l2 * 1000000) div "
+                          f"CAST('{den}' AS DECIMAL(38,0)) AS BIGINT)")
+                   .alias("explained_ppm")))
+    return out, v
