@@ -2497,6 +2497,22 @@ SELECT p.vec_id, CAST(p.pc1 AS BIGINT) AS pc1_u,
 FROM proj p CROSS JOIN l2 l CROSS JOIN vtv vv CROSS JOIN tot t"""
 
 
+def q_embed_label_margin(spark: SparkSession, sf_dir: str
+                         ) -> DataFrame:
+    """Nearest-centroid label-separability audit (functions/
+    similarity.py:label_margin_audit E216): per label, members' mean
+    cosine to their own centroid vs the best OTHER-label centroid in
+    floor ppm, the margin between them, and the confusion count —
+    the cross-label complement of embed_outliers that decides
+    whether label-stratified curation can trust these embeddings.
+    Exact integer algebra everywhere except the single final cosine,
+    written with identical IEEE op order in both engines; k centroid
+    arrays broadcast onto one corpus scan, no all-pairs anywhere."""
+    from web_graph_spark.functions.similarity import label_margin_audit
+
+    return label_margin_audit(_emb(spark, sf_dir))
+
+
 def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centroid-distance outlier audit (functions/similarity.py:
     centroid_outliers E190): per label group, each vector's exact
@@ -6361,6 +6377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_outliers": q_embed_outliers,
         "embed_cluster_eval": q_embed_cluster_eval,
         "embed_pca": q_embed_pca,
+        "embed_label_margin": q_embed_label_margin,
         "media_sniff": q_media_sniff,
         "corpus_zonemap_audit": q_corpus_zonemap_audit,
         "tpch_q1": q_tpch_q1,
@@ -9653,6 +9670,56 @@ SELECT * FROM (
 ) WHERE sim_ppm >= 800000""",
         "embed_kmeans": _kmeans_oracle_sql(8, 3, 64),
         "embed_pca": _pca_sql(3, 64),
+        "embed_label_margin": """
+WITH q AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x * 4096) AS BIGINT)) AS qv
+  FROM embeddings),
+dims AS (SELECT unnest(range(1, 65)) AS j),
+el AS MATERIALIZED (
+  SELECT vec_id, label, j, qv[j] AS e FROM q CROSS JOIN dims),
+ce AS MATERIALIZED (
+  SELECT label, j, s, n,
+         (s - ((s % n + n) % n)) // n AS c
+  FROM (SELECT label, j, sum(e) AS s, count(*) AS n
+        FROM el GROUP BY 1, 2)),
+c2 AS (SELECT label AS clbl, sum(c * c) AS c2 FROM ce GROUP BY 1),
+q2 AS (SELECT vec_id, sum(e * e) AS q2 FROM el GROUP BY 1),
+dotj AS MATERIALIZED (
+  SELECT e.vec_id, ce.label AS clbl, sum(e.e * ce.c) AS dot
+  FROM el e JOIN ce ON ce.j = e.j GROUP BY 1, 2),
+cs AS MATERIALIZED (
+  SELECT d.vec_id, q.label, d.clbl,
+         CASE WHEN q2.q2 > 0 AND c2.c2 > 0 THEN
+           CAST(floor(CAST(d.dot AS DOUBLE) * 1000000.0 /
+                (sqrt(CAST(q2.q2 AS DOUBLE)) *
+                 sqrt(CAST(c2.c2 AS DOUBLE)))) AS BIGINT)
+         ELSE 0 END AS cos_ppm
+  FROM dotj d
+  JOIN q ON q.vec_id = d.vec_id
+  JOIN q2 ON q2.vec_id = d.vec_id
+  JOIN c2 ON c2.clbl = d.clbl),
+pv AS (
+  SELECT vec_id, label,
+         max(CASE WHEN clbl = label THEN cos_ppm END) AS own_ppm,
+         max(CASE WHEN clbl <> label THEN cos_ppm END) AS other_ppm
+  FROM cs GROUP BY 1, 2),
+ag AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         sum(own_ppm) AS so, sum(other_ppm) AS st,
+         CAST(sum(CASE WHEN other_ppm > own_ppm THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_confused
+  FROM pv GROUP BY 1)
+SELECT label, n,
+       CAST((so - ((so % n + n) % n)) // n AS BIGINT)
+         AS mean_own_ppm,
+       CAST((st - ((st % n + n) % n)) // n AS BIGINT)
+         AS mean_other_ppm,
+       CAST(((so - st) - (((so - st) % n + n) % n)) // n AS BIGINT)
+         AS mean_margin_ppm,
+       n_confused
+FROM ag""",
         "embed_cluster_eval": _kmeans_cte(8, 3, 64) + """,
 cont AS (
   SELECT a.cid, e.label, count(*) AS n

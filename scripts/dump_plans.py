@@ -90,6 +90,9 @@ ALLOW: dict[tuple[str, str], str] = {
     ("embed_cluster_eval", "Exchange SinglePartition"):
         "the same 1-row contingency folds; the k x labels dim is "
         "bounded by construction",
+    ("embed_label_margin", "BroadcastNestedLoopJoin"):
+        "the centroid dim is |labels| rows (10), an aggregation "
+        "output broadcast onto one corpus scan",
     ("embed_pca", "BroadcastNestedLoopJoin"):
         "the 1-row Sum(dot^2) variance dim broadcast back onto the "
         "per-vector projection stream",

@@ -3236,6 +3236,53 @@ def test_pca_power_sign_fix_and_bounds(spark):
     assert 0 < r.explained_ppm <= 1_000_000
 
 
+def test_label_margin_audit_separable_and_mislabeled(spark):
+    """Two axis-aligned labels are perfectly separable (own ≈ 1e6,
+    other ≈ 0, zero confusion); planting one A-like vector inside
+    label B makes it B's single confusion and drags B's mean margin
+    down."""
+    from web_graph_spark.functions.similarity import label_margin_audit
+
+    def vec(axis, mag):
+        v = [0.0] * 64
+        v[axis] = mag
+        return v
+
+    clean = ([(i, vec(0, 0.5 + i * 0.01), "A") for i in range(4)]
+             + [(10 + i, vec(1, 0.5 + i * 0.01), "B")
+                for i in range(4)])
+    schema = "vec_id long, embedding array<double>, label string"
+    out = {r.label: r for r in label_margin_audit(
+        spark.createDataFrame(clean, schema)).collect()}
+    for lbl in ("A", "B"):
+        r = out[lbl]
+        assert r.n == 4 and r.n_confused == 0
+        assert r.mean_own_ppm >= 999_000
+        assert abs(r.mean_other_ppm) < 1_000
+        assert r.mean_margin_ppm >= 998_000
+
+    planted = clean + [(99, vec(0, 0.4), "B")]
+    out2 = {r.label: r for r in label_margin_audit(
+        spark.createDataFrame(planted, schema)).collect()}
+    assert out2["B"].n_confused == 1
+    assert out2["A"].n_confused == 0
+    assert out2["B"].mean_margin_ppm < out["B"].mean_margin_ppm
+
+
+def test_label_margin_audit_zero_vector_not_confused(spark):
+    """A zero vector's cosine is defined 0 to every centroid; the
+    other == own tie must NOT count as confusion."""
+    from web_graph_spark.functions.similarity import label_margin_audit
+
+    rows = [(0, [0.0] * 64, "A"), (1, [0.5] + [0.0] * 63, "A"),
+            (2, [0.0, 0.5] + [0.0] * 62, "B")]
+    schema = "vec_id long, embedding array<double>, label string"
+    out = {r.label: r for r in label_margin_audit(
+        spark.createDataFrame(rows, schema)).collect()}
+    assert out["A"].n_confused == 0
+    assert out["A"].n == 2
+
+
 def test_epoch_plan_invariants(spark):
     """The planner's contract: no source exceeds 4.0 epochs, grants
     sum to min(capacity, 4x total tokens), capped sources sit below

@@ -1079,3 +1079,93 @@ def pca_power(items: DataFrame, iters: int = 3, q_scale: int = 4096,
                           f"CAST('{den}' AS DECIMAL(38,0)) AS BIGINT)")
                    .alias("explained_ppm")))
     return out, v
+
+
+def label_margin_audit(emb: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label",
+                       q_scale: int = 4096) -> DataFrame:
+    """Nearest-centroid label-separability audit (E216) — the
+    cross-label complement of :func:`centroid_outliers` (which only
+    measures distance to a vector's OWN centroid): per label, how
+    close its members sit to their own centroid versus the BEST
+    other-label centroid, in cosine ppm.  A label whose mean margin
+    is small (or whose confusion count is high) is not linearly
+    separable in the embedding space — the signal that decides
+    whether label-stratified sampling / per-label dedupe can trust
+    these embeddings at all.
+
+    Determinism discipline: elements quantize to ``floor(x·q_scale)``
+    (exact in IEEE doubles; no shift needed — only products are
+    summed); centroids are exact integer means with true floor via
+    the pmod identity (sums go negative); the only float op is the
+    final cosine — ``floor(dot·10⁶ / (√q²·√c²))`` written with the
+    IDENTICAL operation order in the oracle, so both engines round
+    the same way.  Mean margins floor via pmod again (margins go
+    negative).  Ties (other == own) count as NOT confused.
+
+    → ``(label, n, mean_own_ppm, mean_other_ppm, mean_margin_ppm,
+    n_confused)`` — one row per label.
+
+    Scale shape: explode to |rows|·dim elements (uniform keys), the
+    |labels|·dim centroid agg collapses to a |labels|-row ARRAY dim
+    broadcast onto one corpus scan (k·N cosine rows, k = |labels|);
+    per-vector fold on the id key; final |labels|-key agg.  No
+    all-pairs anywhere — the O(N²) intra/inter matrix is replaced by
+    the k-centroid sketch, the same reduction FAISS-style audits use.
+
+    Reference analog: none (the reference has no vector math);
+    engine extension (SURVEY §2.10 E216).
+    """
+    q = emb.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("lbl"),
+        F.expr(f"transform({vec_col}, x -> CAST(floor(CAST(x AS "
+               f"DOUBLE) * {q_scale}) AS BIGINT))").alias("qv"))
+    el = q.select("id", "lbl", F.posexplode("qv").alias("i", "e"))
+    cent = (el.groupBy("lbl", "i")
+            .agg(F.sum("e").alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .select("lbl", "i",
+                    F.expr("(s - pmod(s, n)) div n").cast("long")
+                    .alias("c")))
+    carr = (cent.groupBy("lbl")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "c")))
+                 .alias("ic"))
+            .select(F.col("lbl").alias("clbl"),
+                    F.col("ic.c").alias("cv"))
+            .withColumn("c2", F.aggregate(
+                F.transform("cv", lambda x: x * x),
+                F.lit(0).cast("long"), lambda a, x: a + x)))
+    qq = q.withColumn("q2", F.aggregate(
+        F.transform("qv", lambda x: x * x),
+        F.lit(0).cast("long"), lambda a, x: a + x))
+    pairs = (qq.crossJoin(F.broadcast(carr))
+             .withColumn("dot", F.aggregate(
+                 F.zip_with("qv", "cv", lambda a, b: a * b),
+                 F.lit(0).cast("long"), lambda a, x: a + x))
+             .withColumn("cos_ppm", F.expr(
+                 "CASE WHEN q2 > 0 AND c2 > 0 THEN "
+                 "CAST(floor(CAST(dot AS DOUBLE) * 1000000.0 / "
+                 "(sqrt(CAST(q2 AS DOUBLE)) * "
+                 "sqrt(CAST(c2 AS DOUBLE)))) AS BIGINT) "
+                 "ELSE 0 END")))
+    pv = (pairs.groupBy("id", "lbl")
+          .agg(F.max(F.when(F.col("lbl") == F.col("clbl"),
+                            F.col("cos_ppm"))).alias("own_ppm"),
+               F.max(F.when(F.col("lbl") != F.col("clbl"),
+                            F.col("cos_ppm"))).alias("other_ppm")))
+    return (pv.groupBy("lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("own_ppm").alias("so"),
+                 F.sum("other_ppm").alias("st"),
+                 F.sum(F.when(F.col("other_ppm") > F.col("own_ppm"),
+                              1).otherwise(0)).cast("long")
+                 .alias("n_confused"))
+            .select(F.col("lbl").alias(label_col), "n",
+                    F.expr("(so - pmod(so, n)) div n").cast("long")
+                    .alias("mean_own_ppm"),
+                    F.expr("(st - pmod(st, n)) div n").cast("long")
+                    .alias("mean_other_ppm"),
+                    F.expr("((so - st) - pmod(so - st, n)) div n")
+                    .cast("long").alias("mean_margin_ppm"),
+                    "n_confused"))
