@@ -5287,6 +5287,22 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("sum_value_c")))
 
 
+def q_events_seasonal_index(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Hour-of-day seasonality profile (functions/stats.py:
+    seasonal_profile E217): per (event_type, hour 0-23) the exact
+    count, seasonal index in ppm of uniform (1e6 = flat), the
+    type-level Herfindahl hour-concentration, and earliest-tie
+    peak/trough flags — the diurnal-cycle audit a crawl scheduler
+    reads before placing recrawl waves.  Zero hours are densified
+    against the bounded |types|×24 grid; windows partition on
+    exactly 24 rows; HHI rides decimal(38,0)."""
+    from web_graph_spark.functions.stats import seasonal_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return seasonal_profile(ev)
+
+
 def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters (functions/stats.py:
     countmin_heavy_hitters E88): the fixed-size-state frequency tier
@@ -6318,6 +6334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_quantiles": q_events_quantiles,
         "events_hourly": q_events_hourly,
+        "events_seasonal_index": q_events_seasonal_index,
         "events_heavy_hitters": q_events_heavy_hitters,
         "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,
@@ -10099,6 +10116,35 @@ FROM s GROUP BY 1""",
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        CAST(floor(sum(value) * 100) AS BIGINT) AS sum_value_c
 FROM events GROUP BY 1, 2""",
+        "events_seasonal_index": """
+WITH cnt AS (
+  SELECT event_type AS etype, CAST(hour(ts) AS INT) AS hod,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+hrs AS (SELECT CAST(unnest(range(0, 24)) AS INT) AS hod),
+grid AS (SELECT DISTINCT etype FROM cnt),
+f AS (
+  SELECT g.etype, h.hod, coalesce(c.n, 0) AS n
+  FROM grid g CROSS JOIN hrs h
+  LEFT JOIN cnt c ON c.etype = g.etype AND c.hod = h.hod),
+tot AS (
+  SELECT etype, sum(n) AS t,
+         sum(CAST(n AS HUGEINT) * n) AS s2
+  FROM f GROUP BY 1),
+r AS (
+  SELECT f.etype, f.hod, f.n, t.t, t.s2,
+         row_number() OVER (PARTITION BY f.etype
+                            ORDER BY f.n DESC, f.hod) AS rp,
+         row_number() OVER (PARTITION BY f.etype
+                            ORDER BY f.n, f.hod) AS rt
+  FROM f JOIN tot t USING (etype))
+SELECT etype AS event_type, hod, n,
+       CAST(n * 24 * 1000000 // t AS BIGINT) AS index_ppm,
+       CAST(s2 * 1000000 // (CAST(t AS HUGEINT) * t) AS BIGINT)
+         AS hhi_ppm,
+       rp = 1 AS is_peak,
+       rt = 1 AS is_trough
+FROM r""",
         "events_heavy_hitters": f"""
 WITH keyed AS (
   SELECT CAST(user_id AS VARCHAR) AS key FROM events

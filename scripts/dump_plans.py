@@ -99,6 +99,9 @@ ALLOW: dict[tuple[str, str], str] = {
     ("embed_pca", "Exchange SinglePartition"):
         "the same 1-row global variance aggregate; partial sums "
         "upstream",
+    ("events_seasonal_index", "BroadcastNestedLoopJoin"):
+        "the |types| x 24-hour densify grid: both sides are bounded "
+        "aggregation outputs (types dim x a 24-row literal)",
     ("events_rfm", "BroadcastNestedLoopJoin"):
         "three 1-row quintile-cutoff dims (exact_quantiles histogram "
         "folds) crossed back onto the user dim",

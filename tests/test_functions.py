@@ -3283,6 +3283,36 @@ def test_label_margin_audit_zero_vector_not_confused(spark):
     assert out["A"].n == 2
 
 
+def test_seasonal_profile_spike_and_uniform(spark):
+    """A single-hour spike gets HHI = 1e6, index 24e6 at the spike,
+    zero elsewhere, peak at the spike hour and trough at the first
+    zero hour; a perfectly uniform type gets index 1e6 in every hour,
+    HHI = floor(1e6/24), and hour 0 is both peak and trough (ties
+    break earliest)."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.functions.stats import seasonal_profile
+
+    rows = ([("2024-03-01 05:%02d:00" % m, "spike") for m in range(3)]
+            + [("2024-03-01 %02d:30:00" % h, "flat")
+               for h in range(24)])
+    ev = spark.createDataFrame(rows, "ts_s string, event_type string") \
+        .select(F.col("ts_s").cast("timestamp").alias("ts"),
+                "event_type")
+    out = seasonal_profile(ev).collect()
+    spike = {r.hod: r for r in out if r.event_type == "spike"}
+    assert spike[5].n == 3 and spike[5].index_ppm == 24_000_000
+    assert spike[5].is_peak and not spike[5].is_trough
+    assert spike[0].n == 0 and spike[0].is_trough
+    assert all(r.hhi_ppm == 1_000_000 for r in spike.values())
+    flat = {r.hod: r for r in out if r.event_type == "flat"}
+    assert len(flat) == 24
+    assert all(r.index_ppm == 1_000_000 for r in flat.values())
+    assert all(r.hhi_ppm == 1_000_000 // 24 for r in flat.values())
+    assert flat[0].is_peak and flat[0].is_trough
+    assert not flat[1].is_peak and not flat[1].is_trough
+
+
 def test_epoch_plan_invariants(spark):
     """The planner's contract: no source exceeds 4.0 epochs, grants
     sum to min(capacity, 4x total tokens), capped sources sit below

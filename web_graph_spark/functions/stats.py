@@ -2119,3 +2119,63 @@ def rfm_segments(events: DataFrame, key_col: str = "user_id",
             .select(F.col("k").alias(key_col), "last_day", "n_events",
                     "cents", "r_score", "f_score", "m_score",
                     seg.alias("segment")))
+
+
+def seasonal_profile(events: DataFrame, ts_col: str = "ts",
+                     type_col: str = "event_type") -> DataFrame:
+    """Hour-of-day seasonality profile per event type (E217) — the
+    diurnal-cycle audit a crawl scheduler reads before placing
+    recrawl waves and maintenance windows: for each (type, hour 0-23)
+    the exact count, the seasonal index in floor ppm of the uniform
+    expectation (1e6 = exactly average; >1e6 = rush hour), the
+    type-level Herfindahl concentration of traffic across hours
+    (uniform = 1e6/24 ≈ 41,666 ppm; a single-hour spike = 1e6), and
+    peak/trough flags (ties break to the earliest hour).  Hours a
+    type never fired in still appear with n = 0 — an index built
+    only on observed hours overstates uniformity exactly where the
+    signal matters.
+
+    All-integer, engine-exact: index = ``n·24·10⁶ div total`` (fits
+    BIGINT to 10^10 events/type-hour), HHI rides decimal(38,0)
+    (``Σn²`` overflows BIGINT past ~3·10^9 events).
+
+    Scale shape: one (type, hour)-key agg over the stream (uniform
+    bounded keys: |types|·24), densified against the |types|×24 grid
+    (both dims are aggregation outputs, bounded by construction),
+    type totals broadcast back; the peak/trough window partitions
+    are exactly 24 rows each.  No corpus-wide window, no driver math.
+
+    → ``(type, hod, n, index_ppm, hhi_ppm, is_peak, is_trough)``.
+
+    Reference analog: the reference logs queue length every 10 min
+    (cmd/link-processor/main.go:210) but never profiles cadence;
+    engine extension (SURVEY §2.10 E217).
+    """
+    spark = events.sparkSession
+    cnt = (events.groupBy(F.col(type_col).alias("etype"),
+                          F.hour(ts_col).alias("hod"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    hours = spark.range(24).select(F.col("id").cast("int")
+                                   .alias("hod"))
+    grid = (cnt.select("etype").distinct()
+            .crossJoin(F.broadcast(hours)))
+    full = (grid.join(cnt, ["etype", "hod"], "left")
+            .select("etype", "hod",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n")))
+    tot = (full.groupBy("etype")
+           .agg(F.sum("n").alias("t"),
+                F.sum((F.col("n") * F.col("n"))
+                      .cast("decimal(38,0)")).alias("s2")))
+    w_peak = Window.partitionBy("etype").orderBy(F.desc("n"), "hod")
+    w_trough = Window.partitionBy("etype").orderBy("n", "hod")
+    return (full.join(F.broadcast(tot), "etype")
+            .withColumn("is_peak", F.row_number().over(w_peak) == 1)
+            .withColumn("is_trough",
+                        F.row_number().over(w_trough) == 1)
+            .select(F.col("etype").alias(type_col), "hod", "n",
+                    F.expr("n * 24 * 1000000 div t").cast("long")
+                    .alias("index_ppm"),
+                    F.expr("CAST(s2 * 1000000 div (CAST(t AS "
+                           "DECIMAL(38,0)) * t) AS BIGINT)")
+                    .alias("hhi_ppm"),
+                    "is_peak", "is_trough"))
