@@ -1836,6 +1836,25 @@ def q_graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_depths(e, seeds)
 
 
+def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound (operators/graph_algos.py:
+    double_sweep_diameter E218) over the undirected admissible link
+    graph: BFS from the minimum vertex id, re-BFS from the farthest
+    vertex found (ties low), report the second sweep's level
+    histogram plus the bound — exact on trees, empirically tight on
+    web graphs.  Two level-synchronous BFS runs, one 1-row driver
+    hop between them; oracle replays both sweeps as recursive CTEs
+    with the identical tie rule."""
+    from web_graph_spark.operators.graph_algos import (
+        double_sweep_diameter)
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    v = webgen.pages_df(spark, sf_dir).select("doc_id")
+    return double_sweep_diameter(e, v)
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, 6 power iterations with dangling-mass redistribution
     (operators/graph_algos.py).  The loop runs in DECIMAL(38,18), so
@@ -6225,6 +6244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": q_graph_components,
         "graph_triangles": q_graph_triangles,
         "graph_bfs_depths": q_graph_bfs_depths,
+        "graph_diameter": q_graph_diameter,
         "graph_pagerank": q_graph_pagerank,
         "graph_hits": q_graph_hits,
         "graph_scc": q_graph_scc,
@@ -7665,6 +7685,39 @@ bfs(node, depth) AS (
 )
 SELECT node AS doc_id, CAST(min(depth) AS BIGINT) AS depth
 FROM bfs GROUP BY 1"""),
+        "graph_diameter": _oracle_recursive("""
+, e0 AS (
+  SELECT DISTINCT src_doc_id AS s, tgt_doc_id AS t
+  FROM web_links_full WHERE k % 4 <> 0
+),
+und AS MATERIALIZED (
+  SELECT s, t FROM e0 UNION SELECT t, s FROM e0
+),
+st AS (SELECT min(doc_id) AS s0 FROM web_pages),
+b1(node, depth) AS (
+  SELECT s0, 0 FROM st
+  UNION
+  SELECT u.t, b.depth + 1 FROM b1 b JOIN und u ON u.s = b.node
+  WHERE b.depth < 64
+),
+f1 AS MATERIALIZED (SELECT node, min(depth) AS d FROM b1 GROUP BY 1),
+far AS (SELECT node, d FROM f1 ORDER BY d DESC, node ASC LIMIT 1),
+b2(node, depth) AS (
+  SELECT node, 0 FROM far
+  UNION
+  SELECT u.t, b.depth + 1 FROM b2 b JOIN und u ON u.s = b.node
+  WHERE b.depth < 64
+),
+f2 AS MATERIALIZED (SELECT node, min(depth) AS d FROM b2 GROUP BY 1),
+summ AS (SELECT max(d) AS lb, count(*) AS nr FROM f2)
+SELECT CAST(f2.d AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST((SELECT s0 FROM st) AS BIGINT) AS start_id,
+       CAST((SELECT node FROM far) AS BIGINT) AS far_id,
+       CAST((SELECT d FROM far) AS BIGINT) AS ecc_start,
+       CAST((SELECT lb FROM summ) AS BIGINT) AS diameter_lb,
+       CAST((SELECT nr FROM summ) AS BIGINT) AS n_reached
+FROM f2 GROUP BY 1"""),
         "graph_hyperball": _oracle_recursive(f"""
 , e AS (
   SELECT DISTINCT src_doc_id AS s, tgt_doc_id AS t

@@ -90,6 +90,12 @@ ALLOW: dict[tuple[str, str], str] = {
     ("embed_cluster_eval", "Exchange SinglePartition"):
         "the same 1-row contingency folds; the k x labels dim is "
         "bounded by construction",
+    ("graph_diameter", "BroadcastNestedLoopJoin"):
+        "the 1-row (diameter_lb, n_reached) summary dim broadcast "
+        "onto the bounded per-level histogram",
+    ("graph_diameter", "Exchange SinglePartition"):
+        "the same 1-row global max/count aggregate; partials "
+        "upstream",
     ("embed_label_margin", "BroadcastNestedLoopJoin"):
         "the centroid dim is |labels| rows (10), an aggregation "
         "output broadcast onto one corpus scan",

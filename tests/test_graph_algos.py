@@ -1404,3 +1404,42 @@ def test_reach_curve_consistency(spark):
     shares = [got[d]["reach_ppm"] for d in sorted(got)]
     assert shares == sorted(shares)
     assert shares[-1] <= 1_000_000
+
+
+@pytest.mark.spark
+def test_double_sweep_exact_on_path(spark):
+    """On a path 0-1-2-3-4 (directed input, undirected sweep) the
+    double sweep finds the true diameter: start 0, farthest 4,
+    second-sweep bound 4, one node per level."""
+    from web_graph_spark.operators.graph_algos import (
+        double_sweep_diameter)
+
+    e = spark.createDataFrame([(i, i + 1) for i in range(4)],
+                              "src_doc_id long, tgt_doc_id long")
+    v = spark.createDataFrame([(i,) for i in range(5)],
+                              "doc_id long")
+    rows = double_sweep_diameter(e, v).collect()
+    r0 = rows[0]
+    assert (r0.start_id, r0.far_id, r0.ecc_start) == (0, 4, 4)
+    assert r0.diameter_lb == 4 and r0.n_reached == 5
+    assert {r.depth: r.n_nodes for r in rows} == {
+        0: 1, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+@pytest.mark.spark
+def test_double_sweep_cycle_and_disconnected(spark):
+    """On C5 the bound is the true diameter 2 (farthest tie breaks
+    to the lowest id); an extra disconnected pair is invisible to
+    both sweeps — n_reached stays 5."""
+    from web_graph_spark.operators.graph_algos import (
+        double_sweep_diameter)
+
+    cyc = [(i, (i + 1) % 5) for i in range(5)] + [(10, 11)]
+    e = spark.createDataFrame(cyc, "src_doc_id long, tgt_doc_id long")
+    v = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 4, 10, 11]],
+                              "doc_id long")
+    rows = double_sweep_diameter(e, v).collect()
+    r0 = rows[0]
+    assert (r0.start_id, r0.far_id) == (0, 2)
+    assert r0.ecc_start == 2 and r0.diameter_lb == 2
+    assert r0.n_reached == 5

@@ -2179,3 +2179,59 @@ def attack_tolerance(vertices: DataFrame, edges: DataFrame,
                  "v", "left_anti").localCheckpoint())
     return (profile("full", ids, ce)
             .unionByName(profile(f"minus_top{k_remove}", vv2, ee2)))
+
+
+def double_sweep_diameter(edges: DataFrame, vertices: DataFrame,
+                          src: str = "src_doc_id",
+                          dst: str = "tgt_doc_id",
+                          id_col: str = "doc_id",
+                          max_depth: int = 64) -> DataFrame:
+    """Double-sweep diameter lower bound (E218) — the iFUB building
+    block and the standard cheap answer to "how deep is this web
+    graph really": BFS from a deterministic start (the minimum
+    vertex id), hop to the farthest vertex found (ties to the
+    smallest id), BFS again from there; the second sweep's
+    eccentricity is a diameter lower bound that is EXACT on trees
+    and empirically tight on web graphs (Magnien-Latapy-Habib).
+    Runs on the UNDIRECTED view (symmetrized edges), like the other
+    structure audits (modularity, k-core).
+
+    Two :func:`bfs_depths` runs — level-synchronous, one
+    frontier⋈edges shuffle per level, flat lineage — plus ONE 1-row
+    driver hop between them (the farthest vertex, a TakeOrdered
+    map-side heap, never a global sort).  Vertices outside the
+    start's component are absent from both sweeps (``n_reached``
+    says how many the bound covers).
+
+    → one row per second-sweep BFS level ``(depth, n_nodes)`` with
+    the audit constants ``(start_id, far_id, ecc_start,
+    diameter_lb, n_reached)`` alongside.
+
+    Reference analog: none (the reference never measures its graph);
+    engine extension (SURVEY §2.10 E218).
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).cast("long").alias("s"),
+                     F.col(dst).cast("long").alias("t"))
+    und = e.unionByName(e.select(F.col("t").alias("s"),
+                                 F.col("s").alias("t"))).distinct()
+    start = int(vertices.agg(
+        F.min(F.col(id_col).cast("long"))).collect()[0][0])
+    seed1 = spark.createDataFrame([(start,)], f"{id_col} long")
+    s1 = bfs_depths(und, seed1, src="s", dst="t", id_col=id_col,
+                    max_depth=max_depth)
+    far = (s1.orderBy(F.desc("depth"), id_col).limit(1).collect())[0]
+    far_id, ecc_start = int(far[id_col]), int(far["depth"])
+    seed2 = spark.createDataFrame([(far_id,)], f"{id_col} long")
+    s2 = bfs_depths(und, seed2, src="s", dst="t", id_col=id_col,
+                    max_depth=max_depth).localCheckpoint()
+    summary = s2.agg(F.max("depth").cast("long").alias("diameter_lb"),
+                     F.count(F.lit(1)).cast("long").alias("n_reached"))
+    return (s2.groupBy("depth")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .crossJoin(F.broadcast(summary))
+            .select("depth", "n_nodes",
+                    F.lit(start).cast("long").alias("start_id"),
+                    F.lit(far_id).cast("long").alias("far_id"),
+                    F.lit(ecc_start).cast("long").alias("ecc_start"),
+                    "diameter_lb", "n_reached"))
