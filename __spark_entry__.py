@@ -1855,6 +1855,25 @@ def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return double_sweep_diameter(e, v)
 
 
+def q_graph_degree_mixing(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Degree-mixing curve + rich club (operators/graph_algos.py:
+    degree_mixing_curve E219): per degree class the k_nn(k) mean
+    neighbor degree in floor ppm (the full shape behind the single
+    assortativity coefficient) and the rich-club coefficient among
+    vertices of strictly higher degree — hub-centralization
+    structure over the undirected admissible link graph.  Suffix
+    sums over the bounded degree axis; neighbor-degree sums ride
+    decimal(38,0); oracle replays the identical cum-window algebra."""
+    from web_graph_spark.operators.graph_algos import (
+        degree_mixing_curve)
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    return degree_mixing_curve(e)
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, 6 power iterations with dangling-mass redistribution
     (operators/graph_algos.py).  The loop runs in DECIMAL(38,18), so
@@ -6245,6 +6264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_bfs_depths": q_graph_bfs_depths,
         "graph_diameter": q_graph_diameter,
+        "graph_degree_mixing": q_graph_degree_mixing,
         "graph_pagerank": q_graph_pagerank,
         "graph_hits": q_graph_hits,
         "graph_scc": q_graph_scc,
@@ -7685,6 +7705,53 @@ bfs(node, depth) AS (
 )
 SELECT node AS doc_id, CAST(min(depth) AS BIGINT) AS depth
 FROM bfs GROUP BY 1"""),
+        "graph_degree_mixing": _oracle("""
+, e0 AS (
+  SELECT DISTINCT src_doc_id AS s, tgt_doc_id AS t
+  FROM web_links_full WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id
+),
+und AS MATERIALIZED (
+  SELECT s, t FROM e0 UNION SELECT t, s FROM e0
+),
+dg AS MATERIALIZED (
+  SELECT s AS v, CAST(count(*) AS BIGINT) AS deg
+  FROM und GROUP BY 1),
+knn AS (
+  SELECT du.deg AS deg,
+         CAST(sum(CAST(dv.deg AS HUGEINT)) * 1000000
+              // count(*) AS BIGINT) AS knn_ppm
+  FROM und u
+  JOIN dg du ON du.v = u.s
+  JOIN dg dv ON dv.v = u.t
+  GROUP BY 1),
+hist AS (
+  SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM dg GROUP BY 1),
+em AS (
+  SELECT least(du.deg, dv.deg) AS deg,
+         CAST(count(*) AS BIGINT) AS n_edges
+  FROM und u
+  JOIN dg du ON du.v = u.s
+  JOIN dg dv ON dv.v = u.t
+  WHERE u.s < u.t
+  GROUP BY 1),
+axis AS (
+  SELECT h.deg, h.n_nodes, coalesce(em.n_edges, 0) AS n_edges
+  FROM hist h LEFT JOIN em ON em.deg = h.deg),
+curve AS (
+  SELECT deg, n_nodes,
+         sum(n_nodes) OVER () - sum(n_nodes) OVER (
+           ORDER BY deg ROWS UNBOUNDED PRECEDING) AS n_richer,
+         sum(n_edges) OVER () - sum(n_edges) OVER (
+           ORDER BY deg ROWS UNBOUNDED PRECEDING) AS e_richer
+  FROM axis)
+SELECT c.deg, c.n_nodes, k.knn_ppm,
+       CAST(c.n_richer AS BIGINT) AS n_richer,
+       CAST(CASE WHEN c.n_richer >= 2 THEN
+              2 * c.e_richer * 1000000
+                // (c.n_richer * (c.n_richer - 1))
+            END AS BIGINT) AS rich_club_ppm
+FROM curve c JOIN knn k ON k.deg = c.deg"""),
         "graph_diameter": _oracle_recursive("""
 , e0 AS (
   SELECT DISTINCT src_doc_id AS s, tgt_doc_id AS t

@@ -90,6 +90,9 @@ ALLOW: dict[tuple[str, str], str] = {
     ("embed_cluster_eval", "Exchange SinglePartition"):
         "the same 1-row contingency folds; the k x labels dim is "
         "bounded by construction",
+    ("graph_degree_mixing", "Exchange SinglePartition"):
+        "cumulative window over the DEGREE-CLASS dim (bounded by "
+        "max degree), never the vertex or edge stream",
     ("graph_diameter", "BroadcastNestedLoopJoin"):
         "the 1-row (diameter_lb, n_reached) summary dim broadcast "
         "onto the bounded per-level histogram",

@@ -1443,3 +1443,46 @@ def test_double_sweep_cycle_and_disconnected(spark):
     assert (r0.start_id, r0.far_id) == (0, 2)
     assert r0.ecc_start == 2 and r0.diameter_lb == 2
     assert r0.n_reached == 5
+
+
+@pytest.mark.spark
+def test_degree_mixing_two_hub_club(spark):
+    """Two connected hubs with 3 leaves each: leaves' k_nn is the hub
+    degree (4e6 ppm), hubs' k_nn averages 3 leaves + 1 hub; the
+    degree->1 rich club is the two hubs, whose one mutual edge makes
+    the club complete (1e6 ppm); the top class has no richer club
+    (NULL)."""
+    from web_graph_spark.operators.graph_algos import (
+        degree_mixing_curve)
+
+    edges = [(0, 1)] + [(0, 10 + i) for i in range(3)] \
+        + [(1, 20 + i) for i in range(3)]
+    e = spark.createDataFrame(edges,
+                              "src_doc_id long, tgt_doc_id long")
+    out = {r.deg: r for r in degree_mixing_curve(e).collect()}
+    assert set(out) == {1, 4}
+    leaf = out[1]
+    assert leaf.n_nodes == 6 and leaf.knn_ppm == 4_000_000
+    assert leaf.n_richer == 2 and leaf.rich_club_ppm == 1_000_000
+    hub = out[4]
+    # hub neighbors: 3 leaves (deg 1) + the other hub (deg 4)
+    assert hub.n_nodes == 2
+    assert hub.knn_ppm == (3 * 1 + 4) * 1_000_000 // 4
+    assert hub.n_richer == 0 and hub.rich_club_ppm is None
+
+
+@pytest.mark.spark
+def test_degree_mixing_drops_self_loops_and_direction(spark):
+    """Self-loops are dropped and reverse duplicates collapse: a
+    bidirected pair plus a self-loop is one undirected edge — both
+    vertices degree 1, k_nn 1e6, no richer club."""
+    from web_graph_spark.operators.graph_algos import (
+        degree_mixing_curve)
+
+    e = spark.createDataFrame([(0, 1), (1, 0), (0, 0)],
+                              "src_doc_id long, tgt_doc_id long")
+    rows = degree_mixing_curve(e).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.deg, r.n_nodes, r.knn_ppm) == (1, 2, 1_000_000)
+    assert r.n_richer == 0 and r.rich_club_ppm is None

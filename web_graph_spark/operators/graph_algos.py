@@ -27,7 +27,7 @@ DataFrame-side count rather than collecting state to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "pagerank", "triangle_counts",
@@ -2235,3 +2235,88 @@ def double_sweep_diameter(edges: DataFrame, vertices: DataFrame,
                     F.lit(far_id).cast("long").alias("far_id"),
                     F.lit(ecc_start).cast("long").alias("ecc_start"),
                     "diameter_lb", "n_reached"))
+
+
+def degree_mixing_curve(edges: DataFrame, src: str = "src_doc_id",
+                        dst: str = "tgt_doc_id") -> DataFrame:
+    """Degree-mixing structure audit (E219): the k_nn(k) curve (mean
+    neighbor degree per degree class — the FULL shape behind E152's
+    single assortativity coefficient) and the rich-club coefficient
+    φ(k) (edge density among vertices of degree > k) — together the
+    standard answer to "is this web graph hub-centralized, and do
+    the hubs form a club?".  Undirected view, self-loops dropped;
+    isolated vertices carry no incidences and are absent.
+
+    Exact integers end-to-end: k_nn in floor ppm (neighbor-degree
+    sums ride decimal(38,0) — 10^11 incidences × 10^7-degree hubs
+    overflow BIGINT), φ(k) = 2·E_k·10⁶ div (N_k·(N_k−1)) with E_k /
+    N_k as SUFFIX sums over the degree axis (total − running cum),
+    NULL below 2 club members.  The min-endpoint-degree histogram
+    makes E_k one bounded aggregation — never a per-k rescan of the
+    edge list.
+
+    Scale shape: degree = one groupBy over the symmetrized edges;
+    incidences join degree twice on uniform vertex keys; every
+    curve/window step runs on the DEGREE-CLASS dim (bounded by max
+    degree, thousands of rows at 10^10 vertices) — the one
+    unpartitioned cumulative window is over that bounded dim, not
+    the corpus.
+
+    → ``(deg, n_nodes, knn_ppm, n_richer, rich_club_ppm)``.
+
+    Reference analog: none; engine extension (SURVEY §2.10 E219).
+    """
+    e = (edges.select(F.col(src).cast("long").alias("s"),
+                      F.col(dst).cast("long").alias("t"))
+         .filter(F.col("s") != F.col("t")))
+    und = e.unionByName(e.select(F.col("t").alias("s"),
+                                 F.col("s").alias("t"))).distinct()
+    deg = und.groupBy(F.col("s").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    inc = (und
+           .join(deg.select(F.col("v").alias("s"),
+                            F.col("deg").alias("deg_u")), "s")
+           .join(deg.select(F.col("v").alias("t"),
+                            F.col("deg").alias("deg_v")), "t"))
+    knn = (inc.groupBy("deg_u")
+           .agg(F.sum(F.col("deg_v").cast("decimal(38,0)"))
+                .alias("sd"),
+                F.count(F.lit(1)).cast("long").alias("cnt"))
+           .select(F.col("deg_u").alias("deg"),
+                   F.expr("CAST(sd * 1000000 div cnt AS BIGINT)")
+                   .alias("knn_ppm")))
+    hist = deg.groupBy("deg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    em = (und.filter(F.col("s") < F.col("t"))
+          .join(deg.select(F.col("v").alias("s"),
+                           F.col("deg").alias("du")), "s")
+          .join(deg.select(F.col("v").alias("t"),
+                           F.col("deg").alias("dv")), "t")
+          .select(F.least("du", "dv").alias("deg"))
+          .groupBy("deg")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+    axis = (hist.join(em, "deg", "left")
+            .select("deg", "n_nodes",
+                    F.coalesce("n_edges", F.lit(0)).cast("long")
+                    .alias("n_edges")))
+    w_cum = (Window.orderBy("deg")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow))
+    w_all = (Window.orderBy("deg")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    curve = (axis
+             .withColumn("n_richer",
+                         (F.sum("n_nodes").over(w_all)
+                          - F.sum("n_nodes").over(w_cum))
+                         .cast("long"))
+             .withColumn("e_richer",
+                         (F.sum("n_edges").over(w_all)
+                          - F.sum("n_edges").over(w_cum))
+                         .cast("long")))
+    return (curve.join(knn, "deg")
+            .select("deg", "n_nodes", "knn_ppm", "n_richer",
+                    F.expr("CASE WHEN n_richer >= 2 THEN "
+                           "2 * e_richer * 1000000 div "
+                           "(n_richer * (n_richer - 1)) END")
+                    .cast("long").alias("rich_club_ppm")))
