@@ -843,6 +843,24 @@ def q_docs_span_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return caption_align(docs, media_rx=r"\.png$")
 
 
+def q_text_bitext_candidates(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Bitext candidate mining (functions/text.py:bitext_candidates
+    E220): unordered cross-language LINKED doc pairs scored by
+    Gale-Church length-ratio compatibility and exact shared-token
+    Jaccard (lexicon_filter normal form), with mutual links flagged
+    — the parallel-corpus harvesting prior of a multilingual
+    pipeline.  Edge-bounded (never doc×doc); token sets explode only
+    for pairs surviving the cheap filters.  Oracle replays pair
+    canonicalization, ratio, and set algebra in SQL."""
+    from web_graph_spark.functions.text import bitext_candidates
+
+    docs = _docs(spark, sf_dir)
+    e = webgen.links_full_df(spark, sf_dir).select(
+        "src_doc_id", "tgt_doc_id")
+    return bitext_candidates(docs, e)
+
+
 def q_docs_interleave_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modality run-length profile of the interleaved span docs
     (functions/media.py:interleave_runs E214): per document the
@@ -6302,6 +6320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_confusion": q_text_lang_confusion,
         "text_code_detect": q_text_code_detect,
         "text_lexicon_filter": q_text_lexicon_filter,
+        "text_bitext_candidates": q_text_bitext_candidates,
         "text_search_topk": q_text_search_topk,
         "text_bm25_topk": q_text_bm25_topk,
         "text_retrieval_eval": q_text_retrieval_eval,
@@ -8797,6 +8816,65 @@ FROM ranked WHERE rank <= 2""",
         "text_lang_id": f"""
 SELECT doc_id, lang, {lang_guess_sql('text')} AS lang_guess
 FROM documents""",
+        "text_bitext_candidates": _oracle("""
+, e AS (
+  SELECT src_doc_id AS s, tgt_doc_id AS t
+  FROM web_links_full WHERE src_doc_id <> tgt_doc_id
+),
+dirs AS (
+  SELECT least(s, t) AS a, greatest(s, t) AS b,
+         max(CASE WHEN s < t THEN 1 ELSE 0 END) = 1 AS has_f,
+         max(CASE WHEN s > t THEN 1 ELSE 0 END) = 1 AS has_r
+  FROM e GROUP BY 1, 2),
+cand AS MATERIALIZED (
+  SELECT d.a, d.b, da.lang AS lang_a, db.lang AS lang_b,
+         d.has_f AND d.has_r AS mutual,
+         CAST(CASE WHEN greatest(da.n_chars, db.n_chars) = 0 THEN 0
+              ELSE least(da.n_chars, db.n_chars) * 1000000
+                   // greatest(da.n_chars, db.n_chars) END
+              AS BIGINT) AS len_ratio_ppm
+  FROM dirs d
+  JOIN documents da ON da.doc_id = d.a
+  JOIN documents db ON db.doc_id = d.b
+  WHERE da.lang <> db.lang),
+flt AS MATERIALIZED (
+  SELECT * FROM cand WHERE len_ratio_ppm >= 500000),
+ids AS (SELECT DISTINCT a AS id FROM flt
+        UNION SELECT DISTINCT b FROM flt),
+toks AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id AS id,
+         regexp_replace(u.t, '[^a-z0-9]', '', 'g') AS tok
+  FROM documents d
+  JOIN ids ON ids.id = d.doc_id,
+  LATERAL unnest(string_split_regex(lower(d.text), '\\s+'))
+    AS u(t)
+  WHERE regexp_replace(u.t, '[^a-z0-9]', '', 'g') <> ''),
+sz AS (SELECT id, CAST(count(*) AS BIGINT) AS nt
+       FROM toks GROUP BY 1),
+inter AS (
+  SELECT f.a, f.b, CAST(count(*) AS BIGINT) AS ni
+  FROM flt f
+  JOIN toks ta ON ta.id = f.a
+  JOIN toks tb ON tb.id = f.b AND tb.tok = ta.tok
+  GROUP BY 1, 2)
+SELECT f.a AS doc_a, f.b AS doc_b, f.lang_a, f.lang_b, f.mutual,
+       f.len_ratio_ppm,
+       CAST(CASE WHEN coalesce(sa.nt, 0) + coalesce(sb.nt, 0)
+                      - coalesce(i.ni, 0) = 0 THEN 0
+            ELSE coalesce(i.ni, 0) * 1000000
+                 // (coalesce(sa.nt, 0) + coalesce(sb.nt, 0)
+                     - coalesce(i.ni, 0)) END AS BIGINT)
+         AS jaccard_ppm,
+       CAST(CASE WHEN coalesce(sa.nt, 0) + coalesce(sb.nt, 0)
+                      - coalesce(i.ni, 0) = 0 THEN 0
+            ELSE coalesce(i.ni, 0) * 1000000
+                 // (coalesce(sa.nt, 0) + coalesce(sb.nt, 0)
+                     - coalesce(i.ni, 0)) END AS BIGINT)
+         >= 300000 AS is_candidate
+FROM flt f
+LEFT JOIN sz sa ON sa.id = f.a
+LEFT JOIN sz sb ON sb.id = f.b
+LEFT JOIN inter i ON i.a = f.a AND i.b = f.b"""),
         "text_lexicon_filter": "WITH lex(term, category) AS (VALUES "
         + ", ".join(f"('{t}', '{c}')" for t, c in LEXICON) + """),
 toks AS (

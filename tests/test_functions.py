@@ -3313,6 +3313,53 @@ def test_seasonal_profile_spike_and_uniform(spark):
     assert not flat[1].is_peak and not flat[1].is_trough
 
 
+def test_bitext_candidates_hand_pairs(spark):
+    """Pair semantics by hand: a mutual cross-lang pair with equal
+    token sets is a candidate at jaccard 1e6; a same-lang link never
+    appears; a length-incompatible pair drops at the ratio gate; a
+    one-direction link is not mutual."""
+    from web_graph_spark.functions.text import bitext_candidates
+
+    docs = spark.createDataFrame(
+        [(1, "the data table", "en", 14),
+         (2, "table the data", "fr", 14),
+         (3, "the data table", "en", 14),
+         (4, "x", "de", 1),
+         (5, "the data cloud", "es", 14)],
+        "doc_id long, text string, lang string, n_chars long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1),      # mutual cross-lang, same tokens
+         (1, 3),              # same lang — excluded
+         (1, 4),              # ratio 1/14 — dropped
+         (1, 5)],             # one-way cross-lang, 2/4 overlap
+        "src_doc_id long, tgt_doc_id long")
+    out = {(r.doc_a, r.doc_b): r for r in
+           bitext_candidates(docs, edges).collect()}
+    assert set(out) == {(1, 2), (1, 5)}
+    m = out[(1, 2)]
+    assert m.mutual and m.jaccard_ppm == 1_000_000
+    assert m.is_candidate and m.len_ratio_ppm == 1_000_000
+    s = out[(1, 5)]
+    assert not s.mutual
+    assert s.jaccard_ppm == 2 * 1_000_000 // 4
+    assert s.is_candidate  # 500000 >= 300000
+
+
+def test_bitext_candidates_empty_docs_zero_jaccard(spark):
+    """Two linked cross-lang docs with no alnum tokens at all get
+    jaccard 0 (union empty) and are not candidates."""
+    from web_graph_spark.functions.text import bitext_candidates
+
+    docs = spark.createDataFrame(
+        [(1, "!!! ???", "en", 7), (2, "... ---", "fr", 7)],
+        "doc_id long, text string, lang string, n_chars long")
+    edges = spark.createDataFrame(
+        [(1, 2)], "src_doc_id long, tgt_doc_id long")
+    r = bitext_candidates(docs, edges).collect()
+    assert len(r) == 1
+    assert r[0].jaccard_ppm == 0 and not r[0].is_candidate
+
+
 def test_epoch_plan_invariants(spark):
     """The planner's contract: no source exceeds 4.0 epochs, grants
     sum to min(capacity, 4x total tokens), capped sources sit below

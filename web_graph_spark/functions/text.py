@@ -2382,3 +2382,106 @@ def lexicon_filter(df: DataFrame, lexicon: DataFrame,
                     .alias("hits_by_cat"),
                     (F.coalesce("n_flag_hits", F.lit(0))
                      >= flag_min_hits).alias("flagged")))
+
+
+def bitext_candidates(docs: DataFrame, edges: DataFrame,
+                      min_ratio_ppm: int = 500_000,
+                      tau_ppm: int = 300_000,
+                      id_col: str = "doc_id", lang_col: str = "lang",
+                      len_col: str = "n_chars", text_col: str = "text",
+                      src: str = "src_doc_id",
+                      dst: str = "tgt_doc_id") -> DataFrame:
+    """Bitext candidate mining from the link graph (E220) — the
+    parallel-corpus harvesting step of a multilingual training
+    pipeline: LINKED document pairs whose languages differ are the
+    classic translation-pair prior (the "click the flag icon" edge),
+    scored by the two cheap signals that survive at 10^10 docs —
+    length-ratio compatibility (translations have similar lengths;
+    Gale-Church's core observation) and exact shared-token overlap
+    (numbers, names and codes survive translation).  Mutual links
+    (a⇄b) are flagged — the strongest prior of all.
+
+    Definitions, exact end-to-end: pairs are the UNORDERED distinct
+    cross-language linked pairs (canonical a < b; self-loops out);
+    ``len_ratio_ppm = 10⁶·min(len) div max(len)`` (0 when the longer
+    side is empty), pairs below ``min_ratio_ppm`` drop;
+    ``jaccard_ppm`` is the floor-ppm Jaccard of the DISTINCT
+    lowercased alnum-stripped token sets (the :func:`lexicon_filter`
+    normal form); ``is_candidate = jaccard ≥ tau_ppm``.
+
+    Scale shape: candidates are EDGE-bounded (never a doc×doc
+    product); token sets explode ONLY for documents that survive the
+    cheap filters (semi-join prune before the explode); the overlap
+    join runs on uniform (doc, token) keys.  One corpus scan for
+    metadata, one pruned scan for tokens.
+
+    → ``(doc_a, doc_b, lang_a, lang_b, mutual, len_ratio_ppm,
+    jaccard_ppm, is_candidate)``.
+
+    Reference analog: none (single-language crawler); engine
+    extension (SURVEY §2.10 E220).
+    """
+    e = (edges.select(F.col(src).cast("long").alias("s"),
+                      F.col(dst).cast("long").alias("t"))
+         .filter(F.col("s") != F.col("t")))
+    dirs = (e.select(F.least("s", "t").alias("a"),
+                     F.greatest("s", "t").alias("b"),
+                     (F.col("s") < F.col("t")).alias("fwd"))
+            .groupBy("a", "b")
+            .agg(F.max("fwd").alias("has_f"),
+                 F.max(~F.col("fwd")).alias("has_r")))
+    meta = docs.select(F.col(id_col).cast("long").alias("id"),
+                       F.col(lang_col).alias("lg"),
+                       F.col(len_col).cast("long").alias("ln"))
+    cand = (dirs
+            .join(meta.select(F.col("id").alias("a"),
+                              F.col("lg").alias("lang_a"),
+                              F.col("ln").alias("len_a")), "a")
+            .join(meta.select(F.col("id").alias("b"),
+                              F.col("lg").alias("lang_b"),
+                              F.col("ln").alias("len_b")), "b")
+            .filter(F.col("lang_a") != F.col("lang_b"))
+            .withColumn("len_ratio_ppm", F.expr(
+                "CASE WHEN greatest(len_a, len_b) = 0 THEN 0 "
+                "ELSE least(len_a, len_b) * 1000000 div "
+                "greatest(len_a, len_b) END").cast("long"))
+            .filter(F.col("len_ratio_ppm") >= min_ratio_ppm)
+            .localCheckpoint())
+    ids = (cand.select(F.col("a").alias("id"))
+           .unionByName(cand.select(F.col("b").alias("id")))
+           .distinct())
+    toks = (docs.select(F.col(id_col).cast("long").alias("id"),
+                        F.col(text_col).alias("__t"))
+            .join(ids, "id", "left_semi")
+            .select("id", F.explode(F.split(F.lower("__t"), r"\s+"))
+                    .alias("__raw"))
+            .select("id", F.regexp_replace("__raw", "[^a-z0-9]", "")
+                    .alias("tok"))
+            .filter(F.col("tok") != "").distinct())
+    sizes = toks.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("nt"))
+    inter = (cand.select("a", "b")
+             .join(toks.select(F.col("id").alias("a"), "tok"), "a")
+             .join(toks.select(F.col("id").alias("b"), "tok"),
+                   ["b", "tok"])
+             .groupBy("a", "b")
+             .agg(F.count(F.lit(1)).cast("long").alias("ni")))
+    out = (cand
+           .join(sizes.select(F.col("id").alias("a"),
+                              F.col("nt").alias("na")), "a", "left")
+           .join(sizes.select(F.col("id").alias("b"),
+                              F.col("nt").alias("nb")), "b", "left")
+           .join(inter, ["a", "b"], "left")
+           .select(F.col("a").alias("doc_a"),
+                   F.col("b").alias("doc_b"),
+                   "lang_a", "lang_b",
+                   (F.col("has_f") & F.col("has_r")).alias("mutual"),
+                   "len_ratio_ppm",
+                   F.expr("CASE WHEN coalesce(na, 0) + coalesce(nb, 0)"
+                          " - coalesce(ni, 0) = 0 THEN 0 ELSE "
+                          "coalesce(ni, 0) * 1000000 div "
+                          "(coalesce(na, 0) + coalesce(nb, 0) - "
+                          "coalesce(ni, 0)) END").cast("long")
+                   .alias("jaccard_ppm")))
+    return out.withColumn("is_candidate",
+                          F.col("jaccard_ppm") >= tau_ppm)
