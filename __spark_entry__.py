@@ -3675,6 +3675,37 @@ def _docs_with_dups(spark, sf_dir):
     return d.unionByName(exact).unionByName(near)
 
 
+def _docs_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ deterministic CROSS-SOURCE exact copies: every
+    doc_id % 11 == 0 is re-published verbatim under the rotated
+    source 'src{(doc_id * 7 + 3) % 20}' — the shared-content planted
+    ground truth for the source-overlap matrix; the oracle injects
+    identically."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    copies = (d.filter(F.col("doc_id") % 11 == 0)
+              .select((F.col("doc_id") + 300000).alias("doc_id"),
+                      "text",
+                      F.concat(F.lit("src"),
+                               ((F.col("doc_id") * 7 + 3) % 20)
+                               .cast("string")).alias("source")))
+    return d.unionByName(copies)
+
+
+def q_dedup_source_overlap(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Cross-source content-overlap matrix (functions/dedup.py:
+    source_overlap_matrix E221) over the cross-source-injected
+    corpus: per unordered source pair the shared exact-content
+    clusters, each side's document mass, and the containment of the
+    smaller catalog in floor ppm — the double-counted-content audit
+    run before trusting a training mix.  Cluster self-join fans out
+    at most |sources| per key; totals are a broadcast dim.  Oracle
+    replays injection, clustering, and pair algebra."""
+    from web_graph_spark.functions.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(_docs_cross_source(spark, sf_dir))
+
+
 def q_text_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Related-document pairs by raw-tf cosine over the inverted
     index (round 4, functions/text.py:doc_similarity_pairs E105) —
@@ -6356,6 +6387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_chunk_overlap": q_corpus_chunk_overlap,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_savings": q_dedup_savings,
+        "dedup_source_overlap": q_dedup_source_overlap,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "corpus_novelty": q_corpus_novelty,
         "corpus_heaps": q_corpus_heaps,
@@ -9514,6 +9546,34 @@ rep AS (SELECT fingerprint, min(doc_id) AS doc_id FROM kept GROUP BY 1)
 SELECT k.doc_id, k.n_tokens, k.quality_score, k.lang_guess, k.fingerprint
 FROM kept k JOIN rep ON k.fingerprint = rep.fingerprint
                     AND k.doc_id = rep.doc_id""",
+        "dedup_source_overlap": """
+WITH aug AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 300000, text,
+         'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+  FROM documents WHERE doc_id % 11 = 0
+),
+cl AS (
+  SELECT md5(text) AS ck, source AS src,
+         CAST(count(*) AS BIGINT) AS n
+  FROM aug GROUP BY 1, 2),
+tot AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS t FROM cl GROUP BY 1),
+pairs AS (
+  SELECT a.src AS source_a, b.src AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared_clusters,
+         CAST(sum(a.n) AS BIGINT) AS n_docs_a,
+         CAST(sum(b.n) AS BIGINT) AS n_docs_b
+  FROM cl a JOIN cl b ON b.ck = a.ck AND a.src < b.src
+  GROUP BY 1, 2)
+SELECT p.source_a, p.source_b, p.n_shared_clusters,
+       p.n_docs_a, p.n_docs_b,
+       CAST(p.n_shared_clusters * 1000000
+            // least(ta.t, tb.t) AS BIGINT) AS overlap_ppm
+FROM pairs p
+JOIN tot ta ON ta.src = p.source_a
+JOIN tot tb ON tb.src = p.source_b""",
         "dedup_savings": f"""
 WITH {dups_cte},
 f AS (

@@ -3360,6 +3360,31 @@ def test_bitext_candidates_empty_docs_zero_jaccard(spark):
     assert r[0].jaccard_ppm == 0 and not r[0].is_candidate
 
 
+def test_source_overlap_matrix_hand(spark):
+    """Matrix semantics by hand: shared clusters count once however
+    many copies each side holds (doc mass reported separately),
+    containment normalizes by the smaller catalog, and pairs with
+    no shared content are absent."""
+    from web_graph_spark.functions.dedup import source_overlap_matrix
+
+    rows = [(1, "t1", "A"), (2, "t1", "B"),
+            (3, "t2", "A"), (4, "t2", "A"), (5, "t2", "C"),
+            (6, "t3", "A"), (7, "t4", "C")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    out = {(r.source_a, r.source_b): r
+           for r in source_overlap_matrix(docs).collect()}
+    assert set(out) == {("A", "B"), ("A", "C")}
+    ab = out[("A", "B")]
+    # |A| = 3 clusters, |B| = 1 -> containment of B = 1/1
+    assert (ab.n_shared_clusters, ab.n_docs_a, ab.n_docs_b) == (1, 1, 1)
+    assert ab.overlap_ppm == 1_000_000
+    ac = out[("A", "C")]
+    # t2 counts once as a cluster but A holds 2 copies; |C| = 2
+    assert (ac.n_shared_clusters, ac.n_docs_a, ac.n_docs_b) == (1, 2, 1)
+    assert ac.overlap_ppm == 1_000_000 // 2
+
+
 def test_epoch_plan_invariants(spark):
     """The planner's contract: no source exceeds 4.0 epochs, grants
     sum to min(capacity, 4x total tokens), capped sources sit below

@@ -1075,3 +1075,58 @@ def lsh_s_curve(spark, configs=((16, 4), (8, 8), (32, 2)),
                       "s_ppm", "p_and_ppm", "collide_ppm"))
         out = df if out is None else out.unionByName(df)
     return out
+
+
+def source_overlap_matrix(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          source_col: str = "source") -> DataFrame:
+    """Cross-source content-overlap matrix (E221) — the audit run
+    before mixing corpora: which sources carry the same content
+    (Common-Crawl-derived sets overlap heavily; double-counted
+    content silently re-weights the training mix E128 computes).
+    Cluster = exact content identity (md5 of the text, the E60
+    dedupe key); for every unordered source pair, the number of
+    shared clusters, the document mass each side contributes to
+    them, and the containment of the SMALLER catalog in floor ppm
+    (n_shared·10⁶ div min(|A|, |B|) — the asymmetric-size-robust
+    normalization).
+
+    Scale shape: one (cluster, source)-key agg over the corpus
+    (uniform md5 keys), then a self-join ON CLUSTER whose per-key
+    fan-out is bounded by |sources| (a dim, not a table) — never a
+    doc×doc or source-catalog×catalog product; per-source cluster
+    totals are a |sources|-row broadcast dim.
+
+    → ``(source_a, source_b, n_shared_clusters, n_docs_a, n_docs_b,
+    overlap_ppm)``.
+
+    Reference analog: none (single-source crawler); engine
+    extension (SURVEY §2.10 E221).
+    """
+    cl = (docs.select(F.md5(F.col(text_col)).alias("ck"),
+                      F.col(source_col).alias("src"))
+          .groupBy("ck", "src")
+          .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = (cl.groupBy("src")
+           .agg(F.count(F.lit(1)).cast("long").alias("t")))
+    a, b = cl.alias("a"), cl.alias("b")
+    pairs = (a.join(b, (F.col("a.ck") == F.col("b.ck"))
+                    & (F.col("a.src") < F.col("b.src")))
+             .groupBy(F.col("a.src").alias("source_a"),
+                      F.col("b.src").alias("source_b"))
+             .agg(F.count(F.lit(1)).cast("long")
+                  .alias("n_shared_clusters"),
+                  F.sum("a.n").cast("long").alias("n_docs_a"),
+                  F.sum("b.n").cast("long").alias("n_docs_b")))
+    return (pairs
+            .join(F.broadcast(tot.select(
+                F.col("src").alias("source_a"),
+                F.col("t").alias("ta"))), "source_a")
+            .join(F.broadcast(tot.select(
+                F.col("src").alias("source_b"),
+                F.col("t").alias("tb"))), "source_b")
+            .select("source_a", "source_b", "n_shared_clusters",
+                    "n_docs_a", "n_docs_b",
+                    F.expr("n_shared_clusters * 1000000 div "
+                           "least(ta, tb)").cast("long")
+                    .alias("overlap_ppm")))
