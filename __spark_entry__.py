@@ -5390,6 +5390,20 @@ def q_events_seasonal_index(spark: SparkSession, sf_dir: str
     return seasonal_profile(ev)
 
 
+def q_events_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion per event type (functions/stats.py:
+    dispersion_index E222): variance-to-mean of per-hour counts over
+    the shared clock grid in floor ppm — 1e6 = Poisson-compatible,
+    above = bursty, below = metronomic; the how-clumpy complement to
+    the seasonal profile's where-in-the-day.  Zero buckets enter
+    implicitly (only the global hour count is materialized); n·Σx²
+    rides decimal(38,0)."""
+    from web_graph_spark.functions.stats import dispersion_index
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dispersion_index(ev)
+
+
 def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters (functions/stats.py:
     countmin_heavy_hitters E88): the fixed-size-state frequency tier
@@ -6426,6 +6440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": q_events_quantiles,
         "events_hourly": q_events_hourly,
         "events_seasonal_index": q_events_seasonal_index,
+        "events_dispersion": q_events_dispersion,
         "events_heavy_hitters": q_events_heavy_hitters,
         "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,
@@ -10374,6 +10389,29 @@ FROM s GROUP BY 1""",
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        CAST(floor(sum(value) * 100) AS BIGINT) AS sum_value_c
 FROM events GROUP BY 1, 2""",
+        "events_dispersion": """
+WITH b AS (
+  SELECT event_type AS etype, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+nh AS (SELECT CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+         AS n FROM events),
+per AS (
+  SELECT etype, CAST(sum(x) AS BIGINT) AS s,
+         sum(CAST(x AS HUGEINT) * x) AS sx2
+  FROM b GROUP BY 1)
+SELECT p.etype AS event_type, nh.n AS n_buckets, p.s AS n_events,
+       CAST(p.s * 1000000 // nh.n AS BIGINT) AS mean_per_bucket_ppm,
+       CAST(CASE WHEN nh.n >= 2 THEN
+              (nh.n * p.sx2 - CAST(p.s AS HUGEINT) * p.s) * 1000000
+                // ((nh.n - 1) * CAST(p.s AS HUGEINT))
+            END AS BIGINT) AS dispersion_ppm,
+       CASE WHEN nh.n >= 2 THEN
+         CAST((nh.n * p.sx2 - CAST(p.s AS HUGEINT) * p.s) * 1000000
+              // ((nh.n - 1) * CAST(p.s AS HUGEINT)) AS BIGINT)
+           >= 2000000
+       END AS overdispersed
+FROM per p CROSS JOIN nh""",
         "events_seasonal_index": """
 WITH cnt AS (
   SELECT event_type AS etype, CAST(hour(ts) AS INT) AS hod,

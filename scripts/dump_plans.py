@@ -108,6 +108,11 @@ ALLOW: dict[tuple[str, str], str] = {
     ("embed_pca", "Exchange SinglePartition"):
         "the same 1-row global variance aggregate; partial sums "
         "upstream",
+    ("events_dispersion", "BroadcastNestedLoopJoin"):
+        "the 1-row global hour-count dim broadcast onto the "
+        "|types|-row fold",
+    ("events_dispersion", "Exchange SinglePartition"):
+        "the same 1-row distinct-hours aggregate; partials upstream",
     ("events_seasonal_index", "BroadcastNestedLoopJoin"):
         "the |types| x 24-hour densify grid: both sides are bounded "
         "aggregation outputs (types dim x a 24-row literal)",

@@ -3385,6 +3385,32 @@ def test_source_overlap_matrix_hand(spark):
     assert ac.overlap_ppm == 1_000_000 // 2
 
 
+def test_dispersion_index_poisson_burst_metronome(spark):
+    """Hand series over a 4-hour shared grid: a perfectly uniform
+    type disperses to 0 (metronomic), a one-hour burst overdisperses
+    (D = n·burst·1e6/... exceeds 1e6), and the quiet hours of the
+    bursty type count because the grid is shared."""
+    from web_graph_spark.functions.stats import dispersion_index
+
+    rows = []
+    # uniform: 5 events in each of 4 hours -> variance 0
+    for h in range(4):
+        rows += [("2024-05-01 %02d:00:00" % h, "flat")] * 5
+    # burst: 8 events all in hour 0; hours 1-3 exist via 'flat'
+    rows += [("2024-05-01 00:15:00", "burst")] * 8
+    ev = spark.createDataFrame(rows, "ts_s string, event_type string") \
+        .selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "event_type")
+    out = {r.event_type: r for r in dispersion_index(ev).collect()}
+    flat = out["flat"]
+    assert flat.n_buckets == 4 and flat.n_events == 20
+    assert flat.dispersion_ppm == 0 and not flat.overdispersed
+    burst = out["burst"]
+    # x = (8,0,0,0): n=4, S=8, Sx2=64 -> D = (4*64-64)*1e6/(3*8) = 8e6
+    assert burst.dispersion_ppm == 8_000_000
+    assert burst.overdispersed
+    assert burst.mean_per_bucket_ppm == 2_000_000
+
+
 def test_epoch_plan_invariants(spark):
     """The planner's contract: no source exceeds 4.0 epochs, grants
     sum to min(capacity, 4x total tokens), capped sources sit below

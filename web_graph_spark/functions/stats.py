@@ -2179,3 +2179,59 @@ def seasonal_profile(events: DataFrame, ts_col: str = "ts",
                            "DECIMAL(38,0)) * t) AS BIGINT)")
                     .alias("hhi_ppm"),
                     "is_peak", "is_trough"))
+
+
+def dispersion_index(events: DataFrame, ts_col: str = "ts",
+                     type_col: str = "event_type",
+                     flag_ppm: int = 2_000_000) -> DataFrame:
+    """Index of dispersion / Fano factor per event type (E222) — the
+    Poisson-or-bursty verdict over hourly buckets: variance-to-mean
+    of per-hour counts, 1e6 ppm = Poisson-compatible, well above =
+    bursty (retry storms, thundering herds, bot bursts), well below
+    = metronomic (rate-limited clients).  The single number that
+    complements E217's WHERE-in-the-day profile with HOW-clumpy.
+
+    Exact algebra: over the SHARED clock grid (every hour observed
+    anywhere in the stream — a per-type observed-buckets-only grid
+    would hide burstiness exactly for the burstiest types, whose
+    quiet hours vanish), sample variance / mean collapses to
+    ``D_ppm = (n·Σx² − S²)·10⁶ div ((n−1)·S)`` — zero buckets
+    contribute nothing to Σx², so the densify is IMPLICIT: only n
+    (the global hour count) and each type's observed buckets are
+    ever materialized.  ``n·Σx²`` rides decimal(38,0).  Types need
+    S > 0 by construction; n ≥ 2 guarded (NULL below).
+
+    → ``(type, n_buckets, n_events, mean_per_bucket_ppm,
+    dispersion_ppm, overdispersed)``.
+
+    Scale shape: one (type, hour) agg (bounded keys), one 1-row
+    global hour-count dim broadcast back, one |types|-key fold.
+
+    Reference analog: queue length is logged but never analyzed
+    (cmd/link-processor/main.go:210); engine extension (SURVEY
+    §2.10 E222).
+    """
+    b = (events.groupBy(F.col(type_col).alias("etype"),
+                        F.date_trunc("hour", ts_col).alias("h"))
+         .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    nh = (events.select(F.date_trunc("hour", ts_col).alias("h"))
+          .distinct()
+          .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    per = (b.groupBy("etype")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_observed"),
+                F.sum("x").cast("long").alias("s"),
+                F.sum((F.col("x") * F.col("x"))
+                      .cast("decimal(38,0)")).alias("sx2")))
+    return (per.crossJoin(F.broadcast(nh))
+            .select(F.col("etype").alias(type_col),
+                    F.col("n").alias("n_buckets"),
+                    F.col("s").alias("n_events"),
+                    F.expr("s * 1000000 div n").cast("long")
+                    .alias("mean_per_bucket_ppm"),
+                    F.expr(
+                        "CASE WHEN n >= 2 THEN CAST((n * sx2 - "
+                        "CAST(s AS DECIMAL(38,0)) * s) * 1000000 div "
+                        "((n - 1) * CAST(s AS DECIMAL(38,0))) "
+                        "AS BIGINT) END").alias("dispersion_ppm"))
+            .withColumn("overdispersed",
+                        F.col("dispersion_ppm") >= flag_ppm))
