@@ -861,6 +861,70 @@ def q_text_bitext_candidates(spark: SparkSession, sf_dir: str
     return bitext_candidates(docs, e)
 
 
+def q_text_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage audit (functions/text.py:mojibake_audit E223)
+    over a deterministically damaged corpus: doc_id congruences
+    append a cp1252-mojibake 'cafÃ©' tail, a smart-quote digraph
+    run, and a U+FFFD replacement char (the synthetic corpus is
+    clean ASCII, so damage is planted — the oracle plants
+    identically from the SAME derived digraph table).  Counting is
+    literal string arithmetic, no non-ASCII regex classes; one
+    codegen'd projection."""
+    from web_graph_spark.functions.text import (MOJIBAKE_DIGRAPHS,
+                                                REPLACEMENT_CHAR,
+                                                mojibake_audit)
+
+    did = F.col("doc_id")
+    inj = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 19 == 0,
+                   F.lit(" caf" + MOJIBAKE_DIGRAPHS[0]))
+            .otherwise(F.lit("")),
+            F.when(did % 23 == 0,
+                   F.lit(" don" + MOJIBAKE_DIGRAPHS[7] + "t"))
+            .otherwise(F.lit("")),
+            F.when(did % 31 == 0, F.lit(" " + REPLACEMENT_CHAR))
+            .otherwise(F.lit(""))).alias("text"))
+    return mojibake_audit(inj)
+
+
+def _mojibake_sql() -> str:
+    """Oracle for q_text_mojibake: identical injection and literal
+    counting, generated from the SAME derived digraph table the
+    Spark side imports."""
+    from web_graph_spark.functions.text import (MOJIBAKE_DIGRAPHS,
+                                                REPLACEMENT_CHAR,
+                                                _lit_count_sql)
+
+    def sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    digs = " + ".join(_lit_count_sql("text", d)
+                      for d in MOJIBAKE_DIGRAPHS)
+    rep = _lit_count_sql("text", REPLACEMENT_CHAR)
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 19 = 0
+                   THEN ' caf{sq(MOJIBAKE_DIGRAPHS[0])}'
+                   ELSE '' END
+           || CASE WHEN doc_id % 23 = 0
+                   THEN ' don{sq(MOJIBAKE_DIGRAPHS[7])}t'
+                   ELSE '' END
+           || CASE WHEN doc_id % 31 = 0
+                   THEN ' {REPLACEMENT_CHAR}' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST({rep} AS BIGINT) AS n_replacement,
+       CAST({digs} AS BIGINT) AS n_digraphs,
+       ({rep}) + ({digs}) > 0 AS damaged
+FROM inj"""
+
+
 def q_docs_interleave_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modality run-length profile of the interleaved span docs
     (functions/media.py:interleave_runs E214): per document the
@@ -6366,6 +6430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_code_detect": q_text_code_detect,
         "text_lexicon_filter": q_text_lexicon_filter,
         "text_bitext_candidates": q_text_bitext_candidates,
+        "text_mojibake": q_text_mojibake,
         "text_search_topk": q_text_search_topk,
         "text_bm25_topk": q_text_bm25_topk,
         "text_retrieval_eval": q_text_retrieval_eval,
@@ -8863,6 +8928,7 @@ FROM ranked WHERE rank <= 2""",
         "text_lang_id": f"""
 SELECT doc_id, lang, {lang_guess_sql('text')} AS lang_guess
 FROM documents""",
+        "text_mojibake": _mojibake_sql(),
         "text_bitext_candidates": _oracle("""
 , e AS (
   SELECT src_doc_id AS s, tgt_doc_id AS t

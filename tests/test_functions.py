@@ -3411,6 +3411,35 @@ def test_dispersion_index_poisson_burst_metronome(spark):
     assert burst.mean_per_bucket_ppm == 2_000_000
 
 
+def test_mojibake_audit_hand_damage(spark):
+    """The derived digraph table detects planted damage: a clean doc
+    scores zero; each mojibake form counts exactly; a doc holding
+    the SOURCE characters (real é, real ’) is NOT damaged — only
+    the mis-decoded digraphs trip the audit."""
+    from web_graph_spark.functions.text import (MOJIBAKE_DIGRAPHS,
+                                                REPLACEMENT_CHAR,
+                                                mojibake_audit)
+
+    e9, quote = MOJIBAKE_DIGRAPHS[0], MOJIBAKE_DIGRAPHS[7]
+    rows = [
+        (1, "perfectly clean ascii text"),
+        (2, f"caf{e9} twice caf{e9}"),          # 2 digraphs
+        (3, f"don{quote}t stop"),                # 1 three-char digraph
+        (4, f"broken {REPLACEMENT_CHAR}{REPLACEMENT_CHAR}"),
+        (5, "café and don’t are healthy"),  # real chars, clean
+    ]
+    out = {r.doc_id: r for r in mojibake_audit(
+        spark.createDataFrame(rows, "doc_id long, text string"))
+        .collect()}
+    assert (out[1].n_replacement, out[1].n_digraphs,
+            out[1].damaged) == (0, 0, False)
+    assert (out[2].n_digraphs, out[2].damaged) == (2, True)
+    assert (out[3].n_digraphs, out[3].damaged) == (1, True)
+    assert (out[4].n_replacement, out[4].damaged) == (2, True)
+    assert (out[5].n_replacement, out[5].n_digraphs,
+            out[5].damaged) == (0, 0, False)
+
+
 def test_epoch_plan_invariants(spark):
     """The planner's contract: no source exceeds 4.0 epochs, grants
     sum to min(capacity, 4x total tokens), capped sources sit below

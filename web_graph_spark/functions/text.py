@@ -2485,3 +2485,71 @@ def bitext_candidates(docs: DataFrame, edges: DataFrame,
                    .alias("jaccard_ppm")))
     return out.withColumn("is_candidate",
                           F.col("jaccard_ppm") >= tau_ppm)
+
+
+# The classic UTF-8-read-as-Windows-1252 damage signatures, DERIVED
+# (not pasted -- several contain C1-range characters no editor shows):
+# each intended character, encoded to UTF-8 and mis-decoded as
+# cp1252, yields the digraph a damaged document actually carries
+# (e -> 'A~(c)'-style pairs, smart punctuation -> 'a EUR ...' runs,
+# NBSP -> the 'A ' pair).  Shared verbatim by both engines -- the
+# oracle SQL is generated from this same table, so matching is pure
+# literal string arithmetic with no regex dialect in play.
+MOJIBAKE_SOURCE = ("\u00e9", "\u00e8", "\u00e4", "\u00f6",
+                   "\u00fc", "\u00f1", "\u00e7", "\u2019",
+                   "\u201c", "\u2013", "\u00a0")
+MOJIBAKE_DIGRAPHS = tuple(
+    c.encode("utf-8").decode("cp1252") for c in MOJIBAKE_SOURCE)
+REPLACEMENT_CHAR = "\ufffd"
+
+
+def _lit_count_sql(text_col: str, s: str) -> str:
+    """occurrences of literal s in text_col as pure string
+    arithmetic: (len(t) - len(replace(t, s, ''))) / len(s) --
+    identical semantics in Spark SQL and DuckDB."""
+    lit = s.replace("\\", "\\\\").replace("'", "''")
+    return (f"(length({text_col}) - length(replace({text_col}, "
+            f"'{lit}', ''))) // {len(s)}")
+
+
+def mojibake_audit(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Encoding-damage audit (E223) -- the mojibake detector a
+    curation pipeline runs before language ID and tokenization
+    (double-encoded UTF-8 shreds both): per document the count of
+    U+FFFD replacement characters (a decoder already gave up) and of
+    the classic UTF-8-read-as-cp1252 signatures (the
+    :data:`MOJIBAKE_DIGRAPHS` table, shared verbatim with the
+    oracle), plus the verdict.
+
+    Determinism discipline: matching is LITERAL -- occurrences
+    counted as ``(len(t) - len(replace(t, s, ''))) div len(s)``,
+    pure string arithmetic identical in any engine; regex character
+    classes over non-ASCII are exactly where Java-regex and RE2
+    dialects diverge, so none are used.
+
+    -> ``(doc_id, n_replacement, n_digraphs, damaged)``.
+
+    Scale shape: ONE codegen'd projection -- no shuffle, no join, no
+    Python; a 10^10-doc table pays exactly its scan.
+
+    Reference analog: ToValidUTF8 sanitizes silently
+    (linkstorage.go UTF-8 scrub; canon.py:298-309 twin); this audit
+    COUNTS what sanitizing would destroy; engine extension (SURVEY
+    2.10 E223).
+    """
+    def cnt(s: str):
+        lit = s.replace("\\", "\\\\").replace("'", "\\'")
+        return F.expr(f"(length({text_col}) - length(replace("
+                      f"{text_col}, '{lit}', ''))) div {len(s)}")
+
+    n_rep = cnt(REPLACEMENT_CHAR).cast("long")
+    n_dig = None
+    for d in MOJIBAKE_DIGRAPHS:
+        term = cnt(d)
+        n_dig = term if n_dig is None else (n_dig + term)
+    return docs.select(
+        F.col(id_col), n_rep.alias("n_replacement"),
+        n_dig.cast("long").alias("n_digraphs")).withColumn(
+        "damaged",
+        (F.col("n_replacement") + F.col("n_digraphs")) > 0)
