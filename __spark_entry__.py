@@ -4522,6 +4522,47 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "rank", "vec_id", "sim_ppm"))
 
 
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN with radius-1 multiprobe (E224): top-5 within a
+    metadata predicate (same label as the query — the "search my
+    class" case every vector store now serves).  A selective filter
+    empties single IVF cells, so the probe set widens
+    DETERMINISTICALLY to the query's hyperoctant cell plus every
+    Hamming-≤2 neighbor (11 of 16 cells here; at production bit
+    widths radius-2 of 2^16 cells is still a ~0.2% probe) — the
+    multiprobe answer to filter selectivity, not a data-dependent
+    accumulation loop.  Probes expand to an equi-join dim (55 rows:
+    5 queries × 11 cells) — broadcast hash join, no BNLJ; exact
+    cosine re-rank."""
+    from web_graph_spark.functions.similarity import cosine
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "bucket", _sign_bucket(F.col("embedding")))
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec"),
+                 F.col("label").alias("q_label"), "bucket"))
+    qb = F.col("bucket")
+    masks = [0, 1, 2, 4, 8, 3, 5, 9, 6, 10, 12]  # popcount <= 2
+    probes = q.select(
+        "q_id", "q_vec", "q_label",
+        F.explode(F.array(*[qb.bitwiseXOR(F.lit(m))
+                            for m in masks])).alias("bucket"))
+    j = (emb.join(F.broadcast(probes),
+                  (emb["bucket"] == probes["bucket"])
+                  & (emb["label"] == probes["q_label"]))
+         .filter(F.col("vec_id") != F.col("q_id"))
+         .withColumn("sim_ppm",
+                     F.floor(cosine(F.col("embedding"),
+                                    F.col("q_vec"))
+                             * 1000000).cast("long")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_ppm"),
+                                           F.col("vec_id"))
+    return (j.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("q_id", "rank", "vec_id", "sim_ppm"))
+
+
 def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine ANN evaluation (E195): recall@k of the E7 IVF tier
     against the E6 exact baseline, per query and k ∈ {1, 3, 5} — the
@@ -6482,6 +6523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_filtered_topk": q_ann_filtered_topk,
         "ann_recall_audit": q_ann_recall_audit,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_pq_topk": q_ann_pq_topk,
@@ -8424,6 +8466,44 @@ SELECT q.q_id, CAST(k.k AS INTEGER) AS k,
            AS recall_ppm
 FROM q CROSS JOIN ks k
 LEFT JOIN hits h ON h.q_id = q.q_id AND h.k = k.k""",
+        "ann_filtered_topk": """
+WITH b AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+           (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, v AS q_vec, label AS q_label, bucket
+      FROM b WHERE vec_id < 5),
+probes AS (
+  SELECT q.q_id, q.q_vec, q.q_label, p.bucket
+  FROM q, LATERAL unnest([xor(q.bucket, 0), xor(q.bucket, 1),
+                          xor(q.bucket, 2), xor(q.bucket, 4),
+                          xor(q.bucket, 8), xor(q.bucket, 3),
+                          xor(q.bucket, 5), xor(q.bucket, 9),
+                          xor(q.bucket, 6), xor(q.bucket, 10),
+                          xor(q.bucket, 12)]) AS p(bucket)
+),
+sims AS (
+  SELECT p.q_id, b.vec_id,
+         CAST(floor(
+           list_dot_product(b.v, p.q_vec)
+           / (sqrt(list_dot_product(b.v, b.v))
+              * sqrt(list_dot_product(p.q_vec, p.q_vec)))
+           * 1000000) AS BIGINT) AS sim_ppm
+  FROM b
+  JOIN probes p ON p.bucket = b.bucket AND p.q_label = b.label
+  WHERE b.vec_id <> p.q_id
+),
+r AS (
+  SELECT q_id, vec_id, sim_ppm,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY sim_ppm DESC, vec_id) AS INTEGER) AS rank
+  FROM sims
+)
+SELECT q_id, rank, vec_id, sim_ppm FROM r WHERE rank <= 5""",
         "ann_ivf_topk": """
 WITH b AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -3440,6 +3440,48 @@ def test_mojibake_audit_hand_damage(spark):
             out[5].damaged) == (0, 0, False)
 
 
+def test_ann_filtered_topk_predicate_and_recall(spark):
+    """Every filtered-ANN hit satisfies the label predicate; ranks
+    are dense per query; and radius-1 multiprobe recall@5 vs the
+    exact same-label baseline clears 0.6 on the smoke corpus (a
+    single-cell probe under a 1-in-10 filter would not)."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_SMOKE
+
+    rows = entry.q_ann_filtered_topk(spark, SF_SMOKE).collect()
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    labels = {r.vec_id: r.label for r in
+              emb.select("vec_id", "label").collect()}
+    by_q = {}
+    for r in rows:
+        assert labels[r.vec_id] == labels[r.q_id]
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rs in by_q.items():
+        assert [r.rank for r in
+                sorted(rs, key=lambda r: r.rank)] == list(
+            range(1, len(rs) + 1))
+    # exact same-label baseline
+    import math
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a)
+                             * sum(y * y for y in b))
+
+    hits = total = 0
+    for q in by_q:
+        cands = [(v, cos(vecs[q], vecs[v])) for v in vecs
+                 if v != q and labels[v] == labels[q]]
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        truth = {v for v, _ in cands[:5]}
+        got = {r.vec_id for r in by_q[q]}
+        hits += len(truth & got)
+        total += len(truth)
+    assert total > 0 and hits / total >= 0.6, (hits, total)
+
+
 def test_epoch_plan_invariants(spark):
     """The planner's contract: no source exceeds 4.0 epochs, grants
     sum to min(capacity, 4x total tokens), capped sources sit below
