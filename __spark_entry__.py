@@ -1937,6 +1937,22 @@ def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return double_sweep_diameter(e, v)
 
 
+def q_graph_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global motif census (operators/graph_algos.py:motif_census
+    E225): wedges, triangles, 4-cycles, and global clustering 3T/W
+    in floor ppm over the undirected admissible link graph — the
+    structure constants separating hub-and-spoke from mesh and
+    surfacing templated-navigation 4-cycle excess.  One wedge
+    enumeration reused three ways; both divisions exact by
+    construction; oracle replays the identical combinatorics."""
+    from web_graph_spark.operators.graph_algos import motif_census
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    return motif_census(e)
+
+
 def q_graph_degree_mixing(spark: SparkSession, sf_dir: str
                           ) -> DataFrame:
     """Degree-mixing curve + rich club (operators/graph_algos.py:
@@ -6433,6 +6449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_depths": q_graph_bfs_depths,
         "graph_diameter": q_graph_diameter,
         "graph_degree_mixing": q_graph_degree_mixing,
+        "graph_motifs": q_graph_motifs,
         "graph_pagerank": q_graph_pagerank,
         "graph_hits": q_graph_hits,
         "graph_scc": q_graph_scc,
@@ -7878,6 +7895,37 @@ bfs(node, depth) AS (
 )
 SELECT node AS doc_id, CAST(min(depth) AS BIGINT) AS depth
 FROM bfs GROUP BY 1"""),
+        "graph_motifs": _oracle("""
+, e0 AS (
+  SELECT DISTINCT src_doc_id AS s, tgt_doc_id AS t
+  FROM web_links_full WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id
+),
+und AS MATERIALIZED (
+  SELECT s, t FROM e0 UNION SELECT t, s FROM e0
+),
+dg AS (SELECT s AS v, CAST(count(*) AS BIGINT) AS d
+       FROM und GROUP BY 1),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+         sum(CAST(d * (d - 1) // 2 AS HUGEINT)) AS w
+  FROM dg),
+cn AS MATERIALIZED (
+  SELECT a.t AS u, b.t AS v, CAST(count(*) AS BIGINT) AS cn
+  FROM und a JOIN und b ON b.s = a.s AND a.t < b.t
+  GROUP BY 1, 2),
+tri AS (
+  SELECT sum(CAST(c.cn AS HUGEINT)) AS t3
+  FROM cn c JOIN und e ON e.s = c.u AND e.t = c.v),
+c4 AS (SELECT sum(CAST(c.cn * (c.cn - 1) // 2 AS HUGEINT)) AS q2
+       FROM cn c)
+SELECT b.n_nodes, b.n_edges, CAST(b.w AS BIGINT) AS n_wedges,
+       CAST(coalesce(t.t3, 0) // 3 AS BIGINT) AS n_triangles,
+       CAST(coalesce(c.q2, 0) // 2 AS BIGINT) AS n_4cycles,
+       CASE WHEN b.w > 0 THEN
+         CAST(coalesce(t.t3, 0) * 1000000 // b.w AS BIGINT)
+       ELSE 0 END AS clustering_ppm
+FROM base b CROSS JOIN tri t CROSS JOIN c4 c"""),
         "graph_degree_mixing": _oracle("""
 , e0 AS (
   SELECT DISTINCT src_doc_id AS s, tgt_doc_id AS t

@@ -93,6 +93,11 @@ ALLOW: dict[tuple[str, str], str] = {
     ("graph_degree_mixing", "Exchange SinglePartition"):
         "cumulative window over the DEGREE-CLASS dim (bounded by "
         "max degree), never the vertex or edge stream",
+    ("graph_motifs", "BroadcastNestedLoopJoin"):
+        "three 1-row census aggregates (degree fold, triangle sum, "
+        "4-cycle sum) crossed together",
+    ("graph_motifs", "Exchange SinglePartition"):
+        "the same 1-row global sums; partials upstream",
     ("graph_diameter", "BroadcastNestedLoopJoin"):
         "the 1-row (diameter_lb, n_reached) summary dim broadcast "
         "onto the bounded per-level histogram",

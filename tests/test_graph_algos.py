@@ -1486,3 +1486,35 @@ def test_degree_mixing_drops_self_loops_and_direction(spark):
     r = rows[0]
     assert (r.deg, r.n_nodes, r.knn_ppm) == (1, 2, 1_000_000)
     assert r.n_richer == 0 and r.rich_club_ppm is None
+
+
+@pytest.mark.spark
+def test_motif_census_textbook_graphs(spark):
+    """K3: 3 wedges, 1 triangle, 0 4-cycles, clustering 1e6.  C4:
+    4 wedges, 0 triangles, 1 4-cycle.  K4: 12 wedges, 4 triangles,
+    3 (chorded) 4-cycles, clustering 1e6.  Star K1,3: 3 wedges and
+    nothing closes."""
+    from web_graph_spark.operators.graph_algos import motif_census
+
+    def census(edges):
+        e = spark.createDataFrame(
+            edges, "src_doc_id long, tgt_doc_id long")
+        return motif_census(e).collect()[0]
+
+    k3 = census([(0, 1), (1, 2), (2, 0)])
+    assert (k3.n_nodes, k3.n_edges, k3.n_wedges) == (3, 3, 3)
+    assert (k3.n_triangles, k3.n_4cycles) == (1, 0)
+    assert k3.clustering_ppm == 1_000_000
+
+    c4 = census([(0, 1), (1, 2), (2, 3), (3, 0)])
+    assert (c4.n_wedges, c4.n_triangles, c4.n_4cycles) == (4, 0, 1)
+    assert c4.clustering_ppm == 0
+
+    k4 = census([(a, b) for a in range(4) for b in range(a + 1, 4)])
+    assert (k4.n_nodes, k4.n_edges, k4.n_wedges) == (4, 6, 12)
+    assert (k4.n_triangles, k4.n_4cycles) == (4, 3)
+    assert k4.clustering_ppm == 1_000_000
+
+    star = census([(0, 1), (0, 2), (0, 3)])
+    assert (star.n_wedges, star.n_triangles, star.n_4cycles) == (3, 0, 0)
+    assert star.clustering_ppm == 0

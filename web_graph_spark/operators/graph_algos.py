@@ -2320,3 +2320,73 @@ def degree_mixing_curve(edges: DataFrame, src: str = "src_doc_id",
                            "2 * e_richer * 1000000 div "
                            "(n_richer * (n_richer - 1)) END")
                     .cast("long").alias("rich_club_ppm")))
+
+
+def motif_census(edges: DataFrame, src: str = "src_doc_id",
+                 dst: str = "tgt_doc_id") -> DataFrame:
+    """Global motif census (E225): wedges, triangles, 4-cycles, and
+    the global clustering coefficient 3T/W in floor ppm — one row of
+    structure constants distinguishing a hub-and-spoke web (many
+    wedges, few closures) from a mesh (high closure) and surfacing
+    the templated-navigation signature (4-cycles from grid/paginated
+    link blocks far in excess of triangle closure).  Undirected
+    simple view; chorded 4-cycles count (subgraph census semantics).
+
+    Exact combinatorics from ONE wedge enumeration — the standard
+    Σ C(deg_w, 2) cost triangles already pay, reused three ways:
+    common-neighbor counts cn(u,v) per wedge-connected pair, then
+
+    * ``W = Σ_v C(deg_v, 2)`` (degree fold, no join),
+    * ``3T = Σ_{(u,v)∈E} cn(u,v)`` (pair table ⋈ edge set),
+    * ``2·C4 = Σ_{u<v} C(cn(u,v), 2)`` (each cycle counted once per
+      diagonal) — both divisions exact by construction.
+
+    Counts ride decimal(38,0) (wedge sums pass BIGINT at 10^7-degree
+    hubs).  Skew note: a 10^7-degree hub contributes C(10^7,2)
+    wedge pairs — at that scale the census runs on the degree-capped
+    graph like every triangle counter (cap upstream; the operator
+    itself is one groupBy-join chain on uniform vertex keys).
+
+    → 1 row ``(n_nodes, n_edges, n_wedges, n_triangles, n_4cycles,
+    clustering_ppm)``.
+
+    Reference analog: none; engine extension (SURVEY §2.10 E225).
+    """
+    e = (edges.select(F.col(src).cast("long").alias("s"),
+                      F.col(dst).cast("long").alias("t"))
+         .filter(F.col("s") != F.col("t")))
+    und = e.unionByName(e.select(F.col("t").alias("s"),
+                                 F.col("s").alias("t"))).distinct()
+    und = und.localCheckpoint()
+    deg = und.groupBy(F.col("s").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d"))
+    base = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.expr("sum(d) div 2").cast("long").alias("n_edges"),
+        F.sum(F.expr("cast(d * (d - 1) div 2 as decimal(38,0))"))
+        .alias("w"))
+    # common-neighbor counts for every wedge-connected pair u < v
+    a = und.select(F.col("s").alias("w"), F.col("t").alias("u"))
+    b = und.select(F.col("s").alias("w"), F.col("t").alias("v"))
+    cn = (a.join(b, "w")
+          .filter(F.col("u") < F.col("v"))
+          .groupBy("u", "v")
+          .agg(F.count(F.lit(1)).cast("long").alias("cn")))
+    tri = (cn.join(und.select(F.col("s").alias("u"),
+                              F.col("t").alias("v")), ["u", "v"],
+                   "left_semi")
+           .agg(F.sum(F.col("cn").cast("decimal(38,0)"))
+                .alias("t3")))
+    c4 = cn.agg(F.sum(F.expr(
+        "cast(cn * (cn - 1) div 2 as decimal(38,0))")).alias("q2"))
+    return (base.crossJoin(F.broadcast(tri))
+            .crossJoin(F.broadcast(c4))
+            .select("n_nodes", "n_edges",
+                    F.col("w").cast("long").alias("n_wedges"),
+                    F.expr("CAST(coalesce(t3, 0) div 3 AS BIGINT)")
+                    .alias("n_triangles"),
+                    F.expr("CAST(coalesce(q2, 0) div 2 AS BIGINT)")
+                    .alias("n_4cycles"),
+                    F.expr("CASE WHEN w > 0 THEN CAST(coalesce(t3, 0)"
+                           " * 1000000 div w AS BIGINT) ELSE 0 END")
+                    .alias("clustering_ppm")))
