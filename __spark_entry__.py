@@ -6233,6 +6233,38 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("count_order")))
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: BUILDING-segment customers
+    (a selective dim — BROADCAST onto orders), orders placed before /
+    lines shipped after the cutoff, revenue per order in cents
+    floored PER LINE before the integer sum (a float Σ then ×100 is
+    aggregation-order-dependent; Q1's coarse totals tolerate it,
+    a top-10 ranking cannot), global top-10 by revenue with
+    orderkey tie-break — a TakeOrdered map-side heap, never a
+    global sort."""
+    cutoff = "1998-01-01"
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .filter(F.col("c_mktsegment") == "BUILDING")
+         .select("c_custkey"))
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter(F.col("o_orderdate") < F.lit(cutoff))
+         .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .filter(F.col("l_shipdate") > F.lit(cutoff))
+          .select("l_orderkey",
+                  F.floor(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 100)
+                  .cast("long").alias("rev_c")))
+    j = (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+         .join(li, o["o_orderkey"] == li["l_orderkey"])
+         .groupBy("o_orderkey", "o_orderdate")
+         .agg(F.sum("rev_c").cast("long").alias("revenue_c")))
+    return (j.orderBy(F.desc("revenue_c"), "o_orderkey").limit(10)
+            .select("o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"), "revenue_c"))
+
+
 def q_topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by price per customer (WindowGroupLimit top-k)."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -6628,6 +6660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_sniff": q_media_sniff,
         "corpus_zonemap_audit": q_corpus_zonemap_audit,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
         "orders_fk_audit": q_orders_fk_audit,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
@@ -11474,6 +11507,20 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY 1, 2""",
+        "tpch_q3": """
+SELECT o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                           * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2
+ORDER BY revenue_c DESC, o.o_orderkey
+LIMIT 10""",
         "topk_orders_per_cust": """
 WITH r AS (
   SELECT o_custkey, o_orderkey, o_totalprice,

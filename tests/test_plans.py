@@ -345,3 +345,20 @@ def test_take_global_plan_has_no_global_sort(spark):
     assert "TakeOrderedAndProject" not in plan, plan
     assert "Window" not in plan, plan
     assert "rangepartitioning" in plan, plan
+
+
+@pytest.mark.spark
+def test_tpch_q3_broadcast_and_takeordered(spark):
+    """Q3's plan: the BUILDING customer dim broadcasts, both date
+    filters reach the parquet scans, and the global top-10 is a
+    TakeOrdered map-side heap — never a full sort of the order
+    revenues."""
+    import __spark_entry__ as e
+
+    df = e.queries()["tpch_q3"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert_broadcast_join(df)
+    assert_pushed_filter(df, "o_orderdate")
+    assert_pushed_filter(df, "l_shipdate")
+    assert_no_python_udf(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
