@@ -4629,6 +4629,69 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.expr("n_hits * 1000000 div k").cast("long")))
 
 
+def q_embed_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 retrieval-impact audit (E227): does int8 quantization
+    change WHO you retrieve, not just how much error it adds?  The
+    E177 audit prices per-dimension reconstruction error; this one
+    prices the consequence — recall@5 of the cosine ranking over
+    RECONSTRUCTED vectors (max-abs scale, round-half-up code,
+    x̂ = code·scale/127 — the E177 semantics verbatim) against the
+    fp ranking, per query.  The SQ8 go/no-go a vector deployment
+    actually reads.  Both rankings share the µ-floored cosine +
+    vec_id tie; oracle replays codes, reconstruction, and both
+    rankings."""
+    from web_graph_spark.functions.similarity import cosine
+
+    emb = _emb(spark, sf_dir)
+    pairs = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")) \
+        .select("vec_id", "dim", F.col("x").cast("double").alias("x"))
+    scales = pairs.groupBy("dim").agg(
+        F.max(F.abs(F.col("x"))).alias("scale"))
+    recon = (pairs.join(F.broadcast(scales), "dim")
+             .select("vec_id", "dim",
+                     F.when(F.col("scale") > 0,
+                            F.floor(F.col("x") * 127 / F.col("scale")
+                                    + 0.5) * F.col("scale") / 127)
+                     .otherwise(F.lit(0.0)).alias("xh"))
+             .groupBy("vec_id")
+             .agg(F.array_sort(F.collect_list(F.struct("dim", "xh")))
+                  .alias("dx"))
+             .select("vec_id", F.col("dx.xh").alias("rv"))
+             .localCheckpoint())
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_ppm"),
+                                           F.col("vec_id"))
+
+    def top5(items, vcol, q, qcol):
+        j = (items.crossJoin(F.broadcast(q))
+             .filter(F.col("vec_id") != F.col("q_id"))
+             .withColumn("sim_ppm",
+                         F.floor(cosine(F.col(vcol), F.col(qcol))
+                                 * 1000000).cast("long")))
+        return (j.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 5)
+                .select("q_id", "vec_id"))
+    qf = (emb.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    qq = (recon.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("rv").alias("q_rv")))
+    tf = top5(emb.select("vec_id", "embedding"), "embedding",
+              qf, "q_vec")
+    tq = top5(recon, "rv", qq, "q_rv")
+    hits = (tf.join(tq, ["q_id", "vec_id"])
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    return (qf.select("q_id").join(hits, "q_id", "left")
+            .select("q_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"))
+            .withColumn("recall_ppm",
+                        F.expr("n_hits * 1000000 div 5")
+                        .cast("long")))
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path #2: random-hyperplane LSH (6 tables × 6 bits,
     Arrow-batched signature UDF), exact re-rank within collisions.
@@ -6573,6 +6636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_filtered_topk": q_ann_filtered_topk,
+        "embed_sq8_recall": q_embed_sq8_recall,
         "ann_recall_audit": q_ann_recall_audit,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_pq_topk": q_ann_pq_topk,
@@ -8547,6 +8611,53 @@ SELECT q.q_id, CAST(k.k AS INTEGER) AS k,
            AS recall_ppm
 FROM q CROSS JOIN ks k
 LEFT JOIN hits h ON h.q_id = q.q_id AND h.k = k.k""",
+        "embed_sq8_recall": """
+WITH p AS (
+  SELECT vec_id, u.dim - 1 AS dim,
+         CAST(embedding[u.dim] AS DOUBLE) AS x
+  FROM embeddings,
+  LATERAL unnest(range(1, len(embedding) + 1)) AS u(dim)
+),
+sc AS (SELECT dim, max(abs(x)) AS scale FROM p GROUP BY 1),
+rec AS MATERIALIZED (
+  SELECT p.vec_id,
+         list(CASE WHEN sc.scale > 0
+              THEN floor(p.x * 127 / sc.scale + 0.5) * sc.scale / 127
+              ELSE 0.0 END ORDER BY p.dim) AS rv
+  FROM p JOIN sc ON sc.dim = p.dim
+  GROUP BY 1),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+qf AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5),
+qq AS (SELECT vec_id AS q_id, rv AS q_rv FROM rec WHERE vec_id < 5),
+tf AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             CAST(floor(list_dot_product(e.v, q.q_vec)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.q_vec, q.q_vec)))
+               * 1000000) AS BIGINT) DESC, e.vec_id) AS rank
+    FROM e CROSS JOIN qf q WHERE e.vec_id <> q.q_id
+  ) WHERE rank <= 5),
+tq AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, r.vec_id,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             CAST(floor(list_dot_product(r.rv, q.q_rv)
+               / (sqrt(list_dot_product(r.rv, r.rv))
+                  * sqrt(list_dot_product(q.q_rv, q.q_rv)))
+               * 1000000) AS BIGINT) DESC, r.vec_id) AS rank
+    FROM rec r CROSS JOIN qq q WHERE r.vec_id <> q.q_id
+  ) WHERE rank <= 5),
+h AS (
+  SELECT tf.q_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM tf JOIN tq ON tq.q_id = tf.q_id AND tq.vec_id = tf.vec_id
+  GROUP BY 1)
+SELECT q.q_id, coalesce(h.n_hits, 0) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 1000000 // 5 AS BIGINT)
+         AS recall_ppm
+FROM qf q LEFT JOIN h ON h.q_id = q.q_id""",
         "ann_filtered_topk": """
 WITH b AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,

@@ -107,6 +107,10 @@ ALLOW: dict[tuple[str, str], str] = {
     ("embed_label_margin", "BroadcastNestedLoopJoin"):
         "the centroid dim is |labels| rows (10), an aggregation "
         "output broadcast onto one corpus scan",
+    ("embed_sq8_recall", "BroadcastNestedLoopJoin"):
+        "5-row broadcast query sides for the two exact rankings "
+        "(fp32 and reconstructed) - the deliberate ann_cosine_topk "
+        "evaluation shape, twice",
     ("embed_pca", "BroadcastNestedLoopJoin"):
         "the 1-row Sum(dot^2) variance dim broadcast back onto the "
         "per-vector projection stream",

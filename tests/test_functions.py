@@ -3482,6 +3482,22 @@ def test_ann_filtered_topk_predicate_and_recall(spark):
     assert total > 0 and hits / total >= 0.6, (hits, total)
 
 
+def test_sq8_recall_bounds_and_floor(spark):
+    """SQ8 recall@5 is a valid ppm per query, and int8 max-abs
+    quantization on this corpus keeps recall high (>= 0.8 mean) —
+    the audit exists to catch when it doesn't."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_SMOKE
+
+    rows = entry.q_embed_sq8_recall(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+        assert r.recall_ppm == r.n_hits * 1_000_000 // 5
+    mean = sum(r.recall_ppm for r in rows) / 5
+    assert mean >= 800_000, [r.recall_ppm for r in rows]
+
+
 def test_epoch_plan_invariants(spark):
     """The planner's contract: no source exceeds 4.0 epochs, grants
     sum to min(capacity, 4x total tokens), capped sources sit below
