@@ -3786,6 +3786,43 @@ def q_dedup_source_overlap(spark: SparkSession, sf_dir: str
     return source_overlap_matrix(_docs_cross_source(spark, sf_dir))
 
 
+def q_dedup_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What exact dedup does to the training mix (E228): per source,
+    the corpus share BEFORE vs AFTER the canonical keep-list (keep =
+    min doc_id per md5 content cluster — the E60/E128 composition),
+    in floor ppm with the signed delta.  Sources that syndicate
+    content LOSE share under dedup while original publishers keep
+    theirs — the silent re-weighting E221's overlap matrix predicts,
+    priced here per source.  Runs over the same cross-source
+    injection so the planted copies move the mix; two bounded
+    |sources|-key aggs + two 1-row totals."""
+    aug = _docs_cross_source(spark, sf_dir)
+    keyed = aug.select("doc_id", "source",
+                       F.md5(F.col("text")).alias("ck"))
+    keep = keyed.groupBy("ck").agg(F.min("doc_id").alias("doc_id"))
+    kept = keyed.join(keep, ["ck", "doc_id"], "left_semi")
+    before = keyed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    after = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"))
+    tb = before.agg(F.sum("n_docs").alias("tb"))
+    ta = after.agg(F.sum("n_kept").alias("ta"))
+    return (before.join(after, "source", "left")
+            .select("source", "n_docs",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"))
+            .crossJoin(F.broadcast(tb))
+            .crossJoin(F.broadcast(ta))
+            .select("source", "n_docs", "n_kept",
+                    F.expr("n_docs * 1000000 div tb").cast("long")
+                    .alias("share_before_ppm"),
+                    F.expr("n_kept * 1000000 div ta").cast("long")
+                    .alias("share_after_ppm"))
+            .withColumn("delta_ppm",
+                        (F.col("share_after_ppm")
+                         - F.col("share_before_ppm")).cast("long")))
+
+
 def q_text_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Related-document pairs by raw-tf cosine over the inverted
     index (round 4, functions/text.py:doc_similarity_pairs E105) —
@@ -6620,6 +6657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_savings": q_dedup_savings,
         "dedup_source_overlap": q_dedup_source_overlap,
+        "dedup_mix_shift": q_dedup_mix_shift,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "corpus_novelty": q_corpus_novelty,
         "corpus_heaps": q_corpus_heaps,
@@ -9927,6 +9965,33 @@ SELECT p.source_a, p.source_b, p.n_shared_clusters,
 FROM pairs p
 JOIN tot ta ON ta.src = p.source_a
 JOIN tot tb ON tb.src = p.source_b""",
+        "dedup_mix_shift": """
+WITH aug AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 300000, text,
+         'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+  FROM documents WHERE doc_id % 11 = 0
+),
+keyed AS (SELECT doc_id, source, md5(text) AS ck FROM aug),
+keep AS (SELECT ck, min(doc_id) AS doc_id FROM keyed GROUP BY 1),
+kept AS (SELECT k.source FROM keyed k
+         JOIN keep ON keep.ck = k.ck AND keep.doc_id = k.doc_id),
+b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM keyed GROUP BY 1),
+a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY 1),
+tb AS (SELECT sum(n_docs) AS tb FROM b),
+ta AS (SELECT sum(n_kept) AS ta FROM a)
+SELECT b.source, b.n_docs, coalesce(a.n_kept, 0) AS n_kept,
+       CAST(b.n_docs * 1000000 // tb.tb AS BIGINT)
+         AS share_before_ppm,
+       CAST(coalesce(a.n_kept, 0) * 1000000 // ta.ta AS BIGINT)
+         AS share_after_ppm,
+       CAST(coalesce(a.n_kept, 0) * 1000000 // ta.ta
+            - b.n_docs * 1000000 // tb.tb AS BIGINT) AS delta_ppm
+FROM b LEFT JOIN a ON a.source = b.source
+CROSS JOIN tb CROSS JOIN ta""",
         "dedup_savings": f"""
 WITH {dups_cte},
 f AS (

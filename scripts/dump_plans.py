@@ -104,6 +104,11 @@ ALLOW: dict[tuple[str, str], str] = {
     ("graph_diameter", "Exchange SinglePartition"):
         "the same 1-row global max/count aggregate; partials "
         "upstream",
+    ("dedup_mix_shift", "BroadcastNestedLoopJoin"):
+        "two 1-row corpus-total dims (before/after) broadcast onto "
+        "the |sources| fold",
+    ("dedup_mix_shift", "Exchange SinglePartition"):
+        "the same 1-row totals; partials upstream",
     ("embed_label_margin", "BroadcastNestedLoopJoin"):
         "the centroid dim is |labels| rows (10), an aggregation "
         "output broadcast onto one corpus scan",

@@ -3498,6 +3498,31 @@ def test_sq8_recall_bounds_and_floor(spark):
     assert mean >= 800_000, [r.recall_ppm for r in rows]
 
 
+def test_dedup_mix_shift_conservation_and_direction(spark):
+    """Mix-shift invariants on the injected corpus: kept totals
+    equal the distinct-content count, shares sum to ~1e6 on both
+    sides (floor slack < |sources|), sources never keep more docs
+    than they had, and at least one copy-receiving source loses
+    share while some original-content source gains."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_CORRECT
+
+    rows = entry.q_dedup_mix_shift(spark, SF_CORRECT).collect()
+    n_src = len(rows)
+    assert n_src == 20
+    tb = sum(r.n_docs for r in rows)
+    ta = sum(r.n_kept for r in rows)
+    assert ta < tb  # the planted copies deduplicate away
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_docs
+        assert r.delta_ppm == r.share_after_ppm - r.share_before_ppm
+    for col in ("share_before_ppm", "share_after_ppm"):
+        s = sum(getattr(r, col) for r in rows)
+        assert 1_000_000 - n_src <= s <= 1_000_000
+    assert any(r.delta_ppm < 0 for r in rows)
+    assert any(r.delta_ppm > 0 for r in rows)
+
+
 def test_epoch_plan_invariants(spark):
     """The planner's contract: no source exceeds 4.0 epochs, grants
     sum to min(capacity, 4x total tokens), capped sources sit below
