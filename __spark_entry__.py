@@ -1972,6 +1972,31 @@ def q_graph_degree_mixing(spark: SparkSession, sf_dir: str
     return degree_mixing_curve(e)
 
 
+def q_graph_host_simrank(spark: SparkSession, sf_dir: str
+                         ) -> DataFrame:
+    """SimRank on the host graph (operators/graph_algos.py:
+    host_simrank E229): two hosts are similar when similar hosts
+    cite them — related-site discovery without shared content, 2
+    exact-integer rounds (C = 4/5, floor ppm), self-loops dropped,
+    diagonal never materialized (common-citer self-join + sparse
+    off-diagonal state through the in-edge relation).  Oracle
+    unrolls both rounds over the identical host-edge derivation."""
+    from web_graph_spark.operators.graph_algos import host_simrank
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    p = webgen.pages_df(spark, sf_dir).select("doc_id", "host")
+    he = (e.join(p.select(F.col("doc_id").alias("src_doc_id"),
+                          F.col("host").alias("src_host")),
+                 "src_doc_id")
+          .join(p.select(F.col("doc_id").alias("tgt_doc_id"),
+                         F.col("host").alias("tgt_host")),
+                "tgt_doc_id")
+          .select("src_host", "tgt_host").distinct())
+    return host_simrank(he, rounds=2)
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, 6 power iterations with dangling-mass redistribution
     (operators/graph_algos.py).  The loop runs in DECIMAL(38,18), so
@@ -6582,6 +6607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_diameter": q_graph_diameter,
         "graph_degree_mixing": q_graph_degree_mixing,
         "graph_motifs": q_graph_motifs,
+        "graph_host_simrank": q_graph_host_simrank,
         "graph_pagerank": q_graph_pagerank,
         "graph_hits": q_graph_hits,
         "graph_scc": q_graph_scc,
@@ -7901,6 +7927,51 @@ LEFT JOIN (SELECT tgt_doc_id, count(*) AS n FROM e GROUP BY 1) i
         "graph_pages_for_host": _oracle("""
 SELECT doc_id, check_id, url FROM web_pages
 WHERE host = 'h07.example.test' ORDER BY doc_id LIMIT 100"""),
+        "graph_host_simrank": _oracle("""
+, e AS (SELECT DISTINCT src_doc_id, tgt_doc_id FROM web_links_full
+        WHERE k % 4 <> 0),
+he AS (
+  SELECT DISTINCT ps.host AS src_host, pt.host AS tgt_host
+  FROM e
+  JOIN web_pages ps ON ps.doc_id = e.src_doc_id
+  JOIN web_pages pt ON pt.doc_id = e.tgt_doc_id),
+ie AS MATERIALIZED (
+  SELECT DISTINCT tgt_host AS h, src_host AS u FROM he
+  WHERE tgt_host <> src_host),
+ind AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM ie GROUP BY 1),
+cm AS MATERIALIZED (
+  SELECT x.h AS a, y.h AS b,
+         CAST(count(*) AS HUGEINT) * 1000000 AS contrib
+  FROM ie x JOIN ie y ON y.u = x.u AND x.h <> y.h
+  GROUP BY 1, 2),
+s1 AS MATERIALIZED (
+  SELECT c.a, c.b,
+         CAST((4 * c.contrib) // (5 * na.n * nb.n) AS BIGINT) AS s
+  FROM cm c
+  JOIN ind na ON na.h = c.a
+  JOIN ind nb ON nb.h = c.b
+  WHERE CAST((4 * c.contrib) // (5 * na.n * nb.n) AS BIGINT) > 0),
+off2 AS (
+  SELECT ia.h AS a, ib.h AS b,
+         sum(CAST(s1.s AS HUGEINT)) AS contrib
+  FROM s1
+  JOIN ie ia ON ia.u = s1.a
+  JOIN ie ib ON ib.u = s1.b
+  WHERE ia.h <> ib.h
+  GROUP BY 1, 2),
+tot2 AS (
+  SELECT a, b, sum(contrib) AS sig FROM (
+    SELECT a, b, contrib FROM cm
+    UNION ALL SELECT a, b, contrib FROM off2
+  ) GROUP BY 1, 2),
+s2 AS (
+  SELECT t.a, t.b,
+         CAST((4 * t.sig) // (5 * na.n * nb.n) AS BIGINT) AS s
+  FROM tot2 t
+  JOIN ind na ON na.h = t.a
+  JOIN ind nb ON nb.h = t.b)
+SELECT a AS host_a, b AS host_b, s AS sim_ppm
+FROM s2 WHERE s > 0 AND a < b"""),
         "graph_host_graph": _oracle("""
 , e AS (SELECT DISTINCT src_doc_id, tgt_doc_id FROM web_links_full
         WHERE k % 4 <> 0)

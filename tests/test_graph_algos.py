@@ -1518,3 +1518,29 @@ def test_motif_census_textbook_graphs(spark):
     star = census([(0, 1), (0, 2), (0, 3)])
     assert (star.n_wedges, star.n_triangles, star.n_4cycles) == (3, 0, 0)
     assert star.clustering_ppm == 0
+
+
+@pytest.mark.spark
+def test_host_simrank_textbook_values(spark):
+    """Jeh-Widom by hand at C=4/5: a common citer gives exactly
+    800000 ppm in round 1 and stays there; a purely second-order
+    pair (cited by hosts that are themselves similar) is 0 after
+    round 1 and exactly C*800000 = 640000 after round 2; self-loops
+    contribute nothing."""
+    from web_graph_spark.operators.graph_algos import host_simrank
+
+    edges = [("c", "a"), ("c", "b"),          # common citer
+             ("k", "x"), ("k", "y"),          # x,y similar via k
+             ("x", "p"), ("y", "q"),          # second-order p,q
+             ("p", "p")]                       # self-loop, dropped
+    he = spark.createDataFrame(edges,
+                               "src_host string, tgt_host string")
+    r1 = {(r.host_a, r.host_b): r.sim_ppm
+          for r in host_simrank(he, rounds=1).collect()}
+    assert r1[("a", "b")] == 800_000
+    assert r1[("x", "y")] == 800_000
+    assert ("p", "q") not in r1
+    r2 = {(r.host_a, r.host_b): r.sim_ppm
+          for r in host_simrank(he, rounds=2).collect()}
+    assert r2[("a", "b")] == 800_000
+    assert r2[("p", "q")] == 640_000

@@ -2390,3 +2390,82 @@ def motif_census(edges: DataFrame, src: str = "src_doc_id",
                     F.expr("CASE WHEN w > 0 THEN CAST(coalesce(t3, 0)"
                            " * 1000000 div w AS BIGINT) ELSE 0 END")
                     .alias("clustering_ppm")))
+
+
+def host_simrank(hedges: DataFrame, rounds: int = 2,
+                 c_num: int = 4, c_den: int = 5,
+                 src: str = "src_host",
+                 dst: str = "tgt_host") -> DataFrame:
+    """SimRank over the host graph (E229, Jeh-Widom KDD'02): two
+    hosts are similar when similar hosts link to them — the
+    related-site discovery / mirror-candidate signal one level above
+    E63's shared-content mirrors (SimRank needs no shared content at
+    all, only shared citers).  s(a,a) = 1; s(a,b) =
+    C/(|I(a)|·|I(b)|) · Σ_{u∈I(a), v∈I(b)} s(u,v), evaluated
+    ``rounds`` times from the identity in EXACT integer ppm — C is
+    the rational c_num/c_den (4/5), every update one floor division,
+    so both engines produce identical tables.  Self-loops (a host
+    citing itself) are dropped — they would make every host its own
+    best citer and drown the cross-host signal.
+
+    The identity diagonal never materializes: each round's sum
+    splits into the diagonal part (common in-neighbors × 10⁶ — a
+    citer self-join) and the off-diagonal part (previous sparse
+    state joined through the in-edge relation twice); zero scores
+    are dropped so the state stays sparse.
+
+    Scale shape: a HOST-dim algorithm (3-4 orders below the URL
+    corpus).  All-pairs state is SimRank's nature — at 10^8 hosts a
+    deployment bounds it per community / to top-K citers, exactly
+    like every published SimRank-at-scale system; within the host
+    dim every step here is uniform-key joins + one agg, no driver
+    math, state localCheckpointed per round.
+
+    → canonical pairs ``(host_a < host_b, sim_ppm)``, sim > 0.
+
+    Reference analog: none; engine extension (SURVEY §2.10 E229).
+    """
+    ie = (hedges.select(F.col(dst).alias("h"), F.col(src).alias("u"))
+          .filter(F.col("h") != F.col("u")).distinct()
+          .localCheckpoint())
+    ind = ie.groupBy("h").agg(F.count(F.lit(1)).cast("long")
+                              .alias("n"))
+    common = (ie.alias("x")
+              .join(ie.alias("y"), F.col("x.u") == F.col("y.u"))
+              .filter(F.col("x.h") != F.col("y.h"))
+              .groupBy(F.col("x.h").alias("a"),
+                       F.col("y.h").alias("b"))
+              .agg((F.count(F.lit(1)).cast("decimal(38,0)")
+                    * 1000000).alias("contrib"))
+              .localCheckpoint())
+    state = None
+    ia = ie.select(F.col("h").alias("a"), F.col("u").alias("ua"))
+    ib = ie.select(F.col("h").alias("b"), F.col("u").alias("ub"))
+    for _ in range(rounds):
+        parts = common
+        if state is not None:
+            off = (state.select(F.col("a").alias("ua"),
+                                F.col("b").alias("ub"),
+                                F.col("s"))
+                   .join(ia, "ua").join(ib, "ub")
+                   .filter(F.col("a") != F.col("b"))
+                   .groupBy("a", "b")
+                   .agg(F.sum(F.col("s").cast("decimal(38,0)"))
+                        .alias("contrib")))
+            parts = parts.unionByName(off)
+        tot = parts.groupBy("a", "b").agg(
+            F.sum("contrib").alias("sig"))
+        state = (tot
+                 .join(ind.select(F.col("h").alias("a"),
+                                  F.col("n").alias("na")), "a")
+                 .join(ind.select(F.col("h").alias("b"),
+                                  F.col("n").alias("nb")), "b")
+                 .select("a", "b", F.expr(
+                     f"CAST(({c_num} * sig) div "
+                     f"({c_den} * na * nb) AS BIGINT)").alias("s"))
+                 .filter(F.col("s") > 0)
+                 .localCheckpoint())
+    return (state.filter(F.col("a") < F.col("b"))
+            .select(F.col("a").alias("host_a"),
+                    F.col("b").alias("host_b"),
+                    F.col("s").alias("sim_ppm")))
