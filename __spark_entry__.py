@@ -925,6 +925,100 @@ SELECT doc_id,
 FROM inj"""
 
 
+def q_docs_mm_pack_sweep(spark: SparkSession, sf_dir: str
+                         ) -> DataFrame:
+    """Multimodal pack-budget sweep (E230): the E163 atomic-media
+    fold priced at four context budgets (32/64/128/256, media cost
+    50) in one query — corpus totals for pad waste, oversize media,
+    pack counts, and pad share in floor ppm; the table that CHOOSES
+    the budget (pad waste falls as the window grows, pack count
+    falls with it — the sweep shows where the knee is).  Each budget
+    is one in-row fold + a 1-row agg over the span web; the oracle
+    replays the recursive-CTE fold once per budget."""
+    from functools import reduce
+
+    from web_graph_spark.functions.media import interleaved_pack_stats
+
+    web = build_span_web(spark, sf_dir)
+    docs = web.select(F.md5(F.concat("host", "path")).alias("page_id"),
+                      "spans")
+    outs = []
+    for b in (32, 64, 128, 256):
+        st = interleaved_pack_stats(docs, budget=b, media_cost=50,
+                                    media_rx=r"\.png$")
+        outs.append(st.agg(
+            F.sum("pad_tokens").cast("long").alias("pad_tokens"),
+            F.sum("n_oversize").cast("long").alias("n_oversize"),
+            F.sum("n_packs").cast("long").alias("n_packs"),
+            F.sum("total_cost").cast("long").alias("total_cost"))
+            .select(F.lit(b).alias("budget"), "pad_tokens",
+                    "n_oversize", "n_packs", "total_cost"))
+    u = reduce(lambda a, b2: a.unionByName(b2), outs)
+    return u.withColumn(
+        "pad_ppm",
+        F.expr("CASE WHEN total_cost > 0 THEN "
+               "pad_tokens * 1000000 div total_cost ELSE 0 END")
+        .cast("long"))
+
+
+def _mm_sweep_sql(budgets=(32, 64, 128, 256), media_cost=50) -> str:
+    """Oracle for q_docs_mm_pack_sweep: the docs_mm_pack recursive
+    fold replayed once per budget, aggregated, unioned."""
+    blocks = []
+    for b in budgets:
+        blocks.append(f"""
+SELECT {b} AS budget,
+       CAST(coalesce(sum(pad), 0) AS BIGINT) AS pad_tokens,
+       CAST(coalesce(sum(oversize), 0) AS BIGINT) AS n_oversize,
+       CAST(coalesce(sum((pos + {b - 1}) // {b}), 0) AS BIGINT)
+         AS n_packs,
+       CAST(coalesce(sum(pos), 0) AS BIGINT) AS total_cost
+FROM (
+  WITH RECURSIVE sp AS (
+    SELECT p.check_id,
+           row_number() OVER (PARTITION BY p.check_id
+                              ORDER BY l.k) AS i,
+           (l.href LIKE '%.png') AS is_media,
+           CAST(CASE WHEN l.href LIKE '%.png' THEN {media_cost}
+                     ELSE strlen(l.anchor) END AS BIGINT) AS c
+    FROM web_pages p
+    JOIN web_links_full l ON l.src_doc_id = p.doc_id
+  ),
+  ns AS (SELECT check_id, max(i) AS n FROM sp GROUP BY 1),
+  fold AS (
+    SELECT check_id, 0 AS i, CAST(0 AS BIGINT) AS pos,
+           CAST(0 AS BIGINT) AS pad, CAST(0 AS BIGINT) AS oversize
+    FROM ns
+    UNION ALL
+    SELECT f.check_id, f.i + 1,
+           f.pos + s.c
+             + CASE WHEN s.is_media AND s.c <= {b}
+                         AND f.pos % {b} <> 0
+                         AND f.pos % {b} + s.c > {b}
+                    THEN {b} - f.pos % {b} ELSE 0 END,
+           f.pad
+             + CASE WHEN s.is_media AND s.c <= {b}
+                         AND f.pos % {b} <> 0
+                         AND f.pos % {b} + s.c > {b}
+                    THEN {b} - f.pos % {b} ELSE 0 END,
+           f.oversize + CASE WHEN s.is_media AND s.c > {b}
+                             THEN 1 ELSE 0 END
+    FROM fold f
+    JOIN sp s ON s.check_id = f.check_id AND s.i = f.i + 1
+  )
+  SELECT f.pos, f.pad, f.oversize
+  FROM fold f JOIN ns ON ns.check_id = f.check_id
+  WHERE f.i = ns.n
+)""")
+    inner = "\nUNION ALL\n".join(blocks)
+    return _oracle(f"""
+SELECT budget, pad_tokens, n_oversize, n_packs, total_cost,
+       CAST(CASE WHEN total_cost > 0
+            THEN pad_tokens * 1000000 // total_cost
+            ELSE 0 END AS BIGINT) AS pad_ppm
+FROM ({inner})""")
+
+
 def q_docs_interleave_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modality run-length profile of the interleaved span docs
     (functions/media.py:interleave_runs E214): per document the
@@ -6555,6 +6649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mm_pack": q_docs_mm_pack,
         "docs_span_align": q_docs_span_align,
         "docs_interleave_runs": q_docs_interleave_runs,
+        "docs_mm_pack_sweep": q_docs_mm_pack_sweep,
         "crawl_warc_export": q_crawl_warc_export,
         "crawl_wet_export": q_crawl_wet_export,
         "crawl_cdx_index": q_crawl_cdx_index,
@@ -7050,6 +7145,7 @@ SELECT m.check_id AS page_id, m.media_ref,
 FROM med m
 JOIN prevj p ON p.check_id = m.check_id AND p.off = m.off
 JOIN nextj n ON n.check_id = m.check_id AND n.off = m.off"""),
+        "docs_mm_pack_sweep": _mm_sweep_sql(),
         "docs_interleave_runs": _oracle("""
 , sp AS (
   SELECT p.check_id,

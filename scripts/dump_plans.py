@@ -109,6 +109,9 @@ ALLOW: dict[tuple[str, str], str] = {
         "the |sources| fold",
     ("dedup_mix_shift", "Exchange SinglePartition"):
         "the same 1-row totals; partials upstream",
+    ("docs_mm_pack_sweep", "Exchange SinglePartition"):
+        "four 1-row per-budget corpus totals (union of global "
+        "aggregates); partials upstream",
     ("embed_label_margin", "BroadcastNestedLoopJoin"):
         "the centroid dim is |labels| rows (10), an aggregation "
         "output broadcast onto one corpus scan",

@@ -3523,6 +3523,30 @@ def test_dedup_mix_shift_conservation_and_direction(spark):
     assert any(r.delta_ppm > 0 for r in rows)
 
 
+def test_mm_pack_sweep_monotone(spark):
+    """Sweep invariants: content mass (total - pad) is
+    budget-invariant, pack counts fall (weakly) as the budget grows,
+    oversize media vanish once the budget clears the media cost, and
+    the pad_ppm identity holds per row."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(entry.q_docs_mm_pack_sweep(spark, SF_SMOKE)
+                  .collect(), key=lambda r: r.budget)
+    assert [r.budget for r in rows] == [32, 64, 128, 256]
+    content = {r.total_cost - r.pad_tokens for r in rows}
+    assert len(content) == 1  # pad is the only budget-dependent cost
+    packs = [r.n_packs for r in rows]
+    assert packs == sorted(packs, reverse=True)
+    for r in rows:
+        assert r.pad_ppm == (r.pad_tokens * 1_000_000
+                             // r.total_cost if r.total_cost else 0)
+        if r.budget >= 50:
+            assert r.n_oversize == 0
+        else:
+            assert r.n_oversize > 0  # 50-cost media exceed budget 32
+
+
 def test_epoch_plan_invariants(spark):
     """The planner's contract: no source exceeds 4.0 epochs, grants
     sum to min(capacity, 4x total tokens), capped sources sit below
