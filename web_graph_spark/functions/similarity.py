@@ -383,8 +383,10 @@ def kmeans_integer(items: DataFrame, k: int = 8, rounds: int = 3,
     Determinism discipline: vectors quantize to
     ``floor((v + shift) · scale)`` — floor of an IEEE double is exact
     in any engine, and the shift keeps every coordinate NON-NEGATIVE
-    so integer mean (``sum div n``) is the same truncation in Spark
-    (``div``, toward zero) and DuckDB (``//``, floor).  Distances are
+    so integer mean (``sum div n``) is the same in Spark (``div``)
+    and DuckDB (``//``) — both truncate toward zero (DuckDB does NOT
+    floor on negatives: ``-7 // 2 = -3``), and on non-negative values
+    truncation and floor coincide.  Distances are
     exact bigint sums of squares; assignment ties break to the
     smallest cluster id; an empty cluster keeps its previous centroid.
     Init = the quantized vectors of the ``k`` smallest ids (a
