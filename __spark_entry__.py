@@ -5730,6 +5730,22 @@ def q_events_seasonal_index(spark: SparkSession, sf_dir: str
     return seasonal_profile(ev)
 
 
+def q_events_active_users(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Exact DAU/WAU/MAU + stickiness per day (functions/stats.py:
+    active_users E231): the activity dashboard computed exactly —
+    the truth the sliding-HLL tier is certified against.  No range
+    join and no calendar BNLJ: the (user, day) dim explodes into 30
+    trailing-window offsets and all three windows fall out of one
+    equi-keyed aggregate via conditional distincts; days past the
+    observed max clip on a 1-row dim.  Oracle replays the offset
+    expansion in SQL."""
+    from web_graph_spark.functions.stats import active_users
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return active_users(ev)
+
+
 def q_events_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index of dispersion per event type (functions/stats.py:
     dispersion_index E222): variance-to-mean of per-hour counts over
@@ -6820,6 +6836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_seasonal_index": q_events_seasonal_index,
         "events_dispersion": q_events_dispersion,
+        "events_active_users": q_events_active_users,
         "events_heavy_hitters": q_events_heavy_hitters,
         "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,
@@ -10959,6 +10976,28 @@ FROM s GROUP BY 1""",
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        CAST(floor(sum(value) * 100) AS BIGINT) AS sum_value_c
 FROM events GROUP BY 1, 2""",
+        "events_active_users": """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS d
+  FROM events),
+mx AS (SELECT max(d) AS mxd FROM ud),
+ex AS (
+  SELECT ud.u, o.off, ud.d + to_days(CAST(o.off AS INT)) AS day
+  FROM ud, LATERAL unnest(range(0, 30)) AS o(off)),
+agg AS (
+  SELECT day,
+         CAST(count(DISTINCT CASE WHEN off = 0 THEN u END)
+              AS BIGINT) AS dau,
+         CAST(count(DISTINCT CASE WHEN off <= 6 THEN u END)
+              AS BIGINT) AS wau,
+         CAST(count(DISTINCT u) AS BIGINT) AS mau
+  FROM ex CROSS JOIN mx
+  WHERE day <= mxd
+  GROUP BY 1)
+SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau, mau,
+       CAST(CASE WHEN mau > 0 THEN dau * 1000000 // mau
+            ELSE 0 END AS BIGINT) AS stickiness_ppm
+FROM agg""",
         "events_dispersion": """
 WITH b AS (
   SELECT event_type AS etype, date_trunc('hour', ts) AS h,

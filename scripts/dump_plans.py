@@ -125,6 +125,11 @@ ALLOW: dict[tuple[str, str], str] = {
     ("embed_pca", "Exchange SinglePartition"):
         "the same 1-row global variance aggregate; partial sums "
         "upstream",
+    ("events_active_users", "BroadcastNestedLoopJoin"):
+        "the 1-row max-day clip dim broadcast onto the offset "
+        "expansion",
+    ("events_active_users", "Exchange SinglePartition"):
+        "the same 1-row max(day) aggregate; partials upstream",
     ("events_dispersion", "BroadcastNestedLoopJoin"):
         "the 1-row global hour-count dim broadcast onto the "
         "|types|-row fold",

@@ -3547,6 +3547,31 @@ def test_mm_pack_sweep_monotone(spark):
             assert r.n_oversize > 0  # 50-cost media exceed budget 32
 
 
+def test_active_users_hand_windows(spark):
+    """Hand series: day 1 has two users, u1 returns day 3, nothing
+    after — DAU/WAU accumulate exactly, the zero-DAU gap day still
+    appears with trailing actives, days past the observed max are
+    clipped, and stickiness is the floor ppm ratio."""
+    from web_graph_spark.functions.stats import active_users
+
+    rows = [("2024-06-01 10:00:00", "u1"),
+            ("2024-06-01 11:00:00", "u2"),
+            ("2024-06-03 09:00:00", "u1")]
+    ev = spark.createDataFrame(rows, "ts_s string, user_id string") \
+        .selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "user_id")
+    out = {r.day: r for r in active_users(ev).collect()}
+    assert set(out) == {"2024-06-01", "2024-06-02", "2024-06-03"}
+    d1 = out["2024-06-01"]
+    assert (d1.dau, d1.wau, d1.mau) == (2, 2, 2)
+    assert d1.stickiness_ppm == 1_000_000
+    d2 = out["2024-06-02"]
+    assert (d2.dau, d2.wau, d2.mau) == (0, 2, 2)
+    assert d2.stickiness_ppm == 0
+    d3 = out["2024-06-03"]
+    assert (d3.dau, d3.wau, d3.mau) == (1, 2, 2)
+    assert d3.stickiness_ppm == 500_000
+
+
 def test_epoch_plan_invariants(spark):
     """The planner's contract: no source exceeds 4.0 epochs, grants
     sum to min(capacity, 4x total tokens), capped sources sit below

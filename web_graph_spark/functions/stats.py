@@ -2235,3 +2235,56 @@ def dispersion_index(events: DataFrame, ts_col: str = "ts",
                         "AS BIGINT) END").alias("dispersion_ppm"))
             .withColumn("overdispersed",
                         F.col("dispersion_ppm") >= flag_ppm))
+
+
+def active_users(events: DataFrame, ts_col: str = "ts",
+                 user_col: str = "user_id") -> DataFrame:
+    """Exact DAU / WAU / MAU and the stickiness ratio per calendar
+    day (E231) — the activity dashboard row, computed exactly (the
+    E133 sliding-HLL tier is the 10^10-user approximation; this is
+    the truth it is certified against at audit scale): for every day
+    in the observed [min, max] range, distinct users that day, in
+    the trailing 7 days, in the trailing 30 days, and DAU/MAU in
+    floor ppm (the classic stickiness read).
+
+    Scale shape — NO range join, NO calendar BNLJ: the distinct
+    (user, day) dim explodes into 30 (user, day+offset) rows (one
+    per trailing window position, a map-side sequence explode) and
+    the three windows fall out of ONE equi-keyed day aggregate via
+    conditional distincts (offset 0 → DAU, ≤ 6 → WAU, ≤ 29 → MAU).
+    Days past the observed maximum are clipped with a 1-row max-day
+    dim.  Cost: |user-days| × 30 rows through one shuffle — the
+    exact-tier price; beyond it, the HLL register tier takes over.
+
+    → ``(day 'yyyy-MM-dd', dau, wau, mau, stickiness_ppm)``; days
+    inside the range with no activity still appear when any user
+    was active in the trailing 30 days.
+
+    Reference analog: none; engine extension (SURVEY §2.10 E231).
+    """
+    ud = (events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("day", F.col(ts_col)).alias("d")).distinct())
+    mx = ud.agg(F.max("d").alias("mxd"))
+    ex = (ud.select(
+        "u", "d",
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("off"))
+        .select("u", "off",
+                (F.col("d") + F.make_interval(days=F.col("off")))
+                .alias("day")))
+    agg = (ex.crossJoin(F.broadcast(mx))
+           .filter(F.col("day") <= F.col("mxd"))
+           .groupBy("day")
+           .agg(F.countDistinct(F.when(F.col("off") == 0,
+                                       F.col("u"))).cast("long")
+                .alias("dau"),
+                F.countDistinct(F.when(F.col("off") <= 6,
+                                       F.col("u"))).cast("long")
+                .alias("wau"),
+                F.countDistinct("u").cast("long").alias("mau")))
+    return (agg.select(F.date_format("day", "yyyy-MM-dd")
+                       .alias("day"), "dau", "wau", "mau")
+            .withColumn("stickiness_ppm",
+                        F.expr("CASE WHEN mau > 0 THEN "
+                               "dau * 1000000 div mau ELSE 0 END")
+                        .cast("long")))
