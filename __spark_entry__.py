@@ -5746,6 +5746,71 @@ def q_events_active_users(spark: SparkSession, sf_dir: str
     return active_users(ev)
 
 
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Stationary event mix vs empirical (functions/stats.py:
+    markov_stationary E232): iterate the per-user transition chain 4
+    rounds from uniform in exact floor-per-edge ppm and diff against
+    the empirical shares — where behavior is heading vs where it is.
+    One user-key window builds transitions; every round runs on the
+    ≤|types|² dim; dangling types self-loop.  Oracle unrolls the
+    identical rounds as MATERIALIZED CTEs."""
+    from web_graph_spark.functions.stats import markov_stationary
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return markov_stationary(ev, rounds=4)
+
+
+def _markov_sql(rounds: int = 4) -> str:
+    """Oracle for q_events_markov_stationary: the floor-per-edge
+    recurrence unrolled."""
+    its = []
+    for r in range(1, rounds + 1):
+        p = f"p{r - 1}"
+        its.append(f"""
+mov{r} AS MATERIALIZED (
+  SELECT tm.b AS t, sum((p.pi * tm.n) // od.na) AS c
+  FROM {p} p JOIN od ON od.a = p.t JOIN tm ON tm.a = p.t
+  GROUP BY 1),
+stay{r} AS MATERIALIZED (
+  SELECT p.t, p.pi AS c FROM {p} p
+  LEFT JOIN od ON od.a = p.t WHERE od.a IS NULL),
+p{r} AS MATERIALIZED (
+  SELECT ty.t,
+         CAST(coalesce(m.c, 0) + coalesce(s.c, 0) AS BIGINT) AS pi
+  FROM ty
+  LEFT JOIN mov{r} m ON m.t = ty.t
+  LEFT JOIN stay{r} s ON s.t = ty.t)""")
+    return f"""
+WITH pr AS (
+  SELECT event_type AS a,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS b
+  FROM events),
+tm AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n
+  FROM pr WHERE b IS NOT NULL GROUP BY 1, 2),
+od AS MATERIALIZED (SELECT a, sum(n) AS na FROM tm GROUP BY 1),
+ty AS MATERIALIZED (SELECT DISTINCT event_type AS t FROM events),
+kk AS (SELECT count(*) AS k FROM ty),
+p0 AS MATERIALIZED (
+  SELECT t, CAST(1000000 // kk.k
+       + CASE WHEN row_number() OVER (ORDER BY t) <= 1000000 % kk.k
+              THEN 1 ELSE 0 END AS BIGINT) AS pi
+  FROM ty CROSS JOIN kk),
+{",".join(its)},
+emp AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1),
+tot AS (SELECT sum(cnt) AS tot FROM emp)
+SELECT e.t AS event_type,
+       CAST(e.cnt * 1000000 // tot.tot AS BIGINT) AS empirical_ppm,
+       p.pi AS stationary_ppm,
+       CAST(p.pi - e.cnt * 1000000 // tot.tot AS BIGINT)
+         AS delta_ppm
+FROM emp e CROSS JOIN tot
+JOIN p{rounds} p ON p.t = e.t"""
+
+
 def q_events_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index of dispersion per event type (functions/stats.py:
     dispersion_index E222): variance-to-mean of per-hour counts over
@@ -6837,6 +6902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_index": q_events_seasonal_index,
         "events_dispersion": q_events_dispersion,
         "events_active_users": q_events_active_users,
+        "events_markov_stationary": q_events_markov_stationary,
         "events_heavy_hitters": q_events_heavy_hitters,
         "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,
@@ -10976,6 +11042,7 @@ FROM s GROUP BY 1""",
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        CAST(floor(sum(value) * 100) AS BIGINT) AS sum_value_c
 FROM events GROUP BY 1, 2""",
+        "events_markov_stationary": _markov_sql(4),
         "events_active_users": """
 WITH ud AS (
   SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS d

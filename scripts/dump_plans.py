@@ -125,6 +125,11 @@ ALLOW: dict[tuple[str, str], str] = {
     ("embed_pca", "Exchange SinglePartition"):
         "the same 1-row global variance aggregate; partial sums "
         "upstream",
+    ("events_markov_stationary", "BroadcastNestedLoopJoin"):
+        "the 1-row corpus-total dim broadcast onto the |types| fold",
+    ("events_markov_stationary", "Exchange SinglePartition"):
+        "1-row total + the pi0 row_number over the |types| dim "
+        "(bounded by construction)",
     ("events_active_users", "BroadcastNestedLoopJoin"):
         "the 1-row max-day clip dim broadcast onto the offset "
         "expansion",

@@ -3572,6 +3572,42 @@ def test_active_users_hand_windows(spark):
     assert d3.stickiness_ppm == 500_000
 
 
+def test_markov_stationary_hand_chains(spark):
+    """A deterministic A<->B alternator settles at exactly 50/50
+    whatever the empirical mix; a dangling absorber soaks up all
+    mass via the self-loop rule; mass is conserved up to the
+    documented per-edge floor evaporation."""
+    from web_graph_spark.functions.stats import markov_stationary
+
+    # alternator: one user, A B A B A  (empirical 3:2)
+    rows = [(i, "2024-01-01 00:0%d:00" % i, "u1",
+             "A" if i % 2 == 0 else "B") for i in range(5)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id string,"
+              " event_type string") \
+        .selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) ts",
+                    "user_id", "event_type")
+    out = {r.event_type: r for r in
+           markov_stationary(ev, rounds=4).collect()}
+    assert out["A"].stationary_ppm == 500_000
+    assert out["B"].stationary_ppm == 500_000
+    assert out["A"].empirical_ppm == 600_000
+    assert out["A"].delta_ppm == -100_000
+
+    # absorber: A -> B, B emits nothing -> B self-loops all mass
+    rows2 = [(0, "2024-01-01 00:00:00", "u1", "A"),
+             (1, "2024-01-01 00:01:00", "u1", "B")]
+    ev2 = spark.createDataFrame(
+        rows2, "event_id long, ts_s string, user_id string,"
+               " event_type string") \
+        .selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) ts",
+                    "user_id", "event_type")
+    out2 = {r.event_type: r for r in
+            markov_stationary(ev2, rounds=4).collect()}
+    assert out2["A"].stationary_ppm == 0
+    assert out2["B"].stationary_ppm == 1_000_000
+
+
 def test_epoch_plan_invariants(spark):
     """The planner's contract: no source exceeds 4.0 epochs, grants
     sum to min(capacity, 4x total tokens), capped sources sit below

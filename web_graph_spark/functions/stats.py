@@ -2288,3 +2288,83 @@ def active_users(events: DataFrame, ts_col: str = "ts",
                         F.expr("CASE WHEN mau > 0 THEN "
                                "dau * 1000000 div mau ELSE 0 END")
                         .cast("long")))
+
+
+def markov_stationary(events: DataFrame, rounds: int = 4,
+                      ts_col: str = "ts", user_col: str = "user_id",
+                      type_col: str = "event_type") -> DataFrame:
+    """Stationary event mix of the per-user transition chain (E232)
+    — where the E118 transition matrix SETTLES: iterate the chain
+    from the uniform mix and compare against the empirical event
+    shares.  A type whose stationary share sits far above its
+    empirical share is where user behavior is HEADING (funnels fill
+    it); far below and it is an entry-point type kept alive only by
+    session starts — the drift verdict a product/crawl-scheduling
+    review reads off one table.
+
+    Exact recurrence in floor ppm: π₀ = uniform (10⁶ div k, +1 to
+    the first types so Σ = 10⁶ exactly); per round
+    ``π'_j = Σ_i (π_i · n_ij) div n_i`` — floor PER EDGE
+    (deterministic in any engine; ≤ |types|² ppm units evaporate
+    per round, the documented OPIC-style remainder policy); a type
+    with no outgoing transitions self-loops its whole mass.
+
+    Scale shape: ONE corpus shuffle (the user-key lead window that
+    E118 already pays) builds the transition counts; every
+    iteration then runs on the ≤ |types|² dim.
+
+    → ``(type, empirical_ppm, stationary_ppm, delta_ppm)``.
+
+    Reference analog: none; engine extension (SURVEY §2.10 E232).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("u").orderBy(ts_col, "event_id")
+    seq = (events.select(F.col(user_col).alias("u"), "event_id",
+                         F.col(ts_col), F.col(type_col).alias("a"))
+           .withColumn("b", F.lead("a").over(w))
+           .filter(F.col("b").isNotNull()))
+    tm = (seq.groupBy("a", "b")
+          .agg(F.count(F.lit(1)).cast("long").alias("n"))
+          .localCheckpoint())
+    out_deg = tm.groupBy("a").agg(F.sum("n").alias("na"))
+    types = (events.select(F.col(type_col).alias("t")).distinct()
+             .localCheckpoint())
+    k = types.count()
+    base, extra = 1_000_000 // k, 1_000_000 % k
+    rw = W.orderBy("t")
+    pi = (types.withColumn("rn", F.row_number().over(rw))
+          .select("t", (F.lit(base)
+                        + F.when(F.col("rn") <= extra, 1)
+                        .otherwise(0)).cast("long").alias("pi"))
+          .localCheckpoint())
+    for _ in range(rounds):
+        flow = (pi.join(out_deg.select(F.col("a").alias("t"), "na"),
+                        "t", "left"))
+        moving = (flow.filter(F.col("na").isNotNull())
+                  .join(tm.select(F.col("a").alias("t"), "b", "n"),
+                        "t")
+                  .select(F.col("b").alias("t"),
+                          F.expr("(pi * n) div na").cast("long")
+                          .alias("c")))
+        staying = (flow.filter(F.col("na").isNull())
+                   .select("t", F.col("pi").cast("long").alias("c")))
+        pi = (moving.unionByName(staying)
+              .groupBy("t")
+              .agg(F.sum("c").cast("long").alias("pi"))
+              .join(types, "t", "right")
+              .select("t", F.coalesce("pi", F.lit(0)).cast("long")
+                      .alias("pi"))
+              .localCheckpoint())
+    emp = (events.groupBy(F.col(type_col).alias("t"))
+           .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    tot = emp.agg(F.sum("cnt").alias("tot"))
+    return (emp.crossJoin(F.broadcast(tot))
+            .select("t", F.expr("cnt * 1000000 div tot").cast("long")
+                    .alias("empirical_ppm"))
+            .join(pi, "t")
+            .select(F.col("t").alias(type_col), "empirical_ppm",
+                    F.col("pi").alias("stationary_ppm"))
+            .withColumn("delta_ppm",
+                        (F.col("stationary_ppm")
+                         - F.col("empirical_ppm")).cast("long")))
