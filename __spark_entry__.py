@@ -8354,8 +8354,8 @@ curve AS (
 SELECT c.deg, c.n_nodes, k.knn_ppm,
        CAST(c.n_richer AS BIGINT) AS n_richer,
        CAST(CASE WHEN c.n_richer >= 2 THEN
-              2 * c.e_richer * 1000000
-                // (c.n_richer * (c.n_richer - 1))
+              2 * CAST(c.e_richer AS HUGEINT) * 1000000
+                // (CAST(c.n_richer AS HUGEINT) * (c.n_richer - 1))
             END AS BIGINT) AS rich_club_ppm
 FROM curve c JOIN knn k ON k.deg = c.deg"""),
         "graph_diameter": _oracle_recursive("""
@@ -9519,7 +9519,7 @@ toks AS MATERIALIZED (
          regexp_replace(u.t, '[^a-z0-9]', '', 'g') AS tok
   FROM documents d
   JOIN ids ON ids.id = d.doc_id,
-  LATERAL unnest(string_split_regex(lower(d.text), '\\s+'))
+  LATERAL unnest(string_split_regex(lower(d.text), '[ \\t\\n\\r\\f]+'))
     AS u(t)
   WHERE regexp_replace(u.t, '[^a-z0-9]', '', 'g') <> ''),
 sz AS (SELECT id, CAST(count(*) AS BIGINT) AS nt
@@ -9553,7 +9553,8 @@ LEFT JOIN inter i ON i.a = f.a AND i.b = f.b"""),
 toks AS (
   SELECT doc_id,
          regexp_replace(
-             unnest(string_split_regex(lower(text), '\\s+')),
+             unnest(string_split_regex(lower(text),
+                                       '[ \\t\\n\\r\\f]+')),
              '[^a-z0-9]', '', 'g') AS tok
   FROM documents),
 hits AS (

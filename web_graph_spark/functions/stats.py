@@ -2218,8 +2218,7 @@ def dispersion_index(events: DataFrame, ts_col: str = "ts",
           .distinct()
           .agg(F.count(F.lit(1)).cast("long").alias("n")))
     per = (b.groupBy("etype")
-           .agg(F.count(F.lit(1)).cast("long").alias("n_observed"),
-                F.sum("x").cast("long").alias("s"),
+           .agg(F.sum("x").cast("long").alias("s"),
                 F.sum((F.col("x") * F.col("x"))
                       .cast("decimal(38,0)")).alias("sx2")))
     return (per.crossJoin(F.broadcast(nh))
@@ -2292,7 +2291,8 @@ def active_users(events: DataFrame, ts_col: str = "ts",
 
 def markov_stationary(events: DataFrame, rounds: int = 4,
                       ts_col: str = "ts", user_col: str = "user_id",
-                      type_col: str = "event_type") -> DataFrame:
+                      type_col: str = "event_type",
+                      id_col: str = "event_id") -> DataFrame:
     """Stationary event mix of the per-user transition chain (E232)
     — where the E118 transition matrix SETTLES: iterate the chain
     from the uniform mix and compare against the empirical event
@@ -2315,12 +2315,15 @@ def markov_stationary(events: DataFrame, rounds: int = 4,
 
     → ``(type, empirical_ppm, stationary_ppm, delta_ppm)``.
 
+    ``id_col`` (default ``event_id``) closes (ts) ordering ties —
+    the same monotone-ingest-id convention sessionize uses.
+
     Reference analog: none; engine extension (SURVEY §2.10 E232).
     """
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("u").orderBy(ts_col, "event_id")
-    seq = (events.select(F.col(user_col).alias("u"), "event_id",
+    w = W.partitionBy("u").orderBy(ts_col, id_col)
+    seq = (events.select(F.col(user_col).alias("u"), F.col(id_col),
                          F.col(ts_col), F.col(type_col).alias("a"))
            .withColumn("b", F.lead("a").over(w))
            .filter(F.col("b").isNotNull()))

@@ -2350,8 +2350,10 @@ def lexicon_filter(df: DataFrame, lexicon: DataFrame,
     doc agg.  The corpus never shuffles on anything but doc_id.
     """
     toks = (df.select(F.col(id_col),
+                      # explicit class, not \s (see bitext_candidates)
                       F.explode(F.split(F.lower(F.col(text_col)),
-                                        r"\s+")).alias("__raw"))
+                                        "[ \\t\\n\\r\\f]+"))
+                      .alias("__raw"))
             .select(id_col,
                     F.regexp_replace("__raw", "[^a-z0-9]", "")
                     .alias("tok")))
@@ -2453,7 +2455,12 @@ def bitext_candidates(docs: DataFrame, edges: DataFrame,
     toks = (docs.select(F.col(id_col).cast("long").alias("id"),
                         F.col(text_col).alias("__t"))
             .join(ids, "id", "left_semi")
-            .select("id", F.explode(F.split(F.lower("__t"), r"\s+"))
+            .select("id", F.explode(
+                        # explicit class, not \s: Java \s includes
+                        # vertical tab (\x0B), RE2's does not -- the
+                        # shared [ \t\n\r\f]+ tokenizes identically
+                        # in both engines (ADVICE r4)
+                        F.split(F.lower("__t"), "[ \\t\\n\\r\\f]+"))
                     .alias("__raw"))
             .select("id", F.regexp_replace("__raw", "[^a-z0-9]", "")
                     .alias("tok"))
@@ -2505,9 +2512,16 @@ REPLACEMENT_CHAR = "\ufffd"
 
 def _lit_count_sql(text_col: str, s: str) -> str:
     """occurrences of literal s in text_col as pure string
-    arithmetic: (len(t) - len(replace(t, s, ''))) / len(s) --
-    identical semantics in Spark SQL and DuckDB."""
-    lit = s.replace("\\", "\\\\").replace("'", "''")
+    arithmetic: (len(t) - len(replace(t, s, ''))) / len(s).
+    DuckDB-dialect helper (consumed only by the oracle generator):
+    DuckDB standard single-quoted strings treat backslash literally,
+    so doubling it here would miscount -- only the single quote is
+    escaped, and backslash-bearing signatures are rejected outright
+    rather than silently double-escaped."""
+    if "\\" in s:
+        raise ValueError("backslash-bearing literal would be "
+                         "miscounted by the DuckDB oracle dialect")
+    lit = s.replace("'", "''")
     return (f"(length({text_col}) - length(replace({text_col}, "
             f"'{lit}', ''))) // {len(s)}")
 

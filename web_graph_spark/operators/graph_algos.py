@@ -2317,8 +2317,9 @@ def degree_mixing_curve(edges: DataFrame, src: str = "src_doc_id",
     return (curve.join(knn, "deg")
             .select("deg", "n_nodes", "knn_ppm", "n_richer",
                     F.expr("CASE WHEN n_richer >= 2 THEN "
-                           "2 * e_richer * 1000000 div "
-                           "(n_richer * (n_richer - 1)) END")
+                           "2 * CAST(e_richer AS DECIMAL(38,0)) * 1000000 div "
+                           "(CAST(n_richer AS DECIMAL(38,0)) * (n_richer - 1)) "
+                           "END")
                     .cast("long").alias("rich_club_ppm")))
 
 
