@@ -6717,6 +6717,79 @@ def q_corpus_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("doc_id"), F.col("text"), width=16)
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue-change: the pure scan-predicate
+    aggregate beside Q1's group-agg and Q3's join — every filter
+    (ship-year, discount band, quantity cap) must reach the parquet
+    scan as a pushed predicate, so the whole query is one codegen'd
+    scan + a 1-row partial-aggregated sum.  Revenue in cents floored
+    PER LINE (the Q3 discipline: float Σ then ×100 would be
+    aggregation-order-dependent)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sel = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return (sel.select(F.floor(F.col("l_extendedprice")
+                               * F.col("l_discount") * 100)
+                       .cast("long").alias("rev_c"))
+            .agg(F.sum("rev_c").cast("long").alias("revenue_c"),
+                 F.count(F.lit(1)).cast("long").alias("n_lines")))
+
+
+def q_docs_asset_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-asset reuse audit over the interleaved span docs: every
+    ``.png`` media_ref grouped by exact ref string — how many
+    documents embed the asset, how often, and the hot-asset flag
+    (n_docs ≥ 3).  The fetch-each-asset-ONCE planning input of a
+    multimodal pipeline: hot assets go to a shared fetch/decode cache
+    tier, singletons inline with their document.  One explode + one
+    uniform-key agg (ref strings hash-spread; a genuinely hot CDN
+    asset is exactly the AQE-skew-split case).  Oracle re-derives the
+    refs from the link relation the spans were built from."""
+    web = build_span_web(spark, sf_dir)
+    refs = (web.select("page_id", F.explode("spans").alias("s"))
+            .select("page_id", F.col("s.media_ref").alias("media_ref"))
+            .filter(F.col("media_ref").rlike(r"\.png$")))
+    return (refs.groupBy("media_ref")
+            .agg(F.countDistinct("page_id").cast("long").alias("n_docs"),
+                 F.count(F.lit(1)).cast("long").alias("n_refs"))
+            .select("media_ref",
+                    F.regexp_extract("media_ref", "^https://([^/]+)/", 1)
+                    .alias("asset_host"),
+                    "n_docs", "n_refs",
+                    (F.col("n_docs") >= 3).alias("is_hot")))
+
+
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile battery (operators/tablediff.py:table_profile
+    E233): per documents column the row/NULL/exact-distinct counts and
+    native-typed min/max — the Deequ-style snapshot profile run before
+    anyone queries a new drop.  ONE scan computes every column's stats
+    in a single aggregate row (map-side partials, 1-row shuffle state),
+    unpivoted in-row; no per-column re-scan."""
+    from web_graph_spark.operators.tablediff import table_profile
+
+    return table_profile(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def q_corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head audit (functions/text.py:zipf_head E234): the top-50
+    tokens with rank, frequency, corpus share, and the Zipf constant
+    f·r/N in floor ppm — flat C across ranks ≈ Zipf-compliant natural
+    text; a C cliff at low ranks is the boilerplate/template
+    signature, the cheap corpus-level screen beside E168's per-doc
+    repetition scores.  One explode scan + one uniform token agg +
+    a LIMIT-50 head; rank window on the bounded head only."""
+    from web_graph_spark.functions.text import zipf_head
+
+    return zipf_head(spark.read.parquet(
+        f"{sf_dir}/documents.parquet"), "text", 50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_canonicalize": q_crawl_canonicalize,
@@ -6967,6 +7040,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_zonemap_audit": q_corpus_zonemap_audit,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "docs_asset_reuse": q_docs_asset_reuse,
+        "corpus_profile": q_corpus_profile,
+        "corpus_zipf": q_corpus_zipf,
         "orders_fk_audit": q_orders_fk_audit,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
@@ -11971,6 +12048,55 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY 1, 2
 ORDER BY revenue_c DESC, o.o_orderkey
 LIMIT 10""",
+        "tpch_q6": """
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24""",
+        "docs_asset_reuse": _oracle("""
+SELECT href AS media_ref,
+       regexp_extract(href, '^https://([^/]+)/', 1) AS asset_host,
+       CAST(count(DISTINCT src_doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_refs,
+       count(DISTINCT src_doc_id) >= 3 AS is_hot
+FROM web_links_full
+WHERE href LIKE '%.png'
+GROUP BY 1, 2"""),
+        "corpus_profile": " UNION ALL ".join(f"""
+SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM documents""" for c in ("doc_id", "text", "lang", "source",
+                            "n_chars")),
+        "corpus_zipf": """
+WITH toks AS (
+  SELECT regexp_replace(
+             unnest(string_split_regex(lower(text),
+                                       '[ \\t\\n\\r\\f]+')),
+             '[^a-z0-9]', '', 'g') AS tok
+  FROM documents),
+f AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+  FROM toks WHERE tok <> '' GROUP BY 1),
+tot AS (SELECT sum(freq) AS n FROM f),
+top AS (
+  SELECT tok, freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, tok)
+              AS BIGINT) AS rank
+  FROM f ORDER BY freq DESC, tok LIMIT 50)
+SELECT t.tok, t.rank, t.freq,
+       CAST(t.freq * 1000000 // tot.n AS BIGINT) AS share_ppm,
+       CAST(t.freq * t.rank * 1000000 // tot.n AS BIGINT)
+         AS zipf_c_ppm
+FROM top t, tot""",
         "topk_orders_per_cust": """
 WITH r AS (
   SELECT o_custkey, o_orderkey, o_totalprice,

@@ -385,6 +385,18 @@ ALLOW: dict[tuple[str, str], str] = {
     ("corpus_pack_sequences", "python"): "distributed weighted prefix "
         "sum: per-partition offsets via MapInPandas over range-"
         "partitioned token counts (the exclusive-scan primitive)",
+    ("tpch_q6", "Exchange SinglePartition"):
+        "1-row global revenue sum; partial aggs upstream",
+    ("corpus_profile", "Exchange SinglePartition"):
+        "the whole profile is ONE aggregate row (all columns' stats "
+        "at once); partial aggs upstream, the exchanged state is one "
+        "row",
+    ("corpus_zipf", "BroadcastNestedLoopJoin"):
+        "1-row corpus-total dim (N tokens) crossed onto the top-50 "
+        "head",
+    ("corpus_zipf", "Exchange SinglePartition"):
+        "rank window + TakeOrdered run over the LIMIT-50 head only; "
+        "the vocab agg upstream stays hash-partitioned",
 }
 
 PY_MARKERS = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",

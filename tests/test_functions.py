@@ -4948,3 +4948,52 @@ def test_cluster_eval_contract_row_sane(spark):
     assert 1 <= r["n_clusters"] <= 8 and r["n_labels"] == 10
     assert 100_000 <= r["purity_ppm"] <= 1_000_000
     assert r["ari_ppm"] is not None and r["ari_ppm"] > 0
+
+
+@pytest.mark.spark
+def test_zipf_head_hand_corpus(spark):
+    """Hand corpus: 'a' x4, 'b' x3, 'c' x1 (after normal form) —
+    exact rank/freq/share/C ppm, ties broken by token, k cap."""
+    from web_graph_spark.functions.text import zipf_head
+
+    docs = spark.createDataFrame(
+        [(1, "A a a.\ta B b"), (2, "b? c")], "doc_id long, text string")
+    rows = zipf_head(docs, "text", 2).orderBy("rank").collect()
+    # N = 8 tokens total; top-2: a (4), b (3); c cut by k=2
+    assert [r["tok"] for r in rows] == ["a", "b"]
+    a, b = rows
+    assert (a["rank"], a["freq"]) == (1, 4)
+    assert (b["rank"], b["freq"]) == (2, 3)
+    n = 8  # a x4 + b x3 + c x1
+    assert a["share_ppm"] == 4 * 1_000_000 // n
+    assert a["zipf_c_ppm"] == 4 * 1 * 1_000_000 // n
+    assert b["zipf_c_ppm"] == 3 * 2 * 1_000_000 // n
+
+
+@pytest.mark.spark
+def test_zipf_head_tie_break_and_strip(spark):
+    """Equal-frequency tokens rank lexicographically; punctuation is
+    stripped into the token (normal form), empties dropped."""
+    from web_graph_spark.functions.text import zipf_head
+
+    docs = spark.createDataFrame(
+        [(1, "zz! aa ?? zz aa")], "doc_id long, text string")
+    rows = zipf_head(docs, "text", 10).orderBy("rank").collect()
+    # '??' normalizes to empty and is dropped; aa/zz tie at 2 -> aa first
+    assert [(r["tok"], r["rank"]) for r in rows] == [("aa", 1), ("zz", 2)]
+
+
+@pytest.mark.spark
+def test_asset_reuse_invariants(spark):
+    """docs_asset_reuse over the derived span web: every ref is a
+    .png, n_refs >= n_docs >= 1, the hot flag matches its threshold,
+    and the asset host parses out of the ref."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["docs_asset_reuse"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["media_ref"].endswith(".png")
+        assert r["n_refs"] >= r["n_docs"] >= 1
+        assert r["is_hot"] == (r["n_docs"] >= 3)
+        assert r["media_ref"].startswith("https://" + r["asset_host"])

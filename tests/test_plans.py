@@ -362,3 +362,19 @@ def test_tpch_q3_broadcast_and_takeordered(spark):
     assert_pushed_filter(df, "l_shipdate")
     assert_no_python_udf(df)
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+@pytest.mark.spark
+def test_tpch_q6_pure_scan_aggregate(spark):
+    """Q6's plan: every predicate (ship-year band, discount band,
+    quantity cap) reaches the parquet scan as a PushedFilter, the scan
+    reads only the 4 referenced columns, and nothing leaves the JVM."""
+    import __spark_entry__ as e
+
+    df = e.queries()["tpch_q6"](spark, SF_SMOKE)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "l_discount")
+    assert_pushed_filter(df, "l_quantity")
+    assert_read_schema_only(df, {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"})
+    assert_no_python_udf(df)

@@ -123,3 +123,36 @@ def test_fk_audit_hand_tables(spark):
     p = rows["dup_parent"]
     # duplicate parent key detected even though no orphans exist
     assert (p["n_orphans"], p["n_dup_pk"], p["ok"]) == (0, 1, False)
+
+
+@pytest.mark.spark
+def test_table_profile_hand_frame(spark):
+    """Exact per-column stats on a hand frame: NULL counting, distinct
+    ignoring NULLs, min/max aggregated on the NATIVE type (numeric
+    order, not string order) and cast to string after."""
+    from web_graph_spark.operators.tablediff import table_profile
+
+    df = spark.createDataFrame(
+        [(2, "b"), (10, "a"), (10, None), (None, "a")],
+        "k long, s string")
+    rows = {r["col_name"]: r
+            for r in table_profile(df, ["k", "s"]).collect()}
+    k = rows["k"]
+    assert (k["n_rows"], k["n_null"], k["n_distinct"]) == (4, 1, 2)
+    # native numeric order: min 2, max 10 (string order would say
+    # min "10", max "2")
+    assert (k["min_value"], k["max_value"]) == ("2", "10")
+    s = rows["s"]
+    assert (s["n_null"], s["n_distinct"]) == (1, 2)
+    assert (s["min_value"], s["max_value"]) == ("a", "b")
+
+
+@pytest.mark.spark
+def test_table_profile_all_null_column(spark):
+    from web_graph_spark.operators.tablediff import table_profile
+
+    df = spark.createDataFrame([(1, None), (2, None)],
+                               "k long, s string")
+    r = {x["col_name"]: x for x in table_profile(df, ["s"]).collect()}
+    assert (r["s"]["n_null"], r["s"]["n_distinct"]) == (2, 0)
+    assert r["s"]["min_value"] is None and r["s"]["max_value"] is None

@@ -2494,6 +2494,49 @@ def bitext_candidates(docs: DataFrame, edges: DataFrame,
                           F.col("jaccard_ppm") >= tau_ppm)
 
 
+def zipf_head(docs: DataFrame, text_col: str = "text",
+              k: int = 50) -> DataFrame:
+    """Zipf head audit (E234): the top-``k`` tokens (lexicon_filter
+    normal form — lower, explicit ``[ \\t\\n\\r\\f]+`` whitespace
+    class, strip non-alnum) with rank, frequency, corpus share, and
+    the Zipf constant f·r/N in floor ppm.  Flat C across ranks ≈
+    Zipf-compliant natural text; a C cliff at low ranks is the
+    boilerplate/template signature (the same headers on every page) —
+    the cheap corpus-level screen beside the per-doc repetition
+    scores.  Exact integers only (no logs, no floats).
+
+    → ``(tok, rank, freq, share_ppm, zipf_c_ppm)``, ≤ k rows.
+
+    Scale shape: one explode scan + one uniform token agg, then a
+    global orderBy+LIMIT k (per-partition LocalLimit heads, never a
+    full vocab sort on one task); the rank window runs on the bounded
+    k-row head only.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E234).
+    """
+    from pyspark.sql import Window
+
+    toks = (docs.select(F.explode(
+                F.split(F.lower(text_col), "[ \\t\\n\\r\\f]+"))
+                .alias("__raw"))
+            .select(F.regexp_replace("__raw", "[^a-z0-9]", "")
+                    .alias("tok"))
+            .filter(F.col("tok") != ""))
+    freq = (toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq")))
+    tot = freq.agg(F.sum("freq").cast("long").alias("n"))
+    top = freq.orderBy(F.desc("freq"), "tok").limit(k)
+    w = Window.orderBy(F.desc("freq"), "tok")
+    return (top.withColumn("rank",
+                           F.row_number().over(w).cast("long"))
+            .crossJoin(F.broadcast(tot))
+            .select("tok", "rank", "freq",
+                    F.expr("freq * 1000000 div n").cast("long")
+                    .alias("share_ppm"),
+                    F.expr("freq * rank * 1000000 div n").cast("long")
+                    .alias("zipf_c_ppm")))
+
+
 # The classic UTF-8-read-as-Windows-1252 damage signatures, DERIVED
 # (not pasted -- several contain C1-range characters no editor shows):
 # each intended character, encoded to UTF-8 and mis-decoded as

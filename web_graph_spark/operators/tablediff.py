@@ -136,6 +136,50 @@ def merkle_diff_rows(df_a: DataFrame, df_b: DataFrame, key, payload,
             .select("leaf", "key", status.alias("status")))
 
 
+def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column-profile battery (E233) — the Deequ/dbt-docs-style table
+    profiler a lake runs on every new snapshot before anyone queries
+    it: per requested column the row count, NULL count, exact distinct
+    count, and min/max (cast to string AFTER aggregating on the native
+    type, so numeric columns keep numeric order).
+
+    → one row per column: (col_name, n_rows, n_null, n_distinct,
+    min_value, max_value).
+
+    Scale shape: ONE fact scan — a single aggregate row computes every
+    column's stats at once (the multi-distinct agg expands the scan
+    |cols|× map-side; partials still combine before the shuffle, and
+    the shuffled state is ONE row), then unpivots via an in-row
+    explode of |cols| structs.  No per-column re-scan, no window, no
+    Python.  At 10^10 rows exact distincts are the audit-scale tier;
+    swap ``F.approx_count_distinct`` for the routine-profiling tier
+    (the oracle certifies the exact path).
+
+    Reference analog: none — engine extension (SURVEY §2.10 E233).
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).cast("long")
+            .alias(f"__null_{c}"),
+            F.countDistinct(c).cast("long").alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("col_name"),
+                 F.col("__n").alias("n_rows"),
+                 F.col(f"__null_{c}").alias("n_null"),
+                 F.col(f"__nd_{c}").alias("n_distinct"),
+                 F.col(f"__min_{c}").alias("min_value"),
+                 F.col(f"__max_{c}").alias("max_value"))
+        for c in cols])
+    return (one.select(F.explode(rows).alias("p"))
+            .select("p.col_name", "p.n_rows", "p.n_null",
+                    "p.n_distinct", "p.min_value", "p.max_value"))
+
+
 def fk_audit(edges) -> DataFrame:
     """Referential-integrity audit (E197) — the dbt-test / Deequ-style
     constraint battery a warehouse runs before trusting a snapshot
