@@ -6790,6 +6790,183 @@ def q_corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{sf_dir}/documents.parquet"), "text", 50)
 
 
+def q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type (functions/stats.py:
+    mann_kendall E237): S = Σ sign(x_j − x_i) over day-ordered daily
+    counts, Kendall's tau in floor-toward-zero ppm, trend verdict at
+    ±0.2 — the distribution-free is-this-drifting screen run before
+    trusting any forecast.  Pair enumeration on the bounded DAY dim
+    only (per-type self-join), never the event stream."""
+    from web_graph_spark.functions.stats import mann_kendall
+
+    return mann_kendall(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer ACF of the per-type hourly series (functions/
+    stats.py:autocorrelation E238) at lags 1/2/3/24 — diurnal vs
+    bursty vs Poisson-ish, read off r_k = Σc_t·c_{t+k}/Σc_t² with
+    c_t = n·x_t − S (mean-centering multiplied through by n; the n²
+    cancels) on the DENSE shared hour grid.  All windows/folds on the
+    calendar-sized dim, partitioned by type."""
+    from web_graph_spark.functions.stats import autocorrelation
+
+    return autocorrelation(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_graph_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral radius of the undirected host graph by exact-integer
+    power iteration (operators/graph_algos.py:spectral_radius E240):
+    per round w = A·v, renormalize by max (floor), Rayleigh quotient
+    in ppm — λ_max, the epidemic-threshold / robustness constant.
+    The pagerank shape: one uniform-key join + one vertex agg + a
+    1-row max dim per round; oracle unrolls the identical rounds."""
+    from web_graph_spark.operators.graph_algos import spectral_radius
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    p = webgen.pages_df(spark, sf_dir).select("doc_id", "host")
+    he = (e.join(p.select(F.col("doc_id").alias("src_doc_id"),
+                          F.col("host").alias("src_host")),
+                 "src_doc_id")
+          .join(p.select(F.col("doc_id").alias("tgt_doc_id"),
+                         F.col("host").alias("tgt_host")),
+                "tgt_doc_id")
+          .select("src_host", "tgt_host").distinct())
+    return spectral_radius(he, rounds=4)
+
+
+def q_text_filter_agreement(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Cohen's kappa between two quality labelers (functions/stats.py:
+    cohen_kappa E239) — the composite quality_score gate (≥ 2000,
+    E11's scorer) vs the Gopher hard-filter verdict (E81's gates),
+    both over the SAME injected corpus the gopher query exercises:
+    beyond-chance agreement of the two filters a curation pipeline
+    would otherwise arbitrate silently.  One join + one aggregate
+    row; every count exact."""
+    from web_graph_spark.functions.stats import cohen_kappa
+    from web_graph_spark.functions.text import gopher_rules, with_quality
+
+    docs = _gopher_injected(spark, sf_dir)
+    a = (with_quality(docs)
+         .select("doc_id", (F.col("quality_score") >= 2000).alias("a")))
+    b = gopher_rules(docs).select("doc_id", F.col("passes").alias("b"))
+    return cohen_kappa(a.join(b, "doc_id"), "a", "b")
+
+
+def _spectral_unrolled_sql(rounds: int = 4) -> str:
+    """Oracle for q_graph_spectral: the identical power-iteration
+    rounds unrolled as MATERIALIZED CTEs (renormalization floors and
+    Rayleigh quotients mirrored 1:1 on HUGEINT)."""
+    parts = ["""
+, he AS MATERIALIZED (
+  SELECT DISTINCT ps.host AS s, pt.host AS t
+  FROM (SELECT DISTINCT src_doc_id, tgt_doc_id
+        FROM web_links_full WHERE k % 4 <> 0) e
+  JOIN web_pages ps ON ps.doc_id = e.src_doc_id
+  JOIN web_pages pt ON pt.doc_id = e.tgt_doc_id),
+und AS MATERIALIZED (
+  -- explicit DISTINCT: MATERIALIZED inside WITH RECURSIVE silently
+  -- degrades bare UNION to UNION ALL in DuckDB
+  SELECT DISTINCT s, t FROM (
+    SELECT s, t FROM he UNION ALL SELECT t, s FROM he) u),
+verts AS MATERIALIZED (SELECT DISTINCT s AS v FROM und),
+v0 AS MATERIALIZED (
+  SELECT v, CAST(1000000 AS HUGEINT) AS x FROM verts)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+w{r} AS MATERIALIZED (
+  SELECT u.s AS v, sum(p.x) AS w
+  FROM und u JOIN v{r - 1} p ON p.v = u.t
+  GROUP BY 1),
+wf{r} AS MATERIALIZED (
+  SELECT verts.v, coalesce(w{r}.w, 0) AS w
+  FROM verts LEFT JOIN w{r} ON w{r}.v = verts.v),
+ray{r} AS (
+  SELECT CAST({r} AS BIGINT) AS round,
+         CAST(sum(CASE WHEN wf.w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_active,
+         CAST(CASE WHEN sum(CAST(p.x AS HUGEINT) * p.x) <> 0 THEN
+                sum(wf.w * p.x) * 1000000
+                  // sum(CAST(p.x AS HUGEINT) * p.x)
+              END AS BIGINT) AS lambda_ppm
+  FROM wf{r} wf JOIN v{r - 1} p USING (v)),
+mx{r} AS (SELECT max(w) AS mx FROM wf{r}),
+v{r} AS MATERIALIZED (
+  SELECT wf.v,
+         CASE WHEN mx.mx > 0 THEN wf.w * 1000000 // mx.mx
+              ELSE 0 END AS x
+  FROM wf{r} wf, mx{r} mx)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM ray{r}" for r in range(1, rounds + 1))
+    return _oracle_recursive("".join(parts) + "\n" + union)
+
+
+def _filter_agreement_sql() -> str:
+    """Oracle for q_text_filter_agreement: quality_score ≥ 2000 and
+    the full gopher verdict over the SAME injection, folded through
+    the identical kappa algebra."""
+    from web_graph_spark.functions.text import (count_sql, gopher_sql,
+                                                stopword_count_sql)
+
+    inj = """
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 9 = 0 THEN chr(10) || '- alpha' || chr(10)
+         || '- beta' || chr(10) || '- gamma' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'to be continued...'
+         || chr(10) || 'more soon...' ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN ' ### ## # ...' ELSE '' END
+    || CASE WHEN doc_id % 23 = 0
+         THEN ' 123 456 789 101 112 131 415 161 718 192' ELSE '' END
+    AS text
+  FROM documents"""
+    n_tok = count_sql("text", r"\S+")
+    n_punct = count_sql("text", "[.,;:!?]")
+    n_digit = count_sql("text", "[0-9]")
+    quality = f"""
+  SELECT doc_id,
+         CAST(greatest(
+             least({n_tok}, 200) * 20
+             + floor(({stopword_count_sql('text')}) * 10000.0
+                     / greatest({n_tok}, 1))
+             - floor({n_punct} * 10000.0 / greatest(length(text), 1))
+             - floor({n_digit} * 10000.0 / greatest(length(text), 1)),
+             0) AS BIGINT) >= 2000 AS a
+  FROM inj"""
+    gop = gopher_sql(table="inj")
+    return f"""
+WITH inj AS ({inj}),
+q AS ({quality}),
+g AS (SELECT doc_id, passes AS b FROM ({gop}) _g),
+j AS (SELECT q.a, g.b FROM q JOIN g USING (doc_id)),
+cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+              AS BIGINT) AS n00,
+         CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+              AS BIGINT) AS n01,
+         CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+              AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END)
+              AS BIGINT) AS n11
+  FROM j),
+pp AS (
+  SELECT *,
+         CAST((n00 + n11) * 1000000 // n AS BIGINT) AS po_ppm,
+         CAST((CAST(n10 + n11 AS HUGEINT) * (n01 + n11)
+               + CAST(n00 + n01 AS HUGEINT) * (n00 + n10)) * 1000000
+              // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm
+  FROM cells)
+SELECT n, n00, n01, n10, n11, po_ppm, pe_ppm,
+       CAST(CASE WHEN pe_ppm < 1000000 THEN
+              (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
+            END AS BIGINT) AS kappa_ppm
+FROM pp"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_canonicalize": q_crawl_canonicalize,
@@ -7044,6 +7221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_asset_reuse": q_docs_asset_reuse,
         "corpus_profile": q_corpus_profile,
         "corpus_zipf": q_corpus_zipf,
+        "events_mann_kendall": q_events_mann_kendall,
+        "events_autocorr": q_events_autocorr,
+        "graph_spectral": q_graph_spectral,
+        "text_filter_agreement": q_text_filter_agreement,
         "orders_fk_audit": q_orders_fk_audit,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
@@ -12097,6 +12278,76 @@ SELECT t.tok, t.rank, t.freq,
        CAST(t.freq * t.rank * 1000000 // tot.n AS BIGINT)
          AS zipf_c_ppm
 FROM top t, tot""",
+        "events_mann_kendall": """
+WITH d AS (
+  SELECT event_type AS etype, date_trunc('day', ts) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT a.etype,
+         CAST(sum(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_stat
+  FROM d a JOIN d b ON b.etype = a.etype AND a.d < b.d
+  GROUP BY 1),
+n AS (SELECT etype, CAST(count(*) AS BIGINT) AS n_days
+      FROM d GROUP BY 1),
+t AS (
+  SELECT n.etype, n.n_days,
+         coalesce(s.s_stat, 0) AS s_stat,
+         CAST(CASE WHEN n.n_days >= 2 THEN
+                coalesce(s.s_stat, 0) * 1000000
+                  // ((n.n_days * (n.n_days - 1)) // 2)
+              END AS BIGINT) AS tau_ppm
+  FROM n LEFT JOIN s ON s.etype = n.etype)
+SELECT etype AS event_type, n_days, s_stat, tau_ppm,
+       CASE WHEN tau_ppm >= 200000 THEN 'up'
+            WHEN tau_ppm <= -200000 THEN 'down'
+            ELSE 'flat' END AS trend
+FROM t""",
+        "events_autocorr": """
+WITH hc AS (
+  SELECT event_type AS etype, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+b AS (SELECT min(h) AS mn, max(h) AS mx FROM hc),
+hours AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+  FROM b),
+ty AS (SELECT DISTINCT etype FROM hc),
+dense AS (
+  SELECT ty.etype, hours.h, coalesce(hc.x, 0) AS x
+  FROM ty CROSS JOIN hours
+  LEFT JOIN hc ON hc.etype = ty.etype AND hc.h = hours.h),
+tot AS (
+  SELECT etype, sum(x) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM dense GROUP BY 1),
+c AS (
+  SELECT d.etype, d.h, t.n,
+         CAST(t.n * d.x - t.s AS HUGEINT) AS c
+  FROM dense d JOIN tot t USING (etype)),
+l AS (
+  SELECT etype, n, c,
+         lead(c, 1) OVER w AS c_1, lead(c, 2) OVER w AS c_2,
+         lead(c, 3) OVER w AS c_3, lead(c, 24) OVER w AS c_24
+  FROM c WINDOW w AS (PARTITION BY etype ORDER BY h)),
+d0 AS (
+  SELECT etype, max(n) AS n_hours, sum(c * c) AS d0
+  FROM l GROUP BY 1),
+pl AS (
+  SELECT etype, lag, sum(p) AS dk FROM (
+    SELECT etype, 1 AS lag, c * c_1 AS p FROM l
+    UNION ALL SELECT etype, 2, c * c_2 FROM l
+    UNION ALL SELECT etype, 3, c * c_3 FROM l
+    UNION ALL SELECT etype, 24, c * c_24 FROM l) u
+  WHERE p IS NOT NULL GROUP BY 1, 2)
+SELECT pl.etype AS event_type, CAST(pl.lag AS BIGINT) AS lag,
+       CAST(d0.n_hours AS BIGINT) AS n_hours,
+       CAST(CASE WHEN d0.d0 <> 0 THEN pl.dk * 1000000 // d0.d0 END
+            AS BIGINT) AS r_ppm
+FROM pl JOIN d0 USING (etype)""",
+        "graph_spectral": _spectral_unrolled_sql(4),
+        "text_filter_agreement": _filter_agreement_sql(),
         "topk_orders_per_cust": """
 WITH r AS (
   SELECT o_custkey, o_orderkey, o_totalprice,

@@ -397,6 +397,19 @@ ALLOW: dict[tuple[str, str], str] = {
     ("corpus_zipf", "Exchange SinglePartition"):
         "rank window + TakeOrdered run over the LIMIT-50 head only; "
         "the vocab agg upstream stays hash-partitioned",
+    ("events_autocorr", "BroadcastNestedLoopJoin"):
+        "1-row hour-grid bounds dim crossed with the |types| dim to "
+        "densify the calendar-sized series; the event stream itself "
+        "only passes one keyed agg",
+    ("events_autocorr", "Exchange SinglePartition"):
+        "the same 1-row min/max hour-bounds aggregate; partials "
+        "upstream",
+    ("graph_spectral", "Exchange SinglePartition"):
+        "per-round 1-row Rayleigh and max-normalizer aggregates over "
+        "the host dim; partial aggs upstream",
+    ("text_filter_agreement", "Exchange SinglePartition"):
+        "the whole kappa is ONE aggregate row (2x2 contingency); "
+        "partial aggs upstream",
 }
 
 PY_MARKERS = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",

@@ -8,6 +8,7 @@ import re
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_CORRECT, SF_SMOKE
 
@@ -4997,3 +4998,110 @@ def test_asset_reuse_invariants(spark):
         assert r["n_refs"] >= r["n_docs"] >= 1
         assert r["is_hot"] == (r["n_docs"] >= 3)
         assert r["media_ref"].startswith("https://" + r["asset_host"])
+
+
+def _ts_events(spark, rows):
+    """rows: (event_id, 'YYYY-MM-DD HH:MM:SS', user_id, event_type)"""
+    return spark.createDataFrame(
+        [(i, t, u, et) for i, t, u, et in rows],
+        "event_id long, ts_s string, user_id long, event_type string"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "event_type")
+
+
+@pytest.mark.spark
+def test_mann_kendall_hand_series(spark):
+    """Monotone up → tau exactly +1e6; monotone down → −1e6;
+    constant → S=0, flat."""
+    from web_graph_spark.functions.stats import mann_kendall
+
+    rows = []
+    eid = 0
+    # 'up': 1, 2, 3 events on three days
+    for day, n in [("01", 1), ("02", 2), ("03", 3)]:
+        for _ in range(n):
+            rows.append((eid, f"2026-01-{day} 10:00:00", 1, "up")); eid += 1
+    # 'down': 3, 2, 1
+    for day, n in [("01", 3), ("02", 2), ("03", 1)]:
+        for _ in range(n):
+            rows.append((eid, f"2026-01-{day} 10:00:00", 1, "down")); eid += 1
+    # 'flat': 2, 2, 2
+    for day in ("01", "02", "03"):
+        for _ in range(2):
+            rows.append((eid, f"2026-01-{day} 10:00:00", 1, "flat")); eid += 1
+    out = {r["event_type"]: r
+           for r in mann_kendall(_ts_events(spark, rows)).collect()}
+    assert (out["up"]["s_stat"], out["up"]["tau_ppm"],
+            out["up"]["trend"]) == (3, 1_000_000, "up")
+    assert (out["down"]["s_stat"], out["down"]["tau_ppm"],
+            out["down"]["trend"]) == (-3, -1_000_000, "down")
+    assert (out["flat"]["s_stat"], out["flat"]["tau_ppm"],
+            out["flat"]["trend"]) == (0, 0, "flat")
+    assert all(r["n_days"] == 3 for r in out.values())
+
+
+@pytest.mark.spark
+def test_autocorrelation_alternating_and_constant(spark):
+    """Alternating 2,0,2,0,2,0 hourly series: exact r1/r2/r3 from the
+    integer algebra (r1 = -180e6 div 216); lag 24 has no pairs → no
+    row; a constant series has zero variance → NULL r."""
+    from web_graph_spark.functions.stats import autocorrelation
+
+    rows = []
+    eid = 0
+    for h in range(6):
+        if h % 2 == 0:  # hours 0,2,4 get 2 events; 1,3,5 get none
+            for _ in range(2):
+                rows.append((eid, f"2026-01-01 {h:02d}:30:00", 1, "alt"))
+                eid += 1
+        # 'const': exactly 1 event every hour
+        rows.append((eid, f"2026-01-01 {h:02d}:15:00", 1, "const"))
+        eid += 1
+    out = autocorrelation(_ts_events(spark, rows)).collect()
+    alt = {r["lag"]: r["r_ppm"] for r in out if r["event_type"] == "alt"}
+    # c = (6,-6,6,-6,6,-6); d0=216, d1=-180, d2=144, d3=-108
+    assert alt == {1: -833_333, 2: 666_666, 3: -500_000}
+    const = {r["lag"]: r["r_ppm"]
+             for r in out if r["event_type"] == "const"}
+    assert set(const) == {1, 2, 3} and all(v is None
+                                           for v in const.values())
+    assert all(r["n_hours"] == 6 for r in out)
+
+
+@pytest.mark.spark
+def test_autocorrelation_zero_fills_gap_hours(spark):
+    """A missing hour inside the grid is a real 0 observation: series
+    1,(gap),1 densifies to 1,0,1 — exact: S=2, n=3, c=(1,-2,1) ⇒
+    d0=6, d1=-4 → r1 = -4e6 div 6 = -666666 (truncation toward
+    zero, Spark `div` ≡ DuckDB `//`)."""
+    from web_graph_spark.functions.stats import autocorrelation
+
+    rows = [(0, "2026-01-01 00:00:00", 1, "gap"),
+            (1, "2026-01-01 02:00:00", 1, "gap")]
+    out = {r["lag"]: r["r_ppm"]
+           for r in autocorrelation(_ts_events(spark, rows),
+                                    lags=(1,)).collect()}
+    assert out == {1: -666_666}
+
+
+@pytest.mark.spark
+def test_cohen_kappa_hand_tables(spark):
+    """Perfect agreement → 1e6; perfect disagreement on a balanced
+    table → −1e6; a degenerate constant pair → NULL kappa."""
+    from web_graph_spark.functions.stats import cohen_kappa
+
+    perfect = spark.createDataFrame(
+        [(True, True), (True, True), (False, False), (False, False)],
+        "a boolean, b boolean")
+    r = cohen_kappa(perfect, "a", "b").collect()[0]
+    assert (r["n"], r["n11"], r["n00"]) == (4, 2, 2)
+    assert (r["po_ppm"], r["pe_ppm"], r["kappa_ppm"]) == (
+        1_000_000, 500_000, 1_000_000)
+    disagree = spark.createDataFrame(
+        [(True, False), (False, True)], "a boolean, b boolean")
+    r = cohen_kappa(disagree, "a", "b").collect()[0]
+    assert (r["po_ppm"], r["kappa_ppm"]) == (0, -1_000_000)
+    const = spark.createDataFrame(
+        [(True, True), (True, True)], "a boolean, b boolean")
+    r = cohen_kappa(const, "a", "b").collect()[0]
+    assert r["pe_ppm"] == 1_000_000 and r["kappa_ppm"] is None

@@ -1544,3 +1544,69 @@ def test_host_simrank_textbook_values(spark):
           for r in host_simrank(he, rounds=2).collect()}
     assert r2[("a", "b")] == 800_000
     assert r2[("p", "q")] == 640_000
+
+
+@pytest.mark.spark
+def test_spectral_radius_regular_graphs_exact(spark):
+    """On a k-regular graph the all-ones start vector IS the Perron
+    eigenvector, so every round's Rayleigh quotient is exactly
+    k · 1e6: K4 (3-regular) → 3e6, triangle → 2e6."""
+    from web_graph_spark.operators.graph_algos import spectral_radius
+
+    def g(pairs):
+        return spark.createDataFrame(pairs, "src_host string, tgt_host string")
+
+    k4 = g([(a, b) for a in "abcd" for b in "abcd" if a < b])
+    rows = spectral_radius(k4, rounds=3).collect()
+    assert [r["lambda_ppm"] for r in rows] == [3_000_000] * 3
+    assert all(r["n_active"] == 4 for r in rows)
+    tri = g([("a", "b"), ("b", "c"), ("c", "a")])
+    rows = spectral_radius(tri, rounds=2).collect()
+    assert [r["lambda_ppm"] for r in rows] == [2_000_000] * 2
+
+
+@pytest.mark.spark
+def test_spectral_radius_star_oscillates_deterministically(spark):
+    """K_{1,4} is bipartite: power iteration period-2 oscillates and
+    the Rayleigh estimate pins at exactly 1.6e6 every round (the
+    documented bipartite caveat — deterministic, not divergent).
+    True λ = 2; the estimate stays inside the Perron bounds
+    [avg_deg, max_deg] = [1.6, 4]."""
+    from web_graph_spark.operators.graph_algos import spectral_radius
+
+    star = spark.createDataFrame(
+        [("c", leaf) for leaf in ("l1", "l2", "l3", "l4")],
+        "src_host string, tgt_host string")
+    rows = spectral_radius(star, rounds=3).collect()
+    assert [r["lambda_ppm"] for r in rows] == [1_600_000] * 3
+
+
+@pytest.mark.spark
+def test_spectral_radius_perron_bounds_and_monotone(spark):
+    """On the webgen host graph: estimates are non-decreasing over
+    rounds and bounded by max degree · 1e6 (Perron-Frobenius); the
+    direction-symmetrized edge set keeps every host active."""
+    import __spark_entry__ as e
+
+    rows = sorted(e.queries()["graph_spectral"](spark, SF_SMOKE)
+                  .collect(), key=lambda r: r["round"])
+    lams = [r["lambda_ppm"] for r in rows]
+    assert lams == sorted(lams)
+    # max degree of the undirected host graph bounds lambda
+    from pyspark.sql import functions as F
+    from web_graph_spark import webgen
+    ed = (webgen.links_full_df(spark, SF_SMOKE)
+          .filter(F.col("k") % 4 != 0)
+          .select("src_doc_id", "tgt_doc_id").distinct())
+    p = webgen.pages_df(spark, SF_SMOKE).select("doc_id", "host")
+    he = (ed.join(p.select(F.col("doc_id").alias("src_doc_id"),
+                           F.col("host").alias("src_host")), "src_doc_id")
+          .join(p.select(F.col("doc_id").alias("tgt_doc_id"),
+                         F.col("host").alias("tgt_host")), "tgt_doc_id")
+          .select("src_host", "tgt_host"))
+    und = (he.unionByName(he.select(
+        F.col("tgt_host").alias("src_host"),
+        F.col("src_host").alias("tgt_host"))).distinct())
+    max_deg = (und.groupBy("src_host").count()
+               .agg(F.max("count")).collect()[0][0])
+    assert all(0 < lam <= max_deg * 1_000_000 for lam in lams)

@@ -2371,3 +2371,167 @@ def markov_stationary(events: DataFrame, rounds: int = 4,
             .withColumn("delta_ppm",
                         (F.col("stationary_ppm")
                          - F.col("empirical_ppm")).cast("long")))
+
+
+def mann_kendall(events: DataFrame, ts_col: str = "ts",
+                 type_col: str = "event_type",
+                 tau_flag_ppm: int = 200_000) -> DataFrame:
+    """Mann-Kendall trend test per event type (E237) — the
+    distribution-free is-this-series-drifting verdict a capacity /
+    abuse review runs on daily volumes before trusting any forecast:
+    S = Σ_{i<j} sign(x_j − x_i) over the day-ordered daily counts,
+    Kendall's tau = S / C(n,2) in floor-toward-zero ppm (`div`
+    semantics, identical in both engines), and the trend verdict at
+    ±``tau_flag_ppm``.  Exact integers throughout — no variance
+    approximation, no normal tables; at these n the exact tau IS the
+    evidence (the z-test is a driver-side afterthought when wanted).
+
+    → ``(type, n_days, s_stat, tau_ppm, trend ∈ up|down|flat)``.
+
+    Scale shape: one fact scan → (type, day) agg; the pair
+    enumeration runs on the bounded DAY dim (series length, never
+    row count) as a per-type self-join — |days|²/2 dim rows per
+    type, the classic O(n²) MK cost paid where n = calendar days.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E237).
+    """
+    d = (events.groupBy(F.col(type_col).alias("etype"),
+                        F.date_trunc("day", ts_col).alias("d"))
+         .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    a = d.select("etype", F.col("d").alias("di"), F.col("x").alias("xi"))
+    b = d.select("etype", F.col("d").alias("dj"), F.col("x").alias("xj"))
+    s = (a.join(b, "etype")
+         .filter(F.col("di") < F.col("dj"))
+         .groupBy("etype")
+         .agg(F.sum(F.signum(F.col("xj") - F.col("xi")).cast("long"))
+              .cast("long").alias("s_stat")))
+    n = d.groupBy("etype").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    out = (n.join(s, "etype", "left")
+           .select(F.col("etype").alias(type_col), "n_days",
+                   F.coalesce("s_stat", F.lit(0)).cast("long")
+                   .alias("s_stat"))
+           .withColumn(
+               "tau_ppm",
+               F.expr("CASE WHEN n_days >= 2 THEN "
+                      "s_stat * 1000000 div "
+                      "(n_days * (n_days - 1) div 2) END")
+               .cast("long")))
+    return out.withColumn(
+        "trend",
+        F.when(F.col("tau_ppm") >= tau_flag_ppm, "up")
+         .when(F.col("tau_ppm") <= -tau_flag_ppm, "down")
+         .otherwise("flat"))
+
+
+def autocorrelation(events: DataFrame,
+                    lags: tuple[int, ...] = (1, 2, 3, 24),
+                    ts_col: str = "ts",
+                    type_col: str = "event_type") -> DataFrame:
+    """Exact integer autocorrelation of the per-type hourly count
+    series (E238) — the is-it-diurnal / is-it-sticky read behind
+    E217's seasonality profile: the biased ACF estimate r_k =
+    Σ_{t≤n−k} c_t·c_{t+k} / Σ c_t² with c_t = n·x_t − S (the
+    mean-centering multiplied through by n so every term stays an
+    integer; the n² factors cancel in the ratio), in
+    floor-toward-zero ppm.  High r at lag 24 on an hourly grid =
+    diurnal; high r₁ = bursty persistence; ≈0 = Poisson-ish.
+
+    Computed on the DENSE shared hour grid (min..max observed hour,
+    zero-filled) — gap hours are real observations of 0; skipping
+    them would destroy the lag alignment entirely.
+
+    → ``(type, lag, n_hours, r_ppm)``; r_ppm NULL for a constant
+    series (zero variance).
+
+    Scale shape: one fact scan → (type, hour) agg; the grid explode,
+    lag windows, and folds all run on the bounded |types|×|hours|
+    dim (calendar-sized, never row-count-sized), windows partitioned
+    by type.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E238).
+    """
+    hc = (events.groupBy(F.col(type_col).alias("etype"),
+                         F.date_trunc("hour", ts_col).alias("h"))
+          .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    bounds = hc.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    hours = (bounds.select(F.explode(F.sequence(
+        "mn", "mx", F.expr("interval 1 hour"))).alias("h")))
+    types = hc.select("etype").distinct()
+    dense = (types.crossJoin(hours)
+             .join(hc, ["etype", "h"], "left")
+             .select("etype", "h",
+                     F.coalesce("x", F.lit(0)).cast("long").alias("x")))
+    tot = (dense.groupBy("etype")
+           .agg(F.sum("x").cast("long").alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n")))
+    c = (dense.join(tot, "etype")
+         .select("etype", "h", "n",
+                 (F.col("n") * F.col("x") - F.col("s"))
+                 .cast("decimal(38,0)").alias("c")))
+    w = Window.partitionBy("etype").orderBy("h")
+    lagged = c.select(
+        "etype", "n", "c",
+        *[F.lead("c", k).over(w).alias(f"c_{k}") for k in lags])
+    d0 = (lagged.groupBy("etype")
+          .agg(F.max("n").alias("n_hours"),
+               F.sum(F.col("c") * F.col("c")).alias("d0")))
+    per_lag = (lagged.select(
+        "etype",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).cast("long").alias("lag"),
+                     (F.col("c") * F.col(f"c_{k}")).alias("p"))
+            for k in lags])).alias("kp"))
+        .select("etype", "kp.lag", "kp.p")
+        .filter(F.col("p").isNotNull())
+        .groupBy("etype", "lag")
+        .agg(F.sum("p").alias("dk")))
+    return (per_lag.join(d0, "etype")
+            .select(F.col("etype").alias(type_col), "lag",
+                    F.col("n_hours").cast("long").alias("n_hours"),
+                    F.expr("CASE WHEN d0 <> 0 THEN "
+                           "dk * 1000000 div d0 END")
+                    .cast("long").alias("r_ppm")))
+
+
+def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa between two boolean labelers (E239) — the
+    filter-ensemble agreement audit: when two independent quality
+    heuristics disagree beyond chance, the corpus they'd jointly
+    curate depends on arbitration order; kappa prices that.  Exact
+    integer ppm: po = (n00+n11)/n, pe = (a1·b1 + a0·b0)/n²
+    (marginal products on decimal(38,0) — n² overflows BIGINT past
+    ~3e9 rows), kappa = (po − pe)/(1 − pe) evaluated on the ppm
+    grid with floor-toward-zero division; NULL when pe = 1 (both
+    labelers constant — kappa undefined).
+
+    → one row: ``(n, n00, n01, n10, n11, po_ppm, pe_ppm,
+    kappa_ppm)``.
+
+    Scale shape: ONE scan, one aggregate row (conditional sums —
+    map-side partials, 1-row shuffle state); no join, no window.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E239).
+    """
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    cell = lambda pa, pb: F.sum(((a == pa) & (b == pb))  # noqa: E731
+                                .cast("long")).cast("long")
+    one = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        cell(False, False).alias("n00"), cell(False, True).alias("n01"),
+        cell(True, False).alias("n10"), cell(True, True).alias("n11"))
+    return (one
+            .withColumn("po_ppm",
+                        F.expr("(n00 + n11) * 1000000 div n")
+                        .cast("long"))
+            .withColumn("pe_ppm",
+                        F.expr(
+                            "CAST((CAST(n10 + n11 AS DECIMAL(38,0)) "
+                            "* (n01 + n11) + CAST(n00 + n01 AS "
+                            "DECIMAL(38,0)) * (n00 + n10)) * 1000000 "
+                            "div (CAST(n AS DECIMAL(38,0)) * n) "
+                            "AS BIGINT)"))
+            .withColumn("kappa_ppm",
+                        F.expr("CASE WHEN pe_ppm < 1000000 THEN "
+                               "(po_ppm - pe_ppm) * 1000000 div "
+                               "(1000000 - pe_ppm) END").cast("long")))

@@ -2470,3 +2470,75 @@ def host_simrank(hedges: DataFrame, rounds: int = 2,
             .select(F.col("a").alias("host_a"),
                     F.col("b").alias("host_b"),
                     F.col("s").alias("sim_ppm")))
+
+
+def spectral_radius(edges: DataFrame, rounds: int = 4,
+                    src: str = "src_host",
+                    dst: str = "tgt_host") -> DataFrame:
+    """Spectral radius of the undirected graph by exact-integer power
+    iteration (E240) — λ_max of the adjacency matrix, the one number
+    behind epidemic/cascade thresholds (a meme/worm spreads iff
+    transmissibility > 1/λ_max, Wang et al. SRDS'03) and a
+    connectivity-robustness summary beside E201's targeted-removal
+    curve.  Per round: w = A·v (one edge-relation join + neighbor
+    agg), renormalized to v' = w·10⁶ div max(w) (floor — keeps every
+    component an integer ≤ 10⁶ so products never overflow
+    decimal(38,0) at any graph size); the round's estimate is the
+    Rayleigh quotient (vᵀAv)·10⁶ div (vᵀv).  Deterministic in any
+    engine: same floors, same order-free sums.  v₀ = all-ones, so
+    convergence is monotone-ish from the degree mix; emitting every
+    round shows the settling (λ between max degree's sqrt and max
+    degree by Perron-Frobenius — pinned in tests).
+
+    → one row per round: ``(round, n_active, lambda_ppm)`` where
+    n_active = vertices with non-zero score and lambda_ppm = the
+    Rayleigh estimate ×10⁶.
+
+    Scale shape: the pagerank shape exactly — per round one
+    uniform-key join edge⋈v + one vertex agg + a 1-row max dim
+    broadcast back; state localCheckpointed per round.  Self-loops
+    kept (they are legitimate A entries); duplicate edges deduped.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E240).
+    """
+    e0 = (edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+          .distinct())
+    und = (e0.select("s", "t")
+           .unionByName(e0.select(F.col("t").alias("s"),
+                                  F.col("s").alias("t")))
+           .distinct()
+           .localCheckpoint())
+    verts = (und.select(F.col("s").alias("v")).distinct()
+             .localCheckpoint())
+    v = verts.select("v", F.lit(1_000_000).cast("long").alias("x"))
+    out = None
+    for r in range(1, rounds + 1):
+        # w = A·v  (sum of neighbor scores; isolated vertices get 0)
+        w = (und.join(v.select(F.col("v").alias("t"),
+                               F.col("x").alias("xt")), "t")
+             .groupBy(F.col("s").alias("v"))
+             .agg(F.sum(F.col("xt").cast("decimal(38,0)")).alias("w"))
+             .join(verts, "v", "right")
+             .select("v", F.coalesce("w", F.lit(0).cast("decimal(38,0)"))
+                     .alias("w"))
+             .localCheckpoint())
+        # Rayleigh estimate BEFORE renormalizing: (vᵀw)·1e6 div (vᵀv)
+        ray = (w.join(v, "v")
+               .agg(F.sum(F.col("w") * F.col("x")).alias("num"),
+                    F.sum(F.col("x").cast("decimal(38,0)")
+                          * F.col("x")).alias("den"),
+                    F.sum((F.col("w") > 0).cast("long")).cast("long")
+                    .alias("n_active"))
+               .select(F.lit(r).cast("long").alias("round"), "n_active",
+                       F.expr("CASE WHEN den <> 0 THEN "
+                              "CAST(num * 1000000 div den AS BIGINT) "
+                              "END").alias("lambda_ppm")))
+        out = ray if out is None else out.unionByName(ray)
+        # renormalize: v' = w·1e6 div max(w)
+        mx = w.agg(F.max("w").alias("mx"))
+        v = (w.crossJoin(F.broadcast(mx))
+             .select("v", F.expr("CASE WHEN mx > 0 THEN "
+                                 "CAST(w * 1000000 div mx AS BIGINT) "
+                                 "ELSE 0 END").alias("x"))
+             .localCheckpoint())
+    return out
