@@ -6967,6 +6967,286 @@ SELECT n, n00, n01, n10, n11, po_ppm, pe_ppm,
 FROM pp"""
 
 
+def q_corpus_encoding_plan(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Dictionary-vs-plain encoding chooser (operators/layout.py:
+    encoding_plan E241): per documents column the exact plain cost,
+    dictionary cost (distinct bytes + ⌈log₂ n_distinct⌉-bit codes),
+    verdict, and floor-ppm savings — the parquet writer's layout
+    decision priced before a 100 TB rewrite.  ONE melt scan → one
+    (col, value) agg → one |cols|-key fold."""
+    from web_graph_spark.operators.layout import encoding_plan
+
+    return encoding_plan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def q_corpus_filter_funnel(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Curation-funnel attrition audit: the dup-injected corpus
+    through the staged pipeline ingest → lang=en → quality ≥ 2000 →
+    case-normalized exact dedup (keep = min doc_id per
+    md5(lower(text)) among quality survivors), reporting surviving
+    docs AND tokens per stage with floor-ppm retention vs the
+    previous stage and vs ingest — the table a data-curation review
+    reads first (which stage ate the corpus?).  One scan + one
+    dedup-key agg; the stage fold is a 4-row dim."""
+    from web_graph_spark.functions.text import with_quality
+
+    dd = _docs_with_dups(spark, sf_dir)
+    lang = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("orig_id"), "lang")
+    d = (dd.withColumn("orig_id", F.col("doc_id") % 100000)
+         .join(lang, "orig_id"))
+    q = (with_quality(d)
+         .select("doc_id", "lang", "n_tokens", "quality_score",
+                 F.md5(F.lower("text")).alias("key"))
+         .withColumn("f1", F.col("lang") == "en")
+         .withColumn("f2", F.col("f1")
+                     & (F.col("quality_score") >= 2000)))
+    keep = (q.filter("f2").groupBy("key")
+            .agg(F.min("doc_id").alias("kid")))
+    flags = (q.join(keep, "key", "left")
+             .withColumn("f3", F.col("f2")
+                         & (F.col("doc_id") == F.col("kid"))))
+    st = (flags.select(F.explode(F.array(
+        F.struct(F.lit(0).cast("long").alias("stage"),
+                 F.lit("ingest").alias("stage_name"),
+                 F.lit(True).alias("keep")),
+        F.struct(F.lit(1).cast("long").alias("stage"),
+                 F.lit("lang_en").alias("stage_name"),
+                 F.col("f1").alias("keep")),
+        F.struct(F.lit(2).cast("long").alias("stage"),
+                 F.lit("quality").alias("stage_name"),
+                 F.col("f2").alias("keep")),
+        F.struct(F.lit(3).cast("long").alias("stage"),
+                 F.lit("dedup").alias("stage_name"),
+                 F.coalesce(F.col("f3"), F.lit(False)).alias("keep"))
+    )).alias("s"), F.col("n_tokens"))
+        .filter(F.col("s.keep"))
+        .groupBy(F.col("s.stage").alias("stage"),
+                 F.col("s.stage_name").alias("stage_name"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("n_tokens")))
+    w = Window.orderBy("stage")
+    first = Window.orderBy("stage").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (st
+            .withColumn("prev_docs", F.lag("n_docs").over(w))
+            .withColumn("prev_toks", F.lag("n_tokens").over(w))
+            .withColumn("docs0", F.first("n_docs").over(first))
+            .withColumn("toks0", F.first("n_tokens").over(first))
+            .select("stage", "stage_name", "n_docs", "n_tokens",
+                    F.expr("CASE WHEN prev_docs > 0 THEN "
+                           "n_docs * 1000000 div prev_docs END")
+                    .cast("long").alias("kept_docs_ppm"),
+                    F.expr("CASE WHEN toks0 > 0 THEN "
+                           "n_tokens * 1000000 div toks0 END")
+                    .cast("long").alias("kept_tokens_vs_start_ppm")))
+
+
+def q_embed_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining (functions/similarity.py:triplet_mining
+    E242): per sampled anchor (vec_id % 97 == 0) the hardest
+    positive, hardest negative, µ-floored margin, and the hard flag —
+    the batch-hard miner of a metric-learning pipeline in the
+    ann_cosine broadcast shape (anchors are the mining batch dim;
+    one corpus scan, two rank-1 window cuts)."""
+    from web_graph_spark.functions.similarity import triplet_mining
+
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") % 97 == 0)
+    return triplet_mining(emb, anchors)
+
+
+def q_media_audio_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gain-invariant audio near-dup grouping (functions/media.py:
+    audio_fingerprint E243) over REAL 16-bit PCM WAV bytes: per doc a
+    closed-form waveform (period p = 40 + h%30, gain g = 20 +
+    (h div 32)%8, n = 700 + (h div 256)%500 samples, 100-sample
+    silence alternation), plus a RE-LEVELLED copy (gain g+3 mod
+    range, same waveform) for every doc_id % 7 == 0 — the planted
+    ground truth.  The energy-delta fingerprint is gain-invariant,
+    so every copy collides with its original and the dup groups fall
+    out of one fp agg; Python only decodes the WAV container (the
+    media_vad discipline) and DuckDB replays energies from the
+    formula, never parsing a byte."""
+    import io
+    import struct
+    import wave as wavmod
+    from typing import Iterator
+
+    import pandas as pd
+
+    from web_graph_spark.functions.media import audio_fingerprint
+    from web_graph_spark.operators.graph_algos import _hex16
+
+    hx = _hex16(F.concat(F.lit("fp:"), F.col("doc_id").cast("string")))
+    base = (_docs(spark, sf_dir)
+            .select("doc_id", hx.cast("long").alias("h"))
+            .select("doc_id",
+                    F.expr("20 + (h div 32) % 8").cast("long").alias("g"),
+                    F.expr("40 + h % 30").cast("long").alias("p"),
+                    F.expr("700 + (h div 256) % 500").cast("long")
+                    .alias("n")))
+    orig = base.select(
+        F.concat(F.lit("m-"), F.col("doc_id").cast("string"))
+        .alias("media_id"), "g", "p", "n")
+    copies = (base.filter(F.col("doc_id") % 7 == 0)
+              .select(F.concat(F.lit("c-"), F.col("doc_id").cast("string"))
+                      .alias("media_id"),
+                      F.expr("20 + ((g - 20) + 3) % 8").cast("long")
+                      .alias("g"), "p", "n"))
+    par = orig.unionByName(copies)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raws = []
+            for g, p, n in zip(pdf["g"], pdf["p"], pdf["n"]):
+                g, p, n = int(g), int(p), int(n)
+                buf = io.BytesIO()
+                with wavmod.open(buf, "wb") as wv:
+                    wv.setnchannels(1)
+                    wv.setsampwidth(2)
+                    wv.setframerate(8000)
+                    wv.writeframes(b"".join(
+                        struct.pack(
+                            "<h",
+                            0 if (i // 100) % 2 == 1
+                            else (i % p - p // 2) * g)
+                        for i in range(n)))
+                raws.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "media": raws})
+
+    media = par.mapInPandas(synth,
+                            schema="media_id string, media binary")
+    fp = audio_fingerprint(media)
+    grp = fp.groupBy("fp").agg(F.count(F.lit(1)).cast("long")
+                               .alias("n_same_fp"))
+    return (fp.join(grp, "fp")
+            .select("media_id", "n_frames", "fp_md5", "n_same_fp",
+                    (F.col("n_same_fp") > 1).alias("is_dup")))
+
+
+def _filter_funnel_sql() -> str:
+    """Oracle for q_corpus_filter_funnel: the identical staged flags
+    over the dup-injected corpus, stage aggregates via UNION ALL,
+    retention off a 4-row window."""
+    from web_graph_spark.functions.text import (count_sql,
+                                                stopword_count_sql)
+
+    n_tok = count_sql("text", r"\S+")
+    n_punct = count_sql("text", "[.,;:!?]")
+    n_digit = count_sql("text", "[0-9]")
+    qs = f"""greatest(
+        least({n_tok}, 200) * 20
+        + floor(({stopword_count_sql('text')}) * 10000.0
+                / greatest({n_tok}, 1))
+        - floor({n_punct} * 10000.0 / greatest(length(text), 1))
+        - floor({n_digit} * 10000.0 / greatest(length(text), 1)),
+        0)"""
+    return f"""
+WITH dd AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, upper(text) FROM documents
+  WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zz qq ww' FROM documents
+  WHERE doc_id % 50 = 1),
+d AS (
+  SELECT dd.doc_id, dd.text, b.lang
+  FROM dd JOIN documents b ON b.doc_id = dd.doc_id % 100000),
+q AS (
+  SELECT doc_id, lang,
+         CAST({n_tok} AS BIGINT) AS n_tokens,
+         CAST({qs} AS BIGINT) AS qs,
+         md5(lower(text)) AS key
+  FROM d),
+fl AS (
+  SELECT *, (lang = 'en') AS f1,
+         (lang = 'en') AND qs >= 2000 AS f2
+  FROM q),
+keep AS (
+  SELECT key, min(doc_id) AS kid FROM fl WHERE f2 GROUP BY 1),
+f3 AS (
+  SELECT fl.*, coalesce(fl.f2 AND fl.doc_id = k.kid, FALSE) AS f3
+  FROM fl LEFT JOIN keep k USING (key)),
+st AS (
+  SELECT 0 AS stage, 'ingest' AS stage_name,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM f3
+  UNION ALL
+  SELECT 1, 'lang_en', count(*), sum(n_tokens) FROM f3 WHERE f1
+  UNION ALL
+  SELECT 2, 'quality', count(*), sum(n_tokens) FROM f3 WHERE f2
+  UNION ALL
+  SELECT 3, 'dedup', count(*), sum(n_tokens) FROM f3 WHERE f3.f3),
+lg AS (
+  SELECT *,
+         lag(n_docs) OVER (ORDER BY stage) AS prev_docs,
+         first_value(n_tokens) OVER (ORDER BY stage) AS toks0
+  FROM st)
+SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_docs, n_tokens,
+       CAST(CASE WHEN prev_docs > 0 THEN
+              n_docs * 1000000 // prev_docs END AS BIGINT)
+         AS kept_docs_ppm,
+       CAST(CASE WHEN toks0 > 0 THEN
+              n_tokens * 1000000 // toks0 END AS BIGINT)
+         AS kept_tokens_vs_start_ppm
+FROM lg"""
+
+
+def _audio_dup_sql() -> str:
+    """Oracle for q_media_audio_dup: closed-form frame energies (the
+    media_vad discipline — DuckDB never parses a byte), delta bits
+    via lead, fingerprint string_agg, dup groups."""
+    h = _hex16_sql("'fp:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH par0 AS (
+  SELECT doc_id,
+         20 + ({h} // 32) % 8 AS g,
+         40 + {h} % 30 AS p,
+         700 + ({h} // 256) % 500 AS n
+  FROM documents),
+par AS (
+  SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_id, g, p, n
+  FROM par0
+  UNION ALL
+  SELECT 'c-' || CAST(doc_id AS VARCHAR),
+         20 + ((g - 20) + 3) % 8, p, n
+  FROM par0 WHERE doc_id % 7 = 0),
+fr AS (
+  SELECT media_id, g, p, u.f AS f
+  FROM par, UNNEST(generate_series(0, n // 80 - 1)) AS u(f)),
+sm AS (
+  SELECT media_id, f,
+         CASE WHEN (u2.i // 100) % 2 = 1 THEN 0
+              ELSE (u2.i % p - p // 2) * g END AS s
+  FROM fr, UNNEST(generate_series(f * 80, f * 80 + 79)) AS u2(i)),
+en AS (
+  SELECT media_id, f, sum(s * s) AS e FROM sm GROUP BY 1, 2),
+bits AS (
+  SELECT media_id, f, e,
+         lead(e) OVER (PARTITION BY media_id ORDER BY f) AS e2
+  FROM en),
+fp AS (
+  SELECT media_id,
+         CAST(count(*) AS BIGINT) AS n_frames,
+         coalesce(string_agg(CASE WHEN e2 > e THEN '1' ELSE '0' END,
+                             '' ORDER BY f)
+                  FILTER (WHERE e2 IS NOT NULL), '') AS fp
+  FROM bits GROUP BY 1),
+grp AS (
+  SELECT fp, CAST(count(*) AS BIGINT) AS n_same_fp
+  FROM fp GROUP BY 1)
+SELECT f.media_id, f.n_frames, md5(f.fp) AS fp_md5, g.n_same_fp,
+       g.n_same_fp > 1 AS is_dup
+FROM fp f JOIN grp g USING (fp)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_canonicalize": q_crawl_canonicalize,
@@ -7225,6 +7505,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_autocorr": q_events_autocorr,
         "graph_spectral": q_graph_spectral,
         "text_filter_agreement": q_text_filter_agreement,
+        "corpus_encoding_plan": q_corpus_encoding_plan,
+        "corpus_filter_funnel": q_corpus_filter_funnel,
+        "embed_triplets": q_embed_triplets,
+        "media_audio_dup": q_media_audio_dup,
         "orders_fk_audit": q_orders_fk_audit,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
@@ -12348,6 +12632,75 @@ SELECT pl.etype AS event_type, CAST(pl.lag AS BIGINT) AS lag,
 FROM pl JOIN d0 USING (etype)""",
         "graph_spectral": _spectral_unrolled_sql(4),
         "text_filter_agreement": _filter_agreement_sql(),
+        "corpus_encoding_plan": """
+WITH p AS (
+  SELECT 'doc_id' AS col_name,
+         coalesce(CAST(doc_id AS VARCHAR), '') AS val FROM documents
+  UNION ALL SELECT 'text', coalesce(text, '') FROM documents
+  UNION ALL SELECT 'lang', coalesce(lang, '') FROM documents
+  UNION ALL SELECT 'source', coalesce(source, '') FROM documents
+  UNION ALL SELECT 'n_chars',
+                   coalesce(CAST(n_chars AS VARCHAR), '')
+            FROM documents),
+vg AS (
+  SELECT col_name, val, CAST(count(*) AS BIGINT) AS n
+  FROM p GROUP BY 1, 2),
+per AS (
+  SELECT col_name,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(strlen(val) * n) AS BIGINT) AS plain_bytes,
+         CAST(sum(strlen(val)) AS BIGINT) AS dict_bytes
+  FROM vg GROUP BY 1),
+c AS (
+  SELECT *,
+         CAST(CASE WHEN n_distinct <= 1 THEN 0
+              ELSE length(bin(n_distinct - 1)) END AS BIGINT)
+           AS code_bits
+  FROM per),
+t AS (
+  SELECT *,
+         CAST(dict_bytes + (n_rows * code_bits + 7) // 8 AS BIGINT)
+           AS dict_total_bytes
+  FROM c)
+SELECT col_name, n_rows, n_distinct, plain_bytes, dict_bytes,
+       code_bits, dict_total_bytes,
+       dict_total_bytes < plain_bytes AS use_dictionary,
+       CAST(CASE WHEN plain_bytes > 0 THEN
+              (plain_bytes - dict_total_bytes) * 1000000
+                // plain_bytes END AS BIGINT) AS savings_ppm
+FROM t""",
+        "corpus_filter_funnel": _filter_funnel_sql(),
+        "embed_triplets": """
+WITH a AS (
+  SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS a_vec,
+         label AS a_label
+  FROM embeddings WHERE vec_id % 97 = 0),
+j AS (
+  SELECT a.a_id, a.a_label, e.vec_id AS b_id, e.label AS b_label,
+         CAST(floor(
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), a.a_vec)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(a.a_vec, a.a_vec)))
+           * 1000000) AS BIGINT) AS sim_ppm
+  FROM embeddings e, a WHERE e.vec_id <> a.a_id),
+pos AS (
+  SELECT a_id, a_label, b_id AS pos_id, sim_ppm AS pos_sim_ppm
+  FROM j WHERE b_label = a_label
+  QUALIFY row_number() OVER (PARTITION BY a_id
+                             ORDER BY sim_ppm, b_id) = 1),
+neg AS (
+  SELECT a_id, b_id AS neg_id, sim_ppm AS neg_sim_ppm
+  FROM j WHERE b_label <> a_label
+  QUALIFY row_number() OVER (PARTITION BY a_id
+                             ORDER BY sim_ppm DESC, b_id) = 1)
+SELECT p.a_id, p.a_label, p.pos_id, p.pos_sim_ppm,
+       n.neg_id, n.neg_sim_ppm,
+       CAST(p.pos_sim_ppm - n.neg_sim_ppm AS BIGINT) AS margin_ppm,
+       (p.pos_sim_ppm - n.neg_sim_ppm) < 0 AS hard
+FROM pos p JOIN neg n USING (a_id)""",
+        "media_audio_dup": _audio_dup_sql(),
         "topk_orders_per_cust": """
 WITH r AS (
   SELECT o_custkey, o_orderkey, o_totalprice,

@@ -410,6 +410,16 @@ ALLOW: dict[tuple[str, str], str] = {
     ("text_filter_agreement", "Exchange SinglePartition"):
         "the whole kappa is ONE aggregate row (2x2 contingency); "
         "partial aggs upstream",
+    ("corpus_filter_funnel", "Exchange SinglePartition"):
+        "retention lag window runs over the 4-row STAGE dim "
+        "(post-aggregation), never the corpus",
+    ("embed_triplets", "BroadcastNestedLoopJoin"):
+        "anchors are the sampled mining-batch dim (vec_id % 97), "
+        "broadcast by construction - the ann_cosine_topk shape",
+    ("media_audio_dup", "python"):
+        "WAV synthesis + container decode are the deliberate Python "
+        "stages (media_vad discipline); fingerprint bits, digest, "
+        "and dup grouping are JVM folds/aggs",
 }
 
 PY_MARKERS = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",

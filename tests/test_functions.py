@@ -5105,3 +5105,95 @@ def test_cohen_kappa_hand_tables(spark):
         [(True, True), (True, True)], "a boolean, b boolean")
     r = cohen_kappa(const, "a", "b").collect()[0]
     assert r["pe_ppm"] == 1_000_000 and r["kappa_ppm"] is None
+
+
+@pytest.mark.spark
+def test_triplet_mining_hand_vectors(spark):
+    """2-D hand geometry: anchor (1,0) label 0; positives (1,0.1)
+    close and (0,1)-ish far; negative impostor (1,0.05) closer than
+    every positive → hardest pos = the far one, hardest neg = the
+    impostor, margin < 0 → hard."""
+    from web_graph_spark.functions.similarity import triplet_mining
+
+    rows = [
+        (0, [1.0, 0.0], 0),    # anchor
+        (1, [1.0, 0.1], 0),    # easy positive
+        (2, [0.2, 1.0], 0),    # hard positive (far, same label)
+        (3, [1.0, 0.05], 1),   # impostor negative (very close)
+        (4, [-1.0, 0.0], 1),   # easy negative
+    ]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>, "
+                               "label int")
+    anchors = df.filter("vec_id = 0")
+    out = triplet_mining(df, anchors).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["a_id"], r["pos_id"], r["neg_id"]) == (0, 2, 3)
+    assert r["margin_ppm"] == r["pos_sim_ppm"] - r["neg_sim_ppm"]
+    assert r["hard"] and r["margin_ppm"] < 0
+    # easy corpus: remove the impostor -> margin positive, not hard
+    out2 = triplet_mining(df.filter("vec_id <> 3"), anchors).collect()[0]
+    assert out2["neg_id"] == 4 and not out2["hard"]
+
+
+def _wav_bytes(samples):
+    import io
+    import struct
+    import wave as wavmod
+
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+@pytest.mark.spark
+def test_audio_fingerprint_bits_and_gain_invariance(spark):
+    """Frames of 4 samples with energies up,down,up → fp '101'-style
+    bits pinned; doubling the gain leaves the fingerprint unchanged;
+    garbage bytes → NULL row."""
+    from web_graph_spark.functions.media import audio_fingerprint
+
+    quiet, loud = [1, 1, 1, 1], [10, 10, 10, 10]
+    wave = quiet + loud + quiet + loud  # energies 4,400,4,400
+    rows = [("a", _wav_bytes(wave)),
+            ("a2x", _wav_bytes([s * 2 for s in wave])),
+            ("junk", b"\x00\x01notawav"),
+            ("short", _wav_bytes([5, 5, 5, 5]))]
+    df = spark.createDataFrame(rows, "media_id string, media binary")
+    out = {r["media_id"]: r
+           for r in audio_fingerprint(df, frame_len=4).collect()}
+    assert out["a"]["n_frames"] == 4 and out["a"]["fp"] == "101"
+    # gain-invariant: 2x samples -> 4x energies, same comparisons
+    assert out["a2x"]["fp"] == "101"
+    assert out["a2x"]["fp_md5"] == out["a"]["fp_md5"]
+    assert out["junk"]["fp"] is None and out["junk"]["n_frames"] is None
+    # single complete frame -> zero delta bits, empty fingerprint
+    assert out["short"]["n_frames"] == 1 and out["short"]["fp"] == ""
+
+
+@pytest.mark.spark
+def test_filter_funnel_monotone_and_planted_dups(spark):
+    """Funnel invariants on the injected corpus: stage order, strictly
+    monotone non-increasing docs/tokens, ingest = |docs| + planted
+    copies, and the dedup stage removes at least one upper-case copy
+    (case-normalized key collides with its original)."""
+    import __spark_entry__ as e
+
+    rows = sorted(e.queries()["corpus_filter_funnel"](spark, SF_SMOKE)
+                  .collect(), key=lambda r: r["stage"])
+    assert [r["stage_name"] for r in rows] == [
+        "ingest", "lang_en", "quality", "dedup"]
+    docs = [r["n_docs"] for r in rows]
+    toks = [r["n_tokens"] for r in rows]
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    base = e._docs(spark, SF_SMOKE).count()
+    planted = (e._docs_with_dups(spark, SF_SMOKE).count())
+    assert docs[0] == planted > base
+    assert rows[0]["kept_docs_ppm"] is None
+    assert all(0 < r["kept_docs_ppm"] <= 1_000_000 for r in rows[1:])

@@ -231,3 +231,38 @@ def test_front_coding_audit_hand_urls(spark):
                                              "http://a/page/010")
                                        + lcp("http://a/page/010",
                                              "http://a/z"))
+
+
+@pytest.mark.spark
+def test_encoding_plan_hand_frame(spark):
+    """Exact byte math: a 2-value column wins dictionary (1-bit
+    codes), a unique column refuses; savings sign both ways."""
+    from web_graph_spark.operators.layout import encoding_plan
+
+    df = spark.createDataFrame(
+        [(1000 + i, "en" if i % 2 == 0 else "de") for i in range(8)],
+        "k long, lang string")
+    rows = {r["col_name"]: r
+            for r in encoding_plan(df, ["k", "lang"]).collect()}
+    lg = rows["lang"]
+    # plain: 8 rows x 2 bytes; dict: 2 entries x 2 bytes + 8 x 1-bit
+    # codes = 4 + 1 = 5 bytes
+    assert (lg["n_distinct"], lg["plain_bytes"], lg["dict_bytes"],
+            lg["code_bits"], lg["dict_total_bytes"]) == (2, 16, 4, 1, 5)
+    assert lg["use_dictionary"] and lg["savings_ppm"] == (16 - 5) * 1_000_000 // 16
+    k = rows["k"]
+    # unique 4-char values: dict keeps all 32 bytes + 8 x 3-bit codes
+    assert (k["n_distinct"], k["plain_bytes"], k["code_bits"]) == (8, 32, 3)
+    assert k["dict_total_bytes"] == 32 + (8 * 3 + 7) // 8
+    assert not k["use_dictionary"] and k["savings_ppm"] < 0
+
+
+@pytest.mark.spark
+def test_encoding_plan_single_value_column(spark):
+    """A constant column needs 0 code bits: dict = one entry."""
+    from web_graph_spark.operators.layout import encoding_plan
+
+    df = spark.createDataFrame([("xx",)] * 5, "c string")
+    r = encoding_plan(df, ["c"]).collect()[0]
+    assert (r["n_distinct"], r["code_bits"], r["dict_total_bytes"]) == (1, 0, 2)
+    assert r["use_dictionary"]

@@ -963,3 +963,40 @@ def vad_segments(media: DataFrame, thr_col: str = "thr",
         F.when(F.col("n_frames") > 0,
                F.expr("(1000000 * n_active) div n_frames"))
         .cast("long"))
+
+
+def audio_fingerprint(media: DataFrame, media_col: str = "media",
+                      id_col: str = "media_id",
+                      frame_len: int = 80) -> DataFrame:
+    """Energy-delta audio fingerprint (E243) — the Haitsma-Kalker
+    sub-fingerprint idea in its time-domain form: frame the PCM,
+    take per-frame energies, and emit one bit per adjacent frame
+    pair (1 iff E_{f+1} > E_f).  The bit string is GAIN-INVARIANT
+    (a volume change scales every energy by g² > 0, preserving every
+    comparison), so re-encoded / re-levelled copies of the same
+    recording collide exactly — the audio near-dup key a multimodal
+    curation pipeline groups on before paying for transcription.
+
+    Python touches only the WAV container decode
+    (:func:`frame_energies_col`); the delta bits, bit string, and
+    digest are one codegen'd zip_with over the energies array — no
+    explode, no shuffle.  Undecodable media → NULLs (triage bucket).
+
+    → ``(id_col, n_frames, fp, fp_md5)`` where ``fp`` is the
+    '0'/'1' string (length n_frames − 1; '' for a single frame).
+
+    Reference analog: none — engine extension (multimodal tier).
+    """
+    en = frame_energies_col(F.col(media_col), frame_len=frame_len)
+    d = media.select(F.col(id_col), en.alias("__en"))
+    fp = F.expr(
+        "CASE WHEN __en IS NOT NULL THEN "
+        "array_join(zip_with(slice(__en, 1, size(__en) - 1), "
+        "slice(__en, 2, size(__en) - 1), "
+        "(a, b) -> CASE WHEN b > a THEN '1' ELSE '0' END), '') END")
+    return (d.select(
+        id_col,
+        F.when(F.col("__en").isNotNull(), F.size("__en")).cast("long")
+        .alias("n_frames"),
+        fp.alias("fp"))
+        .withColumn("fp_md5", F.md5("fp")))

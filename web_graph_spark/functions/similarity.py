@@ -1171,3 +1171,66 @@ def label_margin_audit(emb: DataFrame, id_col: str = "vec_id",
                     F.expr("((so - st) - pmod(so - st, n)) div n")
                     .cast("long").alias("mean_margin_ppm"),
                     "n_confused"))
+
+
+def triplet_mining(items: DataFrame, anchors: DataFrame,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-triplet mining (E242) — the batch-hard negative miner of
+    metric-learning pipelines (FaceNet/Hermans et al.): per anchor
+    the HARDEST positive (same label, lowest cosine — the most
+    stretched intra-class pair) and the HARDEST negative (different
+    label, highest cosine — the impostor), with the triplet margin
+    pos_sim − neg_sim in µ-floored ppm and the hard flag
+    (margin < 0 ⇒ the negative currently beats the positive — the
+    triplets a trainer actually wants).
+
+    Ranking runs on the FLOORED sim_ppm with id tie-break, so both
+    engines order identically even when raw doubles collide.
+
+    → ``(a_id, a_label, pos_id, pos_sim_ppm, neg_id, neg_sim_ppm,
+    margin_ppm, hard)``; anchors with no same-label partner or no
+    other-label vector drop out (inner joins — both sides exist for
+    any real corpus).
+
+    Scale shape: anchors are a broadcast dim (the mining BATCH, not
+    the corpus); one corpus scan computes every anchor's sims, two
+    WindowGroupLimit rank-1 cuts (map-side top-1 per anchor) pick
+    pos and neg — the ann_cosine shape, never an all-pairs corpus
+    join.  At 10^10 vectors the same plan runs per mining batch;
+    restrict the scan side per epoch with the usual cell/LSH
+    pre-bucket when the batch is itself huge.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E242).
+    """
+    a = anchors.select(F.col(id_col).alias("a_id"),
+                       F.col(vec_col).alias("a_vec"),
+                       F.col(label_col).alias("a_label"))
+    j = (items.select(F.col(id_col).alias("b_id"),
+                      F.col(vec_col).alias("b_vec"),
+                      F.col(label_col).alias("b_label"))
+         .crossJoin(F.broadcast(a))
+         .filter(F.col("b_id") != F.col("a_id"))
+         .withColumn("sim_ppm",
+                     F.floor(cosine(F.col("b_vec"), F.col("a_vec"))
+                             * 1000000).cast("long")))
+    wp = Window.partitionBy("a_id").orderBy("sim_ppm", "b_id")
+    pos = (j.filter(F.col("b_label") == F.col("a_label"))
+           .withColumn("r", F.row_number().over(wp))
+           .filter(F.col("r") == 1)
+           .select("a_id", "a_label",
+                   F.col("b_id").alias("pos_id"),
+                   F.col("sim_ppm").alias("pos_sim_ppm")))
+    wn = Window.partitionBy("a_id").orderBy(F.desc("sim_ppm"), "b_id")
+    neg = (j.filter(F.col("b_label") != F.col("a_label"))
+           .withColumn("r", F.row_number().over(wn))
+           .filter(F.col("r") == 1)
+           .select(F.col("a_id").alias("a_id2"),
+                   F.col("b_id").alias("neg_id"),
+                   F.col("sim_ppm").alias("neg_sim_ppm")))
+    return (pos.join(neg, pos["a_id"] == neg["a_id2"])
+            .select("a_id", "a_label", "pos_id", "pos_sim_ppm",
+                    "neg_id", "neg_sim_ppm",
+                    (F.col("pos_sim_ppm") - F.col("neg_sim_ppm"))
+                    .cast("long").alias("margin_ppm"))
+            .withColumn("hard", F.col("margin_ppm") < 0))

@@ -297,3 +297,58 @@ def front_coding_audit(urls: DataFrame, group_col: str = "host",
                            "- pmod((saved_bytes - n_urls) * 1000000, "
                            "raw_bytes)) div raw_bytes").cast("long")
                     .alias("net_saved_1b_ppm")))
+
+
+def encoding_plan(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Dictionary-vs-plain encoding chooser (E241) — the layout
+    decision parquet writers make per column chunk, priced exactly
+    BEFORE a 100 TB rewrite: per column the plain cost (Σ value
+    bytes), the dictionary cost (Σ distinct-value bytes + n_rows
+    fixed-width codes of ⌈log₂ n_distinct⌉ bits), and the verdict
+    with its floor-ppm savings.  A high-cardinality column (doc_id,
+    text) correctly refuses dictionary; a low-cardinality one (lang,
+    source) wins big — the audit twin of E140's zonemap pricing.
+
+    → per column: ``(col_name, n_rows, n_distinct, plain_bytes,
+    dict_bytes, code_bits, dict_total_bytes, use_dictionary,
+    savings_ppm)`` (savings negative when dictionary LOSES).
+
+    Scale shape: ONE melt scan (in-row struct explode to
+    (col, value) pairs) → one (col, value) hash agg (map-side
+    partials absorb repeats — the dictionary candidates themselves)
+    → one |cols|-key fold.  No per-column re-scan, no window, no
+    Python; bit-width via length(bin(·)) (the E144 γ-cost trick),
+    integer-exact in any engine.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E241).
+    """
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("col_name"),
+                 F.coalesce(F.col(c).cast("string"), F.lit(""))
+                 .alias("val"))
+        for c in cols])).alias("p")).select("p.col_name", "p.val")
+    vg = (pairs.groupBy("col_name", "val")
+          .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    per = (vg.groupBy("col_name")
+           .agg(F.sum("n").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.sum(F.octet_length("val") * F.col("n")).cast("long")
+                .alias("plain_bytes"),
+                F.sum(F.octet_length("val")).cast("long")
+                .alias("dict_bytes")))
+    return (per
+            .withColumn("code_bits",
+                        F.expr("CASE WHEN n_distinct <= 1 THEN 0 "
+                               "ELSE length(bin(n_distinct - 1)) END")
+                        .cast("long"))
+            .withColumn("dict_total_bytes",
+                        F.expr("dict_bytes + "
+                               "(n_rows * code_bits + 7) div 8")
+                        .cast("long"))
+            .withColumn("use_dictionary",
+                        F.col("dict_total_bytes") < F.col("plain_bytes"))
+            .withColumn("savings_ppm",
+                        F.expr("CASE WHEN plain_bytes > 0 THEN "
+                               "(plain_bytes - dict_total_bytes) "
+                               "* 1000000 div plain_bytes END")
+                        .cast("long")))
