@@ -7247,6 +7247,124 @@ SELECT f.media_id, f.n_frames, md5(f.fp) AS fp_md5, g.n_same_fp,
 FROM fp f JOIN grp g USING (fp)"""
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check — the EXISTS semi-join
+    shape beside Q1/Q3/Q6 (our lineitem carries no commit/receipt
+    dates, so 'late' = a line shipped > 60 days after the order
+    date): orders in 1997-H1 with at least one late line, counted
+    per priority.  The semi-join keeps the orders side
+    duplicate-free by construction (no distinct, no post-join
+    dedup); both date predicates push to the scans."""
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter((F.col("o_orderdate") >= F.lit("1997-01-01"))
+                 & (F.col("o_orderdate") < F.lit("1997-07-01")))
+         .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_shipdate"))
+    late = o.join(
+        li, (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]
+           + F.expr("interval 60 days")), "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders")))
+
+
+def q_docs_span_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sequence integrity audit over the interleaved docs: a
+    deterministic shard-loss injection drops every span with
+    (offset + length(media_ref)) % 5 == 0, then per document the
+    survivor count, offset range, implied missing-span count
+    ((max−min+1) − n), and the loss verdict (gaps inside the range
+    OR a lost head, offsets being 1-dense by construction) — the
+    per-row guard the span-sequence-equality invariant needs once
+    real shards can go missing.  Entirely in-row (filter +
+    array_min/max over the spans array — no explode, no shuffle);
+    documents with no surviving spans keep NULL verdicts (genuinely
+    link-less pages are indistinguishable without an expected
+    count, and say so)."""
+    web = build_span_web(spark, sf_dir)
+    kept = F.expr(
+        "filter(spans, s -> (s.offset + length(s.media_ref)) % 5 != 0)")
+    d = web.select(F.md5(F.concat("host", "path")).alias("check_id"),
+                   kept.alias("__k"))
+    offs = F.expr("transform(__k, s -> s.offset)")
+    return (d.select(
+        "check_id",
+        F.size("__k").cast("long").alias("n_spans"),
+        F.array_min(offs).cast("long").alias("span_min"),
+        F.array_max(offs).cast("long").alias("span_max"))
+        .withColumn("n_missing",
+                    F.expr("CASE WHEN n_spans > 0 THEN "
+                           "span_max - span_min + 1 - n_spans END")
+                    .cast("long"))
+        .withColumn("has_loss",
+                    F.expr("CASE WHEN n_spans > 0 THEN "
+                           "n_missing > 0 OR span_min > 1 END")))
+
+
+def q_events_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch audit (functions/stats.py:count_min_audit
+    E245, Cormode-Muthukrishnan): the 4×256 sketch over per-user
+    event counts, estimates vs exact truth for the top-10 users with
+    the ε-bound verdict — the mergeable heavy-hitter counter priced
+    at audit scale.  Sketch built from the exact key dim by
+    linearity; shared md5/hex16 hashing bit-identical in DuckDB."""
+    from web_graph_spark.functions.stats import count_min_audit
+
+    return count_min_audit(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_embed_mips_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIP-vs-cosine ranking-bias audit: the embeddings are
+    deterministically re-scaled (factor 1 + (vec_id % 7)·5%) to give
+    norms spread, then each probe's top-5 by INNER PRODUCT is diffed
+    against its top-5 by cosine — overlap@5, both winners, and the
+    winning-MIP vector's scale factor, which exposes the norm bias
+    (MIP retrieval favors long vectors; cosine is scale-invariant).
+    The go/no-go table for serving dot-product indexes over
+    unnormalized embeddings.  Both rankings on floored ppm + id
+    tie-break; one corpus scan, broadcast probe dim."""
+    from web_graph_spark.functions.similarity import cosine, dot
+
+    aug = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * "
+               "((100 + (vec_id % 7) * 5) / 100.0))").alias("v"))
+    q = (aug.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("v").alias("q_vec")))
+    j = (aug.crossJoin(F.broadcast(q))
+         .filter(F.col("vec_id") != F.col("q_id"))
+         .withColumn("dot_ppm",
+                     F.floor(dot(F.col("v"), F.col("q_vec"))
+                             * 1000000).cast("long"))
+         .withColumn("cos_ppm",
+                     F.floor(cosine(F.col("v"), F.col("q_vec"))
+                             * 1000000).cast("long")))
+    wm = Window.partitionBy("q_id").orderBy(F.desc("dot_ppm"), "vec_id")
+    wc = Window.partitionBy("q_id").orderBy(F.desc("cos_ppm"), "vec_id")
+    r = (j.withColumn("rm", F.row_number().over(wm))
+         .withColumn("rc", F.row_number().over(wc)))
+    ov = (r.filter((F.col("rm") <= 5) & (F.col("rc") <= 5))
+          .groupBy("q_id")
+          .agg(F.count(F.lit(1)).cast("long").alias("overlap_at_5")))
+    tm = (r.filter(F.col("rm") == 1)
+          .select("q_id", F.col("vec_id").alias("top_mip_id")))
+    tc = (r.filter(F.col("rc") == 1)
+          .select("q_id", F.col("vec_id").alias("top_cos_id")))
+    return (tm.join(tc, "q_id")
+            .join(ov, "q_id", "left")
+            .select("q_id",
+                    F.coalesce("overlap_at_5", F.lit(0)).cast("long")
+                    .alias("overlap_at_5"),
+                    "top_mip_id", "top_cos_id",
+                    (F.col("top_mip_id") == F.col("top_cos_id"))
+                    .alias("same_top"),
+                    F.expr("100 + (top_mip_id % 7) * 5").cast("long")
+                    .alias("top_mip_scale_pct")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_canonicalize": q_crawl_canonicalize,
@@ -7509,6 +7627,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter_funnel": q_corpus_filter_funnel,
         "embed_triplets": q_embed_triplets,
         "media_audio_dup": q_media_audio_dup,
+        "tpch_q4": q_tpch_q4,
+        "docs_span_gaps": q_docs_span_gaps,
+        "events_count_min": q_events_count_min,
+        "embed_mips_bias": q_embed_mips_bias,
         "orders_fk_audit": q_orders_fk_audit,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
@@ -12701,6 +12823,104 @@ SELECT p.a_id, p.a_label, p.pos_id, p.pos_sim_ppm,
        (p.pos_sim_ppm - n.neg_sim_ppm) < 0 AS hard
 FROM pos p JOIN neg n USING (a_id)""",
         "media_audio_dup": _audio_dup_sql(),
+        "tpch_q4": """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1""",
+        "docs_span_gaps": _oracle("""
+, surv AS (
+  SELECT src_doc_id, k FROM web_links_full
+  WHERE (k + length(href)) % 5 <> 0),
+g AS (
+  SELECT src_doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(min(k) AS BIGINT) AS span_min,
+         CAST(max(k) AS BIGINT) AS span_max
+  FROM surv GROUP BY 1)
+SELECT p.check_id,
+       coalesce(g.n_spans, 0) AS n_spans,
+       g.span_min, g.span_max,
+       CAST(CASE WHEN g.n_spans > 0 THEN
+              g.span_max - g.span_min + 1 - g.n_spans END AS BIGINT)
+         AS n_missing,
+       CASE WHEN g.n_spans > 0 THEN
+            (g.span_max - g.span_min + 1 - g.n_spans) > 0
+            OR g.span_min > 1 END AS has_loss
+FROM web_pages p LEFT JOIN g ON g.src_doc_id = p.doc_id"""),
+        "events_count_min": f"""
+WITH exact AS (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+         CAST(count(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY 1),
+cells AS (
+  SELECT key, exact_n, 0 AS j,
+         ({_hex16_sql("'0:' || key")}) % 256 AS b FROM exact
+  UNION ALL SELECT key, exact_n, 1,
+         ({_hex16_sql("'1:' || key")}) % 256 FROM exact
+  UNION ALL SELECT key, exact_n, 2,
+         ({_hex16_sql("'2:' || key")}) % 256 FROM exact
+  UNION ALL SELECT key, exact_n, 3,
+         ({_hex16_sql("'3:' || key")}) % 256 FROM exact),
+sk AS (
+  SELECT j, b, CAST(sum(exact_n) AS BIGINT) AS cell
+  FROM cells GROUP BY 1, 2),
+est AS (
+  SELECT c.key, max(c.exact_n) AS exact_n, min(sk.cell) AS cms_n
+  FROM cells c JOIN sk ON sk.j = c.j AND sk.b = c.b
+  GROUP BY 1),
+tot AS (SELECT CAST(sum(exact_n) AS BIGINT) AS n_total FROM exact),
+rk AS (
+  SELECT key, exact_n, cms_n,
+         CAST(row_number() OVER (ORDER BY exact_n DESC, key)
+              AS BIGINT) AS rank
+  FROM est)
+SELECT r.key, r.exact_n, r.cms_n,
+       CAST(r.cms_n - r.exact_n AS BIGINT) AS overcount_n,
+       CAST(2 * t.n_total // 256 AS BIGINT) AS bound_n, r.rank,
+       (r.cms_n - r.exact_n) <= (2 * t.n_total // 256)
+         AS within_bound
+FROM rk r, tot t WHERE r.rank <= 10""",
+        "embed_mips_bias": """
+WITH aug AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x * ((100 + (vec_id % 7) * 5) / 100.0))
+           AS v
+  FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM aug WHERE vec_id < 5),
+j AS (
+  SELECT q.q_id, a.vec_id,
+         CAST(floor(list_dot_product(a.v, q.q_vec) * 1000000)
+              AS BIGINT) AS dot_ppm,
+         CAST(floor(
+           list_dot_product(a.v, q.q_vec)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(q.q_vec, q.q_vec)))
+           * 1000000) AS BIGINT) AS cos_ppm
+  FROM aug a, q WHERE a.vec_id <> q.q_id),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY dot_ppm DESC, vec_id) AS rm,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_ppm DESC, vec_id) AS rc
+  FROM j),
+ov AS (
+  SELECT q_id, CAST(count(*) AS BIGINT) AS overlap_at_5
+  FROM r WHERE rm <= 5 AND rc <= 5 GROUP BY 1),
+tm AS (SELECT q_id, vec_id AS top_mip_id FROM r WHERE rm = 1),
+tc AS (SELECT q_id, vec_id AS top_cos_id FROM r WHERE rc = 1)
+SELECT tm.q_id, coalesce(ov.overlap_at_5, 0) AS overlap_at_5,
+       tm.top_mip_id, tc.top_cos_id,
+       tm.top_mip_id = tc.top_cos_id AS same_top,
+       CAST(100 + (tm.top_mip_id % 7) * 5 AS BIGINT)
+         AS top_mip_scale_pct
+FROM tm JOIN tc USING (q_id) LEFT JOIN ov USING (q_id)""",
         "topk_orders_per_cust": """
 WITH r AS (
   SELECT o_custkey, o_orderkey, o_totalprice,

@@ -420,6 +420,14 @@ ALLOW: dict[tuple[str, str], str] = {
         "WAV synthesis + container decode are the deliberate Python "
         "stages (media_vad discipline); fingerprint bits, digest, "
         "and dup grouping are JVM folds/aggs",
+    ("events_count_min", "BroadcastNestedLoopJoin"):
+        "1-row N-total dim crossed onto the |keys| estimate dim",
+    ("events_count_min", "Exchange SinglePartition"):
+        "top-k rank window over the |keys| dim post-aggregation "
+        "(and the 1-row total); the event stream pays one keyed agg",
+    ("embed_mips_bias", "BroadcastNestedLoopJoin"):
+        "5-row broadcast probe side - the deliberate ann_cosine_topk "
+        "exact shape for both rankings",
 }
 
 PY_MARKERS = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",

@@ -5197,3 +5197,73 @@ def test_filter_funnel_monotone_and_planted_dups(spark):
     assert docs[0] == planted > base
     assert rows[0]["kept_docs_ppm"] is None
     assert all(0 < r["kept_docs_ppm"] <= 1_000_000 for r in rows[1:])
+
+
+@pytest.mark.spark
+def test_count_min_never_undercounts_and_bounds(spark):
+    """CMS invariants on a hand stream: estimates ≥ exact for every
+    key, a singleton sketch (few keys, huge w) is exact, rank order
+    and bound arithmetic pinned."""
+    from web_graph_spark.functions.stats import count_min_audit
+
+    rows = [(i, 1 if i < 6 else (2 if i < 9 else 3))
+            for i in range(10)]  # counts: u1=6, u2=3, u3=1
+    ev = spark.createDataFrame(rows, "event_id long, user_id long")
+    out = sorted(count_min_audit(ev, d=4, w=4096, k=3).collect(),
+                 key=lambda r: r["rank"])
+    assert [(r["key"], r["exact_n"]) for r in out] == [
+        ("1", 6), ("2", 3), ("3", 1)]
+    # w=4096 with 3 keys: no collisions -> exact, bound 2*10//4096=0
+    assert all(r["cms_n"] == r["exact_n"] and r["overcount_n"] == 0
+               and r["bound_n"] == 0 and r["within_bound"]
+               for r in out)
+    # w=1: everything collides into one cell per row -> cms = N
+    tight = count_min_audit(ev, d=2, w=1, k=3).collect()
+    assert all(r["cms_n"] == 10 and r["overcount_n"] == 10 - r["exact_n"]
+               for r in tight)
+    assert all(r["cms_n"] >= r["exact_n"] for r in tight)
+
+
+@pytest.mark.spark
+def test_span_gap_audit_detects_planted_loss(spark):
+    """The injection drops spans deterministically; every document
+    with a survivor count below its offset span reports loss, and
+    the arithmetic ties out: n_missing = span - n_spans."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["docs_span_gaps"](spark, SF_SMOKE).collect()
+    assert rows
+    lossy = clean = 0
+    for r in rows:
+        if r["n_spans"] == 0:
+            assert r["has_loss"] is None and r["n_missing"] is None
+            continue
+        span = r["span_max"] - r["span_min"] + 1
+        assert r["n_missing"] == span - r["n_spans"] >= 0
+        assert r["has_loss"] == (r["n_missing"] > 0 or r["span_min"] > 1)
+        lossy += bool(r["has_loss"]); clean += (not r["has_loss"])
+    assert lossy > 0 and clean > 0  # injection bites, but not everywhere
+
+
+@pytest.mark.spark
+def test_mips_bias_scale_favors_long_vectors(spark):
+    """Hand 2-D corpus: the probe's nearest DIRECTION belongs to a
+    short vector, but a long vector in a worse direction wins the
+    inner product — MIP top differs from cosine top; with uniform
+    scaling the audit reports same_top."""
+    from web_graph_spark.functions.similarity import cosine, dot
+    # q_embed_mips_bias applies its own vec_id-derived scaling; here
+    # pin the underlying bias directly with explicit vectors.
+    rows = [(0, [1.0, 0.0]),     # probe
+            (7, [0.99, 0.01]),   # aligned, short  (cos winner)
+            (8, [3.0, 1.5])]     # long, off-axis  (dot winner)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    j = (df.filter("vec_id <> 0").crossJoin(q)
+         .select("vec_id",
+                 dot(F.col("embedding"), F.col("q_vec")).alias("d"),
+                 cosine(F.col("embedding"), F.col("q_vec")).alias("c")))
+    got = {r["vec_id"]: (r["d"], r["c"]) for r in j.collect()}
+    assert got[8][0] > got[7][0]      # MIP prefers the long vector
+    assert got[7][1] > got[8][1]      # cosine prefers the aligned one

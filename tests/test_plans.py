@@ -378,3 +378,17 @@ def test_tpch_q6_pure_scan_aggregate(spark):
     assert_read_schema_only(df, {
         "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"})
     assert_no_python_udf(df)
+
+
+@pytest.mark.spark
+def test_tpch_q4_semi_join_and_pushdown(spark):
+    """Q4's plan: the EXISTS is a left-semi join (orders side stays
+    duplicate-free with no post-join distinct), the order-date window
+    reaches the orders scan, and nothing leaves the JVM."""
+    import __spark_entry__ as e
+
+    df = e.queries()["tpch_q4"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan[:2000]
+    assert_pushed_filter(df, "o_orderdate")
+    assert_no_python_udf(df)

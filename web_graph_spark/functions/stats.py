@@ -2535,3 +2535,60 @@ def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
                         F.expr("CASE WHEN pe_ppm < 1000000 THEN "
                                "(po_ppm - pe_ppm) * 1000000 div "
                                "(1000000 - pe_ppm) END").cast("long")))
+
+
+def count_min_audit(events: DataFrame, key_col: str = "user_id",
+                    d: int = 4, w: int = 256,
+                    k: int = 10) -> DataFrame:
+    """Count-Min sketch audit (E245, Cormode & Muthukrishnan '05) —
+    the mergeable heavy-hitter counter a 10^6-key×per-window
+    dashboard stores where exact per-key counts cannot be kept,
+    priced against the exact truth at audit scale: build the d×w
+    sketch (row j buckets key at hex16(j ':' key) mod w, cells sum
+    event counts), read each key's estimate as the min over its d
+    cells, and report the top-``k`` exact keys with estimate,
+    overcount (≥ 0 always — CMS never undercounts), and the classic
+    ε-bound check overcount ≤ 2N div w (probabilistic per row —
+    the audit SHOWS when an undersized sketch breaks it).
+
+    → ``(key, exact_n, cms_n, overcount_n, bound_n, within_bound,
+    rank)`` for the top-k keys by exact count (key tie-break).
+
+    Scale shape: ONE fact scan builds the exact (key, n) dim; the
+    sketch is then built FROM that dim (equivalent by linearity —
+    cell = Σ n over keys hashing in), so the d× expansion runs on
+    |keys|, not rows; estimates are d bounded-dim joins (d·w cells
+    is the broadcast dim).  Hashing is the shared md5/hex16 recipe,
+    bit-identical in both engines.
+
+    Reference analog: none — engine extension (SURVEY §2.10 E245).
+    """
+    from ..operators.graph_algos import _hex16
+
+    exact = (events.select(F.col(key_col).cast("string").alias("key"))
+             .groupBy("key")
+             .agg(F.count(F.lit(1)).cast("long").alias("exact_n")))
+    cells = (exact.select("key", "exact_n", F.explode(F.array(*[
+        F.struct(F.lit(j).cast("int").alias("j"),
+                 (_hex16(F.concat(F.lit(f"{j}:"), F.col("key")))
+                  % w).alias("b"))
+        for j in range(d)])).alias("c"))
+        .select("key", "exact_n", "c.j", "c.b"))
+    sketch = (cells.groupBy("j", "b")
+              .agg(F.sum("exact_n").cast("long").alias("cell")))
+    est = (cells.join(F.broadcast(sketch), ["j", "b"])
+           .groupBy("key")
+           .agg(F.max("exact_n").cast("long").alias("exact_n"),
+                F.min("cell").cast("long").alias("cms_n")))
+    tot = exact.agg(F.sum("exact_n").cast("long").alias("n_total"))
+    wtop = Window.orderBy(F.desc("exact_n"), "key")
+    return (est.crossJoin(F.broadcast(tot))
+            .withColumn("rank", F.row_number().over(wtop).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("key", "exact_n", "cms_n",
+                    (F.col("cms_n") - F.col("exact_n")).cast("long")
+                    .alias("overcount_n"),
+                    F.expr(f"2 * n_total div {w}").cast("long")
+                    .alias("bound_n"), "rank")
+            .withColumn("within_bound",
+                        F.col("overcount_n") <= F.col("bound_n")))
