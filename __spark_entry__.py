@@ -7365,6 +7365,221 @@ def q_embed_mips_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("top_mip_scale_pct")))
 
 
+_JL_K, _JL_D = 16, 64
+
+
+def _jl_signs() -> list[list[int]]:
+    """±1 Rademacher projection matrix, DERIVED (md5 of 'jl:i:j', the
+    mojibake/lexicon shared-constant discipline) — the same table
+    feeds the Spark plan and the generated oracle SQL, so both
+    engines project with literally identical coefficients."""
+    import hashlib
+
+    return [[1 if int(hashlib.md5(f"jl:{i}:{jx}".encode())
+                      .hexdigest()[:4], 16) % 2 == 0 else -1
+             for jx in range(_JL_D)] for i in range(_JL_K)]
+
+
+def q_embed_jl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit: project the 64-d
+    embeddings to 16-d with a derived ±1 Rademacher matrix (E[‖y‖²]
+    = k·‖x‖² — no normalization, the k factor divides out in the
+    ratio) and report, for every sampled pair, the squared-distance
+    ratio d²₁₆/(16·d²₆₄) in floor ppm with the ±50% verdict — the
+    measurement that licenses running the E176/E177/E185 compression
+    tiers at reduced dimension.  Distances via the dot-product
+    identity (‖a‖² + ‖b‖² − 2a·b, identical operation order in both
+    engines); two sampled vector dims cross-joined (broadcast) — the
+    corpus pays one scan computing 16 dots per sampled vector."""
+    from web_graph_spark.functions.similarity import dot
+
+    signs = _jl_signs()
+    base = _emb(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        .alias("v"))
+    proj = F.array(*[
+        dot(F.col("v"), F.array(*[F.lit(float(s)) for s in row]))
+        for row in signs])
+    sa = (base.filter(F.col("vec_id") % 31 == 0)
+          .select(F.col("vec_id").alias("a_id"),
+                  F.col("v").alias("av"), proj.alias("ay")))
+    sb = (base.filter(F.col("vec_id") % 37 == 0)
+          .select(F.col("vec_id").alias("b_id"),
+                  F.col("v").alias("bv"), proj.alias("by_")))
+    p = (sa.crossJoin(F.broadcast(sb))
+         .filter(F.col("a_id") < F.col("b_id")))
+    d64 = (dot(F.col("av"), F.col("av"))
+           + dot(F.col("bv"), F.col("bv"))
+           - 2 * dot(F.col("av"), F.col("bv")))
+    d16 = (dot(F.col("ay"), F.col("ay"))
+           + dot(F.col("by_"), F.col("by_"))
+           - 2 * dot(F.col("ay"), F.col("by_")))
+    out = p.select(
+        "a_id", "b_id",
+        F.floor(d64 * 1000000.0).cast("long").alias("d64_ppm"),
+        F.floor(d16 * 1000000.0).cast("long").alias("d16_ppm"),
+        F.when(d64 > 0,
+               F.floor(d16 * 1000000.0 / (16.0 * d64))).cast("long")
+        .alias("ratio_ppm"))
+    return out.withColumn(
+        "within_half",
+        F.expr("CASE WHEN ratio_ppm IS NOT NULL THEN "
+               "abs(ratio_ppm - 1000000) <= 500000 END"))
+
+
+def q_orders_basket_rules(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Association-rule mining over order baskets (the classic
+    support/confidence/lift table, Agrawal-Srikant): brand pairs
+    co-purchased in one order, with conf(a→b) and lift in floor ppm
+    (decimal(38,0) products — supp·N overflows BIGINT at 10^10
+    orders), positively-associated verdict at lift > 1.  Items
+    coarsened to p_brand so supports are meaningful at audit scale.
+    One part-dim join, one (order, brand) distinct, one pair
+    self-join on the order key, bounded |brands|² rule dim."""
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_partkey"))
+    pt = (spark.read.parquet(f"{sf_dir}/part.parquet")
+          .select(F.col("p_partkey").alias("l_partkey"), "p_brand"))
+    ob = (li.join(pt, "l_partkey")
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("p_brand").alias("brand"))
+          .distinct())
+    n = ob.select("o").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"))
+    per = ob.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"))
+    pairs = (ob.join(ob.select(F.col("o"),
+                               F.col("brand").alias("brand_b")), "o")
+             .filter(F.col("brand") < F.col("brand_b"))
+             .groupBy(F.col("brand").alias("brand_a"), "brand_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_both")))
+    return (pairs
+            .join(per.select(F.col("brand").alias("brand_a"),
+                             F.col("n_b").alias("n_a")), "brand_a")
+            .join(per.select(F.col("brand").alias("brand_b"),
+                             F.col("n_b").alias("n_b")), "brand_b")
+            .crossJoin(F.broadcast(n))
+            .select("brand_a", "brand_b", "n_both", "n_a", "n_b",
+                    "n_orders",
+                    F.expr("n_both * 1000000 div n_a").cast("long")
+                    .alias("conf_ppm"),
+                    F.expr("CAST(CAST(n_both AS DECIMAL(38,0)) "
+                           "* n_orders * 1000000 div "
+                           "(CAST(n_a AS DECIMAL(38,0)) * n_b) "
+                           "AS BIGINT)").alias("lift_ppm"))
+            .withColumn("positive",
+                        F.col("lift_ppm") > 1_000_000))
+
+
+def q_events_interarrival(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Per-user inter-arrival exact quantiles by event type: the
+    think-time distribution behind E238's burstiness — delta to the
+    user's previous event (ONE user-key shuffle, the sessionize
+    window), then exact p50/p95/p99 seconds per the CURRENT event's
+    type via the E74 bounded-histogram quantile fold."""
+    from web_graph_spark.functions.stats import exact_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (ev.select("user_id", "event_id", "ts", "event_type")
+         .withColumn("prev", F.lag("ts").over(w))
+         .filter(F.col("prev").isNotNull()))
+    # floor ONCE on the microsecond delta (floor(a)-floor(b) !=
+    # floor(a-b) when ts carries sub-second parts)
+    delta_s = F.expr("(unix_micros(CAST(ts AS TIMESTAMP)) - "
+                     "unix_micros(CAST(prev AS TIMESTAMP))) "
+                     "div 1000000")
+    return exact_quantiles(d, "event_type", delta_s)
+
+
+def q_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) curve by customer decile — the
+    80/20 read: per-customer revenue in cents, deciles assigned off
+    the cumulative customer count over the revenue-VALUE histogram
+    (the E121 gini discipline — ties occupy one block, a block joins
+    the decile of its first member; no global row_number over the
+    customer dim), then per decile the customer count, revenue,
+    share, and cumulative share in floor ppm."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rev = (o.groupBy("o_custkey")
+           .agg(F.sum(F.floor(F.col("o_totalprice") * 100))
+                .cast("long").alias("r")))
+    hist = rev.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("nc"))
+    wv = (Window.orderBy(F.desc("r"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    tot = hist.agg(F.sum("nc").cast("long").alias("n_custs"),
+                   F.sum(F.col("r") * F.col("nc")).cast("long")
+                   .alias("r_total"))
+    dec = (hist
+           .withColumn("cum_before",
+                       F.coalesce(F.sum("nc").over(wv), F.lit(0)))
+           .crossJoin(F.broadcast(tot))
+           .withColumn("decile",
+                       F.expr("cum_before * 10 div n_custs")
+                       .cast("long")))
+    per = (dec.groupBy("decile")
+           .agg(F.sum("nc").cast("long").alias("n_custs_d"),
+                F.sum(F.col("r") * F.col("nc")).cast("long")
+                .alias("revenue_c"),
+                F.max("r_total").alias("r_total")))
+    wd = (Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return (per
+            .withColumn("share_ppm",
+                        F.expr("revenue_c * 1000000 div r_total")
+                        .cast("long"))
+            .withColumn("cum_share_ppm",
+                        (F.sum(F.expr("revenue_c * 1000000 div "
+                                      "r_total")).over(wd))
+                        .cast("long"))
+            .select("decile", F.col("n_custs_d").alias("n_custs"),
+                    "revenue_c", "share_ppm", "cum_share_ppm"))
+
+
+def _jl_sql() -> str:
+    """Oracle for q_embed_jl_audit — identical literal sign arrays."""
+    signs = _jl_signs()
+
+    def arr(row):
+        return ("[" + ", ".join(f"{s}.0" for s in row)
+                + "]::DOUBLE[]")
+
+    proj = ("[" + ", ".join(
+        f"list_dot_product(v, {arr(row)})" for row in signs) + "]")
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sa AS (
+  SELECT vec_id AS a_id, v AS av, {proj} AS ay
+  FROM base WHERE vec_id % 31 = 0),
+sb AS (
+  SELECT vec_id AS b_id, v AS bv, {proj} AS y_b
+  FROM base WHERE vec_id % 37 = 0),
+p AS (
+  SELECT a.a_id, b.b_id,
+         list_dot_product(a.av, a.av)
+           + list_dot_product(b.bv, b.bv)
+           - 2 * list_dot_product(a.av, b.bv) AS d64,
+         list_dot_product(a.ay, a.ay)
+           + list_dot_product(b.y_b, b.y_b)
+           - 2 * list_dot_product(a.ay, b.y_b) AS d16
+  FROM sa a, sb b WHERE a.a_id < b.b_id)
+SELECT a_id, b_id,
+       CAST(floor(d64 * 1000000.0) AS BIGINT) AS d64_ppm,
+       CAST(floor(d16 * 1000000.0) AS BIGINT) AS d16_ppm,
+       CAST(CASE WHEN d64 > 0 THEN
+              floor(d16 * 1000000.0 / (16.0 * d64)) END AS BIGINT)
+         AS ratio_ppm,
+       CASE WHEN d64 > 0 THEN
+            abs(CAST(floor(d16 * 1000000.0 / (16.0 * d64))
+                     AS BIGINT) - 1000000) <= 500000 END
+         AS within_half
+FROM p"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_canonicalize": q_crawl_canonicalize,
@@ -7631,6 +7846,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_span_gaps": q_docs_span_gaps,
         "events_count_min": q_events_count_min,
         "embed_mips_bias": q_embed_mips_bias,
+        "embed_jl_audit": q_embed_jl_audit,
+        "orders_basket_rules": q_orders_basket_rules,
+        "events_interarrival": q_events_interarrival,
+        "orders_pareto": q_orders_pareto,
         "orders_fk_audit": q_orders_fk_audit,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
@@ -12921,6 +13140,89 @@ SELECT tm.q_id, coalesce(ov.overlap_at_5, 0) AS overlap_at_5,
        CAST(100 + (tm.top_mip_id % 7) * 5 AS BIGINT)
          AS top_mip_scale_pct
 FROM tm JOIN tc USING (q_id) LEFT JOIN ov USING (q_id)""",
+        "embed_jl_audit": _jl_sql(),
+        "orders_basket_rules": """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM ob),
+per AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_b
+        FROM ob GROUP BY 1),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ob a JOIN ob b ON b.o = a.o AND a.brand < b.brand
+  GROUP BY 1, 2)
+SELECT p.brand_a, p.brand_b, p.n_both,
+       pa.n_b AS n_a, pb.n_b AS n_b, n.n_orders,
+       CAST(p.n_both * 1000000 // pa.n_b AS BIGINT) AS conf_ppm,
+       CAST(CAST(p.n_both AS HUGEINT) * n.n_orders * 1000000
+            // (CAST(pa.n_b AS HUGEINT) * pb.n_b) AS BIGINT)
+         AS lift_ppm,
+       CAST(CAST(p.n_both AS HUGEINT) * n.n_orders * 1000000
+            // (CAST(pa.n_b AS HUGEINT) * pb.n_b) AS BIGINT)
+         > 1000000 AS positive
+FROM pairs p
+JOIN per pa ON pa.brand = p.brand_a
+JOIN per pb ON pb.brand = p.brand_b, n""",
+        "events_interarrival": """
+WITH d AS (
+  SELECT event_type,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id)))
+           // 1000000 AS v
+  FROM events),
+hist AS (
+  SELECT event_type, CAST(v AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM d WHERE v IS NOT NULL GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, v, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM hist)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END)
+            AS BIGINT) AS p50,
+       CAST(min(CASE WHEN cum >= (95 * n + 99) // 100 THEN v END)
+            AS BIGINT) AS p95,
+       CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END)
+            AS BIGINT) AS p99
+FROM cum GROUP BY 1""",
+        "orders_pareto": """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS r
+  FROM orders GROUP BY 1),
+hist AS (
+  SELECT r, CAST(count(*) AS BIGINT) AS nc FROM rev GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(nc) AS BIGINT) AS n_custs,
+         CAST(sum(r * nc) AS BIGINT) AS r_total
+  FROM hist),
+dec AS (
+  SELECT h.r, h.nc,
+         coalesce(sum(h.nc) OVER (ORDER BY h.r DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         t.n_custs, t.r_total
+  FROM hist h, tot t),
+per AS (
+  SELECT cum_before * 10 // n_custs AS decile,
+         CAST(sum(nc) AS BIGINT) AS n_custs,
+         CAST(sum(r * nc) AS BIGINT) AS revenue_c,
+         max(r_total) AS r_total
+  FROM dec GROUP BY 1)
+SELECT CAST(decile AS BIGINT) AS decile, n_custs, revenue_c,
+       CAST(revenue_c * 1000000 // r_total AS BIGINT) AS share_ppm,
+       CAST(sum(revenue_c * 1000000 // r_total) OVER (
+              ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_share_ppm
+FROM per""",
         "topk_orders_per_cust": """
 WITH r AS (
   SELECT o_custkey, o_orderkey, o_totalprice,

@@ -428,6 +428,21 @@ ALLOW: dict[tuple[str, str], str] = {
     ("embed_mips_bias", "BroadcastNestedLoopJoin"):
         "5-row broadcast probe side - the deliberate ann_cosine_topk "
         "exact shape for both rankings",
+    ("embed_jl_audit", "BroadcastNestedLoopJoin"):
+        "two SAMPLED vector dims (vec_id % 31 and % 37) crossed for "
+        "the audit pairs; the corpus itself pays one projection scan",
+    ("orders_basket_rules", "BroadcastNestedLoopJoin"):
+        "1-row n_orders total dim crossed onto the bounded |brands|^2 "
+        "rule dim",
+    ("orders_basket_rules", "Exchange SinglePartition"):
+        "the same 1-row distinct-order count; partial aggs upstream",
+    ("orders_pareto", "BroadcastNestedLoopJoin"):
+        "1-row (n_custs, r_total) dim crossed onto the revenue-value "
+        "histogram",
+    ("orders_pareto", "Exchange SinglePartition"):
+        "cumulative windows over the revenue-VALUE histogram and the "
+        "<=10-row decile dim (the events_gini discipline), never the "
+        "customer stream",
 }
 
 PY_MARKERS = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",

@@ -5267,3 +5267,88 @@ def test_mips_bias_scale_favors_long_vectors(spark):
     got = {r["vec_id"]: (r["d"], r["c"]) for r in j.collect()}
     assert got[8][0] > got[7][0]      # MIP prefers the long vector
     assert got[7][1] > got[8][1]      # cosine prefers the aligned one
+
+
+@pytest.mark.spark
+def test_jl_audit_identical_vectors_and_bounds(spark):
+    """The JL audit on the real sample: every ratio is positive and
+    most pairs sit within the ±50% band (k=16 Rademacher on 64-d);
+    the sign matrix is ±1-only and deterministic."""
+    import __spark_entry__ as e
+
+    signs = e._jl_signs()
+    assert len(signs) == 16 and all(len(r) == 64 for r in signs)
+    assert {s for r in signs for s in r} == {1, -1}
+    assert signs == e._jl_signs()  # derived, stable
+    rows = e.queries()["embed_jl_audit"](spark, SF_SMOKE).collect()
+    assert rows
+    ok = sum(bool(r["within_half"]) for r in rows)
+    assert all(r["ratio_ppm"] is None or r["ratio_ppm"] > 0
+               for r in rows)
+    assert ok / len(rows) >= 0.7  # JL concentration at k=16
+
+
+@pytest.mark.spark
+def test_basket_rules_invariants(spark):
+    """Rule-table invariants on the real corpus: canonical pair
+    order, support bounded by both marginals, confidence in (0, 1],
+    lift verdict consistent, and the lift identity re-checked in
+    exact Python arithmetic for every rule."""
+    import __spark_entry__ as e
+
+    res = e.queries()["orders_basket_rules"](spark, SF_SMOKE).collect()
+    assert res
+    for r in res:
+        assert r["brand_a"] < r["brand_b"]
+        assert 0 < r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert 0 < r["conf_ppm"] <= 1_000_000
+        assert r["conf_ppm"] == r["n_both"] * 1_000_000 // r["n_a"]
+        assert r["lift_ppm"] == (r["n_both"] * r["n_orders"]
+                                 * 1_000_000) // (r["n_a"] * r["n_b"])
+        assert r["positive"] == (r["lift_ppm"] > 1_000_000)
+
+
+@pytest.mark.spark
+def test_interarrival_hand_deltas(spark):
+    """Two users, known gaps: exact p50/p95/p99 over the tiny series,
+    grouped by the CURRENT event's type; sub-second parts floor on
+    the delta, not per timestamp."""
+    from web_graph_spark.functions.stats import exact_quantiles
+    rows = [(0, "2026-01-01 00:00:00.600", 1, "a"),
+            (1, "2026-01-01 00:00:10.100", 1, "a"),   # delta 9 (9.5s)
+            (2, "2026-01-01 00:00:30.100", 1, "a"),   # delta 20
+            (3, "2026-01-01 00:00:00.000", 2, "a"),
+            (4, "2026-01-01 00:01:00.000", 2, "a")]   # delta 60
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, "
+              "event_type string"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "event_type")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (ev.withColumn("prev", F.lag("ts").over(w))
+         .filter(F.col("prev").isNotNull()))
+    delta_s = F.expr("(unix_micros(CAST(ts AS TIMESTAMP)) - "
+                     "unix_micros(CAST(prev AS TIMESTAMP))) "
+                     "div 1000000")
+    out = exact_quantiles(d, "event_type", delta_s).collect()[0]
+    # deltas {9, 20, 60}: p50 = 20, p95 = p99 = 60
+    assert (out["n_rows"], out["p50"], out["p95"], out["p99"]) == (
+        3, 20, 60, 60)
+
+
+@pytest.mark.spark
+def test_pareto_shares_sum_and_monotone(spark):
+    """Decile shares sum to ~1e6 (floor slack ≤ 10 ppm-units), the
+    cumulative share is non-decreasing, deciles ordered, and the top
+    decile holds the largest share."""
+    import __spark_entry__ as e
+
+    rows = sorted(e.queries()["orders_pareto"](spark, SF_SMOKE)
+                  .collect(), key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(len(rows)))
+    shares = [r["share_ppm"] for r in rows]
+    assert 1_000_000 - 10 <= sum(shares) <= 1_000_000
+    cums = [r["cum_share_ppm"] for r in rows]
+    assert cums == sorted(cums)
+    assert shares[0] == max(shares)  # decile 0 = richest customers
