@@ -7580,6 +7580,176 @@ SELECT a_id, b_id,
 FROM p"""
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item loss report: customers ranked
+    by the revenue of their RETURNED lines ('R' flag) on 1997-H2
+    orders, top-20 with nation join — the fourth TPC-H shape
+    (scan-agg, join, predicate-scan, semi-join, now the classic
+    join-agg-topk report).  Revenue in cents floored per line; the
+    nation dim broadcasts; top-20 is a TakeOrdered map-side heap."""
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .select("c_custkey", "c_name", "c_nationkey"))
+    na = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+          .select(F.col("n_nationkey").alias("c_nationkey"),
+                  "n_name"))
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter((F.col("o_orderdate") >= F.lit("1997-07-01"))
+                 & (F.col("o_orderdate") < F.lit("1998-01-01")))
+         .select("o_orderkey", "o_custkey"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey",
+                  F.floor(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 100)
+                  .cast("long").alias("rev_c")))
+    j = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+         .groupBy("o_custkey")
+         .agg(F.sum("rev_c").cast("long").alias("lost_c")))
+    return (j.join(c, j["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(na), "c_nationkey")
+            .orderBy(F.desc("lost_c"), "c_custkey").limit(20)
+            .select("c_custkey", "c_name", "n_name", "lost_c"))
+
+
+def q_events_conversion_lag(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Time-to-convert quantiles: per user the earliest view and the
+    earliest purchase at-or-after it (the E82 funnel semantics),
+    then exact p50/p95/p99 conversion lag in seconds over all
+    converting users — the latency read the funnel's COUNT columns
+    don't give.  One user-key agg for first-view, one conditional
+    min for the qualifying purchase, single-floored microsecond
+    deltas through the E74 histogram fold."""
+    from web_graph_spark.functions.stats import exact_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", "ts")
+         .join(v, "user_id")
+         .filter(F.col("ts") >= F.col("t_view"))
+         .groupBy("user_id")
+         .agg(F.min("ts").alias("t_purch"), F.min("t_view")
+              .alias("t_view")))
+    lag_s = F.expr("(unix_micros(CAST(t_purch AS TIMESTAMP)) - "
+                   "unix_micros(CAST(t_view AS TIMESTAMP))) "
+                   "div 1000000")
+    out = exact_quantiles(
+        p.withColumn("g", F.lit("all")), "g", lag_s)
+    return out.select(F.col("n_rows").alias("n_converted"),
+                      "p50", "p95", "p99")
+
+
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str
+                         ) -> DataFrame:
+    """Median-absolute-deviation anomaly summary per event type —
+    the ROBUST tier beside E93's trailing z-score (a mean/stddev
+    monitor is itself dragged by the outliers it hunts; the
+    med ± k·MAD fence is not): exact median of the hourly counts,
+    exact MAD, hours outside med ± 3·MAD, and the peak robust z in
+    floor ppm (|x−med|·10⁶ div max(MAD, 1)).  Two bounded
+    value-histogram quantile folds (E74 machinery) — the hourly dim
+    never leaves its type partitioning."""
+    from web_graph_spark.functions.stats import exact_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hc = (ev.groupBy(F.col("event_type").alias("g"),
+                     F.date_trunc("hour", "ts").alias("h"))
+          .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    med = (exact_quantiles(hc, "g", F.col("x"), qs=(50,))
+           .select(F.col("g"), F.col("p50").alias("med")))
+    dev = (hc.join(med, "g")
+           .withColumn("ad", F.abs(F.col("x") - F.col("med"))))
+    mad = (exact_quantiles(dev, "g", F.col("ad"), qs=(50,))
+           .select(F.col("g"), F.col("p50").alias("mad")))
+    j = dev.join(mad, "g")
+    return (j.groupBy("g")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hours"),
+                 F.max("med").alias("med"), F.max("mad").alias("mad"),
+                 F.sum((F.col("ad") > 3 * F.col("mad"))
+                       .cast("long")).cast("long").alias("n_flagged"),
+                 F.max(F.expr("ad * 1000000 div greatest(mad, 1)"))
+                 .cast("long").alias("max_robust_z_ppm"))
+            .select(F.col("g").alias("event_type"), "n_hours", "med",
+                    "mad", "n_flagged", "max_robust_z_ppm"))
+
+
+def q_graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality on the directed host graph in exact integer
+    ppm — the walk-counting centrality between degree (k=1) and the
+    eigenvector limit (E240): katz(v) = Σ_t α^t · (#walks of length
+    t into v), α = 1/5 rational, per round one floor division
+    (c_{t+1}(v) = Σ_{u→v} c_t(u) div 5 — OPIC-style remainder policy,
+    deterministic in any engine), 4 rounds from c₀ = 10⁶.  The
+    pagerank scale shape: per round one in-edge join + one vertex
+    agg.  Oracle unrolls the identical rounds."""
+    he = (webgen.links_full_df(spark, sf_dir)
+          .filter(F.col("k") % 4 != 0)
+          .select("src_doc_id", "tgt_doc_id").distinct()
+          .join(webgen.pages_df(spark, sf_dir)
+                .select(F.col("doc_id").alias("src_doc_id"),
+                        F.col("host").alias("src_host")),
+                "src_doc_id")
+          .join(webgen.pages_df(spark, sf_dir)
+                .select(F.col("doc_id").alias("tgt_doc_id"),
+                        F.col("host").alias("tgt_host")),
+                "tgt_doc_id")
+          .select(F.col("src_host").alias("s"),
+                  F.col("tgt_host").alias("t")).distinct()
+          .localCheckpoint())
+    verts = (he.select(F.col("s").alias("v"))
+             .unionByName(he.select(F.col("t").alias("v")))
+             .distinct().localCheckpoint())
+    c = verts.select("v", F.lit(1_000_000).cast("long").alias("c"))
+    katz = verts.select("v", F.lit(0).cast("long").alias("k"))
+    for _ in range(4):
+        c = (he.join(c.select(F.col("v").alias("s"),
+                              F.col("c").alias("cs")), "s")
+             .groupBy(F.col("t").alias("v"))
+             .agg(F.expr("sum(cs) div 5").cast("long").alias("c"))
+             .join(verts, "v", "right")
+             .select("v", F.coalesce("c", F.lit(0)).cast("long")
+                     .alias("c"))
+             .localCheckpoint())
+        katz = (katz.join(c, "v")
+                .select("v", (F.col("k") + F.col("c")).cast("long")
+                        .alias("k")))
+    return katz.select(F.col("v").alias("host"),
+                       F.col("k").alias("katz_ppm"))
+
+
+def _katz_unrolled_sql(rounds: int = 4) -> str:
+    """Oracle for q_graph_katz: the identical rounds unrolled —
+    same α = 1/5 floor-per-aggregate, same in-edge derivation."""
+    parts = ["""
+, he AS MATERIALIZED (
+  SELECT DISTINCT ps.host AS s, pt.host AS t
+  FROM (SELECT DISTINCT src_doc_id, tgt_doc_id
+        FROM web_links_full WHERE k % 4 <> 0) e
+  JOIN web_pages ps ON ps.doc_id = e.src_doc_id
+  JOIN web_pages pt ON pt.doc_id = e.tgt_doc_id),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (
+    SELECT s AS v FROM he UNION ALL SELECT t FROM he) u),
+c0 AS MATERIALIZED (
+  SELECT v, CAST(1000000 AS BIGINT) AS c FROM verts)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+c{r} AS MATERIALIZED (
+  SELECT verts.v, coalesce(x.c, 0) AS c
+  FROM verts LEFT JOIN (
+    SELECT he.t AS v, sum(p.c) // 5 AS c
+    FROM he JOIN c{r - 1} p ON p.v = he.s
+    GROUP BY 1) x ON x.v = verts.v)""")
+    total = " + ".join(f"c{r}.c" for r in range(1, rounds + 1))
+    joins = "".join(f"\nJOIN c{r} ON c{r}.v = verts.v"
+                    for r in range(1, rounds + 1))
+    return _oracle_recursive("".join(parts) + f"""
+SELECT verts.v AS host, CAST({total} AS BIGINT) AS katz_ppm
+FROM verts{joins}""")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_canonicalize": q_crawl_canonicalize,
@@ -7850,6 +8020,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_basket_rules": q_orders_basket_rules,
         "events_interarrival": q_events_interarrival,
         "orders_pareto": q_orders_pareto,
+        "tpch_q10": q_tpch_q10,
+        "events_conversion_lag": q_events_conversion_lag,
+        "events_anomaly_mad": q_events_anomaly_mad,
+        "graph_katz": q_graph_katz,
         "orders_fk_audit": q_orders_fk_audit,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
@@ -13223,6 +13397,92 @@ SELECT CAST(decile AS BIGINT) AS decile, n_custs, revenue_c,
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS BIGINT) AS cum_share_ppm
 FROM per""",
+        "tpch_q10": """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                           * 100) AS BIGINT)) AS BIGINT) AS lost_c
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY lost_c DESC, c.c_custkey
+LIMIT 20""",
+        "events_conversion_lag": """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purch, min(v.t_view) AS t_view
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+  GROUP BY 1),
+d AS (
+  SELECT (epoch_us(t_purch) - epoch_us(t_view)) // 1000000 AS v
+  FROM p),
+hist AS (
+  SELECT CAST(v AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+  FROM d GROUP BY 1),
+cum AS (
+  SELECT v, c,
+         sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER () AS n
+  FROM hist)
+SELECT CAST(max(n) AS BIGINT) AS n_converted,
+       CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END)
+            AS BIGINT) AS p50,
+       CAST(min(CASE WHEN cum >= (95 * n + 99) // 100 THEN v END)
+            AS BIGINT) AS p95,
+       CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END)
+            AS BIGINT) AS p99
+FROM cum""",
+        "events_anomaly_mad": """
+WITH hc AS (
+  SELECT event_type AS g, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+mh AS (
+  SELECT g, x AS v, CAST(count(*) AS BIGINT) AS c
+  FROM hc GROUP BY 1, 2),
+mc AS (
+  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM mh),
+med AS (
+  SELECT g, CAST(min(CASE WHEN cum >= (50 * n + 99) // 100
+                     THEN v END) AS BIGINT) AS med
+  FROM mc GROUP BY 1),
+dev AS (
+  SELECT hc.g, hc.x, med.med, abs(hc.x - med.med) AS ad
+  FROM hc JOIN med USING (g)),
+ah AS (
+  SELECT g, ad AS v, CAST(count(*) AS BIGINT) AS c
+  FROM dev GROUP BY 1, 2),
+ac AS (
+  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM ah),
+mad AS (
+  SELECT g, CAST(min(CASE WHEN cum >= (50 * n + 99) // 100
+                     THEN v END) AS BIGINT) AS mad
+  FROM ac GROUP BY 1)
+SELECT d.g AS event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(max(d.med) AS BIGINT) AS med,
+       CAST(max(m.mad) AS BIGINT) AS mad,
+       CAST(sum(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       CAST(max(d.ad * 1000000 // greatest(m.mad, 1)) AS BIGINT)
+         AS max_robust_z_ppm
+FROM dev d JOIN mad m USING (g)
+GROUP BY 1""",
+        "graph_katz": _katz_unrolled_sql(4),
         "topk_orders_per_cust": """
 WITH r AS (
   SELECT o_custkey, o_orderkey, o_totalprice,

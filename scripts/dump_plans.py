@@ -443,6 +443,9 @@ ALLOW: dict[tuple[str, str], str] = {
         "cumulative windows over the revenue-VALUE histogram and the "
         "<=10-row decile dim (the events_gini discipline), never the "
         "customer stream",
+    ("events_conversion_lag", "Exchange SinglePartition"):
+        "single-group quantile fold: the cumulative window runs over "
+        "the bounded lag-VALUE histogram (E74), not the user stream",
 }
 
 PY_MARKERS = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",

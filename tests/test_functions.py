@@ -5352,3 +5352,90 @@ def test_pareto_shares_sum_and_monotone(spark):
     cums = [r["cum_share_ppm"] for r in rows]
     assert cums == sorted(cums)
     assert shares[0] == max(shares)  # decile 0 = richest customers
+
+
+@pytest.mark.spark
+def test_conversion_lag_hand_users(spark):
+    """Hand users: one converts in 30s, one purchases BEFORE any view
+    (does not qualify), one never purchases — n_converted = 1 and
+    all quantiles = 30."""
+    import __spark_entry__ as e
+    import tempfile, os
+    rows = [(0, "2026-01-01 00:00:00", 1, "view"),
+            (1, "2026-01-01 00:00:30", 1, "purchase"),
+            (2, "2026-01-01 00:01:00", 2, "purchase"),
+            (3, "2026-01-01 00:02:00", 2, "view"),
+            (4, "2026-01-01 00:00:00", 3, "view")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, "
+              "event_type string"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "event_type",
+             F.lit(0.0).alias("value"), F.lit("").alias("props"))
+    d = tempfile.mkdtemp(prefix="convlag_")
+    ev.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet"))
+    out = e.queries()["events_conversion_lag"](spark, d).collect()[0]
+    assert (out["n_converted"], out["p50"], out["p95"],
+            out["p99"]) == (1, 30, 30, 30)
+
+
+@pytest.mark.spark
+def test_anomaly_mad_constant_and_spike(spark):
+    """Constant hourly series → MAD 0, nothing flagged under the
+    med±3·MAD fence except true deviations; a single spike hour gets
+    flagged with the exact robust z (guarded MAD=0 → div by 1)."""
+    import __spark_entry__ as e
+    import tempfile, os
+    rows = []
+    eid = 0
+    for h in range(10):
+        n = 2 if h != 7 else 9  # spike at hour 7
+        for _ in range(n):
+            rows.append((eid, f"2026-01-01 {h:02d}:00:00", 1, "t",
+                         0.0, "")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, "
+              "event_type string, value double, props string"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value", "props")
+    d = tempfile.mkdtemp(prefix="mad_")
+    ev.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet"))
+    out = e.queries()["events_anomaly_mad"](spark, d).collect()[0]
+    # counts: nine 2s and one 9 -> med 2, deviations {0x9, 7} -> MAD 0
+    assert (out["med"], out["mad"], out["n_hours"]) == (2, 0, 10)
+    assert out["n_flagged"] == 1            # the spike: 7 > 3*0
+    assert out["max_robust_z_ppm"] == 7_000_000  # 7e6 div max(0,1)
+
+
+@pytest.mark.spark
+def test_katz_hand_graph_exact_rounds(spark):
+    """Star a→c, b→c: katz(c) = (1e6+1e6) div 5 = 400000 from round
+    1 and nothing after (a and b have no in-edges, so their scores
+    drop to 0 after round 1 and stop emitting); a and b never
+    receive.  Exact 4-round values pinned."""
+    from pyspark.sql import functions as F
+    import __spark_entry__ as e
+    # replicate the in-query algebra on a hand edge set
+    he = spark.createDataFrame([("a", "c"), ("b", "c")],
+                               "s string, t string")
+    verts = (he.select(F.col("s").alias("v"))
+             .unionByName(he.select(F.col("t").alias("v"))).distinct())
+    c = verts.select("v", F.lit(1_000_000).cast("long").alias("c"))
+    katz = verts.select("v", F.lit(0).cast("long").alias("k"))
+    for _ in range(4):
+        c = (he.join(c.select(F.col("v").alias("s"),
+                              F.col("c").alias("cs")), "s")
+             .groupBy(F.col("t").alias("v"))
+             .agg(F.expr("sum(cs) div 5").cast("long").alias("c"))
+             .join(verts, "v", "right")
+             .select("v", F.coalesce("c", F.lit(0)).cast("long")
+                     .alias("c")))
+        katz = (katz.join(c, "v")
+                .select("v", (F.col("k") + F.col("c")).cast("long")
+                        .alias("k")))
+    got = {r["v"]: r["k"] for r in katz.collect()}
+    # c: round1 = (1e6+1e6) div 5 = 400000; a,b never receive
+    # rounds 2+: a,b scores became 0 after round 1 -> no more inflow
+    assert got == {"a": 0, "b": 0, "c": 400_000}
