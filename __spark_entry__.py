@@ -7750,6 +7750,87 @@ SELECT verts.v AS host, CAST({total} AS BIGINT) AS katz_ppm
 FROM verts{joins}""")
 
 
+def q_events_chi2_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test of event_type × hour-of-day in
+    exact integers — the PROPER test statistic behind E217's
+    seasonality profile and E222's dispersion: per cell
+    (O·N − rt·ct)²·1000 div (N·rt·ct) (all products on decimal(38,0);
+    χ² emitted in milli units, floored per cell), summed per type so
+    the table shows WHICH type carries the dependence.  Zero cells
+    enter via the dense |types|×24 grid (their O·N−rt·ct term is the
+    whole expectation).  One fact scan → three bounded aggs + a dim
+    cross; magnitudes bounded for N ≤ ~10^9 events per audit window
+    (the documented window discipline — shard larger streams by
+    day)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    o = (ev.groupBy(F.col("event_type").alias("t"),
+                    F.hour("ts").alias("h"))
+         .agg(F.count(F.lit(1)).cast("long").alias("o")))
+    rt = o.groupBy("t").agg(F.sum("o").cast("long").alias("rt"))
+    ct = o.groupBy("h").agg(F.sum("o").cast("long").alias("ct"))
+    n = o.agg(F.sum("o").cast("long").alias("n"))
+    dense = (rt.crossJoin(ct)
+             .join(o, ["t", "h"], "left")
+             .select("t", "h", "rt", "ct",
+                     F.coalesce("o", F.lit(0)).cast("long").alias("o"))
+             .crossJoin(F.broadcast(n)))
+    cell = F.expr(
+        "CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0))"
+        " * ct) * (CAST(o AS DECIMAL(38,0)) * n - "
+        "CAST(rt AS DECIMAL(38,0)) * ct) * 1000 div "
+        "(CAST(n AS DECIMAL(38,0)) * rt * ct) AS BIGINT)")
+    return (dense.withColumn("c", cell)
+            .groupBy(F.col("t").alias("event_type"))
+            .agg(F.max("rt").alias("n_events"),
+                 F.count(F.lit(1)).cast("long").alias("n_cells"),
+                 F.sum("c").cast("long").alias("chi2_milli")))
+
+
+def q_crawl_shard_rebalance(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Shard-rebalance move-candidate plan — the ACTION table on top
+    of E-crawl_shard_skew's measurement: hosts hash to 4 shards
+    (hex16 % 4, the E-host_assign recipe); for every host in an
+    overloaded shard (load > target = total div 4), the plan prices
+    moving it to the globally least-loaded shard (1-row dim; ties by
+    shard id) and keeps only moves that strictly reduce
+    |from−target| + |to−target| — the greedy step a frontier
+    rebalancer executes between waves.  One host agg + one shard agg
+    + bounded dims end to end."""
+    from web_graph_spark.operators.graph_algos import _hex16
+
+    hosts = (webgen.pages_df(spark, sf_dir)
+             .groupBy("host")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+             .withColumn("shard", (_hex16(F.col("host")) % 4)
+                         .cast("long")))
+    loads = (hosts.groupBy("shard")
+             .agg(F.sum("n_pages").cast("long").alias("load")))
+    tot = loads.agg(F.sum("load").cast("long").alias("total"))
+    tgt = (loads.crossJoin(F.broadcast(tot))
+           .withColumn("target", F.expr("total div 4").cast("long")))
+    under = (tgt.orderBy("load", "shard").limit(1)
+             .select(F.col("shard").alias("to_shard"),
+                     F.col("load").alias("to_load")))
+    cand = (hosts
+            .join(tgt.select("shard", "load", "target"), "shard")
+            .filter(F.col("load") > F.col("target"))
+            .crossJoin(F.broadcast(under))
+            .filter(F.col("shard") != F.col("to_shard")))
+    improves = F.expr(
+        "abs(load - n_pages - target) + abs(to_load + n_pages - target)"
+        " < abs(load - target) + abs(to_load - target)")
+    return (cand.filter(improves)
+            .select("host", "n_pages",
+                    F.col("shard").alias("from_shard"),
+                    F.col("load").alias("from_load"),
+                    "to_shard", "to_load",
+                    (F.col("load") - F.col("n_pages")).cast("long")
+                    .alias("new_from_load"),
+                    (F.col("to_load") + F.col("n_pages")).cast("long")
+                    .alias("new_to_load")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_canonicalize": q_crawl_canonicalize,
@@ -8024,6 +8105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_conversion_lag": q_events_conversion_lag,
         "events_anomaly_mad": q_events_anomaly_mad,
         "graph_katz": q_graph_katz,
+        "events_chi2_hour": q_events_chi2_hour,
+        "crawl_shard_rebalance": q_crawl_shard_rebalance,
         "orders_fk_audit": q_orders_fk_audit,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
@@ -13483,6 +13566,57 @@ SELECT d.g AS event_type,
 FROM dev d JOIN mad m USING (g)
 GROUP BY 1""",
         "graph_katz": _katz_unrolled_sql(4),
+        "events_chi2_hour": """
+WITH o AS (
+  SELECT event_type AS t, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2),
+rt AS (SELECT t, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+ct AS (SELECT h, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY 1),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+dense AS (
+  SELECT rt.t, ct.h, rt.rt, ct.ct, coalesce(o.o, 0) AS o, n.n
+  FROM rt CROSS JOIN ct
+  LEFT JOIN o ON o.t = rt.t AND o.h = ct.h, n),
+cells AS (
+  SELECT t, rt,
+         (CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+           * (CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+           * 1000 // (CAST(n AS HUGEINT) * rt * ct) AS c
+  FROM dense)
+SELECT t AS event_type,
+       CAST(max(rt) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(c) AS BIGINT) AS chi2_milli
+FROM cells GROUP BY 1""",
+        "crawl_shard_rebalance": _oracle(f"""
+, hosts AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+         ({_hex16_sql('host')}) % 4 AS shard
+  FROM web_pages GROUP BY 1),
+loads AS (
+  SELECT shard, CAST(sum(n_pages) AS BIGINT) AS load
+  FROM hosts GROUP BY 1),
+tot AS (SELECT CAST(sum(load) AS BIGINT) AS total FROM loads),
+tgt AS (
+  SELECT l.shard, l.load, t.total // 4 AS target
+  FROM loads l, tot t),
+und AS (
+  SELECT shard AS to_shard, load AS to_load
+  FROM tgt ORDER BY load, shard LIMIT 1)
+SELECT h.host, h.n_pages,
+       CAST(h.shard AS BIGINT) AS from_shard,
+       g.load AS from_load, CAST(u.to_shard AS BIGINT) AS to_shard,
+       u.to_load,
+       CAST(g.load - h.n_pages AS BIGINT) AS new_from_load,
+       CAST(u.to_load + h.n_pages AS BIGINT) AS new_to_load
+FROM hosts h
+JOIN tgt g ON g.shard = h.shard
+CROSS JOIN und u
+WHERE g.load > g.target AND h.shard <> u.to_shard
+  AND abs(g.load - h.n_pages - g.target)
+      + abs(u.to_load + h.n_pages - g.target)
+      < abs(g.load - g.target) + abs(u.to_load - g.target)"""),
         "topk_orders_per_cust": """
 WITH r AS (
   SELECT o_custkey, o_orderkey, o_totalprice,

@@ -446,6 +446,17 @@ ALLOW: dict[tuple[str, str], str] = {
     ("events_conversion_lag", "Exchange SinglePartition"):
         "single-group quantile fold: the cumulative window runs over "
         "the bounded lag-VALUE histogram (E74), not the user stream",
+    ("events_chi2_hour", "BroadcastNestedLoopJoin"):
+        "|types| x 24-hour marginal dims crossed for the dense "
+        "contingency grid, plus the 1-row N total",
+    ("events_chi2_hour", "Exchange SinglePartition"):
+        "the same 1-row N aggregate; partials upstream",
+    ("crawl_shard_rebalance", "BroadcastNestedLoopJoin"):
+        "1-row total and 1-row least-loaded-shard dims crossed onto "
+        "the bounded host/shard dims",
+    ("crawl_shard_rebalance", "Exchange SinglePartition"):
+        "the LIMIT-1 least-loaded pick and the 1-row total over the "
+        "4-row shard dim; the page stream pays one host agg",
 }
 
 PY_MARKERS = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",

