@@ -7831,6 +7831,254 @@ def q_crawl_shard_rebalance(spark: SparkSession, sf_dir: str
                     .alias("new_to_load")))
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: revenue per ASIA nation where
+    the supplying and ordering nations COINCIDE — the classic
+    snowflake join (region→nation→customer→orders→lineitem→supplier)
+    with the co-nation equi-predicate.  All three dims (region,
+    nation, supplier) broadcast; the only shuffles are
+    orders⋈lineitem on orderkey and the final nation agg (25 groups).
+    Revenue in cents floored per line (the Q3 discipline) so the sum
+    is aggregation-order-free at any parallelism."""
+    na = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+          .join(F.broadcast(
+              spark.read.parquet(f"{sf_dir}/region.parquet")
+              .filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("n_nationkey", "n_name"))
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey", "c_nationkey", "n_name"))
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                 & (F.col("o_orderdate") < F.lit("1998-01-01")))
+         .select("o_orderkey", "o_custkey"))
+    s = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+         .select("s_suppkey", "s_nationkey"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_suppkey",
+                  F.floor(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 100)
+                  .cast("long").alias("rev_c")))
+    return (o.join(c, o["o_custkey"] == c["c_custkey"])
+            .join(li, o["o_orderkey"] == li["l_orderkey"])
+            .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+            .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+            .groupBy("n_name")
+            .agg(F.sum("rev_c").cast("long").alias("revenue_c"),
+                 F.count(F.lit(1)).cast("long").alias("n_lines")))
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between two trading nations: revenue
+    by (supplier nation, customer nation, ship year) for the ordered
+    pairs (NATION_1→NATION_2) and (NATION_2→NATION_1).  The two
+    nation-filtered dims (supplier, customer) shrink to ~1/25 each
+    and broadcast; lineitem⋈orders on orderkey is the single big
+    shuffle; the 2×|years| group-by is a bounded dim.  Cents floored
+    per line keeps the 3-key sums exact under any partitioning."""
+    n1, n2 = "NATION_1", "NATION_2"
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    s = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+         .join(F.broadcast(na.filter(F.col("n_name").isin(n1, n2))),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .join(F.broadcast(na.filter(F.col("n_name").isin(n1, n2))),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .join(c, F.col("o_custkey") == F.col("c_custkey"))
+         .select("o_orderkey", "cust_nation"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+          .select("l_orderkey", "supp_nation",
+                  F.year("l_shipdate").cast("long").alias("ship_year"),
+                  F.floor(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 100)
+                  .cast("long").alias("rev_c")))
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .filter(((F.col("supp_nation") == n1)
+                     & (F.col("cust_nation") == n2))
+                    | ((F.col("supp_nation") == n2)
+                       & (F.col("cust_nation") == n1)))
+            .groupBy("supp_nation", "cust_nation", "ship_year")
+            .agg(F.sum("rev_c").cast("long").alias("revenue_c"),
+                 F.count(F.lit(1)).cast("long").alias("n_lines")))
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promo-revenue share for one ship month: PROMO-type
+    line revenue over all line revenue, emitted as exact cents plus
+    the share in basis points via decimal(38,0) division (a float
+    ratio would hash-drift; at 10^12-cent revenue the ×10000 product
+    also needs the wide type, the chi2/rich-club overflow
+    discipline).  part is a broadcast dim; one conditional agg over
+    the month's lines — no second scan for the denominator."""
+    p = (spark.read.parquet(f"{sf_dir}/part.parquet")
+         .select("p_partkey", "p_type"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .filter((F.col("l_shipdate") >= F.lit("1997-03-01"))
+                  & (F.col("l_shipdate") < F.lit("1997-04-01")))
+          .select("l_partkey",
+                  F.floor(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 100)
+                  .cast("long").alias("rev_c")))
+    agg = (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+           .agg(F.sum(F.when(F.col("p_type") == "PROMO",
+                             F.col("rev_c")).otherwise(F.lit(0)))
+                .cast("long").alias("promo_c"),
+                F.sum("rev_c").cast("long").alias("total_c"),
+                F.count(F.lit(1)).cast("long").alias("n_lines")))
+    return agg.withColumn(
+        "promo_bp",
+        F.expr("CAST(CAST(promo_c AS DECIMAL(38,0)) * 10000"
+               " div total_c AS BIGINT)"))
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose total line
+    quantity exceeds 300 units, with customer name and the order's
+    quantity/revenue totals.  The orderkey agg is the only
+    fact-sized shuffle; the >300 filter drops it to a handful of
+    rows BEFORE the customer join, so that join broadcasts the
+    surviving orders, never the 1.5e9-row customer dim.  Quantities
+    are integral in the dataset — summed as centi-units
+    (floor(q*100)) so a fractional-quantity future stays exact."""
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select("o_orderkey", "o_custkey", "o_orderdate"))
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .select("c_custkey", "c_name"))
+    big = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+           .groupBy("l_orderkey")
+           .agg(F.sum(F.floor(F.col("l_quantity") * 100).cast("long"))
+                .cast("long").alias("qty_centi"),
+                F.sum(F.floor(F.col("l_extendedprice") * 100)
+                      .cast("long")).cast("long").alias("gross_c"))
+           .filter(F.col("qty_centi") > 300 * 100))
+    return (o.join(big, o["o_orderkey"] == big["l_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    "qty_centi", "gross_c"))
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer-distribution histogram: how many customers
+    placed exactly k non-urgent orders, including the zero-order
+    tail via the customer left join (the spec's comment-pattern
+    exclusion is re-expressed over this schema as excluding
+    1-URGENT orders; /root/testdata has no o_comment).  Two
+    aggregations, both shrinking: orders→per-customer counts
+    (|customers| rows), counts→histogram (≤ max-k rows).  The
+    second agg is dim-sized, so the whole report is one fact-scan
+    shuffle no matter the corpus size."""
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .select("c_custkey"))
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter(F.col("o_orderpriority") != "1-URGENT")
+         .select("o_custkey"))
+    per = (c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+           .groupBy("c_custkey")
+           .agg(F.sum(F.when(F.col("o_custkey").isNull(), 0)
+                      .otherwise(1)).cast("long").alias("c_count")))
+    return (per.groupBy("c_count")
+            .agg(F.count(F.lit(1)).cast("long").alias("custdist")))
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier(s): per-supplier revenue for one ship
+    quarter, keeping every supplier tied at the max (the spec's
+    correlated = (SELECT max(..)) — expressed as a rank() window
+    over an UNPARTITIONED ordering of the ALREADY-AGGREGATED
+    supplier table, |suppliers| rows, not the fact table; the
+    single-partition window the WindowExec warning flags is a
+    100-row dim here).  Revenue cents floored per line; supplier
+    dim broadcast onto the one-row result."""
+    s = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+         .select("s_suppkey", "s_name"))
+    rev = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+           .filter((F.col("l_shipdate") >= F.lit("1997-01-01"))
+                   & (F.col("l_shipdate") < F.lit("1997-04-01")))
+           .groupBy("l_suppkey")
+           .agg(F.sum(F.floor(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")) * 100)
+                      .cast("long")).cast("long").alias("total_rev_c")))
+    w = Window.orderBy(F.desc("total_rev_c"))
+    return (rev.withColumn("rnk", F.rank().over(w))
+            .filter(F.col("rnk") == 1)
+            .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+            .select(F.col("l_suppkey").alias("s_suppkey"), "s_name",
+                    "total_rev_c"))
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity revenue leak: lines of Brand#1 parts
+    whose quantity falls below 20% of that part's average quantity,
+    and the yearly-revenue figure the spec divides by 7.  The
+    20%-of-avg predicate is division-free exact-integer:
+    q < 0.2·(Σq/n)  ⇔  5·q·n < Σq, all in centi-units — no float
+    avg, no per-engine rounding rule to reconcile.  part is a
+    broadcast dim; the per-part avg agg shrinks to |parts| rows
+    (itself broadcastable) before the re-join."""
+    p = (spark.read.parquet(f"{sf_dir}/part.parquet")
+         .filter(F.col("p_brand") == "Brand#1")
+         .select("p_partkey"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_partkey",
+                  F.floor(F.col("l_quantity") * 100).cast("long")
+                  .alias("qty_centi"),
+                  F.floor(F.col("l_extendedprice") * 100).cast("long")
+                  .alias("price_c")))
+    avg = (li.groupBy(F.col("l_partkey").alias("pk"))
+           .agg(F.sum("qty_centi").cast("long").alias("qty_sum"),
+                F.count(F.lit(1)).cast("long").alias("n")))
+    small = (li.join(F.broadcast(avg), li["l_partkey"] == avg["pk"])
+             .filter(F.col("qty_centi") * 5 * F.col("n")
+                     < F.col("qty_sum")))
+    return (small.agg(
+        F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+        F.coalesce(F.sum("price_c"), F.lit(0)).cast("long")
+        .alias("revenue_c"))
+        .withColumn("avg_yearly_c",
+                    F.expr("revenue_c div 7").cast("long")))
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global-sales-opportunity: customers with
+    above-average positive account balance and NO order since
+    2000-01-01, counted per nation (the spec's phone-prefix country
+    is re-expressed as the nation dim — /root/testdata has no
+    c_phone — and its never-ordered test as order-lapsed, since this
+    generator gives every customer at least one lifetime order).
+    The positive-balance average is ONE scalar (exact cents:
+    Σbal div n, both integers) broadcast into the filter; the lapsed
+    test is a left-anti join against the date-pruned orders custkey
+    projection — the frontier seen-check shape, so it scales
+    identically (shuffle on custkey, AQE-skew safe)."""
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .select("c_custkey", "c_nationkey",
+                 F.floor(F.col("c_acctbal") * 100).cast("long")
+                 .alias("bal_c")))
+    pos = c.filter(F.col("bal_c") > 0)
+    avg = pos.agg(F.expr("CAST(CAST(sum(bal_c) AS DECIMAL(38,0))"
+                         " div count(*) AS BIGINT)").alias("avg_c"))
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+         .select("o_custkey"))
+    na = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+          .select(F.col("n_nationkey").alias("c_nationkey"), "n_name"))
+    idle = (pos.crossJoin(F.broadcast(avg))
+            .filter(F.col("bal_c") > F.col("avg_c"))
+            .join(o, pos["c_custkey"] == o["o_custkey"], "left_anti"))
+    return (idle.join(F.broadcast(na), "c_nationkey")
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).cast("long").alias("numcust"),
+                 F.sum("bal_c").cast("long").alias("totacctbal_c")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_canonicalize": q_crawl_canonicalize,
@@ -8108,6 +8356,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_chi2_hour": q_events_chi2_hour,
         "crawl_shard_rebalance": q_crawl_shard_rebalance,
         "orders_fk_audit": q_orders_fk_audit,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q22": q_tpch_q22,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
 
@@ -13480,6 +13736,131 @@ SELECT CAST(decile AS BIGINT) AS decile, n_custs, revenue_c,
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS BIGINT) AS cum_share_ppm
 FROM per""",
+        "tpch_q5": """
+SELECT n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                           * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1""",
+        "tpch_q7": """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                           * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3""",
+        "tpch_q14": """
+WITH a AS (
+  SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN
+                CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                           * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS promo_c,
+         CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                             * 100) AS BIGINT)) AS BIGINT) AS total_c,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+    AND l.l_shipdate < TIMESTAMP '1997-04-01')
+SELECT promo_c, total_c, n_lines,
+       CAST(CAST(promo_c AS HUGEINT) * 10000 // total_c AS BIGINT)
+           AS promo_bp
+FROM a""",
+        "tpch_q18": """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+              AS BIGINT) AS qty_centi,
+         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS gross_c
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(floor(l_quantity * 100) AS BIGINT)) > 30000)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       big.qty_centi, big.gross_c
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey""",
+        "tpch_q13": """
+WITH per AS (
+  SELECT c.c_custkey,
+         CAST(count(o.o_custkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per GROUP BY 1""",
+        "tpch_q15": """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                             * 100) AS BIGINT)) AS BIGINT)
+             AS total_rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, rev.total_rev_c
+FROM rev JOIN supplier s USING (s_suppkey)
+WHERE rev.total_rev_c = (SELECT max(total_rev_c) FROM rev)""",
+        "tpch_q17": """
+WITH li AS (
+  SELECT l.l_partkey,
+         CAST(floor(l.l_quantity * 100) AS BIGINT) AS qty_centi,
+         CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#1'),
+avg AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(qty_centi) AS BIGINT) AS qty_sum,
+         CAST(count(*) AS BIGINT) AS n
+  FROM li GROUP BY 1),
+small AS (
+  SELECT li.price_c FROM li
+  JOIN avg ON avg.pk = li.l_partkey
+  WHERE li.qty_centi * 5 * avg.n < avg.qty_sum)
+SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+       CAST(coalesce(sum(price_c), 0) AS BIGINT) AS revenue_c,
+       CAST(coalesce(sum(price_c), 0) // 7 AS BIGINT) AS avg_yearly_c
+FROM small""",
+        "tpch_q22": """
+WITH pos AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+  WHERE CAST(floor(c_acctbal * 100) AS BIGINT) > 0),
+a AS (SELECT CAST(sum(bal_c) AS BIGINT) // CAST(count(*) AS BIGINT)
+          AS avg_c FROM pos),
+idle AS (
+  SELECT p.c_nationkey, p.bal_c FROM pos p, a
+  WHERE p.bal_c > a.avg_c
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = p.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+FROM idle JOIN nation n ON n.n_nationkey = idle.c_nationkey
+GROUP BY 1""",
         "tpch_q10": """
 SELECT c.c_custkey, c.c_name, n.n_name,
        CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
