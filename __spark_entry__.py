@@ -8079,6 +8079,149 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("bal_c").cast("long").alias("totacctbal_c")))
 
 
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: of the STANDARD-type revenue
+    sold into ASIA-region customers, the share supplied by NATION_3,
+    per order year.  Share emitted in basis points via decimal(38,0)
+    integer division (the Q14 discipline) over per-line-floored
+    cents, so numerator and denominator come from ONE conditional
+    agg — no second scan, no float ratio.  part / supplier / nation
+    / region all broadcast; lineitem⋈orders on orderkey is the only
+    fact shuffle."""
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    asia = (na.join(F.broadcast(
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cnk")))
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .join(F.broadcast(asia), F.col("c_nationkey") == F.col("cnk"))
+         .select("c_custkey"))
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .join(c.hint("broadcast"), F.col("o_custkey") == F.col("c_custkey"))
+         .select("o_orderkey",
+                 F.year("o_orderdate").cast("long").alias("o_year")))
+    p = (spark.read.parquet(f"{sf_dir}/part.parquet")
+         .filter(F.col("p_type") == "STANDARD").select("p_partkey"))
+    s = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+         .join(F.broadcast(na.filter(F.col("n_name") == "NATION_3")),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_orderkey", "l_suppkey",
+                  F.floor(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 100)
+                  .cast("long").alias("rev_c")))
+    nat = F.when(F.col("s_suppkey").isNotNull(), F.col("rev_c")) \
+           .otherwise(F.lit(0))
+    agg = (li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"],
+                   "left")
+           .join(o, F.col("l_orderkey") == o["o_orderkey"])
+           .groupBy("o_year")
+           .agg(F.sum(nat).cast("long").alias("nation_rev_c"),
+                F.sum("rev_c").cast("long").alias("total_rev_c")))
+    return agg.withColumn(
+        "mkt_share_bp",
+        F.expr("CAST(CAST(nation_rev_c AS DECIMAL(38,0)) * 10000"
+               " div total_rev_c AS BIGINT)"))
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product profit by supplier nation and year
+    over 'widget' parts.  This schema carries no partsupp, so the
+    spec's ps_supplycost is re-expressed as the part's retail price:
+    profit_c = Σ floor(extprice·(1−disc)·100) − retail_c·qty, with
+    retail_c = floor(p_retailprice·100) and qty integral — every
+    term a bigint, the product routed through decimal(38,0) so a
+    10^10-line group cannot overflow.  part and the
+    supplier→nation dim broadcast; the orderkey join carries only
+    (rev, cost) longs."""
+    na = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+          .select("n_nationkey", "n_name"))
+    s = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+         .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", F.col("n_name").alias("nation")))
+    p = (spark.read.parquet(f"{sf_dir}/part.parquet")
+         .filter(F.col("p_name").endswith("widget"))
+         .select("p_partkey",
+                 F.floor(F.col("p_retailprice") * 100).cast("long")
+                 .alias("retail_c")))
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select("o_orderkey",
+                 F.year("o_orderdate").cast("long").alias("o_year")))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+          .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+          .select("l_orderkey", "nation",
+                  F.floor(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 100)
+                  .cast("long").alias("rev_c"),
+                  F.expr("CAST(CAST(retail_c AS DECIMAL(38,0))"
+                         " * CAST(floor(l_quantity) AS BIGINT)"
+                         " AS BIGINT)").alias("cost_c")))
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("nation", "o_year")
+            .agg((F.sum("rev_c") - F.sum("cost_c")).cast("long")
+                 .alias("profit_c"),
+                 F.count(F.lit(1)).cast("long").alias("n_lines")))
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier diversity: how many DISTINCT
+    suppliers have shipped each (brand, type, size-band) of
+    non-Brand#5 mid-size parts — the spec's partsupp relation
+    re-expressed over the lineitem supply evidence (this schema has
+    no partsupp; a line IS a supplier×part incidence).  part
+    broadcasts onto the fact scan; count(DISTINCT) shuffles on the
+    3-part group key — bounded by |brands|×|types|×|bands|, with the
+    distinct expansion capped by |suppliers| per group."""
+    p = (spark.read.parquet(f"{sf_dir}/part.parquet")
+         .filter((F.col("p_brand") != "Brand#5")
+                 & F.col("p_size").between(10, 30))
+         .select("p_partkey", "p_brand", "p_type",
+                 F.expr("p_size div 10").cast("long").alias("size_band")))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_partkey", "l_suppkey"))
+    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .groupBy("p_brand", "p_type", "size_band")
+            .agg(F.countDistinct("l_suppkey").cast("long")
+                 .alias("supplier_cnt"),
+                 F.countDistinct("l_partkey").cast("long")
+                 .alias("part_cnt")))
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 three-branch OR revenue: discounted revenue from
+    lines matching any of three (brand, size-range, quantity-range)
+    baskets (the spec's container/shipmode legs are re-expressed
+    over p_size — this schema carries neither).  One broadcast-join
+    plus ONE disjunctive filter — Catalyst keeps the OR as a single
+    predicate pass, no union-of-three-scans; revenue cents floored
+    per line; one global agg row out."""
+    p = (spark.read.parquet(f"{sf_dir}/part.parquet")
+         .select("p_partkey", "p_brand", "p_size"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_partkey", "l_quantity",
+                  F.floor(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 100)
+                  .cast("long").alias("rev_c")))
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    m = (((F.col("p_brand") == "Brand#12")
+          & F.col("p_size").between(1, 5)
+          & F.col("l_quantity").between(1, 11))
+         | ((F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20))
+         | ((F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)))
+    return (j.filter(m)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                 F.coalesce(F.sum("rev_c"), F.lit(0)).cast("long")
+                 .alias("revenue_c")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_canonicalize": q_crawl_canonicalize,
@@ -8358,11 +8501,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_fk_audit": q_orders_fk_audit,
         "tpch_q5": q_tpch_q5,
         "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
         "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
         "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
         "topk_orders_per_cust": q_topk_orders_per_cust,
     }
@@ -13799,6 +13946,73 @@ SELECT c.c_custkey, c.c_name, o.o_orderkey,
 FROM big
 JOIN orders o ON o.o_orderkey = big.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey""",
+        "tpch_q8": """
+WITH asia_cust AS (
+  SELECT c.c_custkey FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA'),
+n3_supp AS (
+  SELECT s.s_suppkey FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_3'),
+a AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(sum(CASE WHEN l.l_suppkey IN
+                    (SELECT s_suppkey FROM n3_supp)
+              THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                              * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS nation_rev_c,
+         CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                             * 100) AS BIGINT)) AS BIGINT)
+             AS total_rev_c
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_custkey IN (SELECT c_custkey FROM asia_cust)
+  GROUP BY 1)
+SELECT o_year, nation_rev_c, total_rev_c,
+       CAST(CAST(nation_rev_c AS HUGEINT) * 10000 // total_rev_c
+            AS BIGINT) AS mkt_share_bp
+FROM a""",
+        "tpch_q9": """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                           * 100) AS BIGINT))
+            - sum(CAST(CAST(floor(p.p_retailprice * 100) AS HUGEINT)
+                       * CAST(floor(l.l_quantity) AS BIGINT)
+                       AS BIGINT)) AS BIGINT) AS profit_c,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+           AND p.p_name LIKE '%widget'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2""",
+        "tpch_q16": """
+SELECT p.p_brand, p.p_type,
+       CAST(p.p_size // 10 AS BIGINT) AS size_band,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt,
+       CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS part_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5' AND p.p_size BETWEEN 10 AND 30
+GROUP BY 1, 2, 3""",
+        "tpch_q19": """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum(CAST(floor(l.l_extendedprice
+            * (1 - l.l_discount) * 100) AS BIGINT)), 0) AS BIGINT)
+           AS revenue_c
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)""",
         "tpch_q13": """
 WITH per AS (
   SELECT c.c_custkey,
