@@ -8222,6 +8222,139 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("revenue_c")))
 
 
+def q_graph_edge_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-quality audit of the host-hash sharding the frontier
+    actually uses (E-host_assign's hex16 % 4): the shard×shard edge
+    matrix of admissible links, each cell's share in basis points,
+    and the is_cut flag — Σ cut cells is the fraction of the link
+    graph that crosses executors, i.e. the shuffle volume a
+    shard-local edge store would pay per wave.  The audit itself is
+    one fact scan + a 16-row agg + a broadcast 1-row total; at
+    10^10 edges the same plan holds because the matrix is bounded by
+    n_shards², never by |edges|."""
+    from web_graph_spark.operators.graph_algos import _hex16
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select((_hex16(F.col("src_host")) % 4).cast("long")
+                 .alias("from_shard"),
+                 (_hex16(F.col("tgt_host")) % 4).cast("long")
+                 .alias("to_shard")))
+    cells = (e.groupBy("from_shard", "to_shard")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+    tot = cells.agg(F.sum("n_edges").cast("long").alias("total"))
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("from_shard", "to_shard", "n_edges",
+                    (F.col("from_shard") != F.col("to_shard"))
+                    .alias("is_cut"),
+                    F.expr("CAST(CAST(n_edges AS DECIMAL(38,0)) * 10000"
+                           " div total AS BIGINT)").alias("share_bp")))
+
+
+def q_orders_cohort_retention(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Customer cohort-retention matrix: cohort = calendar month of a
+    customer's FIRST order; cell (cohort, m) = distinct customers of
+    that cohort active m months later, plus retention in basis
+    points against the cohort's size.  Month arithmetic is
+    year·12+month integers on both engines (no datediff dialect to
+    reconcile).  Two shrinking aggs — orders→(customer, month)
+    distinct pairs, then first-order min — and the matrix is bounded
+    by |months|², so only the first agg ever sees the fact table."""
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select("o_custkey",
+                 (F.year("o_orderdate") * 12
+                  + F.month("o_orderdate")).cast("long").alias("m")))
+    cm = o.distinct()
+    first = (cm.groupBy("o_custkey")
+             .agg(F.min("m").cast("long").alias("cohort_m")))
+    size = (first.groupBy("cohort_m")
+            .agg(F.countDistinct("o_custkey").cast("long")
+                 .alias("cohort_size")))
+    act = (cm.join(first, "o_custkey")
+           .groupBy("cohort_m",
+                    (F.col("m") - F.col("cohort_m")).cast("long")
+                    .alias("months_since"))
+           .agg(F.countDistinct("o_custkey").cast("long")
+                .alias("n_active")))
+    return (act.join(F.broadcast(size), "cohort_m")
+            .select(F.concat(
+                F.lpad(F.expr("CAST((cohort_m - 1) div 12 AS STRING)"),
+                       4, "0"),
+                F.lit("-"),
+                F.lpad(F.expr("CAST((cohort_m - 1) % 12 + 1 AS STRING)"),
+                       2, "0")).alias("cohort"),
+                "months_since", "n_active", "cohort_size",
+                F.expr("CAST(CAST(n_active AS DECIMAL(38,0)) * 10000"
+                       " div cohort_size AS BIGINT)")
+                .alias("retained_bp")))
+
+
+def q_embed_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal k-nearest-neighbor pairs (k=3): vectors that are IN
+    EACH OTHER'S top-3 by cosine — the mutual-NN criterion dedup and
+    cluster-seeding pipelines prefer over one-sided thresholds
+    because it self-normalizes hub vectors (a hub is top-3 OF many
+    but reciprocates few).  Exact tier shown here certifies the
+    bucketed-LSH scale path (similarity.py) exactly as
+    embed_near_dup_pairs does; ranks come off one window over the
+    µ-rounded sims, the mutuality test is a self-join of the k-NN
+    edge list on the reversed key — O(N·k), not O(N²), after the
+    rank cut."""
+    from web_graph_spark.functions.similarity import cosine
+
+    emb = _emb(spark, sf_dir)
+    q = emb.select(F.col("vec_id").alias("q_id"),
+                   F.col("embedding").alias("q_vec"))
+    sims = (emb.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .withColumn("sim_ppm",
+                        F.floor(cosine(F.col("embedding"),
+                                       F.col("q_vec"))
+                                * 1000000).cast("long")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_ppm"),
+                                           F.col("vec_id"))
+    knn = (sims.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= 3)
+           .select("q_id", "vec_id", "sim_ppm", "rank"))
+    a = knn.select(F.col("q_id").alias("id_a"),
+                   F.col("vec_id").alias("id_b"),
+                   "sim_ppm", F.col("rank").alias("rank_ab"))
+    b = knn.select(F.col("q_id").alias("id_b"),
+                   F.col("vec_id").alias("id_a"),
+                   F.col("rank").alias("rank_ba"))
+    return (a.join(b, ["id_a", "id_b"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sim_ppm",
+                    F.col("rank_ab").cast("long").alias("rank_ab"),
+                    F.col("rank_ba").cast("long").alias("rank_ba")))
+
+
+def q_events_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigrams across per-user sessions: each user's
+    stream ordered by (ts, event_id), two leads build the
+    3-step pattern, global count per trigram, top-20 with the
+    lexicographic tie-break — the path-mining read behind funnel
+    DISCOVERY (events_funnel checks a KNOWN order; this surfaces the
+    orders worth checking).  The window partitions by user (no
+    global sort); the trigram agg is bounded by |types|³; top-20 is
+    a TakeOrdered heap."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (ev.select("user_id", "ts", "event_id", "event_type")
+         .withColumn("t2", F.lead("event_type", 1).over(w))
+         .withColumn("t3", F.lead("event_type", 2).over(w))
+         .filter(F.col("t3").isNotNull()))
+    return (t.groupBy(F.col("event_type").alias("step1"),
+                      F.col("t2").alias("step2"),
+                      F.col("t3").alias("step3"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.countDistinct("user_id").cast("long")
+                 .alias("n_users"))
+            .orderBy(F.desc("n"), "step1", "step2", "step3")
+            .limit(20))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_canonicalize": q_crawl_canonicalize,
@@ -8499,6 +8632,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_chi2_hour": q_events_chi2_hour,
         "crawl_shard_rebalance": q_crawl_shard_rebalance,
         "orders_fk_audit": q_orders_fk_audit,
+        "graph_edge_cut": q_graph_edge_cut,
+        "orders_cohort_retention": q_orders_cohort_retention,
+        "embed_reciprocal_nn": q_embed_reciprocal_nn,
+        "events_trigrams": q_events_trigrams,
         "tpch_q5": q_tpch_q5,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
@@ -13946,6 +14083,85 @@ SELECT c.c_custkey, c.c_name, o.o_orderkey,
 FROM big
 JOIN orders o ON o.o_orderkey = big.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey""",
+        "graph_edge_cut": _oracle(f"""
+, e AS (
+  SELECT {_hex16_sql("src_host")} % 4 AS from_shard,
+         {_hex16_sql("tgt_host")} % 4 AS to_shard
+  FROM web_links_full WHERE k % 4 <> 0),
+cells AS (
+  SELECT CAST(from_shard AS BIGINT) AS from_shard,
+         CAST(to_shard AS BIGINT) AS to_shard,
+         CAST(count(*) AS BIGINT) AS n_edges
+  FROM e GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n_edges) AS BIGINT) AS total FROM cells)
+SELECT from_shard, to_shard, n_edges,
+       from_shard <> to_shard AS is_cut,
+       CAST(CAST(n_edges AS HUGEINT) * 10000 // total AS BIGINT)
+           AS share_bp
+FROM cells, tot"""),
+        "orders_cohort_retention": """
+WITH cm AS (
+  SELECT DISTINCT o_custkey,
+         CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS m
+  FROM orders),
+first AS (
+  SELECT o_custkey, CAST(min(m) AS BIGINT) AS cohort_m
+  FROM cm GROUP BY 1),
+size AS (
+  SELECT cohort_m, CAST(count(DISTINCT o_custkey) AS BIGINT)
+             AS cohort_size
+  FROM first GROUP BY 1),
+act AS (
+  SELECT f.cohort_m, CAST(cm.m - f.cohort_m AS BIGINT)
+             AS months_since,
+         CAST(count(DISTINCT cm.o_custkey) AS BIGINT) AS n_active
+  FROM cm JOIN first f USING (o_custkey)
+  GROUP BY 1, 2)
+SELECT lpad(CAST((a.cohort_m - 1) // 12 AS VARCHAR), 4, '0') || '-'
+       || lpad(CAST((a.cohort_m - 1) % 12 + 1 AS VARCHAR), 2, '0')
+           AS cohort,
+       a.months_since, a.n_active, s.cohort_size,
+       CAST(CAST(a.n_active AS HUGEINT) * 10000 // s.cohort_size
+            AS BIGINT) AS retained_bp
+FROM act a JOIN size s USING (cohort_m)""",
+        "embed_reciprocal_nn": """
+WITH sims AS (
+  SELECT q.vec_id AS q_id, e.vec_id,
+         CAST(floor(
+           list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                            CAST(q.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[]))))
+           * 1000000) AS BIGINT) AS sim_ppm
+  FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
+knn AS (
+  SELECT q_id, vec_id, sim_ppm,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY sim_ppm DESC, vec_id) AS BIGINT) AS rank
+  FROM sims
+  QUALIFY rank <= 3)
+SELECT a.q_id AS id_a, a.vec_id AS id_b, a.sim_ppm,
+       a.rank AS rank_ab, b.rank AS rank_ba
+FROM knn a
+JOIN knn b ON b.q_id = a.vec_id AND b.vec_id = a.q_id
+WHERE a.q_id < a.vec_id""",
+        "events_trigrams": """
+WITH t AS (
+  SELECT user_id, event_type AS step1,
+         lead(event_type, 1) OVER w AS step2,
+         lead(event_type, 2) OVER w AS step3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT step1, step2, step3,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM t WHERE step3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, step1, step2, step3
+LIMIT 20""",
         "tpch_q8": """
 WITH asia_cust AS (
   SELECT c.c_custkey FROM customer c
