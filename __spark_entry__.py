@@ -8355,6 +8355,173 @@ def q_events_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier: for each size-25 part,
+    the EUROPE-region supplier(s) achieving the minimum observed unit
+    price (ps_supplycost has no partsupp here; unit cost is the
+    shipped evidence floor(extprice/qty·100), the same
+    float-division-then-floor both engines compute bit-identically).
+    The correlated `= (SELECT min …)` is a rank-over-partition with
+    ties kept — one window over the already-aggregated
+    (part, supplier) table, never the fact scan.  supplier/nation/
+    region broadcast; lineitem shuffles once on partkey."""
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    eur = (na.join(F.broadcast(
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+    s = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+         .join(F.broadcast(eur), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_name", "n_name"))
+    p = (spark.read.parquet(f"{sf_dir}/part.parquet")
+         .filter(F.col("p_size") == 25)
+         .select("p_partkey", "p_type"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+          .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+          .withColumn("unit_centi",
+                      F.floor(F.col("l_extendedprice")
+                              / F.col("l_quantity") * 100)
+                      .cast("long")))
+    ps = (li.groupBy("p_partkey", "p_type", "s_suppkey", "s_name",
+                     "n_name")
+          .agg(F.min("unit_centi").cast("long").alias("unit_centi")))
+    w = Window.partitionBy("p_partkey").orderBy("unit_centi")
+    return (ps.withColumn("rnk", F.rank().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("p_partkey", "p_type", "s_suppkey", "s_name",
+                    "n_name", "unit_centi"))
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important stock: parts whose shipped value
+    exceeds 4/3 of the MEAN part's shipped value (partsupp's stock
+    value is re-expressed as the lineitem supply evidence; the
+    spec's absolute 0.01%/SF bar — itself scale-dependent by design
+    — is re-based to the mean so the query stays selective at every
+    SF).  The global (total, n_parts) pair is ONE broadcast scalar
+    row; the comparison is division-free decimal(38,0):
+    3·value_c·n_parts > 4·total_c  ⇔  share > (4/3)/n_parts — no
+    fraction rounding rule crosses engines.  Both aggs shrink:
+    fact→|parts|, |parts|→1."""
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_partkey",
+                  F.floor(F.col("l_extendedprice") * 100).cast("long")
+                  .alias("val_c")))
+    per = (li.groupBy("l_partkey")
+           .agg(F.sum("val_c").cast("long").alias("value_c"),
+                F.count(F.lit(1)).cast("long").alias("n_lines")))
+    tot = per.agg(F.sum("value_c").cast("long").alias("total_c"),
+                  F.count(F.lit(1)).cast("long").alias("n_parts"))
+    return (per.crossJoin(F.broadcast(tot))
+            .filter(F.expr("CAST(value_c AS DECIMAL(38,0)) * 3"
+                           " * n_parts"
+                           " > CAST(total_c AS DECIMAL(38,0)) * 4"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    "value_c", "n_lines",
+                    F.expr("CAST(CAST(value_c AS DECIMAL(38,0))"
+                           " * 100000 div total_c AS BIGINT)")
+                    .alias("share_ppcm")))
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped shipping-delay audit: per ship year, how many
+    LATE lines (shipped > 90 days after the order date — this schema
+    has no commit/receipt dates) belong to critical-priority orders
+    (1-URGENT/2-HIGH) vs the rest — the spec's priority split kept
+    verbatim, its shipmode axis re-expressed as the lateness year.
+    orders carries only (key, date, priority) into the one fact
+    join; the output is bounded by |years|."""
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select("o_orderkey", "o_orderdate",
+                 F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+                 .alias("is_high")))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_shipdate"))
+    late = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .filter(F.col("l_shipdate")
+                    > F.date_add(F.col("o_orderdate"), 90)))
+    return (late.groupBy(F.year("l_shipdate").cast("long")
+                         .alias("ship_year"))
+            .agg(F.sum(F.when(F.col("is_high"), 1).otherwise(0))
+                 .cast("long").alias("high_line_count"),
+                 F.sum(F.when(F.col("is_high"), 0).otherwise(1))
+                 .cast("long").alias("low_line_count")))
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped concentrated supplier: suppliers shipping
+    more than 3× their FAIR SHARE of a red part's quantity (fair =
+    1/n_suppliers-of-that-part; the spec's excess-stock test over
+    partsupp availqty is re-expressed as shipped-share concentration,
+    and the bar is fair-share-relative so it stays selective at
+    every SF — an absolute 50% bar empties as supplier counts
+    grow).  Division-free centi-units: sup_qty·n_supp > 3·part_qty.
+    Output one row per supplier with how many red parts they
+    concentrate.  Shuffle only on (part, supplier) then part; both
+    aggs shrink."""
+    p = (spark.read.parquet(f"{sf_dir}/part.parquet")
+         .filter(F.col("p_name").startswith("red"))
+         .select("p_partkey"))
+    s = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+         .select("s_suppkey", "s_name"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_partkey", "l_suppkey",
+                  F.floor(F.col("l_quantity") * 100).cast("long")
+                  .alias("qty_centi")))
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum("qty_centi").cast("long").alias("sup_qty")))
+    pt = (ps.groupBy(F.col("l_partkey").alias("pk"))
+          .agg(F.sum("sup_qty").cast("long").alias("part_qty"),
+               F.count(F.lit(1)).cast("long").alias("n_supp")))
+    dom = (ps.join(F.broadcast(pt), ps["l_partkey"] == pt["pk"])
+           .filter(F.expr("CAST(sup_qty AS DECIMAL(38,0)) * n_supp"
+                          " > CAST(part_qty AS DECIMAL(38,0)) * 3")))
+    return (dom.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_parts_dominated"),
+                 F.sum("sup_qty").cast("long").alias("qty_centi"))
+            .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+            .select("s_suppkey", "s_name", "n_parts_dominated",
+                    "qty_centi"))
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped sole-blame supplier: on orders served by ≥2
+    suppliers, count per supplier the orders where THEY shipped late
+    (> 90 days after order date — the schema's receiptdate stand-in,
+    the Q12 rule) and NO other supplier did — the spec's
+    exists/not-exists pair collapsed into one (order, supplier) agg
+    + one order-level agg: n_supp ≥ 2 ∧ n_late_supp = 1 ∧ this
+    supplier is the late one.  No correlated subqueries survive —
+    both sides are shrinking group-bys on orderkey, the join back is
+    on the already-small blamed-orders set."""
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select("o_orderkey", "o_orderdate"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_suppkey", "l_shipdate"))
+    osup = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_orderkey", "l_suppkey")
+            .agg(F.max((F.col("l_shipdate")
+                        > F.date_add(F.col("o_orderdate"), 90))
+                       .cast("int")).alias("was_late")))
+    per_o = (osup.groupBy(F.col("l_orderkey").alias("ok"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_supp"),
+                  F.sum("was_late").cast("long").alias("n_late_supp")))
+    blamed = (osup.filter(F.col("was_late") == 1)
+              .join(per_o, (osup["l_orderkey"] == per_o["ok"])
+                    & (per_o["n_supp"] >= 2)
+                    & (per_o["n_late_supp"] == 1)))
+    s = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+         .select("s_suppkey", "s_name"))
+    return (blamed.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+            .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+            .orderBy(F.desc("numwait"), "s_suppkey").limit(20)
+            .select("s_suppkey", "s_name", "numwait"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_canonicalize": q_crawl_canonicalize,
@@ -8636,8 +8803,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cohort_retention": q_orders_cohort_retention,
         "embed_reciprocal_nn": q_embed_reciprocal_nn,
         "events_trigrams": q_events_trigrams,
+        "tpch_q2": q_tpch_q2,
         "tpch_q5": q_tpch_q5,
         "tpch_q7": q_tpch_q7,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
         "tpch_q13": q_tpch_q13,
@@ -14020,6 +14192,95 @@ SELECT CAST(decile AS BIGINT) AS decile, n_custs, revenue_c,
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS BIGINT) AS cum_share_ppm
 FROM per""",
+        "tpch_q2": """
+WITH ps AS (
+  SELECT p.p_partkey, p.p_type, s.s_suppkey, s.s_name, n.n_name,
+         CAST(min(CAST(floor(l.l_extendedprice / l.l_quantity * 100)
+                       AS BIGINT)) AS BIGINT) AS unit_centi
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size = 25
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY 1, 2, 3, 4, 5)
+SELECT p_partkey, p_type, s_suppkey, s_name, n_name, unit_centi
+FROM (SELECT *, rank() OVER (PARTITION BY p_partkey
+                             ORDER BY unit_centi) AS rnk FROM ps)
+WHERE rnk = 1""",
+        "tpch_q11": """
+WITH per AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS value_c,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c,
+               CAST(count(*) AS BIGINT) AS n_parts FROM per)
+SELECT per.l_partkey AS p_partkey, per.value_c, per.n_lines,
+       CAST(CAST(per.value_c AS HUGEINT) * 100000 // tot.total_c
+            AS BIGINT) AS share_ppcm
+FROM per, tot
+WHERE CAST(per.value_c AS HUGEINT) * 3 * tot.n_parts
+      > CAST(tot.total_c AS HUGEINT) * 4""",
+        "tpch_q12": """
+SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+           AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT)
+           AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY 1""",
+        "tpch_q20": """
+WITH ps AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(sum(CAST(floor(l.l_quantity * 100) AS BIGINT))
+              AS BIGINT) AS sup_qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+             AND p.p_name LIKE 'red%'
+  GROUP BY 1, 2),
+pt AS (
+  SELECT l_partkey, CAST(sum(sup_qty) AS BIGINT) AS part_qty,
+         CAST(count(*) AS BIGINT) AS n_supp
+  FROM ps GROUP BY 1),
+dom AS (
+  SELECT ps.l_suppkey, ps.sup_qty FROM ps
+  JOIN pt ON pt.l_partkey = ps.l_partkey
+  WHERE CAST(ps.sup_qty AS HUGEINT) * pt.n_supp
+        > CAST(pt.part_qty AS HUGEINT) * 3)
+SELECT s.s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS n_parts_dominated,
+       CAST(sum(dom.sup_qty) AS BIGINT) AS qty_centi
+FROM dom JOIN supplier s ON s.s_suppkey = dom.l_suppkey
+GROUP BY 1, 2""",
+        "tpch_q21": """
+WITH osup AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate
+                       + INTERVAL 90 DAY THEN 1 ELSE 0 END)
+             AS was_late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2),
+per_o AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+         CAST(sum(was_late) AS BIGINT) AS n_late_supp
+  FROM osup GROUP BY 1)
+SELECT s.s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM osup
+JOIN per_o USING (l_orderkey)
+JOIN supplier s ON s.s_suppkey = osup.l_suppkey
+WHERE osup.was_late = 1 AND per_o.n_supp >= 2
+  AND per_o.n_late_supp = 1
+GROUP BY 1, 2
+ORDER BY numwait DESC, s.s_suppkey
+LIMIT 20""",
         "tpch_q5": """
 SELECT n.n_name,
        CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
