@@ -392,3 +392,75 @@ def test_tpch_q4_semi_join_and_pushdown(spark):
     assert "LeftSemi" in plan, plan[:2000]
     assert_pushed_filter(df, "o_orderdate")
     assert_no_python_udf(df)
+
+
+@pytest.mark.spark
+def test_tpch_q5_broadcast_snowflake(spark):
+    """Q5's plan: every dim (region-filtered nation, supplier) stays
+    a broadcast, the order-date window reaches the orders scan, and
+    the whole snowflake keeps a single shuffled fact join."""
+    import __spark_entry__ as e
+
+    df = e.queries()["tpch_q5"](spark, SF_SMOKE)
+    assert_broadcast_join(df)
+    assert_pushed_filter(df, "o_orderdate")
+    assert_no_python_udf(df)
+
+
+@pytest.mark.spark
+def test_tpch_q18_filters_before_customer_join(spark):
+    """Q18's plan: the >300-unit HAVING collapses the orderkey agg
+    BEFORE any customer join touches the plan — the filter must sit
+    under the join, not above it (above = joining the full customer
+    dim against every order at 100 TB)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["tpch_q18"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    # the HAVING survives as a Filter over the orderkey agg …
+    assert "qty_centi" in plan and "30000" in plan, plan[:2000]
+    # … and BOTH joins stay broadcast — the filtered agg is the small
+    # side; a SortMergeJoin here would mean the full order agg (or the
+    # customer dim) was shuffled instead of the >300-unit survivors.
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert_no_python_udf(df)
+
+
+@pytest.mark.spark
+def test_tpch_q21_no_correlated_subquery(spark):
+    """Q21's plan: the spec's exists/not-exists pair must compile to
+    plain aggregates + joins — no correlated-subquery re-execution
+    node and a TakeOrdered heap for the top-20."""
+    import __spark_entry__ as e
+
+    df = e.queries()["tpch_q21"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "Subquery" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert_no_python_udf(df)
+
+
+@pytest.mark.spark
+def test_edge_cut_stays_jvm_and_bounded(spark):
+    """graph_edge_cut's plan: the hex16 shard math is pure JVM
+    expression (no Python UDF) and the total joins back as a
+    broadcast of the 1-row agg, never a re-scan."""
+    import __spark_entry__ as e
+
+    df = e.queries()["graph_edge_cut"](spark, SF_SMOKE)
+    assert_no_python_udf(df)
+    assert_broadcast_join(df)
+
+
+@pytest.mark.spark
+def test_reciprocal_nn_rank_cut_before_mutual_join(spark):
+    """embed_reciprocal_nn's plan: the mutual-pair join must join two
+    rank<=3-filtered k-NN edge lists (O(N·k) sides), not two raw
+    N²-similarity scans — pinned by the rank filter sitting below
+    the final join on both sides."""
+    import __spark_entry__ as e
+
+    df = e.queries()["embed_reciprocal_nn"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert plan.count("WindowGroupLimit") >= 1, plan[:2000]
+    assert_no_python_udf(df)
