@@ -8522,6 +8522,93 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("s_suppkey", "s_name", "numwait"))
 
 
+def q_crawl_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining: collapse digit runs in link paths to '#'
+    and count per (host, template) — the structural read crawler
+    schedulers use to spot calendar traps, pagination families, and
+    asset farms BEFORE per-URL heuristics fire (a template with 10^6
+    instances and 3 distinct targets is a trap; one with distinct ≈
+    instances is a real corpus).  Pure JVM regexp ([0-9]+ means the
+    same in Java and RE2 — the bitext \\s lesson applied
+    proactively); one fact agg bounded by |templates| ≪ |urls|;
+    distinct-target count rides the same shuffle."""
+    l = (webgen.links_full_df(spark, sf_dir)
+         .select("src_host", "tgt_doc_id",
+                 F.regexp_replace(
+                     F.regexp_extract("href", r"^(?:https://[^/]+)?(/[^?#]*)",
+                                      1),
+                     "[0-9]+", "#").alias("template")))
+    return (l.filter(F.col("template") != "")
+            .groupBy("src_host", "template")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_links"),
+                 F.countDistinct("tgt_doc_id").cast("long")
+                 .alias("n_targets"))
+            .withColumn("fanout_bp",
+                        F.expr("CAST(CAST(n_targets AS DECIMAL(38,0))"
+                               " * 10000 div n_links AS BIGINT)")))
+
+
+def q_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-hop out-reach per page: |{w : v→u→w, w ≠ v}| plus the
+    1-hop out-degree — the exact companion E94's HyperBall
+    ESTIMATES at 3 hops (the same exact-beside-sketch pairing as
+    events_hll_distinct / events_quantiles).  One self-join of the
+    deduped edge list on the middle vertex + one distinct count per
+    source; the fan-out is Σ d_in(u)·d_out(u), the quantity the
+    docstring's skew warning is about — at 10^10 edges a hub u
+    explodes the join, which is WHY the sketch tier exists; run the
+    exact tier on degree-capped or sampled slices there.  Top-50 by
+    reach with id tie-break keeps the contract row bounded."""
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select(F.col("src_doc_id").alias("u"),
+                 F.col("tgt_doc_id").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct())
+    e2 = e.select(F.col("u").alias("mid"), F.col("v").alias("w"))
+    two = (e.join(e2, e["v"] == e2["mid"])
+           .filter(F.col("w") != F.col("u"))
+           .groupBy("u")
+           .agg(F.countDistinct("w").cast("long").alias("reach_2")))
+    deg = (e.groupBy("u")
+           .agg(F.countDistinct("v").cast("long").alias("out_deg")))
+    return (deg.join(two, "u", "left")
+            .select(F.col("u").alias("doc_id"), "out_deg",
+                    F.coalesce("reach_2", F.lit(0)).cast("long")
+                    .alias("reach_2"))
+            .orderBy(F.desc("reach_2"), "doc_id").limit(50))
+
+
+def q_orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue trend: per calendar month the exact
+    cent revenue, order count, and growth vs the previous month in
+    basis points (decimal(38,0) division; NULL for the first month
+    and after any gap — a gap month is absent, so lag() would
+    silently compare across it; the join on m−1 keeps the NULL
+    honest).  The fact scan aggregates straight to the |months| dim;
+    everything after is dim-sized."""
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select((F.year("o_orderdate") * 12
+                  + F.month("o_orderdate")).cast("long").alias("m"),
+                 F.floor(F.col("o_totalprice") * 100).cast("long")
+                 .alias("price_c")))
+    per = (o.groupBy("m")
+           .agg(F.sum("price_c").cast("long").alias("revenue_c"),
+                F.count(F.lit(1)).cast("long").alias("n_orders")))
+    prev = per.select((F.col("m") + 1).alias("m"),
+                      F.col("revenue_c").alias("prev_c"))
+    return (per.join(prev, "m", "left")
+            .select(F.concat(
+                F.lpad(F.expr("CAST((m - 1) div 12 AS STRING)"), 4, "0"),
+                F.lit("-"),
+                F.lpad(F.expr("CAST((m - 1) % 12 + 1 AS STRING)"), 2,
+                       "0")).alias("month"),
+                "revenue_c", "n_orders",
+                F.expr("CAST((CAST(revenue_c AS DECIMAL(38,0))"
+                       " - prev_c) * 10000 div prev_c AS BIGINT)")
+                .alias("growth_bp")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_canonicalize": q_crawl_canonicalize,
@@ -8800,6 +8887,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_shard_rebalance": q_crawl_shard_rebalance,
         "orders_fk_audit": q_orders_fk_audit,
         "graph_edge_cut": q_graph_edge_cut,
+        "crawl_url_templates": q_crawl_url_templates,
+        "graph_two_hop": q_graph_two_hop,
+        "orders_mom_growth": q_orders_mom_growth,
         "orders_cohort_retention": q_orders_cohort_retention,
         "embed_reciprocal_nn": q_embed_reciprocal_nn,
         "events_trigrams": q_events_trigrams,
@@ -14360,6 +14450,54 @@ SELECT from_shard, to_shard, n_edges,
        CAST(CAST(n_edges AS HUGEINT) * 10000 // total AS BIGINT)
            AS share_bp
 FROM cells, tot"""),
+        "crawl_url_templates": _oracle("""
+, t AS (
+  SELECT src_host,
+         regexp_replace(
+           regexp_extract(href, '^(?:https://[^/]+)?(/[^?#]*)', 1),
+           '[0-9]+', '#', 'g') AS template,
+         tgt_doc_id
+  FROM web_links_full)
+SELECT src_host, template,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT tgt_doc_id) AS BIGINT) AS n_targets,
+       CAST(CAST(count(DISTINCT tgt_doc_id) AS HUGEINT) * 10000
+            // count(*) AS BIGINT) AS fanout_bp
+FROM t WHERE template <> ''
+GROUP BY 1, 2"""),
+        "graph_two_hop": _oracle("""
+, e AS (
+  SELECT DISTINCT src_doc_id AS u, tgt_doc_id AS v
+  FROM web_links_full
+  WHERE k % 4 <> 0 AND src_doc_id <> tgt_doc_id),
+two AS (
+  SELECT a.u, CAST(count(DISTINCT b.v) AS BIGINT) AS reach_2
+  FROM e a JOIN e b ON b.u = a.v
+  WHERE b.v <> a.u
+  GROUP BY 1),
+deg AS (
+  SELECT u, CAST(count(DISTINCT v) AS BIGINT) AS out_deg
+  FROM e GROUP BY 1)
+SELECT deg.u AS doc_id, deg.out_deg,
+       CAST(coalesce(two.reach_2, 0) AS BIGINT) AS reach_2
+FROM deg LEFT JOIN two USING (u)
+ORDER BY reach_2 DESC, doc_id
+LIMIT 50"""),
+        "orders_mom_growth": """
+WITH per AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS revenue_c,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT lpad(CAST((per.m - 1) // 12 AS VARCHAR), 4, '0') || '-'
+       || lpad(CAST((per.m - 1) % 12 + 1 AS VARCHAR), 2, '0')
+           AS month,
+       per.revenue_c, per.n_orders,
+       CAST((CAST(per.revenue_c AS HUGEINT) - p2.revenue_c) * 10000
+            // p2.revenue_c AS BIGINT) AS growth_bp
+FROM per LEFT JOIN per p2 ON p2.m = per.m - 1""",
         "orders_cohort_retention": """
 WITH cm AS (
   SELECT DISTINCT o_custkey,
