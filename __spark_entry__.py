@@ -8522,6 +8522,34 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("s_suppkey", "s_name", "numwait"))
 
 
+def q_docs_span_transitions(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Modality transition matrix over the interleaved span docs:
+    counts of text→text / text→media / media→text / media→media
+    adjacencies in offset order within each document, with corpus
+    share in basis points — the first-order-Markov summary of the
+    interleaving that docs_interleave_runs profiles per-document
+    (packing policies key on it: a media→media-heavy corpus packs
+    galleries, a high-alternation one packs captioned figures).
+    Window partitioned BY DOCUMENT (never global), matrix bounded at
+    4 rows, share from a broadcast 1-row total."""
+    l = (webgen.links_full_df(spark, sf_dir)
+         .select("src_doc_id", "k",
+                 F.when(F.col("href").endswith(".png"), "media")
+                 .otherwise("text").alias("kind")))
+    w = Window.partitionBy("src_doc_id").orderBy("k")
+    t = (l.withColumn("next_kind", F.lead("kind").over(w))
+         .filter(F.col("next_kind").isNotNull()))
+    cells = (t.groupBy(F.col("kind").alias("from_kind"),
+                       F.col("next_kind").alias("to_kind"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = cells.agg(F.sum("n").cast("long").alias("total"))
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("from_kind", "to_kind", "n",
+                    F.expr("CAST(CAST(n AS DECIMAL(38,0)) * 10000"
+                           " div total AS BIGINT)").alias("share_bp")))
+
+
 def q_crawl_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL template mining: collapse digit runs in link paths to '#'
     and count per (host, template) — the structural read crawler
@@ -8887,6 +8915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_shard_rebalance": q_crawl_shard_rebalance,
         "orders_fk_audit": q_orders_fk_audit,
         "graph_edge_cut": q_graph_edge_cut,
+        "docs_span_transitions": q_docs_span_transitions,
         "crawl_url_templates": q_crawl_url_templates,
         "graph_two_hop": q_graph_two_hop,
         "orders_mom_growth": q_orders_mom_growth,
@@ -14448,6 +14477,25 @@ tot AS (SELECT CAST(sum(n_edges) AS BIGINT) AS total FROM cells)
 SELECT from_shard, to_shard, n_edges,
        from_shard <> to_shard AS is_cut,
        CAST(CAST(n_edges AS HUGEINT) * 10000 // total AS BIGINT)
+           AS share_bp
+FROM cells, tot"""),
+        "docs_span_transitions": _oracle("""
+, s AS (
+  SELECT src_doc_id, k,
+         CASE WHEN href LIKE '%.png' THEN 'media'
+              ELSE 'text' END AS kind
+  FROM web_links_full),
+t AS (
+  SELECT kind AS from_kind,
+         lead(kind) OVER (PARTITION BY src_doc_id ORDER BY k)
+             AS to_kind
+  FROM s),
+cells AS (
+  SELECT from_kind, to_kind, CAST(count(*) AS BIGINT) AS n
+  FROM t WHERE to_kind IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)
+SELECT from_kind, to_kind, n,
+       CAST(CAST(n AS HUGEINT) * 10000 // total AS BIGINT)
            AS share_bp
 FROM cells, tot"""),
         "crawl_url_templates": _oracle("""
