@@ -28,6 +28,8 @@ DataFrame-side count rather than collecting state to the driver.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+
+from web_graph_spark.plans import cut_lineage as _cut
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "pagerank", "triangle_counts",
@@ -112,11 +114,11 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     ``max_rounds`` — a non-converged edge set could label one node into
     several components, so silent truncation is never acceptable.
     """
-    e = _canon_edges(edges, src, dst).localCheckpoint()
+    e = _canon_edges(edges, src, dst).transform(_cut)
     digest = _edge_digest(e)
     converged = False
     for _ in range(max_rounds):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
+        e2 = _small_star(_large_star(e)).transform(_cut)
         d2 = _edge_digest(e2)
         e = e2
         if d2 == digest:
@@ -173,7 +175,7 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame,
     level = (seeds.select(F.col(id_col).cast("long").alias(id_col))
              .distinct()
              .withColumn("depth", F.lit(0).cast("long"))
-             .localCheckpoint())
+             .transform(_cut))
     levels = [level]
     visited = level.select(id_col)
     d = 0
@@ -183,7 +185,7 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame,
                  .select(F.col("__t").alias(id_col)).distinct()
                  .join(visited, id_col, "left_anti")
                  .withColumn("depth", F.lit(d).cast("long"))
-                 .localCheckpoint())
+                 .transform(_cut))
         if level.isEmpty():
             break
         # guard AFTER computing the level: a graph whose deepest level
@@ -264,10 +266,10 @@ def pagerank(vertices: DataFrame, edges: DataFrame,
                           + (d * F.coalesce("in_w", zero)).cast(DEC))
                          .cast(DEC).alias("rank")))
         if (i + 1) % 2 == 0 and (i + 1) < n_iter:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.transform(_cut)
     out = ranks.select(F.col("id").alias(id_col),
                        F.col("rank").cast("double").alias("rank"))
-    out = out.localCheckpoint()  # materialize before freeing adj
+    out = out.transform(_cut)  # materialize before freeing adj
     adj.unpersist()
     return out
 
@@ -334,13 +336,13 @@ def hits(vertices: DataFrame, edges: DataFrame,
         auth = _half(hub, "hub", "src", "dst", "auth")
         hub = _half(auth, "auth", "dst", "src", "hub")
         if (i + 1) % 2 == 0 and (i + 1) < n_iter:
-            hub = hub.localCheckpoint()
-            auth = auth.localCheckpoint()
+            hub = hub.transform(_cut)
+            auth = auth.transform(_cut)
     out = (hub.join(auth, "id")
            .select(F.col("id").alias(id_col),
                    F.col("hub").cast("double").alias("hub"),
                    F.col("auth").cast("double").alias("auth")))
-    out = out.localCheckpoint()  # materialize before freeing e
+    out = out.transform(_cut)  # materialize before freeing e
     e.unpersist()
     return out
 
@@ -433,11 +435,11 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
     on hub vertices.  Labels are ``localCheckpoint``ed each round:
     fixed iteration count, flat lineage.
     """
-    ce = _canon_edges(edges, src, dst).localCheckpoint()  # one distinct
+    ce = _canon_edges(edges, src, dst).transform(_cut)  # one distinct
     und = (ce.select("u", "v")
            .unionByName(ce.select(F.col("v").alias("u"),
                                   F.col("u").alias("v")))
-           .localCheckpoint())
+           .transform(_cut))
     ids = vertices.select(F.col(id_col).cast("long").alias("id"))
     lbl = ids.select("id", F.col("id").alias("lbl"))
     for _ in range(iters):
@@ -450,7 +452,7 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
                 ).alias("new_lbl")))
         lbl = (lbl.join(best, "id", "left")
                .select("id", F.coalesce("new_lbl", "lbl").alias("lbl"))
-               .localCheckpoint())
+               .transform(_cut))
     return lbl.select(F.col("id").alias(id_col),
                       F.col("lbl").cast("long").alias("community"))
 
@@ -466,7 +468,7 @@ def _min_prop(ids: DataFrame, edges: DataFrame,
     Returns (id, lbl)."""
     from pyspark.sql import Observation
 
-    lbl = ids.select("id", F.col("id").alias("lbl")).localCheckpoint()
+    lbl = ids.select("id", F.col("id").alias("lbl")).transform(_cut)
     for _ in range(max_iter):
         upd = (edges.join(lbl.withColumnRenamed("id", "src"), "src")
                .groupBy(F.col("dst").alias("id"))
@@ -479,7 +481,7 @@ def _min_prop(ids: DataFrame, edges: DataFrame,
                        (F.coalesce("in_lbl", "lbl") < F.col("lbl"))
                        .cast("long").alias("__chg"))
                .observe(obs, F.sum("__chg").alias("c"))
-               .localCheckpoint())
+               .transform(_cut))
         lbl = nxt.select("id", "lbl")
         if not (obs.get["c"] or 0):
             return lbl
@@ -536,9 +538,9 @@ def strongly_connected_components(vertices: DataFrame, edges: DataFrame,
     e = (edges.select(F.col(src).cast("long").alias("src"),
                       F.col(dst).cast("long").alias("dst"))
          .filter(F.col("src") != F.col("dst")).distinct()
-         .localCheckpoint())
+         .transform(_cut))
     ids = (vertices.select(F.col(id_col).cast("long").alias("id"))
-           .localCheckpoint())
+           .transform(_cut))
     resolved: list[DataFrame] = []
     from concurrent.futures import ThreadPoolExecutor
     for _ in range(max_rounds):
@@ -549,11 +551,11 @@ def strongly_connected_components(vertices: DataFrame, edges: DataFrame,
             fwd, bwd = f_fut.result(), b_fut.result()
         fb = (fwd.withColumnRenamed("lbl", "f")
               .join(bwd.withColumnRenamed("lbl", "b"), "id")
-              .localCheckpoint())
+              .transform(_cut))
         resolved.append(fb.filter(F.col("f") == F.col("b"))
                         .select("id", F.col("f").alias("scc")))
         rest = fb.filter(F.col("f") != F.col("b"))
-        ids = rest.select("id").localCheckpoint()
+        ids = rest.select("id").transform(_cut)
         if ids.isEmpty():
             break
         # refine groups to (f, b); only intra-group edges survive
@@ -564,7 +566,7 @@ def strongly_connected_components(vertices: DataFrame, edges: DataFrame,
                    .withColumnRenamed("g", "gd"), "dst")
              .filter(F.col("gs") == F.col("gd"))
              .select("src", "dst")
-             .localCheckpoint())
+             .transform(_cut))
     else:
         raise RuntimeError(
             f"SCC peeling did not finish in {max_rounds} rounds")
@@ -607,15 +609,15 @@ def kcore(vertices: DataFrame, edges: DataFrame, k: int = 3,
     und = (und0.select("u", "v")
            .unionByName(und0.select(F.col("v").alias("u"),
                                     F.col("u").alias("v")))
-           .localCheckpoint())
+           .transform(_cut))
     alive = (vertices.select(F.col(id_col).cast("long").alias("id"))
-             .distinct().localCheckpoint())
+             .distinct().transform(_cut))
     for _ in range(rounds):
         e2 = (und.join(alive.withColumnRenamed("id", "u"), "u", "semi")
               .join(alive.withColumnRenamed("id", "v"), "v", "semi"))
         deg = e2.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         alive = (deg.filter(F.col("d") >= k)
-                 .select(F.col("u").alias("id")).localCheckpoint())
+                 .select(F.col("u").alias("id")).transform(_cut))
     final = (und.join(alive.withColumnRenamed("id", "u"), "u", "semi")
              .join(alive.withColumnRenamed("id", "v"), "v", "semi")
              .groupBy("u").agg(F.count(F.lit(1)).cast("long")
@@ -659,14 +661,14 @@ def bowtie_classify(vertices: DataFrame, edges: DataFrame,
     """
     scc = strongly_connected_components(vertices, edges, id_col=id_col,
                                         src=src, dst=dst)
-    scc = scc.localCheckpoint()
+    scc = scc.transform(_cut)
     # largest SCC, smallest label on ties — a 1-row dim
     core_lbl = (scc.groupBy("scc").agg(F.count(F.lit(1)).alias("n"))
                 .orderBy(F.col("n").desc(), F.col("scc").asc())
                 .limit(1).select(F.col("scc").alias("core")))
     core_members = (scc.join(F.broadcast(core_lbl),
                              scc["scc"] == F.col("core"))
-                    .select(F.col(id_col)).localCheckpoint())
+                    .select(F.col(id_col)).transform(_cut))
     # the forward closure, backward closure, and weak-CC runs are
     # independent job chains — submit them from three driver threads
     # (same rationale as the SCC round's concurrent F/B propagation)
@@ -681,7 +683,7 @@ def bowtie_classify(vertices: DataFrame, edges: DataFrame,
                             id_col=id_col, src=src, dst=dst)
         fwd = f_fut.result().select(id_col)
         bwd = b_fut.result().select(id_col)
-        weak = w_fut.result().localCheckpoint()
+        weak = w_fut.result().transform(_cut)
     core_weak = (weak.join(core_members, id_col)
                  .select(F.col("component")).distinct())
     tendril = (weak.join(F.broadcast(core_weak.withColumnRenamed(
@@ -763,7 +765,7 @@ def random_walks(edges: DataFrame, seeds: DataFrame, length: int = 4,
            .select(F.concat(F.col("v").cast("string"), F.lit(":"),
                             F.col("rep").cast("string")).alias("walk_id"),
                    "v")
-           .localCheckpoint())
+           .transform(_cut))
     out = cur.select("walk_id", F.lit(0).cast("int").alias("step"),
                      F.col("v").alias("vertex"))
     for t in range(1, length + 1):
@@ -772,7 +774,7 @@ def random_walks(edges: DataFrame, seeds: DataFrame, length: int = 4,
                .withColumn("idx", (coin % F.col("deg") + 1).cast("int"))
                .join(nbr, ["__s", "idx"])
                .select("walk_id", F.col("__t").alias("v"))
-               .localCheckpoint())
+               .transform(_cut))
         out = out.unionByName(
             cur.select("walk_id", F.lit(t).cast("int").alias("step"),
                        F.col("v").alias("vertex")))
@@ -855,7 +857,7 @@ def modularity_by_community(vertices: DataFrame, edges: DataFrame,
     aggregation.  Returns (community, n_members, n_internal, deg_sum,
     m_edges, q_num).
     """
-    ce = _canon_edges(edges, src, dst).localCheckpoint()
+    ce = _canon_edges(edges, src, dst).transform(_cut)
     und = ce.select("u", "v").unionByName(
         ce.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy(F.col("u").alias("id")).agg(
@@ -924,9 +926,9 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     """
     e = (edges.select(F.col(src).cast("long").alias("u"),
                       F.col(dst).cast("long").alias("v"))
-         .distinct().localCheckpoint())
+         .distinct().transform(_cut))
     out = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = e.join(out, "u").localCheckpoint()
+    ew = e.join(out, "u").transform(_cut)
     s = seeds.select(F.col(seed_col).cast("long").alias("id")).distinct()
     n_seeds = s.count()
     if n_seeds == 0:
@@ -942,7 +944,7 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
              .unionByName(s.select("id", F.lit(tele).alias("ppr")))
              .groupBy("id")
              .agg(F.sum("ppr").cast("long").alias("ppr"))
-             .localCheckpoint())
+             .transform(_cut))
     return (r.filter(F.col("ppr") > 0)
             .select(F.col("id").alias("doc_id"), "ppr"))
 
@@ -995,9 +997,9 @@ def opic_importance(edges: DataFrame, vertices: DataFrame,
     """
     e = (edges.select(F.col(src).cast("long").alias("u"),
                       F.col(dst).cast("long").alias("v"))
-         .distinct().localCheckpoint())
+         .distinct().transform(_cut))
     out = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = e.join(out, "u").localCheckpoint()
+    ew = e.join(out, "u").transform(_cut)
     n = vertices.select(F.col(id_col).cast("long").alias("id")) \
                 .distinct().count()
     if n == 0:
@@ -1006,7 +1008,7 @@ def opic_importance(edges: DataFrame, vertices: DataFrame,
           .distinct()
           .select("id", F.lit(scale // n).cast("long").alias("cash"),
                   F.lit(0).cast("long").alias("hist"))
-          .localCheckpoint())
+          .transform(_cut))
     for _ in range(rounds):
         d_row = (st.join(out, st["id"] == out["u"], "left")
                  .filter(F.col("outdeg").isNull())
@@ -1023,7 +1025,7 @@ def opic_importance(edges: DataFrame, vertices: DataFrame,
                        + F.expr(f"d div {n}")).cast("long").alias("cash"),
                       (F.col("hist") + F.col("cash")).cast("long")
                       .alias("hist"))
-              .localCheckpoint())
+              .transform(_cut))
     return st.select(F.col("id").alias("doc_id"), "cash", "hist",
                      (F.col("hist") + F.col("cash")).cast("long")
                      .alias("importance"))
@@ -1138,7 +1140,7 @@ def _hll_seed(edges: DataFrame, vertices: DataFrame, id_col: str,
                       - F.when(w == F.lit(0), F.lit(0))
                          .otherwise(F.length(F.bin(w))))
                      .cast("int").alias("M"))
-             .localCheckpoint())
+             .transform(_cut))
     return e, base, state
 
 
@@ -1149,7 +1151,7 @@ def _hll_relax(e: DataFrame, state: DataFrame) -> DataFrame:
             .select(F.col("__s").alias("__v"), "j", "M"))
     return (state.unionByName(msgs)
             .groupBy("__v", "j").agg(F.max("M").alias("M"))
-            .localCheckpoint())
+            .transform(_cut))
 
 
 def _hll_estimate(state: DataFrame, base: DataFrame,
@@ -1301,7 +1303,7 @@ def ktruss(edges: DataFrame, k: int = 4, rounds: int = 6,
     :func:`triangle_counts` does — id-orientation is kept here for
     byte-exact oracle replay; the peeling semantics are identical.)
     """
-    e = _canon_edges(edges, src, dst).localCheckpoint()
+    e = _canon_edges(edges, src, dst).transform(_cut)
 
     def support(ed: DataFrame) -> DataFrame:
         ab = ed.select(F.col("u").alias("a"), F.col("v").alias("b"))
@@ -1317,7 +1319,7 @@ def ktruss(edges: DataFrame, k: int = 4, rounds: int = 6,
     for _ in range(rounds):
         e = (e.join(support(e), ["u", "v"], "left")
              .filter(F.coalesce(F.col("s"), F.lit(0)) >= k - 2)
-             .select("u", "v").localCheckpoint())
+             .select("u", "v").transform(_cut))
     return (e.join(support(e), ["u", "v"], "left")
             .select("u", "v",
                     F.coalesce(F.col("s"), F.lit(0)).cast("long")
@@ -1353,7 +1355,7 @@ def sssp(edges: DataFrame, seeds: DataFrame, weight: str = "w",
     dist = (seeds.select(F.col(id_col).cast("long").alias("__v"))
             .distinct()
             .withColumn("d", F.lit(0).cast("long"))
-            .localCheckpoint())
+            .transform(_cut))
     frontier = dist
     for _ in range(rounds):
         if frontier.isEmpty():
@@ -1364,13 +1366,13 @@ def sssp(edges: DataFrame, seeds: DataFrame, weight: str = "w",
                 .groupBy("__v").agg(F.min("d").alias("d")))
         merged = (dist.unionByName(cand)
                   .groupBy("__v").agg(F.min("d").alias("d"))
-                  .localCheckpoint())
+                  .transform(_cut))
         # improved = strictly better than before (new vertices count)
         frontier = (merged.join(dist.withColumnRenamed("d", "__old"),
                                 "__v", "left")
                     .filter(F.col("__old").isNull()
                             | (F.col("d") < F.col("__old")))
-                    .select("__v", "d").localCheckpoint())
+                    .select("__v", "d").transform(_cut))
         dist = merged
     e.unpersist()
     return dist.select(F.col("__v").alias(id_col), F.col("d").alias("dist"))
@@ -1416,7 +1418,7 @@ def stress_centrality(edges: DataFrame, seeds: DataFrame,
           .select("s", F.col("s").alias("v"),
                   F.lit(0).alias("d"),
                   F.lit(1).cast("long").alias("sig"))
-          .localCheckpoint())
+          .transform(_cut))
     levels = [f0]
     visited = f0.select("s", "v")
     for lv in range(1, horizon + 1):
@@ -1428,11 +1430,11 @@ def stress_centrality(edges: DataFrame, seeds: DataFrame,
                .agg(F.sum("sig").cast("long").alias("sig"))
                .withColumn("d", F.lit(lv))
                .select("s", "v", "d", "sig")
-               .localCheckpoint())
+               .transform(_cut))
         if nxt.isEmpty():
             break
         levels.append(nxt)
-        visited = nxt.select("s", "v").union(visited).localCheckpoint()
+        visited = nxt.select("s", "v").union(visited).transform(_cut)
     fall = levels[0]
     for lvf in levels[1:]:
         fall = fall.unionByName(lvf)
@@ -1463,7 +1465,7 @@ def stress_centrality(edges: DataFrame, seeds: DataFrame,
         p_frames[lv] = (dl.groupBy("s", "v")
                         .agg(F.sum(F.lit(1) + F.coalesce("pw", F.lit(0)))
                              .cast("long").alias("p"))
-                        .localCheckpoint())
+                        .transform(_cut))
     pall = None
     for lv, fr in p_frames.items():
         if fr is None:
@@ -1518,7 +1520,7 @@ def widest_paths(edges: DataFrame, seeds: DataFrame,
     sd = (seeds.select(F.col(id_col).cast("long").alias("__v"))
           .distinct())
     cap = (sd.withColumn("c", F.lit(WIDEST_INF).cast("long"))
-           .localCheckpoint())
+           .transform(_cut))
     frontier = cap
     for _ in range(rounds):
         if frontier.isEmpty():
@@ -1529,12 +1531,12 @@ def widest_paths(edges: DataFrame, seeds: DataFrame,
                 .groupBy("__v").agg(F.max("c").alias("c")))
         merged = (cap.unionByName(cand)
                   .groupBy("__v").agg(F.max("c").alias("c"))
-                  .localCheckpoint())
+                  .transform(_cut))
         frontier = (merged.join(cap.withColumnRenamed("c", "__old"),
                                 "__v", "left")
                     .filter(F.col("__old").isNull()
                             | (F.col("c") > F.col("__old")))
-                    .select("__v", "c").localCheckpoint())
+                    .select("__v", "c").transform(_cut))
         cap = merged
     e.unpersist()
     return (cap.join(sd, "__v", "left_anti")
@@ -1632,9 +1634,9 @@ def luby_mis(vertices: DataFrame, edges: DataFrame,
 
     Reference analog: none — engine extension (SURVEY §2.10 E135).
     """
-    e = _canon_edges(edges, src, dst).localCheckpoint()
+    e = _canon_edges(edges, src, dst).transform(_cut)
     v = (vertices.select(F.col(id_col).alias("id")).distinct()
-         .localCheckpoint())
+         .transform(_cut))
     out = None
     for r in range(rounds):
         und = (e.select(F.col("u").alias("a"), F.col("v").alias("b"))
@@ -1652,18 +1654,18 @@ def luby_mis(vertices: DataFrame, edges: DataFrame,
                        | (F.col("p") < F.col("minp")))
                .select("id"))
         w = win.select("id", F.lit(r).cast("int").alias("round")) \
-               .localCheckpoint()
+               .transform(_cut)
         out = w if out is None else out.unionByName(w)
         removed = (w.select("id")
                    .unionByName(und.join(w.select(F.col("id")
                                                   .alias("a")), "a")
                                 .select(F.col("b").alias("id")))
                    .distinct())
-        v = v.join(removed, "id", "left_anti").localCheckpoint()
+        v = v.join(removed, "id", "left_anti").transform(_cut)
         e = (e.join(removed.select(F.col("id").alias("u")), "u",
                     "left_anti")
              .join(removed.select(F.col("id").alias("v")), "v",
-                   "left_anti").localCheckpoint())
+                   "left_anti").transform(_cut))
     return out.select(F.col("id").alias(id_col), "round")
 
 
@@ -1698,17 +1700,17 @@ def condensation_tiers(vertices: DataFrame, edges: DataFrame,
     """
     scc = strongly_connected_components(vertices, edges, id_col=id_col,
                                         src=src, dst=dst)
-    scc = scc.localCheckpoint()
+    scc = scc.transform(_cut)
     key = scc.select(F.col(id_col).alias("k"), "scc")
     ce = (edges.select(F.col(src).alias("k"), F.col(dst).alias("d"))
           .join(key, "k").select(F.col("scc").alias("ca"), "d")
           .join(key.select(F.col("k").alias("d"),
                            F.col("scc").alias("cb")), "d")
           .filter(F.col("ca") != F.col("cb"))
-          .select("ca", "cb").distinct().localCheckpoint())
+          .select("ca", "cb").distinct().transform(_cut))
     t = (scc.select("scc").distinct()
          .select("scc", F.lit(0).cast("long").alias("tier"))
-         .localCheckpoint())
+         .transform(_cut))
     prev = -1
     for _ in range(max_rounds):
         total = t.agg(F.sum("tier")).first()[0]
@@ -1722,7 +1724,7 @@ def condensation_tiers(vertices: DataFrame, edges: DataFrame,
         t = (t.join(up, "scc", "left")
              .select("scc", F.greatest("tier", F.coalesce(
                  "tu", F.lit(0))).cast("long").alias("tier"))
-             .localCheckpoint())
+             .transform(_cut))
     else:
         raise RuntimeError(
             f"tier propagation did not converge in {max_rounds} rounds")
@@ -1822,7 +1824,7 @@ def salsa_scores(edges: DataFrame, src: str = "src_doc_id",
     ranking; its frontier is FIFO, pkg/crawler/crawler.go)."""
     e = (edges.select(F.col(src).cast("long").alias("u"),
                       F.col(dst).cast("long").alias("v"))
-         .distinct().localCheckpoint())
+         .distinct().transform(_cut))
     be = e.select((F.col("u") * 2).alias("bh"),
                   (F.col("v") * 2 + 1).alias("ba"))
     bn = (be.select(F.col("bh").alias("bid"))
@@ -1889,13 +1891,13 @@ def densest_subgraph(vertices: DataFrame, edges: DataFrame,
     Reference analog: none (the Go engine has no graph analytics);
     this is part of the LLM-pipeline tier the rebuild adds.
     """
-    e0 = _canon_edges(edges, src, dst).localCheckpoint()
+    e0 = _canon_edges(edges, src, dst).transform(_cut)
     und = (e0.select("u", "v")
            .unionByName(e0.select(F.col("v").alias("u"),
                                   F.col("u").alias("v")))
-           .localCheckpoint())
+           .transform(_cut))
     alive = (vertices.select(F.col(id_col).cast("long").alias("id"))
-             .distinct().localCheckpoint())
+             .distinct().transform(_cut))
     hist: list[tuple[int, int, int, DataFrame]] = []
     for i in range(rounds + 1):
         e_in = (e0.join(alive.withColumnRenamed("id", "u"), "u", "semi")
@@ -1908,7 +1910,7 @@ def densest_subgraph(vertices: DataFrame, edges: DataFrame,
                .join(alive.withColumnRenamed("id", "v"), "v", "semi")
                .groupBy("u").agg(F.count(F.lit(1)).alias("d")))
         alive = (deg.filter(F.col("d") * F.lit(ns) > F.lit(3 * ne))
-                 .select(F.col("u").alias("id")).localCheckpoint())
+                 .select(F.col("u").alias("id")).transform(_cut))
     best = hist[0]
     for cand in hist[1:]:
         if cand[2] > 0 and cand[1] * best[2] > best[1] * cand[2]:
@@ -2018,7 +2020,7 @@ def conductance_by_community(vertices: DataFrame, edges: DataFrame,
 
     → (community, n_members, vol, cut, conductance_ppm).
     """
-    ce = _canon_edges(edges, src, dst).localCheckpoint()
+    ce = _canon_edges(edges, src, dst).transform(_cut)
     und = ce.select("u", "v").unionByName(
         ce.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy(F.col("u").alias("id")).agg(
@@ -2093,7 +2095,7 @@ def incremental_components(labels: DataFrame, delta_edges: DataFrame,
           .unionByName(de.select(F.col("v").alias("id"))).distinct())
     newbies = (dv.join(lab.select("id"), "id", "left_anti")
                .select("id", F.col("id").alias("c")))
-    lab_all = lab.unionByName(newbies).localCheckpoint()
+    lab_all = lab.unionByName(newbies).transform(_cut)
     cu = lab_all.select(F.col("id").alias("u"), F.col("c").alias("cu"))
     cv = lab_all.select(F.col("id").alias("v"), F.col("c").alias("cv"))
     comp_edges = (de.join(cu, "u").join(cv, "v")
@@ -2141,16 +2143,16 @@ def attack_tolerance(vertices: DataFrame, edges: DataFrame,
     """
     from web_graph_spark.operators.frontier import take_global
 
-    ce = _canon_edges(edges, src, dst).localCheckpoint()
+    ce = _canon_edges(edges, src, dst).transform(_cut)
     ids = (vertices.select(F.col(id_col).cast("long").alias("id"))
-           .distinct().localCheckpoint())
+           .distinct().transform(_cut))
     und = ce.select("u", "v").unionByName(
         ce.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy(F.col("u").alias("id")).agg(
         F.count(F.lit(1)).alias("d"))
     top = (take_global(deg.withColumn("__nd", -F.col("d")), k_remove,
                        ["__nd", "id"])
-           .select("id").localCheckpoint())
+           .select("id").transform(_cut))
 
     def profile(name: str, vv: DataFrame, ee: DataFrame) -> DataFrame:
         cc = connected_components(vv, ee, id_col="id",
@@ -2172,11 +2174,11 @@ def attack_tolerance(vertices: DataFrame, edges: DataFrame,
                         .alias("giant_share_ppm")))
 
     vv2 = ids.join(F.broadcast(top), "id", "left_anti") \
-        .localCheckpoint()
+        .transform(_cut)
     ee2 = (ce.join(F.broadcast(top.withColumnRenamed("id", "u")),
                    "u", "left_anti")
            .join(F.broadcast(top.withColumnRenamed("id", "v")),
-                 "v", "left_anti").localCheckpoint())
+                 "v", "left_anti").transform(_cut))
     return (profile("full", ids, ce)
             .unionByName(profile(f"minus_top{k_remove}", vv2, ee2)))
 
@@ -2224,7 +2226,7 @@ def double_sweep_diameter(edges: DataFrame, vertices: DataFrame,
     far_id, ecc_start = int(far[id_col]), int(far["depth"])
     seed2 = spark.createDataFrame([(far_id,)], f"{id_col} long")
     s2 = bfs_depths(und, seed2, src="s", dst="t", id_col=id_col,
-                    max_depth=max_depth).localCheckpoint()
+                    max_depth=max_depth).transform(_cut)
     summary = s2.agg(F.max("depth").cast("long").alias("diameter_lb"),
                      F.count(F.lit(1)).cast("long").alias("n_reached"))
     return (s2.groupBy("depth")
@@ -2358,7 +2360,7 @@ def motif_census(edges: DataFrame, src: str = "src_doc_id",
          .filter(F.col("s") != F.col("t")))
     und = e.unionByName(e.select(F.col("t").alias("s"),
                                  F.col("s").alias("t"))).distinct()
-    und = und.localCheckpoint()
+    und = und.transform(_cut)
     deg = und.groupBy(F.col("s").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("d"))
     base = deg.agg(
@@ -2428,7 +2430,7 @@ def host_simrank(hedges: DataFrame, rounds: int = 2,
     """
     ie = (hedges.select(F.col(dst).alias("h"), F.col(src).alias("u"))
           .filter(F.col("h") != F.col("u")).distinct()
-          .localCheckpoint())
+          .transform(_cut))
     ind = ie.groupBy("h").agg(F.count(F.lit(1)).cast("long")
                               .alias("n"))
     common = (ie.alias("x")
@@ -2438,7 +2440,7 @@ def host_simrank(hedges: DataFrame, rounds: int = 2,
                        F.col("y.h").alias("b"))
               .agg((F.count(F.lit(1)).cast("decimal(38,0)")
                     * 1000000).alias("contrib"))
-              .localCheckpoint())
+              .transform(_cut))
     state = None
     ia = ie.select(F.col("h").alias("a"), F.col("u").alias("ua"))
     ib = ie.select(F.col("h").alias("b"), F.col("u").alias("ub"))
@@ -2465,7 +2467,7 @@ def host_simrank(hedges: DataFrame, rounds: int = 2,
                      f"CAST(({c_num} * sig) div "
                      f"({c_den} * na * nb) AS BIGINT)").alias("s"))
                  .filter(F.col("s") > 0)
-                 .localCheckpoint())
+                 .transform(_cut))
     return (state.filter(F.col("a") < F.col("b"))
             .select(F.col("a").alias("host_a"),
                     F.col("b").alias("host_b"),
@@ -2507,9 +2509,9 @@ def spectral_radius(edges: DataFrame, rounds: int = 4,
            .unionByName(e0.select(F.col("t").alias("s"),
                                   F.col("s").alias("t")))
            .distinct()
-           .localCheckpoint())
+           .transform(_cut))
     verts = (und.select(F.col("s").alias("v")).distinct()
-             .localCheckpoint())
+             .transform(_cut))
     v = verts.select("v", F.lit(1_000_000).cast("long").alias("x"))
     out = None
     for r in range(1, rounds + 1):
@@ -2521,7 +2523,7 @@ def spectral_radius(edges: DataFrame, rounds: int = 4,
              .join(verts, "v", "right")
              .select("v", F.coalesce("w", F.lit(0).cast("decimal(38,0)"))
                      .alias("w"))
-             .localCheckpoint())
+             .transform(_cut))
         # Rayleigh estimate BEFORE renormalizing: (vᵀw)·1e6 div (vᵀv)
         ray = (w.join(v, "v")
                .agg(F.sum(F.col("w") * F.col("x")).alias("num"),
@@ -2540,5 +2542,5 @@ def spectral_radius(edges: DataFrame, rounds: int = 4,
              .select("v", F.expr("CASE WHEN mx > 0 THEN "
                                  "CAST(w * 1000000 div mx AS BIGINT) "
                                  "ELSE 0 END").alias("x"))
-             .localCheckpoint())
+             .transform(_cut))
     return out
