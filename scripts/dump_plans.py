@@ -112,6 +112,42 @@ ALLOW: dict[tuple[str, str], str] = {
     ("docs_mm_pack_sweep", "Exchange SinglePartition"):
         "four 1-row per-budget corpus totals (union of global "
         "aggregates); partials upstream",
+    ("tpch_q11", "BroadcastNestedLoopJoin"):
+        "1-row (total, n_parts) scalar dim crossed onto the per-part "
+        "value fold",
+    ("tpch_q11", "Exchange SinglePartition"):
+        "the same 1-row global total; partial sums upstream",
+    ("tpch_q14", "Exchange SinglePartition"):
+        "Q14 IS a 1-row report (promo share); partial conditional "
+        "sums upstream",
+    ("tpch_q15", "Exchange SinglePartition"):
+        "ties-kept max via rank over the ALREADY-AGGREGATED supplier "
+        "dim (|suppliers| rows), never the lineitem stream",
+    ("tpch_q17", "Exchange SinglePartition"):
+        "Q17 IS a 1-row report (small-quantity revenue); partial "
+        "sums upstream",
+    ("tpch_q19", "Exchange SinglePartition"):
+        "Q19 IS a 1-row report (three-basket revenue); partial sums "
+        "upstream",
+    ("tpch_q22", "BroadcastNestedLoopJoin"):
+        "1-row positive-balance average crossed onto the customer "
+        "dim filter",
+    ("tpch_q22", "Exchange SinglePartition"):
+        "the same 1-row average; partial sums upstream",
+    ("tpch_q8", "Exchange SinglePartition"):
+        "1-row-per-year conditional totals; partial sums upstream",
+    ("embed_reciprocal_nn", "BroadcastNestedLoopJoin"):
+        "deliberate exact all-pairs tier (the certification baseline "
+        "for the bucketed-LSH mutual-NN path, the embed_near_dup "
+        "pattern); the rank<=k cut makes the mutual join O(N*k)",
+    ("graph_edge_cut", "BroadcastNestedLoopJoin"):
+        "1-row edge total crossed onto the n_shards^2-bounded matrix",
+    ("graph_edge_cut", "Exchange SinglePartition"):
+        "the same 1-row total; partial counts upstream",
+    ("docs_span_transitions", "BroadcastNestedLoopJoin"):
+        "1-row transition total crossed onto the 4-row matrix",
+    ("docs_span_transitions", "Exchange SinglePartition"):
+        "the same 1-row total; partial counts upstream",
     ("embed_label_margin", "BroadcastNestedLoopJoin"):
         "the centroid dim is |labels| rows (10), an aggregation "
         "output broadcast onto one corpus scan",
