@@ -8576,6 +8576,53 @@ def q_crawl_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
                                " * 10000 div n_links AS BIGINT)")))
 
 
+def q_orders_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration Herfindahl index per part brand, exact
+    to the ppm: HHI = Σ share_i² over each brand's supplier shipped
+    quantities, computed division-free as
+    Σ qty_i²·10⁶ div (Σqty)² on decimal(38,0) — the
+    market-concentration read (HHI > 0.25 ≈ DOJ 'highly
+    concentrated') beside tpch_q20's per-part dominance flag.  Two
+    shrinking aggs (fact→(brand, supplier)→brand); the squared sum
+    never leaves the JVM."""
+    p = (spark.read.parquet(f"{sf_dir}/part.parquet")
+         .select("p_partkey", "p_brand"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+          .select("p_brand", "l_suppkey",
+                  F.floor(F.col("l_quantity") * 100).cast("long")
+                  .alias("qty_centi")))
+    bs = (li.groupBy("p_brand", "l_suppkey")
+          .agg(F.sum("qty_centi").cast("long").alias("q")))
+    return (bs.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+                 F.sum("q").cast("long").alias("total_centi"),
+                 F.expr("CAST(sum(CAST(q AS DECIMAL(38,0)) * q)"
+                        " * 1000000 div (CAST(sum(q) AS DECIMAL(38,0))"
+                        " * sum(q)) AS BIGINT)").alias("hhi_ppm")))
+
+
+def q_events_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-user accrual curve: per day the count of users whose FIRST
+    event falls on that day, plus the cumulative total — the
+    acquisition read DAU (events_active_users) cannot give because
+    it re-counts returners.  First-seen = one user-key min; the daily
+    agg is |days|-bounded; the running total is a window over the
+    DAY DIM (the degree-mixing cumulative discipline — never the
+    event stream)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    first = (ev.groupBy("user_id")
+             .agg(F.min(F.to_date("ts")).alias("d")))
+    daily = (first.groupBy("d")
+             .agg(F.count(F.lit(1)).cast("long").alias("new_users")))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (daily
+            .withColumn("cum_users",
+                        F.sum("new_users").over(w).cast("long"))
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    "new_users", "cum_users"))
+
+
 def q_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 2-hop out-reach per page: |{w : v→u→w, w ≠ v}| plus the
     1-hop out-degree — the exact companion E94's HyperBall
@@ -8919,6 +8966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_url_templates": q_crawl_url_templates,
         "graph_two_hop": q_graph_two_hop,
         "orders_mom_growth": q_orders_mom_growth,
+        "orders_hhi": q_orders_hhi,
+        "events_new_users": q_events_new_users,
         "orders_cohort_retention": q_orders_cohort_retention,
         "embed_reciprocal_nn": q_embed_reciprocal_nn,
         "events_trigrams": q_events_trigrams,
@@ -14531,6 +14580,32 @@ SELECT deg.u AS doc_id, deg.out_deg,
 FROM deg LEFT JOIN two USING (u)
 ORDER BY reach_2 DESC, doc_id
 LIMIT 50"""),
+        "orders_hhi": """
+WITH bs AS (
+  SELECT p.p_brand, l.l_suppkey,
+         CAST(sum(CAST(floor(l.l_quantity * 100) AS BIGINT))
+              AS BIGINT) AS q
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(q) AS BIGINT) AS total_centi,
+       CAST(sum(CAST(q AS HUGEINT) * q) * 1000000
+            // (CAST(sum(q) AS HUGEINT) * sum(q)) AS BIGINT)
+           AS hhi_ppm
+FROM bs GROUP BY 1""",
+        "events_new_users": """
+WITH first AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS d
+  FROM events GROUP BY 1),
+daily AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS new_users
+  FROM first GROUP BY 1)
+SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY d
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM daily""",
         "orders_mom_growth": """
 WITH per AS (
   SELECT CAST(EXTRACT(year FROM o_orderdate) * 12

@@ -136,6 +136,9 @@ ALLOW: dict[tuple[str, str], str] = {
         "the same 1-row average; partial sums upstream",
     ("tpch_q8", "Exchange SinglePartition"):
         "1-row-per-year conditional totals; partial sums upstream",
+    ("events_new_users", "Exchange SinglePartition"):
+        "cumulative window over the DAY DIM (bounded by |days|), "
+        "never the event stream (the degree-mixing discipline)",
     ("embed_reciprocal_nn", "BroadcastNestedLoopJoin"):
         "deliberate exact all-pairs tier (the certification baseline "
         "for the bucketed-LSH mutual-NN path, the embed_near_dup "
