@@ -8576,6 +8576,37 @@ def q_crawl_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
                                " * 10000 div n_links AS BIGINT)")))
 
 
+def q_crawl_seen_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seen-set capacity plan: for the corpus's distinct admissible
+    URL count and each target false-positive rate, the bloom-tier
+    bits/key, hash count, total bytes, and per-slab bytes at the
+    32-slab layout — the sizing table an operator reads BEFORE
+    setting bloom_slabs/fpp at 10^10 keys (the IncrementalBloomSeen
+    manifest consumes exactly these numbers).  The Bloom constants
+    m/n = −ln p/ln²2 and k = (m/n)·ln 2 enter as exact integer
+    milli-literals per fpp row (the Benford fixed-literal
+    discipline — no runtime logs), so the whole table is integer
+    arithmetic off ONE distinct-count scan."""
+    fpp = spark.createDataFrame(
+        [("1e-2", 9586, 7), ("1e-3", 14378, 10), ("1e-4", 19171, 13)],
+        "fpp string, bits_per_key_milli long, k_hashes long")
+    n = (_links_canon(spark, sf_dir)
+         .filter(F.col("admissible"))
+         .agg(F.countDistinct("check_id").cast("long")
+              .alias("n_keys")))
+    return (F.broadcast(n).crossJoin(fpp)
+            .withColumn("m_bits",
+                        F.expr("CAST(CAST(n_keys AS DECIMAL(38,0))"
+                               " * bits_per_key_milli div 1000"
+                               " AS BIGINT)"))
+            .withColumn("total_bytes",
+                        F.expr("m_bits div 8").cast("long"))
+            .withColumn("slab_bytes",
+                        F.expr("m_bits div 8 div 32").cast("long"))
+            .select("fpp", "n_keys", "bits_per_key_milli", "k_hashes",
+                    "m_bits", "total_bytes", "slab_bytes"))
+
+
 def q_orders_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier-concentration Herfindahl index per part brand, exact
     to the ppm: HHI = Σ share_i² over each brand's supplier shipped
@@ -8967,6 +8998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_two_hop": q_graph_two_hop,
         "orders_mom_growth": q_orders_mom_growth,
         "orders_hhi": q_orders_hhi,
+        "crawl_seen_sizing": q_crawl_seen_sizing,
         "events_new_users": q_events_new_users,
         "orders_cohort_retention": q_orders_cohort_retention,
         "embed_reciprocal_nn": q_embed_reciprocal_nn,
@@ -14580,6 +14612,24 @@ SELECT deg.u AS doc_id, deg.out_deg,
 FROM deg LEFT JOIN two USING (u)
 ORDER BY reach_2 DESC, doc_id
 LIMIT 50"""),
+        "crawl_seen_sizing": _oracle("""
+, fpp(fpp, bits_per_key_milli, k_hashes) AS (
+  VALUES ('1e-2', CAST(9586 AS BIGINT), CAST(7 AS BIGINT)),
+         ('1e-3', CAST(14378 AS BIGINT), CAST(10 AS BIGINT)),
+         ('1e-4', CAST(19171 AS BIGINT), CAST(13 AS BIGINT))),
+n AS (
+  SELECT CAST(count(DISTINCT md5(tgt_host || CASE WHEN k % 4 = 0
+           THEN '/img' || CAST(tgt_doc_id AS VARCHAR) || '.png'
+           ELSE tgt_path END)) AS BIGINT) AS n_keys
+  FROM web_links_full WHERE k % 4 <> 0)
+SELECT fpp.fpp, n.n_keys, fpp.bits_per_key_milli, fpp.k_hashes,
+       CAST(CAST(n.n_keys AS HUGEINT) * fpp.bits_per_key_milli
+            // 1000 AS BIGINT) AS m_bits,
+       CAST(CAST(n.n_keys AS HUGEINT) * fpp.bits_per_key_milli
+            // 1000 // 8 AS BIGINT) AS total_bytes,
+       CAST(CAST(n.n_keys AS HUGEINT) * fpp.bits_per_key_milli
+            // 1000 // 8 // 32 AS BIGINT) AS slab_bytes
+FROM n, fpp"""),
         "orders_hhi": """
 WITH bs AS (
   SELECT p.p_brand, l.l_suppkey,

@@ -136,6 +136,11 @@ ALLOW: dict[tuple[str, str], str] = {
         "the same 1-row average; partial sums upstream",
     ("tpch_q8", "Exchange SinglePartition"):
         "1-row-per-year conditional totals; partial sums upstream",
+    ("crawl_seen_sizing", "BroadcastNestedLoopJoin"):
+        "1-row distinct-count scalar crossed with the 3-row fpp "
+        "literal dim",
+    ("crawl_seen_sizing", "Exchange SinglePartition"):
+        "the same 1-row global distinct count; partials upstream",
     ("events_new_users", "Exchange SinglePartition"):
         "cumulative window over the DAY DIM (bounded by |days|), "
         "never the event stream (the degree-mixing discipline)",
