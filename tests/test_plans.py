@@ -464,3 +464,29 @@ def test_reciprocal_nn_rank_cut_before_mutual_join(spark):
     plan = physical_plan(df)
     assert plan.count("WindowGroupLimit") >= 1, plan[:2000]
     assert_no_python_udf(df)
+
+
+@pytest.mark.spark
+def test_cut_lineage_bounds_stats_estimate(spark):
+    """plans.cut_lineage must keep the inherited sizeInBytes estimate
+    BOUNDED across fixpoint rounds.  Plain localCheckpoint copies the
+    origin plan's estimate into the LogicalRDD leaf and join
+    estimation multiplies children, so a state-rejoins-state loop
+    grows the estimate geometrically (measured: a 10.7-million-digit
+    BigInteger after SCC convergence, minutes of driver Toom-Cook per
+    later plan).  Three rounds through cut_lineage must stay at the
+    default leaf estimate (< 2^67), and values must be exact."""
+    from pyspark.sql import functions as F
+
+    from web_graph_spark.plans import cut_lineage
+
+    t = cut_lineage(spark.range(100).select(
+        F.col("id"), F.lit(1).cast("long").alias("x")))
+    for _ in range(3):
+        t = cut_lineage(
+            t.join(t.select("id", F.col("x").alias("y")), "id")
+            .select("id", (F.col("x") + F.col("y")).alias("x")))
+    size = int(t._jdf.queryExecution().optimizedPlan().stats()
+               .sizeInBytes())
+    assert size < 2 ** 67, f"stats estimate not rebased: {size}"
+    assert t.agg(F.sum("x")).first()[0] == 100 * 8
