@@ -8576,6 +8576,66 @@ def q_crawl_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
                                " * 10000 div n_links AS BIGINT)")))
 
 
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram over the E18 clustering —
+    the corpus-level summary the keep-list query's per-doc rows
+    don't give: per cluster size, how many clusters, how many docs,
+    and how many the keep-list drops (size − 1 each).  Singleton
+    clusters stay in the table (they ARE the dedup-survivor mass).
+    Same pair graph + large-star/small-star CC as dedup_clusters;
+    the histogram is a second |clusters|-bounded agg on top."""
+    from web_graph_spark.functions.dedup import jaccard_pairs
+    from web_graph_spark.operators.graph_algos import connected_components
+
+    corpus = _jaccard_corpus(spark, sf_dir)
+    pairs = jaccard_pairs(corpus, threshold=0.5, n=3)
+    comp = connected_components(corpus.select("doc_id"), pairs,
+                                id_col="doc_id", src="id_a", dst="id_b")
+    sizes = (comp.groupBy("component")
+             .agg(F.count(F.lit(1)).cast("long").alias("cluster_size")))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+            .withColumn("n_docs",
+                        (F.col("cluster_size") * F.col("n_clusters"))
+                        .cast("long"))
+            .withColumn("n_dropped",
+                        ((F.col("cluster_size") - 1)
+                         * F.col("n_clusters")).cast("long")))
+
+
+def q_crawl_fairness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jain fairness index, exact to the ppm, of (a) the raw per-host
+    page distribution and (b) the per-shard load after the
+    E-host_assign hex16 % 4 sharding — J = (Σx)²·10⁶ div (n·Σx²) on
+    decimal(38,0), the scheduling-fairness number that quantifies
+    what shard_skew/edge_cut show structurally (J = 1e6 is perfectly
+    even; J = 1e6/n is one-host-takes-all).  Hash sharding should
+    pull J far toward 1e6 on this skewed host law (h00 ≈ 30% of
+    pages) — the table shows by exactly how much.  Two bounded aggs
+    per row; nothing bigger than |hosts| is ever held."""
+    from web_graph_spark.operators.graph_algos import _hex16
+
+    hosts = (webgen.pages_df(spark, sf_dir)
+             .groupBy("host")
+             .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    shards = (hosts.withColumn("shard", (_hex16(F.col("host")) % 4)
+                               .cast("long"))
+              .groupBy("shard")
+              .agg(F.sum("x").cast("long").alias("x")))
+    jain = ("CAST(CAST(sum(x) AS DECIMAL(38,0)) * sum(x) * 1000000"
+            " div (count(*) * sum(CAST(x AS DECIMAL(38,0)) * x))"
+            " AS BIGINT)")
+    a = hosts.agg(F.lit("host_pages").alias("level"),
+                  F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum("x").cast("long").alias("total"),
+                  F.expr(jain).alias("jain_ppm"))
+    b = shards.agg(F.lit("shard_load").alias("level"),
+                   F.count(F.lit(1)).cast("long").alias("n"),
+                   F.sum("x").cast("long").alias("total"),
+                   F.expr(jain).alias("jain_ppm"))
+    return a.unionAll(b)
+
+
 def q_crawl_seen_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seen-set capacity plan: for the corpus's distinct admissible
     URL count and each target false-positive rate, the bloom-tier
@@ -8999,6 +9059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_mom_growth": q_orders_mom_growth,
         "orders_hhi": q_orders_hhi,
         "crawl_seen_sizing": q_crawl_seen_sizing,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "crawl_fairness_index": q_crawl_fairness_index,
         "events_new_users": q_events_new_users,
         "orders_cohort_retention": q_orders_cohort_retention,
         "embed_reciprocal_nn": q_embed_reciprocal_nn,
@@ -12625,6 +12687,54 @@ SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
        sz.cluster_size
 FROM comp c JOIN sz USING (canonical_id)
 WHERE sz.cluster_size > 1""",
+        "dedup_cluster_sizes": f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, upper(text) FROM documents
+  WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zz qq ww' FROM documents
+  WHERE doc_id % 10 = 1
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all({norm}, '\\S+') AS words FROM corpus
+),
+w AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                   i -> array_to_string(words[i:i+2], ' ')))) AS word
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE floor(i.n_inter * 10000.0 / (sa.sz + sb.sz - i.n_inter)) >= 5000
+),
+und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b AS a, id_a AS b FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS canonical_id
+         FROM reach GROUP BY 1),
+sz AS (SELECT canonical_id, count(*) AS cluster_size
+       FROM comp GROUP BY 1)
+SELECT CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sz.cluster_size * count(*) AS BIGINT) AS n_docs,
+       CAST((sz.cluster_size - 1) * count(*) AS BIGINT) AS n_dropped
+FROM sz GROUP BY sz.cluster_size""",
         "ann_cosine_topk": """
 WITH q AS (
   SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
@@ -14612,6 +14722,27 @@ SELECT deg.u AS doc_id, deg.out_deg,
 FROM deg LEFT JOIN two USING (u)
 ORDER BY reach_2 DESC, doc_id
 LIMIT 50"""),
+        "crawl_fairness_index": _oracle(f"""
+, hosts AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS x
+  FROM web_pages GROUP BY 1),
+shards AS (
+  SELECT {_hex16_sql("host")} % 4 AS shard,
+         CAST(sum(x) AS BIGINT) AS x
+  FROM hosts GROUP BY 1)
+SELECT 'host_pages' AS level, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS total,
+       CAST(CAST(sum(x) AS HUGEINT) * sum(x) * 1000000
+            // (count(*) * sum(CAST(x AS HUGEINT) * x)) AS BIGINT)
+           AS jain_ppm
+FROM hosts
+UNION ALL
+SELECT 'shard_load' AS level, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS total,
+       CAST(CAST(sum(x) AS HUGEINT) * sum(x) * 1000000
+            // (count(*) * sum(CAST(x AS HUGEINT) * x)) AS BIGINT)
+           AS jain_ppm
+FROM shards"""),
         "crawl_seen_sizing": _oracle("""
 , fpp(fpp, bits_per_key_milli, k_hashes) AS (
   VALUES ('1e-2', CAST(9586 AS BIGINT), CAST(7 AS BIGINT)),

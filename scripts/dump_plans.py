@@ -136,6 +136,9 @@ ALLOW: dict[tuple[str, str], str] = {
         "the same 1-row average; partial sums upstream",
     ("tpch_q8", "Exchange SinglePartition"):
         "1-row-per-year conditional totals; partial sums upstream",
+    ("crawl_fairness_index", "Exchange SinglePartition"):
+        "two 1-row Jain-index aggregates (host dim, 4-row shard dim) "
+        "unioned; partials upstream",
     ("crawl_seen_sizing", "BroadcastNestedLoopJoin"):
         "1-row distinct-count scalar crossed with the 3-row fpp "
         "literal dim",
