@@ -8576,6 +8576,67 @@ def q_crawl_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
                                " * 10000 div n_links AS BIGINT)")))
 
 
+def q_crawl_depth_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-by-crawl-depth profile: BFS depth from the seed set
+    (the E-bfs_depths distances) joined to each page's integer
+    quality score, averaged per depth with unreached pages as their
+    own bucket (depth −1) — the measurement behind depth-aware
+    frontier scheduling (if quality decays with depth, an OPIC/
+    quality-prioritized frontier beats FIFO; if it doesn't, FIFO's
+    simplicity wins — this table decides).  Depth table is
+    |pages|-keyed, quality a codegen projection; one join + a
+    |depths|-bounded agg."""
+    from web_graph_spark.functions.text import with_quality
+    from web_graph_spark.operators.graph_algos import bfs_depths
+
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id"))
+    seeds = (webgen.pages_df(spark, sf_dir)
+             .filter(F.col("doc_id") % 97 == 0).select("doc_id"))
+    d = bfs_depths(e, seeds)
+    q = (with_quality(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+         .select("doc_id", F.col("quality_score").alias("quality")))
+    return (q.join(d, "doc_id", "left")
+            .groupBy(F.coalesce("depth", F.lit(-1)).cast("long")
+                     .alias("depth"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pages"),
+                 F.expr("CAST(CAST(sum(quality) AS DECIMAL(38,0))"
+                        " div count(*) AS BIGINT)")
+                 .alias("avg_quality"),
+                 F.min("quality").cast("long").alias("min_quality"),
+                 F.max("quality").cast("long").alias("max_quality")))
+
+
+def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value accrual: users cohorted by first-event
+    day, each cohort's cumulative event value (exact cents) at age
+    0, 1, 2… days — the money-weighted companion to
+    events_retention's activity counts (retention says WHO returns;
+    this says what returning is WORTH).  Value lands on the
+    (cohort, age) grid with one user-key join; the running total is
+    a window over the bounded cohort×age dim (the degree-mixing
+    cumulative discipline)."""
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("user_id", F.to_date("ts").alias("d"),
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("v_c")))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("c0"))
+    cell = (ev.join(first, "user_id")
+            .groupBy(F.col("c0").alias("cohort_day"),
+                     F.datediff("d", "c0").cast("long").alias("age"))
+            .agg(F.sum("v_c").cast("long").alias("value_c"),
+                 F.countDistinct("user_id").cast("long")
+                 .alias("n_active")))
+    w = (Window.partitionBy("cohort_day").orderBy("age")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (cell.withColumn("cum_value_c",
+                            F.sum("value_c").over(w).cast("long"))
+            .select(F.date_format("cohort_day", "yyyy-MM-dd")
+                    .alias("cohort"), "age", "n_active", "value_c",
+                    "cum_value_c"))
+
+
 def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster-size histogram over the E18 clustering —
     the corpus-level summary the keep-list query's per-doc rows
@@ -9060,6 +9121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_hhi": q_orders_hhi,
         "crawl_seen_sizing": q_crawl_seen_sizing,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "crawl_depth_quality": q_crawl_depth_quality,
+        "events_cohort_ltv": q_events_cohort_ltv,
         "crawl_fairness_index": q_crawl_fairness_index,
         "events_new_users": q_events_new_users,
         "orders_cohort_retention": q_orders_cohort_retention,
@@ -10381,6 +10444,46 @@ SELECT deg.v AS doc_id,
        CAST((coalesce(p.n_triangles, 0) * 20000)
             // greatest(deg.d * (deg.d - 1), 1) AS BIGINT) AS cc_bp
 FROM deg LEFT JOIN pern p ON p.doc_id = deg.v"""),
+        "crawl_depth_quality": _oracle_recursive(f"""
+, e AS (
+  SELECT DISTINCT src_doc_id AS s, tgt_doc_id AS t
+  FROM web_links_full WHERE k % 4 <> 0
+),
+bfs(node, depth) AS (
+  SELECT doc_id, 0 FROM web_pages WHERE doc_id % 97 = 0
+  UNION
+  SELECT e.t, b.depth + 1 FROM bfs b JOIN e ON e.s = b.node
+  WHERE b.depth < 64
+),
+dep AS (SELECT node AS doc_id, CAST(min(depth) AS BIGINT) AS depth
+        FROM bfs GROUP BY 1),
+q AS (SELECT doc_id, {_quality_score_sql()} AS quality FROM documents)
+SELECT CAST(coalesce(dep.depth, -1) AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(CAST(sum(q.quality) AS HUGEINT) // count(*) AS BIGINT)
+           AS avg_quality,
+       CAST(min(q.quality) AS BIGINT) AS min_quality,
+       CAST(max(q.quality) AS BIGINT) AS max_quality
+FROM q LEFT JOIN dep USING (doc_id)
+GROUP BY 1"""),
+        "events_cohort_ltv": """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(floor(value * 100) AS BIGINT) AS v_c
+  FROM events),
+first AS (SELECT user_id, min(d) AS c0 FROM ev GROUP BY 1),
+cell AS (
+  SELECT f.c0 AS cohort_day,
+         CAST(date_diff('day', f.c0, ev.d) AS BIGINT) AS age,
+         CAST(sum(ev.v_c) AS BIGINT) AS value_c,
+         CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
+  FROM ev JOIN first f USING (user_id)
+  GROUP BY 1, 2)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort, age, n_active,
+       value_c,
+       CAST(sum(value_c) OVER (PARTITION BY cohort_day ORDER BY age
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_c
+FROM cell""",
         "graph_bfs_depths": _oracle_recursive("""
 , e AS (
   SELECT DISTINCT src_doc_id AS s, tgt_doc_id AS t
