@@ -8576,6 +8576,38 @@ def q_crawl_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
                                " * 10000 div n_links AS BIGINT)")))
 
 
+def q_embed_binary_hamming(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Binary sign-hash retrieval: each vector's first 63 dims pack
+    into one BIGINT (bit i = dim i+1 > 0; 63 bits so the code stays
+    positive under BOTH engines' two's-complement shifts), and top-5
+    per query is ranked by popcount Hamming distance —
+    bit_count(xor) — with vec_id tie-break.  The 32×-memory /
+    popcount-speed tier production vector stores run UNDER PQ (a
+    64-bit code per vector ships 10^10 vectors in 80 GB); the E6
+    exact-cosine tier stays the recall yardstick.  Everything is
+    integer codegen; the code column becomes the 10^10-scale sort/
+    cluster key (bucket by high bits = Hamming-ball locality)."""
+    code = sum((F.when(F.element_at(F.col("embedding"), i + 1) > 0,
+                       F.lit(1).cast("long") * (1 << i))
+                .otherwise(F.lit(0).cast("long"))
+                for i in range(63)), F.lit(0).cast("long"))
+    emb = _emb(spark, sf_dir).select("vec_id", code.alias("code"))
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("code").alias("q_code")))
+    j = (emb.crossJoin(F.broadcast(q))
+         .filter(F.col("vec_id") != F.col("q_id"))
+         .withColumn("hamming",
+                     F.bit_count(F.col("code").bitwiseXOR(
+                         F.col("q_code"))).cast("long")))
+    w = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+    return (j.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("q_id", F.col("rank").cast("long").alias("rank"),
+                    "vec_id", "hamming"))
+
+
 def q_crawl_depth_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-by-crawl-depth profile: BFS depth from the seed set
     (the E-bfs_depths distances) joined to each page's integer
@@ -9122,6 +9154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_seen_sizing": q_crawl_seen_sizing,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "crawl_depth_quality": q_crawl_depth_quality,
+        "embed_binary_hamming": q_embed_binary_hamming,
         "events_cohort_ltv": q_events_cohort_ltv,
         "crawl_fairness_index": q_crawl_fairness_index,
         "events_new_users": q_events_new_users,
@@ -10466,6 +10499,21 @@ SELECT CAST(coalesce(dep.depth, -1) AS BIGINT) AS depth,
        CAST(max(q.quality) AS BIGINT) AS max_quality
 FROM q LEFT JOIN dep USING (doc_id)
 GROUP BY 1"""),
+        "embed_binary_hamming": """
+WITH codes AS (
+  SELECT vec_id, CAST(CASE WHEN embedding[1] > 0 THEN CAST(1 AS BIGINT) ELSE 0 END + CASE WHEN embedding[2] > 0 THEN CAST(2 AS BIGINT) ELSE 0 END + CASE WHEN embedding[3] > 0 THEN CAST(4 AS BIGINT) ELSE 0 END + CASE WHEN embedding[4] > 0 THEN CAST(8 AS BIGINT) ELSE 0 END + CASE WHEN embedding[5] > 0 THEN CAST(16 AS BIGINT) ELSE 0 END + CASE WHEN embedding[6] > 0 THEN CAST(32 AS BIGINT) ELSE 0 END + CASE WHEN embedding[7] > 0 THEN CAST(64 AS BIGINT) ELSE 0 END + CASE WHEN embedding[8] > 0 THEN CAST(128 AS BIGINT) ELSE 0 END + CASE WHEN embedding[9] > 0 THEN CAST(256 AS BIGINT) ELSE 0 END + CASE WHEN embedding[10] > 0 THEN CAST(512 AS BIGINT) ELSE 0 END + CASE WHEN embedding[11] > 0 THEN CAST(1024 AS BIGINT) ELSE 0 END + CASE WHEN embedding[12] > 0 THEN CAST(2048 AS BIGINT) ELSE 0 END + CASE WHEN embedding[13] > 0 THEN CAST(4096 AS BIGINT) ELSE 0 END + CASE WHEN embedding[14] > 0 THEN CAST(8192 AS BIGINT) ELSE 0 END + CASE WHEN embedding[15] > 0 THEN CAST(16384 AS BIGINT) ELSE 0 END + CASE WHEN embedding[16] > 0 THEN CAST(32768 AS BIGINT) ELSE 0 END + CASE WHEN embedding[17] > 0 THEN CAST(65536 AS BIGINT) ELSE 0 END + CASE WHEN embedding[18] > 0 THEN CAST(131072 AS BIGINT) ELSE 0 END + CASE WHEN embedding[19] > 0 THEN CAST(262144 AS BIGINT) ELSE 0 END + CASE WHEN embedding[20] > 0 THEN CAST(524288 AS BIGINT) ELSE 0 END + CASE WHEN embedding[21] > 0 THEN CAST(1048576 AS BIGINT) ELSE 0 END + CASE WHEN embedding[22] > 0 THEN CAST(2097152 AS BIGINT) ELSE 0 END + CASE WHEN embedding[23] > 0 THEN CAST(4194304 AS BIGINT) ELSE 0 END + CASE WHEN embedding[24] > 0 THEN CAST(8388608 AS BIGINT) ELSE 0 END + CASE WHEN embedding[25] > 0 THEN CAST(16777216 AS BIGINT) ELSE 0 END + CASE WHEN embedding[26] > 0 THEN CAST(33554432 AS BIGINT) ELSE 0 END + CASE WHEN embedding[27] > 0 THEN CAST(67108864 AS BIGINT) ELSE 0 END + CASE WHEN embedding[28] > 0 THEN CAST(134217728 AS BIGINT) ELSE 0 END + CASE WHEN embedding[29] > 0 THEN CAST(268435456 AS BIGINT) ELSE 0 END + CASE WHEN embedding[30] > 0 THEN CAST(536870912 AS BIGINT) ELSE 0 END + CASE WHEN embedding[31] > 0 THEN CAST(1073741824 AS BIGINT) ELSE 0 END + CASE WHEN embedding[32] > 0 THEN CAST(2147483648 AS BIGINT) ELSE 0 END + CASE WHEN embedding[33] > 0 THEN CAST(4294967296 AS BIGINT) ELSE 0 END + CASE WHEN embedding[34] > 0 THEN CAST(8589934592 AS BIGINT) ELSE 0 END + CASE WHEN embedding[35] > 0 THEN CAST(17179869184 AS BIGINT) ELSE 0 END + CASE WHEN embedding[36] > 0 THEN CAST(34359738368 AS BIGINT) ELSE 0 END + CASE WHEN embedding[37] > 0 THEN CAST(68719476736 AS BIGINT) ELSE 0 END + CASE WHEN embedding[38] > 0 THEN CAST(137438953472 AS BIGINT) ELSE 0 END + CASE WHEN embedding[39] > 0 THEN CAST(274877906944 AS BIGINT) ELSE 0 END + CASE WHEN embedding[40] > 0 THEN CAST(549755813888 AS BIGINT) ELSE 0 END + CASE WHEN embedding[41] > 0 THEN CAST(1099511627776 AS BIGINT) ELSE 0 END + CASE WHEN embedding[42] > 0 THEN CAST(2199023255552 AS BIGINT) ELSE 0 END + CASE WHEN embedding[43] > 0 THEN CAST(4398046511104 AS BIGINT) ELSE 0 END + CASE WHEN embedding[44] > 0 THEN CAST(8796093022208 AS BIGINT) ELSE 0 END + CASE WHEN embedding[45] > 0 THEN CAST(17592186044416 AS BIGINT) ELSE 0 END + CASE WHEN embedding[46] > 0 THEN CAST(35184372088832 AS BIGINT) ELSE 0 END + CASE WHEN embedding[47] > 0 THEN CAST(70368744177664 AS BIGINT) ELSE 0 END + CASE WHEN embedding[48] > 0 THEN CAST(140737488355328 AS BIGINT) ELSE 0 END + CASE WHEN embedding[49] > 0 THEN CAST(281474976710656 AS BIGINT) ELSE 0 END + CASE WHEN embedding[50] > 0 THEN CAST(562949953421312 AS BIGINT) ELSE 0 END + CASE WHEN embedding[51] > 0 THEN CAST(1125899906842624 AS BIGINT) ELSE 0 END + CASE WHEN embedding[52] > 0 THEN CAST(2251799813685248 AS BIGINT) ELSE 0 END + CASE WHEN embedding[53] > 0 THEN CAST(4503599627370496 AS BIGINT) ELSE 0 END + CASE WHEN embedding[54] > 0 THEN CAST(9007199254740992 AS BIGINT) ELSE 0 END + CASE WHEN embedding[55] > 0 THEN CAST(18014398509481984 AS BIGINT) ELSE 0 END + CASE WHEN embedding[56] > 0 THEN CAST(36028797018963968 AS BIGINT) ELSE 0 END + CASE WHEN embedding[57] > 0 THEN CAST(72057594037927936 AS BIGINT) ELSE 0 END + CASE WHEN embedding[58] > 0 THEN CAST(144115188075855872 AS BIGINT) ELSE 0 END + CASE WHEN embedding[59] > 0 THEN CAST(288230376151711744 AS BIGINT) ELSE 0 END + CASE WHEN embedding[60] > 0 THEN CAST(576460752303423488 AS BIGINT) ELSE 0 END + CASE WHEN embedding[61] > 0 THEN CAST(1152921504606846976 AS BIGINT) ELSE 0 END + CASE WHEN embedding[62] > 0 THEN CAST(2305843009213693952 AS BIGINT) ELSE 0 END + CASE WHEN embedding[63] > 0 THEN CAST(4611686018427387904 AS BIGINT) ELSE 0 END AS BIGINT) AS code
+  FROM embeddings),
+q AS (SELECT vec_id AS q_id, code AS q_code FROM codes
+      WHERE vec_id < 5),
+d AS (
+  SELECT q.q_id, c.vec_id,
+         CAST(bit_count(xor(c.code, q.q_code)) AS BIGINT) AS hamming
+  FROM codes c, q WHERE c.vec_id <> q.q_id)
+SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+           ORDER BY hamming, vec_id) AS BIGINT) AS rank,
+       vec_id, hamming
+FROM d
+QUALIFY rank <= 5""",
         "events_cohort_ltv": """
 WITH ev AS (
   SELECT user_id, CAST(ts AS DATE) AS d,

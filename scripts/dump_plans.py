@@ -147,6 +147,10 @@ ALLOW: dict[tuple[str, str], str] = {
     ("events_new_users", "Exchange SinglePartition"):
         "cumulative window over the DAY DIM (bounded by |days|), "
         "never the event stream (the degree-mixing discipline)",
+    ("embed_binary_hamming", "BroadcastNestedLoopJoin"):
+        "5-row broadcast query-code side (the ann_cosine_topk "
+        "baseline shape); at scale the code column becomes a "
+        "high-bit bucket key and the probe prunes to a Hamming ball",
     ("embed_reciprocal_nn", "BroadcastNestedLoopJoin"):
         "deliberate exact all-pairs tier (the certification baseline "
         "for the bucketed-LSH mutual-NN path, the embed_near_dup "
