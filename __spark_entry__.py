@@ -8576,6 +8576,38 @@ def q_crawl_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
                                " * 10000 div n_links AS BIGINT)")))
 
 
+def q_orders_rolling_revenue(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Trailing-7-day revenue per order day, GAP-SAFE: each day's
+    revenue is EXPANDED to the 7 calendar days it contributes to
+    (an explode over literal offsets 0..6 → plain equi-join on day),
+    so a calendar gap shrinks n_days_present instead of silently
+    widening a row-based frame to older days — the orders_mom_growth
+    honesty rule — AND the join stays a broadcast-hash equi-join
+    (a day−6…day range predicate would compile to a nested-loop).
+    Exact cents; everything after the first agg is the bounded
+    |days| dim, never the order stream."""
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select(F.to_date("o_orderdate").alias("d"),
+                 F.floor(F.col("o_totalprice") * 100).cast("long")
+                 .alias("price_c")))
+    daily = (o.groupBy("d")
+             .agg(F.sum("price_c").cast("long").alias("rev_c"),
+                  F.count(F.lit(1)).cast("long").alias("n_orders")))
+    contrib = (daily.select(
+        F.explode(F.expr("sequence(0, 6)")).alias("off"),
+        F.col("d").alias("src_d"), F.col("rev_c").alias("rev2"))
+        .select(F.expr("date_add(src_d, off)").alias("d"), "rev2"))
+    return (daily.join(contrib.hint("broadcast"), "d")
+            .groupBy("d")
+            .agg(F.min("rev_c").cast("long").alias("rev_c"),
+                 F.min("n_orders").cast("long").alias("n_orders"),
+                 F.sum("rev2").cast("long").alias("rev_7d_c"),
+                 F.count(F.lit(1)).cast("long").alias("n_days_present"))
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    "rev_c", "n_orders", "rev_7d_c", "n_days_present"))
+
+
 def q_embed_binary_hamming(spark: SparkSession, sf_dir: str
                            ) -> DataFrame:
     """Binary sign-hash retrieval: each vector's first 63 dims pack
@@ -9155,6 +9187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "crawl_depth_quality": q_crawl_depth_quality,
         "embed_binary_hamming": q_embed_binary_hamming,
+        "orders_rolling_revenue": q_orders_rolling_revenue,
         "events_cohort_ltv": q_events_cohort_ltv,
         "crawl_fairness_index": q_crawl_fairness_index,
         "events_new_users": q_events_new_users,
@@ -10499,6 +10532,21 @@ SELECT CAST(coalesce(dep.depth, -1) AS BIGINT) AS depth,
        CAST(max(q.quality) AS BIGINT) AS max_quality
 FROM q LEFT JOIN dep USING (doc_id)
 GROUP BY 1"""),
+        "orders_rolling_revenue": """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS rev_c,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT strftime(a.d, '%Y-%m-%d') AS day,
+       CAST(min(a.rev_c) AS BIGINT) AS rev_c,
+       CAST(min(a.n_orders) AS BIGINT) AS n_orders,
+       CAST(sum(b.rev_c) AS BIGINT) AS rev_7d_c,
+       CAST(count(*) AS BIGINT) AS n_days_present
+FROM daily a
+JOIN daily b ON b.d <= a.d AND b.d >= a.d - INTERVAL 6 DAY
+GROUP BY a.d""",
         "embed_binary_hamming": """
 WITH codes AS (
   SELECT vec_id, CAST(CASE WHEN embedding[1] > 0 THEN CAST(1 AS BIGINT) ELSE 0 END + CASE WHEN embedding[2] > 0 THEN CAST(2 AS BIGINT) ELSE 0 END + CASE WHEN embedding[3] > 0 THEN CAST(4 AS BIGINT) ELSE 0 END + CASE WHEN embedding[4] > 0 THEN CAST(8 AS BIGINT) ELSE 0 END + CASE WHEN embedding[5] > 0 THEN CAST(16 AS BIGINT) ELSE 0 END + CASE WHEN embedding[6] > 0 THEN CAST(32 AS BIGINT) ELSE 0 END + CASE WHEN embedding[7] > 0 THEN CAST(64 AS BIGINT) ELSE 0 END + CASE WHEN embedding[8] > 0 THEN CAST(128 AS BIGINT) ELSE 0 END + CASE WHEN embedding[9] > 0 THEN CAST(256 AS BIGINT) ELSE 0 END + CASE WHEN embedding[10] > 0 THEN CAST(512 AS BIGINT) ELSE 0 END + CASE WHEN embedding[11] > 0 THEN CAST(1024 AS BIGINT) ELSE 0 END + CASE WHEN embedding[12] > 0 THEN CAST(2048 AS BIGINT) ELSE 0 END + CASE WHEN embedding[13] > 0 THEN CAST(4096 AS BIGINT) ELSE 0 END + CASE WHEN embedding[14] > 0 THEN CAST(8192 AS BIGINT) ELSE 0 END + CASE WHEN embedding[15] > 0 THEN CAST(16384 AS BIGINT) ELSE 0 END + CASE WHEN embedding[16] > 0 THEN CAST(32768 AS BIGINT) ELSE 0 END + CASE WHEN embedding[17] > 0 THEN CAST(65536 AS BIGINT) ELSE 0 END + CASE WHEN embedding[18] > 0 THEN CAST(131072 AS BIGINT) ELSE 0 END + CASE WHEN embedding[19] > 0 THEN CAST(262144 AS BIGINT) ELSE 0 END + CASE WHEN embedding[20] > 0 THEN CAST(524288 AS BIGINT) ELSE 0 END + CASE WHEN embedding[21] > 0 THEN CAST(1048576 AS BIGINT) ELSE 0 END + CASE WHEN embedding[22] > 0 THEN CAST(2097152 AS BIGINT) ELSE 0 END + CASE WHEN embedding[23] > 0 THEN CAST(4194304 AS BIGINT) ELSE 0 END + CASE WHEN embedding[24] > 0 THEN CAST(8388608 AS BIGINT) ELSE 0 END + CASE WHEN embedding[25] > 0 THEN CAST(16777216 AS BIGINT) ELSE 0 END + CASE WHEN embedding[26] > 0 THEN CAST(33554432 AS BIGINT) ELSE 0 END + CASE WHEN embedding[27] > 0 THEN CAST(67108864 AS BIGINT) ELSE 0 END + CASE WHEN embedding[28] > 0 THEN CAST(134217728 AS BIGINT) ELSE 0 END + CASE WHEN embedding[29] > 0 THEN CAST(268435456 AS BIGINT) ELSE 0 END + CASE WHEN embedding[30] > 0 THEN CAST(536870912 AS BIGINT) ELSE 0 END + CASE WHEN embedding[31] > 0 THEN CAST(1073741824 AS BIGINT) ELSE 0 END + CASE WHEN embedding[32] > 0 THEN CAST(2147483648 AS BIGINT) ELSE 0 END + CASE WHEN embedding[33] > 0 THEN CAST(4294967296 AS BIGINT) ELSE 0 END + CASE WHEN embedding[34] > 0 THEN CAST(8589934592 AS BIGINT) ELSE 0 END + CASE WHEN embedding[35] > 0 THEN CAST(17179869184 AS BIGINT) ELSE 0 END + CASE WHEN embedding[36] > 0 THEN CAST(34359738368 AS BIGINT) ELSE 0 END + CASE WHEN embedding[37] > 0 THEN CAST(68719476736 AS BIGINT) ELSE 0 END + CASE WHEN embedding[38] > 0 THEN CAST(137438953472 AS BIGINT) ELSE 0 END + CASE WHEN embedding[39] > 0 THEN CAST(274877906944 AS BIGINT) ELSE 0 END + CASE WHEN embedding[40] > 0 THEN CAST(549755813888 AS BIGINT) ELSE 0 END + CASE WHEN embedding[41] > 0 THEN CAST(1099511627776 AS BIGINT) ELSE 0 END + CASE WHEN embedding[42] > 0 THEN CAST(2199023255552 AS BIGINT) ELSE 0 END + CASE WHEN embedding[43] > 0 THEN CAST(4398046511104 AS BIGINT) ELSE 0 END + CASE WHEN embedding[44] > 0 THEN CAST(8796093022208 AS BIGINT) ELSE 0 END + CASE WHEN embedding[45] > 0 THEN CAST(17592186044416 AS BIGINT) ELSE 0 END + CASE WHEN embedding[46] > 0 THEN CAST(35184372088832 AS BIGINT) ELSE 0 END + CASE WHEN embedding[47] > 0 THEN CAST(70368744177664 AS BIGINT) ELSE 0 END + CASE WHEN embedding[48] > 0 THEN CAST(140737488355328 AS BIGINT) ELSE 0 END + CASE WHEN embedding[49] > 0 THEN CAST(281474976710656 AS BIGINT) ELSE 0 END + CASE WHEN embedding[50] > 0 THEN CAST(562949953421312 AS BIGINT) ELSE 0 END + CASE WHEN embedding[51] > 0 THEN CAST(1125899906842624 AS BIGINT) ELSE 0 END + CASE WHEN embedding[52] > 0 THEN CAST(2251799813685248 AS BIGINT) ELSE 0 END + CASE WHEN embedding[53] > 0 THEN CAST(4503599627370496 AS BIGINT) ELSE 0 END + CASE WHEN embedding[54] > 0 THEN CAST(9007199254740992 AS BIGINT) ELSE 0 END + CASE WHEN embedding[55] > 0 THEN CAST(18014398509481984 AS BIGINT) ELSE 0 END + CASE WHEN embedding[56] > 0 THEN CAST(36028797018963968 AS BIGINT) ELSE 0 END + CASE WHEN embedding[57] > 0 THEN CAST(72057594037927936 AS BIGINT) ELSE 0 END + CASE WHEN embedding[58] > 0 THEN CAST(144115188075855872 AS BIGINT) ELSE 0 END + CASE WHEN embedding[59] > 0 THEN CAST(288230376151711744 AS BIGINT) ELSE 0 END + CASE WHEN embedding[60] > 0 THEN CAST(576460752303423488 AS BIGINT) ELSE 0 END + CASE WHEN embedding[61] > 0 THEN CAST(1152921504606846976 AS BIGINT) ELSE 0 END + CASE WHEN embedding[62] > 0 THEN CAST(2305843009213693952 AS BIGINT) ELSE 0 END + CASE WHEN embedding[63] > 0 THEN CAST(4611686018427387904 AS BIGINT) ELSE 0 END AS BIGINT) AS code
