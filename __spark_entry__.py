@@ -8576,6 +8576,42 @@ def q_crawl_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
                                " * 10000 div n_links AS BIGINT)")))
 
 
+def q_orders_supplier_latency(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Per-supplier delivery performance: lines shipped, late lines
+    (> 90 days after order date — the Q12/Q21 rule), the late rate
+    in basis points (decimal division), and the revenue carried by
+    late lines — the continuous score behind Q21's binary
+    sole-blame count (a supplier can be 40% late yet never the SOLE
+    late party on a multi-supplier order; this table catches them).
+    One orderkey fact join + one supplier-keyed agg; supplier name
+    broadcast onto the |suppliers|-bounded result."""
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select("o_orderkey", "o_orderdate"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_suppkey", "l_shipdate",
+                  F.floor(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 100)
+                  .cast("long").alias("rev_c")))
+    j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .withColumn("late", (F.col("l_shipdate")
+                              > F.date_add(F.col("o_orderdate"), 90))
+                     .cast("long")))
+    per = (j.groupBy("l_suppkey")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                F.sum("late").cast("long").alias("n_late"),
+                F.sum(F.col("late") * F.col("rev_c")).cast("long")
+                .alias("late_rev_c")))
+    s = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+         .select("s_suppkey", "s_name"))
+    return (per.join(F.broadcast(s),
+                     per["l_suppkey"] == s["s_suppkey"])
+            .select("s_suppkey", "s_name", "n_lines", "n_late",
+                    F.expr("CAST(CAST(n_late AS DECIMAL(38,0))"
+                           " * 10000 div n_lines AS BIGINT)")
+                    .alias("late_bp"), "late_rev_c"))
+
+
 def q_orders_rolling_revenue(spark: SparkSession, sf_dir: str
                              ) -> DataFrame:
     """Trailing-7-day revenue per order day, GAP-SAFE: each day's
@@ -9188,6 +9224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_depth_quality": q_crawl_depth_quality,
         "embed_binary_hamming": q_embed_binary_hamming,
         "orders_rolling_revenue": q_orders_rolling_revenue,
+        "orders_supplier_latency": q_orders_supplier_latency,
         "events_cohort_ltv": q_events_cohort_ltv,
         "crawl_fairness_index": q_crawl_fairness_index,
         "events_new_users": q_events_new_users,
@@ -10532,6 +10569,24 @@ SELECT CAST(coalesce(dep.depth, -1) AS BIGINT) AS depth,
        CAST(max(q.quality) AS BIGINT) AS max_quality
 FROM q LEFT JOIN dep USING (doc_id)
 GROUP BY 1"""),
+        "orders_supplier_latency": """
+WITH j AS (
+  SELECT l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END AS late,
+         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+              AS BIGINT) AS rev_c
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+per AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(late) AS BIGINT) AS n_late,
+         CAST(sum(late * rev_c) AS BIGINT) AS late_rev_c
+  FROM j GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, per.n_lines, per.n_late,
+       CAST(CAST(per.n_late AS HUGEINT) * 10000 // per.n_lines
+            AS BIGINT) AS late_bp,
+       per.late_rev_c
+FROM per JOIN supplier s ON s.s_suppkey = per.l_suppkey""",
         "orders_rolling_revenue": """
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS d,
