@@ -8576,6 +8576,51 @@ def q_crawl_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
                                " * 10000 div n_links AS BIGINT)")))
 
 
+def q_graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact in-degree Gini of the admissible link graph — the
+    link-economy inequality number behind the degree-mixing curve
+    (G→0 egalitarian, G→1 hub-dominated; the single scalar that says
+    whether PageRank mass and crawl budgets concentrate).  Computed
+    from the DEGREE-CLASS histogram (zero-in-degree pages included
+    via the vertex total), grouped-data identity
+    Σᵢ i·xᵢ = Σ_k v_k·(c_k·N_{k−1} + c_k(c_k+1)/2) on decimal(38,0),
+    G_ppm = (2·S1 − (n+1)·S)·10⁶ div (n·S) — so the only window runs
+    over the degree-class dim (bounded by max degree), never the
+    vertex stream; every term integer, both engines bit-equal."""
+    e = (webgen.links_full_df(spark, sf_dir)
+         .filter(F.col("k") % 4 != 0)
+         .select("src_doc_id", "tgt_doc_id").distinct())
+    indeg = (e.groupBy("tgt_doc_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("deg")))
+    classes = (indeg.groupBy("deg")
+               .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    n_all = (webgen.pages_df(spark, sf_dir)
+             .agg(F.count(F.lit(1)).cast("long").alias("n_all")))
+    zero = (classes.agg(F.sum("c").cast("long").alias("n_with"))
+            .crossJoin(F.broadcast(n_all))
+            .select(F.lit(0).cast("long").alias("deg"),
+                    (F.col("n_all") - F.col("n_with")).cast("long")
+                    .alias("c")))
+    cl = classes.unionByName(zero).filter(F.col("c") > 0)
+    w = (Window.orderBy("deg")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    g = (cl.withColumn("n_before",
+                       F.coalesce(F.sum("c").over(w), F.lit(0))
+                       .cast("long"))
+         .agg(F.sum(F.expr(
+             "CAST(deg AS DECIMAL(38,0)) * (c * CAST(n_before AS"
+             " DECIMAL(38,0)) + CAST(c AS DECIMAL(38,0)) * (c + 1)"
+             " div 2)")).alias("s1"),
+             F.sum(F.expr("CAST(deg AS DECIMAL(38,0)) * c"))
+             .alias("s"),
+             F.sum("c").cast("long").alias("n")))
+    return g.select(
+        "n", F.col("s").cast("long").alias("total_indeg"),
+        F.expr("CAST((2 * s1 - (n + 1) * s) * 1000000"
+               " div (CAST(n AS DECIMAL(38,0)) * s) AS BIGINT)")
+        .alias("gini_ppm"))
+
+
 def q_orders_supplier_latency(spark: SparkSession, sf_dir: str
                               ) -> DataFrame:
     """Per-supplier delivery performance: lines shipped, late lines
@@ -9225,6 +9270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_binary_hamming": q_embed_binary_hamming,
         "orders_rolling_revenue": q_orders_rolling_revenue,
         "orders_supplier_latency": q_orders_supplier_latency,
+        "graph_degree_gini": q_graph_degree_gini,
         "events_cohort_ltv": q_events_cohort_ltv,
         "crawl_fairness_index": q_crawl_fairness_index,
         "events_new_users": q_events_new_users,
@@ -10569,6 +10615,36 @@ SELECT CAST(coalesce(dep.depth, -1) AS BIGINT) AS depth,
        CAST(max(q.quality) AS BIGINT) AS max_quality
 FROM q LEFT JOIN dep USING (doc_id)
 GROUP BY 1"""),
+        "graph_degree_gini": _oracle("""
+, e AS (
+  SELECT DISTINCT src_doc_id AS s, tgt_doc_id AS t
+  FROM web_links_full WHERE k % 4 <> 0),
+indeg AS (SELECT t, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+classes AS (SELECT deg, CAST(count(*) AS BIGINT) AS c
+            FROM indeg GROUP BY 1),
+zero AS (
+  SELECT CAST(0 AS BIGINT) AS deg,
+         CAST((SELECT count(*) FROM web_pages)
+              - (SELECT sum(c) FROM classes) AS BIGINT) AS c),
+cl AS (SELECT * FROM classes UNION ALL
+       SELECT * FROM zero WHERE c > 0),
+r AS (
+  SELECT deg, c,
+         CAST(coalesce(sum(c) OVER (ORDER BY deg
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_before
+  FROM cl),
+g AS (
+  SELECT sum(CAST(deg AS HUGEINT)
+             * (c * CAST(n_before AS HUGEINT)
+                + CAST(c AS HUGEINT) * (c + 1) // 2)) AS s1,
+         sum(CAST(deg AS HUGEINT) * c) AS s,
+         CAST(sum(c) AS BIGINT) AS n
+  FROM r)
+SELECT n, CAST(s AS BIGINT) AS total_indeg,
+       CAST((2 * s1 - (n + 1) * s) * 1000000
+            // (CAST(n AS HUGEINT) * s) AS BIGINT) AS gini_ppm
+FROM g"""),
         "orders_supplier_latency": """
 WITH j AS (
   SELECT l.l_suppkey,

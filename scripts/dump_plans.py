@@ -155,6 +155,13 @@ ALLOW: dict[tuple[str, str], str] = {
         "deliberate exact all-pairs tier (the certification baseline "
         "for the bucketed-LSH mutual-NN path, the embed_near_dup "
         "pattern); the rank<=k cut makes the mutual join O(N*k)",
+    ("graph_degree_gini", "BroadcastNestedLoopJoin"):
+        "two 1-row totals (|V|, Σc) crossed to derive the zero-"
+        "degree class",
+    ("graph_degree_gini", "Exchange SinglePartition"):
+        "cumulative window + final fold over the DEGREE-CLASS dim "
+        "(bounded by max degree) and 1-row aggregates; never the "
+        "vertex or edge stream (the degree-mixing discipline)",
     ("graph_edge_cut", "BroadcastNestedLoopJoin"):
         "1-row edge total crossed onto the n_shards^2-bounded matrix",
     ("graph_edge_cut", "Exchange SinglePartition"):
